@@ -1,0 +1,69 @@
+"""SparkSession factory for the engine.
+
+Centralizes every config the engine depends on (SURVEY.md §0.2, §4.2):
+
+- ``spark.sql.legacy.parquet.nanosAsLong=true`` — ``events.parquet`` stores
+  ``ts`` as parquet ``timestamp[ns]`` which Spark 4 otherwise refuses
+  (``PARQUET_TYPE_ILLEGAL``). With the flag the column arrives as LongType
+  (raw nanos) and ``sources.io.load`` converts it to a µs TimestampType.
+- UTC session timezone — parquet naive timestamps must collect identically
+  to the DuckDB oracle, which is timezone-naive.
+- AQE on (runtime shuffle coalescing, skew-join splitting) — this is the
+  main lever that makes the same plans survive a 100 TB cluster: we size
+  ``spark.sql.shuffle.partitions`` generously and let AQE coalesce.
+- Arrow enabled — every pandas UDF / applyInPandas path (the forecaster,
+  EWMA, as-of cogroup) rides Arrow record batches.
+
+At 100 TB the same builder applies; only ``master``/``shuffle_partitions``
+change (cluster manager sets master; shuffle partitions ≈ 2-3× total cores).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def default_parallelism() -> int:
+    return int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
+
+
+def get_spark(
+    app_name: str = "time-series-spark-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) a SparkSession with the engine's required config."""
+    cpus = default_parallelism()
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master or f"local[{cpus}]")
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions or cpus))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()
+
+
+def ensure_engine_conf(spark: SparkSession) -> SparkSession:
+    """Apply the runtime-settable engine configs to an externally-built
+    session (the driver hands us its own SparkSession in ``entry()``).
+
+    ``nanosAsLong`` is session-settable at runtime in Spark 4; timezone and
+    AQE likewise. Static configs (driver memory) can't change here.
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.execution.arrow.pyspark.enabled", "true")
+    return spark

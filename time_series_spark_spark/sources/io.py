@@ -1,0 +1,108 @@
+"""Sources & sinks (SURVEY.md §2.A).
+
+A1  parquet scan with the events-nanos shim (the ONE ingestion quirk)
+A2  csv scan          A3 json scan          A4 parquet sink
+A7  in-memory table   (A5/A6 streaming live in ``streaming/``)
+
+Design note (100 TB): ``load`` is a plain ``spark.read.parquet`` — column
+pruning and predicate pushdown reach the scan because nothing here forces
+materialization. The only transformation applied is the ``events.ts``
+nanos→µs conversion, a per-row projection that stays inside whole-stage
+codegen and does not block pushdown on any other column.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
+    """Read one test-corpus table; normalize ``events.ts`` to TimestampType.
+
+    ``events.parquet`` stores ``ts`` as parquet timestamp[ns]; with
+    ``spark.sql.legacy.parquet.nanosAsLong=true`` it arrives as LongType raw
+    nanoseconds. Convert with integer division (``div``) — NOT float division:
+    2024 epoch-nanos ≈ 1.7e18 exceeds double's 53-bit exact-integer range, so
+    ``ts / 1000`` in fp would corrupt low-order digits.
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(f"{sf_dir}/{table}.parquet")
+    if table == "events" and dict(df.dtypes).get("ts") == "bigint":
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {t: load(spark, sf_dir, t) for t in TABLES}
+
+
+def register_temp_views(spark: SparkSession, sf_dir: str) -> None:
+    """Expose all tables as temp views so ``spark.sql`` queries can run."""
+    for t in TABLES:
+        load(spark, sf_dir, t).createOrReplaceTempView(t)
+
+
+def read_csv(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType | str | None = None,
+    header: bool = True,
+    **options: str,
+) -> DataFrame:
+    """A2: CSV scan. Explicit schema preferred — schema inference is a full
+    extra pass over the data (prohibitive at 100 TB)."""
+    reader = spark.read.options(header=str(header).lower(), **options)
+    if schema is not None:
+        reader = reader.schema(schema)
+    else:
+        reader = reader.option("inferSchema", "true")
+    return reader.csv(path)
+
+
+def read_json(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType | str | None = None,
+    **options: str,
+) -> DataFrame:
+    """A3: JSON-lines scan; same explicit-schema guidance as CSV."""
+    reader = spark.read.options(**options)
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.json(path)
+
+
+def write_parquet(
+    df: DataFrame,
+    path: str,
+    partition_by: list[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """A4: parquet sink. Partition big time-ordered outputs by a date column
+    so downstream reads get partition pruning (the 100 TB layout rule)."""
+    writer = df.write.mode(mode)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(path)
+
+
+def from_rows(
+    spark: SparkSession, rows: list, schema: T.StructType | str
+) -> DataFrame:
+    """A7: in-memory table for tests (explicit schema keeps types stable)."""
+    return spark.createDataFrame(rows, schema)
