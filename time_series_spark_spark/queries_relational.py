@@ -6,6 +6,11 @@ Catalyst gets full freedom: filter/project pushdown into the parquet scan,
 broadcast selection for dim joins, two-phase hash aggregation, AQE runtime
 coalescing. Explicit ``F.broadcast`` hints mark the joins that must stay
 broadcast at 100 TB regardless of statistics drift.
+
+Determinism rules (SURVEY.md §5.1): every computed column aliased the same
+in both engines; fp aggregates rounded identically in both engines; under
+LIMIT the ORDER BY always includes the *rounded* value plus a unique
+tiebreaker so both engines cut the same row set.
 """
 
 from __future__ import annotations
@@ -22,9 +27,9 @@ def _revenue() -> F.Column:
     return F.col("l_extendedprice") * (1 - F.col("l_discount"))
 
 
-# --------------------------------------------------------------------------
-# B + D + G: the TPC-H Q1 shape — filter, grouped agg, sort
-# --------------------------------------------------------------------------
+# ==========================================================================
+# B + D + G — filter / grouped agg / sort
+# ==========================================================================
 @register(
     "q1_pricing_summary",
     """
@@ -58,4 +63,1042 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("count_order"),
         )
         .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+# ==========================================================================
+# C — joins
+# ==========================================================================
+@register(
+    "q3_top_revenue_orders",
+    """
+    SELECT o.o_orderkey, o.o_orderdate,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+    FROM customer c
+    JOIN orders o    ON c.c_custkey = o.o_custkey
+    JOIN lineitem l  ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+    GROUP BY o.o_orderkey, o.o_orderdate
+    ORDER BY revenue DESC, o_orderkey
+    LIMIT 10
+    """,
+    doc="C1 3-way join + D1 + G top-10 (TPC-H Q3 shape)",
+)
+def q3_top_revenue_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .join(li, li.l_orderkey == orders.o_orderkey)
+        .groupBy("o_orderkey", "o_orderdate")
+        .agg(F.round(F.sum(_revenue()), 2).alias("revenue"))
+        .orderBy(F.desc("revenue"), "o_orderkey")
+        .limit(10)
+    )
+
+
+@register(
+    "q5_nation_revenue",
+    """
+    SELECT n.n_name,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+    FROM customer c
+    JOIN orders o   ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN nation n   ON n.n_nationkey = c.c_nationkey
+    JOIN region r   ON r.r_regionkey = n.n_regionkey
+    WHERE r.r_name = 'ASIA'
+    GROUP BY n.n_name
+    ORDER BY n.n_name
+    """,
+    doc="C1/C2 star join with broadcast dims + D1 (TPC-H Q5 shape)",
+)
+def q5_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # region/nation/supplier are bounded dims at any scale → explicit
+    # broadcast hints keep this a shuffle-free map-side join at 100 TB.
+    cust = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    supp = load(spark, sf_dir, "supplier")
+    nation = load(spark, sf_dir, "nation")
+    region = load(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("n_name")
+        .agg(F.round(F.sum(_revenue()), 2).alias("revenue"))
+        .orderBy("n_name")
+    )
+
+
+@register(
+    "left_join_customer_orders",
+    """
+    SELECT c.c_custkey,
+           count(o.o_orderkey)                          AS n_orders,
+           round(coalesce(sum(o.o_totalprice), 0), 2)   AS total_spent
+    FROM customer c
+    LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_custkey
+    ORDER BY c.c_custkey
+    """,
+    doc="C3 left outer join + B6 coalesce (customers with zero orders kept)",
+)
+def left_join_customer_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders")
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            F.round(F.coalesce(F.sum("o_totalprice"), F.lit(0.0)), 2).alias(
+                "total_spent"
+            ),
+        )
+        .orderBy("c_custkey")
+    )
+
+
+@register(
+    "semi_join_active_customers",
+    """
+    SELECT c_custkey, c_name
+    FROM customer c
+    WHERE EXISTS (
+        SELECT 1 FROM orders o
+        WHERE o.o_custkey = c.c_custkey
+          AND o.o_orderdate >= TIMESTAMP '2000-01-01'
+    )
+    ORDER BY c_custkey
+    """,
+    doc="C4 left-semi join (existence filter)",
+)
+def semi_join_active_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load(spark, sf_dir, "customer")
+    recent = load(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp")
+    )
+    return (
+        cust.join(recent, cust.c_custkey == recent.o_custkey, "left_semi")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    )
+
+
+@register(
+    "anti_join_orderless_customers",
+    """
+    SELECT c_custkey, round(c_acctbal, 2) AS acctbal
+    FROM customer c
+    WHERE NOT EXISTS (
+        SELECT 1 FROM orders o
+        WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'P'
+    )
+    ORDER BY c_custkey
+    """,
+    doc="C5 left-anti join (customers with no pending orders)",
+)
+def anti_join_orderless_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load(spark, sf_dir, "customer")
+    pending = load(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "P")
+    return (
+        cust.join(pending, cust.c_custkey == pending.o_custkey, "left_anti")
+        .select("c_custkey", F.round("c_acctbal", 2).alias("acctbal"))
+        .orderBy("c_custkey")
+    )
+
+
+@register(
+    "cross_join_region_pairs",
+    """
+    SELECT a.r_name AS from_region, b.r_name AS to_region
+    FROM region a CROSS JOIN region b
+    WHERE a.r_regionkey <> b.r_regionkey
+    ORDER BY from_region, to_region
+    """,
+    doc="C6 cross join (guarded: bounded dim × dim only)",
+)
+def cross_join_region_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    a = load(spark, sf_dir, "region").select(
+        F.col("r_regionkey").alias("ak"), F.col("r_name").alias("from_region")
+    )
+    b = load(spark, sf_dir, "region").select(
+        F.col("r_regionkey").alias("bk"), F.col("r_name").alias("to_region")
+    )
+    return (
+        a.crossJoin(b)
+        .filter(F.col("ak") != F.col("bk"))
+        .select("from_region", "to_region")
+        .orderBy("from_region", "to_region")
+    )
+
+
+@register(
+    "theta_join_late_shipments",
+    """
+    SELECT l.l_orderkey, count(*) AS n_late_lines
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+              AND l.l_shipdate > o.o_orderdate + INTERVAL 120 DAY
+    GROUP BY l.l_orderkey
+    ORDER BY l.l_orderkey
+    """,
+    doc="C7 equi+theta join (key equality plus range residual, stays SMJ)",
+)
+def theta_join_late_shipments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    orders = load(spark, sf_dir, "orders")
+    return (
+        li.join(
+            orders,
+            (li.l_orderkey == orders.o_orderkey)
+            & (li.l_shipdate > F.col("o_orderdate") + F.expr("INTERVAL 120 DAY")),
+        )
+        .groupBy("l_orderkey")
+        .agg(F.count(F.lit(1)).alias("n_late_lines"))
+        .orderBy("l_orderkey")
+    )
+
+
+# ==========================================================================
+# B — predicate forms
+# ==========================================================================
+@register(
+    "filter_in_between",
+    """
+    SELECT o_orderkey, o_orderstatus, round(o_totalprice, 2) AS total
+    FROM orders
+    WHERE o_orderstatus IN ('F', 'P')
+      AND o_totalprice BETWEEN 1000 AND 2000
+    ORDER BY o_orderkey
+    """,
+    doc="B4 IN + BETWEEN predicates (pushed to parquet scan)",
+)
+def filter_in_between(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load(spark, sf_dir, "orders")
+        .filter(
+            F.col("o_orderstatus").isin("F", "P")
+            & F.col("o_totalprice").between(1000, 2000)
+        )
+        .select(
+            "o_orderkey",
+            "o_orderstatus",
+            F.round("o_totalprice", 2).alias("total"),
+        )
+        .orderBy("o_orderkey")
+    )
+
+
+@register(
+    "filter_like_regexp",
+    """
+    SELECT p_partkey, p_name, p_type
+    FROM part
+    WHERE p_name LIKE '%red%'
+       OR regexp_matches(p_name, '^blue .*(bolt|ring)$')
+    ORDER BY p_partkey
+    """,
+    doc="B3/B5 boolean combo of LIKE and regexp predicates",
+)
+def filter_like_regexp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load(spark, sf_dir, "part")
+        .filter(
+            F.col("p_name").like("%red%")
+            | F.col("p_name").rlike("^blue .*(bolt|ring)$")
+        )
+        .select("p_partkey", "p_name", "p_type")
+        .orderBy("p_partkey")
+    )
+
+
+@register(
+    "distinct_projection",
+    """
+    SELECT DISTINCT c_nationkey, c_mktsegment
+    FROM customer
+    ORDER BY c_nationkey, c_mktsegment
+    """,
+    doc="B7 distinct on a projection",
+)
+def distinct_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load(spark, sf_dir, "customer")
+        .select("c_nationkey", "c_mktsegment")
+        .distinct()
+        .orderBy("c_nationkey", "c_mktsegment")
+    )
+
+
+@register(
+    "case_when_price_bands",
+    """
+    SELECT CASE WHEN o_totalprice < 1000 THEN 'low'
+                WHEN o_totalprice < 5000 THEN 'mid'
+                ELSE 'high' END AS band,
+           count(*)                    AS n,
+           round(avg(o_totalprice), 4) AS avg_price
+    FROM orders
+    GROUP BY band
+    ORDER BY band
+    """,
+    doc="B8 CASE WHEN bucketing + D1",
+)
+def case_when_price_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    band = (
+        F.when(F.col("o_totalprice") < 1000, "low")
+        .when(F.col("o_totalprice") < 5000, "mid")
+        .otherwise("high")
+    )
+    return (
+        load(spark, sf_dir, "orders")
+        .groupBy(band.alias("band"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg("o_totalprice"), 4).alias("avg_price"),
+        )
+        .orderBy("band")
+    )
+
+
+# ==========================================================================
+# D — aggregations
+# ==========================================================================
+@register(
+    "global_agg_lineitem",
+    """
+    SELECT count(*)                           AS n_rows,
+           round(sum(l_quantity), 2)          AS total_qty,
+           round(min(l_extendedprice), 2)     AS min_price,
+           round(max(l_extendedprice), 2)     AS max_price,
+           round(avg(l_discount), 6)          AS avg_discount
+    FROM lineitem
+    """,
+    doc="D2 global aggregate without grouping keys",
+)
+def global_agg_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load(spark, sf_dir, "lineitem").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.round(F.sum("l_quantity"), 2).alias("total_qty"),
+        F.round(F.min("l_extendedprice"), 2).alias("min_price"),
+        F.round(F.max("l_extendedprice"), 2).alias("max_price"),
+        F.round(F.avg("l_discount"), 6).alias("avg_discount"),
+    )
+
+
+@register(
+    "count_distinct_customers",
+    """
+    SELECT o_orderstatus,
+           count(DISTINCT o_custkey) AS n_customers,
+           count(*)                  AS n_orders
+    FROM orders
+    GROUP BY o_orderstatus
+    ORDER BY o_orderstatus
+    """,
+    doc="D3 exact count-distinct (two-phase expand handled by Catalyst)",
+)
+def count_distinct_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load(spark, sf_dir, "orders")
+        .groupBy("o_orderstatus")
+        .agg(
+            F.countDistinct("o_custkey").alias("n_customers"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+@register(
+    "approx_count_distinct_users",
+    None,  # approximate → rows-only check (HLL++ sketches differ per engine)
+    doc="D4 approx_count_distinct (HLL++); asserted vs exact in unit tests",
+)
+def approx_count_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(F.approx_count_distinct("user_id", 0.02).alias("approx_users"))
+        .orderBy("event_type")
+    )
+
+
+@register(
+    "stats_aggs_lineitem",
+    """
+    SELECT l_returnflag,
+           round(stddev_samp(l_quantity), 6)            AS sd_qty,
+           round(var_samp(l_extendedprice), 2)          AS var_price,
+           round(corr(l_quantity, l_extendedprice), 6)  AS corr_qty_price,
+           round(covar_samp(l_quantity, l_discount), 6) AS cov_qty_disc
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+    doc="D5 statistical aggregates",
+)
+def stats_aggs_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.round(F.stddev_samp("l_quantity"), 6).alias("sd_qty"),
+            F.round(F.var_samp("l_extendedprice"), 2).alias("var_price"),
+            F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias(
+                "corr_qty_price"
+            ),
+            F.round(F.covar_samp("l_quantity", "l_discount"), 6).alias(
+                "cov_qty_disc"
+            ),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@register(
+    "percentiles_quantity",
+    """
+    SELECT l_linestatus,
+           round(quantile_cont(l_quantity, 0.25), 4) AS q25,
+           round(quantile_cont(l_quantity, 0.50), 4) AS median_qty,
+           round(quantile_cont(l_quantity, 0.75), 4) AS q75
+    FROM lineitem
+    GROUP BY l_linestatus
+    ORDER BY l_linestatus
+    """,
+    doc="D6 exact interpolated percentiles (Spark percentile ≡ quantile_cont)",
+)
+def percentiles_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load(spark, sf_dir, "lineitem")
+        .groupBy("l_linestatus")
+        .agg(
+            F.round(F.expr("percentile(l_quantity, 0.25)"), 4).alias("q25"),
+            F.round(F.expr("percentile(l_quantity, 0.50)"), 4).alias("median_qty"),
+            F.round(F.expr("percentile(l_quantity, 0.75)"), 4).alias("q75"),
+        )
+        .orderBy("l_linestatus")
+    )
+
+
+@register(
+    "minby_maxby_customers",
+    """
+    SELECT c_nationkey,
+           arg_max(c_name, c_acctbal) AS richest,
+           arg_min(c_name, c_acctbal) AS poorest
+    FROM customer
+    GROUP BY c_nationkey
+    ORDER BY c_nationkey
+    """,
+    doc="D7 max_by/min_by per-group representative",
+)
+def minby_maxby_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load(spark, sf_dir, "customer")
+        .groupBy("c_nationkey")
+        .agg(
+            F.expr("max_by(c_name, c_acctbal)").alias("richest"),
+            F.expr("min_by(c_name, c_acctbal)").alias("poorest"),
+        )
+        .orderBy("c_nationkey")
+    )
+
+
+@register(
+    "collect_sorted_nations",
+    """
+    SELECT r.r_name,
+           list_sort(list(n.n_name)) AS nations,
+           count(*)                  AS n_nations
+    FROM region r JOIN nation n ON n.n_regionkey = r.r_regionkey
+    GROUP BY r.r_name
+    ORDER BY r.r_name
+    """,
+    doc="D8 collect_list + sort_array for deterministic array aggs",
+)
+def collect_sorted_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    region = load(spark, sf_dir, "region")
+    nation = load(spark, sf_dir, "nation")
+    return (
+        nation.join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            F.sort_array(F.collect_list("n_name")).alias("nations"),
+            F.count(F.lit(1)).alias("n_nations"),
+        )
+        .orderBy("r_name")
+    )
+
+
+@register(
+    "rollup_orders",
+    """
+    SELECT year(o_orderdate)            AS order_year,
+           o_orderpriority,
+           count(*)                     AS n_orders,
+           round(sum(o_totalprice), 2)  AS total
+    FROM orders
+    GROUP BY ROLLUP (year(o_orderdate), o_orderpriority)
+    ORDER BY order_year NULLS FIRST, o_orderpriority NULLS FIRST
+    """,
+    doc="D9 rollup subtotal hierarchy",
+)
+def rollup_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load(spark, sf_dir, "orders")
+        .rollup(F.year("o_orderdate").alias("order_year"), F.col("o_orderpriority"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+        )
+        .orderBy(F.asc_nulls_first("order_year"), F.asc_nulls_first("o_orderpriority"))
+    )
+
+
+@register(
+    "cube_returnflag_status",
+    """
+    SELECT l_returnflag, l_linestatus,
+           count(*)                  AS n,
+           round(sum(l_quantity), 2) AS qty
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST
+    """,
+    doc="D10 cube over two dimensions",
+)
+def cube_returnflag_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load(spark, sf_dir, "lineitem")
+        .cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("l_quantity"), 2).alias("qty"),
+        )
+        .orderBy(
+            F.asc_nulls_first("l_returnflag"), F.asc_nulls_first("l_linestatus")
+        )
+    )
+
+
+@register(
+    "grouping_sets_orders",
+    """
+    SELECT o_orderstatus, o_orderpriority, count(*) AS n
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+    ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST
+    """,
+    doc="D11 explicit grouping sets (SQL entry point)",
+)
+def grouping_sets_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load(spark, sf_dir, "orders").createOrReplaceTempView("orders_gs")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority, count(*) AS n
+        FROM orders_gs
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST
+        """
+    )
+
+
+@register(
+    "pivot_docs_lang_source",
+    """
+    SELECT lang,
+           count(*) FILTER (WHERE source = 'src0') AS src0,
+           count(*) FILTER (WHERE source = 'src1') AS src1,
+           count(*) FILTER (WHERE source = 'src2') AS src2,
+           count(*) FILTER (WHERE source = 'src3') AS src3
+    FROM documents
+    GROUP BY lang
+    ORDER BY lang
+    """,
+    doc="D12 pivot (categories → columns)",
+)
+def pivot_docs_lang_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load(spark, sf_dir, "documents")
+        .groupBy("lang")
+        .pivot("source", ["src0", "src1", "src2", "src3"])
+        .count()
+        .na.fill(0, ["src0", "src1", "src2", "src3"])
+        .orderBy("lang")
+    )
+
+
+# ==========================================================================
+# E — window functions
+# ==========================================================================
+@register(
+    "window_running_rev",
+    """
+    WITH daily AS (
+        SELECT o_orderdate AS d, round(sum(o_totalprice), 2) AS day_rev
+        FROM orders GROUP BY o_orderdate
+    )
+    SELECT d, day_rev,
+           row_number() OVER (ORDER BY d)                    AS rn,
+           round(sum(day_rev) OVER (ORDER BY d
+                 ROWS UNBOUNDED PRECEDING), 2)               AS cum_rev
+    FROM daily
+    ORDER BY d
+    LIMIT 100
+    """,
+    doc="E1/E4 row_number + running sum over daily revenue",
+)
+def window_running_rev(spark: SparkSession, sf_dir: str) -> DataFrame:
+    daily = (
+        load(spark, sf_dir, "orders")
+        .groupBy(F.col("o_orderdate").alias("d"))
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("day_rev"))
+    )
+    w = Window.orderBy("d")
+    return (
+        daily.withColumn("rn", F.row_number().over(w))
+        .withColumn(
+            "cum_rev",
+            F.round(
+                F.sum("day_rev").over(w.rowsBetween(Window.unboundedPreceding, 0)), 2
+            ),
+        )
+        .orderBy("d")
+        .limit(100)
+    )
+
+
+@register(
+    "window_rank_distribution",
+    """
+    SELECT c_custkey, c_nationkey,
+           rank()       OVER w AS rnk,
+           dense_rank() OVER w AS drnk,
+           ntile(4)     OVER w AS quartile,
+           round(percent_rank() OVER w, 6) AS pct_rank,
+           round(cume_dist()    OVER w, 6) AS cdist
+    FROM customer
+    WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey)
+    ORDER BY c_nationkey, rnk, c_custkey
+    """,
+    doc="E1/E2 rank family + distribution ranks per partition",
+)
+def window_rank_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = Window.partitionBy("c_nationkey").orderBy(
+        F.desc("c_acctbal"), F.asc("c_custkey")
+    )
+    return (
+        load(spark, sf_dir, "customer")
+        .select(
+            "c_custkey",
+            "c_nationkey",
+            F.rank().over(w).alias("rnk"),
+            F.dense_rank().over(w).alias("drnk"),
+            F.ntile(4).over(w).alias("quartile"),
+            F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+            F.round(F.cume_dist().over(w), 6).alias("cdist"),
+        )
+        .orderBy("c_nationkey", "rnk", "c_custkey")
+    )
+
+
+@register(
+    "window_moving_avg",
+    """
+    WITH daily AS (
+        SELECT o_orderdate AS d, sum(o_totalprice) AS day_rev
+        FROM orders GROUP BY o_orderdate
+    )
+    SELECT d,
+           round(day_rev, 2) AS day_rev,
+           round(avg(day_rev) OVER (ORDER BY d ROWS 6 PRECEDING), 2) AS ma7,
+           round(min(day_rev) OVER (ORDER BY d ROWS 6 PRECEDING), 2) AS min7,
+           round(max(day_rev) OVER (ORDER BY d ROWS 6 PRECEDING), 2) AS max7
+    FROM daily
+    ORDER BY d
+    """,
+    doc="E5 moving 7-row window stats over a daily series",
+)
+def window_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    daily = (
+        load(spark, sf_dir, "orders")
+        .groupBy(F.col("o_orderdate").alias("d"))
+        .agg(F.sum("o_totalprice").alias("raw_rev"))
+    )
+    w7 = Window.orderBy("d").rowsBetween(-6, 0)
+    return (
+        daily.select(
+            "d",
+            F.round("raw_rev", 2).alias("day_rev"),
+            F.round(F.avg("raw_rev").over(w7), 2).alias("ma7"),
+            F.round(F.min("raw_rev").over(w7), 2).alias("min7"),
+            F.round(F.max("raw_rev").over(w7), 2).alias("max7"),
+        )
+        .orderBy("d")
+    )
+
+
+@register(
+    "window_first_last",
+    """
+    SELECT c_nationkey, c_custkey,
+           round(c_acctbal, 2) AS acctbal,
+           round(first_value(c_acctbal) OVER w, 2) AS top_bal,
+           round(last_value(c_acctbal)  OVER w, 2) AS bottom_bal
+    FROM customer
+    WINDOW w AS (PARTITION BY c_nationkey
+                 ORDER BY c_acctbal DESC, c_custkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    ORDER BY c_nationkey, acctbal DESC, c_custkey
+    """,
+    doc="E7 first/last value over full-partition frame",
+)
+def window_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = (
+        Window.partitionBy("c_nationkey")
+        .orderBy(F.desc("c_acctbal"), F.asc("c_custkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return (
+        load(spark, sf_dir, "customer")
+        .select(
+            "c_nationkey",
+            "c_custkey",
+            F.round("c_acctbal", 2).alias("acctbal"),
+            F.round(F.first("c_acctbal").over(w), 2).alias("top_bal"),
+            F.round(F.last("c_acctbal").over(w), 2).alias("bottom_bal"),
+        )
+        .orderBy("c_nationkey", F.desc("acctbal"), "c_custkey")
+    )
+
+
+@register(
+    "topk_parts_per_brand",
+    """
+    WITH part_rev AS (
+        SELECT p.p_brand, p.p_partkey,
+               round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+        FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+        GROUP BY p.p_brand, p.p_partkey
+    )
+    SELECT p_brand, p_partkey, revenue
+    FROM (
+        SELECT *, row_number() OVER (PARTITION BY p_brand
+                                     ORDER BY revenue DESC, p_partkey) AS rk
+        FROM part_rev
+    )
+    WHERE rk <= 3
+    ORDER BY p_brand, rk
+    """,
+    doc="E9 top-k per group (rank + filter; TakeOrdered per partition)",
+)
+def topk_parts_per_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    part = load(spark, sf_dir, "part")
+    part_rev = (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .groupBy("p_brand", "p_partkey")
+        .agg(F.round(F.sum(_revenue()), 2).alias("revenue"))
+    )
+    w = Window.partitionBy("p_brand").orderBy(F.desc("revenue"), F.asc("p_partkey"))
+    return (
+        part_rev.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("p_brand", "p_partkey", "revenue")
+        .orderBy("p_brand", F.desc("revenue"), "p_partkey")
+    )
+
+
+@register(
+    "top_orders_global",
+    """
+    SELECT o_orderkey, round(o_totalprice, 2) AS total
+    FROM orders
+    ORDER BY total DESC, o_orderkey
+    LIMIT 20
+    """,
+    doc="G global top-k (TakeOrderedAndProject — no full sort at scale)",
+)
+def top_orders_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load(spark, sf_dir, "orders")
+        .select("o_orderkey", F.round("o_totalprice", 2).alias("total"))
+        .orderBy(F.desc("total"), "o_orderkey")
+        .limit(20)
+    )
+
+
+# ==========================================================================
+# H — set operations
+# ==========================================================================
+@register(
+    "union_all_high_value_keys",
+    """
+    SELECT k, count(*) AS n FROM (
+        SELECT c_custkey AS k FROM customer WHERE c_acctbal > 9000
+        UNION ALL
+        SELECT o_custkey AS k FROM orders WHERE o_totalprice > 9000
+    ) GROUP BY k ORDER BY k
+    """,
+    doc="H1 union all + agg",
+)
+def union_all_high_value_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    a = (
+        load(spark, sf_dir, "customer")
+        .filter(F.col("c_acctbal") > 9000)
+        .select(F.col("c_custkey").alias("k"))
+    )
+    b = (
+        load(spark, sf_dir, "orders")
+        .filter(F.col("o_totalprice") > 9000)
+        .select(F.col("o_custkey").alias("k"))
+    )
+    return (
+        a.unionByName(b).groupBy("k").agg(F.count(F.lit(1)).alias("n")).orderBy("k")
+    )
+
+
+@register(
+    "union_distinct_nation_keys",
+    """
+    SELECT nk FROM (
+        SELECT c_nationkey AS nk FROM customer
+        UNION
+        SELECT s_nationkey AS nk FROM supplier
+    ) ORDER BY nk
+    """,
+    doc="H2 union distinct",
+)
+def union_distinct_nation_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    a = load(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nk"))
+    b = load(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nk"))
+    return a.unionByName(b).distinct().orderBy("nk")
+
+
+@register(
+    "intersect_building_f_orders",
+    """
+    SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+    INTERSECT
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+    ORDER BY c_custkey
+    """,
+    doc="H3 intersect",
+)
+def intersect_building_f_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    a = (
+        load(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey")
+    )
+    b = (
+        load(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "F")
+        .select(F.col("o_custkey").alias("c_custkey"))
+    )
+    return a.intersect(b).orderBy("c_custkey")
+
+
+@register(
+    "except_inactive_customers",
+    """
+    SELECT c_custkey FROM customer
+    EXCEPT
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'P'
+    ORDER BY c_custkey
+    """,
+    doc="H4 except (set difference: customers minus pending-order customers)",
+)
+def except_inactive_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    a = load(spark, sf_dir, "customer").select("c_custkey")
+    b = (
+        load(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "P")
+        .select(F.col("o_custkey").alias("c_custkey"))
+    )
+    return a.exceptAll(b).distinct().orderBy("c_custkey")
+
+
+# ==========================================================================
+# I — scalar function surface
+# ==========================================================================
+@register(
+    "string_funcs_nation",
+    """
+    SELECT n_nationkey,
+           lower(n_name)                       AS lo,
+           upper(n_name)                       AS up,
+           substr(n_name, 1, 6)                AS pre,
+           length(n_name)                      AS len,
+           concat_ws('-', n_name, 'X')         AS joined,
+           levenshtein(n_name, 'NATION_1')     AS lev,
+           md5(n_name)                         AS h,
+           replace(translate(n_name, '_', '#'), 'NATION', 'N') AS tr
+    FROM nation
+    ORDER BY n_nationkey
+    """,
+    doc="I string functions 1:1 with DuckDB",
+)
+def string_funcs_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n = F.col("n_name")
+    return (
+        load(spark, sf_dir, "nation")
+        .select(
+            "n_nationkey",
+            F.lower(n).alias("lo"),
+            F.upper(n).alias("up"),
+            F.substring(n, 1, 6).alias("pre"),
+            F.length(n).alias("len"),
+            F.concat_ws("-", n, F.lit("X")).alias("joined"),
+            F.levenshtein(n, F.lit("NATION_1")).alias("lev"),
+            F.md5(n).alias("h"),
+            F.regexp_replace(
+                F.translate(n, "_", "#"), "NATION", "N"
+            ).alias("tr"),
+        )
+        .orderBy("n_nationkey")
+    )
+
+
+@register(
+    "date_funcs_orders",
+    """
+    SELECT year(o_orderdate)                           AS y,
+           month(o_orderdate)                          AS m,
+           count(*)                                    AS n,
+           min(dayofweek(o_orderdate) + 1)             AS min_dow,
+           max(day(o_orderdate))                       AS max_dom,
+           min(cast(date_trunc('month', o_orderdate) AS TIMESTAMP)) AS month_start,
+           min(o_orderdate + INTERVAL 90 DAY)          AS min_due
+    FROM orders
+    GROUP BY year(o_orderdate), month(o_orderdate)
+    ORDER BY y, m
+    """,
+    doc="I date/time functions (dayofweek origin normalized: Spark 1=Sun)",
+)
+def date_funcs_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = F.col("o_orderdate")
+    return (
+        load(spark, sf_dir, "orders")
+        .groupBy(F.year(d).alias("y"), F.month(d).alias("m"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min(F.dayofweek(d)).alias("min_dow"),
+            F.max(F.dayofmonth(d)).alias("max_dom"),
+            F.min(F.date_trunc("month", d)).alias("month_start"),
+            F.min(d + F.expr("INTERVAL 90 DAY")).alias("min_due"),
+        )
+        .orderBy("y", "m")
+    )
+
+
+@register(
+    "math_funcs_summary",
+    """
+    SELECT l_returnflag,
+           round(sqrt(sum(l_quantity)), 6)          AS sqrt_qty,
+           round(ln(sum(l_extendedprice)), 6)       AS ln_price,
+           round(log10(sum(l_extendedprice)), 6)    AS log10_price,
+           round(pow(avg(l_discount), 2), 8)        AS disc_sq,
+           CAST(ceil(avg(l_quantity)) AS BIGINT)    AS ceil_qty,
+           CAST(floor(avg(l_quantity)) AS BIGINT)   AS floor_qty,
+           round(abs(min(l_quantity) - max(l_quantity)), 2) AS qty_range,
+           greatest(max(l_tax), max(l_discount))    AS max_rate
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+    doc="I math functions over aggregates",
+)
+def math_funcs_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.round(F.sqrt(F.sum("l_quantity")), 6).alias("sqrt_qty"),
+            F.round(F.log(F.sum("l_extendedprice")), 6).alias("ln_price"),
+            F.round(F.log10(F.sum("l_extendedprice")), 6).alias("log10_price"),
+            F.round(F.pow(F.avg("l_discount"), 2), 8).alias("disc_sq"),
+            F.ceil(F.avg("l_quantity")).alias("ceil_qty"),
+            F.floor(F.avg("l_quantity")).alias("floor_qty"),
+            F.round(F.abs(F.min("l_quantity") - F.max("l_quantity")), 2).alias(
+                "qty_range"
+            ),
+            F.greatest(F.max("l_tax"), F.max("l_discount")).alias("max_rate"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@register(
+    "array_funcs_embeddings",
+    """
+    SELECT vec_id,
+           len(embedding)                                          AS dim,
+           round(embedding[1], 6)                                  AS first_val,
+           round(list_sum(list_transform(embedding::DOUBLE[],
+                                         x -> x * x)), 6)          AS sq_norm,
+           round(list_sort(embedding::DOUBLE[])[1], 6)             AS min_val
+    FROM embeddings
+    WHERE vec_id < 100
+    ORDER BY vec_id
+    """,
+    doc="I array + higher-order functions (fold = dot-product building block)",
+)
+def array_funcs_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = F.expr("transform(embedding, x -> cast(x AS double))")
+    return (
+        load(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") < 100)
+        .select(
+            "vec_id",
+            F.size("embedding").alias("dim"),
+            F.round(F.element_at("embedding", 1), 6).alias("first_val"),
+            F.round(
+                F.expr(
+                    "aggregate(transform(embedding, x -> cast(x AS double)),"
+                    " 0D, (s, x) -> s + x * x)"
+                ),
+                6,
+            ).alias("sq_norm"),
+            F.round(F.element_at(F.sort_array(emb), 1), 6).alias("min_val"),
+        )
+        .orderBy("vec_id")
+    )
+
+
+@register(
+    "json_funcs_events",
+    """
+    SELECT event_type,
+           count(*)                                       AS n,
+           sum(CAST(props->>'k' AS BIGINT))               AS sum_k,
+           round(avg(CAST(props->>'k' AS BIGINT)), 4)     AS avg_k
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+    doc="I JSON extraction from string column (events.props)",
+)
+def json_funcs_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    k = F.get_json_object("props", "$.k").cast("long")
+    return (
+        load(spark, sf_dir, "events")
+        .select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("k").alias("sum_k"),
+            F.round(F.avg("k"), 4).alias("avg_k"),
+        )
+        .orderBy("event_type")
     )
