@@ -1,0 +1,182 @@
+"""Unit/property tests for time-series operators (SURVEY.md §5 items 3-4).
+
+Covers the operators whose driver check is rows-only (EWMA) and the edge
+semantics of as-of join, range join, sessionization, and interpolation.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import numpy as np
+import pandas as pd
+import pyspark.sql.functions as F
+
+from time_series_spark_spark.operators.timeseries import (
+    asof_join,
+    densify,
+    ewma,
+    interpolate_linear,
+    range_join_trailing,
+    resample,
+    sessionize,
+)
+
+T0 = dt.datetime(2024, 1, 1)
+
+
+def ts(seconds: float) -> dt.datetime:
+    return T0 + dt.timedelta(seconds=seconds)
+
+
+def _random_events(seed: int, n_keys: int = 5, n: int = 200):
+    rng = np.random.default_rng(seed)
+    rows = []
+    for i in range(n):
+        rows.append(
+            (
+                int(rng.integers(0, n_keys)),
+                ts(float(rng.uniform(0, 86400))),
+                float(np.round(rng.normal(10, 3), 3)),
+            )
+        )
+    return rows
+
+
+def test_ewma_matches_pandas(spark):
+    rows = _random_events(seed=7)
+    df = spark.createDataFrame(rows, "key int, t timestamp, v double")
+    got = (
+        ewma(df, ["key"], "t", "v", alpha=0.25)
+        .orderBy("key", "t")
+        .toPandas()
+    )
+    pdf = pd.DataFrame(rows, columns=["key", "t", "v"]).sort_values(["key", "t"])
+    expected = (
+        pdf.groupby("key")["v"]
+        .transform(lambda s: s.ewm(alpha=0.25, adjust=True).mean())
+        .to_numpy()
+    )
+    np.testing.assert_allclose(got["ewma"].to_numpy(), expected, rtol=1e-12)
+
+
+def test_asof_join_matches_merge_asof(spark):
+    lrows = _random_events(seed=1, n=120)
+    rrows = _random_events(seed=2, n=150)
+    left = spark.createDataFrame(lrows, "key int, t timestamp, lv double")
+    right = spark.createDataFrame(rrows, "key int, t timestamp, rv double")
+    got = (
+        asof_join(left, right, "key", "t", "t", ["rv"])
+        .orderBy("key", "t")
+        .toPandas()
+    )
+    lp = pd.DataFrame(lrows, columns=["key", "t", "lv"]).sort_values("t")
+    rp = pd.DataFrame(rrows, columns=["key", "t", "rv"]).sort_values("t")
+    exp = pd.merge_asof(lp, rp, on="t", by="key", direction="backward").sort_values(
+        ["key", "t"]
+    )
+    assert len(got) == len(exp)
+    np.testing.assert_allclose(
+        got["rv"].to_numpy(), exp["rv"].to_numpy(), equal_nan=True
+    )
+
+
+def test_asof_join_exact_match_and_no_match(spark):
+    left = spark.createDataFrame(
+        [(1, ts(100), "a"), (1, ts(50), "b"), (2, ts(10), "c")],
+        "key int, t timestamp, tag string",
+    )
+    right = spark.createDataFrame(
+        [(1, ts(100), 1.0), (1, ts(40), 2.0), (2, ts(20), 3.0)],
+        "key int, t timestamp, rv double",
+    )
+    got = {
+        (r["key"], r["tag"]): r["rv"]
+        for r in asof_join(left, right, "key", "t", "t", ["rv"]).collect()
+    }
+    assert got[(1, "a")] == 1.0  # equal timestamp matches (inclusive)
+    assert got[(1, "b")] == 2.0  # latest at-or-before
+    assert got[(2, "c")] is None  # right row is in the future → no match
+
+
+def test_asof_join_tolerance(spark):
+    left = spark.createDataFrame([(1, ts(1000), "a")], "key int, t timestamp, tag string")
+    right = spark.createDataFrame([(1, ts(100), 9.0)], "key int, t timestamp, rv double")
+    out = asof_join(
+        left, right, "key", "t", "t", ["rv"], tolerance_seconds=60
+    ).collect()[0]
+    assert out["rv"] is None  # match is 900 s stale > 60 s tolerance
+
+
+def test_range_join_matches_naive(spark):
+    lrows = _random_events(seed=3, n=80)
+    rrows = _random_events(seed=4, n=100)
+    left = spark.createDataFrame(lrows, "key int, t timestamp, lv double")
+    right = spark.createDataFrame(rrows, "key int, t timestamp, rv double")
+    W = 3600
+    got = range_join_trailing(left, right, "key", "t", "t", W)
+    got_pairs = {
+        (r["key"], r["t"], r["t_r"]) for r in got.collect()
+    }
+    naive = set()
+    for lk, lt, _ in lrows:
+        for rk, rt, _ in rrows:
+            if lk == rk and lt - dt.timedelta(seconds=W) <= rt <= lt:
+                naive.add((lk, lt, rt))
+    assert got_pairs == naive
+
+
+def test_sessionize_gap_boundary(spark):
+    # gap strictly greater than threshold splits; exactly equal does not
+    rows = [(1, ts(0)), (1, ts(1800)), (1, ts(3601)), (2, ts(0))]
+    df = spark.createDataFrame(rows, "user int, t timestamp")
+    got = {
+        (r["user"], r["t"]): r["session_id"]
+        for r in sessionize(df, "user", "t", 1800).collect()
+    }
+    assert got[(1, ts(0))] == 0
+    assert got[(1, ts(1800))] == 0  # gap == 1800 s → same session
+    assert got[(1, ts(3601))] == 1  # gap 1801 s → new session
+    assert got[(2, ts(0))] == 0
+
+
+def test_interpolate_linear_handles_edges(spark):
+    rows = [
+        (1, ts(0), 1.0),
+        (1, ts(86400), None),
+        (1, ts(2 * 86400), None),
+        (1, ts(3 * 86400), 4.0),
+        (2, ts(0), None),
+        (2, ts(86400), 5.0),
+        (2, ts(2 * 86400), None),
+    ]
+    df = spark.createDataFrame(rows, "key int, t timestamp, v double")
+    got = {
+        (r["key"], r["t"]): r["out"]
+        for r in interpolate_linear(df, ["key"], "t", "v", "out").collect()
+    }
+    assert got[(1, ts(86400))] == 2.0
+    assert got[(1, ts(2 * 86400))] == 3.0
+    assert got[(2, ts(0))] == 5.0  # leading gap → bfill
+    assert got[(2, ts(2 * 86400))] == 5.0  # trailing gap → ffill
+
+
+def test_densify_emits_full_grid(spark):
+    df = spark.createDataFrame(
+        [("a", ts(0), 1.0), ("a", ts(3 * 86400), 2.0), ("b", ts(86400), 3.0)],
+        "k string, bucket timestamp, v double",
+    )
+    out = densify(df, ["k"], "bucket", "interval 1 day")
+    assert out.count() == 8  # 2 keys × 4 days (global span)
+    nulls = out.filter(F.col("v").isNull()).count()
+    assert nulls == 5
+
+
+def test_resample_buckets(spark):
+    df = spark.createDataFrame(
+        [(1, ts(10), 1.0), (1, ts(3599), 2.0), (1, ts(3600), 3.0)],
+        "k int, t timestamp, v double",
+    )
+    out = resample(df, "t", "hour", ["k"], [F.sum("v").alias("s")])
+    got = {r["bucket"]: r["s"] for r in out.collect()}
+    assert got[ts(0)] == 3.0 and got[ts(3600)] == 3.0

@@ -1,0 +1,461 @@
+"""Time-series operators (SURVEY.md §2.F plus C8/C9/C10, E6, E8).
+
+Every operator is a composition of declarative DataFrame primitives — the
+plans shuffle exactly once on the series key and then stay within a single
+window sort, which is the minimal physical plan for per-series semantics on
+a cluster. The only Python-side operator is EWMA (inherently recursive →
+``applyInPandas``); everything else is JVM-side and whole-stage codegen'd.
+
+Scale notes (100 TB):
+- ``sessionize``/``ffill``/``asof_join`` shuffle once by key and sort within
+  partitions — AQE handles post-shuffle coalescing; hot keys can be salted
+  upstream by callers (the key is opaque to these helpers).
+- ``densify`` emits ``sequence()`` per key — output is bounded by
+  keys × grid_len, independent of input row count.
+- ``range_join`` uses the published bucketed-range-join rewrite: coarse
+  equi-join on a time bucket plus a residual predicate, avoiding the
+  broadcast-nested-loop blowup a naive interval join would produce.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+# --------------------------------------------------------------------------
+# F1: resample / downsample
+# --------------------------------------------------------------------------
+def resample(
+    df: DataFrame,
+    ts_col: str,
+    unit: str,
+    keys: list[str],
+    aggs: list[Column],
+    bucket_col: str = "bucket",
+) -> DataFrame:
+    """Aggregate an irregular series onto a regular grid (one shuffle)."""
+    bucket = F.date_trunc(unit, F.col(ts_col)).alias(bucket_col)
+    return df.groupBy(bucket, *[F.col(k) for k in keys]).agg(*aggs)
+
+
+# --------------------------------------------------------------------------
+# F2: time-grid densify (gap fill) — emit every bucket even if empty
+# --------------------------------------------------------------------------
+def densify(
+    df: DataFrame,
+    keys: list[str],
+    bucket_col: str,
+    step: str = "interval 1 day",
+    span: tuple[Column, Column] | None = None,
+) -> DataFrame:
+    """Left-join actuals onto the complete per-key time grid.
+
+    ``df`` must already be bucketed (output of :func:`resample`). The grid
+    spans the *global* [min, max] bucket unless ``span`` overrides it, so
+    every key gets the same grid (what forecasting/gap-analysis wants).
+    """
+    if span is None:
+        bounds = df.agg(
+            F.min(bucket_col).alias("lo"), F.max(bucket_col).alias("hi")
+        )
+    else:
+        bounds = df.sparkSession.range(1).select(
+            span[0].alias("lo"), span[1].alias("hi")
+        )
+    key_df = df.select(*keys).distinct()
+    grid = (
+        key_df.crossJoin(F.broadcast(bounds))  # bounds is a 1-row frame
+        .select(
+            *keys,
+            F.explode(F.expr(f"sequence(lo, hi, {step})")).alias(bucket_col),
+        )
+    )
+    return grid.join(df, on=[*keys, bucket_col], how="left")
+
+
+# --------------------------------------------------------------------------
+# F3: forward / backward fill
+# --------------------------------------------------------------------------
+def ffill(df: DataFrame, keys: list[str], order_col: str, cols: list[str]) -> DataFrame:
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    out = df
+    for c in cols:
+        out = out.withColumn(c, F.last(c, ignorenulls=True).over(w))
+    return out
+
+
+def bfill(df: DataFrame, keys: list[str], order_col: str, cols: list[str]) -> DataFrame:
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(F.desc(order_col))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    out = df
+    for c in cols:
+        out = out.withColumn(c, F.last(c, ignorenulls=True).over(w))
+    return out
+
+
+# --------------------------------------------------------------------------
+# F4: linear interpolation between neighboring observations
+# --------------------------------------------------------------------------
+def interpolate_linear(
+    df: DataFrame, keys: list[str], ts_col: str, value_col: str, out_col: str
+) -> DataFrame:
+    """prev + (next - prev) * (t - t_prev) / (t_next - t_prev); endpoints
+    fall back to the nearest observed value (pandas ``interpolate`` +
+    ffill/bfill semantics)."""
+    fwd = (
+        Window.partitionBy(*keys)
+        .orderBy(ts_col)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    bwd = (
+        Window.partitionBy(*keys)
+        .orderBy(ts_col)
+        .rowsBetween(0, Window.unboundedFollowing)
+    )
+    obs_ts = F.when(F.col(value_col).isNotNull(), F.col(ts_col))
+    prev_v = F.last(value_col, ignorenulls=True).over(fwd)
+    prev_t = F.last(obs_ts, ignorenulls=True).over(fwd)
+    next_v = F.first(value_col, ignorenulls=True).over(bwd)
+    next_t = F.first(obs_ts, ignorenulls=True).over(bwd)
+    t = F.unix_micros(F.col(ts_col)).cast("double")
+    pt = F.unix_micros(prev_t).cast("double")
+    nt = F.unix_micros(next_t).cast("double")
+    interp = (
+        F.when(F.col(value_col).isNotNull(), F.col(value_col))
+        .when(prev_v.isNull(), next_v)
+        .when(next_v.isNull(), prev_v)
+        .when(nt == pt, prev_v)
+        .otherwise(prev_v + (next_v - prev_v) * (t - pt) / (nt - pt))
+    )
+    return df.withColumn(out_col, interp)
+
+
+# --------------------------------------------------------------------------
+# F5: sessionization (gap rule)
+# --------------------------------------------------------------------------
+def sessionize(
+    df: DataFrame, key: str, ts_col: str, gap_seconds: int
+) -> DataFrame:
+    """Split each key's event stream on silences > gap; one row per event
+    with a per-key ``session_id`` (0-based, ordered by time)."""
+    w = Window.partitionBy(key).orderBy(ts_col)
+    prev_ts = F.lag(ts_col).over(w)
+    # exact integer µs arithmetic — bit-identical across engines
+    new_session = (
+        prev_ts.isNull()
+        | (
+            F.unix_micros(F.col(ts_col)) - F.unix_micros(prev_ts)
+            > F.lit(int(gap_seconds) * 1_000_000)
+        )
+    ).cast("long")
+    run = Window.partitionBy(key).orderBy(ts_col).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return df.withColumn("session_id", F.sum(new_session).over(run) - 1)
+
+
+def session_summary(
+    df: DataFrame, key: str, ts_col: str, gap_seconds: int
+) -> DataFrame:
+    """One row per (key, session): bounds, size, duration."""
+    return (
+        sessionize(df, key, ts_col, gap_seconds)
+        .groupBy(key, "session_id")
+        .agg(
+            F.min(ts_col).alias("session_start"),
+            F.max(ts_col).alias("session_end"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .withColumn(
+            "duration_sec",
+            (
+                F.unix_micros("session_end") - F.unix_micros("session_start")
+            ).cast("double")
+            / 1e6,
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# C9: as-of join (backward) — union + window strategy (pure SQL, scales)
+# --------------------------------------------------------------------------
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    right_cols: list[str],
+    tolerance_seconds: float | None = None,
+    suffix: str = "_right",
+) -> DataFrame:
+    """For each left row, attach the latest right row with
+    ``right.ts <= left.ts`` for the same key (ties: right row counts).
+
+    Strategy: tag both sides, union, single window pass carrying the last
+    non-null right values forward — one shuffle on ``key``, no join at all.
+    Non-matching left rows keep nulls (left-join semantics). This is the
+    scalable form of the operator: cost is a shuffle + sort regardless of
+    how many right rows precede each left row.
+    """
+    rts = f"{right_ts}{suffix}" if right_ts == left_ts or right_ts in left.columns else right_ts
+    r = right.select(
+        F.col(key),
+        F.col(right_ts).alias("_ts"),
+        F.lit(0).alias("_side"),
+        F.col(right_ts).alias(rts),
+        *[F.col(c).alias(f"{c}{suffix}" if c in left.columns else c) for c in right_cols],
+    )
+    out_right_cols = [f"{c}{suffix}" if c in left.columns else c for c in right_cols]
+    l = left.select(
+        F.col(key),
+        F.col(left_ts).alias("_ts"),
+        F.lit(1).alias("_side"),
+        F.lit(None).cast(r.schema[rts].dataType).alias(rts),
+        *[
+            F.lit(None).cast(r.schema[c].dataType).alias(c)
+            for c in out_right_cols
+        ],
+        *[F.col(c) for c in left.columns if c not in (key,)],
+    )
+    merged = r.select(*[F.col(c) for c in l.columns if c in r.columns]).unionByName(
+        l, allowMissingColumns=True
+    )
+    # rights sort before lefts at equal ts so an equal-ts right row matches
+    w = (
+        Window.partitionBy(key)
+        .orderBy(F.col("_ts"), F.col("_side"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    filled = merged.select(
+        "*",
+        *[
+            F.last(c, ignorenulls=True).over(w).alias(f"_f_{c}")
+            for c in [rts, *out_right_cols]
+        ],
+    )
+    out = filled.filter(F.col("_side") == 1)
+    if tolerance_seconds is not None:
+        within = (
+            F.col("_ts").cast("double") - F.col(f"_f_{rts}").cast("double")
+        ) <= F.lit(float(tolerance_seconds))
+        sel = [
+            F.when(within, F.col(f"_f_{c}")).alias(c)
+            for c in [rts, *out_right_cols]
+        ]
+    else:
+        sel = [F.col(f"_f_{c}").alias(c) for c in [rts, *out_right_cols]]
+    keep_left = [
+        F.col(c) for c in left.columns if c != left_ts and c != key
+    ]
+    return out.select(
+        F.col(key), F.col("_ts").alias(left_ts), *keep_left, *sel
+    )
+
+
+def asof_join_cogroup(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    ts: str,
+    right_value: str,
+    schema: str,
+) -> DataFrame:
+    """C9 strategy (ii): cogrouped ``pd.merge_asof`` — exact pandas
+    semantics, used as the property-test cross-check for :func:`asof_join`
+    (L6 cogrouped-map surface)."""
+    import pandas as pd
+
+    def merge(l: pd.DataFrame, r: pd.DataFrame) -> pd.DataFrame:
+        l = l.sort_values(ts)
+        r = r.sort_values(ts)
+        return pd.merge_asof(l, r, on=ts, by=key, direction="backward")
+
+    return left.groupBy(key).cogroup(right.groupBy(key)).applyInPandas(merge, schema)
+
+
+# --------------------------------------------------------------------------
+# C8: range / interval join via time bucketing
+# --------------------------------------------------------------------------
+def range_join_trailing(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    window_seconds: int,
+) -> DataFrame:
+    """All (left, right) pairs with the same key and
+    ``left.ts - window <= right.ts <= left.ts``.
+
+    Bucketed rewrite: right rows land in bucket floor(ts/W); a left row's
+    trailing window spans exactly two consecutive buckets, so explode left
+    into both and equi-join on (key, bucket) before the residual range
+    filter. Each qualifying pair appears exactly once (right rows have a
+    unique bucket). Shuffle is hash(key, bucket) — a true equi-join at any
+    scale, never a nested-loop join.
+    """
+    w_us = int(window_seconds) * 1_000_000
+    suffix = "_r"
+    r = right.select(
+        F.col(key).alias("_rkey"),
+        F.unix_micros(F.col(right_ts)).alias("_rus"),
+        *[
+            F.col(c).alias(f"{c}{suffix}" if c in left.columns else c)
+            for c in right.columns
+            if c != key
+        ],
+    ).withColumn("_bucket", F.floor(F.col("_rus") / w_us).cast("long"))
+    l = left.withColumn("_lus", F.unix_micros(F.col(left_ts))).withColumn(
+        "_bucket",
+        F.explode(
+            F.sequence(
+                F.floor((F.col("_lus") - w_us) / F.lit(w_us)).cast("long"),
+                F.floor(F.col("_lus") / w_us).cast("long"),
+            )
+        ),
+    )
+    joined = l.join(
+        r,
+        (l[key] == r["_rkey"])
+        & (l["_bucket"] == r["_bucket"])
+        & (r["_rus"] >= l["_lus"] - w_us)
+        & (r["_rus"] <= l["_lus"]),
+    )
+    return joined.drop("_bucket", "_rkey", "_rus", "_lus")
+
+
+# --------------------------------------------------------------------------
+# E8: EWMA (recursive → pandas per group)
+# --------------------------------------------------------------------------
+def ewma(
+    df: DataFrame,
+    keys: list[str],
+    order_col: str,
+    value_col: str,
+    alpha: float,
+    out_col: str = "ewma",
+) -> DataFrame:
+    """Exponentially-weighted moving average per key, matching
+    ``pandas.Series.ewm(alpha=..., adjust=True).mean()``. Recursive state →
+    grouped-map pandas UDF (SURVEY.md §2 E8). Groups are single series;
+    filters/projections must be applied by the caller *before* this call
+    (Python UDF = optimization barrier, SURVEY.md §4.3)."""
+    import pandas as pd  # noqa: F401
+
+    schema_fields = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields
+    )
+    schema = f"{schema_fields}, {out_col} double"
+
+    def _ewma(pdf):
+        pdf = pdf.sort_values(order_col)
+        pdf[out_col] = pdf[value_col].ewm(alpha=alpha, adjust=True).mean()
+        return pdf
+
+    return df.groupBy(*keys).applyInPandas(_ewma, schema)
+
+
+# --------------------------------------------------------------------------
+# F6: train/test time split
+# --------------------------------------------------------------------------
+def time_split(df: DataFrame, ts_col: str, cutoff) -> DataFrame:
+    """Tag rows train/test at a time cutoff (split column, not two frames —
+    keeps the lineage single-pass for backtesting unions)."""
+    return df.withColumn(
+        "split",
+        F.when(F.col(ts_col) < F.lit(cutoff).cast("timestamp"), "train").otherwise(
+            "test"
+        ),
+    )
+
+
+# --------------------------------------------------------------------------
+# F9: forecast accuracy metrics
+# --------------------------------------------------------------------------
+def forecast_metrics(
+    joined: DataFrame, keys: list[str], actual: str, predicted: str
+) -> DataFrame:
+    """MAE / MSE / RMSE / MAPE / sMAPE per series from a frame that already
+    joins actuals with predictions (pure relational — no UDF)."""
+    err = F.col(actual) - F.col(predicted)
+    ape = F.abs(err) / F.abs(F.col(actual))
+    sape = 2 * F.abs(err) / (F.abs(F.col(actual)) + F.abs(F.col(predicted)))
+    return joined.groupBy(*keys).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.avg(F.abs(err)), 4).alias("mae"),
+        F.round(F.avg(err * err), 4).alias("mse"),
+        F.round(F.sqrt(F.avg(err * err)), 4).alias("rmse"),
+        F.round(F.avg(ape), 6).alias("mape"),
+        F.round(F.avg(sape), 6).alias("smape"),
+    )
+
+
+# --------------------------------------------------------------------------
+# F11: rolling-statistics anomaly flag
+# --------------------------------------------------------------------------
+def anomaly_flags(
+    df: DataFrame,
+    keys: list[str],
+    order_col: str,
+    value_col: str,
+    n_rows: int = 7,
+    n_sigmas: float = 2.0,
+) -> DataFrame:
+    """Flag |y − rolling mean| > k·rolling std over the trailing ``n_rows``
+    window (current row excluded from the baseline so a spike can't mask
+    itself)."""
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(order_col)
+        .rowsBetween(-n_rows, -1)
+    )
+    mean, sd = F.avg(value_col).over(w), F.stddev_samp(value_col).over(w)
+    return (
+        df.withColumn("roll_mean", mean)
+        .withColumn("roll_sd", sd)
+        .withColumn(
+            "is_anomaly",
+            (
+                F.abs(F.col(value_col) - F.col("roll_mean"))
+                > n_sigmas * F.col("roll_sd")
+            ).cast("boolean"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# F12: per-series structural stats
+# --------------------------------------------------------------------------
+def series_stats(df: DataFrame, key: str, ts_col: str) -> DataFrame:
+    w = Window.partitionBy(key).orderBy(ts_col)
+    dt = (
+        F.unix_micros(F.col(ts_col)) - F.unix_micros(F.lag(ts_col).over(w))
+    ).cast("double") / 1e6
+    return (
+        df.withColumn("_dt", dt)
+        .groupBy(key)
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min(ts_col).alias("first_ts"),
+            F.max(ts_col).alias("last_ts"),
+            F.round(
+                (
+                    F.unix_micros(F.max(ts_col)) - F.unix_micros(F.min(ts_col))
+                ).cast("double")
+                / 1e6,
+                6,
+            ).alias("span_sec"),
+            F.round(F.avg("_dt"), 6).alias("mean_gap_sec"),
+            F.round(F.max("_dt"), 6).alias("max_gap_sec"),
+        )
+    )

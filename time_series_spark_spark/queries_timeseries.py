@@ -1,1 +1,626 @@
-"""Placeholder — populated in later milestones."""
+"""Time-series query surface (SURVEY.md §2.F, C8/C9/C10, E3/E6/E8, D13).
+
+All time arithmetic goes through integer microseconds
+(Spark ``unix_micros`` ≡ DuckDB ``epoch_us``) so both engines compute
+bit-identical doubles; ``events.ts`` is compared at µs precision (the ns
+payload is all-zero sub-µs — verified against the corpus).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from time_series_spark_spark.operators.timeseries import (
+    anomaly_flags,
+    asof_join,
+    densify,
+    ewma,
+    ffill,
+    forecast_metrics,
+    interpolate_linear,
+    range_join_trailing,
+    resample,
+    series_stats,
+    session_summary,
+    time_split,
+)
+from time_series_spark_spark.queries import register
+from time_series_spark_spark.sources.io import load
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load(spark, sf_dir, "events")
+
+
+def _daily_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user daily mean value on the dense global day grid (fixture for
+    fill/interpolate operators)."""
+    daily = resample(
+        _events(spark, sf_dir),
+        "ts",
+        "day",
+        ["user_id"],
+        [F.round(F.avg("value"), 4).alias("v")],
+        bucket_col="d",
+    )
+    return densify(daily, ["user_id"], "d", "interval 1 day")
+
+
+_DAILY_USER_GRID_SQL = """
+    daily AS (
+        SELECT user_id, CAST(date_trunc('day', ts) AS TIMESTAMP) AS d,
+               round(avg(value), 4) AS v
+        FROM events GROUP BY 1, 2
+    ),
+    bounds AS (SELECT min(d) AS lo, max(d) AS hi FROM daily),
+    grid AS (
+        SELECT u.user_id, g.d
+        FROM (SELECT DISTINCT user_id FROM daily) u
+        CROSS JOIN (
+            SELECT unnest(generate_series((SELECT lo FROM bounds),
+                                          (SELECT hi FROM bounds),
+                                          INTERVAL 1 DAY)) AS d
+        ) g
+    ),
+    joined AS (
+        SELECT grid.user_id, grid.d, daily.v
+        FROM grid LEFT JOIN daily
+          ON daily.user_id = grid.user_id AND daily.d = grid.d
+    )
+"""
+
+
+# --------------------------------------------------------------------------
+# F1 resample
+# --------------------------------------------------------------------------
+@register(
+    "events_hourly",
+    """
+    SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS bucket,
+           event_type,
+           count(*)               AS n,
+           round(sum(value), 2)   AS total_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+    doc="F1 resample irregular events onto an hourly grid",
+)
+def events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return resample(
+        _events(spark, sf_dir),
+        "ts",
+        "hour",
+        ["event_type"],
+        [
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        ],
+    )
+
+
+# --------------------------------------------------------------------------
+# F2 gap fill / densify
+# --------------------------------------------------------------------------
+@register(
+    "events_gap_fill_hourly",
+    """
+    WITH hourly AS (
+        SELECT event_type, CAST(date_trunc('hour', ts) AS TIMESTAMP) AS bucket,
+               count(*) AS n_raw
+        FROM events GROUP BY 1, 2
+    ),
+    bounds AS (SELECT min(bucket) AS lo, max(bucket) AS hi FROM hourly),
+    grid AS (
+        SELECT t.event_type, g.bucket
+        FROM (SELECT DISTINCT event_type FROM hourly) t
+        CROSS JOIN (
+            SELECT unnest(generate_series((SELECT lo FROM bounds),
+                                          (SELECT hi FROM bounds),
+                                          INTERVAL 1 HOUR)) AS bucket
+        ) g
+    )
+    SELECT grid.event_type, grid.bucket,
+           coalesce(hourly.n_raw, 0) AS n
+    FROM grid LEFT JOIN hourly
+      ON hourly.event_type = grid.event_type AND hourly.bucket = grid.bucket
+    """,
+    doc="F2 densify: every hourly bucket emitted, empty buckets zero-filled",
+)
+def events_gap_fill_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    hourly = resample(
+        _events(spark, sf_dir),
+        "ts",
+        "hour",
+        ["event_type"],
+        [F.count(F.lit(1)).alias("n_raw")],
+    )
+    return densify(hourly, ["event_type"], "bucket", "interval 1 hour").select(
+        "event_type",
+        "bucket",
+        F.coalesce("n_raw", F.lit(0)).alias("n"),
+    )
+
+
+# --------------------------------------------------------------------------
+# F3 forward fill
+# --------------------------------------------------------------------------
+@register(
+    "events_ffill_daily",
+    f"""
+    WITH {_DAILY_USER_GRID_SQL}
+    SELECT user_id, d,
+           last_value(v IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY d ROWS UNBOUNDED PRECEDING
+           ) AS v_filled
+    FROM joined
+    """,
+    doc="F3 ffill: carry last observation over per-user daily gaps",
+)
+def events_ffill_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    grid = _daily_user_value(spark, sf_dir)
+    return ffill(grid, ["user_id"], "d", ["v"]).select(
+        "user_id", "d", F.col("v").alias("v_filled")
+    )
+
+
+# --------------------------------------------------------------------------
+# F4 linear interpolation
+# --------------------------------------------------------------------------
+@register(
+    "events_interpolate_daily",
+    f"""
+    WITH {_DAILY_USER_GRID_SQL},
+    calc AS (
+        SELECT user_id, d, v,
+               last_value(v IGNORE NULLS) OVER wf AS prev_v,
+               last_value(CASE WHEN v IS NOT NULL THEN d END IGNORE NULLS)
+                   OVER wf AS prev_t,
+               first_value(v IGNORE NULLS) OVER wb AS next_v,
+               first_value(CASE WHEN v IS NOT NULL THEN d END IGNORE NULLS)
+                   OVER wb AS next_t
+        FROM joined
+        WINDOW
+            wf AS (PARTITION BY user_id ORDER BY d
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+            wb AS (PARTITION BY user_id ORDER BY d
+                   ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+    )
+    SELECT user_id, d,
+           round(CASE
+               WHEN v IS NOT NULL THEN v
+               WHEN prev_v IS NULL THEN next_v
+               WHEN next_v IS NULL THEN prev_v
+               WHEN epoch_us(next_t) = epoch_us(prev_t) THEN prev_v
+               ELSE prev_v + (next_v - prev_v)
+                    * CAST(epoch_us(d) - epoch_us(prev_t) AS DOUBLE)
+                    / CAST(epoch_us(next_t) - epoch_us(prev_t) AS DOUBLE)
+           END, 6) AS v_interp
+    FROM calc
+    """,
+    doc="F4 linear interpolation between neighboring observations",
+)
+def events_interpolate_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    grid = _daily_user_value(spark, sf_dir)
+    out = interpolate_linear(grid, ["user_id"], "d", "v", "v_interp")
+    return out.select("user_id", "d", F.round("v_interp", 6).alias("v_interp"))
+
+
+# --------------------------------------------------------------------------
+# F5 sessionization
+# --------------------------------------------------------------------------
+@register(
+    "events_sessionize",
+    """
+    WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
+    flags AS (
+        SELECT user_id, ts,
+               CASE WHEN lag(ts) OVER w IS NULL
+                      OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+                    THEN 1 ELSE 0 END AS new_s
+        FROM e
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ),
+    sess AS (
+        SELECT user_id, ts,
+               sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS UNBOUNDED PRECEDING) - 1 AS session_id
+        FROM flags
+    )
+    SELECT user_id,
+           CAST(session_id AS BIGINT) AS session_id,
+           min(ts)  AS session_start,
+           max(ts)  AS session_end,
+           count(*) AS n_events,
+           CAST(epoch_us(max(ts)) - epoch_us(min(ts)) AS DOUBLE) / 1e6
+               AS duration_sec
+    FROM sess
+    GROUP BY user_id, session_id
+    """,
+    doc="F5 sessionization: 30-minute silence splits a user's stream",
+)
+def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return session_summary(_events(spark, sf_dir), "user_id", "ts", 1800)
+
+
+# --------------------------------------------------------------------------
+# F6 train/test time split
+# --------------------------------------------------------------------------
+@register(
+    "train_test_split_daily",
+    """
+    WITH daily AS (
+        SELECT l_returnflag AS key, date_trunc('day', l_shipdate) AS ds,
+               round(sum(l_quantity), 2) AS y
+        FROM lineitem GROUP BY 1, 2
+    )
+    SELECT key,
+           CASE WHEN ds < TIMESTAMP '2000-01-01' THEN 'train' ELSE 'test' END
+               AS split,
+           count(*)            AS n,
+           round(sum(y), 2)    AS total_y
+    FROM daily
+    GROUP BY 1, 2
+    """,
+    doc="F6 train/test split of per-series daily history at a time cutoff",
+)
+def train_test_split_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    daily = (
+        load(spark, sf_dir, "lineitem")
+        .groupBy(
+            F.col("l_returnflag").alias("key"),
+            F.date_trunc("day", "l_shipdate").alias("ds"),
+        )
+        .agg(F.round(F.sum("l_quantity"), 2).alias("y"))
+    )
+    return (
+        time_split(daily, "ds", "2000-01-01")
+        .groupBy("key", "split")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("y"), 2).alias("total_y"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# F9 forecast metrics (seasonal-naive baseline forecast)
+# --------------------------------------------------------------------------
+@register(
+    "naive_forecast_metrics",
+    """
+    WITH daily AS (
+        SELECT l_returnflag AS key, date_trunc('day', l_shipdate) AS ds,
+               round(sum(l_quantity), 2) AS y
+        FROM lineitem GROUP BY 1, 2
+    ),
+    pred AS (
+        SELECT key, ds, y,
+               lag(y, 7) OVER (PARTITION BY key ORDER BY ds) AS yhat
+        FROM daily
+    )
+    SELECT key,
+           count(*)                                              AS n,
+           round(avg(abs(y - yhat)), 4)                          AS mae,
+           round(avg((y - yhat) * (y - yhat)), 4)                AS mse,
+           round(sqrt(avg((y - yhat) * (y - yhat))), 4)          AS rmse,
+           round(avg(abs(y - yhat) / abs(y)), 6)                 AS mape,
+           round(avg(2 * abs(y - yhat) / (abs(y) + abs(yhat))), 6) AS smape
+    FROM pred WHERE yhat IS NOT NULL
+    GROUP BY key
+    """,
+    doc="F9 MAE/MSE/RMSE/MAPE/sMAPE of a seasonal-naive (lag-7) forecast",
+)
+def naive_forecast_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    daily = (
+        load(spark, sf_dir, "lineitem")
+        .groupBy(
+            F.col("l_returnflag").alias("key"),
+            F.date_trunc("day", "l_shipdate").alias("ds"),
+        )
+        .agg(F.round(F.sum("l_quantity"), 2).alias("y"))
+    )
+    w = Window.partitionBy("key").orderBy("ds")
+    pred = daily.withColumn("yhat", F.lag("y", 7).over(w)).filter(
+        F.col("yhat").isNotNull()
+    )
+    return forecast_metrics(pred, ["key"], "y", "yhat")
+
+
+# --------------------------------------------------------------------------
+# F10 seasonal profile
+# --------------------------------------------------------------------------
+@register(
+    "seasonal_profile_dow",
+    """
+    SELECT dayofweek(CAST(ts AS TIMESTAMP)) + 1 AS dow,
+           event_type,
+           count(*)              AS n,
+           round(avg(value), 4)  AS avg_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+    doc="F10 day-of-week seasonal profile (Spark dayofweek: 1=Sunday)",
+)
+def seasonal_profile_dow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _events(spark, sf_dir)
+        .groupBy(F.dayofweek("ts").alias("dow"), F.col("event_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg("value"), 4).alias("avg_value"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# F11 rolling-statistics anomaly flag
+# --------------------------------------------------------------------------
+@register(
+    "anomaly_rolling_z",
+    """
+    WITH daily AS (
+        SELECT event_type, CAST(date_trunc('day', ts) AS TIMESTAMP) AS d,
+               round(sum(value), 2) AS v
+        FROM events GROUP BY 1, 2
+    )
+    SELECT event_type, d, v,
+           round(avg(v) OVER w, 4)         AS roll_mean,
+           round(stddev_samp(v) OVER w, 4) AS roll_sd,
+           abs(v - avg(v) OVER w) > 2 * stddev_samp(v) OVER w AS is_anomaly
+    FROM daily
+    WINDOW w AS (PARTITION BY event_type ORDER BY d
+                 ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)
+    """,
+    doc="F11 anomaly flag: |y − rolling mean| > 2·rolling std (trailing 7)",
+)
+def anomaly_rolling_z(spark: SparkSession, sf_dir: str) -> DataFrame:
+    daily = resample(
+        _events(spark, sf_dir),
+        "ts",
+        "day",
+        ["event_type"],
+        [F.round(F.sum("value"), 2).alias("v")],
+        bucket_col="d",
+    )
+    out = anomaly_flags(daily, ["event_type"], "d", "v", n_rows=7, n_sigmas=2.0)
+    return out.select(
+        "event_type",
+        "d",
+        "v",
+        F.round("roll_mean", 4).alias("roll_mean"),
+        F.round("roll_sd", 4).alias("roll_sd"),
+        "is_anomaly",
+    )
+
+
+# --------------------------------------------------------------------------
+# F12 per-series structural stats
+# --------------------------------------------------------------------------
+@register(
+    "series_stats_users",
+    """
+    WITH e AS (
+        SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,
+               epoch_us(ts) AS us,
+               lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts) AS prev_us
+        FROM events
+    )
+    SELECT user_id,
+           count(*)      AS n,
+           min(ts)       AS first_ts,
+           max(ts)       AS last_ts,
+           round(CAST(max(us) - min(us) AS DOUBLE) / 1e6, 6)  AS span_sec,
+           round(avg(CAST(us - prev_us AS DOUBLE) / 1e6), 6)  AS mean_gap_sec,
+           round(max(CAST(us - prev_us AS DOUBLE) / 1e6), 6)  AS max_gap_sec
+    FROM e
+    GROUP BY user_id
+    """,
+    doc="F12 per-series stats: count, span, inter-arrival gaps",
+)
+def series_stats_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return series_stats(_events(spark, sf_dir), "user_id", "ts")
+
+
+# --------------------------------------------------------------------------
+# C9 as-of join
+# --------------------------------------------------------------------------
+@register(
+    "asof_purchase_view",
+    """
+    SELECT p.user_id, CAST(p.ts AS TIMESTAMP) AS ts, p.event_id, p.value,
+           CAST(v.ts AS TIMESTAMP) AS view_ts, v.value AS view_value
+    FROM (SELECT user_id, ts, event_id, value FROM events
+          WHERE event_type = 'purchase') p
+    ASOF LEFT JOIN (SELECT user_id, ts, value FROM events
+                    WHERE event_type = 'view') v
+      ON p.user_id = v.user_id AND v.ts <= p.ts
+    """,
+    doc="C9 as-of join: latest view at-or-before each purchase, per user "
+    "(union+window strategy — one shuffle, no join; DuckDB native ASOF "
+    "JOIN as oracle)",
+)
+def asof_purchase_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    views = ev.filter(F.col("event_type") == "view").select(
+        "user_id", "ts", "value"
+    )
+    out = asof_join(purchases, views, "user_id", "ts", "ts", ["value"])
+    return out.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "value",
+        F.col("ts_right").alias("view_ts"),
+        F.col("value_right").alias("view_value"),
+    )
+
+
+# --------------------------------------------------------------------------
+# C8 range join (trailing window)
+# --------------------------------------------------------------------------
+@register(
+    "range_join_views_1h",
+    """
+    SELECT p.user_id, CAST(p.ts AS TIMESTAMP) AS ts, p.event_id,
+           count(*) AS n_views, round(sum(v.value), 4) AS view_value_sum
+    FROM events p
+    JOIN events v
+      ON p.user_id = v.user_id
+     AND v.ts >= p.ts - INTERVAL 1 HOUR
+     AND v.ts <= p.ts
+    WHERE p.event_type = 'purchase' AND v.event_type = 'view'
+    GROUP BY 1, 2, 3
+    """,
+    doc="C8 range join via time bucketing: views in the hour before each "
+    "purchase (equi-join on coarse bucket + residual predicate — never BNLJ)",
+)
+def range_join_views_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id"
+    )
+    views = ev.filter(F.col("event_type") == "view").select(
+        "user_id", "ts", "value"
+    )
+    pairs = range_join_trailing(purchases, views, "user_id", "ts", "ts", 3600)
+    return pairs.groupBy("user_id", "ts", "event_id").agg(
+        F.count(F.lit(1)).alias("n_views"),
+        F.round(F.sum("value"), 4).alias("view_value_sum"),
+    )
+
+
+# --------------------------------------------------------------------------
+# C10 / E3 lag & lead adjacent-event pairing
+# --------------------------------------------------------------------------
+@register(
+    "lag_lead_event_pairs",
+    """
+    WITH e AS (
+        SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, event_type,
+               lag(event_type)  OVER w AS prev_type,
+               lead(event_type) OVER w AS next_type,
+               CAST(epoch_us(ts) - lag(epoch_us(ts)) OVER w AS DOUBLE) / 1e6
+                   AS prev_gap_sec
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT user_id, event_id, ts, prev_type, next_type, prev_gap_sec
+    FROM e WHERE event_type = 'purchase'
+    """,
+    doc="C10/E3 adjacent-event pairing via lag/lead (cheaper than self-join)",
+)
+def lag_lead_event_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        _events(spark, sf_dir)
+        .select(
+            "user_id",
+            "event_id",
+            "ts",
+            "event_type",
+            F.lag("event_type").over(w).alias("prev_type"),
+            F.lead("event_type").over(w).alias("next_type"),
+            (
+                (
+                    F.unix_micros("ts") - F.lag(F.unix_micros("ts")).over(w)
+                ).cast("double")
+                / 1e6
+            ).alias("prev_gap_sec"),
+        )
+        .filter(F.col("event_type") == "purchase")
+        .drop("event_type")
+    )
+
+
+# --------------------------------------------------------------------------
+# E6 time-range window frame (irregular series)
+# --------------------------------------------------------------------------
+@register(
+    "time_range_frame_3d",
+    """
+    WITH daily AS (
+        SELECT event_type, CAST(date_trunc('day', ts) AS TIMESTAMP) AS d,
+               round(sum(value), 2) AS v
+        FROM events GROUP BY 1, 2
+    )
+    SELECT event_type, d, v,
+           round(sum(v) OVER (PARTITION BY event_type ORDER BY d
+                 RANGE BETWEEN INTERVAL 3 DAY PRECEDING AND CURRENT ROW), 4)
+               AS trailing_3d
+    FROM daily
+    """,
+    doc="E6 time-range frame: trailing 3-day sum over a (possibly sparse) "
+    "daily series — RANGE, not ROWS",
+)
+def time_range_frame_3d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    daily = resample(
+        _events(spark, sf_dir),
+        "ts",
+        "day",
+        ["event_type"],
+        [F.round(F.sum("value"), 2).alias("v")],
+        bucket_col="d",
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy(F.col("d").cast("long"))
+        .rangeBetween(-3 * 86400, 0)
+    )
+    return daily.select(
+        "event_type", "d", "v", F.round(F.sum("v").over(w), 4).alias("trailing_3d")
+    )
+
+
+# --------------------------------------------------------------------------
+# E8 EWMA (grouped-map pandas UDF — rows-only check)
+# --------------------------------------------------------------------------
+@register(
+    "ewma_user_daily",
+    None,  # recursive EWMA is not oracle-SQL-expressible; pytest covers it
+    doc="E8 EWMA per user over daily means (applyInPandas; pandas ewm "
+    "semantics, adjust=True, alpha=0.3)",
+)
+def ewma_user_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    daily = resample(
+        _events(spark, sf_dir),
+        "ts",
+        "day",
+        ["user_id"],
+        [F.round(F.avg("value"), 4).alias("v")],
+        bucket_col="d",
+    )
+    out = ewma(daily, ["user_id"], "d", "v", alpha=0.3)
+    return out.select("user_id", "d", "v", F.round("ewma", 6).alias("ewma"))
+
+
+# --------------------------------------------------------------------------
+# D13 / L5 grouped-agg pandas UDAF
+# --------------------------------------------------------------------------
+@register(
+    "geo_mean_grouped_udaf",
+    """
+    SELECT event_type, round(exp(avg(ln(value))), 6) AS geo_value
+    FROM events
+    GROUP BY event_type
+    """,
+    doc="D13/L5 grouped-agg pandas UDAF (geometric mean) vs closed-form SQL",
+)
+def geo_mean_grouped_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def geo_mean(v: pd.Series) -> float:
+        return float(np.exp(np.log(v.to_numpy()).mean()))
+
+    return (
+        _events(spark, sf_dir)
+        .groupBy("event_type")
+        .agg(F.round(geo_mean("value"), 6).alias("geo_value"))
+    )
