@@ -23,9 +23,12 @@ from time_series_spark_spark.session import ensure_engine_conf
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
+    """Flagship query on /root/testdata/sf0.001: per-series additive-model
+    forecast (the reference's core capability). Driver checks rows>0."""
     ensure_engine_conf(spark)
-    return _registry.REGISTRY["q1_pricing_summary"].fn(spark, "/root/testdata/sf0.001")
+    return _registry.REGISTRY["forecast_daily_revenue"].fn(
+        spark, "/root/testdata/sf0.001"
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -1,0 +1,123 @@
+"""Property tests for the numpy additive-model forecaster (SURVEY.md §5.4a).
+
+Invariants: interval ordering, horizon length/grid, constant-series
+flatness, linear-trend recovery, weekly-seasonality recovery, and
+distributed (applyInPandas) ≡ local (fit_forecast_series) equivalence.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from time_series_spark_spark.operators.forecast import (
+    fit_forecast_series,
+    forecast,
+)
+
+
+def _dates(n: int, start: str = "2020-01-01") -> np.ndarray:
+    return np.datetime64(start, "us") + np.timedelta64(1, "D") * np.arange(n)
+
+
+def test_interval_ordering_and_horizon():
+    rng = np.random.default_rng(0)
+    ds = _dates(400)
+    y = 50 + 0.1 * np.arange(400) + rng.normal(0, 2, 400)
+    out = fit_forecast_series(ds, y, horizon=30)
+    assert len(out) == 30
+    assert (out["yhat_lower"] <= out["yhat"] + 1e-9).all()
+    assert (out["yhat"] <= out["yhat_upper"] + 1e-9).all()
+    # future grid: strictly daily, starting the day after the last point
+    deltas = np.diff(out["ds"].to_numpy()) / np.timedelta64(1, "D")
+    assert (deltas == 1.0).all()
+    assert out["ds"].iloc[0] == pd.Timestamp("2021-02-04")
+
+
+def test_constant_series_forecasts_constant():
+    ds = _dates(100)
+    y = np.full(100, 42.0)
+    out = fit_forecast_series(ds, y, horizon=10)
+    np.testing.assert_allclose(out["yhat"], 42.0, rtol=1e-3)
+
+
+def test_linear_trend_recovered():
+    ds = _dates(200)
+    y = 10.0 + 2.5 * np.arange(200)
+    out = fit_forecast_series(ds, y, horizon=20)
+    expected = 10.0 + 2.5 * np.arange(200, 220)
+    np.testing.assert_allclose(out["yhat"], expected, rtol=0.02)
+
+
+def test_weekly_seasonality_recovered():
+    rng = np.random.default_rng(1)
+    n = 730
+    ds = _dates(n)
+    dow_effect = np.array([0.0, 5.0, -3.0, 2.0, 0.0, -4.0, 6.0])
+    y = 100 + dow_effect[np.arange(n) % 7] + rng.normal(0, 0.5, n)
+    out = fit_forecast_series(ds, y, horizon=14)
+    got = out["yhat"].to_numpy()
+    exp = 100 + dow_effect[np.arange(n, n + 14) % 7]
+    assert np.corrcoef(got, exp)[0, 1] > 0.98
+
+
+def test_short_series_fallback():
+    ds = _dates(3)
+    y = np.array([1.0, 2.0, 3.0])
+    out = fit_forecast_series(ds, y, horizon=5)
+    assert len(out) == 5
+    np.testing.assert_allclose(out["yhat"], 2.0)
+    assert (out["yhat_lower"] <= out["yhat"]).all()
+
+
+def test_nan_rows_dropped():
+    ds = _dates(50)
+    y = np.full(50, 7.0)
+    y[::5] = np.nan
+    out = fit_forecast_series(ds, y, horizon=5)
+    np.testing.assert_allclose(out["yhat"], 7.0, rtol=1e-3)
+
+
+def test_distributed_matches_local(spark):
+    rng = np.random.default_rng(2)
+    frames = []
+    for key in ["a", "b", "c"]:
+        n = 300
+        ds = _dates(n)
+        y = rng.normal(100, 10, n).round(3)
+        frames.append(pd.DataFrame({"key": key, "ds": ds, "y": y}))
+    pdf = pd.concat(frames)
+    df = spark.createDataFrame(pdf)
+    got = (
+        forecast(df, ["key"], "ds", "y", horizon=10)
+        .orderBy("key", "ds")
+        .toPandas()
+    )
+    assert len(got) == 30
+    for key, sub in pdf.groupby("key"):
+        local = fit_forecast_series(
+            sub["ds"].to_numpy(), sub["y"].to_numpy(), horizon=10
+        )
+        dist = got[got["key"] == key]
+        np.testing.assert_allclose(
+            dist["yhat"].to_numpy(), local["yhat"].to_numpy(), rtol=1e-9
+        )
+
+
+@pytest.mark.parametrize("seed", [3, 4, 5])
+def test_backtest_coverage_reasonable(seed):
+    # in-sample-quantile intervals should cover a decent share of a
+    # well-behaved held-out window
+    rng = np.random.default_rng(seed)
+    n = 500
+    ds = _dates(n)
+    y = 200 + 0.05 * np.arange(n) + rng.normal(0, 5, n)
+    train, test = 450, 28
+    fc = fit_forecast_series(ds[:train], y[:train], horizon=test)
+    actual = y[train : train + test]
+    cov = (
+        (actual >= fc["yhat_lower"].to_numpy()[: len(actual)])
+        & (actual <= fc["yhat_upper"].to_numpy()[: len(actual)])
+    ).mean()
+    assert cov >= 0.5

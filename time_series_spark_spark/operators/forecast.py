@@ -1,0 +1,265 @@
+"""Per-series forecasting (SURVEY.md §2 F7/F8, §7.4) — the reference's core.
+
+Model class (Taylor & Letham 2017, *Forecasting at Scale* — the published
+Prophet formulation): ``y(t) = g(t) + s(t) + ε`` with a piecewise-linear
+trend ``g`` (changepoints at quantiles of training time) and truncated
+Fourier seasonality ``s`` (weekly K=3, yearly K=10 by default). Stan/scipy
+are unavailable in this environment (SURVEY.md §0.2), so the same design
+matrix is fit by **ridge least squares** in numpy — L2 on changepoint
+deltas standing in for Prophet's Laplace MAP prior — and uncertainty
+intervals come from in-sample residual quantiles, widened linearly along
+the horizon.
+
+Execution model (SURVEY.md §3.3): one ``groupBy(keys).applyInPandas`` —
+Spark shuffles each series to one executor-local pandas frame, the numpy
+fit runs per group in the Python worker (Arrow both ways), and the
+returned forecast frame continues JVM-side. The UDF is an optimization
+barrier: callers must filter/project *before* calling (§4.3). At 100 TB
+the shuffle partitioning tracks series count; a hot series should be
+horizon-split or salted upstream — the fit itself is O(n·p²) per series
+and embarrassingly parallel across series.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _fourier(t_days: np.ndarray, period: float, order: int) -> np.ndarray:
+    if order <= 0:
+        return np.empty((len(t_days), 0))
+    x = 2.0 * np.pi * np.outer(t_days, np.arange(1, order + 1)) / period
+    return np.hstack([np.sin(x), np.cos(x)])
+
+
+def fit_forecast_series(
+    ds: np.ndarray,
+    y: np.ndarray,
+    horizon: int,
+    freq_days: float = 1.0,
+    n_changepoints: int = 15,
+    changepoint_range: float = 0.8,
+    weekly_order: int = 3,
+    yearly_order: int = 10,
+    ridge_changepoint: float = 1.0,
+    ridge_seasonal: float = 0.1,
+    interval_quantiles: tuple[float, float] = (0.05, 0.95),
+    interval_widening: float = 0.3,
+) -> pd.DataFrame:
+    """Fit one series and forecast ``horizon`` future steps.
+
+    Returns a pandas frame ``(ds, yhat, yhat_lower, yhat_upper)`` with
+    exactly ``horizon`` rows starting one ``freq_days`` step after the last
+    observation. Deterministic: no RNG anywhere.
+    """
+    order = np.argsort(ds)
+    ds, y = np.asarray(ds)[order], np.asarray(y, dtype=float)[order]
+    keep = ~np.isnan(y)
+    ds, y = ds[keep], y[keep]
+    n = len(y)
+
+    step = np.timedelta64(int(freq_days * 86400 * 1_000_000), "us")
+    if n == 0:
+        return pd.DataFrame(
+            {"ds": np.array([], dtype="datetime64[us]"), "yhat": [],
+             "yhat_lower": [], "yhat_upper": []}
+        )
+    last = np.datetime64(ds[-1], "us")
+    future_ds = last + step * np.arange(1, horizon + 1)
+
+    if n < 5:  # too short for trend/seasonality — constant fallback
+        level = float(np.mean(y))
+        spread = float(np.max(np.abs(y - level))) if n > 1 else 0.0
+        return pd.DataFrame(
+            {
+                "ds": future_ds,
+                "yhat": np.full(horizon, level),
+                "yhat_lower": np.full(horizon, level - spread),
+                "yhat_upper": np.full(horizon, level + spread),
+            }
+        )
+
+    t0 = np.datetime64(ds[0], "us")
+    t_days = (ds.astype("datetime64[us]") - t0) / np.timedelta64(1, "D")
+    span = max(t_days[-1], 1.0)
+    t = t_days / span
+
+    n_cp = min(n_changepoints, max(n // 3 - 1, 0))
+    if n_cp > 0:
+        cps = np.quantile(
+            t[: max(int(changepoint_range * n), 2)],
+            np.linspace(0, 1, n_cp + 2)[1:-1],
+        )
+    else:
+        cps = np.empty(0)
+
+    yearly = yearly_order if t_days[-1] >= 365 else 0
+    weekly = weekly_order if t_days[-1] >= 14 else 0
+
+    def design(td: np.ndarray) -> np.ndarray:
+        tt = td / span
+        cols = [np.ones_like(tt), tt]
+        if n_cp > 0:
+            cols.append(np.maximum(tt[:, None] - cps[None, :], 0.0))
+        blocks = [np.column_stack(cols) if len(cols) > 1 else cols[0][:, None]]
+        blocks.append(_fourier(td, 7.0, weekly))
+        blocks.append(_fourier(td, 365.25, yearly))
+        return np.hstack([b for b in blocks if b.size or b.shape[1] == 0])
+
+    X = design(t_days)
+    y_scale = max(float(np.max(np.abs(y))), 1e-9)
+    ys = y / y_scale
+
+    penalties = np.concatenate(
+        [
+            [1e-8, 1e-8],                       # intercept, base slope
+            np.full(n_cp, ridge_changepoint),   # changepoint deltas (≈ Laplace MAP)
+            np.full(2 * weekly, ridge_seasonal),
+            np.full(2 * yearly, ridge_seasonal),
+        ]
+    )
+    A = X.T @ X + np.diag(penalties)
+    beta = np.linalg.solve(A, X.T @ ys)
+
+    resid = (ys - X @ beta) * y_scale
+    q_lo = min(float(np.quantile(resid, interval_quantiles[0])), 0.0)
+    q_hi = max(float(np.quantile(resid, interval_quantiles[1])), 0.0)
+
+    future_t_days = (future_ds - t0) / np.timedelta64(1, "D")
+    yhat = design(future_t_days) @ beta * y_scale
+    widen = 1.0 + interval_widening * np.arange(1, horizon + 1) / max(horizon, 1)
+    return pd.DataFrame(
+        {
+            "ds": future_ds,
+            "yhat": yhat,
+            "yhat_lower": yhat + q_lo * widen,
+            "yhat_upper": yhat + q_hi * widen,
+        }
+    )
+
+
+def forecast(
+    df: DataFrame,
+    keys: list[str],
+    ds_col: str,
+    y_col: str,
+    horizon: int,
+    freq_days: float = 1.0,
+    **fit_kwargs,
+) -> DataFrame:
+    """F7: fit-and-forecast every series in ``df`` (long format).
+
+    Output schema: ``keys…, ds timestamp, yhat double, yhat_lower double,
+    yhat_upper double`` — the published Prophet output contract.
+    """
+    key_schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}"
+        for f in df.schema.fields
+        if f.name in keys
+    )
+    schema = (
+        f"{key_schema}, ds timestamp, yhat double, "
+        "yhat_lower double, yhat_upper double"
+    )
+
+    def _fit(pdf: pd.DataFrame) -> pd.DataFrame:
+        out = fit_forecast_series(
+            pdf[ds_col].to_numpy(),
+            pdf[y_col].to_numpy(),
+            horizon,
+            freq_days,
+            **fit_kwargs,
+        )
+        for k in keys:
+            out[k] = pdf[k].iloc[0]
+        return out[[*keys, "ds", "yhat", "yhat_lower", "yhat_upper"]]
+
+    # project early: the UDF is a pushdown barrier (SURVEY.md §4.3)
+    slim = df.select(*keys, ds_col, y_col)
+    return slim.groupBy(*keys).applyInPandas(_fit, schema)
+
+
+def backtest(
+    df: DataFrame,
+    keys: list[str],
+    ds_col: str,
+    y_col: str,
+    cutoffs: list[str],
+    horizon: int,
+    freq_days: float = 1.0,
+    **fit_kwargs,
+) -> DataFrame:
+    """F8: rolling-origin cross-validation.
+
+    For each cutoff, fit on history ``ds <= cutoff`` and score the next
+    ``horizon`` steps against held-out actuals. All folds for one series
+    run locally inside a single grouped-map call — one shuffle total,
+    fold-looping is executor-local (cheaper than one Spark job per fold).
+
+    Output: one row per (series, cutoff) with MAE/RMSE/coverage.
+    """
+    key_schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}"
+        for f in df.schema.fields
+        if f.name in keys
+    )
+    schema = (
+        f"{key_schema}, cutoff timestamp, n_test bigint, mae double, "
+        "rmse double, coverage double"
+    )
+    cutoff_ts = [np.datetime64(c) for c in cutoffs]
+
+    def _bt(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(ds_col)
+        ds = pdf[ds_col].to_numpy().astype("datetime64[us]")
+        y = pdf[y_col].to_numpy().astype(float)
+        rows = []
+        for co in cutoff_ts:
+            train = ds <= co
+            if train.sum() < 5:
+                continue
+            fc = fit_forecast_series(
+                ds[train], y[train], horizon, freq_days, **fit_kwargs
+            )
+            merged = fc.merge(
+                pd.DataFrame({"ds": ds, "y": y}), on="ds", how="inner"
+            )
+            if merged.empty:
+                continue
+            err = merged["y"] - merged["yhat"]
+            rows.append(
+                {
+                    "cutoff": pd.Timestamp(co),
+                    "n_test": len(merged),
+                    "mae": float(err.abs().mean()),
+                    "rmse": float(np.sqrt((err**2).mean())),
+                    "coverage": float(
+                        (
+                            (merged["y"] >= merged["yhat_lower"])
+                            & (merged["y"] <= merged["yhat_upper"])
+                        ).mean()
+                    ),
+                }
+            )
+        out = pd.DataFrame(
+            rows, columns=["cutoff", "n_test", "mae", "rmse", "coverage"]
+        )
+        for k in keys:
+            out[k] = pdf[k].iloc[0] if len(pdf) else None
+        return out[[*keys, "cutoff", "n_test", "mae", "rmse", "coverage"]]
+
+    slim = df.select(*keys, ds_col, y_col)
+    return slim.groupBy(*keys).applyInPandas(_bt, schema)
+
+
+def daily_series(
+    df: DataFrame, keys: list[str], ts_col: str, value: F.Column, alias: str = "y"
+) -> DataFrame:
+    """Canonical forecasting input: per-key daily aggregate in long format
+    (filter → project → aggregate *before* the UDF barrier)."""
+    return df.groupBy(
+        *keys, F.date_trunc("day", F.col(ts_col)).alias("ds")
+    ).agg(value.alias(alias))

@@ -1,1 +1,88 @@
-"""Placeholder — populated in later milestones."""
+"""Forecasting query surface (SURVEY.md §2 F7/F8) — rows-only driver checks
+(the additive-model fit is not SQL-expressible; semantics are covered by
+property tests in tests/test_forecast.py)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from time_series_spark_spark.operators.forecast import (
+    backtest,
+    daily_series,
+    forecast,
+)
+from time_series_spark_spark.queries import register
+from time_series_spark_spark.sources.io import load
+
+
+def _revenue_series(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3 long daily series (6.5 years): revenue per l_returnflag."""
+    li = load(spark, sf_dir, "lineitem")
+    return daily_series(
+        li.withColumnRenamed("l_returnflag", "key"),
+        ["key"],
+        "l_shipdate",
+        F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))),
+    )
+
+
+@register(
+    "forecast_daily_revenue",
+    None,  # F7 core: not SQL-expressible → rows-only + property tests
+    doc="F7 per-series additive-model forecast (piecewise-linear trend + "
+    "Fourier seasonality, ridge LSQ), 30-day horizon over 3 revenue series",
+)
+def forecast_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    fc = forecast(_revenue_series(spark, sf_dir), ["key"], "ds", "y", horizon=30)
+    return fc.select(
+        "key",
+        "ds",
+        F.round("yhat", 4).alias("yhat"),
+        F.round("yhat_lower", 4).alias("yhat_lower"),
+        F.round("yhat_upper", 4).alias("yhat_upper"),
+    )
+
+
+@register(
+    "forecast_user_events",
+    None,
+    doc="F7 at width: one short daily series per user (many-series path "
+    "exercising the grouped-map shuffle)",
+)
+def forecast_user_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    series = daily_series(ev, ["user_id"], "ts", F.sum("value"))
+    fc = forecast(series, ["user_id"], "ds", "y", horizon=7)
+    return fc.select(
+        "user_id",
+        "ds",
+        F.round("yhat", 4).alias("yhat"),
+        F.round("yhat_lower", 4).alias("yhat_lower"),
+        F.round("yhat_upper", 4).alias("yhat_upper"),
+    )
+
+
+@register(
+    "backtest_daily_revenue",
+    None,
+    doc="F8 rolling-origin cross-validation: 3 cutoffs × 28-day horizon, "
+    "MAE/RMSE/interval-coverage per fold",
+)
+def backtest_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    bt = backtest(
+        _revenue_series(spark, sf_dir),
+        ["key"],
+        "ds",
+        "y",
+        cutoffs=["2000-06-01", "2000-12-01", "2001-06-01"],
+        horizon=28,
+    )
+    return bt.select(
+        "key",
+        "cutoff",
+        "n_test",
+        F.round("mae", 4).alias("mae"),
+        F.round("rmse", 4).alias("rmse"),
+        F.round("coverage", 4).alias("coverage"),
+    )
