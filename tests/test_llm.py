@@ -1,0 +1,151 @@
+"""Tests for LLM-pipeline operators (SURVEY.md §5.4d): LSH recall against
+exact baselines, SimHash discrimination, ANN vs brute force, dedup keeper
+semantics, language-ID, winnowing robustness, multimodal plumbing."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyspark.sql.functions as F
+import pytest
+
+from time_series_spark_spark.operators.llm import (
+    attach_binary_payload,
+    cosine_topk,
+    exact_dedup,
+    extract_multimodal_features,
+    lang_id,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_near_pairs,
+    winnow_fingerprints,
+)
+from time_series_spark_spark.sources.io import load
+
+SF = "/root/testdata/sf0.01"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return load(spark, SF, "documents").cache()
+
+
+@pytest.fixture(scope="module")
+def true_pairs(spark, docs):
+    return {
+        (r.id_a, r.id_b)
+        for r in ngram_jaccard_pairs(docs, threshold=0.5).collect()
+    }
+
+
+def test_corpus_has_planted_near_dups(true_pairs):
+    assert len(true_pairs) >= 10  # the fixture corpus plants near-dups
+
+
+def test_minhash_lsh_recall(docs, true_pairs):
+    got = {
+        (r.id_a, r.id_b)
+        for r in minhash_lsh_pairs(docs, threshold=0.4).collect()
+    }
+    recall = len(got & true_pairs) / len(true_pairs)
+    assert recall >= 0.9
+
+
+def test_simhash_recall_and_precision(docs, true_pairs):
+    got = {
+        (r.id_a, r.id_b)
+        for r in simhash_near_pairs(docs, max_hamming=10).collect()
+    }
+    recall = len(got & true_pairs) / len(true_pairs)
+    assert recall >= 0.9
+    # near-dup candidates shouldn't drown in random-pair noise
+    assert len(got) <= 4 * len(true_pairs)
+
+
+def test_exact_dedup_keeps_lowest_id(spark):
+    df = spark.createDataFrame(
+        [
+            (10, "Hello  World"),
+            (3, "hello world"),  # same after normalization → keeper (min id)
+            (7, "another doc"),
+        ],
+        "doc_id long, text string",
+    )
+    kept = sorted(r.doc_id for r in exact_dedup(df).collect())
+    assert kept == [3, 7]
+
+
+def test_cosine_topk_matches_numpy(spark):
+    rng = np.random.default_rng(0)
+    vecs = rng.normal(size=(50, 16)).astype("float32")
+    df = spark.createDataFrame(
+        [(i, vecs[i].tolist()) for i in range(50)],
+        "vec_id long, embedding array<float>",
+    )
+    got = cosine_topk(df, None, k=3, query_filter=F.col("vec_id") < 5).collect()
+    v = vecs.astype("float64")
+    sims = (v @ v.T) / (
+        np.linalg.norm(v, axis=1)[:, None] * np.linalg.norm(v, axis=1)[None, :]
+    )
+    for q in range(5):
+        order = [
+            i for i in np.argsort(-np.round(sims[q], 6), kind="stable") if i != q
+        ][:3]
+        got_q = [r.cand_id for r in sorted(got, key=lambda r: r.rk) if r.query_id == q]
+        assert got_q == order
+
+
+def test_brp_lsh_topk_recall(spark):
+    from time_series_spark_spark.operators.llm import brp_lsh_topk
+
+    emb = load(spark, SF, "embeddings")
+    exact = cosine_topk(emb, None, k=5, query_filter=F.col("vec_id") < 5)
+    exact_sets = {}
+    for r in exact.collect():
+        exact_sets.setdefault(r.query_id, set()).add(r.cand_id)
+    approx = brp_lsh_topk(emb, k=5, n_queries=5)
+    approx_sets = {}
+    for r in approx.collect():
+        approx_sets.setdefault(r.query_id, set()).add(r.cand_id)
+    recalls = [
+        len(approx_sets.get(q, set()) & s) / len(s) for q, s in exact_sets.items()
+    ]
+    assert float(np.mean(recalls)) >= 0.5  # LSH on near-orthogonal vectors
+
+
+def test_lang_id_on_real_sentences(spark):
+    samples = [
+        (1, "the cat sat on the mat and looked at the dog", "en"),
+        (2, "der Hund ist nicht in das Haus und die Katze", "de"),
+        (3, "le chat est sur la table et les livres sont là", "fr"),
+        (4, "el perro es un animal que vive en la casa", "es"),
+        (5, "这是一个中文句子", "zh"),
+    ]
+    df = spark.createDataFrame(samples, "doc_id long, text string, expected string")
+    got = {r.doc_id: r.pred_lang for r in lang_id(df).collect()}
+    for doc_id, _, expected in samples:
+        assert got[doc_id] == expected
+
+
+def test_winnow_fingerprints_shift_robust(spark):
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    shifted = "PREFIX " + base  # winnowing keeps most interior fingerprints
+    df = spark.createDataFrame(
+        [(1, base), (2, shifted)], "doc_id long, text string"
+    )
+    fp = {r.doc_id: set(r.fps) for r in winnow_fingerprints(df).collect()}
+    overlap = len(fp[1] & fp[2]) / len(fp[1])
+    assert overlap >= 0.5
+
+
+def test_multimodal_features_deterministic_schema(spark, docs):
+    out = extract_multimodal_features(attach_binary_payload(docs.limit(20)))
+    rows = out.collect()
+    assert len(rows) == 20
+    assert set(out.columns) == {"doc_id", "n_bytes", "features"}
+    for r in rows:
+        assert len(r.features) == 4
+        assert all(0.0 <= f <= 1.0 for f in r.features)
+    rows2 = extract_multimodal_features(
+        attach_binary_payload(docs.limit(20))
+    ).collect()
+    assert sorted(map(str, rows)) == sorted(map(str, rows2))

@@ -1,0 +1,515 @@
+"""LLM-training-data pipeline operators (SURVEY.md §2.K).
+
+Deduplication (exact hash, MinHash+LSH, SimHash, exact n-gram Jaccard),
+embedding similarity search (brute-force cosine + LSH scale path), text
+analysis (tokenization, quality scoring, language-ID heuristic, BPE-ish
+token counting, winnowing fingerprints), and multimodal binary-column
+plumbing.
+
+Scale design (100 TB corpus):
+- exact dedup = one hash-shuffle (groupBy normalized-hash);
+- near-dup = MinHash banding so the join key is the band hash, never an
+  all-pairs comparison; the exact Jaccard path exists for oracle checking
+  and uses a shingle-inverted-index join (pairs sharing ≥1 shingle), which
+  is the standard similarity-join pruning;
+- brute-force cosine top-k broadcasts only the (small) query set against
+  the full corpus — the corpus side never shuffles; the LSH path buckets
+  with BucketedRandomProjectionLSH for sub-linear candidate generation;
+- multimodal payloads ride as opaque ``binary`` columns with typed
+  metadata; feature extraction streams batches through ``mapInPandas``
+  (decoders are stubbed deterministically — the real image/audio libs are
+  not in this container; the Spark-side plumbing is real).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from time_series_spark_spark.functions.vectors import cosine
+
+# --------------------------------------------------------------------------
+# text normalization / tokenization
+# --------------------------------------------------------------------------
+def normalized_text(col: str = "text") -> Column:
+    """lower → trim → collapse whitespace (the canonical dedup key)."""
+    return F.regexp_replace(F.lower(F.trim(F.col(col))), r"\s+", " ")
+
+
+def content_hash(col: str = "text") -> Column:
+    return F.md5(normalized_text(col))
+
+
+def tokens(col: str = "text") -> Column:
+    return F.split(F.col(col), " ")
+
+
+def shingles_expr(tokens_col: str, k: int = 3) -> str:
+    """Word k-gram shingles as a SQL expression over a token array.
+
+    Guarded: Spark ``sequence(0, -1)`` DESCENDS, so short docs must map to
+    an empty array explicitly.
+    """
+    parts = " , ' ', ".join(f"{tokens_col}[i + {j}]" for j in range(k))
+    return (
+        f"CASE WHEN size({tokens_col}) >= {k} THEN "
+        f"transform(sequence(0, size({tokens_col}) - {k}), "
+        f"i -> concat({parts})) "
+        f"ELSE array() END"
+    )
+
+
+# --------------------------------------------------------------------------
+# K1: exact dedup
+# --------------------------------------------------------------------------
+def exact_dedup(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Keep the lowest-id document per normalized-content hash (one
+    hash-shuffle; deterministic keeper)."""
+    w = Window.partitionBy("_h").orderBy(id_col)
+    return (
+        df.withColumn("_h", content_hash(text_col))
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_h", "_rn")
+    )
+
+
+def dedup_report(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """One-row dataset-card summary of exact duplication."""
+    return df.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct(content_hash(text_col)).alias("n_distinct"),
+        (F.count(F.lit(1)) - F.countDistinct(content_hash(text_col))).alias(
+            "n_dupes"
+        ),
+    )
+
+
+# --------------------------------------------------------------------------
+# K2: near-dup — exact n-gram Jaccard (oracle-checkable path)
+# --------------------------------------------------------------------------
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """All pairs with shingle-set Jaccard ≥ threshold.
+
+    Inverted-index join: only pairs sharing ≥1 shingle are compared —
+    the standard pruning that keeps a similarity join feasible when no
+    shingle is corpus-frequent. Output: (id_a, id_b, jaccard), id_a < id_b.
+    """
+    sh = (
+        df.select(F.col(id_col), tokens(text_col).alias("tokens"))
+        .select(
+            F.col(id_col),
+            F.array_distinct(F.expr(shingles_expr("tokens", k))).alias("sh"),
+        )
+        .withColumn("n_sh", F.size("sh"))
+    )
+    inv = sh.select(id_col, "n_sh", F.explode("sh").alias("g"))
+    a = inv.select(
+        F.col(id_col).alias("id_a"), F.col("n_sh").alias("na"), "g"
+    )
+    b = inv.select(
+        F.col(id_col).alias("id_b"), F.col("n_sh").alias("nb"), "g"
+    )
+    inter = (
+        a.join(b, (a.g == b.g) & (a.id_a < b.id_b))
+        .groupBy("id_a", "id_b", "na", "nb")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    jac = F.col("inter").cast("double") / (
+        F.col("na") + F.col("nb") - F.col("inter")
+    )
+    return (
+        inter.withColumn("jaccard", jac)
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+    )
+
+
+# --------------------------------------------------------------------------
+# K2: near-dup — MinHash + LSH (the 100 TB path)
+# --------------------------------------------------------------------------
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    threshold: float = 0.5,
+    num_hash_tables: int = 8,
+    num_features: int = 1 << 18,
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate Jaccard similarity join via MinHashLSH
+    (shingle → binary HashingTF → minhash → band-bucket join).
+
+    Output: (id_a, id_b, jaccard_est) with id_a < id_b;
+    jaccard_est = 1 − LSH Jaccard distance. Fixed seed → deterministic.
+    """
+    from pyspark.ml.feature import HashingTF, MinHashLSH
+
+    toks = df.select(F.col(id_col), tokens(text_col).alias("tokens"))
+    sh = toks.select(
+        id_col,
+        F.array_distinct(F.expr(shingles_expr("tokens", k))).alias("sh"),
+    ).filter(F.size("sh") > 0)
+    tf = HashingTF(
+        inputCol="sh", outputCol="features", numFeatures=num_features, binary=True
+    )
+    feats = tf.transform(sh)
+    mh = MinHashLSH(
+        inputCol="features",
+        outputCol="hashes",
+        numHashTables=num_hash_tables,
+        seed=seed,
+    )
+    model = mh.fit(feats)
+    pairs = model.approxSimilarityJoin(
+        feats, feats, 1.0 - threshold, distCol="jd"
+    )
+    return (
+        pairs.filter(F.col(f"datasetA.{id_col}") < F.col(f"datasetB.{id_col}"))
+        .select(
+            F.col(f"datasetA.{id_col}").alias("id_a"),
+            F.col(f"datasetB.{id_col}").alias("id_b"),
+            F.round(1.0 - F.col("jd"), 6).alias("jaccard_est"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# K2: near-dup — SimHash
+# --------------------------------------------------------------------------
+def simhash(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", k: int = 3
+) -> DataFrame:
+    """64-bit SimHash: per-bit majority vote over k-gram shingle hashes.
+    Shingles (not bare tokens) keep the hash discriminative on small-
+    vocabulary corpora. Entirely JVM-side (higher-order array fns over
+    xxhash64)."""
+    toks = df.select(F.col(id_col), tokens(text_col).alias("t"))
+    hashed = toks.withColumn(
+        "hs",
+        F.expr(
+            f"transform(array_distinct({shingles_expr('t', k)}), "
+            "x -> xxhash64(x))"
+        ),
+    ).filter(F.size("hs") > 0)
+    bit_votes = (
+        "transform(sequence(0, 63), b -> "
+        "CASE WHEN aggregate(hs, 0L, (s, h) -> "
+        "s + CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) > 0 "
+        "THEN 1 ELSE 0 END)"
+    )
+    return hashed.select(
+        id_col,
+        F.expr(
+            f"aggregate(zip_with({bit_votes}, sequence(0, 63), "
+            "(bit, pos) -> CASE WHEN bit = 1 THEN shiftleft(1L, pos) ELSE 0L END), "
+            "0L, (s, v) -> s | v)"
+        ).alias("simhash"),
+    )
+
+
+def simhash_near_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 10,
+    n_bands: int = 8,
+) -> DataFrame:
+    """Candidate pairs via SimHash banding: split the 64-bit hash into
+    ``n_bands`` bands; candidates share ≥1 identical band (pigeonhole: any
+    pair with Hamming < n_bands is guaranteed a shared band), then keep
+    pairs with total Hamming ≤ max_hamming. Banding bounds the join fan-out
+    at corpus scale — a full all-pairs Hamming join is quadratic."""
+    band_bits = 64 // n_bands
+    sh = simhash(df, id_col, text_col).withColumn(
+        "band",
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, {n_bands - 1}), i -> "
+                f"named_struct('i', i, 'v', "
+                f"(simhash >> (i * {band_bits})) & {(1 << band_bits) - 1}))"
+            )
+        ),
+    )
+    a = sh.select(
+        F.col(id_col).alias("id_a"), F.col("simhash").alias("ha"), "band"
+    )
+    b = sh.select(
+        F.col(id_col).alias("id_b"), F.col("simhash").alias("hb"), "band"
+    )
+    return (
+        a.join(b, ["band"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", F.bit_count(F.expr("ha ^ hb")).alias("hamming"))
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+# --------------------------------------------------------------------------
+# K3/K4: embedding similarity search
+# --------------------------------------------------------------------------
+def cosine_topk(
+    df: DataFrame,
+    query_ids: DataFrame | None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    query_filter: Column | None = None,
+) -> DataFrame:
+    """Exact brute-force cosine top-k: broadcast the (small) query set
+    against the corpus — the corpus never shuffles; ranking is a per-query
+    window over rounded similarity with id tiebreak (deterministic)."""
+    corpus = df.select(
+        F.col(id_col).alias("cand_id"), F.col(vec_col).alias("cand_vec")
+    )
+    queries = df.filter(query_filter) if query_filter is not None else query_ids
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("query_vec")
+    )
+    scored = (
+        corpus.join(F.broadcast(q), F.col("cand_id") != F.col("query_id"))
+        .withColumn("cos", F.round(cosine("query_vec", "cand_vec"), 6))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("cand_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("query_id", "cand_id", "cos", "rk")
+    )
+
+
+def cosine_pairs_threshold(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.35,
+) -> DataFrame:
+    """All embedding pairs with cosine ≥ threshold (exact; the guarded
+    small-N path — the LSH variant below is the corpus-scale path)."""
+    a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .withColumn("cos", F.round(cosine("va", "vb"), 6))
+        .filter(F.col("cos") >= threshold)
+        .select("id_a", "id_b", "cos")
+    )
+
+
+def brp_lsh_topk(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_queries: int = 10,
+    bucket_length: float = 0.5,
+    num_hash_tables: int = 6,
+    seed: int = 42,
+) -> DataFrame:
+    """K3 scale path: unit-normalize then BucketedRandomProjectionLSH —
+    euclidean distance on unit vectors is a monotone transform of cosine
+    (|a−b|² = 2−2·cos), so euclidean NN order ≡ cosine NN order."""
+    from pyspark.ml.feature import BucketedRandomProjectionLSH
+    from pyspark.ml.functions import array_to_vector
+
+    from time_series_spark_spark.functions.vectors import unit_normalize
+
+    unit = df.select(
+        F.col(id_col), array_to_vector(unit_normalize(vec_col)).alias("v")
+    )
+    brp = BucketedRandomProjectionLSH(
+        inputCol="v",
+        outputCol="hashes",
+        bucketLength=bucket_length,
+        numHashTables=num_hash_tables,
+        seed=seed,
+    )
+    model = brp.fit(unit)
+    queries = unit.filter(F.col(id_col) < n_queries).collect()
+    out = []
+    for row in queries:
+        nn = model.approxNearestNeighbors(unit, row["v"], k + 1)
+        nn = nn.filter(F.col(id_col) != row[id_col]).limit(k)
+        out.append(
+            nn.select(
+                F.lit(row[id_col]).alias("query_id"),
+                F.col(id_col).alias("cand_id"),
+                F.round(1.0 - F.col("distCol") * F.col("distCol") / 2.0, 6).alias(
+                    "cos_est"
+                ),
+            )
+        )
+    result = out[0]
+    for o in out[1:]:
+        result = result.unionByName(o)
+    return result
+
+
+# --------------------------------------------------------------------------
+# K5/K6: text analysis & quality
+# --------------------------------------------------------------------------
+BPE_ISH_TOKEN_RE = r"[a-zA-Z]+|[0-9]|[^a-zA-Z0-9\s]"
+
+
+def text_metrics(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-doc quality metrics: token counts (whitespace + BPE-ish regex),
+    lexical diversity, mean token length — all JVM-side."""
+    t = tokens(text_col)
+    return (
+        df.withColumn("n_tokens", F.size(t))
+        .withColumn(
+            "n_bpe_tokens",
+            F.size(
+                F.regexp_extract_all(
+                    F.col(text_col), F.lit(BPE_ISH_TOKEN_RE), F.lit(0)
+                )
+            ),
+        )
+        .withColumn(
+            "distinct_ratio",
+            F.size(F.array_distinct(t)).cast("double") / F.size(t),
+        )
+        .withColumn(
+            "mean_token_len",
+            F.expr(
+                f"aggregate(split({text_col}, ' '), 0D, (s, x) -> s + length(x))"
+            )
+            / F.size(t),
+        )
+    )
+
+
+LANG_STOPWORDS: dict[str, list[str]] = {
+    # minimal high-frequency function-word profiles (public knowledge)
+    "en": ["the", "and", "of", "to", "in", "is", "a", "that"],
+    "de": ["der", "die", "und", "das", "ist", "nicht", "ein", "zu"],
+    "fr": ["le", "la", "et", "les", "des", "est", "un", "que"],
+    "es": ["el", "la", "de", "que", "los", "es", "un", "una"],
+}
+
+
+def lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Heuristic language-ID: CJK codepoints → zh, else argmax stopword
+    overlap (ties & zero overlap → 'und'). A real system would use char
+    n-gram profiles; the operator shape (pure column expressions, no UDF)
+    is the point."""
+    t = F.array_distinct(tokens(text_col))
+    scores = {
+        lang: F.size(
+            F.array_intersect(t, F.array(*[F.lit(w) for w in words]))
+        )
+        for lang, words in LANG_STOPWORDS.items()
+    }
+    best = F.greatest(*scores.values())
+    pred = F.when(
+        F.col(text_col).rlike(r"[一-鿿]"), F.lit("zh")
+    ).when(best <= 0, F.lit("und"))
+    for lang in sorted(LANG_STOPWORDS):  # deterministic tie order
+        pred = pred.when(scores[lang] == best, F.lit(lang))
+    out = df.withColumn("pred_lang", pred)
+    for lang, s in scores.items():
+        out = out.withColumn(f"score_{lang}", s)
+    return out
+
+
+# --------------------------------------------------------------------------
+# K5: winnowing document fingerprints (rolling-hash scheme)
+# --------------------------------------------------------------------------
+def winnow_fingerprints(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    window: int = 4,
+) -> DataFrame:
+    """Winnowing (Schleimer et al. 2003): hash k-gram shingles, keep the
+    minimum hash of every sliding window of ``window`` hashes, dedupe.
+    The selected set is a position-robust document signature."""
+    toks = df.select(F.col(id_col), tokens(text_col).alias("t"))
+    sh = toks.withColumn("sh", F.expr(shingles_expr("t", k)))
+    hs = sh.withColumn("hs", F.expr("transform(sh, s -> xxhash64(s))"))
+    fp = hs.withColumn(
+        "fps",
+        F.expr(
+            f"CASE WHEN size(hs) >= {window} THEN "
+            f"array_distinct(transform(sequence(0, size(hs) - {window}), "
+            f"i -> array_min(slice(hs, i + 1, {window})))) "
+            "ELSE array_distinct(CASE WHEN size(hs) > 0 THEN array(array_min(hs)) ELSE array() END) END"
+        ),
+    )
+    return fp.select(id_col, "fps", F.size("fps").alias("n_fingerprints"))
+
+
+# --------------------------------------------------------------------------
+# K7: multimodal binary columns
+# --------------------------------------------------------------------------
+def attach_binary_payload(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Carry an opaque binary payload + typed metadata struct (the schema
+    pattern for image/audio/video columns at 100 TB: payloads stay opaque
+    bytes, metadata is columnar and prunable)."""
+    payload = F.encode(F.col(text_col), "utf-8")
+    return df.withColumn("payload", payload).withColumn(
+        "media_meta",
+        F.struct(
+            F.octet_length(payload).alias("n_bytes"),
+            F.sha2(payload, 256).alias("content_hash"),
+            F.lit("text/plain").alias("mime"),
+        ),
+    )
+
+
+def extract_multimodal_features(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+    n_features: int = 4,
+) -> DataFrame:
+    """Decode/extract features from binary payloads via ``mapInPandas``
+    (Arrow-batched; partition-parallel). The real decoder is STUBBED —
+    image/audio libraries are not installed in this container — with a
+    deterministic byte-statistics featurizer so the Spark-side plumbing
+    (schema, batching, UDF signature) is real and testable.
+    """
+    schema = f"{id_col} long, n_bytes int, features array<float>"
+
+    def featurize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        try:  # pragma: no cover - decoders absent by design
+            import PIL.Image  # noqa: F401
+
+            raise NotImplementedError(
+                "real media decoding not available in this environment"
+            )
+        except ImportError:
+            pass
+        for pdf in batches:
+            payloads = pdf[payload_col]
+            feats = [
+                [
+                    float(len(b) % 251) / 251.0,
+                    float(b[0]) / 255.0 if len(b) else 0.0,
+                    float(b[-1]) / 255.0 if len(b) else 0.0,
+                    float(sum(b[:16])) / 4080.0 if len(b) else 0.0,
+                ][:n_features]
+                for b in payloads
+            ]
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "n_bytes": payloads.map(len).astype("int32"),
+                    "features": feats,
+                }
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(featurize, schema)

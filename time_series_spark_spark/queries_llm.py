@@ -1,1 +1,422 @@
-"""Placeholder — populated in later milestones."""
+"""LLM-data-pipeline query surface (SURVEY.md §2.K).
+
+Oracle-checked where SQL-expressible (exact dedup, Jaccard pairs, cosine
+search, text stats/quality/TF-IDF, corpus report); LSH/SimHash/multimodal
+paths are rows-only with recall/property tests in tests/test_llm.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from time_series_spark_spark.operators.llm import (
+    attach_binary_payload,
+    brp_lsh_topk,
+    cosine_pairs_threshold,
+    cosine_topk,
+    dedup_report,
+    exact_dedup,
+    extract_multimodal_features,
+    lang_id,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_near_pairs,
+    text_metrics,
+    tokens,
+    winnow_fingerprints,
+)
+from time_series_spark_spark.queries import register
+from time_series_spark_spark.sources.io import load
+
+
+# --------------------------------------------------------------------------
+# K1 exact dedup
+# --------------------------------------------------------------------------
+@register(
+    "docs_dedup",
+    r"""
+    SELECT count(*) AS n_docs,
+           count(DISTINCT md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))))
+               AS n_distinct,
+           count(*) - count(DISTINCT md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))))
+               AS n_dupes
+    FROM documents
+    """,
+    doc="K1 exact-dedup dataset-card summary (normalized content hash)",
+)
+def docs_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup_report(load(spark, sf_dir, "documents"))
+
+
+@register(
+    "docs_dedup_keep_first",
+    r"""
+    WITH h AS (
+        SELECT doc_id, lang,
+               md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS hash,
+               row_number() OVER (
+                   PARTITION BY md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))))
+                   ORDER BY doc_id
+               ) AS rn
+        FROM documents
+    )
+    SELECT lang, count(*) AS n_kept
+    FROM h WHERE rn = 1
+    GROUP BY lang
+    """,
+    doc="K1 exact dedup with deterministic lowest-id keeper",
+)
+def docs_dedup_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    kept = exact_dedup(load(spark, sf_dir, "documents"))
+    return kept.groupBy("lang").agg(F.count(F.lit(1)).alias("n_kept"))
+
+
+# --------------------------------------------------------------------------
+# K5 text analysis
+# --------------------------------------------------------------------------
+@register(
+    "docs_lang_stats",
+    """
+    SELECT lang,
+           count(*)                                    AS n_docs,
+           round(avg(n_chars), 4)                      AS avg_chars,
+           round(avg(len(string_split(text, ' '))), 4) AS avg_tokens
+    FROM documents
+    GROUP BY lang
+    """,
+    doc="K5 per-language corpus stats (token counting via split)",
+)
+def docs_lang_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return docs.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+        F.round(F.avg(F.size(tokens())), 4).alias("avg_tokens"),
+    )
+
+
+@register(
+    "docs_top_terms",
+    """
+    SELECT term, count(*) AS freq
+    FROM (SELECT unnest(string_split(text, ' ')) AS term FROM documents)
+    GROUP BY term
+    ORDER BY freq DESC, term
+    LIMIT 20
+    """,
+    doc="K5 global term frequencies (explode + agg + top-k)",
+)
+def docs_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return (
+        docs.select(F.explode(tokens()).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .orderBy(F.desc("freq"), "term")
+        .limit(20)
+    )
+
+
+@register(
+    "docs_tfidf_top_terms",
+    """
+    WITH tf AS (
+        SELECT doc_id, term, count(*) AS tf
+        FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+              FROM documents)
+        GROUP BY doc_id, term
+    ),
+    df_t AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+    n AS (SELECT count(*) AS n_docs FROM documents)
+    SELECT tf.term,
+           round(sum(tf.tf * ln(CAST(n.n_docs AS DOUBLE) / df_t.df)), 4)
+               AS tfidf_mass
+    FROM tf JOIN df_t ON tf.term = df_t.term CROSS JOIN n
+    GROUP BY tf.term
+    ORDER BY tfidf_mass DESC, tf.term
+    LIMIT 20
+    """,
+    doc="K5 TF-IDF weighting (corpus-wide top discriminative terms)",
+)
+def docs_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    n_docs = docs.count()
+    tf = (
+        docs.select("doc_id", F.explode(tokens()).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df_t = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    idf = F.log(F.lit(float(n_docs)) / F.col("df"))
+    return (
+        tf.join(df_t, "term")
+        .groupBy("term")
+        .agg(F.round(F.sum(F.col("tf") * idf), 4).alias("tfidf_mass"))
+        .orderBy(F.desc("tfidf_mass"), "term")
+        .limit(20)
+    )
+
+
+@register(
+    "docs_token_count_bpe",
+    r"""
+    SELECT lang,
+           round(avg(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]|[^a-zA-Z0-9\s]'))), 4)
+               AS avg_bpe_tokens,
+           max(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]|[^a-zA-Z0-9\s]')))
+               AS max_bpe_tokens
+    FROM documents
+    GROUP BY lang
+    """,
+    doc="K5 BPE-ish regex token counting per language",
+)
+def docs_token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = text_metrics(load(spark, sf_dir, "documents"))
+    return docs.groupBy("lang").agg(
+        F.round(F.avg("n_bpe_tokens"), 4).alias("avg_bpe_tokens"),
+        F.max("n_bpe_tokens").alias("max_bpe_tokens"),
+    )
+
+
+# --------------------------------------------------------------------------
+# K6 quality filters
+# --------------------------------------------------------------------------
+@register(
+    "docs_quality_filter",
+    """
+    WITH m AS (
+        SELECT lang, source,
+               len(string_split(text, ' ')) AS n_tokens,
+               CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+                   / len(string_split(text, ' ')) AS distinct_ratio
+        FROM documents
+    )
+    SELECT lang,
+           count(*)                                           AS n_total,
+           count(*) FILTER (WHERE n_tokens BETWEEN 20 AND 80
+                              AND distinct_ratio >= 0.3)      AS n_kept
+    FROM m
+    GROUP BY lang
+    """,
+    doc="K6 quality gate: token-count bounds + lexical diversity",
+)
+def docs_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    m = text_metrics(load(spark, sf_dir, "documents"))
+    kept = F.col("n_tokens").between(20, 80) & (F.col("distinct_ratio") >= 0.3)
+    return m.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_total"),
+        F.count(F.when(kept, 1)).alias("n_kept"),
+    )
+
+
+# --------------------------------------------------------------------------
+# K2 near-dup
+# --------------------------------------------------------------------------
+@register(
+    "docs_ngram_jaccard_pairs",
+    """
+    WITH s AS (
+        SELECT doc_id,
+               list_distinct(list_transform(
+                   generate_series(1, len(t) - 2),
+                   i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS sh
+        FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
+    ),
+    x AS (SELECT doc_id, len(sh) AS n_sh, unnest(sh) AS g FROM s),
+    p AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               a.n_sh AS na, b.n_sh AS nb, count(*) AS inter
+        FROM x a JOIN x b ON a.g = b.g AND a.doc_id < b.doc_id
+        GROUP BY 1, 2, 3, 4
+    )
+    SELECT id_a, id_b,
+           round(CAST(inter AS DOUBLE) / (na + nb - inter), 6) AS jaccard
+    FROM p
+    WHERE CAST(inter AS DOUBLE) / (na + nb - inter) >= 0.5
+    """,
+    doc="K2 exact near-dup detection: 3-gram shingle Jaccard via "
+    "inverted-index similarity join",
+)
+def docs_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ngram_jaccard_pairs(
+        load(spark, sf_dir, "documents"), k=3, threshold=0.5
+    )
+
+
+@register(
+    "docs_minhash_lsh_pairs",
+    None,  # LSH banding is engine-specific → rows-only; recall tested in pytest
+    doc="K2 MinHash+LSH near-dup join (the 100 TB path; "
+    "shingle→minhash→band-bucket join)",
+)
+def docs_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return minhash_lsh_pairs(
+        load(spark, sf_dir, "documents"), threshold=0.4
+    ).orderBy("id_a", "id_b")
+
+
+@register(
+    "docs_simhash_pairs",
+    None,  # hash function is engine-specific → rows-only + unit tests
+    doc="K2 SimHash near-dup candidates (64-bit majority-vote hash, "
+    "prefix-bucketed Hamming join)",
+)
+def docs_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return simhash_near_pairs(
+        load(spark, sf_dir, "documents"), max_hamming=10, n_bands=8
+    ).orderBy("id_a", "id_b")
+
+
+# --------------------------------------------------------------------------
+# K3/K4 embedding similarity
+# --------------------------------------------------------------------------
+@register(
+    "emb_cosine_topk",
+    """
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 10),
+    scored AS (
+        SELECT q.query_id, e.vec_id AS cand_id,
+               round(list_inner_product(q.qv, e.v)
+                     / (sqrt(list_inner_product(q.qv, q.qv))
+                        * sqrt(list_inner_product(e.v, e.v))), 6) AS cos
+        FROM e CROSS JOIN q
+        WHERE e.vec_id <> q.query_id
+    )
+    SELECT query_id, cand_id, cos, rk FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY cos DESC, cand_id) AS rk
+        FROM scored
+    ) WHERE rk <= 5
+    """,
+    doc="K3 exact brute-force cosine top-k (broadcast query set; corpus "
+    "side never shuffles)",
+)
+def emb_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    return cosine_topk(
+        emb, None, k=5, query_filter=F.col("vec_id") < 10
+    )
+
+
+@register(
+    "emb_near_dup_pairs",
+    """
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round(list_inner_product(a.v, b.v)
+                 / (sqrt(list_inner_product(a.v, a.v))
+                    * sqrt(list_inner_product(b.v, b.v))), 6) AS cos
+    FROM e a JOIN e b ON a.vec_id < b.vec_id
+    WHERE round(list_inner_product(a.v, b.v)
+                / (sqrt(list_inner_product(a.v, a.v))
+                   * sqrt(list_inner_product(b.v, b.v))), 6) >= 0.35
+    """,
+    doc="K4 embedding-cosine near-dup pairs above threshold (exact guarded "
+    "path; LSH variant is the scale path)",
+)
+def emb_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return cosine_pairs_threshold(
+        load(spark, sf_dir, "embeddings"), threshold=0.35
+    )
+
+
+@register(
+    "emb_lsh_topk",
+    None,  # LSH buckets are engine-specific → rows-only; recall vs exact in pytest
+    doc="K3 ANN scale path: unit-normalize + BucketedRandomProjectionLSH "
+    "(euclidean on unit sphere ≡ cosine order)",
+)
+def emb_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return brp_lsh_topk(
+        load(spark, sf_dir, "embeddings"), k=5, n_queries=5
+    ).orderBy("query_id", F.desc("cos_est"), "cand_id")
+
+
+# --------------------------------------------------------------------------
+# K7 multimodal columns
+# --------------------------------------------------------------------------
+@register(
+    "docs_multimodal_features",
+    None,  # stubbed featurizer is engine-side → rows-only + unit tests
+    doc="K7 multimodal plumbing: binary payload + metadata struct, feature "
+    "extraction via mapInPandas (decoder stubbed — libs absent by design)",
+)
+def docs_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = attach_binary_payload(load(spark, sf_dir, "documents"))
+    return extract_multimodal_features(docs).orderBy("doc_id")
+
+
+# --------------------------------------------------------------------------
+# text analysis extras: language ID + fingerprints
+# --------------------------------------------------------------------------
+@register(
+    "docs_lang_id",
+    None,  # heuristic profiles are engine-side → rows-only + unit tests
+    doc="K5 language-ID heuristic (stopword-profile argmax + CJK range), "
+    "confusion counts vs labeled lang",
+)
+def docs_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pred = lang_id(load(spark, sf_dir, "documents"))
+    return (
+        pred.groupBy("lang", "pred_lang")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("lang", "pred_lang")
+    )
+
+
+@register(
+    "docs_fingerprints",
+    None,  # xxhash64-based → rows-only + unit tests
+    doc="K5 winnowing fingerprints (k-gram rolling hash, window minima)",
+)
+def docs_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    fp = winnow_fingerprints(load(spark, sf_dir, "documents"))
+    return fp.select("doc_id", "n_fingerprints").orderBy("doc_id")
+
+
+# --------------------------------------------------------------------------
+# K8 corpus report
+# --------------------------------------------------------------------------
+@register(
+    "corpus_stats_report",
+    r"""
+    WITH t AS (
+        SELECT doc_id, lang, n_chars,
+               len(string_split(text, ' ')) AS n_tokens,
+               md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS h
+        FROM documents
+    )
+    SELECT count(*)                                   AS n_docs,
+           count(DISTINCT h)                          AS n_unique,
+           count(DISTINCT lang)                       AS n_langs,
+           sum(n_tokens)                              AS total_tokens,
+           round(avg(n_tokens), 4)                    AS avg_tokens,
+           round(avg(n_chars), 4)                     AS avg_chars,
+           min(n_tokens)                              AS min_tokens,
+           max(n_tokens)                              AS max_tokens
+    FROM t
+    """,
+    doc="K8 dataset-card corpus report (size, dedup rate, token budget)",
+)
+def corpus_stats_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    from time_series_spark_spark.operators.llm import content_hash
+
+    t = docs.select(
+        "doc_id", "lang", "n_chars",
+        F.size(tokens()).alias("n_tokens"),
+        content_hash().alias("h"),
+    )
+    return t.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("h").alias("n_unique"),
+        F.countDistinct("lang").alias("n_langs"),
+        F.sum("n_tokens").alias("total_tokens"),
+        F.round(F.avg("n_tokens"), 4).alias("avg_tokens"),
+        F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+        F.min("n_tokens").alias("min_tokens"),
+        F.max("n_tokens").alias("max_tokens"),
+    )

@@ -21,8 +21,39 @@ change (cluster manager sets master; shuffle partitions ≈ 2-3× total cores).
 from __future__ import annotations
 
 import os
+import tempfile
+import zipfile
+from pathlib import Path
 
 from pyspark.sql import SparkSession
+
+_PKG_ZIP: str | None = None
+
+
+def _package_zip() -> str:
+    """Zip this package once per process so it can be shipped to executor
+    Python workers (UDFs are pickled by module reference — workers must be
+    able to import ``time_series_spark_spark`` regardless of the driver's
+    working directory)."""
+    global _PKG_ZIP
+    if _PKG_ZIP is None:
+        pkg_dir = Path(__file__).resolve().parent
+        fd, path = tempfile.mkstemp(
+            prefix="time_series_spark_spark_", suffix=".zip"
+        )
+        os.close(fd)
+        with zipfile.ZipFile(path, "w") as zf:
+            for py in sorted(pkg_dir.rglob("*.py")):
+                zf.write(py, f"{pkg_dir.name}/{py.relative_to(pkg_dir)}")
+        _PKG_ZIP = path
+    return _PKG_ZIP
+
+
+def ship_package(spark: SparkSession) -> None:
+    try:
+        spark.sparkContext.addPyFile(_package_zip())
+    except Exception:
+        pass  # already added in this session
 
 
 def default_parallelism() -> int:
@@ -52,7 +83,9 @@ def get_spark(
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
-    return builder.getOrCreate()
+    spark = builder.getOrCreate()
+    ship_package(spark)
+    return spark
 
 
 def ensure_engine_conf(spark: SparkSession) -> SparkSession:
@@ -66,4 +99,5 @@ def ensure_engine_conf(spark: SparkSession) -> SparkSession:
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.adaptive.enabled", "true")
     spark.conf.set("spark.sql.execution.arrow.pyspark.enabled", "true")
+    ship_package(spark)
     return spark
