@@ -1,0 +1,99 @@
+"""Stream-replay equivalence tests (SURVEY.md §5.5): each streaming
+operator over file-replayed events must equal its batch counterpart on the
+same data — including a genuinely multi-batch replay (chunked files +
+maxFilesPerTrigger=1) for the stateful paths."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from time_series_spark_spark.operators.timeseries import session_summary
+from time_series_spark_spark.sources.io import load
+from time_series_spark_spark.streaming.jobs import (
+    foreach_batch_collect,
+    hourly_counts,
+    read_events_stream,
+    run_available_now,
+    session_windows,
+    stateful_user_totals,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def batch_events(spark):
+    return load(spark, SF, "events").cache()
+
+
+@pytest.fixture(scope="module")
+def chunked_dir(spark, batch_events, tmp_path_factory):
+    """events split into 4 time-ordered parquet chunks → real multi-batch
+    replay when streamed with maxFilesPerTrigger=1."""
+    d = tmp_path_factory.mktemp("chunks")
+    n = batch_events.count()
+    ordered = batch_events.orderBy("ts").withColumn(
+        "chunk", (F.monotonically_increasing_id() * 4 / n).cast("int")
+    )
+    pdf = ordered.toPandas()
+    for i, grp in pdf.groupby("chunk"):
+        sub = grp.drop(columns=["chunk"]).copy()
+        sub["ts"] = sub["ts"].astype("datetime64[us]").astype("int64") * 1000
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        pq.write_table(pa.Table.from_pandas(sub), d / f"part-{i}.parquet")
+    return str(d)
+
+
+def test_stream_hourly_equals_batch(spark, batch_events):
+    got = run_available_now(
+        hourly_counts(read_events_stream(spark, SF)), output_mode="complete"
+    )
+    exp = (
+        batch_events.groupBy(
+            F.date_trunc("hour", "ts").alias("bucket"), "event_type"
+        )
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("total_value"))
+    )
+    assert got.exceptAll(exp).count() == 0 and exp.exceptAll(got).count() == 0
+
+
+def test_stream_session_equals_batch_sessionize(spark, batch_events):
+    got = run_available_now(
+        session_windows(read_events_stream(spark, SF)), output_mode="complete"
+    )
+    exp = session_summary(batch_events, "user_id", "ts", 1800)
+    g = got.select("user_id", "session_start", "n_events")
+    # native session_window end = last_ts + gap; compare start/count/size
+    e = exp.select("user_id", "session_start", "n_events")
+    assert g.exceptAll(e).count() == 0 and e.exceptAll(g).count() == 0
+
+
+def test_stateful_totals_multibatch(spark, batch_events, chunked_dir):
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    sdf = (
+        spark.readStream.schema(
+            "event_id long, ts long, user_id long, event_type string, "
+            "value double, props string"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(chunked_dir)
+        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    )
+    table = run_available_now(stateful_user_totals(sdf), output_mode="update")
+    # last update per user holds the final running state
+    final = (
+        table.groupBy("user_id")
+        .agg(F.max("n_events").alias("n_events"))
+    )
+    exp = batch_events.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_events"))
+    assert final.exceptAll(exp).count() == 0 and exp.exceptAll(final).count() == 0
+
+
+def test_foreach_batch_sink_roundtrip(spark, batch_events, tmp_path):
+    out = str(tmp_path / "sink")
+    foreach_batch_collect(read_events_stream(spark, SF), out)
+    written = spark.read.parquet(out)
+    assert written.count() == batch_events.count()

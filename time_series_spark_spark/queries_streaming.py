@@ -1,0 +1,105 @@
+"""Streaming query surface (SURVEY.md §2.J) — rows-only driver checks;
+stream ≡ batch replay equivalence is asserted in tests/test_streaming.py.
+
+Each query executes a real Structured Streaming job to completion
+(``availableNow`` trigger → memory sink) and returns the materialized
+result, so the driver exercises the genuine streaming engine, not a batch
+stand-in.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from time_series_spark_spark.queries import register
+from time_series_spark_spark.sources.io import load
+from time_series_spark_spark.streaming.jobs import (
+    dedup_stream,
+    hourly_counts,
+    read_events_stream,
+    run_available_now,
+    session_windows,
+    sliding_counts,
+    stateful_user_totals,
+    stream_static_join,
+)
+
+
+@register(
+    "stream_hourly_counts",
+    None,  # streaming → rows-only; batch equivalence asserted in pytest
+    doc="J1-J3 streaming ingest + watermark + tumbling hourly agg "
+    "(availableNow replay; equals batch events_hourly)",
+)
+def stream_hourly_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sdf = read_events_stream(spark, sf_dir)
+    return run_available_now(hourly_counts(sdf), output_mode="complete")
+
+
+@register(
+    "stream_sliding_counts",
+    None,
+    doc="J4 sliding-window agg (1 h window / 15 min slide)",
+)
+def stream_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sdf = read_events_stream(spark, sf_dir)
+    return run_available_now(sliding_counts(sdf), output_mode="complete")
+
+
+@register(
+    "stream_session_windows",
+    None,
+    doc="J5 native session windows (30 min gap; agrees with batch F5)",
+)
+def stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sdf = read_events_stream(spark, sf_dir)
+    return run_available_now(session_windows(sdf), output_mode="complete")
+
+
+@register(
+    "stream_dedup_counts",
+    None,
+    doc="J6 streaming dedup: the stream unioned with itself collapses back "
+    "to exactly the batch per-type counts",
+)
+def stream_dedup_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    a = read_events_stream(spark, sf_dir)
+    b = read_events_stream(spark, sf_dir)
+    deduped = dedup_stream(a.unionByName(b))
+    table = run_available_now(deduped, output_mode="append")
+    return table.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+
+
+@register(
+    "stream_stateful_user_totals",
+    None,
+    doc="J7 applyInPandasWithState: running per-user (count, value) state",
+)
+def stream_stateful_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sdf = read_events_stream(spark, sf_dir)
+    return run_available_now(stateful_user_totals(sdf), output_mode="update")
+
+
+@register(
+    "stream_static_join_enriched",
+    None,
+    doc="J8 stream-static broadcast join: events enriched with per-user "
+    "lifetime stats computed batch-side",
+)
+def stream_static_join_enriched(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sdf = read_events_stream(spark, sf_dir)
+    user_dim = (
+        load(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("lifetime_events"))
+    )
+    joined = stream_static_join(
+        sdf.filter(F.col("event_type") == "purchase"), user_dim, "user_id"
+    )
+    table = run_available_now(joined, output_mode="append")
+    return (
+        table.groupBy("lifetime_events")
+        .agg(F.count(F.lit(1)).alias("n_purchases"))
+        .orderBy("lifetime_events")
+    )

@@ -1,0 +1,167 @@
+"""Structured Streaming surface (SURVEY.md §2.J) over the events stream.
+
+The correctness strategy is replay equivalence (§5.5): every streaming
+operator, run over file-replayed events with an ``availableNow`` trigger,
+must agree with its batch counterpart on the same data. The driver's
+oracle is batch-only, so the registered queries are rows-only checks and
+pytest asserts stream ≡ batch.
+
+Scale notes: watermarks bound state (J2); session windows and dedup keep
+per-key state that AQE/state-store partitioning spreads by key; the
+stateful per-user counter (J7) uses ``applyInPandasWithState`` — state
+lives in the state store, partitioned by user, exactly how a 100 TB
+stream would shard.
+"""
+
+from __future__ import annotations
+
+import uuid
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+EVENTS_SCHEMA = (
+    "event_id long, ts long, user_id long, event_type string, "
+    "value double, props string"
+)
+
+
+def _stream_source_dir(sf_dir: str) -> str:
+    """Spark's file stream source requires a *directory*; the corpus ships
+    one parquet file per table. Stage a stable symlink directory per
+    sf_dir (read-only corpus is never touched)."""
+    import hashlib
+    import os
+    import tempfile
+
+    src = os.path.join(sf_dir, "events.parquet")
+    tag = hashlib.md5(os.path.abspath(src).encode()).hexdigest()[:12]
+    d = os.path.join(tempfile.gettempdir(), "tss_stream_src", tag)
+    os.makedirs(d, exist_ok=True)
+    link = os.path.join(d, "events.parquet")
+    if not os.path.exists(link):
+        os.symlink(src, link)
+    return d
+
+
+def read_events_stream(
+    spark: SparkSession, sf_dir: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
+    """J1: file-source stream over the events parquet (ns→µs shim applied,
+    same as the batch scan — the schema declares raw nanos as long)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    reader = spark.readStream.schema(EVENTS_SCHEMA)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    sdf = reader.parquet(_stream_source_dir(sf_dir))
+    return sdf.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def hourly_counts(sdf: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """J2+J3: watermark + tumbling hourly window aggregate."""
+    return (
+        sdf.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("total_value"))
+        .select(F.col("w.start").alias("bucket"), "event_type", "n", "total_value")
+    )
+
+
+def sliding_counts(sdf: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """J4: sliding window (1 h window, 15 min slide)."""
+    return (
+        sdf.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour", "15 minutes").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("w_start"), "event_type", "n")
+    )
+
+
+def session_windows(sdf: DataFrame, gap: str = "30 minutes") -> DataFrame:
+    """J5: native session windows (must agree with the batch F5
+    sessionization on the same data — asserted in tests)."""
+    return (
+        sdf.withWatermark("ts", "1 hour")
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+def dedup_stream(sdf: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """J6: streaming exact dedup on event_id within the watermark."""
+    return sdf.withWatermark("ts", watermark).dropDuplicates(["event_id"])
+
+
+def stateful_user_totals(sdf: DataFrame) -> DataFrame:
+    """J7: custom stateful per-key processing via ``applyInPandasWithState``
+    — a running (count, total value) per user maintained in the state
+    store."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    output_schema = "user_id long, n_events long, total_value double"
+    state_schema = "n long, total double"
+
+    def update(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
+        n, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+        state.update((n, total))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "total_value": [round(total, 4)]}
+        )
+
+    return sdf.groupBy("user_id").applyInPandasWithState(
+        update,
+        output_schema,
+        state_schema,
+        "update",
+        GroupStateTimeout.NoTimeout,
+    )
+
+
+def stream_static_join(sdf: DataFrame, static_dim: DataFrame, on: str) -> DataFrame:
+    """J8: enrich a stream with a broadcast static dimension."""
+    return sdf.join(F.broadcast(static_dim), on)
+
+
+def run_available_now(
+    stream_df: DataFrame,
+    output_mode: str = "append",
+    name: str | None = None,
+) -> DataFrame:
+    """Execute a streaming plan to completion over all available input
+    (replay), materialize via the memory sink, return the result table."""
+    name = name or f"stream_{uuid.uuid4().hex[:12]}"
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return stream_df.sparkSession.table(name)
+
+
+def foreach_batch_collect(stream_df: DataFrame, path: str) -> None:
+    """A6: foreachBatch sink — bridge each micro-batch into a batch parquet
+    writer (the standard streaming→batch escape hatch)."""
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.write.mode("append").parquet(path)
+
+    q = (
+        stream_df.writeStream.foreachBatch(write_batch)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
