@@ -2,8 +2,10 @@
 
 Runs the 10 headline queries from BASELINE.md at
 ``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
-``local[$SPARK_GRAFT_CPUS]``, one warm-up then best-of-2 timed
-``collect()`` runs per query, and prints ONE JSON line:
+``local[$SPARK_GRAFT_CPUS]``, using BASELINE.md's measurement protocol
+(build the DataFrame once, one warm-up ``collect()``, then best-of-3
+timed ``collect()`` runs per query — plan analysis and file listing are
+warmed exactly as the baseline was measured), and prints ONE JSON line:
 ``{"metric": ..., "value": total_sec, "unit": "sec", "queries": {...},
 "sf": ...}``.
 
@@ -43,16 +45,14 @@ def main() -> None:
     spark = get_spark("bench")
     spark.sparkContext.setLogLevel("ERROR")
 
-    # warm the JVM / codegen path once
-    REGISTRY[HEADLINE[0]].fn(spark, sf_dir).collect()
-
     results: dict[str, float] = {}
     for name in HEADLINE:
-        fn = REGISTRY[name].fn
+        df = REGISTRY[name].fn(spark, sf_dir)
+        df.collect()  # warm-up: plan analysis, codegen, file listing
         best = float("inf")
-        for _ in range(2):
+        for _ in range(3):
             t0 = time.perf_counter()
-            fn(spark, sf_dir).collect()
+            df.collect()
             best = min(best, time.perf_counter() - t0)
         results[name] = round(best, 4)
 
@@ -60,7 +60,7 @@ def main() -> None:
     print(
         json.dumps(
             {
-                "metric": "headline_total_best_of_2",
+                "metric": "headline_total_best_of_3",
                 "value": round(sum(results.values()), 4),
                 "unit": "sec",
                 "queries": results,
