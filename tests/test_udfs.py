@@ -1,0 +1,124 @@
+"""SURVEY.md §2.L surface tests: the four UDF kinds added in
+``functions/udfs.py`` agree with their built-in / JVM-side equivalents,
+and §2.A IO round-trips (csv/json scan, partitioned parquet sink)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from time_series_spark_spark.functions.udfs import (
+    ShinglesUDTF,
+    embedding_norm_iter,
+    token_count_pandas,
+    value_band_expr,
+    value_band_row_udf,
+)
+from time_series_spark_spark.sources.io import (
+    from_rows,
+    load,
+    read_csv,
+    read_json,
+    write_parquet,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_row_udf_matches_expr_twin(spark):
+    """L1: the discouraged row UDF and its codegen-friendly twin agree."""
+    ev = load(spark, SF, "events").select("value").limit(500)
+    both = ev.select(
+        value_band_row_udf("value").alias("udf_band"),
+        value_band_expr("value").alias("expr_band"),
+    )
+    assert both.filter(F.col("udf_band") != F.col("expr_band")).count() == 0
+
+
+def test_scalar_pandas_udf_matches_builtin(spark):
+    """L2: pandas token count == size(split(...))."""
+    docs = load(spark, SF, "documents").select("text").limit(300)
+    diff = docs.select(
+        token_count_pandas("text").alias("a"),
+        F.size(F.split("text", " ")).alias("b"),
+    ).filter(F.col("a") != F.col("b"))
+    assert diff.count() == 0
+
+
+def test_iterator_pandas_udf_matches_aggregate_expr(spark):
+    """L3: numpy norm == JVM-side higher-order-function norm."""
+    emb = load(spark, SF, "embeddings").limit(200)
+    jvm_norm = F.sqrt(
+        F.aggregate(
+            F.transform("embedding", lambda x: x.cast("double") * x),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+    diff = emb.select(
+        F.round(embedding_norm_iter("embedding"), 6).alias("a"),
+        F.round(jvm_norm, 6).alias("b"),
+    ).filter(F.abs(F.col("a") - F.col("b")) > 1e-6)
+    assert diff.count() == 0
+
+
+def test_udtf_shingles_lateral(spark):
+    """L8: UDTF via LATERAL emits exactly len(tokens)-k+1 shingles."""
+    spark.udtf.register("shingles_test", ShinglesUDTF)
+    from_rows(
+        spark,
+        [(1, "a b c d e"), (2, "x y"), (3, "p q r")],
+        "doc_id int, text string",
+    ).createOrReplaceTempView("_sh_docs")
+    rows = spark.sql(
+        """
+        SELECT d.doc_id, count(*) AS n
+        FROM _sh_docs d, LATERAL shingles_test(d.text, 3) s
+        GROUP BY d.doc_id ORDER BY d.doc_id
+        """
+    ).collect()
+    # doc 2 has 2 tokens < k → no rows at all (UDTF yields nothing)
+    assert [(r.doc_id, r.n) for r in rows] == [(1, 3), (3, 1)]
+
+
+# --------------------------------------------------------------------------
+# §2.A IO round-trips
+# --------------------------------------------------------------------------
+def test_csv_json_roundtrip(spark, tmp_path):
+    """A2/A3: write a slice out as CSV and JSON-lines, read both back with
+    an explicit schema, and get identical rows."""
+    src = load(spark, SF, "nation")
+    csv_dir, json_dir = str(tmp_path / "csv"), str(tmp_path / "json")
+    src.write.mode("overwrite").option("header", "true").csv(csv_dir)
+    src.write.mode("overwrite").json(json_dir)
+    schema = "n_nationkey int, n_name string, n_regionkey int"
+    back_csv = read_csv(spark, csv_dir, schema=schema)
+    back_json = read_json(spark, json_dir, schema=schema)
+    expect = sorted(map(tuple, src.collect()))
+    assert sorted(map(tuple, back_csv.collect())) == expect
+    assert sorted(map(tuple, back_json.collect())) == expect
+
+
+def test_partitioned_parquet_sink(spark, tmp_path):
+    """A4: partitionBy layout exists on disk and a partition-pruned read
+    only returns that partition."""
+    out = str(tmp_path / "by_flag")
+    li = load(spark, SF, "lineitem").select(
+        "l_orderkey", "l_quantity", "l_returnflag"
+    )
+    write_parquet(li, out, partition_by=["l_returnflag"])
+    import os
+
+    parts = {p for p in os.listdir(out) if p.startswith("l_returnflag=")}
+    assert parts == {"l_returnflag=A", "l_returnflag=N", "l_returnflag=R"}
+    pruned = spark.read.parquet(out).filter(F.col("l_returnflag") == "A")
+    expect = li.filter(F.col("l_returnflag") == "A").count()
+    assert pruned.count() == expect
+
+
+def test_events_nanos_shim(spark):
+    """A1: events.ts arrives as a proper TimestampType spanning Jan 2024."""
+    ev = load(spark, SF, "events")
+    assert dict(ev.dtypes)["ts"] == "timestamp"
+    lo, hi = ev.agg(F.min("ts"), F.max("ts")).first()
+    assert lo.year == 2024 and hi.year == 2024

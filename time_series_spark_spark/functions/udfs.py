@@ -1,0 +1,105 @@
+"""UDF / UDAF / UDTF surface (SURVEY.md §2.L — the four kinds not already
+exercised elsewhere in the engine).
+
+Already covered elsewhere: L4 grouped-map (``operators/forecast.py``), L5
+grouped-agg pandas UDAF (``queries_timeseries.geo_mean_grouped_udaf``), L6
+cogrouped map (``operators/timeseries.asof_join_cogroup``), L7
+``mapInPandas`` (``operators/llm.extract_multimodal_features``). This module
+adds:
+
+- **L1 row UDF** — kept as the single discouraged example: row-at-a-time
+  Python, no Arrow batching, ~10-100× slower than the pandas kinds. Never
+  use in a hot path; it exists so the surface is complete and so the test
+  suite can demonstrate the equivalent built-in expression.
+- **L2 scalar pandas UDF** — Arrow-vectorized series→series.
+- **L3 iterator pandas UDF** — ``Iterator[pd.Series]→Iterator[pd.Series]``;
+  amortizes per-batch setup (model/codec init happens once per partition,
+  not once per batch) — the right shape for scoring with a broadcast model.
+- **L8 Python UDTF** — table function usable via ``LATERAL`` in SQL.
+
+100 TB note: every one of these runs in the Python worker behind an Arrow
+(or pickle, for L1) boundary — Catalyst cannot push filters/pruning through
+them (SURVEY.md §4.3), so callers must filter+project BEFORE applying them.
+The query wrappers in ``queries_udfs.py`` follow that order.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf, udtf
+from pyspark.sql.types import DoubleType, IntegerType, StringType
+
+
+# --------------------------------------------------------------------------
+# L1: row-at-a-time Python UDF (the discouraged kind — one example only)
+# --------------------------------------------------------------------------
+def _band(value: float | None) -> str | None:
+    if value is None:
+        return None
+    if value < 10.0:
+        return "low"
+    if value < 50.0:
+        return "mid"
+    return "high"
+
+
+value_band_row_udf = F.udf(_band, StringType())
+
+# The built-in expression every caller should use instead (identical result,
+# stays inside whole-stage codegen):
+def value_band_expr(col: str = "value"):
+    c = F.col(col)
+    return (
+        F.when(c.isNull(), F.lit(None).cast("string"))
+        .when(c < 10.0, F.lit("low"))
+        .when(c < 50.0, F.lit("mid"))
+        .otherwise(F.lit("high"))
+    )
+
+
+# --------------------------------------------------------------------------
+# L2: scalar pandas UDF (Arrow-vectorized series→series)
+# --------------------------------------------------------------------------
+@pandas_udf(IntegerType())
+def token_count_pandas(text: pd.Series) -> pd.Series:
+    """Whitespace token count, vectorized over an Arrow batch."""
+    return text.str.split(" ").str.len().astype("int32")
+
+
+# --------------------------------------------------------------------------
+# L3: iterator pandas UDF (per-partition init amortization)
+# --------------------------------------------------------------------------
+@pandas_udf(DoubleType())
+def embedding_norm_iter(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
+    """L2-norm of a fixed-dim embedding column.
+
+    The iterator form exists to amortize expensive one-time setup across all
+    Arrow batches of a partition; here the "setup" is trivial, but at scale
+    this is where a scoring model would be deserialized exactly once per
+    worker rather than once per batch.
+    """
+    # one-time per-partition setup would go here
+    for s in batches:
+        mat = np.stack(s.to_numpy()).astype(np.float64)  # (batch, dim)
+        yield pd.Series(np.sqrt((mat * mat).sum(axis=1)))
+
+
+# --------------------------------------------------------------------------
+# L8: Python UDTF — table function, one row in → many rows out
+# --------------------------------------------------------------------------
+@udtf(returnType="pos int, shingle string")
+class ShinglesUDTF:
+    """Emit word k-gram shingles with positions for one document.
+
+    Usable from SQL after ``spark.udtf.register("shingles", ShinglesUDTF)``:
+    ``SELECT d.doc_id, s.* FROM docs d, LATERAL shingles(d.text, 3) s``.
+    """
+
+    def eval(self, text: str, k: int):  # noqa: D102
+        toks = (text or "").split(" ")
+        for i in range(len(toks) - k + 1):
+            yield i, " ".join(toks[i : i + k])

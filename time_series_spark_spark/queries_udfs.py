@@ -1,0 +1,171 @@
+"""Queries exercising the remaining UDF kinds (SURVEY.md §2.L1/L2/L3/L8)
+plus backward fill (F3's second half).
+
+Each UDF query filters + projects BEFORE the Python boundary (SURVEY.md
+§4.3: Catalyst cannot push anything through a UDF node) and aggregates the
+UDF output JVM-side, so the Arrow transfer carries only the columns the UDF
+actually reads.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from time_series_spark_spark.functions.udfs import (
+    ShinglesUDTF,
+    embedding_norm_iter,
+    token_count_pandas,
+    value_band_row_udf,
+)
+from time_series_spark_spark.queries import register
+from time_series_spark_spark.queries_timeseries import (
+    _DAILY_USER_GRID_SQL,
+    _daily_user_value,
+)
+from time_series_spark_spark.operators.timeseries import bfill
+from time_series_spark_spark.sources.io import load
+
+
+# --------------------------------------------------------------------------
+# L1 row UDF (the one discouraged example)
+# --------------------------------------------------------------------------
+@register(
+    "udf_value_band_row",
+    """
+    SELECT CASE WHEN value < 10 THEN 'low'
+                WHEN value < 50 THEN 'mid'
+                ELSE 'high' END AS band,
+           count(*) AS n,
+           round(sum(value), 2) AS total_value
+    FROM events
+    GROUP BY 1
+    """,
+    doc="L1 row-at-a-time Python UDF (banding) — kept as the single "
+    "discouraged example; value_band_expr is the codegen-friendly twin",
+)
+def udf_value_band_row(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events").select("value")
+    return (
+        ev.withColumn("band", value_band_row_udf("value"))
+        .groupBy("band")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# L2 scalar pandas UDF
+# --------------------------------------------------------------------------
+@register(
+    "udf_token_count_pandas",
+    """
+    SELECT lang,
+           sum(len(string_split(text, ' ')))  AS total_tokens,
+           max(len(string_split(text, ' ')))  AS max_tokens
+    FROM documents
+    GROUP BY lang
+    """,
+    doc="L2 scalar pandas UDF: Arrow-vectorized whitespace token count, "
+    "aggregated JVM-side per language",
+)
+def udf_token_count_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents").select("lang", "text")
+    return (
+        docs.withColumn("n_tok", token_count_pandas("text"))
+        .groupBy("lang")
+        .agg(
+            F.sum("n_tok").alias("total_tokens"),
+            F.max("n_tok").alias("max_tokens"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# L3 iterator pandas UDF
+# --------------------------------------------------------------------------
+@register(
+    "udf_embedding_norm_iter",
+    """
+    SELECT label,
+           round(avg(sqrt(list_inner_product(embedding::DOUBLE[],
+                                             embedding::DOUBLE[]))), 6)
+               AS avg_norm,
+           count(*) AS n
+    FROM embeddings
+    GROUP BY label
+    """,
+    doc="L3 iterator pandas UDF: per-partition-amortized L2 norm of the "
+    "embedding column, averaged per label",
+)
+def udf_embedding_norm_iter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings").select("label", "embedding")
+    return (
+        emb.withColumn("norm", embedding_norm_iter("embedding"))
+        .groupBy("label")
+        .agg(
+            F.round(F.avg("norm"), 6).alias("avg_norm"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# L8 Python UDTF via LATERAL
+# --------------------------------------------------------------------------
+@register(
+    "udtf_doc_shingles",
+    """
+    SELECT doc_id,
+           len(sh) AS n_shingles,
+           len(list_distinct(sh)) AS n_distinct
+    FROM (
+        SELECT doc_id,
+               list_transform(generate_series(1, len(t) - 2),
+                              i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]) AS sh
+        FROM (SELECT doc_id, string_split(text, ' ') AS t
+              FROM documents WHERE doc_id < 30)
+    )
+    """,
+    doc="L8 Python UDTF: word-3-gram table function applied via LATERAL, "
+    "shingle counts re-aggregated JVM-side",
+)
+def udtf_doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    spark.udtf.register("shingles_udtf", ShinglesUDTF)
+    load(spark, sf_dir, "documents").filter(F.col("doc_id") < 30).select(
+        "doc_id", "text"
+    ).createOrReplaceTempView("_udtf_docs")
+    return spark.sql(
+        """
+        SELECT d.doc_id,
+               count(*) AS n_shingles,
+               count(DISTINCT s.shingle) AS n_distinct
+        FROM _udtf_docs d, LATERAL shingles_udtf(d.text, 3) s
+        GROUP BY d.doc_id
+        """
+    )
+
+
+# --------------------------------------------------------------------------
+# F3 backward fill (mirror of events_ffill_daily)
+# --------------------------------------------------------------------------
+@register(
+    "events_bfill_daily",
+    f"""
+    WITH {_DAILY_USER_GRID_SQL}
+    SELECT user_id, d,
+           first_value(v IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY d
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING
+           ) AS v_filled
+    FROM joined
+    """,
+    doc="F3 bfill: carry next observation backward over per-user daily gaps",
+)
+def events_bfill_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    grid = _daily_user_value(spark, sf_dir)
+    return bfill(grid, ["user_id"], "d", ["v"]).select(
+        "user_id", "d", F.col("v").alias("v_filled")
+    )
