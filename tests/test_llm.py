@@ -149,3 +149,32 @@ def test_multimodal_features_deterministic_schema(spark, docs):
         attach_binary_payload(docs.limit(20))
     ).collect()
     assert sorted(map(str, rows)) == sorted(map(str, rows2))
+
+
+def test_ivf_topk_recall_and_shape(spark):
+    """IVF ANN: recall@5 vs exact brute force, plus exactness inside the
+    probed region — the reranked cosines must equal the exact ones for
+    every returned pair (IVF only loses candidates, never mis-scores)."""
+    from time_series_spark_spark.operators.llm import ivf_topk
+
+    emb = load(spark, SF, "embeddings")
+    exact = cosine_topk(emb, None, k=5, query_filter=F.col("vec_id") < 10)
+    exact_cos = {(r.query_id, r.cand_id): r.cos for r in exact.collect()}
+    exact_sets = {}
+    for (q, c) in exact_cos:
+        exact_sets.setdefault(q, set()).add(c)
+
+    approx = ivf_topk(emb, k=5, n_queries=10, n_clusters=16, n_probe=6)
+    rows = approx.collect()
+    approx_sets = {}
+    for r in rows:
+        approx_sets.setdefault(r.query_id, set()).add(r.cand_id)
+        if (r.query_id, r.cand_id) in exact_cos:
+            assert abs(r.cos - exact_cos[(r.query_id, r.cand_id)]) < 1e-9
+
+    recalls = [
+        len(approx_sets.get(q, set()) & s) / len(s)
+        for q, s in exact_sets.items()
+    ]
+    assert float(np.mean(recalls)) >= 0.5  # near-orthogonal 64-d vectors
+    assert all(len(s) == 5 for s in approx_sets.values())

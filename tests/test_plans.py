@@ -1,0 +1,73 @@
+"""Physical-plan regression tests (SURVEY.md §4 scale discipline).
+
+These pin the plan properties the 100 TB design depends on. A change that
+silently flips a broadcast join to sort-merge, stops filter pushdown, or
+widens a parquet scan to all columns fails here — at sf0.001, in seconds —
+instead of on a cluster.
+"""
+
+from __future__ import annotations
+
+from time_series_spark_spark.plans.audit import (
+    count_op,
+    executed_plan,
+    pushed_filters,
+    scan_columns,
+)
+from time_series_spark_spark.queries import REGISTRY
+
+SF = "/root/testdata/sf0.001"
+
+
+def _df(spark, name):
+    return REGISTRY[name].fn(spark, SF)
+
+
+def test_star_join_broadcasts_all_dims(spark):
+    """q5: every dim side of the 6-way star join must broadcast — zero
+    sort-merge joins, so at 100 TB only the fact table streams."""
+    df = _df(spark, "q5_nation_revenue")
+    assert count_op(df, "SortMergeJoin") == 0
+    assert count_op(df, "BroadcastHashJoin") >= 4
+
+
+def test_q1_filter_pushdown_and_pruning(spark):
+    """q1: the shipdate filter reaches the parquet scan and the scan reads
+    only the 6 referenced columns of 11."""
+    df = _df(spark, "q1_pricing_summary")
+    assert any("l_shipdate" in f for f in pushed_filters(df))
+    (cols,) = scan_columns(df)
+    assert "l_shipdate" in cols and len(cols) <= 6
+
+
+def test_forecast_two_stage_shuffle_shape(spark):
+    """F7: the resample→forecast pipeline must shuffle exactly twice, in
+    this order: once on the fine-grained (key, day) keys with map-side
+    partial aggregation (high cardinality → parallel, skew-free at 100 TB),
+    then once more to regroup the *aggregated* series — tiny — by series
+    key for the grouped-map UDF. A single-shuffle variant would partition
+    the raw fact table by the coarse series key (3 values) — catastrophic
+    skew at scale — so two exchanges is the correct plan, not a smell."""
+    df = _df(spark, "forecast_daily_revenue")
+    plan = executed_plan(df)
+    assert "FlatMapGroupsInPandas" in plan
+    assert count_op(df, "Exchange") == 2
+    assert count_op(df, "partial_sum") >= 1  # map-side combine before shuffle
+
+
+def test_asof_join_is_single_shuffle_no_join(spark):
+    """C9 union+window strategy: no join operator at all — one shuffle of
+    the unioned stream, then a window. This is what makes it survive a
+    skewed 100 TB right side."""
+    df = _df(spark, "asof_purchase_view")
+    plan = executed_plan(df)
+    assert "Join" not in plan
+    assert count_op(df, "Exchange") == 1
+
+
+def test_events_scan_prunes_unused_columns(spark):
+    """events_hourly references ts/event_type/value only; props (the wide
+    JSON column) must not be read."""
+    df = _df(spark, "events_hourly")
+    for cols in scan_columns(df):
+        assert "props" not in cols

@@ -513,3 +513,75 @@ def extract_multimodal_features(
             )
 
     return df.select(id_col, payload_col).mapInPandas(featurize, schema)
+
+
+# --------------------------------------------------------------------------
+# K3: IVF (inverted-file) approximate nearest neighbors — the second scale
+# path alongside BRP-LSH
+# --------------------------------------------------------------------------
+def ivf_topk(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_queries: int = 10,
+    n_clusters: int = 16,
+    n_probe: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """IVF ANN: KMeans coarse quantizer → per-query probe of the ``n_probe``
+    nearest cells → exact cosine rerank inside the probed cells only.
+
+    100 TB shape: the corpus is scanned once to assign cells (one narrow
+    shuffle-free ``transform``), the probe list (queries × n_probe rows) is
+    broadcast, and the rerank join touches ~``n_probe/n_clusters`` of the
+    corpus instead of all of it. Everything driver-side is O(n_clusters ×
+    dim) — centroids only; no per-query driver loop.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    from time_series_spark_spark.functions.vectors import unit_normalize
+
+    unit = df.select(
+        id_col, unit_normalize(vec_col).alias("uv")
+    ).withColumn("v", array_to_vector("uv"))
+    km = KMeans(k=n_clusters, seed=seed, featuresCol="v", predictionCol="cell")
+    model = km.fit(unit)
+    corpus = model.transform(unit).select(
+        F.col(id_col).alias("cand_id"),
+        F.col("uv").alias("cand_vec"),
+        "cell",
+    )
+
+    # centroid table: tiny (n_clusters × dim) — built driver-side, broadcast.
+    centroids = df.sparkSession.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())],
+        "cell int, centroid array<double>",
+    )
+
+    # probe list: rank cells per query by cosine to centroid, keep n_probe.
+    q = model.transform(
+        unit.filter(F.col(id_col) < n_queries)
+    ).select(F.col(id_col).alias("query_id"), F.col("uv").alias("query_vec"))
+    w_cell = Window.partitionBy("query_id").orderBy(
+        F.desc("c_cos"), F.asc("cell")
+    )
+    probes = (
+        q.crossJoin(F.broadcast(centroids))
+        .withColumn("c_cos", cosine("query_vec", "centroid"))
+        .withColumn("c_rk", F.row_number().over(w_cell))
+        .filter(F.col("c_rk") <= n_probe)
+        .select("query_id", "query_vec", "cell")
+    )
+
+    # exact rerank inside probed cells only.
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("cand_id"))
+    return (
+        corpus.join(F.broadcast(probes), "cell")
+        .filter(F.col("cand_id") != F.col("query_id"))
+        .withColumn("cos", F.round(cosine("query_vec", "cand_vec"), 6))
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("query_id", "cand_id", "cos", "rk")
+    )

@@ -19,6 +19,7 @@ from time_series_spark_spark.operators.llm import (
     dedup_report,
     exact_dedup,
     extract_multimodal_features,
+    ivf_topk,
     lang_id,
     minhash_lsh_pairs,
     ngram_jaccard_pairs,
@@ -333,6 +334,18 @@ def emb_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return brp_lsh_topk(
         load(spark, sf_dir, "embeddings"), k=5, n_queries=5
     ).orderBy("query_id", F.desc("cos_est"), "cand_id")
+
+
+@register(
+    "emb_ivf_topk",
+    None,  # KMeans cells are engine-specific → rows-only; recall vs exact in pytest
+    doc="K3 ANN scale path #2: IVF — KMeans coarse quantizer, broadcast "
+    "probe list, exact cosine rerank inside probed cells only",
+)
+def emb_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ivf_topk(
+        load(spark, sf_dir, "embeddings"), k=5, n_queries=10
+    ).orderBy("query_id", "rk")
 
 
 # --------------------------------------------------------------------------
