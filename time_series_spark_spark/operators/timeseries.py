@@ -438,24 +438,26 @@ def anomaly_flags(
 # --------------------------------------------------------------------------
 def series_stats(df: DataFrame, key: str, ts_col: str) -> DataFrame:
     w = Window.partitionBy(key).orderBy(ts_col)
-    dt = (
-        F.unix_micros(F.col(ts_col)) - F.unix_micros(F.lag(ts_col).over(w))
-    ).cast("double") / 1e6
+    # Gaps stay INTEGER µs through the aggregate: integer sums < 2^53 are
+    # exact in fp regardless of partial-aggregation order, so the mean is
+    # bit-identical across engines; a k>0-digit round of an
+    # order-dependent double average is not (decimal ties flip). Dividing
+    # the integer-rounded mean by 1e6 yields an exact ≤6-decimal double.
+    dt_us = F.unix_micros(F.col(ts_col)) - F.unix_micros(F.lag(ts_col).over(w))
     return (
-        df.withColumn("_dt", dt)
+        df.withColumn("_dt_us", dt_us)
         .groupBy(key)
         .agg(
             F.count(F.lit(1)).alias("n"),
             F.min(ts_col).alias("first_ts"),
             F.max(ts_col).alias("last_ts"),
-            F.round(
+            (
                 (
                     F.unix_micros(F.max(ts_col)) - F.unix_micros(F.min(ts_col))
                 ).cast("double")
-                / 1e6,
-                6,
+                / 1e6
             ).alias("span_sec"),
-            F.round(F.avg("_dt"), 6).alias("mean_gap_sec"),
-            F.round(F.max("_dt"), 6).alias("max_gap_sec"),
+            (F.round(F.avg("_dt_us"), 0) / 1e6).alias("mean_gap_sec"),
+            (F.max("_dt_us").cast("double") / 1e6).alias("max_gap_sec"),
         )
     )

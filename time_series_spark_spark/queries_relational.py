@@ -684,8 +684,8 @@ def window_running_rev(spark: SparkSession, sf_dir: str) -> DataFrame:
            rank()       OVER w AS rnk,
            dense_rank() OVER w AS drnk,
            ntile(4)     OVER w AS quartile,
-           round(percent_rank() OVER w, 6) AS pct_rank,
-           round(cume_dist()    OVER w, 6) AS cdist
+           percent_rank() OVER w AS pct_rank,
+           cume_dist()    OVER w AS cdist
     FROM customer
     WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey)
     ORDER BY c_nationkey, rnk, c_custkey
@@ -704,8 +704,12 @@ def window_rank_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.rank().over(w).alias("rnk"),
             F.dense_rank().over(w).alias("drnk"),
             F.ntile(4).over(w).alias("quartile"),
-            F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
-            F.round(F.cume_dist().over(w), 6).alias("cdist"),
+            # NOT rounded: (rank-1)/(n-1) divides identical integers in
+            # both engines → bit-identical doubles; a 6-digit round would
+            # REINTRODUCE cross-engine drift on exact decimal ties (Spark
+            # rounds the shortest decimal repr, DuckDB the binary value).
+            F.percent_rank().over(w).alias("pct_rank"),
+            F.cume_dist().over(w).alias("cdist"),
         )
         .orderBy("c_nationkey", "rnk", "c_custkey")
     )

@@ -37,13 +37,26 @@ def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _daily_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user daily mean value on the dense global day grid (fixture for
-    fill/interpolate operators)."""
+    fill/interpolate operators).
+
+    The mean is computed over INTEGER cents (scale → integer-round → avg →
+    integer-round → unscale): integer sums are exact in fp regardless of
+    partial-aggregation order, and integer (0-digit) rounds are safe on
+    ties because dyadic .5 values are exactly representable — whereas
+    ``round(avg(value), 4)`` of money-like 2-decimal data lands on exact
+    decimal ties that Spark and DuckDB round differently.
+    """
     daily = resample(
         _events(spark, sf_dir),
         "ts",
         "day",
         ["user_id"],
-        [F.round(F.avg("value"), 4).alias("v")],
+        [
+            (
+                F.round(F.avg(F.round(F.col("value") * 100, 0)) * 100, 0)
+                / 10000.0
+            ).alias("v")
+        ],
         bucket_col="d",
     )
     return densify(daily, ["user_id"], "d", "interval 1 day")
@@ -52,7 +65,7 @@ def _daily_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
 _DAILY_USER_GRID_SQL = """
     daily AS (
         SELECT user_id, CAST(date_trunc('day', ts) AS TIMESTAMP) AS d,
-               round(avg(value), 4) AS v
+               round(avg(round(value * 100)) * 100) / 10000 AS v
         FROM events GROUP BY 1, 2
     ),
     bounds AS (SELECT min(d) AS lo, max(d) AS hi FROM daily),
@@ -412,9 +425,9 @@ def anomaly_rolling_z(spark: SparkSession, sf_dir: str) -> DataFrame:
            count(*)      AS n,
            min(ts)       AS first_ts,
            max(ts)       AS last_ts,
-           round(CAST(max(us) - min(us) AS DOUBLE) / 1e6, 6)  AS span_sec,
-           round(avg(CAST(us - prev_us AS DOUBLE) / 1e6), 6)  AS mean_gap_sec,
-           round(max(CAST(us - prev_us AS DOUBLE) / 1e6), 6)  AS max_gap_sec
+           CAST(max(us) - min(us) AS DOUBLE) / 1e6    AS span_sec,
+           round(avg(us - prev_us)) / 1e6             AS mean_gap_sec,
+           CAST(max(us - prev_us) AS DOUBLE) / 1e6    AS max_gap_sec
     FROM e
     GROUP BY user_id
     """,
@@ -606,7 +619,7 @@ def ewma_user_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     "geo_mean_grouped_udaf",
     """
     SELECT event_type, round(exp(avg(ln(value))), 6) AS geo_value
-    FROM events
+    FROM events WHERE value > 0
     GROUP BY event_type
     """,
     doc="D13/L5 grouped-agg pandas UDAF (geometric mean) vs closed-form SQL",
@@ -621,6 +634,7 @@ def geo_mean_grouped_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return (
         _events(spark, sf_dir)
+        .filter(F.col("value") > 0)  # ln(0) = -inf; zero-value events occur
         .groupBy("event_type")
         .agg(F.round(geo_mean("value"), 6).alias("geo_value"))
     )
