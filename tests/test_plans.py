@@ -71,3 +71,30 @@ def test_events_scan_prunes_unused_columns(spark):
     df = _df(spark, "events_hourly")
     for cols in scan_columns(df):
         assert "props" not in cols
+
+
+def test_salted_join_matches_plain_join(spark):
+    """Skew utility: salted join is row-identical to the plain join on a
+    degenerate key distribution (90% of rows share one key)."""
+    from pyspark.sql import functions as F
+
+    from time_series_spark_spark.operators.skew import salted_join
+
+    left = spark.range(10_000).select(
+        F.when(F.col("id") % 10 < 9, F.lit(1)).otherwise(F.col("id")).alias("k"),
+        F.col("id").alias("v"),
+    )
+    right = spark.createDataFrame(
+        [(1, "hot"), (17, "cold"), (99999, "nomatch")], "k long, tag string"
+    )
+    plain = left.join(right, "k", "inner")
+    salted = salted_join(left, right, "k", n_salts=4)
+    assert sorted(map(tuple, salted.collect())) == sorted(
+        map(tuple, plain.collect())
+    )
+    # left join keeps unmatched left rows exactly once
+    plain_l = left.join(right, "k", "left")
+    salted_l = salted_join(left, right, "k", n_salts=4, how="left")
+    assert sorted(map(tuple, salted_l.collect())) == sorted(
+        map(tuple, plain_l.collect())
+    )

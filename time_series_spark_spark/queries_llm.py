@@ -212,6 +212,49 @@ def docs_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "docs_curation_pipeline",
+    r"""
+    WITH m AS (
+        SELECT doc_id, lang, text,
+               len(string_split(text, ' ')) AS n_tokens,
+               CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+                   / len(string_split(text, ' ')) AS distinct_ratio
+        FROM documents
+    ),
+    q AS (
+        SELECT * FROM m
+        WHERE n_tokens BETWEEN 20 AND 80 AND distinct_ratio >= 0.3
+    ),
+    d AS (
+        SELECT *, row_number() OVER (
+            PARTITION BY md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))))
+            ORDER BY doc_id
+        ) AS rn
+        FROM q
+    )
+    SELECT lang,
+           count(*)      AS n_kept,
+           sum(n_tokens) AS token_budget
+    FROM d WHERE rn = 1
+    GROUP BY lang
+    """,
+    doc="K6+K1+K8 composed curation pipeline: quality gate, then exact "
+    "dedup (lowest-id keeper), then per-language dataset-card stats — the "
+    "order that keeps near-dup LSH input small at corpus scale",
+)
+def docs_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    m = text_metrics(load(spark, sf_dir, "documents"))
+    kept = m.filter(
+        F.col("n_tokens").between(20, 80) & (F.col("distinct_ratio") >= 0.3)
+    )
+    deduped = exact_dedup(kept)
+    return deduped.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.sum("n_tokens").alias("token_budget"),
+    )
+
+
 # --------------------------------------------------------------------------
 # K2 near-dup
 # --------------------------------------------------------------------------
