@@ -1106,3 +1106,68 @@ def json_funcs_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# --------------------------------------------------------------------------
+# Correlated subqueries (SURVEY.md §4.1 subquery decorrelation, via the
+# §3.2 SQL entry point — Catalyst rewrites these to joins; no custom work)
+# --------------------------------------------------------------------------
+@register(
+    "scalar_subquery_big_spenders",
+    """
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders o
+    WHERE o_totalprice > 1.5 * (
+        SELECT avg(o2.o_totalprice) FROM orders o2
+        WHERE o2.o_custkey = o.o_custkey
+    )
+    ORDER BY o_orderkey
+    """,
+    doc="correlated scalar subquery: orders 1.5x above their customer's "
+    "average (decorrelated by Catalyst into an aggregate + join)",
+)
+def scalar_subquery_big_spenders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        SELECT o_orderkey, o_custkey, o_totalprice
+        FROM orders o
+        WHERE o_totalprice > 1.5 * (
+            SELECT avg(o2.o_totalprice) FROM orders o2
+            WHERE o2.o_custkey = o.o_custkey
+        )
+        ORDER BY o_orderkey
+        """
+    )
+
+
+@register(
+    "not_exists_idle_suppliers",
+    """
+    SELECT s_suppkey, s_name
+    FROM supplier s
+    WHERE NOT EXISTS (
+        SELECT 1 FROM lineitem l
+        WHERE l.l_suppkey = s.s_suppkey
+          AND l.l_shipdate > TIMESTAMP '2001-11-01'
+    )
+    ORDER BY s_suppkey
+    """,
+    doc="correlated NOT EXISTS: suppliers with no shipment after a cutoff "
+    "(decorrelated into a left-anti join)",
+)
+def not_exists_idle_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load(spark, sf_dir, "supplier").createOrReplaceTempView("supplier")
+    load(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql(
+        """
+        SELECT s_suppkey, s_name
+        FROM supplier s
+        WHERE NOT EXISTS (
+            SELECT 1 FROM lineitem l
+            WHERE l.l_suppkey = s.s_suppkey
+              AND l.l_shipdate > TIMESTAMP '2001-11-01'
+        )
+        ORDER BY s_suppkey
+        """
+    )

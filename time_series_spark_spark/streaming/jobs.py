@@ -11,6 +11,12 @@ per-key state that AQE/state-store partitioning spreads by key; the
 stateful per-user counter (J7) uses ``applyInPandasWithState`` — state
 lives in the state store, partitioned by user, exactly how a 100 TB
 stream would shard.
+
+Spark 4's newer ``transformWithStateInPandas`` was evaluated and is NOT
+usable in this environment: its driver-side Python runner imports
+``google.protobuf``, which is broken here and cannot be installed
+(no network). ``applyInPandasWithState`` carries the J7 surface instead;
+swap in a ``StatefulProcessor`` when protobuf is available.
 """
 
 from __future__ import annotations
