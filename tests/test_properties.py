@@ -1,0 +1,157 @@
+"""Hypothesis property tests (SURVEY.md §5.4).
+
+Model-level forecaster invariants run hundreds of random examples with no
+Spark in the loop; the Spark-level equivalences (as-of ≡ pd.merge_asof,
+EWMA ≡ pandas ewm) run a handful of randomized examples against the
+session fixture.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from time_series_spark_spark.operators.forecast import fit_forecast_series
+
+
+def _dates(n: int) -> np.ndarray:
+    return np.datetime64("2020-01-01", "us") + np.timedelta64(1, "D") * np.arange(n)
+
+
+# --------------------------------------------------------------------------
+# §5.4a model-level forecaster invariants (no Spark — fast, many examples)
+# --------------------------------------------------------------------------
+@given(
+    n=st.integers(min_value=0, max_value=300),
+    horizon=st.integers(min_value=1, max_value=60),
+    level=st.floats(-1e4, 1e4, allow_nan=False),
+    noise=st.floats(0.0, 50.0),
+    seed=st.integers(0, 2**31 - 1),
+)
+@settings(max_examples=60, deadline=None)
+def test_forecast_invariants_random_series(n, horizon, level, noise, seed):
+    rng = np.random.default_rng(seed)
+    y = level + rng.normal(0, noise, n)
+    out = fit_forecast_series(_dates(n), y, horizon=horizon)
+    if n == 0:
+        assert len(out) == 0
+        return
+    assert len(out) == horizon
+    assert (out["yhat_lower"] <= out["yhat"] + 1e-9).all()
+    assert (out["yhat"] <= out["yhat_upper"] + 1e-9).all()
+    assert np.isfinite(out[["yhat", "yhat_lower", "yhat_upper"]].to_numpy()).all()
+    deltas = np.diff(out["ds"].to_numpy()) / np.timedelta64(1, "D")
+    assert (deltas == 1.0).all() if horizon > 1 else True
+
+
+@given(
+    slope=st.floats(-5, 5, allow_nan=False),
+    intercept=st.floats(-100, 100, allow_nan=False),
+)
+@settings(max_examples=30, deadline=None)
+def test_forecast_linear_series_extrapolates(slope, intercept):
+    n, horizon = 200, 20
+    y = intercept + slope * np.arange(n)
+    out = fit_forecast_series(_dates(n), y, horizon=horizon)
+    expected = intercept + slope * np.arange(n, n + horizon)
+    scale = max(1.0, abs(slope) * n, abs(intercept))
+    assert np.allclose(out["yhat"].to_numpy(), expected, atol=0.05 * scale)
+
+
+# --------------------------------------------------------------------------
+# §5.4b as-of join ≡ pd.merge_asof on random irregular series
+# --------------------------------------------------------------------------
+@given(data=st.data())
+@settings(max_examples=8, deadline=None)
+def test_asof_join_matches_merge_asof_random(spark, data):
+    from time_series_spark_spark.operators.timeseries import asof_join
+
+    keys = ["a", "b", "c"]
+    n_left = data.draw(st.integers(1, 30))
+    n_right = data.draw(st.integers(0, 30))
+    base = pd.Timestamp("2024-01-01")
+    mk = lambda n: sorted(
+        data.draw(
+            st.lists(
+                st.integers(0, 10_000), min_size=n, max_size=n, unique=True
+            )
+        )
+    )
+    lp = pd.DataFrame(
+        {
+            "key": [data.draw(st.sampled_from(keys)) for _ in range(n_left)],
+            "t": [base + pd.Timedelta(seconds=s) for s in mk(n_left)],
+        }
+    )
+    rp = pd.DataFrame(
+        {
+            "key": pd.Series(
+                [data.draw(st.sampled_from(keys)) for _ in range(n_right)],
+                dtype=object,
+            ),
+            "t": pd.Series(
+                [base + pd.Timedelta(seconds=s) for s in mk(n_right)],
+                dtype="datetime64[ns]",
+            ),
+            "v": pd.Series(np.arange(n_right, dtype=float), dtype=float),
+        }
+    )
+    left = spark.createDataFrame(lp)
+    right = (
+        spark.createDataFrame(rp)
+        if n_right
+        else spark.createDataFrame([], "key string, t timestamp, v double")
+    )
+    got = (
+        asof_join(left, right, "key", "t", "t", ["v"])
+        .orderBy("key", "t")
+        .toPandas()
+    )
+    exp = pd.merge_asof(
+        lp.sort_values("t"),
+        rp.sort_values("t"),
+        on="t",
+        by="key",
+        direction="backward",
+    ).sort_values(["key", "t"]).reset_index(drop=True)
+    assert got["key"].tolist() == exp["key"].tolist()
+    assert got["t"].tolist() == exp["t"].tolist()
+    pd.testing.assert_series_equal(
+        got["v"], exp["v"], check_names=False, check_index=False
+    )
+
+
+# --------------------------------------------------------------------------
+# §5.4 EWMA ≡ pandas ewm(adjust=True) on random series
+# --------------------------------------------------------------------------
+@given(data=st.data())
+@settings(max_examples=6, deadline=None)
+def test_ewma_matches_pandas_random(spark, data):
+    from time_series_spark_spark.operators.timeseries import ewma
+
+    alpha = data.draw(st.floats(0.05, 0.95))
+    n = data.draw(st.integers(1, 40))
+    vals = data.draw(
+        st.lists(
+            st.floats(-1e3, 1e3, allow_nan=False, allow_infinity=False),
+            min_size=n,
+            max_size=n,
+        )
+    )
+    pdf = pd.DataFrame(
+        {
+            "k": ["g"] * n,
+            "d": pd.date_range("2024-01-01", periods=n, freq="D"),
+            "v": vals,
+        }
+    )
+    got = (
+        ewma(spark.createDataFrame(pdf), ["k"], "d", "v", alpha=alpha)
+        .orderBy("d")
+        .toPandas()["ewma"]
+        .to_numpy()
+    )
+    exp = pdf["v"].ewm(alpha=alpha, adjust=True).mean().to_numpy()
+    assert np.allclose(got, exp, rtol=1e-9, atol=1e-9)
