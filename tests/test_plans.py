@@ -98,3 +98,50 @@ def test_salted_join_matches_plain_join(spark):
     assert sorted(map(tuple, salted_l.collect())) == sorted(
         map(tuple, plain_l.collect())
     )
+
+
+def test_bucketed_join_has_no_exchange(spark, tmp_path):
+    """A4b/C1 co-location: orders ⋈ lineitem both bucketed on the order
+    key joins with zero Exchange operators — the shape that makes a
+    repeatedly-joined 100 TB fact pair shuffle-free at read time."""
+    from pyspark.sql import functions as F
+
+    from time_series_spark_spark.sources.io import load, write_bucketed
+
+    orders = load(spark, SF, "orders").select("o_orderkey", "o_totalprice")
+    li = load(spark, SF, "lineitem").select("l_orderkey", "l_quantity")
+    write_bucketed(
+        orders, "b_orders", ["o_orderkey"], 8, path=str(tmp_path / "bo")
+    )
+    write_bucketed(
+        li, "b_lineitem", ["l_orderkey"], 8, path=str(tmp_path / "bl")
+    )
+    bo, bl = spark.table("b_orders"), spark.table("b_lineitem")
+    joined = bo.join(bl, bo.o_orderkey == bl.l_orderkey).groupBy(
+        "o_orderkey"
+    ).agg(F.sum("l_quantity").alias("qty"))
+    # disable broadcast so the join would otherwise shuffle both sides
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = executed_plan(joined)
+        n_exchange_join = plan.count("Exchange hashpartitioning(o_orderkey")
+        assert "SortMergeJoin" in plan
+        # neither join input is re-partitioned: bucket layout satisfies
+        # the join's distribution requirement on both sides
+        assert plan.count("Exchange") <= 1  # only the final groupBy, if any
+        expected = (
+            load(spark, SF, "orders")
+            .join(
+                load(spark, SF, "lineitem"),
+                F.col("o_orderkey") == F.col("l_orderkey"),
+            )
+            .groupBy("o_orderkey")
+            .agg(F.sum("l_quantity").alias("qty"))
+        )
+        assert sorted(map(tuple, joined.collect())) == sorted(
+            map(tuple, expected.collect())
+        )
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+        spark.sql("DROP TABLE IF EXISTS b_lineitem")

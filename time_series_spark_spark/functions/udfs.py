@@ -37,7 +37,9 @@ from pyspark.sql.types import DoubleType, IntegerType, StringType
 # --------------------------------------------------------------------------
 # L1: row-at-a-time Python UDF (the discouraged kind — one example only)
 # --------------------------------------------------------------------------
-def _band(value: float | None) -> str | None:
+def _band(value):
+    # no type hints: PySpark tries to infer an Arrow eval type from row-UDF
+    # annotations and emits a UserWarning it cannot
     if value is None:
         return None
     if value < 10.0:

@@ -106,3 +106,29 @@ def from_rows(
 ) -> DataFrame:
     """A7: in-memory table for tests (explicit schema keeps types stable)."""
     return spark.createDataFrame(rows, schema)
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_cols: list[str],
+    n_buckets: int,
+    sort_cols: list[str] | None = None,
+    mode: str = "overwrite",
+    path: str | None = None,
+) -> None:
+    """A4b: bucketed managed table (``bucketBy`` + ``saveAsTable``).
+
+    The 100 TB co-location technique: two fact tables bucketed on their
+    join key with the same bucket count join with ZERO exchanges — each
+    task reads matching buckets from both sides. Worth the write-time
+    shuffle whenever a join key is reused across many downstream queries
+    (the classic orders⋈lineitem pattern). ``sortBy`` additionally enables
+    exchange-free sort-merge without a per-task sort.
+    """
+    writer = df.write.mode(mode).bucketBy(n_buckets, *bucket_cols)
+    if sort_cols:
+        writer = writer.sortBy(*sort_cols)
+    if path:  # external table — keeps data out of the static warehouse dir
+        writer = writer.option("path", path)
+    writer.format("parquet").saveAsTable(table)
