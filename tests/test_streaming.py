@@ -97,3 +97,31 @@ def test_foreach_batch_sink_roundtrip(spark, batch_events, tmp_path):
     foreach_batch_collect(read_events_stream(spark, SF), out)
     written = spark.read.parquet(out)
     assert written.count() == batch_events.count()
+
+
+def test_rate_source_produces_rows(spark):
+    """A5 rate source: micro-batches of fixed size arrive with the
+    (timestamp, value) schema and consecutive values."""
+    import time
+
+    from time_series_spark_spark.streaming.jobs import read_rate_stream
+
+    q = (
+        read_rate_stream(spark, rows_per_batch=50)
+        .writeStream.format("memory")
+        .queryName("rate_test_sink")
+        .trigger(processingTime="200 milliseconds")
+        .start()
+    )
+    try:
+        deadline = time.time() + 20
+        while time.time() < deadline and spark.table("rate_test_sink").count() < 100:
+            time.sleep(0.3)
+    finally:
+        q.stop()
+        q.awaitTermination(20)
+    got = spark.table("rate_test_sink")
+    n = got.count()
+    assert n >= 100 and n % 50 == 0
+    vals = sorted(r.value for r in got.collect())
+    assert vals == list(range(n))

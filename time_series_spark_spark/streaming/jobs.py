@@ -158,6 +158,20 @@ def run_available_now(
     return stream_df.sparkSession.table(name)
 
 
+def read_rate_stream(
+    spark: SparkSession, rows_per_batch: int = 100, n_partitions: int = 2
+) -> DataFrame:
+    """A5 (rate half): deterministic synthetic stream — ``rows_per_batch``
+    rows per micro-batch as ``(timestamp, value)``. The load-generator
+    source for exercising sinks/operators without a file corpus."""
+    return (
+        spark.readStream.format("rate-micro-batch")
+        .option("rowsPerBatch", rows_per_batch)
+        .option("numPartitions", n_partitions)
+        .load()
+    )
+
+
 def foreach_batch_collect(stream_df: DataFrame, path: str) -> None:
     """A6: foreachBatch sink — bridge each micro-batch into a batch parquet
     writer (the standard streaming→batch escape hatch)."""
