@@ -178,3 +178,38 @@ def test_ivf_topk_recall_and_shape(spark):
     ]
     assert float(np.mean(recalls)) >= 0.5  # near-orthogonal 64-d vectors
     assert all(len(s) == 5 for s in approx_sets.values())
+
+
+def test_stratified_sample_proportions_and_determinism(spark):
+    from time_series_spark_spark.operators.llm import stratified_sample
+
+    docs = load(spark, SF, "documents")
+    frac = {"en": 0.3, "de": 0.9}
+    s1 = stratified_sample(docs, "lang", frac, seed=7)
+    s2 = stratified_sample(docs, "lang", frac, seed=7)
+    # deterministic under a fixed seed
+    assert sorted(r.doc_id for r in s1.collect()) == sorted(
+        r.doc_id for r in s2.collect()
+    )
+    # only requested strata appear; proportions within Bernoulli tolerance
+    totals = {r.lang: r.n for r in docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()}
+    got = {r.lang: r.n for r in s1.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert set(got) <= set(frac)
+    for lang, f in frac.items():
+        expect = totals[lang] * f
+        assert abs(got.get(lang, 0) - expect) < 4 * (expect * (1 - f)) ** 0.5 + 5
+
+
+def test_weighted_mix_hits_target_proportions(spark):
+    from time_series_spark_spark.operators.llm import weighted_mix
+
+    docs = load(spark, SF, "documents")
+    # ask for a 2:1:1:1:1 mixture — en is already dominant, so everything
+    # else gets downsampled relative to it
+    weights = {"en": 2.0, "de": 1.0, "zh": 1.0, "fr": 1.0, "es": 1.0}
+    mixed = weighted_mix(docs, "lang", weights, seed=11)
+    got = {r.lang: r.n for r in mixed.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()}
+    total = sum(got.values())
+    for lang, w in weights.items():
+        target = total * w / sum(weights.values())
+        assert abs(got[lang] - target) < 0.25 * target + 10, (lang, got, target)

@@ -8,6 +8,8 @@ instead of on a cluster.
 
 from __future__ import annotations
 
+import re
+
 from time_series_spark_spark.plans.audit import (
     count_op,
     executed_plan,
@@ -145,3 +147,25 @@ def test_bucketed_join_has_no_exchange(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
         spark.sql("DROP TABLE IF EXISTS b_orders")
         spark.sql("DROP TABLE IF EXISTS b_lineitem")
+
+
+def test_date_partitioned_sink_prunes_partitions(spark, tmp_path):
+    """A4 at scale: a sink partitioned by day serves a one-day filter via
+    PartitionFilters (directory pruning) — the scan never opens the other
+    days' files. This is the 100 TB layout rule for time-ordered outputs."""
+    from pyspark.sql import functions as F
+
+    from time_series_spark_spark.sources.io import load, write_parquet
+
+    out = str(tmp_path / "events_by_day")
+    ev = load(spark, SF, "events").withColumn(
+        "day", F.date_format("ts", "yyyy-MM-dd")
+    )
+    write_parquet(ev, out, partition_by=["day"])
+    back = spark.read.parquet(out).filter(F.col("day") == "2024-01-15")
+    plan = executed_plan(back)
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and "day" in m.group(1)
+    # correctness: pruned read equals the batch filter
+    expect = ev.filter(F.col("day") == "2024-01-15").count()
+    assert back.count() == expect and expect > 0

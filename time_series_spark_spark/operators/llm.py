@@ -593,3 +593,47 @@ def ivf_topk(
         .filter(F.col("rk") <= k)
         .select("query_id", "cand_id", "cos", "rk")
     )
+
+
+# --------------------------------------------------------------------------
+# K9: corpus sampling / weighted mixing (training-data mixture building)
+# --------------------------------------------------------------------------
+def stratified_sample(
+    df: DataFrame,
+    strata_col: str,
+    fractions: dict,
+    seed: int = 42,
+) -> DataFrame:
+    """Per-stratum Bernoulli sampling (``sampleBy``): one scan, no shuffle,
+    reproducible under a fixed seed. The building block for rebalancing a
+    skewed corpus (e.g. downsampling a dominant language)."""
+    return df.sampleBy(strata_col, fractions, seed=seed)
+
+
+def weighted_mix(
+    df: DataFrame,
+    strata_col: str,
+    weights: dict,
+    seed: int = 42,
+) -> DataFrame:
+    """Resample a corpus so strata appear in ``weights`` proportions.
+
+    Computes per-stratum counts (one cheap aggregate — at warehouse scale
+    these come from table statistics instead), converts the target weights
+    into per-stratum Bernoulli fractions capped at 1.0 (this op only
+    downsamples; upweighting is repetition, a separate concern), and
+    applies a single ``sampleBy`` pass.
+    """
+    total_w = sum(weights.values())
+    counts = {
+        r[0]: r[1]
+        for r in df.groupBy(strata_col).count().collect()
+        if r[0] in weights
+    }
+    # the binding stratum: the one whose full size yields the largest
+    # achievable mixture — scale every other stratum to match it.
+    scale = min(counts[s] / (weights[s] / total_w) for s in counts)
+    fractions = {
+        s: min(1.0, (weights[s] / total_w) * scale / counts[s]) for s in counts
+    }
+    return df.sampleBy(strata_col, fractions, seed=seed)

@@ -476,3 +476,43 @@ def corpus_stats_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("n_tokens").alias("min_tokens"),
         F.max("n_tokens").alias("max_tokens"),
     )
+
+
+# --------------------------------------------------------------------------
+# K9 corpus sampling / weighted mixing
+# --------------------------------------------------------------------------
+@register(
+    "docs_stratified_sample",
+    None,  # Bernoulli draws are engine-specific → rows-only; proportions + determinism in pytest
+    doc="K9 stratified per-language sampling (sampleBy, fixed seed): one "
+    "scan, no shuffle — the corpus-rebalancing primitive",
+)
+def docs_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from time_series_spark_spark.operators.llm import stratified_sample
+
+    docs = load(spark, sf_dir, "documents")
+    frac = {"en": 0.25, "de": 1.0, "zh": 1.0, "fr": 1.0, "es": 1.0}
+    return (
+        stratified_sample(docs, "lang", frac, seed=42)
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_sampled"))
+    )
+
+
+@register(
+    "docs_weighted_mix",
+    None,
+    doc="K9 weighted corpus mixing: resample so languages appear in target "
+    "proportions (counts → per-stratum Bernoulli fractions → one sampleBy "
+    "pass); downsample-only by design",
+)
+def docs_weighted_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from time_series_spark_spark.operators.llm import weighted_mix
+
+    docs = load(spark, sf_dir, "documents")
+    weights = {"en": 1.0, "de": 1.0, "zh": 1.0, "fr": 1.0, "es": 1.0}
+    return (
+        weighted_mix(docs, "lang", weights, seed=42)
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_mixed"))
+    )
