@@ -213,3 +213,37 @@ def test_weighted_mix_hits_target_proportions(spark):
     for lang, w in weights.items():
         target = total * w / sum(weights.values())
         assert abs(got[lang] - target) < 0.25 * target + 10, (lang, got, target)
+
+
+def test_pack_sequences_invariants(spark):
+    """Every doc packed exactly once; no bin over budget (except singleton
+    oversized docs); fill rate is sane."""
+    from time_series_spark_spark.operators.llm import pack_sequences
+
+    docs = load(spark, SF, "documents").select(
+        "doc_id", F.size(F.split("text", " ")).alias("n_tokens")
+    )
+    packed = pack_sequences(docs, budget=128, n_shards=4)
+    rows = packed.collect()
+    assert sorted(r.doc_id for r in rows) == sorted(
+        r.doc_id for r in docs.collect()
+    )
+    by_bin = {}
+    for r in rows:
+        by_bin.setdefault(r.bin_id, []).append(r.n_tokens)
+    for sizes in by_bin.values():
+        assert sum(sizes) <= 128 or len(sizes) == 1  # oversized → singleton
+    # greedy FFD should fill bins reasonably: average fill ≥ 50% of budget
+    fills = [min(sum(s), 128) for s in by_bin.values()]
+    assert sum(fills) / (128 * len(fills)) >= 0.5
+
+
+def test_upsample_repeat_counts(spark):
+    from time_series_spark_spark.operators.llm import upsample_repeat
+
+    base = spark.createDataFrame(
+        [(1, "a"), (2, "a"), (3, "b")], "doc_id long, s string"
+    )
+    up = upsample_repeat(base, "s", {"a": 3})
+    got = {(r.doc_id, r.repeat_idx) for r in up.collect()}
+    assert got == {(1, 0), (1, 1), (1, 2), (2, 0), (2, 1), (2, 2), (3, 0)}

@@ -637,3 +637,74 @@ def weighted_mix(
         s: min(1.0, (weights[s] / total_w) * scale / counts[s]) for s in counts
     }
     return df.sampleBy(strata_col, fractions, seed=seed)
+
+
+def upsample_repeat(
+    df: DataFrame,
+    strata_col: str,
+    repeats: dict,
+) -> DataFrame:
+    """Integer-repetition upsampling (the complement of ``weighted_mix``):
+    each row of stratum ``s`` appears ``repeats[s]`` times (default 1),
+    tagged with a 0-based ``repeat_idx``. Pure ``explode`` — no shuffle,
+    no RNG; epoch-style repetition for underrepresented strata."""
+    when = F.lit(1)
+    for s, k in repeats.items():
+        when = F.when(F.col(strata_col) == s, F.lit(int(k))).otherwise(when)
+    return df.withColumn(
+        "repeat_idx",
+        F.explode(F.sequence(F.lit(0), when - 1)),
+    )
+
+
+def pack_sequences(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    size_col: str = "n_tokens",
+    budget: int = 2048,
+    n_shards: int | None = None,
+) -> DataFrame:
+    """Greedy sequence packing: group documents into bins of ≤ ``budget``
+    total tokens (pretraining batch prep).
+
+    Distributed shape: documents are hash-sharded (``n_shards`` defaults to
+    the session's shuffle parallelism), each shard packs its own documents
+    greedily inside one ``applyInPandas`` group, and bin ids are made
+    globally unique as ``shard * 2^40 + local_bin``. Packing quality is
+    per-shard greedy first-fit-decreasing — the accepted trade for linear
+    scan + zero cross-shard coordination at corpus scale. Oversized docs
+    (> budget) get a singleton bin rather than being dropped.
+    """
+    import pandas as pd  # noqa: F401 (bound inside the UDF closure)
+
+    n = n_shards or int(
+        df.sparkSession.conf.get("spark.sql.shuffle.partitions", "8")
+    )
+    out_schema = f"{id_col} long, {size_col} long, bin_id long, shard int"
+
+    def pack(pdf):
+        pdf = pdf.sort_values(size_col, ascending=False)
+        shard = int(pdf["_shard"].iloc[0])
+        bins: list[int] = []  # remaining capacity per bin
+        assign = []
+        for sz in pdf[size_col]:
+            placed = None
+            for i, cap in enumerate(bins):
+                if sz <= cap:
+                    placed, bins[i] = i, cap - sz
+                    break
+            if placed is None:
+                bins.append(max(budget - sz, 0))
+                placed = len(bins) - 1
+            assign.append(placed)
+        pdf = pdf.assign(
+            bin_id=[shard * (1 << 40) + b for b in assign], shard=shard
+        )
+        return pdf[[id_col, size_col, "bin_id", "shard"]]
+
+    sharded = df.select(
+        F.col(id_col),
+        F.col(size_col).cast("long"),
+        (F.pmod(F.xxhash64(F.col(id_col)), F.lit(n))).cast("int").alias("_shard"),
+    )
+    return sharded.groupBy("_shard").applyInPandas(pack, out_schema)

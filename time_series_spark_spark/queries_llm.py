@@ -516,3 +516,53 @@ def docs_weighted_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("lang")
         .agg(F.count(F.lit(1)).alias("n_mixed"))
     )
+
+
+@register(
+    "docs_pack_sequences",
+    None,  # per-shard greedy packing is engine-specific → rows-only; invariants in pytest
+    doc="K9 sequence packing: hash-shard then greedy first-fit-decreasing "
+    "bins of ≤2048 tokens per shard (pretraining batch prep); report "
+    "per-shard bin counts and fill rate",
+)
+def docs_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from time_series_spark_spark.operators.llm import pack_sequences
+
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", F.size(tokens()).alias("n_tokens")
+    )
+    packed = pack_sequences(docs, budget=2048, n_shards=8)
+    return (
+        packed.groupBy("shard")
+        .agg(
+            F.countDistinct("bin_id").alias("n_bins"),
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(
+                F.sum("n_tokens") / (F.countDistinct("bin_id") * 2048.0), 4
+            ).alias("fill_rate"),
+        )
+        .orderBy("shard")
+    )
+
+
+@register(
+    "docs_upsample_repeat",
+    """
+    SELECT lang, count(*) AS n_rows
+    FROM (
+        SELECT lang, unnest(generate_series(0,
+            CASE WHEN lang = 'zh' THEN 2 WHEN lang = 'fr' THEN 1 ELSE 0 END
+        )) AS repeat_idx
+        FROM documents
+    )
+    GROUP BY lang
+    """,
+    doc="K9 repetition upsampling: zh 3x, fr 2x via explode(sequence) — "
+    "no shuffle, no RNG",
+)
+def docs_upsample_repeat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from time_series_spark_spark.operators.llm import upsample_repeat
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "lang")
+    up = upsample_repeat(docs, "lang", {"zh": 3, "fr": 2})
+    return up.groupBy("lang").agg(F.count(F.lit(1)).alias("n_rows"))
