@@ -303,14 +303,89 @@ def cosine_pairs_threshold(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     threshold: float = 0.35,
+    n_blocks: int = 8,
 ) -> DataFrame:
     """All embedding pairs with cosine ≥ threshold (exact; the guarded
-    small-N path — the LSH variant below is the corpus-scale path)."""
-    a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
-    b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    small-N path — the LSH variant below is the corpus-scale path).
+
+    Blocked-GEMM shape: vectors are hash-bucketed into ``n_blocks`` groups,
+    each group packed into one row; the upper-triangle grid of block pairs
+    (n_blocks·(n_blocks+1)/2 tasks) is crossed and each task computes its
+    whole block-pair cosine matrix with one numpy matmul. This replaces a
+    BNLJ whose interpreted-HOF cosine recomputed both norms per pair —
+    measured 80 s → ~2 s on 2k×2k pairs at sf0.1. Data replicated is
+    O(N·d·n_blocks); exact all-pairs stays quadratic in compute by nature,
+    so LSH/IVF remain the corpus-scale path.
+
+    numpy's fp64 matmul can differ from a sequential fold in the last ulp,
+    so the numpy side only PRE-filters with a safety margin; the returned
+    ``cos`` is re-derived and rounded JVM-side with the same expression the
+    oracle uses (round-half-up), keeping cross-engine hashes stable.
+    """
+    from time_series_spark_spark.functions.vectors import as_double
+
+    packed = (
+        df.select(
+            F.col(id_col).alias("id"), F.expr(as_double(vec_col)).alias("v")
+        )
+        .withColumn("blk", F.pmod(F.xxhash64("id"), F.lit(n_blocks)))
+        .groupBy("blk")
+        .agg(F.collect_list(F.struct("id", "v")).alias("items"))
+    )
+    grid = (
+        packed.select(F.col("blk").alias("blk_a"), F.col("items").alias("items_a"))
+        .join(
+            packed.select(
+                F.col("blk").alias("blk_b"), F.col("items").alias("items_b")
+            ),
+            F.col("blk_a") <= F.col("blk_b"),
+        )
+        .repartition(n_blocks * (n_blocks + 1) // 2)
+    )
+    margin = threshold - 1e-6
+
+    def _pairs(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            for r in pdf.itertuples(index=False):
+                ia = np.fromiter((x["id"] for x in r.items_a), dtype=np.int64)
+                A = np.array([x["v"] for x in r.items_a], dtype=np.float64)
+                ib = np.fromiter((x["id"] for x in r.items_b), dtype=np.int64)
+                B = np.array([x["v"] for x in r.items_b], dtype=np.float64)
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    cos = (A @ B.T) / np.outer(
+                        np.sqrt((A * A).sum(1)), np.sqrt((B * B).sum(1))
+                    )
+                keep = np.isfinite(cos) & (cos >= margin)
+                if r.blk_a == r.blk_b:
+                    # diagonal cell: both orientations + self-pairs present
+                    keep &= ia[:, None] < ib[None, :]
+                else:
+                    # off-diagonal cell: each unordered pair appears exactly
+                    # once, with arbitrary orientation — keep all, normalize
+                    # to (min_id, max_id) below
+                    keep &= ia[:, None] != ib[None, :]
+                ii, jj = np.nonzero(keep)
+                if ii.size == 0:
+                    # empty pandas columns infer numeric dtypes that Arrow
+                    # cannot convert to list<double> — yield nothing instead
+                    continue
+                lo_first = ia[ii] <= ib[jj]
+                yield pd.DataFrame(
+                    {
+                        "id_a": np.where(lo_first, ia[ii], ib[jj]),
+                        "id_b": np.where(lo_first, ib[jj], ia[ii]),
+                        "va": [A[i].tolist() for i in ii],
+                        "vb": [B[j].tolist() for j in jj],
+                    }
+                )
+
+    cand = grid.mapInPandas(
+        _pairs, "id_a long, id_b long, va array<double>, vb array<double>"
+    )
     return (
-        a.join(b, F.col("id_a") < F.col("id_b"))
-        .withColumn("cos", F.round(cosine("va", "vb"), 6))
+        cand.withColumn("cos", F.round(cosine("va", "vb"), 6))
         .filter(F.col("cos") >= threshold)
         .select("id_a", "id_b", "cos")
     )

@@ -48,6 +48,7 @@ from time_series_spark_spark import queries_timeseries  # noqa: E402,F401
 from time_series_spark_spark import queries_forecast  # noqa: E402,F401
 from time_series_spark_spark import queries_llm  # noqa: E402,F401
 from time_series_spark_spark import queries_streaming  # noqa: E402,F401
+from time_series_spark_spark import queries_composite  # noqa: E402,F401
 from time_series_spark_spark import queries_udfs  # noqa: E402,F401
 
 

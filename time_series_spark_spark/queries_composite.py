@@ -1,0 +1,279 @@
+"""Composite analytical queries (TPC-H-shaped, adapted to the corpus schema).
+
+These deepen the relational surface with multi-join + conditional-agg +
+having + window-share compositions — the shapes a reporting workload runs
+daily over the fact tables. Scale notes per query: bounded dims (region,
+nation, supplier) are broadcast; `part` and `customer` grow with SF so they
+join via shuffle and rely on AQE; every LIMIT carries a unique tiebreaker
+(driver hash is order-insensitive but LIMIT changes the row set).
+
+Rounding discipline per SURVEY.md §5.1 / the cross-engine tie rules:
+round only sums (many-term fp sums don't land on decimal ties the way
+avg() does), never `round(avg(double), k)`; ratios are emitted alongside
+their numerator/denominator so a sweep failure localizes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from time_series_spark_spark.queries import register
+from time_series_spark_spark.sources.io import load
+
+
+def _revenue() -> F.Column:
+    return F.col("l_extendedprice") * (1 - F.col("l_discount"))
+
+
+@register(
+    "q10_returned_revenue",
+    """
+    SELECT c.c_custkey, c.c_name, n.n_name,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+    FROM lineitem l
+    JOIN orders o   ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey  = c.c_custkey
+    JOIN nation n   ON c.c_nationkey = n.n_nationkey
+    WHERE l.l_returnflag = 'R'
+      AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o.o_orderdate <  TIMESTAMP '1997-01-01'
+    GROUP BY c.c_custkey, c.c_name, n.n_name
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 20
+    """,
+    doc="TPC-H Q10 adaptation: top customers by returned-item revenue. "
+    "C1 multi-join + D1 + G top-k; nation broadcast, fact joins shuffle.",
+)
+def q10_returned_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    orders = load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1997-01-01")
+    )
+    cust = load(spark, sf_dir, "customer")
+    nation = load(spark, sf_dir, "nation")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(F.round(F.sum(_revenue()), 2).alias("revenue"))
+        .orderBy(F.desc("revenue"), "c_custkey")
+        .limit(20)
+    )
+
+
+@register(
+    "q14_promo_revenue_share",
+    """
+    SELECT round(sum(CASE WHEN p.p_type = 'PROMO'
+                          THEN l.l_extendedprice * (1 - l.l_discount)
+                          ELSE 0 END), 2)                         AS promo_revenue,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2)  AS total_revenue,
+           round(100.0 * sum(CASE WHEN p.p_type = 'PROMO'
+                                  THEN l.l_extendedprice * (1 - l.l_discount)
+                                  ELSE 0 END)
+                       / sum(l.l_extendedprice * (1 - l.l_discount)), 2)
+                                                                  AS promo_share_pct
+    FROM lineitem l
+    JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE l.l_shipdate >= TIMESTAMP '1997-03-01'
+      AND l.l_shipdate <  TIMESTAMP '1997-04-01'
+    """,
+    doc="TPC-H Q14 adaptation: promo revenue share for one month. "
+    "B8 conditional agg inside D2 global agg over a C1 join; `part` "
+    "grows with SF so it is NOT broadcast-hinted (AQE decides).",
+)
+def q14_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1997-03-01") & (F.col("l_shipdate") < "1997-04-01")
+    )
+    part = load(spark, sf_dir, "part")
+    promo = F.when(F.col("p_type") == "PROMO", _revenue()).otherwise(F.lit(0.0))
+    return (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .agg(
+            F.round(F.sum(promo), 2).alias("promo_revenue"),
+            F.round(F.sum(_revenue()), 2).alias("total_revenue"),
+            F.round(100.0 * F.sum(promo) / F.sum(_revenue()), 2).alias(
+                "promo_share_pct"
+            ),
+        )
+    )
+
+
+@register(
+    "q18_large_volume_customers",
+    """
+    WITH big AS (
+        SELECT l_orderkey, sum(l_quantity) AS total_qty
+        FROM lineitem
+        GROUP BY l_orderkey
+        HAVING sum(l_quantity) > 150
+    )
+    SELECT c.c_custkey, c.c_name, o.o_orderkey, o.o_totalprice,
+           round(b.total_qty, 2) AS total_qty
+    FROM big b
+    JOIN orders o   ON b.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey  = c.c_custkey
+    ORDER BY o.o_totalprice DESC, o.o_orderkey
+    LIMIT 50
+    """,
+    doc="TPC-H Q18 adaptation: large-volume orders. Agg-HAVING subquery "
+    "joined back to facts — the agg shrinks lineitem to order grain "
+    "BEFORE the joins, so only the reduced set shuffles.",
+)
+def q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    orders = load(spark, sf_dir, "orders")
+    cust = load(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("raw_qty"))
+        .filter(F.col("raw_qty") > 150)
+    )
+    return (
+        big.join(orders, big.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .select(
+            "c_custkey",
+            "c_name",
+            "o_orderkey",
+            "o_totalprice",
+            F.round(F.col("raw_qty"), 2).alias("total_qty"),
+        )
+        .orderBy(F.desc("o_totalprice"), "o_orderkey")
+        .limit(50)
+    )
+
+
+@register(
+    "q19_disjunctive_part_revenue",
+    """
+    SELECT round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+           count(*) AS n_items
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 15
+           AND l.l_quantity BETWEEN 1 AND 11)
+       OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 10 AND 30
+           AND l.l_quantity BETWEEN 10 AND 20)
+       OR (p.p_brand = 'Brand#34' AND p.p_size BETWEEN 20 AND 50
+           AND l.l_quantity BETWEEN 20 AND 30)
+    """,
+    doc="TPC-H Q19 adaptation: disjunctive bracket predicates across the "
+    "join. Catalyst extracts the common p_partkey equi-key so this stays "
+    "a hash join with the OR as a residual filter, not a BNLJ.",
+)
+def q19_disjunctive_part_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    part = load(spark, sf_dir, "part")
+    joined = li.join(part, part.p_partkey == li.l_partkey)
+    bracket = (
+        (
+            (F.col("p_brand") == "Brand#12")
+            & F.col("p_size").between(1, 15)
+            & F.col("l_quantity").between(1, 11)
+        )
+        | (
+            (F.col("p_brand") == "Brand#23")
+            & F.col("p_size").between(10, 30)
+            & F.col("l_quantity").between(10, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#34")
+            & F.col("p_size").between(20, 50)
+            & F.col("l_quantity").between(20, 30)
+        )
+    )
+    return joined.filter(bracket).agg(
+        F.round(F.sum(_revenue()), 2).alias("revenue"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
+@register(
+    "market_share_by_year",
+    """
+    WITH rev AS (
+        SELECT r.r_name AS region, n.n_name AS nation,
+               year(o.o_orderdate) AS o_year,
+               sum(l.l_extendedprice * (1 - l.l_discount)) AS rev
+        FROM lineitem l
+        JOIN orders o   ON l.l_orderkey  = o.o_orderkey
+        JOIN customer c ON o.o_custkey   = c.c_custkey
+        JOIN nation n   ON c.c_nationkey = n.n_nationkey
+        JOIN region r   ON n.n_regionkey = r.r_regionkey
+        GROUP BY 1, 2, 3
+    )
+    SELECT region, nation, o_year,
+           round(rev, 2) AS revenue,
+           round(100.0 * rev / sum(rev) OVER (PARTITION BY region, o_year), 2)
+               AS share_pct
+    FROM rev
+    ORDER BY region, o_year, nation
+    """,
+    doc="TPC-H Q8 adaptation: each nation's revenue share within its "
+    "region per year. D1 agg feeding an E4 window share — the window "
+    "runs over the tiny aggregated set (|nation|x|year| rows), never "
+    "over the fact table.",
+)
+def market_share_by_year(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    orders = load(spark, sf_dir, "orders")
+    cust = load(spark, sf_dir, "customer")
+    nation = load(spark, sf_dir, "nation")
+    region = load(spark, sf_dir, "region")
+    rev = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy(
+            F.col("r_name").alias("region"),
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").alias("o_year"),
+        )
+        .agg(F.sum(_revenue()).alias("rev"))
+    )
+    w = Window.partitionBy("region", "o_year")
+    return rev.select(
+        "region",
+        "nation",
+        "o_year",
+        F.round(F.col("rev"), 2).alias("revenue"),
+        F.round(100.0 * F.col("rev") / F.sum("rev").over(w), 2).alias("share_pct"),
+    ).orderBy("region", "o_year", "nation")
+
+
+@register(
+    "mom_revenue_growth",
+    """
+    WITH m AS (
+        SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month,
+               sum(o_totalprice) AS rev
+        FROM orders
+        GROUP BY 1
+    )
+    SELECT month,
+           round(rev, 2) AS revenue,
+           round(rev - lag(rev) OVER (ORDER BY month), 2) AS mom_delta
+    FROM m
+    ORDER BY month
+    """,
+    doc="Month-over-month revenue delta: D1 time-bucket agg then E3 lag "
+    "over the aggregated series (~80 rows — the unpartitioned window is "
+    "safe because it never sees the fact table).",
+)
+def mom_revenue_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    m = orders.groupBy(F.date_trunc("month", "o_orderdate").alias("month")).agg(
+        F.sum("o_totalprice").alias("rev")
+    )
+    w = Window.orderBy("month")
+    return m.select(
+        "month",
+        F.round(F.col("rev"), 2).alias("revenue"),
+        F.round(F.col("rev") - F.lag("rev").over(w), 2).alias("mom_delta"),
+    ).orderBy("month")
