@@ -67,6 +67,17 @@ def test_asof_join_is_single_shuffle_no_join(spark):
     assert count_op(df, "Exchange") == 1
 
 
+def test_sessionize_summary_is_single_shuffle(spark):
+    """F5 session_summary: the groupBy(user_id, session_id) must reuse the
+    window's hash(user_id) exchange — HashPartitioning([user_id]) clusters
+    the superset key — so the whole pipeline is one shuffle + one sort.
+    A second exchange here would reshuffle every event row at 100 TB."""
+    df = _df(spark, "events_sessionize")
+    plan = executed_plan(df)
+    assert count_op(df, "Exchange") == 1
+    assert plan.count("+- Sort ") == 1
+
+
 def test_events_scan_prunes_unused_columns(spark):
     """events_hourly references ts/event_type/value only; props (the wide
     JSON column) must not be read."""
