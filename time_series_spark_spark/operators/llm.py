@@ -213,42 +213,98 @@ def minhash_lsh_pairs(
     text_col: str = "text",
     k: int = 3,
     threshold: float = 0.5,
-    num_hash_tables: int = 8,
-    num_features: int = 1 << 18,
+    num_perm: int = 64,
+    bands: int = 32,
     seed: int = 42,
 ) -> DataFrame:
-    """Approximate Jaccard similarity join via MinHashLSH
-    (shingle → binary HashingTF → minhash → band-bucket join).
+    """Approximate Jaccard similarity join via banded MinHash signatures.
 
-    Output: (id_a, id_b, jaccard_est) with id_a < id_b;
-    jaccard_est = 1 − LSH Jaccard distance. Fixed seed → deterministic.
+    shingle → ``num_perm`` independent seeded xxhash64 "permutations",
+    each reduced with a codegen ``min()`` aggregate (one hash-agg with 64
+    min columns — the explode feeds map-side partial aggregation, so raw
+    shingles never shuffle) → signature split into ``bands`` bands of
+    ``num_perm // bands`` rows → docs joined on (band_idx, band_hash) →
+    candidates verified with exact Jaccard (``array_intersect`` on the
+    full shingle sets) ≥ threshold.
+
+    AND-OR amplification: a pair with Jaccard J collides in ≥1 band with
+    p = 1 − (1 − J^r)^b (r = rows/band). The defaults (b=32, r=2) give
+    p ≈ 0.9999 at J = 0.5 and ≈ 0.003 at J = 0.01 — near-total recall at
+    the dedup threshold while truly-dissimilar pairs almost never become
+    candidates. ``pyspark.ml.feature.MinHashLSH.approxSimilarityJoin``
+    amplifies OR-only (r = 1), so at b=8 even J = 0.1 pairs collide 57%
+    of the time — its candidate set is quadratic-ish on any corpus with
+    mild broad similarity; this implementation replaced it with identical
+    output on the test corpora (6× at sf0.1, 28× on the 10× corpus,
+    scaling ratio 11.6× → 2.4× — see PERF.md).
+
+    Output: (id_a, id_b, jaccard_est) with id_a < id_b; jaccard_est is
+    the exact shingle-set Jaccard of the surviving pair (precision 1.0
+    by construction; recall is the banding curve above). Fixed seed →
+    deterministic.
     """
-    from pyspark.ml.feature import HashingTF, MinHashLSH
+    rows_per_band = num_perm // bands
+    if rows_per_band * bands != num_perm:
+        raise ValueError("num_perm must be divisible by bands")
 
-    sh = df.select(
-        F.col(id_col), shingle_set_udf(k)(text_col).alias("sh")
-    ).filter(F.size("sh") > 0)
-    tf = HashingTF(
-        inputCol="sh", outputCol="features", numFeatures=num_features, binary=True
+    sh = (
+        df.select(F.col(id_col), shingle_set_udf(k)(text_col).alias("sh"))
+        .filter(F.size("sh") > 0)
+        .withColumn("n_sh", F.size("sh"))
+        .persist()
     )
-    feats = tf.transform(sh)
-    mh = MinHashLSH(
-        inputCol="features",
-        outputCol="hashes",
-        numHashTables=num_hash_tables,
-        seed=seed,
+    ex = sh.select(id_col, F.explode("sh").alias("g"))
+    # permutation p = xxhash64(seed, p, shingle): an independent 64-bit
+    # hash per permutation, entirely inside whole-stage codegen and safe
+    # under ANSI mode (no overflow arithmetic); min() over it is the
+    # minhash. The explode feeds map-side partial aggregation, so the
+    # shuffle carries one 64-column signature row per (partition, doc).
+    sig = ex.groupBy(id_col).agg(
+        *[
+            F.min(F.xxhash64(F.lit(seed), F.lit(p), F.col("g"))).alias(f"m{p}")
+            for p in range(num_perm)
+        ]
     )
-    model = mh.fit(feats)
-    pairs = model.approxSimilarityJoin(
-        feats, feats, 1.0 - threshold, distCol="jd"
-    )
-    return (
-        pairs.filter(F.col(f"datasetA.{id_col}") < F.col(f"datasetB.{id_col}"))
-        .select(
-            F.col(f"datasetA.{id_col}").alias("id_a"),
-            F.col(f"datasetB.{id_col}").alias("id_b"),
-            F.round(1.0 - F.col("jd"), 6).alias("jaccard_est"),
+    band_cols = [
+        F.xxhash64(
+            *[F.col(f"m{b * rows_per_band + r}") for r in range(rows_per_band)]
         )
+        for b in range(bands)
+    ]
+    banded = sig.select(
+        id_col, F.posexplode(F.array(*band_cols)).alias("band", "bh")
+    )
+    cand = (
+        banded.select(F.col(id_col).alias("id_a"), "band", "bh")
+        .join(
+            banded.select(F.col(id_col).alias("id_b"), "band", "bh"),
+            ["band", "bh"],
+        )
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    verified = cand.join(
+        sh.select(
+            F.col(id_col).alias("id_a"),
+            F.col("sh").alias("sha"),
+            F.col("n_sh").alias("na"),
+        ),
+        "id_a",
+    ).join(
+        sh.select(
+            F.col(id_col).alias("id_b"),
+            F.col("sh").alias("shb"),
+            F.col("n_sh").alias("nb"),
+        ),
+        "id_b",
+    )
+    inter = F.size(F.array_intersect("sha", "shb"))
+    jac = inter.cast("double") / (F.col("na") + F.col("nb") - inter)
+    return (
+        verified.withColumn("jaccard_est", jac)
+        .filter(F.col("jaccard_est") >= threshold)
+        .select("id_a", "id_b", F.round("jaccard_est", 6).alias("jaccard_est"))
     )
 
 
