@@ -136,14 +136,28 @@ def ngram_jaccard_pairs(
     Jaccard ≥ τ must collide on at least one prefix shingle, so joining
     prefix×prefix generates a complete candidate set while frequent
     shingles (the quadratic blowup at corpus scale) mostly fall outside
-    prefixes. Candidates are then verified exactly with a codegen
+    prefixes. Two further PPJoin prunes run inside the candidate join:
+    the length filter (J ≥ τ needs set sizes within a factor of τ) and
+    the positional filter — a collision at prefix positions (i, j) can
+    contribute at most ``1 + min(|a|−i, |b|−j)`` total common shingles,
+    which must reach the overlap threshold ``⌈τ/(1+τ)·(|a|+|b|)⌉``.
+    Candidates are then verified exactly with a codegen
     ``array_intersect`` on the full shingle sets — no exploded
     join+group-by over every colliding pair. Output: (id_a, id_b,
     jaccard), id_a < id_b — identical to a brute-force inverted-index
     join, which the DuckDB oracle computes.
+
+    Everything after the shingling UDF runs on ``xxhash64`` int64
+    shingle ids, not strings: the explode/shuffle rows are 8-byte longs
+    and the verification intersect compares longs. A 64-bit collision
+    merging two distinct shingles has probability ~n²/2⁶⁵ (≈1e-9 at the
+    test corpus' 260k shingles) — negligible against the oracle.
     """
     sh = (
-        df.select(F.col(id_col), shingle_set_udf(k)(text_col).alias("sh"))
+        df.select(F.col(id_col), shingle_set_udf(k)(text_col).alias("sh0"))
+        .select(
+            id_col, F.expr("transform(sh0, x -> xxhash64(x))").alias("sh")
+        )
         .withColumn("n_sh", F.size("sh"))
         # this frame is consumed by 4 DAG branches (freq, prefix, and both
         # verify joins) — persist so shingling is computed once, not per
@@ -160,15 +174,26 @@ def ngram_jaccard_pairs(
         inv.join(freq, "g")
         .withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= prefix_len)
-        .select(id_col, "n_sh", "g")
+        .select(id_col, "n_sh", "rk", "g")
     )
-    # length filter: J(x,y) ≤ min/max of the set sizes, so J ≥ τ needs
-    # the sizes within a factor of τ — prunes candidates before distinct
+    # overlap threshold: J = I/(na+nb−I) ≥ τ  ⟺  I ≥ τ/(1+τ)·(na+nb)
+    min_overlap = F.ceil(
+        F.lit(threshold / (1.0 + threshold))
+        * (F.col("pna") + F.col("pnb"))
+    )
     cand = (
-        prefix.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("pna"), "g")
+        prefix.select(
+            F.col(id_col).alias("id_a"),
+            F.col("n_sh").alias("pna"),
+            F.col("rk").alias("ra"),
+            "g",
+        )
         .join(
             prefix.select(
-                F.col(id_col).alias("id_b"), F.col("n_sh").alias("pnb"), "g"
+                F.col(id_col).alias("id_b"),
+                F.col("n_sh").alias("pnb"),
+                F.col("rk").alias("rb"),
+                "g",
             ),
             "g",
         )
@@ -176,6 +201,16 @@ def ngram_jaccard_pairs(
             (F.col("id_a") < F.col("id_b"))
             & (F.col("pna") >= threshold * F.col("pnb"))
             & (F.col("pnb") >= threshold * F.col("pna"))
+            # positional filter: shingles common to both docs sit at
+            # rank ≥ ra in a and ≥ rb in b of the shared global order,
+            # so the overlap can't exceed 1 + min(remaining positions)
+            & (
+                F.lit(1)
+                + F.least(
+                    F.col("pna") - F.col("ra"), F.col("pnb") - F.col("rb")
+                )
+                >= min_overlap
+            )
         )
         .select("id_a", "id_b")
         .distinct()
