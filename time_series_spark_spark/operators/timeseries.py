@@ -349,7 +349,15 @@ def ewma(
     ``pandas.Series.ewm(alpha=..., adjust=True).mean()``. Recursive state →
     grouped-map pandas UDF (SURVEY.md §2 E8). Groups are single series;
     filters/projections must be applied by the caller *before* this call
-    (Python UDF = optimization barrier, SURVEY.md §4.3)."""
+    (Python UDF = optimization barrier, SURVEY.md §4.3).
+
+    Deliberately NOT a window-function formula: adjust=True EWM does
+    admit the closed form y_t = Σ(x_i·w⁻ⁱ)/Σ(w⁻ⁱ) over running sums
+    (the w^t factors cancel), but w⁻ⁱ = (1−α)⁻ⁱ overflows float64 after
+    ~2k rows per series (1.43²⁰⁰⁰ ≈ 10³¹⁰ at α=0.3), so the "free"
+    codegen version silently breaks on exactly the long series a 100 TB
+    deployment has. The UDF is O(series) per group and embarrassingly
+    parallel across keys."""
     import pandas as pd  # noqa: F401
 
     schema_fields = ", ".join(
