@@ -50,6 +50,24 @@ def test_minhash_lsh_recall(docs, true_pairs):
     assert recall >= 0.9
 
 
+def test_minhash_lsh_recall_tau08(docs):
+    """Second-threshold recall guard (τ=0.8): protects the banding
+    parameters (b=32, r=2 → collision p ≈ 1−(1−J²)³² ≈ 1.0 at J=0.8)
+    against future retuning that would keep the τ=0.4 bar but lose the
+    high-similarity regime."""
+    exact08 = {
+        (r.id_a, r.id_b)
+        for r in ngram_jaccard_pairs(docs, threshold=0.8).collect()
+    }
+    assert len(exact08) >= 3  # corpus plants high-overlap dups too
+    got = {
+        (r.id_a, r.id_b)
+        for r in minhash_lsh_pairs(docs, threshold=0.8).collect()
+    }
+    recall = len(got & exact08) / len(exact08)
+    assert recall >= 0.9
+
+
 def test_simhash_recall_and_precision(docs, true_pairs):
     got = {
         (r.id_a, r.id_b)

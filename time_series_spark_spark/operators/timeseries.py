@@ -208,52 +208,54 @@ def asof_join(
     how many right rows precede each left row.
     """
     rts = f"{right_ts}{suffix}" if right_ts == left_ts or right_ts in left.columns else right_ts
+    out_right_cols = [f"{c}{suffix}" if c in left.columns else c for c in right_cols]
+    # All right columns travel in ONE struct so the window fill can never
+    # stitch values from different right rows (true as-of semantics: the
+    # single matched row's columns, even when some of them are NULL).
     r = right.select(
         F.col(key),
         F.col(right_ts).alias("_ts"),
         F.lit(0).alias("_side"),
-        F.col(right_ts).alias(rts),
-        *[F.col(c).alias(f"{c}{suffix}" if c in left.columns else c) for c in right_cols],
+        F.struct(
+            F.col(right_ts).alias(rts),
+            *[
+                F.col(c).alias(a)
+                for c, a in zip(right_cols, out_right_cols)
+            ],
+        ).alias("_r"),
     )
-    out_right_cols = [f"{c}{suffix}" if c in left.columns else c for c in right_cols]
     l = left.select(
         F.col(key),
         F.col(left_ts).alias("_ts"),
         F.lit(1).alias("_side"),
-        F.lit(None).cast(r.schema[rts].dataType).alias(rts),
-        *[
-            F.lit(None).cast(r.schema[c].dataType).alias(c)
-            for c in out_right_cols
-        ],
+        F.lit(None).cast(r.schema["_r"].dataType).alias("_r"),
         *[F.col(c) for c in left.columns if c not in (key,)],
     )
-    merged = r.select(*[F.col(c) for c in l.columns if c in r.columns]).unionByName(
-        l, allowMissingColumns=True
-    )
-    # rights sort before lefts at equal ts so an equal-ts right row matches
+    merged = r.unionByName(l, allowMissingColumns=True)
+    # rights sort before lefts at equal ts so an equal-ts right row matches;
+    # among equal-ts right rows the struct itself is the deterministic
+    # tiebreaker (last in struct order wins — fixed regardless of shuffle
+    # nondeterminism).
     w = (
         Window.partitionBy(key)
-        .orderBy(F.col("_ts"), F.col("_side"))
+        .orderBy(F.col("_ts"), F.col("_side"), F.col("_r"))
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     filled = merged.select(
-        "*",
-        *[
-            F.last(c, ignorenulls=True).over(w).alias(f"_f_{c}")
-            for c in [rts, *out_right_cols]
-        ],
+        "*", F.last("_r", ignorenulls=True).over(w).alias("_fr")
     )
     out = filled.filter(F.col("_side") == 1)
     if tolerance_seconds is not None:
         within = (
-            F.col("_ts").cast("double") - F.col(f"_f_{rts}").cast("double")
+            F.col("_ts").cast("double")
+            - F.col("_fr")[rts].cast("double")
         ) <= F.lit(float(tolerance_seconds))
         sel = [
-            F.when(within, F.col(f"_f_{c}")).alias(c)
+            F.when(within, F.col("_fr")[c]).alias(c)
             for c in [rts, *out_right_cols]
         ]
     else:
-        sel = [F.col(f"_f_{c}").alias(c) for c in [rts, *out_right_cols]]
+        sel = [F.col("_fr")[c].alias(c) for c in [rts, *out_right_cols]]
     keep_left = [
         F.col(c) for c in left.columns if c != left_ts and c != key
     ]

@@ -387,7 +387,10 @@ def emb_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def emb_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(
-        load(spark, sf_dir, "embeddings"), k=5, n_queries=10
+        load(spark, sf_dir, "embeddings"),
+        k=5,
+        n_queries=10,
+        quantizer_key=f"embeddings:{sf_dir}",
     ).orderBy("query_id", "rk")
 
 
@@ -448,7 +451,7 @@ def docs_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT count(*)                                   AS n_docs,
            count(DISTINCT h)                          AS n_unique,
            count(DISTINCT lang)                       AS n_langs,
-           sum(n_tokens)                              AS total_tokens,
+           CAST(sum(n_tokens) AS BIGINT)              AS total_tokens,
            round(avg(n_tokens), 4)                    AS avg_tokens,
            round(avg(n_chars), 4)                     AS avg_chars,
            min(n_tokens)                              AS min_tokens,

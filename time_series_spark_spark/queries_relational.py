@@ -517,13 +517,18 @@ def minby_maxby_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     "collect_sorted_nations",
     """
     SELECT r.r_name,
-           list_sort(list(n.n_name)) AS nations,
-           count(*)                  AS n_nations
+           array_to_string(list_sort(list(n.n_name)), ',') AS nations,
+           count(*)                                        AS n_nations
     FROM region r JOIN nation n ON n.n_regionkey = r.r_regionkey
     GROUP BY r.r_name
     ORDER BY r.r_name
     """,
-    doc="D8 collect_list + sort_array for deterministic array aggs",
+    doc=(
+        "D8 collect_list + sort_array for deterministic array aggs. The sorted "
+        "array is joined to a CSV string so the driver's canonicalizer (pandas "
+        "sort_values cannot factorize ndarray cells) sees only scalars; the "
+        "sort_array step still exercises the D8 semantics end-to-end."
+    ),
 )
 def collect_sorted_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
     region = load(spark, sf_dir, "region")
@@ -532,7 +537,7 @@ def collect_sorted_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
         nation.join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
         .groupBy("r_name")
         .agg(
-            F.sort_array(F.collect_list("n_name")).alias("nations"),
+            F.array_join(F.sort_array(F.collect_list("n_name")), ",").alias("nations"),
             F.count(F.lit(1)).alias("n_nations"),
         )
         .orderBy("r_name")
@@ -1084,14 +1089,21 @@ def array_funcs_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     "json_funcs_events",
     """
     SELECT event_type,
-           count(*)                                       AS n,
-           sum(CAST(props->>'k' AS BIGINT))               AS sum_k,
-           round(avg(CAST(props->>'k' AS BIGINT)), 4)     AS avg_k
+           count(*)                                          AS n,
+           CAST(sum(CAST(props->>'k' AS BIGINT)) AS BIGINT)  AS sum_k,
+           CAST(sum(CAST(props->>'k' AS BIGINT)) AS DOUBLE) / count(*) AS avg_k
     FROM events
     GROUP BY event_type
     ORDER BY event_type
     """,
-    doc="I JSON extraction from string column (events.props)",
+    doc=(
+        "I JSON extraction from string column (events.props). Oracle hygiene: "
+        "DuckDB sum(BIGINT) is HUGEINT, so it is cast back to BIGINT to match "
+        "Spark's long; the mean is an explicit sum/count double division (exact "
+        "IEEE op on integer-valued operands) on BOTH sides instead of "
+        "round(avg(...), k), per the cross-engine rounding rule in "
+        "queries_composite.py."
+    ),
 )
 def json_funcs_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     k = F.get_json_object("props", "$.k").cast("long")
@@ -1102,7 +1114,7 @@ def json_funcs_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("n"),
             F.sum("k").alias("sum_k"),
-            F.round(F.avg("k"), 4).alias("avg_k"),
+            (F.sum("k").cast("double") / F.count(F.lit(1))).alias("avg_k"),
         )
         .orderBy("event_type")
     )

@@ -63,7 +63,7 @@ def udf_value_band_row(spark: SparkSession, sf_dir: str) -> DataFrame:
     "udf_token_count_pandas",
     """
     SELECT lang,
-           sum(len(string_split(text, ' ')))  AS total_tokens,
+           CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
            max(len(string_split(text, ' ')))  AS max_tokens
     FROM documents
     GROUP BY lang
@@ -126,17 +126,22 @@ def udf_embedding_norm_iter(spark: SparkSession, sf_dir: str) -> DataFrame:
                list_transform(generate_series(1, len(t) - 2),
                               i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]) AS sh
         FROM (SELECT doc_id, string_split(text, ' ') AS t
-              FROM documents WHERE doc_id < 30)
+              FROM documents
+              WHERE doc_id < 30 AND len(string_split(text, ' ')) >= 3)
     )
     """,
     doc="L8 Python UDTF: word-3-gram table function applied via LATERAL, "
-    "shingle counts re-aggregated JVM-side",
+    "shingle counts re-aggregated JVM-side. Docs under 3 tokens are "
+    "filtered EXPLICITLY on both sides: Spark's inner LATERAL silently "
+    "drops zero-row UDTF inputs while the DuckDB subquery would emit "
+    "n_shingles=0 for them — pinning the filter makes the exclusion a "
+    "stated semantic rather than a corpus accident.",
 )
 def udtf_doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     spark.udtf.register("shingles_udtf", ShinglesUDTF)
-    load(spark, sf_dir, "documents").filter(F.col("doc_id") < 30).select(
-        "doc_id", "text"
-    ).createOrReplaceTempView("_udtf_docs")
+    load(spark, sf_dir, "documents").filter(
+        (F.col("doc_id") < 30) & (F.size(F.split("text", " ")) >= 3)
+    ).select("doc_id", "text").createOrReplaceTempView("_udtf_docs")
     return spark.sql(
         """
         SELECT d.doc_id,

@@ -49,11 +49,23 @@ def _package_zip() -> str:
     return _PKG_ZIP
 
 
+_SHIPPED_CONTEXTS: set[str] = set()
+
+
 def ship_package(spark: SparkSession) -> None:
-    try:
-        spark.sparkContext.addPyFile(_package_zip())
-    except Exception:
-        pass  # already added in this session
+    """Ship the package zip to executors (idempotent per SparkContext).
+
+    A genuine zip/addPyFile failure propagates — swallowing it would only
+    resurface later as an opaque ModuleNotFoundError inside executor UDF
+    workers. Only the benign already-added case is suppressed, tracked by
+    a per-context flag rather than exception sniffing.
+    """
+    sc = spark.sparkContext
+    ctx_id = sc.applicationId
+    if ctx_id in _SHIPPED_CONTEXTS:
+        return
+    sc.addPyFile(_package_zip())
+    _SHIPPED_CONTEXTS.add(ctx_id)
 
 
 def default_parallelism() -> int:
