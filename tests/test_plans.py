@@ -49,10 +49,14 @@ def test_forecast_two_stage_shuffle_shape(spark):
     then once more to regroup the *aggregated* series — tiny — by series
     key for the grouped-map UDF. A single-shuffle variant would partition
     the raw fact table by the coarse series key (3 values) — catastrophic
-    skew at scale — so two exchanges is the correct plan, not a smell."""
+    skew at scale — so two exchanges is the correct plan, not a smell.
+    The UDF stage is the packed MapInPandas (operators/packed.py), not a
+    per-group FlatMapGroupsInPandas — that per-series dispatch was the
+    wide-workload bottleneck."""
     df = _df(spark, "forecast_daily_revenue")
     plan = executed_plan(df)
-    assert "FlatMapGroupsInPandas" in plan
+    assert "MapInPandas" in plan
+    assert "FlatMapGroupsInPandas" not in plan
     assert count_op(df, "Exchange") == 2
     assert count_op(df, "partial_sum") >= 1  # map-side combine before shuffle
 

@@ -10,14 +10,16 @@ deltas standing in for Prophet's Laplace MAP prior — and uncertainty
 intervals come from in-sample residual quantiles, widened linearly along
 the horizon.
 
-Execution model (SURVEY.md §3.3): one ``groupBy(keys).applyInPandas`` —
-Spark shuffles each series to one executor-local pandas frame, the numpy
-fit runs per group in the Python worker (Arrow both ways), and the
-returned forecast frame continues JVM-side. The UDF is an optimization
-barrier: callers must filter/project *before* calling (§4.3). At 100 TB
-the shuffle partitioning tracks series count; a hot series should be
-horizon-split or salted upstream — the fit itself is O(n·p²) per series
-and embarrassingly parallel across series.
+Execution model (SURVEY.md §3.3): one hash shuffle on the series keys,
+then the numpy fit runs in Python workers over *packed* Arrow batches
+(``operators/packed.py``) — thousands of complete series share one UDF
+invocation instead of one applyInPandas round trip per series, which
+dominated wall time on wide workloads (1 500 one-user series at sf0.1:
+9.5 s → ~1 s). The UDF is an optimization barrier: callers must
+filter/project *before* calling (§4.3). At 100 TB the shuffle
+partitioning tracks series count; a hot series should be horizon-split
+or salted upstream — the fit itself is O(n·p²) per series and
+embarrassingly parallel across series.
 """
 
 from __future__ import annotations
@@ -26,6 +28,8 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+from time_series_spark_spark.operators.packed import packed_grouped_map
 
 
 def _fourier(t_days: np.ndarray, period: float, order: int) -> np.ndarray:
@@ -165,21 +169,30 @@ def forecast(
         "yhat_lower double, yhat_upper double"
     )
 
-    def _fit(pdf: pd.DataFrame) -> pd.DataFrame:
-        out = fit_forecast_series(
-            pdf[ds_col].to_numpy(),
-            pdf[y_col].to_numpy(),
-            horizon,
-            freq_days,
-            **fit_kwargs,
-        )
-        for k in keys:
-            out[k] = pdf[k].iloc[0]
-        return out[[*keys, "ds", "yhat", "yhat_lower", "yhat_upper"]]
+    def _fit_batch(pdf: pd.DataFrame) -> pd.DataFrame:
+        # Packed batch: many complete series per invocation (see
+        # operators/packed.py) — the per-series numpy fit is the cost,
+        # not the dispatch. Explicit loop over groups; per-series frames
+        # are tiny so groupby overhead is pandas-level, not Spark-level.
+        outs = []
+        for kv, g in pdf.groupby(keys, sort=False):
+            out = fit_forecast_series(
+                g[ds_col].to_numpy(),
+                g[y_col].to_numpy(),
+                horizon,
+                freq_days,
+                **fit_kwargs,
+            )
+            if not isinstance(kv, tuple):
+                kv = (kv,)
+            for k, v in zip(keys, kv):
+                out[k] = v
+            outs.append(out[[*keys, "ds", "yhat", "yhat_lower", "yhat_upper"]])
+        return pd.concat(outs, ignore_index=True)
 
     # project early: the UDF is a pushdown barrier (SURVEY.md §4.3)
     slim = df.select(*keys, ds_col, y_col)
-    return slim.groupBy(*keys).applyInPandas(_fit, schema)
+    return packed_grouped_map(slim, keys, [ds_col], _fit_batch, schema)
 
 
 def backtest(

@@ -1,0 +1,79 @@
+"""Packed grouped-map: many small groups per Arrow batch.
+
+``df.groupBy(keys).applyInPandas(fn)`` ships ONE Arrow batch and one
+Python-function invocation PER GROUP. For wide workloads — one short
+series per user, millions of keys at 100 TB — the per-group round trip
+(Arrow serialization, pandas DataFrame construction, UDF dispatch)
+dominates the actual per-series compute by 10-100×.
+
+``packed_grouped_map`` keeps the same single hash shuffle but streams
+each partition through ``mapInPandas`` in bounded Arrow batches
+(``spark.sql.execution.arrow.maxRecordsPerBatch`` rows), so thousands of
+groups share one Python invocation and the per-group cost falls to a
+pandas-level groupby step. Groups that straddle a batch boundary are
+carried over to the next batch, so memory is O(batch + largest group),
+never O(partition) — the property that keeps this shape viable on a
+1000-executor cluster where a partition can hold millions of rows.
+
+Contract: rows for one key combination land in one partition
+(``repartition(keys)``) and arrive key-contiguous and order-sorted
+(``sortWithinPartitions(keys + order_cols)``); ``apply_fn`` receives a
+pandas DataFrame holding only COMPLETE groups, pre-sorted, and may
+return any number of rows matching ``schema``.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+
+
+def packed_grouped_map(
+    df: DataFrame,
+    keys: list[str],
+    order_cols: list[str],
+    apply_fn: Callable[[pd.DataFrame], pd.DataFrame],
+    schema: str,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Grouped map over key-packed Arrow batches (see module docstring).
+
+    ``apply_fn(pdf) -> pdf`` sees ≥1 complete groups sorted by
+    ``keys + order_cols``; it must handle every group in ``pdf``
+    (e.g. via ``pdf.groupby(keys, sort=False)``).
+    """
+    parted = (
+        df.repartition(num_partitions, *keys)
+        if num_partitions
+        else df.repartition(*keys)
+    ).sortWithinPartitions(*keys, *order_cols)
+
+    def _trailing_group_len(pdf: pd.DataFrame) -> int:
+        """Rows of the final key at the tail of a key-sorted frame."""
+        tail = np.ones(len(pdf), dtype=bool)
+        last = pdf.iloc[-1]
+        for k in keys:
+            tail &= pdf[k].to_numpy() == last[k]
+        rev = tail[::-1]
+        return len(pdf) if rev.all() else int(np.argmin(rev))
+
+    def _mapper(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        pending: pd.DataFrame | None = None
+        for pdf in batches:
+            if pending is not None and len(pending):
+                pdf = pd.concat([pending, pdf], ignore_index=True)
+                pending = None
+            if not len(pdf):
+                continue
+            split = len(pdf) - _trailing_group_len(pdf)
+            # the tail group may continue in the next batch — hold it back
+            pending = pdf.iloc[split:].reset_index(drop=True)
+            if split:
+                yield apply_fn(pdf.iloc[:split].reset_index(drop=True))
+        if pending is not None and len(pending):
+            yield apply_fn(pending)
+
+    return parted.mapInPandas(_mapper, schema)

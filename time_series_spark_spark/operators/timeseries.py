@@ -358,21 +358,32 @@ def ewma(
     (the w^t factors cancel), but w⁻ⁱ = (1−α)⁻ⁱ overflows float64 after
     ~2k rows per series (1.43²⁰⁰⁰ ≈ 10³¹⁰ at α=0.3), so the "free"
     codegen version silently breaks on exactly the long series a 100 TB
-    deployment has. The UDF is O(series) per group and embarrassingly
-    parallel across keys."""
-    import pandas as pd  # noqa: F401
+    deployment has.
+
+    Wide workloads (millions of short per-key series) are the common case,
+    so the UDF runs through :func:`packed_grouped_map` — one hash shuffle,
+    thousands of series per Arrow batch, cython ``GroupBy.ewm`` inside the
+    batch — instead of one applyInPandas round trip per key (measured 6.6 s
+    → packed at sf0.1's 1 500 users; the per-group dispatch dominated)."""
+    from time_series_spark_spark.operators.packed import packed_grouped_map
 
     schema_fields = ", ".join(
         f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields
     )
     schema = f"{schema_fields}, {out_col} double"
+    cols = [f.name for f in df.schema.fields]
 
-    def _ewma(pdf):
-        pdf = pdf.sort_values(order_col)
-        pdf[out_col] = pdf[value_col].ewm(alpha=alpha, adjust=True).mean()
+    def _ewma_packed(pdf):
+        # pdf arrives sorted by keys+order; ewm result carries the original
+        # row index in its last level — align by index, order-independent.
+        ew = pdf.groupby(keys, sort=False)[value_col].ewm(
+            alpha=alpha, adjust=True
+        ).mean()
+        pdf = pdf[cols].copy()
+        pdf[out_col] = ew.reset_index(level=list(range(len(keys))), drop=True)
         return pdf
 
-    return df.groupBy(*keys).applyInPandas(_ewma, schema)
+    return packed_grouped_map(df, keys, [order_col], _ewma_packed, schema)
 
 
 # --------------------------------------------------------------------------
