@@ -1,0 +1,76 @@
+"""connected_components / dup_clusters (operators/graph.py) vs union-find.
+
+The Spark implementation is iterative label propagation with pointer
+jumping; the test oracle is a 20-line driver-side union-find — any
+disagreement on component membership fails. Shapes covered: clique,
+long path (worst case for plain propagation — exercises the jump step),
+two merged stars, singletons, and a seeded random graph.
+"""
+
+from __future__ import annotations
+
+import random
+
+import pyspark.sql.functions as F
+
+from time_series_spark_spark.operators.graph import connected_components, dup_clusters
+
+
+def _union_find(pairs):
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    # canonical min-id labels
+    return {x: find(x) for x in parent}
+
+
+def _check(spark, pairs):
+    df = spark.createDataFrame(pairs, "id_a long, id_b long")
+    got = {
+        r["id"]: r["component"]
+        for r in connected_components(df).collect()
+    }
+    exp = _union_find(pairs)
+    # union-find roots are min ids because unions always hang the larger root
+    assert got == exp
+
+
+def test_path_graph_needs_pointer_jumping(spark):
+    # a 40-node path: plain min-propagation needs ~40 rounds; hook+jump
+    # must finish within the operator's max_iter=25
+    _check(spark, [(i, i + 1) for i in range(40)])
+
+
+def test_clique_and_stars(spark):
+    clique = [(a, b) for a in range(100, 105) for b in range(100, 105) if a < b]
+    stars = [(0, i) for i in range(1, 6)] + [(50, i) for i in range(51, 56)] + [(5, 55)]
+    _check(spark, clique + stars)
+
+
+def test_random_graph_matches_union_find(spark):
+    rng = random.Random(7)
+    pairs = [
+        (rng.randrange(60), rng.randrange(60)) for _ in range(80)
+    ]
+    pairs = [(a, b) for a, b in pairs if a != b]
+    _check(spark, pairs)
+
+
+def test_dup_clusters_keep_list(spark):
+    docs = spark.range(10).withColumnRenamed("id", "doc_id")
+    pairs = spark.createDataFrame([(1, 4), (4, 7), (2, 9)], "id_a long, id_b long")
+    out = dup_clusters(docs, pairs).orderBy("doc_id").collect()
+    cluster = {r["doc_id"]: r["cluster_id"] for r in out}
+    assert cluster == {0: 0, 1: 1, 2: 2, 3: 3, 4: 1, 5: 5, 6: 6, 7: 1, 8: 8, 9: 2}
+    keep = sorted(r["doc_id"] for r in out if r["is_canonical"])
+    assert keep == [0, 1, 2, 3, 5, 6, 8]

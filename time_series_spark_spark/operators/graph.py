@@ -1,0 +1,132 @@
+"""Connected components on a pair graph (duplicate-cluster resolution).
+
+Near-dup detection (operators/llm.py K2) emits PAIRS; a curation pipeline
+needs CLUSTERS — "these 17 docs are all the same article" — and one
+canonical representative per cluster to keep. Pair→cluster is connected
+components over the similarity graph.
+
+Algorithm: iterated min-label propagation with a pointer-jumping step
+(the hook + shortcut pattern of Shiloach & Vishkin 1982, the same
+primitive behind the MapReduce CC algorithms of Kiveris et al., KDD'14
+"Connected Components in MapReduce and Beyond"). Each round:
+
+  hook:  l(u) ← min(l(u), min over neighbors v of l(v))   — 2 shuffles
+  jump:  l(u) ← l(l(u))                                    — 1 shuffle
+
+Pointer jumping halves the depth of the label-pointer forest each round,
+so convergence is O(log n) rounds even on path-shaped components (plain
+propagation needs O(diameter)). Duplicate graphs are near-cliques and
+typically converge in 2-3 rounds.
+
+Scale posture: everything is DataFrame joins/aggregations — no driver
+materialization of nodes or edges; the driver holds only the per-round
+convergence scalar. Labels decrease monotonically, so the fixpoint test
+"sum of labels unchanged" (computed as decimal(38,0) — immune to int64
+overflow at any node count) is exact, not heuristic. Lineage is cut with
+localCheckpoint each round; on a real cluster configure a checkpoint dir
+and swap in ``checkpoint()`` for executor-failure resilience.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    pairs: DataFrame,
+    src_col: str = "id_a",
+    dst_col: str = "id_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Resolve components of the undirected pair graph.
+
+    Returns ``(id long, component long)`` — one row per node appearing in
+    ``pairs``, ``component`` = smallest node id reachable from ``id``.
+    """
+    edges = pairs.select(
+        F.col(src_col).cast("long").alias("src"),
+        F.col(dst_col).cast("long").alias("dst"),
+    )
+    # symmetrize once; dropDuplicates keeps the per-node neighbor scan tight
+    edges = (
+        edges.union(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .filter(F.col("src") != F.col("dst"))
+        .dropDuplicates(["src", "dst"])
+        .localCheckpoint()
+    )
+
+    labels = (
+        edges.select(F.col("src").alias("id"))
+        .distinct()
+        .withColumn("label", F.col("id"))
+        .localCheckpoint()
+    )
+
+    def _label_sum(lbl: DataFrame):
+        return lbl.agg(
+            F.sum(F.col("label").cast("decimal(38,0)")).alias("s")
+        ).collect()[0]["s"]
+
+    prev_sum = _label_sum(labels)
+    for _ in range(max_iter):
+        # hook: pull the min label across each node's neighborhood
+        nbr_min = (
+            edges.join(labels, edges.dst == labels.id)
+            .groupBy("src")
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        hooked = (
+            labels.join(nbr_min, labels.id == nbr_min.src, "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
+                ).alias("label"),
+            )
+        )
+        # jump: l(u) <- l(l(u)); a label is always a node id, so the
+        # self-join resolves one pointer hop for every node at once
+        parent = hooked.select(
+            F.col("id").alias("p_id"), F.col("label").alias("p_label")
+        )
+        labels = (
+            hooked.join(parent, hooked.label == parent.p_id, "left")
+            .select(
+                "id",
+                F.coalesce(F.col("p_label"), F.col("label")).alias("label"),
+            )
+            .localCheckpoint()
+        )
+        cur_sum = _label_sum(labels)
+        if cur_sum == prev_sum:  # labels only decrease -> exact fixpoint
+            break
+        prev_sum = cur_sum
+
+    return labels.select("id", F.col("label").alias("component"))
+
+
+def dup_clusters(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    src_col: str = "id_a",
+    dst_col: str = "id_b",
+) -> DataFrame:
+    """Per-document cluster assignment + canonical flag (the dedup keep-list).
+
+    Every doc appears once: members of a duplicate cluster carry the
+    cluster's min doc_id as ``cluster_id``; singletons are their own
+    cluster. ``is_canonical`` marks the one row per cluster to keep —
+    deterministic (min id), so reruns keep the same representatives.
+    """
+    comp = connected_components(pairs, src_col, dst_col)
+    base = docs.select(F.col(id_col).cast("long").alias(id_col))
+    return (
+        base.join(comp, base[id_col] == comp.id, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("component"), F.col(id_col)).alias("cluster_id"),
+        )
+        .withColumn("is_canonical", F.col(id_col) == F.col("cluster_id"))
+    )

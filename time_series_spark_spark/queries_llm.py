@@ -28,6 +28,7 @@ from time_series_spark_spark.operators.llm import (
     tokens,
     winnow_fingerprints,
 )
+from time_series_spark_spark.operators.graph import dup_clusters
 from time_series_spark_spark.queries import register
 from time_series_spark_spark.sources.io import load
 
@@ -287,6 +288,56 @@ def docs_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_jaccard_pairs(
         load(spark, sf_dir, "documents"), k=3, threshold=0.5
     )
+
+
+@register(
+    "docs_dup_clusters",
+    """
+    WITH RECURSIVE s AS (
+        SELECT doc_id,
+               list_distinct(list_transform(
+                   generate_series(1, len(t) - 2),
+                   i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS sh
+        FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
+    ),
+    x AS (SELECT doc_id, len(sh) AS n_sh, unnest(sh) AS g FROM s),
+    p AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               a.n_sh AS na, b.n_sh AS nb, count(*) AS inter
+        FROM x a JOIN x b ON a.g = b.g AND a.doc_id < b.doc_id
+        GROUP BY 1, 2, 3, 4
+    ),
+    dup AS (
+        SELECT id_a, id_b FROM p
+        WHERE CAST(inter AS DOUBLE) / (na + nb - inter) >= 0.5
+    ),
+    edges AS (
+        SELECT id_a AS src, id_b AS dst FROM dup
+        UNION
+        SELECT id_b AS src, id_a AS dst FROM dup
+    ),
+    reach AS (
+        SELECT DISTINCT src AS id, src AS r FROM edges
+        UNION
+        SELECT reach.id, e.dst FROM reach JOIN edges e ON e.src = reach.r
+    ),
+    comp AS (SELECT id, min(r) AS cluster_id FROM reach GROUP BY id)
+    SELECT d.doc_id,
+           coalesce(c.cluster_id, d.doc_id) AS cluster_id,
+           coalesce(c.cluster_id, d.doc_id) = d.doc_id AS is_canonical
+    FROM documents d LEFT JOIN comp c ON c.id = d.doc_id
+    ORDER BY d.doc_id
+    """,
+    doc="K2 duplicate-CLUSTER resolution: exact 3-gram Jaccard pairs "
+    "(threshold 0.5) -> connected components (hook + pointer-jump label "
+    "propagation, operators/graph.py) -> per-doc cluster id + canonical "
+    "keep flag. The oracle recomputes reachability with a recursive CTE "
+    "(min reachable doc_id per node).",
+)
+def docs_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, k=3, threshold=0.5)
+    return dup_clusters(docs, pairs).orderBy("doc_id")
 
 
 @register(
