@@ -210,7 +210,8 @@ def backtest(
     For each cutoff, fit on history ``ds <= cutoff`` and score the next
     ``horizon`` steps against held-out actuals. All folds for one series
     run locally inside a single grouped-map call — one shuffle total,
-    fold-looping is executor-local (cheaper than one Spark job per fold).
+    fold-looping is executor-local (cheaper than one Spark job per fold);
+    series are packed many-per-Arrow-batch like :func:`forecast`.
 
     Output: one row per (series, cutoff) with MAE/RMSE/coverage.
     """
@@ -225,8 +226,7 @@ def backtest(
     )
     cutoff_ts = [np.datetime64(c) for c in cutoffs]
 
-    def _bt(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(ds_col)
+    def _bt_one(pdf: pd.DataFrame) -> pd.DataFrame:
         ds = pdf[ds_col].to_numpy().astype("datetime64[us]")
         y = pdf[y_col].to_numpy().astype(float)
         rows = []
@@ -257,15 +257,23 @@ def backtest(
                     ),
                 }
             )
-        out = pd.DataFrame(
+        return pd.DataFrame(
             rows, columns=["cutoff", "n_test", "mae", "rmse", "coverage"]
         )
-        for k in keys:
-            out[k] = pdf[k].iloc[0] if len(pdf) else None
-        return out[[*keys, "cutoff", "n_test", "mae", "rmse", "coverage"]]
+
+    def _bt_batch(pdf: pd.DataFrame) -> pd.DataFrame:
+        outs = []
+        for kv, g in pdf.groupby(keys, sort=False):
+            out = _bt_one(g)
+            if not isinstance(kv, tuple):
+                kv = (kv,)
+            for k, v in zip(keys, kv):
+                out[k] = v
+            outs.append(out[[*keys, "cutoff", "n_test", "mae", "rmse", "coverage"]])
+        return pd.concat(outs, ignore_index=True)
 
     slim = df.select(*keys, ds_col, y_col)
-    return slim.groupBy(*keys).applyInPandas(_bt, schema)
+    return packed_grouped_map(slim, keys, [ds_col], _bt_batch, schema)
 
 
 def daily_series(
