@@ -19,6 +19,8 @@ from time_series_spark_spark.sources.io import (
     load,
     read_csv,
     read_json,
+    read_orc,
+    write_orc,
     write_parquet,
 )
 
@@ -114,6 +116,26 @@ def test_partitioned_parquet_sink(spark, tmp_path):
     pruned = spark.read.parquet(out).filter(F.col("l_returnflag") == "A")
     expect = li.filter(F.col("l_returnflag") == "A").count()
     assert pruned.count() == expect
+
+
+def test_orc_roundtrip_partitioned(spark, tmp_path):
+    """A2b/A4c: ORC round-trip preserves rows, partitionBy layout exists on
+    disk, and a partition-filtered read prunes to that partition."""
+    import os
+
+    out = str(tmp_path / "orc_by_flag")
+    li = load(spark, SF, "lineitem").select(
+        "l_orderkey", "l_quantity", "l_returnflag"
+    )
+    write_orc(li, out, partition_by=["l_returnflag"])
+    parts = {p for p in os.listdir(out) if p.startswith("l_returnflag=")}
+    assert parts == {"l_returnflag=A", "l_returnflag=N", "l_returnflag=R"}
+    back = read_orc(spark, out)
+    assert sorted(map(tuple, back.select(*li.columns).collect())) == sorted(
+        map(tuple, li.collect())
+    )
+    pruned = back.filter(F.col("l_returnflag") == "A")
+    assert pruned.count() == li.filter(F.col("l_returnflag") == "A").count()
 
 
 def test_events_nanos_shim(spark):

@@ -87,6 +87,26 @@ def read_json(
     return reader.json(path)
 
 
+def read_orc(spark: SparkSession, path: str, **options: str) -> DataFrame:
+    """A2b: ORC scan (columnar; predicate pushdown + column pruning apply
+    exactly as for parquet — ORC is the second first-class columnar format
+    in warehouse deployments)."""
+    return spark.read.options(**options).orc(path)
+
+
+def write_orc(
+    df: DataFrame,
+    path: str,
+    partition_by: list[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """A4c: ORC sink; same partition-layout guidance as parquet."""
+    writer = df.write.mode(mode)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.orc(path)
+
+
 def write_parquet(
     df: DataFrame,
     path: str,
