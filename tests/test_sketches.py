@@ -1,0 +1,137 @@
+"""Sketch-rollup guarantees (operators/sketches.py):
+
+- bitmap rollup is EXACT (== count(DISTINCT)) at every grain;
+- HLL merge of hourly partials is LOSSLESS (== direct daily sketch) and
+  the estimate lands within published error bounds vs exact;
+- KLL merged quantiles respect rank-error bounds vs exact percentiles;
+- HLL pairwise inclusion-exclusion overlap tracks exact intersections.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from time_series_spark_spark.operators.sketches import (
+    bitmap_partials,
+    bitmap_rollup,
+    hll_pairwise_overlap,
+    hll_partials,
+    hll_rollup,
+)
+from time_series_spark_spark.queries_sketches import (
+    events_hll_daily_users,
+    events_kll_value_quantiles,
+)
+from time_series_spark_spark.sources.io import load
+
+SF = "/root/testdata/sf0.001"
+
+
+def _events(spark):
+    return load(spark, SF, "events").select(
+        "event_type",
+        "user_id",
+        "value",
+        F.date_trunc("day", "ts").alias("d"),
+        F.date_trunc("hour", "ts").alias("h"),
+    )
+
+
+def test_bitmap_rollup_exact(spark):
+    """Bitmap partials at (type, day, hour) OR-merged to (type, day) give
+    bit-exact distinct counts — identical to count(DISTINCT)."""
+    ev = _events(spark)
+    got = {
+        (r.event_type, r.d): r.n_distinct
+        for r in bitmap_rollup(
+            bitmap_partials(ev, ["event_type", "d", "h"], "user_id"),
+            ["event_type", "d"],
+        ).collect()
+    }
+    want = {
+        (r.event_type, r.d): r.n
+        for r in ev.groupBy("event_type", "d")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    assert got == want
+
+
+def test_hll_merge_lossless_and_bounded(spark):
+    """Union of hourly HLL partials == sketching the day directly (the
+    merge loses nothing), and the estimate is within 5% of exact (default
+    lgk=12 gives ~1.6% standard error; 5% ≈ 3σ)."""
+    ev = _events(spark)
+    merged = {
+        r.d: r.approx_distinct
+        for r in hll_rollup(
+            hll_partials(ev, ["d", "h"], "user_id"), ["d"]
+        ).collect()
+    }
+    direct = {
+        r.d: r.approx_distinct
+        for r in hll_rollup(
+            hll_partials(ev, ["d"], "user_id"), ["d"]
+        ).collect()
+    }
+    assert merged == direct
+    exact = {
+        r.d: r.n
+        for r in ev.groupBy("d")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    assert merged.keys() == exact.keys()
+    for d, n in exact.items():
+        assert abs(merged[d] - n) <= max(1, 0.05 * n), (d, merged[d], n)
+
+
+def test_hll_daily_query_matches_operator(spark):
+    rows = events_hll_daily_users(spark, SF).collect()
+    assert len(rows) > 0
+    assert all(r.approx_distinct > 0 for r in rows)
+
+
+def test_kll_quantiles_within_rank_error(spark):
+    """Merged-KLL p50/p90 sit within ±3% RANK of the exact distribution
+    (k=200 ⇒ ~1.7% rank error bound; 3% adds slack for the merge)."""
+    ev = _events(spark)
+    got = {
+        r.event_type: (r.p50, r.p90, r.p99)
+        for r in events_kll_value_quantiles(spark, SF).collect()
+    }
+    for etype, (p50, p90, _) in got.items():
+        vals = sorted(
+            r.value
+            for r in ev.filter(F.col("event_type") == etype)
+            .select("value")
+            .collect()
+        )
+        n = len(vals)
+        import bisect
+
+        for q, est in ((0.5, p50), (0.9, p90)):
+            rank = bisect.bisect_left(vals, est) / n
+            assert abs(rank - q) <= 0.03, (etype, q, est, rank)
+
+
+def test_hll_pairwise_overlap_tracks_exact(spark):
+    """Inclusion-exclusion overlap estimates vs exact pairwise
+    intersections: within 5% of the LARGER set's size (the proper error
+    scale for I-E: both terms carry union-magnitude noise)."""
+    ev = load(spark, SF, "events")
+    est = {
+        (r.g1, r.g2): r.est_overlap
+        for r in hll_pairwise_overlap(ev, "event_type", "user_id").collect()
+    }
+    sets: dict[str, set] = {}
+    for r in ev.select("event_type", "user_id").distinct().collect():
+        sets.setdefault(r.event_type, set()).add(r.user_id)
+    types = sorted(sets)
+    assert est.keys() == {
+        (a, b) for i, a in enumerate(types) for b in types[i + 1 :]
+    }
+    for (a, b), e in est.items():
+        exact = len(sets[a] & sets[b])
+        scale = max(len(sets[a]), len(sets[b]))
+        assert abs(e - exact) <= max(2, 0.05 * scale), (a, b, e, exact)

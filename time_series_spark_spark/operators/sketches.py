@@ -1,0 +1,178 @@
+"""Mergeable sketch aggregates — the 100 TB pre-aggregation pattern.
+
+SURVEY.md §2.D4 covers one approximate aggregate (`approx_count_distinct`);
+this module generalizes it to the pattern that actually matters at
+warehouse scale: compute a FIXED-SIZE mergeable partial per fine grain
+(hour / shard / file), persist the partials, and answer any coarser ad-hoc
+rollup by MERGING partials — never re-scanning raw data. A year of hourly
+HLL partials for 1000 segments is ~100 MB; re-answering "distinct users
+last quarter per segment" touches that, not 100 TB of raw events.
+
+Spark 4 ships the Apache DataSketches family as JVM codegen aggregate
+expressions, so everything here is built-in column algebra — no UDFs, no
+Python in the hot path, map-side partial aggregation applies as usual.
+
+Four families, chosen for complementary guarantees:
+
+- **HLL** (`hll_sketch_agg` / `hll_union_agg` / `hll_union`): approximate
+  COUNT(DISTINCT), ~1-2%% relative error at the default lgK=12 (4 KB per
+  sketch). Deterministic (xxhash-based, no RNG). Merge is lossless: the
+  union of hourly partials is bit-identical to sketching the day directly.
+- **KLL** (`kll_sketch_agg_double` / `kll_sketch_merge_double` /
+  `kll_sketch_get_quantile_double`): approximate quantiles with provable
+  rank-error bounds (~1.7%% at the default k=200), mergeable pairwise.
+- **Theta / HLL set algebra**: distinct-set OVERLAP between segments via
+  inclusion-exclusion on merged sketches (|A∩B| = |A|+|B|-|A∪B|) — a
+  G×G join of G one-row-per-group sketches, never a self-join of raw data.
+- **Bitmap** (`bitmap_construct_agg` / `bitmap_or_agg` / `bitmap_count`):
+  EXACT distinct counts for dense integer id domains. Spark's bitmaps
+  cover 2^15 ids per bucket (4 KB); `bitmap_bucket_number` shards the id
+  space, OR-merge within a bucket is exact, and the per-key total is the
+  sum of per-bucket counts. This is the RoaringBitmap-style exact-rollup
+  design: partials are mergeable AND the final number is not an estimate.
+
+Reference parity note: /root/reference is empty (SURVEY.md §0); the spec
+for this family is SURVEY.md §2.D4's "approximate distinct" plus the
+standard published sketch literature (Flajolet et al. 2007 for HLL;
+Karnin, Lang, Liberty FOCS'16 for KLL; Dasgupta et al. 2016 for Theta).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+# --------------------------------------------------------------------------
+# HLL: partials + lossless merge
+# --------------------------------------------------------------------------
+def hll_partials(
+    df: DataFrame, keys: list[str], id_col: str, lgk: int = 12
+) -> DataFrame:
+    """One 4 KB (at lgk=12) HLL sketch per ``keys`` group, as a ``binary``
+    column ``hll``. This is the frame you would PERSIST at the finest grain
+    (e.g. keys = [segment, hour]); every coarser query starts from it."""
+    return df.groupBy(*keys).agg(
+        F.hll_sketch_agg(F.col(id_col), F.lit(lgk)).alias("hll")
+    )
+
+
+def hll_rollup(
+    partials: DataFrame, keys: list[str], out_col: str = "approx_distinct"
+) -> DataFrame:
+    """Merge fine-grain partials up to ``keys`` and estimate. The merge is
+    lossless: estimates here equal sketching the raw rows at this grain
+    directly (asserted in tests/test_sketches.py)."""
+    return partials.groupBy(*keys).agg(
+        F.hll_sketch_estimate(F.hll_union_agg("hll")).alias(out_col)
+    )
+
+
+def hll_pairwise_overlap(
+    df: DataFrame, group_col: str, id_col: str, lgk: int = 14
+) -> DataFrame:
+    """Estimated distinct-id overlap for every unordered pair of groups.
+
+    Scale shape: ONE pass over the raw data builds one sketch per group
+    (G rows of ~16 KB at lgk=14); the pairwise grid is then a G×G join of
+    that tiny frame — raw data is never self-joined. Intersection is
+    inclusion-exclusion on the merged union sketch:
+    ``est_overlap = est_a + est_b − est(a ∪ b)``.
+
+    Output: (g1, g2, est_a, est_b, est_union, est_overlap), g1 < g2.
+    """
+    sk = df.groupBy(F.col(group_col).alias("g")).agg(
+        F.hll_sketch_agg(F.col(id_col), F.lit(lgk)).alias("hll"),
+    )
+    a = sk.select(
+        F.col("g").alias("g1"), F.col("hll").alias("hll_a")
+    )
+    b = sk.select(F.col("g").alias("g2"), F.col("hll").alias("hll_b"))
+    pairs = a.join(F.broadcast(b), F.col("g1") < F.col("g2"))
+    est_a = F.hll_sketch_estimate("hll_a")
+    est_b = F.hll_sketch_estimate("hll_b")
+    est_u = F.hll_sketch_estimate(F.hll_union("hll_a", "hll_b"))
+    return pairs.select(
+        "g1",
+        "g2",
+        est_a.alias("est_a"),
+        est_b.alias("est_b"),
+        est_u.alias("est_union"),
+        (est_a + est_b - est_u).alias("est_overlap"),
+    )
+
+
+# --------------------------------------------------------------------------
+# KLL: quantile partials + pairwise merge
+# --------------------------------------------------------------------------
+def kll_partials(
+    df: DataFrame, keys: list[str], val_col: str, k: int = 200
+) -> DataFrame:
+    """One KLL(k) quantile sketch per ``keys`` group (column ``kll``)."""
+    return df.groupBy(*keys).agg(
+        F.kll_sketch_agg_double(F.col(val_col), F.lit(k)).alias("kll")
+    )
+
+
+def _kll_merge_col(sketches: Column) -> Column:
+    """Fold an array of KLL sketches into one with the pairwise merge
+    scalar (`kll_sketch_merge_double` is binary, not an aggregate)."""
+    return F.reduce(
+        F.slice(sketches, 2, 1_000_000),
+        F.element_at(sketches, 1),
+        lambda acc, x: F.kll_sketch_merge_double(acc, x),
+    )
+
+
+def kll_rollup_quantiles(
+    partials: DataFrame, keys: list[str], quantiles: dict[str, float]
+) -> DataFrame:
+    """Merge fine-grain KLL partials up to ``keys`` and read quantiles.
+
+    The fold runs over ``collect_list`` of the group's partials — sound
+    only because the fine→coarse fan-in is bounded by construction
+    (24 hours/day, ~30 days/month, ...), so each array holds a bounded
+    number of ~few-KB sketches, not data rows.
+    """
+    merged = partials.groupBy(*keys).agg(
+        _kll_merge_col(F.collect_list("kll")).alias("kll")
+    )
+    return merged.select(
+        *keys,
+        *[
+            F.kll_sketch_get_quantile_double("kll", F.lit(q)).alias(name)
+            for name, q in quantiles.items()
+        ],
+    )
+
+
+# --------------------------------------------------------------------------
+# Bitmap: EXACT mergeable distinct counts for dense integer ids
+# --------------------------------------------------------------------------
+def bitmap_partials(df: DataFrame, keys: list[str], id_col: str) -> DataFrame:
+    """Exact distinct partials: one 4 KB bitmap per (``keys``, id-bucket)
+    covering 2^15 ids (``bitmap_bucket_number`` shards the id space).
+    Mergeable with OR; persist at the finest grain like the HLL partials.
+    Output columns: keys + (bucket, bitmap)."""
+    return (
+        df.select(
+            *keys,
+            F.bitmap_bucket_number(F.col(id_col)).alias("bucket"),
+            F.bitmap_bit_position(F.col(id_col)).alias("pos"),
+        )
+        .groupBy(*keys, "bucket")
+        .agg(F.bitmap_construct_agg("pos").alias("bitmap"))
+    )
+
+
+def bitmap_rollup(
+    partials: DataFrame, keys: list[str], out_col: str = "n_distinct"
+) -> DataFrame:
+    """EXACT distinct count at the ``keys`` grain from finer partials:
+    OR-merge each id-bucket's bitmaps (exact dedup), count bits per
+    bucket, sum buckets. Two small hash aggregates over partial rows —
+    the raw table is long gone."""
+    per_bucket = partials.groupBy(*keys, "bucket").agg(
+        F.bitmap_count(F.bitmap_or_agg("bitmap")).alias("n")
+    )
+    return per_bucket.groupBy(*keys).agg(F.sum("n").alias(out_col))

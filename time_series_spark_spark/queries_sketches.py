@@ -1,0 +1,123 @@
+"""Sketch-rollup query surface (operators/sketches.py).
+
+Every query here follows the same two-phase shape: build FIXED-SIZE
+mergeable partials at a finer grain than the answer needs (hourly, here),
+then merge partials up to the answer grain — proving the
+"persist partials, never re-scan raw data" pattern end-to-end inside one
+lineage. At 100 TB the partials frame is what you would write to a table.
+
+Oracle policy: the bitmap query is EXACT (bit-per-id), so it carries a
+DuckDB ``count(DISTINCT ...)`` oracle. The HLL/KLL queries are estimates
+from a sketch family DuckDB does not implement; they are rows-only here
+and tolerance-checked against exact answers in tests/test_sketches.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from time_series_spark_spark.operators.sketches import (
+    bitmap_partials,
+    bitmap_rollup,
+    hll_pairwise_overlap,
+    hll_partials,
+    hll_rollup,
+    kll_partials,
+    kll_rollup_quantiles,
+)
+from time_series_spark_spark.queries import register
+from time_series_spark_spark.sources.io import load
+
+
+def _hourly_keyed_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events + (day, hour) bucket columns: the fine grain is hourly; the
+    answer grain (daily) is derived by dropping the hour key at merge."""
+    return load(spark, sf_dir, "events").select(
+        "event_type",
+        "user_id",
+        "value",
+        F.date_trunc("day", "ts").alias("d"),
+        F.date_trunc("hour", "ts").alias("h"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Exact mergeable distinct: bitmap partials (oracle-checked)
+# --------------------------------------------------------------------------
+@register(
+    "events_bitmap_daily_users",
+    """
+    SELECT event_type,
+           CAST(date_trunc('day', ts) AS TIMESTAMP) AS d,
+           count(DISTINCT user_id) AS n_distinct
+    FROM events
+    GROUP BY 1, 2
+    ORDER BY event_type, d
+    """,
+    doc="Exact distinct users per (event_type, day), computed from HOURLY "
+    "bitmap partials OR-merged up to daily — the mergeable-partial "
+    "pattern with an exact (not estimated) result, so it is fully "
+    "oracle-checkable against count(DISTINCT).",
+)
+def events_bitmap_daily_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _hourly_keyed_events(spark, sf_dir)
+    partials = bitmap_partials(ev, ["event_type", "d", "h"], "user_id")
+    return bitmap_rollup(partials, ["event_type", "d"]).orderBy(
+        "event_type", "d"
+    )
+
+
+# --------------------------------------------------------------------------
+# HLL rollup (rows-only; tolerance-tested vs exact)
+# --------------------------------------------------------------------------
+@register(
+    "events_hll_daily_users",
+    None,
+    doc="Approximate distinct users per day from hourly HLL partials "
+    "(lossless union merge). Rows-only for the driver; "
+    "tests/test_sketches.py bounds the error vs exact and asserts the "
+    "merge is lossless (union of hourly == direct daily sketch).",
+)
+def events_hll_daily_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _hourly_keyed_events(spark, sf_dir)
+    partials = hll_partials(ev, ["d", "h"], "user_id")
+    return hll_rollup(partials, ["d"]).orderBy("d")
+
+
+# --------------------------------------------------------------------------
+# KLL quantile rollup (rows-only; tolerance-tested vs exact)
+# --------------------------------------------------------------------------
+@register(
+    "events_kll_value_quantiles",
+    None,
+    doc="p50/p90/p99 of value per event_type, merged from hourly KLL "
+    "partials (bounded fan-in fold over the pairwise merge scalar). "
+    "Rows-only; rank-error vs exact percentiles bounded in tests.",
+)
+def events_kll_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _hourly_keyed_events(spark, sf_dir)
+    partials = kll_partials(ev, ["event_type", "h"], "value")
+    return kll_rollup_quantiles(
+        partials,
+        ["event_type"],
+        {"p50": 0.5, "p90": 0.9, "p99": 0.99},
+    ).orderBy("event_type")
+
+
+# --------------------------------------------------------------------------
+# HLL set algebra: pairwise audience overlap (rows-only; tested vs exact)
+# --------------------------------------------------------------------------
+@register(
+    "events_hll_type_overlap",
+    None,
+    doc="Estimated distinct-user overlap for every pair of event types via "
+    "inclusion-exclusion on HLL sketches: one pass over events builds one "
+    "sketch per type; the pairwise grid joins G tiny sketch rows, never "
+    "raw data. Rows-only; error vs exact intersections bounded in tests.",
+)
+def events_hll_type_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    return hll_pairwise_overlap(ev, "event_type", "user_id").orderBy(
+        "g1", "g2"
+    )
