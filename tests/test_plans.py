@@ -184,3 +184,15 @@ def test_date_partitioned_sink_prunes_partitions(spark, tmp_path):
     # correctness: pruned read equals the batch filter
     expect = ev.filter(F.col("day") == "2024-01-15").count()
     assert back.count() == expect and expect > 0
+
+
+def test_rollup_cascade_reuses_exchanges(spark):
+    """F13: the hour->day->month cascade must NOT rescan raw events per
+    grain. After AQE finalizes, the daily branch reuses the hourly shuffle
+    and the monthly branch reuses the daily shuffle (2 ReusedExchange), so
+    the raw table is scanned and shuffle-aggregated exactly once."""
+    df = _df(spark, "events_rollup_cascade")
+    df.collect()  # AQE stage reuse materializes at runtime
+    plan = executed_plan(df)
+    assert "isFinalPlan=true" in plan
+    assert plan.count("ReusedExchange") >= 2

@@ -482,3 +482,63 @@ def series_stats(df: DataFrame, key: str, ts_col: str) -> DataFrame:
             (F.max("_dt_us").cast("double") / 1e6).alias("max_gap_sec"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# F13: multi-resolution rollup cascade (continuous-aggregate pattern)
+# --------------------------------------------------------------------------
+def rollup_cascade(
+    df: DataFrame,
+    ts_col: str,
+    keys: list[str],
+    count_alias: str = "n_events",
+    sum_cents_col: str | None = None,
+    sum_alias: str = "sum_value_cents",
+) -> DataFrame:
+    """Hour → day → month aggregates where each coarser grain is computed
+    FROM THE PREVIOUS GRAIN'S OUTPUT, not from raw rows — the hypertable
+    continuous-aggregate / materialized-rollup pattern.
+
+    Scale shape: the raw table is read and shuffle-aggregated exactly once
+    (to hourly); daily re-aggregates hourly partials (sum of counts, sum of
+    sums — both algebraic, so the cascade is exact), monthly re-aggregates
+    daily. Spark's ReusedExchange dedupes the shared hourly shuffle across
+    the three union branches (pinned in tests/test_plans.py), so even
+    expressed as one lineage the raw scan happens once. At 100 TB each
+    grain's frame is what you would persist as a materialized table;
+    answering "monthly" then touches ~8 KB/series/year, not raw events.
+
+    Sums travel as INTEGER cents (exact under any partial-agg order — the
+    cross-engine fp rule in queries.py) when ``sum_cents_col`` is given.
+
+    Output: (grain, *keys, bucket_start, n_events[, sum_cents]) for grain
+    ∈ {hour, day, month}.
+    """
+    aggs = [F.count(F.lit(1)).alias(count_alias)]
+    re_aggs = [F.sum(count_alias).alias(count_alias)]
+    if sum_cents_col is not None:
+        aggs.append(
+            F.sum(F.round(F.col(sum_cents_col) * 100, 0).cast("long")).alias(
+                sum_alias
+            )
+        )
+        re_aggs.append(F.sum(sum_alias).alias(sum_alias))
+
+    hourly = df.groupBy(
+        *keys, F.date_trunc("hour", ts_col).alias("bucket_start")
+    ).agg(*aggs)
+    daily = hourly.groupBy(
+        *keys, F.date_trunc("day", "bucket_start").alias("bucket_start")
+    ).agg(*re_aggs)
+    monthly = daily.groupBy(
+        *keys, F.date_trunc("month", "bucket_start").alias("bucket_start")
+    ).agg(*re_aggs)
+
+    out_cols = [*keys, "bucket_start", count_alias] + (
+        [sum_alias] if sum_cents_col is not None else []
+    )
+    return (
+        hourly.select(F.lit("hour").alias("grain"), *out_cols)
+        .unionByName(daily.select(F.lit("day").alias("grain"), *out_cols))
+        .unionByName(monthly.select(F.lit("month").alias("grain"), *out_cols))
+    )

@@ -638,3 +638,52 @@ def geo_mean_grouped_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type")
         .agg(F.round(geo_mean("value"), 6).alias("geo_value"))
     )
+
+
+# --------------------------------------------------------------------------
+# F13 multi-resolution rollup cascade
+# --------------------------------------------------------------------------
+@register(
+    "events_rollup_cascade",
+    """
+    WITH hourly AS (
+        SELECT event_type,
+               CAST(date_trunc('hour', ts) AS TIMESTAMP) AS bucket_start,
+               count(*) AS n_events,
+               sum(CAST(round(value * 100) AS BIGINT)) AS sum_value_cents
+        FROM events GROUP BY 1, 2
+    ),
+    daily AS (
+        SELECT event_type,
+               CAST(date_trunc('day', bucket_start) AS TIMESTAMP) AS bucket_start,
+               sum(n_events) AS n_events,
+               sum(sum_value_cents) AS sum_value_cents
+        FROM hourly GROUP BY 1, 2
+    ),
+    monthly AS (
+        SELECT event_type,
+               CAST(date_trunc('month', bucket_start) AS TIMESTAMP) AS bucket_start,
+               sum(n_events) AS n_events,
+               sum(sum_value_cents) AS sum_value_cents
+        FROM daily GROUP BY 1, 2
+    )
+    SELECT 'hour' AS grain, * FROM hourly
+    UNION ALL SELECT 'day', * FROM daily
+    UNION ALL SELECT 'month', * FROM monthly
+    ORDER BY grain, event_type, bucket_start
+    """,
+    doc="F13 continuous-aggregate cascade: hour -> day -> month where each "
+    "coarser grain re-aggregates the previous grain's algebraic partials "
+    "(counts and integer-cent sums), so the raw table is scanned/shuffled "
+    "once; ReusedExchange dedupes the shared hourly shuffle across union "
+    "branches (pinned in tests/test_plans.py).",
+)
+def events_rollup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from time_series_spark_spark.operators.timeseries import rollup_cascade
+
+    return rollup_cascade(
+        _events(spark, sf_dir),
+        "ts",
+        ["event_type"],
+        sum_cents_col="value",
+    ).orderBy("grain", "event_type", "bucket_start")
