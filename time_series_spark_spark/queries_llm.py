@@ -24,6 +24,7 @@ from time_series_spark_spark.operators.llm import (
     minhash_lsh_pairs,
     ngram_jaccard_pairs,
     simhash_near_pairs,
+    sq8_topk,
     text_metrics,
     tokens,
     winnow_fingerprints,
@@ -442,6 +443,21 @@ def emb_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         k=5,
         n_queries=10,
         quantizer_key=f"embeddings:{sf_dir}",
+    ).orderBy("query_id", "rk")
+
+
+@register(
+    "emb_sq8_topk",
+    None,  # int8 candidate set is quantizer-specific → rows-only; recall
+    # + rescore-fidelity vs exact asserted in tests/test_llm.py
+    doc="K3 ANN scale path #3: int8 scalar quantization — corpus stored/"
+    "scanned 4x smaller, candidates scored in codegen integer math, top "
+    "k*4 rescored with exact float cosine via a broadcast candidate "
+    "semi-join (the float table never shuffles)",
+)
+def emb_sq8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sq8_topk(
+        load(spark, sf_dir, "embeddings"), k=5, n_queries=10
     ).orderBy("query_id", "rk")
 
 
