@@ -1,0 +1,119 @@
+"""CDC query surface (operators/cdc.py): snapshot diff + changelog merge.
+
+Both snapshots are deterministic projections of the `orders` table, so the
+DuckDB oracle reconstructs them exactly:
+
+- "old" = orders with o_orderkey % 5 <> 4;
+- "new" = orders with o_orderkey % 5 <> 0, with price bumped by exactly
+  100 cents where o_orderkey % 3 = 0 (integer-cent arithmetic — exact on
+  both engines).
+
+So the changelog contains inserts (%5 == 4), deletes (%5 == 0) and updates
+(%3 == 0 survivors), and MERGE(old, diff(old, new)) must equal "new"
+bit-for-bit — which is precisely what the second query's oracle checks.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from time_series_spark_spark.operators.cdc import apply_changes, snapshot_diff
+from time_series_spark_spark.queries import register
+from time_series_spark_spark.sources.io import load
+
+_KEYS = ["o_orderkey"]
+_COLS = ["price_cents", "o_orderstatus"]
+
+
+def _old_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % 5 != 4)
+        .select(
+            "o_orderkey",
+            F.round(F.col("o_totalprice") * 100, 0)
+            .cast("long")
+            .alias("price_cents"),
+            "o_orderstatus",
+        )
+    )
+
+
+def _new_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % 5 != 0)
+        .select(
+            "o_orderkey",
+            (
+                F.round(F.col("o_totalprice") * 100, 0).cast("long")
+                + F.when(F.col("o_orderkey") % 3 == 0, 100).otherwise(0)
+            ).alias("price_cents"),
+            "o_orderstatus",
+        )
+    )
+
+
+_OLD_SQL = """
+    SELECT o_orderkey,
+           CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents,
+           o_orderstatus
+    FROM orders WHERE o_orderkey % 5 <> 4
+"""
+
+_NEW_SQL = """
+    SELECT o_orderkey,
+           CAST(round(o_totalprice * 100) AS BIGINT)
+             + CASE WHEN o_orderkey % 3 = 0 THEN 100 ELSE 0 END AS price_cents,
+           o_orderstatus
+    FROM orders WHERE o_orderkey % 5 <> 0
+"""
+
+
+@register(
+    "orders_snapshot_diff",
+    f"""
+    WITH old AS ({_OLD_SQL}), new AS ({_NEW_SQL})
+    SELECT COALESCE(o.o_orderkey, n.o_orderkey) AS o_orderkey,
+           CASE WHEN n.o_orderkey IS NULL THEN 'delete'
+                WHEN o.o_orderkey IS NULL THEN 'insert'
+                ELSE 'update' END AS op,
+           o.price_cents   AS old_price_cents,
+           o.o_orderstatus AS old_o_orderstatus,
+           n.price_cents   AS new_price_cents,
+           n.o_orderstatus AS new_o_orderstatus
+    FROM old o FULL OUTER JOIN new n ON o.o_orderkey = n.o_orderkey
+    WHERE o.o_orderkey IS NULL OR n.o_orderkey IS NULL
+       OR o.price_cents IS DISTINCT FROM n.price_cents
+       OR o.o_orderstatus IS DISTINCT FROM n.o_orderstatus
+    ORDER BY o_orderkey
+    """,
+    doc="CDC snapshot diff: one full-outer key join classifying insert/"
+    "delete/update in column expressions; unchanged rows (the 100 TB "
+    "majority) never leave the join stage.",
+)
+def orders_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return snapshot_diff(
+        _old_snapshot(spark, sf_dir),
+        _new_snapshot(spark, sf_dir),
+        _KEYS,
+        _COLS,
+    ).orderBy("o_orderkey")
+
+
+@register(
+    "orders_apply_changes",
+    f"""
+    {_NEW_SQL}
+    ORDER BY o_orderkey
+    """,
+    doc="CDC merge: MERGE(old, diff(old, new)) must reproduce the new "
+    "snapshot exactly — the oracle IS the new snapshot, so this checks "
+    "the diff/merge pair end-to-end (upsert + delete semantics).",
+)
+def orders_apply_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    old = _old_snapshot(spark, sf_dir)
+    new = _new_snapshot(spark, sf_dir)
+    changes = snapshot_diff(old, new, _KEYS, _COLS)
+    return apply_changes(old, changes, _KEYS, _COLS).orderBy("o_orderkey")
