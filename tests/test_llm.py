@@ -295,3 +295,36 @@ def test_sq8_topk_recall_and_rescore_fidelity(spark):
     ]
     assert float(np.mean(recalls)) >= 0.9, recalls
     assert all(len(s) == 5 for s in approx_sets.values())
+
+
+def test_redact_pii_masks_and_counts(spark):
+    from time_series_spark_spark.operators.llm import redact_pii
+    from time_series_spark_spark.sources.io import from_rows
+
+    rows = from_rows(
+        spark,
+        [
+            (1, "mail a@b.co and c.d+x@e.org plus +1-555-12345 done"),
+            (2, "clean text, no pii; not-an-email @ nor 555-1234 alone"),
+        ],
+        "id int, text string",
+    )
+    got = {r.id: (r.n_pii, r.redacted) for r in redact_pii(rows, "text").collect()}
+    assert got[1] == (3, "mail <EMAIL> and <EMAIL> plus <PHONE> done")
+    assert got[2][0] == 0
+    assert got[2][1] == "clean text, no pii; not-an-email @ nor 555-1234 alone"
+
+
+def test_hash_sample_per_group_exact_k_and_stable(spark):
+    from time_series_spark_spark.operators.llm import hash_sample_per_group
+
+    docs = load(spark, SF, "documents")
+    s1 = hash_sample_per_group(docs, "lang", "doc_id", 3)
+    s2 = hash_sample_per_group(docs.repartition(13), "lang", "doc_id", 3)
+    r1 = sorted((r.lang, r.doc_id, r.rk) for r in s1.collect())
+    r2 = sorted((r.lang, r.doc_id, r.rk) for r in s2.collect())
+    assert r1 == r2  # invariant under partition layout (md5 order, not rand)
+    from collections import Counter
+
+    per_lang = Counter(lang for lang, _, _ in r1)
+    assert all(v == 3 for v in per_lang.values())

@@ -978,6 +978,61 @@ def sq8_topk(
 
 
 # --------------------------------------------------------------------------
+# K10: PII redaction + deterministic hash sampling (curation utilities)
+# --------------------------------------------------------------------------
+# Patterns deliberately restricted to syntax that Java regex (Spark) and
+# RE2 (DuckDB) interpret identically: char classes, \d, bounded repeats —
+# no backrefs, no lookaround.
+PII_PATTERNS: list[tuple[str, str, str]] = [
+    (
+        "email",
+        r"[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}",
+        "<EMAIL>",
+    ),
+    ("phone", r"\+\d{1,2}-\d{3}-\d{4,}", "<PHONE>"),
+]
+
+
+def redact_pii(
+    df: DataFrame, text_col: str, out_col: str = "redacted"
+) -> DataFrame:
+    """Mask PII spans (emails, phone numbers) and count what was masked.
+
+    Pure codegen string expressions — `regexp_count` + chained
+    `regexp_replace` — so redaction runs at scan speed with no Python in
+    the path; at 100 TB this is a mapper fused into whatever scan already
+    reads the text column. Adds ``n_pii`` (total masked spans) and
+    ``out_col`` (masked text).
+    """
+    col = F.col(text_col)
+    n = F.lit(0)
+    for _, pat, _ in PII_PATTERNS:
+        n = n + F.regexp_count(col, F.lit(pat))
+    red = col
+    for _, pat, repl in PII_PATTERNS:
+        red = F.regexp_replace(red, pat, repl)
+    return df.withColumn("n_pii", n.cast("long")).withColumn(out_col, red)
+
+
+def hash_sample_per_group(
+    df: DataFrame, group_col: str, id_col: str, k: int
+) -> DataFrame:
+    """Exactly-k-per-group deterministic sample: order each group by
+    ``md5(id)`` — a fixed pseudo-random permutation — and keep the first
+    ``k``. Unlike ``rand(seed)`` (whose draw depends on partition layout,
+    so results change under repartitioning/AQE), the hash order is a pure
+    function of the data: reproducible across runs, engines, and cluster
+    sizes, which is what a training-data lineage audit needs. One window
+    shuffle on the group key; E9 top-k shape."""
+    w = Window.partitionBy(group_col).orderBy(
+        F.md5(F.col(id_col).cast("string")), F.col(id_col)
+    )
+    return df.withColumn("rk", F.row_number().over(w)).filter(
+        F.col("rk") <= k
+    )
+
+
+# --------------------------------------------------------------------------
 # K9: corpus sampling / weighted mixing (training-data mixture building)
 # --------------------------------------------------------------------------
 def stratified_sample(

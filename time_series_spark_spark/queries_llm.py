@@ -23,6 +23,8 @@ from time_series_spark_spark.operators.llm import (
     lang_id,
     minhash_lsh_pairs,
     ngram_jaccard_pairs,
+    hash_sample_per_group,
+    redact_pii,
     simhash_near_pairs,
     sq8_topk,
     text_metrics,
@@ -459,6 +461,74 @@ def emb_sq8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sq8_topk(
         load(spark, sf_dir, "embeddings"), k=5, n_queries=10
     ).orderBy("query_id", "rk")
+
+
+@register(
+    "docs_pii_redaction",
+    r"""
+    WITH aug AS (
+        SELECT doc_id,
+               text || ' contact user' || doc_id ||
+               '@example.com or +1-555-' || (1000 + doc_id % 9000) AS text
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text,
+                    '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}'))
+              + len(regexp_extract_all(text, '\+\d{1,2}-\d{3}-\d{4,}'))
+              AS BIGINT) AS n_pii,
+           md5(regexp_replace(
+               regexp_replace(text,
+                   '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}',
+                   '<EMAIL>', 'g'),
+               '\+\d{1,2}-\d{3}-\d{4,}', '<PHONE>', 'g')) AS redacted_md5
+    FROM aug
+    ORDER BY doc_id
+    """,
+    doc="K10 PII redaction: emails/phones (deterministically injected — "
+    "the synthetic corpus has none) masked via codegen regexp_replace; "
+    "oracle compares masked-span counts and an md5 of the redacted text, "
+    "proving byte-identical redaction across engines.",
+)
+def docs_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents").withColumn(
+        "text",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com or +1-555-"),
+            (F.lit(1000) + F.col("doc_id") % 9000).cast("string"),
+        ),
+    )
+    return (
+        redact_pii(docs, "text")
+        .select("doc_id", "n_pii", F.md5("redacted").alias("redacted_md5"))
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "docs_hash_sample_per_lang",
+    """
+    SELECT lang, doc_id, rk FROM (
+        SELECT lang, doc_id,
+               row_number() OVER (
+                   PARTITION BY lang
+                   ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+        FROM documents
+    ) WHERE rk <= 5
+    ORDER BY lang, rk
+    """,
+    doc="K10 deterministic exactly-k-per-group sample: md5(id) as a fixed "
+    "pseudo-random permutation — reproducible across runs, engines, and "
+    "partition layouts (rand(seed) is not), hence fully oracle-checkable.",
+)
+def docs_hash_sample_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return hash_sample_per_group(docs, "lang", "doc_id", 5).select(
+        "lang", "doc_id", "rk"
+    ).orderBy("lang", "rk")
 
 
 # --------------------------------------------------------------------------
