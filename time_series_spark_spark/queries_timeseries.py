@@ -687,3 +687,31 @@ def events_rollup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
         ["event_type"],
         sum_cents_col="value",
     ).orderBy("grain", "event_type", "bucket_start")
+
+
+# --------------------------------------------------------------------------
+# F14 CUSUM change-point detection
+# --------------------------------------------------------------------------
+@register(
+    "events_change_points",
+    None,  # sequential per-series recursion -> rows-only; planted-shift
+    # detection + false-positive bounds in tests/test_timeseries.py
+    doc="F14 two-sided CUSUM mean-shift detector (Page 1954) per user over "
+    "the daily value series; packed grouped-map path (one shuffle, many "
+    "series per Arrow batch). h lowered to 3σ so the synthetic corpus "
+    "yields a non-degenerate alarm set.",
+)
+def events_change_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from time_series_spark_spark.operators.timeseries import change_points
+
+    daily = resample(
+        _events(spark, sf_dir),
+        "ts",
+        "day",
+        ["user_id"],
+        [F.avg("value").alias("v")],
+        bucket_col="d",
+    )
+    return change_points(
+        daily, ["user_id"], "d", "v", h_sigmas=3.0
+    ).orderBy("user_id", "ts")
