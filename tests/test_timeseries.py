@@ -215,3 +215,44 @@ def test_cusum_detects_planted_shift_and_quiet_on_noise(spark):
     # first alarm lands within 15 observations of the planted break (i=60)
     first = min(r.ts for r in ups)
     assert first.hour * 60 + first.minute <= 75
+
+
+def test_trailing_distinct_matches_bruteforce(spark):
+    """F15 vs the obvious per-day brute force over raw events, including a
+    key column and the no-phantom-days-past-span property."""
+    from time_series_spark_spark.operators.timeseries import trailing_distinct
+    from time_series_spark_spark.sources.io import load
+
+    ev = load(spark, "/root/testdata/sf0.001", "events")
+    got = {
+        (r.event_type, r.d): r.users_3d
+        for r in trailing_distinct(
+            ev, "ts", "user_id", n_days=3, keys=["event_type"]
+        ).collect()
+    }
+    pairs = (
+        ev.select(
+            "event_type",
+            F.date_trunc("day", "ts").alias("d"),
+            "user_id",
+        )
+        .distinct()
+        .collect()
+    )
+    from collections import defaultdict
+    from datetime import timedelta
+
+    by_day = defaultdict(set)
+    days = sorted({r.d for r in pairs})
+    for r in pairs:
+        by_day[(r.event_type, r.d)].add(r.user_id)
+    want = {}
+    for et in {r.event_type for r in pairs}:
+        for d in days:
+            users = set()
+            for back in range(3):
+                users |= by_day.get((et, d - timedelta(days=back)), set())
+            if users:
+                want[(et, d)] = len(users)
+    assert got == want
+    assert max(d for _, d in got) <= max(days)  # no phantom trailing days

@@ -607,3 +607,56 @@ def change_points(
         return pd.DataFrame(rows, columns=cols)
 
     return packed_grouped_map(df, keys, [order_col], _apply, schema)
+
+
+# --------------------------------------------------------------------------
+# F15: sliding-window COUNT(DISTINCT) — trailing N days, exact
+# --------------------------------------------------------------------------
+def trailing_distinct(
+    df: DataFrame,
+    ts_col: str,
+    id_col: str,
+    n_days: int = 7,
+    keys: list[str] | None = None,
+) -> DataFrame:
+    """Exact distinct ``id_col`` count over a trailing ``n_days``-day
+    window, per day (rolling actives / trailing-7d-users).
+
+    Window functions cannot do COUNT(DISTINCT) over a moving frame, and
+    collect_set-over-range explodes memory on hot windows. The scale-honest
+    shape: dedupe to (key, day, id) pairs FIRST (one shuffle, massive
+    reduction on 100 TB of raw events), then each active day contributes
+    itself to the ``n_days`` window-end days it falls in (a bounded
+    ``explode(sequence(...))`` — ×n_days on the already-deduped frame, not
+    on raw data), then count distinct per window end. Output days are
+    restricted to the observed day span so no phantom trailing windows
+    appear past the data's end.
+    """
+    keys = keys or []
+    day = F.date_trunc("day", F.col(ts_col))
+    pairs = df.select(
+        *keys, day.alias("_d"), F.col(id_col).alias("_id")
+    ).distinct()
+    contributed = pairs.select(
+        *keys,
+        "_id",
+        F.explode(
+            F.sequence(
+                F.col("_d"),
+                F.col("_d") + F.expr(f"interval {n_days - 1} days"),
+                F.expr("interval 1 day"),
+            )
+        ).alias("d"),
+    )
+    span = df.select(
+        F.date_trunc("day", F.min(ts_col)).alias("_lo"),
+        F.date_trunc("day", F.max(ts_col)).alias("_hi"),
+    )
+    return (
+        contributed.join(
+            F.broadcast(span),
+            (F.col("d") >= F.col("_lo")) & (F.col("d") <= F.col("_hi")),
+        )
+        .groupBy(*keys, "d")
+        .agg(F.countDistinct("_id").alias(f"users_{n_days}d"))
+    )

@@ -715,3 +715,42 @@ def events_change_points(spark: SparkSession, sf_dir: str) -> DataFrame:
     return change_points(
         daily, ["user_id"], "d", "v", h_sigmas=3.0
     ).orderBy("user_id", "ts")
+
+
+# --------------------------------------------------------------------------
+# F15 sliding-window exact COUNT(DISTINCT)
+# --------------------------------------------------------------------------
+@register(
+    "events_trailing_7d_users",
+    """
+    WITH pairs AS (
+        SELECT DISTINCT CAST(date_trunc('day', ts) AS TIMESTAMP) AS d,
+               user_id
+        FROM events
+    ),
+    span AS (SELECT min(d) AS lo, max(d) AS hi FROM pairs),
+    grid AS (
+        SELECT unnest(generate_series((SELECT lo FROM span),
+                                      (SELECT hi FROM span),
+                                      INTERVAL 1 DAY)) AS d
+    )
+    SELECT g.d, count(DISTINCT p.user_id) AS users_7d
+    FROM grid g JOIN pairs p ON p.d BETWEEN g.d - INTERVAL 6 DAY AND g.d
+    GROUP BY g.d
+    ORDER BY g.d
+    """,
+    doc="F15 trailing-7-day distinct users per day, EXACT: dedupe to "
+    "(day, user) pairs first (the big reduction), then each active day "
+    "contributes itself to the 7 window-ends it falls in (bounded explode "
+    "on the deduped frame), then count distinct per window end — window "
+    "functions cannot COUNT(DISTINCT) over a moving frame and "
+    "collect_set-over-range would blow memory on hot windows.",
+)
+def events_trailing_7d_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from time_series_spark_spark.operators.timeseries import trailing_distinct
+
+    return trailing_distinct(
+        _events(spark, sf_dir), "ts", "user_id", n_days=7
+    ).select(
+        "d", F.col("users_7d")
+    ).orderBy("d")
