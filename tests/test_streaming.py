@@ -125,3 +125,42 @@ def test_rate_source_produces_rows(spark):
     assert n >= 100 and n % 50 == 0
     vals = sorted(r.value for r in got.collect())
     assert vals == list(range(n))
+
+
+def test_incremental_bitmap_partials_multibatch(
+    spark, batch_events, chunked_dir, tmp_path
+):
+    """J9: the streaming partial log (4 real micro-batches, appended
+    partials) merge-on-reads to EXACTLY the batch count(DISTINCT) — the
+    streaming half of the continuous-aggregate pattern, with no estimate
+    error because the partials are bitmaps."""
+    from time_series_spark_spark.streaming.jobs import (
+        incremental_bitmap_partials,
+        read_incremental_distinct,
+    )
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    sdf = (
+        spark.readStream.schema(
+            "event_id long, ts long, user_id long, event_type string, "
+            "value double, props string"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(chunked_dir)
+        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    )
+    log = str(tmp_path / "bitmap_partials")
+    incremental_bitmap_partials(sdf, log)
+    got = {
+        (r.event_type, r.d): r.n_distinct
+        for r in read_incremental_distinct(spark, log).collect()
+    }
+    want = {
+        (r.event_type, r.d): r.n
+        for r in batch_events.groupBy(
+            "event_type", F.date_trunc("day", "ts").alias("d")
+        )
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    assert got == want

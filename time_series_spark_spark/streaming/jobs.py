@@ -185,3 +185,54 @@ def foreach_batch_collect(stream_df: DataFrame, path: str) -> None:
         .start()
     )
     q.awaitTermination()
+
+
+# --------------------------------------------------------------------------
+# J9: streaming continuous aggregate — incremental sketch partials
+# --------------------------------------------------------------------------
+def incremental_bitmap_partials(
+    stream_events: DataFrame, partials_path: str
+) -> None:
+    """Maintain an EXACT streaming distinct-count aggregate as an
+    append-only log of mergeable bitmap partials (operators/sketches.py
+    D16), the streaming half of the continuous-aggregate pattern.
+
+    Each micro-batch folds to fixed-size (event_type, day, id-bucket,
+    bitmap) partial rows — a few KB regardless of batch size — and APPENDS
+    them; readers OR-merge at query time (:func:`read_incremental_distinct`).
+    Append-only keeps the sink idempotent-friendly and avoids
+    read-modify-write races; at scale a compaction job periodically
+    OR-merges the log back to one row per (key, bucket), which is
+    `bitmap_rollup`'s partials-in = partials-out shape.
+    """
+    from time_series_spark_spark.operators.sketches import bitmap_partials
+
+    def fold_batch(batch_df: DataFrame, batch_id: int) -> None:
+        p = bitmap_partials(
+            batch_df.select(
+                "event_type",
+                F.date_trunc("day", "ts").alias("d"),
+                "user_id",
+            ),
+            ["event_type", "d"],
+            "user_id",
+        )
+        p.write.mode("append").parquet(partials_path)
+
+    q = (
+        stream_events.writeStream.foreachBatch(fold_batch)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def read_incremental_distinct(spark: SparkSession, partials_path: str) -> DataFrame:
+    """Merge-on-read over the streaming partial log: OR-merge every
+    bucket's bitmaps across all appended micro-batch generations, then
+    EXACT distinct counts per (event_type, day)."""
+    from time_series_spark_spark.operators.sketches import bitmap_rollup
+
+    return bitmap_rollup(
+        spark.read.parquet(partials_path), ["event_type", "d"]
+    )
