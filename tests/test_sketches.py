@@ -135,3 +135,28 @@ def test_hll_pairwise_overlap_tracks_exact(spark):
         exact = len(sets[a] & sets[b])
         scale = max(len(sets[a]), len(sets[b]))
         assert abs(e - exact) <= max(2, 0.05 * scale), (a, b, e, exact)
+
+
+def test_compact_partials_idempotent_and_lossless(spark):
+    """Compaction of a simulated multi-generation partial log (the same
+    hourly partials appended twice, as a streaming restart would) is
+    schema-stable, collapses to one row per (key, bucket), and rollup
+    before == after compaction (and == rollup of the messy log)."""
+    from time_series_spark_spark.operators.sketches import compact_partials
+
+    ev = _events(spark)
+    p = bitmap_partials(ev, ["event_type", "d"], "user_id")
+    log = p.unionByName(p)  # two generations of the same partials
+    compacted = compact_partials(log, ["event_type", "d"])
+    assert compacted.columns == p.columns
+    assert (
+        compacted.groupBy("event_type", "d", "bucket").count()
+        .filter(F.col("count") > 1).count() == 0
+    )
+    roll = lambda f: {  # noqa: E731
+        (r.event_type, r.d): r.n_distinct
+        for r in bitmap_rollup(f, ["event_type", "d"]).collect()
+    }
+    assert roll(compacted) == roll(log) == roll(p)
+    # idempotent: compacting the compacted log is a no-op in content
+    assert roll(compact_partials(compacted, ["event_type", "d"])) == roll(p)

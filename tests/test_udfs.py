@@ -144,3 +144,21 @@ def test_events_nanos_shim(spark):
     assert dict(ev.dtypes)["ts"] == "timestamp"
     lo, hi = ev.agg(F.min("ts"), F.max("ts")).first()
     assert lo.year == 2024 and hi.year == 2024
+
+
+def test_parquet_schema_evolution_read(spark, tmp_path):
+    """A2c: files written before a column existed read as NULL under the
+    merged superset schema; newer files keep their values."""
+    from time_series_spark_spark.sources.io import read_parquet_evolved
+
+    out = str(tmp_path / "evolving")
+    v1 = from_rows(spark, [(1, "a")], "id int, name string")
+    v1.write.parquet(out + "/gen=1")
+    v2 = from_rows(
+        spark, [(2, "b", 9.5)], "id int, name string, score double"
+    )
+    v2.write.parquet(out + "/gen=2")
+    back = read_parquet_evolved(spark, out)
+    assert set(back.columns) == {"id", "name", "score", "gen"}
+    got = {r.id: (r.name, r.score) for r in back.collect()}
+    assert got == {1: ("a", None), 2: ("b", 9.5)}

@@ -176,3 +176,14 @@ def bitmap_rollup(
         F.bitmap_count(F.bitmap_or_agg("bitmap")).alias("n")
     )
     return per_bucket.groupBy(*keys).agg(F.sum("n").alias(out_col))
+
+
+def compact_partials(partials: DataFrame, keys: list[str]) -> DataFrame:
+    """Compaction for the append-only partial log (streaming J9 writes one
+    partial row per micro-batch per key): OR-merge back to ONE row per
+    (keys, bucket). Output is schema-identical to :func:`bitmap_partials`,
+    so compaction is idempotent and composes with :func:`bitmap_rollup`
+    unchanged — run it periodically to bound merge-on-read cost."""
+    return partials.groupBy(*keys, "bucket").agg(
+        F.bitmap_or_agg("bitmap").alias("bitmap")
+    )

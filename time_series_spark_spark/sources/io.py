@@ -152,3 +152,15 @@ def write_bucketed(
     if path:  # external table — keeps data out of the static warehouse dir
         writer = writer.option("path", path)
     writer.format("parquet").saveAsTable(table)
+
+
+def read_parquet_evolved(
+    spark: SparkSession, path: str, **options: str
+) -> DataFrame:
+    """A2c: schema-evolution read — union the schemas of every parquet
+    file under ``path`` (``mergeSchema``), so a table whose writers added
+    columns over time reads as the superset schema with NULLs for files
+    that predate a column. Column-order-independent (parquet is
+    name-resolved); incompatible type changes still fail loudly, which is
+    the correct contract for a lake table."""
+    return spark.read.options(mergeSchema="true", **options).parquet(path)
