@@ -1,0 +1,198 @@
+"""Unit and property tests for operators/analytics.py (OHLC, TWA,
+counter increase, streaks, rolling corr, retention, funnel, LTTB).
+Oracle parity for the SQL-expressible seven is covered by
+tests/test_oracle.py; these tests pin hand-computed semantics on tiny
+frames and LTTB's shape invariants.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from time_series_spark_spark.operators.analytics import (
+    counter_increase,
+    funnel,
+    lttb,
+    ohlc,
+    retention_cohorts,
+    rolling_corr,
+    streaks,
+    time_weighted_avg,
+)
+
+T0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+
+
+def _ts(minutes: float) -> dt.datetime:
+    return T0 + dt.timedelta(minutes=minutes)
+
+
+def _events(spark, rows):
+    """rows: (event_id, minutes, user_id, event_type, value)"""
+    return spark.createDataFrame(
+        [(i, _ts(m), u, t, float(v)) for i, m, u, t, v in rows],
+        "event_id long, ts timestamp, user_id long, event_type string, value double",
+    )
+
+
+def test_ohlc_open_close_tiebreak(spark):
+    # two events at the SAME timestamp: event_id must break the tie
+    df = _events(
+        spark,
+        [
+            (2, 0.0, 1, "view", 5.0),   # same ts as id 1 → id 1 wins open
+            (1, 0.0, 1, "view", 3.0),
+            (3, 10.0, 1, "view", 9.0),  # high
+            (4, 20.0, 1, "view", 1.0),  # low + close
+        ],
+    )
+    row = ohlc(df, "ts", "value", ["event_type"], "day").collect()[0]
+    assert (row.open, row.high, row.low, row.close) == (3.0, 9.0, 1.0, 1.0)
+    assert row.n == 4 and row.volume == 18.0
+
+
+def test_time_weighted_avg_locf(spark):
+    # v=10 for 10 min, v=30 for 30 min → twa = (10*10 + 30*30)/40 = 25
+    df = _events(
+        spark,
+        [(1, 0.0, 1, "m", 10.0), (2, 10.0, 1, "m", 30.0), (3, 40.0, 1, "m", 99.0)],
+    )
+    row = time_weighted_avg(df, "ts", "value", ["user_id"]).collect()[0]
+    assert row.twa_value == pytest.approx(25.0)
+    assert row.n_samples == 3
+
+
+def test_time_weighted_avg_drops_single_sample(spark):
+    df = _events(spark, [(1, 0.0, 7, "m", 10.0)])
+    assert time_weighted_avg(df, "ts", "value", ["user_id"]).count() == 0
+
+
+def test_counter_increase_with_reset(spark):
+    # 10 → 25 (+15) → 5 (reset: +5) → 11 (+6); first sample contributes 0
+    df = _events(
+        spark,
+        [
+            (1, 0.0, 1, "c", 10.0),
+            (2, 1.0, 1, "c", 25.0),
+            (3, 2.0, 1, "c", 5.0),
+            (4, 3.0, 1, "c", 11.0),
+        ],
+    )
+    row = counter_increase(df, "ts", "value", ["user_id"], "day").collect()[0]
+    assert row.total_increase == pytest.approx(26.0)
+    assert row.n_resets == 1
+
+
+def test_streaks_run_length(spark):
+    # user 1: A A B A → streaks (A,2), (B,1), (A,1)
+    df = _events(
+        spark,
+        [
+            (1, 0.0, 1, "A", 0),
+            (2, 1.0, 1, "A", 0),
+            (3, 2.0, 1, "B", 0),
+            (4, 3.0, 1, "A", 0),
+        ],
+    )
+    out = streaks(df, "ts", "event_type", ["user_id"])
+    got = sorted(
+        (r.streak_id, r.event_type, r.len) for r in out.collect()
+    )
+    assert got == [(1, "A", 2), (2, "B", 1), (3, "A", 1)]
+
+
+def test_rolling_corr_perfect_and_inverse(spark):
+    rows = [(i, float(i), float(2 * i + 1), float(10 - i)) for i in range(6)]
+    df = spark.createDataFrame(rows, "d long, x double, y double, z double")
+    up = rolling_corr(df, "d", "x", "y", n_preceding=2).collect()
+    # y = 2x+1 → corr exactly 1 once the frame has ≥2 points
+    assert all(r.rolling_corr == 1.0 for r in up if r.d >= 1)
+    assert next(r.rolling_corr for r in up if r.d == 0) is None  # 1-pt frame
+    down = rolling_corr(df, "d", "x", "z", n_preceding=2).collect()
+    assert all(r.rolling_corr == -1.0 for r in down if r.d >= 1)
+
+
+def test_retention_cohort_counts(spark):
+    # u1 first week W0, active W0+W1; u2 first W0 only; u3 first W1
+    df = _events(
+        spark,
+        [
+            (1, 0.0, 1, "e", 0),
+            (2, 7 * 24 * 60.0, 1, "e", 0),
+            (3, 60.0, 2, "e", 0),
+            (4, 7 * 24 * 60.0 + 5, 3, "e", 0),
+        ],
+    )
+    got = {
+        (r.cohort, r.offset): r.n_active
+        for r in retention_cohorts(df, "ts", "user_id", "week").collect()
+    }
+    w0, w1 = T0, T0 + dt.timedelta(days=7)
+    assert got == {(w0, 0): 2, (w0, 1): 1, (w1, 0): 1}
+
+
+def test_funnel_requires_stage_order(spark):
+    # u1: view→click→purchase (all 3); u2: purchase BEFORE click → stage 2
+    # only reaches click; u3: view only
+    df = _events(
+        spark,
+        [
+            (1, 0.0, 1, "view", 0),
+            (2, 1.0, 1, "click", 0),
+            (3, 2.0, 1, "purchase", 0),
+            (4, 0.0, 2, "view", 0),
+            (5, 1.0, 2, "purchase", 0),
+            (6, 2.0, 2, "click", 0),
+            (7, 0.0, 3, "view", 0),
+        ],
+    )
+    out = funnel(df, "ts", "user_id", "event_type", ["view", "click", "purchase"])
+    got = {r.stage: r.n_users for r in out.collect()}
+    assert got == {"view": 3, "click": 2, "purchase": 1}
+
+
+def _lttb_input(spark, n=200, users=(1, 2)):
+    rng = np.random.default_rng(7)
+    rows = []
+    eid = 0
+    for u in users:
+        for i in range(n):
+            rows.append((eid, float(i), u, "m", float(rng.normal())))
+            eid += 1
+    return _events(spark, rows)
+
+
+def test_lttb_shape_invariants(spark):
+    n, n_out = 200, 20
+    df = _lttb_input(spark, n=n)
+    out = lttb(df, "ts", "value", ["user_id"], n_out=n_out)
+    pdf = out.toPandas().sort_values(["user_id", "ts"])
+    src = df.toPandas()
+    for u, g in pdf.groupby("user_id"):
+        sg = src[src.user_id == u].sort_values("ts")
+        assert len(g) == n_out
+        # endpoints preserved
+        assert g.ts.iloc[0] == sg.ts.iloc[0] and g.ts.iloc[-1] == sg.ts.iloc[-1]
+        # strictly increasing ts, and every point comes from the input
+        assert g.ts.is_monotonic_increasing and g.ts.is_unique
+        merged = g.merge(sg, on=["user_id", "ts", "value"], how="left", indicator=True)
+        assert (merged._merge == "both").all()
+
+
+def test_lttb_short_series_passthrough(spark):
+    df = _lttb_input(spark, n=5)
+    out = lttb(df, "ts", "value", ["user_id"], n_out=20)
+    assert out.count() == 10  # 2 users x 5 points, untouched
+
+
+def test_lttb_keeps_extreme_point(spark):
+    # a huge spike must survive downsampling (the whole point of LTTB)
+    rows = [(i, float(i), 1, "m", 1.0) for i in range(100)]
+    rows[50] = (50, 50.0, 1, "m", 500.0)
+    df = _events(spark, rows)
+    out = lttb(df, "ts", "value", ["user_id"], n_out=10).toPandas()
+    assert out.value.max() == 500.0

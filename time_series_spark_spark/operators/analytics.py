@@ -1,0 +1,415 @@
+"""Time-series analytics operators: OHLC bars, time-weighted average,
+counter increase with reset handling, run-length streaks, rolling
+correlation, retention cohorts, funnel analysis, LTTB downsampling.
+
+These are the continuous-analytics surface of time-series stores
+(TimescaleDB hyperfunctions, Prometheus `increase`/`rate`, product
+analytics cohorts/funnels), re-expressed as declarative Spark plans.
+SURVEY.md §2.F extension (round 2); the reference directory is empty
+(SURVEY.md §0), so semantics follow the published definitions cited per
+function.
+
+Cross-engine determinism (SURVEY.md §5.1): all time arithmetic is in
+integer microseconds, money-like doubles are scaled to integer cents
+before summing (integer sums are order-independent in fp), and ordering
+tie-breaks use a zero-padded string key because DuckDB's ``arg_min``
+cannot order by a composite.
+
+Scale notes (100 TB posture):
+- every operator here is a single hash shuffle on its natural key
+  (day/user/cohort) plus window functions over that same partitioning —
+  no self-joins, no driver-side state;
+- LTTB runs on the packed grouped-map path (operators/packed.py): one
+  shuffle, thousands of series per Arrow batch, memory O(batch +
+  largest series).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from time_series_spark_spark.operators.packed import packed_grouped_map
+
+
+def event_order_key(ts_col: str = "ts", id_col: str = "event_id") -> Column:
+    """Total-order key ``'%020d-%012d' % (epoch_us, id)`` — identical
+    lexicographic order in Spark and DuckDB (both lack composite
+    arg_min/arg_max keys; a padded string is the portable composite)."""
+    return F.format_string(
+        "%020d-%012d", F.unix_micros(F.col(ts_col)), F.col(id_col)
+    )
+
+
+def ohlc(
+    df: DataFrame,
+    ts: str,
+    value: str,
+    keys: list[str],
+    grain: str = "day",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """OHLC bars: per (bucket, *keys) the first/max/min/last ``value``
+    (candlestick downsampling; open/close tie-broken by (ts, id)).
+
+    One hash aggregation — open/close via ``min_by``/``max_by`` on the
+    padded order key, so no window pass and no second shuffle.
+    """
+    ord_key = event_order_key(ts, id_col)
+    return (
+        df.withColumn("__ord", ord_key)
+        .groupBy(
+            F.date_trunc(grain, F.col(ts)).alias("bucket"), *[F.col(k) for k in keys]
+        )
+        .agg(
+            F.min_by(F.col(value), F.col("__ord")).alias("open"),
+            F.max(value).alias("high"),
+            F.min(value).alias("low"),
+            F.max_by(F.col(value), F.col("__ord")).alias("close"),
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum(value), 2).alias("volume"),
+        )
+    )
+
+
+def time_weighted_avg(
+    df: DataFrame,
+    ts: str,
+    value: str,
+    keys: list[str],
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Per-key time-weighted average under a step-function (last-obs-
+    carried-forward) interpolation: Σ vᵢ·(tᵢ₊₁−tᵢ) / (t_last − t_first).
+
+    The TimescaleDB ``time_weight('LOCF')`` definition. Keys with a
+    single sample (zero span) are dropped — the integral is undefined.
+    Exactness: value → integer cents, Δt in integer µs; the only fp op
+    is the final division, identical on both engines.
+    """
+    us = F.unix_micros(F.col(ts))
+    seg = df.select(
+        *keys,
+        F.col(id_col).alias("__id"),
+        us.alias("__t"),
+        F.round(F.col(value) * 100, 0).cast("long").alias("__cents"),
+    )
+    # ordered on integer µs (+ id tiebreak) so Spark and DuckDB sort the
+    # same total order even if ts ns payloads differed
+    w = Window.partitionBy(*keys).orderBy("__t", "__id")
+    seg = seg.withColumn("__t_next", F.lead("__t").over(w))
+    return (
+        seg.withColumn(
+            "__contrib",
+            F.when(
+                F.col("__t_next").isNotNull(),
+                F.col("__cents") * (F.col("__t_next") - F.col("__t")),
+            ).otherwise(F.lit(0).cast("long")),
+        )
+        .groupBy(*keys)
+        .agg(
+            F.sum("__contrib").alias("__num"),
+            (F.max("__t") - F.min("__t")).alias("__span"),
+            F.count(F.lit(1)).alias("n_samples"),
+        )
+        .filter(F.col("__span") > 0)
+        .select(
+            *keys,
+            "n_samples",
+            F.round(
+                F.col("__num") / F.col("__span") / F.lit(100.0), 6
+            ).alias("twa_value"),
+        )
+    )
+
+
+def counter_increase(
+    df: DataFrame,
+    ts: str,
+    value: str,
+    keys: list[str],
+    grain: str = "day",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Prometheus-style ``increase``: per key, sum of positive deltas
+    between consecutive samples; a negative delta is a counter reset and
+    contributes the post-reset sample value (the counter restarted from
+    zero). Aggregated to ``grain`` buckets of the *current* sample.
+
+    Window lag + one hash agg — both on the same key partitioning.
+    Integer-cents arithmetic throughout; unscaled only at the end.
+    """
+    w = Window.partitionBy(*keys).orderBy(ts, id_col)
+    cents = F.round(F.col(value) * 100, 0).cast("long")
+    with_delta = df.select(
+        *keys,
+        F.col(ts),
+        F.col(id_col),
+        cents.alias("__c"),
+    ).withColumn("__prev", F.lag("__c").over(w))
+    contrib = (
+        F.when(F.col("__prev").isNull(), F.lit(0).cast("long"))
+        .when(F.col("__c") >= F.col("__prev"), F.col("__c") - F.col("__prev"))
+        .otherwise(F.col("__c"))
+    )
+    return (
+        with_delta.withColumn("__inc", contrib)
+        .groupBy(F.date_trunc(grain, F.col(ts)).alias("bucket"))
+        .agg(
+            (F.sum("__inc").cast("double") / F.lit(100.0)).alias("total_increase"),
+            F.sum(F.when(F.col("__c") < F.col("__prev"), 1).otherwise(0)).alias(
+                "n_resets"
+            ),
+        )
+    )
+
+
+def streaks(
+    df: DataFrame,
+    ts: str,
+    state: str,
+    keys: list[str],
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Run-length encoding (gaps-and-islands): per key, consecutive runs
+    of identical ``state`` become one streak row (streak_id, state,
+    length, start/end ts).
+
+    Classic two-window composition on ONE partitioning: change flag via
+    lag, island id via running sum, then a hash agg on (keys, island) —
+    Spark reuses the ``hash(keys)`` exchange across all three.
+    """
+    w = Window.partitionBy(*keys).orderBy(ts, id_col)
+    flagged = df.select(*keys, F.col(ts), F.col(id_col), F.col(state)).withColumn(
+        "__chg",
+        F.when(
+            F.lag(state).over(w).isNull()
+            | (F.lag(state).over(w) != F.col(state)),
+            1,
+        ).otherwise(0),
+    )
+    islands = flagged.withColumn(
+        "streak_id",
+        F.sum("__chg").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return islands.groupBy(*keys, "streak_id").agg(
+        F.first(state).alias(state),
+        F.count(F.lit(1)).alias("len"),
+        F.min(ts).alias("start_ts"),
+        F.max(ts).alias("end_ts"),
+    )
+
+
+def rolling_corr(
+    df: DataFrame,
+    order_col: str,
+    x: str,
+    y: str,
+    n_preceding: int,
+    keys: list[str] | None = None,
+) -> DataFrame:
+    """Rolling Pearson correlation of integer-valued series over a
+    trailing row frame, computed from integer power sums::
+
+        corr = (nΣxy − ΣxΣy) / (√(nΣx²−(Σx)²) · √(nΣy²−(Σy)²))
+
+    Integer window sums are exact and order-independent, so both engines
+    produce bit-identical doubles from identical operands — unlike
+    ``F.corr``, whose streaming-update fp path differs per engine.
+    Frames with zero variance on either side yield NULL.
+    """
+    keys = keys or []
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(order_col)
+        .rowsBetween(-n_preceding, 0)
+    )
+    xl = F.col(x).cast("long")
+    yl = F.col(y).cast("long")
+    base = df.select(
+        *keys,
+        F.col(order_col),
+        xl.alias("__x"),
+        yl.alias("__y"),
+        (xl * yl).alias("__xy"),
+        (xl * xl).alias("__xx"),
+        (yl * yl).alias("__yy"),
+    )
+    n = F.count(F.lit(1)).over(w)
+    sx = F.sum("__x").over(w)
+    sy = F.sum("__y").over(w)
+    sxy = F.sum("__xy").over(w)
+    sxx = F.sum("__xx").over(w)
+    syy = F.sum("__yy").over(w)
+    vx = n * sxx - sx * sx
+    vy = n * syy - sy * sy
+    corr = F.when(
+        (vx > 0) & (vy > 0),
+        F.round(
+            (n * sxy - sx * sy)
+            / (F.sqrt(vx.cast("double")) * F.sqrt(vy.cast("double"))),
+            6,
+        ),
+    )
+    return base.select(
+        *keys,
+        F.col(order_col),
+        F.col("__x").alias(x),
+        F.col("__y").alias(y),
+        corr.alias("rolling_corr"),
+    )
+
+
+def retention_cohorts(
+    df: DataFrame,
+    ts: str,
+    user_col: str,
+    grain: str = "week",
+) -> DataFrame:
+    """Cohort retention: users grouped by the ``grain`` bucket of their
+    first event; for each (cohort, offset) the count of cohort users
+    active ``offset`` buckets later. offset 0 row = cohort size.
+
+    Two shuffles total, both on ``user_col``: min-ts per user, then the
+    activity join — the cohort table is per-user (small relative to
+    events) and co-partitioned, so the join inherits the exchange.
+    """
+    per_bucket = df.select(
+        F.col(user_col).alias("u"),
+        F.date_trunc(grain, F.col(ts)).alias("b"),
+    ).distinct()
+    firsts = per_bucket.groupBy("u").agg(F.min("b").alias("cohort"))
+    step_days = {"day": 1, "week": 7}[grain]
+    return (
+        per_bucket.join(firsts, "u")
+        .select(
+            "cohort",
+            (
+                F.datediff(F.col("b"), F.col("cohort")) / F.lit(step_days)
+            ).cast("int").alias("offset"),
+            "u",
+        )
+        .groupBy("cohort", "offset")
+        .agg(F.countDistinct("u").alias("n_active"))
+    )
+
+
+def funnel(
+    df: DataFrame,
+    ts: str,
+    user_col: str,
+    type_col: str,
+    stages: list[str],
+) -> DataFrame:
+    """Ordered funnel: stage k counts users whose earliest ``stages[k]``
+    event occurs strictly after their earliest qualifying ``stages[k-1]``
+    event (the product-analytics "ordered funnel, first-touch" model).
+
+    One pass per stage, every pass a conditional min() aggregated on
+    ``user_col`` — all shuffles share the user hash partitioning; the
+    per-user stage frame is tiny and reused, never the raw events.
+    """
+    ev = df.select(
+        F.col(user_col).alias("u"), F.col(type_col).alias("t"), F.col(ts).alias("ev_ts")
+    )
+    # earliest stage-0 event per user
+    cur = (
+        ev.filter(F.col("t") == stages[0])
+        .groupBy("u")
+        .agg(F.min("ev_ts").alias("t0"))
+    )
+    reached = [("stage0", stages[0], cur)]
+    for i, s in enumerate(stages[1:], start=1):
+        prev_col = f"t{i-1}"
+        cur = (
+            ev.filter(F.col("t") == s)
+            .join(cur.select("u", F.col(prev_col)), "u")
+            .filter(F.col("ev_ts") > F.col(prev_col))
+            .groupBy("u")
+            .agg(F.min("ev_ts").alias(f"t{i}"))
+        )
+        reached.append((f"stage{i}", s, cur))
+    counts = None
+    for i, (tag, s, frame) in enumerate(reached):
+        row = frame.agg(F.count(F.lit(1)).alias("n_users")).select(
+            F.lit(i).alias("stage_idx"), F.lit(s).alias("stage"), "n_users"
+        )
+        counts = row if counts is None else counts.unionByName(row)
+    return counts
+
+
+def lttb(
+    df: DataFrame,
+    ts: str,
+    value: str,
+    keys: list[str],
+    n_out: int,
+) -> DataFrame:
+    """Largest-Triangle-Three-Buckets downsampling per series
+    (Steinarsson 2013): keep first/last points, split the interior into
+    ``n_out − 2`` buckets, from each bucket keep the point maximizing
+    the triangle area with the previously kept point and the next
+    bucket's centroid. The standard visual-fidelity downsampler.
+
+    Runs on the packed grouped-map path: one shuffle on ``keys``, many
+    series per Arrow batch, numpy per series. Not SQL-expressible
+    (sequential dependence on the previously selected point) → rows-only
+    + property tests.
+    """
+    base = df.select(
+        *keys, F.unix_micros(F.col(ts)).alias("__t"), F.col(value).alias("__v")
+    )
+
+    def _lttb_one(t: np.ndarray, v: np.ndarray) -> np.ndarray:
+        n = len(t)
+        if n <= n_out:
+            return np.arange(n)
+        # bucket boundaries over the interior points [1, n-1)
+        edges = np.linspace(1, n - 1, n_out - 1).astype(np.int64)
+        chosen = np.empty(n_out, dtype=np.int64)
+        chosen[0] = 0
+        a = 0
+        for i in range(n_out - 2):
+            lo, hi = edges[i], edges[i + 1]
+            nlo, nhi = edges[i + 1], (n if i == n_out - 3 else edges[i + 2])
+            cx = t[nlo:nhi].mean()
+            cy = v[nlo:nhi].mean()
+            ax, ay = t[a], v[a]
+            # 2×triangle area for every candidate in the bucket
+            area = np.abs(
+                (ax - cx) * (v[lo:hi] - ay) - (ax - t[lo:hi]) * (cy - ay)
+            )
+            a = lo + int(np.argmax(area))
+            chosen[i + 1] = a
+        chosen[-1] = n - 1
+        return chosen
+
+    def _apply(pdf: pd.DataFrame) -> pd.DataFrame:
+        outs = []
+        for _, g in pdf.groupby(keys, sort=False):
+            idx = _lttb_one(
+                g["__t"].to_numpy(np.float64), g["__v"].to_numpy(np.float64)
+            )
+            outs.append(g.iloc[idx])
+        return pd.concat(outs, ignore_index=True)
+
+    key_schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}"
+        for f in base.schema.fields
+        if f.name in keys
+    )
+    out = packed_grouped_map(
+        base,
+        keys,
+        ["__t"],
+        _apply,
+        f"{key_schema}, __t long, __v double",
+    )
+    return out.select(
+        *keys,
+        F.timestamp_micros(F.col("__t")).alias(ts),
+        F.col("__v").alias(value),
+    )

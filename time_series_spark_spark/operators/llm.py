@@ -454,6 +454,64 @@ def simhash_near_pairs(
     )
 
 
+def edit_distance_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lang_col: str = "lang",
+    len_col: str = "n_chars",
+    prefix_len: int = 60,
+    band: int = 16,
+    max_dist: int = 8,
+) -> DataFrame:
+    """Near-dup pairs by Levenshtein distance ≤ ``max_dist`` on the first
+    ``prefix_len`` chars, within (lang, length-band) blocks.
+
+    Scale shape: each doc is keyed by ``floor(len / band)``; the probe
+    side explodes to its own bucket ±1, so every candidate pair (which
+    must satisfy \\|Δlen\\| ≤ band ⇒ \\|Δbucket\\| ≤ 1) meets on exactly ONE
+    equi-join key — a hash join on (lang, bucket), never an all-pairs
+    BNLJ. Levenshtein runs in codegen (JVM ``levenshtein``), O(prefix²)
+    per candidate, bounded by the block sizes. Full-text verification of
+    the surviving pairs is a cheap downstream step if needed; the prefix
+    is the published blocking-key compromise (Christen 2012, indexing
+    for record linkage).
+    """
+    base = df.select(
+        F.col(id_col).alias("id"),
+        F.col(lang_col).alias("lg"),
+        F.col(len_col).alias("ln"),
+        F.substring(F.col(text_col), 1, prefix_len).alias("p"),
+        F.floor(F.col(len_col) / band).alias("bkt"),
+    )
+    probe = base.select(
+        F.col("id").alias("id_a"),
+        F.col("lg"),
+        F.col("ln").alias("ln_a"),
+        F.col("p").alias("p_a"),
+        F.explode(
+            F.array(F.col("bkt") - 1, F.col("bkt"), F.col("bkt") + 1)
+        ).alias("bkt"),
+    )
+    build = base.select(
+        F.col("id").alias("id_b"),
+        F.col("lg"),
+        F.col("ln").alias("ln_b"),
+        F.col("p").alias("p_b"),
+        F.col("bkt"),
+    )
+    return (
+        probe.join(build, ["lg", "bkt"])
+        .filter(
+            (F.col("id_a") < F.col("id_b"))
+            & (F.abs(F.col("ln_a") - F.col("ln_b")) <= band)
+        )
+        .withColumn("dist", F.levenshtein("p_a", "p_b").cast("long"))
+        .filter(F.col("dist") <= max_dist)
+        .select("id_a", "id_b", "dist")
+    )
+
+
 # --------------------------------------------------------------------------
 # K3/K4: embedding similarity search
 # --------------------------------------------------------------------------

@@ -53,6 +53,7 @@ from time_series_spark_spark import queries_udfs  # noqa: E402,F401
 from time_series_spark_spark import queries_tpch  # noqa: E402,F401
 from time_series_spark_spark import queries_sketches  # noqa: E402,F401
 from time_series_spark_spark import queries_cdc  # noqa: E402,F401
+from time_series_spark_spark import queries_analytics  # noqa: E402,F401
 
 
 def queries() -> dict[str, QueryFn]:

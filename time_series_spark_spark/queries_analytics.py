@@ -1,0 +1,272 @@
+"""Continuous-analytics query surface (SURVEY.md §2.F extension, round 2):
+OHLC bars, time-weighted average, counter increase, streaks, rolling
+correlation, retention cohorts, ordered funnel, LTTB downsampling.
+
+Determinism rules as everywhere (queries.py header): integer-µs time
+math, integer-cents money math, padded-string arg_min/arg_max tie-break
+keys, DuckDB sums CAST to BIGINT so the driver canonicalizer never sees
+a HUGEINT, and fp emitted only as a final identical-operand division.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from time_series_spark_spark.operators.analytics import (
+    counter_increase,
+    funnel,
+    lttb,
+    ohlc,
+    retention_cohorts,
+    rolling_corr,
+    streaks,
+    time_weighted_avg,
+)
+from time_series_spark_spark.queries import register
+from time_series_spark_spark.sources.io import load
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load(spark, sf_dir, "events")
+
+
+_ORD_KEY = "printf('%020d-%012d', epoch_us(ts), event_id)"
+
+
+@register(
+    "events_ohlc_daily",
+    f"""
+    SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS bucket,
+           event_type,
+           arg_min(value, {_ORD_KEY}) AS open,
+           max(value)                 AS high,
+           min(value)                 AS low,
+           arg_max(value, {_ORD_KEY}) AS close,
+           CAST(count(*) AS BIGINT)   AS n,
+           round(sum(value), 2)       AS volume
+    FROM events GROUP BY 1, 2
+    """,
+    doc="OHLC candlestick bars per (day, event_type); open/close "
+    "tie-broken by the padded (epoch_us, event_id) string key — one hash "
+    "aggregation, no window pass",
+)
+def events_ohlc_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ohlc(_events(spark, sf_dir), "ts", "value", ["event_type"], "day")
+
+
+@register(
+    "events_twa_user",
+    """
+    WITH seg AS (
+        SELECT user_id, epoch_us(ts) AS t,
+               CAST(round(value * 100) AS BIGINT) AS c,
+               lead(epoch_us(ts)) OVER
+                   (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+                   AS t_next
+        FROM events
+    )
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_samples,
+           round(CAST(sum(CASE WHEN t_next IS NULL THEN 0
+                               ELSE c * (t_next - t) END) AS DOUBLE)
+                 / (max(t) - min(t)) / 100.0, 6) AS twa_value
+    FROM seg GROUP BY user_id
+    HAVING max(t) > min(t)
+    """,
+    doc="Time-weighted average value per user under LOCF interpolation "
+    "(the TimescaleDB time_weight definition) — integer cents x integer "
+    "µs throughout, one fp division at the end",
+)
+def events_twa_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return time_weighted_avg(_events(spark, sf_dir), "ts", "value", ["user_id"])
+
+
+@register(
+    "events_counter_increase_daily",
+    """
+    WITH s AS (
+        SELECT user_id, ts,
+               CAST(round(value * 100) AS BIGINT) AS c,
+               lag(CAST(round(value * 100) AS BIGINT)) OVER
+                   (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+                   AS prev
+        FROM events
+    )
+    SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS bucket,
+           CAST(sum(CASE WHEN prev IS NULL THEN 0
+                         WHEN c >= prev THEN c - prev
+                         ELSE c END) AS DOUBLE) / 100.0 AS total_increase,
+           CAST(sum(CASE WHEN c < prev THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_resets
+    FROM s GROUP BY 1
+    """,
+    doc="Prometheus-style counter increase per day with reset handling "
+    "(negative delta -> counter restarted; contributes the post-reset "
+    "sample)",
+)
+def events_counter_increase_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return counter_increase(
+        _events(spark, sf_dir), "ts", "value", ["user_id"], "day"
+    )
+
+
+@register(
+    "events_type_streaks",
+    """
+    WITH f AS (
+        SELECT user_id, event_type, epoch_us(ts) AS t, event_id,
+               CASE WHEN lag(event_type) OVER
+                        (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+                        IS DISTINCT FROM event_type
+                    THEN 1 ELSE 0 END AS chg
+        FROM events
+    ),
+    i AS (
+        SELECT user_id, event_type,
+               sum(chg) OVER (PARTITION BY user_id ORDER BY t, event_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND CURRENT ROW) AS sid
+        FROM f
+    ),
+    s AS (
+        SELECT user_id, sid, min(event_type) AS event_type,
+               CAST(count(*) AS BIGINT) AS len
+        FROM i GROUP BY user_id, sid
+    )
+    SELECT user_id, event_type,
+           CAST(count(*) AS BIGINT)  AS n_streaks,
+           CAST(max(len) AS BIGINT)  AS max_len,
+           CAST(sum(len) AS BIGINT)  AS n_events
+    FROM s GROUP BY 1, 2
+    """,
+    doc="Run-length streaks (gaps-and-islands): consecutive same-type "
+    "runs per user, aggregated per (user, type) — change-flag lag + "
+    "running-sum island id + two hash aggs, all on one user partitioning",
+)
+def events_type_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = streaks(_events(spark, sf_dir), "ts", "event_type", ["user_id"])
+    return s.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).alias("n_streaks"),
+        F.max("len").alias("max_len"),
+        F.sum("len").alias("n_events"),
+    )
+
+
+@register(
+    "events_rolling_corr_7d",
+    """
+    WITH d AS (
+        SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS d,
+               CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS x,
+               CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS y
+        FROM events GROUP BY 1
+    ),
+    wnd AS (
+        SELECT d, x, y,
+               count(*)   OVER w AS n,
+               sum(x)     OVER w AS sx,  sum(y)     OVER w AS sy,
+               sum(x * y) OVER w AS sxy,
+               sum(x * x) OVER w AS sxx, sum(y * y) OVER w AS syy
+        FROM d
+        WINDOW w AS (ORDER BY d ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+    )
+    SELECT d, x, y,
+           CASE WHEN n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
+                THEN round((n * sxy - sx * sy)
+                           / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+                              * sqrt(CAST(n * syy - sy * sy AS DOUBLE))), 6)
+           END AS rolling_corr
+    FROM wnd
+    """,
+    doc="Rolling 7-day Pearson correlation between daily click and "
+    "purchase counts, computed from exact integer power sums so both "
+    "engines divide identical operands (F.corr's streaming fp path "
+    "would drift)",
+)
+def events_rolling_corr_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    daily = (
+        _events(spark, sf_dir)
+        .groupBy(F.date_trunc("day", F.col("ts")).alias("d"))
+        .agg(
+            F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0)).alias("x"),
+            F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias(
+                "y"
+            ),
+        )
+    )
+    return rolling_corr(daily, "d", "x", "y", n_preceding=6)
+
+
+@register(
+    "user_retention_weekly",
+    """
+    WITH pb AS (
+        SELECT DISTINCT user_id AS u,
+               CAST(date_trunc('week', ts) AS TIMESTAMP) AS b
+        FROM events
+    ),
+    f AS (SELECT u, min(b) AS cohort FROM pb GROUP BY u)
+    SELECT f.cohort,
+           CAST(date_diff('day', f.cohort, pb.b) / 7 AS INT) AS offset,
+           CAST(count(DISTINCT pb.u) AS BIGINT) AS n_active
+    FROM pb JOIN f ON f.u = pb.u
+    GROUP BY 1, 2
+    """,
+    doc="Weekly cohort retention: users bucketed by first-activity week; "
+    "n_active at each week offset (offset 0 = cohort size). Both "
+    "shuffles on user_id; cohort frame is per-user and co-partitioned",
+)
+def user_retention_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return retention_cohorts(_events(spark, sf_dir), "ts", "user_id", "week")
+
+
+@register(
+    "events_funnel_ordered",
+    """
+    WITH v AS (
+        SELECT user_id AS u, min(ts) AS t0 FROM events
+        WHERE event_type = 'view' GROUP BY 1
+    ),
+    c AS (
+        SELECT e.user_id AS u, min(e.ts) AS t1
+        FROM events e JOIN v ON v.u = e.user_id
+        WHERE e.event_type = 'click' AND e.ts > v.t0 GROUP BY 1
+    ),
+    p AS (
+        SELECT e.user_id AS u, min(e.ts) AS t2
+        FROM events e JOIN c ON c.u = e.user_id
+        WHERE e.event_type = 'purchase' AND e.ts > c.t1 GROUP BY 1
+    )
+    SELECT 0 AS stage_idx, 'view' AS stage,
+           CAST(count(*) AS BIGINT) AS n_users FROM v
+    UNION ALL
+    SELECT 1, 'click', CAST(count(*) AS BIGINT) FROM c
+    UNION ALL
+    SELECT 2, 'purchase', CAST(count(*) AS BIGINT) FROM p
+    """,
+    doc="Ordered first-touch funnel view -> click -> purchase: stage k "
+    "counts users whose earliest stage-k event strictly follows their "
+    "earliest qualifying stage-(k-1) event",
+)
+def events_funnel_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return funnel(
+        _events(spark, sf_dir),
+        "ts",
+        "user_id",
+        "event_type",
+        ["view", "click", "purchase"],
+    )
+
+
+@register(
+    "events_lttb_user",
+    None,  # sequential point selection is not SQL-expressible → rows-only;
+    # shape/fidelity invariants asserted in tests/test_analytics.py
+    doc="LTTB (largest-triangle-three-buckets) downsampling to 24 points "
+    "per user series, on the packed grouped-map path",
+)
+def events_lttb_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return lttb(_events(spark, sf_dir), "ts", "value", ["user_id"], n_out=24)

@@ -17,6 +17,7 @@ from time_series_spark_spark.operators.llm import (
     cosine_pairs_threshold,
     cosine_topk,
     dedup_report,
+    edit_distance_pairs,
     exact_dedup,
     extract_multimodal_features,
     ivf_topk,
@@ -706,3 +707,76 @@ def docs_upsample_repeat(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents").select("doc_id", "lang")
     up = upsample_repeat(docs, "lang", {"zh": 3, "fr": 2})
     return up.groupBy("lang").agg(F.count(F.lit(1)).alias("n_rows"))
+
+
+# --------------------------------------------------------------------------
+# K2 edit-distance near-dup (round 2) + semantic dedup (round 2)
+# --------------------------------------------------------------------------
+@register(
+    "docs_edit_pairs",
+    """
+    WITH d AS (
+        SELECT doc_id, lang, n_chars,
+               substring(text, 1, 60) AS p,
+               CAST(floor(n_chars / 16) AS BIGINT) AS b
+        FROM documents
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(levenshtein(a.p, b.p) AS BIGINT) AS dist
+    FROM d a JOIN d b
+      ON a.lang = b.lang AND abs(a.b - b.b) <= 1
+     AND a.doc_id < b.doc_id AND abs(a.n_chars - b.n_chars) <= 16
+    WHERE levenshtein(a.p, b.p) <= 8
+    """,
+    doc="K2 edit-distance near-dup pairs: Levenshtein <= 8 on 60-char "
+    "prefixes inside (lang, length-band) blocks; the probe side explodes "
+    "to bucket +-1 so every candidate meets on one equi-join key (hash "
+    "join, never BNLJ)",
+)
+def docs_edit_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return edit_distance_pairs(
+        load(spark, sf_dir, "documents"),
+        prefix_len=60,
+        band=16,
+        max_dist=8,
+    )
+
+
+@register(
+    "emb_semantic_dedup",
+    """
+    WITH RECURSIVE e AS (
+        SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+    ),
+    p AS (
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        FROM e a JOIN e b ON a.vec_id < b.vec_id
+        WHERE round(list_inner_product(a.v, b.v)
+                    / (sqrt(list_inner_product(a.v, a.v))
+                       * sqrt(list_inner_product(b.v, b.v))), 6) >= 0.45
+    ),
+    edges AS (
+        SELECT id_a AS src, id_b AS dst FROM p
+        UNION
+        SELECT id_b AS src, id_a AS dst FROM p
+    ),
+    reach AS (
+        SELECT DISTINCT src AS id, src AS r FROM edges
+        UNION
+        SELECT reach.id, e2.dst FROM reach JOIN edges e2 ON e2.src = reach.r
+    ),
+    comp AS (SELECT id, min(r) AS cluster_id FROM reach GROUP BY id)
+    SELECT emb.vec_id,
+           coalesce(comp.cluster_id, emb.vec_id) AS cluster_id,
+           coalesce(comp.cluster_id, emb.vec_id) = emb.vec_id AS is_canonical
+    FROM embeddings emb LEFT JOIN comp ON comp.id = emb.vec_id
+    """,
+    doc="K1/K3 semantic dedup: exact cosine pairs >= 0.45 (blocked-GEMM "
+    "guarded path) -> connected components (pointer-jump label "
+    "propagation) -> deterministic min-id keep-list; the oracle "
+    "recomputes reachability with a recursive CTE",
+)
+def emb_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    pairs = cosine_pairs_threshold(emb, threshold=0.45)
+    return dup_clusters(emb, pairs, id_col="vec_id").orderBy("vec_id")
