@@ -196,3 +196,24 @@ def test_rollup_cascade_reuses_exchanges(spark):
     plan = executed_plan(df)
     assert "isFinalPlan=true" in plan
     assert plan.count("ReusedExchange") >= 2
+
+
+def test_analytics_single_shuffle_shapes(spark):
+    """OHLC / TWA / streaks each reduce to ONE hash exchange: the window
+    pass (where present) and the aggregation share the same key
+    partitioning. A second exchange would reshuffle the full event
+    stream at 100 TB."""
+    for name in ("events_ohlc_daily", "events_twa_user", "events_type_streaks"):
+        df = _df(spark, name)
+        assert count_op(df, "Exchange") == 1, name
+
+
+def test_edit_pairs_is_equi_join_not_bnlj(spark):
+    """docs_edit_pairs: the length-band blocking must plan as a hash
+    equi-join on (lang, bucket) — a BroadcastNestedLoopJoin here means
+    the blocking key fell out of the join condition and the plan
+    degenerated to all-pairs."""
+    df = _df(spark, "docs_edit_pairs")
+    plan = executed_plan(df)
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
