@@ -196,3 +196,21 @@ def test_lttb_keeps_extreme_point(spark):
     df = _events(spark, rows)
     out = lttb(df, "ts", "value", ["user_id"], n_out=10).toPandas()
     assert out.value.max() == 500.0
+
+
+def test_seasonal_decompose_recovers_pure_weekly_signal(spark):
+    # y = 100 + phase pattern, zero noise → trend = 100 + pattern mean,
+    # resid = 0 everywhere, y = trend + seasonal + resid exactly
+    pattern = [10.0, -5.0, 0.0, 20.0, -10.0, 5.0, -20.0]
+    rows = []
+    for i in range(28):
+        rows.append((i, i * 24 * 60.0, 1, "m", 100.0 + pattern[i % 7]))
+    df = _events(spark, rows)
+    from time_series_spark_spark.operators.analytics import seasonal_decompose
+
+    out = seasonal_decompose(df, "ts", "value", ["user_id"], period=7).toPandas()
+    assert len(out) == 28 - 6  # 3 edge rows dropped each side
+    # centered 7-day MA of a pure period-7 signal is flat
+    assert (out.trend == out.trend.iloc[0]).all()
+    assert np.allclose(out.resid, 0.0)
+    assert np.allclose(out.y, out.trend + out.seasonal + out.resid)

@@ -341,6 +341,80 @@ def funnel(
     return counts
 
 
+def seasonal_decompose(
+    df: DataFrame,
+    ts: str,
+    value: str,
+    keys: list[str],
+    period: int = 7,
+) -> DataFrame:
+    """Classical additive seasonal decomposition of a daily series
+    (Hyndman & Athanasopoulos, *Forecasting: Principles and Practice*,
+    ch. 3): trend = centered moving average of width ``period``;
+    seasonal = per-phase mean of the detrended series; residual = the
+    rest. Edge rows without a full MA frame are dropped (trend is
+    undefined there), exactly as the classical method prescribes.
+    Seasonal components are per-phase means, not re-centered to zero.
+
+    Integer-exact cross-engine design: the value is summed per day in
+    integer cents; detrended = cents·period − frame_sum stays integral;
+    the per-phase seasonal keeps integral numerator (sum) and
+    denominator (count); every emitted double is ONE division of
+    identical integers, so Spark and DuckDB agree bit-for-bit. The
+    phase index is ``(epoch_day mod period)`` — no dayofweek dialect.
+
+    Shuffles: hash(keys) for the daily agg + trend window, then
+    hash(keys, phase) for the seasonal window — two exchanges total.
+    """
+    half = period // 2
+    day = F.date_trunc("day", F.col(ts))
+    daily = (
+        df.select(
+            *keys,
+            day.alias("d"),
+            F.round(F.col(value) * 100, 0).cast("long").alias("__c"),
+        )
+        .groupBy(*keys, "d")
+        .agg(F.sum("__c").alias("__c"))
+        .withColumn(
+            "__phase",
+            (F.unix_micros(F.col("d")) / F.lit(86400000000)).cast("long")
+            % period,
+        )
+    )
+    wt = (
+        Window.partitionBy(*keys)
+        .orderBy("d")
+        .rowsBetween(-half, half)
+    )
+    framed = (
+        daily.withColumn("__fsum", F.sum("__c").over(wt))
+        .withColumn("__fn", F.count(F.lit(1)).over(wt))
+        .filter(F.col("__fn") == period)
+        .withColumn("__dt", F.col("__c") * period - F.col("__fsum"))
+    )
+    ws = Window.partitionBy(*keys, "__phase")
+    out = (
+        framed.withColumn("__ssum", F.sum("__dt").over(ws))
+        .withColumn("__sn", F.count(F.lit(1)).over(ws))
+    )
+    scale = 100 * period
+    return out.select(
+        *keys,
+        "d",
+        F.round(F.col("__c") / F.lit(100.0), 6).alias("y"),
+        F.round(F.col("__fsum") / F.lit(float(scale)), 6).alias("trend"),
+        F.round(
+            F.col("__ssum") / (F.col("__sn") * F.lit(float(scale))), 6
+        ).alias("seasonal"),
+        F.round(
+            (F.col("__dt") * F.col("__sn") - F.col("__ssum"))
+            / (F.col("__sn") * F.lit(float(scale))),
+            6,
+        ).alias("resid"),
+    )
+
+
 def lttb(
     df: DataFrame,
     ts: str,

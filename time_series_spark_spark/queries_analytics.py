@@ -20,6 +20,7 @@ from time_series_spark_spark.operators.analytics import (
     ohlc,
     retention_cohorts,
     rolling_corr,
+    seasonal_decompose,
     streaks,
     time_weighted_avg,
 )
@@ -270,3 +271,54 @@ def events_funnel_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def events_lttb_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lttb(_events(spark, sf_dir), "ts", "value", ["user_id"], n_out=24)
+
+
+@register(
+    "events_decompose_daily",
+    """
+    WITH daily AS (
+        SELECT user_id, CAST(date_trunc('day', ts) AS TIMESTAMP) AS d,
+               CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS c
+        FROM events GROUP BY 1, 2
+    ),
+    ph AS (
+        SELECT user_id, d, c,
+               (epoch_us(d) // 86400000000) % 7 AS phase
+        FROM daily
+    ),
+    framed AS (
+        SELECT user_id, d, c, phase,
+               CAST(sum(c) OVER w AS BIGINT)   AS fsum,
+               CAST(count(*) OVER w AS BIGINT) AS fn
+        FROM ph
+        WINDOW w AS (PARTITION BY user_id ORDER BY d
+                     ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+    ),
+    dt AS (
+        SELECT user_id, d, c, phase, fsum,
+               c * 7 - fsum AS dtv
+        FROM framed WHERE fn = 7
+    ),
+    seas AS (
+        SELECT user_id, d, c, fsum, dtv,
+               CAST(sum(dtv) OVER s AS BIGINT)   AS ssum,
+               CAST(count(*) OVER s AS BIGINT)   AS sn
+        FROM dt
+        WINDOW s AS (PARTITION BY user_id, phase)
+    )
+    SELECT user_id, d,
+           round(c / 100.0, 6)            AS y,
+           round(fsum / 700.0, 6)         AS trend,
+           round(ssum / (sn * 700.0), 6)  AS seasonal,
+           round((dtv * sn - ssum) / (sn * 700.0), 6) AS resid
+    FROM seas
+    """,
+    doc="Classical additive decomposition of each user's daily value "
+    "series: centered 7-day MA trend, per-phase (epoch-day mod 7) mean "
+    "seasonal, residual — integer numerators/denominators end-to-end, "
+    "one fp division per emitted column",
+)
+def events_decompose_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return seasonal_decompose(
+        _events(spark, sf_dir), "ts", "value", ["user_id"], period=7
+    )
