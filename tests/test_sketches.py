@@ -160,3 +160,46 @@ def test_compact_partials_idempotent_and_lossless(spark):
     assert roll(compacted) == roll(log) == roll(p)
     # idempotent: compacting the compacted log is a no-op in content
     assert roll(compact_partials(compacted, ["event_type", "d"])) == roll(p)
+
+
+def test_mg_heavy_hitters_exact_when_capacity_suffices(spark):
+    """With counters >= distinct items every D_p is 0: bounds collapse and
+    the result IS the exact top-k."""
+    from time_series_spark_spark.operators.sketches import mg_heavy_hitters
+
+    rows = [(f"t{i % 37}",) for i in range(3000)]
+    df = spark.createDataFrame(rows, "item string").repartition(8)
+    got = mg_heavy_hitters(df, "item", k=10, counters=100).collect()
+    exact = df.groupBy("item").count().orderBy(F.desc("count"), "item").limit(10)
+    want = [(r.item, r["count"]) for r in exact.collect()]
+    assert [(r.item, r.cnt_lower) for r in got] == want
+    assert all(r.cnt_lower == r.cnt_upper for r in got)
+
+
+def test_mg_heavy_hitters_bounds_contain_truth_under_pressure(spark):
+    """Zipf-ish stream with counters << distinct items: every reported
+    item's true count must sit inside [cnt_lower, cnt_upper], and the
+    guaranteed-capture property must hold (true > sum of decrements ⇒
+    item present)."""
+    import numpy as np
+
+    from time_series_spark_spark.operators.sketches import mg_heavy_hitters
+
+    rng = np.random.default_rng(11)
+    zipf = np.clip(rng.zipf(1.5, size=20000), 1, 5000)
+    rows = [(f"w{v}",) for v in zipf]
+    df = spark.createDataFrame(rows, "item string").repartition(4)
+    truth = {r.item: r["count"] for r in df.groupBy("item").count().collect()}
+    got = mg_heavy_hitters(df, "item", k=15, counters=64).collect()
+    assert len(got) == 15
+    d_total = got[0].cnt_upper - got[0].cnt_lower
+    assert d_total > 0  # pressure actually occurred
+    for r in got:
+        assert r.cnt_lower <= truth[r.item] <= r.cnt_upper
+    # guaranteed capture: anything with true count > d_total is reported
+    # by SOME summary row — check against the top reported upper bounds
+    reported = {r.item for r in got}
+    heavy = sorted(truth, key=truth.get, reverse=True)[:3]
+    for t in heavy:
+        if truth[t] > d_total:
+            assert t in reported

@@ -187,3 +187,77 @@ def compact_partials(partials: DataFrame, keys: list[str]) -> DataFrame:
     return partials.groupBy(*keys, "bucket").agg(
         F.bitmap_or_agg("bitmap").alias("bitmap")
     )
+
+
+# --------------------------------------------------------------------------
+# Misra-Gries: mergeable heavy-hitters (approximate top-k with bounds)
+# --------------------------------------------------------------------------
+def mg_heavy_hitters(
+    items: DataFrame,
+    item_col: str,
+    k: int = 50,
+    counters: int = 512,
+) -> DataFrame:
+    """Approximate top-``k`` items with deterministic error bounds via
+    per-partition Misra-Gries summaries (Misra & Gries 1982; mergeability
+    per Agarwal et al., PODS'12 "Mergeable Summaries").
+
+    Each partition keeps ≤ ``counters`` counters: batch counts are added
+    exactly, then if the table overflows, every counter is decremented by
+    the (counters+1)-th largest value and non-positive entries drop; the
+    per-partition total decrement ``D_p`` is the only extra state. The
+    guarantees that survive the merge are scalar:
+
+        lower(t) = Σ_p cnt_p(t)  ≤  true(t)  ≤  Σ_p cnt_p(t) + Σ_p D_p
+
+    so any item with true count > Σ D_p is guaranteed present. Output:
+    ``(item, cnt_lower, cnt_upper)``, top-k by upper bound.
+
+    100 TB shape: memory is O(counters) per task regardless of partition
+    size; the merge is one small hash agg over ≤ counters×partitions
+    summary rows plus a broadcast of the scalar Σ D_p. Raw data is
+    scanned once, never shuffled. Exact when distinct items ≤ counters
+    (then every D_p = 0 and the bounds collapse).
+    """
+    from typing import Iterator
+
+    import pandas as pd
+
+    src = items.select(F.col(item_col).cast("string").alias("item"))
+
+    def _summarize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        counts: dict[str, int] = {}
+        decr = 0
+        for pdf in batches:
+            for item, c in pdf["item"].value_counts().items():
+                counts[item] = counts.get(item, 0) + int(c)
+            if len(counts) > counters:
+                vals = sorted(counts.values(), reverse=True)
+                d = vals[counters]  # (counters+1)-th largest
+                if d:
+                    decr += d
+                    counts = {t: c - d for t, c in counts.items() if c > d}
+        out = pd.DataFrame(
+            {"item": list(counts) + [None], "cnt": list(counts.values()) + [decr]}
+        )
+        yield out.astype({"cnt": "int64"})
+
+    summaries = src.mapInPandas(_summarize, "item string, cnt long")
+    d_total = summaries.filter(F.col("item").isNull()).agg(
+        F.sum("cnt").alias("d_total")
+    )
+    merged = (
+        summaries.filter(F.col("item").isNotNull())
+        .groupBy("item")
+        .agg(F.sum("cnt").alias("cnt_lower"))
+    )
+    return (
+        merged.crossJoin(F.broadcast(d_total))
+        .select(
+            "item",
+            "cnt_lower",
+            (F.col("cnt_lower") + F.col("d_total")).alias("cnt_upper"),
+        )
+        .orderBy(F.desc("cnt_upper"), "item")
+        .limit(k)
+    )

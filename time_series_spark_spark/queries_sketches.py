@@ -121,3 +121,21 @@ def events_hll_type_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hll_pairwise_overlap(ev, "event_type", "user_id").orderBy(
         "g1", "g2"
     )
+
+
+@register(
+    "docs_token_heavy_hitters",
+    None,  # summary contents depend on partition layout → rows-only;
+    # bounds + exact-recovery asserted in tests/test_sketches.py
+    doc="Misra-Gries mergeable heavy hitters over document tokens: "
+    "O(counters) memory per task, scalar merged error bound, top-k by "
+    "upper bound — the bounded-memory alternative to the exact "
+    "docs_top_terms explode+agg",
+)
+def docs_token_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from time_series_spark_spark.operators.llm import tokens
+    from time_series_spark_spark.operators.sketches import mg_heavy_hitters
+
+    docs = load(spark, sf_dir, "documents")
+    items = docs.select(F.explode(tokens()).alias("term"))
+    return mg_heavy_hitters(items, "term", k=20, counters=4096)
