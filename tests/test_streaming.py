@@ -164,3 +164,36 @@ def test_incremental_bitmap_partials_multibatch(
         .collect()
     }
     assert got == want
+
+
+def test_stream_stream_join_equals_batch_range_join(spark, batch_events):
+    from time_series_spark_spark.streaming.jobs import (
+        stream_stream_interval_join,
+    )
+
+    clicks_s = read_events_stream(spark, SF).filter(F.col("event_type") == "click")
+    purch_s = read_events_stream(spark, SF).filter(
+        F.col("event_type") == "purchase"
+    )
+    got = run_available_now(
+        stream_stream_interval_join(clicks_s, purch_s), output_mode="append"
+    )
+    c = batch_events.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("l_key"),
+        F.col("ts").alias("l_ts"),
+        F.col("event_id").alias("l_id"),
+    )
+    p = batch_events.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("r_key"),
+        F.col("ts").alias("r_ts"),
+        F.col("event_id").alias("r_id"),
+    )
+    exp = c.join(
+        p,
+        F.expr(
+            "l_key = r_key AND r_ts >= l_ts "
+            "AND r_ts <= l_ts + interval 30 minutes"
+        ),
+    )
+    assert got.count() > 0
+    assert got.exceptAll(exp).count() == 0 and exp.exceptAll(got).count() == 0

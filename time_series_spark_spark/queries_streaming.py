@@ -23,6 +23,7 @@ from time_series_spark_spark.streaming.jobs import (
     sliding_counts,
     stateful_user_totals,
     stream_static_join,
+    stream_stream_interval_join,
 )
 
 
@@ -102,4 +103,28 @@ def stream_static_join_enriched(spark: SparkSession, sf_dir: str) -> DataFrame:
         table.groupBy("lifetime_events")
         .agg(F.count(F.lit(1)).alias("n_purchases"))
         .orderBy("lifetime_events")
+    )
+
+
+@register(
+    "stream_stream_join_pairs",
+    None,  # streaming → rows-only; replay ≡ batch asserted in pytest
+    doc="J10 stream-stream interval join: clicks paired with same-user "
+    "purchases within 30 min; watermark + range condition bound state "
+    "on both sides",
+)
+def stream_stream_join_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    clicks = read_events_stream(spark, sf_dir).filter(
+        F.col("event_type") == "click"
+    )
+    purchases = read_events_stream(spark, sf_dir).filter(
+        F.col("event_type") == "purchase"
+    )
+    joined = stream_stream_interval_join(clicks, purchases)
+    table = run_available_now(joined, output_mode="append")
+    return (
+        table.groupBy("l_key")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+        .orderBy("l_key")
+        .withColumnRenamed("l_key", "user_id")
     )

@@ -236,3 +236,40 @@ def read_incremental_distinct(spark: SparkSession, partials_path: str) -> DataFr
     return bitmap_rollup(
         spark.read.parquet(partials_path), ["event_type", "d"]
     )
+
+
+def stream_stream_interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str = "user_id",
+    interval: str = "30 minutes",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """J10: stream-stream inner join on ``key`` within a time interval —
+    each left event pairs with right events of the same key arriving in
+    ``[left.ts, left.ts + interval]``.
+
+    Both sides carry watermarks and the range condition bounds the
+    buffered state on BOTH sides (Spark derives the state-eviction
+    predicate from watermark + range), so state is O(key-cardinality ×
+    interval window), not unbounded — the property that keeps a
+    stream-stream join alive at production scale. Inner join emits on
+    match; no result waits for watermark advancement.
+    """
+    l = left.withWatermark("ts", watermark).select(
+        F.col(key).alias("l_key"),
+        F.col("ts").alias("l_ts"),
+        F.col("event_id").alias("l_id"),
+    )
+    r = right.withWatermark("ts", watermark).select(
+        F.col(key).alias("r_key"),
+        F.col("ts").alias("r_ts"),
+        F.col("event_id").alias("r_id"),
+    )
+    return l.join(
+        r,
+        F.expr(
+            f"l_key = r_key AND r_ts >= l_ts AND r_ts <= l_ts + interval {interval}"
+        ),
+        "inner",
+    )
