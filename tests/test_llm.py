@@ -328,3 +328,23 @@ def test_hash_sample_per_group_exact_k_and_stable(spark):
 
     per_lang = Counter(lang for lang, _, _ in r1)
     assert all(v == 3 for v in per_lang.values())
+
+
+def test_weighted_sample_layout_invariant_and_biased(spark):
+    """A-Res with md5-derived uniforms: (a) exactly k per stratum,
+    (b) identical result under any partition layout, (c) an
+    overwhelming weight is always selected (u^(1/w) -> 1)."""
+    from time_series_spark_spark.operators.llm import weighted_reservoir_sample
+
+    rows = [(i, "s", 10 + (i % 7)) for i in range(200)]
+    rows.append((999, "s", 10_000_000))  # whale weight
+    df = spark.createDataFrame(rows, "doc_id long, lang string, n_chars long")
+    a = weighted_reservoir_sample(
+        df.repartition(1), "doc_id", "n_chars", ["lang"], k=5
+    ).collect()
+    b = weighted_reservoir_sample(
+        df.repartition(13), "doc_id", "n_chars", ["lang"], k=5
+    ).collect()
+    assert sorted(r.doc_id for r in a) == sorted(r.doc_id for r in b)
+    assert len(a) == 5
+    assert any(r.doc_id == 999 for r in a)

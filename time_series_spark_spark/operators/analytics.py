@@ -341,6 +341,45 @@ def funnel(
     return counts
 
 
+def rolling_quantile(
+    df: DataFrame,
+    ts: str,
+    value: str,
+    keys: list[str],
+    n_preceding: int,
+    q: float = 0.5,
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Rolling exact quantile (default: median) of ``value`` over the
+    trailing ``n_preceding + 1`` rows per key — the rolling-percentile
+    hyperfunction. Spark's ``percentile`` and DuckDB's ``quantile_cont``
+    both use linear interpolation between adjacent order statistics, so
+    the raw stored doubles interpolate identically in both engines.
+
+    Exact per-frame quantile is O(frame log frame) per row; for wide
+    frames at scale, swap in the KLL window variant (operators/
+    sketches.py) — this operator is the exact small-frame path.
+    """
+    us = F.unix_micros(F.col(ts))
+    base = df.select(
+        *keys,
+        us.alias("t_us"),
+        F.col(id_col).alias("__id"),
+        F.col(value).alias("__v"),
+    )
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy("t_us", "__id")
+        .rowsBetween(-n_preceding, 0)
+    )
+    return base.select(
+        *keys,
+        "t_us",
+        F.col("__id").alias(id_col),
+        F.round(F.expr(f"percentile(__v, {q})").over(w), 6).alias("rolling_q"),
+    )
+
+
 def seasonal_decompose(
     df: DataFrame,
     ts: str,

@@ -454,6 +454,46 @@ def simhash_near_pairs(
     )
 
 
+def weighted_reservoir_sample(
+    df: DataFrame,
+    id_col: str,
+    weight_col: str,
+    strata: list[str],
+    k: int,
+) -> DataFrame:
+    """Deterministic weighted sample of exactly ``k`` items per stratum —
+    A-Res weighted reservoir sampling (Efraimidis & Spiliotis 2006: keep
+    the top-k items by ``u^(1/w)``, u uniform), with the uniform derived
+    from ``md5(id)`` instead of an RNG so the sample is a pure function
+    of the data: invariant under partition layout, reproducible across
+    runs, and auditable (the lineage-stable property ``rand(seed)``
+    cannot give on a cluster). Ranking uses the monotone equivalent
+    ``ln(u)/w`` (both engines evaluate identical doubles).
+
+    One window top-k per stratum — same single-shuffle shape as
+    :func:`hash_sample_per_group`, generalized to weights.
+    """
+    u = (
+        F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10)
+        .cast("long")
+        + 1
+    ) / F.lit(4294967297.0)
+    keyed = df.withColumn("__akey", F.log(u) / F.col(weight_col))
+    w = Window.partitionBy(*strata).orderBy(
+        F.desc("__akey"), F.col(id_col)
+    )
+    return (
+        keyed.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") <= k)
+        .select(
+            *strata,
+            F.col(id_col),
+            F.col(weight_col),
+            F.round("__akey", 6).alias("sample_key"),
+        )
+    )
+
+
 def edit_distance_pairs(
     df: DataFrame,
     id_col: str = "doc_id",

@@ -322,3 +322,57 @@ def events_decompose_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     return seasonal_decompose(
         _events(spark, sf_dir), "ts", "value", ["user_id"], period=7
     )
+
+
+@register(
+    "events_rolling_median_7",
+    """
+    SELECT user_id, epoch_us(ts) AS t_us, event_id,
+           round(quantile_cont(value, 0.5) OVER
+                 (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+                  ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 6)
+               AS rolling_q
+    FROM events
+    """,
+    doc="Rolling exact median of value over the trailing 7 events per "
+    "user (linear-interpolated order statistic, identical definition in "
+    "both engines); the KLL sketch is the wide-frame scale path",
+)
+def events_rolling_median_7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from time_series_spark_spark.operators.analytics import rolling_quantile
+
+    return rolling_quantile(
+        _events(spark, sf_dir), "ts", "value", ["user_id"], n_preceding=6
+    )
+
+
+@register(
+    "events_value_histogram",
+    """
+    SELECT event_type,
+           CAST(least(floor(value / 50), 9) AS INT) AS bucket,
+           CAST(count(*) AS BIGINT) AS n,
+           round(min(value), 2) AS lo,
+           round(max(value), 2) AS hi
+    FROM events
+    GROUP BY 1, 2
+    """,
+    doc="Equi-width histogram of value per event_type (10 buckets of "
+    "width 50, top bucket open) — floor arithmetic, no width_bucket "
+    "dialect dependency",
+)
+def events_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _events(spark, sf_dir)
+        .groupBy(
+            "event_type",
+            F.least(F.floor(F.col("value") / 50), F.lit(9))
+            .cast("int")
+            .alias("bucket"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.min("value"), 2).alias("lo"),
+            F.round(F.max("value"), 2).alias("hi"),
+        )
+    )

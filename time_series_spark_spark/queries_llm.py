@@ -30,6 +30,7 @@ from time_series_spark_spark.operators.llm import (
     sq8_topk,
     text_metrics,
     tokens,
+    weighted_reservoir_sample,
     winnow_fingerprints,
 )
 from time_series_spark_spark.operators.graph import dup_clusters
@@ -780,3 +781,36 @@ def emb_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load(spark, sf_dir, "embeddings")
     pairs = cosine_pairs_threshold(emb, threshold=0.45)
     return dup_clusters(emb, pairs, id_col="vec_id").orderBy("vec_id")
+
+
+@register(
+    "docs_weighted_sample",
+    """
+    WITH keyed AS (
+        SELECT lang, doc_id, n_chars,
+               ln((('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                   ::BIGINT + 1) / 4294967297.0) / n_chars AS akey
+        FROM documents
+    ),
+    ranked AS (
+        SELECT lang, doc_id, n_chars, akey,
+               row_number() OVER (PARTITION BY lang
+                                  ORDER BY akey DESC, doc_id) AS rk
+        FROM keyed
+    )
+    SELECT lang, doc_id, n_chars, round(akey, 6) AS sample_key
+    FROM ranked WHERE rk <= 5
+    """,
+    doc="K9 deterministic weighted sample: A-Res weighted reservoir "
+    "(Efraimidis-Spiliotis top-k by u^(1/w)) with the uniform derived "
+    "from md5(doc_id) — partition-layout-invariant and reproducible, "
+    "weight = n_chars, 5 docs per lang",
+)
+def docs_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return weighted_reservoir_sample(
+        load(spark, sf_dir, "documents"),
+        id_col="doc_id",
+        weight_col="n_chars",
+        strata=["lang"],
+        k=5,
+    )
