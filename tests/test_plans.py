@@ -217,3 +217,47 @@ def test_edit_pairs_is_equi_join_not_bnlj(spark):
     plan = executed_plan(df)
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_runtime_bloom_filter_prunes_fact_scan(spark):
+    """Runtime row-level filtering (SURVEY.md §4.1): with a selective
+    filter on one join side, Catalyst injects a bloom-filter
+    might_contain predicate on the fact side BEFORE the shuffle — at
+    100 TB this is the difference between shuffling every lineitem row
+    and shuffling only rows whose key can match. Size thresholds are
+    lowered here because the corpus is toy-sized; the rewrite itself is
+    the 100 TB behavior being pinned."""
+    from pyspark.sql import functions as F
+
+    from time_series_spark_spark.sources.io import load
+
+    saved = {
+        k: spark.conf.get(k)
+        for k in (
+            "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold",
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            "spark.sql.autoBroadcastJoinThreshold",
+        )
+    }
+    try:
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold",
+            "10GB",
+        )
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter."
+            "applicationSideScanSizeThreshold",
+            "0",
+        )
+        # force a shuffle join: broadcast joins don't need runtime filters
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        li = load(spark, SF, "lineitem")
+        orders = load(spark, SF, "orders").filter(F.col("o_totalprice") > 400000)
+        j = li.join(orders, li.l_orderkey == orders.o_orderkey).select(
+            "l_orderkey", "o_totalprice"
+        )
+        plan = j._jdf.queryExecution().optimizedPlan().toString()
+        assert "might_contain" in plan
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
