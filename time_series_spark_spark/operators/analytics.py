@@ -341,6 +341,55 @@ def funnel(
     return counts
 
 
+def psi_drift(
+    ref: DataFrame,
+    cur: DataFrame,
+    value: str,
+    bucket_width: float,
+    n_buckets: int,
+) -> DataFrame:
+    """Population Stability Index contributions per bucket between a
+    reference and a current sample of ``value``:
+    ``psi_i = (p_i − q_i)·ln(p_i/q_i)`` with p/q the bucket shares
+    (the standard model-monitoring drift metric; PSI = Σ psi_i, with
+    > 0.2 conventionally "significant drift").
+
+    Emits PER-BUCKET contributions, not the scalar sum: each
+    contribution is computed from exact integer counts with identical
+    divisions in both engines, whereas a cross-bucket fp sum would be
+    association-order-dependent. Buckets empty on either side yield
+    NULL (ln undefined) rather than an arbitrary epsilon — the caller
+    chooses the smoothing policy. Two scans + one small hash agg each;
+    the join is on the tiny bucket table.
+    """
+    def bucketed(df: DataFrame, out: str) -> DataFrame:
+        return (
+            df.groupBy(
+                F.least(
+                    F.floor(F.col(value) / bucket_width), F.lit(n_buckets - 1)
+                )
+                .cast("int")
+                .alias("bucket")
+            )
+            .agg(F.count(F.lit(1)).alias(out))
+        )
+
+    r = bucketed(ref, "n_ref")
+    c = bucketed(cur, "n_cur")
+    joined = r.join(c, "bucket", "full").na.fill({"n_ref": 0, "n_cur": 0})
+    tr = F.sum("n_ref").over(Window.partitionBy())
+    tc = F.sum("n_cur").over(Window.partitionBy())
+    p = F.col("n_ref") / tr
+    q = F.col("n_cur") / tc
+    contrib = F.when(
+        (F.col("n_ref") > 0) & (F.col("n_cur") > 0),
+        F.round((p - q) * F.log(p / q), 6),
+    )
+    return joined.select(
+        "bucket", "n_ref", "n_cur", contrib.alias("psi_contrib")
+    )
+
+
 def rolling_quantile(
     df: DataFrame,
     ts: str,

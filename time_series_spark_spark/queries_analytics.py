@@ -376,3 +376,47 @@ def events_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.max("value"), 2).alias("hi"),
         )
     )
+
+
+@register(
+    "events_drift_psi",
+    """
+    WITH r AS (
+        SELECT CAST(least(floor(value / 50), 9) AS INT) AS bucket,
+               CAST(count(*) AS BIGINT) AS n_ref
+        FROM events WHERE ts < TIMESTAMP '2024-01-08' GROUP BY 1
+    ),
+    c AS (
+        SELECT CAST(least(floor(value / 50), 9) AS INT) AS bucket,
+               CAST(count(*) AS BIGINT) AS n_cur
+        FROM events WHERE ts >= TIMESTAMP '2024-01-24' GROUP BY 1
+    ),
+    j AS (
+        SELECT coalesce(r.bucket, c.bucket) AS bucket,
+               coalesce(n_ref, 0) AS n_ref,
+               coalesce(n_cur, 0) AS n_cur
+        FROM r FULL OUTER JOIN c ON r.bucket = c.bucket
+    ),
+    t AS (SELECT bucket, n_ref, n_cur,
+                 sum(n_ref) OVER () AS tr, sum(n_cur) OVER () AS tc
+          FROM j)
+    SELECT bucket, n_ref, n_cur,
+           CASE WHEN n_ref > 0 AND n_cur > 0 THEN
+               round((n_ref / CAST(tr AS DOUBLE) - n_cur / CAST(tc AS DOUBLE))
+                     * ln((n_ref / CAST(tr AS DOUBLE))
+                          / (n_cur / CAST(tc AS DOUBLE))), 6)
+           END AS psi_contrib
+    FROM t
+    """,
+    doc="Population Stability Index drift of the value distribution, "
+    "first week vs last week: per-bucket contributions from exact "
+    "integer counts (cross-bucket fp sum left to the caller — it is "
+    "association-order-dependent)",
+)
+def events_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from time_series_spark_spark.operators.analytics import psi_drift
+
+    ev = _events(spark, sf_dir)
+    ref = ev.filter(F.col("ts") < "2024-01-08")
+    cur = ev.filter(F.col("ts") >= "2024-01-24")
+    return psi_drift(ref, cur, "value", 50.0, 10)
