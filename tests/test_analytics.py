@@ -214,3 +214,30 @@ def test_seasonal_decompose_recovers_pure_weekly_signal(spark):
     assert (out.trend == out.trend.iloc[0]).all()
     assert np.allclose(out.resid, 0.0)
     assert np.allclose(out.y, out.trend + out.seasonal + out.resid)
+
+
+def test_coalesce_intervals_merges_overlaps_and_touching(spark):
+    from time_series_spark_spark.operators.analytics import coalesce_intervals
+
+    rows = [
+        # key 1: [0,10) ∪ [5,15) ∪ [15,25) merge (touching merges);
+        # [30,40) separate
+        (1, 1, 0.0, 10.0),
+        (1, 2, 5.0, 15.0),
+        (1, 3, 15.0, 25.0),
+        (1, 4, 30.0, 40.0),
+        # key 2: disjoint singletons
+        (2, 5, 0.0, 1.0),
+        (2, 6, 2.0, 3.0),
+    ]
+    df = spark.createDataFrame(rows, "k long, oid long, s double, e double")
+    got = sorted(
+        (r.k, r.period_start, r.period_end, r.n_intervals)
+        for r in coalesce_intervals(df, ["k"], "s", "e", "oid").collect()
+    )
+    assert got == [
+        (1, 0.0, 25.0, 3),
+        (1, 30.0, 40.0, 1),
+        (2, 0.0, 1.0, 1),
+        (2, 2.0, 3.0, 1),
+    ]

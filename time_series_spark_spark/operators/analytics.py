@@ -341,6 +341,43 @@ def funnel(
     return counts
 
 
+def coalesce_intervals(
+    df: DataFrame,
+    keys: list[str],
+    start: str,
+    end: str,
+    order_tiebreak: str,
+) -> DataFrame:
+    """Merge overlapping/adjacent ``[start, end)`` intervals per key into
+    maximal disjoint periods (interval coalescing — the gaps-and-islands
+    problem over explicit intervals rather than point events).
+
+    A row opens a new period iff its start exceeds the running maximum
+    of all previous ends; the running sum of those flags is the period
+    id. Two ordered windows + one agg, all on the same hash(keys)
+    partitioning — one exchange end-to-end.
+    """
+    w = Window.partitionBy(*keys).orderBy(start, order_tiebreak)
+    prev_max_end = F.max(end).over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    flagged = df.withColumn(
+        "__new",
+        F.when(
+            prev_max_end.isNull() | (F.col(start) > prev_max_end), 1
+        ).otherwise(0),
+    )
+    islands = flagged.withColumn(
+        "period_id",
+        F.sum("__new").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return islands.groupBy(*keys, "period_id").agg(
+        F.min(start).alias("period_start"),
+        F.max(end).alias("period_end"),
+        F.count(F.lit(1)).alias("n_intervals"),
+    )
+
+
 def psi_drift(
     ref: DataFrame,
     cur: DataFrame,

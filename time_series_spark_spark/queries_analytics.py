@@ -420,3 +420,148 @@ def events_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
     ref = ev.filter(F.col("ts") < "2024-01-08")
     cur = ev.filter(F.col("ts") >= "2024-01-24")
     return psi_drift(ref, cur, "value", 50.0, 10)
+
+
+@register(
+    "customer_active_periods",
+    """
+    WITH iv AS (
+        SELECT o_custkey, o_orderkey,
+               o_orderdate AS s,
+               o_orderdate + INTERVAL 30 DAY AS e
+        FROM orders
+    ),
+    f AS (
+        SELECT o_custkey, s, e,
+               CASE WHEN max(e) OVER (PARTITION BY o_custkey ORDER BY s, o_orderkey
+                                      ROWS BETWEEN UNBOUNDED PRECEDING
+                                      AND 1 PRECEDING) IS NULL
+                      OR s > max(e) OVER (PARTITION BY o_custkey ORDER BY s, o_orderkey
+                                          ROWS BETWEEN UNBOUNDED PRECEDING
+                                          AND 1 PRECEDING)
+                    THEN 1 ELSE 0 END AS nw,
+               o_orderkey
+        FROM iv
+    ),
+    isl AS (
+        SELECT o_custkey, s, e,
+               sum(nw) OVER (PARTITION BY o_custkey ORDER BY s, o_orderkey
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND CURRENT ROW) AS pid
+        FROM f
+    ),
+    periods AS (
+        SELECT o_custkey, pid, min(s) AS ps, max(e) AS pe,
+               CAST(count(*) AS BIGINT) AS n_iv
+        FROM isl GROUP BY 1, 2
+    )
+    SELECT o_custkey,
+           CAST(count(*) AS BIGINT)                    AS n_periods,
+           CAST(sum(date_diff('day', ps, pe)) AS BIGINT) AS covered_days,
+           CAST(max(date_diff('day', ps, pe)) AS BIGINT) AS longest_days
+    FROM periods GROUP BY 1
+    """,
+    doc="Interval coalescing (gaps-and-islands over intervals): each "
+    "order opens a 30-day active window; overlapping windows merge into "
+    "maximal periods per customer — running-max-of-ends island flags, "
+    "one exchange end-to-end",
+)
+def customer_active_periods(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from time_series_spark_spark.operators.analytics import coalesce_intervals
+
+    iv = (
+        load(spark, sf_dir, "orders")
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            F.col("o_orderdate").alias("s"),
+            (F.col("o_orderdate") + F.expr("interval 30 days")).alias("e"),
+        )
+    )
+    periods = coalesce_intervals(iv, ["o_custkey"], "s", "e", "o_orderkey")
+    days = F.datediff("period_end", "period_start")
+    return periods.groupBy("o_custkey").agg(
+        F.count(F.lit(1)).alias("n_periods"),
+        F.sum(days).alias("covered_days"),
+        F.max(days).cast("long").alias("longest_days"),
+    )
+
+
+@register(
+    "events_transition_matrix",
+    """
+    WITH t AS (
+        SELECT user_id,
+               lag(event_type) OVER
+                   (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+                   AS prev_type,
+               event_type AS cur_type
+        FROM events
+    ),
+    c AS (
+        SELECT prev_type, cur_type, CAST(count(*) AS BIGINT) AS n
+        FROM t WHERE prev_type IS NOT NULL
+        GROUP BY 1, 2
+    )
+    SELECT prev_type, cur_type, n,
+           round(n / CAST(sum(n) OVER (PARTITION BY prev_type) AS DOUBLE), 6)
+               AS p
+    FROM c
+    """,
+    doc="First-order Markov transition matrix of per-user event "
+    "sequences: global (prev, cur) counts + row-normalized transition "
+    "probability (integer counts, one identical division)",
+)
+def events_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    ev = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    t = ev.select(
+        "user_id",
+        F.lag("event_type").over(w).alias("prev_type"),
+        F.col("event_type").alias("cur_type"),
+    ).filter(F.col("prev_type").isNotNull())
+    c = t.groupBy("prev_type", "cur_type").agg(F.count(F.lit(1)).alias("n"))
+    tot = Window.partitionBy("prev_type")
+    return c.select(
+        "prev_type",
+        "cur_type",
+        "n",
+        F.round(F.col("n") / F.sum("n").over(tot).cast("double"), 6).alias("p"),
+    )
+
+
+@register(
+    "events_unpivot_daily",
+    """
+    WITH wide AS (
+        SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS d,
+               CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS n_view,
+               CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n_click,
+               CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase
+        FROM events GROUP BY 1
+    )
+    SELECT d, 'n_view' AS metric, n_view AS n FROM wide
+    UNION ALL SELECT d, 'n_click', n_click FROM wide
+    UNION ALL SELECT d, 'n_purchase', n_purchase FROM wide
+    """,
+    doc="Unpivot/melt (the inverse of D12 pivot): wide per-day metric "
+    "columns back to long (day, metric, value) rows via DataFrame.unpivot",
+)
+def events_unpivot_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    wide = (
+        _events(spark, sf_dir)
+        .groupBy(F.date_trunc("day", F.col("ts")).alias("d"))
+        .agg(
+            *[
+                F.sum(F.when(F.col("event_type") == t, 1).otherwise(0)).alias(
+                    f"n_{t}"
+                )
+                for t in ("view", "click", "purchase")
+            ]
+        )
+    )
+    return wide.unpivot(
+        ["d"], ["n_view", "n_click", "n_purchase"], "metric", "n"
+    )
