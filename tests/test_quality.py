@@ -1,0 +1,102 @@
+"""Tests for sources/quality.py: Observation-based quality gates and
+Morton (Z-order) parquet layout."""
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from time_series_spark_spark.sources.quality import (
+    check_quality,
+    morton_key,
+    observe_quality,
+    write_parquet_zorder,
+)
+
+
+def _py_morton(a: int, b: int, bits: int = 21) -> int:
+    out = 0
+    for i in range(bits):
+        out |= ((a >> i) & 1) << (2 * i)
+        out |= ((b >> i) & 1) << (2 * i + 1)
+    return out
+
+
+def test_morton_key_matches_reference(spark):
+    rows = [(a, b) for a in (0, 1, 5, 100, 2**20) for b in (0, 3, 77, 2**21 - 1)]
+    df = spark.createDataFrame(rows, "a long, b long")
+    got = {
+        (r["a"], r["b"]): r["z"]
+        for r in df.withColumn("z", morton_key(F.col("a"), F.col("b"))).collect()
+    }
+    for (a, b), z in got.items():
+        assert z == _py_morton(a, b), (a, b)
+
+
+def test_observe_quality_piggybacks_on_action(spark):
+    df = spark.createDataFrame(
+        [(1, "x"), (2, None), (3, "y"), (4, None)], "id long, s string"
+    )
+    observed, obs = observe_quality(df, ["id", "s"])
+    assert observed.count() == 4  # the action that materializes metrics
+    got = check_quality(obs, max_null_frac=0.6, min_rows=2)
+    assert got["n_rows"] == 4
+    assert got["nulls_id"] == 0
+    assert got["nulls_s"] == 2
+
+
+def test_check_quality_raises_on_violation(spark):
+    df = spark.createDataFrame([(1, None), (2, None)], "id long, s string")
+    observed, obs = observe_quality(df, ["s"])
+    observed.count()
+    with pytest.raises(ValueError, match="nulls_s"):
+        check_quality(obs, max_null_frac=0.25)
+
+
+def test_zorder_layout_enables_two_sided_pruning(spark, tmp_path):
+    import pyarrow.parquet as pq
+
+    # A 64x64 grid: without clustering, every file spans the full range of
+    # both columns and footer stats prune nothing.
+    df = (
+        spark.range(64 * 64)
+        .select(
+            (F.col("id") % 64).alias("a"),
+            (F.col("id") / 64).cast("long").alias("b"),
+            F.col("id").alias("payload"),
+        )
+    )
+    path = str(tmp_path / "zorder")
+    write_parquet_zorder(df, path, "a", "b", n_files=8, bits=6)
+
+    back = spark.read.parquet(path)
+    assert back.count() == 64 * 64
+    assert back.agg(F.sum("payload")).first()[0] == (64 * 64) * (64 * 64 - 1) // 2
+
+    # Footer stats: for BOTH dimensions, a narrow predicate must be able to
+    # skip files. Collect per-file min/max from the parquet metadata.
+    import glob
+
+    spans = []
+    for f in glob.glob(path + "/*.parquet"):
+        md = pq.ParquetFile(f).metadata
+        lo = {"a": None, "b": None}
+        hi = {"a": None, "b": None}
+        for rg in range(md.num_row_groups):
+            row_group = md.row_group(rg)
+            for ci in range(row_group.num_columns):
+                col = row_group.column(ci)
+                name = col.path_in_schema
+                if name in lo and col.statistics is not None:
+                    s = col.statistics
+                    lo[name] = s.min if lo[name] is None else min(lo[name], s.min)
+                    hi[name] = s.max if hi[name] is None else max(hi[name], s.max)
+        spans.append((lo, hi))
+    assert len(spans) >= 4
+
+    for dim, probe_hi in (("a", 7), ("b", 7)):
+        overlapping = sum(
+            1 for lo, hi in spans if lo[dim] <= probe_hi and hi[dim] >= 0
+        )
+        assert overlapping < len(spans), (
+            f"predicate {dim}<=7 prunes no files; spans={spans}"
+        )
