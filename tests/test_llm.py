@@ -348,3 +348,38 @@ def test_weighted_sample_layout_invariant_and_biased(spark):
     assert sorted(r.doc_id for r in a) == sorted(r.doc_id for r in b)
     assert len(a) == 5
     assert any(r.doc_id == 999 for r in a)
+
+
+def test_dup_span_stats_flags_shared_spans_only(spark):
+    from time_series_spark_spark.operators.llm import dup_span_stats
+
+    span = "one two three four five six seven eight"  # exactly w=8 tokens
+    rows = [
+        (1, f"intro alpha {span} outro beta"),
+        (2, f"different start {span} different end"),
+        (3, "totally unrelated words that never repeat anywhere at all ok"),
+        (4, "short doc"),  # < 8 tokens: span-ineligible, absent from output
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in dup_span_stats(df, w=8).collect()}
+    assert set(out) == {1, 2, 3}
+    assert out[1]["n_dup"] == 1 and out[2]["n_dup"] == 1  # the one shared 8-gram
+    assert out[3]["n_dup"] == 0
+    assert out[1]["n_grams"] == 12 - 8 + 1
+
+
+def test_repetition_stats_counts_degenerate_text(spark):
+    from time_series_spark_spark.operators.llm import repetition_stats
+
+    df = spark.createDataFrame(
+        [(1, "a b a b a b"), (2, "all tokens here are unique")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in repetition_stats(df).collect()}
+    r1 = out[1]
+    assert (r1["n_1gram"], r1["d_1gram"]) == (6, 2)
+    assert (r1["n_2gram"], r1["d_2gram"]) == (5, 2)  # 'a b' x3, 'b a' x2
+    assert (r1["n_3gram"], r1["d_3gram"]) == (4, 2)
+    r2 = out[2]
+    assert r2["n_1gram"] == r2["d_1gram"] == 5
+    assert r2["n_2gram"] == r2["d_2gram"] == 4

@@ -831,6 +831,92 @@ def winnow_fingerprints(
 
 
 # --------------------------------------------------------------------------
+# K2d: cross-document duplicated-span statistics (substring dedup diagnostic)
+# --------------------------------------------------------------------------
+def dup_span_stats(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    w: int = 8,
+    carry_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Per-document duplicated-span statistics: how many of a document's
+    word ``w``-gram positions also occur in at least one OTHER document.
+
+    This is the word-n-gram approximation of exact substring dedup
+    (Lee et al., "Deduplicating Training Data Makes Language Models
+    Better", ACL 2022 — there via suffix arrays, which don't distribute;
+    fixed-width gram hashing is the standard shuffle-friendly stand-in).
+    Docs shorter than ``w`` tokens contribute no grams and are absent
+    from the output — callers count only span-eligible docs.
+
+    Scale shape: the gram explode is a map-side ``w``×-token blowup
+    feeding ONE aggregation keyed (gram_hash, doc) — never all-pairs —
+    then a window keyed gram_hash whose partition size is bounded by the
+    number of docs containing that gram (threshold/sample grams hotter
+    than ~corpus-stopword level before the window at extreme scale), and
+    a final per-doc roll-up. Grams travel as xxhash64 longs, not strings.
+
+    Returns: (id_col, *carry_cols, n_grams, n_dup) — both counts long.
+    """
+    toks = df.select(
+        F.col(id_col), *[F.col(c) for c in carry_cols], tokens(text_col).alias("t")
+    )
+    grams = toks.withColumn("g", F.expr(shingles_expr("t", w))).select(
+        id_col, *carry_cols, F.explode("g").alias("g")
+    )
+    # One exchange serves both the (gh, doc) aggregate and the gh window:
+    # hash-partitioning on gh alone satisfies ClusteredDistribution for
+    # both, so pre-partitioning here collapses what would otherwise be two
+    # full shuffles of the gram stream into one.
+    gram_doc = (
+        grams.select(id_col, *carry_cols, F.xxhash64("g").alias("gh"))
+        .repartition("gh")
+        .groupBy("gh", id_col)
+        .agg(
+            F.count(F.lit(1)).alias("c"),
+            *[F.first(c).alias(c) for c in carry_cols],
+        )
+    )
+    n_docs_with_gram = F.count(F.lit(1)).over(Window.partitionBy("gh"))
+    flagged = gram_doc.withColumn("nd", n_docs_with_gram)
+    return flagged.groupBy(id_col).agg(
+        *[F.first(c).alias(c) for c in carry_cols],
+        F.sum("c").alias("n_grams"),
+        F.sum(F.when(F.col("nd") >= 2, F.col("c")).otherwise(0)).alias("n_dup"),
+    )
+
+
+# --------------------------------------------------------------------------
+# K5b: intra-document repetition metrics (Gopher-style quality signals)
+# --------------------------------------------------------------------------
+def repetition_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    ns: tuple[int, ...] = (1, 2, 3),
+) -> DataFrame:
+    """Per-document duplicate-n-gram counts — the token-level analogue of
+    the Gopher repetition filters (Rae et al. 2021 §A1.1: fraction of
+    duplicated n-grams flags boilerplate/degenerate text).
+
+    For each n in ``ns`` adds ``n_{n}gram`` (total n-gram positions) and
+    ``d_{n}gram`` (distinct n-grams); the duplicate fraction is
+    ``1 − d/n`` but is left to callers as integer counts so downstream
+    comparisons stay exact. Entirely per-row higher-order functions —
+    codegen, zero shuffles, zero joins: the cheapest possible shape.
+    """
+    out = df.withColumn("__t", tokens(text_col))
+    for n in ns:
+        gexpr = "__t" if n == 1 else f"({shingles_expr('__t', n)})"
+        out = out.withColumn(
+            f"n_{n}gram", F.expr(f"size({gexpr})").cast("long")
+        ).withColumn(
+            f"d_{n}gram", F.expr(f"size(array_distinct({gexpr}))").cast("long")
+        )
+    return out.drop("__t")
+
+
+# --------------------------------------------------------------------------
 # K7: multimodal binary columns
 # --------------------------------------------------------------------------
 def attach_binary_payload(df: DataFrame, text_col: str = "text") -> DataFrame:

@@ -17,8 +17,10 @@ from time_series_spark_spark.operators.llm import (
     cosine_pairs_threshold,
     cosine_topk,
     dedup_report,
+    dup_span_stats,
     edit_distance_pairs,
     exact_dedup,
+    repetition_stats,
     extract_multimodal_features,
     ivf_topk,
     lang_id,
@@ -813,4 +815,101 @@ def docs_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         weight_col="n_chars",
         strata=["lang"],
         k=5,
+    )
+
+
+@register(
+    "docs_dup_spans",
+    r"""
+    WITH toks AS (
+        SELECT doc_id, lang, string_split(text, ' ') AS t FROM documents
+    ),
+    grams AS (
+        SELECT doc_id, lang, array_to_string(t[i:i+7], ' ') AS g
+        FROM toks, LATERAL (SELECT unnest(generate_series(1, len(t) - 7)) AS i) u
+        WHERE len(t) >= 8
+    ),
+    gd AS (
+        SELECT g, doc_id, any_value(lang) AS lang, count(*) AS c
+        FROM grams GROUP BY g, doc_id
+    ),
+    flagged AS (
+        SELECT *, count(*) OVER (PARTITION BY g) AS nd FROM gd
+    ),
+    per_doc AS (
+        SELECT doc_id, any_value(lang) AS lang,
+               sum(c) AS n_grams,
+               coalesce(sum(CASE WHEN nd >= 2 THEN c END), 0) AS n_dup
+        FROM flagged GROUP BY doc_id
+    )
+    SELECT lang,
+           count(*) AS n_docs,
+           CAST(sum(CASE WHEN n_dup > 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_docs_with_dup,
+           CAST(sum(n_grams) AS BIGINT) AS total_grams,
+           CAST(sum(n_dup) AS BIGINT) AS dup_grams
+    FROM per_doc GROUP BY lang
+    """,
+    doc="K2d cross-document duplicated 8-gram spans per language — the "
+    "word-n-gram approximation of exact substring dedup (Lee et al. "
+    "2022); docs with <8 tokens are span-ineligible and excluded on "
+    "both sides",
+)
+def docs_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    per_doc = dup_span_stats(
+        load(spark, sf_dir, "documents"), w=8, carry_cols=("lang",)
+    )
+    return per_doc.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum((F.col("n_dup") > 0).cast("long")).alias("n_docs_with_dup"),
+        F.sum("n_grams").alias("total_grams"),
+        F.sum("n_dup").alias("dup_grams"),
+    )
+
+
+@register(
+    "docs_repetition_stats",
+    r"""
+    WITH per_doc AS (
+        SELECT doc_id, lang,
+               len(t) AS n_1gram, len(list_distinct(t)) AS d_1gram,
+               len(g2) AS n_2gram, len(list_distinct(g2)) AS d_2gram,
+               len(g3) AS n_3gram, len(list_distinct(g3)) AS d_3gram
+        FROM (
+            SELECT doc_id, lang, t,
+                   list_transform(generate_series(1, len(t) - 1),
+                                  i -> array_to_string(t[i:i+1], ' ')) AS g2,
+                   list_transform(generate_series(1, len(t) - 2),
+                                  i -> array_to_string(t[i:i+2], ' ')) AS g3
+            FROM (SELECT doc_id, lang, string_split(text, ' ') AS t
+                  FROM documents)
+        )
+    )
+    SELECT lang,
+           count(*) AS n_docs,
+           CAST(sum(n_1gram) AS BIGINT) AS tok_total,
+           CAST(sum(n_1gram - d_1gram) AS BIGINT) AS tok_dup,
+           CAST(sum(n_2gram - d_2gram) AS BIGINT) AS bigram_dup,
+           CAST(sum(n_3gram - d_3gram) AS BIGINT) AS trigram_dup,
+           CAST(sum(CASE WHEN (n_2gram - d_2gram) * 5 > n_2gram
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged
+    FROM per_doc GROUP BY lang
+    """,
+    doc="K5b Gopher-style intra-document repetition (Rae et al. 2021 "
+    "A1.1): duplicate 1/2/3-gram counts per language, plus docs whose "
+    "duplicate-bigram fraction exceeds 20% (integer-exact compare) — "
+    "pure per-row HOFs, one final shuffle",
+)
+def docs_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    per_doc = repetition_stats(load(spark, sf_dir, "documents"))
+    return per_doc.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_1gram").alias("tok_total"),
+        F.sum(F.col("n_1gram") - F.col("d_1gram")).alias("tok_dup"),
+        F.sum(F.col("n_2gram") - F.col("d_2gram")).alias("bigram_dup"),
+        F.sum(F.col("n_3gram") - F.col("d_3gram")).alias("trigram_dup"),
+        F.sum(
+            ((F.col("n_2gram") - F.col("d_2gram")) * 5 > F.col("n_2gram"))
+            .cast("long")
+        ).alias("n_flagged"),
     )
