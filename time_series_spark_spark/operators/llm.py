@@ -862,16 +862,24 @@ def dup_span_stats(
     toks = df.select(
         F.col(id_col), *[F.col(c) for c in carry_cols], tokens(text_col).alias("t")
     )
-    grams = toks.withColumn("g", F.expr(shingles_expr("t", w))).select(
-        id_col, *carry_cols, F.explode("g").alias("g")
+    # Hash token tuples directly inside the lambda — never materialize the
+    # w-word gram string. Varargs xxhash64 is length-aware, so ("ab","c")
+    # and ("a","bc") hash differently; the shuffle carries longs only.
+    args = ", ".join(f"t[i + {j}]" for j in range(w))
+    gram_hash_expr = (
+        f"CASE WHEN size(t) >= {w} THEN "
+        f"transform(sequence(0, size(t) - {w}), i -> xxhash64({args})) "
+        f"ELSE array() END"
+    )
+    grams = toks.select(
+        id_col, *carry_cols, F.explode(F.expr(gram_hash_expr)).alias("gh")
     )
     # One exchange serves both the (gh, doc) aggregate and the gh window:
     # hash-partitioning on gh alone satisfies ClusteredDistribution for
     # both, so pre-partitioning here collapses what would otherwise be two
     # full shuffles of the gram stream into one.
     gram_doc = (
-        grams.select(id_col, *carry_cols, F.xxhash64("g").alias("gh"))
-        .repartition("gh")
+        grams.repartition("gh")
         .groupBy("gh", id_col)
         .agg(
             F.count(F.lit(1)).alias("c"),
