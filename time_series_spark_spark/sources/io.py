@@ -34,16 +34,27 @@ TABLES = (
 def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     """Read one test-corpus table; normalize ``events.ts`` to TimestampType.
 
-    ``events.parquet`` stores ``ts`` as parquet timestamp[ns]; with
-    ``spark.sql.legacy.parquet.nanosAsLong=true`` it arrives as LongType raw
-    nanoseconds. Convert with integer division (``div``) — NOT float division:
-    2024 epoch-nanos ≈ 1.7e18 exceeds double's 53-bit exact-integer range, so
-    ``ts / 1000`` in fp would corrupt low-order digits.
+    The corpus has shipped ``events.ts`` under two physical types, and both
+    must land as session-tz TimestampType (LTZ — ``unix_micros`` et al.
+    reject TIMESTAMP_NTZ):
+
+    - parquet timestamp[ns]: with ``spark.sql.legacy.parquet.nanosAsLong=true``
+      it arrives as LongType raw nanoseconds. Convert with integer division
+      (``div``) — NOT float division: 2024 epoch-nanos ≈ 1.7e18 exceeds
+      double's 53-bit exact-integer range, so ``ts / 1000`` in fp would
+      corrupt low-order digits.
+    - parquet timestamp[us] (isAdjustedToUTC=false): Spark 4 infers
+      TIMESTAMP_NTZ. Cast to TimestampType — value-preserving because the
+      session timezone is pinned to UTC (see ``session.get_spark``).
     """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/{table}.parquet")
-    if table == "events" and dict(df.dtypes).get("ts") == "bigint":
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if table == "events":
+        ts_type = dict(df.dtypes).get("ts")
+        if ts_type == "bigint":
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif ts_type == "timestamp_ntz":
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 

@@ -28,8 +28,12 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-EVENTS_SCHEMA = (
+EVENTS_SCHEMA_NANOS = (
     "event_id long, ts long, user_id long, event_type string, "
+    "value double, props string"
+)
+EVENTS_SCHEMA_NTZ = (
+    "event_id long, ts timestamp_ntz, user_id long, event_type string, "
     "value double, props string"
 )
 
@@ -55,14 +59,27 @@ def _stream_source_dir(sf_dir: str) -> str:
 def read_events_stream(
     spark: SparkSession, sf_dir: str, max_files_per_trigger: int | None = None
 ) -> DataFrame:
-    """J1: file-source stream over the events parquet (ns→µs shim applied,
-    same as the batch scan — the schema declares raw nanos as long)."""
+    """J1: file-source stream over the events parquet, normalized to the
+    same session-tz TimestampType as the batch scan (``sources.io.load``).
+
+    A file stream source needs its schema declared up front, so probe the
+    physical ``ts`` type with a one-footer batch read (driver-only, no
+    data scan) and pick the matching schema + shim: raw-nanos long →
+    ``timestamp_micros(ts div 1000)``; timestamp[us] (NTZ) → cast to LTZ
+    (value-preserving under the pinned UTC session timezone)."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    reader = spark.readStream.schema(EVENTS_SCHEMA)
+    src_dir = _stream_source_dir(sf_dir)
+    probe = dict(spark.read.parquet(src_dir).dtypes).get("ts")
+    nanos = probe == "bigint"
+    reader = spark.readStream.schema(
+        EVENTS_SCHEMA_NANOS if nanos else EVENTS_SCHEMA_NTZ
+    )
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
-    sdf = reader.parquet(_stream_source_dir(sf_dir))
-    return sdf.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    sdf = reader.parquet(src_dir)
+    if nanos:
+        return sdf.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return sdf.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
 def hourly_counts(sdf: DataFrame, watermark: str = "1 hour") -> DataFrame:
