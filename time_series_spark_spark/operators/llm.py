@@ -150,6 +150,71 @@ def dedup_report(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def bloom_partials(
+    df: DataFrame,
+    key: Column,
+    m_bits: int = 1 << 22,
+    k: int = 5,
+) -> DataFrame:
+    """Distributed Bloom filter over ``key`` as (word_idx, bits) int64
+    partials — the incremental-dedup membership sketch.
+
+    Each key sets ``k`` bit positions ``xxhash64(i, key) mod m_bits``; bits
+    are packed 64 per word and OR-merged by one hash aggregation (map-side
+    partial combine makes the shuffle ≤ m/64 rows per mapper). The result
+    is bounded by ``m_bits/64`` rows REGARDLESS of input size and is
+    mergeable across corpus batches by the same bit_or — the property that
+    lets a 100 TB history compress to a few MB of filter state.
+    """
+    positions = F.array(
+        *[F.pmod(F.xxhash64(F.lit(i), key), F.lit(m_bits)) for i in range(k)]
+    )
+    return (
+        df.select(F.explode(positions).alias("pos"))
+        .select(
+            F.shiftright(F.col("pos"), 6).alias("word_idx"),
+            F.expr("shiftleft(1L, cast(pos % 64 AS int))").alias("b"),
+        )
+        .groupBy("word_idx")
+        .agg(F.bit_or("b").alias("bits"))
+    )
+
+
+def bloom_maybe_member(
+    df: DataFrame,
+    partials: DataFrame,
+    key: Column,
+    id_col: str = "doc_id",
+    m_bits: int = 1 << 22,
+    k: int = 5,
+) -> DataFrame:
+    """Flag each row of ``df`` whose ``key`` is POSSIBLY in the Bloom
+    filter ``partials`` (same m_bits/k as ``bloom_partials``): all ``k``
+    probed bits set ⇒ maybe-member (false positives possible, false
+    negatives impossible). The filter is broadcast (≤ m/64 rows), so the
+    probe side — the 100 TB side — streams through a map-only plan: no
+    shuffle of the new batch at all.
+
+    Returns ``df``'s ``id_col`` plus ``maybe_dup`` boolean.
+    """
+    positions = F.array(
+        *[F.pmod(F.xxhash64(F.lit(i), key), F.lit(m_bits)) for i in range(k)]
+    )
+    probes = df.select(F.col(id_col), F.explode(positions).alias("pos")).select(
+        id_col,
+        F.shiftright(F.col("pos"), 6).alias("word_idx"),
+        F.expr("shiftleft(1L, cast(pos % 64 AS int))").alias("b"),
+    )
+    checked = probes.join(F.broadcast(partials), "word_idx", "left").select(
+        id_col,
+        (
+            F.col("bits").isNotNull()
+            & (F.col("bits").bitwiseAND(F.col("b")) != 0)
+        ).alias("hit"),
+    )
+    return checked.groupBy(id_col).agg(F.min("hit").alias("maybe_dup"))
+
+
 # --------------------------------------------------------------------------
 # K2: near-dup — exact n-gram Jaccard (oracle-checkable path)
 # --------------------------------------------------------------------------
@@ -892,6 +957,120 @@ def dup_span_stats(
         *[F.first(c).alias(c) for c in carry_cols],
         F.sum("c").alias("n_grams"),
         F.sum(F.when(F.col("nd") >= 2, F.col("c")).otherwise(0)).alias("n_dup"),
+    )
+
+
+def contamination_stats(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    w: int = 8,
+    carry_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Benchmark-contamination check: per corpus document, how many of its
+    word ``w``-gram positions also occur anywhere in ``benchmark``.
+
+    This is the decontamination test used for LLM training sets (Brown et
+    al. 2020 appendix C flags train docs sharing any 13-gram with an eval
+    set; Chowdhery et al. 2022 §6 does the same at 8-grams) — here
+    parametrized by ``w`` since corpus documents are short.
+
+    Scale shape: benchmark w-grams are hashed to a DISTINCT set of int64s
+    (eval suites are tiny next to a training corpus) and broadcast; the
+    corpus side streams through one explode + broadcast LEFT SEMI-shaped
+    join (implemented as a left join + flag so the gram COUNT survives) +
+    one per-doc roll-up keyed on ``id_col``. The corpus never shuffles on
+    gram — only the per-doc aggregate moves, and docs with zero grams
+    (< w tokens) are preserved with n_grams = 0 via the left explode.
+
+    Returns: (id_col, *carry, n_grams, n_hit) — n_hit > 0 ⇒ contaminated.
+    """
+    args = ", ".join(f"t[i + {j}]" for j in range(w))
+    gram_hash_expr = (
+        f"CASE WHEN size(t) >= {w} THEN "
+        f"transform(sequence(0, size(t) - {w}), i -> xxhash64({args})) "
+        f"ELSE array() END"
+    )
+
+    def grams(df: DataFrame, *extra: str) -> DataFrame:
+        toks = df.select(
+            F.col(id_col), *[F.col(c) for c in extra], tokens(text_col).alias("t")
+        )
+        return toks.select(
+            id_col, *extra, F.explode_outer(F.expr(gram_hash_expr)).alias("gh")
+        )
+
+    bench_grams = grams(benchmark).select("gh").na.drop().distinct()
+    hits = (
+        grams(corpus, *carry_cols)
+        .join(F.broadcast(bench_grams.withColumn("_hit", F.lit(1))), "gh", "left")
+        .groupBy(id_col)
+        .agg(
+            *[F.first(c).alias(c) for c in carry_cols],
+            F.count("gh").alias("n_grams"),
+            F.coalesce(F.sum("_hit"), F.lit(0)).cast("long").alias("n_hit"),
+        )
+    )
+    return hits
+
+
+def chunk_token_windows(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    size: int = 64,
+    stride: int = 48,
+) -> DataFrame:
+    """Split each document's token stream into fixed-width training windows
+    (chunk ``size`` tokens, step ``stride`` — overlapping when
+    stride < size), the standard corpus→context-window prep step.
+
+    Chunk count for an n-token doc: 1 if n ≤ size else
+    1 + ⌈(n − size)/stride⌉, computed in integer math so the Spark plan
+    and any SQL oracle agree exactly. Empty docs yield no chunks.
+
+    Scale shape: pure per-row codegen (sequence → explode → slice) — zero
+    shuffles, zero joins; output size is input tokens × (size/stride)
+    overlap factor, linear in corpus size. The chunk text itself is
+    emitted as an md5 so downstream comparisons move 32-byte digests, not
+    windows.
+    """
+    n = F.size(tokens(text_col))
+    n_chunks = (
+        F.when(n <= 0, F.lit(0))
+        .when(n <= size, F.lit(1))
+        .otherwise(
+            F.lit(1)
+            + F.expr(
+                f"(size(split({text_col}, ' ')) - {size} + {stride - 1}) "
+                f"div {stride}"
+            )
+        )
+    )
+    return (
+        df.select(
+            F.col(id_col),
+            tokens(text_col).alias("t"),
+            F.explode(
+                F.when(
+                    n_chunks > 0, F.sequence(F.lit(0), n_chunks.cast("int") - 1)
+                ).otherwise(F.expr("array()"))
+            ).alias("chunk_idx"),
+        )
+        .select(
+            id_col,
+            F.col("chunk_idx").cast("long").alias("chunk_idx"),
+            F.slice(
+                F.col("t"), F.col("chunk_idx") * stride + 1, size
+            ).alias("c"),
+        )
+        .select(
+            id_col,
+            "chunk_idx",
+            F.size("c").cast("long").alias("n_tokens"),
+            F.md5(F.array_join("c", " ")).alias("chunk_hash"),
+        )
     )
 
 

@@ -13,7 +13,12 @@ from pyspark.sql.window import Window
 
 from time_series_spark_spark.operators.llm import (
     attach_binary_payload,
+    bloom_maybe_member,
+    bloom_partials,
     brp_lsh_topk,
+    chunk_token_windows,
+    contamination_stats,
+    content_hash,
     cosine_pairs_threshold,
     cosine_topk,
     dedup_report,
@@ -912,4 +917,203 @@ def docs_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             ((F.col("n_2gram") - F.col("d_2gram")) * 5 > F.col("n_2gram"))
             .cast("long")
         ).alias("n_flagged"),
+    )
+
+
+# --------------------------------------------------------------------------
+# K11 benchmark decontamination / chunking / incremental dedup
+# --------------------------------------------------------------------------
+@register(
+    "docs_contamination_check",
+    r"""
+    WITH toks AS (
+        SELECT doc_id, lang, string_split(text, ' ') AS t FROM documents
+    ),
+    bench AS (
+        SELECT DISTINCT array_to_string(t[i:i+7], ' ') AS g
+        FROM toks, LATERAL (SELECT unnest(generate_series(1, len(t) - 7)) AS i) u
+        WHERE doc_id % 97 = 0 AND len(t) >= 8
+    ),
+    corp AS (
+        SELECT doc_id, lang, array_to_string(t[i:i+7], ' ') AS g
+        FROM toks, LATERAL (SELECT unnest(generate_series(1, len(t) - 7)) AS i) u
+        WHERE doc_id % 97 <> 0 AND len(t) >= 8
+    ),
+    per_doc AS (
+        SELECT c.doc_id, any_value(c.lang) AS lang,
+               count(*) AS n_grams,
+               sum(CASE WHEN b.g IS NOT NULL THEN 1 ELSE 0 END) AS n_hit
+        FROM corp c LEFT JOIN bench b USING (g)
+        GROUP BY c.doc_id
+    )
+    SELECT lang,
+           count(*) AS n_docs,
+           CAST(sum(CASE WHEN n_hit > 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_contaminated,
+           CAST(sum(n_hit) AS BIGINT) AS hit_gram_positions
+    FROM per_doc GROUP BY lang ORDER BY lang
+    """,
+    doc=(
+        "K11 benchmark decontamination: flag training docs sharing any word "
+        "8-gram with a held-out benchmark set (doc_id % 97 — stand-in for an "
+        "eval suite), the Brown et al. 2020 appendix-C n-gram overlap test. "
+        "Benchmark grams broadcast; the corpus side never shuffles on gram. "
+        "Docs under 8 tokens are gram-ineligible and excluded on both sides."
+    ),
+)
+def docs_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    per_doc = contamination_stats(
+        docs.filter(F.col("doc_id") % 97 != 0),
+        docs.filter(F.col("doc_id") % 97 == 0),
+        w=8,
+        carry_cols=("lang",),
+    ).filter(F.col("n_grams") > 0)
+    return (
+        per_doc.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum((F.col("n_hit") > 0).cast("long")).alias("n_contaminated"),
+            F.sum("n_hit").alias("hit_gram_positions"),
+        )
+        .orderBy("lang")
+    )
+
+
+@register(
+    "docs_chunk_windows",
+    r"""
+    WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ),
+    nc AS (
+        SELECT doc_id, t,
+               CASE WHEN len(t) = 0 THEN 0
+                    WHEN len(t) <= 64 THEN 1
+                    ELSE 1 + (len(t) - 64 + 47) // 48 END AS n_chunks
+        FROM toks
+    ),
+    chunks AS (
+        SELECT doc_id, i AS chunk_idx, t[i*48+1 : i*48+64] AS c
+        FROM nc, LATERAL (
+            SELECT unnest(generate_series(0, CAST(n_chunks AS BIGINT) - 1)) AS i
+        ) u
+        WHERE n_chunks > 0
+    )
+    SELECT doc_id,
+           CAST(chunk_idx AS BIGINT)      AS chunk_idx,
+           CAST(len(c) AS BIGINT)         AS n_tokens,
+           md5(array_to_string(c, ' '))   AS chunk_hash
+    FROM chunks
+    ORDER BY doc_id, chunk_idx
+    """,
+    doc=(
+        "K11b context-window chunking: split each document's token stream "
+        "into 64-token training windows at stride 48 (overlapping), the "
+        "corpus-to-context-window prep step. Pure per-row codegen "
+        "(sequence -> explode -> slice), zero shuffles; chunk text leaves "
+        "the plan as an md5 digest."
+    ),
+)
+def docs_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return chunk_token_windows(
+        load(spark, sf_dir, "documents"), size=64, stride=48
+    ).orderBy("doc_id", "chunk_idx")
+
+
+@register(
+    "docs_incremental_dedup_exact",
+    r"""
+    WITH h AS (
+        SELECT DISTINCT md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))))
+                   AS hash
+        FROM documents WHERE doc_id % 5 <> 0
+    ),
+    b AS (
+        SELECT doc_id, lang,
+               md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS hash
+        FROM documents WHERE doc_id % 5 = 0
+    )
+    SELECT lang,
+           count(*) AS n_batch,
+           CAST(sum(CASE WHEN h.hash IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_dup_vs_history
+    FROM b LEFT JOIN h USING (hash)
+    GROUP BY lang ORDER BY lang
+    """,
+    doc=(
+        "K12 incremental dedup, exact path: which docs of an arriving batch "
+        "(doc_id % 5) already exist in the ingested history (normalized "
+        "content hash) — one hash join against the distinct history keys. "
+        "The Bloom-sketch fast path over the same split is "
+        "docs_incremental_bloom_dedup."
+    ),
+)
+def docs_incremental_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    hist = (
+        docs.filter(F.col("doc_id") % 5 != 0)
+        .select(content_hash().alias("hash"))
+        .distinct()
+        .withColumn("_seen", F.lit(1))
+    )
+    batch = docs.filter(F.col("doc_id") % 5 == 0).select(
+        "doc_id", "lang", content_hash().alias("hash")
+    )
+    return (
+        batch.join(hist, "hash", "left")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_batch"),
+            F.coalesce(F.sum("_seen"), F.lit(0)).cast("long").alias(
+                "n_dup_vs_history"
+            ),
+        )
+        .orderBy("lang")
+    )
+
+
+@register(
+    "docs_incremental_bloom_dedup",
+    None,  # Bloom bit layout depends on xxhash64 — not DuckDB-expressible;
+    # no-false-negative + FP-bound properties pinned in tests/test_llm.py
+    doc=(
+        "K12b incremental dedup, Bloom fast path: the history (doc_id % 5 "
+        "!= 0) compresses to a bit_or-merged bit array bounded by m/64 rows "
+        "regardless of history size; the arriving batch probes it via a "
+        "broadcast join — a map-only plan on the batch side. Emits the "
+        "dataset-card row (n_batch, n_flagged, n_exact_dup, n_false_pos); "
+        "false negatives are impossible by construction."
+    ),
+)
+def docs_incremental_bloom_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    hist = docs.filter(F.col("doc_id") % 5 != 0)
+    batch = docs.filter(F.col("doc_id") % 5 == 0)
+    partials = bloom_partials(
+        hist.select(content_hash().alias("h")), F.col("h")
+    )
+    flags = bloom_maybe_member(batch, partials, content_hash("text"))
+    exact = (
+        batch.select("doc_id", content_hash().alias("h"))
+        .join(
+            hist.select(content_hash().alias("h")).distinct(),
+            "h",
+            "left_semi",
+        )
+        .withColumn("_exact", F.lit(True))
+        .select("doc_id", "_exact")
+    )
+    return (
+        flags.join(exact, "doc_id", "left")
+        .agg(
+            F.count(F.lit(1)).alias("n_batch"),
+            F.sum(F.col("maybe_dup").cast("long")).alias("n_flagged"),
+            F.sum(F.coalesce(F.col("_exact"), F.lit(False)).cast("long")).alias(
+                "n_exact_dup"
+            ),
+            F.sum(
+                (F.col("maybe_dup") & F.col("_exact").isNull()).cast("long")
+            ).alias("n_false_pos"),
+        )
     )
