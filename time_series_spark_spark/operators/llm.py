@@ -565,54 +565,72 @@ def edit_distance_pairs(
     text_col: str = "text",
     lang_col: str = "lang",
     len_col: str = "n_chars",
-    prefix_len: int = 60,
+    prefix_key_len: int = 4,
     band: int = 16,
     max_dist: int = 8,
 ) -> DataFrame:
-    """Near-dup pairs by Levenshtein distance ≤ ``max_dist`` on the first
-    ``prefix_len`` chars, within (lang, length-band) blocks.
+    """Near-dup pairs by **full-text** Levenshtein distance ≤ ``max_dist``,
+    within (lang, length-band, char-prefix) blocks.
 
-    Scale shape: each doc is keyed by ``floor(len / band)``; the probe
-    side explodes to its own bucket ±1, so every candidate pair (which
-    must satisfy \\|Δlen\\| ≤ band ⇒ \\|Δbucket\\| ≤ 1) meets on exactly ONE
-    equi-join key — a hash join on (lang, bucket), never an all-pairs
-    BNLJ. Levenshtein runs in codegen (JVM ``levenshtein``), O(prefix²)
-    per candidate, bounded by the block sizes. Full-text verification of
-    the surviving pairs is a cheap downstream step if needed; the prefix
-    is the published blocking-key compromise (Christen 2012, indexing
-    for record linkage).
+    Scale shape, in three bounded stages:
+
+    1. **Candidate generation on a compact projection** — only
+       ``(id, lang, len, bucket, first-prefix_key_len-chars)`` shuffles,
+       never the text. Each doc is keyed by ``floor(len / band)``; the
+       probe side explodes to bucket ±1, so every candidate pair meets on
+       exactly ONE equi-join key ``(lang, bucket, prefix)`` — a hash
+       join, never BNLJ. The char-prefix is the second blocking key
+       (Christen 2012 standard blocking; an edit inside the first
+       ``prefix_key_len`` chars escapes the block — the declared
+       recall/cost compromise). Within the join, ``|Δlen| ≤ max_dist``
+       prunes for free (edit distance ≥ length difference).
+    2. **Text fetch** — two hash joins by id attach full text to the
+       (small) surviving candidate set; the corpus shuffles its text at
+       most twice, proportional to corpus size, not candidates².
+    3. **Bounded verification** — JVM codegen ``levenshtein(a, b,
+       threshold)`` (Spark ≥ 3.5) runs the banded O(len·max_dist) DP and
+       returns -1 early when the distance exceeds ``max_dist``, so
+       verification cost is linear in text length per candidate.
     """
-    base = df.select(
+    compact = df.select(
         F.col(id_col).alias("id"),
         F.col(lang_col).alias("lg"),
         F.col(len_col).alias("ln"),
-        F.substring(F.col(text_col), 1, prefix_len).alias("p"),
+        F.substring(F.col(text_col), 1, prefix_key_len).alias("k2"),
         F.floor(F.col(len_col) / band).alias("bkt"),
     )
-    probe = base.select(
+    probe = compact.select(
         F.col("id").alias("id_a"),
         F.col("lg"),
         F.col("ln").alias("ln_a"),
-        F.col("p").alias("p_a"),
+        F.col("k2"),
         F.explode(
             F.array(F.col("bkt") - 1, F.col("bkt"), F.col("bkt") + 1)
         ).alias("bkt"),
     )
-    build = base.select(
+    build = compact.select(
         F.col("id").alias("id_b"),
         F.col("lg"),
         F.col("ln").alias("ln_b"),
-        F.col("p").alias("p_b"),
+        F.col("k2"),
         F.col("bkt"),
     )
+    candidates = probe.join(build, ["lg", "bkt", "k2"]).filter(
+        (F.col("id_a") < F.col("id_b"))
+        & (F.abs(F.col("ln_a") - F.col("ln_b")) <= max_dist)
+    ).select("id_a", "id_b")
+    texts = df.select(F.col(id_col).alias("id"), F.col(text_col).alias("t"))
     return (
-        probe.join(build, ["lg", "bkt"])
-        .filter(
-            (F.col("id_a") < F.col("id_b"))
-            & (F.abs(F.col("ln_a") - F.col("ln_b")) <= band)
+        candidates.join(
+            texts.select(F.col("id").alias("id_a"), F.col("t").alias("t_a")),
+            "id_a",
         )
-        .withColumn("dist", F.levenshtein("p_a", "p_b").cast("long"))
-        .filter(F.col("dist") <= max_dist)
+        .join(
+            texts.select(F.col("id").alias("id_b"), F.col("t").alias("t_b")),
+            "id_b",
+        )
+        .withColumn("dist", F.levenshtein("t_a", "t_b", max_dist).cast("long"))
+        .filter(F.col("dist") >= 0)
         .select("id_a", "id_b", "dist")
     )
 

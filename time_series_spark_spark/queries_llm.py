@@ -724,27 +724,27 @@ def docs_upsample_repeat(spark: SparkSession, sf_dir: str) -> DataFrame:
     "docs_edit_pairs",
     """
     WITH d AS (
-        SELECT doc_id, lang, n_chars,
-               substring(text, 1, 60) AS p,
+        SELECT doc_id, lang, n_chars, text,
+               substring(text, 1, 4) AS k2,
                CAST(floor(n_chars / 16) AS BIGINT) AS b
         FROM documents
     )
     SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-           CAST(levenshtein(a.p, b.p) AS BIGINT) AS dist
+           CAST(levenshtein(a.text, b.text) AS BIGINT) AS dist
     FROM d a JOIN d b
-      ON a.lang = b.lang AND abs(a.b - b.b) <= 1
-     AND a.doc_id < b.doc_id AND abs(a.n_chars - b.n_chars) <= 16
-    WHERE levenshtein(a.p, b.p) <= 8
+      ON a.lang = b.lang AND a.k2 = b.k2 AND abs(a.b - b.b) <= 1
+     AND a.doc_id < b.doc_id AND abs(a.n_chars - b.n_chars) <= 8
+    WHERE levenshtein(a.text, b.text) <= 8
     """,
-    doc="K2 edit-distance near-dup pairs: Levenshtein <= 8 on 60-char "
-    "prefixes inside (lang, length-band) blocks; the probe side explodes "
-    "to bucket +-1 so every candidate meets on one equi-join key (hash "
-    "join, never BNLJ)",
+    doc="K2 edit-distance near-dup pairs: FULL-TEXT Levenshtein <= 8 "
+    "inside (lang, length-band, 4-char-prefix) blocks; candidates "
+    "generated on a compact no-text projection (hash join, never BNLJ), "
+    "then verified with threshold-bounded O(len*max_dist) levenshtein",
 )
 def docs_edit_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return edit_distance_pairs(
         load(spark, sf_dir, "documents"),
-        prefix_len=60,
+        prefix_key_len=4,
         band=16,
         max_dist=8,
     )
