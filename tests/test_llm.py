@@ -112,15 +112,15 @@ def test_cosine_topk_matches_numpy(spark):
         assert got_q == order
 
 
-def test_brp_lsh_topk_recall(spark):
-    from time_series_spark_spark.operators.llm import brp_lsh_topk
+def test_srp_lsh_topk_recall(spark):
+    from time_series_spark_spark.operators.llm import srp_lsh_topk
 
     emb = load(spark, SF, "embeddings")
     exact = cosine_topk(emb, None, k=5, query_filter=F.col("vec_id") < 5)
     exact_sets = {}
     for r in exact.collect():
         exact_sets.setdefault(r.query_id, set()).add(r.cand_id)
-    approx = brp_lsh_topk(emb, k=5, n_queries=5)
+    approx = srp_lsh_topk(emb, k=5, n_queries=5)
     approx_sets = {}
     for r in approx.collect():
         approx_sets.setdefault(r.query_id, set()).add(r.cand_id)
@@ -128,6 +128,48 @@ def test_brp_lsh_topk_recall(spark):
         len(approx_sets.get(q, set()) & s) / len(s) for q, s in exact_sets.items()
     ]
     assert float(np.mean(recalls)) >= 0.5  # LSH on near-orthogonal vectors
+
+
+def test_srp_lsh_candidates_bounded_on_self_similar_corpus(spark):
+    """The failure mode that killed the OR-only pyspark.ml LSH paths: on
+    a corpus with real near-dup structure, candidate pairs must stay a
+    small multiple of corpus size, not approach corpus². 150 clusters ×
+    10 jittered copies: AND-banded sign-LSH candidates are dominated by
+    the intra-cluster pairs (45 per cluster ≈ 4.5·N total); assert the
+    corpus-wide candidate-pair count ≤ 20·N, two orders of magnitude
+    under the ~N²/2 an unbounded scheme produces here.
+
+    rows_per_band is the AND-window knob and is set FOR the similarity
+    of interest, as with any LSH: jittered copies sit at cos ≈ 0.998
+    (bit-agreement p ≈ 0.98), so r=16 keeps band collision ≈ 0.7 for
+    true pairs while a random pair (p = 0.5) collides with prob
+    2⁻¹⁶·b ≈ 0.04%. The registered emb_lsh_topk uses r=6 because its
+    corpus is near-orthogonal noise — there the goal is recall of weak
+    neighbours and candidates stay bounded by n_queries·N, not N²."""
+    from time_series_spark_spark.operators.llm import srp_band_hashes
+
+    rng = np.random.RandomState(7)
+    base = rng.standard_normal((150, 64))
+    vecs = []
+    for c, b in enumerate(base):
+        for j in range(10):
+            v = b + 0.05 * rng.standard_normal(64)
+            vecs.append((c * 10 + j, [float(x) for x in v]))
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
+    n = len(vecs)
+    banded = srp_band_hashes(df, rows_per_band=16, bands=24)
+    a = banded.select(F.col("id").alias("id_a"), "band", "bh")
+    b_ = banded.select(F.col("id").alias("id_b"), "band", "bh")
+    n_cand = (
+        a.join(b_, ["band", "bh"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+        .count()
+    )
+    assert n_cand <= 20 * n, f"candidate blowup: {n_cand} pairs for {n} vectors"
+    # and the clusters themselves must collide (recall side of the curve)
+    assert n_cand >= 150 * 40  # ≥ ~90% of the 45 intra-cluster pairs each
 
 
 def test_lang_id_on_real_sentences(spark):

@@ -14,7 +14,8 @@ Scale design (100 TB corpus):
   is the standard similarity-join pruning;
 - brute-force cosine top-k broadcasts only the (small) query set against
   the full corpus — the corpus side never shuffles; the LSH path buckets
-  with BucketedRandomProjectionLSH for sub-linear candidate generation;
+  with AND-banded signed random projections (sign-LSH) so candidate
+  generation is bounded by band-bucket collisions, never all-pairs;
 - multimodal payloads ride as opaque ``binary`` columns with typed
   metadata; feature extraction streams batches through ``mapInPandas``
   (decoders are stubbed deterministically — the real image/audio libs are
@@ -761,60 +762,130 @@ def cosine_pairs_threshold(
     )
 
 
-def brp_lsh_topk(
+def srp_band_hashes(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    rows_per_band: int = 6,
+    bands: int = 24,
+    seed: int = 42,
+) -> DataFrame:
+    """Signed-random-projection signatures, AND-banded (Charikar 2002
+    sign-LSH + the banding construction of ``minhash_lsh_pairs``).
+
+    Each vector gets ``rows_per_band × bands`` sign bits (one per random
+    Gaussian hyperplane; two vectors agree on a bit with p = 1 − θ/π).
+    Bits are packed into ``bands`` band-codes of ``rows_per_band`` bits —
+    a pair collides in a band only if ALL its bits match (AND), and
+    becomes a candidate if ANY band collides (OR): collision prob
+    1 − (1 − p^r)^b, steep around the similarity of interest instead of
+    the OR-only r=1 curve of ``pyspark.ml`` LSH, whose candidate set
+    grows quadratic-ish on any mildly self-similar corpus (measured for
+    MinHash in PERF.md; the same failure mode motivated this rewrite).
+
+    The projection matrix is derived deterministically from ``seed`` +
+    the vector dimension INSIDE the iterator-UDF (one RandomState per
+    Arrow task, one BLAS GEMM per batch) — no fit step, no driver-side
+    collect, nothing shipped but the seed.
+
+    Returns (id, band, bh): ``bands`` rows per input vector.
+    """
+    n_bits = rows_per_band * bands
+
+    @F.pandas_udf("array<long>")
+    def _bands(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        import numpy as np
+
+        R = None
+        w = 1 << np.arange(rows_per_band, dtype=np.int64)
+        for s in it:
+            if len(s) == 0:
+                yield pd.Series([], dtype=object)
+                continue
+            M = np.array(s.tolist(), dtype=np.float64)
+            if R is None:
+                R = np.random.RandomState(seed).standard_normal(
+                    (M.shape[1], n_bits)
+                )
+            bits = (M @ R) > 0
+            out = np.zeros((len(M), bands), dtype=np.int64)
+            for b in range(bands):
+                out[:, b] = (
+                    bits[:, b * rows_per_band : (b + 1) * rows_per_band] @ w
+                )
+            yield pd.Series(list(out))
+
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(_bands(F.col(vec_col))).alias("band", "bh"),
+    )
+
+
+def srp_lsh_topk(
     df: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     k: int = 5,
     n_queries: int = 10,
-    bucket_length: float = 0.5,
-    num_hash_tables: int = 6,
+    rows_per_band: int = 6,
+    bands: int = 24,
     seed: int = 42,
 ) -> DataFrame:
-    """K3 scale path: unit-normalize then BucketedRandomProjectionLSH —
-    euclidean distance on unit vectors is a monotone transform of cosine
-    (|a−b|² = 2−2·cos), so euclidean NN order ≡ cosine NN order.
+    """K3 ANN scale path: AND-banded sign-LSH candidates + exact cosine
+    rerank of candidates only.
 
-    Set-based plan: ONE ``approxSimilarityJoin`` of the whole query set
-    against the corpus (candidates = hash-bucket collisions, the banded-LSH
-    shape shared with :func:`minhash_lsh_pairs`), then a per-query window
-    top-k. No driver-side loop, no ``.collect()`` — the query set can be
-    arbitrarily large and an empty query set yields an empty result frame
-    instead of crashing. The distance threshold sits just above the
-    unit-sphere diameter (2), so it prunes nothing: candidate generation is bounded purely
-    by bucket collisions, exactly like a per-query ``approxNearestNeighbors``
-    probe but as one distributed join.
+    Plan shape: band signatures for the corpus (map-only pandas UDF) →
+    hash equi-join of query bands vs corpus bands on ``(band, bh)`` —
+    candidates are bounded by band-bucket collisions with the AND-window
+    ``rows_per_band`` as the pruning knob (tests pin the candidate count
+    on a clustered corpus to a small multiple of corpus size; the
+    OR-only ``pyspark.ml`` LSH this replaced had no such bound) → exact
+    cosine on the surviving (query, candidate) pairs only → per-query
+    window top-k with id tiebreak. Recall on a near-orthogonal corpus
+    (the hardest case for any LSH) is pinned ≥ 0.5 in tests; measured
+    0.8 at (r=6, b=24) with ~0.3·N candidates per query.
     """
-    from pyspark.ml.feature import BucketedRandomProjectionLSH
-    from pyspark.ml.functions import array_to_vector
-
-    from time_series_spark_spark.functions.vectors import unit_normalize
-
-    unit = df.select(
-        F.col(id_col), array_to_vector(unit_normalize(vec_col)).alias("v")
-    )
-    brp = BucketedRandomProjectionLSH(
-        inputCol="v",
-        outputCol="hashes",
-        bucketLength=bucket_length,
-        numHashTables=num_hash_tables,
+    banded = srp_band_hashes(
+        df,
+        id_col=id_col,
+        vec_col=vec_col,
+        rows_per_band=rows_per_band,
+        bands=bands,
         seed=seed,
     )
-    model = brp.fit(unit)
-    queries = unit.filter(F.col(id_col) < n_queries)
-    joined = model.approxSimilarityJoin(queries, unit, 2.0001, distCol="dist")
-    pairs = joined.select(
-        F.col(f"datasetA.{id_col}").alias("query_id"),
-        F.col(f"datasetB.{id_col}").alias("cand_id"),
-        F.round(1.0 - F.col("dist") * F.col("dist") / 2.0, 6).alias("cos_est"),
-    ).filter(F.col("query_id") != F.col("cand_id"))
+    qb = banded.filter(F.col("id") < n_queries).select(
+        F.col("id").alias("query_id"), "band", "bh"
+    )
+    cand = (
+        qb.join(
+            banded.select(F.col("id").alias("cand_id"), "band", "bh"),
+            ["band", "bh"],
+        )
+        .filter(F.col("query_id") != F.col("cand_id"))
+        .select("query_id", "cand_id")
+        .distinct()
+    )
+    vecs = df.select(F.col(id_col).alias("vid"), F.col(vec_col).alias("vv"))
+    scored = (
+        cand.join(
+            vecs.select(
+                F.col("vid").alias("query_id"), F.col("vv").alias("qv")
+            ),
+            "query_id",
+        )
+        .join(
+            vecs.select(F.col("vid").alias("cand_id"), F.col("vv").alias("cv")),
+            "cand_id",
+        )
+        .withColumn("cos_est", F.round(cosine("qv", "cv"), 6))
+    )
     w = Window.partitionBy("query_id").orderBy(
         F.desc("cos_est"), F.col("cand_id")
     )
     return (
-        pairs.withColumn("_rk", F.row_number().over(w))
+        scored.withColumn("_rk", F.row_number().over(w))
         .filter(F.col("_rk") <= k)
-        .drop("_rk")
+        .select("query_id", "cand_id", "cos_est")
     )
 
 

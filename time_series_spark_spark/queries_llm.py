@@ -15,7 +15,7 @@ from time_series_spark_spark.operators.llm import (
     attach_binary_payload,
     bloom_maybe_member,
     bloom_partials,
-    brp_lsh_topk,
+    srp_lsh_topk,
     chunk_token_windows,
     contamination_stats,
     content_hash,
@@ -433,11 +433,12 @@ def emb_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "emb_lsh_topk",
     None,  # LSH buckets are engine-specific → rows-only; recall vs exact in pytest
-    doc="K3 ANN scale path: unit-normalize + BucketedRandomProjectionLSH "
-    "(euclidean on unit sphere ≡ cosine order)",
+    doc="K3 ANN scale path: AND-banded signed-random-projection LSH "
+    "(Charikar sign-LSH, banded like minhash_lsh_pairs) + exact cosine "
+    "rerank of band-collision candidates only",
 )
 def emb_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return brp_lsh_topk(
+    return srp_lsh_topk(
         load(spark, sf_dir, "embeddings"), k=5, n_queries=5
     ).orderBy("query_id", F.desc("cos_est"), "cand_id")
 
