@@ -43,6 +43,7 @@ from time_series_spark_spark.operators.llm import (
 from time_series_spark_spark.operators.graph import dup_clusters
 from time_series_spark_spark.queries import register
 from time_series_spark_spark.sources.io import load
+from time_series_spark_spark.sources.quality import check_quality, observe_quality
 
 
 # --------------------------------------------------------------------------
@@ -265,6 +266,54 @@ def docs_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return deduped.groupBy("lang").agg(
         F.count(F.lit(1)).alias("n_kept"),
         F.sum("n_tokens").alias("token_budget"),
+    )
+
+
+@register(
+    "docs_quality_gate",
+    """
+    SELECT CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(CASE WHEN lang IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS nulls_lang,
+           CAST(sum(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS nulls_text,
+           CAST(count(*) FILTER (
+               WHERE len(string_split(text, ' ')) BETWEEN 20 AND 80
+                 AND CAST(len(list_distinct(string_split(text, ' ')))
+                          AS DOUBLE)
+                     / len(string_split(text, ' ')) >= 0.3
+           ) AS BIGINT) AS n_kept
+    FROM documents
+    """,
+    doc="A8 observed-metrics quality gate riding a real pipeline action: "
+    "row count + per-column null counts collected via Observation as a "
+    "side effect of the quality-filter aggregation (zero extra scans — "
+    "the anti-pattern is a separate count() per check), then the gate "
+    "evaluated with check_quality (raises on violation). Returns the "
+    "metric row so the gate itself is oracle-verifiable.",
+)
+def docs_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    observed, obs = observe_quality(docs, ["lang", "text"])
+    m = text_metrics(observed)
+    kept_rows = (
+        m.filter(
+            F.col("n_tokens").between(20, 80) & (F.col("distinct_ratio") >= 0.3)
+        )
+        .agg(F.count(F.lit(1)).alias("n_kept"))
+        .collect()  # the pipeline action; materializes the observation
+    )
+    metrics = check_quality(obs, max_null_frac=0.0, min_rows=1)
+    return spark.createDataFrame(
+        [
+            (
+                int(metrics["n_rows"]),
+                int(metrics["nulls_lang"]),
+                int(metrics["nulls_text"]),
+                int(kept_rows[0][0]),
+            )
+        ],
+        "n_rows long, nulls_lang long, nulls_text long, n_kept long",
     )
 
 
