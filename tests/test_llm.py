@@ -425,3 +425,127 @@ def test_repetition_stats_counts_degenerate_text(spark):
     r2 = out[2]
     assert r2["n_1gram"] == r2["d_1gram"] == 5
     assert r2["n_2gram"] == r2["d_2gram"] == 4
+
+
+def test_bloom_no_false_negatives_and_fp_bound(spark):
+    """The two Bloom properties the incremental-dedup path rests on:
+    every key present in the history MUST be flagged (no false
+    negatives, by construction), and the false-positive rate of fresh
+    keys stays within the standard (1 − e^{−kn/m})^k bound (asserted at
+    3× to absorb sampling noise; m is shrunk so the bound is actually
+    exercised instead of being ~0)."""
+    import math
+
+    from time_series_spark_spark.operators.llm import (
+        bloom_maybe_member,
+        bloom_partials,
+    )
+
+    m_bits, k, n_hist = 1 << 12, 5, 500
+    hist = spark.range(n_hist).select(
+        F.concat(F.lit("key_"), F.col("id")).alias("h")
+    )
+    partials = bloom_partials(hist, F.col("h"), m_bits=m_bits, k=k)
+    # batch: 250 keys duplicated from history + 500 fresh keys
+    batch = spark.range(750).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") < 250, F.concat(F.lit("key_"), F.col("id") * 2))
+        .otherwise(F.concat(F.lit("fresh_"), F.col("id")))
+        .alias("h"),
+    )
+    flags = {
+        r["doc_id"]: r["maybe_dup"]
+        for r in bloom_maybe_member(
+            batch, partials, F.col("h"), m_bits=m_bits, k=k
+        ).collect()
+    }
+    assert len(flags) == 750
+    # no false negatives: every history key flagged
+    assert all(flags[i] for i in range(250))
+    fp = sum(flags[i] for i in range(250, 750))
+    bound = (1 - math.exp(-k * n_hist / m_bits)) ** k
+    assert fp / 500 <= 3 * bound, f"fp rate {fp / 500} vs bound {bound}"
+
+
+def test_bloom_probe_plan_is_map_only(spark):
+    """The probe (100 TB) side must not shuffle: no Exchange may appear
+    above the batch scan — only the one-row broadcast of the collapsed
+    filter map."""
+    from time_series_spark_spark.operators.llm import (
+        bloom_maybe_member,
+        bloom_partials,
+    )
+
+    hist = spark.range(100).select(F.col("id").cast("string").alias("h"))
+    batch = spark.range(50).select(
+        F.col("id").alias("doc_id"), F.col("id").cast("string").alias("h")
+    )
+    out = bloom_maybe_member(
+        batch, bloom_partials(hist, F.col("h")), F.col("h")
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    first_join = plan.index("Join")
+    probe_side = plan[:first_join]
+    assert "Exchange" not in probe_side
+
+
+def test_contamination_stats_known_overlap(spark):
+    from time_series_spark_spark.operators.llm import contamination_stats
+
+    corpus = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps"),  # shares 3-grams with bench
+            (2, "entirely different text with no overlap present"),
+            (3, "too short"),  # < w tokens -> zero grams, still emitted
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(100, "the quick brown fox runs away")], "doc_id long, text string"
+    )
+    out = {
+        r["doc_id"]: r
+        for r in contamination_stats(corpus, bench, w=3).collect()
+    }
+    assert len(out) == 3
+    # doc 1: 3 grams; 'the quick brown' and 'quick brown fox' hit
+    assert (out[1]["n_grams"], out[1]["n_hit"]) == (3, 2)
+    assert (out[2]["n_grams"], out[2]["n_hit"]) == (5, 0)
+    assert (out[3]["n_grams"], out[3]["n_hit"]) == (0, 0)
+
+
+def test_chunk_token_windows_edges(spark):
+    """Boundary semantics pinned: n == size -> exactly one full chunk;
+    n == size+1 -> second chunk starts at stride and is short; NULL text
+    -> no chunks; empty text -> one single-empty-token chunk (split('')
+    = [''], identical in DuckDB)."""
+    from time_series_spark_spark.operators.llm import chunk_token_windows
+
+    size, stride = 64, 48
+
+    def words(n):
+        return " ".join(f"w{i}" for i in range(n))
+
+    df = spark.createDataFrame(
+        [
+            (1, words(64)),   # n == size
+            (2, words(65)),   # one over
+            (3, words(112)),  # n == size + stride: second chunk exactly full
+            (4, words(113)),  # third chunk begins
+            (5, None),        # NULL -> no chunks
+            (6, ""),          # empty string -> one chunk of ['']
+            (7, words(5)),    # n < size
+        ],
+        "doc_id long, text string",
+    )
+    rows = chunk_token_windows(df, size=size, stride=stride).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    counts = {d: len(v) for d, v in by_doc.items()}
+    assert counts == {1: 1, 2: 2, 3: 2, 4: 3, 6: 1, 7: 1}
+    assert 5 not in by_doc
+    assert [r["n_tokens"] for r in sorted(by_doc[2], key=lambda r: r["chunk_idx"])] == [64, 17]
+    assert [r["n_tokens"] for r in sorted(by_doc[3], key=lambda r: r["chunk_idx"])] == [64, 64]
+    assert by_doc[6][0]["n_tokens"] == 1
+    assert by_doc[7][0]["n_tokens"] == 5

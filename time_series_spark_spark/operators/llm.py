@@ -192,28 +192,32 @@ def bloom_maybe_member(
     """Flag each row of ``df`` whose ``key`` is POSSIBLY in the Bloom
     filter ``partials`` (same m_bits/k as ``bloom_partials``): all ``k``
     probed bits set ⇒ maybe-member (false positives possible, false
-    negatives impossible). The filter is broadcast (≤ m/64 rows), so the
-    probe side — the 100 TB side — streams through a map-only plan: no
-    shuffle of the new batch at all.
+    negatives impossible). The filter collapses to ONE broadcast row
+    holding a ``map<word_idx, bits>`` (≤ m/64 entries), so the probe
+    side — the 100 TB side — is truly map-only: scan → one-row broadcast
+    join → per-row ``forall`` over the k probe positions. No explode, no
+    shuffle, no aggregation of the new batch at all.
 
     Returns ``df``'s ``id_col`` plus ``maybe_dup`` boolean.
     """
     positions = F.array(
         *[F.pmod(F.xxhash64(F.lit(i), key), F.lit(m_bits)) for i in range(k)]
     )
-    probes = df.select(F.col(id_col), F.explode(positions).alias("pos")).select(
-        id_col,
-        F.shiftright(F.col("pos"), 6).alias("word_idx"),
-        F.expr("shiftleft(1L, cast(pos % 64 AS int))").alias("b"),
+    filter_row = partials.agg(
+        F.map_from_entries(
+            F.collect_list(F.struct("word_idx", "bits"))
+        ).alias("__bloom")
     )
-    checked = probes.join(F.broadcast(partials), "word_idx", "left").select(
-        id_col,
-        (
-            F.col("bits").isNotNull()
-            & (F.col("bits").bitwiseAND(F.col("b")) != 0)
-        ).alias("hit"),
+    probe_all = (
+        "forall(__pos, p -> coalesce("
+        "(try_element_at(__bloom, p DIV 64) "
+        "& shiftleft(1L, cast(p % 64 AS int))) != 0, false))"
     )
-    return checked.groupBy(id_col).agg(F.min("hit").alias("maybe_dup"))
+    return (
+        df.select(F.col(id_col), positions.alias("__pos"))
+        .join(F.broadcast(filter_row))
+        .select(id_col, F.expr(probe_all).alias("maybe_dup"))
+    )
 
 
 # --------------------------------------------------------------------------
@@ -1117,7 +1121,10 @@ def chunk_token_windows(
 
     Chunk count for an n-token doc: 1 if n ≤ size else
     1 + ⌈(n − size)/stride⌉, computed in integer math so the Spark plan
-    and any SQL oracle agree exactly. Empty docs yield no chunks.
+    and any SQL oracle agree exactly. NULL docs yield no chunks; an
+    empty-string doc follows split semantics (split('', ' ') = [''],
+    one token) and yields one chunk of the empty token — identical in
+    Spark and DuckDB, so the oracle agrees.
 
     Scale shape: pure per-row codegen (sequence → explode → slice) — zero
     shuffles, zero joins; output size is input tokens × (size/stride)
@@ -1126,15 +1133,15 @@ def chunk_token_windows(
     windows.
     """
     n = F.size(tokens(text_col))
+    # The ceil-div reuses the SAME n Column as the slice math below —
+    # deriving it twice from text_col would silently diverge if tokens()
+    # ever changes.
     n_chunks = (
         F.when(n <= 0, F.lit(0))
         .when(n <= size, F.lit(1))
         .otherwise(
             F.lit(1)
-            + F.expr(
-                f"(size(split({text_col}, ' ')) - {size} + {stride - 1}) "
-                f"div {stride}"
-            )
+            + F.floor((n - F.lit(size) + F.lit(stride - 1)) / F.lit(stride))
         )
     )
     return (
