@@ -74,3 +74,25 @@ def test_dup_clusters_keep_list(spark):
     assert cluster == {0: 0, 1: 1, 2: 2, 3: 3, 4: 1, 5: 5, 6: 6, 7: 1, 8: 8, 9: 2}
     keep = sorted(r["doc_id"] for r in out if r["is_canonical"])
     assert keep == [0, 1, 2, 3, 5, 6, 8]
+
+
+def test_reliable_checkpoint_dir_parameter(spark, tmp_path):
+    """checkpoint_dir switches lineage truncation to reliable
+    checkpoint(): same components, and checkpoint data actually lands in
+    the given directory (the cluster-correct mode — localCheckpoint
+    blocks die with their executor)."""
+    import os
+
+    ckpt = str(tmp_path / "cc_ckpt")
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(30)], "id_a long, id_b long"
+    )
+    out = connected_components(pairs, checkpoint_dir=ckpt).collect()
+    assert {r["component"] for r in out} == {0}
+    assert len(out) == 31
+    found = [
+        os.path.join(dp, f)
+        for dp, _, fns in os.walk(ckpt)
+        for f in fns
+    ]
+    assert found, "no checkpoint files written to checkpoint_dir"
