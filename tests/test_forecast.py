@@ -10,6 +10,8 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
 
 from time_series_spark_spark.operators.forecast import (
     fit_forecast_series,
@@ -121,3 +123,53 @@ def test_backtest_coverage_reasonable(seed):
         & (actual <= fc["yhat_upper"].to_numpy()[: len(actual)])
     ).mean()
     assert cov >= 0.5
+
+
+@given(
+    a_weekly=st.floats(2.0, 10.0),
+    a_yearly=st.floats(5.0, 20.0),
+    phase_w=st.floats(0.0, 6.28),
+    phase_y=st.floats(0.0, 6.28),
+    sigma=st.floats(0.0, 2.0),
+    seed=st.integers(0, 10_000),
+)
+@settings(max_examples=12, deadline=None)
+def test_seasonal_amplitude_recovered(a_weekly, a_yearly, phase_w, phase_y, sigma, seed):
+    """Quality property, not just shape: with a planted weekly+yearly
+    sinusoid at realistic noise, the OUT-OF-SAMPLE forecast must carry
+    both seasonal components at the planted amplitude (±35% + a noise
+    allowance) — guards the lstsq design matrix (Fourier blocks, ridge
+    weights, scaling) against silent regression."""
+    rng = np.random.default_rng(seed)
+    n = 900  # ~2.5 years: yearly block active (span >= 365)
+    t = np.arange(n, dtype=float)
+    ds = _dates(n)
+    y = (
+        100.0
+        + a_weekly * np.sin(2 * np.pi * t / 7.0 + phase_w)
+        + a_yearly * np.sin(2 * np.pi * t / 365.25 + phase_y)
+        + rng.normal(0, sigma, n)
+    )
+    horizon = 366
+    out = fit_forecast_series(ds, y, horizon=horizon)
+    yhat = out["yhat"].to_numpy()
+    th = np.arange(n, n + horizon, dtype=float)
+
+    def fitted_amplitude(period: float) -> float:
+        # project the forecast onto the planted frequency (detrended LS)
+        X = np.column_stack(
+            [
+                np.ones(horizon),
+                th,
+                np.sin(2 * np.pi * th / period),
+                np.cos(2 * np.pi * th / period),
+            ]
+        )
+        beta, *_ = np.linalg.lstsq(X, yhat, rcond=None)
+        return float(np.hypot(beta[2], beta[3]))
+
+    tol = lambda a: 0.35 * a + 3.0 * sigma / np.sqrt(n) + 0.5
+    got_w = fitted_amplitude(7.0)
+    got_y = fitted_amplitude(365.25)
+    assert abs(got_w - a_weekly) <= tol(a_weekly), (got_w, a_weekly)
+    assert abs(got_y - a_yearly) <= tol(a_yearly), (got_y, a_yearly)
