@@ -46,17 +46,23 @@ HEADLINE = [
     "docs_lang_stats",
 ]
 
+# The expensive tail: the slowest registered queries (PERF.md), tracked
+# per-round so regressions in the heavy operators are visible, not only
+# in the 10 fast headline queries. Not part of the baseline-gate total.
+HEAVY_TAIL = [
+    "docs_edit_pairs",
+    "emb_semantic_dedup",
+    "forecast_user_events",
+    "docs_minhash_lsh_pairs",
+    "events_lttb_user",
+]
 
-def main() -> None:
-    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+def _bench(spark, sf_dir: str, names: list[str]) -> dict[str, float]:
     from time_series_spark_spark.queries import REGISTRY
-    from time_series_spark_spark.session import get_spark
-
-    spark = get_spark("bench")
-    spark.sparkContext.setLogLevel("ERROR")
 
     results: dict[str, float] = {}
-    for name in HEADLINE:
+    for name in names:
         df = REGISTRY[name].fn(spark, sf_dir)
         df.toPandas()  # warm-up: plan analysis, codegen, file listing
         best = float("inf")
@@ -65,6 +71,18 @@ def main() -> None:
             df.toPandas()
             best = min(best, time.perf_counter() - t0)
         results[name] = round(best, 4)
+    return results
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    from time_series_spark_spark.session import get_spark
+
+    spark = get_spark("bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    results = _bench(spark, sf_dir, HEADLINE)
+    heavy = _bench(spark, sf_dir, HEAVY_TAIL)
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     print(
@@ -74,6 +92,8 @@ def main() -> None:
                 "value": round(sum(results.values()), 4),
                 "unit": "sec",
                 "queries": results,
+                "heavy_tail": heavy,
+                "heavy_tail_total": round(sum(heavy.values()), 4),
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )
