@@ -1,0 +1,140 @@
+"""Build a 10x stress corpus from sf0.1 and time the expensive queries.
+
+Usage:
+    python scripts/stress10x.py build     # writes /tmp/stress10x/*.parquet
+    python scripts/stress10x.py run q21_suppliers_who_kept_waiting ...
+
+Scaling model (the round-1 protocol, now checked in): facts are
+replicated 10x with consistently shifted keys, dims stay 1x --
+the realistic shape where data grows but the schema doesn't.
+
+- documents: doc_id shifted per replica; replicas r>0 get a distinct
+  'r{r} ' prefix token (n_chars recomputed) so near-dup structure grows
+  linearly (10x blocks of the same size) instead of degenerating into
+  100-way identical clusters.
+- embeddings: vec_id shifted; vectors jittered with seeded N(0, 0.02) so
+  replicas are near but not identical (semantic-dedup input grows 10x
+  with realistic cluster structure).
+- events: user_id/event_id shifted per replica -> 10x series, same
+  per-series density (stream state and packed-UDF batches scale by key
+  count, the dimension that matters).
+- lineitem/orders: orderkey shifted per replica; supplier/customer/part
+  keys unshifted so dims stay 1x and per-dim fact fan-in grows 10x.
+- region/nation/supplier/customer/part: copied 1x.
+"""
+
+from __future__ import annotations
+
+import shutil
+import sys
+import time
+from pathlib import Path
+
+OUT = Path("/tmp/stress10x")
+SRC = Path("/root/testdata/sf0.1")
+SHIFT = 10_000_000
+REPLICAS = 10
+
+
+def build() -> None:
+    import duckdb
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    OUT.mkdir(parents=True, exist_ok=True)
+    con = duckdb.connect()
+
+    def rep(sql: str, table: str) -> None:
+        parts = [
+            sql.format(src=SRC / f"{table}.parquet", r=r) for r in range(REPLICAS)
+        ]
+        q = " UNION ALL ".join(parts)
+        con.execute(
+            f"COPY ({q}) TO '{OUT / f'{table}.parquet'}' (FORMAT PARQUET)"
+        )
+
+    rep(
+        "SELECT doc_id + {r} * 10000000 AS doc_id, "
+        "CASE WHEN {r} = 0 THEN text ELSE 'r{r} ' || text END AS text, "
+        "lang, source, "
+        "CAST(length(CASE WHEN {r} = 0 THEN text ELSE 'r{r} ' || text END) "
+        "AS BIGINT) AS n_chars "
+        "FROM '{src}'",
+        "documents",
+    )
+    rep(
+        "SELECT event_id + {r} * 100000000 AS event_id, ts, "
+        "user_id + {r} * 10000000 AS user_id, event_type, value, props "
+        "FROM '{src}'",
+        "events",
+    )
+    rep(
+        "SELECT * REPLACE (l_orderkey + {r} * 10000000 AS l_orderkey) "
+        "FROM '{src}'",
+        "lineitem",
+    )
+    rep(
+        "SELECT * REPLACE (o_orderkey + {r} * 10000000 AS o_orderkey) "
+        "FROM '{src}'",
+        "orders",
+    )
+
+    emb = pq.read_table(SRC / "embeddings.parquet").to_pandas()
+    frames = []
+    for r in range(REPLICAS):
+        rng = np.random.RandomState(1000 + r)
+        E = np.array(emb["embedding"].tolist(), dtype=np.float32)
+        if r > 0:
+            E = E + rng.normal(0, 0.02, E.shape).astype(np.float32)
+        frames.append(
+            pd.DataFrame(
+                {
+                    "vec_id": emb["vec_id"].to_numpy() + r * SHIFT,
+                    "embedding": list(E),
+                    "label": emb["label"].to_numpy(),
+                }
+            )
+        )
+    out = pd.concat(frames, ignore_index=True)
+    schema = pa.schema(
+        [
+            ("vec_id", pa.int64()),
+            ("embedding", pa.list_(pa.float32())),
+            ("label", pa.int32()),
+        ]
+    )
+    pq.write_table(pa.Table.from_pandas(out, schema=schema), OUT / "embeddings.parquet")
+
+    for t in ("region", "nation", "supplier", "customer", "part"):
+        shutil.copy(SRC / f"{t}.parquet", OUT / f"{t}.parquet")
+    print("built", OUT)
+
+
+def run(names: list[str]) -> None:
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+    from time_series_spark_spark.queries import REGISTRY
+    from time_series_spark_spark.session import get_spark
+
+    spark = get_spark("stress10x")
+    spark.sparkContext.setLogLevel("ERROR")
+    for name in names:
+        fn = REGISTRY[name].fn
+        row = {"query": name}
+        for label, d in (("sf0.1", str(SRC)), ("10x", str(OUT))):
+            best = float("inf")
+            for _ in range(2):
+                t0 = time.perf_counter()
+                fn(spark, d).toPandas()
+                best = min(best, time.perf_counter() - t0)
+            row[label] = round(best, 3)
+        row["ratio"] = round(row["10x"] / row["sf0.1"], 2)
+        print(row)
+
+
+if __name__ == "__main__":
+    if sys.argv[1] == "build":
+        build()
+    else:
+        run(sys.argv[1:])
