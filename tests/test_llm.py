@@ -549,3 +549,32 @@ def test_chunk_token_windows_edges(spark):
     assert [r["n_tokens"] for r in sorted(by_doc[3], key=lambda r: r["chunk_idx"])] == [64, 64]
     assert by_doc[6][0]["n_tokens"] == 1
     assert by_doc[7][0]["n_tokens"] == 5
+
+
+def test_remove_dup_spans_planted_duplicate(spark):
+    """Canonical (min-id) owner keeps the duplicated span; every other
+    doc loses exactly the covered tokens; short and unique docs pass
+    through untouched."""
+    import hashlib
+
+    from time_series_spark_spark.operators.llm import remove_dup_spans
+
+    span = "one two three four five six seven eight"  # exactly w=8 tokens
+    docs = [
+        (1, f"{span} tail1 tail2 tail3"),        # canonical owner of span
+        (2, f"head1 head2 {span} tail9"),        # loses the 8 span tokens
+        (3, "totally unique words that repeat nowhere else at all ok"),
+        (4, "short doc"),                         # < w tokens
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in remove_dup_spans(df, w=8).collect()}
+
+    def h(s):
+        return hashlib.md5(s.encode()).hexdigest()
+
+    assert out[1]["n_removed"] == 0
+    assert out[1]["cleaned_hash"] == h(docs[0][1])
+    assert out[2]["n_removed"] == 8
+    assert out[2]["cleaned_hash"] == h("head1 head2 tail9")
+    assert out[3]["n_removed"] == 0
+    assert out[4]["n_removed"] == 0 and out[4]["n_tokens"] == 2

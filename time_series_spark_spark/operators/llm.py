@@ -1053,6 +1053,78 @@ def dup_span_stats(
     )
 
 
+def remove_dup_spans(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    w: int = 8,
+    carry_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """The REMOVAL counterpart of :func:`dup_span_stats` — exact
+    substring dedup as a cleaning operator (Lee et al. ACL 2022 remove
+    duplicated spans; here the shuffle-friendly word-``w``-gram variant).
+
+    Semantics (deterministic, order-free): a token position is removed
+    iff SOME ``w``-gram covering it occurs in ≥ 2 documents AND this doc
+    is not the gram's canonical owner (min doc id). The canonical owner
+    keeps its copy, so every duplicated span survives exactly once in
+    the corpus; docs shorter than ``w`` tokens are untouched.
+
+    Scale shape: gram explode → ONE hash agg keyed gram-hash for
+    (n_docs, min_doc) stats → equi-join back to gram occurrences →
+    per-doc collect of bad span starts (bounded by the doc's dup
+    density) → higher-order-function filter of the token array, all in
+    codegen. Per-doc filter cost is O(n_tokens × n_bad_starts); a
+    pathological spam page bounds it at n², the same page every
+    dedup pipeline truncates upstream.
+
+    Returns (id_col, *carry_cols, n_tokens, n_removed, cleaned_hash) —
+    ``cleaned_hash`` = md5 of the kept tokens joined by spaces, so the
+    cleaned text is verifiable without moving it.
+    """
+    toks = df.select(
+        F.col(id_col),
+        *[F.col(c) for c in carry_cols],
+        F.split(F.coalesce(F.col(text_col), F.lit("")), " ").alias("t"),
+    )
+    args = ", ".join(f"t[i + {j}]" for j in range(w))
+    gram_expr = (
+        f"CASE WHEN size(t) >= {w} THEN "
+        f"transform(sequence(0, size(t) - {w}), "
+        f"i -> struct(i AS s, xxhash64({args}) AS gh)) "
+        f"ELSE array() END"
+    )
+    occ = toks.select(
+        id_col, F.explode(F.expr(gram_expr)).alias("o")
+    ).select(id_col, F.col("o.s").alias("s"), F.col("o.gh").alias("gh"))
+    stats = occ.groupBy("gh").agg(
+        F.countDistinct(id_col).alias("nd"),
+        F.min(id_col).alias("mind"),
+    )
+    bads = (
+        occ.join(stats, "gh")
+        .filter((F.col("nd") >= 2) & (F.col("mind") < F.col(id_col)))
+        .groupBy(id_col)
+        .agg(F.collect_set("s").alias("bads"))
+    )
+    # token j (0-based) is covered iff some bad start s ∈ [j-w+1, j]
+    kept = (
+        f"filter(t, (x, j) -> "
+        f"NOT exists(bads, s -> s BETWEEN j - {w - 1} AND j))"
+    )
+    return (
+        toks.join(bads, id_col, "left")
+        .withColumn("bads", F.coalesce(F.col("bads"), F.expr("array()")))
+        .select(
+            id_col,
+            *carry_cols,
+            F.size("t").cast("long").alias("n_tokens"),
+            (F.size("t") - F.size(F.expr(kept))).cast("long").alias("n_removed"),
+            F.md5(F.array_join(F.expr(kept), " ")).alias("cleaned_hash"),
+        )
+    )
+
+
 def contamination_stats(
     corpus: DataFrame,
     benchmark: DataFrame,

@@ -923,6 +923,58 @@ def docs_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "docs_remove_dup_spans",
+    r"""
+    WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ),
+    occ AS (
+        SELECT doc_id, i AS s, array_to_string(t[i:i+7], ' ') AS g
+        FROM toks, LATERAL (SELECT unnest(generate_series(1, len(t) - 7)) AS i) u
+        WHERE len(t) >= 8
+    ),
+    stats AS (
+        SELECT g, count(DISTINCT doc_id) AS nd, min(doc_id) AS mind
+        FROM occ GROUP BY g
+    ),
+    bads AS (
+        SELECT occ.doc_id, list(DISTINCT occ.s) AS bads
+        FROM occ JOIN stats ON occ.g = stats.g
+        WHERE stats.nd >= 2 AND stats.mind < occ.doc_id
+        GROUP BY occ.doc_id
+    ),
+    cleaned AS (
+        SELECT toks.doc_id, t,
+               coalesce(bads.bads, []) AS b,
+               list_transform(
+                   list_filter(generate_series(1, len(t)),
+                               j -> len(list_filter(coalesce(bads.bads, []),
+                                        s -> s >= j - 7 AND s <= j)) = 0),
+                   j -> t[j]) AS kept
+        FROM toks LEFT JOIN bads ON toks.doc_id = bads.doc_id
+    )
+    SELECT doc_id,
+           CAST(len(t) AS BIGINT) AS n_tokens,
+           CAST(len(t) - len(kept) AS BIGINT) AS n_removed,
+           md5(coalesce(array_to_string(kept, ' '), '')) AS cleaned_hash
+    FROM cleaned
+    ORDER BY doc_id
+    """,
+    doc="K2e exact-substring dedup as a CLEANING operator (Lee et al. "
+    "2022): tokens covered by a cross-doc duplicated 8-gram are removed "
+    "everywhere except the gram's canonical (min-doc-id) owner, so each "
+    "duplicated span survives exactly once; cleaned text verified by "
+    "md5 without moving it",
+)
+def docs_remove_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from time_series_spark_spark.operators.llm import remove_dup_spans
+
+    return remove_dup_spans(load(spark, sf_dir, "documents"), w=8).orderBy(
+        "doc_id"
+    )
+
+
+@register(
     "docs_repetition_stats",
     r"""
     WITH per_doc AS (
