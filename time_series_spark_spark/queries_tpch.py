@@ -224,6 +224,92 @@ def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q8_national_market_share",
+    """
+    WITH vols AS (
+        SELECT CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
+               l.l_extendedprice * (1 - l.l_discount) AS volume,
+               n2.n_name AS supp_nation
+        FROM lineitem l
+        JOIN part p     ON p.p_partkey = l.l_partkey
+        JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        JOIN orders o   ON o.o_orderkey = l.l_orderkey
+        JOIN customer c ON c.c_custkey = o.o_custkey
+        JOIN nation n1  ON n1.n_nationkey = c.c_nationkey
+        JOIN region r   ON r.r_regionkey = n1.n_regionkey
+        JOIN nation n2  ON n2.n_nationkey = s.s_nationkey
+        WHERE r.r_name = 'EUROPE'
+          AND p.p_type = 'ECONOMY'
+          AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o.o_orderdate <  TIMESTAMP '1998-01-01'
+    ),
+    by_year AS (
+        SELECT o_year,
+               round(sum(CASE WHEN supp_nation = 'NATION_3'
+                              THEN volume ELSE 0 END), 2) AS nation_volume,
+               round(sum(volume), 2) AS total_volume
+        FROM vols GROUP BY o_year
+    )
+    SELECT o_year, nation_volume, total_volume,
+           round(nation_volume / total_volume, 6) AS mkt_share
+    FROM by_year ORDER BY o_year
+    """,
+    doc="TPC-H Q8 (adapted to the corpus' synthetic names/types): market "
+    "share of NATION_3 suppliers inside EUROPE's ECONOMY-part market by "
+    "order year. Five dims all broadcast; customer-side nation joins "
+    "region to prune the market BEFORE the orders shuffle; the share "
+    "divides the two identically-rounded sums so both engines agree "
+    "digit-for-digit.",
+)
+def q8_national_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    part = load(spark, sf_dir, "part").filter(F.col("p_type") == "ECONOMY")
+    supp = load(spark, sf_dir, "supplier")
+    orders = load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01")
+        & (F.col("o_orderdate") < "1998-01-01")
+    )
+    cust = load(spark, sf_dir, "customer")
+    nation = load(spark, sf_dir, "nation")
+    region = load(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    n1 = nation.join(
+        F.broadcast(region), nation.n_regionkey == region.r_regionkey
+    ).select(F.col("n_nationkey").alias("n1_key"))
+    n2 = nation.select(
+        F.col("n_nationkey").alias("n2_key"),
+        F.col("n_name").alias("supp_nation"),
+    )
+    vols = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(n1), F.col("c_nationkey") == F.col("n1_key"))
+        .join(F.broadcast(n2), F.col("s_nationkey") == F.col("n2_key"))
+    )
+    by_year = vols.groupBy(
+        F.year("o_orderdate").cast("long").alias("o_year")
+    ).agg(
+        F.round(
+            F.sum(
+                F.when(F.col("supp_nation") == "NATION_3", _revenue()).otherwise(
+                    0.0
+                )
+            ),
+            2,
+        ).alias("nation_volume"),
+        F.round(F.sum(_revenue()), 2).alias("total_volume"),
+    )
+    return (
+        by_year.withColumn(
+            "mkt_share",
+            F.round(F.col("nation_volume") / F.col("total_volume"), 6),
+        )
+        .orderBy("o_year")
+    )
+
+
+@register(
     "q9_product_profit",
     """
     SELECT nation, o_year, round(sum(amount), 2) AS profit
