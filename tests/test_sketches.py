@@ -203,3 +203,56 @@ def test_mg_heavy_hitters_bounds_contain_truth_under_pressure(spark):
     for t in heavy:
         if truth[t] > d_total:
             assert t in reported
+
+
+def test_cm_sketch_bounds_and_merge_law(spark):
+    """Count-Min guarantees: (1) estimates never undercount; (2) the
+    overcount of every probe stays within the ε·N bound at 3× slack
+    (ε = e/w; the probability of exceeding it even once across 60
+    probes at d=5 is ~60·e⁻⁵ ≈ 0.4 — 3× slack makes the test
+    deterministic in practice with the fixed seed); (3) sketching a
+    union ≡ cell-wise merging the parts' sketches, exactly."""
+    import math
+
+    import numpy as np
+
+    from time_series_spark_spark.operators.sketches import (
+        cm_estimate,
+        cm_merge,
+        cm_partials,
+    )
+
+    w, d = 512, 5
+    rng = np.random.default_rng(5)
+    zipf = np.clip(rng.zipf(1.3, size=30000), 1, 10000)
+    rows = [(int(v),) for v in zipf]
+    df = spark.createDataFrame(rows, "item long").repartition(4)
+    n = len(rows)
+    truth = {r.item: r["count"] for r in df.groupBy("item").count().collect()}
+
+    sketch = cm_partials(df, F.col("item"), w=w, d=d).cache()
+    assert sketch.count() <= w * d  # bounded regardless of input size
+
+    queries = spark.createDataFrame(
+        [(k,) for k in sorted(truth)[:60]], "item long"
+    )
+    est = {
+        r.item: r.est_cnt
+        for r in cm_estimate(
+            queries, sketch, F.col("item"), ["item"], w=w, d=d
+        ).collect()
+    }
+    eps_n = math.e / w * n
+    for k, e in est.items():
+        assert e >= truth[k], f"undercount for {k}"
+        assert e <= truth[k] + 3 * eps_n, f"overcount blowout for {k}"
+
+    half_a = spark.createDataFrame(rows[: n // 2], "item long")
+    half_b = spark.createDataFrame(rows[n // 2 :], "item long")
+    merged = cm_merge(
+        cm_partials(half_a, F.col("item"), w=w, d=d),
+        cm_partials(half_b, F.col("item"), w=w, d=d),
+    )
+    direct = {(r.r, r.c): r.cnt for r in sketch.collect()}
+    via_merge = {(r.r, r.c): r.cnt for r in merged.collect()}
+    assert direct == via_merge

@@ -261,3 +261,95 @@ def mg_heavy_hitters(
         .orderBy(F.desc("cnt_upper"), "item")
         .limit(k)
     )
+
+
+# --------------------------------------------------------------------------
+# Count-Min: mergeable frequency estimation (point queries with ε/δ bounds)
+# --------------------------------------------------------------------------
+def cm_partials(
+    df: DataFrame,
+    key: Column,
+    weight: Column | None = None,
+    w: int = 2048,
+    d: int = 5,
+) -> DataFrame:
+    """Count-Min sketch (Cormode & Muthukrishnan 2005) over ``key`` as
+    ``(row, col, cnt)`` cell partials — mergeable frequency estimation,
+    the counting sibling of the Bloom membership filter above.
+
+    Each item increments one cell per hash row: ``(i, xxhash64(i, key)
+    mod w)``; the sketch is ≤ ``d·w`` rows REGARDLESS of input size and
+    merges across batches/shards by plain cell addition (one hash agg
+    with map-side combine — the explode never shuffles raw keys, only
+    bounded cells). Estimates never undercount; overcount ≤ (e/w)·N with
+    probability ≥ 1 − e^(−d) per probe.
+    """
+    wt = weight if weight is not None else F.lit(1).cast("long")
+    cells = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("r"),
+                F.pmod(F.xxhash64(F.lit(i), key), F.lit(w)).alias("c"),
+                wt.alias("wt"),
+            )
+            for i in range(d)
+        ]
+    )
+    return (
+        df.select(F.explode(cells).alias("cell"))
+        .select("cell.r", "cell.c", "cell.wt")
+        .groupBy("r", "c")
+        .agg(F.sum("wt").alias("cnt"))
+    )
+
+
+def cm_merge(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Merge two CM sketches with identical (w, d): cell-wise addition.
+    Associative and commutative, so shard/batch partials fold in any
+    order — the mergeable-summaries contract (Agarwal PODS'12)."""
+    return a.unionByName(b).groupBy("r", "c").agg(F.sum("cnt").alias("cnt"))
+
+
+def cm_estimate(
+    queries: DataFrame,
+    sketch: DataFrame,
+    key: Column,
+    out_cols: list[str],
+    w: int = 2048,
+    d: int = 5,
+) -> DataFrame:
+    """Point-estimate the frequency of each ``queries`` row's ``key``:
+    min over the d probed cells. Map-only on the query side — the sketch
+    collapses to ONE broadcast row holding ``map<r·w+c, cnt>`` (same
+    plan shape as the Bloom probe): scan → one-row broadcast join →
+    per-row ``least`` over d lookups. Missing cell ⇒ 0 (nothing hashed
+    there).
+
+    Returns ``queries[out_cols]`` + ``est_cnt`` (long, ≥ true count).
+    """
+    packed = sketch.agg(
+        F.map_from_entries(
+            F.collect_list(
+                F.struct(
+                    (F.col("r").cast("long") * w + F.col("c")).alias("k"),
+                    F.col("cnt").alias("v"),
+                )
+            )
+        ).alias("__cm")
+    )
+    probes = [
+        F.coalesce(
+            F.try_element_at(
+                F.col("__cm"),
+                (F.lit(i * w) + F.pmod(F.xxhash64(F.lit(i), key), F.lit(w))).cast(
+                    "long"
+                ),
+            ),
+            F.lit(0).cast("long"),
+        )
+        for i in range(d)
+    ]
+    return (
+        queries.join(F.broadcast(packed))
+        .select(*out_cols, F.least(*probes).alias("est_cnt"))
+    )

@@ -139,3 +139,27 @@ def docs_token_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     items = docs.select(F.explode(tokens()).alias("term"))
     return mg_heavy_hitters(items, "term", k=20, counters=4096)
+
+
+@register(
+    "events_cm_user_counts",
+    None,
+    doc="D20 Count-Min frequency estimation: one pass over events builds "
+    "a bounded d×w cell sketch (mergeable by cell addition); the probe "
+    "side estimates per-user event counts map-only against the ONE-row "
+    "broadcast sketch. Rows-only for the driver (cell layout is "
+    "xxhash-specific); never-undercount + ε·N bound + merge law pinned "
+    "in tests/test_sketches.py.",
+)
+def events_cm_user_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from time_series_spark_spark.operators.sketches import (
+        cm_estimate,
+        cm_partials,
+    )
+
+    ev = load(spark, sf_dir, "events")
+    sketch = cm_partials(ev, F.col("user_id"))
+    probes = ev.select("user_id").distinct().filter(F.col("user_id") < 20)
+    return cm_estimate(
+        probes, sketch, F.col("user_id"), ["user_id"]
+    ).orderBy("user_id")
