@@ -64,7 +64,7 @@ def test_forecast_linear_series_extrapolates(slope, intercept):
 # §5.4b as-of join ≡ pd.merge_asof on random irregular series
 # --------------------------------------------------------------------------
 @given(data=st.data())
-@settings(max_examples=8, deadline=None)
+@settings(max_examples=20, deadline=None)
 def test_asof_join_matches_merge_asof_random(spark, data):
     from time_series_spark_spark.operators.timeseries import asof_join
 
@@ -104,8 +104,21 @@ def test_asof_join_matches_merge_asof_random(spark, data):
         if n_right
         else spark.createDataFrame([], "key string, t timestamp, v double")
     )
+    direction = data.draw(
+        st.sampled_from(["backward", "forward", "nearest"])
+    )
+    tol = data.draw(st.sampled_from([None, 500.0, 5_000.0]))
     got = (
-        asof_join(left, right, "key", "t", "t", ["v"])
+        asof_join(
+            left,
+            right,
+            "key",
+            "t",
+            "t",
+            ["v"],
+            tolerance_seconds=tol,
+            direction=direction,
+        )
         .orderBy("key", "t")
         .toPandas()
     )
@@ -114,7 +127,8 @@ def test_asof_join_matches_merge_asof_random(spark, data):
         rp.sort_values("t"),
         on="t",
         by="key",
-        direction="backward",
+        direction=direction,
+        tolerance=None if tol is None else pd.Timedelta(seconds=tol),
     ).sort_values(["key", "t"]).reset_index(drop=True)
     assert got["key"].tolist() == exp["key"].tolist()
     assert got["t"].tolist() == exp["t"].tolist()

@@ -197,16 +197,26 @@ def asof_join(
     right_cols: list[str],
     tolerance_seconds: float | None = None,
     suffix: str = "_right",
+    direction: str = "backward",
 ) -> DataFrame:
-    """For each left row, attach the latest right row with
-    ``right.ts <= left.ts`` for the same key (ties: right row counts).
+    """For each left row, attach the matching right row for the same key:
+    ``direction='backward'`` (default) — the latest right with
+    ``right.ts <= left.ts``; ``'forward'`` — the earliest right with
+    ``right.ts >= left.ts``; ``'nearest'`` — whichever of the two is
+    closer in time (exact ties resolve backward, matching
+    ``pd.merge_asof``). Equal-timestamp right rows match in every
+    direction.
 
-    Strategy: tag both sides, union, single window pass carrying the last
-    non-null right values forward — one shuffle on ``key``, no join at all.
-    Non-matching left rows keep nulls (left-join semantics). This is the
-    scalable form of the operator: cost is a shuffle + sort regardless of
-    how many right rows precede each left row.
+    Strategy: tag both sides, union, window pass(es) carrying the
+    nearest right struct across the partition — ONE shuffle on ``key``,
+    no join at all ('nearest' adds a second in-partition sort, not a
+    second exchange). Non-matching left rows keep nulls (left-join
+    semantics). This is the scalable form of the operator: cost is a
+    shuffle + sort regardless of how many right rows surround each left
+    row.
     """
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError("direction must be backward | forward | nearest")
     rts = f"{right_ts}{suffix}" if right_ts == left_ts or right_ts in left.columns else right_ts
     out_right_cols = [f"{c}{suffix}" if c in left.columns else c for c in right_cols]
     # All right columns travel in ONE struct so the window fill can never
@@ -232,30 +242,51 @@ def asof_join(
         *[F.col(c) for c in left.columns if c not in (key,)],
     )
     merged = r.unionByName(l, allowMissingColumns=True)
-    # rights sort before lefts at equal ts so an equal-ts right row matches;
-    # among equal-ts right rows the struct itself is the deterministic
-    # tiebreaker (last in struct order wins — fixed regardless of shuffle
-    # nondeterminism).
-    w = (
+    # Backward: rights sort before lefts at equal ts so an equal-ts right
+    # matches; among equal-ts right rows the struct itself is the
+    # deterministic tiebreaker (fixed regardless of shuffle
+    # nondeterminism). Forward mirrors it: lefts first at equal ts so the
+    # equal-ts right sits inside the lookahead frame.
+    w_b = (
         Window.partitionBy(key)
         .orderBy(F.col("_ts"), F.col("_side"), F.col("_r"))
         .rowsBetween(Window.unboundedPreceding, 0)
     )
-    filled = merged.select(
-        "*", F.last("_r", ignorenulls=True).over(w).alias("_fr")
+    w_f = (
+        Window.partitionBy(key)
+        .orderBy(F.col("_ts"), F.col("_side").desc(), F.col("_r"))
+        .rowsBetween(0, Window.unboundedFollowing)
     )
+    fills = []
+    if direction in ("backward", "nearest"):
+        fills.append(F.last("_r", ignorenulls=True).over(w_b).alias("_frb"))
+    if direction in ("forward", "nearest"):
+        fills.append(F.first("_r", ignorenulls=True).over(w_f).alias("_frf"))
+    filled = merged.select("*", *fills)
     out = filled.filter(F.col("_side") == 1)
-    if tolerance_seconds is not None:
-        within = (
-            F.col("_ts").cast("double")
-            - F.col("_fr")[rts].cast("double")
-        ) <= F.lit(float(tolerance_seconds))
-        sel = [
-            F.when(within, F.col("_fr")[c]).alias(c)
-            for c in [rts, *out_right_cols]
-        ]
-    else:
-        sel = [F.col("_fr")[c].alias(c) for c in [rts, *out_right_cols]]
+
+    lts = F.col("_ts").cast("double")
+    tol = None if tolerance_seconds is None else F.lit(float(tolerance_seconds))
+
+    def _valid(fill: Column, delta: Column) -> Column:
+        ok = fill.isNotNull()
+        return ok & (delta <= tol) if tol is not None else ok
+
+    if direction == "backward":
+        d_b = lts - F.col("_frb")[rts].cast("double")
+        chosen = F.when(_valid(F.col("_frb"), d_b), F.col("_frb"))
+    elif direction == "forward":
+        d_f = F.col("_frf")[rts].cast("double") - lts
+        chosen = F.when(_valid(F.col("_frf"), d_f), F.col("_frf"))
+    else:  # nearest: closer side wins; exact tie -> backward (pandas)
+        d_b = lts - F.col("_frb")[rts].cast("double")
+        d_f = F.col("_frf")[rts].cast("double") - lts
+        ok_b = _valid(F.col("_frb"), d_b)
+        ok_f = _valid(F.col("_frf"), d_f)
+        chosen = F.when(
+            ok_b & (~ok_f | (d_b <= d_f)), F.col("_frb")
+        ).when(ok_f, F.col("_frf"))
+    sel = [chosen[c].alias(c) for c in [rts, *out_right_cols]]
     keep_left = [
         F.col(c) for c in left.columns if c != left_ts and c != key
     ]

@@ -474,6 +474,43 @@ def asof_purchase_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "asof_forward_next_view",
+    """
+    SELECT p.user_id, CAST(p.ts AS TIMESTAMP) AS ts, p.event_id, p.value,
+           CAST(v.ts AS TIMESTAMP) AS view_ts, v.value AS view_value
+    FROM (SELECT user_id, ts, event_id, value FROM events
+          WHERE event_type = 'purchase') p
+    ASOF LEFT JOIN (SELECT user_id, ts, value FROM events
+                    WHERE event_type = 'view') v
+      ON p.user_id = v.user_id AND v.ts >= p.ts
+    """,
+    doc="C9 as-of join, FORWARD direction (round 3): earliest view "
+    "at-or-after each purchase per user — same union+window single-"
+    "shuffle strategy with the lookahead frame; DuckDB native ASOF "
+    "JOIN (>=) as oracle",
+)
+def asof_forward_next_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    views = ev.filter(F.col("event_type") == "view").select(
+        "user_id", "ts", "value"
+    )
+    out = asof_join(
+        purchases, views, "user_id", "ts", "ts", ["value"], direction="forward"
+    )
+    return out.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "value",
+        F.col("ts_right").alias("view_ts"),
+        F.col("value_right").alias("view_value"),
+    )
+
+
 # --------------------------------------------------------------------------
 # C8 range join (trailing window)
 # --------------------------------------------------------------------------
