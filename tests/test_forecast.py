@@ -173,3 +173,39 @@ def test_seasonal_amplitude_recovered(a_weekly, a_yearly, phase_w, phase_y, sigm
     got_y = fitted_amplitude(365.25)
     assert abs(got_w - a_weekly) <= tol(a_weekly), (got_w, a_weekly)
     assert abs(got_y - a_yearly) <= tol(a_yearly), (got_y, a_yearly)
+
+
+def test_holiday_effect_recovered_out_of_sample():
+    """Prophet-style holiday regressor: a planted +40 spike on listed
+    dates is learned and applied to a FUTURE listed date; without the
+    regressor the same spike is missed (it sits off the seasonal grid).
+    Guards the indicator block and its ridge weight."""
+    rng = np.random.default_rng(9)
+    n = 400
+    ds = _dates(n)
+    days = ds.astype("datetime64[D]")
+    # irregular "promo" days in-sample + one in the forecast window
+    promo_train = [str(days[i]) for i in (30, 95, 160, 230, 300, 370)]
+    promo_future = str((ds[-1] + np.timedelta64(10, "D")).astype("datetime64[D]"))
+    promos = promo_train + [promo_future]
+    y = 100 + rng.normal(0, 1.5, n)
+    for p in promo_train:
+        y[days == np.datetime64(p)] += 40.0
+
+    with_hol = fit_forecast_series(
+        ds, y, horizon=20, holidays={"promo": promos}
+    )
+    without = fit_forecast_series(ds, y, horizon=20)
+    fut_days = with_hol["ds"].to_numpy().astype("datetime64[D]")
+    on = fut_days == np.datetime64(promo_future)
+    assert on.sum() == 1
+    spike_with = float(with_hol["yhat"].to_numpy()[on][0])
+    spike_without = float(without["yhat"].to_numpy()[on][0])
+    base = float(np.median(with_hol["yhat"].to_numpy()[~on]))
+    assert abs(spike_with - (base + 40.0)) < 8.0
+    assert abs(spike_without - base) < 8.0  # no regressor -> no spike
+    # non-promo future days unaffected by adding the regressor
+    off_diff = np.abs(
+        with_hol["yhat"].to_numpy()[~on] - without["yhat"].to_numpy()[~on]
+    )
+    assert float(off_diff.max()) < 3.0

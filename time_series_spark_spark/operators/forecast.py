@@ -52,12 +52,22 @@ def fit_forecast_series(
     ridge_seasonal: float = 0.1,
     interval_quantiles: tuple[float, float] = (0.05, 0.95),
     interval_widening: float = 0.3,
+    holidays: dict[str, list] | None = None,
+    ridge_holiday: float = 0.01,
 ) -> pd.DataFrame:
     """Fit one series and forecast ``horizon`` future steps.
 
     Returns a pandas frame ``(ds, yhat, yhat_lower, yhat_upper)`` with
     exactly ``horizon`` rows starting one ``freq_days`` step after the last
     observation. Deterministic: no RNG anywhere.
+
+    ``holidays`` maps a holiday name to its list of dates (anything
+    ``np.datetime64`` accepts); each name contributes one indicator
+    regressor active on exactly those calendar days — the Prophet holiday
+    term (Taylor & Letham 2017 §3.2) with zero-width windows, fit jointly
+    with trend and seasonality under a loose ridge (``ridge_holiday``).
+    Effects apply to training AND future dates, so a forecast spanning a
+    listed date carries the learned spike.
     """
     order = np.argsort(ds)
     ds, y = np.asarray(ds)[order], np.asarray(y, dtype=float)[order]
@@ -103,7 +113,12 @@ def fit_forecast_series(
     yearly = yearly_order if t_days[-1] >= 365 else 0
     weekly = weekly_order if t_days[-1] >= 14 else 0
 
-    def design(td: np.ndarray) -> np.ndarray:
+    hol_names = sorted(holidays) if holidays else []
+    hol_days = [
+        np.asarray(holidays[h], dtype="datetime64[D]") for h in hol_names
+    ]
+
+    def design(td: np.ndarray, dates: np.ndarray) -> np.ndarray:
         tt = td / span
         cols = [np.ones_like(tt), tt]
         if n_cp > 0:
@@ -111,9 +126,16 @@ def fit_forecast_series(
         blocks = [np.column_stack(cols) if len(cols) > 1 else cols[0][:, None]]
         blocks.append(_fourier(td, 7.0, weekly))
         blocks.append(_fourier(td, 365.25, yearly))
+        if hol_names:
+            days = dates.astype("datetime64[D]")
+            blocks.append(
+                np.column_stack(
+                    [np.isin(days, hd).astype(float) for hd in hol_days]
+                )
+            )
         return np.hstack([b for b in blocks if b.size or b.shape[1] == 0])
 
-    X = design(t_days)
+    X = design(t_days, ds)
     y_scale = max(float(np.max(np.abs(y))), 1e-9)
     ys = y / y_scale
 
@@ -123,6 +145,7 @@ def fit_forecast_series(
             np.full(n_cp, ridge_changepoint),   # changepoint deltas (≈ Laplace MAP)
             np.full(2 * weekly, ridge_seasonal),
             np.full(2 * yearly, ridge_seasonal),
+            np.full(len(hol_names), ridge_holiday),
         ]
     )
     A = X.T @ X + np.diag(penalties)
@@ -133,7 +156,7 @@ def fit_forecast_series(
     q_hi = max(float(np.quantile(resid, interval_quantiles[1])), 0.0)
 
     future_t_days = (future_ds - t0) / np.timedelta64(1, "D")
-    yhat = design(future_t_days) @ beta * y_scale
+    yhat = design(future_t_days, future_ds) @ beta * y_scale
     widen = 1.0 + interval_widening * np.arange(1, horizon + 1) / max(horizon, 1)
     return pd.DataFrame(
         {
