@@ -209,3 +209,36 @@ def test_holiday_effect_recovered_out_of_sample():
         with_hol["yhat"].to_numpy()[~on] - without["yhat"].to_numpy()[~on]
     )
     assert float(off_diff.max()) < 3.0
+
+
+def test_multiplicative_mode_scales_seasonality_with_trend():
+    """On a series whose weekly amplitude grows proportionally to the
+    trend level, multiplicative mode must beat additive out-of-sample
+    and track the level-scaled amplitude; it must also reject
+    non-positive data loudly."""
+    rng = np.random.default_rng(2)
+    n, horizon = 400, 28
+    t = np.arange(n + horizon, dtype=float)
+    level = 50.0 * np.exp(0.002 * t)  # gentle exponential growth
+    season = 1.0 + 0.3 * np.sin(2 * np.pi * t / 7.0)
+    noise = np.exp(rng.normal(0, 0.01, n + horizon))
+    y_all = level * season * noise
+    ds_all = _dates(n + horizon)
+
+    mult = fit_forecast_series(
+        ds_all[:n], y_all[:n], horizon=horizon,
+        seasonality_mode="multiplicative",
+    )
+    addi = fit_forecast_series(ds_all[:n], y_all[:n], horizon=horizon)
+    actual = y_all[n:]
+    err_mult = np.abs(mult["yhat"].to_numpy() - actual).mean()
+    err_addi = np.abs(addi["yhat"].to_numpy() - actual).mean()
+    assert err_mult < err_addi
+    assert err_mult / actual.mean() < 0.05  # within 5% MAPE
+    assert (mult["yhat_lower"].to_numpy() > 0).all()  # positivity preserved
+
+    with pytest.raises(ValueError, match="multiplicative"):
+        fit_forecast_series(
+            _dates(10), np.array([1.0] * 9 + [0.0]), horizon=5,
+            seasonality_mode="multiplicative",
+        )

@@ -54,6 +54,7 @@ def fit_forecast_series(
     interval_widening: float = 0.3,
     holidays: dict[str, list] | None = None,
     ridge_holiday: float = 0.01,
+    seasonality_mode: str = "additive",
 ) -> pd.DataFrame:
     """Fit one series and forecast ``horizon`` future steps.
 
@@ -68,11 +69,33 @@ def fit_forecast_series(
     with trend and seasonality under a loose ridge (``ridge_holiday``).
     Effects apply to training AND future dates, so a forecast spanning a
     listed date carries the learned spike.
+
+    ``seasonality_mode='multiplicative'`` fits the same additive model on
+    ``log y`` and exponentiates predictions and intervals — seasonal/
+    holiday effects then scale WITH the trend level (Prophet's
+    multiplicative mode via the standard log-link reduction). Requires
+    strictly positive observations.
     """
+    if seasonality_mode not in ("additive", "multiplicative"):
+        raise ValueError("seasonality_mode must be additive | multiplicative")
+    multiplicative = seasonality_mode == "multiplicative"
     order = np.argsort(ds)
     ds, y = np.asarray(ds)[order], np.asarray(y, dtype=float)[order]
     keep = ~np.isnan(y)
     ds, y = ds[keep], y[keep]
+    if multiplicative:
+        if len(y) and np.min(y) <= 0:
+            raise ValueError(
+                "multiplicative seasonality requires y > 0 everywhere"
+            )
+        y = np.log(y)
+
+    def _delink(out: pd.DataFrame) -> pd.DataFrame:
+        if multiplicative:
+            for c in ("yhat", "yhat_lower", "yhat_upper"):
+                out[c] = np.exp(out[c])
+        return out
+
     n = len(y)
 
     step = np.timedelta64(int(freq_days * 86400 * 1_000_000), "us")
@@ -87,13 +110,15 @@ def fit_forecast_series(
     if n < 5:  # too short for trend/seasonality — constant fallback
         level = float(np.mean(y))
         spread = float(np.max(np.abs(y - level))) if n > 1 else 0.0
-        return pd.DataFrame(
-            {
-                "ds": future_ds,
-                "yhat": np.full(horizon, level),
-                "yhat_lower": np.full(horizon, level - spread),
-                "yhat_upper": np.full(horizon, level + spread),
-            }
+        return _delink(
+            pd.DataFrame(
+                {
+                    "ds": future_ds,
+                    "yhat": np.full(horizon, level),
+                    "yhat_lower": np.full(horizon, level - spread),
+                    "yhat_upper": np.full(horizon, level + spread),
+                }
+            )
         )
 
     t0 = np.datetime64(ds[0], "us")
@@ -158,13 +183,15 @@ def fit_forecast_series(
     future_t_days = (future_ds - t0) / np.timedelta64(1, "D")
     yhat = design(future_t_days, future_ds) @ beta * y_scale
     widen = 1.0 + interval_widening * np.arange(1, horizon + 1) / max(horizon, 1)
-    return pd.DataFrame(
-        {
-            "ds": future_ds,
-            "yhat": yhat,
-            "yhat_lower": yhat + q_lo * widen,
-            "yhat_upper": yhat + q_hi * widen,
-        }
+    return _delink(
+        pd.DataFrame(
+            {
+                "ds": future_ds,
+                "yhat": yhat,
+                "yhat_lower": yhat + q_lo * widen,
+                "yhat_upper": yhat + q_hi * widen,
+            }
+        )
     )
 
 
