@@ -256,3 +256,47 @@ def test_trailing_distinct_matches_bruteforce(spark):
                 want[(et, d)] = len(users)
     assert got == want
     assert max(d for _, d in got) <= max(days)  # no phantom trailing days
+
+
+def test_asof_join_nearest_tie_and_tolerance(spark):
+    """Deterministic pin of the nearest-direction corner cases: exact
+    equidistance resolves BACKWARD (pd.merge_asof semantics), an
+    equal-timestamp right matches in every direction, and tolerance
+    prunes each side independently."""
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1)
+
+    def ts(s):
+        return base + dt.timedelta(seconds=s)
+
+    left = spark.createDataFrame(
+        [(1, ts(100)), (1, ts(200)), (1, ts(300)), (2, ts(50))],
+        "key int, t timestamp",
+    )
+    right = spark.createDataFrame(
+        # key 1: rights at 90 and 110 (left 100 equidistant -> backward=90);
+        # right exactly at 200; nothing within 1000 of key 2's left
+        [(1, ts(90), 90.0), (1, ts(110), 110.0), (1, ts(200), 200.0),
+         (2, ts(5000), 5000.0)],
+        "key int, t timestamp, v double",
+    )
+    got = {
+        (r.key, r.t): r.v
+        for r in asof_join(
+            left, right, "key", "t", "t", ["v"], direction="nearest"
+        ).collect()
+    }
+    assert got[(1, ts(100))] == 90.0   # equidistant -> backward wins
+    assert got[(1, ts(200))] == 200.0  # equal ts matches
+    assert got[(1, ts(300))] == 200.0  # nearest is behind
+    assert got[(2, ts(50))] == 5000.0  # only a far-forward right exists
+    with_tol = {
+        (r.key, r.t): r.v
+        for r in asof_join(
+            left, right, "key", "t", "t", ["v"],
+            direction="nearest", tolerance_seconds=150.0,
+        ).collect()
+    }
+    assert with_tol[(2, ts(50))] is None  # 4950s away > tolerance
+    assert with_tol[(1, ts(100))] == 90.0
