@@ -241,3 +241,81 @@ def test_coalesce_intervals_merges_overlaps_and_touching(spark):
         (2, 0.0, 1.0, 1),
         (2, 2.0, 3.0, 1),
     ]
+
+
+# --------------------------------------------------------------------------
+# Hypothesis: coalesce_intervals ≡ brute-force interval merge
+# --------------------------------------------------------------------------
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@given(data=st.data())
+@settings(max_examples=10, deadline=None)
+def test_coalesce_intervals_matches_bruteforce(spark, data):
+    from time_series_spark_spark.operators.analytics import coalesce_intervals
+
+    n = data.draw(st.integers(1, 25))
+    rows = []
+    for i in range(n):
+        k = data.draw(st.sampled_from(["a", "b"]))
+        s = data.draw(st.integers(0, 200))
+        e = s + data.draw(st.integers(1, 40))
+        rows.append((k, float(s), float(e), i))
+    df = spark.createDataFrame(
+        rows, "key string, s double, e double, id long"
+    )
+    got = {
+        (r.key, r.period_start, r.period_end, r.n_intervals)
+        for r in coalesce_intervals(df, ["key"], "s", "e", "id").collect()
+    }
+
+    expected = set()
+    for k in {r[0] for r in rows}:
+        ivs = sorted((r[1], r[2]) for r in rows if r[0] == k)
+        cur_s, cur_e, cnt = ivs[0][0], ivs[0][1], 1
+        for s, e in ivs[1:]:
+            if s <= cur_e:  # overlap or touch -> same period
+                cur_e = max(cur_e, e)
+                cnt += 1
+            else:
+                expected.add((k, cur_s, cur_e, cnt))
+                cur_s, cur_e, cnt = s, e, 1
+        expected.add((k, cur_s, cur_e, cnt))
+    assert got == expected
+
+
+@given(data=st.data())
+@settings(max_examples=10, deadline=None)
+def test_counter_increase_matches_simulation(spark, data):
+    from time_series_spark_spark.operators.analytics import counter_increase
+
+    n = data.draw(st.integers(2, 30))
+    base = dt.datetime(2024, 3, 1)
+    # one key, one day: cumulative counter with random resets
+    vals, cur = [], 0.0
+    for _ in range(n):
+        if data.draw(st.booleans()) and cur > 0:
+            cur = 0.0  # reset
+        cur += data.draw(st.integers(0, 50)) / 100.0
+        vals.append(round(cur, 2))
+    rows = [
+        ("k", base + dt.timedelta(minutes=i), v, i)
+        for i, v in enumerate(vals)
+    ]
+    df = spark.createDataFrame(
+        rows, "key string, ts timestamp, value double, event_id long"
+    )
+    got = counter_increase(df, "ts", "value", ["key"]).collect()
+    assert len(got) == 1
+    cents = [round(v * 100) for v in vals]
+    exp_inc = 0
+    exp_resets = 0
+    for prev, cur_ in zip(cents, cents[1:]):
+        if cur_ >= prev:
+            exp_inc += cur_ - prev
+        else:
+            exp_resets += 1
+            exp_inc += cur_
+    assert round(got[0].total_increase * 100) == exp_inc
+    assert got[0].n_resets == exp_resets
