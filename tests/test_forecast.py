@@ -242,3 +242,24 @@ def test_multiplicative_mode_scales_seasonality_with_trend():
             _dates(10), np.array([1.0] * 9 + [0.0]), horizon=5,
             seasonality_mode="multiplicative",
         )
+
+
+def test_multi_rhs_cohort_matches_scalar_path():
+    """fit_forecast_multi (one factorized solve for a same-grid cohort)
+    must reproduce fit_forecast_series per column to fp noise — it is a
+    pure factorization-reuse optimization, not a model change."""
+    from time_series_spark_spark.operators.forecast import fit_forecast_multi
+
+    rng = np.random.default_rng(3)
+    n, m = 250, 7
+    ds = _dates(n)
+    Y = 50 + np.cumsum(rng.normal(0, 2, (n, m)), axis=0)
+    Y = np.abs(Y) + 1.0
+    multi = fit_forecast_multi(ds, Y, horizon=15)
+    for j in range(m):
+        single = fit_forecast_series(ds, Y[:, j], horizon=15)
+        for c in ("yhat", "yhat_lower", "yhat_upper"):
+            np.testing.assert_allclose(
+                multi[j][c].to_numpy(), single[c].to_numpy(),
+                rtol=1e-8, atol=1e-8,
+            )

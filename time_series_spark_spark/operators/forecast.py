@@ -195,6 +195,129 @@ def fit_forecast_series(
     )
 
 
+def fit_forecast_multi(
+    ds: np.ndarray,
+    Y: np.ndarray,
+    horizon: int,
+    freq_days: float = 1.0,
+    n_changepoints: int = 15,
+    changepoint_range: float = 0.8,
+    weekly_order: int = 3,
+    yearly_order: int = 10,
+    ridge_changepoint: float = 1.0,
+    ridge_seasonal: float = 0.1,
+    interval_quantiles: tuple[float, float] = (0.05, 0.95),
+    interval_widening: float = 0.3,
+    holidays: dict[str, list] | None = None,
+    ridge_holiday: float = 0.01,
+    seasonality_mode: str = "additive",
+) -> list[pd.DataFrame]:
+    """Fit MANY series that share one observation grid with ONE factorized
+    solve: the ridge normal matrix ``XᵀX + diag(λ)`` depends only on the
+    grid, so m same-grid series reduce to a single multi-right-hand-side
+    ``solve(A, XᵀY)`` — the LAPACK factorization is paid once instead of
+    m times. Numerically identical to calling
+    :func:`fit_forecast_series` per column (same LU, same order of
+    operations per RHS); the packed executor batch routes same-grid
+    cohorts here and ragged/NaN/short series to the scalar path.
+
+    ``ds`` must be sorted and NaN-free in every column of ``Y``
+    (callers guarantee it); ``Y`` has one column per series. Returns one
+    ``(ds, yhat, yhat_lower, yhat_upper)`` frame per column.
+    """
+    n, m = Y.shape
+    assert len(ds) == n and n >= 5
+    multiplicative = seasonality_mode == "multiplicative"
+    if multiplicative:
+        if np.min(Y) <= 0:
+            raise ValueError(
+                "multiplicative seasonality requires y > 0 everywhere"
+            )
+        Y = np.log(Y)
+
+    step = np.timedelta64(int(freq_days * 86400 * 1_000_000), "us")
+    last = np.datetime64(ds[-1], "us")
+    future_ds = last + step * np.arange(1, horizon + 1)
+
+    t0 = np.datetime64(ds[0], "us")
+    t_days = (ds.astype("datetime64[us]") - t0) / np.timedelta64(1, "D")
+    span = max(t_days[-1], 1.0)
+    t = t_days / span
+    n_cp = min(n_changepoints, max(n // 3 - 1, 0))
+    if n_cp > 0:
+        cps = np.quantile(
+            t[: max(int(changepoint_range * n), 2)],
+            np.linspace(0, 1, n_cp + 2)[1:-1],
+        )
+    else:
+        cps = np.empty(0)
+    yearly = yearly_order if t_days[-1] >= 365 else 0
+    weekly = weekly_order if t_days[-1] >= 14 else 0
+    hol_names = sorted(holidays) if holidays else []
+    hol_days = [
+        np.asarray(holidays[h], dtype="datetime64[D]") for h in hol_names
+    ]
+
+    def design(td: np.ndarray, dates: np.ndarray) -> np.ndarray:
+        tt = td / span
+        cols = [np.ones_like(tt), tt]
+        if n_cp > 0:
+            cols.append(np.maximum(tt[:, None] - cps[None, :], 0.0))
+        blocks = [np.column_stack(cols) if len(cols) > 1 else cols[0][:, None]]
+        blocks.append(_fourier(td, 7.0, weekly))
+        blocks.append(_fourier(td, 365.25, yearly))
+        if hol_names:
+            days = dates.astype("datetime64[D]")
+            blocks.append(
+                np.column_stack(
+                    [np.isin(days, hd).astype(float) for hd in hol_days]
+                )
+            )
+        return np.hstack([b for b in blocks if b.size or b.shape[1] == 0])
+
+    X = design(t_days, ds)
+    y_scales = np.maximum(np.max(np.abs(Y), axis=0), 1e-9)
+    Ys = Y / y_scales
+    penalties = np.concatenate(
+        [
+            [1e-8, 1e-8],
+            np.full(n_cp, ridge_changepoint),
+            np.full(2 * weekly, ridge_seasonal),
+            np.full(2 * yearly, ridge_seasonal),
+            np.full(len(hol_names), ridge_holiday),
+        ]
+    )
+    A = X.T @ X + np.diag(penalties)
+    B = np.linalg.solve(A, X.T @ Ys)  # ONE factorization, m RHS
+
+    resid = (Ys - X @ B) * y_scales  # (n, m)
+    q_lo = np.minimum(
+        np.quantile(resid, interval_quantiles[0], axis=0), 0.0
+    )
+    q_hi = np.maximum(
+        np.quantile(resid, interval_quantiles[1], axis=0), 0.0
+    )
+
+    future_t_days = (future_ds - t0) / np.timedelta64(1, "D")
+    YH = design(future_t_days, future_ds) @ B * y_scales  # (horizon, m)
+    widen = 1.0 + interval_widening * np.arange(1, horizon + 1) / max(horizon, 1)
+    outs = []
+    for j in range(m):
+        out = pd.DataFrame(
+            {
+                "ds": future_ds,
+                "yhat": YH[:, j],
+                "yhat_lower": YH[:, j] + q_lo[j] * widen,
+                "yhat_upper": YH[:, j] + q_hi[j] * widen,
+            }
+        )
+        if multiplicative:
+            for c in ("yhat", "yhat_lower", "yhat_upper"):
+                out[c] = np.exp(out[c])
+        outs.append(out)
+    return outs
+
+
 def forecast(
     df: DataFrame,
     keys: list[str],
@@ -221,23 +344,45 @@ def forecast(
 
     def _fit_batch(pdf: pd.DataFrame) -> pd.DataFrame:
         # Packed batch: many complete series per invocation (see
-        # operators/packed.py) — the per-series numpy fit is the cost,
-        # not the dispatch. Explicit loop over groups; per-series frames
-        # are tiny so groupby overhead is pandas-level, not Spark-level.
+        # operators/packed.py). Series sharing an identical observation
+        # grid (the overwhelmingly common case for aggregated daily
+        # series) are fit as ONE multi-RHS solve (fit_forecast_multi);
+        # ragged, NaN-bearing, or short series fall back to the scalar
+        # path. Both produce identical numbers.
         outs = []
+        cohorts: dict[bytes, list] = {}
         for kv, g in pdf.groupby(keys, sort=False):
-            out = fit_forecast_series(
-                g[ds_col].to_numpy(),
-                g[y_col].to_numpy(),
-                horizon,
-                freq_days,
-                **fit_kwargs,
-            )
             if not isinstance(kv, tuple):
                 kv = (kv,)
-            for k, v in zip(keys, kv):
-                out[k] = v
-            outs.append(out[[*keys, "ds", "yhat", "yhat_lower", "yhat_upper"]])
+            ds_arr = g[ds_col].to_numpy()
+            y_arr = g[y_col].to_numpy(dtype=float)
+            order = np.argsort(ds_arr)
+            ds_arr, y_arr = ds_arr[order], y_arr[order]
+            if len(y_arr) >= 5 and not np.isnan(y_arr).any():
+                cohorts.setdefault(ds_arr.tobytes(), []).append(
+                    (kv, ds_arr, y_arr)
+                )
+            else:
+                out = fit_forecast_series(
+                    ds_arr, y_arr, horizon, freq_days, **fit_kwargs
+                )
+                for k, v in zip(keys, kv):
+                    out[k] = v
+                outs.append(
+                    out[[*keys, "ds", "yhat", "yhat_lower", "yhat_upper"]]
+                )
+        for members in cohorts.values():
+            ds_arr = members[0][1]
+            Y = np.column_stack([y for _, _, y in members])
+            fitted = fit_forecast_multi(
+                ds_arr, Y, horizon, freq_days, **fit_kwargs
+            )
+            for (kv, _, _), out in zip(members, fitted):
+                for k, v in zip(keys, kv):
+                    out[k] = v
+                outs.append(
+                    out[[*keys, "ds", "yhat", "yhat_lower", "yhat_upper"]]
+                )
         return pd.concat(outs, ignore_index=True)
 
     # project early: the UDF is a pushdown barrier (SURVEY.md §4.3)
