@@ -587,13 +587,18 @@ def lttb(
         return chosen
 
     def _apply(pdf: pd.DataFrame) -> pd.DataFrame:
-        outs = []
+        # one positional take for the whole packed batch instead of a
+        # per-series iloc+concat (thousands of tiny frames otherwise)
+        take: list[np.ndarray] = []
         for _, g in pdf.groupby(keys, sort=False):
             idx = _lttb_one(
                 g["__t"].to_numpy(np.float64), g["__v"].to_numpy(np.float64)
             )
-            outs.append(g.iloc[idx])
-        return pd.concat(outs, ignore_index=True)
+            base_pos = pdf.index.get_indexer(g.index)
+            take.append(base_pos[idx])
+        if not take:
+            return pdf.iloc[:0]
+        return pdf.iloc[np.concatenate(take)].reset_index(drop=True)
 
     key_schema = ", ".join(
         f"{f.name} {f.dataType.simpleString()}"
