@@ -578,3 +578,31 @@ def test_remove_dup_spans_planted_duplicate(spark):
     assert out[2]["cleaned_hash"] == h("head1 head2 tail9")
     assert out[3]["n_removed"] == 0
     assert out[4]["n_removed"] == 0 and out[4]["n_tokens"] == 2
+
+
+def test_lm_perplexity_separates_gibberish(spark, docs):
+    """The char-trigram LM must rank in-distribution text far below
+    random-character gibberish — the discriminative property the CCNet
+    quality filter rests on."""
+    from time_series_spark_spark.operators.llm import char_ngram_lm_scores
+
+    import random
+
+    rng = random.Random(4)
+    alphabet = "abcdefghijklmnopqrstuvwxyz "
+    gibberish = "".join(rng.choice(alphabet) for _ in range(400))
+    # in-distribution probe: words drawn from the corpus' own vocabulary
+    vocab = [
+        w
+        for (t,) in docs.select("text").limit(20).collect()
+        for w in t.split()
+    ]
+    natural = " ".join(rng.choice(vocab) for _ in range(80))
+    probe = spark.createDataFrame(
+        [(900001, natural), (900002, gibberish)], "doc_id long, text string"
+    )
+    out = {
+        r["doc_id"]: r["ppl"]
+        for r in char_ngram_lm_scores(probe, docs).collect()
+    }
+    assert out[900001] * 2 < out[900002], out

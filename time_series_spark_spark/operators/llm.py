@@ -1053,6 +1053,87 @@ def dup_span_stats(
     )
 
 
+def char_ngram_lm_scores(
+    df: DataFrame,
+    train: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    k: float = 0.5,
+    carry_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Language-model quality score per document: mean log-probability
+    (and perplexity) under an add-k-smoothed character ``n``-gram model
+    trained on ``train`` — the CCNet-style LM quality filter (Wenzek et
+    al., LREC 2020 rank web text by LM perplexity; a char-ngram model
+    stands in for KenLM, which is unavailable and non-distributable).
+
+    ``P(c_i | ctx) = (C(ctx·c_i) + k) / (C(ctx) + k·V)`` with V the
+    trained character-vocabulary size; ``ppl = exp(−mean log P)``. Docs
+    shorter than ``n`` chars get NULL scores (no prediction positions).
+
+    Scale shape: the model is two count tables bounded by charset^n
+    (NOT corpus size) built by one hash agg each over the train slice;
+    scoring explodes the corpus into char n-grams and broadcast-joins
+    the count tables, so the corpus shuffles only its per-doc partial
+    sums (one hash agg keyed ``id_col``). Everything is codegen; the
+    only Python is this function body.
+    """
+    def grams(frame: DataFrame, width: int, out: str, *extra: str) -> DataFrame:
+        # positions 1..len-width+1, substring in codegen
+        e = (
+            f"CASE WHEN length(__txt) >= {width} THEN "
+            f"transform(sequence(1, length(__txt) - {width} + 1), "
+            f"i -> substring(__txt, i, {width})) ELSE array() END"
+        )
+        return frame.select(
+            *extra, F.explode(F.expr(e)).alias(out)
+        )
+
+    tr = train.select(F.lower(F.col(text_col)).alias("__txt"))
+    tri_counts = (
+        grams(tr, n, "g3").groupBy("g3").agg(F.count(F.lit(1)).alias("c3"))
+    )
+    bi_counts = (
+        grams(tr, n - 1, "g2").groupBy("g2").agg(F.count(F.lit(1)).alias("c2"))
+    )
+    vocab = grams(tr, 1, "ch").agg(
+        F.countDistinct("ch").alias("__v")
+    )
+
+    corpus = df.select(
+        F.col(id_col), *[F.col(c) for c in carry_cols],
+        F.lower(F.col(text_col)).alias("__txt"),
+    )
+    scored = (
+        grams(corpus, n, "g3", id_col, *carry_cols)
+        .withColumn("g2", F.substring("g3", 1, n - 1))
+        .join(F.broadcast(tri_counts), "g3", "left")
+        .join(F.broadcast(bi_counts), "g2", "left")
+        .join(F.broadcast(vocab))
+        .withColumn(
+            "__logp",
+            F.log(
+                (F.coalesce(F.col("c3"), F.lit(0)) + F.lit(float(k)))
+                / (F.coalesce(F.col("c2"), F.lit(0)) + F.lit(float(k)) * F.col("__v"))
+            ),
+        )
+        .groupBy(id_col)
+        .agg(
+            *[F.first(c).alias(c) for c in carry_cols],
+            F.count(F.lit(1)).alias("n_grams"),
+            F.avg("__logp").alias("__avg"),
+        )
+    )
+    return scored.select(
+        id_col,
+        *carry_cols,
+        "n_grams",
+        F.round("__avg", 6).alias("mean_logp"),
+        F.round(F.exp(-F.col("__avg")), 4).alias("ppl"),
+    )
+
+
 def remove_dup_spans(
     df: DataFrame,
     id_col: str = "doc_id",

@@ -975,6 +975,62 @@ def docs_remove_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "docs_lm_perplexity",
+    r"""
+    WITH tr AS (
+        SELECT lower(text) AS t FROM documents WHERE doc_id % 7 <> 0
+    ),
+    tc AS (
+        SELECT substring(t, i, 3) AS g3, count(*) AS c3
+        FROM tr, LATERAL (SELECT unnest(generate_series(1, length(t) - 2)) AS i) u
+        WHERE length(t) >= 3 GROUP BY 1
+    ),
+    bc AS (
+        SELECT substring(t, i, 2) AS g2, count(*) AS c2
+        FROM tr, LATERAL (SELECT unnest(generate_series(1, length(t) - 1)) AS i) u
+        WHERE length(t) >= 2 GROUP BY 1
+    ),
+    v AS (
+        SELECT count(DISTINCT substring(t, i, 1)) AS nv
+        FROM tr, LATERAL (SELECT unnest(generate_series(1, length(t))) AS i) u
+    ),
+    cg AS (
+        SELECT doc_id, substring(lower(text), i, 3) AS g3
+        FROM documents,
+             LATERAL (SELECT unnest(generate_series(1, length(text) - 2)) AS i) u
+        WHERE length(text) >= 3
+    ),
+    s AS (
+        SELECT cg.doc_id,
+               count(*) AS n_grams,
+               avg(ln((coalesce(tc.c3, 0) + 0.5)
+                      / (coalesce(bc.c2, 0) + 0.5 * v.nv))) AS a
+        FROM cg
+        LEFT JOIN tc USING (g3)
+        LEFT JOIN bc ON bc.g2 = substring(cg.g3, 1, 2)
+        CROSS JOIN v
+        GROUP BY cg.doc_id
+    )
+    SELECT doc_id, n_grams,
+           round(a, 6) AS mean_logp,
+           round(exp(-a), 4) AS ppl
+    FROM s ORDER BY doc_id
+    """,
+    doc="K6b LM quality score (CCNet-style, Wenzek et al. 2020): per-doc "
+    "mean log-prob and perplexity under an add-k char-trigram model "
+    "trained on the doc_id%7!=0 slice. Model = two count tables bounded "
+    "by charset^n, broadcast; corpus shuffles only per-doc partials.",
+)
+def docs_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from time_series_spark_spark.operators.llm import char_ngram_lm_scores
+
+    docs = load(spark, sf_dir, "documents")
+    return char_ngram_lm_scores(
+        docs, docs.filter(F.col("doc_id") % 7 != 0)
+    ).orderBy("doc_id")
+
+
+@register(
     "docs_repetition_stats",
     r"""
     WITH per_doc AS (
