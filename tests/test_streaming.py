@@ -197,3 +197,62 @@ def test_stream_stream_join_equals_batch_range_join(spark, batch_events):
     )
     assert got.count() > 0
     assert got.exceptAll(exp).count() == 0 and exp.exceptAll(got).count() == 0
+
+
+def test_stateful_anomaly_flags_match_welford_simulation(spark, tmp_path):
+    """J7b: replaying a planted stream must reproduce a driver-side
+    Welford simulation EXACTLY — each event z-scored against prior
+    events only (the spike is flagged, the stats it pollutes only
+    affect later events), state bounded at three scalars per key."""
+    import math
+
+    from time_series_spark_spark.streaming.jobs import stateful_anomaly_flags
+
+    rows = []
+    vals = {1: [10.0, 11.0, 9.0, 10.5, 100.0, 10.2, 9.8],
+            2: [5.0, 5.0, 5.0, 5.0]}
+    eid = 0
+    base = 1_700_000_000_000_000  # µs
+    for uid, vs in vals.items():
+        for i, v in enumerate(vs):
+            rows.append((eid, base + eid * 1_000_000, uid, "click", v, "{}"))
+            eid += 1
+    import pandas as pd_
+
+    pdf = pd_.DataFrame(
+        rows, columns=["event_id", "ts", "user_id", "event_type", "value", "props"]
+    )
+    pdf["ts"] = pd_.to_datetime(pdf["ts"], unit="us")
+    src = str(tmp_path / "planted")
+    spark.createDataFrame(pdf).write.parquet(src)
+    sdf = (
+        spark.readStream.schema(
+            "event_id long, ts timestamp, user_id long, event_type string, "
+            "value double, props string"
+        ).parquet(src)
+    )
+    table = run_available_now(
+        stateful_anomaly_flags(sdf), output_mode="append"
+    )
+    got = {
+        (r.user_id, r.event_id): (r.z, r.is_anomaly) for r in table.collect()
+    }
+
+    eid = 0
+    for uid, vs in vals.items():
+        n, mean, m2 = 0, 0.0, 0.0
+        for v in vs:
+            if n >= 2 and m2 > 0:
+                sd = math.sqrt(m2 / (n - 1))
+                z = (v - mean) / sd if sd > 0 else 0.0
+            else:
+                z = 0.0
+            assert got[(uid, eid)] == (round(z, 4), abs(z) > 3.0), (uid, eid)
+            n += 1
+            d = v - mean
+            mean += d / n
+            m2 += d * (v - mean)
+            eid += 1
+    # the planted spike is the only flag
+    flags = [k for k, (_, a) in got.items() if a]
+    assert flags == [(1, 4)]

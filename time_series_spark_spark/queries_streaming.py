@@ -128,3 +128,27 @@ def stream_stream_join_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("l_key")
         .withColumnRenamed("l_key", "user_id")
     )
+
+
+@register(
+    "stream_anomaly_flags",
+    None,
+    doc="J7b streaming anomaly detection: per-user Welford running "
+    "mean/variance in the state store (three scalars per key, bounded "
+    "forever); each event z-scored against PRIOR events only. Exact "
+    "simulation equivalence pinned in tests/test_streaming.py.",
+)
+def stream_anomaly_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from time_series_spark_spark.streaming.jobs import stateful_anomaly_flags
+
+    sdf = read_events_stream(spark, sf_dir)
+    out = run_available_now(stateful_anomaly_flags(sdf), output_mode="append")
+    return (
+        out.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("is_anomaly").cast("long")).alias("n_anomalies"),
+            F.round(F.max("z"), 4).alias("max_z"),
+        )
+        .orderBy("user_id")
+    )

@@ -151,6 +151,65 @@ def stateful_user_totals(sdf: DataFrame) -> DataFrame:
     )
 
 
+def stateful_anomaly_flags(sdf: DataFrame, z_thresh: float = 3.0) -> DataFrame:
+    """J7b: streaming anomaly detection — per-user running mean/variance
+    via Welford's online algorithm (Welford 1962) held in the state
+    store; each event is flagged against the statistics of all PRIOR
+    events for its key (never its own value — no self-masking), the
+    streaming analogue of the batch rolling-z operator (F11).
+
+    State per key is three scalars (n, mean, M2) regardless of stream
+    length — the bounded-state property that lets this run forever; the
+    batch equivalent needs the whole history in a window frame.
+
+    Emits one row per event with the prior-stats z-score and flag.
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    output_schema = (
+        "user_id long, event_id long, value double, z double, is_anomaly boolean"
+    )
+    state_schema = "n long, mean double, m2 double"
+
+    def update(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
+        import math
+
+        n, mean, m2 = state.get if state.exists else (0, 0.0, 0.0)
+        out_rows = []
+        for pdf in pdfs:
+            # within a batch, preserve event order for the online update
+            for ev, v in zip(
+                pdf.sort_values("event_id")["event_id"],
+                pdf.sort_values("event_id")["value"],
+            ):
+                v = float(v)
+                if n >= 2 and m2 > 0:
+                    sd = math.sqrt(m2 / (n - 1))
+                    z = (v - mean) / sd if sd > 0 else 0.0
+                else:
+                    z = 0.0
+                out_rows.append(
+                    (int(key[0]), int(ev), v, round(z, 4), abs(z) > z_thresh)
+                )
+                n += 1
+                d = v - mean
+                mean += d / n
+                m2 += d * (v - mean)
+        state.update((n, mean, m2))
+        yield pd.DataFrame(
+            out_rows,
+            columns=["user_id", "event_id", "value", "z", "is_anomaly"],
+        )
+
+    return sdf.groupBy("user_id").applyInPandasWithState(
+        update,
+        output_schema,
+        state_schema,
+        "append",
+        GroupStateTimeout.NoTimeout,
+    )
+
+
 def stream_static_join(sdf: DataFrame, static_dim: DataFrame, on: str) -> DataFrame:
     """J8: enrich a stream with a broadcast static dimension."""
     return sdf.join(F.broadcast(static_dim), on)
