@@ -66,3 +66,54 @@ def test_diff_single_shuffle_plan(spark):
     new = from_rows(spark, [(i, "y", i) for i in range(100)], SCHEMA)
     plan = executed_plan(snapshot_diff(old, new, ["k"], ["v", "n"]))
     assert plan.count("SortMergeJoin") + plan.count("ShuffledHashJoin") == 1
+
+
+def test_scd2_intervals_runs_and_null_boundary(spark):
+    """M3: runs collapse to one interval each, valid_to chains to the
+    next run's valid_from, the open run is current, and a NULL attr on
+    a key's first event still opens a run (boundary detected via
+    lag(ts), not lag(attr))."""
+    import datetime as dt
+
+    from time_series_spark_spark.operators.cdc import scd2_intervals
+
+    base = dt.datetime(2024, 1, 1)
+
+    def ts(h):
+        return base + dt.timedelta(hours=h)
+
+    rows = [
+        (1, ts(0), 1, "A"), (1, ts(1), 2, "A"), (1, ts(2), 3, "B"),
+        (1, ts(3), 4, "B"), (1, ts(4), 5, "A"),
+        (2, ts(0), 6, None), (2, ts(1), 7, None), (2, ts(2), 8, "X"),
+    ]
+    df = spark.createDataFrame(
+        rows, "k long, ts timestamp, event_id long, state string"
+    )
+    out = sorted(
+        scd2_intervals(df, ["k"], "ts", ["state"], "event_id").collect(),
+        key=lambda r: (r.k, r.valid_from),
+    )
+    k1 = [r for r in out if r.k == 1]
+    assert [(r.state, r.n_events, r.is_current) for r in k1] == [
+        ("A", 2, False), ("B", 2, False), ("A", 1, True),
+    ]
+    assert k1[0].valid_to == k1[1].valid_from == ts(2)
+    assert k1[2].valid_to is None
+    k2 = [r for r in out if r.k == 2]
+    assert [(r.state, r.n_events) for r in k2] == [(None, 2), ("X", 1)]
+    assert k2[0].valid_from == ts(0)  # NULL first-run opened correctly
+
+
+def test_scd2_single_exchange_plan(spark):
+    """All four SCD2 steps must share one hash(keys) partitioning — a
+    second Exchange would reshuffle the full event log at 100 TB."""
+    from time_series_spark_spark.operators.cdc import scd2_intervals
+    from time_series_spark_spark.plans.audit import count_op
+    from time_series_spark_spark.sources.io import load
+
+    ev = load(spark, "/root/testdata/sf0.001", "events").select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    out = scd2_intervals(ev, ["user_id"], "ts", ["event_type"], "event_id")
+    assert count_op(out, "Exchange") == 1

@@ -24,6 +24,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 _OPS = ("insert", "delete", "update")
 
@@ -95,4 +96,57 @@ def apply_changes(
             .alias(c)
             for c in cols
         ],
+    )
+
+
+def scd2_intervals(
+    df: DataFrame,
+    keys: list[str],
+    ts: str,
+    attrs: list[str],
+    tiebreak: str,
+) -> DataFrame:
+    """M3: build a slowly-changing-dimension type-2 history from an
+    event log — one validity interval per (key, attribute-state) run:
+    ``valid_from`` = first event of the run, ``valid_to`` = start of the
+    next run (NULL while current), ``is_current`` on the last run.
+
+    Kimball SCD2 semantics derived with the gaps-and-islands pattern:
+    a change flag (lag over the NULL-safe attr comparison) → running-sum
+    run id → one hash agg per run → lead() for the interval close. All
+    four steps share the hash(keys) partitioning — one exchange
+    end-to-end, no self-joins, no per-key iteration.
+    """
+    w = Window.partitionBy(*keys).orderBy(ts, tiebreak)
+    same_as_prev = F.lit(True)
+    for a in attrs:
+        same_as_prev = same_as_prev & F.col(a).eqNullSafe(F.lag(a).over(w))
+    runs = (
+        df.select(*keys, ts, tiebreak, *attrs)
+        .withColumn(
+            "__chg",
+            # boundary detected via lag(ts), not lag(attr): a NULL attr
+            # on the key's first row must still open a run
+            F.when(
+                F.lag(ts).over(w).isNotNull() & same_as_prev, 0
+            ).otherwise(1),
+        )
+        .withColumn(
+            "__run",
+            F.sum("__chg").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+    )
+    per_run = runs.groupBy(*keys, "__run").agg(
+        *[F.first(a).alias(a) for a in attrs],
+        F.min(ts).alias("valid_from"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    w_run = Window.partitionBy(*keys).orderBy("valid_from")
+    return per_run.select(
+        *keys,
+        *attrs,
+        "valid_from",
+        F.lead("valid_from").over(w_run).alias("valid_to"),
+        F.lead("valid_from").over(w_run).isNull().alias("is_current"),
+        "n_events",
     )

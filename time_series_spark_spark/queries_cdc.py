@@ -117,3 +117,52 @@ def orders_apply_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
     new = _new_snapshot(spark, sf_dir)
     changes = snapshot_diff(old, new, _KEYS, _COLS)
     return apply_changes(old, changes, _KEYS, _COLS).orderBy("o_orderkey")
+
+
+@register(
+    "events_scd2_user_type",
+    """
+    WITH e AS (
+        SELECT user_id, event_id, event_type, CAST(ts AS TIMESTAMP) AS ts
+        FROM events
+    ),
+    flagged AS (
+        SELECT *,
+               CASE WHEN lag(ts) OVER w IS NOT NULL
+                     AND event_type = lag(event_type) OVER w
+                    THEN 0 ELSE 1 END AS chg
+        FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    runs AS (
+        SELECT *, sum(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS run
+        FROM flagged
+    ),
+    per_run AS (
+        SELECT user_id, run, any_value(event_type) AS event_type,
+               min(ts) AS valid_from,
+               CAST(count(*) AS BIGINT) AS n_events
+        FROM runs GROUP BY user_id, run
+    )
+    SELECT user_id, event_type, valid_from,
+           lead(valid_from) OVER w2 AS valid_to,
+           lead(valid_from) OVER w2 IS NULL AS is_current,
+           n_events
+    FROM per_run WINDOW w2 AS (PARTITION BY user_id ORDER BY valid_from)
+    ORDER BY user_id, valid_from
+    """,
+    doc="M3 SCD2 history build (Kimball type-2 dimension from an event "
+    "log): per-user event_type runs become validity intervals "
+    "[valid_from, valid_to) with is_current on the open run — "
+    "gaps-and-islands + one hash agg + lead(), all on one hash(user) "
+    "partitioning.",
+)
+def events_scd2_user_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from time_series_spark_spark.operators.cdc import scd2_intervals
+
+    ev = load(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    return scd2_intervals(
+        ev, ["user_id"], "ts", ["event_type"], "event_id"
+    ).orderBy("user_id", "valid_from")
