@@ -277,3 +277,85 @@ def mom_revenue_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("rev"), 2).alias("revenue"),
         F.round(F.col("rev") - F.lag("rev").over(w), 2).alias("mom_delta"),
     ).orderBy("month")
+
+
+@register(
+    "customers_rfm_segments",
+    """
+    WITH anchor AS (SELECT max(o_orderdate) AS mx FROM orders),
+    base AS (
+        SELECT o.o_custkey AS c_custkey,
+               CAST(date_diff('day', max(o.o_orderdate), anchor.mx) AS BIGINT)
+                   AS recency_days,
+               CAST(count(*) AS BIGINT) AS frequency,
+               CAST(sum(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                   AS monetary_cents
+        FROM orders o CROSS JOIN anchor
+        GROUP BY o.o_custkey, anchor.mx
+    ),
+    scored AS (
+        SELECT *,
+               ntile(5) OVER (ORDER BY recency_days DESC, c_custkey) AS r,
+               ntile(5) OVER (ORDER BY frequency ASC, c_custkey) AS f,
+               ntile(5) OVER (ORDER BY monetary_cents ASC, c_custkey) AS m
+        FROM base
+    )
+    SELECT CAST(r AS BIGINT) AS r, CAST(f AS BIGINT) AS f,
+           CAST(m AS BIGINT) AS m,
+           CAST(count(*) AS BIGINT) AS n_customers,
+           CAST(sum(monetary_cents) AS BIGINT) AS segment_cents
+    FROM scored
+    GROUP BY r, f, m
+    ORDER BY r, f, m
+    """,
+    doc="RFM segmentation (composite): per-customer recency/frequency/"
+    "monetary from orders, quintile-scored with deterministic custkey "
+    "tiebreaks (5 = best), rolled up to segment cells. Integer-cents "
+    "money; the three ntile windows are over the per-customer aggregate "
+    "(customer-count rows), never the fact table.",
+)
+def customers_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Scale note: the three unpartitioned ntile windows run over the
+    # per-customer AGGREGATE (|customers| rows, not |orders|). If the
+    # customer dimension itself outgrows one task, swap exact ntile for
+    # approx_percentile(col, [.2,.4,.6,.8]) boundaries + a broadcast
+    # bucket join — same segments up to boundary ties, fully parallel.
+    orders = load(spark, sf_dir, "orders")
+    anchor = orders.agg(F.max("o_orderdate").alias("mx"))
+    base = (
+        orders.crossJoin(F.broadcast(anchor))
+        .groupBy(F.col("o_custkey").alias("c_custkey"))
+        .agg(
+            F.datediff(F.first("mx"), F.max("o_orderdate"))
+            .cast("long")
+            .alias("recency_days"),
+            F.count(F.lit(1)).alias("frequency"),
+            F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("long")).alias(
+                "monetary_cents"
+            ),
+        )
+    )
+    scored = base.select(
+        "*",
+        F.ntile(5)
+        .over(Window.orderBy(F.desc("recency_days"), F.asc("c_custkey")))
+        .alias("r"),
+        F.ntile(5)
+        .over(Window.orderBy(F.asc("frequency"), F.asc("c_custkey")))
+        .alias("f"),
+        F.ntile(5)
+        .over(Window.orderBy(F.asc("monetary_cents"), F.asc("c_custkey")))
+        .alias("m"),
+    )
+    return (
+        scored.groupBy(
+            F.col("r").cast("long").alias("r"),
+            F.col("f").cast("long").alias("f"),
+            F.col("m").cast("long").alias("m"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.sum("monetary_cents").alias("segment_cents"),
+        )
+        .orderBy("r", "f", "m")
+    )
