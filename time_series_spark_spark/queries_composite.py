@@ -359,3 +359,70 @@ def customers_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("r", "f", "m")
     )
+
+
+@register(
+    "purchase_attribution_last_touch",
+    """
+    WITH p AS (
+        SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value FROM events
+        WHERE event_type = 'purchase'
+    ),
+    src AS (
+        SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_type FROM events
+        WHERE event_type <> 'purchase'
+    ),
+    matched AS (
+        SELECT p.user_id, p.ts, p.value,
+               CASE WHEN s.ts IS NOT NULL
+                     AND p.ts - s.ts <= INTERVAL 7 DAY
+                    THEN s.event_type ELSE 'direct' END AS touch
+        FROM p ASOF LEFT JOIN src s
+          ON p.user_id = s.user_id AND s.ts <= p.ts
+    )
+    SELECT touch,
+           CAST(count(*) AS BIGINT) AS n_purchases,
+           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+               AS attributed_cents
+    FROM matched GROUP BY touch ORDER BY touch
+    """,
+    doc="Last-touch attribution (composite, C9 application): each "
+    "purchase attributed to the user's latest non-purchase event within "
+    "a 7-day window, else 'direct' — the as-of join IS the attribution "
+    "engine (one shuffle, no join op); integer-cents rollup per touch "
+    "type.",
+)
+def purchase_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from time_series_spark_spark.operators.timeseries import asof_join
+    from time_series_spark_spark.queries_timeseries import _events
+
+    ev = _events(spark, sf_dir)
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "value"
+    )
+    sources = ev.filter(F.col("event_type") != "purchase").select(
+        "user_id", "ts", "event_type"
+    )
+    joined = asof_join(
+        purchases,
+        sources,
+        "user_id",
+        "ts",
+        "ts",
+        ["event_type"],
+        tolerance_seconds=7 * 86400.0,
+    )
+    return (
+        joined.select(
+            F.coalesce(F.col("event_type"), F.lit("direct")).alias("touch"),
+            "value",
+        )
+        .groupBy("touch")
+        .agg(
+            F.count(F.lit(1)).alias("n_purchases"),
+            F.sum(F.round(F.col("value") * 100, 0).cast("long")).alias(
+                "attributed_cents"
+            ),
+        )
+        .orderBy("touch")
+    )
