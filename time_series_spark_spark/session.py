@@ -111,5 +111,11 @@ def ensure_engine_conf(spark: SparkSession) -> SparkSession:
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.adaptive.enabled", "true")
     spark.conf.set("spark.sql.execution.arrow.pyspark.enabled", "true")
+    # runtime-settable: an externally-built session keeps Spark's default
+    # 200 shuffle partitions, which at test scale is pure task overhead;
+    # AQE coalescing makes the generous-but-bounded value safe either way
+    spark.conf.set(
+        "spark.sql.shuffle.partitions", str(default_parallelism())
+    )
     ship_package(spark)
     return spark
