@@ -256,3 +256,39 @@ def test_stateful_anomaly_flags_match_welford_simulation(spark, tmp_path):
     # the planted spike is the only flag
     flags = [k for k, (_, a) in got.items() if a]
     assert flags == [(1, 4)]
+
+
+def test_incremental_cm_partials_multibatch(
+    spark, batch_events, chunked_dir, tmp_path
+):
+    """J9b: the streaming Count-Min partial log (4 real micro-batches)
+    merge-on-reads to the EXACT cell table of sketching the whole
+    corpus at once — cell addition is associative, so the continuous
+    aggregate carries the same estimation guarantees as a batch
+    sketch."""
+    from time_series_spark_spark.operators.sketches import cm_partials
+    from time_series_spark_spark.streaming.jobs import (
+        incremental_cm_partials,
+        read_incremental_cm,
+    )
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    sdf = (
+        spark.readStream.schema(
+            "event_id long, ts long, user_id long, event_type string, "
+            "value double, props string"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(chunked_dir)
+        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    )
+    log = str(tmp_path / "cm_partials")
+    incremental_cm_partials(sdf, log)
+    merged = {
+        (r.r, r.c): r.cnt for r in read_incremental_cm(spark, log).collect()
+    }
+    direct = {
+        (r.r, r.c): r.cnt
+        for r in cm_partials(batch_events, F.col("user_id")).collect()
+    }
+    assert merged == direct

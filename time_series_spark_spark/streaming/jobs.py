@@ -303,6 +303,40 @@ def incremental_bitmap_partials(
     q.awaitTermination()
 
 
+def incremental_cm_partials(
+    stream_events: DataFrame, partials_path: str
+) -> None:
+    """J9b: streaming frequency sketch — each micro-batch folds to
+    Count-Min cells (operators/sketches.py D20, ≤ d·w rows per batch)
+    appended to a partial log; cell addition is associative, so
+    merge-on-read ≡ sketching the whole stream at once, EXACTLY (the
+    merge-law test pins it). Same append-only/compaction story as the
+    bitmap log."""
+    from time_series_spark_spark.operators.sketches import cm_partials
+
+    def fold_batch(batch_df: DataFrame, batch_id: int) -> None:
+        cm_partials(batch_df, F.col("user_id")).write.mode("append").parquet(
+            partials_path
+        )
+
+    q = (
+        stream_events.writeStream.foreachBatch(fold_batch)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def read_incremental_cm(spark: SparkSession, partials_path: str) -> DataFrame:
+    """Merge-on-read for the CM partial log: cell-wise addition across
+    all appended micro-batch generations."""
+    return (
+        spark.read.parquet(partials_path)
+        .groupBy("r", "c")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+
+
 def read_incremental_distinct(spark: SparkSession, partials_path: str) -> DataFrame:
     """Merge-on-read over the streaming partial log: OR-merge every
     bucket's bitmaps across all appended micro-batch generations, then
