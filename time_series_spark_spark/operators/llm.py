@@ -1070,7 +1070,8 @@ def char_ngram_lm_scores(
 
     ``P(c_i | ctx) = (C(ctx·c_i) + k) / (C(ctx) + k·V)`` with V the
     trained character-vocabulary size; ``ppl = exp(−mean log P)``. Docs
-    shorter than ``n`` chars get NULL scores (no prediction positions).
+    shorter than ``n`` chars have no prediction positions and are
+    absent from the output (both engines).
 
     Scale shape: the model is two count tables bounded by charset^n
     (NOT corpus size) built by one hash agg each over the train slice;
