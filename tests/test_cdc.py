@@ -117,3 +117,35 @@ def test_scd2_single_exchange_plan(spark):
     )
     out = scd2_intervals(ev, ["user_id"], "ts", ["event_type"], "event_id")
     assert count_op(out, "Exchange") == 1
+
+
+def test_pit_join_boundary_semantics(spark):
+    """M4: a fact at exactly valid_from belongs to the NEW interval
+    (half-open [from, to)), facts before any interval get NULL, facts
+    after the last change hit the open current interval, and every fact
+    matches at most one version."""
+    import datetime as dt
+
+    from time_series_spark_spark.operators.cdc import pit_join, scd2_intervals
+
+    base = dt.datetime(2024, 1, 1)
+
+    def ts(h):
+        return base + dt.timedelta(hours=h)
+
+    events = spark.createDataFrame(
+        [(1, ts(10), 1, "A"), (1, ts(20), 2, "B"), (1, ts(30), 3, "C")],
+        "k long, ts timestamp, event_id long, state string",
+    )
+    dim = scd2_intervals(events, ["k"], "ts", ["state"], "event_id")
+    facts = spark.createDataFrame(
+        [(1, ts(5)), (1, ts(10)), (1, ts(20)), (1, ts(25)), (1, ts(99))],
+        "k long, fts timestamp",
+    )
+    out = {r.fts: r.state for r in pit_join(facts, dim, "k", "fts").collect()}
+    assert len(out) == 5  # exactly one row per fact
+    assert out[ts(5)] is None
+    assert out[ts(10)] == "A"   # boundary: new interval
+    assert out[ts(20)] == "B"
+    assert out[ts(25)] == "B"
+    assert out[ts(99)] == "C"   # open current interval

@@ -150,3 +150,33 @@ def scd2_intervals(
         F.lead("valid_from").over(w_run).isNull().alias("is_current"),
         "n_events",
     )
+
+
+def pit_join(
+    facts: DataFrame,
+    dim_intervals: DataFrame,
+    key: str,
+    fact_ts: str,
+    how: str = "left",
+) -> DataFrame:
+    """M4: point-in-time join — attach to each fact row the SCD2
+    interval (from :func:`scd2_intervals`) that was in effect at
+    ``fact_ts``: ``valid_from <= fact_ts < valid_to`` (open interval =
+    still current). The lookup that makes a type-2 dimension usable —
+    joining on the key alone would fan out to every historical version.
+
+    Plan shape: hash equi-join on ``key`` with the interval containment
+    as a residual filter — correct because versions-per-key is small by
+    construction (one row per CHANGE, not per event); never a range
+    explosion over the fact table.
+    """
+    d = dim_intervals.select(
+        F.col(key).alias("__k"),
+        *[c for c in dim_intervals.columns if c != key],
+    )
+    cond = (
+        (facts[key] == d["__k"])
+        & (facts[fact_ts] >= d["valid_from"])
+        & (d["valid_to"].isNull() | (facts[fact_ts] < d["valid_to"]))
+    )
+    return facts.join(d, cond, how).drop("__k")

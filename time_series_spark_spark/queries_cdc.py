@@ -166,3 +166,74 @@ def events_scd2_user_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scd2_intervals(
         ev, ["user_id"], "ts", ["event_type"], "event_id"
     ).orderBy("user_id", "valid_from")
+
+
+@register(
+    "purchases_pit_activity_state",
+    """
+    WITH e AS (
+        SELECT user_id, event_id, event_type, CAST(ts AS TIMESTAMP) AS ts
+        FROM events
+    ),
+    src AS (SELECT * FROM e WHERE event_type <> 'purchase'),
+    flagged AS (
+        SELECT *,
+               CASE WHEN lag(ts) OVER w IS NOT NULL
+                     AND event_type = lag(event_type) OVER w
+                    THEN 0 ELSE 1 END AS chg
+        FROM src WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    runs AS (
+        SELECT *, sum(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS run
+        FROM flagged
+    ),
+    dim AS (
+        SELECT user_id, run, any_value(event_type) AS state,
+               min(ts) AS valid_from
+        FROM runs GROUP BY user_id, run
+    ),
+    dim2 AS (
+        SELECT user_id, state, valid_from,
+               lead(valid_from) OVER (PARTITION BY user_id
+                                      ORDER BY valid_from) AS valid_to
+        FROM dim
+    ),
+    p AS (SELECT user_id, ts FROM e WHERE event_type = 'purchase')
+    SELECT coalesce(d.state, 'none') AS state,
+           CAST(count(*) AS BIGINT) AS n_purchases
+    FROM p LEFT JOIN dim2 d
+      ON p.user_id = d.user_id
+     AND p.ts >= d.valid_from
+     AND (d.valid_to IS NULL OR p.ts < d.valid_to)
+    GROUP BY 1 ORDER BY state
+    """,
+    doc="M4 point-in-time join over the M3 SCD2 dimension: each purchase "
+    "looks up the activity-state interval in effect at its timestamp "
+    "(hash equi-join on user + containment residual — never a version "
+    "fan-out); purchases before any state get 'none'.",
+)
+def purchases_pit_activity_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from time_series_spark_spark.operators.cdc import pit_join, scd2_intervals
+
+    ev = load(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    dim = scd2_intervals(
+        ev.filter(F.col("event_type") != "purchase"),
+        ["user_id"],
+        "ts",
+        ["event_type"],
+        "event_id",
+    ).select(
+        "user_id", F.col("event_type").alias("state"), "valid_from", "valid_to"
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts"
+    )
+    joined = pit_join(purchases, dim, "user_id", "ts")
+    return (
+        joined.groupBy(F.coalesce(F.col("state"), F.lit("none")).alias("state"))
+        .agg(F.count(F.lit(1)).alias("n_purchases"))
+        .orderBy("state")
+    )
