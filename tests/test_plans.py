@@ -284,3 +284,13 @@ def test_tpch_suite_no_cartesian_and_dims_broadcast(spark):
         assert "CartesianProduct" not in plan, name
         if name not in allowed_bnlj:
             assert "BroadcastNestedLoopJoin" not in plan, name
+
+
+def test_pit_join_is_hash_equi_join(spark):
+    """M4: the interval containment must ride as a residual on the
+    user equi-join; a BNLJ/CartesianProduct here means the equi-key fell
+    out and every fact compares against every dimension version."""
+    df = _df(spark, "purchases_pit_activity_state")
+    plan = executed_plan(df)
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
