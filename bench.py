@@ -55,6 +55,8 @@ HEAVY_TAIL = [
     "forecast_user_events",
     "docs_minhash_lsh_pairs",
     "events_lttb_user",
+    "docs_lm_perplexity",
+    "docs_remove_dup_spans",
 ]
 
 
