@@ -565,3 +565,75 @@ def events_unpivot_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     return wide.unpivot(
         ["d"], ["n_view", "n_click", "n_purchase"], "metric", "n"
     )
+
+
+@register(
+    "events_zorder_layout_report",
+    None,  # layout evidence is file-level, not SQL-expressible → rows-only
+    doc="A9 Z-order clustered layout, driver-visible: events written "
+    "Morton-clustered on (user_id, day), then per-file parquet footer "
+    "stats prove a narrow predicate on EITHER dimension skips files "
+    "(multi-dimensional clustering — the OPTIMIZE ZORDER layout rule, "
+    "no table format needed). Emits the probe row-counts (distributed "
+    "reads over the clustered layout) plus the pruning verdicts.",
+)
+def events_zorder_layout_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import glob
+    import tempfile
+
+    import pyarrow.parquet as pq
+
+    from time_series_spark_spark.sources.quality import write_parquet_zorder
+
+    ev = load(spark, sf_dir, "events").select(
+        "user_id",
+        F.dayofmonth("ts").alias("day"),
+        # Z-order prerequisite: both dims scaled into comparable ranges so
+        # BOTH contribute high interleaved bits (day 1..31 ×8 ≈ user 0..~255
+        # — otherwise the narrow dim never reaches the z-key's top bits and
+        # its files span the full range)
+        (F.dayofmonth("ts") * 8).alias("day_scaled"),
+        "value",
+    )
+    path = tempfile.mkdtemp(prefix="zorder_events_")
+    write_parquet_zorder(ev, path, "user_id", "day_scaled", n_files=8, bits=8)
+
+    back = spark.read.parquet(path)
+    n_total = back.count()
+    rows_probe_user = back.filter(F.col("user_id") < 10).count()
+    rows_probe_day = back.filter(F.col("day") <= 3).count()
+
+    def span(dim: str) -> list:
+        out = []
+        for f in glob.glob(path + "/*.parquet"):
+            md = pq.ParquetFile(f).metadata
+            lo = hi = None
+            for rg in range(md.num_row_groups):
+                row_group = md.row_group(rg)
+                for ci in range(row_group.num_columns):
+                    col = row_group.column(ci)
+                    if col.path_in_schema == dim and col.statistics:
+                        s = col.statistics
+                        lo = s.min if lo is None else min(lo, s.min)
+                        hi = s.max if hi is None else max(hi, s.max)
+            out.append((lo, hi))
+        return out
+
+    files_user = span("user_id")
+    files_day = span("day")
+    skip_user = sum(1 for lo, hi in files_user if lo is not None and lo >= 10)
+    skip_day = sum(1 for lo, hi in files_day if lo is not None and lo > 3)
+    return spark.createDataFrame(
+        [
+            (
+                int(n_total),
+                len(files_user),
+                int(rows_probe_user),
+                int(rows_probe_day),
+                bool(skip_user > 0),
+                bool(skip_day > 0),
+            )
+        ],
+        "n_rows long, n_files long, rows_user_probe long, rows_day_probe long, "
+        "prunes_on_user boolean, prunes_on_day boolean",
+    )
