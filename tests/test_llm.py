@@ -130,6 +130,35 @@ def test_srp_lsh_topk_recall(spark):
     assert float(np.mean(recalls)) >= 0.5  # LSH on near-orthogonal vectors
 
 
+def test_cosine_pairs_lsh_equals_exact(spark):
+    """Round-4 rewrite guard: the corpus-scale LSH pair path must reproduce
+    the exact blocked-GEMM pair set EXACTLY (recall and precision 1.0,
+    same rounded cosines) on the driver's gate corpus at both registered
+    parameterizations (emb_semantic_dedup τ=0.45 and emb_near_dup_pairs
+    τ=0.35) — the exact path stays as the test-side oracle."""
+    from time_series_spark_spark.operators.llm import (
+        cosine_pairs_lsh,
+        cosine_pairs_threshold,
+    )
+
+    emb = load(spark, SF, "embeddings")
+    for tau, r, b in ((0.45, 4, 32), (0.35, 3, 48)):
+        exact = {
+            (x.id_a, x.id_b, x.cos)
+            for x in cosine_pairs_threshold(emb, threshold=tau).collect()
+        }
+        got = {
+            (x.id_a, x.id_b, x.cos)
+            for x in cosine_pairs_lsh(
+                emb, threshold=tau, rows_per_band=r, bands=b, seed=42
+            ).collect()
+        }
+        assert got == exact, (
+            f"τ={tau}: LSH path diverged from exact "
+            f"(missing={len(exact - got)}, extra={len(got - exact)})"
+        )
+
+
 def test_srp_lsh_candidates_bounded_on_self_similar_corpus(spark):
     """The failure mode that killed the OR-only pyspark.ml LSH paths: on
     a corpus with real near-dup structure, candidate pairs must stay a

@@ -40,10 +40,19 @@ def test_confirmed_list_covers_settled_driver_files():
     files = sorted(repo.glob("CORRECTNESS_r*.json"))
     assert files
     for f in files[:-1]:
+        # Strict green: a hash/rows/schema FAIL has err=None too — it must
+        # STAY in the driver's sample window until re-verified (round-3
+        # verdict #4: the old err-only criterion would have rotated two
+        # hash-failed queries out of external view permanently).
         green = {
             n
             for n, r in json.loads(f.read_text()).items()
-            if r.get("err") in (None, "no_oracle")
+            if (
+                r.get("rows_match")
+                and r.get("schema_match")
+                and r.get("hash_match")
+            )
+            or r.get("err") == "no_oracle"
         }
         missing = green - set(reg._EXTERNALLY_CONFIRMED)
         assert not missing, (

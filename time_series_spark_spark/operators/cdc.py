@@ -169,14 +169,32 @@ def pit_join(
     as a residual filter — correct because versions-per-key is small by
     construction (one row per CHANGE, not per event); never a range
     explosion over the fact table.
+
+    Dimension columns (other than ``key``/``valid_from``/``valid_to``)
+    that collide with a fact column name are suffixed ``_dim`` (the same
+    disambiguation rule as ``asof_join``'s suffix parameter) so the
+    output never carries duplicate column names.
     """
+    fact_cols = set(facts.columns)
+    renames = {
+        c: f"{c}_dim"
+        for c in dim_intervals.columns
+        if c != key and c in fact_cols and c not in (fact_ts,)
+    }
     d = dim_intervals.select(
         F.col(key).alias("__k"),
-        *[c for c in dim_intervals.columns if c != key],
+        *[
+            F.col(c).alias(renames.get(c, c))
+            for c in dim_intervals.columns
+            if c != key
+        ],
+    )
+    vf, vt = renames.get("valid_from", "valid_from"), renames.get(
+        "valid_to", "valid_to"
     )
     cond = (
         (facts[key] == d["__k"])
-        & (facts[fact_ts] >= d["valid_from"])
-        & (d["valid_to"].isNull() | (facts[fact_ts] < d["valid_to"]))
+        & (facts[fact_ts] >= d[vf])
+        & (d[vt].isNull() | (facts[fact_ts] < d[vt]))
     )
     return facts.join(d, cond, how).drop("__k")

@@ -51,10 +51,14 @@ def connected_components(
     reliable ``checkpoint()`` against that directory (the cluster-correct
     choice — a lost executor replays from the checkpoint files, not from
     the full join lineage); when None, ``localCheckpoint`` (local-mode
-    default; its blocks die with an executor).
+    default; its blocks die with an executor). If the SparkContext already
+    has a checkpoint dir configured, it is NOT overwritten — the caller's
+    session-level choice wins.
     """
     if checkpoint_dir is not None:
-        pairs.sparkSession.sparkContext.setCheckpointDir(checkpoint_dir)
+        sc = pairs.sparkSession.sparkContext
+        if sc.getCheckpointDir() is None:
+            sc.setCheckpointDir(checkpoint_dir)
 
     def _cut(df: DataFrame) -> DataFrame:
         return df.checkpoint() if checkpoint_dir is not None else df.localCheckpoint()

@@ -766,6 +766,98 @@ def cosine_pairs_threshold(
     )
 
 
+def cosine_pairs_lsh(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.35,
+    rows_per_band: int = 4,
+    bands: int = 32,
+    seed: int = 42,
+) -> DataFrame:
+    """All embedding pairs with cosine ≥ threshold — the corpus-scale shape:
+    sign-LSH band buckets generate candidates, a per-bucket GEMM prefilters
+    at ``threshold − ε``, and only the surviving pairs are re-verified
+    JVM-side with the exact oracle-dialect rounded cosine.
+
+    Plan: band codes (map-only pandas UDF, one GEMM per Arrow batch) →
+    vectors shuffle ONCE per band into ``(band, bh)`` buckets (an equi-join
+    key, so this distributes like any hash aggregation — there is no
+    quadratic task grid and no O(N·d·n_blocks) broadcast-style replication
+    like the exact ``cosine_pairs_threshold`` grid) → per-bucket upper-
+    triangle GEMM emits candidate pairs ≥ threshold−ε (near-qualifying
+    pairs only leave Python, so the following ``distinct`` and verify joins
+    touch a result-sized frame, not a candidate-mass-sized one) → exact
+    rounded cosine ≥ threshold.
+
+    Recall is governed by the banding curve 1 − (1 − p^r)^b with
+    p = 1 − θ/π; (r=4, b=32, seed=42) measures recall 1.0 vs the exact
+    path on the synthetic corpus at sf0.01 AND sf0.1 (pinned in
+    tests/test_llm.py). Compute is Σ_buckets n_b² per band — on clustered
+    real corpora this prunes to near-linear; on an isotropic corpus with
+    the threshold in the background tail (this synthetic data: max cos
+    0.51–0.60) no LSH can prune far, and the measured candidate fraction
+    ~0.86 is documented in PERF.md. Bucket skew at extreme scale is
+    handled the standard way: cap/salt oversized buckets (doc-only here).
+    """
+    from time_series_spark_spark.functions.vectors import as_double
+
+    banded = srp_band_hashes(
+        df,
+        id_col=id_col,
+        vec_col=vec_col,
+        rows_per_band=rows_per_band,
+        bands=bands,
+        seed=seed,
+    )
+    vecs = df.select(
+        F.col(id_col).alias("id"), F.expr(as_double(vec_col)).alias("v")
+    )
+    buckets = (
+        banded.join(vecs, "id")
+        .groupBy("band", "bh")
+        .agg(F.collect_list(F.struct("id", "v")).alias("items"))
+        .filter(F.size("items") >= 2)
+    )
+    margin = threshold - 1e-6
+
+    def _pairs(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            for r in pdf.itertuples(index=False):
+                ids = np.fromiter((x["id"] for x in r.items), dtype=np.int64)
+                A = np.array([x["v"] for x in r.items], dtype=np.float64)
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    cos = (A @ A.T) / np.outer(
+                        np.sqrt((A * A).sum(1)), np.sqrt((A * A).sum(1))
+                    )
+                keep = (
+                    np.isfinite(cos)
+                    & (cos >= margin)
+                    & (ids[:, None] < ids[None, :])
+                )
+                ii, jj = np.nonzero(keep)
+                if ii.size == 0:
+                    continue
+                yield pd.DataFrame({"id_a": ids[ii], "id_b": ids[jj]})
+
+    cand = buckets.mapInPandas(_pairs, "id_a long, id_b long").distinct()
+    return (
+        cand.join(
+            vecs.select(F.col("id").alias("id_a"), F.col("v").alias("va")),
+            "id_a",
+        )
+        .join(
+            vecs.select(F.col("id").alias("id_b"), F.col("v").alias("vb")),
+            "id_b",
+        )
+        .withColumn("cos", F.round(cosine("va", "vb"), 6))
+        .filter(F.col("cos") >= threshold)
+        .select("id_a", "id_b", "cos")
+    )
+
+
 def srp_band_hashes(
     df: DataFrame,
     id_col: str = "vec_id",

@@ -55,12 +55,17 @@ from time_series_spark_spark import queries_sketches  # noqa: E402,F401
 from time_series_spark_spark import queries_cdc  # noqa: E402,F401
 from time_series_spark_spark import queries_analytics  # noqa: E402,F401
 
-# The external correctness gate samples the FIRST 50 registry entries. The 50
-# below were driver-confirmed green in both prior verification runs (rounds 1
-# and 2, identical sample), so they are deliberately re-ordered to the END of
-# the registry: every not-yet-externally-confirmed query (TPC-H q2-q22, the
-# analytics/sketch/CDC/LLM extensions) moves to the front and lands in the
-# next sample window. Locally, tests/test_oracle.py still gates ALL entries.
+# The external correctness gate samples the FIRST 50 registry entries, so
+# REGISTRY insertion order is semantically significant (pinned by
+# tests/test_registry.py). Rotation policy, documented for the gate's owner
+# (also in COVERAGE.md): queries the driver has already confirmed green move
+# to the END so each round's sample window reaches not-yet-checked queries;
+# a query that FAILED externally stays at the FRONT of the window until the
+# driver re-confirms the fix. Green = rows+schema+hash all matching (or a
+# rows-only check by design) — an err==None hash-fail is NOT green. Once
+# every query has been externally checked at least once, confirmed slices
+# rotate back in so the external gate keeps regression-detection power.
+# Locally, tests/test_oracle.py still gates ALL entries every pytest run.
 _EXTERNALLY_CONFIRMED = [
     "q1_pricing_summary", "q3_top_revenue_orders", "q5_nation_revenue",
     "left_join_customer_orders", "semi_join_active_customers",
@@ -81,11 +86,37 @@ _EXTERNALLY_CONFIRMED = [
     "events_interpolate_daily", "events_sessionize", "train_test_split_daily",
     "naive_forecast_metrics", "seasonal_profile_dow", "anomaly_rolling_z",
     "series_stats_users",
+    # round-3 driver greens (CORRECTNESS_r03.json: rows+schema+hash matched,
+    # or rows-only by design):
+    "asof_purchase_view", "asof_forward_next_view", "range_join_views_1h",
+    "lag_lead_event_pairs", "time_range_frame_3d", "ewma_user_daily",
+    "geo_mean_grouped_udaf", "events_change_points", "events_trailing_7d_users",
+    "forecast_daily_revenue", "forecast_user_events", "backtest_daily_revenue",
+    "docs_dedup", "docs_dedup_keep_first", "docs_lang_stats", "docs_top_terms",
+    "docs_tfidf_top_terms", "docs_token_count_bpe", "docs_quality_filter",
+    "docs_quality_gate", "docs_ngram_jaccard_pairs", "docs_dup_clusters",
+    "docs_minhash_lsh_pairs", "docs_simhash_pairs", "emb_cosine_topk",
+    "emb_near_dup_pairs", "emb_lsh_topk", "emb_ivf_topk", "emb_sq8_topk",
+    "docs_pii_redaction", "docs_hash_sample_per_lang", "docs_lang_id",
+    "docs_fingerprints", "corpus_stats_report", "docs_stratified_sample",
+    "docs_weighted_mix", "docs_pack_sequences", "docs_upsample_repeat",
+    "docs_edit_pairs", "emb_semantic_dedup", "docs_weighted_sample",
+    "docs_dup_spans", "docs_remove_dup_spans", "docs_lm_perplexity",
+    "docs_repetition_stats", "docs_contamination_check", "docs_chunk_windows",
+]
+
+# Round-3 external FAILURES, fixed this round (oracle BIGINT casts; array
+# column serialized): pinned to the very front of the sample window so the
+# driver re-verifies the fixes before they can ever rotate out.
+_RECHECK_FIRST = [
+    "events_rollup_cascade", "docs_curation_pipeline", "docs_multimodal_features",
 ]
 
 _confirmed = set(_EXTERNALLY_CONFIRMED)
+_front = set(_RECHECK_FIRST)
 REGISTRY = {
-    **{n: q for n, q in REGISTRY.items() if n not in _confirmed},
+    **{n: REGISTRY[n] for n in _RECHECK_FIRST if n in REGISTRY},
+    **{n: q for n, q in REGISTRY.items() if n not in _confirmed and n not in _front},
     **{n: REGISTRY[n] for n in _EXTERNALLY_CONFIRMED if n in REGISTRY},
 }
 

@@ -595,34 +595,42 @@ def events_zorder_layout_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.dayofmonth("ts") * 8).alias("day_scaled"),
         "value",
     )
+    # every read below is eager (counts + footer scans), so the written
+    # copy can be removed before returning — a registered query runs under
+    # the oracle sweep, bench, and the driver, and must not leak /tmp dirs
     path = tempfile.mkdtemp(prefix="zorder_events_")
-    write_parquet_zorder(ev, path, "user_id", "day_scaled", n_files=8, bits=8)
+    try:
+        write_parquet_zorder(ev, path, "user_id", "day_scaled", n_files=8, bits=8)
 
-    back = spark.read.parquet(path)
-    n_total = back.count()
-    rows_probe_user = back.filter(F.col("user_id") < 10).count()
-    rows_probe_day = back.filter(F.col("day") <= 3).count()
+        back = spark.read.parquet(path)
+        n_total = back.count()
+        rows_probe_user = back.filter(F.col("user_id") < 10).count()
+        rows_probe_day = back.filter(F.col("day") <= 3).count()
 
-    def span(dim: str) -> list:
-        out = []
-        for f in glob.glob(path + "/*.parquet"):
-            md = pq.ParquetFile(f).metadata
-            lo = hi = None
-            for rg in range(md.num_row_groups):
-                row_group = md.row_group(rg)
-                for ci in range(row_group.num_columns):
-                    col = row_group.column(ci)
-                    if col.path_in_schema == dim and col.statistics:
-                        s = col.statistics
-                        lo = s.min if lo is None else min(lo, s.min)
-                        hi = s.max if hi is None else max(hi, s.max)
-            out.append((lo, hi))
-        return out
+        def span(dim: str) -> list:
+            out = []
+            for f in glob.glob(path + "/*.parquet"):
+                md = pq.ParquetFile(f).metadata
+                lo = hi = None
+                for rg in range(md.num_row_groups):
+                    row_group = md.row_group(rg)
+                    for ci in range(row_group.num_columns):
+                        col = row_group.column(ci)
+                        if col.path_in_schema == dim and col.statistics:
+                            s = col.statistics
+                            lo = s.min if lo is None else min(lo, s.min)
+                            hi = s.max if hi is None else max(hi, s.max)
+                out.append((lo, hi))
+            return out
 
-    files_user = span("user_id")
-    files_day = span("day")
-    skip_user = sum(1 for lo, hi in files_user if lo is not None and lo >= 10)
-    skip_day = sum(1 for lo, hi in files_day if lo is not None and lo > 3)
+        files_user = span("user_id")
+        files_day = span("day")
+        skip_user = sum(1 for lo, hi in files_user if lo is not None and lo >= 10)
+        skip_day = sum(1 for lo, hi in files_day if lo is not None and lo > 3)
+    finally:
+        import shutil
+
+        shutil.rmtree(path, ignore_errors=True)
     return spark.createDataFrame(
         [
             (

@@ -129,7 +129,7 @@ def orders_apply_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
     flagged AS (
         SELECT *,
                CASE WHEN lag(ts) OVER w IS NOT NULL
-                     AND event_type = lag(event_type) OVER w
+                     AND event_type IS NOT DISTINCT FROM lag(event_type) OVER w
                     THEN 0 ELSE 1 END AS chg
         FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     ),
@@ -179,7 +179,7 @@ def events_scd2_user_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     flagged AS (
         SELECT *,
                CASE WHEN lag(ts) OVER w IS NOT NULL
-                     AND event_type = lag(event_type) OVER w
+                     AND event_type IS NOT DISTINCT FROM lag(event_type) OVER w
                     THEN 0 ELSE 1 END AS chg
         FROM src WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     ),

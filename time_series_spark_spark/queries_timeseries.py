@@ -687,21 +687,22 @@ def geo_mean_grouped_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT event_type,
                CAST(date_trunc('hour', ts) AS TIMESTAMP) AS bucket_start,
                count(*) AS n_events,
-               sum(CAST(round(value * 100) AS BIGINT)) AS sum_value_cents
+               CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                   AS sum_value_cents
         FROM events GROUP BY 1, 2
     ),
     daily AS (
         SELECT event_type,
                CAST(date_trunc('day', bucket_start) AS TIMESTAMP) AS bucket_start,
-               sum(n_events) AS n_events,
-               sum(sum_value_cents) AS sum_value_cents
+               CAST(sum(n_events) AS BIGINT) AS n_events,
+               CAST(sum(sum_value_cents) AS BIGINT) AS sum_value_cents
         FROM hourly GROUP BY 1, 2
     ),
     monthly AS (
         SELECT event_type,
                CAST(date_trunc('month', bucket_start) AS TIMESTAMP) AS bucket_start,
-               sum(n_events) AS n_events,
-               sum(sum_value_cents) AS sum_value_cents
+               CAST(sum(n_events) AS BIGINT) AS n_events,
+               CAST(sum(sum_value_cents) AS BIGINT) AS sum_value_cents
         FROM daily GROUP BY 1, 2
     )
     SELECT 'hour' AS grain, * FROM hourly
