@@ -130,6 +130,60 @@ def test_srp_lsh_topk_recall(spark):
     assert float(np.mean(recalls)) >= 0.5  # LSH on near-orthogonal vectors
 
 
+def test_shuffle_shards_dense_layout_invariant_and_salted(spark, docs):
+    """K9c: shard∈[0,n); positions dense 0..n_s-1 per shard; the full
+    corpus is covered exactly once; the assignment is a pure function of
+    (salt, id) — identical under a different partition layout — and a new
+    salt yields a different permutation (epoch re-shuffle)."""
+    from time_series_spark_spark.operators.llm import shuffle_shards
+
+    out = shuffle_shards(docs, n_shards=8, salt=0).collect()
+    assert len(out) == docs.count()
+    by_shard = {}
+    for r in out:
+        assert 0 <= r.shard < 8
+        by_shard.setdefault(r.shard, []).append(r.pos)
+    for poss in by_shard.values():
+        assert sorted(poss) == list(range(len(poss)))
+    relaid = shuffle_shards(docs.repartition(7), n_shards=8, salt=0).collect()
+    key = lambda rows: sorted((r.doc_id, r.shard, r.pos) for r in rows)
+    assert key(relaid) == key(out)
+    resalted = shuffle_shards(docs, n_shards=8, salt=1).collect()
+    assert key(resalted) != key(out)
+
+
+def test_token_budget_fill_is_greedy_prefix(spark, docs):
+    """K9d: every kept row's running total fits the budget, the kept set
+    per stratum is EXACTLY the greedy prefix of the md5-ordered walk
+    (recomputed in pandas), and the result is partition-layout
+    invariant."""
+    import hashlib
+
+    from time_series_spark_spark.operators.llm import token_budget_fill
+
+    budget = 500
+    out = token_budget_fill(docs, budget=budget).collect()
+    assert all(r.cum_tokens <= budget for r in out)
+    pdf = docs.select("lang", "doc_id", "text").toPandas()
+    pdf["n_tokens"] = pdf["text"].str.split(" ").map(len)
+    pdf["ok"] = pdf["doc_id"].map(
+        lambda i: hashlib.md5(str(i).encode()).hexdigest()
+    )
+    expect = set()
+    for lang, g in pdf.sort_values(["ok", "doc_id"]).groupby("lang"):
+        total = 0
+        for r in g.itertuples():
+            total += r.n_tokens
+            if total > budget:
+                break
+            expect.add((lang, r.doc_id, r.n_tokens, total))
+    assert {(r.lang, r.doc_id, r.n_tokens, r.cum_tokens) for r in out} == expect
+    relaid = token_budget_fill(docs.repartition(5), budget=budget).collect()
+    assert {(r.lang, r.doc_id, r.cum_tokens) for r in relaid} == {
+        (r.lang, r.doc_id, r.cum_tokens) for r in out
+    }
+
+
 def test_cosine_pairs_lsh_equals_exact(spark):
     """Round-4 rewrite guard: the corpus-scale LSH pair path must reproduce
     the exact blocked-GEMM pair set EXACTLY (recall and precision 1.0,

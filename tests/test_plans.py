@@ -219,6 +219,26 @@ def test_edit_pairs_is_equi_join_not_bnlj(spark):
     assert "CartesianProduct" not in plan
 
 
+def test_cosine_pairs_lsh_no_allpairs_join(spark):
+    """emb_semantic_dedup / emb_near_dup_pairs (round-4 rewrite): candidate
+    generation must stay a hash-partitioned (band, band_hash) group-map +
+    equi-joins — a CartesianProduct or BroadcastNestedLoopJoin means the
+    LSH bucketing fell out and the plan degenerated to all-pairs. (The
+    retired exact path's block grid was itself a guarded theta-join; the
+    registered queries must never plan one.) Pinned on the operator's own
+    plan: the registered query feeds it through connected components,
+    whose checkpoints truncate lineage out of the final plan."""
+    from time_series_spark_spark.operators.llm import cosine_pairs_lsh
+    from time_series_spark_spark.sources.io import load
+
+    emb = load(spark, SF, "embeddings")
+    df = cosine_pairs_lsh(emb, threshold=0.45, rows_per_band=4, bands=32)
+    plan = executed_plan(df)
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "FlatMapGroupsInPandas" in plan  # the per-bucket GEMM stage
+
+
 def test_runtime_bloom_filter_prunes_fact_scan(spark):
     """Runtime row-level filtering (SURVEY.md §4.1): with a selective
     filter on one join side, Catalyst injects a bloom-filter

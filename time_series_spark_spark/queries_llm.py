@@ -787,6 +787,65 @@ def docs_upsample_repeat(spark: SparkSession, sf_dir: str) -> DataFrame:
     return up.groupBy("lang").agg(F.count(F.lit(1)).alias("n_rows"))
 
 
+@register(
+    "docs_shuffle_shards",
+    """
+    WITH h AS (
+        SELECT doc_id, lang,
+               ('0x' || substring(md5('0:' || CAST(doc_id AS VARCHAR)), 1, 8))
+                   ::BIGINT AS hv
+        FROM documents
+    )
+    SELECT doc_id, lang,
+           hv % 16 AS shard,
+           CAST(row_number() OVER (PARTITION BY hv % 16
+                                   ORDER BY hv, doc_id) - 1 AS BIGINT) AS pos
+    FROM h
+    ORDER BY shard, pos
+    """,
+    doc="K9c deterministic global shuffle + sharding (round 4): md5-derived "
+    "permutation assigns every doc a shard and a dense in-shard position — "
+    "the corpus-to-data-loader step; reproducible, layout-invariant, "
+    "re-salt for a new epoch. One hash shuffle + per-shard window.",
+)
+def docs_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from time_series_spark_spark.operators.llm import shuffle_shards
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "lang")
+    return shuffle_shards(docs, n_shards=16, salt=0).orderBy("shard", "pos")
+
+
+@register(
+    "docs_token_budget_fill",
+    """
+    WITH t AS (
+        SELECT lang, doc_id,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+               md5(CAST(doc_id AS VARCHAR)) AS ok
+        FROM documents
+    ),
+    c AS (
+        SELECT lang, doc_id, n_tokens,
+               CAST(sum(n_tokens) OVER (PARTITION BY lang ORDER BY ok, doc_id
+                    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+        FROM t
+    )
+    SELECT lang, doc_id, n_tokens, cum_tokens
+    FROM c WHERE cum_tokens <= 2000
+    ORDER BY lang, cum_tokens
+    """,
+    doc="K9d token-budget dataset assembly (round 4): walk each language's "
+    "docs in the deterministic md5 shuffle order, keep while the running "
+    "token total fits the per-language budget (greedy prefix fill). One "
+    "running-sum window per stratum; strata are the parallelism unit.",
+)
+def docs_token_budget_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from time_series_spark_spark.operators.llm import token_budget_fill
+
+    docs = load(spark, sf_dir, "documents")
+    return token_budget_fill(docs, budget=2000).orderBy("lang", "cum_tokens")
+
+
 # --------------------------------------------------------------------------
 # K2 edit-distance near-dup (round 2) + semantic dedup (round 2)
 # --------------------------------------------------------------------------
