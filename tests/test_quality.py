@@ -100,3 +100,21 @@ def test_zorder_layout_enables_two_sided_pruning(spark, tmp_path):
         assert overlapping < len(spans), (
             f"predicate {dim}<=7 prunes no files; spans={spans}"
         )
+
+
+def test_profile_numeric_counts_nulls_and_distincts(spark):
+    """A10: the one-scan profile must count rows, nulls, and exact
+    distincts per column, with min/max/mean ignoring nulls (SQL agg
+    semantics) — checked on a frame with planted nulls/dupes."""
+    from time_series_spark_spark.sources.quality import profile_numeric
+
+    df = spark.createDataFrame(
+        [(1, 10.0), (2, None), (2, 30.0), (None, 20.0), (3, None)],
+        "a long, b double",
+    )
+    rows = {r.column_name: r for r in profile_numeric(df, ["a", "b"]).collect()}
+    a, b = rows["a"], rows["b"]
+    assert (a.n_rows, a.n_null, a.n_distinct) == (5, 1, 3)
+    assert (a.vmin, a.vmax, a.vavg) == (1.0, 3.0, 2.0)
+    assert (b.n_rows, b.n_null, b.n_distinct) == (5, 2, 3)
+    assert (b.vmin, b.vmax, b.vavg) == (10.0, 30.0, 20.0)

@@ -256,3 +256,81 @@ def test_cm_sketch_bounds_and_merge_law(spark):
     direct = {(r.r, r.c): r.cnt for r in sketch.collect()}
     via_merge = {(r.r, r.c): r.cnt for r in merged.collect()}
     assert direct == via_merge
+
+
+def test_hist_quantile_within_one_bucket_of_exact(spark):
+    """Histogram p95 must land within one bucket width of the exact
+    rank-⌈q·n⌉ order statistic (the inverted-CDF quantile — the rank the
+    cumulative walk brackets; type-7 interpolated percentile can cross
+    bucket edges on tiny groups, so it is not the right reference) for
+    every (event_type, day), and stay inside [lo, hi]."""
+    from time_series_spark_spark.operators.sketches import (
+        hist_merge,
+        hist_partials,
+        hist_quantile,
+    )
+
+    ev = load(spark, SF, "events").select(
+        "event_type",
+        "value",
+        F.date_trunc("day", "ts").alias("d"),
+        F.date_trunc("hour", "ts").alias("h"),
+    )
+    parts = hist_partials(ev, ["event_type", "d", "h"], "value", 0.0, 512.0, 64)
+    est = {
+        (r.event_type, r.d): r.p95_est
+        for r in hist_quantile(
+            hist_merge(parts, ["event_type", "d"]),
+            ["event_type", "d"],
+            0.95,
+            0.0,
+            512.0,
+            64,
+        ).collect()
+    }
+    exact = {
+        (r.event_type, r.d): r.p
+        for r in ev.groupBy("event_type", "d")
+        .agg(
+            F.expr(
+                "sort_array(collect_list(value))"
+                "[cast(ceil(0.95 * count(value)) AS int) - 1]"
+            ).alias("p")
+        )
+        .collect()
+    }
+    assert set(est) == set(exact)
+    for k, e in est.items():
+        assert 0.0 <= e <= 512.0
+        assert abs(e - exact[k]) <= 8.0, (k, e, exact[k])
+
+
+def test_hist_partials_merge_law(spark):
+    """Merging hourly partials to daily must equal building daily
+    partials directly — exact (integer addition), the property that makes
+    the partial log a substitute for raw data."""
+    from time_series_spark_spark.operators.sketches import (
+        hist_merge,
+        hist_partials,
+    )
+
+    ev = load(spark, SF, "events").select(
+        "event_type",
+        "value",
+        F.date_trunc("day", "ts").alias("d"),
+        F.date_trunc("hour", "ts").alias("h"),
+    )
+    merged = {
+        (r.event_type, r.d, r.bucket): r.cnt
+        for r in hist_merge(
+            hist_partials(ev, ["event_type", "d", "h"], "value", 0.0, 512.0, 64),
+            ["event_type", "d"],
+        ).collect()
+    }
+    direct = {
+        (r.event_type, r.d, r.bucket): r.cnt
+        for r in hist_partials(
+            ev, ["event_type", "d"], "value", 0.0, 512.0, 64
+        ).collect()
+    }
+    assert merged == direct

@@ -353,3 +353,89 @@ def cm_estimate(
         queries.join(F.broadcast(packed))
         .select(*out_cols, F.least(*probes).alias("est_cnt"))
     )
+
+
+# --------------------------------------------------------------------------
+# Fixed-bucket histogram: exact mergeable partials + interpolated quantile
+# (the Prometheus histogram / histogram_quantile rollup pattern)
+# --------------------------------------------------------------------------
+def hist_partials(
+    df: DataFrame,
+    keys: list[str],
+    value_col: str,
+    lo: float,
+    hi: float,
+    n_buckets: int,
+) -> DataFrame:
+    """Equi-width histogram partials per key grain: ``(keys…, bucket,
+    cnt)``. Rows are bounded by ``|keys| × n_buckets`` REGARDLESS of input
+    size, counts are EXACT, and the merge to any coarser grain is plain
+    addition (``hist_merge``) — the algebraic-partial property the sketch
+    family is built on, here with no approximation in the partial itself
+    (only the final within-bucket interpolation estimates).
+
+    Values outside [lo, hi) clamp into the edge buckets (Prometheus's
+    +Inf-bucket convention, both-sided).
+    """
+    width = (hi - lo) / n_buckets
+    b = F.least(
+        F.lit(n_buckets - 1),
+        F.greatest(
+            F.lit(0), F.floor((F.col(value_col) - F.lit(lo)) / F.lit(width))
+        ).cast("int"),
+    ).cast("long")
+    return (
+        df.withColumn("bucket", b)
+        .groupBy(*keys, "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def hist_merge(partials: DataFrame, keys: list[str]) -> DataFrame:
+    """Roll partials up to a coarser grain: counts add per bucket."""
+    return partials.groupBy(*keys, "bucket").agg(F.sum("cnt").alias("cnt"))
+
+
+def hist_quantile(
+    partials: DataFrame,
+    keys: list[str],
+    q: float,
+    lo: float,
+    hi: float,
+    n_buckets: int,
+) -> DataFrame:
+    """Per-key quantile estimate from histogram partials — the
+    ``histogram_quantile`` rule: walk the cumulative counts to the bucket
+    holding rank ``q·total``, interpolate linearly inside it. Error is
+    bounded by one bucket width (pinned in tests vs the exact percentile).
+
+    One window over the (already bounded) partial frame + one filter —
+    raw data is never touched, which is the point: any ad-hoc quantile
+    re-answers from the partial log.
+    """
+    from pyspark.sql.window import Window
+
+    width = (hi - lo) / n_buckets
+    w_cum = (
+        Window.partitionBy(*keys)
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_tot = Window.partitionBy(*keys)
+    cum = (
+        partials.withColumn("cum", F.sum("cnt").over(w_cum))
+        .withColumn("total", F.sum("cnt").over(w_tot))
+        .withColumn("target", F.lit(q) * F.col("total").cast("double"))
+    )
+    est = F.lit(lo) + F.lit(width) * (
+        F.col("bucket").cast("double")
+        + (F.col("target") - (F.col("cum") - F.col("cnt")).cast("double"))
+        / F.col("cnt").cast("double")
+    )
+    return (
+        cum.filter(
+            ((F.col("cum") - F.col("cnt")).cast("double") < F.col("target"))
+            & (F.col("cum").cast("double") >= F.col("target"))
+        )
+        .select(*keys, F.round(est, 6).alias(f"p{int(q * 100)}_est"))
+    )

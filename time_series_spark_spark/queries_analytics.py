@@ -645,3 +645,49 @@ def events_zorder_layout_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_rows long, n_files long, rows_user_probe long, rows_day_probe long, "
         "prunes_on_user boolean, prunes_on_day boolean",
     )
+
+
+# --------------------------------------------------------------------------
+# A10 per-column profiling report (round 4)
+# --------------------------------------------------------------------------
+@register(
+    "orders_profile_numeric",
+    """
+    SELECT 'o_custkey' AS column_name, count(*) AS n_rows,
+           CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_null,
+           count(DISTINCT o_custkey) AS n_distinct,
+           round(CAST(min(o_custkey) AS DOUBLE), 6) AS vmin,
+           round(CAST(max(o_custkey) AS DOUBLE), 6) AS vmax,
+           round(avg(CAST(o_custkey AS DOUBLE)), 6) AS vavg
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderkey', count(*),
+           CAST(sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+           count(DISTINCT o_orderkey),
+           round(CAST(min(o_orderkey) AS DOUBLE), 6),
+           round(CAST(max(o_orderkey) AS DOUBLE), 6),
+           round(avg(CAST(o_orderkey AS DOUBLE)), 6)
+    FROM orders
+    UNION ALL
+    SELECT 'o_totalprice', count(*),
+           CAST(sum(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+           count(DISTINCT o_totalprice),
+           round(CAST(min(o_totalprice) AS DOUBLE), 6),
+           round(CAST(max(o_totalprice) AS DOUBLE), 6),
+           round(avg(CAST(o_totalprice AS DOUBLE)), 6)
+    FROM orders
+    ORDER BY column_name
+    """,
+    doc="A10 per-column numeric profiling report (dataset-card / "
+    "expectation-suite input): count, nulls, exact distinct, min/max/mean "
+    "per column in ONE wide aggregation over a single scan, melted with "
+    "stack() — profiling cost is scan-bound regardless of table size.",
+)
+def orders_profile_numeric(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from time_series_spark_spark.sources.quality import profile_numeric
+
+    orders = load(spark, sf_dir, "orders")
+    return profile_numeric(
+        orders, ["o_custkey", "o_orderkey", "o_totalprice"]
+    ).orderBy("column_name")

@@ -163,3 +163,62 @@ def events_cm_user_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cm_estimate(
         probes, sketch, F.col("user_id"), ["user_id"]
     ).orderBy("user_id")
+
+
+# --------------------------------------------------------------------------
+# Fixed-bucket histogram rollup + interpolated quantile (round 4;
+# oracle-checked: counts are exact, interpolation is deterministic)
+# --------------------------------------------------------------------------
+@register(
+    "events_hist_p95_daily",
+    """
+    WITH e AS (
+        SELECT event_type, CAST(date_trunc('day', ts) AS TIMESTAMP) AS d,
+               CAST(least(63, greatest(0, CAST(floor(value / 8.0) AS INT)))
+                    AS BIGINT) AS bucket
+        FROM events
+    ),
+    p AS (
+        SELECT event_type, d, bucket, count(*) AS cnt
+        FROM e GROUP BY 1, 2, 3
+    ),
+    c AS (
+        SELECT event_type, d, bucket, cnt,
+               CAST(sum(cnt) OVER w AS BIGINT) AS cum,
+               CAST(sum(cnt) OVER (PARTITION BY event_type, d) AS BIGINT)
+                   AS total
+        FROM p WINDOW w AS (PARTITION BY event_type, d ORDER BY bucket
+                            ROWS UNBOUNDED PRECEDING)
+    )
+    SELECT event_type, d,
+           round(0.0 + 8.0 * (CAST(bucket AS DOUBLE)
+                 + (0.95 * CAST(total AS DOUBLE)
+                    - CAST(cum - cnt AS DOUBLE)) / CAST(cnt AS DOUBLE)),
+                 6) AS p95_est
+    FROM c
+    WHERE CAST(cum - cnt AS DOUBLE) < 0.95 * CAST(total AS DOUBLE)
+      AND CAST(cum AS DOUBLE) >= 0.95 * CAST(total AS DOUBLE)
+    ORDER BY event_type, d
+    """,
+    doc="Prometheus-style histogram_quantile rollup: hourly equi-width "
+    "bucket counts (exact, bounded at keys x 64 rows) merged to daily by "
+    "addition, then p95 by linear interpolation inside the rank bucket — "
+    "any ad-hoc quantile re-answers from the partial log without touching "
+    "raw events; estimate error is bounded by one bucket width (pinned "
+    "in tests/test_sketches.py vs the exact percentile).",
+)
+def events_hist_p95_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from time_series_spark_spark.operators.sketches import (
+        hist_merge,
+        hist_partials,
+        hist_quantile,
+    )
+
+    ev = _hourly_keyed_events(spark, sf_dir)
+    parts = hist_partials(
+        ev, ["event_type", "d", "h"], "value", 0.0, 512.0, 64
+    )
+    daily = hist_merge(parts, ["event_type", "d"])
+    return hist_quantile(
+        daily, ["event_type", "d"], 0.95, 0.0, 512.0, 64
+    ).orderBy("event_type", "d")

@@ -105,3 +105,37 @@ def write_parquet_zorder(
         .write.mode("overwrite")
         .parquet(path)
     )
+
+
+def profile_numeric(df: DataFrame, cols: list[str]) -> DataFrame:
+    """Per-column profiling report for numeric columns — the dataset-card /
+    expectation-suite input: one output row per column with row count,
+    null count, exact distinct count, min, max, and mean (round-6, all
+    double so the frame is homogeneous).
+
+    One wide aggregation over a single scan (Catalyst plans the multiple
+    COUNT(DISTINCT)s via one expand — still one pass over the data), then
+    a stack() melt of the 1-row result: the melt touches |cols| rows, so
+    profiling cost is scan-bound regardless of table size.
+    """
+    aggs = []
+    for c in cols:
+        aggs += [
+            F.count(F.lit(1)).alias(f"__n_{c}"),
+            F.sum(F.col(c).isNull().cast("long")).alias(f"__nn_{c}"),
+            F.count_distinct(F.col(c)).alias(f"__nd_{c}"),
+            F.round(F.min(c).cast("double"), 6).alias(f"__mn_{c}"),
+            F.round(F.max(c).cast("double"), 6).alias(f"__mx_{c}"),
+            F.round(F.avg(F.col(c).cast("double")), 6).alias(f"__av_{c}"),
+        ]
+    wide = df.agg(*aggs)
+    stacked = ", ".join(
+        f"'{c}', __n_{c}, __nn_{c}, __nd_{c}, __mn_{c}, __mx_{c}, __av_{c}"
+        for c in cols
+    )
+    return wide.select(
+        F.expr(
+            f"stack({len(cols)}, {stacked}) AS "
+            "(column_name, n_rows, n_null, n_distinct, vmin, vmax, vavg)"
+        )
+    )
