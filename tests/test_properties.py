@@ -169,3 +169,45 @@ def test_ewma_matches_pandas_random(spark, data):
     )
     exp = pdf["v"].ewm(alpha=alpha, adjust=True).mean().to_numpy()
     assert np.allclose(got, exp, rtol=1e-9, atol=1e-9)
+
+
+@given(data=st.data())
+@settings(max_examples=10, deadline=None)
+def test_hist_quantile_error_bound_random(spark, data):
+    """D21 property: for ANY value distribution inside [lo, hi) and any
+    q, the histogram quantile estimate is within one bucket width of the
+    exact rank-⌈q·n⌉ order statistic — the histogram_quantile guarantee
+    the fixed-corpus test pins on one dataset, drawn here at random."""
+    from time_series_spark_spark.operators.sketches import (
+        hist_partials,
+        hist_quantile,
+    )
+
+    n_buckets = data.draw(st.sampled_from([4, 16, 64]))
+    lo, hi = 0.0, 64.0
+    width = (hi - lo) / n_buckets
+    vals = data.draw(
+        st.lists(
+            st.floats(
+                min_value=0.0,
+                max_value=63.999,
+                allow_nan=False,
+                allow_infinity=False,
+            ),
+            min_size=1,
+            max_size=200,
+        )
+    )
+    q = data.draw(st.sampled_from([0.05, 0.5, 0.9, 0.95, 0.99]))
+    df = spark.createDataFrame(
+        [("k", float(v)) for v in vals], "g string, v double"
+    )
+    parts = hist_partials(df, ["g"], "v", lo, hi, n_buckets)
+    out = hist_quantile(parts, ["g"], q, lo, hi, n_buckets).collect()
+    assert len(out) == 1
+    est = out[0][1]
+    import math
+
+    rank = max(1, math.ceil(q * len(vals)))
+    exact = sorted(vals)[rank - 1]
+    assert abs(est - exact) <= width + 1e-9, (est, exact, width, q, len(vals))

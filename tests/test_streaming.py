@@ -292,3 +292,109 @@ def test_incremental_cm_partials_multibatch(
         for r in cm_partials(batch_events, F.col("user_id")).collect()
     }
     assert merged == direct
+
+
+def test_incremental_hist_partials_multibatch(
+    spark, batch_events, chunked_dir, tmp_path
+):
+    """J9c: the streaming histogram partial log (real micro-batches via
+    maxFilesPerTrigger=1) merge-on-reads to the EXACT bucket table of
+    histogramming the whole corpus at once — count addition is
+    associative — and the p95 answered FROM THE LOG equals the batch
+    answer bucket-for-bucket."""
+    from time_series_spark_spark.operators.sketches import (
+        hist_partials,
+        hist_quantile,
+    )
+    from time_series_spark_spark.streaming.jobs import (
+        incremental_hist_partials,
+        read_incremental_hist,
+    )
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    sdf = (
+        spark.readStream.schema(
+            "event_id long, ts long, user_id long, event_type string, "
+            "value double, props string"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(chunked_dir)
+        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    )
+    log = str(tmp_path / "hist_partials")
+    incremental_hist_partials(sdf, log)
+    merged_df = read_incremental_hist(spark, log)
+    merged = {
+        (r.event_type, r.d, r.bucket): r.cnt for r in merged_df.collect()
+    }
+    direct = {
+        (r.event_type, r.d, r.bucket): r.cnt
+        for r in hist_partials(
+            batch_events.select(
+                "event_type", F.date_trunc("day", "ts").alias("d"), "value"
+            ),
+            ["event_type", "d"],
+            "value",
+            0.0,
+            512.0,
+            64,
+        ).collect()
+    }
+    assert merged == direct
+    from_log = {
+        (r.event_type, r.d): r.p95_est
+        for r in hist_quantile(
+            merged_df, ["event_type", "d"], 0.95, 0.0, 512.0, 64
+        ).collect()
+    }
+    assert len(from_log) == len({k[:2] for k in direct})
+
+
+def test_incremental_partials_idempotent_under_redelivery(
+    spark, batch_events, chunked_dir, tmp_path
+):
+    """Round-4 exactly-once guard: re-running the whole partial-log stream
+    (same batch ids — the at-least-once redelivery case) must leave the
+    merged result UNCHANGED, because each micro-batch dynamically
+    overwrites its own batch_id partition instead of appending a second
+    generation. With blind append this doubles every count."""
+    from time_series_spark_spark.operators.sketches import hist_partials
+    from time_series_spark_spark.streaming.jobs import (
+        incremental_hist_partials,
+        read_incremental_hist,
+    )
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+
+    def run_once():
+        sdf = (
+            spark.readStream.schema(
+                "event_id long, ts long, user_id long, event_type string, "
+                "value double, props string"
+            )
+            .option("maxFilesPerTrigger", 1)
+            .parquet(chunked_dir)
+            .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        )
+        incremental_hist_partials(sdf, str(tmp_path / "hist_log"))
+
+    run_once()
+    run_once()  # redelivery: same files, same batch ids
+    merged = {
+        (r.event_type, r.d, r.bucket): r.cnt
+        for r in read_incremental_hist(spark, str(tmp_path / "hist_log")).collect()
+    }
+    direct = {
+        (r.event_type, r.d, r.bucket): r.cnt
+        for r in hist_partials(
+            batch_events.select(
+                "event_type", F.date_trunc("day", "ts").alias("d"), "value"
+            ),
+            ["event_type", "d"],
+            "value",
+            0.0,
+            512.0,
+            64,
+        ).collect()
+    }
+    assert merged == direct

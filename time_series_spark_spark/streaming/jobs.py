@@ -266,6 +266,23 @@ def foreach_batch_collect(stream_df: DataFrame, path: str) -> None:
 # --------------------------------------------------------------------------
 # J9: streaming continuous aggregate — incremental sketch partials
 # --------------------------------------------------------------------------
+
+def _write_partials_idempotent(df: DataFrame, batch_id: int, path: str) -> None:
+    """Exactly-once partial-log write: partition by the micro-batch id and
+    DYNAMICALLY overwrite only that partition — a redelivered batch (sink
+    retry after a crash between write and commit) REPLACES its own prior
+    output instead of appending a duplicate generation, so merge-on-read
+    stays exact under at-least-once delivery. This is the standard
+    idempotent-foreachBatch recipe; blind ``append`` would double-count."""
+    (
+        df.withColumn("batch_id", F.lit(batch_id))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch_id")
+        .parquet(path)
+    )
+
+
 def incremental_bitmap_partials(
     stream_events: DataFrame, partials_path: str
 ) -> None:
@@ -276,8 +293,9 @@ def incremental_bitmap_partials(
     Each micro-batch folds to fixed-size (event_type, day, id-bucket,
     bitmap) partial rows — a few KB regardless of batch size — and APPENDS
     them; readers OR-merge at query time (:func:`read_incremental_distinct`).
-    Append-only keeps the sink idempotent-friendly and avoids
-    read-modify-write races; at scale a compaction job periodically
+    Writes are idempotent per micro-batch (round 4: batch-id partition +
+    dynamic overwrite — see :func:`_write_partials_idempotent`), so
+    at-least-once redelivery cannot double-count; at scale a compaction job periodically
     OR-merges the log back to one row per (key, bucket), which is
     `bitmap_rollup`'s partials-in = partials-out shape.
     """
@@ -293,7 +311,7 @@ def incremental_bitmap_partials(
             ["event_type", "d"],
             "user_id",
         )
-        p.write.mode("append").parquet(partials_path)
+        _write_partials_idempotent(p, batch_id, partials_path)
 
     q = (
         stream_events.writeStream.foreachBatch(fold_batch)
@@ -315,8 +333,8 @@ def incremental_cm_partials(
     from time_series_spark_spark.operators.sketches import cm_partials
 
     def fold_batch(batch_df: DataFrame, batch_id: int) -> None:
-        cm_partials(batch_df, F.col("user_id")).write.mode("append").parquet(
-            partials_path
+        _write_partials_idempotent(
+            cm_partials(batch_df, F.col("user_id")), batch_id, partials_path
         )
 
     q = (
@@ -325,6 +343,49 @@ def incremental_cm_partials(
         .start()
     )
     q.awaitTermination()
+
+
+def incremental_hist_partials(
+    stream_events: DataFrame, partials_path: str
+) -> None:
+    """J9c: streaming histogram partial log (round 4) — each micro-batch
+    folds to exact equi-width bucket counts (operators/sketches.py D21,
+    ≤ keys × n_buckets rows per batch) appended to a partial log; count
+    addition is associative, so merge-on-read ≡ bucketing the whole
+    stream at once, EXACTLY (merge-law test pins it), and any quantile
+    re-answers from the log via ``hist_quantile``. Same append-only /
+    compaction story as the bitmap and Count-Min logs."""
+    from time_series_spark_spark.operators.sketches import hist_partials
+
+    def fold_batch(batch_df: DataFrame, batch_id: int) -> None:
+        p = hist_partials(
+            batch_df.select(
+                "event_type",
+                F.date_trunc("day", "ts").alias("d"),
+                "value",
+            ),
+            ["event_type", "d"],
+            "value",
+            0.0,
+            512.0,
+            64,
+        )
+        _write_partials_idempotent(p, batch_id, partials_path)
+
+    q = (
+        stream_events.writeStream.foreachBatch(fold_batch)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def read_incremental_hist(spark: SparkSession, partials_path: str) -> DataFrame:
+    """Merge-on-read for the histogram partial log: bucket-wise count
+    addition across all appended micro-batch generations."""
+    from time_series_spark_spark.operators.sketches import hist_merge
+
+    return hist_merge(spark.read.parquet(partials_path), ["event_type", "d"])
 
 
 def read_incremental_cm(spark: SparkSession, partials_path: str) -> DataFrame:
