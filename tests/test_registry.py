@@ -59,3 +59,39 @@ def test_confirmed_list_covers_settled_driver_files():
             f"{f.name}: rotation maintenance due — add to "
             f"_EXTERNALLY_CONFIRMED in queries.py: {sorted(missing)}"
         )
+
+
+def test_apply_rotation_fresh_regime_matches_live_registry():
+    """While never-confirmed queries overfill the window, rotation is
+    rechecks-first + fresh + confirmed tail — exactly what the live
+    REGISTRY uses (no regression slice yet)."""
+    names = list(reg.REGISTRY)
+    confirmed = reg._EXTERNALLY_CONFIRMED
+    assert names[: len(reg._RECHECK_FIRST)] == reg._RECHECK_FIRST
+    assert names[-len(confirmed):] == confirmed
+
+
+def test_apply_rotation_regression_slice_regime():
+    """Once the fresh pool no longer fills the window, spare slots take a
+    slice of confirmed queries that ROTATES with the round index — every
+    confirmed query is re-sampled eventually, and fresh/recheck names
+    always stay in front."""
+    registry = {f"q{i}": i for i in range(20)}
+    confirmed = [f"q{i}" for i in range(15)]  # q15..q19 fresh
+    window = 10
+    seen = set()
+    for rnd in range(8):
+        rotated = list(
+            reg._apply_rotation(
+                registry, confirmed, ["q19"], window=window, round_idx=rnd
+            )
+        )
+        assert set(rotated) == set(registry)  # nothing lost
+        assert rotated[0] == "q19"  # recheck first
+        assert set(rotated[1:5]) == {"q15", "q16", "q17", "q18"}  # fresh next
+        in_window = rotated[:window]
+        slice_part = in_window[5:]
+        assert len(slice_part) == 5  # spare slots filled from confirmed
+        assert set(slice_part) <= set(confirmed)
+        seen |= set(slice_part)
+    assert seen == set(confirmed)  # rotation eventually covers everyone

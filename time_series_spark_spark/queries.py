@@ -112,13 +112,56 @@ _RECHECK_FIRST = [
     "events_rollup_cascade", "docs_curation_pipeline", "docs_multimodal_features",
 ]
 
-_confirmed = set(_EXTERNALLY_CONFIRMED)
-_front = set(_RECHECK_FIRST)
-REGISTRY = {
-    **{n: REGISTRY[n] for n in _RECHECK_FIRST if n in REGISTRY},
-    **{n: q for n, q in REGISTRY.items() if n not in _confirmed and n not in _front},
-    **{n: REGISTRY[n] for n in _EXTERNALLY_CONFIRMED if n in REGISTRY},
-}
+SAMPLE_WINDOW = 50  # the external gate samples this many leading entries
+
+
+def _apply_rotation(
+    registry: dict,
+    confirmed: list[str],
+    recheck_first: list[str],
+    window: int = SAMPLE_WINDOW,
+    round_idx: int = 0,
+) -> dict:
+    """Order the registry for the external gate's leading-``window`` sample:
+    externally-failed fixes first (re-verify before anything else), then
+    never-confirmed queries, then the confirmed tail. Once the fresh pool
+    no longer fills the window, the spare slots take a ROTATING slice of
+    confirmed queries (offset advances with ``round_idx``, derived from
+    the number of settled driver files) so the external check regains
+    regression-detection power instead of re-sampling a stale fixed head
+    — the documented COVERAGE.md policy, in code. Pure function; unit
+    tests exercise both regimes directly."""
+    conf_set = set(confirmed)
+    front = [n for n in recheck_first if n in registry]
+    fresh = [
+        n for n in registry if n not in conf_set and n not in set(front)
+    ]
+    tail = [n for n in confirmed if n in registry]
+    spare = window - len(front) - len(fresh)
+    slice_names: list[str] = []
+    if spare > 0 and tail:
+        start = (round_idx * spare) % len(tail)
+        slice_names = [
+            tail[(start + i) % len(tail)] for i in range(min(spare, len(tail)))
+        ]
+    rest = [n for n in tail if n not in set(slice_names)]
+    order = front + fresh + slice_names + rest
+    return {n: registry[n] for n in order}
+
+
+def _settled_round_count() -> int:
+    from pathlib import Path
+
+    repo = Path(__file__).resolve().parent.parent
+    return len(list(repo.glob("CORRECTNESS_r*.json")))
+
+
+REGISTRY = _apply_rotation(
+    REGISTRY,
+    _EXTERNALLY_CONFIRMED,
+    _RECHECK_FIRST,
+    round_idx=_settled_round_count(),
+)
 
 
 def queries() -> dict[str, QueryFn]:
