@@ -398,3 +398,72 @@ def test_incremental_partials_idempotent_under_redelivery(
         ).collect()
     }
     assert merged == direct
+
+
+def test_incremental_partials_checkpoint_restart_recovery(
+    spark, batch_events, chunked_dir, tmp_path
+):
+    """Round-4 restart-recovery guard: with a checkpointLocation, a
+    RESTARTED partial-log stream resumes from committed source offsets —
+    the second run processes ONLY files that arrived after the first run
+    (new batch ids appended, old ones untouched) — and the merged log
+    still equals the batch answer over everything. This is the long-lived
+    ingestion-job lifecycle: run, stop, more data lands, run again."""
+    import os
+    import shutil
+
+    from time_series_spark_spark.operators.sketches import hist_partials
+    from time_series_spark_spark.streaming.jobs import (
+        incremental_hist_partials,
+        read_incremental_hist,
+    )
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    src = str(tmp_path / "arriving")
+    os.makedirs(src)
+    chunks = sorted(
+        f for f in os.listdir(chunked_dir) if f.endswith(".parquet")
+    )
+    log, ckpt = str(tmp_path / "log"), str(tmp_path / "ckpt")
+
+    def run_once():
+        sdf = (
+            spark.readStream.schema(
+                "event_id long, ts long, user_id long, event_type string, "
+                "value double, props string"
+            )
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+            .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        )
+        incremental_hist_partials(sdf, log, checkpoint_dir=ckpt)
+
+    for f in chunks[:2]:
+        shutil.copy(os.path.join(chunked_dir, f), os.path.join(src, f))
+    run_once()
+    gens_first = {p for p in os.listdir(log) if p.startswith("batch_id=")}
+    for f in chunks[2:]:
+        shutil.copy(os.path.join(chunked_dir, f), os.path.join(src, f))
+    run_once()  # restart: must pick up ONLY the two new files
+    gens_second = {p for p in os.listdir(log) if p.startswith("batch_id=")}
+    assert gens_first < gens_second  # old generations kept, new ones added
+    assert len(gens_second) == len(gens_first) + 2
+
+    merged = {
+        (r.event_type, r.d, r.bucket): r.cnt
+        for r in read_incremental_hist(spark, log).collect()
+    }
+    direct = {
+        (r.event_type, r.d, r.bucket): r.cnt
+        for r in hist_partials(
+            batch_events.select(
+                "event_type", F.date_trunc("day", "ts").alias("d"), "value"
+            ),
+            ["event_type", "d"],
+            "value",
+            0.0,
+            512.0,
+            64,
+        ).collect()
+    }
+    assert merged == direct

@@ -162,3 +162,19 @@ def test_parquet_schema_evolution_read(spark, tmp_path):
     assert set(back.columns) == {"id", "name", "score", "gen"}
     got = {r.id: (r.name, r.score) for r in back.collect()}
     assert got == {1: ("a", None), 2: ("b", 9.5)}
+
+
+def test_xml_roundtrip(spark, tmp_path):
+    """A2d/A4d: XML round-trip via Spark 4's built-in XML source preserves
+    rows and types survive re-inference for longs/strings (Avro is
+    unavailable in this environment — external module jar, no network —
+    so XML is the third interchange format beside CSV/JSON)."""
+    from time_series_spark_spark.sources.io import read_xml, write_xml
+
+    out = str(tmp_path / "nation_xml")
+    nat = load(spark, SF, "nation").select("n_nationkey", "n_name")
+    write_xml(nat, out, row_tag="nation", root_tag="nations")
+    back = read_xml(spark, out, row_tag="nation")
+    assert sorted(map(tuple, back.select("n_nationkey", "n_name").collect())) == sorted(
+        map(tuple, nat.collect())
+    )

@@ -118,6 +118,36 @@ def write_orc(
     writer.orc(path)
 
 
+def read_xml(
+    spark: SparkSession, path: str, row_tag: str = "row", **options: str
+) -> DataFrame:
+    """A2d: XML scan (Spark 4's built-in XML data source — schema inference
+    + ``rowTag`` record splitting; the document-feed ingestion format).
+    Avro is NOT available here: it ships as an external module jar and
+    this environment has no network — the same gate-behind-availability
+    rule as the multimodal decoders."""
+    return (
+        spark.read.options(**options).option("rowTag", row_tag).format("xml").load(path)
+    )
+
+
+def write_xml(
+    df: DataFrame,
+    path: str,
+    row_tag: str = "row",
+    root_tag: str = "rows",
+    mode: str = "overwrite",
+) -> None:
+    """A4d: XML sink (round-trip partner of :func:`read_xml`)."""
+    (
+        df.write.mode(mode)
+        .option("rowTag", row_tag)
+        .option("rootTag", root_tag)
+        .format("xml")
+        .save(path)
+    )
+
+
 def write_parquet(
     df: DataFrame,
     path: str,

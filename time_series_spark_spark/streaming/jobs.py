@@ -284,7 +284,9 @@ def _write_partials_idempotent(df: DataFrame, batch_id: int, path: str) -> None:
 
 
 def incremental_bitmap_partials(
-    stream_events: DataFrame, partials_path: str
+    stream_events: DataFrame,
+    partials_path: str,
+    checkpoint_dir: str | None = None,
 ) -> None:
     """Maintain an EXACT streaming distinct-count aggregate as an
     append-only log of mergeable bitmap partials (operators/sketches.py
@@ -313,16 +315,22 @@ def incremental_bitmap_partials(
         )
         _write_partials_idempotent(p, batch_id, partials_path)
 
-    q = (
-        stream_events.writeStream.foreachBatch(fold_batch)
-        .trigger(availableNow=True)
-        .start()
-    )
+    writer = stream_events.writeStream.foreachBatch(fold_batch)
+    if checkpoint_dir:
+        # With a checkpoint, a RESTARTED stream resumes after the last
+        # committed micro-batch (source offsets + batch ids persist), so
+        # only newly arrived files are processed — the recovery semantics
+        # a long-lived ingestion job needs. Without one, availableNow
+        # replays from scratch and the idempotent sink absorbs it.
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    q = writer.trigger(availableNow=True).start()
     q.awaitTermination()
 
 
 def incremental_cm_partials(
-    stream_events: DataFrame, partials_path: str
+    stream_events: DataFrame,
+    partials_path: str,
+    checkpoint_dir: str | None = None,
 ) -> None:
     """J9b: streaming frequency sketch — each micro-batch folds to
     Count-Min cells (operators/sketches.py D20, ≤ d·w rows per batch)
@@ -337,16 +345,22 @@ def incremental_cm_partials(
             cm_partials(batch_df, F.col("user_id")), batch_id, partials_path
         )
 
-    q = (
-        stream_events.writeStream.foreachBatch(fold_batch)
-        .trigger(availableNow=True)
-        .start()
-    )
+    writer = stream_events.writeStream.foreachBatch(fold_batch)
+    if checkpoint_dir:
+        # With a checkpoint, a RESTARTED stream resumes after the last
+        # committed micro-batch (source offsets + batch ids persist), so
+        # only newly arrived files are processed — the recovery semantics
+        # a long-lived ingestion job needs. Without one, availableNow
+        # replays from scratch and the idempotent sink absorbs it.
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    q = writer.trigger(availableNow=True).start()
     q.awaitTermination()
 
 
 def incremental_hist_partials(
-    stream_events: DataFrame, partials_path: str
+    stream_events: DataFrame,
+    partials_path: str,
+    checkpoint_dir: str | None = None,
 ) -> None:
     """J9c: streaming histogram partial log (round 4) — each micro-batch
     folds to exact equi-width bucket counts (operators/sketches.py D21,
@@ -372,11 +386,15 @@ def incremental_hist_partials(
         )
         _write_partials_idempotent(p, batch_id, partials_path)
 
-    q = (
-        stream_events.writeStream.foreachBatch(fold_batch)
-        .trigger(availableNow=True)
-        .start()
-    )
+    writer = stream_events.writeStream.foreachBatch(fold_batch)
+    if checkpoint_dir:
+        # With a checkpoint, a RESTARTED stream resumes after the last
+        # committed micro-batch (source offsets + batch ids persist), so
+        # only newly arrived files are processed — the recovery semantics
+        # a long-lived ingestion job needs. Without one, availableNow
+        # replays from scratch and the idempotent sink absorbs it.
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    q = writer.trigger(availableNow=True).start()
     q.awaitTermination()
 
 
