@@ -68,6 +68,17 @@ def _canon(pdf: pd.DataFrame) -> pd.DataFrame:
             pdf[c] = pdf[c].astype("datetime64[us]")
         elif pd.api.types.is_integer_dtype(pdf[c]):
             pdf[c] = pdf[c].astype("int64")
+        elif pdf[c].dtype == object and len(pdf):
+            # array/struct/map cells crash the driver canonicalizer
+            # (unhashable numpy.ndarray — the round-3 multimodal ERR);
+            # pandas' single-key sort path does NOT raise on them, so
+            # detect explicitly instead of relying on sort_values.
+            v = pdf[c].iloc[0]
+            if isinstance(v, (list, dict, np.ndarray)):
+                raise TypeError(
+                    f"column {c!r} holds {type(v).__name__} cells — the "
+                    "driver cannot hash these; serialize to a string"
+                )
     if len(pdf):
         pdf = pdf.sort_values(list(pdf.columns), kind="mergesort")
     return pdf.reset_index(drop=True)

@@ -239,6 +239,17 @@ def test_cosine_pairs_lsh_no_allpairs_join(spark):
     assert "FlatMapGroupsInPandas" in plan  # the per-bucket GEMM stage
 
 
+def test_profile_numeric_is_single_scan(spark):
+    """orders_profile_numeric claims its whole per-column report costs one
+    pass over the table — the plan must contain exactly ONE file scan
+    (Catalyst's Expand handles the multiple COUNT(DISTINCT)s), not one
+    scan per column or per statistic."""
+    df = _df(spark, "orders_profile_numeric")
+    plan = executed_plan(df)
+    assert plan.count("Scan parquet") == 1, plan
+    assert "Expand" in plan  # the multi-distinct rewrite, not extra scans
+
+
 def test_runtime_bloom_filter_prunes_fact_scan(spark):
     """Runtime row-level filtering (SURVEY.md §4.1): with a selective
     filter on one join side, Catalyst injects a bloom-filter
