@@ -319,3 +319,52 @@ def test_counter_increase_matches_simulation(spark, data):
             exp_inc += cur_
     assert round(got[0].total_increase * 100) == exp_inc
     assert got[0].n_resets == exp_resets
+
+
+def test_seasonal_ratio_anomaly_planted(spark):
+    """F30: a planted 10x same-weekday spike flags is_spike, a 1/10 day
+    flags is_drop, and stable days flag nothing — all against the
+    leave-one-out peer baseline (the anomalous day never contaminates its
+    own baseline)."""
+    import datetime
+
+    from time_series_spark_spark.queries_analytics import (
+        events_seasonal_ratio_anomaly,  # noqa: F401 - registry import
+    )
+    from time_series_spark_spark.queries import REGISTRY
+
+    # ten consecutive Mondays: eight stable 10s, one 100 (spike), one 1
+    # (drop) — enough stable peers that the outliers cannot drag the
+    # leave-one-out mean past the x2 / x0.5 thresholds for normal days
+    base = datetime.datetime(2024, 1, 1, 12, 0)  # a Monday
+    rows = []
+    eid = 0
+    for week, n in enumerate((10, 10, 10, 10, 10, 10, 10, 10, 100, 1)):
+        for _ in range(n):
+            rows.append((eid, base + datetime.timedelta(days=7 * week), 1, "click", 1.0, "{}"))
+            eid += 1
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    )
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix="sra_")
+    df.write.mode("overwrite").parquet(d + "/events.parquet")
+    try:
+        out = {
+            r.d.day: (r.is_spike, r.is_drop)
+            for r in REGISTRY["events_seasonal_ratio_anomaly"].fn(spark, d).collect()
+        }
+        spike_day = (base + datetime.timedelta(days=7 * 8)).day
+        drop_day = (base + datetime.timedelta(days=7 * 9)).day
+        for day, flags in out.items():
+            if day == spike_day:
+                assert flags == (True, False), (day, flags)
+            elif day == drop_day:
+                assert flags == (False, True), (day, flags)
+            else:
+                assert flags == (False, False), (day, flags)
+    finally:
+        import shutil
+
+        shutil.rmtree(d, ignore_errors=True)

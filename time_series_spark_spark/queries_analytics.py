@@ -691,3 +691,73 @@ def orders_profile_numeric(spark: SparkSession, sf_dir: str) -> DataFrame:
     return profile_numeric(
         orders, ["o_custkey", "o_orderkey", "o_totalprice"]
     ).orderBy("column_name")
+
+
+# --------------------------------------------------------------------------
+# F30 seasonal-baseline ratio anomaly (round 4)
+# --------------------------------------------------------------------------
+@register(
+    "events_seasonal_ratio_anomaly",
+    """
+    WITH daily AS (
+        SELECT event_type, CAST(date_trunc('day', ts) AS TIMESTAMP) AS d,
+               CAST(count(*) AS BIGINT) AS n
+        FROM events GROUP BY 1, 2
+    ),
+    base AS (
+        SELECT event_type, d, n,
+               CAST(sum(n) OVER w - n AS BIGINT)   AS peer_sum,
+               CAST(count(*) OVER w - 1 AS BIGINT) AS peer_cnt
+        FROM daily
+        WINDOW w AS (PARTITION BY event_type, dayofweek(d))
+    )
+    SELECT event_type, d, n, peer_sum, peer_cnt,
+           peer_cnt > 0 AND n * peer_cnt > 2 * peer_sum     AS is_spike,
+           peer_cnt > 0 AND 2 * n * peer_cnt < peer_sum     AS is_drop
+    FROM base
+    ORDER BY event_type, d
+    """,
+    doc="F30 seasonal-baseline ratio anomaly: each (event_type, day) count "
+    "is compared against the LEAVE-ONE-OUT mean of its day-of-week peers "
+    "(self excluded, so an anomalous day cannot mask itself — the J7b "
+    "principle in batch); spike = more than 2x the peer mean, drop = less "
+    "than half. The comparisons are pure integer cross-multiplications "
+    "(n*peer_cnt vs 2*peer_sum) — no fp division anywhere, so both "
+    "engines agree bit-for-bit. Day-of-week origins differ across engines "
+    "(Spark 1=Sun, DuckDB 0=Sun) but the dow value only PARTITIONS — it "
+    "never appears in output — so no normalization is needed. One daily "
+    "hash agg + one window on the tiny daily frame.",
+)
+def events_seasonal_ratio_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    daily = (
+        _events(spark, sf_dir)
+        .groupBy(
+            "event_type", F.date_trunc("day", F.col("ts")).alias("d")
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("event_type", F.dayofweek("d"))
+    base = daily.select(
+        "event_type",
+        "d",
+        "n",
+        (F.sum("n").over(w) - F.col("n")).alias("peer_sum"),
+        (F.count(F.lit(1)).over(w) - F.lit(1)).cast("long").alias("peer_cnt"),
+    )
+    return base.select(
+        "event_type",
+        "d",
+        "n",
+        "peer_sum",
+        "peer_cnt",
+        (
+            (F.col("peer_cnt") > 0)
+            & (F.col("n") * F.col("peer_cnt") > 2 * F.col("peer_sum"))
+        ).alias("is_spike"),
+        (
+            (F.col("peer_cnt") > 0)
+            & (2 * F.col("n") * F.col("peer_cnt") < F.col("peer_sum"))
+        ).alias("is_drop"),
+    ).orderBy("event_type", "d")
