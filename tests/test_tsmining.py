@@ -1,0 +1,249 @@
+"""Property tests for operators/tsmining.py (M4, PAA/SAX, lead-lag
+corr, DTW search, matrix profile). Oracle parity for the four
+SQL-expressible queries is covered by tests/test_oracle.py; here we pin
+the algorithmic guarantees that make the rows-only paths trustworthy:
+
+- DTW: identity, symmetry, diagonal-admissibility (DTW <= Euclidean on
+  equal-length inputs), band monotonicity, and LB_Keogh admissibility
+  (LB <= banded DTW) — the exact properties the pruned top-k search
+  rests on;
+- dtw_topk == brute-force all-candidates top-k (prune exactness);
+- MASS FFT distance profile == O(n^2 m) brute-force z-normalized
+  profile (motif/discord indices and distances);
+- lead-lag corr recovers a planted shift;
+- M4 bucket invariants (min <= first/last <= max, counts partition).
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from time_series_spark_spark.operators.analytics import event_order_key
+from time_series_spark_spark.operators.tsmining import (
+    _mass_distance_profile,
+    _znorm,
+    dtw_distance,
+    dtw_topk,
+    dtw_topk_bruteforce,
+    lb_keogh,
+    lead_lag_corr,
+    m4_downsample,
+    paa_sax,
+    query_envelope,
+    sax_words,
+    series_vectors,
+)
+
+RNG = np.random.default_rng(42)
+
+
+# ---------------------------------------------------------------------------
+# DTW core properties
+# ---------------------------------------------------------------------------
+def test_dtw_identity_and_symmetry():
+    for _ in range(5):
+        x = RNG.normal(size=30)
+        y = RNG.normal(size=30)
+        assert dtw_distance(x, x, band=5) == pytest.approx(0.0, abs=1e-12)
+        assert dtw_distance(x, y, band=5) == pytest.approx(
+            dtw_distance(y, x, band=5), rel=1e-12
+        )
+
+
+def test_dtw_leq_euclidean_and_band_monotone():
+    """The diagonal path is always admissible => DTW <= Euclidean; and a
+    wider band can only lower the optimum."""
+    for _ in range(5):
+        x = RNG.normal(size=40)
+        y = RNG.normal(size=40)
+        eu = float(np.sqrt(np.sum((x - y) ** 2)))
+        full = dtw_distance(x, y, band=40)
+        assert full <= eu + 1e-9
+        prev = np.inf
+        for band in (1, 3, 8, 40):
+            d = dtw_distance(x, y, band)
+            assert d <= prev + 1e-9
+            prev = d
+
+
+def test_lb_keogh_admissible():
+    """LB_Keogh(c, env(q, band)) <= DTW_band(c, q) — the inequality that
+    makes the pruned top-k exact."""
+    for _ in range(20):
+        n = 25
+        band = 3
+        q = _znorm(RNG.normal(size=n))
+        c = _znorm(RNG.normal(size=n))
+        lo, hi = query_envelope(q, band)
+        assert lb_keogh(c, lo, hi) <= dtw_distance(c, q, band) + 1e-9
+
+
+def test_envelope_contains_query():
+    q = RNG.normal(size=50)
+    lo, hi = query_envelope(q, 4)
+    assert (lo <= q).all() and (q <= hi).all()
+
+
+# ---------------------------------------------------------------------------
+# dtw_topk == brute force
+# ---------------------------------------------------------------------------
+def _series_df(spark, n_series=40, n_points=25):
+    rows = []
+    t0 = dt.datetime(2024, 1, 1)
+    for s in range(n_series):
+        base = RNG.normal(size=n_points).cumsum()
+        for i, v in enumerate(base):
+            rows.append((s, t0 + dt.timedelta(days=i), float(v)))
+    return spark.createDataFrame(rows, "sid long, d timestamp, v double")
+
+
+def test_dtw_topk_matches_bruteforce(spark):
+    df = _series_df(spark)
+    vecs = series_vectors(df, "sid", "d", "v").persist()
+    q = np.array(
+        vecs.filter(F.col("sid") == 0).collect()[0]["vals"], dtype=np.float64
+    )
+    cands = vecs.filter(F.col("sid") != 0)
+    fast = dtw_topk(cands, "sid", q, k=5, band_frac=0.2).collect()
+    slow = dtw_topk_bruteforce(cands, "sid", q, k=5, band_frac=0.2).collect()
+    vecs.unpersist()
+    assert [(r["sid"], r["dtw"]) for r in fast] == [
+        (r["sid"], r["dtw"]) for r in slow
+    ]
+
+
+# ---------------------------------------------------------------------------
+# matrix profile: MASS == brute force
+# ---------------------------------------------------------------------------
+def _brute_profile(v: np.ndarray, m: int):
+    n = len(v)
+    w = n - m + 1
+    excl = max(1, m // 2)
+    subs = np.stack([_znorm_sub(v[i : i + m]) for i in range(w)])
+    prof = np.full(w, np.inf)
+    pidx = np.full(w, -1)
+    for q in range(w):
+        d = np.sqrt(np.sum((subs - subs[q]) ** 2, axis=1))
+        d[max(0, q - excl) : q + excl + 1] = np.inf
+        j = int(np.argmin(d))
+        prof[q], pidx[q] = d[j], j
+    return prof, pidx
+
+
+def _znorm_sub(x: np.ndarray) -> np.ndarray:
+    mu = x.mean()
+    sd = x.std()  # population, matching the MASS mean/sigma arithmetic
+    sd = sd if sd > 1e-6 else 1e-6
+    return (x - mu) / sd
+
+
+def test_mass_matches_bruteforce_profile():
+    v = RNG.normal(size=120).cumsum()
+    m = 12
+    prof, pidx = _mass_distance_profile(v, m)
+    bprof, bpidx = _brute_profile(v, m)
+    assert np.allclose(prof, bprof, atol=1e-6)
+    assert int(np.argmin(prof)) == int(np.argmin(bprof))
+    assert int(np.argmax(prof)) == int(np.argmax(bprof))
+
+
+def test_matrix_profile_finds_planted_motif(spark):
+    """A repeated distinctive shape at two positions => motif windows
+    land on (a shift of) the planted positions and motif_dist is far
+    below discord_dist."""
+    n = 200
+    v = RNG.normal(size=n) * 0.1
+    shape = np.sin(np.linspace(0, 4 * np.pi, 20)) * 5
+    v[30:50] += shape
+    v[140:160] += shape
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        ("s", t0 + dt.timedelta(hours=i), float(x)) for i, x in enumerate(v)
+    ]
+    df = spark.createDataFrame(rows, "k string, h timestamp, v double")
+    from time_series_spark_spark.operators.tsmining import matrix_profile
+
+    out = matrix_profile(df, ["k"], "h", "v", m=20).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["motif_dist"] < 0.5 * r["discord_dist"]
+    assert abs(r["motif_idx"] - 30) <= 3 or abs(r["motif_idx"] - 140) <= 3
+    pair = {r["motif_idx"], r["motif_nn_idx"]}
+    assert any(abs(a - 30) <= 3 for a in pair) and any(
+        abs(a - 140) <= 3 for a in pair
+    )
+
+
+# ---------------------------------------------------------------------------
+# lead-lag corr recovers a planted shift
+# ---------------------------------------------------------------------------
+def test_lead_lag_recovers_planted_shift(spark):
+    n = 200
+    base = RNG.normal(size=n).cumsum()
+    shift = 3
+    a_rows = [(int(i), float(v)) for i, v in enumerate(base)]
+    # b[t] = a[t - 3] + noise  =>  corr(a[t], b[t + lag]) peaks at lag=+3
+    b_rows = [
+        (int(i + shift), float(v + RNG.normal() * 0.01))
+        for i, v in enumerate(base)
+    ]
+    a = spark.createDataFrame(a_rows, "bkt long, v double")
+    b = spark.createDataFrame(b_rows, "bkt long, v double")
+    out = lead_lag_corr(a, b, "bkt", "v", max_lag=5, lag_step_us=1).collect()
+    best = max(out, key=lambda r: r["r"])
+    assert best["lag"] == shift
+    assert best["r"] > 0.999
+
+
+# ---------------------------------------------------------------------------
+# M4 invariants
+# ---------------------------------------------------------------------------
+def test_m4_bucket_invariants(spark):
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        (i, t0 + dt.timedelta(minutes=float(i)), "a", float(np.sin(i / 7) * 10))
+        for i in range(500)
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, event_type string, value double"
+    )
+    out = m4_downsample(
+        df, "ts", "value", ["event_type"], event_order_key(), n_buckets=20
+    ).collect()
+    assert sum(r["n"] for r in out) == 500
+    assert {r["bucket"] for r in out} == set(range(20))
+    for r in out:
+        assert r["v_min"] <= r["v_first"] <= r["v_max"]
+        assert r["v_min"] <= r["v_last"] <= r["v_max"]
+
+
+# ---------------------------------------------------------------------------
+# PAA / SAX
+# ---------------------------------------------------------------------------
+def test_paa_sax_segments_and_symbols(spark):
+    t0 = dt.datetime(2024, 1, 1)
+    # ramp series: first half low, second half high => word 'aaaa' + 'dddd'
+    # after z-normalization of a steep two-level series
+    vals = [0.0] * 40 + [100.0] * 40
+    rows = [(i, t0 + dt.timedelta(minutes=i), float(v)) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "event_id long, ts timestamp, value double")
+    df = df.withColumn("k", F.lit("s"))
+    per_seg = paa_sax(df, ["k"], "ts", "value", n_segments=8).collect()
+    assert len(per_seg) == 8
+    assert all(r["n_points"] == 10 for r in per_seg)
+    word = sax_words(df, ["k"], "ts", "value", n_segments=8).collect()[0]
+    assert word["sax"] == "aaaadddd"
+    assert word["n_segments"] == 8
+
+
+def test_paa_constant_series_maps_to_c(spark):
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [(i, t0 + dt.timedelta(minutes=i), 7.5) for i in range(16)]
+    df = spark.createDataFrame(rows, "event_id long, ts timestamp, value double")
+    df = df.withColumn("k", F.lit("s"))
+    out = paa_sax(df, ["k"], "ts", "value", n_segments=4).collect()
+    assert all(r["symbol"] == "c" and r["paa"] == 0.0 for r in out)

@@ -1,0 +1,460 @@
+"""Time-series mining operators: M4 downsampling, PAA/SAX symbolic
+approximation, lead-lag cross-correlation, DTW similarity search with
+LB_Keogh pruning, and matrix-profile motif/discord discovery.
+
+The reference directory is empty (SURVEY.md §0), so semantics follow the
+published formulations: M4 per-pixel min/max/first/last aggregation
+(Jugel et al., "M4: A Visualization-Oriented Time Series Data
+Aggregation", VLDB 2014); PAA/SAX Gaussian-breakpoint symbolization
+(Lin/Keogh et al., "A Symbolic Representation of Time Series", DMKD
+2003); LB_Keogh envelope lower bound (Keogh & Ratanamahatana, "Exact
+indexing of dynamic time warping", KAIS 2005); matrix profile / MASS
+(Yeh et al., "Matrix Profile I", ICDM 2016; Mueen's MASS). These match
+the paper corpus the driver retrieved (PAPERS.md: distributed top-k
+trajectory similarity; time-series similarity search for streaming
+data).
+
+Scale notes (100 TB posture):
+- M4 / PAA / SAX / lead-lag corr are single hash-shuffle declarative
+  plans (groupBy + window over the same key partitioning) — entirely
+  JVM-side, whole-stage codegen, no UDFs;
+- the M4 global time-range is a 1-row broadcast scalar join, never a
+  driver collect in the row path;
+- DTW search is the published two-stage exact scheme: an O(n) LB_Keogh
+  envelope pass over EVERY candidate (packed Arrow batches), exact
+  O(n·band) DTW only for the k best-by-LB plus the provably-needed
+  remainder (LB ≤ τ). Candidate-bound property pinned by tests:
+  exact-DTW invocations ≤ k + |{LB ≤ τ}|, and the result equals the
+  brute-force top-k exactly (LB_Keogh admissibility);
+- the matrix profile is per-series O(n² / log) work parallelized across
+  series (packed grouped map), the standard distributed MP shape.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from time_series_spark_spark.operators.packed import packed_grouped_map
+
+# ---------------------------------------------------------------------------
+# M4 downsampling
+# ---------------------------------------------------------------------------
+
+
+def m4_downsample(
+    df: DataFrame,
+    ts: str,
+    value: str,
+    keys: list[str],
+    order_key,
+    n_buckets: int = 100,
+) -> DataFrame:
+    """M4 per-pixel aggregation: split the GLOBAL time range into
+    ``n_buckets`` equal-width buckets and keep, per (keys, bucket), the
+    min, max, first and last value — the four points that make a
+    pixel-width line rendering exact (Jugel et al., VLDB 2014). The
+    global [t_lo, t_hi] is a 1-row aggregate broadcast back onto the
+    rows; bucket math is integer-µs so both engines agree bit-for-bit.
+
+    ``order_key``: a deterministic total-order Column (padded-string
+    (epoch_us, id) composite — see ``analytics.event_order_key``) used
+    for first/last tie-breaks.
+    """
+    us = F.unix_micros(F.col(ts))
+    span = df.agg(
+        F.min(us).alias("_t_lo"), F.max(us).alias("_t_hi")
+    )
+    # integer floor-division (DIV) keeps bucket assignment exact in both
+    # engines — a double-divide + floor can flip at bucket boundaries
+    bucket = F.expr(
+        f"CAST(LEAST({n_buckets - 1}, "
+        f"((_us - _t_lo) * {n_buckets}) DIV (_t_hi - _t_lo + 1)) AS INT)"
+    )
+    return (
+        df.withColumn("_us", us)
+        .crossJoin(F.broadcast(span))
+        .withColumn("bucket", bucket)
+        .withColumn("_ok", order_key)
+        .groupBy(*keys, "bucket")
+        .agg(
+            F.min(value).alias("v_min"),
+            F.max(value).alias("v_max"),
+            F.min_by(value, F.col("_ok")).alias("v_first"),
+            F.max_by(value, F.col("_ok")).alias("v_last"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# PAA + SAX
+# ---------------------------------------------------------------------------
+
+# Gaussian N(0,1) quartile breakpoints for alphabet size 4 (Lin et al. 2003,
+# Table 3). Symbols a<b<c<d from low to high.
+SAX_BREAKPOINTS_4 = (-0.6745, 0.0, 0.6745)
+
+
+def paa_sax(
+    df: DataFrame,
+    keys: list[str],
+    ts: str,
+    value: str,
+    n_segments: int = 8,
+) -> DataFrame:
+    """Piecewise Aggregate Approximation + SAX symbolization per series.
+
+    Each series (one key combination, ordered by ``ts``) is z-normalized
+    (population mean / sample stddev over the series), split into
+    ``n_segments`` equal-count segments by row index (``floor(rk * M /
+    n)`` — the standard PAA frame assignment), the per-segment mean
+    taken, and each mean mapped to a 4-letter alphabet via the Gaussian
+    quartile breakpoints. Output: one row per (keys, segment) with the
+    PAA value and its SAX symbol.
+
+    Entirely window + hash aggregation — one shuffle on ``keys``, no
+    Python. Constant-valued series (stddev 0 or single point) z-map to
+    0 → symbol 'c' deterministically in both engines.
+    """
+    wk = Window.partitionBy(*keys)
+    wo = wk.orderBy(ts)
+    z = F.when(
+        F.stddev_samp(value).over(wk).isNull()
+        | (F.stddev_samp(value).over(wk) == 0),
+        F.lit(0.0),
+    ).otherwise(
+        (F.col(value) - F.avg(value).over(wk)) / F.stddev_samp(value).over(wk)
+    )
+    lo, mid, hi = SAX_BREAKPOINTS_4
+    seg = F.floor(
+        (F.row_number().over(wo) - 1) * F.lit(n_segments) / F.count(F.lit(1)).over(wk)
+    ).cast("int")
+    paa = (
+        df.withColumn("_z", z)
+        .withColumn("seg", seg)
+        .groupBy(*keys, "seg")
+        .agg(F.avg("_z").alias("paa"), F.count(F.lit(1)).alias("n_points"))
+    )
+    sym = (
+        F.when(F.col("paa") < lo, "a")
+        .when(F.col("paa") < mid, "b")
+        .when(F.col("paa") < hi, "c")
+        .otherwise("d")
+    )
+    return paa.withColumn("symbol", sym)
+
+
+def sax_words(
+    df: DataFrame, keys: list[str], ts: str, value: str, n_segments: int = 8
+) -> DataFrame:
+    """One SAX word per series: the ordered concatenation of
+    :func:`paa_sax` symbols — the indexable unit for SAX-based motif /
+    similarity grouping (identical words ⇒ PAA distance bounded by the
+    per-symbol breakpoint span)."""
+    per_seg = paa_sax(df, keys, ts, value, n_segments)
+    return (
+        per_seg.groupBy(*keys)
+        .agg(F.array_sort(F.collect_list(F.struct("seg", "symbol"))).alias("_w"))
+        .select(
+            *keys,
+            F.concat_ws("", F.expr("transform(_w, s -> s.symbol)")).alias("sax"),
+            F.size("_w").alias("n_segments"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Lead-lag cross-correlation
+# ---------------------------------------------------------------------------
+
+
+def lead_lag_corr(
+    a: DataFrame,
+    b: DataFrame,
+    bucket_us: str,
+    value: str,
+    max_lag: int,
+    lag_step_us: int,
+) -> DataFrame:
+    """Pearson correlation between two regular series at every integer
+    lag in [-max_lag, +max_lag]: corr(a[t], b[t + lag·step]). Positive
+    lag ⇒ b LAGS a (a leads). Both inputs: (bucket_us, value) regular
+    aggregated series. The lag fan-out is an explode over a constant
+    sequence (7–21 rows per input row), then ONE equi-join on the
+    shifted bucket — no per-lag job, no driver loop.
+    """
+    lags = F.explode(
+        F.sequence(F.lit(-max_lag), F.lit(max_lag))
+    ).alias("lag")
+    av = a.select(
+        F.col(bucket_us).alias("_abkt"), F.col(value).alias("_av")
+    ).select("*", lags)
+    bv = b.select(F.col(bucket_us).alias("_bbkt"), F.col(value).alias("_bv"))
+    joined = av.join(
+        bv,
+        av["_abkt"] + av["lag"] * F.lit(lag_step_us) == bv["_bbkt"],
+    )
+    return joined.groupBy("lag").agg(
+        F.corr("_av", "_bv").alias("r"),
+        F.count(F.lit(1)).alias("n_overlap"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# DTW similarity search (LB_Keogh-pruned, exact)
+# ---------------------------------------------------------------------------
+
+
+def _znorm(x: np.ndarray) -> np.ndarray:
+    s = x.std(ddof=1) if len(x) > 1 else 0.0
+    return (x - x.mean()) / s if s > 0 else np.zeros_like(x, dtype=np.float64)
+
+
+def dtw_distance(x: np.ndarray, y: np.ndarray, band: int) -> float:
+    """Classic DTW dynamic program with a Sakoe-Chiba band of half-width
+    ``band`` (row i visits columns [i-band, i+band]); squared ground
+    cost, returns the square root. On equal-length inputs DTW ≤
+    Euclidean (the diagonal path is always admissible) — pinned by
+    tests. O(n·band) time, O(n) memory."""
+    n, m = len(x), len(y)
+    band = max(band, abs(n - m))  # feasibility
+    prev = np.full(m + 1, np.inf)
+    prev[0] = 0.0
+    for i in range(1, n + 1):
+        cur = np.full(m + 1, np.inf)
+        j_lo, j_hi = max(1, i - band), min(m, i + band)
+        for j in range(j_lo, j_hi + 1):
+            cost = (x[i - 1] - y[j - 1]) ** 2
+            cur[j] = cost + min(prev[j], cur[j - 1], prev[j - 1])
+        prev = cur
+    return float(np.sqrt(prev[m]))
+
+
+def lb_keogh(candidate: np.ndarray, q_lo: np.ndarray, q_hi: np.ndarray) -> float:
+    """LB_Keogh lower bound: distance from the candidate to the query's
+    band envelope [q_lo, q_hi] (Keogh & Ratanamahatana 2005). Requires
+    len(candidate) == len(envelope); admissible: LB ≤ DTW for the same
+    band. Vectorized O(n)."""
+    c = candidate
+    over = np.clip(c - q_hi, 0.0, None)
+    under = np.clip(q_lo - c, 0.0, None)
+    return float(np.sqrt(np.sum(over**2) + np.sum(under**2)))
+
+
+def query_envelope(q: np.ndarray, band: int) -> tuple[np.ndarray, np.ndarray]:
+    """Sliding min/max envelope of the query over ±band (the LB_Keogh
+    envelope)."""
+    n = len(q)
+    lo = np.empty(n)
+    hi = np.empty(n)
+    for i in range(n):
+        w = q[max(0, i - band) : min(n, i + band + 1)]
+        lo[i] = w.min()
+        hi[i] = w.max()
+    return lo, hi
+
+
+def series_vectors(
+    df: DataFrame, key: str, ts: str, value: str
+) -> DataFrame:
+    """Collapse (key, ts, value) rows into one array-per-series row
+    ``(key, vals: array<double>)`` ordered by ``ts`` — JVM-side
+    (array_sort over collected structs), one shuffle on ``key``."""
+    return (
+        df.groupBy(key)
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col(ts).alias("t"), F.col(value).alias("v")))
+            ).alias("_tv")
+        )
+        .select(
+            F.col(key),
+            F.expr("transform(_tv, s -> CAST(s.v AS DOUBLE))").alias("vals"),
+        )
+    )
+
+
+def dtw_topk(
+    series: DataFrame,
+    key: str,
+    query_vals: np.ndarray,
+    k: int = 5,
+    band_frac: float = 0.1,
+) -> DataFrame:
+    """Exact top-k DTW nearest series to ``query_vals`` among
+    equal-length series rows ``(key, vals)``, two-stage:
+
+    1. every candidate gets the O(n) LB_Keogh envelope bound (pandas UDF
+       over Arrow batches — the full scan stage);
+    2. exact banded DTW for the k best-by-LB; τ = their max distance;
+       exact DTW additionally for every remaining candidate with
+       LB ≤ τ (all others are provably not in the top-k).
+
+    Driver-side traffic: the k seed rows and the τ scalar — never the
+    candidate set. Returns (key, dtw, n_exact_hint) rows of the exact
+    top-k ordered by (dtw, key).
+    """
+    q = _znorm(np.asarray(query_vals, dtype=np.float64))
+    band = max(1, int(round(band_frac * len(q))))
+    q_lo, q_hi = query_envelope(q, band)
+    nq = len(q)
+
+    @F.pandas_udf("double")
+    def lb_udf(vals: pd.Series) -> pd.Series:
+        out = np.empty(len(vals))
+        for i, v in enumerate(vals):
+            c = _znorm(np.asarray(v, dtype=np.float64))
+            out[i] = (
+                lb_keogh(c, q_lo, q_hi) if len(c) == nq else np.inf
+            )
+        return pd.Series(out)
+
+    @F.pandas_udf("double")
+    def dtw_udf(vals: pd.Series) -> pd.Series:
+        out = np.empty(len(vals))
+        for i, v in enumerate(vals):
+            c = _znorm(np.asarray(v, dtype=np.float64))
+            out[i] = dtw_distance(c, q, band)
+        return pd.Series(out)
+
+    with_lb = series.select(key, "vals", lb_udf("vals").alias("lb"))
+    with_lb = with_lb.filter(F.col("lb") != np.inf).persist()
+    try:
+        seeds = with_lb.orderBy("lb", key).limit(k)
+        seed_exact = seeds.select(key, "lb", dtw_udf("vals").alias("dtw"))
+        tau_row = seed_exact.agg(F.max("dtw").alias("tau"))
+        seed_keys = [r[key] for r in seeds.select(key).collect()]
+        rest_exact = (
+            with_lb.crossJoin(F.broadcast(tau_row))
+            .filter(~F.col(key).isin(seed_keys))
+            .filter(F.col("lb") <= F.col("tau"))
+            .select(key, "lb", dtw_udf("vals").alias("dtw"))
+        )
+        out = (
+            seed_exact.unionByName(rest_exact)
+            .orderBy("dtw", key)
+            .limit(k)
+            .select(key, F.round("dtw", 6).alias("dtw"))
+        )
+        out = out.localCheckpoint(eager=True)  # materialize before unpersist
+    finally:
+        with_lb.unpersist()
+    return out
+
+
+def dtw_topk_bruteforce(
+    series: DataFrame, key: str, query_vals: np.ndarray, k: int = 5,
+    band_frac: float = 0.1,
+) -> DataFrame:
+    """Reference path: exact DTW for EVERY candidate (no LB pruning).
+    Used by tests to pin ``dtw_topk`` exactness; O(N·n·band)."""
+    q = _znorm(np.asarray(query_vals, dtype=np.float64))
+    band = max(1, int(round(band_frac * len(q))))
+    nq = len(q)
+
+    @F.pandas_udf("double")
+    def dtw_udf(vals: pd.Series) -> pd.Series:
+        out = np.empty(len(vals))
+        for i, v in enumerate(vals):
+            c = _znorm(np.asarray(v, dtype=np.float64))
+            out[i] = dtw_distance(c, q, band) if len(c) == nq else np.inf
+        return pd.Series(out)
+
+    return (
+        series.select(key, dtw_udf("vals").alias("dtw"))
+        .filter(F.col("dtw") != np.inf)
+        .orderBy("dtw", key)
+        .limit(k)
+        .select(key, F.round("dtw", 6).alias("dtw"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Matrix profile (self-join motif / discord discovery)
+# ---------------------------------------------------------------------------
+
+
+def _mass_distance_profile(ts_v: np.ndarray, m: int) -> tuple[np.ndarray, np.ndarray]:
+    """All-pairs z-normalized subsequence distance matrix diag-free
+    minimum — the matrix profile — computed with the MASS idea: sliding
+    dot products via FFT convolution, O(n² log n) total for all query
+    windows, with the trivial-match exclusion zone ±m/2 (Yeh et al.,
+    ICDM 2016). Returns (profile, profile_index)."""
+    n = len(ts_v)
+    w = n - m + 1
+    # sliding means / stds
+    csum = np.cumsum(np.concatenate(([0.0], ts_v)))
+    csum2 = np.cumsum(np.concatenate(([0.0], ts_v**2)))
+    mu = (csum[m:] - csum[:-m]) / m
+    var = (csum2[m:] - csum2[:-m]) / m - mu**2
+    sigma = np.sqrt(np.clip(var, 1e-12, None))
+    prof = np.full(w, np.inf)
+    pidx = np.full(w, -1)
+    excl = max(1, m // 2)
+    # FFT of the full series once per query window (MASS)
+    fft_len = 1 << int(np.ceil(np.log2(n + m)))
+    ts_fft = np.fft.rfft(ts_v, fft_len)
+    for q in range(w):
+        qv = ts_v[q : q + m][::-1]
+        dots = np.fft.irfft(ts_fft * np.fft.rfft(qv, fft_len), fft_len)[m - 1 : n]
+        # z-normalized distance from window q to every window j
+        d2 = 2 * m * (
+            1 - (dots - m * mu[q] * mu) / (m * sigma[q] * sigma)
+        )
+        d = np.sqrt(np.clip(d2, 0.0, None))
+        d[max(0, q - excl) : q + excl + 1] = np.inf  # trivial matches
+        j = int(np.argmin(d))
+        if d[j] < prof[q]:
+            prof[q] = d[j]
+            pidx[q] = j
+    return prof, pidx
+
+
+def matrix_profile(
+    df: DataFrame,
+    keys: list[str],
+    ts: str,
+    value: str,
+    m: int,
+) -> DataFrame:
+    """Per-series matrix profile summary: motif (most-repeated shape =
+    global minimum of the profile, with its nearest-neighbor index) and
+    discord (most anomalous shape = global maximum). One packed grouped
+    map — thousands of series per Arrow batch, per-series O(n² log n)
+    numpy, embarrassingly parallel across series. Key columns keep their
+    input Spark types."""
+    in_fields = {f.name: f.dataType.simpleString() for f in df.schema.fields}
+    key_schema = ", ".join(f"{k} {in_fields[k]}" for k in keys)
+
+    def _apply(pdf: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for kv, g in pdf.groupby(keys, sort=False):
+            kv = kv if isinstance(kv, tuple) else (kv,)
+            v = g[value].to_numpy(dtype=np.float64)
+            if len(v) < 2 * m:
+                continue
+            prof, pidx = _mass_distance_profile(v, m)
+            mot = int(np.argmin(prof))
+            dis = int(np.argmax(prof))
+            rows.append(
+                (*kv, len(v), mot, int(pidx[mot]),
+                 round(float(prof[mot]), 6), dis, round(float(prof[dis]), 6))
+            )
+        return pd.DataFrame(
+            rows,
+            columns=[*keys, "n_points", "motif_idx", "motif_nn_idx",
+                     "motif_dist", "discord_idx", "discord_dist"],
+        )
+
+    return packed_grouped_map(
+        df.select(*keys, ts, value),
+        keys,
+        [ts],
+        _apply,
+        f"{key_schema}, n_points long, motif_idx long, motif_nn_idx long, "
+        "motif_dist double, discord_idx long, discord_dist double",
+    )

@@ -1,0 +1,289 @@
+"""Time-series mining query surface (SURVEY.md §2.F extension, round 4):
+M4 visualization downsampling, PAA/SAX symbolization, lead-lag
+cross-correlation, DTW top-k similarity search, matrix-profile motif /
+discord discovery.
+
+These cover the "time-series similarity search" axis of the retrieved
+paper corpus (PAPERS.md: distributed top-k trajectory similarity;
+similarity search for streaming time-series) that the engine had not yet
+surfaced as queries. Determinism rules as everywhere (queries.py
+header): integer-µs bucket math with integer DIV (never float floor),
+padded-string order keys for first/last, fp emitted rounded identically
+in both engines, BIGINT casts on DuckDB integer sums.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from time_series_spark_spark.operators.analytics import event_order_key
+from time_series_spark_spark.operators.tsmining import (
+    dtw_topk,
+    lead_lag_corr,
+    m4_downsample,
+    matrix_profile,
+    paa_sax,
+    sax_words,
+    series_vectors,
+)
+from time_series_spark_spark.queries import register
+from time_series_spark_spark.sources.io import load
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load(spark, sf_dir, "events")
+
+
+_ORD_KEY = "printf('%020d-%012d', epoch_us(ts), event_id)"
+
+
+# --------------------------------------------------------------------------
+# F31 M4 downsampling
+# --------------------------------------------------------------------------
+@register(
+    "events_m4_type",
+    f"""
+    WITH span AS (
+        SELECT min(epoch_us(ts)) AS t_lo, max(epoch_us(ts)) AS t_hi
+        FROM events
+    ),
+    b AS (
+        SELECT event_type,
+               CAST(least(99, ((epoch_us(ts) - t_lo) * 100)
+                              // (t_hi - t_lo + 1)) AS INT) AS bucket,
+               value,
+               {_ORD_KEY} AS ok
+        FROM events, span
+    )
+    SELECT event_type, bucket,
+           min(value)               AS v_min,
+           max(value)               AS v_max,
+           arg_min(value, ok)       AS v_first,
+           arg_max(value, ok)       AS v_last,
+           CAST(count(*) AS BIGINT) AS n
+    FROM b GROUP BY 1, 2
+    """,
+    doc="F31 M4 per-pixel downsampling (Jugel et al., VLDB 2014): 100 "
+    "equal-width buckets over the global time range, min/max/first/last "
+    "per (event_type, bucket) — the exact aggregation for pixel-perfect "
+    "line rendering; one scalar-broadcast join + one hash aggregation, "
+    "bucket math in integer µs with integer DIV so both engines agree "
+    "bit-for-bit",
+)
+def events_m4_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return m4_downsample(
+        _events(spark, sf_dir),
+        "ts",
+        "value",
+        ["event_type"],
+        event_order_key(),
+        n_buckets=100,
+    )
+
+
+# --------------------------------------------------------------------------
+# F32 PAA + SAX
+# --------------------------------------------------------------------------
+_PAA_ORACLE_CORE = f"""
+    z AS (
+        SELECT user_id,
+               CASE WHEN stddev_samp(value) OVER w IS NULL
+                      OR stddev_samp(value) OVER w = 0 THEN 0.0
+                    ELSE (value - avg(value) OVER w)
+                         / stddev_samp(value) OVER w END AS z,
+               CAST(((row_number() OVER (PARTITION BY user_id ORDER BY {_ORD_KEY})
+                      - 1) * 8) // (count(*) OVER w) AS INT) AS seg
+        FROM events
+        WINDOW w AS (PARTITION BY user_id)
+    ),
+    p AS (
+        SELECT user_id, seg, avg(z) AS paa_raw,
+               CAST(count(*) AS BIGINT) AS n_points
+        FROM z GROUP BY 1, 2
+    )
+"""
+
+
+@register(
+    "events_paa_sax_user",
+    f"""
+    WITH {_PAA_ORACLE_CORE}
+    SELECT user_id, seg, round(paa_raw, 4) AS paa,
+           CASE WHEN paa_raw < -0.6745 THEN 'a'
+                WHEN paa_raw < 0      THEN 'b'
+                WHEN paa_raw < 0.6745 THEN 'c'
+                ELSE 'd' END AS symbol,
+           n_points
+    FROM p
+    """,
+    doc="F32 PAA + SAX (Lin/Keogh et al., DMKD 2003): per-user series "
+    "z-normalized, split into 8 equal-count segments, per-segment mean "
+    "mapped to a 4-letter Gaussian-breakpoint alphabet — window + hash "
+    "agg only, no Python; symbols computed from the UNROUNDED mean in "
+    "both engines so rounding can never flip a breakpoint comparison",
+)
+def events_paa_sax_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir).withColumn("_ok", event_order_key())
+    out = paa_sax(ev, ["user_id"], "_ok", "value", n_segments=8)
+    return out.select(
+        "user_id",
+        "seg",
+        F.round("paa", 4).alias("paa"),
+        "symbol",
+        "n_points",
+    )
+
+
+@register(
+    "events_sax_words_user",
+    f"""
+    WITH {_PAA_ORACLE_CORE}
+    SELECT user_id,
+           string_agg(CASE WHEN paa_raw < -0.6745 THEN 'a'
+                           WHEN paa_raw < 0      THEN 'b'
+                           WHEN paa_raw < 0.6745 THEN 'c'
+                           ELSE 'd' END, '' ORDER BY seg) AS sax,
+           CAST(count(*) AS INT) AS n_segments
+    FROM p GROUP BY user_id
+    """,
+    doc="F32b one SAX word per user series — the indexable symbolization "
+    "unit (equal words => bounded PAA distance); purely symbolic output, "
+    "immune to fp rounding entirely",
+)
+def events_sax_words_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir).withColumn("_ok", event_order_key())
+    return sax_words(ev, ["user_id"], "_ok", "value", n_segments=8)
+
+
+# --------------------------------------------------------------------------
+# F33 lead-lag cross-correlation
+# --------------------------------------------------------------------------
+@register(
+    "events_lead_lag_corr",
+    """
+    WITH hourly AS (
+        SELECT event_type,
+               epoch_us(CAST(date_trunc('hour', ts) AS TIMESTAMP)) AS bkt,
+               sum(value) AS v
+        FROM events WHERE event_type IN ('click', 'purchase')
+        GROUP BY 1, 2
+    ),
+    a AS (SELECT bkt, v FROM hourly WHERE event_type = 'click'),
+    b AS (SELECT bkt, v FROM hourly WHERE event_type = 'purchase'),
+    lags AS (SELECT CAST(range AS INT) AS lag FROM range(-6, 7))
+    SELECT lag,
+           round(corr(a.v, b.v), 4)  AS r,
+           CAST(count(*) AS BIGINT)  AS n_overlap
+    FROM lags
+    CROSS JOIN a
+    JOIN b ON b.bkt = a.bkt + lag * 3600000000
+    GROUP BY lag
+    """,
+    doc="F33 lead-lag scan: Pearson r between the hourly click-value and "
+    "purchase-value series at every lag in [-6h, +6h] (positive lag => "
+    "purchases trail clicks). One explode + one equi-join on the shifted "
+    "bucket + one hash agg — no per-lag jobs; the distributed shape of "
+    "cross-correlation feature scans",
+)
+def events_lead_lag_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    hourly = (
+        ev.filter(F.col("event_type").isin("click", "purchase"))
+        .groupBy(
+            "event_type",
+            F.unix_micros(F.date_trunc("hour", F.col("ts"))).alias("bkt"),
+        )
+        .agg(F.sum("value").alias("v"))
+    )
+    a = hourly.filter(F.col("event_type") == "click").select("bkt", "v")
+    b = hourly.filter(F.col("event_type") == "purchase").select("bkt", "v")
+    out = lead_lag_corr(a, b, "bkt", "v", max_lag=6, lag_step_us=3_600_000_000)
+    return out.select(
+        "lag", F.round("r", 4).alias("r"), F.col("n_overlap")
+    )
+
+
+# --------------------------------------------------------------------------
+# F34 DTW top-k similarity search (rows-only: DP is not SQL-expressible)
+# --------------------------------------------------------------------------
+def _user_daily_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user dense 30-day daily-sum-value series as array rows; the
+    global day grid comes from a scalar aggregate so every user has the
+    same length (DTW needs equal-length candidates vs the query)."""
+    ev = _events(spark, sf_dir)
+    daily = ev.groupBy(
+        "user_id", F.date_trunc("day", F.col("ts")).alias("d")
+    ).agg(F.round(F.sum("value"), 6).alias("v"))
+    bounds = daily.agg(F.min("d").alias("lo"), F.max("d").alias("hi"))
+    grid = (
+        daily.select("user_id")
+        .distinct()
+        .crossJoin(F.broadcast(bounds))
+        .select(
+            "user_id",
+            F.explode(F.expr("sequence(lo, hi, interval 1 day)")).alias("d"),
+        )
+    )
+    dense = grid.join(daily, ["user_id", "d"], "left").select(
+        "user_id", "d", F.coalesce("v", F.lit(0.0)).alias("v")
+    )
+    return series_vectors(dense, "user_id", "d", "v")
+
+
+@register(
+    "events_dtw_topk_user",
+    None,  # dynamic-programming DTW is not SQL-expressible → rows-only;
+    # exactness is pinned by tests/test_tsmining.py against the
+    # brute-force all-candidates path (LB_Keogh admissibility)
+    doc="F34 exact top-5 DTW-nearest user series to user 0's daily-sum "
+    "series (Sakoe-Chiba band 10%, z-normalized), LB_Keogh-pruned: O(n) "
+    "envelope bound for every candidate, exact O(n*band) DTW only for "
+    "the k best-by-LB plus the provably-needed LB<=tau remainder "
+    "(Keogh & Ratanamahatana, KAIS 2005) — the distributed shape of the "
+    "retrieved top-k trajectory-similarity paper",
+)
+def events_dtw_topk_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    vecs = _user_daily_vectors(spark, sf_dir)
+    qrow = vecs.filter(F.col("user_id") == 0).select("vals").collect()
+    q = np.array(qrow[0]["vals"], dtype=np.float64)
+    cands = vecs.filter(F.col("user_id") != 0)
+    return dtw_topk(cands, "user_id", q, k=5, band_frac=0.1)
+
+
+# --------------------------------------------------------------------------
+# F35 matrix profile (rows-only: FFT/DP per series, not SQL-expressible)
+# --------------------------------------------------------------------------
+@register(
+    "events_matrix_profile_type",
+    None,  # per-series FFT sliding-dot-product DP → rows-only; MASS
+    # correctness is pinned by tests/test_tsmining.py against the O(n^2 m)
+    # brute-force z-normalized distance profile
+    doc="F35 matrix profile per event_type over the dense hourly count "
+    "series (m=24h, MASS FFT sliding dot products, +-m/2 exclusion "
+    "zone; Yeh et al., ICDM 2016): motif = most-repeated day-shape, "
+    "discord = most anomalous day — per-series numpy parallelized "
+    "across series on the packed grouped-map path",
+)
+def events_matrix_profile_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("h")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    bounds = hourly.agg(F.min("h").alias("lo"), F.max("h").alias("hi"))
+    grid = (
+        hourly.select("event_type")
+        .distinct()
+        .crossJoin(F.broadcast(bounds))
+        .select(
+            "event_type",
+            F.explode(F.expr("sequence(lo, hi, interval 1 hour)")).alias("h"),
+        )
+    )
+    dense = grid.join(hourly, ["event_type", "h"], "left").select(
+        "event_type", "h", F.coalesce("n", F.lit(0)).cast("double").alias("v")
+    )
+    return matrix_profile(dense, ["event_type"], "h", "v", m=24).orderBy(
+        "event_type"
+    )
