@@ -263,3 +263,63 @@ def test_multi_rhs_cohort_matches_scalar_path():
                 multi[j][c].to_numpy(), single[c].to_numpy(),
                 rtol=1e-8, atol=1e-8,
             )
+
+
+# ---------------------------------------------------------------------------
+# Holt-Winters
+# ---------------------------------------------------------------------------
+def test_holt_winters_recovers_planted_signal():
+    """Additive trend + weekly seasonality with tiny noise: the h-step
+    forecast must track the true continuation closely."""
+    import numpy as np
+
+    from time_series_spark_spark.operators.forecast import holt_winters_series
+
+    rng = np.random.default_rng(7)
+    n, m, h = 140, 7, 14
+    t = np.arange(n + h)
+    season = np.array([5, -3, 0, 2, -4, 1, -1], dtype=float)
+    y_full = 100 + 0.5 * t + season[t % m] + rng.normal(0, 0.05, n + h)
+    yhat, sse = holt_winters_series(y_full[:n], m, h)
+    true_tail = y_full[n:]
+    mae = float(np.mean(np.abs(yhat - true_tail)))
+    assert mae < 0.5, mae
+    assert sse < n  # sub-unit per-point residuals on a near-exact model
+
+
+def test_holt_winters_rejects_short_series():
+    import numpy as np
+    import pytest as _pytest
+
+    from time_series_spark_spark.operators.forecast import holt_winters_series
+
+    with _pytest.raises(ValueError):
+        holt_winters_series(np.arange(10.0), 7, 5)
+
+
+def test_holt_winters_spark_grid_and_skip(spark):
+    """Distributed path: forecast grid continues daily from each series'
+    last observation; series shorter than two seasons are skipped."""
+    import datetime as dt
+
+    import numpy as np
+
+    from time_series_spark_spark.operators.forecast import holt_winters
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = []
+    season = [5, -3, 0, 2, -4, 1, -1]
+    for i in range(28):
+        rows.append(("long", t0 + dt.timedelta(days=i), 10.0 + season[i % 7]))
+    for i in range(5):
+        rows.append(("short", t0 + dt.timedelta(days=i), 1.0))
+    df = spark.createDataFrame(rows, "key string, ds timestamp, y double")
+    out = holt_winters(df, ["key"], "ds", "y", season_length=7, horizon=3)
+    rows_out = out.collect()
+    assert {r["key"] for r in rows_out} == {"long"}
+    ds = sorted(r["ds"] for r in rows_out)
+    assert ds == [t0 + dt.timedelta(days=28 + i) for i in range(3)]
+    # constant-trend seasonal series: forecast ~ level + seasonal exactly
+    for r in rows_out:
+        day_idx = (r["ds"] - t0).days
+        assert abs(r["yhat"] - (10.0 + season[day_idx % 7])) < 0.5

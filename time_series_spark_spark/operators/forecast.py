@@ -479,3 +479,109 @@ def daily_series(
     return df.groupBy(
         *keys, F.date_trunc("day", F.col(ts_col)).alias("ds")
     ).agg(value.alias(alias))
+
+
+# --------------------------------------------------------------------------
+# F30b: Holt-Winters triple exponential smoothing (additive)
+# --------------------------------------------------------------------------
+def holt_winters_series(
+    y: np.ndarray,
+    season_length: int,
+    horizon: int,
+    alpha: float = 0.3,
+    beta: float = 0.05,
+    gamma: float = 0.2,
+) -> tuple[np.ndarray, float]:
+    """Additive Holt-Winters (triple exponential smoothing) for one
+    series: the classic level/trend/seasonal recursion with the standard
+    two-season initialization (level = first-season mean, trend =
+    season-over-season mean change / m, seasonals = first-season
+    deviations) — the published formulation (Holt 1957 / Winters 1960;
+    Hyndman & Athanasopoulos, *Forecasting: Principles and Practice*,
+    §8.3). Requires ``len(y) >= 2 * season_length``.
+
+    Returns ``(yhat[horizon], sse)`` where sse is the in-sample
+    one-step-ahead squared error (a fit-quality scalar for model
+    comparison). Pure numpy; deterministic.
+    """
+    m = season_length
+    n = len(y)
+    if n < 2 * m:
+        raise ValueError(f"need >= {2 * m} points, got {n}")
+    level = float(np.mean(y[:m]))
+    trend = float((np.mean(y[m : 2 * m]) - np.mean(y[:m])) / m)
+    season = (y[:m] - level).astype(np.float64).copy()
+    sse = 0.0
+    for t in range(n):
+        s_prev = season[t % m]
+        fitted = level + trend + s_prev
+        if t >= m:  # first season's "fit" is its own initialization
+            sse += (y[t] - fitted) ** 2
+        new_level = alpha * (y[t] - s_prev) + (1 - alpha) * (level + trend)
+        trend = beta * (new_level - level) + (1 - beta) * trend
+        season[t % m] = gamma * (y[t] - level - trend) + (1 - gamma) * s_prev
+        level = new_level
+    h = np.arange(1, horizon + 1)
+    yhat = level + h * trend + season[(n + h - 1) % m]
+    return yhat, float(sse)
+
+
+def holt_winters(
+    df: DataFrame,
+    keys: list[str],
+    ds_col: str,
+    y_col: str,
+    season_length: int,
+    horizon: int,
+    freq_days: float = 1.0,
+    alpha: float = 0.3,
+    beta: float = 0.05,
+    gamma: float = 0.2,
+) -> DataFrame:
+    """Per-series additive Holt-Winters forecast on the packed
+    grouped-map path (same shuffle shape as :func:`forecast` — one hash
+    partitioning by key, thousands of series per Arrow batch, per-series
+    O(n) numpy). Series shorter than two seasons are skipped (a 100 TB
+    corpus always has cold keys; silently emitting garbage for them is
+    worse than absence).
+
+    Output: ``keys…, ds timestamp, yhat double, sse double``.
+    """
+    key_schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}"
+        for f in df.schema.fields
+        if f.name in keys
+    )
+    step = np.timedelta64(int(freq_days * 86_400_000_000), "us")
+
+    def _fit_batch(pdf: pd.DataFrame) -> pd.DataFrame:
+        outs = []
+        for kv, g in pdf.groupby(keys, sort=False):
+            if not isinstance(kv, tuple):
+                kv = (kv,)
+            ds_arr = g[ds_col].to_numpy()
+            y_arr = g[y_col].to_numpy(dtype=float)
+            order = np.argsort(ds_arr)
+            ds_arr, y_arr = ds_arr[order], y_arr[order]
+            if len(y_arr) < 2 * season_length or np.isnan(y_arr).any():
+                continue
+            yhat, sse = holt_winters_series(
+                y_arr, season_length, horizon, alpha, beta, gamma
+            )
+            future = ds_arr[-1] + step * np.arange(1, horizon + 1)
+            out = pd.DataFrame({"ds": future, "yhat": yhat, "sse": sse})
+            for k, v in zip(keys, kv):
+                out[k] = v
+            outs.append(out[[*keys, "ds", "yhat", "sse"]])
+        if not outs:
+            return pd.DataFrame(columns=[*keys, "ds", "yhat", "sse"])
+        return pd.concat(outs, ignore_index=True)
+
+    slim = df.select(*keys, ds_col, y_col)
+    return packed_grouped_map(
+        slim,
+        keys,
+        [ds_col],
+        _fit_batch,
+        f"{key_schema}, ds timestamp, yhat double, sse double",
+    )

@@ -86,3 +86,28 @@ def backtest_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("rmse", 4).alias("rmse"),
         F.round("coverage", 4).alias("coverage"),
     )
+
+
+@register(
+    "forecast_hw_weekly_revenue",
+    None,  # recursive smoothing is not SQL-expressible → rows-only +
+    # planted-series property tests (tests/test_forecast.py)
+    doc="F7b additive Holt-Winters (triple exponential smoothing, "
+    "season=7, horizon=14) over the 3 daily revenue series — the classic "
+    "state-recursion forecaster beside the regression-based F7 model; "
+    "same packed grouped-map shuffle shape",
+)
+def forecast_hw_weekly_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from time_series_spark_spark.operators.forecast import holt_winters
+
+    fc = holt_winters(
+        _revenue_series(spark, sf_dir),
+        ["key"],
+        "ds",
+        "y",
+        season_length=7,
+        horizon=14,
+    )
+    return fc.select(
+        "key", "ds", F.round("yhat", 4).alias("yhat"), F.round("sse", 2).alias("sse")
+    )
