@@ -1359,3 +1359,216 @@ def docs_incremental_bloom_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("n_false_pos"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# K11 collocation mining (PMI) + K12 corpus-law statistics (round 4)
+# --------------------------------------------------------------------------
+@register(
+    "docs_pmi_bigrams",
+    """
+    WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ),
+    uni AS (
+        SELECT unnest(t) AS w FROM toks
+    ),
+    ucnt AS (SELECT w, count(*) AS c FROM uni GROUP BY w),
+    utot AS (SELECT CAST(sum(c) AS BIGINT) AS nu FROM ucnt),
+    pos AS (
+        SELECT doc_id, generate_subscripts(t, 1) AS i, unnest(t) AS w
+        FROM toks
+    ),
+    big AS (
+        SELECT a.w AS w1, b.w AS w2, count(*) AS c12
+        FROM pos a JOIN pos b ON a.doc_id = b.doc_id AND b.i = a.i + 1
+        GROUP BY 1, 2
+    ),
+    btot AS (SELECT CAST(sum(c12) AS BIGINT) AS nb FROM big)
+    SELECT w1, w2,
+           CAST(c12 AS BIGINT) AS c12,
+           round(ln((CAST(c12 AS DOUBLE) / nb)
+                    / ((CAST(u1.c AS DOUBLE) / nu)
+                       * (CAST(u2.c AS DOUBLE) / nu))), 4) AS pmi
+    FROM big, btot, utot
+    JOIN ucnt u1 ON u1.w = w1
+    JOIN ucnt u2 ON u2.w = w2
+    WHERE c12 >= 5
+    ORDER BY pmi DESC, w1, w2 LIMIT 20
+    """,
+    doc="K11 collocation mining: top-20 bigrams by pointwise mutual "
+    "information (joint prob over the bigram space vs unigram marginals; "
+    "Church & Hanks 1990), min joint count 5. Spark side builds bigrams "
+    "JVM-side with arrays_zip+slice (no positional self-join) and "
+    "broadcasts the two unigram-count lookups; the only wide exchange is "
+    "the bigram count — the 100 TB-safe shape for corpus association "
+    "statistics.",
+)
+def docs_pmi_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.split(F.col("text"), " ").alias("t")
+    )
+    uni = toks.select(F.explode("t").alias("w"))
+    ucnt = uni.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    utot = ucnt.agg(F.sum("c").cast("long").alias("nu"))
+    big = (
+        toks.select(
+            F.explode(
+                F.arrays_zip(
+                    F.expr("slice(t, 1, size(t) - 1)"),
+                    F.expr("slice(t, 2, size(t) - 1)"),
+                )
+            ).alias("bg")
+        )
+        .select(F.col("bg.0").alias("w1"), F.col("bg.1").alias("w2"))
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("c12"))
+    )
+    btot = big.agg(F.sum("c12").cast("long").alias("nb"))
+    u1 = ucnt.select(F.col("w").alias("w1"), F.col("c").alias("c1"))
+    u2 = ucnt.select(F.col("w").alias("w2"), F.col("c").alias("c2"))
+    pmi = F.round(
+        F.log(
+            (F.col("c12").cast("double") / F.col("nb"))
+            / (
+                (F.col("c1").cast("double") / F.col("nu"))
+                * (F.col("c2").cast("double") / F.col("nu"))
+            )
+        ),
+        4,
+    )
+    return (
+        big.filter(F.col("c12") >= 5)
+        .join(F.broadcast(u1), "w1")
+        .join(F.broadcast(u2), "w2")
+        .crossJoin(F.broadcast(btot))
+        .crossJoin(F.broadcast(utot))
+        .select("w1", "w2", F.col("c12").cast("long").alias("c12"), pmi.alias("pmi"))
+        .orderBy(F.desc("pmi"), "w1", "w2")
+        .limit(20)
+    )
+
+
+@register(
+    "docs_zipf_fit",
+    """
+    WITH cnt AS (
+        SELECT term, count(*) AS c
+        FROM (SELECT unnest(string_split(text, ' ')) AS term FROM documents)
+        GROUP BY term
+    ),
+    ranked AS (
+        SELECT c, row_number() OVER (ORDER BY c DESC, term) AS rnk
+        FROM cnt
+    )
+    SELECT round(regr_slope(ln(CAST(c AS DOUBLE)), ln(CAST(rnk AS DOUBLE))), 4)
+               AS zipf_slope,
+           round(regr_intercept(ln(CAST(c AS DOUBLE)),
+                                ln(CAST(rnk AS DOUBLE))), 4) AS zipf_intercept,
+           CAST(count(*) AS BIGINT)  AS n_ranked
+    FROM ranked WHERE rnk <= 100
+    """,
+    doc="K12 Zipf's-law fit: OLS slope of log(freq) vs log(rank) over the "
+    "top-100 terms (Zipf ~ -1 for natural corpora) — rank via one "
+    "window over the term counts, slope via the built-in regr_slope "
+    "aggregate (JVM-side, no UDF)",
+)
+def docs_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    cnt = (
+        docs.select(F.explode(F.split(F.col("text"), " ")).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    from pyspark.sql.window import Window
+
+    ranked = cnt.select(
+        "c",
+        F.row_number()
+        .over(Window.orderBy(F.desc("c"), "term"))
+        .alias("rnk"),
+    ).filter(F.col("rnk") <= 100)
+    lc = F.log(F.col("c").cast("double"))
+    lr = F.log(F.col("rnk").cast("double"))
+    return ranked.agg(
+        F.round(F.regr_slope(lc, lr), 4).alias("zipf_slope"),
+        F.round(F.regr_intercept(lc, lr), 4).alias("zipf_intercept"),
+        F.count(F.lit(1)).alias("n_ranked"),
+    )
+
+
+@register(
+    "docs_heaps_curve",
+    """
+    WITH q AS (
+        SELECT doc_id, ntile(4) OVER (ORDER BY doc_id) AS quartile,
+               len(string_split(text, ' ')) AS n_tok
+        FROM documents
+    ),
+    cuts AS (
+        SELECT quartile, max(doc_id) AS cut,
+               CAST(count(*) AS BIGINT) AS n_docs_q,
+               CAST(sum(n_tok) AS BIGINT) AS n_tok_q
+        FROM q GROUP BY quartile
+    ),
+    cum AS (
+        SELECT quartile, cut,
+               CAST(sum(n_docs_q) OVER (ORDER BY quartile) AS BIGINT)
+                   AS n_docs,
+               CAST(sum(n_tok_q) OVER (ORDER BY quartile) AS BIGINT)
+                   AS cum_tokens
+        FROM cuts
+    ),
+    first_seen AS (
+        SELECT term, min(doc_id) AS first_doc
+        FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+              FROM documents)
+        GROUP BY term
+    )
+    SELECT c.quartile, c.n_docs, c.cum_tokens,
+           CAST(count(f.term) AS BIGINT) AS vocab
+    FROM cum c LEFT JOIN first_seen f ON f.first_doc <= c.cut
+    GROUP BY 1, 2, 3
+    """,
+    doc="K12b Heaps'-law vocabulary-growth curve: distinct-vocabulary "
+    "size after each doc_id quartile of the corpus, computed exactly "
+    "from each term's FIRST containing doc (min(doc_id) per term — one "
+    "explode+agg, no per-prefix rescan) joined against the 4 quartile "
+    "cuts — integer-only output, fully deterministic",
+)
+def docs_heaps_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    docs = load(spark, sf_dir, "documents")
+    # ntile over the global doc_id order funnels (doc_id, n_tok) pairs —
+    # two slim longs, never text — through one task; beyond ~1e9 docs swap
+    # for approx_percentile(doc_id, [.25,.5,.75]) cut-offs (exactness of
+    # the curve then depends only on the cut placement, not the counts)
+    q = docs.select(
+        "doc_id",
+        F.ntile(4).over(Window.orderBy("doc_id")).alias("quartile"),
+        F.size(F.split(F.col("text"), " ")).alias("n_tok"),
+    )
+    cuts = q.groupBy("quartile").agg(
+        F.max("doc_id").alias("cut"),
+        F.count(F.lit(1)).alias("n_docs_q"),
+        F.sum("n_tok").alias("n_tok_q"),
+    )
+    wq = Window.orderBy("quartile")
+    cum = cuts.select(
+        "quartile",
+        "cut",
+        F.sum("n_docs_q").over(wq).cast("long").alias("n_docs"),
+        F.sum("n_tok_q").over(wq).cast("long").alias("cum_tokens"),
+    )
+    first_seen = (
+        docs.select("doc_id", F.explode(F.split(F.col("text"), " ")).alias("term"))
+        .groupBy("term")
+        .agg(F.min("doc_id").alias("first_doc"))
+    )
+    return (
+        cum.join(first_seen, F.col("first_doc") <= F.col("cut"), "left")
+        .groupBy("quartile", "n_docs", "cum_tokens")
+        .agg(F.count("term").cast("long").alias("vocab"))
+    )
