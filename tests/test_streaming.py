@@ -467,3 +467,71 @@ def test_incremental_partials_checkpoint_restart_recovery(
         ).collect()
     }
     assert merged == direct
+
+
+def test_incremental_mg_partials_multibatch(
+    spark, batch_events, chunked_dir, tmp_path
+):
+    """J9d: the streaming MG partial log merges to bounds that contain
+    the exact per-item counts; with counters >= distinct items the
+    bounds collapse to the exact batch counts (every D_p = 0)."""
+    from time_series_spark_spark.streaming.jobs import (
+        incremental_mg_partials,
+        read_incremental_mg,
+    )
+
+    sdf = (
+        spark.readStream.schema(
+            "event_id long, ts long, user_id long, event_type string, "
+            "value double, props string"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(chunked_dir)
+    )
+    log = str(tmp_path / "mg_partials")
+    incremental_mg_partials(sdf, log, item_col="event_type", counters=512)
+    got = {
+        r.item: (r.cnt_lower, r.cnt_upper)
+        for r in read_incremental_mg(spark, log, k=10).collect()
+    }
+    exact = {
+        r.event_type: r.n
+        for r in batch_events.groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert set(got) == set(exact)  # 5 types, k=10 → all present
+    for item, (lo, hi) in got.items():
+        assert lo == hi == exact[item]  # counters >> distinct → exact
+
+
+def test_incremental_mg_bounds_under_pressure(
+    spark, batch_events, chunked_dir, tmp_path
+):
+    """With counters < distinct items (pressure on user_id), the merged
+    bounds must still bracket every emitted item's true count."""
+    from time_series_spark_spark.streaming.jobs import (
+        incremental_mg_partials,
+        read_incremental_mg,
+    )
+
+    sdf = (
+        spark.readStream.schema(
+            "event_id long, ts long, user_id long, event_type string, "
+            "value double, props string"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(chunked_dir)
+    )
+    log = str(tmp_path / "mg_pressure")
+    incremental_mg_partials(sdf, log, item_col="user_id", counters=8)
+    exact = {
+        str(r.user_id): r.n
+        for r in batch_events.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    rows = read_incremental_mg(spark, log, k=10).collect()
+    assert rows
+    for r in rows:
+        assert r.cnt_lower <= exact[r.item] <= r.cnt_upper

@@ -219,6 +219,18 @@ def mg_heavy_hitters(
     scanned once, never shuffled. Exact when distinct items ≤ counters
     (then every D_p = 0 and the bounds collapse).
     """
+    return mg_merge_topk(mg_partials(items, item_col, counters), k)
+
+
+def mg_partials(
+    items: DataFrame, item_col: str, counters: int = 512
+) -> DataFrame:
+    """Per-partition Misra-Gries summaries as mergeable partial rows:
+    ``(item, cnt)`` per surviving counter plus one ``(NULL, D_p)``
+    decrement row per partition. Partials merge by item-wise count
+    addition + decrement addition (Agarwal et al., PODS'12), so they can
+    be unioned across partitions, micro-batches, or partial-log files
+    before :func:`mg_merge_topk`."""
     from typing import Iterator
 
     import pandas as pd
@@ -242,9 +254,15 @@ def mg_heavy_hitters(
         )
         yield out.astype({"cnt": "int64"})
 
-    summaries = src.mapInPandas(_summarize, "item string, cnt long")
+    return src.mapInPandas(_summarize, "item string, cnt long")
+
+
+def mg_merge_topk(summaries: DataFrame, k: int = 50) -> DataFrame:
+    """Merge Misra-Gries partial rows (any union of :func:`mg_partials`
+    outputs) into top-``k`` (item, cnt_lower, cnt_upper): one small hash
+    agg over the summary rows plus a broadcast of the scalar ΣD."""
     d_total = summaries.filter(F.col("item").isNull()).agg(
-        F.sum("cnt").alias("d_total")
+        F.coalesce(F.sum("cnt"), F.lit(0)).alias("d_total")
     )
     merged = (
         summaries.filter(F.col("item").isNotNull())

@@ -1183,3 +1183,71 @@ def not_exists_idle_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY s_suppkey
         """
     )
+
+
+# --------------------------------------------------------------------------
+# I6 Variant semi-structured type + I7 collation-aware semantics (round 4)
+# --------------------------------------------------------------------------
+@register(
+    "events_variant_props",
+    """
+    SELECT event_type,
+           CAST(CAST(props->>'$.k' AS INT) // 10 AS INT) AS k_band,
+           CAST(count(*) AS BIGINT)                      AS n,
+           CAST(sum(CAST(props->>'$.k' AS INT)) AS BIGINT) AS sum_k
+    FROM events
+    GROUP BY 1, 2
+    """,
+    doc="I6 semi-structured Variant path (Spark 4): props parsed ONCE "
+    "into a VariantType column (parse_json), typed extraction via "
+    "variant_get — the open-schema ingestion shape that replaces "
+    "per-field get_json_object re-parsing; aggregation over the decade "
+    "band of the extracted int",
+)
+def events_variant_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    k = F.variant_get(F.parse_json(F.col("props")), "$.k", "int")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy(
+            "event_type",
+            F.expr("CAST(k DIV 10 AS INT)").alias("k_band"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("k").cast("long").alias("sum_k"),
+        )
+    )
+
+
+@register(
+    "nation_collation_fold",
+    """
+    WITH variants AS (
+        SELECT upper(n_name) AS v FROM nation
+        UNION ALL SELECT lower(n_name) FROM nation
+        UNION ALL
+        SELECT upper(substr(n_name, 1, 1)) || lower(substr(n_name, 2))
+        FROM nation
+    )
+    SELECT lower(v) AS name_ci, CAST(count(*) AS BIGINT) AS n_variants
+    FROM variants GROUP BY 1
+    """,
+    doc="I7 collation-aware grouping (Spark 4 UTF8_LCASE): three case "
+    "variants of every nation name collapse to one case-insensitive "
+    "group under collate(..., 'UTF8_LCASE') WITHOUT rewriting the data "
+    "to lowercase — the engine-level collation path (oracle folds with "
+    "lower(), proving the collation's equivalence classes match)",
+)
+def nation_collation_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n = load(spark, sf_dir, "nation")
+    variants = (
+        n.select(F.upper("n_name").alias("v"))
+        .unionAll(n.select(F.lower("n_name").alias("v")))
+        .unionAll(n.select(F.initcap(F.lower("n_name")).alias("v")))
+    )
+    return (
+        variants.groupBy(F.collate(F.col("v"), "UTF8_LCASE").alias("_g"))
+        .agg(F.count(F.lit(1)).alias("n_variants"))
+        .select(F.lower(F.col("_g")).alias("name_ci"), "n_variants")
+    )

@@ -462,3 +462,43 @@ def stream_stream_interval_join(
         ),
         "inner",
     )
+
+
+def incremental_mg_partials(
+    sdf: DataFrame,
+    partials_path: str,
+    item_col: str = "event_type",
+    counters: int = 512,
+) -> None:
+    """J9d: streaming Misra-Gries heavy-hitter partial log (round 4) —
+    each micro-batch folds into ≤ ``counters`` (item, cnt) rows plus one
+    NULL-item decrement row, appended idempotently (micro-batch-id
+    partition overwrite, :func:`_write_partials_idempotent`). MG
+    summaries merge by item-wise count + decrement addition (Agarwal et
+    al., PODS'12 mergeable summaries), so the log's union preserves the
+    deterministic bounds  Σcnt ≤ true ≤ Σcnt + ΣD  across any number of
+    batches, restarts, or redeliveries."""
+    from time_series_spark_spark.operators.sketches import mg_partials
+
+    def fold_batch(batch_df: DataFrame, batch_id: int) -> None:
+        _write_partials_idempotent(
+            mg_partials(batch_df, item_col, counters), batch_id, partials_path
+        )
+
+    (
+        sdf.writeStream.foreachBatch(fold_batch)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", partials_path + "_ckpt")
+        .start()
+        .awaitTermination()
+    )
+
+
+def read_incremental_mg(
+    spark: SparkSession, partials_path: str, k: int = 50
+) -> DataFrame:
+    """Merge-on-read for the MG partial log: one small hash agg over the
+    summary rows → top-k (item, cnt_lower, cnt_upper)."""
+    from time_series_spark_spark.operators.sketches import mg_merge_topk
+
+    return mg_merge_topk(spark.read.parquet(partials_path), k)
