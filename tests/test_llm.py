@@ -689,3 +689,50 @@ def test_lm_perplexity_separates_gibberish(spark, docs):
         for r in char_ngram_lm_scores(probe, docs).collect()
     }
     assert out[900001] * 2 < out[900002], out
+
+
+# ---------------------------------------------------------------------------
+# K3 product quantization
+# ---------------------------------------------------------------------------
+def test_pq_codebooks_deterministic_and_shaped(spark):
+    from time_series_spark_spark.operators.llm import pq_train_codebooks
+
+    emb = load(spark, SF, "embeddings")
+    b1 = pq_train_codebooks(emb, m=8, nbits=4, sample_n=200)
+    b2 = pq_train_codebooks(emb, m=8, nbits=4, sample_n=200)
+    assert b1.shape == (8, 16, 8)
+    assert (b1 == b2).all()  # seeded init + fixed iters → bit-identical
+
+
+def test_pq_encode_codes_in_range(spark):
+    from time_series_spark_spark.operators.llm import (
+        pq_encode,
+        pq_train_codebooks,
+    )
+
+    emb = load(spark, SF, "embeddings")
+    books = pq_train_codebooks(emb, m=8, nbits=4, sample_n=200)
+    rows = pq_encode(emb, books).select("codes").collect()
+    codes = np.array([r["codes"] for r in rows])
+    assert codes.shape[1] == 8
+    assert codes.min() >= 0 and codes.max() < 16
+
+
+def test_pq_topk_recall_vs_exact(spark):
+    """PQ ADC + k*4 exact rescore must recover most of the exact top-5
+    (the published PQ regime: coarse candidates, exact refine)."""
+    from time_series_spark_spark.operators.llm import cosine_topk, pq_topk
+
+    emb = load(spark, SF, "embeddings")
+    exact = cosine_topk(emb, None, k=5, query_filter=F.col("vec_id") < 10)
+    approx = pq_topk(emb, k=5, n_queries=10)
+    e = {(r["query_id"], r["cand_id"]) for r in exact.collect()}
+    a = {(r["query_id"], r["cand_id"]) for r in approx.collect()}
+    recall = len(e & a) / len(e)
+    assert recall >= 0.9, recall
+    # rescored cosines are exact: any pair present in both sides agrees
+    ec = {(r["query_id"], r["cand_id"]): r["cos"] for r in exact.collect()}
+    for r in approx.collect():
+        key = (r["query_id"], r["cand_id"])
+        if key in ec:
+            assert abs(r["cos"] - ec[key]) < 1e-9

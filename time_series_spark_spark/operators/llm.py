@@ -26,6 +26,7 @@ from __future__ import annotations
 
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -1928,3 +1929,186 @@ def pack_sequences(
         (F.pmod(F.xxhash64(F.col(id_col)), F.lit(n))).cast("int").alias("_shard"),
     )
     return sharded.groupBy("_shard").applyInPandas(pack, out_schema)
+
+
+# --------------------------------------------------------------------------
+# K3: product quantization (PQ) — the compression-maximal ANN path
+# --------------------------------------------------------------------------
+_PQ_CODEBOOKS: dict[str, "np.ndarray"] = {}
+
+
+def pq_train_codebooks(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    m: int = 8,
+    nbits: int = 8,
+    sample_n: int = 2000,
+    iters: int = 12,
+    seed: int = 42,
+) -> "np.ndarray":
+    """Train PQ codebooks (Jégou, Douze & Schmid, "Product Quantization
+    for Nearest Neighbor Search", TPAMI 2011): split the dimension into
+    ``m`` subspaces and run Lloyd's k-means with ``2**nbits`` centroids
+    per subspace, on unit-normalized vectors.
+
+    Training reads a BOUNDED deterministic sample (first ``sample_n``
+    ids) to the driver — at 100 TB the codebook is a built-once stored
+    artifact (like the IVF coarse quantizer), never refit per query; the
+    corpus itself is never collected. Deterministic: seeded centroid
+    init (first distinct points under a seeded permutation), fixed
+    iteration count, ties broken by lowest centroid index.
+
+    Returns ``(m, 2**nbits, dim//m)`` float64 codebooks.
+    """
+    from time_series_spark_spark.functions.vectors import unit_normalize
+
+    rows = (
+        df.select(F.col("vec_id").alias("id"), unit_normalize(vec_col).alias("uv"))
+        .orderBy("id")
+        .limit(sample_n)
+        .collect()
+    )
+    X = np.asarray([r["uv"] for r in rows], dtype=np.float64)
+    n, dim = X.shape
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    dsub, ksub = dim // m, 1 << nbits
+    rng = np.random.default_rng(seed)
+    books = np.empty((m, ksub, dsub))
+    for j in range(m):
+        sub = X[:, j * dsub : (j + 1) * dsub]
+        cent = sub[rng.permutation(n)[:ksub]].copy()
+        for _ in range(iters):
+            d2 = ((sub[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+            assign = d2.argmin(axis=1)
+            for c in range(ksub):
+                mask = assign == c
+                if mask.any():
+                    cent[c] = sub[mask].mean(axis=0)
+        books[j] = cent
+    return books
+
+
+def pq_encode(
+    df: DataFrame,
+    codebooks: "np.ndarray",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Encode each (unit-normalized) vector as ``m`` small codes —
+    nearest centroid per subspace. With m=8, nbits=8 (the classic PQ
+    configuration) a 64-dim float32 vector (256 B) compresses to 8
+    byte-codes — 32x — the representation a 100 TB index stores and
+    scans.
+    Vectorized argmin per Arrow batch (pandas UDF); the corpus never
+    shuffles for encoding."""
+    import pandas as pd
+
+    from time_series_spark_spark.functions.vectors import unit_normalize
+
+    books = codebooks
+    m, ksub, dsub = books.shape
+    # ||x - c||² = ||x||² - 2<x,c> + ||c||²; per-subspace argmin needs
+    # only the cross term and ||c||² (the ||x||² row-constant drops out)
+    cnorm2 = (books**2).sum(axis=2)  # (m, ksub)
+
+    @F.pandas_udf("array<int>")
+    def encode(uv: pd.Series) -> pd.Series:
+        X = np.stack(uv.to_numpy())  # (b, dim)
+        b = X.shape[0]
+        codes = np.empty((b, m), dtype=np.int32)
+        for j in range(m):
+            sub = X[:, j * dsub : (j + 1) * dsub]
+            scores = cnorm2[j][None, :] - 2.0 * (sub @ books[j].T)
+            codes[:, j] = scores.argmin(axis=1)
+        return pd.Series(list(codes))
+
+    return df.select(
+        F.col(id_col).alias("id"), unit_normalize(vec_col).alias("uv")
+    ).select("id", "uv", encode("uv").alias("codes"))
+
+
+def pq_topk(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_queries: int = 10,
+    m: int = 8,
+    nbits: int = 8,
+    refine_factor: int = 4,
+    codebook_key: str | None = None,
+) -> DataFrame:
+    """PQ asymmetric-distance (ADC) cosine top-k with exact rescoring.
+
+    Candidate generation never touches float vectors: each query builds
+    an ``(m × 2**nbits)`` lookup table of subspace dot products against
+    the codebooks, and a candidate's approximate dot is the sum of its
+    ``m`` table lookups. Here that gather-sum runs entirely JVM-side:
+    corpus codes posexplode to ``m`` rows/vector, equi-join the
+    BROADCAST LUT rows on (subspace, code) — n_queries·m·2**nbits tiny
+    rows — and re-aggregate per (query, candidate). Top ``k·refine``
+    by approximate dot are rescored with exact float cosine via a
+    broadcast candidate semi-join (same tail as :func:`sq8_topk`; the
+    float table never shuffles). At extreme scale the explode feeds a
+    partial per-partition top-k before the global window.
+
+    Output: (query_id, cand_id, cos, rk) — same contract as the other
+    ANN paths; recall vs exact pinned in tests.
+    """
+    import pandas as pd
+
+    from time_series_spark_spark.functions.vectors import cosine
+
+    books = _PQ_CODEBOOKS.get(codebook_key) if codebook_key else None
+    if books is None:
+        books = pq_train_codebooks(df, vec_col, m=m, nbits=nbits)
+        if codebook_key:
+            _PQ_CODEBOOKS[codebook_key] = books
+    _, ksub, dsub = books.shape
+
+    enc = pq_encode(df, books, id_col, vec_col)
+    corpus = enc.select(
+        F.col("id").alias("cand_id"),
+        F.posexplode("codes").alias("j", "c"),
+    )
+    # per-query LUTs: built from the query vectors, small (nq·m·ksub rows)
+    qrows = enc.filter(F.col("id") < n_queries).select("id", "uv").collect()
+    lut_rows = []
+    for r in qrows:
+        qv = np.asarray(r["uv"], dtype=np.float64)
+        for j in range(m):
+            sub = qv[j * dsub : (j + 1) * dsub]
+            vals = books[j] @ sub  # (ksub,)
+            lut_rows.extend(
+                (int(r["id"]), j, c, float(v)) for c, v in enumerate(vals)
+            )
+    lut = df.sparkSession.createDataFrame(
+        lut_rows, "query_id long, j int, c int, lv double"
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("adot"), F.asc("cand_id"))
+    cands = (
+        corpus.join(F.broadcast(lut), ["j", "c"])
+        .groupBy("query_id", "cand_id")
+        .agg(F.sum("lv").alias("adot"))
+        .filter(F.col("cand_id") != F.col("query_id"))
+        .withColumn("qrk", F.row_number().over(w))
+        .filter(F.col("qrk") <= k * refine_factor)
+        .select("query_id", "cand_id")
+    )
+    base = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("fv"))
+    fcands = base.join(
+        F.broadcast(cands.select(F.col("cand_id").alias("id")).distinct()), "id"
+    ).select(F.col("id").alias("cand_id"), F.col("fv").alias("cand_vec"))
+    fq = base.filter(F.col("id") < n_queries).select(
+        F.col("id").alias("query_id"), F.col("fv").alias("query_vec")
+    )
+    w2 = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("cand_id"))
+    return (
+        cands.join(fcands, "cand_id")
+        .join(F.broadcast(fq), "query_id")
+        .withColumn("cos", F.round(cosine("query_vec", "cand_vec"), 6))
+        .withColumn("rk", F.row_number().over(w2))
+        .filter(F.col("rk") <= k)
+        .select("query_id", "cand_id", "cos", "rk")
+    )

@@ -761,3 +761,84 @@ def events_seasonal_ratio_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame
             & (2 * F.col("n") * F.col("peer_cnt") < F.col("peer_sum"))
         ).alias("is_drop"),
     ).orderBy("event_type", "d")
+
+
+# --------------------------------------------------------------------------
+# F30+ contiguous sequence-pattern detection (round 4)
+# --------------------------------------------------------------------------
+@register(
+    "events_pattern_view_click_purchase",
+    f"""
+    WITH seqs AS (
+        SELECT user_id,
+               string_agg(event_type, ',' ORDER BY {_ORD_KEY}) AS seq,
+               CAST(count(*) AS BIGINT) AS n_events
+        FROM events GROUP BY user_id
+    ),
+    hits AS (
+        SELECT user_id, n_events,
+               CAST((len(seq) - len(replace(seq, 'view,click,purchase', '')))
+                    // len('view,click,purchase') AS BIGINT) AS n_matches,
+               CASE WHEN position('view,click,purchase' IN seq) > 0
+                    THEN CAST(len(seq[1:position('view,click,purchase' IN seq) - 1])
+                         - len(replace(seq[1:position('view,click,purchase' IN seq) - 1],
+                                       ',', '')) + 1 AS BIGINT)
+                    ELSE NULL END AS first_match_pos
+        FROM seqs
+    )
+    SELECT user_id, n_events, n_matches, first_match_pos
+    FROM hits WHERE n_matches > 0
+    """,
+    doc="F30+ contiguous sequence-pattern detection (MATCH_RECOGNIZE-"
+    "style, strictly adjacent steps — the stricter cousin of the F22 "
+    "eventually-ordered funnel): per-user ordered event-type sequence "
+    "scanned for the literal 'view,click,purchase' run; emits match "
+    "count and the 1-based event position of the first match. One "
+    "shuffle (groupBy user) + JVM string kernels — pattern matching "
+    "over 100 TB of events is a per-key aggregate, never a self-join.",
+)
+def events_pattern_view_click_purchase(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from time_series_spark_spark.operators.analytics import event_order_key
+
+    ev = load(spark, sf_dir, "events")
+    pat = "view,click,purchase"
+    seqs = (
+        ev.withColumn("_ok", event_order_key())
+        .groupBy("user_id")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("_ok"), F.col("event_type")))
+            ).alias("_s"),
+        )
+        .select(
+            "user_id",
+            F.concat_ws(",", F.expr("transform(_s, x -> x.event_type)")).alias(
+                "seq"
+            ),
+            F.size("_s").cast("long").alias("n_events"),
+        )
+    )
+    n_matches = (
+        (F.length("seq") - F.length(F.replace(F.col("seq"), F.lit(pat))))
+        / F.lit(len(pat))
+    ).cast("long")
+    prefix = F.expr(f"substring(seq, 1, instr(seq, '{pat}') - 1)")
+    first_pos = F.when(
+        F.instr(F.col("seq"), pat) > 0,
+        (
+            F.length(prefix)
+            - F.length(F.replace(prefix, F.lit(",")))
+            + F.lit(1)
+        ).cast("long"),
+    )
+    return (
+        seqs.select(
+            "user_id",
+            "n_events",
+            n_matches.alias("n_matches"),
+            first_pos.alias("first_match_pos"),
+        )
+        .filter(F.col("n_matches") > 0)
+    )

@@ -1572,3 +1572,24 @@ def docs_heaps_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("quartile", "n_docs", "cum_tokens")
         .agg(F.count("term").cast("long").alias("vocab"))
     )
+
+
+@register(
+    "emb_pq_topk",
+    None,  # PQ candidate set is quantizer-specific → rows-only; recall
+    # vs exact + compression invariants asserted in tests/test_llm.py
+    doc="K3 ANN scale path #4: product quantization (Jegou et al., TPAMI "
+    "2011) — 64-dim vectors encode to 8 byte-codes (32x smaller than "
+    "float32); asymmetric-distance candidate scoring runs JVM-side as "
+    "posexplode + broadcast-LUT equi-join + re-aggregate (no float "
+    "vector is touched until the top k*4 exact-cosine rescore)",
+)
+def emb_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from time_series_spark_spark.operators.llm import pq_topk
+
+    return pq_topk(
+        load(spark, sf_dir, "embeddings"),
+        k=5,
+        n_queries=10,
+        codebook_key=f"pq:{sf_dir}",
+    ).orderBy("query_id", "rk")
