@@ -247,3 +247,63 @@ def test_paa_constant_series_maps_to_c(spark):
     df = df.withColumn("k", F.lit("s"))
     out = paa_sax(df, ["k"], "ts", "value", n_segments=4).collect()
     assert all(r["symbol"] == "c" and r["paa"] == 0.0 for r in out)
+
+
+# ---------------------------------------------------------------------------
+# Kalman local-level smoother
+# ---------------------------------------------------------------------------
+def test_kalman_smoother_equals_map_solve():
+    """The RTS-smoothed mean of the local-level model is the MAP state
+    sequence, i.e. the solution of the tridiagonal system
+    (I/r + L'L/q) x = y/r with L the first-difference operator and a
+    diffuse prior on x_0 — solve it densely and compare."""
+    from time_series_spark_spark.operators.tsmining import kalman_smooth_series
+
+    rng = np.random.default_rng(3)
+    n, q, r = 80, 0.7, 4.0
+    y = rng.normal(size=n).cumsum() + rng.normal(0, 2, n)
+    level, level_var = kalman_smooth_series(y, q, r)
+    A = np.zeros((n, n))
+    np.fill_diagonal(A, 1.0 / r)
+    for t in range(1, n):
+        A[t, t] += 1.0 / q
+        A[t - 1, t - 1] += 1.0 / q
+        A[t, t - 1] -= 1.0 / q
+        A[t - 1, t] -= 1.0 / q
+    # diffuse prior on x_0 contributes 1/(1e7*r) — include for exactness
+    A[0, 0] += 1.0 / (1e7 * r)
+    x_map = np.linalg.solve(A, y / r)
+    assert np.allclose(level, x_map, atol=1e-6)
+    # posterior variance of the MAP Gaussian = diag(A^-1)
+    assert np.allclose(level_var, np.diag(np.linalg.inv(A)), rtol=1e-6)
+
+
+def test_kalman_constant_series_and_noise_tradeoff():
+    from time_series_spark_spark.operators.tsmining import kalman_smooth_series
+
+    y = np.full(50, 3.25)
+    level, _ = kalman_smooth_series(y, 1.0, 10.0)
+    assert np.allclose(level, 3.25, atol=1e-9)
+    rng = np.random.default_rng(5)
+    noisy = 10 + rng.normal(0, 1, 300)
+    stiff, _ = kalman_smooth_series(noisy, 0.001, 10.0)  # trust the model
+    loose, _ = kalman_smooth_series(noisy, 100.0, 0.01)  # trust the data
+    assert np.var(stiff) < 0.05 * np.var(noisy)
+    assert np.allclose(loose, noisy, atol=0.05)
+
+
+def test_kalman_spark_preserves_rows(spark):
+    import datetime as dt
+
+    from time_series_spark_spark.operators.tsmining import kalman_smooth
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        (u, t0 + dt.timedelta(days=i), float(u * 10 + np.sin(i)))
+        for u in range(3)
+        for i in range(30)
+    ]
+    df = spark.createDataFrame(rows, "user_id long, d timestamp, v double")
+    out = kalman_smooth(df, ["user_id"], "d", "v").collect()
+    assert len(out) == 90
+    assert all(r["level_var"] > 0 for r in out)

@@ -458,3 +458,86 @@ def matrix_profile(
         f"{key_schema}, n_points long, motif_idx long, motif_nn_idx long, "
         "motif_dist double, discord_idx long, discord_dist double",
     )
+
+
+# ---------------------------------------------------------------------------
+# Kalman local-level filter + RTS smoother
+# ---------------------------------------------------------------------------
+
+
+def kalman_smooth_series(
+    y: np.ndarray, q_var: float, r_var: float
+) -> tuple[np.ndarray, np.ndarray]:
+    """Local-level state-space model  x_t = x_{t-1} + w (w~N(0,q)),
+    y_t = x_t + v (v~N(0,r)): forward Kalman filter then backward
+    Rauch-Tung-Striebel smoother (the published closed-form pass for
+    linear-Gaussian models; Durbin & Koopman, *Time Series Analysis by
+    State Space Methods*, §4.3-4.4). Diffuse init (P0 = 1e7·r).
+
+    Returns ``(level, level_var)`` — the smoothed state mean/variance
+    per observation. The smoothed mean is exactly the MAP solution of
+    the equivalent tridiagonal least-squares problem (pinned by test
+    against a dense solve). O(n), numerically plain — no matrices.
+    """
+    n = len(y)
+    a = np.empty(n)  # filtered mean
+    p = np.empty(n)  # filtered var
+    a_pred = np.empty(n)
+    p_pred = np.empty(n)
+    x, v = 0.0, 1e7 * r_var
+    for t in range(n):
+        if t == 0:
+            a_pred[t], p_pred[t] = x, v  # diffuse prior, no transition yet
+        else:
+            a_pred[t], p_pred[t] = x, v + q_var
+        k = p_pred[t] / (p_pred[t] + r_var)
+        x = a_pred[t] + k * (y[t] - a_pred[t])
+        v = (1 - k) * p_pred[t]
+        a[t], p[t] = x, v
+    level = np.empty(n)
+    level_var = np.empty(n)
+    level[-1], level_var[-1] = a[-1], p[-1]
+    for t in range(n - 2, -1, -1):
+        c = p[t] / p_pred[t + 1]
+        level[t] = a[t] + c * (level[t + 1] - a_pred[t + 1])
+        level_var[t] = p[t] + c**2 * (level_var[t + 1] - p_pred[t + 1])
+    return level, level_var
+
+
+def kalman_smooth(
+    df: DataFrame,
+    keys: list[str],
+    ts: str,
+    value: str,
+    q_var: float = 1.0,
+    r_var: float = 10.0,
+) -> DataFrame:
+    """Per-series Kalman/RTS smoothing on the packed grouped-map path
+    (one hash shuffle by key; O(n) numpy per series). Output keeps every
+    input row and appends smoothed ``level`` / ``level_var``."""
+    in_fields = {f.name: f.dataType.simpleString() for f in df.schema.fields}
+    key_schema = ", ".join(f"{k} {in_fields[k]}" for k in keys)
+
+    def _apply(pdf: pd.DataFrame) -> pd.DataFrame:
+        outs = []
+        for kv, g in pdf.groupby(keys, sort=False):
+            if not isinstance(kv, tuple):
+                kv = (kv,)
+            g = g.sort_values(ts)
+            lv, lvv = kalman_smooth_series(
+                g[value].to_numpy(dtype=np.float64), q_var, r_var
+            )
+            out = g[[*keys, ts, value]].copy()
+            out["level"] = np.round(lv, 6)
+            out["level_var"] = np.round(lvv, 6)
+            outs.append(out)
+        return pd.concat(outs, ignore_index=True)
+
+    return packed_grouped_map(
+        df.select(*keys, ts, value),
+        keys,
+        [ts],
+        _apply,
+        f"{key_schema}, {ts} {in_fields[ts]}, {value} {in_fields[value]}, "
+        "level double, level_var double",
+    )

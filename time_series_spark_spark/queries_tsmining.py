@@ -287,3 +287,28 @@ def events_matrix_profile_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     return matrix_profile(dense, ["event_type"], "h", "v", m=24).orderBy(
         "event_type"
     )
+
+
+# --------------------------------------------------------------------------
+# F36 Kalman local-level smoothing (rows-only: recursive state, not SQL)
+# --------------------------------------------------------------------------
+@register(
+    "events_kalman_user_daily",
+    None,  # forward/backward state recursion → rows-only; smoothed mean
+    # is pinned against the dense tridiagonal MAP solve in
+    # tests/test_tsmining.py (exact equivalence, not a tolerance check)
+    doc="F36 Kalman filter + RTS smoother (local-level state-space "
+    "model, diffuse init) over each user's daily-sum series: the "
+    "optimal linear denoiser with per-point posterior variance — O(n) "
+    "per series on the packed grouped-map path, exact-MAP-equivalent "
+    "by test",
+)
+def events_kalman_user_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from time_series_spark_spark.operators.tsmining import kalman_smooth
+
+    ev = _events(spark, sf_dir)
+    daily = ev.groupBy(
+        "user_id", F.date_trunc("day", F.col("ts")).alias("d")
+    ).agg(F.round(F.sum("value"), 6).alias("v"))
+    out = kalman_smooth(daily, ["user_id"], "d", "v", q_var=4.0, r_var=25.0)
+    return out.orderBy("user_id", "d")
