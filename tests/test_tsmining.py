@@ -307,3 +307,53 @@ def test_kalman_spark_preserves_rows(spark):
     out = kalman_smooth(df, ["user_id"], "d", "v").collect()
     assert len(out) == 90
     assert all(r["level_var"] > 0 for r in out)
+
+
+# ---------------------------------------------------------------------------
+# Kleinberg bursts
+# ---------------------------------------------------------------------------
+def test_kleinberg_detects_planted_burst():
+    from time_series_spark_spark.operators.tsmining import kleinberg_bursts_series
+
+    rng = np.random.default_rng(11)
+    # Poisson background at 1/100s, dense burst of 40 events at 1/2s
+    base = np.cumsum(rng.exponential(100.0, 200))
+    burst = base[100] + np.cumsum(rng.exponential(2.0, 40))
+    t = np.sort(np.concatenate([base, burst])) * 1e6
+    bursts = kleinberg_bursts_series(t.astype(np.int64), s=3.0, gamma=1.0)
+    assert bursts, "planted burst not found"
+    # the longest burst must cover most of the planted window
+    i, j, cnt = max(bursts, key=lambda b: b[2])
+    assert cnt >= 30
+    lo, hi = t[i], t[j]
+    assert lo >= base[98] * 1e6 and hi <= (burst[-1] + 300) * 1e6
+
+
+def test_kleinberg_quiet_on_homogeneous_stream():
+    from time_series_spark_spark.operators.tsmining import kleinberg_bursts_series
+
+    rng = np.random.default_rng(12)
+    t = (np.cumsum(rng.exponential(50.0, 400)) * 1e6).astype(np.int64)
+    bursts = kleinberg_bursts_series(t, s=3.0, gamma=1.0)
+    # a homogeneous Poisson stream yields at most tiny spurious runs
+    assert sum(c for _, _, c in bursts) < 40
+
+
+def test_kleinberg_spark_path(spark):
+    import datetime as dt
+
+    from time_series_spark_spark.operators.tsmining import kleinberg_bursts
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = []
+    for i in range(60):  # hourly background
+        rows.append(("k", t0 + dt.timedelta(hours=i)))
+    for i in range(30):  # minute-spaced burst inside hour 30
+        rows.append(("k", t0 + dt.timedelta(hours=30, minutes=i + 1)))
+    df = spark.createDataFrame(rows, "key string, ts timestamp")
+    out = kleinberg_bursts(df, ["key"], "ts", s=3.0).collect()
+    assert out
+    big = max(out, key=lambda r: r["n_events"])
+    assert big["n_events"] >= 25
+    assert big["burst_start"] >= t0 + dt.timedelta(hours=29)
+    assert big["burst_end"] <= t0 + dt.timedelta(hours=32)

@@ -541,3 +541,107 @@ def kalman_smooth(
         f"{key_schema}, {ts} {in_fields[ts]}, {value} {in_fields[value]}, "
         "level double, level_var double",
     )
+
+
+# ---------------------------------------------------------------------------
+# Kleinberg burst detection (2-state automaton)
+# ---------------------------------------------------------------------------
+
+
+def kleinberg_bursts_series(
+    t_us: np.ndarray, s: float = 2.0, gamma: float = 1.0
+) -> list[tuple[int, int, int]]:
+    """Kleinberg's 2-state burst automaton ("Bursty and Hierarchical
+    Structure in Streams", KDD 2002) on one event-time series: state 0
+    emits gaps at the base rate λ0 = n/T, state 1 at λ1 = s·λ0; gap cost
+    is the exponential negative log-likelihood λ·x − ln λ, entering the
+    burst state costs γ·ln n. Viterbi DP → optimal state path → maximal
+    state-1 runs as ``(start_idx, end_idx, n_events)`` (indices into the
+    sorted event array, end inclusive). O(n), deterministic (ties favor
+    the non-burst state)."""
+    n = len(t_us)
+    if n < 3:
+        return []
+    t = np.sort(t_us.astype(np.float64))
+    gaps = np.diff(t)
+    T = t[-1] - t[0]
+    if T <= 0:
+        return []
+    lam0 = (n - 1) / T
+    lam1 = s * lam0
+    enter = gamma * np.log(n)
+    # Viterbi over 2 states; cost(state, gap) = lam*x - ln(lam)
+    c0 = lam0 * gaps - np.log(lam0)
+    c1 = lam1 * gaps - np.log(lam1)
+    INF = np.inf
+    cost = np.array([0.0, INF])
+    back = np.empty((len(gaps), 2), dtype=np.int8)
+    for i in range(len(gaps)):
+        stay0 = cost[0]
+        from1 = cost[1]
+        new0 = min(stay0, from1) + c0[i]
+        back[i, 0] = 0 if stay0 <= from1 else 1
+        stay1 = cost[1]
+        from0 = cost[0] + enter
+        new1 = min(stay1, from0) + c1[i]
+        back[i, 1] = 1 if stay1 <= from0 else 0
+        cost = np.array([new0, new1])
+    states = np.empty(len(gaps), dtype=np.int8)
+    cur = 0 if cost[0] <= cost[1] else 1
+    for i in range(len(gaps) - 1, -1, -1):
+        states[i] = cur
+        cur = back[i, cur]
+    bursts = []
+    i = 0
+    while i < len(states):
+        if states[i] == 1:
+            j = i
+            while j + 1 < len(states) and states[j + 1] == 1:
+                j += 1
+            # gap k spans events k..k+1 → events i..j+1 are in the burst
+            bursts.append((i, j + 1, j - i + 2))
+            i = j + 1
+        i += 1
+    return bursts
+
+
+def kleinberg_bursts(
+    df: DataFrame,
+    keys: list[str],
+    ts: str,
+    s: float = 2.0,
+    gamma: float = 1.0,
+) -> DataFrame:
+    """Per-key burst intervals via the 2-state Kleinberg automaton —
+    packed grouped map, O(n) per series. Output: keys…, burst_start /
+    burst_end timestamps, n_events in the burst."""
+    in_fields = {f.name: f.dataType.simpleString() for f in df.schema.fields}
+    key_schema = ", ".join(f"{k} {in_fields[k]}" for k in keys)
+
+    def _apply(pdf: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for kv, g in pdf.groupby(keys, sort=False):
+            if not isinstance(kv, tuple):
+                kv = (kv,)
+            t = np.sort(g[ts].to_numpy().astype("datetime64[us]").astype(np.int64))
+            for i, j, cnt in kleinberg_bursts_series(t, s, gamma):
+                rows.append(
+                    (
+                        *kv,
+                        np.datetime64(int(t[i]), "us"),
+                        np.datetime64(int(t[j]), "us"),
+                        cnt,
+                    )
+                )
+        return pd.DataFrame(
+            rows, columns=[*keys, "burst_start", "burst_end", "n_events"]
+        )
+
+    return packed_grouped_map(
+        df.select(*keys, ts),
+        keys,
+        [ts],
+        _apply,
+        f"{key_schema}, burst_start timestamp, burst_end timestamp, "
+        "n_events long",
+    )

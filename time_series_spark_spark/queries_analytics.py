@@ -842,3 +842,115 @@ def events_pattern_view_click_purchase(
         )
         .filter(F.col("n_matches") > 0)
     )
+
+
+# --------------------------------------------------------------------------
+# Scale-engineering diagnostics (round 4): key-skew profile
+# --------------------------------------------------------------------------
+@register(
+    "events_key_skew_profile",
+    """
+    WITH c AS (
+        SELECT user_id, CAST(count(*) AS BIGINT) AS cnt
+        FROM events GROUP BY user_id
+    ),
+    s AS (
+        SELECT cnt,
+               row_number() OVER (ORDER BY cnt, user_id) AS i,
+               CAST(sum(cnt) OVER () AS BIGINT) AS total,
+               count(*) OVER () AS n_keys
+        FROM c
+    )
+    SELECT CAST(max(n_keys) AS BIGINT)                      AS n_keys,
+           max(total)                                       AS n_rows,
+           round(max(cnt) * 1.0 / max(total), 6)            AS top1_share,
+           round(max(cnt) * 1.0
+                 / (max(total) * 1.0 / max(n_keys)), 4)     AS max_over_mean,
+           round(2.0 * sum(i * cnt) / (max(n_keys) * max(total))
+                 - (max(n_keys) + 1.0) / max(n_keys), 6)    AS gini,
+           round(-sum((cnt * 1.0 / total) * ln(cnt * 1.0 / total)), 4)
+               AS entropy_nats
+    FROM s
+    """,
+    doc="Shuffle-key skew diagnosis — the profile you run BEFORE picking "
+    "a partitioning at 100 TB: per-key counts reduced to top-1 share, "
+    "max/mean ratio, exact Gini (integer rank-weighted sum over the "
+    "sorted counts; one window + one agg) and Shannon entropy of the "
+    "key distribution. High top1/gini => salt this key (the repo's "
+    "salted_join); near-uniform => hash partitioning is safe.",
+)
+def events_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    ev = load(spark, sf_dir, "events")
+    c = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("cnt"))
+    s = c.select(
+        "cnt",
+        F.row_number().over(Window.orderBy("cnt", "user_id")).alias("i"),
+        F.sum("cnt").over(Window.partitionBy()).alias("total"),
+        F.count(F.lit(1)).over(Window.partitionBy()).alias("n_keys"),
+    )
+    p = F.col("cnt") * 1.0 / F.col("total")
+    return s.agg(
+        F.max("n_keys").cast("long").alias("n_keys"),
+        F.max("total").cast("long").alias("n_rows"),
+        F.round(F.max("cnt") * 1.0 / F.max("total"), 6).alias("top1_share"),
+        F.round(
+            F.max("cnt") * 1.0 / (F.max("total") * 1.0 / F.max("n_keys")), 4
+        ).alias("max_over_mean"),
+        F.round(
+            2.0 * F.sum(F.col("i") * F.col("cnt"))
+            / (F.max("n_keys") * F.max("total"))
+            - (F.max("n_keys") + 1.0) / F.max("n_keys"),
+            6,
+        ).alias("gini"),
+        F.round(-F.sum(p * F.log(p)), 4).alias("entropy_nats"),
+    )
+
+
+@register(
+    "events_interarrival_burstiness",
+    f"""
+    WITH gaps AS (
+        SELECT event_type,
+               epoch_us(ts) - lag(epoch_us(ts)) OVER (
+                   PARTITION BY event_type ORDER BY {_ORD_KEY}
+               ) AS gap_us
+        FROM events
+    )
+    SELECT event_type,
+           CAST(count(gap_us) AS BIGINT)          AS n_gaps,
+           round(avg(gap_us), 2)                  AS mean_gap_us,
+           round(stddev_samp(gap_us), 2)          AS sd_gap_us,
+           round(stddev_samp(gap_us) / avg(gap_us), 4) AS cv,
+           round((stddev_samp(gap_us) - avg(gap_us))
+                 / (stddev_samp(gap_us) + avg(gap_us)), 4) AS burstiness
+    FROM gaps WHERE gap_us IS NOT NULL
+    GROUP BY event_type
+    """,
+    doc="Inter-arrival burstiness per event_type: coefficient of "
+    "variation and the Goh-Barabasi burstiness index B=(sigma-mu)/"
+    "(sigma+mu) over lag-difference gaps (B~0 Poisson, B->1 bursty) — "
+    "one window + one agg on the stream's own partitioning key",
+)
+def events_interarrival_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    from time_series_spark_spark.operators.analytics import event_order_key
+
+    ev = load(spark, sf_dir, "events").withColumn("_ok", event_order_key())
+    w = Window.partitionBy("event_type").orderBy("_ok")
+    gaps = ev.select(
+        "event_type",
+        (
+            F.unix_micros("ts") - F.lag(F.unix_micros("ts")).over(w)
+        ).alias("gap_us"),
+    ).filter(F.col("gap_us").isNotNull())
+    mu, sd = F.avg("gap_us"), F.stddev_samp("gap_us")
+    return gaps.groupBy("event_type").agg(
+        F.count("gap_us").alias("n_gaps"),
+        F.round(mu, 2).alias("mean_gap_us"),
+        F.round(sd, 2).alias("sd_gap_us"),
+        F.round(sd / mu, 4).alias("cv"),
+        F.round((sd - mu) / (sd + mu), 4).alias("burstiness"),
+    )

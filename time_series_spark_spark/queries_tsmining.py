@@ -312,3 +312,25 @@ def events_kalman_user_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).agg(F.round(F.sum("value"), 6).alias("v"))
     out = kalman_smooth(daily, ["user_id"], "d", "v", q_var=4.0, r_var=25.0)
     return out.orderBy("user_id", "d")
+
+
+# --------------------------------------------------------------------------
+# F37 Kleinberg burst detection (rows-only: Viterbi DP, not SQL)
+# --------------------------------------------------------------------------
+@register(
+    "events_bursts_per_user",
+    None,  # 2-state Viterbi over inter-arrival gaps → rows-only;
+    # planted-burst detection + Poisson-quietness pinned in
+    # tests/test_tsmining.py
+    doc="F37 Kleinberg 2-state burst automaton (KDD 2002) per user: "
+    "maximal high-rate intervals (burst_start/end, n_events) from the "
+    "exponential-gap Viterbi path — O(n) per series on the packed "
+    "grouped-map path",
+)
+def events_bursts_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from time_series_spark_spark.operators.tsmining import kleinberg_bursts
+
+    ev = _events(spark, sf_dir).select("user_id", "ts")
+    return kleinberg_bursts(ev, ["user_id"], "ts", s=3.0, gamma=1.0).orderBy(
+        "user_id", "burst_start"
+    )
