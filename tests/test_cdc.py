@@ -149,3 +149,30 @@ def test_pit_join_boundary_semantics(spark):
     assert out[ts(20)] == "B"
     assert out[ts(25)] == "B"
     assert out[ts(99)] == "C"   # open current interval
+
+
+def test_incremental_join_delta_equals_recompute(spark):
+    """Delta-rule maintenance reproduces the full inner join as a
+    multiset, for an arbitrary (non-key-aligned) split with duplicate
+    join keys on both sides."""
+    from time_series_spark_spark.operators.cdc import incremental_join_delta
+
+    l = spark.createDataFrame(
+        [(k, f"l{i}") for i, k in enumerate([1, 1, 2, 3, 4, 4, 5])],
+        "k long, lv string",
+    )
+    r = spark.createDataFrame(
+        [(k, f"r{i}") for i, k in enumerate([1, 2, 2, 4, 5, 5, 6])],
+        "k long, rv string",
+    )
+    l_old, l_new = l.filter("lv < 'l4'"), l.filter("lv >= 'l4'")
+    r_old, r_new = r.filter("rv < 'r3'"), r.filter("rv >= 'r3'")
+    full = l.join(r, "k")
+    j_old = l_old.join(r_old, "k")
+    inc = j_old.unionByName(
+        incremental_join_delta(l_old, l_new, r_old, r_new, ["k"]).select(
+            j_old.columns
+        )
+    )
+    assert inc.exceptAll(full).count() == 0
+    assert full.exceptAll(inc).count() == 0

@@ -198,3 +198,33 @@ def pit_join(
         & (d[vt].isNull() | (facts[fact_ts] < d[vt]))
     )
     return facts.join(d, cond, how).drop("__k")
+
+
+# --------------------------------------------------------------------------
+# M5: incremental join maintenance (round 4)
+# --------------------------------------------------------------------------
+def incremental_join_delta(
+    l_old: DataFrame,
+    l_delta: DataFrame,
+    r_old: DataFrame,
+    r_delta: DataFrame,
+    on: list[str],
+) -> DataFrame:
+    """Delta rule for inner-join view maintenance (classic incremental
+    view maintenance algebra; Blakeley/Larson/Tompa SIGMOD'86):
+
+        Δ(L ⋈ R) = (ΔL ⋈ R_old) ∪ (L_old ⋈ ΔR) ∪ (ΔL ⋈ ΔR)
+
+    so ``J_new = J_old ∪ Δ`` without re-joining the two base tables.
+    At 100 TB this is the whole point of maintaining a join view: the
+    three delta joins touch |Δ|-proportional state on one side each
+    (ΔL / ΔR are the small batch sides — broadcast them), while the
+    naive recompute re-shuffles both full tables. Bag semantics:
+    duplicates union with `unionByName`, matching the inner join's
+    multiset output.
+    """
+    d1 = l_delta.join(r_old, on)
+    d2 = l_old.join(r_delta, on)
+    d3 = l_delta.join(r_delta, on)
+    cols = d1.columns
+    return d1.unionByName(d2.select(cols)).unionByName(d3.select(cols))

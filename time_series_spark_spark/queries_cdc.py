@@ -237,3 +237,46 @@ def purchases_pit_activity_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_purchases"))
         .orderBy("state")
     )
+
+
+@register(
+    "orders_lineitem_incremental_join",
+    """
+    SELECT l_returnflag,
+           CAST(count(*) AS BIGINT)            AS n_rows,
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS total_cents
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    GROUP BY l_returnflag
+    """,
+    doc="M5 incremental join maintenance: orders/lineitem each split at "
+    "a date cutoff into (old, delta); the join view is built as "
+    "J_old UNION delta-rule increments (dL*R_old + L_old*dR + dL*dR — "
+    "Blakeley SIGMOD'86) and summarized; the oracle recomputes the "
+    "full join from scratch, proving increment == recompute exactly",
+)
+def orders_lineitem_incremental_join(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from time_series_spark_spark.operators.cdc import incremental_join_delta
+
+    cutoff = "1997-01-01"
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderdate"
+    )
+    li = load(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("o_orderkey"), "l_returnflag", "l_shipdate"
+    )
+    o_old = o.filter(F.col("o_orderdate") < cutoff)
+    o_new = o.filter(F.col("o_orderdate") >= cutoff)
+    l_old = li.filter(F.col("l_shipdate") < cutoff)
+    l_new = li.filter(F.col("l_shipdate") >= cutoff)
+    j_old = o_old.join(l_old, "o_orderkey")
+    delta = incremental_join_delta(o_old, o_new, l_old, l_new, ["o_orderkey"])
+    j_new = j_old.unionByName(delta.select(j_old.columns))
+    return j_new.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+        .cast("long")
+        .alias("total_cents"),
+    )

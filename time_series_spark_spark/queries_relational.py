@@ -1251,3 +1251,71 @@ def nation_collation_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_variants"))
         .select(F.lower(F.col("_g")).alias("name_ci"), "n_variants")
     )
+
+
+# --------------------------------------------------------------------------
+# SQL-entry modern surface (round 4): pipe syntax + LATERAL join
+# --------------------------------------------------------------------------
+@register(
+    "orders_pipe_summary",
+    """
+    SELECT o_orderstatus,
+           CAST(count(*) AS BIGINT)      AS n_orders,
+           round(sum(o_totalprice), 2)   AS total,
+           round(max(o_totalprice), 2)   AS biggest
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1995-01-01'
+    GROUP BY o_orderstatus
+    """,
+    doc="SQL pipe syntax (Spark 4 |> operators): the same logical plan "
+    "as the classic GROUP BY — filter |> aggregate |> project — parsed "
+    "from the pipeline dialect; proves the modern SQL entry surface "
+    "end-to-end against a classic-SQL oracle",
+)
+def orders_pipe_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load(spark, sf_dir, "orders").createOrReplaceTempView("orders_pipe")
+    return spark.sql(
+        """
+        FROM orders_pipe
+        |> WHERE o_orderdate >= TIMESTAMP '1995-01-01'
+        |> AGGREGATE count(*) AS n_orders,
+                     round(sum(o_totalprice), 2) AS total,
+                     round(max(o_totalprice), 2) AS biggest
+           GROUP BY o_orderstatus
+        |> SELECT o_orderstatus, CAST(n_orders AS BIGINT) AS n_orders,
+                  total, biggest
+        """
+    )
+
+
+@register(
+    "lateral_customer_order_stats",
+    """
+    SELECT c.c_custkey, c.c_name, t.n_orders, t.top_price
+    FROM customer c, LATERAL (
+        SELECT CAST(count(*) AS BIGINT) AS n_orders,
+               round(max(o.o_totalprice), 2) AS top_price
+        FROM orders o WHERE o.o_custkey = c.c_custkey
+    ) t
+    WHERE c.c_mktsegment = 'BUILDING'
+    """,
+    doc="LATERAL correlated table subquery (Spark 4 SQL): per-customer "
+    "aggregate computed in a lateral derived table — Catalyst "
+    "decorrelates it to one outer-join + aggregate, never a per-row "
+    "re-execution (the property that makes LATERAL usable at 100 TB); "
+    "orderless customers keep the aggregate's (0, NULL) row",
+)
+def lateral_customer_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load(spark, sf_dir, "customer").createOrReplaceTempView("customer_lat")
+    load(spark, sf_dir, "orders").createOrReplaceTempView("orders_lat")
+    return spark.sql(
+        """
+        SELECT c.c_custkey, c.c_name, t.n_orders, t.top_price
+        FROM customer_lat c, LATERAL (
+            SELECT CAST(count(*) AS BIGINT) AS n_orders,
+                   round(max(o.o_totalprice), 2) AS top_price
+            FROM orders_lat o WHERE o.o_custkey = c.c_custkey
+        ) t
+        WHERE c.c_mktsegment = 'BUILDING'
+        """
+    )
