@@ -136,5 +136,7 @@ def run(names: list[str]) -> None:
 if __name__ == "__main__":
     if sys.argv[1] == "build":
         build()
+    elif sys.argv[1] == "run":  # usage line: `run q1 q2 ...`
+        run(sys.argv[2:])
     else:
         run(sys.argv[1:])

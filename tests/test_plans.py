@@ -325,3 +325,37 @@ def test_pit_join_is_hash_equi_join(spark):
     plan = executed_plan(df)
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_tsmining_and_textstats_plan_shapes(spark):
+    """Round-4 additions keep their scale shapes: PAA/SAX is one hash
+    exchange and join-free; lead-lag's shifted-bucket join hashes on the
+    computed key (never BNLJ); PMI's unigram lookups broadcast; the
+    LATERAL aggregate decorrelates to a broadcast hash join (no per-row
+    re-execution)."""
+    p = executed_plan(_df(spark, "events_paa_sax_user"))
+    assert "Join" not in p
+    assert p.count("Exchange hashpartitioning") == 1
+
+    p = executed_plan(_df(spark, "events_lead_lag_corr"))
+    assert "BroadcastNestedLoopJoin" not in p and "CartesianProduct" not in p
+    assert "BroadcastHashJoin" in p
+
+    p = executed_plan(_df(spark, "docs_pmi_bigrams"))
+    assert "BroadcastHashJoin" in p and "SortMergeJoin" not in p
+
+    p = executed_plan(_df(spark, "lateral_customer_order_stats"))
+    assert "BroadcastHashJoin" in p
+    assert "BroadcastNestedLoopJoin" not in p and "CartesianProduct" not in p
+
+
+def test_m4_single_wide_exchange_and_pruned_span_scan(spark):
+    """M4: the span scalar reads only ts (column pruning), and the row
+    path has exactly one wide exchange (the groupBy) — the 1-row span
+    broadcast must not induce a shuffle of the fact rows."""
+    df = _df(spark, "events_m4_type")
+    p = executed_plan(df)
+    assert p.count("Exchange hashpartitioning") == 1
+    assert "SortMergeJoin" not in p
+    cols = scan_columns(df)
+    assert any(set(c) == {"ts"} for c in cols), cols

@@ -290,13 +290,17 @@ def dtw_topk(
 
     1. every candidate gets the O(n) LB_Keogh envelope bound (pandas UDF
        over Arrow batches — the full scan stage);
-    2. exact banded DTW for the k best-by-LB; τ = their max distance;
-       exact DTW additionally for every remaining candidate with
-       LB ≤ τ (all others are provably not in the top-k).
+    2. exact banded DTW for the k best-by-LB (a TakeOrdered top-k, no
+       global sort); τ = their max distance, carried as a 1-row
+       broadcast — every true top-k member has lb ≤ dtw ≤ τ, and the
+       seeds themselves satisfy lb ≤ τ, so ONE pruned exact stage over
+       {lb ≤ τ} yields the exact answer (no seed/remainder union, no
+       driver-side key list).
 
-    Driver-side traffic: the k seed rows and the τ scalar — never the
-    candidate set. Returns (key, dtw, n_exact_hint) rows of the exact
-    top-k ordered by (dtw, key).
+    The whole search is one lazy DAG — no persist, no collect, no
+    checkpoint; the only driver traffic is the τ broadcast the engine
+    performs itself. Exactness vs brute force is pinned in tests.
+    Returns (key, dtw) rows of the exact top-k ordered by (dtw, key).
     """
     q = _znorm(np.asarray(query_vals, dtype=np.float64))
     band = max(1, int(round(band_frac * len(q))))
@@ -321,29 +325,21 @@ def dtw_topk(
             out[i] = dtw_distance(c, q, band)
         return pd.Series(out)
 
-    with_lb = series.select(key, "vals", lb_udf("vals").alias("lb"))
-    with_lb = with_lb.filter(F.col("lb") != np.inf).persist()
-    try:
-        seeds = with_lb.orderBy("lb", key).limit(k)
-        seed_exact = seeds.select(key, "lb", dtw_udf("vals").alias("dtw"))
-        tau_row = seed_exact.agg(F.max("dtw").alias("tau"))
-        seed_keys = [r[key] for r in seeds.select(key).collect()]
-        rest_exact = (
-            with_lb.crossJoin(F.broadcast(tau_row))
-            .filter(~F.col(key).isin(seed_keys))
-            .filter(F.col("lb") <= F.col("tau"))
-            .select(key, "lb", dtw_udf("vals").alias("dtw"))
-        )
-        out = (
-            seed_exact.unionByName(rest_exact)
-            .orderBy("dtw", key)
-            .limit(k)
-            .select(key, F.round("dtw", 6).alias("dtw"))
-        )
-        out = out.localCheckpoint(eager=True)  # materialize before unpersist
-    finally:
-        with_lb.unpersist()
-    return out
+    with_lb = series.select(key, "vals", lb_udf("vals").alias("lb")).filter(
+        F.col("lb") != np.inf
+    )
+    seeds = with_lb.orderBy("lb", key).limit(k)
+    tau_row = seeds.select(dtw_udf("vals").alias("dtw")).agg(
+        F.max("dtw").alias("tau")
+    )
+    return (
+        with_lb.crossJoin(F.broadcast(tau_row))
+        .filter(F.col("lb") <= F.col("tau"))
+        .select(key, dtw_udf("vals").alias("dtw"))
+        .orderBy("dtw", key)
+        .limit(k)
+        .select(key, F.round("dtw", 6).alias("dtw"))
+    )
 
 
 def dtw_topk_bruteforce(
