@@ -96,3 +96,60 @@ def test_reliable_checkpoint_dir_parameter(spark, tmp_path):
         for f in fns
     ]
     assert found, "no checkpoint files written to checkpoint_dir"
+
+
+# ---------------------------------------------------------------------------
+# PageRank
+# ---------------------------------------------------------------------------
+def test_pagerank_matches_dense_power_iteration(spark):
+    """Spark PR == numpy dense power iteration on a random graph, to
+    1e-9 — same damping, same iteration count, same symmetrized edges."""
+    import numpy as np
+
+    from time_series_spark_spark.operators.graph import pagerank
+
+    rng = np.random.default_rng(9)
+    n = 12
+    raw = {(int(a), int(b)) for a, b in rng.integers(0, n, (30, 2)) if a != b}
+    pairs = spark.createDataFrame(sorted(raw), "id_a long, id_b long")
+    got = {
+        r["id"]: r["rank"]
+        for r in pagerank(pairs, damping=0.85, iters=20).collect()
+    }
+    # dense reference over the same symmetrized graph
+    und = {(a, b) for a, b in raw} | {(b, a) for a, b in raw}
+    ids = sorted({x for e in und for x in e})
+    idx = {v: i for i, v in enumerate(ids)}
+    m = len(ids)
+    A = np.zeros((m, m))
+    for a, b in und:
+        A[idx[b], idx[a]] = 1.0
+    A /= np.maximum(A.sum(axis=0), 1)[None, :]
+    r = np.full(m, 1.0 / m)
+    for _ in range(20):
+        r = (1 - 0.85) / m + 0.85 * (A @ r)
+    for v in ids:
+        assert abs(got[v] - r[idx[v]]) < 1e-9, v
+    assert abs(sum(got.values()) - 1.0) < 1e-9
+
+
+def test_pagerank_uniform_on_symmetric_clique(spark):
+    from time_series_spark_spark.operators.graph import pagerank
+
+    pairs = spark.createDataFrame(
+        [(a, b) for a in range(5) for b in range(5) if a < b],
+        "id_a long, id_b long",
+    )
+    out = pagerank(pairs, iters=5).collect()
+    for r in out:
+        assert abs(r["rank"] - 0.2) < 1e-12
+
+
+def test_pagerank_star_center_dominates(spark):
+    from time_series_spark_spark.operators.graph import pagerank
+
+    pairs = spark.createDataFrame(
+        [(0, i) for i in range(1, 7)], "id_a long, id_b long"
+    )
+    out = {r["id"]: r["rank"] for r in pagerank(pairs, iters=25).collect()}
+    assert out[0] > 3 * max(out[i] for i in range(1, 7))

@@ -145,3 +145,73 @@ def dup_clusters(
         )
         .withColumn("is_canonical", F.col(id_col) == F.col("cluster_id"))
     )
+
+
+# --------------------------------------------------------------------------
+# PageRank (iterative DataFrame power method)
+# --------------------------------------------------------------------------
+def pagerank(
+    pairs: DataFrame,
+    src_col: str = "id_a",
+    dst_col: str = "id_b",
+    damping: float = 0.85,
+    iters: int = 15,
+    checkpoint_every: int = 4,
+) -> DataFrame:
+    """PageRank over the UNDIRECTED pair graph (each pair contributes
+    both directions — the right reading for similarity graphs, where
+    edges have no orientation): the classic power iteration
+
+        r' = (1-d)/n + d · (A_norm r + dangling_mass/n)
+
+    (Brin & Page 1998), run a fixed ``iters`` rounds as DataFrame
+    joins/aggregations. Isolated nodes cannot appear (every node is in
+    ≥1 pair), so with symmetrized edges there is no dangling mass and
+    the update is one join + one agg per round.
+
+    Scale posture: ranks/degrees are (node, value) frames co-shuffled
+    on the node key; the teleport scalar n rides a 1-row broadcast;
+    lineage is truncated every ``checkpoint_every`` rounds
+    (localCheckpoint — swap for reliable checkpoint() on a cluster, as
+    in :func:`connected_components`) so the plan stays constant-size
+    instead of growing per iteration. Returns ``(id, rank)`` with
+    Σrank = 1 up to fp.
+    """
+    a = pairs.select(
+        F.col(src_col).cast("long").alias("src"),
+        F.col(dst_col).cast("long").alias("dst"),
+    )
+    edges = a.unionByName(
+        a.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct()
+    nodes = edges.select(F.col("src").alias("id")).distinct()
+    n_row = nodes.agg(F.count(F.lit(1)).cast("double").alias("n"))
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    ranks = nodes.crossJoin(F.broadcast(n_row)).select(
+        "id", (F.lit(1.0) / F.col("n")).alias("rank")
+    )
+    for i in range(iters):
+        contrib = (
+            edges.join(ranks.withColumnRenamed("id", "src"), "src")
+            .join(deg, "src")
+            .groupBy("dst")
+            .agg(F.sum(F.col("rank") / F.col("deg")).alias("inflow"))
+        )
+        ranks = (
+            nodes.join(contrib.withColumnRenamed("dst", "id"), "id", "left")
+            .crossJoin(F.broadcast(n_row))
+            .select(
+                "id",
+                (
+                    (1.0 - damping) / F.col("n")
+                    + damping * F.coalesce(F.col("inflow"), F.lit(0.0))
+                ).alias("rank"),
+            )
+        )
+        if (i + 1) % checkpoint_every == 0:
+            # eager: materialize NOW, so at most checkpoint_every rounds
+            # of joins are ever in one plan — a lazy checkpoint would let
+            # the full iteration stack materialize at once (dozens of
+            # concurrent AQE broadcast builds, an OOM on small drivers)
+            ranks = ranks.localCheckpoint(eager=True)
+    return ranks

@@ -2112,3 +2112,71 @@ def pq_topk(
         .filter(F.col("rk") <= k)
         .select("query_id", "cand_id", "cos", "rk")
     )
+
+
+# --------------------------------------------------------------------------
+# K13: RAKE keyword extraction
+# --------------------------------------------------------------------------
+def rake_keywords(
+    df: DataFrame,
+    text_col: str = "text",
+    stopwords: tuple[str, ...] = ("a", "the", "and", "of", "in", "to"),
+    k: int = 15,
+) -> DataFrame:
+    """RAKE (Rapid Automatic Keyword Extraction; Rose et al. 2010):
+    candidate phrases are maximal token runs between stopwords; each
+    word scores degree/freq (degree = Σ length of phrases containing
+    it), a phrase scores the sum of its word scores, and the corpus-wide
+    top-k distinct phrases win.
+
+    All JVM-side: stopword tokens become delimiters via one regex pass
+    over a double-spaced copy (doubling spaces makes token boundaries
+    non-overlapping, so consecutive stopwords cannot hide from a global
+    regex), phrases posexplode with a deterministic (doc, position) id,
+    and the word-stat lookup joins back per word instance. One wide
+    exchange for the word stats, one for the phrase regroup — the
+    standard corpus-statistics shape.
+    """
+    sw = "|".join(stopwords)
+    padded = F.concat(
+        F.lit(" "), F.regexp_replace(F.col(text_col), " ", "  "), F.lit(" ")
+    )
+    cut = F.regexp_replace(padded, rf"\s({sw})\s", " | ")
+    phrases = (
+        df.select(F.col("doc_id"), F.posexplode(F.split(cut, r"\|")))
+        .select(
+            "doc_id",
+            F.col("pos").alias("ppos"),
+            F.trim(F.regexp_replace(F.col("col"), r"\s+", " ")).alias("phrase"),
+        )
+        .filter(F.col("phrase") != "")
+    )
+    wi = phrases.select(
+        "doc_id",
+        "ppos",
+        "phrase",
+        F.explode(F.split("phrase", " ")).alias("w"),
+        F.size(F.split("phrase", " ")).alias("plen"),
+    )
+    wstat = wi.groupBy("w").agg(
+        F.count(F.lit(1)).alias("freq"), F.sum("plen").alias("degree")
+    )
+    occ = (
+        wi.join(wstat, "w")
+        .groupBy("doc_id", "ppos")
+        .agg(
+            F.min("phrase").alias("phrase"),
+            F.sum(F.col("degree") * 1.0 / F.col("freq")).alias("score"),
+            F.count(F.lit(1)).alias("nw"),
+        )
+    )
+    return (
+        occ.groupBy("phrase")
+        .agg(
+            F.max("nw").cast("long").alias("n_words"),
+            F.count(F.lit(1)).cast("long").alias("n_occ"),
+            F.round(F.max("score"), 4).alias("score"),
+        )
+        .orderBy(F.desc("score"), "phrase")
+        .limit(k)
+    )

@@ -1593,3 +1593,83 @@ def emb_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_queries=10,
         codebook_key=f"pq:{sf_dir}",
     ).orderBy("query_id", "rk")
+
+
+@register(
+    "docs_rake_keywords",
+    r"""
+    WITH padded AS (
+        SELECT doc_id, ' ' || replace(text, ' ', '  ') || ' ' AS t
+        FROM documents
+    ),
+    cut AS (
+        SELECT doc_id,
+               regexp_replace(t, '\s(a|the|and|of|in|to)\s', ' | ', 'g') AS t
+        FROM padded
+    ),
+    p AS (
+        SELECT doc_id,
+               generate_subscripts(string_split(t, '|'), 1) AS ppos,
+               trim(regexp_replace(unnest(string_split(t, '|')),
+                                   '\s+', ' ', 'g')) AS phrase
+        FROM cut
+    ),
+    pc AS (SELECT * FROM p WHERE phrase <> ''),
+    wi AS (
+        SELECT doc_id, ppos, phrase,
+               unnest(string_split(phrase, ' ')) AS w,
+               len(string_split(phrase, ' ')) AS plen
+        FROM pc
+    ),
+    wstat AS (
+        SELECT w, count(*) AS freq, sum(plen) AS degree
+        FROM wi GROUP BY w
+    ),
+    occ AS (
+        SELECT doc_id, ppos, min(phrase) AS phrase,
+               sum(degree * 1.0 / freq) AS score,
+               count(*) AS nw
+        FROM wi JOIN wstat USING (w)
+        GROUP BY doc_id, ppos
+    )
+    SELECT phrase,
+           CAST(max(nw) AS BIGINT)     AS n_words,
+           CAST(count(*) AS BIGINT)    AS n_occ,
+           round(max(score), 4)        AS score
+    FROM occ GROUP BY phrase
+    ORDER BY score DESC, phrase LIMIT 15
+    """,
+    doc="K13 RAKE keyword extraction (Rose et al. 2010): stopword-"
+    "delimited candidate phrases, word score = degree/freq, phrase "
+    "score = sum of word scores, corpus top-15 distinct phrases — "
+    "two hash aggregations + one word-stat join, fully oracle-checked",
+)
+def docs_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from time_series_spark_spark.operators.llm import rake_keywords
+
+    return rake_keywords(load(spark, sf_dir, "documents"))
+
+
+@register(
+    "docs_dup_graph_pagerank",
+    None,  # iterative power method → rows-only; ≡ dense numpy power
+    # iteration to 1e-9 + uniform/star/mass-conservation properties in
+    # tests/test_graph.py
+    doc="K2++ PageRank centrality over the n-gram-Jaccard duplicate "
+    "graph (Brin & Page 1998, undirected reading): which documents sit "
+    "at the center of duplication clusters — 15 join+agg power rounds "
+    "with broadcast teleport scalar and periodic lineage truncation; "
+    "top-10 by rounded rank",
+)
+def docs_dup_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from time_series_spark_spark.operators.graph import pagerank
+
+    pairs = ngram_jaccard_pairs(
+        load(spark, sf_dir, "documents"), k=3, threshold=0.5
+    ).select("id_a", "id_b")
+    return (
+        pagerank(pairs, iters=15)
+        .select("id", F.round("rank", 6).alias("rank"))
+        .orderBy(F.desc("rank"), "id")
+        .limit(10)
+    )
