@@ -105,3 +105,70 @@ class ShinglesUDTF:
         toks = (text or "").split(" ")
         for i in range(len(toks) - k + 1):
             yield i, " ".join(toks[i : i + k])
+
+
+# --------------------------------------------------------------------------
+# L9: Arrow-optimized scalar UDF + mapInArrow + polymorphic UDTF (round 4)
+# --------------------------------------------------------------------------
+def vowel_count_arrow_udf():
+    """Arrow-optimized scalar UDF (Spark 4 ``useArrow=True``): the same
+    row-at-a-time Python signature as L1, but batched over Arrow instead
+    of pickled row-by-row — the drop-in upgrade path for legacy row
+    UDFs that cannot be rewritten as pandas UDFs. Still a pushdown
+    barrier; still slower than builtins — used here only to pin the
+    mechanism."""
+    from pyspark.sql import functions as F
+
+    @F.udf("int", useArrow=True)
+    def vowels(s: str) -> int:
+        return sum(1 for ch in (s or "") if ch in "aeiou")
+
+    return vowels
+
+
+def cents_map_in_arrow(df, value_col: str = "value"):
+    """``mapInArrow``: batch-level transform on raw ``pyarrow``
+    RecordBatches — no pandas conversion at all (the cheapest Python
+    boundary Spark offers; right for columnar kernels that pyarrow.compute
+    already implements). Adds ``cents = floor(value*100)`` (floor:
+    identical semantics in pyarrow, Spark and DuckDB — round() ties
+    differ across the three)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def add_cents(batches):
+        for batch in batches:
+            cents = pc.floor(
+                pc.multiply(batch.column(batch.schema.get_field_index(value_col)), 100.0)
+            ).cast(pa.int64())
+            yield batch.append_column("cents", cents)
+
+    out_schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields
+    ) + ", cents long"
+    return df.mapInArrow(add_cents, out_schema)
+
+
+def make_first_tokens_udtf():
+    """Polymorphic Python UDTF (Spark 4 ``analyze()``): the OUTPUT SCHEMA
+    is computed at plan time from the constant argument — ``
+    first_tokens(text, 3)`` yields columns tok0..tok2. The analyze
+    mechanism is what lets one UDTF serve any width without a DDL string
+    per call site."""
+    from pyspark.sql.functions import AnalyzeArgument, AnalyzeResult, udtf
+    from pyspark.sql.types import StringType, StructType
+
+    @udtf
+    class FirstTokens:
+        @staticmethod
+        def analyze(text: AnalyzeArgument, n: AnalyzeArgument) -> AnalyzeResult:
+            st = StructType()
+            for i in range(n.value):
+                st = st.add(f"tok{i}", StringType())
+            return AnalyzeResult(schema=st)
+
+        def eval(self, text: str, n: int):
+            toks = (text or "").split(" ")
+            yield tuple(toks[i] if i < len(toks) else None for i in range(n))
+
+    return FirstTokens

@@ -174,3 +174,82 @@ def events_bfill_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bfill(grid, ["user_id"], "d", ["v"]).select(
         "user_id", "d", F.col("v").alias("v_filled")
     )
+
+
+# --------------------------------------------------------------------------
+# L9 modern Python boundaries (round 4): Arrow UDF, mapInArrow,
+# polymorphic UDTF
+# --------------------------------------------------------------------------
+@register(
+    "udf_vowels_arrow",
+    r"""
+    SELECT lang,
+           CAST(sum(len(regexp_extract_all(text, '[aeiou]'))) AS BIGINT)
+               AS n_vowels,
+           CAST(count(*) AS BIGINT) AS n_docs
+    FROM documents GROUP BY lang
+    """,
+    doc="L9a Arrow-optimized scalar UDF (useArrow=True): legacy row-UDF "
+    "signature, Arrow-batched transfer — the drop-in upgrade for row "
+    "UDFs; aggregated JVM-side and oracle-checked",
+)
+def udf_vowels_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from time_series_spark_spark.functions.udfs import vowel_count_arrow_udf
+
+    vowels = vowel_count_arrow_udf()
+    docs = load(spark, sf_dir, "documents").select("lang", "text")
+    return docs.groupBy("lang").agg(
+        F.sum(vowels("text")).cast("long").alias("n_vowels"),
+        F.count(F.lit(1)).alias("n_docs"),
+    )
+
+
+@register(
+    "events_cents_map_in_arrow",
+    """
+    SELECT event_type,
+           CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT)
+               AS total_cents,
+           CAST(count(*) AS BIGINT) AS n
+    FROM events GROUP BY event_type
+    """,
+    doc="L9b mapInArrow: pyarrow.compute kernel over raw RecordBatches "
+    "(no pandas materialization — the cheapest Python boundary); floor "
+    "semantics shared by pyarrow/Spark/DuckDB so the integer-cents "
+    "aggregate is oracle-exact",
+)
+def events_cents_map_in_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from time_series_spark_spark.functions.udfs import cents_map_in_arrow
+
+    ev = load(spark, sf_dir, "events").select("event_type", "value")
+    with_cents = cents_map_in_arrow(ev)
+    return with_cents.groupBy("event_type").agg(
+        F.sum("cents").cast("long").alias("total_cents"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@register(
+    "udtf_first_tokens_dynamic",
+    """
+    SELECT doc_id,
+           t[1] AS tok0, t[2] AS tok1, t[3] AS tok2
+    FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
+    WHERE doc_id < 20
+    """,
+    doc="L9c polymorphic UDTF: analyze() computes the output schema from "
+    "the constant width argument at plan time (first_tokens(text, 3) -> "
+    "tok0..tok2) — one UDTF, any width, no per-call DDL",
+)
+def udtf_first_tokens_dynamic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from time_series_spark_spark.functions.udfs import make_first_tokens_udtf
+
+    spark.udtf.register("first_tokens", make_first_tokens_udtf())
+    load(spark, sf_dir, "documents").createOrReplaceTempView("docs_udtf")
+    return spark.sql(
+        """
+        SELECT d.doc_id, t.tok0, t.tok1, t.tok2
+        FROM docs_udtf d, LATERAL first_tokens(d.text, 3) t
+        WHERE d.doc_id < 20
+        """
+    )
