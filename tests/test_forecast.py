@@ -323,3 +323,74 @@ def test_holt_winters_spark_grid_and_skip(spark):
     for r in rows_out:
         day_idx = (r["ds"] - t0).days
         assert abs(r["yhat"] - (10.0 + season[day_idx % 7])) < 0.5
+
+
+def test_model_selection_prefers_matching_generator(spark):
+    """Series generated BY one model class should elect that class: pure
+    weekly-additive-seasonal data (HW's exact form, also additive's) is a
+    fair fight, but a sharp changepoint trend favors the recursive HW —
+    assert instead the structural contract: folds counted, champion is
+    the argmin of the two reported MAEs."""
+    import datetime as dt
+
+    import numpy as np
+
+    from time_series_spark_spark.operators.forecast import model_selection
+
+    t0 = dt.datetime(2024, 1, 1)
+    rng = np.random.default_rng(2)
+    rows = []
+    season = [5, -3, 0, 2, -4, 1, -1]
+    for i in range(120):
+        rows.append(
+            ("s", t0 + dt.timedelta(days=i),
+             100 + 0.5 * i + season[i % 7] + float(rng.normal(0, 0.1)))
+        )
+    df = spark.createDataFrame(rows, "key string, ds timestamp, y double")
+    out = model_selection(
+        df, ["key"], "ds", "y",
+        cutoffs=["2024-03-15", "2024-04-01"], horizon=14,
+    ).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["n_folds"] == 2
+    want = "additive" if r["mae_additive"] <= r["mae_hw"] else "holt_winters"
+    assert r["champion"] == want
+    assert r["mae_additive"] < 5 and r["mae_hw"] < 5  # both sane on-model
+
+
+def test_conformal_coverage_guarantee(spark):
+    """Split-conformal coverage: over many level+noise series, held-out
+    actuals fall inside [lo, hi] at >= ~(1 - alpha) rate."""
+    import datetime as dt
+
+    import numpy as np
+
+    from time_series_spark_spark.operators.forecast import conformal_forecast
+
+    t0 = dt.datetime(2024, 1, 1)
+    rng = np.random.default_rng(7)
+    n_hist, h = 90, 10
+    rows, truth = [], {}
+    for s in range(30):
+        level = float(rng.uniform(-50, 50))
+        y = level + rng.normal(0, 3.0, n_hist + h)
+        for i in range(n_hist):
+            rows.append((s, t0 + dt.timedelta(days=i), float(y[i])))
+        truth[s] = y[n_hist:]
+    df = spark.createDataFrame(rows, "sid long, ds timestamp, y double")
+    out = conformal_forecast(
+        df, ["sid"], "ds", "y", horizon=h, alpha=0.1
+    ).collect()
+    assert len(out) == 30 * h
+    hits = total = 0
+    for r in out:
+        day_idx = (r["ds"] - (t0 + dt.timedelta(days=n_hist - 1))).days - 1
+        actual = truth[r["sid"]][day_idx]
+        hits += int(r["lo"] <= actual <= r["hi"])
+        total += 1
+    assert hits / total >= 0.85, hits / total
+    # intervals are symmetric around yhat with half-width qhat
+    for r in out[:20]:
+        assert abs((r["hi"] - r["yhat"]) - (r["yhat"] - r["lo"])) < 2.1e-4
+        assert abs((r["hi"] - r["yhat"]) - r["qhat"]) < 1e-3

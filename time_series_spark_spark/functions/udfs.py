@@ -172,3 +172,36 @@ def make_first_tokens_udtf():
             yield tuple(toks[i] if i < len(toks) else None for i in range(n))
 
     return FirstTokens
+
+
+def user_stats_apply_in_arrow(df, key: str = "user_id", value: str = "value"):
+    """L9d ``groupBy().applyInArrow``: per-group aggregation on a raw
+    ``pyarrow.Table`` — the Arrow-native sibling of ``applyInPandas``
+    (no pandas DataFrame construction per group). Demonstration only:
+    these stats are builtins; the pattern matters for pyarrow-compute /
+    numpy-on-arrow group kernels."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def stats(table: pa.Table) -> pa.Table:
+        v = table.column(value)
+        return pa.table(
+            {
+                key: [table.column(key)[0].as_py()],
+                "n": [table.num_rows],
+                "v_min": [pc.min(v).as_py()],
+                "v_max": [pc.max(v).as_py()],
+                "v_sum_cents": [
+                    int(pc.sum(pc.floor(pc.multiply(v, 100.0))).as_py())
+                ],
+            }
+        )
+
+    return (
+        df.select(key, value)
+        .groupBy(key)
+        .applyInArrow(
+            stats, f"{key} long, n long, v_min double, v_max double, "
+            "v_sum_cents long"
+        )
+    )

@@ -585,3 +585,178 @@ def holt_winters(
         _fit_batch,
         f"{key_schema}, ds timestamp, yhat double, sse double",
     )
+
+
+# --------------------------------------------------------------------------
+# F8b: per-series model selection (additive regression vs Holt-Winters)
+# --------------------------------------------------------------------------
+def model_selection(
+    df: DataFrame,
+    keys: list[str],
+    ds_col: str,
+    y_col: str,
+    cutoffs: list[str],
+    horizon: int,
+    season_length: int = 7,
+    freq_days: float = 1.0,
+) -> DataFrame:
+    """F8b: rolling-origin champion selection between the two forecaster
+    families (F7 additive regression, F7b Holt-Winters recursion), the
+    standard per-series AutoML-lite step: evaluate both on the same
+    folds, keep the lower mean MAE (ties → additive). All folds and both
+    models run executor-local per series — one shuffle total, exactly
+    the F8 shape.
+
+    Output: ``keys…, n_folds, mae_additive, mae_hw, champion``.
+    """
+    key_schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}"
+        for f in df.schema.fields
+        if f.name in keys
+    )
+    cutoff_ts = [np.datetime64(c) for c in cutoffs]
+    step = np.timedelta64(int(freq_days * 86_400_000_000), "us")
+
+    def _one(pdf: pd.DataFrame) -> pd.DataFrame:
+        ds = pdf[ds_col].to_numpy().astype("datetime64[us]")
+        y = pdf[y_col].to_numpy().astype(float)
+        order = np.argsort(ds)
+        ds, y = ds[order], y[order]
+        add_maes, hw_maes = [], []
+        for co in cutoff_ts:
+            train = ds <= co
+            n_tr = int(train.sum())
+            if n_tr < max(5, 2 * season_length):
+                continue
+            actual = pd.DataFrame({"ds": ds, "y": y})
+            fc = fit_forecast_series(ds[train], y[train], horizon, freq_days)
+            m1 = fc.merge(actual, on="ds", how="inner")
+            hw_yhat, _ = holt_winters_series(
+                y[train], season_length, horizon
+            )
+            future = ds[train][-1] + step * np.arange(1, horizon + 1)
+            m2 = pd.DataFrame({"ds": future, "yhat": hw_yhat}).merge(
+                actual, on="ds", how="inner"
+            )
+            if m1.empty or m2.empty:
+                continue
+            add_maes.append(float((m1["y"] - m1["yhat"]).abs().mean()))
+            hw_maes.append(float((m2["y"] - m2["yhat"]).abs().mean()))
+        if not add_maes:
+            return pd.DataFrame(
+                columns=["n_folds", "mae_additive", "mae_hw", "champion"]
+            )
+        ma, mh = float(np.mean(add_maes)), float(np.mean(hw_maes))
+        return pd.DataFrame(
+            [
+                {
+                    "n_folds": len(add_maes),
+                    "mae_additive": round(ma, 4),
+                    "mae_hw": round(mh, 4),
+                    "champion": "additive" if ma <= mh else "holt_winters",
+                }
+            ]
+        )
+
+    def _batch(pdf: pd.DataFrame) -> pd.DataFrame:
+        outs = []
+        for kv, g in pdf.groupby(keys, sort=False):
+            out = _one(g)
+            if not isinstance(kv, tuple):
+                kv = (kv,)
+            for k, v in zip(keys, kv):
+                out[k] = v
+            outs.append(
+                out[[*keys, "n_folds", "mae_additive", "mae_hw", "champion"]]
+            )
+        return pd.concat(outs, ignore_index=True)
+
+    return packed_grouped_map(
+        df.select(*keys, ds_col, y_col),
+        keys,
+        [ds_col],
+        _batch,
+        f"{key_schema}, n_folds long, mae_additive double, mae_hw double, "
+        "champion string",
+    )
+
+
+# --------------------------------------------------------------------------
+# F8c: split-conformal forecast intervals
+# --------------------------------------------------------------------------
+def conformal_forecast(
+    df: DataFrame,
+    keys: list[str],
+    ds_col: str,
+    y_col: str,
+    horizon: int,
+    alpha: float = 0.1,
+    calib_frac: float = 0.25,
+    freq_days: float = 1.0,
+) -> DataFrame:
+    """F8c: split-conformal prediction intervals (Vovk et al.;
+    Lei et al., JASA 2018): fit on the older (1-calib_frac) of each
+    series, take absolute residuals on the held-out calibration window,
+    and set the interval half-width to the ceil((n+1)(1-α))/n empirical
+    residual quantile — a DISTRIBUTION-FREE ≥(1-α) marginal coverage
+    guarantee under exchangeable residuals, unlike the F7 residual-
+    quantile bands. The final point forecast refits on the full series.
+
+    Output: ``keys…, ds, yhat, lo, hi, qhat`` (one qhat per series).
+    """
+    key_schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}"
+        for f in df.schema.fields
+        if f.name in keys
+    )
+
+    def _one(pdf: pd.DataFrame) -> pd.DataFrame:
+        ds = pdf[ds_col].to_numpy().astype("datetime64[us]")
+        y = pdf[y_col].to_numpy().astype(float)
+        order = np.argsort(ds)
+        ds, y = ds[order], y[order]
+        n = len(y)
+        n_cal = max(5, int(round(n * calib_frac)))
+        n_tr = n - n_cal
+        if n_tr < 5:
+            return pd.DataFrame(columns=["ds", "yhat", "lo", "hi", "qhat"])
+        fc_cal = fit_forecast_series(ds[:n_tr], y[:n_tr], n_cal, freq_days)
+        merged = fc_cal.merge(
+            pd.DataFrame({"ds": ds[n_tr:], "y": y[n_tr:]}), on="ds", how="inner"
+        )
+        if len(merged) < 3:
+            return pd.DataFrame(columns=["ds", "yhat", "lo", "hi", "qhat"])
+        res = np.sort(np.abs(merged["y"] - merged["yhat"]).to_numpy())
+        m = len(res)
+        rank = min(m - 1, int(np.ceil((m + 1) * (1 - alpha))) - 1)
+        qhat = float(res[rank])
+        fc = fit_forecast_series(ds, y, horizon, freq_days)
+        return pd.DataFrame(
+            {
+                "ds": fc["ds"],
+                "yhat": np.round(fc["yhat"], 4),
+                "lo": np.round(fc["yhat"] - qhat, 4),
+                "hi": np.round(fc["yhat"] + qhat, 4),
+                "qhat": round(qhat, 4),
+            }
+        )
+
+    def _batch(pdf: pd.DataFrame) -> pd.DataFrame:
+        outs = []
+        for kv, g in pdf.groupby(keys, sort=False):
+            out = _one(g)
+            if not isinstance(kv, tuple):
+                kv = (kv,)
+            for k, v in zip(keys, kv):
+                out[k] = v
+            outs.append(out[[*keys, "ds", "yhat", "lo", "hi", "qhat"]])
+        return pd.concat(outs, ignore_index=True)
+
+    return packed_grouped_map(
+        df.select(*keys, ds_col, y_col),
+        keys,
+        [ds_col],
+        _batch,
+        f"{key_schema}, ds timestamp, yhat double, lo double, hi double, "
+        "qhat double",
+    )

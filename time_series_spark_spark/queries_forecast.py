@@ -111,3 +111,43 @@ def forecast_hw_weekly_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fc.select(
         "key", "ds", F.round("yhat", 4).alias("yhat"), F.round("sse", 2).alias("sse")
     )
+
+
+@register(
+    "forecast_model_selection",
+    None,  # rolling-origin dual-model evaluation → rows-only; champion
+    # logic + fold accounting pinned in tests/test_forecast.py
+    doc="F8b per-series champion selection: additive regression vs "
+    "Holt-Winters on identical rolling-origin folds (3 cutoffs x 28d), "
+    "lower mean MAE wins — both models and all folds run executor-local "
+    "per series, one shuffle total",
+)
+def forecast_model_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from time_series_spark_spark.operators.forecast import model_selection
+
+    return model_selection(
+        _revenue_series(spark, sf_dir),
+        ["key"],
+        "ds",
+        "y",
+        cutoffs=["1997-06-01", "1997-12-01", "1998-03-01"],
+        horizon=28,
+    ).orderBy("key")
+
+
+@register(
+    "forecast_conformal_revenue",
+    None,  # split-conformal calibration → rows-only; coverage guarantee
+    # pinned by simulation in tests/test_forecast.py
+    doc="F8c split-conformal forecast intervals (Lei et al. 2018): "
+    "interval half-width = ceil((n+1)(1-alpha))/n calibration-residual "
+    "quantile — distribution-free >=90% marginal coverage under "
+    "exchangeable residuals, replacing the model-trusting residual "
+    "bands; 14-day horizon over the 3 revenue series",
+)
+def forecast_conformal_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from time_series_spark_spark.operators.forecast import conformal_forecast
+
+    return conformal_forecast(
+        _revenue_series(spark, sf_dir), ["key"], "ds", "y", horizon=14
+    ).orderBy("key", "ds")

@@ -253,3 +253,25 @@ def udtf_first_tokens_dynamic(spark: SparkSession, sf_dir: str) -> DataFrame:
         WHERE d.doc_id < 20
         """
     )
+
+
+@register(
+    "user_value_stats_arrow",
+    """
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n,
+           min(value)               AS v_min,
+           max(value)               AS v_max,
+           CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT)
+               AS v_sum_cents
+    FROM events GROUP BY user_id
+    """,
+    doc="L9d groupBy().applyInArrow: per-group stats computed on raw "
+    "pyarrow Tables (the Arrow-native grouped map, no pandas per-group "
+    "materialization) — integer-cents floor semantics keep it "
+    "oracle-exact",
+)
+def user_value_stats_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from time_series_spark_spark.functions.udfs import user_stats_apply_in_arrow
+
+    return user_stats_apply_in_arrow(load(spark, sf_dir, "events"))
