@@ -205,3 +205,56 @@ def user_stats_apply_in_arrow(df, key: str = "user_id", value: str = "value"):
             "v_sum_cents long"
         )
     )
+
+
+def jaro_winkler_pandas_udf():
+    """Jaro-Winkler similarity as a vectorized pandas UDF (standard
+    formulation: match window floor(max/2)-1, half-transpositions,
+    Winkler prefix boost l<=4, p=0.1). Spark has no built-in JW; the
+    DuckDB oracle checks this kernel against its NATIVE
+    jaro_winkler_similarity — an independent reference implementation,
+    not a mirrored formula."""
+    import pandas as pd
+
+    def jw(a: str, b: str) -> float:
+        if a == b:
+            return 1.0
+        la, lb = len(a), len(b)
+        if not la or not lb:
+            return 0.0
+        window = max(la, lb) // 2 - 1
+        ma = [False] * la
+        mb = [False] * lb
+        m = 0
+        for i in range(la):
+            lo, hi = max(0, i - window), min(lb, i + window + 1)
+            for j in range(lo, hi):
+                if not mb[j] and a[i] == b[j]:
+                    ma[i] = mb[j] = True
+                    m += 1
+                    break
+        if m == 0:
+            return 0.0
+        t = 0
+        j = 0
+        for i in range(la):
+            if ma[i]:
+                while not mb[j]:
+                    j += 1
+                if a[i] != b[j]:
+                    t += 1
+                j += 1
+        t //= 2
+        jaro = (m / la + m / lb + (m - t) / m) / 3.0
+        l = 0
+        for x, y in zip(a[:4], b[:4]):
+            if x != y:
+                break
+            l += 1
+        return jaro + l * 0.1 * (1.0 - jaro)
+
+    @pandas_udf(DoubleType())
+    def jw_udf(a: pd.Series, b: pd.Series) -> pd.Series:
+        return pd.Series([jw(x or "", y or "") for x, y in zip(a, b)])
+
+    return jw_udf

@@ -1319,3 +1319,151 @@ def lateral_customer_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         WHERE c.c_mktsegment = 'BUILDING'
         """
     )
+
+
+# --------------------------------------------------------------------------
+# Data-quality analytics (round 4): Jaro-Winkler, Benford, integrity report
+# --------------------------------------------------------------------------
+@register(
+    "nation_name_jw_pairs",
+    """
+    SELECT a.n_name AS name_a, b.n_name AS name_b,
+           round(jaro_winkler_similarity(a.n_name, b.n_name), 6) AS jw
+    FROM nation a JOIN nation b ON a.n_nationkey < b.n_nationkey
+    WHERE jaro_winkler_similarity(a.n_name, b.n_name) >= 0.75
+    """,
+    doc="K2f Jaro-Winkler name-pair similarity: a vectorized pandas-UDF "
+    "JW kernel (match window, half-transpositions, Winkler prefix "
+    "boost) cross-checked against DuckDB's NATIVE "
+    "jaro_winkler_similarity — an independent reference "
+    "implementation, the strongest oracle form a custom Python kernel "
+    "can have; guarded small-dim pair join",
+)
+def nation_name_jw_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from time_series_spark_spark.functions.udfs import jaro_winkler_pandas_udf
+
+    jw = jaro_winkler_pandas_udf()
+    n = load(spark, sf_dir, "nation")
+    a = n.select(F.col("n_nationkey").alias("ka"), F.col("n_name").alias("name_a"))
+    b = n.select(F.col("n_nationkey").alias("kb"), F.col("n_name").alias("name_b"))
+    return (
+        a.join(F.broadcast(b), F.col("ka") < F.col("kb"))
+        .withColumn("jw", F.round(jw("name_a", "name_b"), 6))
+        .filter(F.col("jw") >= 0.75)
+        .select("name_a", "name_b", "jw")
+    )
+
+
+@register(
+    "orders_benford_first_digit",
+    """
+    WITH d AS (
+        SELECT CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT) AS VARCHAR), 1, 1)
+                    AS INT) AS digit
+        FROM orders WHERE o_totalprice >= 1
+    ),
+    c AS (SELECT digit, count(*) AS n FROM d GROUP BY digit),
+    t AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM c)
+    SELECT digit,
+           CAST(n AS BIGINT) AS n,
+           round(n * 1.0 / total, 6) AS observed,
+           round(log10(1.0 + 1.0 / digit), 6) AS benford_expected,
+           round(n * 1.0 / total - log10(1.0 + 1.0 / digit), 6) AS deviation
+    FROM c, t
+    """,
+    doc="Benford's-law first-digit audit on order totals (Newcomb 1881 / "
+    "Benford 1938; the standard forensic data-quality screen): observed "
+    "first-digit frequencies vs log10(1+1/d), per-digit deviation — one "
+    "scan, one hash agg, scalar-broadcast total",
+)
+def orders_benford_first_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders").filter(F.col("o_totalprice") >= 1)
+    d = o.select(
+        F.substring(
+            F.floor("o_totalprice").cast("long").cast("string"), 1, 1
+        ).cast("int").alias("digit")
+    )
+    c = d.groupBy("digit").agg(F.count(F.lit(1)).alias("n"))
+    t = c.agg(F.sum("n").cast("long").alias("total"))
+    expected = F.log10(1.0 + 1.0 / F.col("digit"))
+    return c.crossJoin(F.broadcast(t)).select(
+        "digit",
+        F.col("n").cast("long").alias("n"),
+        F.round(F.col("n") * 1.0 / F.col("total"), 6).alias("observed"),
+        F.round(expected, 6).alias("benford_expected"),
+        F.round(F.col("n") * 1.0 / F.col("total") - expected, 6).alias(
+            "deviation"
+        ),
+    )
+
+
+@register(
+    "star_integrity_report",
+    """
+    SELECT 'orders_orphan_custkey' AS check_name,
+           CAST((SELECT count(*) FROM orders o
+                 WHERE NOT EXISTS (SELECT 1 FROM customer c
+                                   WHERE c.c_custkey = o.o_custkey))
+                AS BIGINT) AS n_bad
+    UNION ALL
+    SELECT 'lineitem_orphan_orderkey',
+           CAST((SELECT count(*) FROM lineitem l
+                 WHERE NOT EXISTS (SELECT 1 FROM orders o
+                                   WHERE o.o_orderkey = l.l_orderkey))
+                AS BIGINT)
+    UNION ALL
+    SELECT 'customer_dup_pk',
+           CAST((SELECT count(*) FROM (
+                     SELECT c_custkey FROM customer
+                     GROUP BY c_custkey HAVING count(*) > 1))
+                AS BIGINT)
+    UNION ALL
+    SELECT 'orders_null_orderdate',
+           CAST((SELECT count(*) FROM orders WHERE o_orderdate IS NULL)
+                AS BIGINT)
+    UNION ALL
+    SELECT 'lineitem_nonpositive_qty',
+           CAST((SELECT count(*) FROM lineitem WHERE l_quantity <= 0)
+                AS BIGINT)
+    """,
+    doc="Star-schema integrity audit (the expectation-suite core): FK "
+    "orphans via anti joins, duplicate PKs, null/domain violations — "
+    "each check a broadcast anti join or single agg, unioned into one "
+    "report frame",
+)
+def star_integrity_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    li = load(spark, sf_dir, "lineitem")
+
+    def one(name: str, df: DataFrame) -> DataFrame:
+        return df.agg(F.count(F.lit(1)).cast("long").alias("n_bad")).select(
+            F.lit(name).alias("check_name"), "n_bad"
+        )
+
+    orphan_orders = o.join(
+        F.broadcast(c.select("c_custkey")),
+        o["o_custkey"] == c["c_custkey"],
+        "left_anti",
+    )
+    orphan_li = li.join(
+        o.select("o_orderkey"),
+        li["l_orderkey"] == o["o_orderkey"],
+        "left_anti",
+    )
+    dup_pk = (
+        c.groupBy("c_custkey")
+        .agg(F.count(F.lit(1)).alias("k"))
+        .filter(F.col("k") > 1)
+    )
+    return (
+        one("orders_orphan_custkey", orphan_orders)
+        .unionByName(one("lineitem_orphan_orderkey", orphan_li))
+        .unionByName(one("customer_dup_pk", dup_pk))
+        .unionByName(
+            one("orders_null_orderdate", o.filter(F.col("o_orderdate").isNull()))
+        )
+        .unionByName(
+            one("lineitem_nonpositive_qty", li.filter(F.col("l_quantity") <= 0))
+        )
+    )
