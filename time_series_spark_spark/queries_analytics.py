@@ -954,3 +954,172 @@ def events_interarrival_burstiness(spark: SparkSession, sf_dir: str) -> DataFram
         F.round(sd / mu, 4).alias("cv"),
         F.round((sd - mu) / (sd + mu), 4).alias("burstiness"),
     )
+
+
+# --------------------------------------------------------------------------
+# Experiment / survival analytics (round 4)
+# --------------------------------------------------------------------------
+@register(
+    "events_ab_welch_test",
+    """
+    WITH g AS (
+        SELECT CAST(user_id % 2 AS INT) AS grp,
+               CAST(count(*) AS BIGINT) AS n,
+               avg(value)               AS mean,
+               var_samp(value)          AS var
+        FROM events GROUP BY 1
+    ),
+    w AS (
+        SELECT a.n AS n_a, b.n AS n_b,
+               a.mean AS mean_a, b.mean AS mean_b,
+               a.var / a.n + b.var / b.n AS se2
+        FROM g a JOIN g b ON a.grp = 0 AND b.grp = 1
+    )
+    SELECT n_a, n_b,
+           round(mean_a, 4) AS mean_a,
+           round(mean_b, 4) AS mean_b,
+           round(mean_b - mean_a, 4) AS lift,
+           round((mean_b - mean_a) / sqrt(se2), 4) AS welch_z,
+           round(mean_b - mean_a - 1.959964 * sqrt(se2), 4) AS ci_lo,
+           round(mean_b - mean_a + 1.959964 * sqrt(se2), 4) AS ci_hi
+    FROM w
+    """,
+    doc="Welch two-sample z-test (unequal variances) for an A/B split "
+    "(user_id parity as assignment): lift, z statistic, 95% CI — two "
+    "hash aggregates and scalar arithmetic, the experiment-analysis "
+    "primitive at any scale",
+)
+def events_ab_welch_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    g = ev.groupBy((F.col("user_id") % 2).cast("int").alias("grp")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.avg("value").alias("mean"),
+        F.var_samp("value").alias("var"),
+    )
+    a = g.filter(F.col("grp") == 0).select(
+        F.col("n").alias("n_a"), F.col("mean").alias("mean_a"),
+        F.col("var").alias("var_a"),
+    )
+    b = g.filter(F.col("grp") == 1).select(
+        F.col("n").alias("n_b"), F.col("mean").alias("mean_b"),
+        F.col("var").alias("var_b"),
+    )
+    se2 = F.col("var_a") / F.col("n_a") + F.col("var_b") / F.col("n_b")
+    lift = F.col("mean_b") - F.col("mean_a")
+    return a.crossJoin(F.broadcast(b)).select(
+        "n_a",
+        "n_b",
+        F.round("mean_a", 4).alias("mean_a"),
+        F.round("mean_b", 4).alias("mean_b"),
+        F.round(lift, 4).alias("lift"),
+        F.round(lift / F.sqrt(se2), 4).alias("welch_z"),
+        F.round(lift - 1.959964 * F.sqrt(se2), 4).alias("ci_lo"),
+        F.round(lift + 1.959964 * F.sqrt(se2), 4).alias("ci_hi"),
+    )
+
+
+@register(
+    "users_kaplan_meier",
+    """
+    WITH span AS (SELECT max(ts) AS t_max FROM events),
+    flagged AS (
+        SELECT user_id, ts,
+               CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w
+                         > 1800000000
+                      OR lag(ts) OVER w IS NULL
+                    THEN 1 ELSE 0 END AS new_s
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sessions AS (
+        SELECT user_id, ts,
+               sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS UNBOUNDED PRECEDING) AS sid
+        FROM flagged
+    ),
+    u AS (
+        SELECT user_id, sid,
+               CAST((epoch_us(max(ts)) - epoch_us(min(ts)))
+                    // 60000000 AS BIGINT) AS duration_min,
+               CASE WHEN max(ts) < t_max - INTERVAL 30 MINUTE
+                    THEN 1 ELSE 0 END AS ended
+        FROM sessions, span GROUP BY user_id, sid, t_max
+    ),
+    t AS (
+        SELECT duration_min AS d,
+               CAST(count(*) FILTER (WHERE ended = 1) AS BIGINT) AS deaths,
+               CAST(count(*) AS BIGINT) AS leaving
+        FROM u GROUP BY 1
+    ),
+    r AS (
+        SELECT d, deaths, leaving,
+               CAST(sum(leaving) OVER (ORDER BY d DESC) AS BIGINT) AS at_risk
+        FROM t
+    )
+    SELECT d AS duration_min, deaths, at_risk,
+           round(exp(sum(ln(1.0 - deaths * 1.0 / at_risk))
+                     OVER (ORDER BY d)), 6) AS survival
+    FROM r WHERE deaths > 0 AND deaths < at_risk
+    """,
+    doc="Kaplan-Meier survival estimator (Kaplan & Meier 1958) over "
+    "SESSION lifetimes (30-min-gap sessions; a session still open at "
+    "corpus end is right-censored): S(t) = prod(1 - d_i/n_i), computed "
+    "as exp of a running ln-sum over a descending-risk window — two "
+    "windows + one agg, no Python",
+)
+def users_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    ev = load(spark, sf_dir, "events")
+    span = ev.agg(F.max("ts").alias("t_max"))
+    wu = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    flagged = ev.select(
+        "user_id",
+        "ts",
+        F.when(
+            (F.unix_micros("ts") - F.lag(F.unix_micros("ts")).over(wu)
+             > 1_800_000_000)
+            | F.lag("ts").over(wu).isNull(),
+            1,
+        ).otherwise(0).alias("new_s"),
+    )
+    sessions = flagged.withColumn(
+        "sid",
+        F.sum("new_s").over(
+            Window.partitionBy("user_id").orderBy("ts")
+            .rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    u = (
+        sessions.crossJoin(F.broadcast(span))
+        .groupBy("user_id", "sid", "t_max")
+        .agg(
+            F.expr(
+                "CAST((unix_micros(max(ts)) - unix_micros(min(ts)))"
+                " DIV 60000000 AS BIGINT)"
+            ).alias("duration_min"),
+            F.when(
+                F.max("ts") < F.expr("t_max - INTERVAL 30 MINUTE"), 1
+            ).otherwise(0).alias("ended"),
+        )
+    )
+    t = u.groupBy(F.col("duration_min").alias("d")).agg(
+        F.sum(F.col("ended")).cast("long").alias("deaths"),
+        F.count(F.lit(1)).cast("long").alias("leaving"),
+    )
+    r = t.withColumn(
+        "at_risk",
+        F.sum("leaving").over(Window.orderBy(F.desc("d"))).cast("long"),
+    )
+    surv = F.exp(
+        F.sum(F.log(1.0 - F.col("deaths") * 1.0 / F.col("at_risk"))).over(
+            Window.orderBy("d")
+        )
+    )
+    return (
+        r.withColumn("survival", F.round(surv, 6))
+        .filter((F.col("deaths") > 0) & (F.col("deaths") < F.col("at_risk")))
+        .select(
+            F.col("d").alias("duration_min"), "deaths", "at_risk", "survival"
+        )
+    )
