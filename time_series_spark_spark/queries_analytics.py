@@ -1123,3 +1123,155 @@ def users_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("d").alias("duration_min"), "deaths", "at_risk", "survival"
         )
     )
+
+
+@register(
+    "orders_decimal_exact_totals",
+    """
+    SELECT o_orderstatus,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS VARCHAR)
+               AS total_exact,
+           CAST(count(*) AS BIGINT) AS n
+    FROM orders GROUP BY o_orderstatus
+    """,
+    doc="Exact DECIMAL aggregation: money summed as DECIMAL(18,2) — "
+    "order-independent, no fp association drift by construction (the "
+    "alternative to this repo's integer-cents convention) — emitted as "
+    "an engine-rendered string so both engines' exact decimal surfaces "
+    "are compared literally",
+)
+def orders_decimal_exact_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("string")
+        .alias("total_exact"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@register(
+    "events_session_window_batch",
+    f"""
+    WITH flagged AS (
+        SELECT user_id, ts,
+               CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w
+                         > 1800000000
+                      OR lag(ts) OVER w IS NULL
+                    THEN 1 ELSE 0 END AS new_s
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY {_ORD_KEY})
+    ),
+    s AS (
+        SELECT user_id, ts,
+               sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS UNBOUNDED PRECEDING) AS sid
+        FROM flagged
+    )
+    SELECT user_id,
+           CAST(min(ts) AS TIMESTAMP)       AS session_start,
+           CAST(count(*) AS BIGINT)         AS n_events
+    FROM s GROUP BY user_id, sid
+    """,
+    doc="F5b native batch session_window: the built-in session-window "
+    "aggregation (one groupBy, merging state machine inside the agg — "
+    "no window-function pass) vs the gaps-and-islands oracle; same "
+    "30-min gap as the F5/J5 pair, proving all three sessionizers "
+    "agree",
+)
+def events_session_window_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            "user_id", F.session_window("ts", "30 minutes").alias("w")
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            "n_events",
+        )
+    )
+
+
+@register(
+    "purchase_attribution_u_shaped",
+    """
+    WITH p AS (
+        SELECT event_id AS pid, user_id, ts, value FROM events
+        WHERE event_type = 'purchase'
+    ),
+    touches AS (
+        SELECT p.pid, p.value, s.event_type AS touch, s.ts,
+               count(*) OVER (PARTITION BY p.pid) AS n,
+               row_number() OVER (
+                   PARTITION BY p.pid
+                   ORDER BY s.ts, s.event_id
+               ) AS pos
+        FROM p JOIN events s
+          ON s.user_id = p.user_id AND s.event_type <> 'purchase'
+         AND s.ts <= p.ts AND s.ts > p.ts - INTERVAL 7 DAY
+    ),
+    credited AS (
+        SELECT touch, value,
+               CASE WHEN n = 1 THEN 1.0
+                    WHEN n = 2 THEN 0.5
+                    WHEN pos = 1 OR pos = n THEN 0.4
+                    ELSE 0.2 / (n - 2) END AS credit
+        FROM touches
+    )
+    SELECT touch,
+           round(sum(credit), 4)                AS total_credit,
+           round(sum(credit * value), 2)        AS attributed_value
+    FROM credited GROUP BY touch
+    """,
+    doc="U-shaped (position-based) multi-touch attribution: 40% first "
+    "touch, 40% last, 20% spread over the middle of each purchase's "
+    "7-day lookback path (the standard position-based model beside the "
+    "C9 last-touch one) — one bounded range join + two windows on the "
+    "purchase key",
+)
+def purchase_attribution_u_shaped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    ev = load(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("pid"),
+        F.col("user_id").alias("p_uid"),
+        F.col("ts").alias("p_ts"),
+        F.col("value").alias("value"),
+    )
+    s = ev.filter(F.col("event_type") != "purchase").select(
+        F.col("user_id").alias("s_uid"),
+        F.col("event_type").alias("touch"),
+        F.col("ts").alias("s_ts"),
+        F.col("event_id").alias("s_id"),
+    )
+    touches = p.join(
+        s,
+        (F.col("s_uid") == F.col("p_uid"))
+        & (F.col("s_ts") <= F.col("p_ts"))
+        & (F.col("s_ts") > F.col("p_ts") - F.expr("INTERVAL 7 DAY")),
+    )
+    wp = Window.partitionBy("pid")
+    wo = wp.orderBy("s_ts", "s_id")
+    credited = touches.select(
+        "touch",
+        "value",
+        F.count(F.lit(1)).over(wp).alias("n"),
+        F.row_number().over(wo).alias("pos"),
+    ).select(
+        "touch",
+        "value",
+        F.when(F.col("n") == 1, 1.0)
+        .when(F.col("n") == 2, 0.5)
+        .when((F.col("pos") == 1) | (F.col("pos") == F.col("n")), 0.4)
+        .otherwise(0.2 / (F.col("n") - 2))
+        .alias("credit"),
+    )
+    return credited.groupBy("touch").agg(
+        F.round(F.sum("credit"), 4).alias("total_credit"),
+        F.round(F.sum(F.col("credit") * F.col("value")), 2).alias(
+            "attributed_value"
+        ),
+    )
