@@ -736,3 +736,65 @@ def test_pq_topk_recall_vs_exact(spark):
         key = (r["query_id"], r["cand_id"])
         if key in ec:
             assert abs(r["cos"] - ec[key]) < 1e-9
+
+
+# ---------------------------------------------------------------------------
+# K14 BPE tokenizer training
+# ---------------------------------------------------------------------------
+def _bpe_reference(word_freqs: dict, n_merges: int, marker="▁"):
+    """Textbook BPE trainer (Sennrich 2016) — driver-side reference."""
+    vocab = {tuple(marker + w): f for w, f in word_freqs.items()}
+    merges = []
+    for _ in range(n_merges):
+        pairs = {}
+        for syms, f in vocab.items():
+            for a, b in zip(syms, syms[1:]):
+                pairs[(a, b)] = pairs.get((a, b), 0) + f
+        if not pairs:
+            break
+        (a, b), cnt = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))
+        merges.append((a, b, cnt))
+        new_vocab = {}
+        for syms, f in vocab.items():
+            out = []
+            for s in syms:
+                if out and out[-1] == a and s == b:
+                    out[-1] = a + b
+                else:
+                    out.append(s)
+            new_vocab[tuple(out)] = new_vocab.get(tuple(out), 0) + f
+        vocab = new_vocab
+    return merges
+
+
+def test_bpe_train_matches_reference(spark):
+    from time_series_spark_spark.operators.llm import bpe_train
+
+    text = "low low low lower lower newest newest newest newest widest"
+    df = spark.createDataFrame([(text,)], "text string")
+    freqs = {}
+    for w in text.split():
+        freqs[w] = freqs.get(w, 0) + 1
+    got = bpe_train(df, n_merges=10)
+    want = _bpe_reference(freqs, 10)
+    assert got == want, (got, want)
+
+
+def test_bpe_apply_roundtrip(spark):
+    """Applying the learned merges re-segments every word consistently:
+    tokens concatenate back to the marked words, and frequent words
+    collapse to single tokens."""
+    from time_series_spark_spark.operators.llm import (
+        bpe_apply_merges,
+        bpe_train,
+    )
+
+    text = "low low low lower lower newest newest newest newest widest"
+    train = spark.createDataFrame([(text,)], "text string")
+    merges = bpe_train(train, n_merges=12)
+    docs = spark.createDataFrame([(0, text)], "doc_id long, text string")
+    toks = bpe_apply_merges(docs, merges).collect()
+    joined = "".join(r["token"] for r in toks)
+    assert joined == "".join("▁" + w for w in text.split())
+    # 'newest' (freq 4) is fully merged into one token by 12 merges
+    assert "▁newest" in {r["token"] for r in toks}

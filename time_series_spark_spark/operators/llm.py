@@ -2180,3 +2180,110 @@ def rake_keywords(
         .orderBy(F.desc("score"), "phrase")
         .limit(k)
     )
+
+
+# --------------------------------------------------------------------------
+# K14: BPE tokenizer TRAINING (learned merge table)
+# --------------------------------------------------------------------------
+def bpe_train(
+    df: DataFrame,
+    text_col: str = "text",
+    n_merges: int = 20,
+    marker: str = "▁",
+) -> list[tuple[str, str, int]]:
+    """Learn a byte-pair-encoding merge table from a corpus (Sennrich,
+    Haddow & Birch, ACL 2016): repeatedly count adjacent symbol pairs
+    over the WORD-FREQUENCY table and merge the most frequent pair
+    (ties broken lexicographically — deterministic).
+
+    Distribution shape: BPE statistics live on the DISTINCT-WORD frame
+    (vocabulary), not the corpus — one corpus scan builds (word, freq),
+    and each merge round is one explode + hash agg + one codegen fold
+    over that bounded frame. The driver holds only the merge list
+    (``n_merges`` rows) and the 1-row argmax per round; the corpus is
+    never rescanned. Words get a leading ``marker`` (SentencePiece-style
+    word-boundary symbol) so merges cannot cross word boundaries.
+
+    Returns ``[(left, right, pair_count), …]`` in merge order.
+    """
+    words = (
+        df.select(F.explode(F.split(F.col(text_col), r"\s+")).alias("w"))
+        .filter(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .select(
+            F.expr(
+                f"transform(split(concat('{marker}', w), ''), x -> x)"
+            ).alias("syms"),
+            "freq",
+        )
+    )
+    # split('') yields a trailing empty string in Spark — drop empties
+    words = words.select(
+        F.expr("filter(syms, x -> x <> '')").alias("syms"), "freq"
+    ).persist()
+    merges: list[tuple[str, str, int]] = []
+    try:
+        cur = words
+        for _ in range(n_merges):
+            pairs = cur.select(
+                F.explode(
+                    F.expr(
+                        "transform(slice(syms, 1, size(syms) - 1), "
+                        "(x, i) -> struct(x AS l, element_at(syms, i + 2) AS r))"
+                    )
+                ).alias("p"),
+                "freq",
+            ).groupBy("p.l", "p.r").agg(F.sum("freq").alias("cnt"))
+            top = pairs.orderBy(F.desc("cnt"), "l", "r").limit(1).collect()
+            if not top:
+                break
+            l, r, cnt = top[0]["l"], top[0]["r"], int(top[0]["cnt"])
+            merges.append((l, r, cnt))
+            le, re_ = l.replace("'", "\\'"), r.replace("'", "\\'")
+            fold = (
+                "aggregate(syms, CAST(array() AS array<string>), (acc, x) -> "
+                f"CASE WHEN size(acc) > 0 AND element_at(acc, -1) = '{le}' "
+                f"AND x = '{re_}' "
+                f"THEN concat(slice(acc, 1, size(acc) - 1), array('{le}{re_}')) "
+                "ELSE concat(acc, array(x)) END)"
+            )
+            cur = cur.select(F.expr(fold).alias("syms"), "freq").localCheckpoint(
+                eager=True
+            )
+    finally:
+        words.unpersist()
+    return merges
+
+
+def bpe_apply_merges(
+    df: DataFrame,
+    merges: list[tuple[str, str, int]],
+    text_col: str = "text",
+    marker: str = "▁",
+) -> DataFrame:
+    """Tokenize a corpus with a learned merge table: per word, apply the
+    merges in training order (the standard BPE apply rule) via the same
+    codegen fold — no Python in the row path. Returns (doc_id, token)
+    rows."""
+    toks = df.select(
+        "doc_id", F.explode(F.split(F.col(text_col), r"\s+")).alias("w")
+    ).filter(F.col("w") != "")
+    cur = toks.select(
+        "doc_id",
+        F.expr(
+            f"filter(transform(split(concat('{marker}', w), ''), x -> x), "
+            "x -> x <> '')"
+        ).alias("syms"),
+    )
+    for l, r, _ in merges:
+        le, re_ = l.replace("'", "\\'"), r.replace("'", "\\'")
+        fold = (
+            "aggregate(syms, CAST(array() AS array<string>), (acc, x) -> "
+            f"CASE WHEN size(acc) > 0 AND element_at(acc, -1) = '{le}' "
+            f"AND x = '{re_}' "
+            f"THEN concat(slice(acc, 1, size(acc) - 1), array('{le}{re_}')) "
+            "ELSE concat(acc, array(x)) END)"
+        )
+        cur = cur.select("doc_id", F.expr(fold).alias("syms"))
+    return cur.select("doc_id", F.explode("syms").alias("token"))

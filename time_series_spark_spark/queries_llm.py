@@ -1673,3 +1673,30 @@ def docs_dup_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("rank"), "id")
         .limit(10)
     )
+
+
+@register(
+    "docs_bpe_train_merges",
+    None,  # iterative argmax-per-round training → rows-only; exact
+    # equality with the textbook driver-side BPE reference is pinned in
+    # tests/test_llm.py (merge list AND tie-breaks)
+    doc="K14 BPE tokenizer TRAINING (Sennrich ACL'16): learn the top-20 "
+    "merge table from the corpus — statistics live on the bounded "
+    "DISTINCT-WORD frame (one corpus scan ever), each round is one "
+    "explode+hash-agg and a codegen fold; the driver holds only the "
+    "merge list. Complements the BPE-ish token COUNTER (K5) with the "
+    "training half of the tokenizer lifecycle.",
+)
+def docs_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from time_series_spark_spark.operators.llm import bpe_train
+
+    merges = bpe_train(
+        load(spark, sf_dir, "documents"), n_merges=20
+    )
+    return spark.createDataFrame(
+        [
+            (i + 1, l, r, c, l + r)
+            for i, (l, r, c) in enumerate(merges)
+        ],
+        "rank int, left string, right string, pair_count long, merged string",
+    )
