@@ -798,3 +798,56 @@ def test_bpe_apply_roundtrip(spark):
     assert joined == "".join("▁" + w for w in text.split())
     # 'newest' (freq 4) is fully merged into one token by 12 merges
     assert "▁newest" in {r["token"] for r in toks}
+
+
+# ---------------------------------------------------------------------------
+# K15 PPMI + SVD embeddings
+# ---------------------------------------------------------------------------
+def test_ppmi_cooccurrence_counts_exact(spark):
+    """Hand-computable corpus: window-2 symmetric counts and PPMI signs."""
+    from time_series_spark_spark.operators.llm import ppmi_cooccurrence
+
+    df = spark.createDataFrame(
+        [(0, "a b a b a b a b"), (1, "c d c d c d c d")],
+        "doc_id long, text string",
+    )
+    out = {
+        (r["w"], r["c"]): (r["n_wc"], r["ppmi"])
+        for r in ppmi_cooccurrence(df, window=1, min_count=1).collect()
+    }
+    # each doc: 7 adjacent pairs; symmetric → ab=ba=7, cd=dc=7
+    assert out[("a", "b")][0] == 7 and out[("b", "a")][0] == 7
+    assert out[("c", "d")][0] == 7 and out[("d", "c")][0] == 7
+    assert ("a", "c") not in out  # never co-occur
+    # PPMI of exclusive pairs: ln(n_wc*N/(n_w*n_c)) = ln(7*28/(7*7)) = ln 4
+    assert abs(out[("a", "b")][1] - np.log(4)) < 1e-9
+
+
+def test_ppmi_svd_separates_planted_clusters(spark):
+    """Two disjoint co-occurrence cliques: SVD vectors put within-clique
+    cosine far above cross-clique cosine."""
+    from time_series_spark_spark.operators.llm import ppmi_svd_vectors
+
+    rng = np.random.default_rng(4)
+    docs = []
+    for i in range(60):
+        fam = ["red", "green", "blue"] if i % 2 == 0 else ["cat", "dog", "fox"]
+        docs.append((i, " ".join(rng.choice(fam, 12))))
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    vecs = {
+        r["term"]: np.array(r["vec"])
+        for r in ppmi_svd_vectors(
+            df, window=2, dim=4, top_vocab=6, min_count=2
+        ).collect()
+    }
+    assert set(vecs) == {"red", "green", "blue", "cat", "dog", "fox"}
+
+    def cos(a, b):
+        return float(
+            vecs[a] @ vecs[b]
+            / (np.linalg.norm(vecs[a]) * np.linalg.norm(vecs[b]) + 1e-12)
+        )
+
+    within = min(cos("red", "green"), cos("cat", "dog"))
+    across = max(cos("red", "cat"), cos("blue", "fox"))
+    assert within > across + 0.3, (within, across)

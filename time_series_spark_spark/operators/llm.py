@@ -2287,3 +2287,122 @@ def bpe_apply_merges(
         )
         cur = cur.select("doc_id", F.expr(fold).alias("syms"))
     return cur.select("doc_id", F.explode("syms").alias("token"))
+
+
+# --------------------------------------------------------------------------
+# K15: PPMI + SVD word embeddings (count-based distributional vectors)
+# --------------------------------------------------------------------------
+def ppmi_cooccurrence(
+    df: DataFrame,
+    text_col: str = "text",
+    window: int = 2,
+    min_count: int = 5,
+) -> DataFrame:
+    """Symmetric windowed co-occurrence counts → positive PMI weights
+    (Levy & Goldberg, NeurIPS 2014: PPMI factorization approximates
+    skip-gram with negative sampling — the count-based route to word
+    vectors). Pairs are generated JVM-side: tokens posexplode once, and
+    each position joins the next ``window`` positions of the SAME doc
+    via an explode over the offset sequence + one equi-join on
+    (doc, position) — never a positional theta-join. Counts are
+    symmetrized (each unordered pair counted once per direction).
+
+    Returns ``(w, c, n_wc, ppmi)`` for pairs with joint count ≥
+    ``min_count``.
+    """
+    pos = (
+        df.select(
+            F.col("doc_id"),
+            F.posexplode(F.split(F.col(text_col), r"\s+")).alias("i", "w"),
+        )
+        .filter(F.col("w") != "")
+    )
+    offs = F.explode(F.sequence(F.lit(1), F.lit(window))).alias("k")
+    left = pos.select("doc_id", "i", F.col("w").alias("wa")).select(
+        "*", offs
+    )
+    right = pos.select(
+        F.col("doc_id").alias("doc_id_r"),
+        F.col("i").alias("j"),
+        F.col("w").alias("wb"),
+    )
+    pairs = left.join(
+        right,
+        (F.col("doc_id") == F.col("doc_id_r"))
+        & (F.col("j") == F.col("i") + F.col("k")),
+    ).select("wa", "wb")
+    sym = pairs.unionByName(
+        pairs.select(F.col("wb").alias("wa"), F.col("wa").alias("wb"))
+    )
+    cooc = sym.groupBy(F.col("wa").alias("w"), F.col("wb").alias("c")).agg(
+        F.count(F.lit(1)).alias("n_wc")
+    )
+    wtot = cooc.groupBy("w").agg(F.sum("n_wc").alias("n_w"))
+    ctot = cooc.groupBy("c").agg(F.sum("n_wc").alias("n_c"))
+    tot = cooc.agg(F.sum("n_wc").cast("double").alias("n_all"))
+    return (
+        cooc.filter(F.col("n_wc") >= min_count)
+        .join(F.broadcast(wtot), "w")
+        .join(F.broadcast(ctot), "c")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "w",
+            "c",
+            "n_wc",
+            F.greatest(
+                F.lit(0.0),
+                F.log(
+                    F.col("n_wc") * F.col("n_all")
+                    / (F.col("n_w") * F.col("n_c"))
+                ),
+            ).alias("ppmi"),
+        )
+    )
+
+
+def ppmi_svd_vectors(
+    df: DataFrame,
+    text_col: str = "text",
+    window: int = 2,
+    dim: int = 16,
+    top_vocab: int = 200,
+    min_count: int = 5,
+) -> DataFrame:
+    """Word vectors = truncated SVD of the PPMI matrix restricted to the
+    ``top_vocab`` most frequent terms (bounded — the matrix that reaches
+    the driver is ≤ top_vocab², a stored-artifact-sized object exactly
+    like the PQ/IVF codebooks; the corpus-side co-occurrence counting is
+    fully distributed). Rows: ``(term, vec array<double>)`` with
+    U·√Σ scaling (the symmetric factorization Levy & Goldberg found
+    equivalent to SGNS embeddings).
+    """
+    toks = (
+        df.select(F.explode(F.split(F.col(text_col), r"\s+")).alias("w"))
+        .filter(F.col("w") != "")
+    )
+    vocab_rows = (
+        toks.groupBy("w")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), "w")
+        .limit(top_vocab)
+        .collect()
+    )
+    vocab = [r["w"] for r in vocab_rows]
+    idx = {w: i for i, w in enumerate(vocab)}
+    ppmi = ppmi_cooccurrence(df, text_col, window, min_count)
+    cells = (
+        ppmi.filter(F.col("w").isin(vocab) & F.col("c").isin(vocab))
+        .select("w", "c", "ppmi")
+        .collect()
+    )
+    m = np.zeros((len(vocab), len(vocab)))
+    for r in cells:
+        m[idx[r["w"]], idx[r["c"]]] = r["ppmi"]
+    u, s, _ = np.linalg.svd(m, full_matrices=False)
+    k = min(dim, len(s))
+    vecs = u[:, :k] * np.sqrt(s[:k])[None, :]
+    spark = df.sparkSession
+    return spark.createDataFrame(
+        [(w, [float(x) for x in vecs[i]]) for i, w in enumerate(vocab)],
+        "term string, vec array<double>",
+    )

@@ -1700,3 +1700,87 @@ def docs_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
         "rank int, left string, right string, pair_count long, merged string",
     )
+
+
+@register(
+    "docs_ppmi_top_pairs",
+    r"""
+    WITH pos AS (
+        SELECT doc_id, generate_subscripts(t, 1) AS i, unnest(t) AS w
+        FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
+    ),
+    pr AS (
+        SELECT a.w AS wa, b.w AS wb
+        FROM pos a
+        JOIN pos b ON b.doc_id = a.doc_id AND b.i BETWEEN a.i + 1 AND a.i + 2
+    ),
+    sym AS (SELECT wa, wb FROM pr UNION ALL SELECT wb, wa FROM pr),
+    cooc AS (
+        SELECT wa AS w, wb AS c, count(*) AS n_wc FROM sym GROUP BY 1, 2
+    ),
+    wt AS (SELECT w, sum(n_wc) AS n_w FROM cooc GROUP BY w),
+    ct AS (SELECT c, sum(n_wc) AS n_c FROM cooc GROUP BY c),
+    tt AS (SELECT CAST(sum(n_wc) AS DOUBLE) AS n_all FROM cooc)
+    SELECT w, c, CAST(n_wc AS BIGINT) AS n_wc,
+           round(greatest(0.0, ln(n_wc * n_all / (n_w * n_c))), 4) AS ppmi
+    FROM cooc JOIN wt USING (w) JOIN ct USING (c) CROSS JOIN tt
+    WHERE n_wc >= 5
+    ORDER BY ppmi DESC, w, c LIMIT 25
+    """,
+    doc="K15a windowed PPMI co-occurrence weights (Levy & Goldberg "
+    "2014), window 2, symmetric — the count matrix whose truncated SVD "
+    "is the count-based word-embedding route; pair generation is one "
+    "posexplode + offset-sequence equi-join (never a positional "
+    "theta-join); top-25 pairs by PPMI, fully oracle-checked",
+)
+def docs_ppmi_top_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from time_series_spark_spark.operators.llm import ppmi_cooccurrence
+
+    out = ppmi_cooccurrence(load(spark, sf_dir, "documents"), window=2)
+    return (
+        out.select(
+            "w", "c", F.col("n_wc").cast("long").alias("n_wc"),
+            F.round("ppmi", 4).alias("ppmi"),
+        )
+        .orderBy(F.desc("ppmi"), "w", "c")
+        .limit(25)
+    )
+
+
+@register(
+    "docs_ppmi_svd_neighbors",
+    None,  # truncated SVD of the bounded PPMI matrix → rows-only;
+    # planted-cluster separation + exact hand-counted PPMI pinned in
+    # tests/test_llm.py
+    doc="K15b count-based word embeddings: truncated SVD (U*sqrt(S), "
+    "dim 16) of the PPMI matrix over the top-50 terms — the "
+    "Levy-Goldberg SGNS-equivalent factorization; corpus-side counting "
+    "fully distributed, only the bounded top-vocab matrix reaches the "
+    "driver (a stored artifact, like the PQ codebooks); output: top-3 "
+    "cosine neighbors per term via the exact JVM rerank",
+)
+def docs_ppmi_svd_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    from time_series_spark_spark.functions.vectors import cosine
+    from time_series_spark_spark.operators.llm import ppmi_svd_vectors
+
+    vecs = ppmi_svd_vectors(
+        load(spark, sf_dir, "documents"), window=2, dim=16, top_vocab=50
+    )
+    a = vecs.select(F.col("term").alias("t_a"), F.col("vec").alias("v_a"))
+    b = vecs.select(F.col("term").alias("t_b"), F.col("vec").alias("v_b"))
+    w = Window.partitionBy("t_a").orderBy(F.desc("cos"), "t_b")
+    return (
+        a.join(F.broadcast(b), F.col("t_a") != F.col("t_b"))
+        .withColumn("cos", F.round(cosine("v_a", "v_b"), 6))
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select(
+            F.col("t_a").alias("term"),
+            F.col("t_b").alias("neighbor"),
+            "cos",
+            "rk",
+        )
+        .orderBy("term", "rk")
+    )
