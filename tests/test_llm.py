@@ -851,3 +851,40 @@ def test_ppmi_svd_separates_planted_clusters(spark):
     within = min(cos("red", "green"), cos("cat", "dog"))
     across = max(cos("red", "cat"), cos("blue", "fox"))
     assert within > across + 0.3, (within, across)
+
+
+# ---------------------------------------------------------------------------
+# K16 distributed PCA
+# ---------------------------------------------------------------------------
+def test_embedding_pca_matches_numpy(spark):
+    from time_series_spark_spark.operators.llm import embedding_pca
+
+    emb = load(spark, SF, "embeddings")
+    comps, vals, mean = embedding_pca(emb, k=8)
+    X = np.stack([r["embedding"] for r in emb.collect()]).astype(np.float64)
+    ref_mean = X.mean(axis=0)
+    ref_cov = np.cov(X.T, bias=True)
+    rv, rvec = np.linalg.eigh(ref_cov)
+    rv = np.sort(rv)[::-1][:8]
+    assert np.allclose(mean, ref_mean, atol=1e-9)
+    assert np.allclose(vals, rv, atol=1e-7)
+    # components are orthonormal eigenvectors of the covariance
+    assert np.allclose(comps @ comps.T, np.eye(8), atol=1e-8)
+    for i in range(8):
+        assert np.allclose(ref_cov @ comps[i], vals[i] * comps[i], atol=1e-7)
+
+
+def test_projection_diagonalizes_covariance(spark):
+    from time_series_spark_spark.operators.llm import (
+        embedding_pca,
+        project_embeddings,
+    )
+
+    emb = load(spark, SF, "embeddings")
+    comps, vals, mean = embedding_pca(emb, k=4)
+    proj = project_embeddings(emb, comps, mean).collect()
+    P = np.array([[r[f"pc{i}"] for i in range(4)] for r in proj])
+    pcov = np.cov(P.T, bias=True)
+    assert np.allclose(np.diag(pcov), vals[:4], atol=1e-7)
+    off = pcov - np.diag(np.diag(pcov))
+    assert np.abs(off).max() < 1e-7

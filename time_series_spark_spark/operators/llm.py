@@ -2406,3 +2406,96 @@ def ppmi_svd_vectors(
         [(w, [float(x) for x in vecs[i]]) for i, w in enumerate(vocab)],
         "term string, vec array<double>",
     )
+
+
+# --------------------------------------------------------------------------
+# K16: distributed PCA over the embedding store
+# --------------------------------------------------------------------------
+def embedding_pca(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    k: int = 8,
+) -> tuple["np.ndarray", "np.ndarray", "np.ndarray"]:
+    """PCA of an embedding column via distributed moment aggregation:
+    each Arrow batch contributes a partial Gram matrix Xᵀ X, a column
+    sum, and a count (``mapInPandas`` emitting ONE flattened d×d row per
+    batch — the map-side-combine shape; the d²-sized partials are what
+    shuffles, never the vectors), summed in one tiny hash agg; the
+    driver assembles the d×d covariance (a stored-artifact-sized object)
+    and eigendecomposes it.
+
+    Returns ``(components (k,d), eigvals (k,), mean (d,))`` with
+    components sign-fixed (largest-|loading| coordinate positive) for
+    determinism.
+    """
+    import pandas as pd
+
+    d = len(df.select(vec_col).first()[0])
+
+    def partials(batches):
+        for pdf in batches:
+            X = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            yield pd.DataFrame(
+                {
+                    "n": [X.shape[0]],
+                    "s": [X.sum(axis=0).tolist()],
+                    "g": [(X.T @ X).ravel().tolist()],
+                }
+            )
+
+    agg = (
+        df.select(vec_col)
+        .mapInPandas(partials, "n long, s array<double>, g array<double>")
+        .agg(
+            F.sum("n").alias("n"),
+            F.array(*[F.sum(F.element_at("s", i + 1)) for i in range(d)]).alias("s"),
+            F.array(
+                *[F.sum(F.element_at("g", i + 1)) for i in range(d * d)]
+            ).alias("g"),
+        )
+        .collect()[0]
+    )
+    n = float(agg["n"])
+    mean = np.array(agg["s"]) / n
+    gram = np.array(agg["g"]).reshape(d, d)
+    cov = gram / n - np.outer(mean, mean)
+    vals, vecs = np.linalg.eigh(cov)
+    order = np.argsort(vals)[::-1][:k]
+    comps = vecs[:, order].T
+    vals = vals[order]
+    # deterministic sign: make the largest-|loading| coordinate positive
+    for i in range(comps.shape[0]):
+        j = int(np.argmax(np.abs(comps[i])))
+        if comps[i, j] < 0:
+            comps[i] = -comps[i]
+    return comps, vals, mean
+
+
+def project_embeddings(
+    df: DataFrame,
+    components: "np.ndarray",
+    mean: "np.ndarray",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Project vectors onto PCA components JVM-side: the (k,d) component
+    matrix broadcasts as literal arrays and each coordinate is one
+    zip_with/aggregate dot product — whole-stage codegen, no Python in
+    the row path."""
+    centered = F.expr(
+        "zip_with(transform({v}, x -> cast(x AS double)), "
+        "array({mu}), (x, m) -> x - m)".format(
+            v=vec_col, mu=", ".join(f"{x}D" for x in mean)
+        )
+    )
+    out = df.select(F.col(id_col), centered.alias("_c"))
+    proj_cols = []
+    for i, comp in enumerate(components):
+        arr = ", ".join(f"{x}D" for x in comp)
+        proj_cols.append(
+            F.expr(
+                f"aggregate(zip_with(_c, array({arr}), (x, w) -> x * w), "
+                "0D, (s, v) -> s + v)"
+            ).alias(f"pc{i}")
+        )
+    return out.select(id_col, *proj_cols)

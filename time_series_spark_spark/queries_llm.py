@@ -1784,3 +1784,29 @@ def docs_ppmi_svd_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("term", "rk")
     )
+
+
+@register(
+    "emb_pca_variance",
+    None,  # distributed moment aggregation + driver eigh → rows-only;
+    # exact equality with numpy PCA (eigvals, orthonormality,
+    # diagonalized projected covariance) pinned in tests/test_llm.py
+    doc="K16 distributed PCA over the embedding store: per-batch partial "
+    "Gram matrices (mapInPandas map-side combine — d^2-sized partials "
+    "shuffle, never vectors) -> one hash agg -> driver eigh of the d x d "
+    "covariance; reports the top-8 eigenvalues and explained-variance "
+    "ratios, the dimensionality profile run before choosing an ANN/"
+    "quantization dimension",
+)
+def emb_pca_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from time_series_spark_spark.operators.llm import embedding_pca
+
+    comps, vals, mean = embedding_pca(load(spark, sf_dir, "embeddings"), k=8)
+    total = float(vals.sum())
+    rows = [
+        (i + 1, round(float(v), 6), round(float(v / total), 6))
+        for i, v in enumerate(vals)
+    ]
+    return spark.createDataFrame(
+        rows, "component int, eigenvalue double, evr_of_top8 double"
+    )
