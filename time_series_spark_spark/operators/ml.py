@@ -1,0 +1,104 @@
+"""Supervised MLlib pipeline: next-day purchase propensity.
+
+The reference's driver category is "ML-lib" (BASELINE.json:5 — "MLlib +
+UDFs for Prophet forecasting over partitioned time-series"); the engine
+already uses MLlib for the IVF coarse quantizer (KMeans) and MinHash
+LSH. This module adds the supervised half of that surface: a
+feature-assembly → estimator → evaluation pipeline, built the idiomatic
+way (`VectorAssembler` + `StandardScaler` + `LogisticRegression` inside
+a `Pipeline`, time-based train/test split, `BinaryClassificationEvaluator`
+AUC) — the standard Spark propensity-model shape.
+
+Scale notes: feature building is one conditional-aggregation pass per
+(user, day) plus a lead() window on the same partitioning; MLlib LR
+trains with distributed L-BFGS (tree-aggregated gradients), and scoring
+is a broadcast of the coefficient vector — nothing driver-side beyond
+the model object itself.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+FEATURES = ["n_click", "n_view", "n_error", "n_signup", "n_events", "day_value"]
+
+
+def daily_user_features(events: DataFrame) -> DataFrame:
+    """Per (user, day): event-type counts, total count, summed value,
+    and the LABEL = did the user purchase on the NEXT calendar day
+    (lead over the dense per-user day grid; trailing day dropped —
+    its label is unobservable)."""
+    daily = events.groupBy(
+        "user_id", F.date_trunc("day", F.col("ts")).alias("d")
+    ).agg(
+        *[
+            F.sum(
+                F.when(F.col("event_type") == t, 1).otherwise(0)
+            ).alias(f"n_{t}")
+            for t in ["click", "view", "error", "signup"]
+        ],
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 2).alias("day_value"),
+        F.max(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).alias("purchased_today"),
+    )
+    # dense grid so "next day" is the calendar next day, not the next
+    # OBSERVED day (absence of activity is itself a signal)
+    bounds = daily.agg(F.min("d").alias("lo"), F.max("d").alias("hi"))
+    grid = (
+        daily.select("user_id")
+        .distinct()
+        .crossJoin(F.broadcast(bounds))
+        .select(
+            "user_id",
+            F.explode(F.expr("sequence(lo, hi, interval 1 day)")).alias("d"),
+        )
+    )
+    dense = grid.join(daily, ["user_id", "d"], "left").fillna(
+        0, subset=[*FEATURES, "purchased_today"]
+    )
+    w = Window.partitionBy("user_id").orderBy("d")
+    labeled = dense.withColumn(
+        "label", F.lead("purchased_today").over(w).cast("double")
+    ).filter(F.col("label").isNotNull())
+    return labeled
+
+
+def purchase_propensity_auc(
+    events: DataFrame, cutoff: str, seed: int = 42
+) -> dict:
+    """Train LR on days < cutoff, evaluate ROC-AUC on days >= cutoff.
+    Returns a metrics dict (n_train, n_test, pos_rate_test, auc)."""
+    from pyspark.ml import Pipeline
+    from pyspark.ml.classification import LogisticRegression
+    from pyspark.ml.evaluation import BinaryClassificationEvaluator
+    from pyspark.ml.feature import StandardScaler, VectorAssembler
+
+    data = daily_user_features(events)
+    train = data.filter(F.col("d") < cutoff)
+    test = data.filter(F.col("d") >= cutoff)
+    pipe = Pipeline(
+        stages=[
+            VectorAssembler(inputCols=FEATURES, outputCol="raw"),
+            StandardScaler(inputCol="raw", outputCol="features"),
+            LogisticRegression(
+                maxIter=50, regParam=0.01, featuresCol="features"
+            ),
+        ]
+    )
+    model = pipe.fit(train)
+    scored = model.transform(test)
+    auc = BinaryClassificationEvaluator(
+        metricName="areaUnderROC"
+    ).evaluate(scored)
+    n_train, n_test = train.count(), test.count()
+    pos = test.agg(F.avg("label")).collect()[0][0]
+    return {
+        "n_train": int(n_train),
+        "n_test": int(n_test),
+        "pos_rate_test": round(float(pos), 4),
+        "auc": round(float(auc), 4),
+    }

@@ -275,3 +275,30 @@ def user_value_stats_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
     from time_series_spark_spark.functions.udfs import user_stats_apply_in_arrow
 
     return user_stats_apply_in_arrow(load(spark, sf_dir, "events"))
+
+
+# --------------------------------------------------------------------------
+# N1: supervised MLlib pipeline (round 4)
+# --------------------------------------------------------------------------
+@register(
+    "ml_purchase_propensity",
+    None,  # distributed L-BFGS training → rows-only; planted-signal
+    # AUC > 0.75 and feature/label construction pinned in tests/test_ml.py
+    doc="N1 supervised MLlib pipeline: next-day purchase propensity — "
+    "per-(user, day) behavioral features on a dense calendar grid, "
+    "VectorAssembler -> StandardScaler -> LogisticRegression in a "
+    "Pipeline, time-based train/test split, ROC-AUC via "
+    "BinaryClassificationEvaluator; completes the reference's 'MLlib' "
+    "surface (KMeans/IVF and MinHashLSH already in use) with the "
+    "estimator/evaluator half",
+)
+def ml_purchase_propensity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from time_series_spark_spark.operators.ml import purchase_propensity_auc
+
+    m = purchase_propensity_auc(
+        load(spark, sf_dir, "events"), cutoff="2024-01-22"
+    )
+    return spark.createDataFrame(
+        [(m["n_train"], m["n_test"], m["pos_rate_test"], m["auc"])],
+        "n_train long, n_test long, pos_rate_test double, auc double",
+    )
