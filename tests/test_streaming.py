@@ -535,3 +535,46 @@ def test_incremental_mg_bounds_under_pressure(
     assert rows
     for r in rows:
         assert r.cnt_lower <= exact[r.item] <= r.cnt_upper
+
+
+def test_stream_forecast_serving_equals_batch(spark):
+    """J12: the served stream result equals the same pipeline computed
+    fully batch-side (same baseline, same join, same flags)."""
+    from time_series_spark_spark.operators.forecast import (
+        daily_series,
+        holt_winters,
+    )
+    from time_series_spark_spark.queries import REGISTRY
+    from time_series_spark_spark.sources.io import load
+
+    got = (
+        REGISTRY["stream_forecast_serving"]
+        .fn(spark, SF)
+        .select("user_id", "d", "expected", "actual", "flag")
+    )
+    ev = load(spark, SF, "events")
+    train = ev.filter(F.col("ts") < "2024-01-22")
+    series = daily_series(train, ["user_id"], "ts", F.sum("value"))
+    baseline = holt_winters(
+        series, ["user_id"], "ds", "y", season_length=7, horizon=9
+    ).select(
+        "user_id",
+        F.date_trunc("day", F.col("ds")).alias("d"),
+        F.col("yhat").alias("expected"),
+    )
+    actual = (
+        ev.filter(F.col("ts") >= "2024-01-22")
+        .groupBy("user_id", F.date_trunc("day", F.col("ts")).alias("d"))
+        .agg(F.round(F.sum("value"), 2).alias("actual"))
+    )
+    exp = (
+        actual.join(baseline, ["user_id", "d"])
+        .withColumn(
+            "flag",
+            (F.col("actual") > 3 * F.greatest(F.col("expected"), F.lit(1.0)))
+            | (F.col("actual") * 3 < F.col("expected")),
+        )
+        .select("user_id", "d", F.round("expected", 2).alias("expected"),
+                "actual", "flag")
+    )
+    assert got.exceptAll(exp).count() == 0 and exp.exceptAll(got).count() == 0

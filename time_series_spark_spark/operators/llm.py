@@ -2443,21 +2443,33 @@ def embedding_pca(
                 }
             )
 
-    agg = (
-        df.select(vec_col)
-        .mapInPandas(partials, "n long, s array<double>, g array<double>")
-        .agg(
-            F.sum("n").alias("n"),
-            F.array(*[F.sum(F.element_at("s", i + 1)) for i in range(d)]).alias("s"),
-            F.array(
-                *[F.sum(F.element_at("g", i + 1)) for i in range(d * d)]
-            ).alias("g"),
+    part = df.select(vec_col).mapInPandas(
+        partials, "n long, s array<double>, g array<double>"
+    ).persist()
+    try:
+        # element-wise array sums as posexplode + hash agg: 4096 tiny
+        # result rows, NOT 4096 aggregate expressions (which made
+        # whole-stage codegen the bottleneck — 14.6 s of compile at any
+        # data size)
+        n = float(part.agg(F.sum("n")).collect()[0][0])
+        s_rows = (
+            part.select(F.posexplode("s").alias("i", "v"))
+            .groupBy("i").agg(F.sum("v").alias("v")).collect()
         )
-        .collect()[0]
-    )
-    n = float(agg["n"])
-    mean = np.array(agg["s"]) / n
-    gram = np.array(agg["g"]).reshape(d, d)
+        g_rows = (
+            part.select(F.posexplode("g").alias("i", "v"))
+            .groupBy("i").agg(F.sum("v").alias("v")).collect()
+        )
+    finally:
+        part.unpersist()
+    s_arr = np.zeros(d)
+    for r in s_rows:
+        s_arr[r["i"]] = r["v"]
+    g_arr = np.zeros(d * d)
+    for r in g_rows:
+        g_arr[r["i"]] = r["v"]
+    mean = s_arr / n
+    gram = g_arr.reshape(d, d)
     cov = gram / n - np.outer(mean, mean)
     vals, vecs = np.linalg.eigh(cov)
     order = np.argsort(vals)[::-1][:k]

@@ -152,3 +152,54 @@ def stream_anomaly_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+@register(
+    "stream_forecast_serving",
+    None,  # streaming + model serving → rows-only; stream ≡ batch
+    # equivalence asserted in tests/test_streaming.py
+    doc="J12 model serving on a stream (round 4): a Holt-Winters "
+    "per-user daily baseline is trained BATCH-side (F7b), broadcast, "
+    "and served against the live event stream via a stream-static join "
+    "— each event flagged when its day's actual running value deviates "
+    ">3x from the forecast baseline; the F7->J8 composition every "
+    "monitoring pipeline runs",
+)
+def stream_forecast_serving(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from time_series_spark_spark.operators.forecast import (
+        daily_series,
+        holt_winters,
+    )
+
+    ev_batch = load(spark, sf_dir, "events")
+    # train on the first 3 weeks; serve over the remainder of the stream
+    train = ev_batch.filter(F.col("ts") < "2024-01-22")
+    series = daily_series(train, ["user_id"], "ts", F.sum("value"))
+    baseline = (
+        holt_winters(series, ["user_id"], "ds", "y", season_length=7, horizon=9)
+        .select(
+            "user_id",
+            F.date_trunc("day", F.col("ds")).alias("bd"),
+            F.col("yhat").alias("expected"),
+        )
+    )
+    sdf = read_events_stream(spark, sf_dir).filter(F.col("ts") >= "2024-01-22")
+    enriched = stream_static_join(
+        sdf.withColumn("d", F.date_trunc("day", F.col("ts"))),
+        baseline,
+        "user_id",
+    ).filter(F.col("d") == F.col("bd"))
+    table = run_available_now(enriched, output_mode="append")
+    daily_actual = table.groupBy("user_id", "d", "expected").agg(
+        F.round(F.sum("value"), 2).alias("actual")
+    )
+    return (
+        daily_actual.withColumn(
+            "flag",
+            (F.col("actual") > 3 * F.greatest(F.col("expected"), F.lit(1.0)))
+            | (F.col("actual") * 3 < F.col("expected")),
+        )
+        .select("user_id", "d", F.round("expected", 2).alias("expected"),
+                "actual", "flag")
+        .orderBy("user_id", "d")
+    )
