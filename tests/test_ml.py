@@ -58,3 +58,36 @@ def test_propensity_auc_beats_chance_on_planted_signal(spark):
     assert m["n_train"] > 0 and m["n_test"] > 0
     assert 0 < m["pos_rate_test"] < 1
     assert m["auc"] > 0.75, m
+
+
+def test_als_recovers_planted_block_preferences(spark):
+    """Two user groups with disjoint item tastes: every recommendation
+    stays inside the user's own block (held-out items included)."""
+    rng = np.random.default_rng(11)
+    rows = []
+    for u in range(40):
+        block = 0 if u < 20 else 1
+        items = range(0, 30) if block == 0 else range(30, 60)
+        for it in rng.choice(list(items), 12, replace=False):
+            rows.append((u, int(it), float(rng.integers(1, 5))))
+    inter = spark.createDataFrame(rows, "user long, item long, strength float")
+    from time_series_spark_spark.operators.ml import als_recommend
+
+    recs = als_recommend(inter, n_users=40, k=3).collect()
+    assert len(recs) == 120
+    for r in recs:
+        if r["user"] < 20:
+            assert r["item"] < 30, r
+        else:
+            assert r["item"] >= 30, r
+
+
+def test_purchase_matrix_shape(spark):
+    from time_series_spark_spark.operators.ml import purchase_matrix
+    from time_series_spark_spark.sources.io import load
+
+    sf = "/root/testdata/sf0.001"
+    m = purchase_matrix(load(spark, sf, "lineitem"), load(spark, sf, "orders"))
+    row = m.first()
+    assert row["strength"] > 0
+    assert m.groupBy("user", "item").count().filter("count > 1").count() == 0

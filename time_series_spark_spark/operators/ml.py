@@ -102,3 +102,68 @@ def purchase_propensity_auc(
         "pos_rate_test": round(float(pos), 4),
         "auc": round(float(auc), 4),
     }
+
+
+def purchase_matrix(lineitem: DataFrame, orders: DataFrame) -> DataFrame:
+    """Implicit-feedback interaction matrix: (customer, part, strength)
+    where strength = total quantity purchased — the classic retail
+    implicit signal (Hu, Koren & Volinsky, ICDM 2008)."""
+    return (
+        lineitem.select("l_orderkey", "l_partkey", "l_quantity")
+        .join(
+            orders.select("o_orderkey", "o_custkey"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .groupBy(
+            F.col("o_custkey").alias("user"),
+            F.col("l_partkey").alias("item"),
+        )
+        .agg(F.sum("l_quantity").cast("float").alias("strength"))
+    )
+
+
+def als_recommend(
+    interactions: DataFrame,
+    n_users: int = 10,
+    k: int = 3,
+    rank: int = 8,
+    reg: float = 0.1,
+    alpha: float = 10.0,
+    seed: int = 42,
+) -> DataFrame:
+    """ALS implicit-feedback recommender (Hu-Koren-Volinsky via MLlib
+    ``ALS(implicitPrefs=True)``): factorize the interaction matrix, then
+    top-``k`` item recommendations for the ``n_users`` lowest user ids.
+
+    Scale notes: ALS is MLlib's canonical distributed factorization —
+    block-partitioned normal equations, no driver-side matrix; the
+    recommendation step scores only the requested user subset.
+    Output: (user, item, rec_rank) — scores are implementation-detail
+    floats and deliberately NOT emitted (block partitioning perturbs
+    them in the last bits; ranks are the stable contract).
+    """
+    from pyspark.ml.recommendation import ALS
+
+    als = ALS(
+        rank=rank,
+        regParam=reg,
+        alpha=alpha,
+        implicitPrefs=True,
+        userCol="user",
+        itemCol="item",
+        ratingCol="strength",
+        seed=seed,
+        coldStartStrategy="drop",
+    )
+    model = als.fit(interactions)
+    users = (
+        interactions.select("user").distinct().orderBy("user").limit(n_users)
+    )
+    recs = model.recommendForUserSubset(users, k)
+    return recs.select(
+        "user", F.posexplode("recommendations").alias("i", "rec")
+    ).select(
+        "user",
+        F.col("rec.item").alias("item"),
+        (F.col("i") + 1).alias("rec_rank"),
+    )

@@ -302,3 +302,25 @@ def ml_purchase_propensity(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(m["n_train"], m["n_test"], m["pos_rate_test"], m["auc"])],
         "n_train long, n_test long, pos_rate_test double, auc double",
     )
+
+
+@register(
+    "ml_als_part_recommendations",
+    None,  # block-partitioned factorization → rows-only; planted
+    # block-preference recovery pinned in tests/test_ml.py
+    doc="N2 ALS implicit-feedback recommender (Hu-Koren-Volinsky, MLlib "
+    "ALS implicitPrefs): customer x part interaction strengths from "
+    "lineitem quantities, factorized rank-8; top-3 part recommendations "
+    "for the 10 lowest customer ids — MLlib's canonical distributed "
+    "factorization, completing the N-surface beside the LR pipeline",
+)
+def ml_als_part_recommendations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from time_series_spark_spark.operators.ml import (
+        als_recommend,
+        purchase_matrix,
+    )
+
+    inter = purchase_matrix(
+        load(spark, sf_dir, "lineitem"), load(spark, sf_dir, "orders")
+    )
+    return als_recommend(inter, n_users=10, k=3).orderBy("user", "rec_rank")
