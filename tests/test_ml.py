@@ -91,3 +91,61 @@ def test_purchase_matrix_shape(spark):
     row = m.first()
     assert row["strength"] > 0
     assert m.groupBy("user", "item").count().filter("count > 1").count() == 0
+
+
+def test_prefixspan_finds_planted_sequence(spark):
+    """Every user does view -> click -> purchase (with noise between);
+    the gapped pattern must surface with full support."""
+    import datetime as dt
+
+    rng = np.random.default_rng(13)
+    t0 = dt.datetime(2024, 1, 1)
+    rows, eid = [], 0
+    for u in range(20):
+        t = t0
+        for step in ["view", "error", "click", "signup", "purchase"]:
+            t += dt.timedelta(minutes=int(rng.integers(1, 30)))
+            rows.append((eid, t, u, step, 1.0))
+            eid += 1
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double"
+    )
+    from time_series_spark_spark.operators.ml import frequent_event_sequences
+
+    out = {
+        r["pattern"]: r["freq"]
+        for r in frequent_event_sequences(ev, min_support=0.9).collect()
+    }
+    assert out["view -> click -> purchase"] == 20
+    assert out["view"] == 20 and out["purchase"] == 20
+
+
+def test_fpgrowth_finds_planted_basket(spark):
+    """Items 1 and 2 always co-occur: the {1,2} itemset and the 1=>2
+    rule (confidence 1.0) must be mined."""
+    rng = np.random.default_rng(17)
+    rows = []
+    for o in range(50):
+        rows.append((o, 1, 1.0))
+        rows.append((o, 2, 1.0))
+        for it in rng.choice(range(10, 40), 3, replace=False):
+            rows.append((o, int(it), 1.0))
+    li = spark.createDataFrame(
+        rows, "l_orderkey long, l_partkey long, l_quantity double"
+    )
+    from time_series_spark_spark.operators.ml import frequent_itemsets
+
+    baskets = li.groupBy("l_orderkey").agg(
+        F.array_sort(F.collect_set("l_partkey")).alias("items")
+    )
+    itemsets, rules = frequent_itemsets(
+        baskets, min_support=0.5, min_confidence=0.5
+    )
+    iset = {r["itemset"]: r["freq"] for r in itemsets.collect()}
+    assert iset.get("1,2") == 50
+    rdict = {
+        (r["antecedent"], r["consequent"]): r["confidence"]
+        for r in rules.collect()
+    }
+    assert rdict.get(("1", "2")) == 1.0

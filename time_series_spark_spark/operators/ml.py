@@ -167,3 +167,78 @@ def als_recommend(
         F.col("rec.item").alias("item"),
         (F.col("i") + 1).alias("rec_rank"),
     )
+
+
+def frequent_event_sequences(
+    events: DataFrame,
+    min_support: float = 0.2,
+    max_pattern_length: int = 3,
+) -> DataFrame:
+    """N3 PrefixSpan (Pei et al., ICDE 2001; MLlib-native): frequent
+    event-TYPE subsequences across per-user ordered histories —
+    generalizes the F38 contiguous matcher to gapped subsequences.
+    Sequences are built with one sorted collect per user (array of
+    1-item itemsets, as PrefixSpan expects). Output: (sequence string,
+    freq), sorted by freq desc then pattern."""
+    from pyspark.ml.fpm import PrefixSpan
+
+    seqs = (
+        events.withColumn(
+            "_ok",
+            F.format_string(
+                "%020d-%012d", F.unix_micros("ts"), F.col("event_id")
+            ),
+        )
+        .groupBy("user_id")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("_ok", "event_type"))
+            ).alias("_s")
+        )
+        .select(
+            F.expr(
+                "transform(_s, x -> array(x.event_type))"
+            ).alias("sequence")
+        )
+    )
+    ps = PrefixSpan(
+        minSupport=min_support,
+        maxPatternLength=max_pattern_length,
+        maxLocalProjDBSize=32_000_000,
+    )
+    out = ps.findFrequentSequentialPatterns(seqs)
+    return out.select(
+        F.concat_ws(
+            " -> ", F.expr("transform(sequence, x -> x[0])")
+        ).alias("pattern"),
+        F.col("freq").cast("long").alias("freq"),
+    ).orderBy(F.desc("freq"), "pattern")
+
+
+def frequent_itemsets(
+    baskets: DataFrame,
+    min_support: float = 0.001,
+    min_confidence: float = 0.1,
+) -> tuple[DataFrame, DataFrame]:
+    """N4 FPGrowth market-basket mining (Han et al., SIGMOD 2000;
+    MLlib-native): frequent itemsets + association rules over basket
+    rows ``(…, items array)``. Item granularity is the caller's choice
+    — raw part ids almost never co-repeat in a sparse catalog, so the
+    registered query mines BRAND baskets. Returns (itemsets, rules)
+    frames with stringified sorted item arrays (deterministic)."""
+    from pyspark.ml.fpm import FPGrowth
+
+    fp = FPGrowth(minSupport=min_support, minConfidence=min_confidence)
+    model = fp.fit(baskets)
+    itemsets = model.freqItemsets.select(
+        F.concat_ws(",", F.expr("array_sort(items)")).alias("itemset"),
+        F.col("freq").cast("long").alias("freq"),
+        F.size("items").alias("n_items"),
+    )
+    rules = model.associationRules.select(
+        F.concat_ws(",", F.expr("array_sort(antecedent)")).alias("antecedent"),
+        F.concat_ws(",", F.expr("array_sort(consequent)")).alias("consequent"),
+        F.round("confidence", 4).alias("confidence"),
+        F.round("lift", 4).alias("lift"),
+    )
+    return itemsets, rules

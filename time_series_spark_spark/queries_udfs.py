@@ -324,3 +324,45 @@ def ml_als_part_recommendations(spark: SparkSession, sf_dir: str) -> DataFrame:
         load(spark, sf_dir, "lineitem"), load(spark, sf_dir, "orders")
     )
     return als_recommend(inter, n_users=10, k=3).orderBy("user", "rec_rank")
+
+
+@register(
+    "ml_frequent_event_sequences",
+    None,  # projection-database mining → rows-only; planted-sequence
+    # recovery pinned in tests/test_ml.py
+    doc="N3 PrefixSpan sequential-pattern mining (MLlib-native): "
+    "frequent gapped event-type subsequences across per-user ordered "
+    "histories (min support 0.4, length <= 3) — generalizes the F38 "
+    "strictly-contiguous matcher",
+)
+def ml_frequent_event_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from time_series_spark_spark.operators.ml import frequent_event_sequences
+
+    return frequent_event_sequences(
+        load(spark, sf_dir, "events"), min_support=0.4, max_pattern_length=3
+    )
+
+
+@register(
+    "ml_part_association_rules",
+    None,  # FP-tree mining → rows-only; planted-basket recovery pinned
+    # in tests/test_ml.py
+    doc="N4 FPGrowth market-basket mining (MLlib-native): association "
+    "rules over order baskets of part BRANDS (antecedent => consequent, "
+    "confidence, lift) — top-20 by lift with deterministic stringified "
+    "itemsets",
+)
+def ml_part_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from time_series_spark_spark.operators.ml import frequent_itemsets
+
+    li = load(spark, sf_dir, "lineitem")
+    part = load(spark, sf_dir, "part")
+    baskets = (
+        li.join(part, li["l_partkey"] == part["p_partkey"])
+        .groupBy("l_orderkey")
+        .agg(F.array_sort(F.collect_set("p_brand")).alias("items"))
+    )
+    _, rules = frequent_itemsets(
+        baskets, min_support=0.02, min_confidence=0.1
+    )
+    return rules.orderBy(F.desc("lift"), "antecedent", "consequent").limit(20)
