@@ -1,0 +1,131 @@
+"""Public API façade: the operator surface a reference user programs
+against, re-exported lazily from the implementing modules.
+
+    from time_series_spark_spark import forecast, asof_join, exact_dedup
+    fc = forecast(df, keys=["store"], ds_col="ds", y_col="y", horizon=30)
+
+Lazy (PEP 562 ``__getattr__``) so importing the package costs nothing —
+submodules load on first attribute access, and query-registry modules
+(which register 200+ queries on import) are NOT pulled in by the API
+path.
+"""
+
+from __future__ import annotations
+
+# name -> implementing module (under this package)
+_API = {
+    # session
+    "get_spark": "session",
+    # io
+    "load": "sources.io",
+    # forecasting (the reference's core surface)
+    "forecast": "operators.forecast",
+    "backtest": "operators.forecast",
+    "daily_series": "operators.forecast",
+    "holt_winters": "operators.forecast",
+    "model_selection": "operators.forecast",
+    "conformal_forecast": "operators.forecast",
+    # time-series operators
+    "resample": "operators.timeseries",
+    "densify": "operators.timeseries",
+    "ffill": "operators.timeseries",
+    "bfill": "operators.timeseries",
+    "interpolate_linear": "operators.timeseries",
+    "asof_join": "operators.timeseries",
+    "range_join_trailing": "operators.timeseries",
+    "session_summary": "operators.timeseries",
+    "time_split": "operators.timeseries",
+    "ewma": "operators.timeseries",
+    "rollup_cascade": "operators.timeseries",
+    "change_points": "operators.timeseries",
+    "sessionize": "operators.timeseries",
+    "trailing_distinct": "operators.timeseries",
+    # continuous analytics
+    "ohlc": "operators.analytics",
+    "time_weighted_avg": "operators.analytics",
+    "counter_increase": "operators.analytics",
+    "streaks": "operators.analytics",
+    "rolling_corr": "operators.analytics",
+    "retention_cohorts": "operators.analytics",
+    "funnel": "operators.analytics",
+    "lttb": "operators.analytics",
+    "seasonal_decompose": "operators.analytics",
+    # time-series mining
+    "m4_downsample": "operators.tsmining",
+    "paa_sax": "operators.tsmining",
+    "sax_words": "operators.tsmining",
+    "lead_lag_corr": "operators.tsmining",
+    "dtw_topk": "operators.tsmining",
+    "matrix_profile": "operators.tsmining",
+    "kalman_smooth": "operators.tsmining",
+    "kleinberg_bursts": "operators.tsmining",
+    "series_vectors": "operators.tsmining",
+    # LLM-data pipeline
+    "exact_dedup": "operators.llm",
+    "ngram_jaccard_pairs": "operators.llm",
+    "minhash_lsh_pairs": "operators.llm",
+    "simhash_near_pairs": "operators.llm",
+    "cosine_topk": "operators.llm",
+    "srp_lsh_topk": "operators.llm",
+    "ivf_topk": "operators.llm",
+    "sq8_topk": "operators.llm",
+    "pq_topk": "operators.llm",
+    "text_metrics": "operators.llm",
+    "rake_keywords": "operators.llm",
+    "bpe_train": "operators.llm",
+    "bpe_apply_merges": "operators.llm",
+    "ppmi_cooccurrence": "operators.llm",
+    "ppmi_svd_vectors": "operators.llm",
+    "embedding_pca": "operators.llm",
+    "project_embeddings": "operators.llm",
+    # graph
+    "connected_components": "operators.graph",
+    "pagerank": "operators.graph",
+    # sketches
+    "hll_partials": "operators.sketches",
+    "hll_rollup": "operators.sketches",
+    "kll_partials": "operators.sketches",
+    "kll_rollup_quantiles": "operators.sketches",
+    "bitmap_partials": "operators.sketches",
+    "bitmap_rollup": "operators.sketches",
+    "mg_heavy_hitters": "operators.sketches",
+    "mg_partials": "operators.sketches",
+    "mg_merge_topk": "operators.sketches",
+    "cm_partials": "operators.sketches",
+    "cm_estimate": "operators.sketches",
+    "hist_partials": "operators.sketches",
+    "hist_quantile": "operators.sketches",
+    # CDC / incremental
+    "snapshot_diff": "operators.cdc",
+    "apply_changes": "operators.cdc",
+    "scd2_intervals": "operators.cdc",
+    "pit_join": "operators.cdc",
+    "incremental_join_delta": "operators.cdc",
+    # ML
+    "purchase_propensity_auc": "operators.ml",
+    "als_recommend": "operators.ml",
+    "frequent_event_sequences": "operators.ml",
+    "frequent_itemsets": "operators.ml",
+    # packed grouped map (the scale primitive)
+    "packed_grouped_map": "operators.packed",
+}
+
+__all__ = sorted(_API)
+
+
+def __getattr__(name: str):
+    mod_path = _API.get(name)
+    if mod_path is None:
+        raise AttributeError(
+            f"module {__name__!r} has no attribute {name!r}"
+        )
+    import importlib
+
+    mod = importlib.import_module(f"{__name__}.{mod_path}")
+    value = getattr(mod, name)
+    globals()[name] = value  # cache for subsequent lookups
+    return value
+
+
+def __dir__():
+    return __all__
