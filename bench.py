@@ -57,6 +57,13 @@ HEAVY_TAIL = [
     "events_lttb_user",
     "docs_lm_perplexity",
     "docs_remove_dup_spans",
+    # round-4 session flagships
+    "events_dtw_topk_user",
+    "events_matrix_profile_type",
+    "events_kalman_user_daily",
+    "emb_pq_topk",
+    "docs_bpe_train_merges",
+    "emb_pca_variance",
 ]
 
 
