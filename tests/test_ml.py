@@ -149,3 +149,25 @@ def test_fpgrowth_finds_planted_basket(spark):
         for r in rules.collect()
     }
     assert rdict.get(("1", "2")) == 1.0
+
+
+def test_als_precision_at_k_on_planted_blocks(spark):
+    """Held-out items come from the user's own taste block, so block-
+    structured recommendations must score far above the random-chance
+    precision (k/|catalog|)."""
+    rng = np.random.default_rng(23)
+    rows = []
+    for u in range(40):
+        items = range(0, 30) if u < 20 else range(30, 60)
+        for it in rng.choice(list(items), 16, replace=False):
+            rows.append((u, int(it), float(rng.integers(1, 5))))
+    inter = spark.createDataFrame(rows, "user long, item long, strength float")
+    from time_series_spark_spark.operators.ml import als_precision_at_k
+
+    m = als_precision_at_k(inter, cutoff_frac=0.75, k=5)
+    assert m["n_users"] == 40
+    # each user: 4 held-out of 18 unseen in-block items; perfect block
+    # structure gives E[precision@5] ≈ 4/18 ≈ 0.22 vs ≈ 0.08 chance over
+    # all unseen items — assert comfortably above chance
+    assert m["precision_at_k"] > 0.12, m
+    assert 0 < m["recall_at_k"] <= 1

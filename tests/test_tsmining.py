@@ -357,3 +357,39 @@ def test_kleinberg_spark_path(spark):
     assert big["n_events"] >= 25
     assert big["burst_start"] >= t0 + dt.timedelta(hours=29)
     assert big["burst_end"] <= t0 + dt.timedelta(hours=32)
+
+
+# ---------------------------------------------------------------------------
+# series-shape clustering
+# ---------------------------------------------------------------------------
+def test_cluster_series_shapes_separates_planted_shapes(spark):
+    """Rising ramps vs one-period sines (different scales/offsets):
+    shape clustering must put each family in its own cluster despite
+    scale differences (PAA z-normalization)."""
+    import datetime as dt
+
+    from time_series_spark_spark.operators.tsmining import cluster_series_shapes
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = []
+    rng = np.random.default_rng(21)
+    for s in range(20):
+        scale = float(rng.uniform(1, 50))
+        offset = float(rng.uniform(-100, 100))
+        for i in range(32):
+            if s < 10:
+                v = offset + scale * i  # ramp
+            else:
+                v = offset + scale * np.sin(2 * np.pi * i / 32)  # sine
+            rows.append((s, t0 + dt.timedelta(hours=i), float(v)))
+    df = spark.createDataFrame(rows, "sid long, ts timestamp, v double")
+    out = {
+        r["sid"]: r["cluster"]
+        for r in cluster_series_shapes(
+            df, ["sid"], "ts", "v", n_segments=8, n_clusters=2
+        ).collect()
+    }
+    ramp_clusters = {out[s] for s in range(10)}
+    sine_clusters = {out[s] for s in range(10, 20)}
+    assert len(ramp_clusters) == 1 and len(sine_clusters) == 1
+    assert ramp_clusters != sine_clusters

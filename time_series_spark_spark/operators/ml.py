@@ -242,3 +242,75 @@ def frequent_itemsets(
         F.round("lift", 4).alias("lift"),
     )
     return itemsets, rules
+
+
+def als_precision_at_k(
+    interactions: DataFrame,
+    cutoff_frac: float = 0.8,
+    k: int = 5,
+    rank: int = 8,
+    seed: int = 42,
+) -> dict:
+    """N2b recommender evaluation: hold out each user's LAST
+    (1-cutoff_frac) interactions by per-user md5 order (deterministic,
+    partition-invariant), train ALS on the rest, and measure
+    precision@k / recall@k of the top-k recommendations against the
+    held-out items — the offline eval loop every recommender ships with.
+    Items already seen in training are excluded from the recommendation
+    credit (standard protocol)."""
+    from pyspark.ml.recommendation import ALS
+
+    # the hold-out order must differ per user: md5(item) alone sorts every
+    # user's items identically, holding out the SAME items globally — those
+    # become cold items ALS has never trained on and can never rank
+    w = Window.partitionBy("user").orderBy(
+        F.md5(F.concat_ws(":", F.col("user"), F.col("item")))
+    )
+    ranked = interactions.withColumn(
+        "_rk",
+        F.row_number().over(w)
+        / F.count(F.lit(1)).over(Window.partitionBy("user")),
+    )
+    train = ranked.filter(F.col("_rk") <= cutoff_frac).drop("_rk")
+    test = ranked.filter(F.col("_rk") > cutoff_frac).drop("_rk")
+    als = ALS(
+        rank=rank,
+        implicitPrefs=True,
+        alpha=10.0,
+        userCol="user",
+        itemCol="item",
+        ratingCol="strength",
+        seed=seed,
+        coldStartStrategy="drop",
+    )
+    model = als.fit(train)
+    users = test.select("user").distinct()
+    # candidate count must clear the user's own training items: implicit
+    # ALS naturally scores trained items highest, so k·3 candidates can
+    # be fully consumed by them, leaving < k fresh recommendations
+    max_seen = (
+        train.groupBy("user").count().agg(F.max("count")).collect()[0][0]
+    )
+    recs = (
+        model.recommendForUserSubset(users, k + int(max_seen))
+        .select("user", F.posexplode("recommendations").alias("pos", "r"))
+        .select("user", "pos", F.col("r.item").alias("item"))
+    )
+    # drop training items from credit, keep top-k of the remainder by the
+    # model's own score order (posexplode position — explicit, not an
+    # ordering accident)
+    seen = train.select("user", "item")
+    fresh = recs.join(seen, ["user", "item"], "left_anti")
+    wtop = Window.partitionBy("user").orderBy("pos")
+    topk = fresh.withColumn("_i", F.row_number().over(wtop)).filter(
+        F.col("_i") <= k
+    )
+    hits = topk.join(test.select("user", "item"), ["user", "item"]).count()
+    n_users = users.count()
+    n_test = test.count()
+    return {
+        "n_users": int(n_users),
+        "n_test_interactions": int(n_test),
+        "precision_at_k": round(hits / (n_users * k), 4),
+        "recall_at_k": round(hits / max(n_test, 1), 4),
+    }

@@ -641,3 +641,47 @@ def kleinberg_bursts(
         f"{key_schema}, burst_start timestamp, burst_end timestamp, "
         "n_events long",
     )
+
+
+# ---------------------------------------------------------------------------
+# Series-shape clustering (PAA features + KMeans)
+# ---------------------------------------------------------------------------
+
+
+def cluster_series_shapes(
+    df: DataFrame,
+    keys: list[str],
+    ts: str,
+    value: str,
+    n_segments: int = 8,
+    n_clusters: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """Cluster series by SHAPE: each series reduces to its z-normalized
+    PAA vector (scale/offset-invariant by construction — the
+    normalization PAA already applies), then MLlib KMeans groups the
+    vectors. The classic whole-series clustering recipe (PAA features ≈
+    the SAX paper's representation; KMeans over them is the standard
+    baseline in the ts-clustering literature).
+
+    Scale: the feature frame is one row per SERIES (not per point) —
+    KMeans runs on the reduced representation. Output: ``keys…, cluster``.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    per_seg = paa_sax(df, keys, ts, value, n_segments)
+    feats = (
+        per_seg.groupBy(*keys)
+        .agg(F.array_sort(F.collect_list(F.struct("seg", "paa"))).alias("_w"))
+        .filter(F.size("_w") == n_segments)  # drop sub-segment-count series
+        .select(
+            *keys,
+            F.expr("transform(_w, s -> s.paa)").alias("paa_vec"),
+        )
+        .withColumn("features", array_to_vector("paa_vec"))
+    )
+    km = KMeans(k=n_clusters, seed=seed, featuresCol="features",
+                predictionCol="cluster")
+    model = km.fit(feats)
+    return model.transform(feats).select(*keys, "cluster")

@@ -1810,3 +1810,42 @@ def emb_pca_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows, "component int, eigenvalue double, evr_of_top8 double"
     )
+
+
+@register(
+    "emb_ann_quality_report",
+    None,  # compares four quantizer-specific candidate sets → rows-only;
+    # each method's recall floor is individually pinned in tests/test_llm.py
+    doc="K3+ ANN quality dashboard: recall@5 of every approximate path "
+    "(SRP-LSH, IVF, SQ8, PQ) against the exact cosine top-5, computed "
+    "IN Spark by joining each method's (query, cand) set to the exact "
+    "set — the retrieval-quality report a 100 TB index owner watches "
+    "when tuning quantizers",
+)
+def emb_ann_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from time_series_spark_spark.operators.llm import (
+        ivf_topk,
+        pq_topk,
+        sq8_topk,
+        srp_lsh_topk,
+    )
+
+    emb = load(spark, sf_dir, "embeddings")
+    exact = cosine_topk(
+        emb, None, k=5, query_filter=F.col("vec_id") < 10
+    ).select("query_id", "cand_id")
+    n_exact = exact.count()
+    methods = {
+        "srp_lsh": srp_lsh_topk(emb, k=5, n_queries=10),
+        "ivf": ivf_topk(emb, k=5, n_queries=10, quantizer_key=f"ivfq:{sf_dir}"),
+        "sq8": sq8_topk(emb, k=5, n_queries=10),
+        "pq": pq_topk(emb, k=5, n_queries=10, codebook_key=f"pqq:{sf_dir}"),
+    }
+    rows = []
+    for name, df in methods.items():
+        got = df.select("query_id", "cand_id")
+        hit = got.join(exact, ["query_id", "cand_id"]).count()
+        rows.append((name, int(hit), int(n_exact), round(hit / n_exact, 4)))
+    return spark.createDataFrame(
+        rows, "method string, n_hits long, n_exact long, recall_at_5 double"
+    ).orderBy("method")

@@ -334,3 +334,33 @@ def events_bursts_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kleinberg_bursts(ev, ["user_id"], "ts", s=3.0, gamma=1.0).orderBy(
         "user_id", "burst_start"
     )
+
+
+# --------------------------------------------------------------------------
+# F46 series-shape clustering (rows-only: KMeans)
+# --------------------------------------------------------------------------
+@register(
+    "events_series_shape_clusters",
+    None,  # KMeans assignment → rows-only; planted ramp-vs-sine shape
+    # separation pinned in tests/test_tsmining.py
+    doc="F46 whole-series shape clustering: each user's daily series "
+    "reduces to its z-normalized 8-segment PAA vector (scale/offset "
+    "invariant) and MLlib KMeans groups the shapes — cluster sizes "
+    "reported; the feature frame is one row per SERIES, so clustering "
+    "cost is independent of points-per-series",
+)
+def events_series_shape_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from time_series_spark_spark.operators.tsmining import cluster_series_shapes
+
+    ev = _events(spark, sf_dir)
+    daily = ev.groupBy(
+        "user_id", F.date_trunc("day", F.col("ts")).alias("d")
+    ).agg(F.sum("value").alias("v"))
+    out = cluster_series_shapes(
+        daily, ["user_id"], "d", "v", n_segments=8, n_clusters=4
+    )
+    return (
+        out.groupBy("cluster")
+        .agg(F.count(F.lit(1)).alias("n_series"))
+        .orderBy("cluster")
+    )

@@ -366,3 +366,39 @@ def ml_part_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         baskets, min_support=0.02, min_confidence=0.1
     )
     return rules.orderBy(F.desc("lift"), "antecedent", "consequent").limit(20)
+
+
+@register(
+    "ml_als_eval_precision",
+    None,  # factorization + held-out ranking → rows-only; planted
+    # block-preference precision pinned in tests/test_ml.py (including
+    # the per-user-salted split — a global md5(item) order holds out the
+    # SAME cold items for every user and ruins any recommender eval)
+    doc="N2b recommender offline evaluation: per-user-salted 80/20 "
+    "hold-out of the customer x part interactions, ALS trained on the "
+    "rest, precision@5 / recall@5 of the top recommendations against "
+    "the held-out items (training items excluded from credit; candidate "
+    "count clears the user's own trained items)",
+)
+def ml_als_eval_precision(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from time_series_spark_spark.operators.ml import (
+        als_precision_at_k,
+        purchase_matrix,
+    )
+
+    inter = purchase_matrix(
+        load(spark, sf_dir, "lineitem"), load(spark, sf_dir, "orders")
+    )
+    m = als_precision_at_k(inter, cutoff_frac=0.8, k=5)
+    return spark.createDataFrame(
+        [
+            (
+                m["n_users"],
+                m["n_test_interactions"],
+                m["precision_at_k"],
+                m["recall_at_k"],
+            )
+        ],
+        "n_users long, n_test_interactions long, precision_at_5 double, "
+        "recall_at_5 double",
+    )
