@@ -1275,3 +1275,121 @@ def purchase_attribution_u_shaped(spark: SparkSession, sf_dir: str) -> DataFrame
             "attributed_value"
         ),
     )
+
+
+@register(
+    "events_ks_two_sample",
+    """
+    WITH s AS (
+        SELECT value, CAST(user_id % 2 AS INT) AS grp FROM events
+    ),
+    n AS (
+        SELECT CAST(sum(CASE WHEN grp = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n0,
+               CAST(sum(CASE WHEN grp = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1
+        FROM s
+    ),
+    e AS (
+        SELECT value,
+               sum(CASE WHEN grp = 0 THEN 1 ELSE 0 END)
+                   OVER (ORDER BY value) AS c0,
+               sum(CASE WHEN grp = 1 THEN 1 ELSE 0 END)
+                   OVER (ORDER BY value) AS c1
+        FROM s
+    )
+    SELECT max(n0) AS n0, max(n1) AS n1,
+           round(max(abs(c0 * 1.0 / n0 - c1 * 1.0 / n1)), 6) AS ks_d,
+           round(max(abs(c0 * 1.0 / n0 - c1 * 1.0 / n1))
+                 / sqrt((n0 + n1) * 1.0 / (n0 * n1)), 4) AS ks_scaled
+    FROM e, n GROUP BY n.n0, n.n1
+    """,
+    doc="Kolmogorov-Smirnov two-sample statistic between the A/B value "
+    "distributions: D = max |ECDF_a - ECDF_b| via one cumulative window "
+    "over the pooled sorted values (ties handled identically by the "
+    "range-frame cumulative sum in both engines), plus the "
+    "sqrt(n0*n1/(n0+n1))-scaled statistic — the distribution-level "
+    "companion to the Welch mean test",
+)
+def events_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    ev = load(spark, sf_dir, "events")
+    s = ev.select(
+        "value", (F.col("user_id") % 2).cast("int").alias("grp")
+    )
+    # exact D needs the pooled ECDF => one global ORDER BY value window
+    # (single task). Beyond memory, swap for the bucketed ECDF: compare
+    # the two CDFs at equi-width bucket boundaries (F26 histogram
+    # machinery) — error bounded by one bucket's probability mass.
+    w = Window.orderBy("value")
+    e = s.select(
+        F.sum(F.when(F.col("grp") == 0, 1).otherwise(0)).over(w).alias("c0"),
+        F.sum(F.when(F.col("grp") == 1, 1).otherwise(0)).over(w).alias("c1"),
+    )
+    n = s.agg(
+        F.sum(F.when(F.col("grp") == 0, 1).otherwise(0)).cast("long").alias("n0"),
+        F.sum(F.when(F.col("grp") == 1, 1).otherwise(0)).cast("long").alias("n1"),
+    )
+    d = F.abs(F.col("c0") * 1.0 / F.col("n0") - F.col("c1") * 1.0 / F.col("n1"))
+    return (
+        e.crossJoin(F.broadcast(n))
+        .groupBy("n0", "n1")
+        .agg(
+            F.round(F.max(d), 6).alias("ks_d"),
+            F.round(
+                F.max(d)
+                / F.sqrt((F.col("n0") + F.col("n1")) * 1.0 / (F.col("n0") * F.col("n1"))),
+                4,
+            ).alias("ks_scaled"),
+        )
+        .select("n0", "n1", "ks_d", "ks_scaled")
+    )
+
+
+@register(
+    "events_chi2_independence",
+    """
+    WITH c AS (
+        SELECT event_type, CAST(user_id % 2 AS INT) AS grp,
+               CAST(count(*) AS BIGINT) AS n
+        FROM events GROUP BY 1, 2
+    ),
+    m AS (
+        SELECT c.*,
+               sum(n) OVER (PARTITION BY event_type) AS n_row,
+               sum(n) OVER (PARTITION BY grp) AS n_col,
+               sum(n) OVER () AS n_all
+        FROM c
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_cells,
+           round(sum(power(n - n_row * 1.0 * n_col / n_all, 2)
+                     / (n_row * 1.0 * n_col / n_all)), 4) AS chi2,
+           CAST((count(DISTINCT event_type) - 1)
+                * (count(DISTINCT grp) - 1) AS BIGINT) AS dof
+    FROM m
+    """,
+    doc="Chi-square test of independence between event_type and the A/B "
+    "assignment: observed vs expected cell counts from the two marginal "
+    "windows, chi2 = sum (O-E)^2/E — contingency analysis as three "
+    "windows + one agg, no Python",
+)
+def events_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    ev = load(spark, sf_dir, "events")
+    c = ev.groupBy(
+        "event_type", (F.col("user_id") % 2).cast("int").alias("grp")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    m = c.select(
+        "*",
+        F.sum("n").over(Window.partitionBy("event_type")).alias("n_row"),
+        F.sum("n").over(Window.partitionBy("grp")).alias("n_col"),
+        F.sum("n").over(Window.partitionBy()).alias("n_all"),
+    )
+    exp = F.col("n_row") * 1.0 * F.col("n_col") / F.col("n_all")
+    return m.agg(
+        F.count(F.lit(1)).alias("n_cells"),
+        F.round(F.sum(F.pow(F.col("n") - exp, 2) / exp), 4).alias("chi2"),
+        (
+            (F.countDistinct("event_type") - 1) * (F.countDistinct("grp") - 1)
+        ).cast("long").alias("dof"),
+    )
