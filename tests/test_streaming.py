@@ -578,3 +578,38 @@ def test_stream_forecast_serving_equals_batch(spark):
                 "actual", "flag")
     )
     assert got.exceptAll(exp).count() == 0 and exp.exceptAll(got).count() == 0
+
+
+def test_dedup_within_watermark_drops_jittered_redelivery(spark, tmp_path):
+    """J6b: redelivered events with jittered timestamps (same event_id,
+    ts shifted by seconds) collapse to one row — the case classic
+    dropDuplicates([id, ts]) cannot handle."""
+    import datetime as dt
+
+    from time_series_spark_spark.streaming.jobs import (
+        dedup_stream_within_watermark,
+        run_available_now,
+    )
+
+    t0 = dt.datetime(2024, 1, 1)
+    original = [
+        (i, t0 + dt.timedelta(minutes=i), i % 5, "click", 1.0, "{}")
+        for i in range(50)
+    ]
+    jittered = [
+        (i, t0 + dt.timedelta(minutes=i, seconds=30), i % 5, "click", 1.0, "{}")
+        for i in range(0, 50, 2)  # half the events redelivered
+    ]
+    df = spark.createDataFrame(
+        original + jittered,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    src = str(tmp_path / "events_wm")
+    df.coalesce(2).write.parquet(src)
+    sdf = spark.readStream.schema(df.schema).parquet(src)
+    out = run_available_now(
+        dedup_stream_within_watermark(sdf), output_mode="append"
+    )
+    assert out.count() == 50
+    assert out.select("event_id").distinct().count() == 50

@@ -203,3 +203,28 @@ def stream_forecast_serving(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "actual", "flag")
         .orderBy("user_id", "d")
     )
+
+
+@register(
+    "stream_dedup_within_watermark",
+    None,  # streaming → rows-only; jittered-redelivery collapse pinned
+    # in tests/test_streaming.py
+    doc="J6b dropDuplicatesWithinWatermark (Spark 3.5+): duplicates "
+    "collapse when they arrive within the watermark DELAY of each other "
+    "— the redelivery-with-jittered-timestamp case classic "
+    "dropDuplicates cannot handle; state expires with the watermark",
+)
+def stream_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from time_series_spark_spark.streaming.jobs import (
+        dedup_stream_within_watermark,
+    )
+
+    sdf = read_events_stream(spark, sf_dir)
+    table = run_available_now(
+        dedup_stream_within_watermark(sdf), output_mode="append"
+    )
+    return (
+        table.groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("event_type")
+    )

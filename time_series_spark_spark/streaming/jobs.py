@@ -502,3 +502,19 @@ def read_incremental_mg(
     from time_series_spark_spark.operators.sketches import mg_merge_topk
 
     return mg_merge_topk(spark.read.parquet(partials_path), k)
+
+
+def dedup_stream_within_watermark(
+    sdf: DataFrame, watermark: str = "1 hour"
+) -> DataFrame:
+    """J6b (Spark 3.5+): ``dropDuplicatesWithinWatermark`` — duplicates
+    are collapsed when they arrive within the watermark DELAY of each
+    other, rather than requiring exact event-time equality on the
+    deduped key. The semantics redelivery pipelines actually want: a
+    retransmitted event carries a slightly different ingest timestamp,
+    which classic dropDuplicates([key, ts]) would keep; this API drops
+    it as long as it lands inside the watermark window, and state
+    expires with the watermark instead of growing forever."""
+    return sdf.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
