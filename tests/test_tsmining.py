@@ -393,3 +393,42 @@ def test_cluster_series_shapes_separates_planted_shapes(spark):
     sine_clusters = {out[s] for s in range(10, 20)}
     assert len(ramp_clusters) == 1 and len(sine_clusters) == 1
     assert ramp_clusters != sine_clusters
+
+
+# ---------------------------------------------------------------------------
+# dominant-period estimation
+# ---------------------------------------------------------------------------
+def test_estimate_period_recovers_planted_cycles():
+    from time_series_spark_spark.operators.tsmining import estimate_period_series
+
+    rng = np.random.default_rng(31)
+    for true_p in (7, 12, 30):
+        n = 16 * true_p
+        t = np.arange(n)
+        v = (
+            5 * np.sin(2 * np.pi * t / true_p)
+            + 0.3 * t  # trend must not mask the cycle (detrended inside)
+            + rng.normal(0, 0.5, n)
+        )
+        period, frac = estimate_period_series(v)
+        assert abs(period - true_p) <= true_p * 0.1, (true_p, period)
+        assert frac > 0.3
+
+
+def test_dominant_periods_spark_path(spark):
+    import datetime as dt
+
+    from time_series_spark_spark.operators.tsmining import dominant_periods
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = []
+    for s, p in (("weekly", 7), ("monthly", 28)):
+        for i in range(112):
+            rows.append(
+                (s, t0 + dt.timedelta(days=i),
+                 float(np.sin(2 * np.pi * i / p) * 10))
+            )
+    df = spark.createDataFrame(rows, "key string, d timestamp, v double")
+    out = {r["key"]: r for r in dominant_periods(df, ["key"], "d", "v").collect()}
+    assert abs(out["weekly"]["period"] - 7) < 0.5
+    assert abs(out["monthly"]["period"] - 28) < 2.0

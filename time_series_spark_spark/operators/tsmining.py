@@ -685,3 +685,66 @@ def cluster_series_shapes(
                 predictionCol="cluster")
     model = km.fit(feats)
     return model.transform(feats).select(*keys, "cluster")
+
+
+# ---------------------------------------------------------------------------
+# Dominant-period estimation (periodogram peak)
+# ---------------------------------------------------------------------------
+
+
+def estimate_period_series(v: np.ndarray) -> tuple[float, float]:
+    """Dominant period of one regular series by periodogram peak: detrend
+    (remove the least-squares line — trend leaks into low frequencies),
+    FFT, take the frequency with maximal power among the non-DC bins
+    with at least two full cycles in the window. Returns ``(period,
+    power_frac)`` where power_frac is the peak's share of total non-DC
+    power (a confidence proxy). The standard first step before choosing
+    a seasonal model's period."""
+    n = len(v)
+    t = np.arange(n, dtype=np.float64)
+    slope, intercept = np.polyfit(t, v, 1)
+    resid = v - (slope * t + intercept)
+    spec = np.abs(np.fft.rfft(resid)) ** 2
+    spec[0] = 0.0
+    # require >= 2 full cycles: frequency index >= 2
+    if len(spec) <= 2:
+        return float("nan"), 0.0
+    spec[1] = 0.0
+    j = int(np.argmax(spec))
+    total = float(spec.sum())
+    if total <= 0 or j == 0:
+        return float("nan"), 0.0
+    return n / j, float(spec[j] / total)
+
+
+def dominant_periods(
+    df: DataFrame, keys: list[str], ts: str, value: str
+) -> DataFrame:
+    """Per-series dominant period via the periodogram (packed grouped
+    map; O(n log n) per series). Output: keys…, n_points, period
+    (in samples), power_frac."""
+    in_fields = {f.name: f.dataType.simpleString() for f in df.schema.fields}
+    key_schema = ", ".join(f"{k} {in_fields[k]}" for k in keys)
+
+    def _apply(pdf: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for kv, g in pdf.groupby(keys, sort=False):
+            if not isinstance(kv, tuple):
+                kv = (kv,)
+            g = g.sort_values(ts)
+            v = g[value].to_numpy(dtype=np.float64)
+            if len(v) < 8:
+                continue
+            period, frac = estimate_period_series(v)
+            rows.append((*kv, len(v), round(period, 4), round(frac, 4)))
+        return pd.DataFrame(
+            rows, columns=[*keys, "n_points", "period", "power_frac"]
+        )
+
+    return packed_grouped_map(
+        df.select(*keys, ts, value),
+        keys,
+        [ts],
+        _apply,
+        f"{key_schema}, n_points long, period double, power_frac double",
+    )

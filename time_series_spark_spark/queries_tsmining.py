@@ -364,3 +364,94 @@ def events_series_shape_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_series"))
         .orderBy("cluster")
     )
+
+
+# --------------------------------------------------------------------------
+# F47 autocorrelation function (oracle-checked)
+# --------------------------------------------------------------------------
+@register(
+    "events_acf_daily_total",
+    """
+    WITH d AS (
+        SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS d,
+               CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS c
+        FROM events GROUP BY 1
+    ),
+    lagged AS (
+        SELECT lag AS k, d.c AS y,
+               lag(d.c, lag) OVER (PARTITION BY lag ORDER BY d.d) AS y_lag
+        FROM d CROSS JOIN (SELECT CAST(range AS INT) AS lag
+                           FROM range(1, 8))
+    )
+    SELECT k,
+           CAST(count(y_lag) AS BIGINT) AS n_pairs,
+           round(corr(CAST(y AS DOUBLE), CAST(y_lag AS DOUBLE)), 4) AS acf
+    FROM lagged WHERE y_lag IS NOT NULL
+    GROUP BY k
+    """,
+    doc="F47 autocorrelation function of the daily total-value series at "
+    "lags 1..7 (the diagnostic behind every seasonality/stationarity "
+    "decision): integer-cents daily sums, one lag-fanout cross join + "
+    "per-lag window + corr — Pearson on identical integer operands in "
+    "both engines",
+)
+def events_acf_daily_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    ev = _events(spark, sf_dir)
+    d = ev.groupBy(F.date_trunc("day", F.col("ts")).alias("d")).agg(
+        F.sum(F.round(F.col("value") * 100).cast("long")).alias("c")
+    )
+    # Spark's lag() needs a literal offset — fan the lags out by joining
+    # each k to its row_number-shifted copy instead (the oracle's
+    # per-partition lag(c, lag) computes the same pairs)
+    rn = d.select(
+        "c", F.row_number().over(Window.orderBy("d")).alias("i")
+    )
+    a = rn.select(F.col("i").alias("ia"), F.col("c").alias("y"))
+    b = rn.select(F.col("i").alias("ib"), F.col("c").alias("y_lag"))
+    ks = d.sparkSession.range(1, 8).select(F.col("id").cast("int").alias("k"))
+    pairs = (
+        a.crossJoin(F.broadcast(ks))
+        .join(b, F.col("ib") == F.col("ia") - F.col("k"))
+    )
+    return pairs.groupBy("k").agg(
+        F.count("y_lag").cast("long").alias("n_pairs"),
+        F.round(
+            F.corr(F.col("y").cast("double"), F.col("y_lag").cast("double")), 4
+        ).alias("acf"),
+    )
+
+
+@register(
+    "events_dominant_period",
+    None,  # FFT periodogram → rows-only; planted 7/12/30-sample cycle
+    # recovery (with trend) pinned in tests/test_tsmining.py
+    doc="F48 dominant-period estimation per event_type: least-squares "
+    "detrend + periodogram peak over the dense hourly count series — "
+    "the automatic season detector feeding F7/F7b period choices; "
+    "packed grouped map, O(n log n) per series",
+)
+def events_dominant_period(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from time_series_spark_spark.operators.tsmining import dominant_periods
+
+    ev = _events(spark, sf_dir)
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("h")
+    ).agg(F.count(F.lit(1)).cast("double").alias("v"))
+    bounds = hourly.agg(F.min("h").alias("lo"), F.max("h").alias("hi"))
+    grid = (
+        hourly.select("event_type")
+        .distinct()
+        .crossJoin(F.broadcast(bounds))
+        .select(
+            "event_type",
+            F.explode(F.expr("sequence(lo, hi, interval 1 hour)")).alias("h"),
+        )
+    )
+    dense = grid.join(hourly, ["event_type", "h"], "left").select(
+        "event_type", "h", F.coalesce("v", F.lit(0.0)).alias("v")
+    )
+    return dominant_periods(dense, ["event_type"], "h", "v").orderBy(
+        "event_type"
+    )
