@@ -888,3 +888,47 @@ def test_projection_diagonalizes_covariance(spark):
     assert np.allclose(np.diag(pcov), vals[:4], atol=1e-7)
     off = pcov - np.diag(np.diag(pcov))
     assert np.abs(off).max() < 1e-7
+
+
+# ---------------------------------------------------------------------------
+# learned-artifact persistence
+# ---------------------------------------------------------------------------
+def test_pq_codebook_roundtrip_and_identical_search(spark, tmp_path):
+    from time_series_spark_spark.operators.llm import (
+        load_pq_codebooks,
+        pq_encode,
+        pq_train_codebooks,
+        save_pq_codebooks,
+    )
+
+    emb = load(spark, SF, "embeddings")
+    books = pq_train_codebooks(emb, m=8, nbits=4, sample_n=300)
+    path = str(tmp_path / "pq_books")
+    save_pq_codebooks(spark, books, path)
+    loaded = load_pq_codebooks(spark, path)
+    assert (books == loaded).all()  # bit-identical artifact
+    a = sorted(
+        (r["id"], tuple(r["codes"]))
+        for r in pq_encode(emb, books).select("id", "codes").collect()
+    )
+    b = sorted(
+        (r["id"], tuple(r["codes"]))
+        for r in pq_encode(emb, loaded).select("id", "codes").collect()
+    )
+    assert a == b
+
+
+def test_bpe_merge_roundtrip(spark, tmp_path):
+    from time_series_spark_spark.operators.llm import (
+        bpe_train,
+        load_bpe_merges,
+        save_bpe_merges,
+    )
+
+    df = spark.createDataFrame(
+        [("low low lower newest newest newest",)], "text string"
+    )
+    merges = bpe_train(df, n_merges=6)
+    path = str(tmp_path / "bpe_merges")
+    save_bpe_merges(spark, merges, path)
+    assert load_bpe_merges(spark, path) == merges  # order preserved

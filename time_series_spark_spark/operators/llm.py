@@ -2511,3 +2511,48 @@ def project_embeddings(
             ).alias(f"pc{i}")
         )
     return out.select(id_col, *proj_cols)
+
+
+# --------------------------------------------------------------------------
+# Learned-artifact persistence (PQ codebooks, BPE merges)
+# --------------------------------------------------------------------------
+def save_pq_codebooks(spark, books: "np.ndarray", path: str) -> None:
+    """Persist PQ codebooks as a parquet frame ``(j, c, vec)`` — the
+    stored-artifact half of the index lifecycle (train once, load on
+    every query run). Deterministic row set; overwrite semantics."""
+    m, ksub, _ = books.shape
+    rows = [
+        (j, c, [float(x) for x in books[j, c]])
+        for j in range(m)
+        for c in range(ksub)
+    ]
+    spark.createDataFrame(
+        rows, "j int, c int, vec array<double>"
+    ).write.mode("overwrite").parquet(path)
+
+
+def load_pq_codebooks(spark, path: str) -> "np.ndarray":
+    """Load :func:`save_pq_codebooks` output back into the (m, ksub,
+    dsub) array, bit-identical to what was saved."""
+    rows = spark.read.parquet(path).collect()
+    m = max(r["j"] for r in rows) + 1
+    ksub = max(r["c"] for r in rows) + 1
+    dsub = len(rows[0]["vec"])
+    books = np.empty((m, ksub, dsub))
+    for r in rows:
+        books[r["j"], r["c"]] = r["vec"]
+    return books
+
+
+def save_bpe_merges(spark, merges: list[tuple[str, str, int]], path: str) -> None:
+    """Persist a learned BPE merge table (rank order is the apply
+    order — stored explicitly)."""
+    spark.createDataFrame(
+        [(i, l, r, c) for i, (l, r, c) in enumerate(merges)],
+        "rank int, left string, right string, pair_count long",
+    ).write.mode("overwrite").parquet(path)
+
+
+def load_bpe_merges(spark, path: str) -> list[tuple[str, str, int]]:
+    rows = spark.read.parquet(path).orderBy("rank").collect()
+    return [(r["left"], r["right"], int(r["pair_count"])) for r in rows]
