@@ -60,6 +60,8 @@ _API = {
     "kalman_smooth": "operators.tsmining",
     "kleinberg_bursts": "operators.tsmining",
     "series_vectors": "operators.tsmining",
+    "dominant_periods": "operators.tsmining",
+    "cluster_series_shapes": "operators.tsmining",
     # LLM-data pipeline
     "exact_dedup": "operators.llm",
     "ngram_jaccard_pairs": "operators.llm",
@@ -78,6 +80,10 @@ _API = {
     "ppmi_svd_vectors": "operators.llm",
     "embedding_pca": "operators.llm",
     "project_embeddings": "operators.llm",
+    "save_pq_codebooks": "operators.llm",
+    "load_pq_codebooks": "operators.llm",
+    "save_bpe_merges": "operators.llm",
+    "load_bpe_merges": "operators.llm",
     # graph
     "connected_components": "operators.graph",
     "pagerank": "operators.graph",
@@ -104,6 +110,8 @@ _API = {
     # ML
     "purchase_propensity_auc": "operators.ml",
     "als_recommend": "operators.ml",
+    "als_precision_at_k": "operators.ml",
+    "purchase_matrix": "operators.ml",
     "frequent_event_sequences": "operators.ml",
     "frequent_itemsets": "operators.ml",
     # packed grouped map (the scale primitive)
