@@ -1393,3 +1393,103 @@ def events_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.countDistinct("event_type") - 1) * (F.countDistinct("grp") - 1)
         ).cast("long").alias("dof"),
     )
+
+
+@register(
+    "events_mann_whitney_u",
+    """
+    WITH s AS (
+        SELECT value, CAST(user_id % 2 AS INT) AS grp FROM events
+    ),
+    r AS (
+        SELECT grp,
+               avg(rn) OVER (PARTITION BY value) AS avg_rank
+        FROM (SELECT grp, value,
+                     row_number() OVER (ORDER BY value, grp) AS rn
+              FROM s) t
+    ),
+    agg AS (
+        SELECT CAST(sum(CASE WHEN grp = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n0,
+               CAST(sum(CASE WHEN grp = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+               sum(CASE WHEN grp = 0 THEN avg_rank ELSE 0 END) AS r0
+        FROM r
+    )
+    SELECT n0, n1,
+           round(r0 - n0 * (n0 + 1.0) / 2, 2) AS u_stat,
+           round((r0 - n0 * (n0 + 1.0) / 2) / (n0 * 1.0 * n1), 6)
+               AS auc_effect
+    FROM agg
+    """,
+    doc="Mann-Whitney U rank-sum test between the A/B value samples: "
+    "tie-corrected average ranks via ONE row_number window + a per-value "
+    "avg window (integer ranks — no fp drift), U statistic and the "
+    "U/(n0*n1) common-language effect size (= P(X0 > X1), the AUC "
+    "reading) — the nonparametric companion to Welch (means) and KS "
+    "(distributions)",
+)
+def events_mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    ev = load(spark, sf_dir, "events")
+    s = ev.select("value", (F.col("user_id") % 2).cast("int").alias("grp"))
+    rn = s.withColumn(
+        "rn", F.row_number().over(Window.orderBy("value", "grp"))
+    )
+    r = rn.withColumn(
+        "avg_rank", F.avg("rn").over(Window.partitionBy("value"))
+    )
+    agg = r.agg(
+        F.sum(F.when(F.col("grp") == 0, 1).otherwise(0)).cast("long").alias("n0"),
+        F.sum(F.when(F.col("grp") == 1, 1).otherwise(0)).cast("long").alias("n1"),
+        F.sum(F.when(F.col("grp") == 0, F.col("avg_rank")).otherwise(0.0)).alias(
+            "r0"
+        ),
+    )
+    u = F.col("r0") - F.col("n0") * (F.col("n0") + 1.0) / 2
+    return agg.select(
+        "n0",
+        "n1",
+        F.round(u, 2).alias("u_stat"),
+        F.round(u / (F.col("n0") * 1.0 * F.col("n1")), 6).alias("auc_effect"),
+    )
+
+
+@register(
+    "events_trimmed_mean_by_type",
+    """
+    WITH r AS (
+        SELECT event_type, value,
+               percent_rank() OVER (PARTITION BY event_type
+                                    ORDER BY value, event_id) AS pr
+        FROM events
+    )
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_kept,
+           round(avg(value), 4)     AS trimmed_mean
+    FROM r WHERE pr >= 0.1 AND pr <= 0.9
+    GROUP BY event_type
+    """,
+    doc="10% two-sided trimmed mean of value per event_type (the robust "
+    "location estimate): percent_rank with a deterministic (value, "
+    "event_id) tiebreak defines the trim identically in both engines — "
+    "one window + one agg",
+)
+def events_trimmed_mean_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    ev = load(spark, sf_dir, "events")
+    r = ev.select(
+        "event_type",
+        "value",
+        F.percent_rank()
+        .over(Window.partitionBy("event_type").orderBy("value", "event_id"))
+        .alias("pr"),
+    )
+    return (
+        r.filter((F.col("pr") >= 0.1) & (F.col("pr") <= 0.9))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.round(F.avg("value"), 4).alias("trimmed_mean"),
+        )
+    )
