@@ -1493,3 +1493,198 @@ def events_trimmed_mean_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg("value"), 4).alias("trimmed_mean"),
         )
     )
+
+
+@register(
+    "cohort_ltv_curve",
+    """
+    WITH first_seen AS (
+        SELECT user_id,
+               CAST(date_trunc('week', min(ts)) AS TIMESTAMP) AS cohort
+        FROM events GROUP BY user_id
+    ),
+    rev AS (
+        SELECT e.user_id, f.cohort,
+               CAST((epoch_us(date_trunc('week', e.ts))
+                     - epoch_us(f.cohort)) // 604800000000 AS INT) AS wk,
+               CAST(round(e.value * 100) AS BIGINT) AS cents
+        FROM events e JOIN first_seen f ON e.user_id = f.user_id
+        WHERE e.event_type = 'purchase'
+    ),
+    wkrev AS (
+        SELECT cohort, wk, CAST(sum(cents) AS BIGINT) AS cents
+        FROM rev GROUP BY 1, 2
+    ),
+    sized AS (
+        SELECT cohort, CAST(count(*) AS BIGINT) AS cohort_users
+        FROM first_seen GROUP BY cohort
+    )
+    SELECT w.cohort, w.wk, s.cohort_users,
+           CAST(sum(w.cents) OVER (PARTITION BY w.cohort ORDER BY w.wk)
+                AS BIGINT) AS cum_cents,
+           round(CAST(sum(w.cents) OVER (PARTITION BY w.cohort ORDER BY w.wk)
+                      AS DOUBLE) / s.cohort_users / 100.0, 4)
+               AS ltv_per_user
+    FROM wkrev w JOIN sized s ON w.cohort = s.cohort
+    """,
+    doc="Cohort LTV curve: cumulative purchase revenue per signup-week "
+    "cohort at each week offset, divided by cohort size — the "
+    "money-side companion of the F21 retention triangle; integer-cents "
+    "cumulative window, one fp division at the end",
+)
+def cohort_ltv_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    ev = load(spark, sf_dir, "events")
+    first_seen = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort")
+    )
+    rev = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(first_seen, "user_id")
+        .select(
+            "cohort",
+            F.expr(
+                "CAST((unix_micros(date_trunc('week', ts)) - "
+                "unix_micros(cohort)) DIV 604800000000 AS INT)"
+            ).alias("wk"),
+            F.round(F.col("value") * 100).cast("long").alias("cents"),
+        )
+    )
+    wkrev = rev.groupBy("cohort", "wk").agg(F.sum("cents").alias("cents"))
+    sized = first_seen.groupBy("cohort").agg(
+        F.count(F.lit(1)).alias("cohort_users")
+    )
+    w = Window.partitionBy("cohort").orderBy("wk")
+    return (
+        wkrev.join(sized, "cohort")
+        .withColumn("cum_cents", F.sum("cents").over(w).cast("long"))
+        .select(
+            "cohort",
+            "wk",
+            "cohort_users",
+            "cum_cents",
+            F.round(
+                F.col("cum_cents").cast("double")
+                / F.col("cohort_users")
+                / 100.0,
+                4,
+            ).alias("ltv_per_user"),
+        )
+    )
+
+
+@register(
+    "view_to_purchase_latency",
+    """
+    WITH v AS (
+        SELECT user_id, min(epoch_us(ts)) AS first_view
+        FROM events WHERE event_type = 'view' GROUP BY user_id
+    ),
+    p AS (
+        SELECT e.user_id,
+               CAST(min(epoch_us(e.ts)) - v.first_view AS BIGINT)
+                   AS latency_us
+        FROM events e JOIN v ON e.user_id = v.user_id
+        WHERE e.event_type = 'purchase'
+          AND epoch_us(e.ts) >= v.first_view
+        GROUP BY e.user_id, v.first_view
+    )
+    , r AS (
+        SELECT latency_us,
+               row_number() OVER (ORDER BY latency_us) AS rn,
+               count(*) OVER () AS n
+        FROM p
+    )
+    SELECT CAST(max(n) AS BIGINT) AS n_converted,
+           CAST(min(latency_us) AS BIGINT) AS min_us,
+           CAST(max(CASE WHEN rn = CAST(ceil(n * 0.5) AS BIGINT)
+                         THEN latency_us END) AS BIGINT) AS median_us,
+           CAST(max(CASE WHEN rn = CAST(ceil(n * 0.9) AS BIGINT)
+                         THEN latency_us END) AS BIGINT) AS p90_us
+    FROM r
+    """,
+    doc="Conversion latency: per user, first purchase at-or-after the "
+    "first view; median/p90 of the gap as NEAREST-RANK order statistics "
+    "(exact integers — interpolated percentiles differ by a half-ulp "
+    "across engines and flip integer truncation)",
+)
+def view_to_purchase_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    v = ev.filter(F.col("event_type") == "view").groupBy("user_id").agg(
+        F.min(F.unix_micros("ts")).alias("first_view")
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(v, "user_id")
+        .filter(F.unix_micros("ts") >= F.col("first_view"))
+        .groupBy("user_id", "first_view")
+        .agg(
+            (F.min(F.unix_micros("ts")) - F.col("first_view")).alias(
+                "latency_us"
+            )
+        )
+    )
+    # nearest-rank order statistics (ceil(q*n)-th value): exact integers
+    # in both engines — interpolated percentiles land a half-ulp apart
+    # across engines and flip integer truncation
+    from pyspark.sql.window import Window as _W
+
+    r = p.select(
+        "latency_us",
+        F.row_number().over(_W.orderBy("latency_us")).alias("rn"),
+        F.count(F.lit(1)).over(_W.partitionBy()).alias("n"),
+    )
+    pick = lambda q: F.max(  # noqa: E731 — tiny local helper
+        F.when(
+            F.col("rn") == F.ceil(F.col("n") * q).cast("long"),
+            F.col("latency_us"),
+        )
+    ).cast("long")
+    return r.agg(
+        F.max("n").cast("long").alias("n_converted"),
+        F.min("latency_us").cast("long").alias("min_us"),
+        pick(0.5).alias("median_us"),
+        pick(0.9).alias("p90_us"),
+    )
+
+
+@register(
+    "events_id_gap_audit",
+    """
+    WITH s AS (
+        SELECT event_id,
+               lag(event_id) OVER (ORDER BY event_id) AS prev_id
+        FROM events
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_gaps,
+           CAST(coalesce(sum(event_id - prev_id - 1), 0) AS BIGINT)
+               AS n_missing_ids,
+           CAST(coalesce(max(event_id - prev_id - 1), 0) AS BIGINT)
+               AS longest_run
+    FROM s WHERE prev_id IS NOT NULL AND event_id - prev_id > 1
+    """,
+    doc="Sequence-id gap audit (ingestion-loss detector): missing-id runs "
+    "in the event_id sequence via one lag window — count of gaps, total "
+    "missing ids, longest run; all integer, fully deterministic",
+)
+def events_id_gap_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    ev = load(spark, sf_dir, "events").select("event_id")
+    s = ev.withColumn(
+        "prev_id", F.lag("event_id").over(Window.orderBy("event_id"))
+    )
+    g = s.filter(
+        F.col("prev_id").isNotNull()
+        & (F.col("event_id") - F.col("prev_id") > 1)
+    )
+    return g.agg(
+        F.count(F.lit(1)).alias("n_gaps"),
+        F.coalesce(
+            F.sum(F.col("event_id") - F.col("prev_id") - 1), F.lit(0)
+        ).cast("long").alias("n_missing_ids"),
+        F.coalesce(
+            F.max(F.col("event_id") - F.col("prev_id") - 1), F.lit(0)
+        ).cast("long").alias("longest_run"),
+    )
