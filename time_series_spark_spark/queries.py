@@ -11,7 +11,12 @@ Dialect/determinism rules applied throughout (SURVEY.md §5.1):
 - ``events.ts`` compared at µs precision (oracle casts ns → µs);
 - Spark ``dayofweek`` is 1=Sunday, DuckDB ``dayofweek`` is 0=Sunday —
   oracle SQL normalizes;
-- under LIMIT, ORDER BY always carries a unique tiebreaker.
+- under LIMIT, ORDER BY always carries a unique tiebreaker;
+- integer-valued percentiles use NEAREST-RANK order statistics, never
+  interpolation (interpolated quantiles land a half-ulp apart across
+  engines and flip integer truncation — the view_to_purchase_latency
+  lesson); fp quantiles over doubles (percentile/quantile_cont on
+  already-fp data) remain fine under the rounding rule.
 """
 
 from __future__ import annotations
