@@ -1467,3 +1467,84 @@ def star_integrity_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             one("lineitem_nonpositive_qty", li.filter(F.col("l_quantity") <= 0))
         )
     )
+
+
+@register(
+    "orders_group_by_all",
+    """
+    SELECT o_orderstatus,
+           year(o_orderdate) AS yr,
+           CAST(count(*) AS BIGINT) AS n,
+           round(sum(o_totalprice), 2) AS total
+    FROM orders
+    GROUP BY ALL
+    ORDER BY ALL
+    """,
+    doc="GROUP BY ALL / ORDER BY ALL (the DuckDB-pioneered QoL syntax, "
+    "now in Spark 4): grouping keys inferred from the non-aggregate "
+    "select items — both engines parse the SAME dialect here, so the "
+    "oracle is literally the same text modulo nothing",
+)
+def orders_group_by_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load(spark, sf_dir, "orders").createOrReplaceTempView("orders_gba")
+    return spark.sql(
+        """
+        SELECT o_orderstatus,
+               year(o_orderdate) AS yr,
+               CAST(count(*) AS BIGINT) AS n,
+               round(sum(o_totalprice), 2) AS total
+        FROM orders_gba
+        GROUP BY ALL
+        ORDER BY ALL
+        """
+    )
+
+
+@register(
+    "lineitem_try_arithmetic",
+    """
+    SELECT l_returnflag,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CASE WHEN l_discount = 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_zero_discount,
+           round(sum(coalesce(l_extendedprice / nullif(l_discount, 0), 0)),
+                 2) AS sum_price_per_discount,
+           CAST(sum(CASE WHEN TRY_CAST(l_comment_like AS INT) IS NULL
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_uncastable
+    FROM (SELECT l_returnflag, l_discount, l_extendedprice,
+                 substr(l_returnflag, 1, 1) AS l_comment_like
+          FROM lineitem) t
+    GROUP BY l_returnflag
+    """,
+    doc="Error-safe arithmetic family (Spark try_divide / try_cast vs "
+    "DuckDB's x/nullif + TRY_CAST): division by zero and failed casts "
+    "yield NULL instead of errors or ±Inf — the semantics ELT pipelines "
+    "need when raw data is hostile; NULL-producing rows counted and the "
+    "safe division aggregated",
+)
+def lineitem_try_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        "l_discount",
+        "l_extendedprice",
+        F.substring("l_returnflag", 1, 1).alias("l_comment_like"),
+    )
+    return li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.when(F.col("l_discount") == 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n_zero_discount"),
+        F.round(
+            F.sum(
+                F.coalesce(
+                    F.try_divide("l_extendedprice", F.nullif("l_discount", F.lit(0))),
+                    F.lit(0.0),
+                )
+            ),
+            2,
+        ).alias("sum_price_per_discount"),
+        F.sum(
+            F.when(F.try_to_number("l_comment_like", F.lit("9")).isNull(), 1)
+            .otherwise(0)
+        ).cast("long").alias("n_uncastable"),
+    )
