@@ -1688,3 +1688,136 @@ def events_id_gap_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max(F.col("event_id") - F.col("prev_id") - 1), F.lit(0)
         ).cast("long").alias("longest_run"),
     )
+
+
+@register(
+    "events_value_iqr_outliers",
+    """
+    WITH r AS (
+        SELECT event_type, event_id, value,
+               row_number() OVER (PARTITION BY event_type
+                                  ORDER BY value, event_id) AS rn,
+               count(*) OVER (PARTITION BY event_type) AS n
+        FROM events
+    ),
+    q AS (
+        SELECT event_type,
+               max(CASE WHEN rn = CAST(ceil(n * 0.25) AS BIGINT)
+                        THEN value END) AS q1,
+               max(CASE WHEN rn = CAST(ceil(n * 0.75) AS BIGINT)
+                        THEN value END) AS q3
+        FROM r GROUP BY event_type
+    )
+    SELECT r.event_type,
+           CAST(count(*) AS BIGINT) AS n_outliers,
+           round(min(r.value), 4)   AS min_outlier,
+           round(max(r.value), 4)   AS max_outlier,
+           round(max(q.q1), 4)      AS q1,
+           round(max(q.q3), 4)      AS q3
+    FROM r JOIN q ON r.event_type = q.event_type
+    WHERE r.value < q.q1 - 1.5 * (q.q3 - q.q1)
+       OR r.value > q.q3 + 1.5 * (q.q3 - q.q1)
+    GROUP BY r.event_type
+    """,
+    doc="Tukey IQR outlier detection per event type: quartiles as "
+    "NEAREST-RANK order statistics (the integer-exact dialect rule), "
+    "1.5*IQR fences, per-type outlier counts and extremes — one window "
+    "+ one broadcast-back join; events.value is right-tailed so the "
+    "fences genuinely fire (~470 outliers at sf0.01)",
+)
+def events_value_iqr_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    r = ev.select(
+        "event_type",
+        "event_id",
+        "value",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy("event_type")).alias("n"),
+    )
+    q = r.groupBy("event_type").agg(
+        F.max(
+            F.when(
+                F.col("rn") == F.ceil(F.col("n") * 0.25).cast("long"),
+                F.col("value"),
+            )
+        ).alias("q1"),
+        F.max(
+            F.when(
+                F.col("rn") == F.ceil(F.col("n") * 0.75).cast("long"),
+                F.col("value"),
+            )
+        ).alias("q3"),
+    )
+    iqr = F.col("q3") - F.col("q1")
+    return (
+        r.join(F.broadcast(q), "event_type")
+        .filter(
+            (F.col("value") < F.col("q1") - 1.5 * iqr)
+            | (F.col("value") > F.col("q3") + 1.5 * iqr)
+        )
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_outliers"),
+            F.round(F.min("value"), 4).alias("min_outlier"),
+            F.round(F.max("value"), 4).alias("max_outlier"),
+            F.round(F.max("q1"), 4).alias("q1"),
+            F.round(F.max("q3"), 4).alias("q3"),
+        )
+    )
+
+
+@register(
+    "events_dow_hour_heatmap",
+    """
+    SELECT CAST((dayofweek(ts) + 1) AS INT) AS dow,
+           CAST(hour(ts) AS INT) AS hr,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+               AS cents
+    FROM events GROUP BY 1, 2
+    """,
+    doc="Activity heatmap: counts and integer-cents value per (day-of-"
+    "week, hour) cell — the first exploratory cut of any event stream; "
+    "oracle normalizes DuckDB's 0=Sunday dayofweek to Spark's 1=Sunday",
+)
+def events_dow_hour_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    return ev.groupBy(
+        F.dayofweek("ts").cast("int").alias("dow"),
+        F.hour("ts").cast("int").alias("hr"),
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.round(F.col("value") * 100).cast("long")).alias("cents"),
+    )
+
+
+@register(
+    "docs_length_log_histogram",
+    """
+    SELECT CAST(CASE WHEN n_chars <= 0 THEN 0
+                     ELSE floor(ln(n_chars) / ln(2)) END AS INT)
+               AS log2_bucket,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(min(n_chars) AS BIGINT) AS min_chars,
+           CAST(max(n_chars) AS BIGINT) AS max_chars
+    FROM documents GROUP BY 1
+    """,
+    doc="Log2-bucketed document-length histogram — the standard corpus "
+    "length profile (lengths span orders of magnitude; linear buckets "
+    "hide the tail); floor(ln/ln 2) of exact integers agrees across "
+    "engines away from exact powers of two, and n_chars boundaries are "
+    "covered by the min/max columns",
+)
+def docs_length_log_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    b = F.when(F.col("n_chars") <= 0, 0).otherwise(
+        F.floor(F.log(F.col("n_chars").cast("double")) / F.log(F.lit(2.0)))
+    ).cast("int")
+    return d.groupBy(b.alias("log2_bucket")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.min("n_chars").cast("long").alias("min_chars"),
+        F.max("n_chars").cast("long").alias("max_chars"),
+    )
