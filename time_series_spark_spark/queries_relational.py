@@ -1548,3 +1548,78 @@ def lineitem_try_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
             .otherwise(0)
         ).cast("long").alias("n_uncastable"),
     )
+
+
+@register(
+    "order_ship_leadtime_by_priority",
+    """
+    WITH lt AS (
+        SELECT o.o_orderpriority AS priority,
+               CAST((epoch_us(l.l_shipdate) - epoch_us(o.o_orderdate))
+                    // 86400000000 AS BIGINT) AS days,
+               l.l_orderkey, l.l_linenumber
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    ),
+    r AS (
+        SELECT priority, days,
+               row_number() OVER (PARTITION BY priority
+                                  ORDER BY days, l_orderkey, l_linenumber)
+                   AS rn,
+               count(*) OVER (PARTITION BY priority) AS n
+        FROM lt
+    )
+    SELECT priority,
+           CAST(max(n) AS BIGINT) AS n_lines,
+           CAST(min(days) AS BIGINT) AS min_days,
+           CAST(max(CASE WHEN rn = CAST(ceil(n * 0.5) AS BIGINT)
+                         THEN days END) AS BIGINT) AS median_days,
+           CAST(max(CASE WHEN rn = CAST(ceil(n * 0.95) AS BIGINT)
+                         THEN days END) AS BIGINT) AS p95_days,
+           CAST(max(days) AS BIGINT) AS max_days
+    FROM r GROUP BY priority
+    """,
+    doc="Order-to-ship lead time per priority class: integer-day deltas, "
+    "median/p95 as nearest-rank order statistics with a deterministic "
+    "(days, orderkey, linenumber) tiebreak — the supply-chain SLA "
+    "profile; one join + one window + one agg",
+)
+def order_ship_leadtime_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_shipdate"
+    )
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    lt = li.join(o, li["l_orderkey"] == o["o_orderkey"]).select(
+        F.col("o_orderpriority").alias("priority"),
+        F.expr(
+            "CAST((unix_micros(CAST(l_shipdate AS TIMESTAMP)) - "
+            "unix_micros(CAST(o_orderdate AS TIMESTAMP)))"
+            " DIV 86400000000 AS BIGINT)"
+        ).alias("days"),
+        "l_orderkey",
+        "l_linenumber",
+    )
+    w = Window.partitionBy("priority").orderBy(
+        "days", "l_orderkey", "l_linenumber"
+    )
+    r = lt.select(
+        "priority",
+        "days",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy("priority")).alias("n"),
+    )
+    pick = lambda q: F.max(  # noqa: E731
+        F.when(
+            F.col("rn") == F.ceil(F.col("n") * q).cast("long"), F.col("days")
+        )
+    ).cast("long")
+    return r.groupBy("priority").agg(
+        F.max("n").cast("long").alias("n_lines"),
+        F.min("days").cast("long").alias("min_days"),
+        pick(0.5).alias("median_days"),
+        pick(0.95).alias("p95_days"),
+        F.max("days").cast("long").alias("max_days"),
+    )
