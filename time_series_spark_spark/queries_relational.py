@@ -1623,3 +1623,70 @@ def order_ship_leadtime_by_priority(spark: SparkSession, sf_dir: str) -> DataFra
         pick(0.95).alias("p95_days"),
         F.max("days").cast("long").alias("max_days"),
     )
+
+
+@register(
+    "part_revenue_pareto",
+    """
+    WITH rev AS (
+        SELECT l_partkey,
+               CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100)
+                             AS BIGINT)) AS BIGINT) AS cents
+        FROM lineitem GROUP BY l_partkey
+    ),
+    ranked AS (
+        SELECT cents,
+               row_number() OVER (ORDER BY cents DESC, l_partkey) AS rn,
+               count(*) OVER () AS n_parts,
+               sum(cents) OVER () AS total
+        FROM rev
+    ),
+    decile AS (
+        SELECT CAST(least(9, ((rn - 1) * 10) // n_parts) AS INT) AS decile,
+               cents, total
+        FROM ranked
+    )
+    SELECT decile,
+           CAST(count(*) AS BIGINT) AS n_parts,
+           CAST(sum(cents) AS BIGINT) AS cents,
+           round(sum(cents) * 1.0 / max(total), 6) AS revenue_share
+    FROM decile GROUP BY decile
+    """,
+    doc="Pareto / revenue-concentration analysis: parts ranked by "
+    "integer-cents revenue, split into rank deciles with each decile's "
+    "revenue share (the 80/20 curve every catalog owner checks) — one "
+    "hash agg + one ranked window + integer-DIV decile assignment",
+)
+def part_revenue_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    li = load(spark, sf_dir, "lineitem")
+    rev = li.groupBy("l_partkey").agg(
+        F.sum(
+            F.round(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+            ).cast("long")
+        ).alias("cents")
+    )
+    ranked = rev.select(
+        "cents",
+        F.row_number()
+        .over(Window.orderBy(F.desc("cents"), "l_partkey"))
+        .alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy()).alias("n_parts"),
+        F.sum("cents").over(Window.partitionBy()).alias("total"),
+    )
+    decile = ranked.select(
+        F.expr("CAST(LEAST(9, ((rn - 1) * 10) DIV n_parts) AS INT)").alias(
+            "decile"
+        ),
+        "cents",
+        "total",
+    )
+    return decile.groupBy("decile").agg(
+        F.count(F.lit(1)).alias("n_parts"),
+        F.sum("cents").cast("long").alias("cents"),
+        F.round(F.sum("cents") * 1.0 / F.max("total"), 6).alias(
+            "revenue_share"
+        ),
+    )
