@@ -1,0 +1,117 @@
+"""Semantic invariants for the round-5 quant/indicator surface
+(queries_quant.py) beyond the oracle equality that test_oracle.py already
+enforces: bounds and identities that must hold on ANY input, so a future
+refactor that keeps both engines wrong in the same way still fails here.
+"""
+
+from __future__ import annotations
+
+import math
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+from oracle_harness import SF_DIR  # noqa: E402
+
+from time_series_spark_spark.operators.timeseries import sessionize  # noqa: E402
+from time_series_spark_spark.queries import REGISTRY  # noqa: E402
+from time_series_spark_spark.sources.io import load  # noqa: E402
+
+
+def test_drawdown_bounds_and_peak_monotone(spark):
+    pdf = (
+        REGISTRY["orders_daily_drawdown"].fn(spark, SF_DIR).toPandas()
+    ).sort_values("d")
+    assert (pdf.drawdown_bp >= 0).all() and (pdf.drawdown_bp <= 10000).all()
+    assert pdf.peak_cents.is_monotonic_increasing
+    assert (pdf.peak_cents >= pdf.rev_cents).all()
+    # the day a new peak is set has zero drawdown
+    assert (pdf.loc[pdf.rev_cents == pdf.peak_cents, "drawdown_bp"] == 0).all()
+
+
+def test_gini_bounds_and_equal_distribution_zero(spark):
+    pdf = REGISTRY["customer_revenue_gini"].fn(spark, SF_DIR).toPandas()
+    assert ((pdf.gini >= 0) & (pdf.gini < 1)).all()
+    # planted: perfectly equal revenues -> gini == 0 exactly
+    eq = spark.createDataFrame(
+        [(k, "SEG", 100) for k in range(1, 9)], "c_custkey int, seg string, x long"
+    )
+    import pyspark.sql.functions as F
+    from pyspark.sql import Window
+
+    r = eq.withColumn(
+        "i", F.row_number().over(Window.partitionBy("seg").orderBy("x", "c_custkey"))
+    )
+    g = r.groupBy("seg").agg(
+        F.expr(
+            "round(CAST(2 * sum(i * x) - (count(*) + 1) * sum(x) AS DOUBLE)"
+            " / (count(*) * sum(x)), 6)"
+        ).alias("gini")
+    ).collect()[0]["gini"]
+    assert g == 0.0
+
+
+def test_bollinger_band_flags_consistent(spark):
+    pdf = REGISTRY["events_bollinger_daily"].fn(spark, SF_DIR).toPandas()
+    flagged = pdf[pdf.breakout.notna()]
+    for _, row in flagged.iterrows():
+        spread = abs(row.v_cents - row.ma_cents)
+        # a breakout is at least ~2 sd away (4dp rounding slack)
+        assert spread >= 2 * row.sd_cents - 1e-3, row
+    # sd is a population sd of <=7 points incl. current: nonneg everywhere
+    assert (pdf.sd_cents >= 0).all()
+
+
+def test_rsi_bounds_and_window(spark):
+    pdf = REGISTRY["events_rsi_cutler"].fn(spark, SF_DIR).toPandas()
+    ok = pdf.rsi.dropna()
+    assert ((ok >= 0) & (ok <= 100)).all()
+    assert ((pdf.win_n >= 1) & (pdf.win_n <= 14)).all()
+
+
+def test_skew_kurt_match_numpy_moments(spark):
+    import numpy as np
+
+    pdf = REGISTRY["events_rolling_skew_kurt"].fn(spark, SF_DIR).toPandas()
+    full = pdf[pdf.win_n == 7].sort_values(["event_type", "d"])
+    daily = (
+        pdf[["event_type", "d", "n_events"]]
+        .sort_values(["event_type", "d"])
+        .reset_index(drop=True)
+    )
+    checked = 0
+    for etype, grp in daily.groupby("event_type"):
+        xs = grp.n_events.to_numpy(dtype=float)
+        for i in range(6, len(xs)):
+            win = xs[i - 6 : i + 1]
+            m2 = ((win - win.mean()) ** 2).mean()
+            if m2 <= 0:
+                continue
+            g1 = ((win - win.mean()) ** 3).mean() / m2**1.5
+            g2 = ((win - win.mean()) ** 4).mean() / m2**2 - 3
+            row = full[(full.event_type == etype) & (full.d == grp.d.iloc[i])]
+            assert len(row) == 1
+            assert math.isclose(row["skew"].iloc[0], g1, abs_tol=5e-6)
+            assert math.isclose(row["kurtosis"].iloc[0], g2, abs_tol=5e-6)
+            checked += 1
+        if checked > 40:
+            break
+    assert checked > 10
+
+
+def test_session_paths_cover_all_sessions(spark):
+    import pyspark.sql.functions as F
+
+    events = load(spark, SF_DIR, "events")
+    n_sessions = (
+        sessionize(events, "user_id", "ts", 1800)
+        .select("user_id", "session_id")
+        .distinct()
+        .count()
+    )
+    pdf = REGISTRY["session_top_paths"].fn(spark, SF_DIR).toPandas()
+    assert pdf.n_sessions.sum() <= n_sessions
+    assert (pdf.n_sessions.diff().dropna() <= 0).all()  # sorted desc
+    # every path has at most 5 hops
+    assert pdf.path.str.split(">").map(len).max() <= 5

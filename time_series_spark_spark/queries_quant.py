@@ -1,0 +1,442 @@
+"""Quantitative-indicator & concentration analytics (SURVEY.md §2.F
+extension, round 5): Bollinger bands with breakout flags, drawdown from
+running peak, rolling higher moments (skew/kurtosis), Cutler's RSI, Gini
+concentration, and per-session path mining.
+
+Dialect rules as everywhere (queries.py header): integer-cents money
+math (`CAST(round(value * 100) AS BIGINT)` per row, then integer sums),
+exact integer power sums inside window frames, and every fp value the
+result of the SAME expression tree over identical integer operands in
+both engines (sqrt/div only — no `pow`, whose libm rounding may differ
+between the JVM and DuckDB's C runtime). Where the combination algebra
+is long (the moment formulas) the Spark side is written with `F.expr`
+using the same arithmetic text as the oracle so the operation order is
+identical by construction.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from time_series_spark_spark.operators.timeseries import sessionize
+from time_series_spark_spark.queries import register
+from time_series_spark_spark.sources.io import load
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load(spark, sf_dir, "events")
+
+
+_CENTS = "CAST(round(value * 100) AS BIGINT)"
+
+
+def _daily_cents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per (event_type, day) total value in exact integer cents."""
+    return (
+        _events(spark, sf_dir)
+        .groupBy(
+            F.col("event_type"), F.date_trunc("day", F.col("ts")).alias("d")
+        )
+        .agg(F.sum(F.expr(_CENTS)).alias("v"))
+    )
+
+
+@register(
+    "events_bollinger_daily",
+    f"""
+    WITH d AS (
+        SELECT event_type, CAST(date_trunc('day', ts) AS TIMESTAMP) AS d,
+               CAST(sum({_CENTS}) AS BIGINT) AS v
+        FROM events GROUP BY 1, 2
+    ),
+    wnd AS (
+        SELECT event_type, d, v,
+               count(*)   OVER w AS n,
+               sum(v)     OVER w AS sx,
+               sum(v * v) OVER w AS sxx
+        FROM d
+        WINDOW w AS (PARTITION BY event_type ORDER BY d
+                     ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+    )
+    SELECT event_type, d, v AS v_cents,
+           round(CAST(sx AS DOUBLE) / n, 4) AS ma_cents,
+           round(sqrt(CAST(n * sxx - sx * sx AS DOUBLE)) / n, 4) AS sd_cents,
+           CASE WHEN CAST(v AS DOUBLE)
+                     > CAST(sx AS DOUBLE) / n
+                       + 2 * (sqrt(CAST(n * sxx - sx * sx AS DOUBLE)) / n)
+                THEN 'up'
+                WHEN CAST(v AS DOUBLE)
+                     < CAST(sx AS DOUBLE) / n
+                       - 2 * (sqrt(CAST(n * sxx - sx * sx AS DOUBLE)) / n)
+                THEN 'down'
+           END AS breakout
+    FROM wnd
+    """,
+    doc="Bollinger bands (7-day mean ± 2 population σ) over daily value "
+    "cents per event_type, with up/down breakout flags; σ from exact "
+    "integer power sums so the band edges are identical doubles in both "
+    "engines. One shuffle (the daily agg); the window runs on the same "
+    "event_type partitioning",
+)
+def events_bollinger_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("d")
+        .rowsBetween(-6, Window.currentRow)
+    )
+    return (
+        _daily_cents(spark, sf_dir)
+        .withColumn("n", F.count(F.lit(1)).over(w))
+        .withColumn("sx", F.sum("v").over(w))
+        .withColumn("sxx", F.sum(F.col("v") * F.col("v")).over(w))
+        .select(
+            "event_type",
+            "d",
+            F.col("v").alias("v_cents"),
+            F.expr("round(CAST(sx AS DOUBLE) / n, 4)").alias("ma_cents"),
+            F.expr(
+                "round(sqrt(CAST(n * sxx - sx * sx AS DOUBLE)) / n, 4)"
+            ).alias("sd_cents"),
+            F.expr(
+                """CASE WHEN CAST(v AS DOUBLE)
+                             > CAST(sx AS DOUBLE) / n
+                               + 2 * (sqrt(CAST(n * sxx - sx * sx AS DOUBLE)) / n)
+                        THEN 'up'
+                        WHEN CAST(v AS DOUBLE)
+                             < CAST(sx AS DOUBLE) / n
+                               - 2 * (sqrt(CAST(n * sxx - sx * sx AS DOUBLE)) / n)
+                        THEN 'down'
+                   END"""
+            ).alias("breakout"),
+        )
+    )
+
+
+@register(
+    "orders_daily_drawdown",
+    """
+    WITH d AS (
+        SELECT CAST(o_orderdate AS TIMESTAMP) AS d,
+               CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                    AS BIGINT) AS rev_cents
+        FROM orders GROUP BY 1
+    )
+    SELECT d, rev_cents,
+           max(rev_cents) OVER w AS peak_cents,
+           CAST((max(rev_cents) OVER w - rev_cents) * 10000
+                // max(rev_cents) OVER w AS BIGINT) AS drawdown_bp
+    FROM d
+    WINDOW w AS (ORDER BY d ROWS UNBOUNDED PRECEDING)
+    """,
+    doc="Drawdown of the daily-revenue series from its running peak, in "
+    "integer basis points (floor division of exact integer cents — no fp "
+    "anywhere). The running max is a single ordered window over the "
+    "one-row-per-day aggregate",
+)
+def orders_daily_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    daily = (
+        load(spark, sf_dir, "orders")
+        .groupBy(F.col("o_orderdate").cast("timestamp").alias("d"))
+        .agg(
+            F.sum(F.expr("CAST(round(o_totalprice * 100) AS BIGINT)")).alias(
+                "rev_cents"
+            )
+        )
+    )
+    w = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        daily.withColumn("peak_cents", F.max("rev_cents").over(w))
+        .withColumn(
+            "drawdown_bp",
+            F.expr("(peak_cents - rev_cents) * 10000 div peak_cents"),
+        )
+    )
+
+
+# The central-moment combinations below are evaluated in DOUBLE over the
+# exact integer window sums; both engines execute the SAME expression text
+# (the Spark side is F.expr of the identical string), so the fp results are
+# bit-identical even where the algebra loses integer exactness.
+_SKEW_EXPR = (
+    "round((CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * s3 "
+    "- 3 * CAST(n AS DOUBLE) * s1 * s2 "
+    "+ 2 * s1 * s1 * s1) "
+    "/ (CAST(b AS DOUBLE) * sqrt(CAST(b AS DOUBLE))), 6)"
+)
+_KURT_EXPR = (
+    "round((CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * s4 "
+    "- 4 * CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * s1 * s3 "
+    "+ 6 * CAST(n AS DOUBLE) * s1 * s1 * s2 "
+    "- 3 * s1 * s1 * s1 * s1) "
+    "/ (CAST(b AS DOUBLE) * CAST(b AS DOUBLE)) - 3, 6)"
+)
+
+
+@register(
+    "events_rolling_skew_kurt",
+    f"""
+    WITH d AS (
+        SELECT event_type, CAST(date_trunc('day', ts) AS TIMESTAMP) AS d,
+               CAST(count(*) AS BIGINT) AS x
+        FROM events GROUP BY 1, 2
+    ),
+    wnd AS (
+        SELECT event_type, d, x,
+               count(*)           OVER w AS n,
+               sum(x)             OVER w AS s1,
+               sum(x * x)         OVER w AS s2,
+               sum(x * x * x)     OVER w AS s3,
+               sum(x * x * x * x) OVER w AS s4
+        FROM d
+        WINDOW w AS (PARTITION BY event_type ORDER BY d
+                     ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+    ),
+    m AS (SELECT *, n * s2 - s1 * s1 AS b FROM wnd)
+    SELECT event_type, d, x AS n_events, CAST(n AS BIGINT) AS win_n,
+           CASE WHEN b > 0 THEN {_SKEW_EXPR} END AS skew,
+           CASE WHEN b > 0 THEN {_KURT_EXPR} END AS kurtosis
+    FROM m
+    """,
+    doc="Rolling 7-day population skewness and excess kurtosis of the "
+    "daily event-count series per event_type, from exact integer power "
+    "sums S1..S4 combined in an identical double expression tree in both "
+    "engines (B*sqrt(B) instead of pow(B,1.5) — libm pow rounding is not "
+    "portable, sqrt is)",
+)
+def events_rolling_skew_kurt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    daily = (
+        _events(spark, sf_dir)
+        .groupBy(
+            F.col("event_type"), F.date_trunc("day", F.col("ts")).alias("d")
+        )
+        .agg(F.count(F.lit(1)).alias("x"))
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("d")
+        .rowsBetween(-6, Window.currentRow)
+    )
+    return (
+        daily.withColumn("n", F.count(F.lit(1)).over(w))
+        .withColumn("s1", F.sum("x").over(w))
+        .withColumn("s2", F.sum(F.expr("x * x")).over(w))
+        .withColumn("s3", F.sum(F.expr("x * x * x")).over(w))
+        .withColumn("s4", F.sum(F.expr("x * x * x * x")).over(w))
+        .withColumn("b", F.expr("n * s2 - s1 * s1"))
+        .select(
+            "event_type",
+            "d",
+            F.col("x").alias("n_events"),
+            F.col("n").cast("long").alias("win_n"),
+            F.expr(f"CASE WHEN b > 0 THEN {_SKEW_EXPR} END").alias("skew"),
+            F.expr(f"CASE WHEN b > 0 THEN {_KURT_EXPR} END").alias(
+                "kurtosis"
+            ),
+        )
+    )
+
+
+@register(
+    "events_rsi_cutler",
+    f"""
+    WITH d AS (
+        SELECT event_type, CAST(date_trunc('day', ts) AS TIMESTAMP) AS d,
+               CAST(sum({_CENTS}) AS BIGINT) AS v
+        FROM events GROUP BY 1, 2
+    ),
+    delta AS (
+        SELECT event_type, d, v,
+               v - lag(v) OVER (PARTITION BY event_type ORDER BY d) AS chg
+        FROM d
+    ),
+    gl AS (
+        SELECT event_type, d, v,
+               CASE WHEN chg > 0 THEN chg ELSE 0 END AS gain,
+               CASE WHEN chg < 0 THEN -chg ELSE 0 END AS loss
+        FROM delta WHERE chg IS NOT NULL
+    ),
+    wnd AS (
+        SELECT event_type, d, v,
+               sum(gain) OVER w AS g, sum(loss) OVER w AS l,
+               count(*)  OVER w AS n
+        FROM gl
+        WINDOW w AS (PARTITION BY event_type ORDER BY d
+                     ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)
+    )
+    SELECT event_type, d, v AS v_cents, CAST(n AS BIGINT) AS win_n,
+           CASE WHEN g + l > 0
+                THEN round(100 * CAST(g AS DOUBLE) / (g + l), 4) END AS rsi
+    FROM wnd
+    """,
+    doc="Cutler's RSI (simple-average variant — window-expressible, "
+    "unlike Wilder's recursive smoothing) over 14 days of daily "
+    "value-cents changes per event_type; gains/losses stay exact "
+    "integers until the one final division",
+)
+def events_rsi_cutler(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lagw = Window.partitionBy("event_type").orderBy("d")
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("d")
+        .rowsBetween(-13, Window.currentRow)
+    )
+    return (
+        _daily_cents(spark, sf_dir)
+        .withColumn("chg", F.col("v") - F.lag("v").over(lagw))
+        .filter(F.col("chg").isNotNull())
+        .withColumn("gain", F.expr("CASE WHEN chg > 0 THEN chg ELSE 0 END"))
+        .withColumn("loss", F.expr("CASE WHEN chg < 0 THEN -chg ELSE 0 END"))
+        .withColumn("g", F.sum("gain").over(w))
+        .withColumn("l", F.sum("loss").over(w))
+        .withColumn("n", F.count(F.lit(1)).over(w))
+        .select(
+            "event_type",
+            "d",
+            F.col("v").alias("v_cents"),
+            F.col("n").cast("long").alias("win_n"),
+            F.expr(
+                "CASE WHEN g + l > 0 "
+                "THEN round(100 * CAST(g AS DOUBLE) / (g + l), 4) END"
+            ).alias("rsi"),
+        )
+    )
+
+
+@register(
+    "customer_revenue_gini",
+    """
+    WITH cr AS (
+        SELECT c.c_mktsegment, c.c_custkey,
+               CAST(coalesce(sum(CAST(round(o.o_totalprice * 100)
+                                      AS BIGINT)), 0) AS BIGINT) AS x
+        FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+        GROUP BY 1, 2
+    ),
+    r AS (
+        SELECT c_mktsegment, x,
+               row_number() OVER (PARTITION BY c_mktsegment
+                                  ORDER BY x, c_custkey) AS i
+        FROM cr
+    )
+    SELECT c_mktsegment,
+           CAST(count(*) AS BIGINT) AS n_customers,
+           CAST(sum(x) AS BIGINT) AS total_cents,
+           round(CAST(2 * sum(i * x) - (count(*) + 1) * sum(x) AS DOUBLE)
+                 / (count(*) * sum(x)), 6) AS gini
+    FROM r GROUP BY 1
+    """,
+    doc="Gini concentration of customer revenue per market segment via "
+    "the exact rank formula G = (2·Σi·xᵢ − (n+1)·Σx)/(n·Σx) — all "
+    "integer until the final division. Customers without orders count as "
+    "zero-revenue (LEFT JOIN), which is what makes the coefficient an "
+    "honest inequality measure. Ranks are a per-segment window over the "
+    "per-customer aggregate (bounded: |customers| rows, not |orders|)",
+)
+def customer_revenue_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    customer = load(spark, sf_dir, "customer")
+    cr = (
+        customer.join(
+            orders, orders.o_custkey == customer.c_custkey, "left"
+        )
+        .groupBy("c_mktsegment", "c_custkey")
+        .agg(
+            F.coalesce(
+                F.sum(F.expr("CAST(round(o_totalprice * 100) AS BIGINT)")),
+                F.lit(0),
+            )
+            .cast("long")
+            .alias("x")
+        )
+    )
+    r = cr.withColumn(
+        "i",
+        F.row_number().over(
+            Window.partitionBy("c_mktsegment").orderBy("x", "c_custkey")
+        ),
+    )
+    return r.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).cast("long").alias("n_customers"),
+        F.sum("x").cast("long").alias("total_cents"),
+        F.expr(
+            "round(CAST(2 * sum(i * x) - (count(*) + 1) * sum(x) AS DOUBLE)"
+            " / (count(*) * sum(x)), 6)"
+        ).alias("gini"),
+    )
+
+
+@register(
+    "session_top_paths",
+    """
+    WITH e AS (
+        SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id, event_type
+        FROM events
+    ),
+    flags AS (
+        SELECT user_id, ts, event_id, event_type,
+               CASE WHEN lag(ts) OVER w IS NULL
+                      OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+                    THEN 1 ELSE 0 END AS new_s
+        FROM e
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ),
+    sess AS (
+        SELECT user_id, ts, event_id, event_type,
+               sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS UNBOUNDED PRECEDING) - 1 AS session_id
+        FROM flags
+    ),
+    ranked AS (
+        SELECT user_id, session_id, event_type,
+               row_number() OVER (PARTITION BY user_id, session_id
+                                  ORDER BY ts, event_id) AS rn
+        FROM sess
+    ),
+    paths AS (
+        SELECT user_id, session_id,
+               string_agg(event_type, '>' ORDER BY rn) AS path
+        FROM ranked WHERE rn <= 5
+        GROUP BY 1, 2
+    )
+    SELECT path, CAST(count(*) AS BIGINT) AS n_sessions
+    FROM paths GROUP BY 1
+    ORDER BY n_sessions DESC, path LIMIT 25
+    """,
+    doc="Top-25 session journeys: 30-min-gap sessionization (same "
+    "dialect as events_sessionize), path = first 5 event_types in "
+    "(ts, event_id) order joined with '>', counted across all sessions. "
+    "Spark orders the path deterministically by sorting collected "
+    "(rn, event_type) structs — collect_list alone is order-unstable "
+    "under retries/AQE. Limit carries the path tiebreaker",
+)
+def session_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sess = sessionize(
+        _events(spark, sf_dir).select("user_id", "ts", "event_id", "event_type"),
+        "user_id",
+        "ts",
+        1800,
+    )
+    ranked = sess.withColumn(
+        "rn",
+        F.row_number().over(
+            Window.partitionBy("user_id", "session_id").orderBy(
+                "ts", "event_id"
+            )
+        ),
+    ).filter(F.col("rn") <= 5)
+    paths = ranked.groupBy("user_id", "session_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("rn", "event_type"))),
+                lambda s: s["event_type"],
+            ),
+            ">",
+        ).alias("path")
+    )
+    return (
+        paths.groupBy("path")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_sessions"))
+        .orderBy(F.col("n_sessions").desc(), "path")
+        .limit(25)
+    )
