@@ -171,3 +171,34 @@ def test_als_precision_at_k_on_planted_blocks(spark):
     # all unseen items — assert comfortably above chance
     assert m["precision_at_k"] > 0.12, m
     assert 0 < m["recall_at_k"] <= 1
+
+
+def test_quality_classifier_learns_planted_gate(spark):
+    """N6: synthetic corpus where half the docs fall inside the K6 gate
+    (20-80 diverse tokens) and half outside (repetitive or too short);
+    the distilled model must reproduce the gate far above chance, and
+    the deterministic md5 split must be stable across invocations."""
+    rng = np.random.default_rng(7)
+    vocab = [f"w{i}" for i in range(300)]
+    rows = []
+    for i in range(400):
+        if i % 2 == 0:  # inside the gate: 30-60 distinct-ish tokens
+            n = int(rng.integers(30, 60))
+            words = rng.choice(vocab, n, replace=False)
+        elif i % 4 == 1:  # repetitive: fails distinct_ratio
+            words = ["spam"] * int(rng.integers(30, 60))
+        else:  # too short
+            words = rng.choice(vocab, 5, replace=False)
+        rows.append((i, " ".join(words), "en", "web", 0))
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    from time_series_spark_spark.operators.ml import text_quality_classifier_auc
+
+    m1 = text_quality_classifier_auc(docs)
+    m2 = text_quality_classifier_auc(docs)
+    assert m1["auc"] > 0.9, m1
+    assert (m1["n_train"], m1["n_test"]) == (m2["n_train"], m2["n_test"])
+    assert m1["n_train"] + m1["n_test"] == 400
+    # the md5 holdout is a fixed ~1/5 slice, not a random one
+    assert 40 <= m1["n_test"] <= 140

@@ -314,3 +314,77 @@ def als_precision_at_k(
         "precision_at_k": round(hits / (n_users * k), 4),
         "recall_at_k": round(hits / max(n_test, 1), 4),
     }
+
+
+def text_quality_classifier_auc(
+    docs: DataFrame, num_features: int = 1 << 15, split_mod: int = 5
+) -> dict:
+    """N6: learn the K6 quality heuristic with a linear model.
+
+    Weak labels: the docs_quality_filter gate (20 <= n_tokens <= 80 and
+    distinct_ratio >= 0.3). Features: HashingTF bag-of-words over
+    whitespace tokens (2^15 buckets — fixed-width vectors, no vocabulary
+    shuffle) plus three engineered numerics [n_tokens, n_tokens²,
+    distinct_ratio] — the quadratic term lets a LINEAR model carve out
+    the token-count BAND (an interval needs two thresholds; a downward
+    parabola crosses zero twice). Split: md5(doc_id) % split_mod == 0
+    held out — deterministic across runs and cluster layouts, unlike
+    randomSplit.
+
+    Returns {n_train, n_test, pos_rate_test, auc}. Scale: HashingTF and
+    model.transform are per-row map work; only the L-BFGS gradient
+    aggregation reduces, on fixed-width (2^15) dense gradients.
+    """
+    from pyspark.ml import Pipeline
+    from pyspark.ml.classification import LogisticRegression
+    from pyspark.ml.evaluation import BinaryClassificationEvaluator
+    from pyspark.ml.feature import HashingTF, StandardScaler, VectorAssembler
+
+    labeled = docs.select(
+        "doc_id",
+        F.split(F.col("text"), " ").alias("toks"),
+        F.expr("CAST(size(split(text, ' ')) AS DOUBLE)").alias("n_tok"),
+        F.expr(
+            "CAST(size(split(text, ' ')) AS DOUBLE)"
+            " * CAST(size(split(text, ' ')) AS DOUBLE)"
+        ).alias("n_tok_sq"),
+        F.expr(
+            "CAST(size(array_distinct(split(text, ' '))) AS DOUBLE)"
+            " / size(split(text, ' '))"
+        ).alias("distinct_ratio"),
+        F.expr(
+            "CAST(size(split(text, ' ')) BETWEEN 20 AND 80 "
+            "AND CAST(size(array_distinct(split(text, ' '))) AS DOUBLE)"
+            " / size(split(text, ' ')) >= 0.3 AS DOUBLE)"
+        ).alias("label"),
+        (F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10)
+         .cast("long") % split_mod == 0).alias("heldout"),
+    )
+    train = labeled.filter(~F.col("heldout"))
+    test = labeled.filter(F.col("heldout"))
+    pipe = Pipeline(
+        stages=[
+            HashingTF(
+                inputCol="toks", outputCol="tf", numFeatures=num_features
+            ),
+            VectorAssembler(
+                inputCols=["tf", "n_tok", "n_tok_sq", "distinct_ratio"],
+                outputCol="raw",
+            ),
+            StandardScaler(inputCol="raw", outputCol="features"),
+            LogisticRegression(maxIter=60, regParam=0.001),
+        ]
+    )
+    model = pipe.fit(train)
+    scored = model.transform(test)
+    auc = BinaryClassificationEvaluator(metricName="areaUnderROC").evaluate(
+        scored
+    )
+    n_train, n_test = train.count(), test.count()
+    pos = test.agg(F.avg("label")).collect()[0][0]
+    return {
+        "n_train": int(n_train),
+        "n_test": int(n_test),
+        "pos_rate_test": round(float(pos), 4),
+        "auc": round(float(auc), 4),
+    }

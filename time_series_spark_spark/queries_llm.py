@@ -1849,3 +1849,81 @@ def emb_ann_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows, "method string, n_hits long, n_exact long, recall_at_5 double"
     ).orderBy("method")
+
+
+# --------------------------------------------------------------------------
+# K18: tokenizer vocabulary coverage / OOV audit (round 5)
+# --------------------------------------------------------------------------
+@register(
+    "docs_vocab_coverage",
+    """
+    WITH tok AS (
+        SELECT lang, unnest(string_split(text, ' ')) AS term FROM documents
+    ),
+    tf AS (SELECT term, count(*) AS freq FROM tok GROUP BY term),
+    vocab AS (SELECT term FROM tf ORDER BY freq DESC, term LIMIT 512)
+    SELECT tok.lang,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           CAST(sum(CASE WHEN v.term IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_oov,
+           round(CAST(sum(CASE WHEN v.term IS NULL THEN 1 ELSE 0 END)
+                      AS DOUBLE) / count(*), 6) AS oov_rate
+    FROM tok LEFT JOIN vocab v ON tok.term = v.term
+    GROUP BY tok.lang
+    """,
+    doc="K18 vocabulary-coverage audit: the top-512 global terms (freq "
+    "desc, term asc — deterministic under ties) as the 'vocab', then "
+    "per-language token counts and out-of-vocabulary rate. The vocab is "
+    "a bounded TakeOrdered result broadcast into the probe join, so the "
+    "token stream is scanned once with no shuffle on the join — the "
+    "shape that survives a 100 TB corpus (vocab size is a constant)",
+)
+def docs_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    tok = docs.select("lang", F.explode(tokens()).alias("term"))
+    vocab = (
+        tok.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .orderBy(F.desc("freq"), "term")
+        .limit(512)
+        .select("term", F.lit(1).alias("in_vocab"))
+    )
+    return (
+        tok.join(F.broadcast(vocab), "term", "left")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            F.sum(F.when(F.col("in_vocab").isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_oov"),
+            F.expr(
+                "round(CAST(sum(CASE WHEN in_vocab IS NULL THEN 1 ELSE 0 END)"
+                " AS DOUBLE) / count(*), 6)"
+            ).alias("oov_rate"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# N6: weak-supervision text quality classifier (round 5)
+# --------------------------------------------------------------------------
+@register(
+    "docs_quality_classifier",
+    None,  # distributed L-BFGS training → rows-only; planted-signal
+    # separation and label construction pinned in tests/test_ml.py
+    doc="N6 learned quality scorer — the scale path for K6: the heuristic "
+    "gate (token bounds + lexical diversity) weak-labels the corpus, a "
+    "HashingTF(2^15) bag-of-words + LogisticRegression pipeline learns "
+    "to imitate it, and held-out docs (md5(doc_id) % 5 == 0 — "
+    "deterministic, reproducible split) are scored. At 100 TB the "
+    "heuristic runs once to label a slice; the learned model then scores "
+    "the full corpus in one embarrassingly-parallel transform pass",
+)
+def docs_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from time_series_spark_spark.operators.ml import text_quality_classifier_auc
+
+    m = text_quality_classifier_auc(load(spark, sf_dir, "documents"))
+    return spark.createDataFrame(
+        [(m["n_train"], m["n_test"], m["pos_rate_test"], m["auc"])],
+        "n_train long, n_test long, pos_rate_test double, auc double",
+    )
