@@ -118,3 +118,35 @@ def test_profile_numeric_counts_nulls_and_distincts(spark):
     assert (a.vmin, a.vmax, a.vavg) == (1.0, 3.0, 2.0)
     assert (b.n_rows, b.n_null, b.n_distinct) == (5, 2, 3)
     assert (b.vmin, b.vmax, b.vavg) == (10.0, 30.0, 20.0)
+
+
+def test_compaction_plan_laws():
+    """FFD planner: every file assigned exactly once; no group over
+    target unless it holds a single oversized file; deterministic."""
+    from time_series_spark_spark.sources.quality import plan_compaction
+
+    sizes = [(f"f{i}", s) for i, s in enumerate(
+        [500, 300, 300, 200, 200, 100, 100, 100, 1200, 50]
+    )]
+    plan = plan_compaction(sizes, target_bytes=600)
+    assert sorted(p for p, _, _ in plan) == sorted(p for p, _ in sizes)
+    groups = {}
+    for path, g, size in plan:
+        groups.setdefault(g, []).append(size)
+    for g, ss in groups.items():
+        assert sum(ss) <= 600 or len(ss) == 1, (g, ss)
+    # the oversized file sits alone
+    big_group = [g for _, g, s in plan if s == 1200][0]
+    assert groups[big_group] == [1200]
+    assert plan == plan_compaction(list(reversed(sizes)), 600)
+
+
+def test_compaction_query_covers_all_files(spark):
+    from time_series_spark_spark.queries import REGISTRY
+
+    pdf = REGISTRY["events_compaction_plan"].fn(
+        spark, "/root/testdata/sf0.01"
+    ).toPandas()
+    assert pdf.n_files.sum() == 64
+    assert len(pdf) > 1  # the adaptive cap produces real grouping
+    assert (pdf.group_id == range(len(pdf))).all()

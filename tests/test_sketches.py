@@ -334,3 +334,56 @@ def test_hist_partials_merge_law(spark):
         ).collect()
     }
     assert merged == direct
+
+
+def test_ams_f2_estimate_on_skewed_column(spark):
+    """AMS self-join estimate for F2 = Σ c_k² on the heavily-skewed
+    event_type column (5 keys): with 256 counters / 16-wide means the
+    median-of-means must land within 30% of the exact second moment."""
+    from time_series_spark_spark.operators.sketches import (
+        ams_join_size,
+        ams_partials,
+    )
+    from time_series_spark_spark.sources.io import load
+    import pyspark.sql.functions as F
+
+    ev = load(spark, SF, "events").select("event_type")
+    p = ams_partials(ev, "event_type", n_sketches=256)
+    est = ams_join_size(p, p, group_size=16).collect()[0][0]
+    exact = (
+        ev.groupBy("event_type")
+        .count()
+        .agg(F.sum(F.expr("count * count")))
+        .collect()[0][0]
+    )
+    assert abs(est - exact) / exact < 0.3, (est, exact)
+
+
+def test_ams_partials_merge_by_addition(spark):
+    """Mergeable-summary law: sketching two disjoint halves and ADDING
+    the z's is EXACTLY the sketch of the union (z's are plain sums)."""
+    from time_series_spark_spark.operators.sketches import ams_partials
+    from time_series_spark_spark.sources.io import load
+    import pyspark.sql.functions as F
+
+    ev = load(spark, SF, "events").select("event_id", "user_id")
+    lo = ev.filter(F.col("event_id") % 2 == 0)
+    hi = ev.filter(F.col("event_id") % 2 == 1)
+    whole = {
+        r["j"]: r["z"] for r in ams_partials(ev, "user_id", 32).collect()
+    }
+    a = {r["j"]: r["z"] for r in ams_partials(lo, "user_id", 32).collect()}
+    b = {r["j"]: r["z"] for r in ams_partials(hi, "user_id", 32).collect()}
+    assert whole == {j: a.get(j, 0) + b.get(j, 0) for j in whole}
+
+
+def test_ams_join_size_deterministic(spark):
+    """xxhash64 signs + integer sums + nearest-rank median: two runs
+    produce the identical estimate (no RNG anywhere)."""
+    from time_series_spark_spark.queries import REGISTRY
+
+    fn = REGISTRY["orders_lineitem_ams_join_size"].fn
+    a = fn(spark, SF).collect()[0]
+    b = fn(spark, SF).collect()[0]
+    assert a == b
+    assert a["rel_err"] < 0.75

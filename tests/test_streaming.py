@@ -613,3 +613,56 @@ def test_dedup_within_watermark_drops_jittered_redelivery(spark, tmp_path):
     )
     assert out.count() == 50
     assert out.select("event_id").distinct().count() == 50
+
+
+def test_stream_left_outer_join_piecewise_equals_batch(spark, batch_events):
+    """J10b piecewise replay equivalence: matched pairs ≡ the batch
+    inner interval join EXACTLY; emitted NULL rows ≡ the batch
+    anti-join restricted to the provably-expired region (l_ts older
+    than max_ts − watermark − interval); no null row may leak from the
+    withheld tail."""
+    from time_series_spark_spark.streaming.jobs import (
+        stream_stream_left_outer_join,
+    )
+
+    views_s = read_events_stream(spark, SF).filter(F.col("event_type") == "view")
+    purch_s = read_events_stream(spark, SF).filter(
+        F.col("event_type") == "purchase"
+    )
+    got = run_available_now(
+        stream_stream_left_outer_join(views_s, purch_s), output_mode="append"
+    ).cache()
+
+    v = batch_events.filter(F.col("event_type") == "view").select(
+        F.col("user_id").alias("l_key"),
+        F.col("ts").alias("l_ts"),
+        F.col("event_id").alias("l_id"),
+    )
+    p = batch_events.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("r_key"),
+        F.col("ts").alias("r_ts"),
+        F.col("event_id").alias("r_id"),
+    )
+    cond = F.expr(
+        "l_key = r_key AND r_ts >= l_ts AND r_ts <= l_ts + interval 30 minutes"
+    )
+    inner = v.join(p, cond)
+    got_matched = got.filter(F.col("r_id").isNotNull())
+    assert got_matched.exceptAll(inner).count() == 0
+    assert inner.exceptAll(got_matched).count() == 0
+
+    horizon = batch_events.agg(
+        (F.max("ts") - F.expr("interval 1 hour 30 minutes")).alias("h")
+    ).collect()[0]["h"]
+    unmatched_expired = (
+        v.join(p, cond, "left_anti").filter(F.col("l_ts") < F.lit(horizon))
+    )
+    got_nulls = got.filter(F.col("r_id").isNull()).select(
+        "l_key", "l_ts", "l_id"
+    )
+    # every expired-unmatched batch row must appear as a null row...
+    assert unmatched_expired.exceptAll(got_nulls).count() == 0
+    # ...and no null row may be a row the batch join matches
+    assert (
+        got_nulls.join(inner.select("l_id"), "l_id", "left_semi").count() == 0
+    )

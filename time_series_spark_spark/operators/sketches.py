@@ -39,7 +39,7 @@ Karnin, Lang, Liberty FOCS'16 for KLL; Dasgupta et al. 2016 for Theta).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -456,4 +456,69 @@ def hist_quantile(
             & (F.col("cum").cast("double") >= F.col("target"))
         )
         .select(*keys, F.round(est, 6).alias(f"p{int(q * 100)}_est"))
+    )
+
+
+# --------------------------------------------------------------------------
+# D22: AMS (Alon-Matias-Szegedy) F2 / join-size sketch (round 5)
+# --------------------------------------------------------------------------
+def ams_partials(
+    df: DataFrame, key_col: str, n_sketches: int = 64
+) -> DataFrame:
+    """Per-sketch signed sums Z_j = Σ_rows ξ_j(key): the AMS atomic
+    sketch (Alon, Matias & Szegedy, STOC'96). ξ_j is a ±1 hash of
+    (j, key) via xxhash64 — deterministic across runs and engines, and
+    empirically 4-wise-enough for the estimator bounds asserted in
+    tests. Output: ``n_sketches`` rows (j, z) — constant size no matter
+    the input, and z's are plain sums, so partials from any partitioning
+    or micro-batch merge by addition (mergeable-summary property).
+
+    Self-join size / F2 estimate: median over groups of means of Z_j².
+    Cross-join size |R ⋈ S| on the key: same over Z_j^R · Z_j^S — the
+    classic cardinality estimator a cost-based planner uses to size a
+    join without running it.
+    """
+    fan = df.select(
+        F.posexplode(F.expr(f"array_repeat({key_col}, {n_sketches})")).alias(
+            "j", "k"
+        )
+    )
+    # xxhash64 % 2 is in {-1, 0, 1} (Java % keeps the sign): parity → ±1
+    sign = F.when(F.xxhash64(F.col("j"), F.col("k")) % 2 == 0, 1).otherwise(-1)
+    return (
+        fan.withColumn("s", sign)
+        .groupBy("j")
+        .agg(F.sum("s").alias("z"))
+    )
+
+
+def ams_join_size(
+    left_partials: DataFrame,
+    right_partials: DataFrame,
+    group_size: int = 8,
+) -> DataFrame:
+    """Median-of-means join-size estimate from two AMS partial frames
+    (each: (j, z)). Products Z_j^R·Z_j^S are grouped into
+    ``group_size``-wide means; the NEAREST-RANK median of the group
+    means is the estimate (median-of-means: means shrink variance,
+    median defeats outlier groups). All arithmetic on exact integer
+    sums; one row out.
+    """
+    prod = (
+        left_partials.withColumnRenamed("z", "zl")
+        .join(right_partials.withColumnRenamed("z", "zr"), "j")
+        .select("j", (F.col("zl") * F.col("zr")).alias("p"))
+    )
+    means = (
+        prod.withColumn("g", F.expr(f"j div {group_size}"))
+        .groupBy("g")
+        .agg(F.avg("p").alias("m"))
+    )
+    w = Window.orderBy("m", "g")
+    n_groups = means.count()
+    mid = (n_groups + 1) // 2
+    return (
+        means.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") == mid)
+        .select(F.round(F.col("m"), 2).alias("join_size_estimate"))
     )

@@ -1821,3 +1821,60 @@ def docs_length_log_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("n_chars").cast("long").alias("min_chars"),
         F.max("n_chars").cast("long").alias("max_chars"),
     )
+
+
+@register(
+    "events_compaction_plan",
+    None,  # file-layout planning is not SQL-expressible → rows-only;
+    # cover/fit/determinism laws pinned in tests/test_quality.py
+    doc="A10 small-file compaction planner: events written as 64 small "
+    "files (the degenerate layout streaming ingestion produces), then "
+    "per-file sizes from the directory listing are FFD-bin-packed into "
+    "merge groups capped at 4× the mean file size (adaptive so the plan "
+    "exercises real grouping at every test scale; in production the cap "
+    "is the fixed target file size, e.g. 1 GiB). Planning touches only "
+    "metadata "
+    "(n_files rows); executing a group is one read+coalesce+write per "
+    "group, embarrassingly parallel. Report: one row per group with "
+    "file count and bytes — the shape of OPTIMIZE/compact on any lake "
+    "format, without needing a table format. Deterministic because the "
+    "written layout is (hash-partition, sortWithinPartitions) fixed",
+)
+def events_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import glob
+    import os
+    import shutil
+    import tempfile
+
+    from time_series_spark_spark.sources.quality import plan_compaction
+
+    ev = load(spark, sf_dir, "events").select("event_id", "user_id", "value")
+    path = tempfile.mkdtemp(prefix="compact_events_")
+    try:
+        # deterministic small-file layout: fixed hash partitioning and an
+        # in-partition sort pin both file contents and therefore byte sizes
+        (
+            ev.repartition(64, "event_id")
+            .sortWithinPartitions("event_id")
+            .write.mode("overwrite")
+            .parquet(path)
+        )
+        sizes = [
+            (os.path.basename(f), os.path.getsize(f))
+            for f in glob.glob(path + "/*.parquet")
+        ]
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
+    target = max(4 * sum(s for _, s in sizes) // max(len(sizes), 1), 1)
+    plan = plan_compaction(sizes, target_bytes=target)
+    pdf = spark.createDataFrame(
+        plan, "file string, group_id int, bytes long"
+    )
+    return (
+        pdf.groupBy("group_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_files"),
+            F.sum("bytes").cast("long").alias("total_bytes"),
+        )
+        .orderBy("group_id")
+    )

@@ -222,3 +222,41 @@ def events_hist_p95_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hist_quantile(
         daily, ["event_type", "d"], 0.95, 0.0, 512.0, 64
     ).orderBy("event_type", "d")
+
+
+@register(
+    "orders_lineitem_ams_join_size",
+    None,  # randomized estimator family DuckDB lacks → rows-only;
+    # error bound, merge law, and determinism pinned in tests/test_sketches.py
+    doc="D22 AMS join-size estimation: |orders ⋈ lineitem| on orderkey "
+    "predicted from two 256-counter signed-sum sketches (median of 16 "
+    "group means of Z_j^R·Z_j^S) WITHOUT running the join — what a "
+    "cost-based planner consults before picking a join strategy. The "
+    "exact count is included as the verification column (cheap at test "
+    "scale; at 100 TB you would ship only the constant-size partials). "
+    "Partials are plain sums, so they merge by addition across "
+    "partitions or micro-batches",
+)
+def orders_lineitem_ams_join_size(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from time_series_spark_spark.operators.sketches import (
+        ams_join_size,
+        ams_partials,
+    )
+
+    orders = load(spark, sf_dir, "orders")
+    lineitem = load(spark, sf_dir, "lineitem")
+    lp = ams_partials(orders, "o_orderkey", n_sketches=256)
+    rp = ams_partials(lineitem, "l_orderkey", n_sketches=256)
+    est = ams_join_size(lp, rp, group_size=16)
+    exact = orders.join(
+        lineitem, orders.o_orderkey == lineitem.l_orderkey
+    ).count()
+    return est.select(
+        "join_size_estimate",
+        F.lit(int(exact)).alias("exact_join_size"),
+        F.round(
+            F.abs(F.col("join_size_estimate") - exact) / exact, 4
+        ).alias("rel_err"),
+    )

@@ -228,3 +228,48 @@ def stream_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame
         .agg(F.count(F.lit(1)).alias("n"))
         .orderBy("event_type")
     )
+
+
+@register(
+    "stream_left_outer_views",
+    None,  # streaming → rows-only; piecewise batch equivalence
+    # (matched ≡ inner join; nulls ≡ expired anti-join) in pytest
+    doc="J10b stream-stream LEFT OUTER interval join: views paired with "
+    "same-user purchases within 30 min, unmatched views emitted with "
+    "NULLs only after the watermark proves no match can arrive. The "
+    "report counts matched vs provably-unmatched views per user; views "
+    "in the final watermark-withheld tail (no-match proof never "
+    "completes in a finite replay) are excluded from the unmatched "
+    "column by the same expiry predicate the state store uses",
+)
+def stream_left_outer_views(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from time_series_spark_spark.streaming.jobs import (
+        stream_stream_left_outer_join,
+    )
+
+    views = read_events_stream(spark, sf_dir).filter(
+        F.col("event_type") == "view"
+    )
+    purchases = read_events_stream(spark, sf_dir).filter(
+        F.col("event_type") == "purchase"
+    )
+    joined = stream_stream_left_outer_join(views, purchases)
+    table = run_available_now(joined, output_mode="append")
+    # the expiry horizon: max event time − watermark − interval
+    batch = load(spark, sf_dir, "events")
+    horizon = batch.agg(
+        (F.max("ts") - F.expr("interval 1 hour 30 minutes")).alias("h")
+    ).collect()[0]["h"]
+    return (
+        table.groupBy("l_key")
+        .agg(
+            F.sum(F.col("r_id").isNotNull().cast("long")).alias("n_matched"),
+            F.sum(
+                (
+                    F.col("r_id").isNull() & (F.col("l_ts") < F.lit(horizon))
+                ).cast("long")
+            ).alias("n_unmatched_expired"),
+        )
+        .orderBy("l_key")
+        .withColumnRenamed("l_key", "user_id")
+    )

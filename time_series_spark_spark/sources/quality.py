@@ -139,3 +139,35 @@ def profile_numeric(df: DataFrame, cols: list[str]) -> DataFrame:
             "(column_name, n_rows, n_null, n_distinct, vmin, vmax, vavg)"
         )
     )
+
+
+def plan_compaction(
+    file_sizes: list[tuple[str, int]], target_bytes: int
+) -> list[tuple[str, int, int]]:
+    """A10 (round 5): small-file compaction plan — first-fit-decreasing
+    bin-pack of data files into merge groups of ≤ ``target_bytes``.
+
+    Pure metadata planning: the input is (path, bytes) from a listing /
+    parquet footers (n_files rows, no data scan), the output is
+    (path, group_id, bytes) assignments. Files are considered largest
+    first with a path tiebreak, so the plan is deterministic for a given
+    listing; a single file larger than the target gets its own group
+    (compaction never splits files). The EXECUTION of a group is one
+    ``spark.read.parquet(paths).coalesce(1).write`` per group — an
+    embarrassingly parallel job per group, which is why the planner only
+    needs to emit assignments.
+    """
+    bins: list[int] = []  # remaining capacity per group
+    out: list[tuple[str, int, int]] = []
+    for path, size in sorted(file_sizes, key=lambda x: (-x[1], x[0])):
+        placed = None
+        for g, free in enumerate(bins):
+            if size <= free:
+                placed = g
+                break
+        if placed is None:
+            bins.append(target_bytes)
+            placed = len(bins) - 1
+        bins[placed] -= size
+        out.append((path, placed, size))
+    return out

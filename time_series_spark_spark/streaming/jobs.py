@@ -518,3 +518,44 @@ def dedup_stream_within_watermark(
     return sdf.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
         ["event_id"]
     )
+
+
+def stream_stream_left_outer_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str = "user_id",
+    interval: str = "30 minutes",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """J10b (round 5): LEFT OUTER stream-stream join — J10's interval
+    join, but a left event with no same-key right event in
+    ``[l_ts, l_ts + interval]`` is still emitted (right side NULL) once
+    the watermark proves no future match can arrive.
+
+    The outer semantics are what make watermarks LOAD-BEARING rather
+    than merely state-bounding: a null row may only be emitted when
+    event time has provably passed ``l_ts + interval``, so unmatched
+    results trail the watermark delay, and in a FINITE replay left rows
+    newer than ``max(ts) − delay − interval`` stay withheld forever
+    (their no-match proof never completes). Batch equivalence is
+    therefore asserted piecewise in tests/test_streaming.py: matched
+    pairs ≡ the batch inner join exactly; emitted null rows ≡ the batch
+    anti-join restricted to the provably-expired region.
+    """
+    l = left.withWatermark("ts", watermark).select(
+        F.col(key).alias("l_key"),
+        F.col("ts").alias("l_ts"),
+        F.col("event_id").alias("l_id"),
+    )
+    r = right.withWatermark("ts", watermark).select(
+        F.col(key).alias("r_key"),
+        F.col("ts").alias("r_ts"),
+        F.col("event_id").alias("r_id"),
+    )
+    return l.join(
+        r,
+        F.expr(
+            f"l_key = r_key AND r_ts >= l_ts AND r_ts <= l_ts + interval {interval}"
+        ),
+        "leftOuter",
+    )
