@@ -202,3 +202,45 @@ def test_quality_classifier_learns_planted_gate(spark):
     assert m1["n_train"] + m1["n_test"] == 400
     # the md5 holdout is a fixed ~1/5 slice, not a random one
     assert 40 <= m1["n_test"] <= 140
+
+
+def test_aft_session_lifetime_orders_planted_durations(spark):
+    """N7: planted sessions where event count drives duration — the AFT
+    fit must learn a positive event coefficient, predict long sessions
+    longer than short ones, and count the horizon-censored session."""
+    rows = []
+    base = 1_700_000_000_000_000  # µs epoch
+    eid = 0
+    for u in range(30):
+        long_sess = u % 2 == 0
+        n, dur_min = (12, 60) if long_sess else (3, 4)
+        step = dur_min * 60_000_000 // (n - 1)
+        for k in range(n):
+            rows.append(
+                (eid, base + u * 10_000_000_000 + k * step, u, "click", 1.0, "{}")
+            )
+            eid += 1
+    # one session still open at the horizon: ends exactly at max ts
+    tail = max(r[1] for r in rows)
+    rows.append((eid, tail + 3_600_000_000, 99, "click", 1.0, "{}"))
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts_us long, user_id long, event_type string, "
+        "value double, props string",
+    ).select(
+        "event_id",
+        F.timestamp_micros(F.col("ts_us")).alias("ts"),
+        "user_id",
+        "event_type",
+        "value",
+        "props",
+    )
+    from time_series_spark_spark.operators.ml import aft_session_lifetime
+
+    m = aft_session_lifetime(df)
+    assert m["n_sessions"] == 31
+    assert m["n_censored"] == 1  # the session at the corpus horizon
+    assert m["coef_events"] > 0, m
+    # reconstruct per-session predictions implicitly: ended-group mean
+    # must sit between the planted 4-min and 60-min levels
+    assert 3 < m["mean_pred_ended"] < 70, m

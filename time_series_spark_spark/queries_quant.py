@@ -440,3 +440,56 @@ def session_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n_sessions").desc(), "path")
         .limit(25)
     )
+
+
+@register(
+    "orders_business_day_revenue",
+    """
+    WITH s AS (
+        SELECT o_orderkey,
+               CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+               CASE WHEN dayofweek(o_orderdate) = 6 THEN 2
+                    WHEN dayofweek(o_orderdate) = 0 THEN 1
+                    ELSE 0 END AS shift_days,
+               o_orderdate + CAST(CASE WHEN dayofweek(o_orderdate) = 6 THEN 2
+                                       WHEN dayofweek(o_orderdate) = 0 THEN 1
+                                       ELSE 0 END || ' days' AS INTERVAL)
+                   AS settle
+        FROM orders
+    )
+    SELECT CAST(settle AS TIMESTAMP) AS settle_day,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(CASE WHEN shift_days > 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_shifted,
+           CAST(sum(cents) AS BIGINT) AS rev_cents
+    FROM s GROUP BY 1
+    """,
+    doc="Business-day settlement alignment: weekend orders roll to the "
+    "next Monday (Sat +2, Sun +1) before the daily revenue rollup — the "
+    "calendar-dialect row: Spark dayofweek is 1=Sunday..7=Saturday, "
+    "DuckDB's is 0=Sunday..6=Saturday, so the oracle tests Saturday as "
+    "6 where Spark tests 7. Pure projection + one hash agg",
+)
+def orders_business_day_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    s = o.select(
+        "o_orderdate",
+        F.expr("CAST(round(o_totalprice * 100) AS BIGINT)").alias("cents"),
+        F.expr(
+            "CASE WHEN dayofweek(o_orderdate) = 7 THEN 2 "
+            "WHEN dayofweek(o_orderdate) = 1 THEN 1 ELSE 0 END"
+        ).alias("shift_days"),
+    ).withColumn(
+        "settle",
+        F.expr("date_add(CAST(o_orderdate AS DATE), shift_days)"),
+    )
+    return (
+        s.groupBy(F.col("settle").cast("timestamp").alias("settle_day"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.sum(F.when(F.col("shift_days") > 0, 1).otherwise(0))
+            .cast("long")
+            .alias("n_shifted"),
+            F.sum("cents").cast("long").alias("rev_cents"),
+        )
+    )

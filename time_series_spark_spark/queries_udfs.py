@@ -402,3 +402,27 @@ def ml_als_eval_precision(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_users long, n_test_interactions long, precision_at_5 double, "
         "recall_at_5 double",
     )
+
+
+@register(
+    "ml_aft_session_lifetime",
+    None,  # censored-likelihood L-BFGS fit → rows-only; planted
+    # lifetime-separation and censoring-honesty pinned in tests/test_ml.py
+    doc="N7 AFT (Weibull) survival regression on session durations with "
+    "right-censoring at the corpus horizon — the parametric counterpart "
+    "of the F46 Kaplan-Meier curve, on the identical session frame: "
+    "censored (still-open) sessions enter the likelihood instead of "
+    "being dropped (the bias the naive closed-only mean carries). "
+    "Reports coefficients, Weibull scale, and mean predicted duration "
+    "for censored vs ended sessions",
+)
+def ml_aft_session_lifetime(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from time_series_spark_spark.operators.ml import aft_session_lifetime
+
+    m = aft_session_lifetime(load(spark, sf_dir, "events"))
+    return spark.createDataFrame(
+        [tuple(m.values())],
+        "n_sessions long, n_ended long, n_censored long, "
+        "coef_events double, coef_purchase_share double, aft_scale double, "
+        "mean_pred_ended double, mean_pred_censored double",
+    )
