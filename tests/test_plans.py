@@ -359,3 +359,43 @@ def test_m4_single_wide_exchange_and_pruned_span_scan(spark):
     assert "SortMergeJoin" not in p
     cols = scan_columns(df)
     assert any(set(c) == {"ts"} for c in cols), cols
+
+
+def test_quant_indicator_two_phase_shuffle_shapes(spark):
+    """Round-5 indicator queries: the correct 100 TB shape is exactly two
+    exchanges — a high-cardinality hash((type, day)) for the heavy daily
+    reduce, then a hash(type) exchange that moves only the BOUNDED daily
+    frame (types × days rows) into the window. Collapsing to one exchange
+    is possible (pre-partition by type alone — the subset rule) but wrong
+    at scale: it would push the whole raw-event reduce through 5
+    partitions. A third exchange, or any nested-loop join, fails here."""
+    for name in (
+        "events_bollinger_daily",
+        "events_rsi_cutler",
+        "events_rolling_skew_kurt",
+    ):
+        df = _df(spark, name)
+        plan = executed_plan(df)
+        assert count_op(df, "Exchange") == 2, name
+        assert "BroadcastNestedLoop" not in plan, name
+
+
+def test_session_paths_reuses_user_exchange(spark):
+    """session_top_paths: sessionize window, per-session row_number, and
+    the (user, session) path agg must ALL run on the single hash(user_id)
+    exchange (HashPartitioning([user_id]) clusters every superset key);
+    the only other exchange is over the tiny per-path count frame."""
+    df = _df(spark, "session_top_paths")
+    plan = executed_plan(df)
+    assert count_op(df, "Exchange") == 2
+    assert len(re.findall(r"Exchange hashpartitioning\(user_id", plan)) == 1
+
+
+def test_vocab_coverage_broadcasts_vocab(spark):
+    """docs_vocab_coverage: the bounded top-512 vocab must broadcast into
+    the probe join — a shuffled join here would reshuffle every token of
+    a 100 TB corpus against a 512-row table."""
+    df = _df(spark, "docs_vocab_coverage")
+    plan = executed_plan(df)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
