@@ -349,7 +349,7 @@ def test_ams_f2_estimate_on_skewed_column(spark):
 
     ev = load(spark, SF, "events").select("event_type")
     p = ams_partials(ev, "event_type", n_sketches=256)
-    est = ams_join_size(p, p, group_size=16).collect()[0][0]
+    est = ams_join_size(p, p, group_size=16, n_sketches=256).collect()[0][0]
     exact = (
         ev.groupBy("event_type")
         .count()

@@ -158,17 +158,26 @@ def orders_daily_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
 # exact integer window sums; both engines execute the SAME expression text
 # (the Spark side is F.expr of the identical string), so the fp results are
 # bit-identical even where the algebra loses integer exactness.
+# Every sum is CAST to DOUBLE before any product: the mixed-integer form
+# overflows BIGINT at the 10× stress scale (s1⁴ with bursty daily counts),
+# and DuckDB would silently promote to HUGEINT where Spark throws — casting
+# first keeps the expression trees identical AND overflow-free (the window
+# sums themselves stay exact integers well under 2^53).
 _SKEW_EXPR = (
-    "round((CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * s3 "
-    "- 3 * CAST(n AS DOUBLE) * s1 * s2 "
-    "+ 2 * s1 * s1 * s1) "
+    "round((CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * CAST(s3 AS DOUBLE) "
+    "- 3 * CAST(n AS DOUBLE) * CAST(s1 AS DOUBLE) * CAST(s2 AS DOUBLE) "
+    "+ 2 * CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)) "
     "/ (CAST(b AS DOUBLE) * sqrt(CAST(b AS DOUBLE))), 6)"
 )
 _KURT_EXPR = (
-    "round((CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * s4 "
-    "- 4 * CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * s1 * s3 "
-    "+ 6 * CAST(n AS DOUBLE) * s1 * s1 * s2 "
-    "- 3 * s1 * s1 * s1 * s1) "
+    "round((CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * CAST(n AS DOUBLE)"
+    " * CAST(s4 AS DOUBLE) "
+    "- 4 * CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * CAST(s1 AS DOUBLE)"
+    " * CAST(s3 AS DOUBLE) "
+    "+ 6 * CAST(n AS DOUBLE) * CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)"
+    " * CAST(s2 AS DOUBLE) "
+    "- 3 * CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)"
+    " * CAST(s1 AS DOUBLE)) "
     "/ (CAST(b AS DOUBLE) * CAST(b AS DOUBLE)) - 3, 6)"
 )
 

@@ -249,7 +249,7 @@ def orders_lineitem_ams_join_size(
     lineitem = load(spark, sf_dir, "lineitem")
     lp = ams_partials(orders, "o_orderkey", n_sketches=256)
     rp = ams_partials(lineitem, "l_orderkey", n_sketches=256)
-    est = ams_join_size(lp, rp, group_size=16)
+    est = ams_join_size(lp, rp, group_size=16, n_sketches=256)
     exact = orders.join(
         lineitem, orders.o_orderkey == lineitem.l_orderkey
     ).count()
