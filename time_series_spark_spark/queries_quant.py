@@ -502,3 +502,196 @@ def orders_business_day_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("cents").cast("long").alias("rev_cents"),
         )
     )
+
+
+@register(
+    "full_outer_hourly_type_matrix",
+    """
+    WITH s AS (
+        SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS h,
+               CAST(count(*) AS BIGINT) AS n_signup
+        FROM events WHERE event_type = 'signup' GROUP BY 1
+    ),
+    e AS (
+        SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS h,
+               CAST(count(*) AS BIGINT) AS n_error
+        FROM events WHERE event_type = 'error' GROUP BY 1
+    )
+    SELECT coalesce(s.h, e.h) AS h,
+           coalesce(s.n_signup, 0) AS n_signup,
+           coalesce(e.n_error, 0)  AS n_error,
+           CASE WHEN s.h IS NULL THEN 'error_only'
+                WHEN e.h IS NULL THEN 'signup_only'
+                ELSE 'both' END AS presence
+    FROM s FULL OUTER JOIN e ON s.h = e.h
+    """,
+    doc="C3's FULL OUTER member as a registered query (left/right were "
+    "already driver-checked): hourly signup vs error counts "
+    "null-extended on both sides — hours where only one series exists "
+    "survive with the other side coalesced to 0. Both inputs are "
+    "bounded hourly aggregates, so the outer join runs on tiny frames",
+)
+def full_outer_hourly_type_matrix(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    ev = _events(spark, sf_dir)
+
+    def hourly(t: str, out: str) -> DataFrame:
+        return (
+            ev.filter(F.col("event_type") == t)
+            .groupBy(F.date_trunc("hour", F.col("ts")).alias("h"))
+            .agg(F.count(F.lit(1)).cast("long").alias(out))
+        )
+
+    s, e = hourly("signup", "n_signup"), hourly("error", "n_error")
+    return (
+        s.join(e, "h", "full")
+        .select(
+            "h",
+            F.coalesce("n_signup", F.lit(0)).alias("n_signup"),
+            F.coalesce("n_error", F.lit(0)).alias("n_error"),
+            F.when(F.col("n_signup").isNull(), "error_only")
+            .when(F.col("n_error").isNull(), "signup_only")
+            .otherwise("both")
+            .alias("presence"),
+        )
+    )
+
+
+@register(
+    "events_anomaly_mad",
+    f"""
+    WITH d AS (
+        SELECT event_type, CAST(date_trunc('day', ts) AS TIMESTAMP) AS d,
+               CAST(sum({_CENTS}) AS BIGINT) AS v
+        FROM events GROUP BY 1, 2
+    ),
+    m AS (
+        SELECT event_type, v AS med FROM (
+            SELECT event_type, v,
+                   row_number() OVER (PARTITION BY event_type
+                                      ORDER BY v, d) AS rn,
+                   count(*) OVER (PARTITION BY event_type) AS n
+            FROM d
+        ) WHERE rn = (n + 1) // 2
+    ),
+    dev AS (
+        SELECT d.event_type, d.d, d.v, m.med, abs(d.v - m.med) AS ad
+        FROM d JOIN m ON d.event_type = m.event_type
+    ),
+    mad AS (
+        SELECT event_type, ad AS mad FROM (
+            SELECT event_type, ad, d,
+                   row_number() OVER (PARTITION BY event_type
+                                      ORDER BY ad, d) AS rn,
+                   count(*) OVER (PARTITION BY event_type) AS n
+            FROM dev
+        ) WHERE rn = (n + 1) // 2
+    )
+    SELECT dev.event_type, dev.d, dev.v, dev.med, mad.mad,
+           round(CAST(dev.v - dev.med AS DOUBLE) / mad.mad, 4) AS robust_z
+    FROM dev JOIN mad ON dev.event_type = mad.event_type
+    WHERE mad.mad > 0 AND abs(dev.v - dev.med) > 3 * mad.mad
+    """,
+    doc="Median/MAD robust anomaly flags on daily value cents per type — "
+    "the outlier-resistant companion to the mean/σ rolling-z (F11): one "
+    "polluted spike day shifts a mean but not a nearest-rank median. "
+    "Both medians are NEAREST-RANK order statistics (the F52 dialect "
+    "rule) picked by row_number with a day tiebreak; all integer until "
+    "the final division. Flag: |v − med| > 3·MAD",
+)
+def events_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _daily_cents(spark, sf_dir)
+    wv = Window.partitionBy("event_type").orderBy("v", "d")
+    wn = Window.partitionBy("event_type")
+    m = (
+        d.withColumn("rn", F.row_number().over(wv))
+        .withColumn("n", F.count(F.lit(1)).over(wn))
+        .filter(F.expr("rn = (n + 1) div 2"))
+        .select("event_type", F.col("v").alias("med"))
+    )
+    dev = d.join(m, "event_type").withColumn(
+        "ad", F.abs(F.col("v") - F.col("med"))
+    )
+    wa = Window.partitionBy("event_type").orderBy("ad", "d")
+    mad = (
+        dev.withColumn("rn", F.row_number().over(wa))
+        .withColumn("n", F.count(F.lit(1)).over(wn))
+        .filter(F.expr("rn = (n + 1) div 2"))
+        .select("event_type", F.col("ad").alias("mad"))
+    )
+    return (
+        dev.join(mad, "event_type")
+        .filter(
+            (F.col("mad") > 0)
+            & (F.abs(F.col("v") - F.col("med")) > 3 * F.col("mad"))
+        )
+        .select(
+            "event_type",
+            "d",
+            "v",
+            "med",
+            "mad",
+            F.expr(
+                "round(CAST(v - med AS DOUBLE) / mad, 4)"
+            ).alias("robust_z"),
+        )
+    )
+
+
+@register(
+    "brand_discount_elasticity",
+    """
+    WITH x AS (
+        SELECT p.p_brand,
+               CAST(round(l.l_discount * 100) AS BIGINT) AS disc_pct,
+               CAST(l.l_quantity AS BIGINT) AS qty
+        FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    ),
+    s AS (
+        SELECT p_brand,
+               count(*)              AS n,
+               sum(disc_pct)         AS sx,
+               sum(qty)              AS sy,
+               sum(disc_pct * qty)   AS sxy,
+               sum(disc_pct * disc_pct) AS sxx
+        FROM x GROUP BY p_brand
+    )
+    SELECT p_brand, CAST(n AS BIGINT) AS n_lines,
+           CASE WHEN n * sxx - sx * sx > 0
+                THEN round(CAST(n * sxy - sx * sy AS DOUBLE)
+                           / (n * sxx - sx * sx), 6) END AS slope_qty_per_pct,
+           round(CAST(sy AS DOUBLE) / n, 4) AS avg_qty
+    FROM s
+    """,
+    doc="Discount elasticity per brand: OLS slope of quantity on "
+    "discount-percent from EXACT integer power sums (the engine-portable "
+    "regression — regr_slope's streaming fp accumulation drifts across "
+    "engines, identical integer operands cannot). Dim join on part, one "
+    "hash agg on the fact",
+)
+def brand_discount_elasticity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    part = load(spark, sf_dir, "part")
+    x = li.join(F.broadcast(part), li.l_partkey == part.p_partkey).select(
+        "p_brand",
+        F.expr("CAST(round(l_discount * 100) AS BIGINT)").alias("disc_pct"),
+        F.expr("CAST(l_quantity AS BIGINT)").alias("qty"),
+    )
+    s = x.groupBy("p_brand").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("disc_pct").alias("sx"),
+        F.sum("qty").alias("sy"),
+        F.sum(F.expr("disc_pct * qty")).alias("sxy"),
+        F.sum(F.expr("disc_pct * disc_pct")).alias("sxx"),
+    )
+    return s.select(
+        "p_brand",
+        F.col("n").cast("long").alias("n_lines"),
+        F.expr(
+            "CASE WHEN n * sxx - sx * sx > 0 "
+            "THEN round(CAST(n * sxy - sx * sy AS DOUBLE)"
+            " / (n * sxx - sx * sx), 6) END"
+        ).alias("slope_qty_per_pct"),
+        F.expr("round(CAST(sy AS DOUBLE) / n, 4)").alias("avg_qty"),
+    )
