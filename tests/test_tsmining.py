@@ -432,3 +432,36 @@ def test_dominant_periods_spark_path(spark):
     out = {r["key"]: r for r in dominant_periods(df, ["key"], "d", "v").collect()}
     assert abs(out["weekly"]["period"] - 7) < 0.5
     assert abs(out["monthly"]["period"] - 28) < 2.0
+
+
+def test_hurst_separates_noise_walk_antipersistent(spark):
+    """R/S Hurst: planted iid noise ≈ 0.5, integrated random walk → high
+    (persistent), first-differenced noise → low (anti-persistent); the
+    estimator must order the three regimes correctly with sane bounds."""
+    import numpy as np
+    import pandas as pd
+
+    from time_series_spark_spark.operators.tsmining import hurst_rs
+
+    rng = np.random.default_rng(11)
+    n = 512
+    frames = []
+    for sid, series in [
+        (0, rng.normal(size=n)),                      # noise
+        (1, np.cumsum(rng.normal(size=n))),           # persistent walk
+        (2, np.diff(rng.normal(size=n + 1))),         # anti-persistent
+    ]:
+        frames.append(
+            pd.DataFrame(
+                {"sid": sid, "t": np.arange(n), "v": series.astype(float)}
+            )
+        )
+    df = spark.createDataFrame(pd.concat(frames))
+    out = {
+        r["sid"]: r["hurst"]
+        for r in hurst_rs(df, ["sid"], "t", "v").collect()
+    }
+    assert 0.35 < out[0] < 0.7, out
+    assert out[1] > 0.85, out
+    assert out[2] < 0.45, out
+    assert out[2] < out[0] < out[1]

@@ -748,3 +748,83 @@ def dominant_periods(
         _apply,
         f"{key_schema}, n_points long, period double, power_frac double",
     )
+
+
+# ---------------------------------------------------------------------------
+# Hurst exponent via rescaled-range (R/S) analysis
+# ---------------------------------------------------------------------------
+
+def _hurst_rs_one(x: np.ndarray, min_w: int = 8) -> tuple[float, float, int]:
+    """R/S Hurst estimate for one series: for window sizes w = min_w,
+    2·min_w, ... ≤ n/2, average R/S over the ⌊n/w⌋ disjoint blocks
+    (R = range of the mean-adjusted cumulative sum, S = block std), then
+    H = slope of log(R/S) on log(w). Returns (H, fit_r2, n_scales)."""
+    n = len(x)
+    ws, rss = [], []
+    w = min_w
+    while w <= n // 2:
+        rs_vals = []
+        for b in range(n // w):
+            blk = x[b * w : (b + 1) * w]
+            s = blk.std()
+            if s <= 0:
+                continue
+            y = np.cumsum(blk - blk.mean())
+            rs_vals.append((y.max() - y.min()) / s)
+        if rs_vals:
+            ws.append(w)
+            rss.append(float(np.mean(rs_vals)))
+        w *= 2
+    if len(ws) < 2:
+        return float("nan"), float("nan"), len(ws)
+    lw, lr = np.log(np.array(ws, dtype=float)), np.log(np.array(rss))
+    h, b0 = np.polyfit(lw, lr, 1)
+    pred = h * lw + b0
+    ss_res = float(((lr - pred) ** 2).sum())
+    ss_tot = float(((lr - lr.mean()) ** 2).sum())
+    r2 = 1.0 - ss_res / ss_tot if ss_tot > 0 else 1.0
+    return float(h), r2, len(ws)
+
+
+def hurst_rs(
+    df: DataFrame,
+    keys: list[str],
+    ts: str,
+    value: str,
+    min_len: int = 32,
+) -> DataFrame:
+    """Per-series Hurst exponent (Hurst 1951; Mandelbrot-Wallis R/S):
+    H ≈ 0.5 for iid noise, > 0.5 persistent/trending, < 0.5
+    anti-persistent/mean-reverting — the long-memory diagnostic that
+    tells a forecaster whether momentum features carry signal. Packed
+    grouped map: thousands of series per Arrow batch, O(n log n) numpy
+    per series, embarrassingly parallel across keys (the F48/K-mining
+    shape). Series shorter than ``min_len`` are skipped (too few R/S
+    scales for a meaningful log-log fit)."""
+    in_fields = {f.name: f.dataType.simpleString() for f in df.schema.fields}
+    key_schema = ", ".join(f"{k} {in_fields[k]}" for k in keys)
+
+    def _apply(pdf: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for kv, g in pdf.groupby(keys, sort=False):
+            kv = kv if isinstance(kv, tuple) else (kv,)
+            v = g[value].to_numpy(dtype=np.float64)
+            if len(v) < min_len:
+                continue
+            h, r2, n_scales = _hurst_rs_one(v)
+            if not np.isfinite(h):
+                continue
+            rows.append((*kv, len(v), round(h, 4), round(r2, 4), n_scales))
+        return pd.DataFrame(
+            rows,
+            columns=[*keys, "n_points", "hurst", "fit_r2", "n_scales"],
+        )
+
+    return packed_grouped_map(
+        df.select(*keys, ts, value),
+        keys,
+        [ts],
+        _apply,
+        f"{key_schema}, n_points long, hurst double, fit_r2 double, "
+        "n_scales long",
+    )

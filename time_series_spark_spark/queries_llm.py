@@ -1927,3 +1927,53 @@ def docs_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(m["n_train"], m["n_test"], m["pos_rate_test"], m["auc"])],
         "n_train long, n_test long, pos_rate_test double, auc double",
     )
+
+
+# --------------------------------------------------------------------------
+# K19: token entropy per language (round 5)
+# --------------------------------------------------------------------------
+@register(
+    "docs_token_entropy",
+    """
+    WITH tok AS (
+        SELECT lang, unnest(string_split(text, ' ')) AS term FROM documents
+    ),
+    c AS (SELECT lang, term, count(*) AS c FROM tok GROUP BY 1, 2),
+    n AS (SELECT lang, CAST(sum(c) AS BIGINT) AS n FROM c GROUP BY 1)
+    SELECT c.lang, n.n AS n_tokens,
+           CAST(count(*) AS BIGINT) AS vocab,
+           round(ln(CAST(n.n AS DOUBLE))
+                 - sum(c.c * ln(CAST(c.c AS DOUBLE))) / n.n, 4)
+               AS entropy_nats
+    FROM c JOIN n ON c.lang = n.lang
+    GROUP BY c.lang, n.n
+    """,
+    doc="K19 unigram token entropy per language via the count identity "
+    "H = ln N − (Σ c·ln c)/N — the dataset-card diversity panel next to "
+    "Zipf (K12) and Heaps (K13): low entropy flags templated/duplicated "
+    "text before training. Counts stay exact integers; the one fp sum "
+    "(Σ c·ln c) is rounded to 4dp, the tolerance the TF-IDF oracle "
+    "already proved portable. Two hash aggs on the token stream",
+)
+def docs_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    c = (
+        docs.select("lang", F.explode(tokens()).alias("term"))
+        .groupBy("lang", "term")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    n = c.groupBy("lang").agg(F.sum("c").cast("long").alias("n"))
+    return (
+        c.join(n, "lang")
+        .groupBy("lang", "n")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("vocab"),
+            F.expr(
+                "round(ln(CAST(n AS DOUBLE))"
+                " - sum(c * ln(CAST(c AS DOUBLE))) / n, 4)"
+            ).alias("entropy_nats"),
+        )
+        .select(
+            "lang", F.col("n").alias("n_tokens"), "vocab", "entropy_nats"
+        )
+    )

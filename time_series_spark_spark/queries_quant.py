@@ -695,3 +695,30 @@ def brand_discount_elasticity(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("slope_qty_per_pct"),
         F.expr("round(CAST(sy AS DOUBLE) / n, 4)").alias("avg_qty"),
     )
+
+
+@register(
+    "topk_parts_with_ties",
+    """
+    SELECT p_partkey, p_brand, p_retailprice, CAST(rnk AS BIGINT) AS rnk
+    FROM (
+        SELECT p_partkey, p_brand, p_retailprice,
+               rank() OVER (ORDER BY p_retailprice DESC) AS rnk
+        FROM part
+    ) WHERE rnk <= 10
+    ORDER BY rnk, p_partkey
+    """,
+    doc="G+: top-k WITH TIES (rank-filter semantics — every row tied "
+    "with the k-th survives, unlike row_number/LIMIT which truncates "
+    "arbitrarily inside a tie class). The deterministic-output top-k "
+    "when the sort key is non-unique and no tiebreaker is wanted",
+)
+def topk_parts_with_ties(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load(spark, sf_dir, "part")
+    w = Window.orderBy(F.desc("p_retailprice"))
+    return (
+        part.withColumn("rnk", F.rank().over(w).cast("long"))
+        .filter(F.col("rnk") <= 10)
+        .select("p_partkey", "p_brand", "p_retailprice", "rnk")
+        .orderBy("rnk", "p_partkey")
+    )

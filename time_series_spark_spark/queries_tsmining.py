@@ -455,3 +455,43 @@ def events_dominant_period(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dominant_periods(dense, ["event_type"], "h", "v").orderBy(
         "event_type"
     )
+
+
+@register(
+    "events_hurst_user",
+    None,  # iterative log-log fit per series → rows-only; planted
+    # noise/walk/antipersistent recovery pinned in tests/test_tsmining.py
+    doc="Hurst exponent (R/S, Mandelbrot-Wallis) per user over the dense "
+    "0-filled HOURLY value-cents series (the 30-day corpus gives ~720 "
+    "hourly points — six R/S scales — where daily would give one): "
+    "H≈0.5 noise, >0.5 persistent, <0.5 mean-reverting — the "
+    "long-memory diagnostic that says whether momentum features carry "
+    "signal for F7 forecasting. Dense grid (inactive hours are real "
+    "zeros, not missing data) via one sequence explode; then the packed "
+    "grouped-map shape shared with matrix profile / Kalman",
+)
+def events_hurst_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from time_series_spark_spark.operators.tsmining import hurst_rs
+
+    ev = _events(spark, sf_dir)
+    hourly = ev.groupBy(
+        "user_id", F.date_trunc("hour", F.col("ts")).alias("h")
+    ).agg(F.sum(F.expr("CAST(round(value * 100) AS BIGINT)")).alias("v"))
+    bounds = hourly.agg(F.min("h").alias("lo"), F.max("h").alias("hi"))
+    grid = (
+        hourly.select("user_id")
+        .distinct()
+        .crossJoin(F.broadcast(bounds))
+        .select(
+            "user_id",
+            F.explode(
+                F.expr("sequence(lo, hi, interval 1 hour)")
+            ).alias("h"),
+        )
+    )
+    dense = grid.join(hourly, ["user_id", "h"], "left").select(
+        "user_id",
+        "h",
+        F.coalesce(F.col("v"), F.lit(0)).cast("double").alias("v"),
+    )
+    return hurst_rs(dense, ["user_id"], "h", "v").orderBy("user_id")
