@@ -722,3 +722,87 @@ def topk_parts_with_ties(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("p_partkey", "p_brand", "p_retailprice", "rnk")
         .orderBy("rnk", "p_partkey")
     )
+
+
+_RUNOFF_SQL = """
+    WITH RECURSIVE q AS (
+        SELECT CAST(date_trunc('quarter', CAST(o_orderdate AS DATE))
+                    AS TIMESTAMP) AS qtr,
+               CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                    AS BIGINT) AS rev
+        FROM orders GROUP BY 1
+    ),
+    o AS (
+        SELECT qtr, rev,
+               CAST(row_number() OVER (ORDER BY qtr) AS BIGINT) AS i
+        FROM q
+    ),
+    cap AS (SELECT (2 * sum(rev)) {div} count(*) AS cap FROM q),
+    t AS (
+        SELECT o.i, o.qtr, o.rev,
+               CASE WHEN o.rev >= c.cap THEN 0 ELSE o.rev END AS carry,
+               CAST(CASE WHEN o.rev >= c.cap THEN 1 ELSE 0 END
+                    AS BIGINT) AS n_resets
+        FROM o CROSS JOIN cap c WHERE o.i = 1
+        UNION ALL
+        SELECT o.i, o.qtr, o.rev,
+               CASE WHEN t.carry + o.rev >= c.cap THEN 0
+                    ELSE t.carry + o.rev END,
+               t.n_resets + CASE WHEN t.carry + o.rev >= c.cap
+                                 THEN 1 ELSE 0 END
+        FROM t JOIN o ON o.i = t.i + 1 CROSS JOIN cap c
+    )
+    SELECT qtr, rev, carry, n_resets FROM t
+"""
+
+
+@register(
+    "orders_budget_runoff_rcte",
+    _RUNOFF_SQL.format(div="//"),
+    doc="§3.2 WITH RECURSIVE (Spark 4 recursive CTE, UNION ALL form): a "
+    "budget-cap runoff over quarterly revenue — carry accumulates and "
+    "RESETS to zero when it crosses the cap (2× mean quarterly revenue, "
+    "integer floor-div). Reset-on-threshold state is genuinely "
+    "sequential (not window-expressible: the reset point depends on the "
+    "full prior state path), the textbook recursive-CTE case. Recursion "
+    "depth = #quarters (~27), one tiny row per level; both engines run "
+    "the SAME recursive SQL (only the floor-div spelling differs)",
+)
+def orders_budget_runoff_rcte(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(_RUNOFF_SQL.format(div="div"))
+
+
+@register(
+    "orders_param_sql_priority_summary",
+    """
+    SELECT o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                AS BIGINT) AS rev_cents
+    FROM orders
+    WHERE o_totalprice >= 150000.0
+    GROUP BY o_orderpriority
+    """,
+    doc="§3.2 parameterized SQL (Spark 4 named parameter markers): the "
+    "threshold arrives via spark.sql(..., args={'thr': ...}) instead of "
+    "string interpolation — the injection-safe plumbing for "
+    "user-supplied predicates; Catalyst still constant-folds and pushes "
+    "the bound literal down to the scan",
+)
+def orders_param_sql_priority_summary(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    load(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        SELECT o_orderpriority,
+               CAST(count(*) AS BIGINT) AS n_orders,
+               CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                    AS BIGINT) AS rev_cents
+        FROM orders
+        WHERE o_totalprice >= :thr
+        GROUP BY o_orderpriority
+        """,
+        args={"thr": 150000.0},
+    )
