@@ -465,3 +465,37 @@ def test_hurst_separates_noise_walk_antipersistent(spark):
     assert out[1] > 0.85, out
     assert out[2] < 0.45, out
     assert out[2] < out[0] < out[1]
+
+
+def test_silhouette_report_laws_and_planted_two_clusters(spark):
+    """N5b: silhouette ∈ [-1,1] everywhere; on a corpus of two planted
+    shape families (ramps vs sines) the k=2 silhouette must be high and
+    the best k must not assign an empty cluster."""
+    import numpy as np
+    import pandas as pd
+
+    from time_series_spark_spark.operators.tsmining import (
+        cluster_silhouette_report,
+    )
+
+    rng = np.random.default_rng(5)
+    n = 64
+    frames = []
+    for sid in range(40):
+        t = np.arange(n, dtype=float)
+        base = t if sid % 2 == 0 else np.sin(t / 3.0) * 10
+        v = base + rng.normal(0, 0.1, n)
+        frames.append(pd.DataFrame({"sid": sid, "t": t, "v": v}))
+    df = spark.createDataFrame(pd.concat(frames))
+    rep = {
+        r["k"]: r
+        for r in cluster_silhouette_report(
+            df, ["sid"], "t", "v", ks=(2, 4)
+        ).collect()
+    }
+    for r in rep.values():
+        assert -1.0 <= r["silhouette"] <= 1.0
+        assert r["n_series"] == 40
+        assert r["min_cluster_size"] >= 1
+    assert rep[2]["silhouette"] > 0.7, rep
+    assert rep[2]["silhouette"] >= rep[4]["silhouette"] - 0.05

@@ -667,11 +667,25 @@ def cluster_series_shapes(
     Scale: the feature frame is one row per SERIES (not per point) —
     KMeans runs on the reduced representation. Output: ``keys…, cluster``.
     """
-    from pyspark.ml.clustering import KMeans
+    assigned = _cluster_series_assignments(
+        df, keys, ts, value, n_segments, n_clusters, seed
+    )
+    return assigned.select(*keys, "cluster")
+
+
+def shape_feature_vectors(
+    df: DataFrame,
+    keys: list[str],
+    ts: str,
+    value: str,
+    n_segments: int = 8,
+) -> DataFrame:
+    """One row per series: z-normalized PAA feature vector (the N5
+    representation), as both an array and an MLlib vector column."""
     from pyspark.ml.functions import array_to_vector
 
     per_seg = paa_sax(df, keys, ts, value, n_segments)
-    feats = (
+    return (
         per_seg.groupBy(*keys)
         .agg(F.array_sort(F.collect_list(F.struct("seg", "paa"))).alias("_w"))
         .filter(F.size("_w") == n_segments)  # drop sub-segment-count series
@@ -681,10 +695,74 @@ def cluster_series_shapes(
         )
         .withColumn("features", array_to_vector("paa_vec"))
     )
+
+
+def _cluster_series_assignments(
+    df: DataFrame,
+    keys: list[str],
+    ts: str,
+    value: str,
+    n_segments: int,
+    n_clusters: int,
+    seed: int,
+) -> DataFrame:
+    from pyspark.ml.clustering import KMeans
+
+    feats = shape_feature_vectors(df, keys, ts, value, n_segments)
     km = KMeans(k=n_clusters, seed=seed, featuresCol="features",
                 predictionCol="cluster")
     model = km.fit(feats)
-    return model.transform(feats).select(*keys, "cluster")
+    return model.transform(feats)
+
+
+def cluster_silhouette_report(
+    df: DataFrame,
+    keys: list[str],
+    ts: str,
+    value: str,
+    n_segments: int = 8,
+    ks: tuple[int, ...] = (2, 3, 4, 6),
+    seed: int = 42,
+) -> DataFrame:
+    """N5b: model-selection companion to N5 — squared-Euclidean
+    silhouette (MLlib ClusteringEvaluator, the distributed
+    simplification of Rousseeuw'87) for several k over the SAME shape
+    features, with cluster-count sanity columns. Silhouette ∈ [-1, 1];
+    higher = tighter/better-separated clustering; scanning k and taking
+    the knee is the standard k-chooser. The feature frame is one row
+    per series, so every fit/evaluate runs on the reduced
+    representation."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.evaluation import ClusteringEvaluator
+
+    feats = shape_feature_vectors(df, keys, ts, value, n_segments).cache()
+    try:
+        rows = []
+        ev = ClusteringEvaluator(
+            predictionCol="cluster",
+            featuresCol="features",
+            metricName="silhouette",
+            distanceMeasure="squaredEuclidean",
+        )
+        n_series = feats.count()
+        for k in ks:
+            model = KMeans(
+                k=k, seed=seed, featuresCol="features",
+                predictionCol="cluster",
+            ).fit(feats)
+            pred = model.transform(feats)
+            sil = float(ev.evaluate(pred))
+            sizes = pred.groupBy("cluster").count()
+            smallest = sizes.agg(F.min("count")).collect()[0][0]
+            rows.append(
+                (k, int(n_series), round(sil, 4), int(smallest))
+            )
+    finally:
+        feats.unpersist()
+    spark = df.sparkSession
+    return spark.createDataFrame(
+        rows, "k long, n_series long, silhouette double, min_cluster_size long"
+    )
 
 
 # ---------------------------------------------------------------------------

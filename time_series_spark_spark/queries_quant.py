@@ -806,3 +806,102 @@ def orders_param_sql_priority_summary(
         """,
         args={"thr": 150000.0},
     )
+
+
+@register(
+    "nation_revenue_share_of_region",
+    """
+    WITH r AS (
+        SELECT n.n_nationkey, n.n_name, n.n_regionkey,
+               CAST(sum(CAST(round(o.o_totalprice * 100) AS BIGINT))
+                    AS BIGINT) AS rev
+        FROM orders o
+        JOIN customer c ON c.c_custkey = o.o_custkey
+        JOIN nation n ON n.n_nationkey = c.c_nationkey
+        GROUP BY 1, 2, 3
+    )
+    SELECT n_name, n_regionkey, rev,
+           round(CAST(rev AS DOUBLE)
+                 / sum(rev) OVER (PARTITION BY n_regionkey), 6)
+               AS share_of_region,
+           round(CAST(rev AS DOUBLE) / sum(rev) OVER (), 6)
+               AS share_of_total
+    FROM r
+    """,
+    doc="Ratio-to-report / share-of-parent: nation revenue as a share of "
+    "its region and of the grand total via windowed sums OVER the "
+    "aggregate (the ratio_to_report pattern) — both denominators are "
+    "window functions on the 25-row nation frame, so the global window's "
+    "single-partition move is over a bounded aggregate, never raw facts",
+)
+def nation_revenue_share_of_region(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    n = load(spark, sf_dir, "nation")
+    r = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_nationkey", "n_name", "n_regionkey")
+        .agg(
+            F.sum(
+                F.expr("CAST(round(o_totalprice * 100) AS BIGINT)")
+            ).cast("long").alias("rev")
+        )
+    )
+    wr = Window.partitionBy("n_regionkey")
+    wt = Window.partitionBy()
+    return r.select(
+        "n_name",
+        "n_regionkey",
+        "rev",
+        F.round(F.col("rev").cast("double") / F.sum("rev").over(wr), 6).alias(
+            "share_of_region"
+        ),
+        F.round(F.col("rev").cast("double") / F.sum("rev").over(wt), 6).alias(
+            "share_of_total"
+        ),
+    )
+
+
+@register(
+    "events_purchase_carry_forward",
+    f"""
+    SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id, event_type,
+           last_value(CASE WHEN event_type = 'purchase'
+                           THEN {_CENTS} END IGNORE NULLS)
+               OVER (PARTITION BY user_id
+                     ORDER BY epoch_us(ts), event_id
+                     ROWS UNBOUNDED PRECEDING) AS last_purchase_cents
+    FROM events
+    """,
+    doc="E-surface IGNORE NULLS: every event annotated with the user's "
+    "most recent purchase amount via last_value(... IGNORE NULLS) — the "
+    "carry-forward idiom as an explicit window modifier (F3's ffill "
+    "uses the same engine mechanism through last(ignoreNulls=True)); "
+    "one shuffle on user_id",
+)
+def events_purchase_carry_forward(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros("ts"), "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    carried = F.last(
+        F.expr(
+            "CASE WHEN event_type = 'purchase' "
+            "THEN CAST(round(value * 100) AS BIGINT) END"
+        ),
+        ignorenulls=True,
+    ).over(w)
+    return ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        carried.alias("last_purchase_cents"),
+    )

@@ -495,3 +495,29 @@ def events_hurst_user(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.col("v"), F.lit(0)).cast("double").alias("v"),
     )
     return hurst_rs(dense, ["user_id"], "h", "v").orderBy("user_id")
+
+
+@register(
+    "events_cluster_silhouette_scan",
+    None,  # KMeans + evaluator → rows-only; monotone/boundary laws and
+    # planted two-cluster recovery pinned in tests/test_tsmining.py
+    doc="N5b clustering model selection: squared-Euclidean silhouette "
+    "(MLlib ClusteringEvaluator) scanned over k ∈ {2,3,4,6} on the N5 "
+    "z-PAA shape features of per-user daily series — the k-chooser "
+    "report a user runs before trusting N5's clusters. One cached "
+    "one-row-per-series feature frame; each fit touches only it",
+)
+def events_cluster_silhouette_scan(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from time_series_spark_spark.operators.tsmining import (
+        cluster_silhouette_report,
+    )
+
+    ev = _events(spark, sf_dir)
+    daily = ev.groupBy(
+        "user_id", F.date_trunc("day", F.col("ts")).alias("d")
+    ).agg(F.sum("value").alias("v"))
+    return cluster_silhouette_report(
+        daily, ["user_id"], "d", "v"
+    ).orderBy("k")
