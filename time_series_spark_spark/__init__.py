@@ -116,6 +116,16 @@ _API = {
     "frequent_itemsets": "operators.ml",
     # packed grouped map (the scale primitive)
     "packed_grouped_map": "operators.packed",
+    # round 5
+    "ams_partials": "operators.sketches",
+    "ams_join_size": "operators.sketches",
+    "plan_compaction": "sources.quality",
+    "hurst_rs": "operators.tsmining",
+    "shape_feature_vectors": "operators.tsmining",
+    "cluster_silhouette_report": "operators.tsmining",
+    "text_quality_classifier_auc": "operators.ml",
+    "aft_session_lifetime": "operators.ml",
+    "stream_stream_left_outer_join": "streaming.jobs",
 }
 
 __all__ = sorted(_API)
