@@ -394,3 +394,36 @@ def test_conformal_coverage_guarantee(spark):
     for r in out[:20]:
         assert abs((r["hi"] - r["yhat"]) - (r["yhat"] - r["lo"])) < 2.1e-4
         assert abs((r["hi"] - r["yhat"]) - r["qhat"]) < 1e-3
+
+
+def test_theta_halves_linear_drift():
+    """Hyndman-Billah: Theta(2) ≡ SES + b/2 drift — on a long pure
+    linear series the forecast increments must be exactly b/2."""
+    import numpy as np
+
+    from time_series_spark_spark.operators.forecast import theta_series
+
+    y = 5.0 * np.arange(200, dtype=float) + 10
+    yhat, alpha, _ = theta_series(y, horizon=10)
+    incr = np.diff(yhat)
+    assert np.allclose(incr, 2.5, atol=1e-6), incr
+    # and on a flat series the drift vanishes: forecast == SES level
+    flat = np.full(100, 7.0)
+    yh2, _, _ = theta_series(flat, horizon=5)
+    assert np.allclose(yh2, 7.0, atol=1e-9)
+
+
+def test_croston_recovers_planted_intermittent_demand():
+    import numpy as np
+
+    from time_series_spark_spark.operators.forecast import croston_series
+
+    y = np.zeros(400)
+    y[3::4] = 8.0  # demand of 8 every 4th period
+    rate, z_hat, p_hat, n_dem = croston_series(y, alpha=0.1)
+    assert abs(z_hat - 8.0) < 1e-9
+    assert abs(p_hat - 4.0) < 0.35  # first-interval init decays at (1-α)^k
+    assert abs(rate - 2.0) < 0.25
+    assert n_dem == 100
+    # all-zero demand -> rate 0, no crash
+    assert croston_series(np.zeros(50))[0] == 0.0

@@ -760,3 +760,161 @@ def conformal_forecast(
         f"{key_schema}, ds timestamp, yhat double, lo double, hi double, "
         "qhat double",
     )
+
+
+# --------------------------------------------------------------------------
+# F7c: Theta method (round 5)
+# --------------------------------------------------------------------------
+def theta_series(
+    y: np.ndarray,
+    horizon: int,
+    alphas: tuple[float, ...] = (0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9),
+) -> tuple[np.ndarray, float, float]:
+    """Theta(θ=2) forecast for one series via the Hyndman-Billah (IJF
+    2003) equivalence: SES on the data plus half the linear-trend drift,
+    ŷ_{n+h} = ℓ_n + (b̂/2)·(h − 1 + 1/α − (1−α)ⁿ/α), where b̂ is the OLS
+    slope on time and ℓ the SES level. α is chosen from a fixed grid by
+    in-sample one-step SSE — deterministic, no optimizer. The M3-winning
+    simple forecaster; the model-diversity row beside additive
+    regression (F7) and Holt-Winters (F7b).
+
+    Returns (yhat[horizon], alpha, sse)."""
+    n = len(y)
+    t = np.arange(n, dtype=np.float64)
+    b = float(np.polyfit(t, y, 1)[0])
+    best = None
+    for a in alphas:
+        level = float(y[0])
+        sse = 0.0
+        for i in range(1, n):
+            sse += (y[i] - level) ** 2
+            level = a * y[i] + (1 - a) * level
+        if best is None or sse < best[2]:
+            best = (a, level, sse)
+    a, level, sse = best
+    h = np.arange(1, horizon + 1, dtype=np.float64)
+    drift = (b / 2.0) * (h - 1 + 1 / a - (1 - a) ** n / a)
+    return level + drift, a, float(sse)
+
+
+def theta_forecast(
+    df: DataFrame,
+    keys: list[str],
+    ds_col: str,
+    y_col: str,
+    horizon: int,
+    freq_days: float = 1.0,
+    min_len: int = 8,
+) -> DataFrame:
+    """Per-series Theta forecast on the packed grouped-map path (the F7
+    shuffle shape: one hash partitioning by key, thousands of series per
+    Arrow batch, O(n·|grid|) numpy per series). Short series skipped.
+    Output: ``keys…, ds timestamp, yhat double, alpha double``."""
+    key_schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}"
+        for f in df.schema.fields
+        if f.name in keys
+    )
+    step = np.timedelta64(int(freq_days * 86_400_000_000), "us")
+
+    def _fit_batch(pdf: pd.DataFrame) -> pd.DataFrame:
+        outs = []
+        for kv, g in pdf.groupby(keys, sort=False):
+            if not isinstance(kv, tuple):
+                kv = (kv,)
+            ds_arr = g[ds_col].to_numpy()
+            y_arr = g[y_col].to_numpy(dtype=float)
+            order = np.argsort(ds_arr)
+            ds_arr, y_arr = ds_arr[order], y_arr[order]
+            if len(y_arr) < min_len or np.isnan(y_arr).any():
+                continue
+            yhat, a, _ = theta_series(y_arr, horizon)
+            future = ds_arr[-1] + step * np.arange(1, horizon + 1)
+            out = pd.DataFrame({"ds": future, "yhat": yhat, "alpha": a})
+            for k, v in zip(keys, kv):
+                out[k] = v
+            outs.append(out[[*keys, "ds", "yhat", "alpha"]])
+        if not outs:
+            return pd.DataFrame(columns=[*keys, "ds", "yhat", "alpha"])
+        return pd.concat(outs, ignore_index=True)
+
+    return packed_grouped_map(
+        df.select(*keys, ds_col, y_col),
+        keys,
+        [ds_col],
+        _fit_batch,
+        f"{key_schema}, ds timestamp, yhat double, alpha double",
+    )
+
+
+# --------------------------------------------------------------------------
+# F7d: Croston's method for intermittent demand (round 5)
+# --------------------------------------------------------------------------
+def croston_series(
+    y: np.ndarray, alpha: float = 0.1
+) -> tuple[float, float, float, int]:
+    """Croston (OR Quarterly 1972) intermittent-demand estimate for one
+    series of per-period demands (mostly zeros): SES over the non-zero
+    demand SIZES (z) and over the inter-demand INTERVALS (p) separately;
+    the per-period demand-rate forecast is z/p. The standard forecaster
+    when most periods are zero and smoothing the raw series just decays
+    to zero between spikes. Returns (rate, z_hat, p_hat, n_demands)."""
+    nz = np.flatnonzero(y)
+    if len(nz) == 0:
+        return 0.0, 0.0, float(len(y)), 0
+    z_hat = float(y[nz[0]])
+    p_hat = float(nz[0] + 1)
+    prev = nz[0]
+    for i in nz[1:]:
+        z_hat = alpha * float(y[i]) + (1 - alpha) * z_hat
+        p_hat = alpha * float(i - prev) + (1 - alpha) * p_hat
+        prev = i
+    return z_hat / p_hat, z_hat, p_hat, int(len(nz))
+
+
+def croston_forecast(
+    df: DataFrame,
+    keys: list[str],
+    ds_col: str,
+    y_col: str,
+    alpha: float = 0.1,
+    min_len: int = 8,
+) -> DataFrame:
+    """Per-key Croston demand-rate estimate on the packed grouped-map
+    path. Input must be a DENSE per-period series (zeros are data, not
+    gaps). Output: ``keys…, n_periods, n_demands, demand_rate, z_hat,
+    p_hat`` — one row per key."""
+    key_schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}"
+        for f in df.schema.fields
+        if f.name in keys
+    )
+
+    def _fit_batch(pdf: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for kv, g in pdf.groupby(keys, sort=False):
+            if not isinstance(kv, tuple):
+                kv = (kv,)
+            g2 = g.sort_values(ds_col)
+            y_arr = g2[y_col].to_numpy(dtype=float)
+            if len(y_arr) < min_len:
+                continue
+            rate, z_hat, p_hat, n_dem = croston_series(y_arr, alpha)
+            rows.append(
+                (*kv, len(y_arr), n_dem, round(rate, 6),
+                 round(z_hat, 6), round(p_hat, 6))
+            )
+        return pd.DataFrame(
+            rows,
+            columns=[*keys, "n_periods", "n_demands", "demand_rate",
+                     "z_hat", "p_hat"],
+        )
+
+    return packed_grouped_map(
+        df.select(*keys, ds_col, y_col),
+        keys,
+        [ds_col],
+        _fit_batch,
+        f"{key_schema}, n_periods long, n_demands long, demand_rate double, "
+        "z_hat double, p_hat double",
+    )

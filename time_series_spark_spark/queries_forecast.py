@@ -151,3 +151,60 @@ def forecast_conformal_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     return conformal_forecast(
         _revenue_series(spark, sf_dir), ["key"], "ds", "y", horizon=14
     ).orderBy("key", "ds")
+
+
+@register(
+    "forecast_theta_revenue",
+    None,  # F7c: iterative SES fit → rows-only + property tests
+    doc="F7c Theta(θ=2) forecast (Assimakopoulos-Nikolopoulos; "
+    "Hyndman-Billah SES-plus-half-drift equivalence, grid-chosen α) — "
+    "14-day horizon over the 3 daily revenue series; the M3-winning "
+    "simple model beside F7 ridge and F7b Holt-Winters, same packed "
+    "grouped-map shuffle shape",
+)
+def forecast_theta_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from time_series_spark_spark.operators.forecast import theta_forecast
+
+    fc = theta_forecast(
+        _revenue_series(spark, sf_dir), ["key"], "ds", "y", horizon=14
+    )
+    return fc.select(
+        "key", "ds", F.round("yhat", 4).alias("yhat"), "alpha"
+    ).orderBy("key", "ds")
+
+
+@register(
+    "forecast_croston_purchases",
+    None,  # F7d: SES recursions → rows-only + property tests
+    doc="F7d Croston intermittent-demand rate per user over the dense "
+    "0-filled daily purchase-count series (most days zero — exactly the "
+    "regime where smoothing the raw series decays to nothing between "
+    "spikes and Croston's size/interval split is the textbook answer). "
+    "Output one row per user: expected purchases/day",
+)
+def forecast_croston_purchases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from time_series_spark_spark.operators.forecast import croston_forecast
+
+    ev = load(spark, sf_dir, "events")
+    daily = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", F.date_trunc("day", F.col("ts")).alias("d"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    bounds = ev.agg(
+        F.date_trunc("day", F.min("ts")).alias("lo"),
+        F.date_trunc("day", F.max("ts")).alias("hi"),
+    )
+    grid = (
+        ev.select("user_id")
+        .distinct()
+        .crossJoin(F.broadcast(bounds))
+        .select(
+            "user_id",
+            F.explode(F.expr("sequence(lo, hi, interval 1 day)")).alias("d"),
+        )
+    )
+    dense = grid.join(daily, ["user_id", "d"], "left").select(
+        "user_id", "d", F.coalesce("n", F.lit(0)).cast("double").alias("n")
+    )
+    return croston_forecast(dense, ["user_id"], "d", "n").orderBy("user_id")

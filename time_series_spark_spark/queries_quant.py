@@ -905,3 +905,97 @@ def events_purchase_carry_forward(
         "event_type",
         carried.alias("last_purchase_cents"),
     )
+
+
+@register(
+    "events_user_behavior_entropy",
+    """
+    WITH c AS (
+        SELECT user_id, event_type, count(*) AS c
+        FROM events GROUP BY 1, 2
+    ),
+    n AS (SELECT user_id, CAST(sum(c) AS BIGINT) AS n FROM c GROUP BY 1)
+    SELECT c.user_id, n.n AS n_events,
+           CAST(count(*) AS BIGINT) AS n_types,
+           round(ln(CAST(n.n AS DOUBLE))
+                 - sum(c.c * ln(CAST(c.c AS DOUBLE))) / n.n, 4)
+               AS behavior_entropy_nats
+    FROM c JOIN n ON c.user_id = n.user_id
+    GROUP BY c.user_id, n.n
+    """,
+    doc="Per-user behavioral entropy over event-type frequencies (the "
+    "K19 count identity H = ln N − (Σ c·ln c)/N applied to behavior): "
+    "0 = single-action bots, high = diverse engagement — the "
+    "segmentation feature beside RFM. Two hash aggs, both on user_id",
+)
+def events_user_behavior_entropy(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    c = ev.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    n = c.groupBy("user_id").agg(F.sum("c").cast("long").alias("n"))
+    return (
+        c.join(n, "user_id")
+        .groupBy("user_id", "n")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_types"),
+            F.expr(
+                "round(ln(CAST(n AS DOUBLE))"
+                " - sum(c * ln(CAST(c AS DOUBLE))) / n, 4)"
+            ).alias("behavior_entropy_nats"),
+        )
+        .select(
+            "user_id",
+            F.col("n").alias("n_events"),
+            "n_types",
+            "behavior_entropy_nats",
+        )
+    )
+
+
+@register(
+    "supplier_part_bipartite_degree",
+    """
+    WITH e AS (
+        SELECT DISTINCT l_suppkey AS s, l_partkey AS p FROM lineitem
+    ),
+    sd AS (SELECT s, count(*) AS deg FROM e GROUP BY s),
+    pd AS (SELECT p, count(*) AS deg FROM e GROUP BY p)
+    SELECT 'supplier' AS side, CAST(deg AS BIGINT) AS degree,
+           CAST(count(*) AS BIGINT) AS n_nodes
+    FROM sd GROUP BY deg
+    UNION ALL
+    SELECT 'part' AS side, CAST(deg AS BIGINT) AS degree,
+           CAST(count(*) AS BIGINT) AS n_nodes
+    FROM pd GROUP BY deg
+    """,
+    doc="Degree distributions of the supplier-part bipartite graph "
+    "induced by lineitem (DISTINCT edges first — multiplicity is "
+    "shipment count, not connectivity): the graph-shape profile run "
+    "before committing to a partitioning for graph algorithms "
+    "(skewed degrees → salt hubs). Distinct + two hash aggs",
+)
+def supplier_part_bipartite_degree(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    e = li.select(
+        F.col("l_suppkey").alias("s"), F.col("l_partkey").alias("p")
+    ).distinct()
+
+    def side(col: str, name: str) -> DataFrame:
+        return (
+            e.groupBy(col)
+            .agg(F.count(F.lit(1)).alias("deg"))
+            .groupBy("deg")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_nodes"))
+            .select(
+                F.lit(name).alias("side"),
+                F.col("deg").cast("long").alias("degree"),
+                "n_nodes",
+            )
+        )
+
+    return side("s", "supplier").unionAll(side("p", "part"))
