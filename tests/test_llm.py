@@ -932,3 +932,49 @@ def test_bpe_merge_roundtrip(spark, tmp_path):
     path = str(tmp_path / "bpe_merges")
     save_bpe_merges(spark, merges, path)
     assert load_bpe_merges(spark, path) == merges  # order preserved
+
+
+def test_mips_norm_augmentation_reduction_equivalent(spark):
+    """K3c: the Bachrach RecSys'14 reduction — items augmented with
+    sqrt(M² − |x|²), queries with 0 — makes cosine ranking ≡ exact MIPS
+    ranking (the augmented-item norm is constant M, so cosine order =
+    inner-product order). Verified: augmented cosine_topk returns the
+    same (query, cand) sets as mips_topk on the real corpus."""
+    import pyspark.sql.functions as F
+
+    from time_series_spark_spark.operators.llm import cosine_topk, mips_topk
+    from time_series_spark_spark.sources.io import load
+
+    emb = load(spark, SF, "embeddings")
+    exact = mips_topk(emb, None, k=5, query_filter=F.col("vec_id") < 10)
+
+    # augment: items get sqrt(M^2 - |x|^2) appended; queries get 0.
+    # Build both from one frame so ids stay aligned.
+    with_norm = emb.withColumn(
+        "sq",
+        F.expr(
+            "aggregate(transform(embedding, x -> cast(x AS double)),"
+            " 0D, (s, x) -> s + x * x)"
+        ),
+    )
+    m2 = with_norm.agg(F.max("sq")).collect()[0][0]
+    items = with_norm.select(
+        "vec_id",
+        F.expr(
+            f"concat(transform(embedding, x -> cast(x AS double)),"
+            f" array(sqrt({m2} - sq)))"
+        ).alias("embedding"),
+    )
+    queries = with_norm.filter(F.col("vec_id") < 10).select(
+        "vec_id",
+        F.expr(
+            "concat(transform(embedding, x -> cast(x AS double)),"
+            " array(0D))"
+        ).alias("embedding"),
+    )
+    aug = cosine_topk(items, queries, k=5)
+    got = {
+        (r["query_id"], r["cand_id"]) for r in aug.collect()
+    }
+    want = {(r["query_id"], r["cand_id"]) for r in exact.collect()}
+    assert got == want

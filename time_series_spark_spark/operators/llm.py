@@ -2556,3 +2556,40 @@ def save_bpe_merges(spark, merges: list[tuple[str, str, int]], path: str) -> Non
 def load_bpe_merges(spark, path: str) -> list[tuple[str, str, int]]:
     rows = spark.read.parquet(path).orderBy("rank").collect()
     return [(r["left"], r["right"], int(r["pair_count"])) for r in rows]
+
+
+def mips_topk(
+    df: DataFrame,
+    query_ids: DataFrame | None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    query_filter: Column | None = None,
+) -> DataFrame:
+    """K3c (round 5): exact maximum-INNER-PRODUCT top-k — the retrieval
+    objective when vectors are NOT normalized (recommender user·item
+    scores, unnormalized two-tower embeddings), where cosine top-k gives
+    different answers. Same scale shape as :func:`cosine_topk`:
+    broadcast query set, corpus never shuffles, per-query window with id
+    tiebreak. The LSH reduction (append sqrt(M²−|x|²) to items, 0 to
+    queries — Bachrach et al., RecSys'14 — turning MIPS into cosine so
+    the SRP banding machinery applies) is proven equivalent in
+    tests/test_llm.py."""
+    from time_series_spark_spark.functions.vectors import dot
+
+    corpus = df.select(
+        F.col(id_col).alias("cand_id"), F.col(vec_col).alias("cand_vec")
+    )
+    queries = df.filter(query_filter) if query_filter is not None else query_ids
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("query_vec")
+    )
+    scored = corpus.join(
+        F.broadcast(q), F.col("cand_id") != F.col("query_id")
+    ).withColumn("ip", F.round(dot("query_vec", "cand_vec"), 6))
+    w = Window.partitionBy("query_id").orderBy(F.desc("ip"), F.asc("cand_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("query_id", "cand_id", "ip", "rk")
+    )

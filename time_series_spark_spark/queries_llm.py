@@ -1977,3 +1977,33 @@ def docs_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
             "lang", F.col("n").alias("n_tokens"), "vocab", "entropy_nats"
         )
     )
+
+
+@register(
+    "emb_mips_topk",
+    """
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 10),
+    scored AS (
+        SELECT q.query_id, e.vec_id AS cand_id,
+               round(list_inner_product(q.qv, e.v), 6) AS ip
+        FROM e CROSS JOIN q
+        WHERE e.vec_id <> q.query_id
+    )
+    SELECT query_id, cand_id, ip, rk FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY ip DESC, cand_id) AS rk
+        FROM scored
+    ) WHERE rk <= 5
+    """,
+    doc="K3c exact maximum-inner-product top-k (the unnormalized-vector "
+    "retrieval objective — recommender scores, two-tower embeddings — "
+    "where cosine ranking differs); broadcast query set, corpus never "
+    "shuffles. The Bachrach norm-augmentation reduction to cosine (the "
+    "ANN scale path) is equivalence-tested in tests/test_llm.py",
+)
+def emb_mips_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from time_series_spark_spark.operators.llm import mips_topk
+
+    emb = load(spark, sf_dir, "embeddings")
+    return mips_topk(emb, None, k=5, query_filter=F.col("vec_id") < 10)
