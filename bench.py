@@ -64,6 +64,12 @@ HEAVY_TAIL = [
     "emb_pq_topk",
     "docs_bpe_train_merges",
     "emb_pca_variance",
+    # round-5 session flagships
+    "orders_lineitem_ams_join_size",
+    "docs_quality_classifier",
+    "events_hurst_user",
+    "session_top_paths",
+    "docs_vocab_coverage",
 ]
 
 

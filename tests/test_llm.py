@@ -978,3 +978,54 @@ def test_mips_norm_augmentation_reduction_equivalent(spark):
     }
     want = {(r["query_id"], r["cand_id"]) for r in exact.collect()}
     assert got == want
+
+
+def test_temperature_weights_laws():
+    from time_series_spark_spark.operators.llm import temperature_weights
+
+    counts = {"en": 800, "de": 100, "sw": 10}
+    w1 = temperature_weights(counts, 1.0)
+    assert abs(w1["en"] - 800 / 910) < 1e-12  # τ=1 → natural proportions
+    w0 = temperature_weights(counts, 0.0)
+    assert all(abs(v - 1 / 3) < 1e-12 for v in w0.values())  # τ=0 → uniform
+    w5 = temperature_weights(counts, 0.5)
+    # τ<1 upweights low-resource strata relative to natural share
+    assert w5["sw"] > w1["sw"] and w5["en"] < w1["en"]
+    assert abs(sum(w5.values()) - 1.0) < 1e-12
+
+
+def test_frame_sample_rows_shape_laws(spark):
+    import hashlib
+    import math
+
+    import pyspark.sql.functions as F
+
+    from time_series_spark_spark.operators.llm import (
+        attach_binary_payload,
+        frame_sample_rows,
+    )
+    from time_series_spark_spark.sources.io import load
+
+    docs = attach_binary_payload(load(spark, SF, "documents").limit(50))
+    frames = frame_sample_rows(docs, frame_bytes=64, stride=2).toPandas()
+    sizes = {
+        r["doc_id"]: r["n"]
+        for r in docs.select(
+            "doc_id", F.octet_length("payload").alias("n")
+        ).collect()
+    }
+    texts = {r["doc_id"]: r["text"] for r in docs.select("doc_id", "text").collect()}
+    for doc_id, grp in frames.groupby("doc_id"):
+        n = sizes[doc_id]
+        assert len(grp) == math.ceil(n / 128), (doc_id, n, len(grp))
+        assert (grp.byte_offset % 128 == 0).all()
+        assert list(grp.sort_values("frame_idx").frame_idx) == list(
+            range(len(grp))
+        )
+        # frame hash is the sha of the actual payload slice
+        first = grp.sort_values("frame_idx").iloc[0]
+        payload = texts[doc_id].encode("utf-8")
+        assert (
+            first.frame_sha
+            == hashlib.sha256(payload[0:64]).hexdigest()
+        )

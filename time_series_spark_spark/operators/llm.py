@@ -2593,3 +2593,68 @@ def mips_topk(
         .filter(F.col("rk") <= k)
         .select("query_id", "cand_id", "ip", "rk")
     )
+
+
+def temperature_weights(
+    counts: dict, temperature: float
+) -> dict:
+    """K9c (round 5): temperature-scaled mixing weights — the multilingual
+    pretraining rule (mBERT/XLM-R exponentiated sampling): p_i ∝ n_i^τ.
+    τ=1 keeps natural proportions, τ=0 is uniform, τ∈(0,1) upweights
+    low-resource strata without flattening entirely. Returns normalized
+    weights usable directly by :func:`weighted_mix`. Pure arithmetic on
+    the (tiny) per-stratum count dict."""
+    if not counts:
+        return {}
+    powered = {s: float(n) ** temperature for s, n in counts.items()}
+    z = sum(powered.values())
+    return {s: p / z for s, p in powered.items()}
+
+
+def frame_sample_rows(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+    frame_bytes: int = 64,
+    stride: int = 2,
+) -> DataFrame:
+    """K7b (round 5): video-style frame sampling PLUMBING — one opaque
+    binary payload row explodes into every ``stride``-th fixed-width
+    "frame" as its own row (frame_idx, byte offset, frame sha256). The
+    decode that would parse a real container is the same deliberately
+    stubbed step as K7's featurizer (no codec libs in this environment);
+    what is REAL and tested is the Spark shape a 100 TB video corpus
+    needs: mapInPandas over Arrow batches of binary columns, bounded
+    per-row fan-out (ceil(n_bytes/frame_bytes)/stride rows), typed
+    metadata projecting without touching payloads."""
+    import hashlib
+
+    out_schema = (
+        f"{id_col} long, frame_idx long, byte_offset long, "
+        "frame_sha string"
+    )
+
+    def _sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for _, r in pdf.iterrows():
+                payload = r[payload_col]
+                n = len(payload)
+                idx = 0
+                for off in range(0, n, frame_bytes * stride):
+                    frame = payload[off : off + frame_bytes]
+                    rows.append(
+                        (
+                            r[id_col],
+                            idx,
+                            off,
+                            hashlib.sha256(bytes(frame)).hexdigest(),
+                        )
+                    )
+                    idx += 1
+            yield pd.DataFrame(
+                rows,
+                columns=[id_col, "frame_idx", "byte_offset", "frame_sha"],
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(_sample, out_schema)

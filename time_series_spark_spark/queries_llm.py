@@ -2007,3 +2007,65 @@ def emb_mips_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load(spark, sf_dir, "embeddings")
     return mips_topk(emb, None, k=5, query_filter=F.col("vec_id") < 10)
+
+
+@register(
+    "docs_temperature_mix",
+    None,  # seeded sampleBy → rows-only; weight-law pytests
+    doc="K9c temperature-scaled corpus mixing (the multilingual "
+    "pretraining rule p_i ∝ n_i^τ, τ=0.5): per-language counts → "
+    "temperature weights → one seeded sampleBy pass (K9 machinery). "
+    "Low-resource languages are upweighted relative to natural "
+    "proportions without flattening to uniform; report per-lang kept "
+    "counts beside the natural counts",
+)
+def docs_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from time_series_spark_spark.operators.llm import (
+        temperature_weights,
+        weighted_mix,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    counts = {r[0]: r[1] for r in docs.groupBy("lang").count().collect()}
+    w = temperature_weights(counts, temperature=0.5)
+    mixed = weighted_mix(docs, "lang", w, seed=42)
+    nat = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n_natural"))
+    kept = mixed.groupBy("lang").agg(F.count(F.lit(1)).alias("n_mixed"))
+    return nat.join(kept, "lang", "left").select(
+        "lang",
+        "n_natural",
+        F.coalesce("n_mixed", F.lit(0)).alias("n_mixed"),
+    )
+
+
+@register(
+    "docs_multimodal_frame_sample",
+    None,  # binary fan-out plumbing → rows-only; shape laws in pytest
+    doc="K7b multimodal frame-sampling plumbing: binary payloads explode "
+    "into every-2nd fixed-width frame row (idx, offset, sha) via "
+    "mapInPandas over Arrow binary batches — the real Spark shape for "
+    "video frame extraction, with the codec decode deliberately stubbed "
+    "(no media libs here, K7 policy). Aggregated to per-doc frame "
+    "counts so the driver sees scalar columns",
+)
+def docs_multimodal_frame_sample(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from time_series_spark_spark.operators.llm import (
+        attach_binary_payload,
+        frame_sample_rows,
+    )
+
+    docs = attach_binary_payload(
+        load(spark, sf_dir, "documents").limit(200)
+    )
+    frames = frame_sample_rows(docs)
+    return (
+        frames.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_frames"),
+            F.max("byte_offset").alias("last_offset"),
+            F.count_distinct("frame_sha").alias("n_distinct_frames"),
+        )
+        .orderBy("doc_id")
+    )
