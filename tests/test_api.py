@@ -45,3 +45,24 @@ def test_facade_operator_roundtrip(spark):
     )
     out = ewma(df, ["key"], "ds", "y", alpha=0.5).collect()
     assert len(out) == 5
+
+
+def test_training_pipeline_funnel_monotone(spark):
+    """The end-to-end curation composite: stages only ever REMOVE docs
+    and tokens (every stage is a filter/sample), stage order is pinned,
+    and the budget stage respects the per-language 2000-token cap."""
+    from time_series_spark_spark.queries import REGISTRY
+
+    pdf = (
+        REGISTRY["training_data_pipeline_report"]
+        .fn(spark, "/root/testdata/sf0.01")
+        .toPandas()
+        .sort_values("stage_idx")
+    )
+    assert list(pdf.stage_idx) == [0, 1, 2, 3, 4, 5]
+    assert pdf.n_docs.is_monotonic_decreasing
+    assert pdf.n_tokens.is_monotonic_decreasing
+    assert pdf.n_docs.iloc[-1] > 0
+    # 5 languages × 2000-token budget bounds the final stage
+    assert pdf.n_tokens.iloc[-1] <= 5 * 2000
+    assert (pdf.n_shards_final == 16).all()

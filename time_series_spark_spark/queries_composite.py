@@ -426,3 +426,101 @@ def purchase_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFra
         )
         .orderBy("touch")
     )
+
+
+@register(
+    "training_data_pipeline_report",
+    None,  # multi-stage composite over sampled/LSH operators → rows-only;
+    # stage-monotonicity and reconstruction laws in tests/test_api.py
+    doc="END-TO-END curation composite (round 5) — the 'switch your "
+    "pipeline to this repo' demonstration wiring six first-class "
+    "operators in their production order: K6 quality gate → K1 exact "
+    "dedup (md5-normalized, lowest-id keeper) → K2 MinHash-LSH near-dup "
+    "pair removal (drop the higher id of each pair) → K9c "
+    "temperature-scaled language mix (τ=0.5) → K9d per-language token "
+    "budget fill → K9 deterministic shard assignment. Emits one row per "
+    "stage: docs surviving and exact token count — the dataset-card "
+    "funnel. Every stage is the registered operator itself, so each is "
+    "separately oracle/property-checked; ordering is the one that keeps "
+    "LSH input small at corpus scale (gate+exact-dedup first)",
+)
+def training_data_pipeline_report(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from time_series_spark_spark.operators.llm import (
+        exact_dedup,
+        minhash_lsh_pairs,
+        temperature_weights,
+        token_budget_fill,
+        tokens,
+        weighted_mix,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+
+    def stage_row(name: str, idx: int, df: DataFrame) -> DataFrame:
+        return df.agg(
+            F.lit(idx).alias("stage_idx"),
+            F.lit(name).alias("stage"),
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.coalesce(F.sum(F.size(tokens())), F.lit(0))
+            .cast("long")
+            .alias("n_tokens"),
+        )
+
+    stages = [stage_row("0_raw", 0, docs)]
+
+    gated = docs.filter(
+        F.size(tokens()).between(20, 80)
+        & (
+            F.size(F.array_distinct(tokens()))
+            / F.size(tokens())
+            >= 0.3
+        )
+    )
+    stages.append(stage_row("1_quality_gate", 1, gated))
+
+    deduped = exact_dedup(gated)
+    stages.append(stage_row("2_exact_dedup", 2, deduped))
+
+    pairs = minhash_lsh_pairs(deduped, threshold=0.5)
+    drop = pairs.select(
+        F.greatest("id_a", "id_b").alias("doc_id")
+    ).distinct()
+    near = deduped.join(drop, "doc_id", "left_anti")
+    stages.append(stage_row("3_near_dedup", 3, near))
+
+    counts = {r[0]: r[1] for r in near.groupBy("lang").count().collect()}
+    mixed = weighted_mix(
+        near, "lang", temperature_weights(counts, 0.5), seed=42
+    )
+    stages.append(stage_row("4_temperature_mix", 4, mixed))
+
+    filled = token_budget_fill(mixed, strata=["lang"], budget=2000)
+    # the fill output carries exact n_tokens itself (text is projected
+    # away) — count from that instead of re-tokenizing
+    stages.append(
+        filled.agg(
+            F.lit(5).alias("stage_idx"),
+            F.lit("5_token_budget").alias("stage"),
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.coalesce(F.sum("n_tokens"), F.lit(0))
+            .cast("long")
+            .alias("n_tokens"),
+        )
+    )
+
+    sharded = filled.withColumn(
+        "shard",
+        F.expr(
+            "CAST(conv(substring(md5(concat('0:', CAST(doc_id AS STRING))),"
+            " 1, 8), 16, 10) AS BIGINT) % 16"
+        ),
+    )
+    n_shards = sharded.select("shard").distinct().count()
+    out = stages[0]
+    for st in stages[1:]:
+        out = out.unionAll(st)
+    return out.withColumn("n_shards_final", F.lit(int(n_shards))).orderBy(
+        "stage_idx"
+    )
