@@ -841,17 +841,18 @@ def _hurst_rs_one(x: np.ndarray, min_w: int = 8) -> tuple[float, float, int]:
     ws, rss = [], []
     w = min_w
     while w <= n // 2:
-        rs_vals = []
-        for b in range(n // w):
-            blk = x[b * w : (b + 1) * w]
-            s = blk.std()
-            if s <= 0:
-                continue
-            y = np.cumsum(blk - blk.mean())
-            rs_vals.append((y.max() - y.min()) / s)
-        if rs_vals:
+        nb = n // w
+        # all blocks at once: reshape to (nb, w) and batch the range of
+        # the mean-adjusted cumsum — the per-block Python loop was the
+        # wall-clock at 10x stress (3.9 -> ~0.2 ms/series)
+        blocks = x[: nb * w].reshape(nb, w)
+        s = blocks.std(axis=1)
+        y = np.cumsum(blocks - blocks.mean(axis=1, keepdims=True), axis=1)
+        r = y.max(axis=1) - y.min(axis=1)
+        ok = s > 0
+        if ok.any():
             ws.append(w)
-            rss.append(float(np.mean(rs_vals)))
+            rss.append(float(np.mean(r[ok] / s[ok])))
         w *= 2
     if len(ws) < 2:
         return float("nan"), float("nan"), len(ws)
