@@ -178,3 +178,57 @@ def test_xml_roundtrip(spark, tmp_path):
     assert sorted(map(tuple, back.select("n_nationkey", "n_name").collect())) == sorted(
         map(tuple, nat.collect())
     )
+
+
+def test_python_datasource_deterministic_and_prunes(spark):
+    """A11: (1) output is bit-identical across shard counts (per-series
+    rng); (2) pushed series_id predicates prune SHARDS at the reader —
+    partitions() only plans the surviving ids; (3) source-filtered read
+    ≡ post-filtered full read."""
+    from pyspark.sql.datasource import GreaterThanOrEqual, LessThan
+
+    from time_series_spark_spark.sources.pydatasource import (
+        SyntheticSeriesReader,
+        register_synthetic_source,
+    )
+
+    register_synthetic_source(spark)
+
+    def read(n_shards):
+        return (
+            spark.read.format("synthetic_series")
+            .option("n_series", 6)
+            .option("points_per_series", 48)
+            .option("seed", 3)
+            .option("n_shards", n_shards)
+            .load()
+        )
+
+    a = sorted(map(tuple, read(2).collect()))
+    b = sorted(map(tuple, read(5).collect()))
+    assert a == b and len(a) == 6 * 48
+
+    # reader-level pruning: only ids in [2, 5) survive partition planning
+    r = SyntheticSeriesReader(
+        {"n_series": "6", "points_per_series": "48", "seed": "3",
+         "n_shards": "4"}
+    )
+    leftover = list(
+        r.pushFilters(
+            [GreaterThanOrEqual(("series_id",), 2), LessThan(("series_id",), 5)]
+        )
+    )
+    assert leftover == []  # both absorbed
+    planned = sorted(
+        sid for sh in r.partitions() for sid in sh.series_ids
+    )
+    assert planned == [2, 3, 4]
+
+    # end-to-end: pushed filter ≡ engine-side filter on the full read
+    import pyspark.sql.functions as F
+
+    filtered = sorted(
+        map(tuple, read(3).filter(F.col("series_id") >= 4).collect())
+    )
+    full = [t for t in a if t[0] >= 4]
+    assert filtered == full

@@ -426,3 +426,43 @@ def ml_aft_session_lifetime(spark: SparkSession, sf_dir: str) -> DataFrame:
         "coef_events double, coef_purchase_share double, aft_scale double, "
         "mean_pred_ended double, mean_pred_censored double",
     )
+
+
+@register(
+    "synthetic_source_series_stats",
+    None,  # custom Python DataSource → rows-only; determinism +
+    # pushdown-pruning laws pinned in tests/test_udfs.py
+    doc="A11 custom Python DataSource (Spark 4 pyspark.sql.datasource): "
+    "a deterministic synthetic-series generator source with REAL "
+    "partition planning (one InputPartition per series shard) and "
+    "filter PUSHDOWN (series_id range predicates prune shards before a "
+    "row is generated — the Python analogue of row-group pruning). The "
+    "query reads with series_id < 8 pushed into the source and "
+    "aggregates per series",
+)
+def synthetic_source_series_stats(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from time_series_spark_spark.sources.pydatasource import (
+        register_synthetic_source,
+    )
+
+    register_synthetic_source(spark)
+    df = (
+        spark.read.format("synthetic_series")
+        .option("n_series", 16)
+        .option("points_per_series", 96)
+        .option("seed", 7)
+        .load()
+        .filter(F.col("series_id") < 8)
+    )
+    return (
+        df.groupBy("series_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_points"),
+            F.round(F.avg("value"), 4).alias("mean_value"),
+            F.min("ts").alias("first_ts"),
+            F.max("ts").alias("last_ts"),
+        )
+        .orderBy("series_id")
+    )

@@ -1,0 +1,125 @@
+"""A11 (round 5): custom Python DataSource (Spark 4 `pyspark.sql.datasource`)
+— the extension point for reading systems Spark has no built-in connector
+for. This one is a deterministic synthetic-series generator, which gives
+the repo a corpus-independent load source AND demonstrates the two things
+a production connector must get right at 100 TB:
+
+- **partition planning**: `partitions()` returns one `InputPartition` per
+  series shard, so Spark schedules reads in parallel with no driver
+  bottleneck (the generator is rate-unbounded; a real connector would
+  shard by file/offset/key-range exactly the same way);
+- **filter pushdown**: `pushFilters()` accepts series_id range/equality
+  predicates and PRUNES SHARDS before any row is generated — the Python
+  analogue of parquet row-group pruning (Spark 4.1 `SupportsPushFilters`);
+  unsupported predicates are returned so Spark re-applies them on top.
+
+Rows are generated per-series from a seed-derived RNG, so the output is
+bit-identical regardless of partition count or scheduling order — pinned
+by tests/test_udfs.py.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator, Sequence
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    EqualTo,
+    Filter,
+    GreaterThan,
+    GreaterThanOrEqual,
+    InputPartition,
+    LessThan,
+    LessThanOrEqual,
+)
+
+SCHEMA = "series_id bigint, ts timestamp, value double"
+_EPOCH_US = 1_700_000_000_000_000  # fixed base so output is reproducible
+
+
+class _SeriesShard(InputPartition):
+    def __init__(self, series_ids: Sequence[int]):
+        self.series_ids = list(series_ids)
+
+
+class SyntheticSeriesReader(DataSourceReader):
+    def __init__(self, options: dict):
+        self.n_series = int(options.get("n_series", 16))
+        self.points = int(options.get("points_per_series", 96))
+        self.seed = int(options.get("seed", 7))
+        self.n_shards = int(options.get("n_shards", 4))
+        self.step_us = int(float(options.get("freq_hours", 1.0)) * 3_600_000_000)
+        self.lo = 0  # series_id bounds, narrowed by pushed filters
+        self.hi = self.n_series - 1
+
+    def pushFilters(self, filters: list[Filter]) -> Iterator[Filter]:
+        """Absorb series_id range/equality predicates into shard pruning;
+        yield back everything else for Spark to evaluate post-scan."""
+        for f in filters:
+            col = f.attribute[-1] if f.attribute else None
+            if col == "series_id" and isinstance(f, EqualTo):
+                self.lo = max(self.lo, int(f.value))
+                self.hi = min(self.hi, int(f.value))
+            elif col == "series_id" and isinstance(f, GreaterThan):
+                self.lo = max(self.lo, int(f.value) + 1)
+            elif col == "series_id" and isinstance(f, GreaterThanOrEqual):
+                self.lo = max(self.lo, int(f.value))
+            elif col == "series_id" and isinstance(f, LessThan):
+                self.hi = min(self.hi, int(f.value) - 1)
+            elif col == "series_id" and isinstance(f, LessThanOrEqual):
+                self.hi = min(self.hi, int(f.value))
+            else:
+                yield f  # unsupported → Spark re-applies it
+
+    def partitions(self) -> Sequence[_SeriesShard]:
+        ids = [s for s in range(self.n_series) if self.lo <= s <= self.hi]
+        shards = [
+            _SeriesShard(ids[i :: self.n_shards])
+            for i in range(self.n_shards)
+        ]
+        return [sh for sh in shards if sh.series_ids]
+
+    def read(self, partition: _SeriesShard):
+        import datetime
+
+        import numpy as np
+
+        for sid in partition.series_ids:
+            # per-SERIES rng: output independent of sharding/scheduling
+            rng = np.random.default_rng(self.seed * 100_003 + sid)
+            noise = rng.normal(0.0, 0.5, self.points)
+            t = np.arange(self.points)
+            vals = (
+                10.0
+                + sid
+                + 3.0 * np.sin(2 * np.pi * t / 24.0)
+                + noise
+            )
+            for i in range(self.points):
+                ts = datetime.datetime.fromtimestamp(
+                    (_EPOCH_US + i * self.step_us) / 1e6,
+                    tz=datetime.timezone.utc,
+                ).replace(tzinfo=None)
+                yield (sid, ts, round(float(vals[i]), 6))
+
+
+class SyntheticSeriesDataSource(DataSource):
+    @classmethod
+    def name(cls) -> str:
+        return "synthetic_series"
+
+    def schema(self) -> str:
+        return SCHEMA
+
+    def reader(self, schema) -> SyntheticSeriesReader:
+        return SyntheticSeriesReader(self.options)
+
+
+def register_synthetic_source(spark) -> None:
+    """Idempotent registration of the custom source on a session.
+    Python-source filter pushdown ships disabled in Spark 4.1; it is a
+    runtime SQL conf, so enabling it here keeps the source working under
+    the driver's plain session."""
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    spark.dataSource.register(SyntheticSeriesDataSource)
