@@ -666,3 +666,44 @@ def test_stream_left_outer_join_piecewise_equals_batch(spark, batch_events):
     assert (
         got_nulls.join(inner.select("l_id"), "l_id", "left_semi").count() == 0
     )
+
+
+def test_python_stream_source_offsets_and_replay(spark):
+    """A12 streaming Python DataSource: (1) engine-level drain returns
+    exactly max_rows deterministic ticks twice in a row; (2) reader-level
+    offset walk advances in rows_per_batch steps and concatenates to the
+    same rows; (3) readBetweenOffsets (the failure-replay path) returns
+    the identical slice."""
+    from time_series_spark_spark.sources.pydatasource import (
+        SyntheticTickStreamReader,
+        register_tick_stream_source,
+    )
+
+    register_tick_stream_source(spark)
+
+    def drain():
+        sdf = (
+            spark.readStream.format("synthetic_ticks")
+            .option("rows_per_batch", 120)
+            .option("max_rows", 120)
+            .option("seed", 11)
+            .load()
+        )
+        return sorted(map(tuple, run_available_now(sdf).collect()))
+
+    a, b = drain(), drain()
+    assert a == b and len(a) == 120
+
+    r = SyntheticTickStreamReader(
+        {"rows_per_batch": "50", "max_rows": "120", "seed": "11"}
+    )
+    off = r.initialOffset()
+    walked = []
+    while off["i"] < 120:
+        rows, nxt = r.read(off)
+        walked.extend(rows)
+        assert nxt["i"] - off["i"] <= 50
+        off = nxt
+    assert sorted(map(tuple, walked)) == a
+    replay = list(r.readBetweenOffsets({"i": 50}, {"i": 100}))
+    assert replay == walked[50:100]

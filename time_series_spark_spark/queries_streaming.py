@@ -273,3 +273,41 @@ def stream_left_outer_views(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("l_key")
         .withColumnRenamed("l_key", "user_id")
     )
+
+
+@register(
+    "stream_python_source_ticks",
+    None,  # custom streaming source → rows-only; offset/replay laws
+    # pinned in tests/test_streaming.py
+    doc="A12 streaming Python DataSource (SimpleDataSourceStreamReader): "
+    "an offset-tracked synthetic tick stream — read() advances a plain "
+    "dict offset per micro-batch, readBetweenOffsets() replays a "
+    "committed range deterministically after failure, and the engine "
+    "checkpoints the offsets: the exactly-once bookkeeping every real "
+    "queue connector implements. availableNow drains the capped stream; "
+    "the report aggregates the ticks per 10-minute bucket",
+)
+def stream_python_source_ticks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from time_series_spark_spark.sources.pydatasource import (
+        register_tick_stream_source,
+    )
+
+    register_tick_stream_source(spark)
+    sdf = (
+        spark.readStream.format("synthetic_ticks")
+        .option("rows_per_batch", 200)
+        .option("max_rows", 200)
+        .option("seed", 7)
+        .load()
+    )
+    table = run_available_now(sdf, output_mode="append")
+    return (
+        table.groupBy(
+            F.window("ts", "10 minutes").start.alias("bucket")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_ticks"),
+            F.round(F.avg("value"), 4).alias("mean_value"),
+        )
+        .orderBy("bucket")
+    )

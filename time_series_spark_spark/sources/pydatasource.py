@@ -25,6 +25,7 @@ from collections.abc import Iterator, Sequence
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    SimpleDataSourceStreamReader,
     EqualTo,
     Filter,
     GreaterThan,
@@ -123,3 +124,74 @@ def register_synthetic_source(spark) -> None:
     the driver's plain session."""
     spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
     spark.dataSource.register(SyntheticSeriesDataSource)
+
+
+# --------------------------------------------------------------------------
+# A12: streaming Python DataSource (SimpleDataSourceStreamReader)
+# --------------------------------------------------------------------------
+class SyntheticTickStreamReader(SimpleDataSourceStreamReader):
+    """Offset-tracked synthetic tick stream: each micro-batch emits the
+    rows between the last committed offset and `latest = committed +
+    rows_per_batch`, capped at ``max_rows``. Offsets are plain dicts
+    ({"i": n}) checkpointed by the engine — the exactly-once bookkeeping
+    a real queue connector implements against its broker; here the
+    'broker' is the deterministic generator, so replay-equivalence is
+    provable. Note: Trigger.AvailableNow falls back to single-batch
+    execution for simple stream readers (engine limitation, logged by
+    MicroBatchExecution), so the registered drain query sizes one batch
+    to the cap; multi-batch offset advancement and readBetweenOffsets
+    failure-replay are exercised reader-level in pytest."""
+
+    def __init__(self, options: dict):
+        self.rows_per_batch = int(options.get("rows_per_batch", 50))
+        self.max_rows = int(options.get("max_rows", 200))
+        self.seed = int(options.get("seed", 7))
+        self.step_us = int(options.get("freq_seconds", 60)) * 1_000_000
+
+    def initialOffset(self) -> dict:
+        return {"i": 0}
+
+    def _rows(self, start: int, end: int) -> list:
+        # a LIST, not a generator: the engine pickles the prefetched
+        # batch for replay, and generators cannot be pickled
+        import datetime
+
+        import numpy as np
+
+        rows = []
+        for i in range(start, end):
+            rng = np.random.default_rng(self.seed * 999_983 + i)
+            ts = datetime.datetime.fromtimestamp(
+                (_EPOCH_US + i * self.step_us) / 1e6,
+                tz=datetime.timezone.utc,
+            ).replace(tzinfo=None)
+            rows.append((i, ts, round(float(10.0 + rng.normal(0.0, 1.0)), 6)))
+        return rows
+
+    def read(self, start: dict):
+        i0 = start["i"]
+        i1 = min(i0 + self.rows_per_batch, self.max_rows)
+        return self._rows(i0, i1), {"i": i1}
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        # replayed after a failure: must be deterministic for the range
+        return self._rows(start["i"], end["i"])
+
+    def commit(self, end: dict) -> None:
+        pass  # generator has nothing to acknowledge
+
+
+class SyntheticTickStreamDataSource(DataSource):
+    @classmethod
+    def name(cls) -> str:
+        return "synthetic_ticks"
+
+    def schema(self) -> str:
+        return "tick_id bigint, ts timestamp, value double"
+
+    def simpleStreamReader(self, schema) -> SyntheticTickStreamReader:
+        return SyntheticTickStreamReader(self.options)
+
+
+def register_tick_stream_source(spark) -> None:
+    spark.dataSource.register(SyntheticTickStreamDataSource)
