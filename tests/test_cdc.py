@@ -176,3 +176,36 @@ def test_incremental_join_delta_equals_recompute(spark):
     )
     assert inc.exceptAll(full).count() == 0
     assert full.exceptAll(inc).count() == 0
+
+
+def test_versioned_table_isolation_and_time_travel(spark, tmp_path):
+    """A13: (1) versions are immutable — as-of reads return each commit
+    exactly; (2) an uncommitted write (data files without a manifest) is
+    INVISIBLE to readers; (3) the latest pointer tracks the last commit;
+    (4) reading a never-committed version raises."""
+    import os
+
+    import pyspark.sql.functions as F
+    import pytest as _pytest
+
+    from time_series_spark_spark.sources.io import (
+        read_versioned,
+        write_versioned,
+    )
+
+    path = str(tmp_path / "tbl")
+    df = spark.range(100).withColumn("x", F.col("id") * 2)
+    assert write_versioned(df.filter("id < 10"), path) == 0
+    assert write_versioned(df.filter("id < 50"), path) == 1
+    assert read_versioned(spark, path, as_of=0).count() == 10
+    assert read_versioned(spark, path, as_of=1).count() == 50
+    assert read_versioned(spark, path).count() == 50
+
+    # crash simulation: data files land but the manifest never publishes
+    df.write.mode("overwrite").parquet(os.path.join(path, "v=2"))
+    assert read_versioned(spark, path).count() == 50  # still version 1
+    with _pytest.raises(ValueError):
+        read_versioned(spark, path, as_of=2)
+    # the next commit supersedes the orphaned files atomically
+    assert write_versioned(df, path) == 2
+    assert read_versioned(spark, path).count() == 100

@@ -280,3 +280,48 @@ def orders_lineitem_incremental_join(
         .cast("long")
         .alias("total_cents"),
     )
+
+
+@register(
+    "orders_time_travel_report",
+    None,  # file-layout versioning → rows-only; isolation/travel laws
+    # pinned in tests/test_cdc.py
+    doc="A13 manifest-versioned table: three successive order snapshots "
+    "committed via atomic manifest renames (the Delta/Iceberg core — "
+    "data files invisible until the manifest publishes, so crashes "
+    "leave the previous version intact), then read back AS OF each "
+    "version — per-version row counts and revenue prove time travel. "
+    "Temp table dir removed before returning (registered-query hygiene)",
+)
+def orders_time_travel_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from time_series_spark_spark.sources.io import (
+        read_versioned,
+        write_versioned,
+    )
+
+    orders = load(spark, sf_dir, "orders")
+    path = tempfile.mkdtemp(prefix="versioned_orders_")
+    try:
+        write_versioned(orders.filter(F.col("o_orderkey") % 3 == 0), path)
+        write_versioned(orders.filter(F.col("o_orderkey") % 3 <= 1), path)
+        write_versioned(orders, path)
+        rows = []
+        for v in (0, 1, 2):
+            snap = read_versioned(spark, path, as_of=v)
+            agg = snap.agg(
+                F.count(F.lit(1)).cast("long").alias("n"),
+                F.sum(
+                    F.expr("CAST(round(o_totalprice * 100) AS BIGINT)")
+                ).cast("long").alias("rev"),
+            ).collect()[0]
+            rows.append((v, agg["n"], agg["rev"]))
+        latest = read_versioned(spark, path).count()
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
+    return spark.createDataFrame(
+        [(v, n, rev, int(latest)) for v, n, rev in rows],
+        "version long, n_orders long, rev_cents long, n_latest long",
+    )

@@ -205,3 +205,78 @@ def read_parquet_evolved(
     name-resolved); incompatible type changes still fail loudly, which is
     the correct contract for a lake table."""
     return spark.read.options(mergeSchema="true", **options).parquet(path)
+
+
+# --------------------------------------------------------------------------
+# A13 (round 5): manifest-versioned table — snapshot isolation + time travel
+# --------------------------------------------------------------------------
+def write_versioned(df: DataFrame, table_path: str) -> int:
+    """Commit ``df`` as the next version of a manifest-versioned table —
+    the table-format core (what Delta/Iceberg do) in ~30 lines, format
+    libraries not required:
+
+    - data files land under ``<path>/v=N/`` (invisible to readers);
+    - the COMMIT is one atomic rename of ``_manifest.N.json.tmp`` →
+      ``_manifest.N.json`` listing the version's files; readers resolve
+      the highest manifest, so a writer crash mid-copy leaves the table
+      at the previous version (snapshot isolation, no partial reads);
+    - old versions stay readable → time travel (``read_versioned``
+      ``as_of=``) until a retention job prunes them.
+
+    Returns the committed version number. Single-writer by assumption
+    (manifest N collision = concurrent writers; a real deployment adds a
+    lock service or conditional put, exactly as the table formats do).
+    """
+    import glob as _glob
+    import json
+    import os
+
+    os.makedirs(table_path, exist_ok=True)
+    existing = sorted(
+        int(p.rsplit(".", 2)[-2])
+        for p in _glob.glob(os.path.join(table_path, "_manifest.*.json"))
+    )
+    version = (existing[-1] + 1) if existing else 0
+    data_dir = os.path.join(table_path, f"v={version}")
+    df.write.mode("overwrite").parquet(data_dir)
+    files = sorted(
+        os.path.relpath(p, table_path)
+        for p in _glob.glob(os.path.join(data_dir, "*.parquet"))
+    )
+    manifest = {
+        "version": version,
+        "files": files,
+        "schema": df.schema.json(),
+        "n_files": len(files),
+    }
+    tmp = os.path.join(table_path, f"_manifest.{version}.json.tmp")
+    final = os.path.join(table_path, f"_manifest.{version}.json")
+    with open(tmp, "w") as fh:
+        json.dump(manifest, fh)
+    os.rename(tmp, final)  # POSIX-atomic publish
+    return version
+
+
+def read_versioned(
+    spark: SparkSession, table_path: str, as_of: int | None = None
+) -> DataFrame:
+    """Read a manifest-versioned table at the latest version, or AS OF an
+    earlier one. Only files listed in the resolved manifest are read —
+    uncommitted/partial writes are invisible by construction."""
+    import glob as _glob
+    import json
+    import os
+
+    versions = sorted(
+        int(p.rsplit(".", 2)[-2])
+        for p in _glob.glob(os.path.join(table_path, "_manifest.*.json"))
+    )
+    if not versions:
+        raise FileNotFoundError(f"no committed versions in {table_path}")
+    pick = versions[-1] if as_of is None else as_of
+    if pick not in versions:
+        raise ValueError(f"version {pick} not committed (have {versions})")
+    with open(os.path.join(table_path, f"_manifest.{pick}.json")) as fh:
+        manifest = json.load(fh)
+    paths = [os.path.join(table_path, f) for f in manifest["files"]]
+    return spark.read.parquet(*paths)
