@@ -126,6 +126,15 @@ _API = {
     "text_quality_classifier_auc": "operators.ml",
     "aft_session_lifetime": "operators.ml",
     "stream_stream_left_outer_join": "streaming.jobs",
+    "theta_forecast": "operators.forecast",
+    "croston_forecast": "operators.forecast",
+    "mips_topk": "operators.llm",
+    "temperature_weights": "operators.llm",
+    "frame_sample_rows": "operators.llm",
+    "write_versioned": "sources.io",
+    "read_versioned": "sources.io",
+    "register_synthetic_source": "sources.pydatasource",
+    "register_tick_stream_source": "sources.pydatasource",
 }
 
 __all__ = sorted(_API)

@@ -311,3 +311,70 @@ def stream_python_source_ticks(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+
+@register(
+    "events_watermark_lateness_audit",
+    """
+    WITH a AS (
+        SELECT event_id, CAST(ts AS TIMESTAMP) AS ts,
+               max(CAST(ts AS TIMESTAMP)) OVER
+                   (ORDER BY event_id ROWS UNBOUNDED PRECEDING)
+                   AS max_seen
+        FROM events
+    ),
+    lat AS (
+        SELECT CAST(epoch_us(max_seen) - epoch_us(ts) AS BIGINT)
+                   AS late_us
+        FROM a
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(CASE WHEN late_us > 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_late,
+           CAST(sum(CASE WHEN late_us > 600000000 THEN 1 ELSE 0 END)
+                AS BIGINT) AS dropped_at_10m,
+           CAST(sum(CASE WHEN late_us > 1800000000 THEN 1 ELSE 0 END)
+                AS BIGINT) AS dropped_at_30m,
+           CAST(sum(CASE WHEN late_us > 3600000000 THEN 1 ELSE 0 END)
+                AS BIGINT) AS dropped_at_1h,
+           CAST(max(late_us) AS BIGINT) AS max_late_us
+    FROM lat
+    """,
+    doc="Watermark-delay sizing audit (the batch analysis run BEFORE "
+    "choosing a streaming watermark): event_id is the arrival order, so "
+    "lateness = running-max event time minus own event time; the report "
+    "counts events a 10m/30m/1h watermark would drop. One ordered "
+    "window over the arrival sequence + one aggregate — the single "
+    "global window is over arrival order by definition (at scale: run "
+    "per ingestion partition, which is where watermarks apply anyway)",
+)
+def events_watermark_lateness_audit(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    from pyspark.sql import Window
+
+    w = Window.orderBy("event_id").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    lat = ev.select(
+        (
+            F.unix_micros(F.max("ts").over(w)) - F.unix_micros("ts")
+        ).alias("late_us")
+    )
+    return lat.agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.sum((F.col("late_us") > 0).cast("long"))
+        .cast("long")
+        .alias("n_late"),
+        F.sum((F.col("late_us") > 600_000_000).cast("long"))
+        .cast("long")
+        .alias("dropped_at_10m"),
+        F.sum((F.col("late_us") > 1_800_000_000).cast("long"))
+        .cast("long")
+        .alias("dropped_at_30m"),
+        F.sum((F.col("late_us") > 3_600_000_000).cast("long"))
+        .cast("long")
+        .alias("dropped_at_1h"),
+        F.max("late_us").cast("long").alias("max_late_us"),
+    )
