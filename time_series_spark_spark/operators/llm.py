@@ -655,6 +655,26 @@ def cosine_topk(
     """Exact brute-force cosine top-k: broadcast the (small) query set
     against the corpus — the corpus never shuffles; ranking is a per-query
     window over rounded similarity with id tiebreak (deterministic)."""
+    return _broadcast_query_topk(
+        df, query_ids, id_col, vec_col, k, query_filter,
+        score=cosine("query_vec", "cand_vec"), score_name="cos",
+    )
+
+
+def _broadcast_query_topk(
+    df: DataFrame,
+    query_ids: DataFrame | None,
+    id_col: str,
+    vec_col: str,
+    k: int,
+    query_filter: Column | None,
+    score: Column,
+    score_name: str,
+) -> DataFrame:
+    """Shared scaffolding for exact broadcast-query top-k retrieval
+    (cosine and inner-product variants): broadcast the small query set,
+    never shuffle the corpus, rank per query over the rounded score with
+    an id tiebreak."""
     corpus = df.select(
         F.col(id_col).alias("cand_id"), F.col(vec_col).alias("cand_vec")
     )
@@ -662,15 +682,16 @@ def cosine_topk(
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("query_vec")
     )
-    scored = (
-        corpus.join(F.broadcast(q), F.col("cand_id") != F.col("query_id"))
-        .withColumn("cos", F.round(cosine("query_vec", "cand_vec"), 6))
+    scored = corpus.join(
+        F.broadcast(q), F.col("cand_id") != F.col("query_id")
+    ).withColumn(score_name, F.round(score, 6))
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc(score_name), F.asc("cand_id")
     )
-    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("cand_id"))
     return (
         scored.withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= k)
-        .select("query_id", "cand_id", "cos", "rk")
+        .select("query_id", "cand_id", score_name, "rk")
     )
 
 
@@ -2577,21 +2598,9 @@ def mips_topk(
     tests/test_llm.py."""
     from time_series_spark_spark.functions.vectors import dot
 
-    corpus = df.select(
-        F.col(id_col).alias("cand_id"), F.col(vec_col).alias("cand_vec")
-    )
-    queries = df.filter(query_filter) if query_filter is not None else query_ids
-    q = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("query_vec")
-    )
-    scored = corpus.join(
-        F.broadcast(q), F.col("cand_id") != F.col("query_id")
-    ).withColumn("ip", F.round(dot("query_vec", "cand_vec"), 6))
-    w = Window.partitionBy("query_id").orderBy(F.desc("ip"), F.asc("cand_id"))
-    return (
-        scored.withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") <= k)
-        .select("query_id", "cand_id", "ip", "rk")
+    return _broadcast_query_topk(
+        df, query_ids, id_col, vec_col, k, query_filter,
+        score=dot("query_vec", "cand_vec"), score_name="ip",
     )
 
 
@@ -2637,15 +2646,17 @@ def frame_sample_rows(
     def _sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
-            for _, r in pdf.iterrows():
-                payload = r[payload_col]
+            # zip over the two columns, not iterrows: iterrows builds a
+            # Series per row (~100x slower), defeating the point of the
+            # Arrow batch path
+            for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
                 n = len(payload)
                 idx = 0
                 for off in range(0, n, frame_bytes * stride):
                     frame = payload[off : off + frame_bytes]
                     rows.append(
                         (
-                            r[id_col],
+                            doc_id,
                             idx,
                             off,
                             hashlib.sha256(bytes(frame)).hexdigest(),

@@ -415,6 +415,7 @@ def aft_session_lifetime(events: DataFrame) -> dict:
     flagged = events.select(
         "user_id",
         "ts",
+        "event_id",
         "event_type",
         F.when(
             (F.unix_micros("ts") - F.lag(F.unix_micros("ts")).over(wu)
@@ -425,8 +426,11 @@ def aft_session_lifetime(events: DataFrame) -> dict:
     )
     sessions = flagged.withColumn(
         "sid",
+        # same (ts, event_id) order as the flag window: with ts alone,
+        # tied timestamps could interleave flag and cumsum differently
+        # and split one session in two under shuffle/retry ordering
         F.sum("new_s").over(
-            Window.partitionBy("user_id").orderBy("ts")
+            Window.partitionBy("user_id").orderBy("ts", "event_id")
             .rowsBetween(Window.unboundedPreceding, 0)
         ),
     )

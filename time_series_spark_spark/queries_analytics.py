@@ -1076,6 +1076,7 @@ def users_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
     flagged = ev.select(
         "user_id",
         "ts",
+        "event_id",
         F.when(
             (F.unix_micros("ts") - F.lag(F.unix_micros("ts")).over(wu)
              > 1_800_000_000)
@@ -1085,8 +1086,10 @@ def users_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sessions = flagged.withColumn(
         "sid",
+        # cumsum ordered exactly like the flag window — ts alone could
+        # interleave tied timestamps differently and split a session
         F.sum("new_s").over(
-            Window.partitionBy("user_id").orderBy("ts")
+            Window.partitionBy("user_id").orderBy("ts", "event_id")
             .rowsBetween(Window.unboundedPreceding, 0)
         ),
     )

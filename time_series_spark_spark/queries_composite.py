@@ -450,6 +450,7 @@ def training_data_pipeline_report(
     from time_series_spark_spark.operators.llm import (
         exact_dedup,
         minhash_lsh_pairs,
+        shuffle_shards,
         temperature_weights,
         token_budget_fill,
         tokens,
@@ -480,14 +481,17 @@ def training_data_pipeline_report(
     )
     stages.append(stage_row("1_quality_gate", 1, gated))
 
-    deduped = exact_dedup(gated)
+    # the union of stage rows re-evaluates every upstream branch; cache
+    # the two frames the LSH/mix/budget stages all hang off so the gate
+    # and dedup chain runs once, not once per downstream action
+    deduped = exact_dedup(gated).cache()
     stages.append(stage_row("2_exact_dedup", 2, deduped))
 
     pairs = minhash_lsh_pairs(deduped, threshold=0.5)
     drop = pairs.select(
         F.greatest("id_a", "id_b").alias("doc_id")
     ).distinct()
-    near = deduped.join(drop, "doc_id", "left_anti")
+    near = deduped.join(drop, "doc_id", "left_anti").cache()
     stages.append(stage_row("3_near_dedup", 3, near))
 
     counts = {r[0]: r[1] for r in near.groupBy("lang").count().collect()}
@@ -510,17 +514,17 @@ def training_data_pipeline_report(
         )
     )
 
-    sharded = filled.withColumn(
-        "shard",
-        F.expr(
-            "CAST(conv(substring(md5(concat('0:', CAST(doc_id AS STRING))),"
-            " 1, 8), 16, 10) AS BIGINT) % 16"
-        ),
-    )
+    # the K9 operator itself assigns shards (same md5 permutation the
+    # sharding query registers) — no inline re-implementation to drift
+    sharded = shuffle_shards(filled, n_shards=16, salt=0)
     n_shards = sharded.select("shard").distinct().count()
     out = stages[0]
     for st in stages[1:]:
         out = out.unionAll(st)
-    return out.withColumn("n_shards_final", F.lit(int(n_shards))).orderBy(
-        "stage_idx"
-    )
+    result = out.withColumn(
+        "n_shards_final", F.lit(int(n_shards))
+    ).orderBy("stage_idx")
+    rows = result.collect()
+    deduped.unpersist()
+    near.unpersist()
+    return spark.createDataFrame(rows, result.schema)

@@ -54,21 +54,24 @@ def _daily_cents(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT event_type, d, v,
                count(*)   OVER w AS n,
                sum(v)     OVER w AS sx,
-               sum(v * v) OVER w AS sxx
+               sum(CAST(v AS DOUBLE) * CAST(v AS DOUBLE)) OVER w AS sxx
         FROM d
         WINDOW w AS (PARTITION BY event_type ORDER BY d
                      ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
     )
     SELECT event_type, d, v AS v_cents,
            round(CAST(sx AS DOUBLE) / n, 4) AS ma_cents,
-           round(sqrt(CAST(n * sxx - sx * sx AS DOUBLE)) / n, 4) AS sd_cents,
+           round(sqrt(n * sxx - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) / n,
+                 4) AS sd_cents,
            CASE WHEN CAST(v AS DOUBLE)
                      > CAST(sx AS DOUBLE) / n
-                       + 2 * (sqrt(CAST(n * sxx - sx * sx AS DOUBLE)) / n)
+                       + 2 * (sqrt(n * sxx - CAST(sx AS DOUBLE)
+                                   * CAST(sx AS DOUBLE)) / n)
                 THEN 'up'
                 WHEN CAST(v AS DOUBLE)
                      < CAST(sx AS DOUBLE) / n
-                       - 2 * (sqrt(CAST(n * sxx - sx * sx AS DOUBLE)) / n)
+                       - 2 * (sqrt(n * sxx - CAST(sx AS DOUBLE)
+                                   * CAST(sx AS DOUBLE)) / n)
                 THEN 'down'
            END AS breakout
     FROM wnd
@@ -89,23 +92,33 @@ def events_bollinger_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         _daily_cents(spark, sf_dir)
         .withColumn("n", F.count(F.lit(1)).over(w))
         .withColumn("sx", F.sum("v").over(w))
-        .withColumn("sxx", F.sum(F.col("v") * F.col("v")).over(w))
+        # v² summed in DOUBLE: the BIGINT sum itself overflows once daily
+        # cents reach ~1.3e9 (DuckDB would silently promote to HUGEINT
+        # where Spark throws); ordered-frame double sums are
+        # order-deterministic, so both engines still match bit-for-bit
+        .withColumn(
+            "sxx",
+            F.sum(F.expr("CAST(v AS DOUBLE) * CAST(v AS DOUBLE)")).over(w),
+        )
         .select(
             "event_type",
             "d",
             F.col("v").alias("v_cents"),
             F.expr("round(CAST(sx AS DOUBLE) / n, 4)").alias("ma_cents"),
             F.expr(
-                "round(sqrt(CAST(n * sxx - sx * sx AS DOUBLE)) / n, 4)"
+                "round(sqrt(n * sxx - CAST(sx AS DOUBLE)"
+                " * CAST(sx AS DOUBLE)) / n, 4)"
             ).alias("sd_cents"),
             F.expr(
                 """CASE WHEN CAST(v AS DOUBLE)
                              > CAST(sx AS DOUBLE) / n
-                               + 2 * (sqrt(CAST(n * sxx - sx * sx AS DOUBLE)) / n)
+                               + 2 * (sqrt(n * sxx - CAST(sx AS DOUBLE)
+                                           * CAST(sx AS DOUBLE)) / n)
                         THEN 'up'
                         WHEN CAST(v AS DOUBLE)
                              < CAST(sx AS DOUBLE) / n
-                               - 2 * (sqrt(CAST(n * sxx - sx * sx AS DOUBLE)) / n)
+                               - 2 * (sqrt(n * sxx - CAST(sx AS DOUBLE)
+                                           * CAST(sx AS DOUBLE)) / n)
                         THEN 'down'
                    END"""
             ).alias("breakout"),
@@ -331,8 +344,9 @@ def events_rsi_cutler(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT c_mktsegment,
            CAST(count(*) AS BIGINT) AS n_customers,
            CAST(sum(x) AS BIGINT) AS total_cents,
-           round(CAST(2 * sum(i * x) - (count(*) + 1) * sum(x) AS DOUBLE)
-                 / (count(*) * sum(x)), 6) AS gini
+           round((2 * sum(CAST(i AS DOUBLE) * CAST(x AS DOUBLE))
+                  - (count(*) + 1) * CAST(sum(x) AS DOUBLE))
+                 / (count(*) * CAST(sum(x) AS DOUBLE)), 6) AS gini
     FROM r GROUP BY 1
     """,
     doc="Gini concentration of customer revenue per market segment via "
@@ -368,9 +382,13 @@ def customer_revenue_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     return r.groupBy("c_mktsegment").agg(
         F.count(F.lit(1)).cast("long").alias("n_customers"),
         F.sum("x").cast("long").alias("total_cents"),
+        # Σ i·x in DOUBLE: the BIGINT sum overflows near sf10 (i ~ 3e5,
+        # x ~ 5e8 cents); at test scales every addend is an exact double
+        # so the engines still agree bit-for-bit under the 6dp round
         F.expr(
-            "round(CAST(2 * sum(i * x) - (count(*) + 1) * sum(x) AS DOUBLE)"
-            " / (count(*) * sum(x)), 6)"
+            "round((2 * sum(CAST(i AS DOUBLE) * CAST(x AS DOUBLE))"
+            " - (count(*) + 1) * CAST(sum(x) AS DOUBLE))"
+            " / (count(*) * CAST(sum(x) AS DOUBLE)), 6)"
         ).alias("gini"),
     )
 

@@ -263,7 +263,12 @@ def stream_left_outer_views(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         table.groupBy("l_key")
         .agg(
-            F.sum(F.col("r_id").isNotNull().cast("long")).alias("n_matched"),
+            # distinct VIEWS with ≥1 match (a view matching 3 purchases
+            # is still one matched view) — so matched + unmatched
+            # decomposes the user's views, as the report claims
+            F.count_distinct(
+                F.when(F.col("r_id").isNotNull(), F.col("l_id"))
+            ).alias("n_matched"),
             F.sum(
                 (
                     F.col("r_id").isNull() & (F.col("l_ts") < F.lit(horizon))
