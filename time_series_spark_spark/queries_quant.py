@@ -1017,3 +1017,45 @@ def supplier_part_bipartite_degree(
         )
 
     return side("s", "supplier").unionAll(side("p", "part"))
+
+
+@register(
+    "events_salted_user_enrichment",
+    """
+    WITH dim AS (
+        SELECT c_custkey AS user_id, c_mktsegment
+        FROM customer WHERE c_custkey < 150
+    )
+    SELECT d.c_mktsegment,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(CAST(round(e.value * 100) AS BIGINT)) AS BIGINT)
+               AS value_cents
+    FROM events e JOIN dim d ON d.user_id = e.user_id
+    GROUP BY d.c_mktsegment
+    """,
+    doc="Skew-mitigation path under external verification: the fact side "
+    "(events, hot users dominate) joins the per-user dim through "
+    "operators/skew.py::salted_join — hot keys spread across 8 salts, "
+    "dim replicated per salt — and the oracle is the PLAIN join, so the "
+    "driver re-proves salted ≡ plain on every check (row-identity is "
+    "the operator's whole contract). The aggregate collapses the result "
+    "to segment grain so the check is layout-independent",
+)
+def events_salted_user_enrichment(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from time_series_spark_spark.operators.skew import salted_join
+
+    ev = _events(spark, sf_dir)
+    dim = (
+        load(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") < 150)
+        .select(F.col("c_custkey").alias("user_id"), "c_mktsegment")
+    )
+    joined = salted_join(ev, dim, on="user_id", n_salts=8)
+    return joined.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.sum(F.expr("CAST(round(value * 100) AS BIGINT)"))
+        .cast("long")
+        .alias("value_cents"),
+    )
