@@ -1059,3 +1059,68 @@ def events_salted_user_enrichment(
         .cast("long")
         .alias("value_cents"),
     )
+
+
+@register(
+    "bucketed_join_layout_report",
+    None,  # file-layout + plan evidence → rows-only; plan pinned in
+    # tests/test_plans.py (bucketed join has no exchange)
+    doc="A4b/C1 co-located bucketed join, driver-visible: orders and "
+    "lineitem written bucketBy(8, orderkey) into a temp warehouse, "
+    "joined with broadcast disabled — the plan's Exchange count (0 on "
+    "the join inputs; introspected from the executed plan) and the "
+    "per-priority revenue totals prove the shuffle-free layout AND the "
+    "join's correctness in one report. The write cost is the point: pay "
+    "one shuffle at write time, join shuffle-free forever after. Temp "
+    "tables/dirs dropped before returning",
+)
+def bucketed_join_layout_report(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import shutil
+    import tempfile
+    import uuid
+
+    tag = uuid.uuid4().hex[:8]
+    t_o, t_l = f"b_orders_{tag}", f"b_lineitem_{tag}"
+    path = tempfile.mkdtemp(prefix="bucketed_")
+    old_thr = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        from time_series_spark_spark.sources.io import write_bucketed
+
+        orders = load(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_orderpriority", "o_totalprice"
+        )
+        li = load(spark, sf_dir, "lineitem").select(
+            "l_orderkey", "l_quantity"
+        )
+        write_bucketed(orders, t_o, ["o_orderkey"], 8, path=f"{path}/o")
+        write_bucketed(li, t_l, ["l_orderkey"], 8, path=f"{path}/l")
+        bo, bl = spark.table(t_o), spark.table(t_l)
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        joined = (
+            bo.join(bl, bo.o_orderkey == bl.l_orderkey)
+            .groupBy("o_orderpriority")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_lines"),
+                F.sum(
+                    F.expr("CAST(round(o_totalprice * 100) AS BIGINT)")
+                ).cast("long").alias("price_cents"),
+            )
+        )
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        n_exch = plan.count("Exchange hashpartitioning(o_orderkey")
+        rows = [
+            (r["o_orderpriority"], r["n_lines"], r["price_cents"], n_exch)
+            for r in joined.collect()
+        ]
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thr)
+        spark.sql(f"DROP TABLE IF EXISTS {t_o}")
+        spark.sql(f"DROP TABLE IF EXISTS {t_l}")
+        shutil.rmtree(path, ignore_errors=True)
+    return spark.createDataFrame(
+        rows,
+        "o_orderpriority string, n_lines long, price_cents long, "
+        "join_key_exchanges long",
+    ).orderBy("o_orderpriority")
