@@ -87,6 +87,11 @@ _API = {
     # graph
     "connected_components": "operators.graph",
     "pagerank": "operators.graph",
+    # geospatial
+    "haversine_km": "operators.geo",
+    "hash_point": "operators.geo",
+    "grid_radius_join": "operators.geo",
+    "nearest_neighbor_join": "operators.geo",
     # sketches
     "hll_partials": "operators.sketches",
     "hll_rollup": "operators.sketches",

@@ -1881,3 +1881,147 @@ def events_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("group_id")
     )
+
+
+# --------------------------------------------------------------------------
+# Poisson bootstrap (round 5): single-pass resampling CI
+# --------------------------------------------------------------------------
+# Poisson(1) inverse-CDF ladder, computed once so the SAME repr literals
+# appear in the Spark expressions and the DuckDB oracle SQL — with the
+# md5-uniform bit-identical across engines, the replicate weights are
+# exactly equal everywhere.
+import math as _math
+
+_POIS1_CDF: list[float] = []
+_t, _f = 0.0, 1.0
+for _k in range(9):
+    if _k > 0:
+        _f *= _k
+    _t += _math.exp(-1.0) / _f
+    _POIS1_CDF.append(_t)
+
+_BOOT_R = 200  # replicates; 95% CI = nearest-rank 5 / 195 of 200
+
+_BOOT_LADDER_SQL = " ".join(
+    f"WHEN u < {t!r} THEN {k}" for k, t in enumerate(_POIS1_CDF)
+)
+
+
+@register(
+    "events_bootstrap_ci",
+    f"""
+    WITH u AS (
+        SELECT event_type, value, j,
+               ('0x' || substring(md5('bs:' || CAST(event_id AS VARCHAR)
+                   || ':' || CAST(j AS VARCHAR)), 1, 8))::BIGINT
+                   / 4294967296.0 AS u
+        FROM (SELECT event_type, value, event_id FROM events
+              WHERE event_type IN ('purchase', 'view')) e
+        CROSS JOIN range({_BOOT_R}) r(j)
+    ),
+    rep AS (
+        SELECT event_type, value, j,
+               CASE {_BOOT_LADDER_SQL} ELSE 9 END AS w
+        FROM u
+    ),
+    m AS (
+        SELECT event_type, j,
+               round(sum(w * value) / sum(w), 6) AS mean_j
+        FROM rep GROUP BY 1, 2
+    ),
+    r AS (
+        SELECT event_type, j, mean_j,
+               row_number() OVER (PARTITION BY event_type
+                                  ORDER BY mean_j, j) AS rk
+        FROM m
+    ),
+    s AS (
+        SELECT event_type,
+               round(stddev_samp(mean_j), 4) AS boot_se,
+               max(CASE WHEN rk = 5 THEN mean_j END) AS lo,
+               max(CASE WHEN rk = 195 THEN mean_j END) AS hi
+        FROM r GROUP BY 1
+    ),
+    b AS (
+        SELECT event_type, CAST(count(*) AS BIGINT) AS n_rows,
+               round(avg(value), 4) AS mean_obs
+        FROM events WHERE event_type IN ('purchase', 'view') GROUP BY 1
+    )
+    SELECT b.event_type, b.n_rows, b.mean_obs, s.boot_se,
+           round(s.lo, 4) AS ci_lo, round(s.hi, 4) AS ci_hi
+    FROM b JOIN s ON b.event_type = s.event_type
+    """,
+    doc="Poisson bootstrap 95% CI for the mean (per event type): each "
+    "(row, replicate) draws a Poisson(1) weight from the md5-uniform via "
+    "an inverse-CDF ladder — the single-pass resampling scheme used at "
+    "cluster scale, since per-replicate partial sums map-side-combine to "
+    "types x R cells and the shuffle never carries raw rows. Replicate "
+    "means are rounded to 6dp BEFORE nearest-rank ranking (ties break on "
+    "replicate id) so fp association drift cannot reorder engines; "
+    "deterministic by construction — no RNG, the weights are a pure "
+    "function of (event_id, replicate)",
+)
+def events_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    ev = (
+        load(spark, sf_dir, "events")
+        .filter(F.col("event_type").isin("purchase", "view"))
+        .select("event_type", "event_id", "value")
+    )
+    rep = ev.withColumn(
+        "j", F.explode(F.sequence(F.lit(0), F.lit(_BOOT_R - 1)))
+    )
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit("bs:"),
+                        F.col("event_id").cast("string"),
+                        F.lit(":"),
+                        F.col("j").cast("string"),
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        / F.lit(4294967296.0)
+    )
+    w = F.when(u < _POIS1_CDF[0], 0)
+    for _kk, _tt in enumerate(_POIS1_CDF[1:], start=1):
+        w = w.when(u < _tt, _kk)
+    w = w.otherwise(9)
+    rep = rep.withColumn("w", w)
+    m = rep.groupBy("event_type", "j").agg(
+        F.round(
+            F.sum(F.col("w") * F.col("value")) / F.sum("w"), 6
+        ).alias("mean_j")
+    )
+    rk = F.row_number().over(
+        Window.partitionBy("event_type").orderBy("mean_j", "j")
+    )
+    s = (
+        m.withColumn("rk", rk)
+        .groupBy("event_type")
+        .agg(
+            F.round(F.stddev_samp("mean_j"), 4).alias("boot_se"),
+            F.max(F.when(F.col("rk") == 5, F.col("mean_j"))).alias("lo"),
+            F.max(F.when(F.col("rk") == 195, F.col("mean_j"))).alias("hi"),
+        )
+    )
+    b = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.round(F.avg("value"), 4).alias("mean_obs"),
+    )
+    return b.join(s, on="event_type").select(
+        "event_type",
+        "n_rows",
+        "mean_obs",
+        "boot_se",
+        F.round("lo", 4).alias("ci_lo"),
+        F.round("hi", 4).alias("ci_hi"),
+    )

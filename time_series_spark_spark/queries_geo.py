@@ -1,0 +1,187 @@
+"""Geospatial queries: grid-bucketed radius self-join, broadcast
+nearest-neighbor against a dimension, and grid-cell density — over
+coordinates derived deterministically from entity keys (operators/geo.py),
+so the DuckDB oracle sees the identical geometry.
+
+Dialect notes (SURVEY.md §5.1): the md5-uniform coordinates are
+bit-identical across engines (power-of-two division + affine map); trig
+drifts by ulps between libm implementations, so every distance is rounded
+BEFORE it participates in a filter or an ordering, and the rounded value
+is what both engines compare.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from time_series_spark_spark.operators.geo import (
+    grid_cells,
+    grid_radius_join,
+    hash_point,
+    nearest_neighbor_join,
+)
+from time_series_spark_spark.queries import register
+from time_series_spark_spark.sources.io import load
+
+# Bounding box (Western-Europe-sized so a 50 km radius is meaningful),
+# and grid cells sized ≥ the radius at the box's worst latitude:
+# 0.5° lat = 55.6 km ≥ 50; 0.75° lon at 50°N = 111.195·cos(50°)·0.75
+# = 53.6 km ≥ 50 — the grid_radius_join cell contract holds.
+LAT_MIN, LAT_MAX = 40.0, 50.0
+LON_MIN, LON_MAX = -10.0, 10.0
+RADIUS_KM = 50.0
+LAT_CELL, LON_CELL = 0.5, 0.75
+
+# DuckDB-side derivations, bit-identical to operators/geo.hash_point.
+def _sql_coord(tag: str, key_expr: str, lo: float, hi: float) -> str:
+    return (
+        f"{lo!r} + {hi - lo!r} * (('0x' || substring(md5('{tag}:' || "
+        f"CAST({key_expr} AS VARCHAR)), 1, 8))::BIGINT / 4294967296.0)"
+    )
+
+
+_SQL_HAVERSINE = (
+    "2.0 * 6371.0088 * asin(sqrt("
+    "pow(sin(radians(lat_b - lat_a) / 2), 2)"
+    " + cos(radians(lat_a)) * cos(radians(lat_b))"
+    " * pow(sin(radians(lon_b - lon_a) / 2), 2)))"
+)
+
+
+def _customer_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load(spark, sf_dir, "customer")
+    lat, lon = hash_point(
+        F.col("c_custkey"), LAT_MIN, LAT_MAX, LON_MIN, LON_MAX
+    )
+    return cust.select(
+        "c_custkey", "c_nationkey", "c_acctbal",
+        lat.alias("lat"), lon.alias("lon"),
+    )
+
+
+@register(
+    "geo_radius_pairs",
+    f"""
+    WITH pts AS (
+        SELECT c_custkey,
+               {_sql_coord('lat', 'c_custkey', LAT_MIN, LAT_MAX)} AS lat,
+               {_sql_coord('lon', 'c_custkey', LON_MIN, LON_MAX)} AS lon
+        FROM customer WHERE c_nationkey < 5
+    ),
+    pairs AS (
+        SELECT a.c_custkey AS cust_a, b.c_custkey AS cust_b,
+               a.lat AS lat_a, a.lon AS lon_a,
+               b.lat AS lat_b, b.lon AS lon_b
+        FROM pts a JOIN pts b ON a.c_custkey < b.c_custkey
+    )
+    SELECT cust_a, cust_b, round({_SQL_HAVERSINE}, 3) AS dist_km
+    FROM pairs
+    WHERE round({_SQL_HAVERSINE}, 3) <= {RADIUS_KM!r}
+    """,
+    doc="Geo radius self-join: all customer pairs within 50 km, via "
+    "spatial-grid bucketing (3x3 neighbor-cell probe, one equi-join on "
+    "cell id, candidates bounded by points-per-cell) — the oracle is the "
+    "naive O(n^2) cross join on a nation-restricted slice, verifying the "
+    "bucketed plan finds EXACTLY the same pairs (operators/geo.py)",
+)
+def geo_radius_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pts = _customer_points(spark, sf_dir).filter(F.col("c_nationkey") < 5)
+    pairs = grid_radius_join(
+        pts,
+        id_col="c_custkey",
+        radius_km=RADIUS_KM,
+        lat_cell_deg=LAT_CELL,
+        lon_cell_deg=LON_CELL,
+    )
+    return pairs.select(
+        F.col("id_a").alias("cust_a"),
+        F.col("id_b").alias("cust_b"),
+        "dist_km",
+    )
+
+
+@register(
+    "geo_nearest_supplier",
+    f"""
+    WITH cust AS (
+        SELECT c_custkey,
+               {_sql_coord('lat', 'c_custkey', LAT_MIN, LAT_MAX)} AS lat_a,
+               {_sql_coord('lon', 'c_custkey', LON_MIN, LON_MAX)} AS lon_a
+        FROM customer WHERE c_custkey <= 600
+    ),
+    supp AS (
+        SELECT s_suppkey,
+               {_sql_coord('slat', 's_suppkey', LAT_MIN, LAT_MAX)} AS lat_b,
+               {_sql_coord('slon', 's_suppkey', LON_MIN, LON_MAX)} AS lon_b
+        FROM supplier
+    ),
+    ranked AS (
+        SELECT c_custkey, s_suppkey,
+               round({_SQL_HAVERSINE}, 6) AS d,
+               row_number() OVER (
+                   PARTITION BY c_custkey
+                   ORDER BY round({_SQL_HAVERSINE}, 6), s_suppkey
+               ) AS rk
+        FROM cust CROSS JOIN supp
+    )
+    SELECT c_custkey, s_suppkey AS nearest_s_suppkey,
+           round(d, 3) AS dist_km
+    FROM ranked WHERE rk = 1
+    """,
+    doc="Geo nearest-neighbor against a dimension: each customer's "
+    "closest supplier by haversine — broadcast the (small) supplier "
+    "points and partial-min aggregate min(struct(dist, id)) per customer, "
+    "so the shuffle carries one row per customer; ties break on the "
+    "6dp-rounded distance then supplier key, matching the oracle's "
+    "row_number ordering exactly (operators/geo.py)",
+)
+def geo_nearest_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _customer_points(spark, sf_dir).filter(F.col("c_custkey") <= 600)
+    supp = load(spark, sf_dir, "supplier")
+    slat, slon = hash_point(
+        F.col("s_suppkey"), LAT_MIN, LAT_MAX, LON_MIN, LON_MAX, tag="s"
+    )
+    supp_pts = supp.select(
+        "s_suppkey", slat.alias("lat"), slon.alias("lon")
+    )
+    return nearest_neighbor_join(
+        cust, supp_pts, probe_id="c_custkey", dim_id="s_suppkey"
+    )
+
+
+@register(
+    "geo_grid_density",
+    f"""
+    WITH pts AS (
+        SELECT c_acctbal,
+               {_sql_coord('lat', 'c_custkey', LAT_MIN, LAT_MAX)} AS lat,
+               {_sql_coord('lon', 'c_custkey', LON_MIN, LON_MAX)} AS lon
+        FROM customer
+    )
+    SELECT CAST(floor(lat / {LAT_CELL!r}) AS INT) AS cell_i,
+           CAST(floor(lon / {LON_CELL!r}) AS INT) AS cell_j,
+           CAST(count(*) AS BIGINT) AS n_customers,
+           round(avg(c_acctbal), 4) AS avg_acctbal
+    FROM pts
+    GROUP BY 1, 2
+    ORDER BY n_customers DESC, cell_i, cell_j
+    LIMIT 15
+    """,
+    doc="Geo grid-cell density: customers hashed into 0.5x0.75-degree "
+    "cells, top-15 cells by count — the geohash-bucketing aggregation "
+    "pattern (one hash agg on the cell id; at 100 TB the cell id is also "
+    "the natural partition/cluster key for spatial locality)",
+)
+def geo_grid_density(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pts = _customer_points(spark, sf_dir)
+    ci, cj = grid_cells(F.col("lat"), F.col("lon"), LAT_CELL, LON_CELL)
+    return (
+        pts.groupBy(ci.alias("cell_i"), cj.alias("cell_j"))
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.round(F.avg("c_acctbal"), 4).alias("avg_acctbal"),
+        )
+        .orderBy(F.desc("n_customers"), "cell_i", "cell_j")
+        .limit(15)
+    )
