@@ -153,3 +153,39 @@ def test_pagerank_star_center_dominates(spark):
     )
     out = {r["id"]: r["rank"] for r in pagerank(pairs, iters=25).collect()}
     assert out[0] > 3 * max(out[i] for i in range(1, 7))
+
+
+# ---------------------------------------------------------------------------
+# triangle_stats
+# ---------------------------------------------------------------------------
+
+def _tri(spark, edges):
+    from time_series_spark_spark.operators.graph import triangle_stats
+
+    df = spark.createDataFrame(edges, "a long, b long")
+    return triangle_stats(df).first().asDict()
+
+
+def test_triangle_k4_complete(spark):
+    # K4: 4 triangles, 6 edges, wedges = 4*C(3,2)=12, clustering 1.0
+    k4 = [(a, b) for a in range(4) for b in range(4) if a < b]
+    got = _tri(spark, k4)
+    assert got == {
+        "n_vertices": 4, "n_edges": 6, "n_wedges": 12,
+        "n_triangles": 4, "global_clustering": 1.0,
+    }
+
+
+def test_triangle_path_has_none(spark):
+    got = _tri(spark, [(0, 1), (1, 2), (2, 3)])
+    assert got["n_triangles"] == 0
+    assert got["n_wedges"] == 2  # two middle vertices, C(2,2)=1 each
+    assert got["global_clustering"] == 0.0
+
+
+def test_triangle_single_with_pendant(spark):
+    # triangle 0-1-2 plus pendant edge 2-3: T=1, wedges C(2,2)+C(2,2)+C(3,2)+0 = 1+1+3 = 5
+    got = _tri(spark, [(0, 1), (0, 2), (1, 2), (2, 3)])
+    assert got["n_triangles"] == 1
+    assert got["n_wedges"] == 5
+    assert got["global_clustering"] == round(3.0 / 5, 6)

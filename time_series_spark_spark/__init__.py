@@ -87,6 +87,7 @@ _API = {
     # graph
     "connected_components": "operators.graph",
     "pagerank": "operators.graph",
+    "triangle_stats": "operators.graph",
     # geospatial
     "haversine_km": "operators.geo",
     "hash_point": "operators.geo",

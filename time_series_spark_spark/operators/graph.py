@@ -215,3 +215,66 @@ def pagerank(
             # concurrent AQE broadcast builds, an OOM on small drivers)
             ranks = ranks.localCheckpoint(eager=True)
     return ranks
+
+
+# ---------------------------------------------------------------------------
+# Exact triangle counting (ordered wedge-closing joins)
+# ---------------------------------------------------------------------------
+
+def triangle_stats(edges: DataFrame, src: str = "a", dst: str = "b") -> DataFrame:
+    """Exact global triangle count + clustering coefficient over an
+    undirected simple graph given as deduplicated edges with ``src < dst``.
+
+    The ordered-join formulation (each triangle {x<y<z} is found exactly
+    once as wedge (x,y)+(y,z) closed by edge (x,z)): wedges are the
+    self-join on the middle vertex, so the intermediate is bounded by
+    Σ_b fwd_deg(b)·bwd_deg(b) — with vertices ordered, the classic
+    compact-forward scheme. At 100 TB graph scale, relabel vertex ids by
+    ASCENDING DEGREE first (the standard skew control: a hub then has
+    large backward- but tiny forward-degree, capping the wedge blow-up);
+    ids here are already near-uniform so the id order suffices.
+
+    Wedge TOTAL for the clustering coefficient is Σ C(deg,2) computed
+    from the degree frame directly (integer arithmetic — the product
+    d·(d−1) is even, so DIV 2 is exact).
+
+    One row out: ``n_vertices, n_edges, n_wedges, n_triangles,
+    global_clustering`` (= 3·T / wedges, 6dp).
+    """
+    e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    w = (
+        e.alias("e1")
+        .join(e.alias("e2"), F.col("e1.b") == F.col("e2.a"))
+        .select(
+            F.col("e1.a").alias("a"),
+            F.col("e2.b").alias("c"),
+        )
+    )
+    closing = e.select(F.col("a"), F.col("b").alias("c"))
+    tri = w.join(closing, on=["a", "c"]).agg(
+        F.count(F.lit(1)).alias("n_triangles")
+    )
+    deg = (
+        e.select(F.col("a").alias("v"))
+        .unionAll(e.select(F.col("b").alias("v")))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    vstats = deg.agg(
+        F.count(F.lit(1)).alias("n_vertices"),
+        F.sum(F.expr("d * (d - 1) DIV 2")).alias("n_wedges"),
+    )
+    estats = e.agg(F.count(F.lit(1)).alias("n_edges"))
+    return (
+        vstats.crossJoin(F.broadcast(estats))
+        .crossJoin(F.broadcast(tri))
+        .select(
+            "n_vertices",
+            "n_edges",
+            "n_wedges",
+            "n_triangles",
+            F.round(
+                3.0 * F.col("n_triangles") / F.col("n_wedges"), 6
+            ).alias("global_clustering"),
+        )
+    )

@@ -1124,3 +1124,69 @@ def bucketed_join_layout_report(
         "o_orderpriority string, n_lines long, price_cents long, "
         "join_key_exchanges long",
     ).orderBy("o_orderpriority")
+
+
+@register(
+    "supplier_cosupply_triangles",
+    """
+    WITH li AS (
+        SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem
+        WHERE l_quantity > 45
+    ),
+    e AS (
+        SELECT DISTINCT a.l_suppkey AS s1, b.l_suppkey AS s2
+        FROM li a JOIN li b
+          ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey
+    ),
+    deg AS (
+        SELECT v, count(*) AS d
+        FROM (SELECT s1 AS v FROM e UNION ALL SELECT s2 AS v FROM e)
+        GROUP BY v
+    ),
+    w AS (
+        SELECT e1.s1 AS a, e2.s2 AS c
+        FROM e e1 JOIN e e2 ON e1.s2 = e2.s1
+    ),
+    t AS (
+        SELECT count(*) AS n_tri
+        FROM w JOIN e ON w.a = e.s1 AND w.c = e.s2
+    )
+    SELECT CAST((SELECT count(*) FROM deg) AS BIGINT) AS n_vertices,
+           CAST((SELECT count(*) FROM e) AS BIGINT) AS n_edges,
+           CAST((SELECT sum(d * (d - 1) // 2) FROM deg) AS BIGINT)
+               AS n_wedges,
+           CAST((SELECT n_tri FROM t) AS BIGINT) AS n_triangles,
+           round(3.0 * (SELECT n_tri FROM t)
+                 / (SELECT sum(d * (d - 1) // 2) FROM deg), 6)
+               AS global_clustering
+    """,
+    doc="Exact triangle count + global clustering coefficient of the "
+    "supplier co-supply graph (suppliers co-occurring on high-quantity "
+    "lineitems of the same order): ordered wedge-closing joins — each "
+    "triangle {x<y<z} found exactly once as wedge (x,y)+(y,z) closed by "
+    "edge (x,z); the wedge intermediate is bounded by forward×backward "
+    "degree per middle vertex (degree-ordered relabeling is the hub "
+    "control at scale) — operators/graph.py::triangle_stats",
+)
+def supplier_cosupply_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from time_series_spark_spark.operators.graph import triangle_stats
+
+    li = (
+        load(spark, sf_dir, "lineitem")
+        .filter(F.col("l_quantity") > 45)
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
+    )
+    a = li.select(
+        F.col("l_orderkey").alias("k"), F.col("l_suppkey").alias("s1")
+    )
+    b = li.select(
+        F.col("l_orderkey").alias("k"), F.col("l_suppkey").alias("s2")
+    )
+    edges = (
+        a.join(b, on="k")
+        .filter(F.col("s1") < F.col("s2"))
+        .select("s1", "s2")
+        .distinct()
+    )
+    return triangle_stats(edges, src="s1", dst="s2")
