@@ -399,3 +399,42 @@ def test_vocab_coverage_broadcasts_vocab(spark):
     plan = executed_plan(df)
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+# ---------------------------------------------------------------------------
+# explain_analyze (plans/metrics.py): executed-metrics ground truth
+# ---------------------------------------------------------------------------
+
+def test_explain_analyze_row_counts_match_ground_truth(spark):
+    from pyspark.sql import functions as F
+
+    from time_series_spark_spark.plans.metrics import explain_analyze
+    from time_series_spark_spark.sources.io import load
+
+    orders = load(spark, "/root/testdata/sf0.001", "orders")
+    pipeline = orders.groupBy("o_orderstatus").count()
+    rep = explain_analyze(pipeline).collect()
+    by_op = {}
+    for r in rep:
+        by_op.setdefault(r["operator"], []).append(r)
+    scans = by_op["Scan parquet"]
+    assert len(scans) == 1
+    assert scans[0]["rows_out"] == orders.count()
+    assert scans[0]["n_files"] >= 1
+    # final aggregate emits one row per status
+    n_status = orders.select("o_orderstatus").distinct().count()
+    agg_rows = [r["rows_out"] for r in by_op["HashAggregate"]]
+    assert agg_rows.count(n_status) >= 1
+    assert "Exchange" in by_op  # the groupBy shuffled
+    seqs = [r["op_seq"] for r in sorted(rep, key=lambda r: r["op_seq"])]
+    assert seqs == list(range(len(rep)))
+
+
+def test_explain_analyze_deterministic(spark):
+    from time_series_spark_spark.queries import REGISTRY
+
+    fn = REGISTRY["explain_analyze_report"].fn
+    a = [tuple(r) for r in fn(spark, "/root/testdata/sf0.001").collect()]
+    b = [tuple(r) for r in fn(spark, "/root/testdata/sf0.001").collect()]
+    assert a == b
+    assert len(a) >= 4  # scan x2, join, agg at minimum

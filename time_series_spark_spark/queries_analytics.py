@@ -2025,3 +2025,35 @@ def events_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("lo", 4).alias("ci_lo"),
         F.round("hi", 4).alias("ci_hi"),
     )
+
+
+@register(
+    "explain_analyze_report",
+    None,  # executed-plan metrics are engine-internal → rows-only;
+    # determinism + row-count ground truth pinned in tests/test_plans.py
+    doc="EXPLAIN ANALYZE (runtime profiler): executes the orders⋈customer "
+    "revenue roll-up and reports each physical operator that actually ran "
+    "with its EXECUTED output-row count and files read — AQE wrappers "
+    "unwrapped to the final adaptive plan, counts taken from SQLMetrics "
+    "where the rows were produced (plan.execute().count() is a pure "
+    "JVM-side action; nothing is collected to the driver). The runtime "
+    "counterpart of the static plan pins in tests/test_plans.py "
+    "(plans/metrics.py)",
+)
+def explain_analyze_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from time_series_spark_spark.plans.metrics import explain_analyze
+
+    orders = load(spark, sf_dir, "orders")
+    cust = load(spark, sf_dir, "customer")
+    pipeline = (
+        orders.join(
+            F.broadcast(cust.select("c_custkey", "c_mktsegment")),
+            orders.o_custkey == F.col("c_custkey"),
+        )
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        )
+    )
+    return explain_analyze(pipeline).orderBy("op_seq")
