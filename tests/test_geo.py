@@ -190,3 +190,37 @@ def test_bootstrap_poisson_weights_mean_near_one(spark):
     ).first()
     assert abs(stats["m"] - 1.0) < 0.05  # Poisson(1): mean 1
     assert abs(stats["v"] - 1.0) < 0.10  # Poisson(1): var 1
+
+
+def test_grid_radius_join_two_equals_bruteforce(spark):
+    from time_series_spark_spark.operators.geo import grid_radius_join_two
+
+    cust = _points(spark).limit(60).select(
+        F.col("c_custkey").alias("cid"), "lat", "lon"
+    )
+    supp = load(spark, SF, "supplier")
+    slat, slon = hash_point(
+        F.col("s_suppkey"), 40.0, 50.0, -10.0, 10.0, tag="s"
+    )
+    sp = supp.select("s_suppkey", slat.alias("lat"), slon.alias("lon"))
+    got = {
+        (r["cid"], r["s_suppkey"], r["dist_km"])
+        for r in grid_radius_join_two(
+            cust, sp, "cid", "s_suppkey",
+            radius_km=100.0, lat_cell_deg=1.0, lon_cell_deg=1.5,
+        ).collect()
+    }
+    a = cust.select("cid", F.col("lat").alias("lat_a"), F.col("lon").alias("lon_a"))
+    b = sp.select("s_suppkey", F.col("lat").alias("lat_b"), F.col("lon").alias("lon_b"))
+    dist = F.round(
+        haversine_km(F.col("lat_a"), F.col("lon_a"), F.col("lat_b"), F.col("lon_b")), 3
+    )
+    naive = {
+        (r["cid"], r["s_suppkey"], r["dist_km"])
+        for r in a.crossJoin(b)
+        .select("cid", "s_suppkey", dist.alias("dist_km"))
+        .filter(F.col("dist_km") <= 100.0)
+        .collect()
+    }
+    assert naive
+    assert got == naive

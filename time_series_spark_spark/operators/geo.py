@@ -203,3 +203,55 @@ def nearest_neighbor_join(
         F.col("best.id").alias(f"nearest_{dim_id}"),
         F.round(F.col("best.d"), out_dp).alias("dist_km"),
     )
+
+
+def grid_radius_join_two(
+    left: DataFrame,
+    right: DataFrame,
+    left_id: str,
+    right_id: str,
+    radius_km: float,
+    lat_cell_deg: float,
+    lon_cell_deg: float,
+    round_dp: int = 3,
+) -> DataFrame:
+    """Two-table radius join: all (left, right) pairs within ``radius_km``.
+    Same cell contract and bucketing as :func:`grid_radius_join`; the left
+    side probes its 3×3 neighborhood, the right side sits in its home cell,
+    so each qualifying pair is found exactly once (no ordering constraint —
+    the id spaces are distinct). Both inputs need ``lat``/``lon`` columns.
+    Output: ``<left_id>, <right_id>, dist_km`` (rounded)."""
+    lci, lcj = grid_cells(F.col("lat"), F.col("lon"), lat_cell_deg, lon_cell_deg)
+    lbase = left.select(
+        F.col(left_id), F.col("lat").alias("lat_a"),
+        F.col("lon").alias("lon_a"), lci.alias("ci"), lcj.alias("cj"),
+    )
+    neighborhood = F.array(
+        *[
+            F.struct(
+                (F.col("ci") + di).alias("ci"),
+                (F.col("cj") + dj).alias("cj"),
+            )
+            for di in (-1, 0, 1)
+            for dj in (-1, 0, 1)
+        ]
+    )
+    probe = lbase.select(
+        left_id, "lat_a", "lon_a", F.explode(neighborhood).alias("cell")
+    ).select(left_id, "lat_a", "lon_a", "cell.ci", "cell.cj")
+    rci, rcj = grid_cells(F.col("lat"), F.col("lon"), lat_cell_deg, lon_cell_deg)
+    build = right.select(
+        F.col(right_id), F.col("lat").alias("lat_b"),
+        F.col("lon").alias("lon_b"), rci.alias("ci"), rcj.alias("cj"),
+    )
+    dist = F.round(
+        haversine_km(
+            F.col("lat_a"), F.col("lon_a"), F.col("lat_b"), F.col("lon_b")
+        ),
+        round_dp,
+    )
+    return (
+        probe.join(build, on=["ci", "cj"])
+        .select(left_id, right_id, dist.alias("dist_km"))
+        .filter(F.col("dist_km") <= radius_km)
+    )

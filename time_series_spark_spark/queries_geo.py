@@ -185,3 +185,58 @@ def geo_grid_density(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_customers"), "cell_i", "cell_j")
         .limit(15)
     )
+
+
+@register(
+    "geo_supplier_coverage",
+    f"""
+    WITH cust AS (
+        SELECT c_custkey,
+               {_sql_coord('lat', 'c_custkey', LAT_MIN, LAT_MAX)} AS lat_a,
+               {_sql_coord('lon', 'c_custkey', LON_MIN, LON_MAX)} AS lon_a
+        FROM customer WHERE c_nationkey < 10
+    ),
+    supp AS (
+        SELECT s_suppkey,
+               {_sql_coord('slat', 's_suppkey', LAT_MIN, LAT_MAX)} AS lat_b,
+               {_sql_coord('slon', 's_suppkey', LON_MIN, LON_MAX)} AS lon_b
+        FROM supplier
+    ),
+    pairs AS (
+        SELECT s_suppkey, round({_SQL_HAVERSINE}, 3) AS d
+        FROM cust CROSS JOIN supp
+    )
+    SELECT s_suppkey, CAST(count(*) AS BIGINT) AS n_customers_100km,
+           round(min(d), 3) AS nearest_km
+    FROM pairs WHERE d <= 100.0
+    GROUP BY s_suppkey
+    """,
+    doc="Two-table geo radius join: customers within 100 km of each "
+    "supplier, counted per supplier — grid-bucketed (1.0°×1.5° cells "
+    "cover the 100 km radius at the box's worst latitude), left side "
+    "probes its 3×3 neighborhood, one equi-join on cell id; the oracle "
+    "is the naive cross join on a nation-restricted slice "
+    "(operators/geo.py::grid_radius_join_two)",
+)
+def geo_supplier_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from time_series_spark_spark.operators.geo import grid_radius_join_two
+
+    cust = _customer_points(spark, sf_dir).filter(F.col("c_nationkey") < 10)
+    supp = load(spark, sf_dir, "supplier")
+    slat, slon = hash_point(
+        F.col("s_suppkey"), LAT_MIN, LAT_MAX, LON_MIN, LON_MAX, tag="s"
+    )
+    supp_pts = supp.select("s_suppkey", slat.alias("lat"), slon.alias("lon"))
+    pairs = grid_radius_join_two(
+        cust,
+        supp_pts,
+        left_id="c_custkey",
+        right_id="s_suppkey",
+        radius_km=100.0,
+        lat_cell_deg=1.0,
+        lon_cell_deg=1.5,
+    )
+    return pairs.groupBy("s_suppkey").agg(
+        F.count(F.lit(1)).alias("n_customers_100km"),
+        F.round(F.min("dist_km"), 3).alias("nearest_km"),
+    )
