@@ -189,3 +189,44 @@ def test_triangle_single_with_pendant(spark):
     assert got["n_triangles"] == 1
     assert got["n_wedges"] == 5
     assert got["global_clustering"] == round(3.0 / 5, 6)
+
+
+# ---------------------------------------------------------------------------
+# bfs_hops
+# ---------------------------------------------------------------------------
+
+def test_bfs_hops_path_graph(spark):
+    from time_series_spark_spark.operators.graph import bfs_hops
+
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3), (3, 4)], "a long, b long"
+    )
+    got = {
+        (r["node"], r["hops"]) for r in bfs_hops(edges, 0).collect()
+    }
+    assert got == {(0, 0), (1, 1), (2, 2), (3, 3), (4, 4)}
+
+
+def test_bfs_hops_respects_max_and_takes_shortest(spark):
+    from time_series_spark_spark.operators.graph import bfs_hops
+
+    # triangle 0-1-2 plus a long path 0-3-4-5: node 2 reachable in 1 hop
+    # (direct edge), not 2 via node 1; max_hops=2 cuts node 5 off
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (0, 2), (0, 3), (3, 4), (4, 5)], "a long, b long"
+    )
+    got = {
+        (r["node"], r["hops"])
+        for r in bfs_hops(edges, 0, max_hops=2).collect()
+    }
+    assert got == {(0, 0), (1, 1), (2, 1), (3, 1), (4, 2)}
+
+
+def test_bfs_hops_disconnected_unreached(spark):
+    from time_series_spark_spark.operators.graph import bfs_hops
+
+    edges = spark.createDataFrame(
+        [(0, 1), (5, 6)], "a long, b long"
+    )
+    got = {(r["node"], r["hops"]) for r in bfs_hops(edges, 0).collect()}
+    assert got == {(0, 0), (1, 1)}

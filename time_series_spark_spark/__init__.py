@@ -88,6 +88,7 @@ _API = {
     "connected_components": "operators.graph",
     "pagerank": "operators.graph",
     "triangle_stats": "operators.graph",
+    "bfs_hops": "operators.graph",
     # geospatial
     "haversine_km": "operators.geo",
     "hash_point": "operators.geo",

@@ -278,3 +278,56 @@ def triangle_stats(edges: DataFrame, src: str = "a", dst: str = "b") -> DataFram
             ).alias("global_clustering"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# BFS shortest hops (iterative frontier expansion)
+# ---------------------------------------------------------------------------
+
+def bfs_hops(
+    edges: DataFrame,
+    source,
+    src: str = "a",
+    dst: str = "b",
+    max_hops: int = 6,
+    checkpoint_every: int = 3,
+) -> DataFrame:
+    """Minimum hop count from ``source`` to every reachable vertex within
+    ``max_hops``, by iterative frontier expansion (the DataFrame BFS):
+    each round joins the current frontier against the symmetrized edge
+    list, anti-joins everything already visited, and unions the new layer
+    in. Because BFS layers are explored in order, the first time a vertex
+    appears IS its shortest distance — no re-relaxation (the property that
+    makes this O(diameter) rounds instead of Bellman-Ford's O(V)).
+
+    Scale posture: each round is one hash-join on the frontier (small) vs
+    edges (partitioned by vertex) plus an anti-join on the visited set —
+    the standard Pregel-style expansion; lineage is truncated with an
+    eager ``localCheckpoint`` every ``checkpoint_every`` rounds (the same
+    discipline as :func:`pagerank`). The per-round emptiness check is a
+    1-row scalar action, like :func:`connected_components`' convergence
+    test. Output: ``node, hops``.
+    """
+    sym = edges.select(
+        F.col(src).alias("u"), F.col(dst).alias("v")
+    ).unionAll(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
+    spark = edges.sparkSession
+    visited = spark.createDataFrame(
+        [(int(source), 0)], "node long, hops long"
+    )
+    frontier = visited
+    for h in range(1, max_hops + 1):
+        nxt = (
+            frontier.join(sym, frontier.node == sym.u)
+            .select(F.col("v").alias("node"))
+            .distinct()
+            .join(visited.select("node"), on="node", how="left_anti")
+            .withColumn("hops", F.lit(h).cast("long"))
+        )
+        if h % checkpoint_every == 0:
+            nxt = nxt.localCheckpoint(eager=True)
+        if nxt.isEmpty():
+            break
+        visited = visited.unionAll(nxt)
+        frontier = nxt
+    return visited

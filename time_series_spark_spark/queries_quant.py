@@ -1190,3 +1190,66 @@ def supplier_cosupply_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     return triangle_stats(edges, src="s1", dst="s2")
+
+
+@register(
+    "supplier_cosupply_bfs_hops",
+    """
+    WITH RECURSIVE li AS (
+        SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem
+        WHERE l_quantity > 45
+    ),
+    e0 AS (
+        SELECT DISTINCT a.l_suppkey AS s1, b.l_suppkey AS s2
+        FROM li a JOIN li b
+          ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey
+    ),
+    e AS (
+        SELECT s1, s2 FROM e0
+        UNION ALL
+        SELECT s2 AS s1, s1 AS s2 FROM e0
+    ),
+    walk(node, d) AS (
+        SELECT (SELECT min(s1) FROM e), 0
+        UNION
+        SELECT e.s2, w.d + 1
+        FROM walk w JOIN e ON e.s1 = w.node
+        WHERE w.d < 6
+    )
+    SELECT CAST(node AS BIGINT) AS node,
+           CAST(min(d) AS BIGINT) AS hops
+    FROM walk GROUP BY node
+    """,
+    doc="BFS shortest hop counts from the smallest supplier in the "
+    "co-supply graph (≤ 6 hops): iterative frontier expansion — one "
+    "frontier⋈edges hash join + visited anti-join per layer, O(diameter) "
+    "rounds with eager lineage truncation (Pregel-style; "
+    "operators/graph.py::bfs_hops). The oracle is a DuckDB RECURSIVE CTE "
+    "walking (node, depth) pairs hop-bounded to the same horizon",
+)
+def supplier_cosupply_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from time_series_spark_spark.operators.graph import bfs_hops
+
+    li = (
+        load(spark, sf_dir, "lineitem")
+        .filter(F.col("l_quantity") > 45)
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
+    )
+    a = li.select(
+        F.col("l_orderkey").alias("k"), F.col("l_suppkey").alias("s1")
+    )
+    b = li.select(
+        F.col("l_orderkey").alias("k"), F.col("l_suppkey").alias("s2")
+    )
+    edges = (
+        a.join(b, on="k")
+        .filter(F.col("s1") < F.col("s2"))
+        .select("s1", "s2")
+        .distinct()
+    )
+    source = edges.agg(F.min("s1")).first()[0]
+    return bfs_hops(edges, source, src="s1", dst="s2", max_hops=6).select(
+        F.col("node").cast("long").alias("node"),
+        F.col("hops").cast("long").alias("hops"),
+    )
