@@ -70,6 +70,9 @@ HEAVY_TAIL = [
     "events_hurst_user",
     "session_top_paths",
     "docs_vocab_coverage",
+    "events_bootstrap_ci",
+    "geo_radius_pairs",
+    "supplier_cosupply_triangles",
 ]
 
 
