@@ -230,3 +230,79 @@ def test_bfs_hops_disconnected_unreached(spark):
     )
     got = {(r["node"], r["hops"]) for r in bfs_hops(edges, 0).collect()}
     assert got == {(0, 0), (1, 1)}
+
+
+# ---------------------------------------------------------------------------
+# k_core
+# ---------------------------------------------------------------------------
+
+def _peel_reference(edges, k):
+    """Driver-side reference peeling for small graphs."""
+    es = set(map(tuple, edges))
+    while True:
+        deg = {}
+        for u, v in es:
+            deg[u] = deg.get(u, 0) + 1
+            deg[v] = deg.get(v, 0) + 1
+        weak = {n for n, d in deg.items() if d < k}
+        if not weak:
+            return {n: d for n, d in deg.items()}
+        es = {(u, v) for u, v in es if u not in weak and v not in weak}
+        if not es:
+            return {}
+
+
+def test_k_core_clique_with_tree(spark):
+    from time_series_spark_spark.operators.graph import k_core
+
+    # K5 (every vertex degree 4) + a tree hanging off vertex 0: the tree
+    # peels away entirely, K5 survives the 3-core intact
+    k5 = [(a, b) for a in range(5) for b in range(5) if a < b]
+    tree = [(0, 10), (10, 11), (10, 12), (11, 13)]
+    edges = spark.createDataFrame(k5 + tree, "a long, b long")
+    got = {
+        (r["node"], r["core_degree"]) for r in k_core(edges, 3).collect()
+    }
+    assert got == {(n, 4) for n in range(5)}
+
+
+def test_k_core_path_graph_empties(spark):
+    from time_series_spark_spark.operators.graph import k_core
+
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3), (3, 4)], "a long, b long"
+    )
+    assert k_core(edges, 2).count() == 0
+
+
+def test_k_core_matches_reference_on_cosupply_slice(spark):
+    from time_series_spark_spark.operators.graph import k_core
+    from time_series_spark_spark.queries import REGISTRY
+
+    got = {
+        (r["node"], r["core_degree"])
+        for r in REGISTRY["supplier_cosupply_kcore"]
+        .fn(spark, "/root/testdata/sf0.001")
+        .collect()
+    }
+    from time_series_spark_spark.sources.io import load
+
+    # rebuild the same edge set and peel on the driver
+    li = (
+        load(spark, "/root/testdata/sf0.001", "lineitem")
+        .filter(F.col("l_quantity") > 45)
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
+    )
+    rows = li.collect()
+    by_order = {}
+    for r in rows:
+        by_order.setdefault(r["l_orderkey"], []).append(r["l_suppkey"])
+    edges = set()
+    for ss in by_order.values():
+        ss = sorted(set(ss))
+        for i in range(len(ss)):
+            for j in range(i + 1, len(ss)):
+                edges.add((ss[i], ss[j]))
+    want = set(_peel_reference(edges, 15).items())
+    assert got == want

@@ -89,6 +89,7 @@ _API = {
     "pagerank": "operators.graph",
     "triangle_stats": "operators.graph",
     "bfs_hops": "operators.graph",
+    "k_core": "operators.graph",
     # geospatial
     "haversine_km": "operators.geo",
     "hash_point": "operators.geo",

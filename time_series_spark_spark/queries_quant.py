@@ -1253,3 +1253,41 @@ def supplier_cosupply_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("node").cast("long").alias("node"),
         F.col("hops").cast("long").alias("hops"),
     )
+
+
+@register(
+    "supplier_cosupply_kcore",
+    None,  # iterative set-shrinking peeling is not expressible as a
+    # (monotone-accumulating) recursive CTE → rows-only; exact peeling
+    # semantics pinned against a reference implementation in tests
+    doc="15-core of the supplier co-supply graph (Seidman): iteratively "
+    "peel vertices with degree < 15 until a fixpoint (k chosen just "
+    "below the graph's core collapse threshold so the peel cascades for "
+    "several rounds AND a nontrivial core survives) — one degree hash-agg "
+    "+ two anti-joins per round, rounds bounded by peeling depth, eager "
+    "lineage truncation (operators/graph.py::k_core). The density filter "
+    "run before community detection; output is each surviving supplier "
+    "with its within-core degree",
+)
+def supplier_cosupply_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from time_series_spark_spark.operators.graph import k_core
+
+    li = (
+        load(spark, sf_dir, "lineitem")
+        .filter(F.col("l_quantity") > 45)
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
+    )
+    a = li.select(
+        F.col("l_orderkey").alias("k"), F.col("l_suppkey").alias("s1")
+    )
+    b = li.select(
+        F.col("l_orderkey").alias("k"), F.col("l_suppkey").alias("s2")
+    )
+    edges = (
+        a.join(b, on="k")
+        .filter(F.col("s1") < F.col("s2"))
+        .select("s1", "s2")
+        .distinct()
+    )
+    return k_core(edges, k=15, src="s1", dst="s2").orderBy("node")
