@@ -94,7 +94,11 @@ _API = {
     "haversine_km": "operators.geo",
     "hash_point": "operators.geo",
     "grid_radius_join": "operators.geo",
+    "grid_radius_join_two": "operators.geo",
     "nearest_neighbor_join": "operators.geo",
+    # plan introspection
+    "explain_analyze": "plans.metrics",
+    "exchange_count": "plans.metrics",
     # sketches
     "hll_partials": "operators.sketches",
     "hll_rollup": "operators.sketches",
