@@ -244,3 +244,57 @@ def test_aft_session_lifetime_orders_planted_durations(spark):
     # reconstruct per-session predictions implicitly: ended-group mean
     # must sit between the planted 4-min and 60-min levels
     assert 3 < m["mean_pred_ended"] < 70, m
+
+
+# ---------------------------------------------------------------------------
+# N8 deterministic CV tuning + N9 isotonic calibration
+# ---------------------------------------------------------------------------
+
+def test_cv_tuning_selects_weak_regularization(spark):
+    from time_series_spark_spark.operators.ml import cv_tune_quality_lr
+    from time_series_spark_spark.sources.io import load
+
+    docs = load(spark, "/root/testdata/sf0.01", "documents")
+    rows = cv_tune_quality_lr(docs)
+    assert len(rows) == 3
+    assert sum(r["is_best"] for r in rows) == 1
+    best = next(r for r in rows if r["is_best"])
+    worst = min(rows, key=lambda r: r["avg_auc"])
+    # the planted gate is learnable: tuning must find a clearly better
+    # grid point than the over-regularized extreme
+    assert best["reg_param"] == 0.001
+    assert best["avg_auc"] > worst["avg_auc"] + 0.1
+    assert best["avg_auc"] > 0.9
+
+
+def test_cv_fold_assignment_deterministic(spark):
+    from pyspark.sql import functions as F
+    from time_series_spark_spark.sources.io import load
+
+    docs = load(spark, "/root/testdata/sf0.001", "documents")
+    fold = (
+        F.conv(
+            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10
+        ).cast("int")
+        % 3
+    )
+    a = {r["doc_id"]: r["f"] for r in docs.select("doc_id", fold.alias("f")).collect()}
+    b = {r["doc_id"]: r["f"] for r in docs.repartition(7).select("doc_id", fold.alias("f")).collect()}
+    assert a == b  # pure function of the data, invariant to layout
+    assert set(a.values()) == {0, 1, 2}
+
+
+def test_isotonic_calibration_monotone_and_complete(spark):
+    from time_series_spark_spark.operators.ml import isotonic_calibration
+    from time_series_spark_spark.sources.io import load
+
+    docs = load(spark, "/root/testdata/sf0.01", "documents")
+    rows = isotonic_calibration(docs).collect()
+    assert 2 <= len(rows) <= 10
+    cal = [r["mean_p_calibrated"] for r in rows]  # ordered by decile
+    assert all(x <= y + 1e-9 for x, y in zip(cal, cal[1:]))  # monotone
+    n = sum(r["n_docs"] for r in rows)
+    assert n > 0
+    for r in rows:
+        assert 0.0 <= r["frac_positive"] <= 1.0
+        assert 0.0 <= r["mean_p_calibrated"] <= 1.0

@@ -137,6 +137,8 @@ _API = {
     "cluster_silhouette_report": "operators.tsmining",
     "text_quality_classifier_auc": "operators.ml",
     "aft_session_lifetime": "operators.ml",
+    "cv_tune_quality_lr": "operators.ml",
+    "isotonic_calibration": "operators.ml",
     "stream_stream_left_outer_join": "streaming.jobs",
     "theta_forecast": "operators.forecast",
     "croston_forecast": "operators.forecast",

@@ -479,3 +479,168 @@ def aft_session_lifetime(events: DataFrame) -> dict:
         "mean_pred_ended": float(by_group.get(1, (0, 0.0))[1]),
         "mean_pred_censored": float(by_group.get(0, (0, 0.0))[1]),
     }
+
+
+def _quality_frame(docs: DataFrame) -> DataFrame:
+    """The N6 weak-label frame (tokens, engineered numerics, gate label)
+    shared by the classifier, the CV tuner, and the calibrator."""
+    return docs.select(
+        "doc_id",
+        F.split(F.col("text"), " ").alias("toks"),
+        F.expr("CAST(size(split(text, ' ')) AS DOUBLE)").alias("n_tok"),
+        F.expr(
+            "CAST(size(split(text, ' ')) AS DOUBLE)"
+            " * CAST(size(split(text, ' ')) AS DOUBLE)"
+        ).alias("n_tok_sq"),
+        F.expr(
+            "CAST(size(array_distinct(split(text, ' '))) AS DOUBLE)"
+            " / size(split(text, ' '))"
+        ).alias("distinct_ratio"),
+        F.expr(
+            "CAST(size(split(text, ' ')) BETWEEN 20 AND 80 "
+            "AND CAST(size(array_distinct(split(text, ' '))) AS DOUBLE)"
+            " / size(split(text, ' ')) >= 0.3 AS DOUBLE)"
+        ).alias("label"),
+    )
+
+
+def _quality_pipeline(num_features: int, reg_param: float):
+    from pyspark.ml import Pipeline
+    from pyspark.ml.classification import LogisticRegression
+    from pyspark.ml.feature import HashingTF, StandardScaler, VectorAssembler
+
+    return Pipeline(
+        stages=[
+            HashingTF(
+                inputCol="toks", outputCol="tf", numFeatures=num_features
+            ),
+            VectorAssembler(
+                inputCols=["tf", "n_tok", "n_tok_sq", "distinct_ratio"],
+                outputCol="raw",
+            ),
+            StandardScaler(inputCol="raw", outputCol="features"),
+            LogisticRegression(maxIter=60, regParam=reg_param),
+        ]
+    )
+
+
+def cv_tune_quality_lr(
+    docs: DataFrame,
+    reg_grid: tuple = (0.001, 0.1, 10.0),
+    n_folds: int = 3,
+    num_features: int = 1 << 15,
+) -> list[dict]:
+    """N8: hyperparameter tuning with DETERMINISTIC k-fold CV.
+
+    ``CrossValidator`` with ``foldCol`` = ``md5(doc_id) % n_folds`` — the
+    same lineage-stable split device as the N6 holdout, so every run and
+    every cluster layout trains on identical folds (MLlib's default
+    random folds are seed-stable but partitioning-sensitive; a foldCol is
+    a pure function of the data). Grid: LR regularization. Returns one
+    dict per grid point: {reg_param, avg_auc, is_best} — avg_auc is the
+    mean held-out-fold AUC, the quantity CV estimates.
+
+    Scale: each (fold, param) fit is an independent L-BFGS run over
+    fixed-width gradients; CrossValidator parallelizes fits, and nothing
+    but 2^15-wide gradient vectors is ever aggregated.
+    """
+    from pyspark.ml.evaluation import BinaryClassificationEvaluator
+    from pyspark.ml.tuning import CrossValidator, ParamGridBuilder
+
+    frame = _quality_frame(docs).withColumn(
+        "fold",
+        (
+            F.conv(
+                F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4),
+                16,
+                10,
+            ).cast("int")
+            % n_folds
+        ),
+    )
+    pipe = _quality_pipeline(num_features, reg_param=0.001)
+    lr = pipe.getStages()[-1]
+    grid = ParamGridBuilder().addGrid(lr.regParam, list(reg_grid)).build()
+    cv = CrossValidator(
+        estimator=pipe,
+        estimatorParamMaps=grid,
+        evaluator=BinaryClassificationEvaluator(metricName="areaUnderROC"),
+        numFolds=n_folds,
+        foldCol="fold",
+        parallelism=2,
+        seed=7,
+    )
+    model = cv.fit(frame)
+    metrics = [float(m) for m in model.avgMetrics]
+    best = max(range(len(metrics)), key=lambda i: metrics[i])
+    return [
+        {
+            "reg_param": float(reg_grid[i]),
+            "avg_auc": round(metrics[i], 4),
+            "is_best": i == best,
+        }
+        for i in range(len(reg_grid))
+    ]
+
+
+def isotonic_calibration(
+    docs: DataFrame,
+    num_features: int = 1 << 15,
+    split_mod: int = 5,
+    n_bins: int = 10,
+) -> DataFrame:
+    """N9: probability calibration of the N6 classifier with isotonic
+    regression (the standard post-hoc calibrator): fit LR on the train
+    split, score the held-out split, then fit ``IsotonicRegression``
+    label ~ p(score) — the monotone step function that maps raw scores to
+    calibrated frequencies. Report per-decile-of-score: mean predicted
+    probability, observed positive rate, and the isotonic fit — the
+    calibration-curve table (a well-calibrated model has all three
+    aligned; LR on separable weak labels is typically overconfident,
+    which the isotonic step function corrects).
+
+    Scale: LR as in N6; isotonic regression in MLlib sorts by feature and
+    runs the pool-adjacent-violators pass per partition + merge. The
+    report is a 10-row hash agg.
+    """
+    from pyspark.ml.functions import vector_to_array
+    from pyspark.ml.regression import IsotonicRegression
+
+    frame = _quality_frame(docs).withColumn(
+        "heldout",
+        F.conv(
+            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10
+        ).cast("long")
+        % split_mod
+        == 0,
+    )
+    train = frame.filter(~F.col("heldout"))
+    test = frame.filter(F.col("heldout"))
+    model = _quality_pipeline(num_features, reg_param=0.001).fit(train)
+    scored = model.transform(test).select(
+        "doc_id",
+        "label",
+        vector_to_array("probability")[1].alias("p_raw"),
+    )
+    iso = IsotonicRegression(
+        featuresCol="p_iso_feat", labelCol="label", predictionCol="p_cal"
+    )
+    from pyspark.ml.feature import VectorAssembler
+
+    with_feat = VectorAssembler(
+        inputCols=["p_raw"], outputCol="p_iso_feat"
+    ).transform(scored)
+    calibrated = iso.fit(with_feat).transform(with_feat)
+    bin_col = F.least(
+        F.floor(F.col("p_raw") * n_bins).cast("int"), F.lit(n_bins - 1)
+    )
+    return (
+        calibrated.groupBy(bin_col.alias("score_decile"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg("p_raw"), 4).alias("mean_p_raw"),
+            F.round(F.avg("label"), 4).alias("frac_positive"),
+            F.round(F.avg("p_cal"), 4).alias("mean_p_calibrated"),
+        )
+        .orderBy("score_decile")
+    )

@@ -2069,3 +2069,40 @@ def docs_multimodal_frame_sample(
         )
         .orderBy("doc_id")
     )
+
+
+@register(
+    "docs_quality_cv_tuning",
+    None,  # model tuning is not SQL-expressible → rows-only; grid/fold
+    # determinism + best-param recovery pinned in tests/test_ml.py
+    doc="N8 hyperparameter tuning with deterministic k-fold CV: "
+    "CrossValidator over the N6 quality pipeline with foldCol = "
+    "md5(doc_id) % 3 (folds are a pure function of the data — identical "
+    "on every run and cluster layout, unlike random folds) and an LR "
+    "regularization grid; one row per grid point with the mean "
+    "held-out-fold AUC and the selected best (operators/ml.py)",
+)
+def docs_quality_cv_tuning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from time_series_spark_spark.operators.ml import cv_tune_quality_lr
+
+    rows = cv_tune_quality_lr(load(spark, sf_dir, "documents"))
+    return spark.createDataFrame(
+        [(r["reg_param"], r["avg_auc"], r["is_best"]) for r in rows],
+        "reg_param double, avg_auc double, is_best boolean",
+    ).orderBy("reg_param")
+
+
+@register(
+    "docs_quality_calibration",
+    None,  # isotonic PAV fit is not SQL-expressible → rows-only;
+    # monotonicity + table-shape pinned in tests/test_ml.py
+    doc="N9 probability calibration: isotonic regression (pool-adjacent-"
+    "violators) fit on the N6 classifier's held-out scores — the "
+    "calibration-curve table per score decile: mean raw probability, "
+    "observed positive rate, and the monotone isotonic fit "
+    "(operators/ml.py::isotonic_calibration)",
+)
+def docs_quality_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from time_series_spark_spark.operators.ml import isotonic_calibration
+
+    return isotonic_calibration(load(spark, sf_dir, "documents"))
