@@ -368,3 +368,33 @@ def test_seasonal_ratio_anomaly_planted(spark):
         import shutil
 
         shutil.rmtree(d, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# theil_sen_trend
+# ---------------------------------------------------------------------------
+
+def test_theil_sen_recovers_slope_despite_outliers(spark):
+    from pyspark.sql import functions as F
+    from time_series_spark_spark.operators.analytics import theil_sen_trend
+
+    # y = 3x + 10 with two gross outliers: OLS would be wrecked,
+    # Theil-Sen (29% breakdown) must stay on the true line
+    pts = [(1, float(x), 3.0 * x + 10.0) for x in range(20)]
+    pts[5] = (1, 5.0, 500.0)
+    pts[12] = (1, 12.0, -400.0)
+    df = spark.createDataFrame(pts, "k int, x double, y double")
+    row = theil_sen_trend(df, "k", "x", "y").first()
+    assert abs(row["slope"] - 3.0) < 0.2
+    assert abs(row["intercept"] - 10.0) < 3.0
+    assert row["n_points"] == 20
+
+
+def test_theil_sen_exact_on_clean_line(spark):
+    from time_series_spark_spark.operators.analytics import theil_sen_trend
+
+    pts = [(7, float(x), -2.0 * x + 4.0) for x in range(10)]
+    df = spark.createDataFrame(pts, "k int, x double, y double")
+    row = theil_sen_trend(df, "k", "x", "y").first()
+    assert row["slope"] == -2.0
+    assert row["intercept"] == 4.0

@@ -50,6 +50,7 @@ _API = {
     "funnel": "operators.analytics",
     "lttb": "operators.analytics",
     "seasonal_decompose": "operators.analytics",
+    "theil_sen_trend": "operators.analytics",
     # time-series mining
     "m4_downsample": "operators.tsmining",
     "paa_sax": "operators.tsmining",

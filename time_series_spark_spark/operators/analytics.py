@@ -617,3 +617,80 @@ def lttb(
         F.timestamp_micros(F.col("__t")).alias(ts),
         F.col("__v").alias(value),
     )
+
+
+def theil_sen_trend(
+    df: DataFrame,
+    key_col: str,
+    x_col: str,
+    y_col: str,
+    out_dp: int = 4,
+) -> DataFrame:
+    """Theil–Sen robust trend per series: slope = median of all pairwise
+    slopes (y_j−y_i)/(x_j−x_i), intercept = median of (y_i − m·x_i) —
+    the 29.3%-breakdown-point trend estimator (Sen 1968), immune to the
+    outliers that wreck OLS on monitoring data.
+
+    Shape: one co-partitioned self-join per series key (pair count is
+    C(points,2) PER SERIES — bounded by series length², the caller's
+    resolution choice, never by corpus size), a median aggregate for the
+    slope, then one join back for the intercept residuals. All JVM-side;
+    the same single-key partitioning serves the join and both aggregates.
+
+    Output: ``key, slope, intercept, n_points`` (rounded).
+    """
+    from pyspark.sql.window import Window
+
+    def _median(frame: DataFrame, val: str, out: str) -> DataFrame:
+        # nearest-rank order statistic (ceil(n/2)-th value): the SELECTED
+        # ELEMENT is identical in both engines because the candidate
+        # values are — interpolated medians land a half-ulp apart across
+        # engines and flip the output rounding (SURVEY.md §5.1)
+        w = Window.partitionBy("k").orderBy(val)
+        ranked = frame.select("k", val).withColumn(
+            "rn", F.row_number().over(w)
+        ).withColumn("n", F.count(F.lit(1)).over(Window.partitionBy("k")))
+        return ranked.filter(
+            F.col("rn") == F.ceil(F.col("n") / 2.0).cast("long")
+        ).select("k", F.col(val).alias(out))
+
+    pts = df.select(
+        F.col(key_col).alias("k"),
+        F.col(x_col).alias("x"),
+        F.col(y_col).alias("y"),
+    )
+    a = pts.select("k", F.col("x").alias("xa"), F.col("y").alias("ya"))
+    b = pts.select("k", F.col("x").alias("xb"), F.col("y").alias("yb"))
+    pair_slopes = (
+        a.join(b, on="k")
+        .filter(F.col("xa") < F.col("xb"))
+        .select(
+            "k",
+            ((F.col("yb") - F.col("ya")) / (F.col("xb") - F.col("xa"))).alias(
+                "s"
+            ),
+        )
+    )
+    m = _median(pair_slopes, "s", "m")
+    resid = pts.join(m, on="k").select(
+        "k", "m", (F.col("y") - F.col("m") * F.col("x")).alias("r")
+    )
+    b0 = _median(resid, "r", "b0")
+    n = pts.groupBy("k").agg(F.count(F.lit(1)).alias("n_points"))
+    # +1e-9 before rounding: pairwise slopes are RATIONALS of 6dp
+    # numbers over small integer day gaps, so they land EXACTLY on 4dp
+    # half-boundaries, where Spark (HALF_UP on the exact binary
+    # expansion) and DuckDB (scaled nearbyint) disagree; the shift moves
+    # every half-case 1e-9 above the boundary in BOTH engines (the
+    # selected medians are bit-identical doubles), keeping rounding
+    # deterministic without changing any non-boundary digit
+    return (
+        m.join(b0, on="k")
+        .join(n, on="k")
+        .select(
+            F.col("k").alias(key_col),
+            F.round(F.col("m") + 1e-9, out_dp).alias("slope"),
+            F.round(F.col("b0") + 1e-9, out_dp).alias("intercept"),
+            "n_points",
+        )
+    )

@@ -2057,3 +2057,65 @@ def explain_analyze_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return explain_analyze(pipeline).orderBy("op_seq")
+
+
+@register(
+    "events_theil_sen_trend",
+    """
+    WITH daily AS (
+        SELECT user_id,
+               CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS x,
+               round(sum(value), 6) AS y
+        FROM events GROUP BY 1, 2
+    ),
+    pair AS (
+        SELECT a.user_id, (b.y - a.y) / (b.x - a.x) AS s
+        FROM daily a JOIN daily b
+          ON a.user_id = b.user_id AND a.x < b.x
+    ),
+    sr AS (
+        SELECT user_id, s,
+               row_number() OVER (PARTITION BY user_id ORDER BY s) AS rn,
+               count(*) OVER (PARTITION BY user_id) AS n
+        FROM pair
+    ),
+    m AS (
+        SELECT user_id, s AS m FROM sr
+        WHERE rn = CAST(ceil(n / 2.0) AS BIGINT)
+    ),
+    res AS (
+        SELECT d.user_id, m.m, d.y - m.m * d.x AS r
+        FROM daily d JOIN m ON d.user_id = m.user_id
+    ),
+    rr AS (
+        SELECT user_id, m, r,
+               row_number() OVER (PARTITION BY user_id ORDER BY r) AS rn,
+               count(*) OVER (PARTITION BY user_id) AS n
+        FROM res
+    ),
+    fit AS (
+        SELECT user_id, m, r AS b0, n AS n_points FROM rr
+        WHERE rn = CAST(ceil(n / 2.0) AS BIGINT)
+    )
+    SELECT user_id, round(m + 1e-9, 4) AS slope,
+           round(b0 + 1e-9, 4) AS intercept,
+           CAST(n_points AS BIGINT) AS n_points
+    FROM fit
+    """,
+    doc="Theil-Sen robust trend per user over daily value sums: slope = "
+    "median of C(days,2) pairwise slopes, intercept = median residual "
+    "(Sen 1968; 29% breakdown point vs OLS's 0) — one co-partitioned "
+    "self-join per series with pair count bounded by days² per user, "
+    "never corpus² (operators/analytics.py::theil_sen_trend). Day sums "
+    "are rounded before slope arithmetic, and both medians are "
+    "NEAREST-RANK order statistics — the selected element is identical "
+    "in both engines, where interpolated medians drift by ulps",
+)
+def events_theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from time_series_spark_spark.operators.analytics import theil_sen_trend
+
+    ev = load(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "user_id", F.unix_date(F.to_date("ts")).cast("long").alias("x")
+    ).agg(F.round(F.sum("value"), 6).alias("y"))
+    return theil_sen_trend(daily, "user_id", "x", "y")
