@@ -150,3 +150,31 @@ def test_compaction_query_covers_all_files(spark):
     assert pdf.n_files.sum() == 64
     assert len(pdf) > 1  # the adaptive cap produces real grouping
     assert (pdf.group_id == range(len(pdf))).all()
+
+
+# ---------------------------------------------------------------------------
+# check_constraints (Deequ-shape suite)
+# ---------------------------------------------------------------------------
+
+def test_check_constraints_single_scan_and_verdicts(spark):
+    from time_series_spark_spark.sources.quality import check_constraints
+
+    df = spark.createDataFrame(
+        [(1, "a"), (2, None), (-3, "c"), (4, "d")], "v int, s string"
+    )
+    rep = {
+        r["check_name"]: r
+        for r in check_constraints(
+            df,
+            [
+                ("v_positive", "v > 0", 1.0),
+                ("v_mostly_positive", "v > 0", 0.7),
+                ("s_not_null", "s IS NOT NULL", 1.0),
+            ],
+        ).collect()
+    }
+    assert rep["v_positive"]["n_pass"] == 3
+    assert not rep["v_positive"]["passed"]  # 0.75 < 1.0
+    assert rep["v_mostly_positive"]["passed"]  # 0.75 >= 0.7
+    assert rep["s_not_null"]["n_pass"] == 3 and not rep["s_not_null"]["passed"]
+    assert all(r["n_rows"] == 4 for r in rep.values())

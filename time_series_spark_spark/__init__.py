@@ -133,6 +133,7 @@ _API = {
     "ams_partials": "operators.sketches",
     "ams_join_size": "operators.sketches",
     "plan_compaction": "sources.quality",
+    "check_constraints": "sources.quality",
     "hurst_rs": "operators.tsmining",
     "shape_feature_vectors": "operators.tsmining",
     "cluster_silhouette_report": "operators.tsmining",

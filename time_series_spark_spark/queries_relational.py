@@ -1690,3 +1690,85 @@ def part_revenue_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
             "revenue_share"
         ),
     )
+
+
+@register(
+    "region_nations_listagg",
+    """
+    SELECT n_regionkey,
+           string_agg(n_name, ',' ORDER BY n_name) AS nation_csv,
+           CAST(count(*) AS BIGINT) AS n_nations
+    FROM nation GROUP BY n_regionkey
+    """,
+    doc="Spark 4 listagg / SQL:2016 LISTAGG ... WITHIN GROUP: ordered "
+    "string aggregation per group (DuckDB twin: string_agg with ORDER "
+    "BY) — the D8 collect-and-join pattern as the modern one-function "
+    "form; deterministic because WITHIN GROUP imposes a total order",
+)
+def region_nations_listagg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load(spark, sf_dir, "nation").createOrReplaceTempView("nation_la")
+    return spark.sql(
+        """
+        SELECT n_regionkey,
+               listagg(n_name, ',') WITHIN GROUP (ORDER BY n_name)
+                   AS nation_csv,
+               CAST(count(*) AS BIGINT) AS n_nations
+        FROM nation_la GROUP BY n_regionkey
+        """
+    )
+
+
+@register(
+    "orders_constraint_suite",
+    """
+    WITH base AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(CASE WHEN o_totalprice > 0 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS p_price,
+               CAST(sum(CASE WHEN o_orderdate IS NOT NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS p_date,
+               CAST(sum(CASE WHEN o_orderstatus IN ('O','F','P')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS p_status,
+               CAST(sum(CASE WHEN o_orderpriority LIKE '%-%'
+                    THEN 1 ELSE 0 END) AS BIGINT) AS p_priority
+        FROM orders
+    )
+    SELECT 'positive_total_price' AS check_name, n AS n_rows,
+           p_price AS n_pass, round(p_price / CAST(n AS DOUBLE), 6)
+               AS pass_ratio,
+           p_price / CAST(n AS DOUBLE) >= 1.0 AS passed
+    FROM base
+    UNION ALL
+    SELECT 'orderdate_not_null', n, p_date,
+           round(p_date / CAST(n AS DOUBLE), 6),
+           p_date / CAST(n AS DOUBLE) >= 1.0
+    FROM base
+    UNION ALL
+    SELECT 'status_in_domain', n, p_status,
+           round(p_status / CAST(n AS DOUBLE), 6),
+           p_status / CAST(n AS DOUBLE) >= 1.0
+    FROM base
+    UNION ALL
+    SELECT 'priority_has_dash', n, p_priority,
+           round(p_priority / CAST(n AS DOUBLE), 6),
+           p_priority / CAST(n AS DOUBLE) >= 0.95
+    FROM base
+    """,
+    doc="Declarative constraint suite (Deequ VerificationSuite shape): "
+    "four row-level checks over orders evaluated as conditional "
+    "aggregates in ONE scan — adding a check adds a counter, never a "
+    "pass; one report row per check with pass ratio and verdict "
+    "(sources/quality.py::check_constraints)",
+)
+def orders_constraint_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from time_series_spark_spark.sources.quality import check_constraints
+
+    return check_constraints(
+        load(spark, sf_dir, "orders"),
+        [
+            ("positive_total_price", "o_totalprice > 0", 1.0),
+            ("orderdate_not_null", "o_orderdate IS NOT NULL", 1.0),
+            ("status_in_domain", "o_orderstatus IN ('O','F','P')", 1.0),
+            ("priority_has_dash", "o_orderpriority LIKE '%-%'", 0.95),
+        ],
+    )

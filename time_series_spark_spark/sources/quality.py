@@ -171,3 +171,50 @@ def plan_compaction(
         bins[placed] -= size
         out.append((path, placed, size))
     return out
+
+
+def check_constraints(
+    df: DataFrame,
+    checks: list[tuple[str, str, float]],
+) -> DataFrame:
+    """Declarative data-quality constraint suite (the Deequ
+    ``VerificationSuite`` shape): ``checks`` is a list of
+    ``(name, sql_predicate, min_pass_ratio)``; every predicate is
+    evaluated as a conditional aggregate in ONE scan of ``df`` — adding a
+    check adds a counter, never a pass — and the report has one row per
+    check: rows, passes, pass ratio (6dp), and the verdict against its
+    threshold.
+
+    Predicates are row-level SQL boolean expressions (NULL counts as a
+    failure, as Deequ does). Cross-table checks (referential integrity)
+    don't fit a single-scan aggregate — run them as their own anti-join
+    count and union the report rows.
+    """
+    aggs = []
+    for name, pred, _ in checks:
+        aggs.append(
+            F.sum(
+                F.when(F.expr(pred), F.lit(1)).otherwise(F.lit(0))
+            ).alias(f"__pass_{name}")
+        )
+    aggs.append(F.count(F.lit(1)).alias("__n"))
+    row = df.agg(*aggs)
+    reports = []
+    for name, _, min_ratio in checks:
+        reports.append(
+            row.select(
+                F.lit(name).alias("check_name"),
+                F.col("__n").cast("long").alias("n_rows"),
+                F.col(f"__pass_{name}").cast("long").alias("n_pass"),
+                F.round(F.col(f"__pass_{name}") / F.col("__n"), 6).alias(
+                    "pass_ratio"
+                ),
+                (
+                    F.col(f"__pass_{name}") / F.col("__n") >= F.lit(min_ratio)
+                ).alias("passed"),
+            )
+        )
+    out = reports[0]
+    for r in reports[1:]:
+        out = out.unionAll(r)
+    return out
