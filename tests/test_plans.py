@@ -438,3 +438,14 @@ def test_explain_analyze_deterministic(spark):
     b = [tuple(r) for r in fn(spark, "/root/testdata/sf0.001").collect()]
     assert a == b
     assert len(a) >= 4  # scan x2, join, agg at minimum
+
+
+def test_merge_hint_forces_sort_merge_join(spark):
+    from time_series_spark_spark.queries import REGISTRY
+
+    df = REGISTRY["supplier_order_counts_merge_join"].fn(
+        spark, "/root/testdata/sf0.001"
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" in plan
+    assert "BroadcastHashJoin" not in plan

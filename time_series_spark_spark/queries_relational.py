@@ -1772,3 +1772,34 @@ def orders_constraint_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
             ("priority_has_dash", "o_orderpriority LIKE '%-%'", 0.95),
         ],
     )
+
+
+@register(
+    "supplier_order_counts_merge_join",
+    """
+    SELECT s.s_suppkey, s.s_name,
+           CAST(count(l.l_orderkey) AS BIGINT) AS n_lineitems,
+           round(sum(COALESCE(l.l_extendedprice, 0)), 2) AS total_price
+    FROM supplier s LEFT JOIN lineitem l ON l.l_suppkey = s.s_suppkey
+    GROUP BY s.s_suppkey, s.s_name
+    """,
+    doc="Join-strategy control: the same left join FORCED onto "
+    "sort-merge with the MERGE hint (supplier is broadcast-sized, so "
+    "Catalyst would otherwise pick BroadcastHashJoin) — the knob used "
+    "at 100 TB when the 'small' side outgrows driver memory or a "
+    "broadcast storm must be avoided; tests/test_plans.py pins "
+    "SortMergeJoin in the physical plan while the oracle proves the "
+    "result is strategy-invariant",
+)
+def supplier_order_counts_merge_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    supp = load(spark, sf_dir, "supplier")
+    li = load(spark, sf_dir, "lineitem")
+    joined = supp.hint("merge").join(
+        li, li.l_suppkey == supp.s_suppkey, "left"
+    )
+    return joined.groupBy("s_suppkey", "s_name").agg(
+        F.count("l_orderkey").alias("n_lineitems"),
+        F.round(F.sum(F.coalesce(F.col("l_extendedprice"), F.lit(0.0))), 2).alias(
+            "total_price"
+        ),
+    )
