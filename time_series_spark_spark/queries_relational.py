@@ -1803,3 +1803,38 @@ def supplier_order_counts_merge_join(spark: SparkSession, sf_dir: str) -> DataFr
             "total_price"
         ),
     )
+
+
+@register(
+    "orders_pivot_sql",
+    """
+    SELECT o_orderpriority,
+           CAST(COALESCE(sum(CASE WHEN o_orderstatus = 'O' THEN 1 END), 0)
+                AS BIGINT) AS st_open,
+           CAST(COALESCE(sum(CASE WHEN o_orderstatus = 'F' THEN 1 END), 0)
+                AS BIGINT) AS st_filled,
+           CAST(COALESCE(sum(CASE WHEN o_orderstatus = 'P' THEN 1 END), 0)
+                AS BIGINT) AS st_partial
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+    doc="SQL PIVOT clause (the syntax form of D12's DataFrame pivot): "
+    "order counts by priority pivoted across the status domain — "
+    "Catalyst rewrites PIVOT into exactly the conditional-aggregate "
+    "plan the oracle states explicitly, one hash aggregate wide",
+)
+def orders_pivot_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load(spark, sf_dir, "orders").createOrReplaceTempView("orders_pv")
+    return spark.sql(
+        """
+        SELECT o_orderpriority,
+               CAST(COALESCE(st_open, 0) AS BIGINT) AS st_open,
+               CAST(COALESCE(st_filled, 0) AS BIGINT) AS st_filled,
+               CAST(COALESCE(st_partial, 0) AS BIGINT) AS st_partial
+        FROM (SELECT o_orderpriority, o_orderstatus FROM orders_pv)
+        PIVOT (
+            count(*) FOR o_orderstatus
+            IN ('O' AS st_open, 'F' AS st_filled, 'P' AS st_partial)
+        )
+        """
+    )
