@@ -300,3 +300,43 @@ def test_asof_join_nearest_tie_and_tolerance(spark):
     }
     assert with_tol[(2, ts(50))] is None  # 4950s away > tolerance
     assert with_tol[(1, ts(100))] == 90.0
+
+
+def test_sliding_hll_within_error_of_exact(spark):
+    from pyspark.sql import functions as F
+
+    from time_series_spark_spark.queries import REGISTRY
+    from time_series_spark_spark.sources.io import load
+
+    sf = "/root/testdata/sf0.01"
+    approx = {
+        r["d"]: r["users_7d_approx"]
+        for r in REGISTRY["events_sliding_hll_users"].fn(spark, sf).collect()
+    }
+    ev = load(spark, sf, "events").select(
+        F.to_date("ts").alias("d"), "user_id"
+    )
+    days = [r["d"] for r in ev.select("d").distinct().orderBy("d").collect()]
+    import datetime
+
+    for d in days:
+        lo = d - datetime.timedelta(days=6)
+        exact = (
+            ev.filter((F.col("d") >= F.lit(lo)) & (F.col("d") <= F.lit(d)))
+            .select("user_id")
+            .distinct()
+            .count()
+        )
+        got = approx[d]
+        assert abs(got - exact) <= max(3, 0.1 * exact), (d, got, exact)
+
+
+def test_sliding_hll_layout_invariant(spark):
+    from time_series_spark_spark.queries import REGISTRY
+    from time_series_spark_spark.sources.io import load
+
+    sf = "/root/testdata/sf0.001"
+    fn = REGISTRY["events_sliding_hll_users"].fn
+    a = [tuple(r) for r in fn(spark, sf).collect()]
+    b = [tuple(r) for r in fn(spark, sf).collect()]
+    assert a == b

@@ -792,3 +792,37 @@ def events_trailing_7d_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "d", F.col("users_7d")
     ).orderBy("d")
+
+
+@register(
+    "events_sliding_hll_users",
+    None,  # Apache DataSketches HLL binary sketches are engine-specific
+    # → rows-only; error vs the exact F15 path bounded in pytest
+    doc="F15's scale path: 7-day sliding APPROXIMATE distinct users via "
+    "the built-in DataSketches HLL — one hash agg reduces each day to a "
+    "fixed-size sketch (hll_sketch_agg), then hll_union_agg runs as a "
+    "WINDOW aggregate over the bounded 7-row frame and "
+    "hll_sketch_estimate reads the count. The window moves only "
+    "kilobyte sketches, never user ids — at 100 TB the exact sliding "
+    "COUNT(DISTINCT) re-shuffles every id into every window position "
+    "while this ships 7 sketches per day; register-max union is "
+    "order-independent, so the estimate is deterministic and "
+    "partition-layout-invariant",
+)
+def events_sliding_hll_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    daily = ev.groupBy(F.to_date("ts").alias("d")).agg(
+        F.expr("hll_sketch_agg(user_id)").alias("sk")
+    )
+    daily.createOrReplaceTempView("daily_hll_sk")
+    return spark.sql(
+        """
+        SELECT d,
+               CAST(hll_sketch_estimate(
+                   hll_union_agg(sk) OVER (
+                       ORDER BY d ROWS BETWEEN 6 PRECEDING AND CURRENT ROW
+                   )) AS BIGINT) AS users_7d_approx
+        FROM daily_hll_sk
+        ORDER BY d
+        """
+    )
