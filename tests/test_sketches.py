@@ -387,3 +387,67 @@ def test_ams_join_size_deterministic(spark):
     b = fn(spark, SF).collect()[0]
     assert a == b
     assert a["rel_err"] < 0.75
+
+
+# ---------------------------------------------------------------------------
+# Frequent Directions
+# ---------------------------------------------------------------------------
+
+def _sketch_matrix(spark, df, **kw):
+    import numpy as np
+
+    from time_series_spark_spark.operators.sketches import frequent_directions
+
+    rows = frequent_directions(df, return_rows=True, **kw).collect()
+    return np.array([list(r["row"]) for r in rows])
+
+
+def test_fd_covariance_error_bound_on_real_embeddings(spark):
+    import numpy as np
+
+    from time_series_spark_spark.sources.io import load
+
+    emb = load(spark, "/root/testdata/sf0.01", "embeddings")
+    A = np.array(
+        [list(r["embedding"]) for r in emb.select("embedding").collect()],
+        dtype=float,
+    )
+    B = _sketch_matrix(spark, emb, ell=16)
+    err = np.linalg.norm(A.T @ A - B.T @ B, 2)
+    fro2 = (A**2).sum()
+    assert err <= fro2 / 16 + 1e-6  # the Liberty guarantee, merged partials
+
+
+def test_fd_recovers_planted_low_rank_subspace(spark):
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    d, n = 16, 240
+    u1, u2 = np.zeros(d), np.zeros(d)
+    u1[0] = 1.0
+    u2[1] = 1.0
+    A = (
+        np.outer(rng.randn(n) * 10, u1)
+        + np.outer(rng.randn(n) * 6, u2)
+        + rng.randn(n, d) * 0.01
+    )
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in A[i]]) for i in range(n)],
+        "vec_id long, embedding array<double>",
+    )
+    B = _sketch_matrix(spark, df, ell=8)
+    # top-2 right singular directions of the sketch span the planted plane
+    _, _, vt = np.linalg.svd(B, full_matrices=False)
+    for u in (u1, u2):
+        proj = np.linalg.norm(vt[:2] @ u)
+        assert proj > 0.99, proj
+
+
+def test_fd_deterministic(spark):
+    from time_series_spark_spark.queries import REGISTRY
+
+    fn = REGISTRY["emb_frequent_directions"].fn
+    a = [tuple(r) for r in fn(spark, "/root/testdata/sf0.001").collect()]
+    b = [tuple(r) for r in fn(spark, "/root/testdata/sf0.001").collect()]
+    assert a == b
+    assert len(a) == 16

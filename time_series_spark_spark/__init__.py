@@ -132,6 +132,7 @@ _API = {
     # round 5
     "ams_partials": "operators.sketches",
     "ams_join_size": "operators.sketches",
+    "frequent_directions": "operators.sketches",
     "plan_compaction": "sources.quality",
     "check_constraints": "sources.quality",
     "hurst_rs": "operators.tsmining",

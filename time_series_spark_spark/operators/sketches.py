@@ -537,3 +537,98 @@ def ams_join_size(
         .filter(F.col("rnk") == mid)
         .select(F.round(F.col("m"), 2).alias("join_size_estimate"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Frequent Directions (mergeable matrix / covariance sketch)
+# ---------------------------------------------------------------------------
+
+def _fd_reduce(mat, ell: int):
+    """One FD shrinkage step: (m, d) → (ell, d) with the Liberty (KDD'13)
+    guarantee machinery — SVD, subtract σ_ell² from every squared
+    singular value, keep the top ell rows of diag(σ̃)·Vᵀ."""
+    import numpy as np
+
+    if mat.shape[0] <= ell:
+        return mat
+    _, s, vt = np.linalg.svd(mat, full_matrices=False)
+    k = min(ell, len(s))
+    delta = s[k - 1] ** 2
+    s_shrunk = np.sqrt(np.maximum(s[:k] ** 2 - delta, 0.0))
+    return s_shrunk[:, None] * vt[:k]
+
+
+def frequent_directions(
+    emb: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    ell: int = 16,
+    n_partitions: int = 4,
+    return_rows: bool = False,
+) -> DataFrame:
+    """Frequent Directions matrix sketch (Liberty KDD'13; Ghashami et al.
+    SICOMP'16): a deterministic, MERGEABLE ℓ×d sketch B of the n×d
+    embedding matrix A with ‖AᵀA − BᵀB‖₂ ≤ ‖A‖F²/ℓ — the streaming/
+    distributed answer to "approximate the covariance/top singular
+    directions without materializing AᵀA or shuffling A".
+
+    Shape: per-partition FD partials via ``mapInPandas`` (each task
+    touches only its rows and keeps O(ℓ·d) state), then ONE final
+    single-task merge pass over the n_partitions·ℓ partial rows — the
+    FD merge theorem says sketch-of-concatenated-sketches keeps the
+    bound, which is what makes this a sketch and not just a local
+    factorization. ``repartitionByRange`` + in-partition sort make the
+    partial composition (and hence the exact sketch values)
+    deterministic and layout-invariant.
+
+    Output: ``rank, sigma`` — the sketch's singular values (row norms of
+    B), the spectrum estimate used to size IVF cells / PCA dims before
+    any exact pass. At 100 TB: partials are embarrassingly parallel;
+    the merge input is n_partitions·ℓ rows regardless of n.
+    """
+    import numpy as np
+    import pandas as pd
+
+    d_dim = len(emb.select(vec_col).first()[0])
+
+    def _partial(batches):
+        buf = np.zeros((0, d_dim))
+        for pdf in batches:
+            rows = np.array([list(v) for v in pdf["v"]], dtype=float)
+            if len(rows):
+                buf = _fd_reduce(np.vstack([buf, rows]), 2 * ell)
+        out = _fd_reduce(buf, ell)
+        yield pd.DataFrame({"row": [list(map(float, r)) for r in out]})
+
+    partials = (
+        emb.repartitionByRange(n_partitions, id_col)
+        .sortWithinPartitions(id_col)
+        .select(F.col(vec_col).alias("v"))
+        .mapInPandas(_partial, schema="row array<double>")
+    )
+
+    def _merge(batches):
+        rows = []
+        for pdf in batches:
+            rows.extend(list(r) for r in pdf["row"])
+        b = _fd_reduce(np.array(rows, dtype=float), ell)
+        sig = np.sqrt((b**2).sum(axis=1))
+        order = np.argsort(-sig)
+        if return_rows:
+            yield pd.DataFrame(
+                {"row": [list(map(float, b[i])) for i in order]}
+            )
+        else:
+            yield pd.DataFrame(
+                {
+                    "rank": range(len(order)),
+                    "sigma": [float(sig[i]) for i in order],
+                }
+            )
+
+    merged = partials.repartition(1)
+    if return_rows:
+        return merged.mapInPandas(_merge, schema="row array<double>")
+    return merged.mapInPandas(
+        _merge, schema="rank int, sigma double"
+    ).select("rank", F.round("sigma", 4).alias("sigma"))

@@ -260,3 +260,21 @@ def orders_lineitem_ams_join_size(
             F.abs(F.col("join_size_estimate") - exact) / exact, 4
         ).alias("rel_err"),
     )
+
+
+@register(
+    "emb_frequent_directions",
+    None,  # matrix sketching is not SQL-expressible → rows-only;
+    # the covariance error bound and low-rank recovery are pinned in
+    # tests/test_sketches.py
+    doc="D24 Frequent Directions matrix sketch over the embedding table "
+    "(Liberty KDD'13): mergeable 16×64 sketch with ||A'A - B'B||_2 <= "
+    "||A||_F^2/16 — per-partition mapInPandas partials (O(ell*d) state "
+    "per task), one bounded merge pass over n_partitions*ell rows, "
+    "deterministic via range-repartition + in-partition sort; output is "
+    "the sketched spectrum (operators/sketches.py::frequent_directions)",
+)
+def emb_frequent_directions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from time_series_spark_spark.operators.sketches import frequent_directions
+
+    return frequent_directions(load(spark, sf_dir, "embeddings"))
