@@ -1838,3 +1838,116 @@ def orders_pivot_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         """
     )
+
+
+@register(
+    "lineitem_weighted_median_price",
+    """
+    WITH w AS (
+        SELECT l_returnflag,
+               round(l_extendedprice, 2) AS price,
+               CAST(l_quantity AS BIGINT) AS wt,
+               l_orderkey, l_linenumber
+        FROM lineitem
+    ),
+    c AS (
+        SELECT l_returnflag, price, wt, l_orderkey, l_linenumber,
+               sum(wt) OVER (PARTITION BY l_returnflag
+                             ORDER BY price, l_orderkey, l_linenumber
+                             ROWS UNBOUNDED PRECEDING) AS cum,
+               sum(wt) OVER (PARTITION BY l_returnflag) AS total
+        FROM w
+    ),
+    qualified AS (
+        SELECT l_returnflag, price,
+               row_number() OVER (PARTITION BY l_returnflag
+                                  ORDER BY price, l_orderkey, l_linenumber)
+                   AS rn
+        FROM c WHERE 2 * cum >= total
+    )
+    SELECT l_returnflag, price AS weighted_median_price
+    FROM qualified WHERE rn = 1
+    """,
+    doc="Weighted median (quantity-weighted median extended price per "
+    "return flag): cumulative-weight nearest-rank — the first value "
+    "whose running weight reaches half the total under a TOTAL order "
+    "(price, orderkey, linenumber), so both engines select the identical "
+    "element; integer weights keep the running sums exact. One window "
+    "pass + one filter on the same partitioning",
+)
+def lineitem_weighted_median_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        F.round("l_extendedprice", 2).alias("price"),
+        F.col("l_quantity").cast("long").alias("wt"),
+        "l_orderkey",
+        "l_linenumber",
+    )
+    order = ["price", "l_orderkey", "l_linenumber"]
+    wc = (
+        Window.partitionBy("l_returnflag")
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    c = li.withColumn("cum", F.sum("wt").over(wc)).withColumn(
+        "total", F.sum("wt").over(Window.partitionBy("l_returnflag"))
+    )
+    rn = F.row_number().over(
+        Window.partitionBy("l_returnflag").orderBy(*order)
+    )
+    return (
+        c.filter(2 * F.col("cum") >= F.col("total"))
+        .withColumn("rn", rn)
+        .filter(F.col("rn") == 1)
+        .select(
+            "l_returnflag", F.col("price").alias("weighted_median_price")
+        )
+    )
+
+
+@register(
+    "users_mode_event_type",
+    """
+    WITH counts AS (
+        SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS n
+        FROM events GROUP BY 1, 2
+    ),
+    ranked AS (
+        SELECT user_id, event_type, n,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY n DESC, event_type) AS rn
+        FROM counts
+    )
+    SELECT user_id, event_type AS mode_type, n AS n_occurrences
+    FROM ranked WHERE rn = 1
+    """,
+    doc="Deterministic MODE per group: most frequent event type per user "
+    "with ties broken lexicographically — the count+rank idiom instead "
+    "of the built-in mode() whose tie choice is partition-order-"
+    "dependent (the determinism rule that makes the aggregate "
+    "oracle-checkable and layout-invariant)",
+)
+def users_mode_event_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    counts = (
+        load(spark, sf_dir, "events")
+        .groupBy("user_id", "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    rn = F.row_number().over(
+        Window.partitionBy("user_id").orderBy(
+            F.desc("n"), F.col("event_type")
+        )
+    )
+    return (
+        counts.withColumn("rn", rn)
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            F.col("event_type").alias("mode_type"),
+            F.col("n").alias("n_occurrences"),
+        )
+    )

@@ -826,3 +826,32 @@ def events_sliding_hll_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY d
         """
     )
+
+
+@register(
+    "events_local_date_nyc",
+    """
+    SELECT CAST(CAST(CAST(ts AS TIMESTAMP) AT TIME ZONE 'UTC'
+                AT TIME ZONE 'America/New_York' AS DATE) AS TIMESTAMP)
+               AS local_date,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM events
+    GROUP BY 1
+    """,
+    doc="Local-time bucketing: events grouped by their America/New_York "
+    "calendar date (convert_timezone from the UTC-normalized instant, "
+    "then to_date) — the DST-correct way to bucket a global event "
+    "stream into a market's business days; the oracle states the same "
+    "conversion with AT TIME ZONE, proving the engines agree across the "
+    "UTC-midnight boundary rows",
+)
+def events_local_date_nyc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    local_date = F.to_date(
+        F.convert_timezone(F.lit("UTC"), F.lit("America/New_York"), "ts")
+    ).cast("timestamp")
+    return ev.groupBy(local_date.alias("local_date")).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.countDistinct("user_id").alias("n_users"),
+    )
