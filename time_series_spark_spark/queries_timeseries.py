@@ -855,3 +855,47 @@ def events_local_date_nyc(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_events"),
         F.countDistinct("user_id").alias("n_users"),
     )
+
+
+@register(
+    "event_type_corr_matrix",
+    """
+    WITH daily AS (
+        SELECT CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS TIMESTAMP)
+                   AS d,
+               event_type, sum(value) AS v
+        FROM events GROUP BY 1, 2
+    ),
+    pairs AS (
+        SELECT a.event_type AS type_a, b.event_type AS type_b,
+               corr(a.v, b.v) AS c
+        FROM daily a JOIN daily b ON a.d = b.d
+          AND a.event_type < b.event_type
+        GROUP BY 1, 2
+    )
+    SELECT type_a, type_b, round(c, 4) AS pearson_r
+    FROM pairs
+    """,
+    doc="Pairwise Pearson correlation matrix of the per-type daily value "
+    "series (upper triangle): one day-grain aggregate, a self-join on "
+    "the day key ordered by type, and corr() per pair — the cross-metric "
+    "dependence scan run before factor analysis; the day-grain reduce "
+    "means the join moves days x types rows, never raw events",
+)
+def event_type_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.date_trunc("day", "ts").alias("d"), "event_type"
+    ).agg(F.sum("value").alias("v"))
+    a = daily.select(
+        "d", F.col("event_type").alias("type_a"), F.col("v").alias("va")
+    )
+    b = daily.select(
+        "d", F.col("event_type").alias("type_b"), F.col("v").alias("vb")
+    )
+    return (
+        a.join(b, on="d")
+        .filter(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(F.round(F.corr("va", "vb"), 4).alias("pearson_r"))
+    )
