@@ -398,3 +398,48 @@ def test_theil_sen_exact_on_clean_line(spark):
     row = theil_sen_trend(df, "k", "x", "y").first()
     assert row["slope"] == -2.0
     assert row["intercept"] == 4.0
+
+
+# ---------------------------------------------------------------------------
+# markov_attribution
+# ---------------------------------------------------------------------------
+
+def test_markov_attribution_closed_form(spark):
+    from time_series_spark_spark.operators.analytics import (
+        markov_attribution,
+    )
+
+    rows = [(["A"], True)] * 10 + [(["B"], False)] * 10
+    df = spark.createDataFrame(rows, "path array<string>, converted boolean")
+    pdf = markov_attribution(df).set_index("channel")
+    # only A ever converts: removing it kills all conversions
+    assert pdf.loc["A", "removal_effect"] == 1.0
+    assert pdf.loc["B", "removal_effect"] == 0.0
+    assert pdf.loc["A", "attribution"] == 1.0
+
+
+def test_markov_attribution_shared_path_splits_credit(spark):
+    from time_series_spark_spark.operators.analytics import (
+        markov_attribution,
+    )
+
+    # every converting journey passes through BOTH A and B in order:
+    # each is individually necessary, so removal effects are equal
+    rows = [(["A", "B"], True)] * 8 + [(["A"], False)] * 4
+    df = spark.createDataFrame(rows, "path array<string>, converted boolean")
+    pdf = markov_attribution(df).set_index("channel")
+    assert pdf.loc["A", "removal_effect"] == 1.0  # all paths start at A
+    assert pdf.loc["B", "removal_effect"] == 1.0  # conversion needs B
+    assert abs(pdf["attribution"].sum() - 1.0) < 1e-6
+
+
+def test_markov_attribution_registered_query(spark):
+    from time_series_spark_spark.queries import REGISTRY
+
+    fn = REGISTRY["purchase_attribution_markov"].fn
+    a = [tuple(r) for r in fn(spark, "/root/testdata/sf0.001").collect()]
+    b = [tuple(r) for r in fn(spark, "/root/testdata/sf0.001").collect()]
+    assert a == b
+    att = sum(r[2] for r in a)
+    assert abs(att - 1.0) < 1e-3
+    assert all(0.0 <= r[1] <= 1.0 for r in a)

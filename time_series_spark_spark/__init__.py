@@ -51,6 +51,7 @@ _API = {
     "lttb": "operators.analytics",
     "seasonal_decompose": "operators.analytics",
     "theil_sen_trend": "operators.analytics",
+    "markov_attribution": "operators.analytics",
     # time-series mining
     "m4_downsample": "operators.tsmining",
     "paa_sax": "operators.tsmining",

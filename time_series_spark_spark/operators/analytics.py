@@ -694,3 +694,96 @@ def theil_sen_trend(
             "n_points",
         )
     )
+
+
+def markov_attribution(
+    paths: DataFrame,
+    channels_col: str = "path",
+    converted_col: str = "converted",
+) -> pd.DataFrame:
+    """Markov-chain attribution by removal effects (Anderl et al. 2016):
+    credit each channel by how much total conversion probability drops
+    when that channel is deleted from the transition graph.
+
+    Input: one row per journey — an ORDERED array of channel touches and
+    a conversion flag. The journey corpus reduces to first-order
+    transition counts with one explode + hash aggregation (states are
+    the channel vocabulary + start/conv/null, so the matrix is bounded
+    by channels², never journeys). The absorption solve — P(conv from
+    start) = solving (I − Q)x = R_conv on the tiny dense matrix — runs
+    on the driver over the COLLECTED transition matrix (channels² cells,
+    the same bounded-scalar discipline as connected_components'
+    convergence check), once per channel removal.
+
+    Removal of channel c follows the standard convention: transitions
+    into c are redirected to the null absorber (the journey dies where
+    the deleted touchpoint was), transitions out of c are dropped with
+    the state. Returns a pandas frame: channel, removal_effect,
+    attribution (removal effects normalized to sum 1).
+    """
+    import numpy as np
+
+    trans = (
+        paths.select(
+            F.concat(
+                F.array(F.lit("start")),
+                F.col(channels_col),
+                F.array(
+                    F.when(F.col(converted_col), F.lit("conv")).otherwise(
+                        F.lit("null")
+                    )
+                ),
+            ).alias("seq")
+        )
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(slice(seq, 1, size(seq) - 1),"
+                    " (s, i) -> struct(s AS src, seq[i + 1] AS dst))"
+                )
+            ).alias("t")
+        )
+        .groupBy(F.col("t.src").alias("src"), F.col("t.dst").alias("dst"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    ).collect()  # bounded: (channels + 3)^2 rows
+
+    states = sorted(
+        {r["src"] for r in trans} | {r["dst"] for r in trans}
+        | {"conv", "null"}
+    )
+    idx = {s: i for i, s in enumerate(states)}
+    counts = np.zeros((len(states), len(states)))
+    for r in trans:
+        counts[idx[r["src"]], idx[r["dst"]]] += r["n"]
+
+    def conv_prob(removed: str | None) -> float:
+        c = counts.copy()
+        if removed is not None:
+            ri = idx[removed]
+            c[:, idx["null"]] += c[:, ri]  # into c -> journey dies
+            c[:, ri] = 0.0
+            c[ri, :] = 0.0
+        absorbing = {idx["conv"], idx["null"]}
+        transient = [i for i in range(len(states)) if i not in absorbing]
+        row_sums = c[transient].sum(axis=1, keepdims=True)
+        safe = np.where(row_sums > 0, row_sums, 1.0)
+        P = c[transient] / safe
+        Q = P[:, transient]
+        r_conv = P[:, idx["conv"]]
+        x = np.linalg.solve(np.eye(len(transient)) - Q, r_conv)
+        return float(x[transient.index(idx["start"])])
+
+    base = conv_prob(None)
+    channels = [s for s in states if s not in {"start", "conv", "null"}]
+    effects = {
+        ch: max(0.0, 1.0 - (conv_prob(ch) / base if base > 0 else 0.0))
+        for ch in channels
+    }
+    total = sum(effects.values()) or 1.0
+    return pd.DataFrame(
+        {
+            "channel": channels,
+            "removal_effect": [round(effects[c], 6) for c in channels],
+            "attribution": [round(effects[c] / total, 6) for c in channels],
+        }
+    )

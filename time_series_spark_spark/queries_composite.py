@@ -528,3 +528,60 @@ def training_data_pipeline_report(
     deduped.unpersist()
     near.unpersist()
     return spark.createDataFrame(rows, result.schema)
+
+
+@register(
+    "purchase_attribution_markov",
+    None,  # the absorbing-chain solve (matrix inverse) is not
+    # SQL-expressible → rows-only; closed-form chains + sum-to-one +
+    # deterministic pinned in tests/test_analytics.py
+    doc="Markov-chain attribution by removal effects (Anderl et al. "
+    "2016), the model-based counterpart of last-touch: per-user "
+    "sessions become ordered non-purchase touch paths labeled by "
+    "whether the session converted; paths reduce to a bounded "
+    "channels² transition matrix with one explode + hash agg, and the "
+    "absorbing-chain solve P(conv) with/without each channel runs on "
+    "the driver over the collected matrix (the bounded-scalar "
+    "discipline). Output: per-channel removal effect + normalized "
+    "attribution (operators/analytics.py::markov_attribution)",
+)
+def purchase_attribution_markov(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    from time_series_spark_spark.operators.analytics import (
+        markov_attribution,
+    )
+    from time_series_spark_spark.operators.timeseries import sessionize
+    from time_series_spark_spark.queries_timeseries import _events
+
+    ev = _events(spark, sf_dir)
+    sess = sessionize(ev, "user_id", "ts", gap_seconds=1800)
+    w = Window.partitionBy("user_id", "session_id").orderBy(
+        "ts", "event_id"
+    )
+    paths = (
+        sess.withColumn("rn", F.row_number().over(w))
+        .groupBy("user_id", "session_id")
+        .agg(
+            F.array_sort(
+                F.collect_list(
+                    F.when(
+                        F.col("event_type") != "purchase",
+                        F.struct("rn", "event_type"),
+                    )
+                )
+            ).alias("touches"),
+            F.max(
+                (F.col("event_type") == "purchase").cast("int")
+            ).alias("conv"),
+        )
+        .select(
+            F.expr("transform(touches, t -> t.event_type)").alias("path"),
+            (F.col("conv") == 1).alias("converted"),
+        )
+        .filter(F.size("path") > 0)
+    )
+    pdf = markov_attribution(paths)
+    return spark.createDataFrame(
+        pdf, "channel string, removal_effect double, attribution double"
+    ).orderBy("channel")
