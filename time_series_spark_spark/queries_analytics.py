@@ -2119,3 +2119,136 @@ def events_theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id", F.unix_date(F.to_date("ts")).cast("long").alias("x")
     ).agg(F.round(F.sum("value"), 6).alias("y"))
     return theil_sen_trend(daily, "user_id", "x", "y")
+
+
+@register(
+    "events_diff_in_diff",
+    """
+    WITH cells AS (
+        SELECT CAST(user_id % 2 AS INT) AS grp,
+               CASE WHEN CAST(ts AS TIMESTAMP) >= TIMESTAMP '2024-01-16'
+                    THEN 1 ELSE 0 END AS post,
+               avg(value) AS mean_v,
+               CAST(count(*) AS BIGINT) AS n
+        FROM events GROUP BY 1, 2
+    ),
+    wide AS (
+        SELECT
+            max(CASE WHEN grp = 1 AND post = 1 THEN mean_v END) AS t_post,
+            max(CASE WHEN grp = 1 AND post = 0 THEN mean_v END) AS t_pre,
+            max(CASE WHEN grp = 0 AND post = 1 THEN mean_v END) AS c_post,
+            max(CASE WHEN grp = 0 AND post = 0 THEN mean_v END) AS c_pre,
+            CAST(sum(n) AS BIGINT) AS n_events
+        FROM cells
+    )
+    SELECT round(t_pre, 4) AS treat_pre, round(t_post, 4) AS treat_post,
+           round(c_pre, 4) AS ctrl_pre, round(c_post, 4) AS ctrl_post,
+           round((t_post - t_pre) - (c_post - c_pre), 4) AS did_estimate,
+           n_events
+    FROM wide
+    """,
+    doc="Difference-in-differences: treatment (user parity) vs control "
+    "means across a fixed pre/post split of the corpus month — the "
+    "causal-inference baseline when assignment isn't randomized per "
+    "exposure; ONE hash aggregate over (group, period) cells, then "
+    "scalar arithmetic. The parallel-trends subtraction removes any "
+    "group-level level difference",
+)
+def events_diff_in_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    cells = ev.groupBy(
+        (F.col("user_id") % 2).cast("int").alias("grp"),
+        (F.col("ts") >= F.lit("2024-01-16").cast("timestamp"))
+        .cast("int")
+        .alias("post"),
+    ).agg(F.avg("value").alias("mean_v"), F.count(F.lit(1)).alias("n"))
+    pick = lambda g, p: F.max(  # noqa: E731
+        F.when((F.col("grp") == g) & (F.col("post") == p), F.col("mean_v"))
+    )
+    wide = cells.agg(
+        pick(1, 1).alias("t_post"),
+        pick(1, 0).alias("t_pre"),
+        pick(0, 1).alias("c_post"),
+        pick(0, 0).alias("c_pre"),
+        F.sum("n").alias("n_events"),
+    )
+    return wide.select(
+        F.round("t_pre", 4).alias("treat_pre"),
+        F.round("t_post", 4).alias("treat_post"),
+        F.round("c_pre", 4).alias("ctrl_pre"),
+        F.round("c_post", 4).alias("ctrl_post"),
+        F.round(
+            (F.col("t_post") - F.col("t_pre"))
+            - (F.col("c_post") - F.col("c_pre")),
+            4,
+        ).alias("did_estimate"),
+        "n_events",
+    )
+
+
+@register(
+    "events_cuped_adjusted_ab",
+    """
+    WITH per_user AS (
+        SELECT user_id, CAST(user_id % 2 AS INT) AS grp,
+               avg(CASE WHEN CAST(ts AS TIMESTAMP) < TIMESTAMP '2024-01-16'
+                        THEN value END) AS x,
+               avg(CASE WHEN CAST(ts AS TIMESTAMP) >= TIMESTAMP '2024-01-16'
+                        THEN value END) AS y
+        FROM events GROUP BY 1, 2
+    ),
+    complete AS (
+        SELECT * FROM per_user WHERE x IS NOT NULL AND y IS NOT NULL
+    ),
+    theta AS (
+        SELECT covar_samp(x, y) / var_samp(x) AS th, avg(x) AS mx
+        FROM complete
+    ),
+    adj AS (
+        SELECT c.grp, c.y, c.y - t.th * (c.x - t.mx) AS y_adj
+        FROM complete c CROSS JOIN theta t
+    )
+    SELECT grp, CAST(count(*) AS BIGINT) AS n_users,
+           round(avg(y), 4) AS mean_raw,
+           round(avg(y_adj), 4) AS mean_cuped,
+           round(var_samp(y_adj) / var_samp(y), 4) AS var_ratio
+    FROM adj GROUP BY grp
+    """,
+    doc="CUPED variance reduction (Deng et al. WSDM'13): per-user "
+    "pre-period mean as the covariate, theta = cov(x,y)/var(x) pooled, "
+    "adjusted metric y - theta*(x - E[x]) — the industry-standard A/B "
+    "sensitivity boost; two hash aggregates (per-user reduce, then "
+    "moments) + a broadcast scalar join, var_ratio < 1 quantifies the "
+    "won sensitivity",
+)
+def events_cuped_adjusted_ab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    cut = F.lit("2024-01-16").cast("timestamp")
+    per_user = ev.groupBy(
+        "user_id", (F.col("user_id") % 2).cast("int").alias("grp")
+    ).agg(
+        F.avg(F.when(F.col("ts") < cut, F.col("value"))).alias("x"),
+        F.avg(F.when(F.col("ts") >= cut, F.col("value"))).alias("y"),
+    )
+    complete = per_user.filter(
+        F.col("x").isNotNull() & F.col("y").isNotNull()
+    )
+    theta = complete.agg(
+        (F.covar_samp("x", "y") / F.var_samp("x")).alias("th"),
+        F.avg("x").alias("mx"),
+    )
+    adj = complete.crossJoin(F.broadcast(theta)).select(
+        "grp",
+        "y",
+        (F.col("y") - F.col("th") * (F.col("x") - F.col("mx"))).alias(
+            "y_adj"
+        ),
+    )
+    return adj.groupBy("grp").agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.round(F.avg("y"), 4).alias("mean_raw"),
+        F.round(F.avg("y_adj"), 4).alias("mean_cuped"),
+        F.round(F.var_samp("y_adj") / F.var_samp("y"), 4).alias(
+            "var_ratio"
+        ),
+    )
