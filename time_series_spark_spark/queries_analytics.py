@@ -2252,3 +2252,107 @@ def events_cuped_adjusted_ab(spark: SparkSession, sf_dir: str) -> DataFrame:
             "var_ratio"
         ),
     )
+
+
+@register(
+    "events_new_vs_returning_daily",
+    """
+    WITH first_seen AS (
+        SELECT user_id,
+               min(CAST(date_trunc('day', CAST(ts AS TIMESTAMP))
+                   AS TIMESTAMP)) AS first_day
+        FROM events GROUP BY user_id
+    ),
+    tagged AS (
+        SELECT CAST(date_trunc('day', CAST(e.ts AS TIMESTAMP))
+                    AS TIMESTAMP) AS d,
+               e.user_id,
+               CASE WHEN CAST(date_trunc('day', CAST(e.ts AS TIMESTAMP))
+                         AS TIMESTAMP) = f.first_day
+                    THEN 1 ELSE 0 END AS is_new
+        FROM events e JOIN first_seen f ON e.user_id = f.user_id
+    )
+    SELECT d,
+           CAST(count(DISTINCT CASE WHEN is_new = 1 THEN user_id END)
+                AS BIGINT) AS new_users,
+           CAST(count(DISTINCT CASE WHEN is_new = 0 THEN user_id END)
+                AS BIGINT) AS returning_users
+    FROM tagged GROUP BY d
+    """,
+    doc="New-vs-returning daily split: each user's first-seen day from "
+    "one per-user reduce, then every event day tags its users against "
+    "it — two hash aggregates co-partitioned on user_id (the first-seen "
+    "frame is per-user, so the join moves one row per user, the "
+    "standard growth-accounting decomposition)",
+)
+def events_new_vs_returning_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events").select(
+        "user_id", F.date_trunc("day", "ts").alias("d")
+    )
+    first_seen = ev.groupBy("user_id").agg(F.min("d").alias("first_day"))
+    tagged = ev.join(first_seen, on="user_id").withColumn(
+        "is_new", (F.col("d") == F.col("first_day")).cast("int")
+    )
+    return tagged.groupBy("d").agg(
+        F.countDistinct(
+            F.when(F.col("is_new") == 1, F.col("user_id"))
+        ).alias("new_users"),
+        F.countDistinct(
+            F.when(F.col("is_new") == 0, F.col("user_id"))
+        ).alias("returning_users"),
+    )
+
+
+@register(
+    "events_ab_power_mde",
+    """
+    WITH g AS (
+        SELECT CAST(user_id % 2 AS INT) AS grp,
+               CAST(count(*) AS BIGINT) AS n,
+               var_samp(value) AS var
+        FROM events GROUP BY 1
+    ),
+    pooled AS (
+        SELECT CAST(sum(n) AS BIGINT) AS n_total,
+               min(n) AS n_min,
+               sum((n - 1) * var) / sum(n - 1) AS var_pooled
+        FROM g
+    )
+    SELECT n_total, CAST(n_min AS BIGINT) AS n_per_arm,
+           round(var_pooled, 4) AS var_pooled,
+           round((1.959964 + 0.841621)
+                 * sqrt(2.0 * var_pooled / n_min), 4) AS mde_abs,
+           round((1.959964 + 1.281552)
+                 * sqrt(2.0 * var_pooled / n_min), 4) AS mde_abs_90
+    FROM pooled
+    """,
+    doc="A/B power analysis: minimum detectable effect at alpha=0.05 "
+    "two-sided with 80% and 90% power — MDE = (z_a + z_b) * "
+    "sqrt(2*var/n) on the pooled variance, the pre-experiment sizing "
+    "check beside the Welch test; one hash aggregate + scalar math "
+    "(z literals identical in both engines)",
+)
+def events_ab_power_mde(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    g = ev.groupBy((F.col("user_id") % 2).cast("int").alias("grp")).agg(
+        F.count(F.lit(1)).alias("n"), F.var_samp("value").alias("var")
+    )
+    pooled = g.agg(
+        F.sum("n").alias("n_total"),
+        F.min("n").alias("n_min"),
+        (
+            F.sum((F.col("n") - 1) * F.col("var"))
+            / F.sum(F.col("n") - 1)
+        ).alias("var_pooled"),
+    )
+    mde = lambda zb: F.round(  # noqa: E731
+        (1.959964 + zb) * F.sqrt(2.0 * F.col("var_pooled") / F.col("n_min")),
+        4,
+    )
+    return pooled.select(
+        "n_total",
+        F.col("n_min").cast("long").alias("n_per_arm"),
+        F.round("var_pooled", 4).alias("var_pooled"),
+        mde(0.841621).alias("mde_abs"),
+        mde(1.281552).alias("mde_abs_90"),
+    )
