@@ -1873,7 +1873,12 @@ def orders_pivot_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
     "whose running weight reaches half the total under a TOTAL order "
     "(price, orderkey, linenumber), so both engines select the identical "
     "element; integer weights keep the running sums exact. One window "
-    "pass + one filter on the same partitioning",
+    "pass + one filter on the same partitioning. Scale caveat stated "
+    "honestly: with only 3 flag groups each window is a single-task "
+    "sort — at 100 TB per-group volumes, swap to the D15 KLL mergeable "
+    "quantile path (weights via repetition counts) or a two-phase "
+    "bucket-then-refine exact search; this query is the exactness "
+    "oracle for those",
 )
 def lineitem_weighted_median_price(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window
