@@ -443,3 +443,32 @@ def test_markov_attribution_registered_query(spark):
     att = sum(r[2] for r in a)
     assert abs(att - 1.0) < 1e-3
     assert all(0.0 <= r[1] <= 1.0 for r in a)
+
+
+def test_theil_sen_matches_numpy_reference(spark):
+    """Nearest-rank Theil-Sen vs a driver-side reference on random data
+    (unique x so slopes are well-defined)."""
+    import numpy as np
+
+    rng = np.random.RandomState(3)
+    from time_series_spark_spark.operators.analytics import theil_sen_trend
+
+    for trial in range(3):
+        n = 15
+        xs = np.arange(n, dtype=float)
+        ys = np.round(rng.randn(n) * 5 + 0.7 * xs, 6)
+        df = spark.createDataFrame(
+            [(1, float(x), float(y)) for x, y in zip(xs, ys)],
+            "k int, x double, y double",
+        )
+        row = theil_sen_trend(df, "k", "x", "y").first()
+        slopes = sorted(
+            (ys[j] - ys[i]) / (xs[j] - xs[i])
+            for i in range(n)
+            for j in range(i + 1, n)
+        )
+        m = slopes[-(-len(slopes) // 2) - 1]  # nearest-rank ceil(n/2)
+        resid = sorted(ys - m * xs)
+        b0 = resid[-(-len(resid) // 2) - 1]
+        assert row["slope"] == round(m + 1e-9, 4), trial
+        assert row["intercept"] == round(b0 + 1e-9, 4), trial

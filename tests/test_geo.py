@@ -224,3 +224,64 @@ def test_grid_radius_join_two_equals_bruteforce(spark):
     }
     assert naive
     assert got == naive
+
+
+def test_grid_radius_join_property_random_geometry(spark):
+    """Hypothesis-style sweep without the fixture corpus: random boxes,
+    radii, and cell sizes SATISFYING the cell contract must reproduce the
+    brute-force pair set exactly."""
+    import math as m
+    import random
+
+    rng = random.Random(11)
+    for trial in range(3):
+        lat0 = rng.uniform(-60, 50)
+        lon0 = rng.uniform(-170, 150)
+        box_lat, box_lon = 8.0, 12.0
+        radius = rng.choice([20.0, 60.0, 120.0])
+        worst_lat = max(abs(lat0), abs(lat0 + box_lat))
+        lat_cell = radius / 111.195 * 1.05
+        lon_cell = radius / (111.195 * m.cos(m.radians(worst_lat))) * 1.05
+        n = 120
+        pts = [
+            (
+                i,
+                lat0 + rng.random() * box_lat,
+                lon0 + rng.random() * box_lon,
+            )
+            for i in range(n)
+        ]
+        df = spark.createDataFrame(pts, "id long, lat double, lon double")
+        got = {
+            (r["id_a"], r["id_b"], r["dist_km"])
+            for r in grid_radius_join(
+                df, "id", radius_km=radius,
+                lat_cell_deg=lat_cell, lon_cell_deg=lon_cell,
+            ).collect()
+        }
+        a = df.select(
+            F.col("id").alias("id_a"),
+            F.col("lat").alias("lat_a"),
+            F.col("lon").alias("lon_a"),
+        )
+        b = df.select(
+            F.col("id").alias("id_b"),
+            F.col("lat").alias("lat_b"),
+            F.col("lon").alias("lon_b"),
+        )
+        dist = F.round(
+            haversine_km(
+                F.col("lat_a"), F.col("lon_a"),
+                F.col("lat_b"), F.col("lon_b"),
+            ),
+            3,
+        )
+        naive = {
+            (r["id_a"], r["id_b"], r["dist_km"])
+            for r in a.crossJoin(b)
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b", dist.alias("dist_km"))
+            .filter(F.col("dist_km") <= radius)
+            .collect()
+        }
+        assert got == naive, (trial, lat0, lon0, radius)

@@ -451,3 +451,22 @@ def test_fd_deterministic(spark):
     b = [tuple(r) for r in fn(spark, "/root/testdata/sf0.001").collect()]
     assert a == b
     assert len(a) == 16
+
+
+def test_fd_bound_holds_under_different_partitionings(spark):
+    """FD merge law: the covariance error bound must hold for ANY
+    partition composition (values may differ; the guarantee may not)."""
+    import numpy as np
+
+    from time_series_spark_spark.sources.io import load
+
+    emb = load(spark, "/root/testdata/sf0.01", "embeddings")
+    A = np.array(
+        [list(r["embedding"]) for r in emb.select("embedding").collect()],
+        dtype=float,
+    )
+    fro2 = (A**2).sum()
+    for nparts in (1, 2, 8):
+        B = _sketch_matrix(spark, emb, ell=16, n_partitions=nparts)
+        err = np.linalg.norm(A.T @ A - B.T @ B, 2)
+        assert err <= fro2 / 16 + 1e-6, nparts
