@@ -707,3 +707,43 @@ def test_python_stream_source_offsets_and_replay(spark):
     assert sorted(map(tuple, walked)) == a
     replay = list(r.readBetweenOffsets({"i": 50}, {"i": 100}))
     assert replay == walked[50:100]
+
+
+def test_incremental_hll_partials_multibatch_equals_batch(
+    spark, chunked_dir, tmp_path
+):
+    """J9c: the streaming HLL partial log (real micro-batches, appended
+    day sketches) merge-on-reads to EXACTLY the batch sliding-HLL query —
+    register-max union is order/batching-invariant, so the streaming and
+    batch estimates are identical, not merely close."""
+    from pyspark.sql import functions as F
+
+    from time_series_spark_spark.queries import REGISTRY
+    from time_series_spark_spark.streaming.jobs import (
+        incremental_hll_partials,
+        read_incremental_hll_7d,
+    )
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    sdf = (
+        spark.readStream.schema(
+            "event_id long, ts long, user_id long, event_type string, "
+            "value double, props string"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(chunked_dir)
+        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    )
+    log = str(tmp_path / "hll_partials")
+    incremental_hll_partials(sdf, log)
+    got = {
+        (str(r["d"])[:10], r["users_7d_approx"])
+        for r in read_incremental_hll_7d(spark, log).collect()
+    }
+    want = {
+        (str(r["d"])[:10], r["users_7d_approx"])
+        for r in REGISTRY["events_sliding_hll_users"]
+        .fn(spark, "/root/testdata/sf0.001")
+        .collect()
+    }
+    assert got == want

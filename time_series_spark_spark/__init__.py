@@ -121,6 +121,8 @@ _API = {
     "scd2_intervals": "operators.cdc",
     "pit_join": "operators.cdc",
     "incremental_join_delta": "operators.cdc",
+    "incremental_hll_partials": "streaming.jobs",
+    "read_incremental_hll_7d": "streaming.jobs",
     # ML
     "purchase_propensity_auc": "operators.ml",
     "als_recommend": "operators.ml",

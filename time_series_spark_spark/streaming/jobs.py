@@ -559,3 +559,53 @@ def stream_stream_left_outer_join(
         ),
         "leftOuter",
     )
+
+
+def incremental_hll_partials(
+    stream_events: DataFrame,
+    partials_path: str,
+    checkpoint_dir: str | None = None,
+) -> None:
+    """Streaming half of the F15b sliding-HLL aggregate: each micro-batch
+    folds to one (day, HLL sketch) row via the built-in DataSketches
+    ``hll_sketch_agg`` and appends it idempotently (batch-id partition +
+    dynamic overwrite, :func:`_write_partials_idempotent`). Register-max
+    union is associative/commutative/idempotent, so merge-on-read equals
+    the single-pass batch sketch EXACTLY — same law as the bitmap log,
+    at a fixed KB per partial instead of id-proportional bitmaps."""
+
+    def fold_batch(batch_df: DataFrame, batch_id: int) -> None:
+        p = batch_df.groupBy(
+            F.date_trunc("day", "ts").alias("d")
+        ).agg(F.expr("hll_sketch_agg(user_id)").alias("sk"))
+        _write_partials_idempotent(p, batch_id, partials_path)
+
+    writer = stream_events.writeStream.foreachBatch(fold_batch)
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    q = writer.trigger(availableNow=True).start()
+    q.awaitTermination()
+
+
+def read_incremental_hll_7d(
+    spark: SparkSession, partials_path: str
+) -> DataFrame:
+    """Merge-on-read for :func:`incremental_hll_partials`: union the
+    per-batch day sketches, then the same 7-row sliding window union +
+    estimate as the batch ``events_sliding_hll_users`` query."""
+    partials = spark.read.parquet(partials_path)
+    daily = partials.groupBy("d").agg(
+        F.expr("hll_union_agg(sk)").alias("sk")
+    )
+    daily.createOrReplaceTempView("hll_daily_partial_log")
+    return spark.sql(
+        """
+        SELECT d,
+               CAST(hll_sketch_estimate(
+                   hll_union_agg(sk) OVER (
+                       ORDER BY d ROWS BETWEEN 6 PRECEDING AND CURRENT ROW
+                   )) AS BIGINT) AS users_7d_approx
+        FROM hll_daily_partial_log
+        ORDER BY d
+        """
+    )
