@@ -747,3 +747,47 @@ def test_incremental_hll_partials_multibatch_equals_batch(
         .collect()
     }
     assert got == want
+
+
+def test_incremental_kll_partials_rank_error(spark, chunked_dir, tmp_path):
+    """J9d+: the streaming KLL quantile log merges to within KLL(200)
+    rank error of the EXACT batch percentiles — the mergeable-quantile
+    guarantee survives micro-batching."""
+    from pyspark.sql import functions as F
+
+    from time_series_spark_spark.sources.io import load
+    from time_series_spark_spark.streaming.jobs import (
+        incremental_kll_partials,
+        read_incremental_kll_quantiles,
+    )
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    sdf = (
+        spark.readStream.schema(
+            "event_id long, ts long, user_id long, event_type string, "
+            "value double, props string"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(chunked_dir)
+        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    )
+    log = str(tmp_path / "kll_partials")
+    incremental_kll_partials(sdf, log)
+    got = {
+        r["event_type"]: (r["p50"], r["p95"])
+        for r in read_incremental_kll_quantiles(
+            spark, log, {"p50": 0.5, "p95": 0.95}
+        ).collect()
+    }
+    ev = load(spark, "/root/testdata/sf0.001", "events")
+    for r in ev.groupBy("event_type").agg(
+        F.expr("count(*)").alias("n"),
+        F.expr("sort_array(collect_list(value))").alias("vals"),
+    ).collect():
+        vals, n = r["vals"], r["n"]
+        for q, approx in zip((0.5, 0.95), got[r["event_type"]]):
+            # KLL(200) normalized rank error ~1.65%; allow 3% of n
+            rank = sum(1 for v in vals if v <= approx)
+            assert abs(rank - q * n) <= max(3, 0.03 * n), (
+                r["event_type"], q, rank, n,
+            )

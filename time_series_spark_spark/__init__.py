@@ -123,6 +123,8 @@ _API = {
     "incremental_join_delta": "operators.cdc",
     "incremental_hll_partials": "streaming.jobs",
     "read_incremental_hll_7d": "streaming.jobs",
+    "incremental_kll_partials": "streaming.jobs",
+    "read_incremental_kll_quantiles": "streaming.jobs",
     # ML
     "purchase_propensity_auc": "operators.ml",
     "als_recommend": "operators.ml",

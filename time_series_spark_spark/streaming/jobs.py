@@ -609,3 +609,41 @@ def read_incremental_hll_7d(
         ORDER BY d
         """
     )
+
+
+def incremental_kll_partials(
+    stream_events: DataFrame,
+    partials_path: str,
+    checkpoint_dir: str | None = None,
+) -> None:
+    """Streaming KLL quantile log — the D15 twin of the HLL/bitmap/CM/MG
+    partial logs: each micro-batch folds to one (event_type, KLL(200))
+    row and appends idempotently; readers merge-on-read and ask for any
+    quantile later (the property a fixed set of pre-agreed percentiles
+    can't give). KLL merge keeps the rank-error guarantee, so the
+    streamed log answers within the same epsilon as a single-pass
+    batch sketch."""
+    from time_series_spark_spark.operators.sketches import kll_partials
+
+    def fold_batch(batch_df: DataFrame, batch_id: int) -> None:
+        p = kll_partials(batch_df, ["event_type"], "value")
+        _write_partials_idempotent(p, batch_id, partials_path)
+
+    writer = stream_events.writeStream.foreachBatch(fold_batch)
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    q = writer.trigger(availableNow=True).start()
+    q.awaitTermination()
+
+
+def read_incremental_kll_quantiles(
+    spark: SparkSession, partials_path: str, quantiles: dict[str, float]
+) -> DataFrame:
+    """Merge-on-read for :func:`incremental_kll_partials`: fold the
+    per-batch sketches per event type and read the requested quantiles."""
+    from time_series_spark_spark.operators.sketches import (
+        kll_rollup_quantiles,
+    )
+
+    partials = spark.read.parquet(partials_path).select("event_type", "kll")
+    return kll_rollup_quantiles(partials, ["event_type"], quantiles)
