@@ -791,3 +791,37 @@ def test_incremental_kll_partials_rank_error(spark, chunked_dir, tmp_path):
             assert abs(rank - q * n) <= max(3, 0.03 * n), (
                 r["event_type"], q, rank, n,
             )
+
+
+def test_incremental_fd_partials_keep_bound(spark, tmp_path):
+    """J9e+: the streaming FD log, re-reduced at read time, still
+    satisfies the Frequent Directions covariance bound over the WHOLE
+    streamed matrix (the FD merge theorem, exercised through real
+    micro-batches)."""
+    import numpy as np
+
+    from time_series_spark_spark.sources.io import load
+    from time_series_spark_spark.streaming.jobs import (
+        incremental_fd_partials,
+        read_incremental_fd,
+    )
+
+    emb = load(spark, "/root/testdata/sf0.001", "embeddings").select(
+        "vec_id", "embedding"
+    )
+    chunks = str(tmp_path / "emb_chunks")
+    emb.repartition(3, "vec_id").write.parquet(chunks)
+    sdf = (
+        spark.readStream.schema("vec_id long, embedding array<float>")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(chunks)
+    )
+    log = str(tmp_path / "fd_partials")
+    incremental_fd_partials(sdf, log, ell=16)
+    B = read_incremental_fd(spark, log, ell=16)
+    A = np.array(
+        [list(r["embedding"]) for r in emb.collect()], dtype=float
+    )
+    err = np.linalg.norm(A.T @ A - B.T @ B, 2)
+    assert err <= (A**2).sum() / 16 + 1e-6
+    assert B.shape[1] == A.shape[1]

@@ -125,6 +125,8 @@ _API = {
     "read_incremental_hll_7d": "streaming.jobs",
     "incremental_kll_partials": "streaming.jobs",
     "read_incremental_kll_quantiles": "streaming.jobs",
+    "incremental_fd_partials": "streaming.jobs",
+    "read_incremental_fd": "streaming.jobs",
     # ML
     "purchase_propensity_auc": "operators.ml",
     "als_recommend": "operators.ml",

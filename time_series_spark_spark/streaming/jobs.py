@@ -647,3 +647,47 @@ def read_incremental_kll_quantiles(
 
     partials = spark.read.parquet(partials_path).select("event_type", "kll")
     return kll_rollup_quantiles(partials, ["event_type"], quantiles)
+
+
+def incremental_fd_partials(
+    stream_embeddings: DataFrame,
+    partials_path: str,
+    ell: int = 16,
+    checkpoint_dir: str | None = None,
+) -> None:
+    """Streaming matrix sketching (streaming PCA front-end): each
+    micro-batch of embeddings folds to an ℓ-row Frequent Directions
+    partial (operators/sketches.py D24) appended idempotently. The FD
+    merge theorem makes the log a valid sketch of the WHOLE stream:
+    re-reducing the concatenated partials keeps
+    ‖AᵀA − BᵀB‖₂ ≤ ‖A‖F²/ℓ, so the spectrum/top-directions estimate is
+    always available mid-stream at O(batches·ℓ·d) log size."""
+    from time_series_spark_spark.operators.sketches import (
+        frequent_directions,
+    )
+
+    def fold_batch(batch_df: DataFrame, batch_id: int) -> None:
+        p = frequent_directions(
+            batch_df, ell=ell, n_partitions=1, return_rows=True
+        )
+        _write_partials_idempotent(p, batch_id, partials_path)
+
+    writer = stream_embeddings.writeStream.foreachBatch(fold_batch)
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    q = writer.trigger(availableNow=True).start()
+    q.awaitTermination()
+
+
+def read_incremental_fd(spark: SparkSession, partials_path: str, ell: int = 16):
+    """Merge-on-read for :func:`incremental_fd_partials`: one FD
+    reduction over the collected partial rows (bounded at batches·ℓ —
+    the bounded-scalar discipline) → the combined ℓ×d sketch as a
+    numpy array."""
+    import numpy as np
+
+    from time_series_spark_spark.operators.sketches import _fd_reduce
+
+    rows = spark.read.parquet(partials_path).select("row").collect()
+    mat = np.array([list(r["row"]) for r in rows], dtype=float)
+    return _fd_reduce(mat, ell)
