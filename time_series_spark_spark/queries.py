@@ -62,6 +62,7 @@ from time_series_spark_spark import queries_analytics  # noqa: E402,F401
 from time_series_spark_spark import queries_tsmining  # noqa: E402,F401
 from time_series_spark_spark import queries_quant  # noqa: E402,F401
 from time_series_spark_spark import queries_geo  # noqa: E402,F401
+from time_series_spark_spark import queries_privacy  # noqa: E402,F401
 
 # The external correctness gate samples the FIRST 50 registry entries, so
 # REGISTRY insertion order is semantically significant (pinned by
