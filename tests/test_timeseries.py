@@ -340,3 +340,47 @@ def test_sliding_hll_layout_invariant(spark):
     a = [tuple(r) for r in fn(spark, sf).collect()]
     b = [tuple(r) for r in fn(spark, sf).collect()]
     assert a == b
+
+
+def test_slo_burn_multiwindow_suppresses_blips(spark):
+    """A single bad hour trips burn_1h but NOT the 6h window (blip
+    suppressed); a sustained-bad stretch trips both -> alert."""
+    import datetime as dt
+
+    rows = []
+    base = dt.datetime(2024, 1, 1)
+    eid = 0
+    # hours 0-9 healthy: 10 events, 0 errors
+    # hour 10: blip - 10 events, 10 errors (rate 1.0); trailing 6h is only
+    #   10/60 of budgeted errors -> slow window holds, no page
+    # hours 12-17 sustained: 10 events, 8 errors each -> both windows burn
+    def emit(h, n, errs):
+        nonlocal eid
+        for i in range(n):
+            rows.append(
+                (eid, base + dt.timedelta(hours=h, minutes=i % 60),
+                 1, "error" if i < errs else "click", 1.0, "{}")
+            )
+            eid += 1
+
+    for h in range(10):
+        emit(h, 10, 0)
+    emit(10, 10, 10)
+    emit(11, 10, 0)
+    for h in range(12, 18):
+        emit(h, 10, 8)
+    ev = spark.createDataFrame(
+        rows, ["event_id", "ts", "user_id", "event_type", "value", "props"]
+    )
+    import time_series_spark_spark.queries  # noqa: F401  (registry init first)
+    from time_series_spark_spark.queries_timeseries import slo_burn_alerts
+
+    out = {r["bucket"].hour: r for r in slo_burn_alerts(ev).collect()}
+    # blip hour: fast window fires, slow window (6h avg ~0.25) does not
+    assert out[10]["burn_1h"] >= 1.0
+    assert out[10]["alert"] == 0
+    # sustained stretch: by hour 17 the trailing 6h is all-bad -> alert
+    assert out[17]["burn_1h"] >= 1.0 and out[17]["burn_6h"] >= 1.0
+    assert out[17]["alert"] == 1
+    # healthy hours never alert
+    assert all(out[h]["alert"] == 0 for h in range(10))

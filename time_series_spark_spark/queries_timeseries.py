@@ -899,3 +899,95 @@ def event_type_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("type_a", "type_b")
         .agg(F.round(F.corr("va", "vb"), 4).alias("pearson_r"))
     )
+
+
+# --------------------------------------------------------------------------
+# F81 SLO multi-window burn-rate alerts
+# --------------------------------------------------------------------------
+# Error budget for a 75% success SLO; alert when BOTH the fast (1h) and
+# slow (6h) windows burn at >= 1x budget — the multi-window multi-burn-rate
+# rule (Google SRE Workbook ch. 5) that suppresses both blips and stale
+# pages. All predicates compare IEEE-exact ratios of exact integer sums
+# (no libm), so the alert bit is engine-independent; displayed rates are
+# rounded per the repo fp rule.
+_SLO_BUDGET = 0.25
+_BURN_THRESH = 1.0
+
+
+@register(
+    "events_slo_burn_alerts",
+    f"""
+    WITH hourly AS (
+        SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS bucket,
+               count(*) AS n,
+               CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_err
+        FROM events GROUP BY 1
+    ),
+    h AS (
+        SELECT *, CAST(date_part('epoch', bucket) AS BIGINT) // 3600 AS hr
+        FROM hourly
+    ),
+    wins AS (
+        SELECT bucket, n, n_err,
+               CAST(sum(n)     OVER w AS BIGINT) AS n_6h,
+               CAST(sum(n_err) OVER w AS BIGINT) AS err_6h
+        FROM h
+        WINDOW w AS (ORDER BY hr RANGE BETWEEN 5 PRECEDING AND CURRENT ROW)
+    )
+    SELECT bucket, n, n_err,
+           round(n_err * 1.0 / n, 6)            AS err_rate_1h,
+           round(err_6h * 1.0 / n_6h, 6)        AS err_rate_6h,
+           round(n_err * 1.0 / n / {_SLO_BUDGET}, 4)     AS burn_1h,
+           round(err_6h * 1.0 / n_6h / {_SLO_BUDGET}, 4) AS burn_6h,
+           CAST(n_err * 1.0 / n / {_SLO_BUDGET} >= {_BURN_THRESH}
+                AND err_6h * 1.0 / n_6h / {_SLO_BUDGET} >= {_BURN_THRESH}
+                AS INT) AS alert
+    FROM wins
+    ORDER BY bucket
+    """,
+    doc="F81 SLO multi-window burn-rate alerting: hourly error rate vs a "
+    "25% error budget, alert only when the 1h AND trailing-6h windows "
+    "both burn at >= 1x (SRE Workbook multi-window rule). Raw events "
+    "reduce to one row per hour FIRST; the range-frame window (keyed on "
+    "integer epoch-hour, gap-correct) then runs over the tiny hourly "
+    "frame — at 100 TB this is a per-service-key partitioned window over "
+    "hours-per-service rows, never a window over raw events.",
+)
+def events_slo_burn_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return slo_burn_alerts(load(spark, sf_dir, "events"))
+
+
+def slo_burn_alerts(ev: DataFrame) -> DataFrame:
+    """Core of F81, factored for toy-frame tests."""
+    hourly = ev.groupBy(
+        F.date_trunc("hour", "ts").alias("bucket")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(
+            F.when(F.col("event_type") == "error", 1).otherwise(0)
+        ).alias("n_err"),
+    ).withColumn(
+        "hr", F.expr("CAST(unix_timestamp(bucket) DIV 3600 AS BIGINT)")
+    )
+    # Production shape: .partitionBy(service_key) here; the corpus has one
+    # global service, and the post-agg frame is hours-count sized.
+    w6 = Window.orderBy("hr").rangeBetween(-5, 0)
+    rate_1h = F.col("n_err") * 1.0 / F.col("n")
+    rate_6h = F.col("err_6h") * 1.0 / F.col("n_6h")
+    return (
+        hourly.withColumn("n_6h", F.sum("n").over(w6))
+        .withColumn("err_6h", F.sum("n_err").over(w6))
+        .select(
+            "bucket", "n", "n_err",
+            F.round(rate_1h, 6).alias("err_rate_1h"),
+            F.round(rate_6h, 6).alias("err_rate_6h"),
+            F.round(rate_1h / _SLO_BUDGET, 4).alias("burn_1h"),
+            F.round(rate_6h / _SLO_BUDGET, 4).alias("burn_6h"),
+            (
+                (rate_1h / _SLO_BUDGET >= _BURN_THRESH)
+                & (rate_6h / _SLO_BUDGET >= _BURN_THRESH)
+            ).cast("int").alias("alert"),
+        )
+        .orderBy("bucket")
+    )
