@@ -825,3 +825,117 @@ def test_incremental_fd_partials_keep_bound(spark, tmp_path):
     err = np.linalg.norm(A.T @ A - B.T @ B, 2)
     assert err <= (A**2).sum() / 16 + 1e-6
     assert B.shape[1] == A.shape[1]
+
+
+def test_state_store_reader_completes_emitted_to_batch(spark, tmp_path):
+    """J11: append-mode emitted rows are the CLOSED windows; the state
+    store holds the OPEN ones. Emitted ∪ state (read offline via the
+    statestore source) must exactly equal the batch aggregate."""
+    from time_series_spark_spark.sources.io import load
+    from time_series_spark_spark.streaming.jobs import (
+        hourly_counts,
+        read_events_stream,
+        read_state_metadata,
+        read_state_store,
+        run_available_now_checkpointed,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    ck = str(tmp_path / "ck_ssr")
+    emitted, _ = run_available_now_checkpointed(
+        hourly_counts(read_events_stream(spark, sf)), ck
+    )
+    md = read_state_metadata(spark, ck).collect()
+    assert any(r["operatorName"] == "stateStoreSave" for r in md)
+
+    state = read_state_store(spark, ck)
+    open_windows = state.select(
+        F.col("key.window.start").alias("bucket"),
+        F.col("key.event_type").alias("event_type"),
+        F.col("value.count").alias("n"),
+        F.round(F.col("value.sum"), 2).alias("total_value"),
+    )
+    got = {
+        (r["bucket"], r["event_type"]): (r["n"], r["total_value"])
+        for r in emitted.collect() + open_windows.collect()
+    }
+    ev = load(spark, sf, "events")
+    batch = (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"),
+             F.round(F.sum("value"), 2).alias("total_value"))
+        .select(F.col("w.start").alias("bucket"), "event_type", "n",
+                "total_value")
+    )
+    exp = {
+        (r["bucket"], r["event_type"]): (r["n"], r["total_value"])
+        for r in batch.collect()
+    }
+    assert got == exp
+    # emitted and state are disjoint AND both non-trivial on this corpus
+    assert len(got) == emitted.count() + open_windows.count()
+    assert open_windows.count() > 0
+
+
+def test_watermark_drop_accounting_counts_late_rows(spark, tmp_path):
+    """J11c: a late row arriving once the watermark has passed its event
+    time is excluded from the aggregate AND shows up in
+    numRowsDroppedByWatermark - the silent-loss ledger.
+
+    Semantics pinned here (measured, Spark 4.1): late-record filtering
+    uses the watermark as of the PREVIOUS batch commit - a one-batch
+    lag. A late row landing in the very first batch after the fresh
+    data is NOT yet filtered (the new watermark only takes effect next
+    batch), so the probe stages fresh -> fresh -> late across THREE
+    microbatches (mtime-ordered files, maxFilesPerTrigger=1)."""
+    import datetime as dt
+    import os
+
+    from time_series_spark_spark.streaming.jobs import (
+        EVENTS_SCHEMA_NTZ,
+        run_available_now_checkpointed,
+        watermark_drop_stats,
+    )
+
+    src = tmp_path / "late_src"
+    src.mkdir()
+    batches = [
+        [(1, dt.datetime(2024, 1, 2, 12, 30)), (2, dt.datetime(2024, 1, 2, 12, 40))],
+        [(4, dt.datetime(2024, 1, 2, 13, 30))],
+        [(3, dt.datetime(2024, 1, 1, 0, 5))],  # 36h late
+    ]
+    now = 2_000_000_000
+    for i, rows in enumerate(batches):
+        df = spark.createDataFrame(
+            [(eid, ts, 1, "click", 1.0, "{}") for eid, ts in rows],
+            EVENTS_SCHEMA_NTZ,
+        )
+        d = src / f"f{i}"
+        df.coalesce(1).write.parquet(str(d))
+        for f in d.rglob("*"):
+            os.utime(f, (now - 1000 * (len(batches) - i), now - 1000 * (len(batches) - i)))
+
+    sdf = (
+        spark.readStream.schema(EVENTS_SCHEMA_NTZ)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src) + "/*")
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    )
+    agg = (
+        sdf.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("window.start").alias("bucket"), "n")
+    )
+    out, progress = run_available_now_checkpointed(
+        agg, str(tmp_path / "ck_wm"), output_mode="update"
+    )
+    stats = watermark_drop_stats(progress)
+    assert stats["n_batches"] >= 3
+    assert stats["total_dropped"] == 1, stats
+    # the drop lands in the LAST data batch, not earlier
+    assert stats["per_batch"][-1]["dropped"] == 1
+    # the late row's hour never appears in results
+    buckets = {r["bucket"] for r in out.collect()}
+    assert dt.datetime(2024, 1, 1, 0, 0) not in buckets
+    assert dt.datetime(2024, 1, 2, 12, 0) in buckets

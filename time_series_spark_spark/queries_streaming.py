@@ -383,3 +383,51 @@ def events_watermark_lateness_audit(
         .alias("dropped_at_1h"),
         F.max("late_us").cast("long").alias("max_late_us"),
     )
+
+
+@register(
+    "stream_state_audit",
+    None,
+    doc="J11 offline state-store audit: run the watermarked hourly agg "
+    "with a durable checkpoint, then read the checkpoint back with the "
+    "statestore data source (no replay, no running query) and emit one "
+    "summary row per hourly window tagged 'emitted' (closed, left the "
+    "store) or 'open' (still in state). The union must equal the batch "
+    "aggregate — pinned in tests/test_streaming.py; the audit itself is "
+    "the 100 TB ops surface: distributed reads of per-key state without "
+    "touching the job.",
+)
+def stream_state_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from time_series_spark_spark.streaming.jobs import (
+        read_state_store,
+        run_available_now_checkpointed,
+    )
+
+    # Fixed per-sf_dir checkpoint path, WIPED up front each invocation:
+    # a reused checkpoint would resume past the already-read files and
+    # emit nothing; a fresh mkdtemp per call would leak unboundedly
+    # (the events_zorder_layout_report lesson). Bounded: one dir per
+    # sf_dir, overwritten every run.
+    import hashlib
+    import os
+
+    tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    ck = os.path.join(tempfile.gettempdir(), "tss_state_audit", tag)
+    shutil.rmtree(ck, ignore_errors=True)
+    emitted, _ = run_available_now_checkpointed(
+        hourly_counts(read_events_stream(spark, sf_dir)), ck
+    )
+    state = read_state_store(spark, ck)
+    open_windows = state.select(
+        F.col("key.window.start").alias("bucket"),
+        F.col("key.event_type").alias("event_type"),
+        F.col("value.count").alias("n"),
+        F.lit("open").alias("status"),
+    )
+    closed = emitted.select(
+        "bucket", "event_type", "n", F.lit("emitted").alias("status")
+    )
+    return closed.unionByName(open_windows).orderBy("bucket", "event_type")

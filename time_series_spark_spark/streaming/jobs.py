@@ -691,3 +691,83 @@ def read_incremental_fd(spark: SparkSession, partials_path: str, ell: int = 16):
     rows = spark.read.parquet(partials_path).select("row").collect()
     mat = np.array([list(r["row"]) for r in rows], dtype=float)
     return _fd_reduce(mat, ell)
+
+
+# ---------------------------------------------------------------------------
+# J11: offline state-store inspection + watermark-drop accounting
+# ---------------------------------------------------------------------------
+def run_available_now_checkpointed(
+    stream_df: DataFrame,
+    checkpoint_dir: str,
+    output_mode: str = "append",
+    name: str | None = None,
+):
+    """Replay to completion with a DURABLE checkpoint, returning
+    ``(result_table, progress_list)``. The checkpoint is what makes the
+    run inspectable afterwards: the state-store reader (below) and a
+    restarted stream both resolve it. ``progress_list`` holds the
+    per-microbatch ``StreamingQueryProgress`` objects — the ops feed
+    (input rates, state sizes, watermark drops)."""
+    name = name or f"stream_{uuid.uuid4().hex[:12]}"
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return stream_df.sparkSession.table(name), list(q.recentProgress)
+
+
+def read_state_metadata(spark: SparkSession, checkpoint_dir: str) -> DataFrame:
+    """J11a: the checkpoint's operator map — (operatorId, operatorName,
+    stateStoreName, numPartitions, batch range) — Spark's
+    ``state-metadata`` data source. The entry point of any offline state
+    audit: it tells you which operatorId/storeName to hand to
+    ``read_state_store``."""
+    return spark.read.format("state-metadata").load(checkpoint_dir)
+
+
+def read_state_store(
+    spark: SparkSession,
+    checkpoint_dir: str,
+    operator_id: int = 0,
+    store_name: str | None = None,
+    batch_id: int | None = None,
+) -> DataFrame:
+    """J11b: offline read of a streaming query's state (Spark's
+    ``statestore`` data source) — (key struct, value struct,
+    partition_id) rows, no replay and no running query required.
+
+    This is the debugging/ops surface a stateful 100 TB pipeline needs:
+    inspect open windows, audit per-key state size, verify eviction.
+    Reads are distributed (one task per state partition) and the
+    snapshot is the last committed batch unless ``batch_id`` pins one.
+    """
+    r = spark.read.format("statestore").option("operatorId", operator_id)
+    if store_name is not None:
+        r = r.option("storeName", store_name)
+    if batch_id is not None:
+        r = r.option("batchId", batch_id)
+    return r.load(checkpoint_dir)
+
+
+def watermark_drop_stats(progress_list) -> dict:
+    """J11c: fold a run's progress feed into the late-data ledger:
+    per-batch and total ``numRowsDroppedByWatermark`` (rows that arrived
+    below the watermark and were excluded from stateful results). The
+    number completes the watermark contract — J2 bounds state by
+    dropping late rows, and this is where the drops become observable
+    instead of silent."""
+    per_batch = []
+    total = 0
+    for p in progress_list:
+        dropped = 0
+        for op in p.stateOperators:
+            dropped += int(op.numRowsDroppedByWatermark or 0)
+        per_batch.append({"batchId": p.batchId, "dropped": dropped})
+        total += dropped
+    return {"n_batches": len(per_batch), "total_dropped": total,
+            "per_batch": per_batch}
