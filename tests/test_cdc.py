@@ -209,3 +209,29 @@ def test_versioned_table_isolation_and_time_travel(spark, tmp_path):
     # the next commit supersedes the orphaned files atomically
     assert write_versioned(df, path) == 2
     assert read_versioned(spark, path).count() == 100
+
+
+def test_incremental_agg_merge_equals_recompute(spark):
+    """M6: merge-path ≡ recompute-path, including keys present only in
+    the old view and only in the delta."""
+    from pyspark.sql import functions as F
+
+    from time_series_spark_spark.operators.cdc import incremental_agg_merge
+
+    old_rows = [("a", 1, 10), ("a", 1, 20), ("b", 2, 5)]
+    new_rows = [("a", 1, 7), ("c", 3, 100)]
+    base = spark.createDataFrame(old_rows, ["k", "g", "v"])
+    delta = spark.createDataFrame(new_rows, ["k", "g", "v"])
+
+    def roll(df):
+        return df.groupBy("k", "g").agg(
+            F.count(F.lit(1)).alias("n"), F.sum("v").alias("s")
+        )
+
+    merged = incremental_agg_merge(roll(base), roll(delta), ["k", "g"], ["n", "s"])
+    full = roll(base.unionByName(delta))
+    got = {(r["k"], r["g"]): (r["n"], r["s"]) for r in merged.collect()}
+    exp = {(r["k"], r["g"]): (r["n"], r["s"]) for r in full.collect()}
+    assert got == exp
+    assert got[("b", 2)] == (1, 5)    # old-only key survives
+    assert got[("c", 3)] == (1, 100)  # delta-only key appears

@@ -298,3 +298,48 @@ def test_isotonic_calibration_monotone_and_complete(spark):
     for r in rows:
         assert 0.0 <= r["frac_positive"] <= 1.0
         assert 0.0 <= r["mean_p_calibrated"] <= 1.0
+
+
+def test_target_encode_oof_excludes_own_fold(spark):
+    """N10: enc(key, fold) is the mean over the OTHER folds exactly —
+    verified against a by-hand computation with known folds."""
+    from pyspark.sql import functions as F
+
+    from time_series_spark_spark.operators.ml import target_encode_oof
+
+    rows = [(i, "k1" if i < 40 else "k2", float(i)) for i in range(60)]
+    df = spark.createDataFrame(rows, ["id", "key", "t"])
+    enc = target_encode_oof(df, "key", "id", "t", n_folds=3, salt="s")
+    # reconstruct folds with the same md5 formula
+    folds = {
+        r["id"]: r["fold"]
+        for r in df.select(
+            "id",
+            F.expr(
+                "CAST(conv(substring(md5(concat('s:', CAST(id AS STRING))),"
+                " 1, 8), 16, 10) % 3 AS INT)"
+            ).alias("fold"),
+        ).collect()
+    }
+    by_kf = {}
+    for i, k, t in rows:
+        by_kf.setdefault((k, folds[i]), []).append(t)
+    for r in enc.collect():
+        other = [
+            t
+            for (k, f), ts in by_kf.items()
+            if k == r["key"] and f != r["fold"]
+            for t in ts
+        ]
+        assert abs(r["oof_mean"] - round(sum(other) / len(other), 4)) < 1e-9
+        assert r["n_rows"] == len(by_kf[(r["key"], r["fold"])])
+
+
+def test_target_encode_oof_deterministic(spark):
+    from time_series_spark_spark.operators.ml import target_encode_oof
+
+    rows = [(i, "k", float(i % 7)) for i in range(50)]
+    df = spark.createDataFrame(rows, ["id", "key", "t"])
+    a = sorted(map(tuple, target_encode_oof(df, "key", "id", "t").collect()))
+    b = sorted(map(tuple, target_encode_oof(df, "key", "id", "t").collect()))
+    assert a == b

@@ -228,3 +228,39 @@ def incremental_join_delta(
     d3 = l_delta.join(r_delta, on)
     cols = d1.columns
     return d1.unionByName(d2.select(cols)).unionByName(d3.select(cols))
+
+
+def incremental_agg_merge(
+    agg_old: DataFrame,
+    agg_delta: DataFrame,
+    keys: list[str],
+    add_cols: list[str],
+) -> DataFrame:
+    """Delta rule for SUM/COUNT-shaped aggregate views — the aggregation
+    sibling of ``incremental_join_delta`` (same IVM algebra family):
+
+        V_new(k) = V_old(k) ⊎ Δagg(k)      (pointwise addition per key)
+
+    ``add_cols`` are additive accumulators (counts, sums, integer-cents
+    totals; also works for min/max ONLY under insert-only deltas — a
+    deletion would need the full group, which is exactly why real IVM
+    systems keep additive accumulators). Full outer join on the group
+    keys, missing side contributes the additive identity 0.
+
+    At 100 TB: the view is |distinct keys| sized, the delta aggregate
+    touches only the new partition's rows, and the merge join moves
+    view-sized — never fact-sized — data. Partition/bucket both sides
+    by the view key and the merge is shuffle-free.
+    """
+    d = agg_delta.select(
+        *keys, *[F.col(c).alias(f"_d_{c}") for c in add_cols]
+    )
+    merged = agg_old.join(d, on=keys, how="full_outer")
+    out_cols = [
+        (
+            F.coalesce(F.col(c), F.lit(0))
+            + F.coalesce(F.col(f"_d_{c}"), F.lit(0))
+        ).alias(c)
+        for c in add_cols
+    ]
+    return merged.select(*keys, *out_cols)

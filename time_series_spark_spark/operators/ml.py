@@ -644,3 +644,56 @@ def isotonic_calibration(
         )
         .orderBy("score_decile")
     )
+
+
+def target_encode_oof(
+    df: DataFrame,
+    key_col: str,
+    id_col: str,
+    target_col: str,
+    n_folds: int = 5,
+    salt: str = "te-v1",
+) -> DataFrame:
+    """Out-of-fold target encoding — the leakage-safe categorical
+    encoder: each row's category is replaced by the mean target of the
+    OTHER folds, so a row never sees its own label.
+
+        enc(key, fold) = (S_key - S_key,fold) / (N_key - N_key,fold)
+
+    Folds are md5-derived from ``id_col`` (layout-independent, the
+    repo's seeded-sampling rule), so train pipelines reproduce exactly.
+    Two hash aggregations on (key, fold) — output is |keys| x folds,
+    never row-sized; join the result back to rows by (key, fold) when
+    materializing features. Exact integer sums; the one division is
+    IEEE-exact on both engines.
+    """
+    fold = F.expr(
+        f"CAST(conv(substring(md5(concat('{salt}:', CAST({id_col} AS STRING))),"
+        f" 1, 8), 16, 10) % {n_folds} AS INT)"
+    )
+    per_fold = (
+        df.select(
+            F.col(key_col).alias("key"),
+            fold.alias("fold"),
+            F.col(target_col).alias("t"),
+        )
+        .groupBy("key", "fold")
+        .agg(F.sum("t").alias("s_f"), F.count(F.lit(1)).alias("n_f"))
+    )
+    totals = per_fold.groupBy("key").agg(
+        F.sum("s_f").alias("s_all"), F.sum("n_f").alias("n_all")
+    )
+    return (
+        per_fold.join(totals, on="key")
+        .select(
+            F.col("key").alias(key_col),
+            "fold",
+            F.round(
+                (F.col("s_all") - F.col("s_f"))
+                * 1.0
+                / (F.col("n_all") - F.col("n_f")),
+                4,
+            ).alias("oof_mean"),
+            F.col("n_f").alias("n_rows"),
+        )
+    )

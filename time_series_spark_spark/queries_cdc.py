@@ -325,3 +325,55 @@ def orders_time_travel_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(v, n, rev, int(latest)) for v, n, rev in rows],
         "version long, n_orders long, rev_cents long, n_latest long",
     )
+
+
+# ---------------------------------------------------------------------------
+# M6: incremental aggregate-view maintenance
+# ---------------------------------------------------------------------------
+@register(
+    "orders_rollup_incremental_merge",
+    """
+    SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS mon,
+           o_orderpriority,
+           count(*) AS n_orders,
+           CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT))
+                AS BIGINT) AS revenue_cents
+    FROM orders
+    GROUP BY mon, o_orderpriority
+    ORDER BY mon, o_orderpriority
+    """,
+    doc="M6 incremental aggregate-view maintenance: the monthly "
+    "(month, priority) revenue rollup is maintained as "
+    "V_new = V_old (+) delta-agg — the engine aggregates ONLY the new "
+    "partition (orders >= 1999-01-01) and full-outer-merges it into the "
+    "stored view (orders < 1999-01-01) with additive accumulators "
+    "(operators/cdc.py::incremental_agg_merge). The oracle computes the "
+    "DIRECT full rollup, so the hash match proves merge-path ≡ "
+    "recompute-path. At 100 TB the delta agg touches one day's "
+    "partition and the merge moves view-sized data only.",
+)
+def orders_rollup_incremental_merge(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from time_series_spark_spark.operators.cdc import incremental_agg_merge
+
+    orders = load(spark, sf_dir, "orders").select(
+        F.date_trunc("month", "o_orderdate").alias("mon"),
+        "o_orderpriority",
+        F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("cents"),
+    )
+    cutoff = "1999-01-01"
+
+    def rollup(df: DataFrame) -> DataFrame:
+        return df.groupBy("mon", "o_orderpriority").agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum("cents").alias("revenue_cents"),
+        )
+
+    v_old = rollup(orders.filter(F.col("mon") < cutoff))
+    delta = rollup(orders.filter(F.col("mon") >= cutoff))
+    merged = incremental_agg_merge(
+        v_old, delta, ["mon", "o_orderpriority"],
+        ["n_orders", "revenue_cents"],
+    )
+    return merged.orderBy("mon", "o_orderpriority")

@@ -2106,3 +2106,53 @@ def docs_quality_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     from time_series_spark_spark.operators.ml import isotonic_calibration
 
     return isotonic_calibration(load(spark, sf_dir, "documents"))
+
+
+@register(
+    "orders_target_encoding_oof",
+    """
+    WITH folded AS (
+        SELECT o_orderpriority AS key,
+               CAST(('0x' || substring(md5('te-v1:' ||
+                    CAST(o_orderkey AS VARCHAR)), 1, 8))::BIGINT % 5
+                    AS INT) AS fold,
+               CAST(round(o_totalprice * 100, 0) AS BIGINT) AS t
+        FROM orders
+    ),
+    per_fold AS (
+        SELECT key, fold,
+               CAST(sum(t) AS BIGINT) AS s_f, count(*) AS n_f
+        FROM folded GROUP BY key, fold
+    ),
+    totals AS (
+        SELECT key, CAST(sum(s_f) AS BIGINT) AS s_all,
+               CAST(sum(n_f) AS BIGINT) AS n_all
+        FROM per_fold GROUP BY key
+    )
+    SELECT per_fold.key AS o_orderpriority, fold,
+           round((s_all - s_f) * 1.0 / (n_all - n_f), 4) AS oof_mean,
+           n_f AS n_rows
+    FROM per_fold JOIN totals ON per_fold.key = totals.key
+    ORDER BY o_orderpriority, fold
+    """,
+    doc="N10 leakage-safe (out-of-fold) target encoding: per "
+    "(o_orderpriority, md5-fold) mean order value in CENTS computed "
+    "from the OTHER four folds only — the encoder table a training "
+    "pipeline joins back to rows by (key, fold) so no row sees its own "
+    "label. Two hash aggs, output |keys| x folds "
+    "(operators/ml.py::target_encode_oof); exact integer sums, one "
+    "IEEE-exact division.",
+)
+def orders_target_encoding_oof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from time_series_spark_spark.operators.ml import target_encode_oof
+
+    orders = load(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("cents"),
+    )
+    enc = target_encode_oof(
+        orders, "o_orderpriority", "o_orderkey", "cents",
+        n_folds=5, salt="te-v1",
+    )
+    return enc.orderBy("o_orderpriority", "fold")
