@@ -1029,3 +1029,56 @@ def test_frame_sample_rows_shape_laws(spark):
             first.frame_sha
             == hashlib.sha256(payload[0:64]).hexdigest()
         )
+
+
+def test_bm25_matches_reference_formula(spark):
+    """K23b: scores equal a by-hand BM25 computation on a toy corpus,
+    and ranking prefers term-dense short docs."""
+    import math
+
+    from time_series_spark_spark.operators.llm import bm25_search
+
+    texts = {
+        1: "hash join hash join hash",     # dense in query terms
+        2: "hash scan filter filter",      # some
+        3: "filter sort window table",     # none
+        4: "join",                         # short, one term
+    }
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in texts.items()], ["doc_id", "text"]
+    )
+    got = {r["doc_id"]: r["bm25"] for r in bm25_search(docs, ["hash", "join"], k=10).collect()}
+    assert 3 not in got  # no query terms -> never scored
+
+    # reference computation
+    N = 4
+    toks = {i: t.split(" ") for i, t in texts.items()}
+    avgdl = sum(len(v) for v in toks.values()) / N
+    df = {"hash": 2, "join": 2}
+    k1, b = 1.2, 0.75
+
+    def score(i):
+        s = 0.0
+        for t in ("hash", "join"):
+            tf = toks[i].count(t)
+            if tf == 0:
+                continue
+            idf = math.log(1.0 + (N - df[t] + 0.5) / (df[t] + 0.5))
+            s += idf * tf * (k1 + 1) / (tf + k1 * (1 - b + b * len(toks[i]) / avgdl))
+        return round(s, 4)
+
+    for i in (1, 2, 4):
+        assert abs(got[i] - score(i)) < 1e-9, (i, got[i], score(i))
+    assert got[1] > got[2]  # term-dense doc outranks
+
+
+def test_inverted_index_postings_head(spark):
+    from time_series_spark_spark.operators.llm import inverted_index
+
+    docs = spark.createDataFrame(
+        [(3, "a b"), (1, "a"), (2, "a c")], ["doc_id", "text"]
+    )
+    got = {r["term"]: r for r in inverted_index(docs, postings_cap=2).collect()}
+    assert got["a"]["df"] == 3 and got["a"]["cf"] == 3
+    assert got["a"]["postings_head"] == "1,2"  # capped, ascending
+    assert got["b"]["postings_head"] == "3"

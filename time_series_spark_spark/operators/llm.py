@@ -2669,3 +2669,94 @@ def frame_sample_rows(
             )
 
     return df.select(id_col, payload_col).mapInPandas(_sample, out_schema)
+
+
+# ---------------------------------------------------------------------------
+# K23: sparse retrieval — inverted index build + BM25 ranking
+# ---------------------------------------------------------------------------
+def inverted_index(docs: DataFrame, postings_cap: int = 10) -> DataFrame:
+    """Build the searchable inverted index: one row per term with
+    document frequency, collection frequency, and the first
+    ``postings_cap`` doc ids (ascending, comma-joined — the serialized
+    head of the postings list; real engines delta-encode the full list,
+    the cap keeps registered output bounded).
+
+    Shape at 100 TB: one explode + two hash aggs, all keyed on term —
+    a single exchange serves tf, df, cf AND the postings window
+    because everything groups/partitions by the same key. Postings
+    stay distributed; only the capped head is serialized.
+    """
+    tf = (
+        docs.select("doc_id", F.explode(tokens()).alias("term"))
+        .groupBy("term", "doc_id")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    w = Window.partitionBy("term").orderBy("doc_id")
+    heads = (
+        tf.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= postings_cap)
+        .groupBy("term")
+        .agg(
+            F.concat_ws(
+                ",", F.sort_array(F.collect_list("doc_id"))
+            ).alias("postings_head")
+        )
+    )
+    stats = tf.groupBy("term").agg(
+        F.count(F.lit(1)).alias("df"), F.sum("tf").alias("cf")
+    )
+    return stats.join(heads, on="term")
+
+
+def bm25_search(
+    docs: DataFrame,
+    query_terms: list[str],
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """BM25 (Robertson/Spärck Jones) top-k for a bag-of-words query —
+    the sparse-retrieval baseline every RAG/LLM data stack ships next
+    to dense ANN (K3):
+
+        score(d) = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl))
+        idf(t)   = ln(1 + (N − df + 0.5)/(df + 0.5))
+
+    Only docs containing ≥1 query term are scored (the explode is
+    pre-filtered by an isin on the tiny term list — the inverted-index
+    access path, not a full scan per query). df/N/avgdl are 1-row
+    broadcast scalars. One libm ln per (term); the final score is
+    rounded 4 dp BEFORE ordering (repo libm rule), doc_id tiebreak.
+    """
+    qt = [t for t in query_terms]
+    tok = docs.select(
+        "doc_id", F.size(tokens()).alias("dl"), F.explode(tokens()).alias("term")
+    )
+    tf = (
+        tok.filter(F.col("term").isin(qt))
+        .groupBy("doc_id", "term", "dl")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    n_stats = docs.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.avg(F.size(tokens())).alias("avgdl"),
+    )
+    df_t = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    tf_part = (
+        F.col("tf") * (k1 + 1.0)
+        / (
+            F.col("tf")
+            + k1 * (1.0 - b + b * F.col("dl") / F.col("avgdl"))
+        )
+    )
+    scored = (
+        tf.join(F.broadcast(df_t), on="term")
+        .crossJoin(F.broadcast(n_stats))
+        .groupBy("doc_id")
+        .agg(F.round(F.sum(idf * tf_part), 4).alias("bm25"))
+    )
+    return scored.orderBy(F.desc("bm25"), "doc_id").limit(k)

@@ -2156,3 +2156,93 @@ def orders_target_encoding_oof(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_folds=5, salt="te-v1",
     )
     return enc.orderBy("o_orderpriority", "fold")
+
+
+@register(
+    "docs_inverted_index",
+    """
+    WITH tf AS (
+        SELECT term, doc_id, count(*) AS tf
+        FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+              FROM documents)
+        GROUP BY term, doc_id
+    ),
+    stats AS (
+        SELECT term, count(*) AS df, CAST(sum(tf) AS BIGINT) AS cf
+        FROM tf GROUP BY term
+    ),
+    heads AS (
+        SELECT term,
+               string_agg(CAST(doc_id AS VARCHAR), ','
+                          ORDER BY doc_id) AS postings_head
+        FROM (SELECT term, doc_id,
+                     row_number() OVER (PARTITION BY term
+                                        ORDER BY doc_id) AS rn
+              FROM tf)
+        WHERE rn <= 10
+        GROUP BY term
+    )
+    SELECT stats.term, df, cf, postings_head
+    FROM stats JOIN heads ON stats.term = heads.term
+    ORDER BY df DESC, stats.term
+    LIMIT 100
+    """,
+    doc="K23a inverted-index build: per-term document frequency, "
+    "collection frequency, and the serialized head (first 10 doc ids) "
+    "of the postings list — one explode + term-keyed aggs sharing a "
+    "single exchange (operators/llm.py::inverted_index); top-100 terms "
+    "by df registered.",
+)
+def docs_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from time_series_spark_spark.operators.llm import inverted_index
+
+    idx = inverted_index(load(spark, sf_dir, "documents"), postings_cap=10)
+    return idx.orderBy(F.desc("df"), "term").limit(100)
+
+
+_BM25_TERMS = ["hash", "join", "scan"]
+
+
+@register(
+    "docs_bm25_search",
+    f"""
+    WITH tok AS (
+        SELECT doc_id,
+               len(string_split(text, ' ')) AS dl,
+               unnest(string_split(text, ' ')) AS term
+        FROM documents
+    ),
+    tf AS (
+        SELECT doc_id, term, dl, count(*) AS tf
+        FROM tok
+        WHERE term IN ('hash', 'join', 'scan')
+        GROUP BY doc_id, term, dl
+    ),
+    df_t AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+    n AS (
+        SELECT count(*) AS n_docs,
+               avg(len(string_split(text, ' '))) AS avgdl
+        FROM documents
+    )
+    SELECT doc_id,
+           round(sum(
+               ln(1.0 + (n.n_docs - df_t.df + 0.5) / (df_t.df + 0.5))
+               * tf.tf * (1.2 + 1.0)
+               / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * tf.dl / n.avgdl))
+           ), 4) AS bm25
+    FROM tf JOIN df_t ON tf.term = df_t.term CROSS JOIN n
+    GROUP BY doc_id
+    ORDER BY bm25 DESC, doc_id
+    LIMIT 10
+    """,
+    doc="K23b BM25 top-10 for the query {'hash','join','scan'} — the "
+    "sparse-retrieval baseline beside dense ANN (K3): isin-prefiltered "
+    "explode (inverted access path, never a per-query corpus scan), "
+    "1-row broadcast N/avgdl scalars, broadcast per-term df, score "
+    "rounded 4dp before ordering with doc_id tiebreak "
+    "(operators/llm.py::bm25_search).",
+)
+def docs_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from time_series_spark_spark.operators.llm import bm25_search
+
+    return bm25_search(load(spark, sf_dir, "documents"), _BM25_TERMS, k=10)
