@@ -2681,10 +2681,15 @@ def inverted_index(docs: DataFrame, postings_cap: int = 10) -> DataFrame:
     head of the postings list; real engines delta-encode the full list,
     the cap keeps registered output bounded).
 
-    Shape at 100 TB: one explode + two hash aggs, all keyed on term —
-    a single exchange serves tf, df, cf AND the postings window
-    because everything groups/partitions by the same key. Postings
-    stay distributed; only the capped head is serialized.
+    Shape at 100 TB (verified in the physical plan): two term-keyed
+    branches, each map-side partial-aggregated before its exchange; the
+    postings branch gets Spark's WindowGroupLimit pushdown, so at most
+    ``postings_cap`` rows per term cross the wire and reach the window
+    — never a full per-term sort, and (unlike a bare
+    ``slice(sort_array(collect_list(...)))``) never unbounded per-term
+    memory for hot terms. The final stats⋈heads join broadcasts the
+    bounded term dictionary. Postings stay distributed; only the capped
+    head is serialized.
     """
     tf = (
         docs.select("doc_id", F.explode(tokens()).alias("term"))

@@ -2189,9 +2189,10 @@ def orders_target_encoding_oof(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     doc="K23a inverted-index build: per-term document frequency, "
     "collection frequency, and the serialized head (first 10 doc ids) "
-    "of the postings list — one explode + term-keyed aggs sharing a "
-    "single exchange (operators/llm.py::inverted_index); top-100 terms "
-    "by df registered.",
+    "of the postings list — term-keyed partial-agg branches with "
+    "WindowGroupLimit pushdown capping postings pre-shuffle "
+    "(operators/llm.py::inverted_index); top-100 terms by df "
+    "registered.",
 )
 def docs_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     from time_series_spark_spark.operators.llm import inverted_index
