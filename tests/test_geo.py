@@ -285,3 +285,24 @@ def test_grid_radius_join_property_random_geometry(spark):
             .collect()
         }
         assert got == naive, (trial, lat0, lon0, radius)
+
+
+def test_grid_dbscan_cluster_report_properties(spark):
+    """Cluster report invariants at sf0.001: clusters are disjoint cell
+    sets (sum of n_cells <= dense cells), every cluster's bbox is
+    consistent, and the report is rerun-deterministic."""
+    from time_series_spark_spark.queries import REGISTRY
+
+    fn = REGISTRY["geo_grid_dbscan_clusters"].fn
+    sf = "/root/testdata/sf0.001"
+    rows = fn(spark, sf).collect()
+    assert rows, "no clusters found at sf0.001"
+    for r in rows:
+        assert r["n_cells"] >= 1 and r["n_points"] >= r["n_cells"]
+        assert r["ci_min"] <= r["ci_max"] and r["cj_min"] <= r["cj_max"]
+        # bbox is at most the cluster's cell count in each direction
+        assert (r["ci_max"] - r["ci_min"] + 1) * (
+            r["cj_max"] - r["cj_min"] + 1
+        ) >= r["n_cells"]
+    again = fn(spark, sf).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))

@@ -1082,3 +1082,26 @@ def test_inverted_index_postings_head(spark):
     assert got["a"]["df"] == 3 and got["a"]["cf"] == 3
     assert got["a"]["postings_head"] == "1,2"  # capped, ascending
     assert got["b"]["postings_head"] == "3"
+
+
+def test_feature_hashing_conserves_mass_and_dimension(spark):
+    from time_series_spark_spark.queries import REGISTRY
+
+    fn = REGISTRY["docs_feature_hashing"].fn
+    sf = "/root/testdata/sf0.001"
+    rows = fn(spark, sf).collect()
+    assert 0 < len(rows) <= 64
+    assert all(0 <= r["bucket"] < 64 for r in rows)
+    # raw mass conserved: sum over buckets == corpus token count
+    from time_series_spark_spark.operators.llm import tokens as _toks
+    from time_series_spark_spark.sources.io import load as _load
+
+    n_tokens = (
+        _load(spark, sf, "documents")
+        .select(F.explode(_toks()).alias("t"))
+        .count()
+    )
+    assert sum(r["total_mass"] for r in rows) == n_tokens
+    # signs actually mix: signed mass differs from raw mass somewhere
+    assert any(r["signed_mass"] != r["total_mass"] for r in rows)
+    assert all(abs(r["signed_mass"]) <= r["total_mass"] for r in rows)

@@ -240,3 +240,132 @@ def geo_supplier_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_customers_100km"),
         F.round(F.min("dist_km"), 3).alias("nearest_km"),
     )
+
+
+# DBSCAN-on-a-grid: cells ≥ 1.25x the mean occupancy are "dense" (the
+# integer cross-multiplied predicate n*4*n_cells >= 5*n_pts is exact in
+# both engines); dense cells connect through their 8-neighborhood and
+# clusters are the connected components — the classic scalable DBSCAN
+# surrogate (cell side >= eps ⇒ adjacent dense cells are eps-reachable).
+_DBSCAN_CELL_ID = "(ci + 1000) * 100000 + (cj + 1000)"
+
+
+@register(
+    "geo_grid_dbscan_clusters",
+    f"""
+    WITH RECURSIVE pts AS (
+        SELECT {_sql_coord('lat', 'c_custkey', LAT_MIN, LAT_MAX)} AS lat,
+               {_sql_coord('lon', 'c_custkey', LON_MIN, LON_MAX)} AS lon
+        FROM customer
+    ),
+    cells AS (
+        SELECT CAST(floor(lat / {LAT_CELL!r}) AS INT) AS ci,
+               CAST(floor(lon / {LON_CELL!r}) AS INT) AS cj,
+               count(*) AS n
+        FROM pts GROUP BY 1, 2
+    ),
+    tot AS (
+        SELECT count(*) AS n_cells, CAST(sum(n) AS BIGINT) AS n_pts
+        FROM cells
+    ),
+    dense AS (
+        SELECT ci, cj, n, CAST({_DBSCAN_CELL_ID} AS BIGINT) AS cell
+        FROM cells, tot WHERE n * 4 * tot.n_cells >= 5 * tot.n_pts
+    ),
+    edges AS (
+        SELECT a.cell AS src, b.cell AS dst
+        FROM dense a JOIN dense b
+          ON abs(a.ci - b.ci) <= 1 AND abs(a.cj - b.cj) <= 1
+         AND a.cell <> b.cell
+    ),
+    reach(cell, lab) AS (
+        SELECT cell, cell FROM dense
+        UNION
+        SELECT e.dst, r.lab FROM reach r JOIN edges e ON e.src = r.cell
+    ),
+    lbl AS (SELECT cell, min(lab) AS cluster_id FROM reach GROUP BY cell)
+    SELECT cluster_id,
+           count(*) AS n_cells,
+           CAST(sum(n) AS BIGINT) AS n_points,
+           min(ci) AS ci_min, max(ci) AS ci_max,
+           min(cj) AS cj_min, max(cj) AS cj_max
+    FROM dense JOIN lbl ON dense.cell = lbl.cell
+    GROUP BY cluster_id
+    ORDER BY n_points DESC, cluster_id
+    LIMIT 20
+    """,
+    doc="Grid-DBSCAN spatial clustering: customers bucketed into grid "
+    "cells, cells >= 1.25x mean occupancy marked dense (exact integer "
+    "cross-multiplied threshold), dense cells joined through their "
+    "8-neighborhood (exploded-offset EQUI-join, never a theta join) and "
+    "clustered by pointer-jumping connected components "
+    "(operators/graph.py) — top-20 clusters with size and bbox. The "
+    "scalable DBSCAN surrogate: density is one hash agg, adjacency is "
+    "bounded (<= 8 edges/cell), CC is O(log n) rounds; the DuckDB "
+    "oracle recomputes components via a recursive CTE.",
+)
+def geo_grid_dbscan_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from time_series_spark_spark.operators.graph import connected_components
+
+    pts = _customer_points(spark, sf_dir)
+    ci, cj = grid_cells(F.col("lat"), F.col("lon"), LAT_CELL, LON_CELL)
+    cells = pts.groupBy(ci.alias("ci"), cj.alias("cj")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    tot = cells.agg(
+        F.count(F.lit(1)).alias("n_cells"), F.sum("n").alias("n_pts")
+    )
+    dense = (
+        cells.crossJoin(F.broadcast(tot))
+        .filter(
+            F.col("n") * 4 * F.col("n_cells") >= 5 * F.col("n_pts")
+        )
+        .withColumn(
+            "cell",
+            ((F.col("ci") + 1000) * 100000 + (F.col("cj") + 1000)).cast(
+                "long"
+            ),
+        )
+        .select("ci", "cj", "n", "cell")
+    )
+    offs = [
+        (dx, dy) for dx in (-1, 0, 1) for dy in (-1, 0, 1) if (dx, dy) != (0, 0)
+    ]
+    nbr = dense.select(
+        "cell",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
+                    for dx, dy in offs
+                ]
+            )
+        ).alias("off"),
+        (F.col("ci")).alias("ci0"),
+        (F.col("cj")).alias("cj0"),
+    ).select(
+        "cell",
+        (F.col("ci0") + F.col("off.dx")).alias("ci"),
+        (F.col("cj0") + F.col("off.dy")).alias("cj"),
+    )
+    edges = nbr.join(
+        dense.select(F.col("cell").alias("cell_b"), "ci", "cj"),
+        on=["ci", "cj"],
+    ).select(F.col("cell").alias("id_a"), F.col("cell_b").alias("id_b"))
+    comp = connected_components(edges)
+    lab = dense.join(comp, dense.cell == comp.id, "left").withColumn(
+        "cluster_id", F.coalesce("component", "cell")
+    )
+    return (
+        lab.groupBy("cluster_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_cells"),
+            F.sum("n").alias("n_points"),
+            F.min(lab.ci).alias("ci_min"),
+            F.max(lab.ci).alias("ci_max"),
+            F.min(lab.cj).alias("cj_min"),
+            F.max(lab.cj).alias("cj_max"),
+        )
+        .orderBy(F.desc("n_points"), "cluster_id")
+        .limit(20)
+    )

@@ -2247,3 +2247,66 @@ def docs_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     from time_series_spark_spark.operators.llm import bm25_search
 
     return bm25_search(load(spark, sf_dir, "documents"), _BM25_TERMS, k=10)
+
+
+@register(
+    "docs_feature_hashing",
+    """
+    WITH tc AS (
+        SELECT term, count(*) AS cnt
+        FROM (SELECT unnest(string_split(text, ' ')) AS term
+              FROM documents)
+        GROUP BY term
+    ),
+    hashed AS (
+        SELECT term, cnt,
+               CAST(('0x' || substring(md5('fh:' || term), 1, 8))::BIGINT
+                    % 64 AS INT) AS bucket,
+               CASE WHEN ('0x' || substring(md5('sgn:' || term), 1, 1))
+                         ::BIGINT % 2 = 0
+                    THEN 1 ELSE -1 END AS sgn
+        FROM tc
+    )
+    SELECT bucket,
+           count(*) AS n_terms,
+           CAST(sum(sgn * cnt) AS BIGINT) AS signed_mass,
+           CAST(sum(cnt) AS BIGINT) AS total_mass
+    FROM hashed
+    GROUP BY bucket
+    ORDER BY bucket
+    """,
+    doc="K24 feature hashing (the hashing-trick vectorizer, Weinberger "
+    "ICML'09): every term maps to one of 64 buckets via md5, with an "
+    "independent md5-derived sign so colliding terms cancel in "
+    "expectation rather than pile up. Per-bucket report: colliding-term "
+    "count, signed mass (the actual hashed-feature value), raw mass. "
+    "Fixed output dimension regardless of vocabulary — the unbounded-"
+    "vocab-to-bounded-vector step before any linear model at corpus "
+    "scale; two hash aggs, no vocabulary broadcast needed at all.",
+)
+def docs_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    tc = (
+        docs.select(F.explode(tokens()).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    bucket = F.expr(
+        "CAST(conv(substring(md5(concat('fh:', term)), 1, 8), 16, 10)"
+        " % 64 AS INT)"
+    )
+    sgn = F.when(
+        F.expr("conv(substring(md5(concat('sgn:', term)), 1, 1), 16, 10)")
+        .cast("long") % 2 == 0,
+        F.lit(1),
+    ).otherwise(F.lit(-1))
+    return (
+        tc.select("cnt", bucket.alias("bucket"), sgn.alias("sgn"))
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_terms"),
+            F.sum(F.col("sgn") * F.col("cnt")).alias("signed_mass"),
+            F.sum("cnt").alias("total_mass"),
+        )
+        .orderBy("bucket")
+    )
