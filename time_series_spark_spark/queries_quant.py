@@ -1291,3 +1291,91 @@ def supplier_cosupply_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     return k_core(edges, k=15, src="s1", dst="s2").orderBy("node")
+
+
+# ---------------------------------------------------------------------------
+# F84 zero-floor clamped running balance (prefix-min closed form)
+# ---------------------------------------------------------------------------
+@register(
+    "users_clamped_balance",
+    """
+    WITH tx AS (
+        SELECT user_id, ts, event_id,
+               CASE WHEN event_type = 'purchase'
+                    THEN CAST(round(value * 100, 0) AS BIGINT)
+                    ELSE -CAST(round(value * 100, 0) AS BIGINT) END AS delta
+        FROM events WHERE event_type IN ('purchase', 'error')
+    ),
+    scanned AS (
+        SELECT user_id, ts, event_id,
+               CAST(sum(delta) OVER w AS BIGINT) AS s
+        FROM tx
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ),
+    bal AS (
+        SELECT user_id, ts, event_id,
+               s - least(CAST(0 AS BIGINT),
+                         CAST(min(s) OVER (PARTITION BY user_id
+                                           ORDER BY ts, event_id
+                                           ROWS BETWEEN UNBOUNDED PRECEDING
+                                           AND CURRENT ROW) AS BIGINT)) AS b
+        FROM scanned
+    )
+    SELECT user_id,
+           count(*) AS n_tx,
+           CAST(sum(CASE WHEN b = 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_floor_hits,
+           CAST(max(b) AS BIGINT) AS peak_cents,
+           CAST(arg_max(b, ts || '-' || lpad(CAST(event_id AS VARCHAR),
+                                             12, '0')) AS BIGINT)
+               AS final_cents
+    FROM bal GROUP BY user_id
+    ORDER BY user_id
+    """,
+    doc="F84 zero-floor clamped running balance: purchases credit, "
+    "errors debit (integer cents), balance never drops below 0. The "
+    "clamp LOOKS like a sequential non-associative scan, but has the "
+    "prefix-min closed form b_t = S_t - min(0, min_{j<=t} S_j), so it "
+    "stays two window passes over the same (user, ts) partitioning - "
+    "no grouped-map UDF, no per-row recursion, fully parallel at 100 "
+    "TB. Per-user summary: tx count, floor hits, peak and final "
+    "balance; exact integer arithmetic end to end.",
+)
+def users_clamped_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    ev = load(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100, 0).cast("long")
+    tx = ev.filter(F.col("event_type").isin("purchase", "error")).select(
+        "user_id", "ts", "event_id",
+        F.when(F.col("event_type") == "purchase", cents)
+        .otherwise(-cents)
+        .alias("delta"),
+    )
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    scanned = tx.withColumn("s", F.sum("delta").over(w))
+    bal = scanned.withColumn(
+        "b",
+        F.col("s") - F.least(F.lit(0).cast("long"), F.min("s").over(w)),
+    )
+    # final = b at the max (ts, event_id); string key mirrors the oracle
+    ord_key = F.concat_ws(
+        "-", F.col("ts").cast("string"), F.lpad(F.col("event_id").cast("string"), 12, "0")
+    )
+    return (
+        bal.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tx"),
+            F.sum(F.when(F.col("b") == 0, 1).otherwise(0)).alias(
+                "n_floor_hits"
+            ),
+            F.max("b").alias("peak_cents"),
+            F.max_by("b", ord_key).alias("final_cents"),
+        )
+        .orderBy("user_id")
+    )
