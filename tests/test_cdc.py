@@ -235,3 +235,52 @@ def test_incremental_agg_merge_equals_recompute(spark):
     assert got == exp
     assert got[("b", 2)] == (1, 5)    # old-only key survives
     assert got[("c", 3)] == (1, 100)  # delta-only key appears
+
+
+def test_merkle_bucket_diff_flags_exactly_touched_buckets(spark):
+    """M7: identical tables -> zero flagged buckets; one modified row ->
+    exactly that row's bucket flips; counts guard catches deletes."""
+    from pyspark.sql import functions as F
+
+    def fp_sum(df):
+        fp = (
+            "CAST(conv(substring(md5(concat(CAST(k AS STRING), '|', "
+            "CAST(v AS STRING))), 1, 15), 16, 10) AS BIGINT)"
+        )
+        return (
+            df.withColumn("bucket", F.col("k") % 8)
+            .groupBy("bucket")
+            .agg(F.count(F.lit(1)).alias("n"), F.expr(f"bit_xor({fp})").alias("x"))
+        )
+
+    rows = [(i, i * 10) for i in range(100)]
+    a = spark.createDataFrame(rows, ["k", "v"])
+    b_same = spark.createDataFrame(list(rows), ["k", "v"])
+    sa = {r["bucket"]: (r["n"], r["x"]) for r in fp_sum(a).collect()}
+    sb = {r["bucket"]: (r["n"], r["x"]) for r in fp_sum(b_same).collect()}
+    assert sa == sb
+    # modify row k=42 (bucket 2)
+    rows_mod = [(k, v if k != 42 else v + 1) for k, v in rows]
+    sm = {r["bucket"]: (r["n"], r["x"]) for r in fp_sum(
+        spark.createDataFrame(rows_mod, ["k", "v"])
+    ).collect()}
+    flipped = [bkt for bkt in sa if sa[bkt] != sm[bkt]]
+    assert flipped == [42 % 8]
+    # delete a row whose fingerprint XORs out: count guard still catches
+    rows_del = [r for r in rows if r[0] != 7]
+    sd = {r["bucket"]: (r["n"], r["x"]) for r in fp_sum(
+        spark.createDataFrame(rows_del, ["k", "v"])
+    ).collect()}
+    assert sd[7 % 8][0] == sa[7 % 8][0] - 1
+
+
+def test_merkle_registered_query_flags_known_changes(spark):
+    from time_series_spark_spark.queries import REGISTRY
+
+    rows = REGISTRY["orders_merkle_bucket_diff"].fn(
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    assert len(rows) == 128
+    # the CDC snapshots differ by construction -> some buckets flagged,
+    # and with ~1200 orders every bucket holds changed keys
+    assert any(r["differs"] == 1 for r in rows)

@@ -377,3 +377,79 @@ def orders_rollup_incremental_merge(
         ["n_orders", "revenue_cents"],
     )
     return merged.orderBy("mon", "o_orderpriority")
+
+
+# ---------------------------------------------------------------------------
+# M7: Merkle-style bucket checksum diff (replica verification)
+# ---------------------------------------------------------------------------
+# Row fingerprint: 60-bit integer from md5 of the canonical row string —
+# identical expression in both engines; bucket = key % 128. XOR is
+# order-independent and self-inverse, so a bucket checksum is ONE
+# aggregate regardless of row order/partitioning, and equal multisets
+# (with the count guard) compare equal with probability 1 - 2^-60.
+_MERKLE_FP_SQL = (
+    "('0x' || substring(md5(CAST(o_orderkey AS VARCHAR) || '|' || "
+    "CAST(price_cents AS VARCHAR) || '|' || o_orderstatus), 1, 15))::BIGINT"
+)
+
+
+@register(
+    "orders_merkle_bucket_diff",
+    f"""
+    WITH old_snap AS ({_OLD_SQL}),
+    new_snap AS ({_NEW_SQL}),
+    old_sum AS (
+        SELECT o_orderkey % 128 AS bucket, count(*) AS n_old,
+               bit_xor({_MERKLE_FP_SQL}) AS x_old
+        FROM old_snap GROUP BY 1
+    ),
+    new_sum AS (
+        SELECT o_orderkey % 128 AS bucket, count(*) AS n_new,
+               bit_xor({_MERKLE_FP_SQL}) AS x_new
+        FROM new_snap GROUP BY 1
+    )
+    SELECT COALESCE(old_sum.bucket, new_sum.bucket) AS bucket,
+           COALESCE(n_old, 0) AS n_old, COALESCE(n_new, 0) AS n_new,
+           CAST(COALESCE(x_old, 0) <> COALESCE(x_new, 0) OR
+                COALESCE(n_old, 0) <> COALESCE(n_new, 0) AS INT) AS differs
+    FROM old_sum FULL JOIN new_sum ON old_sum.bucket = new_sum.bucket
+    ORDER BY bucket
+    """,
+    doc="M7 Merkle-style replica verification: both snapshots reduce to "
+    "128 bucket checksums (order-independent bit_xor of 60-bit md5 row "
+    "fingerprints + row counts), and only differing buckets need row-"
+    "level reconciliation (M1's diff, scoped to the flagged buckets). "
+    "At 100 TB each side is ONE scan + a 128-row aggregate — the "
+    "cross-replica compare moves 128 rows, not the table; false-match "
+    "probability per bucket is 2^-60. Checksums themselves are compared "
+    "(not emitted) so the registered output is engine-portable.",
+)
+def orders_merkle_bucket_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    fp = (
+        "CAST(conv(substring(md5(concat(CAST(o_orderkey AS STRING), '|', "
+        "CAST(price_cents AS STRING), '|', o_orderstatus)), 1, 15), 16, 10)"
+        " AS BIGINT)"
+    )
+
+    def summarize(df: DataFrame, n_col: str, x_col: str) -> DataFrame:
+        return (
+            df.withColumn("bucket", F.col("o_orderkey") % 128)
+            .groupBy("bucket")
+            .agg(
+                F.count(F.lit(1)).alias(n_col),
+                F.expr(f"bit_xor({fp})").alias(x_col),
+            )
+        )
+
+    old_sum = summarize(_old_snapshot(spark, sf_dir), "n_old", "x_old")
+    new_sum = summarize(_new_snapshot(spark, sf_dir), "n_new", "x_new")
+    joined = old_sum.join(new_sum, on="bucket", how="full_outer")
+    return joined.select(
+        "bucket",
+        F.coalesce("n_old", F.lit(0)).alias("n_old"),
+        F.coalesce("n_new", F.lit(0)).alias("n_new"),
+        (
+            (F.coalesce("x_old", F.lit(0)) != F.coalesce("x_new", F.lit(0)))
+            | (F.coalesce("n_old", F.lit(0)) != F.coalesce("n_new", F.lit(0)))
+        ).cast("int").alias("differs"),
+    ).orderBy("bucket")
