@@ -472,3 +472,27 @@ def test_theil_sen_matches_numpy_reference(spark):
         b0 = resid[-(-len(resid) // 2) - 1]
         assert row["slope"] == round(m + 1e-9, 4), trial
         assert row["intercept"] == round(b0 + 1e-9, 4), trial
+
+
+def test_cohort_ltv_curves_monotone_and_consistent(spark):
+    from collections import defaultdict
+
+    from time_series_spark_spark.queries import REGISTRY
+
+    rows = REGISTRY["cohort_ltv_curves"].fn(
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    assert rows
+    by_cohort = defaultdict(list)
+    for r in rows:
+        by_cohort[r["cohort"]].append(r)
+    for cohort, rs in by_cohort.items():
+        rs.sort(key=lambda r: r["age_weeks"])
+        assert rs[0]["age_weeks"] == 0  # a cohort's first week is age 0
+        cum = 0
+        for r in rs:
+            cum += r["week_cents"]
+            assert r["cum_cents"] == cum  # cumulative is exact
+            assert abs(
+                r["ltv_cents_per_user"] - round(cum / r["n_users"], 4)
+            ) < 1e-9

@@ -306,3 +306,37 @@ def test_k_core_matches_reference_on_cosupply_slice(spark):
                 edges.add((ss[i], ss[j]))
     want = set(_peel_reference(edges, 15).items())
     assert got == want
+
+
+def test_lpa_splits_bridged_cliques_where_cc_does_not(spark):
+    """Two 5-cliques bridged by a single edge: CC gives ONE component,
+    deterministic LPA keeps TWO communities."""
+    from time_series_spark_spark.operators.graph import (
+        connected_components,
+        label_propagation,
+    )
+
+    c1 = [(i, j) for i in range(5) for j in range(5) if i < j]
+    c2 = [(i + 10, j + 10) for i in range(5) for j in range(5) if i < j]
+    bridge = [(4, 10)]
+    edges = spark.createDataFrame(c1 + c2 + bridge, ["a", "b"])
+
+    cc = connected_components(edges, "a", "b")
+    assert cc.select("component").distinct().count() == 1
+
+    lpa = {r["id"]: r["community"] for r in label_propagation(edges, "a", "b").collect()}
+    left = {lpa[i] for i in range(5)}
+    right = {lpa[i + 10] for i in range(5)}
+    assert len(left) == 1 and len(right) == 1
+    assert left != right
+
+
+def test_lpa_deterministic_across_runs(spark):
+    from time_series_spark_spark.operators.graph import label_propagation
+
+    edges = spark.createDataFrame(
+        [(i, (i * 7 + 3) % 23) for i in range(23)], ["a", "b"]
+    )
+    a = sorted(map(tuple, label_propagation(edges, "a", "b").collect()))
+    b = sorted(map(tuple, label_propagation(edges, "a", "b").collect()))
+    assert a == b

@@ -395,3 +395,75 @@ def k_core(
     return deg.filter(F.col("d") >= k).select(
         "node", F.col("d").cast("long").alias("core_degree")
     )
+
+
+def label_propagation(
+    edges: DataFrame,
+    src_col: str = "a",
+    dst_col: str = "b",
+    max_iter: int = 10,
+) -> DataFrame:
+    """Community detection by synchronous label propagation (Raghavan
+    2007), made DETERMINISTIC: every node adopts the most frequent label
+    among its neighbors, ties broken by the smallest label; sweeps are
+    synchronous so the result is a pure function of the graph (classic
+    LPA's random update order is irreproducible — useless for an
+    oracle-checked engine).
+
+    Unlike connected components (one label per reachable region), LPA
+    splits weakly-joined dense regions: two cliques bridged by a single
+    edge keep distinct labels (pinned in tests/test_graph.py).
+
+    Returns ``(id long, community long)``.
+
+    Scale shape: per sweep ONE join (labels ⋈ edges, both hash-keyed on
+    node) + one two-level agg (count labels per (node, label), then
+    max_by with the (count desc, label asc) tie-break via min(struct)).
+    State is |V| rows; lineage truncated per sweep like the CC loop.
+    Synchronous LPA can 2-cycle on bipartite-ish graphs, so the loop is
+    capped at ``max_iter`` sweeps rather than run to a fixpoint that may
+    not exist.
+    """
+    e = edges.select(
+        F.col(src_col).cast("long").alias("src"),
+        F.col(dst_col).cast("long").alias("dst"),
+    )
+    e = (
+        e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .filter(F.col("src") != F.col("dst"))
+        .dropDuplicates(["src", "dst"])
+        .localCheckpoint()
+    )
+    labels = (
+        e.select(F.col("src").alias("id"))
+        .distinct()
+        .withColumn("community", F.col("id"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        votes = (
+            e.join(labels, e.dst == labels.id)
+            .select(F.col("src").alias("id"), "community")
+            .groupBy("id", "community")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        # (count desc, label asc): min over struct(-n, community)
+        new_labels = (
+            votes.groupBy("id")
+            .agg(
+                F.min(F.struct((-F.col("n")).alias("neg"), F.col("community")))
+                .alias("best")
+            )
+            .select("id", F.col("best.community").alias("community"))
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), on="id")
+            .filter(F.col("n.community") != F.col("o.community"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels.localCheckpoint()
+        if changed == 0:
+            break
+    return labels

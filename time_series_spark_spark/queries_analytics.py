@@ -2356,3 +2356,83 @@ def events_ab_power_mde(spark: SparkSession, sf_dir: str) -> DataFrame:
         mde(0.841621).alias("mde_abs"),
         mde(1.281552).alias("mde_abs_90"),
     )
+
+
+# ---------------------------------------------------------------------------
+# F85 cohort LTV curves
+# ---------------------------------------------------------------------------
+@register(
+    "cohort_ltv_curves",
+    """
+    WITH p AS (
+        SELECT user_id,
+               CAST(date_trunc('week', ts) AS TIMESTAMP) AS w,
+               CAST(round(value * 100, 0) AS BIGINT) AS cents
+        FROM events WHERE event_type = 'purchase'
+    ),
+    firsts AS (SELECT user_id, min(w) AS cohort FROM p GROUP BY user_id),
+    sizes AS (SELECT cohort, count(*) AS n_users FROM firsts GROUP BY cohort),
+    rev AS (
+        SELECT firsts.cohort,
+               CAST(date_diff('day', firsts.cohort, p.w) // 7 AS BIGINT)
+                   AS age_weeks,
+               CAST(sum(p.cents) AS BIGINT) AS cents
+        FROM p JOIN firsts ON p.user_id = firsts.user_id
+        GROUP BY 1, 2
+    ),
+    cum AS (
+        SELECT cohort, age_weeks, cents,
+               CAST(sum(cents) OVER (PARTITION BY cohort ORDER BY age_weeks)
+                    AS BIGINT) AS cum_cents
+        FROM rev
+    )
+    SELECT cum.cohort AS cohort, age_weeks, n_users,
+           cents AS week_cents, cum_cents,
+           round(cum_cents * 1.0 / n_users, 4) AS ltv_cents_per_user
+    FROM cum JOIN sizes ON cum.cohort = sizes.cohort
+    ORDER BY cum.cohort, age_weeks
+    """,
+    doc="F85 cohort lifetime-value curves: users grouped by first-"
+    "purchase week, cumulative purchase revenue per cohort-age divided "
+    "by cohort size — the LTV panel beside F21's retention counts. "
+    "Purchases reduce to (cohort, age) BEFORE the cumulative window, so "
+    "the window sees cohorts x ages rows; the cohort-size join is "
+    "broadcast-small. Exact integer cents; the per-user division is "
+    "one IEEE-exact ratio.",
+)
+def cohort_ltv_curves(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    ev = load(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.date_trunc("week", "ts").alias("w"),
+        F.round(F.col("value") * 100, 0).cast("long").alias("cents"),
+    )
+    firsts = p.groupBy("user_id").agg(F.min("w").alias("cohort"))
+    sizes = firsts.groupBy("cohort").agg(F.count(F.lit(1)).alias("n_users"))
+    rev = (
+        p.join(firsts, on="user_id")
+        .groupBy(
+            "cohort",
+            (F.datediff(F.col("w"), F.col("cohort"))
+             / F.lit(7)).cast("long").alias("age_weeks"),
+        )
+        .agg(F.sum("cents").alias("week_cents"))
+    )
+    cum = rev.withColumn(
+        "cum_cents",
+        F.sum("week_cents").over(
+            W.partitionBy("cohort").orderBy("age_weeks")
+        ),
+    )
+    return (
+        cum.join(F.broadcast(sizes), on="cohort")
+        .select(
+            "cohort", "age_weeks", "n_users", "week_cents", "cum_cents",
+            F.round(F.col("cum_cents") * 1.0 / F.col("n_users"), 4).alias(
+                "ltv_cents_per_user"
+            ),
+        )
+        .orderBy("cohort", "age_weeks")
+    )

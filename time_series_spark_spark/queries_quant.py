@@ -1379,3 +1379,56 @@ def users_clamped_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Graph: label-propagation communities on the co-supply graph
+# ---------------------------------------------------------------------------
+@register(
+    "part_copurchase_lpa_communities",
+    None,  # iterative most-frequent-neighbor-label fixpoint is not
+    # SQL-expressible; planted-community semantics and determinism are
+    # pinned in tests/test_graph.py
+    doc="Deterministic synchronous label-propagation communities "
+    "(Raghavan 2007, smallest-label tie-break) over the part "
+    "co-purchase graph (parts on the same order, both high-quantity; "
+    "~1 edge/vertex, so real community structure — the denser supplier "
+    "graph collapses to one label, measured and rejected as substrate). "
+    "Unlike connected components, LPA splits weakly-bridged dense "
+    "regions (two cliques joined by one edge keep separate labels; "
+    "pinned in tests). Output: one row per community with size and "
+    "min/max member id, size desc. Per sweep: one node-keyed join + "
+    "two-level vote agg, |V|-row state, lineage truncated per sweep "
+    "(operators/graph.py::label_propagation).",
+)
+def part_copurchase_lpa_communities(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from time_series_spark_spark.operators.graph import label_propagation
+
+    li = (
+        load(spark, sf_dir, "lineitem")
+        .filter(F.col("l_quantity") > 45)
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    e = (
+        li.alias("a")
+        .join(li.alias("b"), on="l_orderkey")
+        .filter(F.col("a.l_partkey") < F.col("b.l_partkey"))
+        .select(
+            F.col("a.l_partkey").alias("a"),
+            F.col("b.l_partkey").alias("b"),
+        )
+        .distinct()
+    )
+    comm = label_propagation(e, "a", "b", max_iter=10)
+    return (
+        comm.groupBy("community")
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.min("id").alias("min_id"),
+            F.max("id").alias("max_id"),
+        )
+        .orderBy(F.desc("n_members"), "community")
+    )
