@@ -496,3 +496,30 @@ def test_cohort_ltv_curves_monotone_and_consistent(spark):
             assert abs(
                 r["ltv_cents_per_user"] - round(cum / r["n_users"], 4)
             ) < 1e-9
+
+
+def test_decile_bins_near_equal_and_ordered(spark):
+    from time_series_spark_spark.queries import REGISTRY
+
+    rows = REGISTRY["orders_price_decile_bins"].fn(
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    assert [r["bin"] for r in rows] == list(range(10))
+    counts = [r["n_orders"] for r in rows]
+    assert max(counts) - min(counts) <= 1  # exact rank arithmetic
+    for a, b in zip(rows, rows[1:]):
+        assert a["hi_cents"] <= b["lo_cents"]  # bins are value-ordered
+
+
+def test_pareto_and_reconciliation_invariants(spark):
+    from time_series_spark_spark.queries import REGISTRY
+    from time_series_spark_spark.sources.io import load
+
+    sf = "/root/testdata/sf0.001"
+    p = REGISTRY["customer_revenue_pareto"].fn(spark, sf).collect()[0]
+    assert 0 < p["customers_for_80pct"] <= p["n_customers"]
+    assert 0 < p["pct_of_customers"] <= 100.0
+
+    rec = REGISTRY["orders_lineitem_reconciliation"].fn(spark, sf).collect()
+    n_orders = load(spark, sf, "orders").count()
+    assert sum(r["n_orders"] for r in rec) == n_orders  # bands partition

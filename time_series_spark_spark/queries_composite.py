@@ -585,3 +585,222 @@ def purchase_attribution_markov(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         pdf, "channel string, removal_effect double, attribution double"
     ).orderBy("channel")
+
+
+# ---------------------------------------------------------------------------
+# F86 Pareto concentration (80/20 cutoff)
+# ---------------------------------------------------------------------------
+@register(
+    "customer_revenue_pareto",
+    """
+    WITH cust AS (
+        SELECT o_custkey,
+               CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT))
+                    AS BIGINT) AS cents
+        FROM orders GROUP BY o_custkey
+    ),
+    ranked AS (
+        SELECT o_custkey, cents,
+               CAST(sum(cents) OVER (ORDER BY cents DESC, o_custkey)
+                    AS BIGINT) AS cum_cents,
+               row_number() OVER (ORDER BY cents DESC, o_custkey) AS rnk,
+               CAST(sum(cents) OVER () AS BIGINT) AS total_cents,
+               count(*) OVER () AS n_cust
+        FROM cust
+    )
+    SELECT
+        CAST(min(rnk) FILTER (WHERE cum_cents * 10 >= total_cents * 8)
+             AS BIGINT) AS customers_for_80pct,
+        CAST(max(n_cust) AS BIGINT) AS n_customers,
+        round(min(rnk) FILTER (WHERE cum_cents * 10 >= total_cents * 8)
+              * 100.0 / max(n_cust), 4) AS pct_of_customers,
+        CAST(max(total_cents) AS BIGINT) AS total_cents
+    FROM ranked
+    """,
+    doc="F86 Pareto revenue concentration: the smallest prefix of "
+    "customers (revenue desc, key tiebreak) whose cumulative revenue "
+    "reaches 80% of total — the 80/20 panel beside the Gini "
+    "coefficient. The threshold predicate is integer cross-multiplied "
+    "(cum*10 >= total*8, exact); one per-customer reduce, then windows "
+    "over the customer frame (per-key pre-agg first — the window never "
+    "sees raw orders). Single summary row.",
+)
+def customer_revenue_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = (
+        load(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("long"))
+            .alias("cents")
+        )
+    )
+    w_ord = Window.orderBy(F.desc("cents"), "o_custkey")
+    w_all = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    ranked = cust.select(
+        "cents",
+        F.sum("cents").over(
+            w_ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ).alias("cum_cents"),
+        F.row_number().over(w_ord).alias("rnk"),
+        F.sum("cents").over(w_all).alias("total_cents"),
+        F.count(F.lit(1)).over(w_all).alias("n_cust"),
+    )
+    hit = F.when(
+        F.col("cum_cents") * 10 >= F.col("total_cents") * 8, F.col("rnk")
+    )
+    return ranked.agg(
+        F.min(hit).alias("customers_for_80pct"),
+        F.max("n_cust").alias("n_customers"),
+        F.round(
+            F.min(hit) * 100.0 / F.max("n_cust"), 4
+        ).alias("pct_of_customers"),
+        F.max("total_cents").alias("total_cents"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# F87 equal-frequency discretization (QuantileDiscretizer shape)
+# ---------------------------------------------------------------------------
+@register(
+    "orders_price_decile_bins",
+    """
+    WITH r AS (
+        SELECT CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents,
+               row_number() OVER (ORDER BY round(o_totalprice * 100)
+                                  , o_orderkey) AS rnk,
+               count(*) OVER () AS n
+        FROM orders
+    ),
+    binned AS (
+        SELECT cents,
+               CAST(least(((rnk - 1) * 10) // n, 9) AS INT) AS bin
+        FROM r
+    )
+    SELECT bin, count(*) AS n_orders,
+           CAST(min(cents) AS BIGINT) AS lo_cents,
+           CAST(max(cents) AS BIGINT) AS hi_cents
+    FROM binned GROUP BY bin ORDER BY bin
+    """,
+    doc="F87 equal-frequency (decile) discretization of order value — "
+    "the QuantileDiscretizer feature-prep shape with EXACT rank "
+    "arithmetic: bin = ((rank-1)*10) div n over a (cents, key) total "
+    "order, so bin populations differ by at most 1 and both engines "
+    "agree bit-for-bit (no interpolated quantile boundaries at all). "
+    "At 100 TB the total order is the one global sort (range-partition "
+    "+ rank), everything after is per-bin aggregation.",
+)
+def orders_price_decile_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cents = F.round(F.col("o_totalprice") * 100, 0).cast("long")
+    r = load(spark, sf_dir, "orders").select(
+        cents.alias("cents"),
+        F.row_number()
+        .over(Window.orderBy(F.round(F.col("o_totalprice") * 100, 0),
+                             "o_orderkey"))
+        .alias("rnk"),
+        F.count(F.lit(1))
+        .over(Window.rowsBetween(Window.unboundedPreceding,
+                                 Window.unboundedFollowing))
+        .alias("n"),
+    )
+    binned = r.select(
+        "cents",
+        F.least(
+            ((F.col("rnk") - 1) * 10 / F.col("n")).cast("long"), F.lit(9)
+        ).cast("int").alias("bin"),
+    )
+    return (
+        binned.groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.min("cents").alias("lo_cents"),
+            F.max("cents").alias("hi_cents"),
+        )
+        .orderBy("bin")
+    )
+
+
+# ---------------------------------------------------------------------------
+# F88 order/lineitem reconciliation audit
+# ---------------------------------------------------------------------------
+@register(
+    "orders_lineitem_reconciliation",
+    """
+    WITH li AS (
+        SELECT l_orderkey,
+               CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT))
+                    AS BIGINT) AS li_cents
+        FROM lineitem GROUP BY l_orderkey
+    ),
+    j AS (
+        SELECT o.o_orderkey,
+               CAST(round(o.o_totalprice * 100, 0) AS BIGINT) AS o_cents,
+               COALESCE(li.li_cents, 0) AS li_cents
+        FROM orders o LEFT JOIN li ON o.o_orderkey = li.l_orderkey
+    ),
+    banded AS (
+        SELECT CASE
+                 WHEN li_cents = 0 THEN 'no_lines'
+                 WHEN li_cents * 10 < o_cents * 5  THEN 'under_50pct'
+                 WHEN li_cents * 10 < o_cents * 10 THEN 'under_100pct'
+                 WHEN li_cents = o_cents           THEN 'exact'
+                 WHEN li_cents * 10 < o_cents * 15 THEN 'over_to_150pct'
+                 ELSE 'over_150pct'
+               END AS band,
+               o_cents, li_cents
+        FROM j
+    )
+    SELECT band, count(*) AS n_orders,
+           CAST(sum(o_cents) AS BIGINT)  AS header_cents,
+           CAST(sum(li_cents) AS BIGINT) AS detail_cents
+    FROM banded GROUP BY band ORDER BY band
+    """,
+    doc="F88 header/detail reconciliation audit: every order's "
+    "o_totalprice vs the sum of its lineitem extended prices, banded "
+    "by integer cross-multiplied discrepancy ratio (exact — no fp "
+    "division in the predicate). The double-entry consistency check "
+    "run before trusting either table; per-key reduce + one "
+    "co-partitioned join on the order key, band output is 6 rows.",
+)
+def orders_lineitem_reconciliation(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    li = (
+        load(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(
+            F.sum(F.round(F.col("l_extendedprice") * 100, 0).cast("long"))
+            .alias("li_cents")
+        )
+    )
+    j = (
+        load(spark, sf_dir, "orders")
+        .select(
+            "o_orderkey",
+            F.round(F.col("o_totalprice") * 100, 0).cast("long")
+            .alias("o_cents"),
+        )
+        .join(li, F.col("o_orderkey") == F.col("l_orderkey"), "left")
+        .select(
+            "o_cents", F.coalesce("li_cents", F.lit(0)).alias("li_cents")
+        )
+    )
+    band = (
+        F.when(F.col("li_cents") == 0, "no_lines")
+        .when(F.col("li_cents") * 10 < F.col("o_cents") * 5, "under_50pct")
+        .when(F.col("li_cents") * 10 < F.col("o_cents") * 10, "under_100pct")
+        .when(F.col("li_cents") == F.col("o_cents"), "exact")
+        .when(F.col("li_cents") * 10 < F.col("o_cents") * 15, "over_to_150pct")
+        .otherwise("over_150pct")
+    )
+    return (
+        j.select(band.alias("band"), "o_cents", "li_cents")
+        .groupBy("band")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum("o_cents").alias("header_cents"),
+            F.sum("li_cents").alias("detail_cents"),
+        )
+        .orderBy("band")
+    )
