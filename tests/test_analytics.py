@@ -523,3 +523,53 @@ def test_pareto_and_reconciliation_invariants(spark):
     rec = REGISTRY["orders_lineitem_reconciliation"].fn(spark, sf).collect()
     n_orders = load(spark, sf, "orders").count()
     assert sum(r["n_orders"] for r in rec) == n_orders  # bands partition
+
+
+def test_swinging_door_reconstruction_bound(spark):
+    """F89: linear interpolation between kept points reconstructs EVERY
+    dropped point within tolerance; endpoints always kept; a straight
+    line with small noise compresses to (near) two points."""
+    import datetime as dt
+
+    import numpy as np
+
+    from time_series_spark_spark.operators.analytics import swinging_door
+
+    rng = np.random.default_rng(3)
+    rows = []
+    for s_id in range(8):
+        for i in range(120):
+            base = 2.0 * i if s_id % 2 == 0 else 50.0 * np.sin(i / 7.0)
+            noise = float(rng.uniform(-0.3, 0.3))
+            rows.append(
+                (s_id, dt.datetime(2024, 1, 1) + dt.timedelta(hours=i),
+                 float(base + noise))
+            )
+    df = spark.createDataFrame(rows, "k long, t timestamp, v double")
+    TOL = 1.0
+    kept = swinging_door(df, "t", "v", ["k"], tolerance=TOL)
+    kept_by_k = {}
+    for r in kept.collect():
+        kept_by_k.setdefault(r["k"], []).append((r["t"], r["v"]))
+    orig_by_k = {}
+    for k, t, v in rows:
+        orig_by_k.setdefault(k, []).append((t, v))
+    for k, orig in orig_by_k.items():
+        orig.sort()
+        pts = sorted(kept_by_k[k])
+        assert pts[0] == orig[0] and pts[-1] == orig[-1]
+        # reconstruct
+        kt = np.array([p[0].timestamp() for p in pts])
+        kv = np.array([p[1] for p in pts])
+        ot = np.array([p[0].timestamp() for p in orig])
+        ov = np.array([p[1] for p in orig])
+        recon = np.interp(ot, kt, kv)
+        assert np.max(np.abs(recon - ov)) <= TOL + 1e-9
+        # linear series compress hard; sine needs more points
+        if k % 2 == 0:
+            assert len(pts) <= 12
+    # deterministic
+    again = sorted(map(tuple, kept.collect()))
+    assert again == sorted(
+        (r["k"], r["t"], r["v"]) for r in kept.collect()
+    )

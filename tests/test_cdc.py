@@ -284,3 +284,28 @@ def test_merkle_registered_query_flags_known_changes(spark):
     # the CDC snapshots differ by construction -> some buckets flagged,
     # and with ~1200 orders every bucket holds changed keys
     assert any(r["differs"] == 1 for r in rows)
+
+
+def test_version_change_feed_laws(spark):
+    """M8: CDF op counts match the snapshot construction (N/5 each) and
+    the net revenue delta reconciles rev(v1) - rev(v0)."""
+    from pyspark.sql import functions as F
+
+    import time_series_spark_spark.queries as reg
+    from time_series_spark_spark.queries_cdc import (
+        _new_snapshot,
+        _old_snapshot,
+    )
+    from time_series_spark_spark.sources.io import load
+
+    sf = "/root/testdata/sf0.001"
+    rows = {r["op"]: r for r in reg.REGISTRY["orders_version_change_feed"]
+            .fn(spark, sf).collect()}
+    n = load(spark, sf, "orders").count()
+    assert set(rows) == {"insert", "delete", "update"}
+    assert rows["insert"]["n_rows"] == n // 5
+    assert rows["delete"]["n_rows"] == n // 5
+    assert rows["update"]["n_rows"] == n // 5
+    rev = lambda df: df.agg(F.sum("price_cents")).collect()[0][0]
+    delta = rev(_new_snapshot(spark, sf)) - rev(_old_snapshot(spark, sf))
+    assert sum(r["net_cents_delta"] for r in rows.values()) == delta

@@ -787,3 +787,89 @@ def markov_attribution(
             "attribution": [round(effects[c] / total, 6) for c in channels],
         }
     )
+
+
+def swinging_door(
+    df: DataFrame,
+    ts: str,
+    value: str,
+    keys: list[str],
+    tolerance: float,
+) -> DataFrame:
+    """Swinging-door trending compression (Bristol 1990, the SCADA/PI
+    historian standard): per series, keep only the points needed so that
+    LINEAR INTERPOLATION between kept points reconstructs every dropped
+    point within ±``tolerance``. Complements LTTB (fixed point budget,
+    no error bound) and M4 (pixel-exact min/max) with the third
+    downsampling contract: a hard reconstruction-error guarantee.
+
+    Corridor (fan) formulation — Sklansky-González style: from the last
+    kept point the feasible slope corridor is tightened by every passed
+    point's (v±tol) rays, and a candidate endpoint is accepted only if
+    the ACTUAL segment slope to it lies inside the corridor. (The
+    textbook door-existence test — "some line fits" — does NOT bound the
+    error of the segment finally kept; our property test caught exactly
+    that with a 1.5×tol violation, so the strict segment test is used.)
+
+    Sequential per series → packed grouped-map (one shuffle on keys,
+    many series per Arrow batch). Rows-only + the reconstruction-bound
+    property test in tests/test_analytics.py.
+    """
+    from time_series_spark_spark.operators.packed import packed_grouped_map
+
+    base = df.select(
+        *keys,
+        F.unix_micros(F.col(ts)).alias("__t"),
+        F.col(value).cast("double").alias("__v"),
+    )
+
+    def _one(t: np.ndarray, v: np.ndarray) -> np.ndarray:
+        n = len(t)
+        if n <= 2:
+            return np.arange(n)
+        keep = [0]
+        a = 0                      # anchor: last kept index
+        up = -np.inf               # corridor: max lower-ray slope
+        lo = np.inf                # corridor: min upper-ray slope
+        prev = 0                   # last accepted candidate endpoint
+        for i in range(1, n):
+            dt = float(t[i] - t[a])
+            if dt <= 0:
+                dt = 1e-9
+            s_i = (v[i] - v[a]) / dt
+            if up <= s_i <= lo:
+                # segment a→i within tol of every intermediate; accept
+                # and tighten the corridor with i for future candidates
+                prev = i
+                up = max(up, (v[i] - tolerance - v[a]) / dt)
+                lo = min(lo, (v[i] + tolerance - v[a]) / dt)
+            else:
+                keep.append(prev)
+                a = prev
+                dt = float(t[i] - t[a])
+                if dt <= 0:
+                    dt = 1e-9
+                up = (v[i] - tolerance - v[a]) / dt
+                lo = (v[i] + tolerance - v[a]) / dt
+                prev = i
+        keep.append(n - 1)
+        return np.unique(np.asarray(keep, dtype=np.int64))
+
+    def _apply(pdf: pd.DataFrame) -> pd.DataFrame:
+        outs = []
+        for _, g in pdf.groupby(keys, sort=False):
+            idx = _one(g["__t"].to_numpy(), g["__v"].to_numpy())
+            outs.append(g.iloc[idx])
+        return pd.concat(outs, ignore_index=True)
+
+    key_schema = ", ".join(
+        f"{k} {dict(base.dtypes)[k]}" for k in keys
+    )
+    out = packed_grouped_map(
+        base, keys, ["__t"], _apply, f"{key_schema}, __t long, __v double"
+    )
+    return out.select(
+        *keys,
+        F.timestamp_micros(F.col("__t")).alias(ts),
+        F.col("__v").alias(value),
+    )

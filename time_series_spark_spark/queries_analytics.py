@@ -2436,3 +2436,31 @@ def cohort_ltv_curves(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cohort", "age_weeks")
     )
+
+
+@register(
+    "events_swinging_door_user",
+    None,  # sequential two-door recursion per series → rows-only; the
+    # reconstruction-error bound is the pinned property in tests
+    doc="F89 swinging-door trending compression (Bristol 1990; the "
+    "PI-historian deadband compressor): per-user daily value series "
+    "reduced to the minimal-ish point set whose linear interpolation "
+    "reconstructs every dropped point within ±$20 (noisy i.i.d.-ish daily sums compress ~17% — the bound, not the ratio, is the contract) — the error-"
+    "BOUNDED downsampler beside LTTB (fixed budget) and M4 (pixel "
+    "min/max). Day-grain reduce first, then the packed grouped-map "
+    "path: one hash shuffle on user, many series per Arrow batch "
+    "(operators/analytics.py::swinging_door).",
+)
+def events_swinging_door_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from time_series_spark_spark.operators.analytics import swinging_door
+
+    ev = load(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "user_id", F.date_trunc("day", "ts").alias("d")
+    ).agg(
+        (F.round(F.sum(F.round(F.col("value") * 100, 0)), 0) / 100.0)
+        .alias("v")
+    )
+    return swinging_door(daily, "d", "v", ["user_id"], tolerance=20.0).orderBy(
+        "user_id", "d"
+    )

@@ -453,3 +453,53 @@ def orders_merkle_bucket_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
             | (F.coalesce("n_old", F.lit(0)) != F.coalesce("n_new", F.lit(0)))
         ).cast("int").alias("differs"),
     ).orderBy("bucket")
+
+
+# ---------------------------------------------------------------------------
+# M8: change data feed between table versions
+# ---------------------------------------------------------------------------
+@register(
+    "orders_version_change_feed",
+    None,  # file-layout versioning → rows-only; the CDF laws
+    # (diff(v0,v1) ∘ apply ≡ v1; per-version counts) pinned in pytest
+    doc="M8 change data feed from the A13 manifest-versioned store: "
+    "commit two order snapshots as table versions, read both AS OF, "
+    "and derive the version-to-version changelog with M1's snapshot "
+    "diff (insert/delete/update rows) — Delta's "
+    "table_changes() surface from first principles: CDF between "
+    "committed versions needs only manifest reads + one co-partitioned "
+    "full join on the key. Output: change-type counts + net revenue "
+    "delta, 1 summary frame. Temp dir removed before returning.",
+)
+def orders_version_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from time_series_spark_spark.operators.cdc import snapshot_diff
+    from time_series_spark_spark.sources.io import (
+        read_versioned,
+        write_versioned,
+    )
+
+    path = tempfile.mkdtemp(prefix="versioned_cdf_")
+    try:
+        write_versioned(_old_snapshot(spark, sf_dir), path)
+        write_versioned(_new_snapshot(spark, sf_dir), path)
+        v0 = read_versioned(spark, path, as_of=0)
+        v1 = read_versioned(spark, path, as_of=1)
+        diff = snapshot_diff(v0, v1, _KEYS, _COLS)
+        out = (
+            diff.groupBy("op")
+            .agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.sum(
+                    F.coalesce("new_price_cents", F.lit(0))
+                    - F.coalesce("old_price_cents", F.lit(0))
+                ).alias("net_cents_delta"),
+            )
+            .orderBy("op")
+        )
+        rows = out.collect()
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
+    return spark.createDataFrame(rows, out.schema)
