@@ -73,6 +73,13 @@ HEAVY_TAIL = [
     "events_bootstrap_ci",
     "geo_radius_pairs",
     "supplier_cosupply_triangles",
+    # round-5 batches 40-50 flagships
+    "geo_grid_dbscan_clusters",
+    "docs_inverted_index",
+    "docs_bm25_search",
+    "users_clamped_balance",
+    "events_swinging_door_user",
+    "part_copurchase_lpa_communities",
 ]
 
 

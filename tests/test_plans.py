@@ -449,3 +449,37 @@ def test_merge_hint_forces_sort_merge_join(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "SortMergeJoin" in plan
     assert "BroadcastHashJoin" not in plan
+
+
+def test_clamped_balance_single_hash_exchange(spark):
+    """F84: both prefix windows AND the per-user summary agg share ONE
+    hash(user_id) exchange — the prefix-min closed form stays a single
+    data shuffle (plus the output-order range partition). No joins."""
+    df = _df(spark, "users_clamped_balance")
+    plan = executed_plan(df)
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1
+    assert count_op(df, "SortMergeJoin") == 0
+    assert count_op(df, "BroadcastHashJoin") == 0
+
+
+def test_slo_burn_prereduces_before_global_window(spark):
+    """F81: raw events hash-aggregate to hourly rows FIRST; the only
+    single-partition exchange feeds the tiny hourly-frame window, and no
+    join appears anywhere."""
+    df = _df(spark, "events_slo_burn_alerts")
+    plan = executed_plan(df)
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1
+    assert len(re.findall(r"Exchange SinglePartition", plan)) == 1
+    # the single-partition side must sit ABOVE the hash agg in the plan
+    assert plan.index("SinglePartition") < plan.index("hashpartitioning")
+    assert count_op(df, "SortMergeJoin") == 0
+
+
+def test_inverted_index_rank_limit_pushdown(spark):
+    """K23a: Spark's WindowGroupLimit (partial + final) caps postings at
+    <= cap rows per term BEFORE the full window sort, and the stats⋈heads
+    join broadcasts the term dictionary — never a sort-merge join."""
+    df = _df(spark, "docs_inverted_index")
+    assert count_op(df, "WindowGroupLimit") == 2
+    assert count_op(df, "BroadcastHashJoin") >= 1
+    assert count_op(df, "SortMergeJoin") == 0
