@@ -1432,3 +1432,161 @@ def part_copurchase_lpa_communities(
         )
         .orderBy(F.desc("n_members"), "community")
     )
+
+
+# ---------------------------------------------------------------------------
+# F90 exact two-sample Kolmogorov-Smirnov drift
+# ---------------------------------------------------------------------------
+# D's sup is attained at a jump, so scanning distinct values suffices;
+# the comparison is kept in INTEGERS (|i*n_b - j*n_a|) and divided once
+# at the end — the only fp ops are that one division and the p-value's
+# exp, both rounded.
+@register(
+    "orders_ks_drift",
+    """
+    WITH x AS (
+        SELECT CAST(round(o_totalprice * 100, 0) AS BIGINT) AS v,
+               CASE WHEN o_orderdate < TIMESTAMP '1998-01-01'
+                    THEN 1 ELSE 0 END AS in_a
+        FROM orders
+    ),
+    per_v AS (
+        SELECT v,
+               CAST(sum(in_a) AS BIGINT) AS ca,
+               CAST(sum(1 - in_a) AS BIGINT) AS cb
+        FROM x GROUP BY v
+    ),
+    cum AS (
+        SELECT v,
+               CAST(sum(ca) OVER (ORDER BY v) AS BIGINT) AS i,
+               CAST(sum(cb) OVER (ORDER BY v) AS BIGINT) AS j,
+               CAST(sum(ca) OVER () AS BIGINT) AS na,
+               CAST(sum(cb) OVER () AS BIGINT) AS nb
+        FROM per_v
+    )
+    SELECT max(na) AS n_a, max(nb) AS n_b,
+           CAST(max(abs(i * nb - j * na)) AS BIGINT) AS d_numer,
+           round(max(abs(i * nb - j * na)) * 1.0 / (max(na) * max(nb)), 6)
+               AS ks_d,
+           round(2.0 * exp(-2.0 *
+               pow((sqrt(max(na) * 1.0 * max(nb) / (max(na) + max(nb)))
+                    + 0.12
+                    + 0.11 / sqrt(max(na) * 1.0 * max(nb)
+                                  / (max(na) + max(nb))))
+                   * (max(abs(i * nb - j * na)) * 1.0
+                      / (max(na) * max(nb))), 2)), 6) AS p_approx
+    FROM cum
+    """,
+    doc="F90 exact two-sample Kolmogorov-Smirnov drift between pre-1998 "
+    "and 1998+ order values: D's supremum is scanned over distinct "
+    "values with the comparison held in INTEGERS (|i*n_b - j*n_a|, one "
+    "division at the end) — no fp CDFs, no sampling; p-value by the "
+    "Stephens small-sample approximation (libm exp/sqrt, rounded 6dp). "
+    "One hash agg to distinct values, then a window over the distinct-"
+    "value frame (partition by metric key at scale). Single summary "
+    "row.",
+)
+def orders_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    x = load(spark, sf_dir, "orders").select(
+        F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("v"),
+        F.when(
+            F.col("o_orderdate") < "1998-01-01", 1
+        ).otherwise(0).alias("in_a"),
+    )
+    per_v = x.groupBy("v").agg(
+        F.sum("in_a").alias("ca"),
+        F.sum(F.lit(1) - F.col("in_a")).alias("cb"),
+    )
+    w_cum = W.orderBy("v").rowsBetween(W.unboundedPreceding, W.currentRow)
+    w_all = W.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    cum = per_v.select(
+        F.sum("ca").over(w_cum).alias("i"),
+        F.sum("cb").over(w_cum).alias("j"),
+        F.sum("ca").over(w_all).alias("na"),
+        F.sum("cb").over(w_all).alias("nb"),
+    )
+    d_num = F.max(F.abs(F.col("i") * F.col("nb") - F.col("j") * F.col("na")))
+    na, nb = F.max("na"), F.max("nb")
+    ks_d = d_num * 1.0 / (na * nb)
+    n_eff = F.sqrt(na * 1.0 * nb / (na + nb))
+    lam = (n_eff + 0.12 + 0.11 / n_eff) * ks_d
+    return cum.agg(
+        na.alias("n_a"),
+        nb.alias("n_b"),
+        d_num.alias("d_numer"),
+        F.round(ks_d, 6).alias("ks_d"),
+        F.round(2.0 * F.exp(-2.0 * F.pow(lam, 2)), 6).alias("p_approx"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# F91 exact Mann-Whitney rank-sum test
+# ---------------------------------------------------------------------------
+@register(
+    "orders_mannwhitney_period",
+    """
+    WITH x AS (
+        SELECT CAST(round(o_totalprice * 100, 0) AS BIGINT) AS v,
+               CASE WHEN o_orderdate < TIMESTAMP '1998-01-01'
+                    THEN 1 ELSE 0 END AS in_a
+        FROM orders
+    ),
+    per_v AS (
+        SELECT v, CAST(sum(in_a) AS BIGINT) AS ca,
+               CAST(count(*) AS BIGINT) AS t
+        FROM x GROUP BY v
+    ),
+    cum AS (
+        SELECT ca, t,
+               CAST(COALESCE(sum(t) OVER (ORDER BY v
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                    AS BIGINT) AS s,
+               CAST(sum(ca) OVER () AS BIGINT) AS na,
+               CAST(sum(t - ca) OVER () AS BIGINT) AS nb
+        FROM per_v
+    )
+    SELECT max(na) AS n_a, max(nb) AS n_b,
+           CAST(sum(ca * (2 * s + t + 1)) - max(na) * (max(na) + 1)
+                AS BIGINT) AS u2_a,
+           round((sum(ca * (2 * s + t + 1)) - max(na) * (max(na) + 1))
+                 * 0.5 / (max(na) * max(nb)), 6) AS auc_effect
+    FROM cum
+    """,
+    doc="F91 exact Mann-Whitney rank-sum: doubled tie-averaged rank sums "
+    "stay INTEGER (2R_a = sum ca*(2s+t+1) over tie groups), so "
+    "2U_a = 2R_a - n_a(n_a+1) is exact in both engines with zero fp "
+    "rank arithmetic; the common-language effect size U/(n_a*n_b) (= "
+    "AUC) is the single rounded division. Same scan shape as F90 "
+    "(distinct-value reduce + window). Single summary row.",
+)
+def orders_mannwhitney_period(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    x = load(spark, sf_dir, "orders").select(
+        F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("v"),
+        F.when(
+            F.col("o_orderdate") < "1998-01-01", 1
+        ).otherwise(0).alias("in_a"),
+    )
+    per_v = x.groupBy("v").agg(
+        F.sum("in_a").alias("ca"), F.count(F.lit(1)).alias("t")
+    )
+    w_prev = W.orderBy("v").rowsBetween(W.unboundedPreceding, -1)
+    w_all = W.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    cum = per_v.select(
+        "ca", "t",
+        F.coalesce(F.sum("t").over(w_prev), F.lit(0)).alias("s"),
+        F.sum("ca").over(w_all).alias("na"),
+        F.sum(F.col("t") - F.col("ca")).over(w_all).alias("nb"),
+    )
+    two_r_a = F.sum(F.col("ca") * (2 * F.col("s") + F.col("t") + 1))
+    na, nb = F.max("na"), F.max("nb")
+    u2_a = two_r_a - na * (na + 1)
+    return cum.agg(
+        na.alias("n_a"),
+        nb.alias("n_b"),
+        u2_a.cast("long").alias("u2_a"),
+        F.round(u2_a * 0.5 / (na * nb), 6).alias("auc_effect"),
+    )
