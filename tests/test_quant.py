@@ -294,3 +294,54 @@ def test_mannwhitney_exact_with_ties(spark):
     r_a = ranks[: len(a)].sum()
     u_a = r_a - len(a) * (len(a) + 1) / 2
     assert two_u_a == int(round(2 * u_a))
+
+
+def test_chi2_matches_reference_on_registered(spark):
+    """F92 equals the textbook chi-square computed from the observed
+    contingency table with fractional expecteds (numpy)."""
+    import numpy as np
+
+    from pyspark.sql import functions as F
+
+    from time_series_spark_spark.queries import REGISTRY
+    from time_series_spark_spark.sources.io import load
+
+    sf = "/root/testdata/sf0.001"
+    got = REGISTRY["events_chi2_type_dow"].fn(spark, sf).collect()[0]
+    obs = (
+        load(spark, sf, "events")
+        .groupBy("event_type", ((F.dayofweek("ts").cast("long") + 5) % 7).alias("dow"))
+        .agg(F.count(F.lit(1)).alias("o"))
+        .collect()
+    )
+    types = sorted({r["event_type"] for r in obs})
+    dows = sorted({r["dow"] for r in obs})
+    tab = np.zeros((len(types), len(dows)))
+    for r in obs:
+        tab[types.index(r["event_type"]), dows.index(r["dow"])] = r["o"]
+    n = tab.sum()
+    exp = np.outer(tab.sum(1), tab.sum(0)) / n
+    chi2 = ((tab - exp) ** 2 / exp).sum()
+    assert abs(got["chi2"] - round(chi2, 4)) < 1e-9
+    assert got["dof"] == (len(types) - 1) * (len(dows) - 1)
+    v = np.sqrt(chi2 / (n * min(len(types) - 1, len(dows) - 1)))
+    assert abs(got["cramers_v"] - round(v, 6)) < 1e-9
+
+
+def test_benford_probabilities_consistent(spark):
+    import math
+
+    from time_series_spark_spark.queries import REGISTRY
+
+    rows = REGISTRY["orders_benford_audit"].fn(
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    assert {r["digit"] for r in rows} <= set(range(1, 10))
+    assert abs(sum(r["observed_p"] for r in rows) - 1.0) < 1e-3
+    for r in rows:
+        assert abs(
+            r["benford_p"] - round(math.log10(1 + 1 / r["digit"]), 6)
+        ) < 1e-9
+        assert abs(
+            r["deviation"] - round(r["observed_p"] - r["benford_p"], 5)
+        ) < 2e-5

@@ -1590,3 +1590,153 @@ def orders_mannwhitney_period(spark: SparkSession, sf_dir: str) -> DataFrame:
         u2_a.cast("long").alias("u2_a"),
         F.round(u2_a * 0.5 / (na * nb), 6).alias("auc_effect"),
     )
+
+
+# ---------------------------------------------------------------------------
+# F92 chi-square independence + Cramér's V
+# ---------------------------------------------------------------------------
+@register(
+    "events_chi2_type_dow",
+    """
+    WITH obs AS (
+        SELECT event_type,
+               CAST((CAST(dayofweek(ts) AS BIGINT) + 6) % 7 AS BIGINT)
+                   AS dow,
+               count(*) AS o
+        FROM events GROUP BY 1, 2
+    ),
+    m AS (
+        SELECT event_type, dow, o,
+               CAST(sum(o) OVER (PARTITION BY event_type) AS BIGINT) AS r,
+               CAST(sum(o) OVER (PARTITION BY dow) AS BIGINT) AS c,
+               CAST(sum(o) OVER () AS BIGINT) AS n
+        FROM obs
+    ),
+    stat AS (
+        SELECT max(n) AS n,
+               count(DISTINCT event_type) AS nr,
+               count(DISTINCT dow) AS nc,
+               sum((o * n - r * c) * (o * n - r * c) * 1.0
+                   / (n * 1.0 * r * c)) AS chi2
+        FROM m
+    )
+    SELECT CAST(n AS BIGINT) AS n_events,
+           CAST((nr - 1) * (nc - 1) AS BIGINT) AS dof,
+           round(chi2, 4) AS chi2,
+           round(sqrt(chi2 / (n * least(nr - 1, nc - 1))), 6) AS cramers_v
+    FROM stat
+    """,
+    doc="F92 chi-square test of independence for event_type × day-of-"
+    "week, with Cramér's V effect size: each cell's deviation is held "
+    "as the integer (O·N − R·C) and squared before the one fp division "
+    "per cell — no fractional expected-counts table; dow normalized to "
+    "0=Monday in both engines (Spark dayofweek is 1=Sunday, DuckDB "
+    "0=Sunday, §5.1 rule). One hash agg to the contingency table "
+    "(|types|×7 rows), windows over it, single summary row.",
+)
+def events_chi2_type_dow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    ev = load(spark, sf_dir, "events")
+    obs = ev.groupBy(
+        "event_type",
+        ((F.dayofweek("ts").cast("long") + 5) % 7).alias("dow"),
+    ).agg(F.count(F.lit(1)).alias("o"))
+    m = obs.select(
+        "event_type", "dow", "o",
+        F.sum("o").over(W.partitionBy("event_type")).alias("r"),
+        F.sum("o").over(W.partitionBy("dow")).alias("c"),
+        F.sum("o").over(
+            W.partitionBy().rowsBetween(
+                W.unboundedPreceding, W.unboundedFollowing
+            )
+        ).alias("n"),
+    )
+    dev = F.col("o") * F.col("n") - F.col("r") * F.col("c")
+    stat = m.agg(
+        F.max("n").alias("n"),
+        F.countDistinct("event_type").alias("nr"),
+        F.countDistinct("dow").alias("nc"),
+        F.sum(
+            dev * dev * 1.0 / (F.col("n") * 1.0 * F.col("r") * F.col("c"))
+        ).alias("chi2"),
+    )
+    return stat.select(
+        F.col("n").alias("n_events"),
+        ((F.col("nr") - 1) * (F.col("nc") - 1)).alias("dof"),
+        F.round("chi2", 4).alias("chi2"),
+        F.round(
+            F.sqrt(
+                F.col("chi2")
+                / (F.col("n") * F.least(F.col("nr") - 1, F.col("nc") - 1))
+            ),
+            6,
+        ).alias("cramers_v"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# F93 Benford first-digit forensic audit
+# ---------------------------------------------------------------------------
+@register(
+    "orders_benford_audit",
+    """
+    WITH d AS (
+        SELECT CAST(substring(CAST(CAST(round(o_totalprice * 100, 0)
+                    AS BIGINT) AS VARCHAR), 1, 1) AS BIGINT) AS digit
+        FROM orders
+        WHERE o_totalprice > 0
+    ),
+    obs AS (
+        SELECT digit, count(*) AS o,
+               CAST(sum(count(*)) OVER () AS BIGINT) AS n
+        FROM d GROUP BY digit
+    )
+    SELECT digit, o AS n_orders,
+           round(o * 1.0 / n, 6) AS observed_p,
+           round(ln(1.0 + 1.0 / digit) / ln(10.0), 6) AS benford_p,
+           round(o * 1.0 / n - ln(1.0 + 1.0 / digit) / ln(10.0), 6)
+               AS deviation
+    FROM obs
+    ORDER BY digit
+    """,
+    doc="F93 Benford's-law first-digit audit of order values — the "
+    "forensic screen for fabricated or truncated numeric data: observed "
+    "first-digit shares vs log10(1+1/d), per-digit deviation. (The "
+    "synthetic corpus's uniform-ish prices will NOT be Benford — the "
+    "audit's job is to SHOW that, not to pass it.) One scan + 9-row "
+    "agg; libm ln rounded 6dp per the repo rule.",
+)
+def orders_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    d = (
+        load(spark, sf_dir, "orders")
+        .filter(F.col("o_totalprice") > 0)
+        .select(
+            F.substring(
+                F.round(F.col("o_totalprice") * 100, 0)
+                .cast("long")
+                .cast("string"),
+                1, 1,
+            ).cast("long").alias("digit")
+        )
+    )
+    obs = d.groupBy("digit").agg(F.count(F.lit(1)).alias("o")).select(
+        "digit", "o",
+        F.sum("o").over(
+            W.partitionBy().rowsBetween(
+                W.unboundedPreceding, W.unboundedFollowing
+            )
+        ).alias("n"),
+    )
+    benford = F.log(1.0 + 1.0 / F.col("digit")) / F.log(F.lit(10.0))
+    return obs.select(
+        "digit",
+        F.col("o").alias("n_orders"),
+        F.round(F.col("o") * 1.0 / F.col("n"), 6).alias("observed_p"),
+        F.round(benford, 6).alias("benford_p"),
+        F.round(F.col("o") * 1.0 / F.col("n") - benford, 6).alias(
+            "deviation"
+        ),
+    ).orderBy("digit")
