@@ -573,3 +573,24 @@ def test_swinging_door_reconstruction_bound(spark):
     assert again == sorted(
         (r["k"], r["t"], r["v"]) for r in kept.collect()
     )
+
+
+def test_markov_attribution_zero_conversions_and_empty(spark):
+    """Degenerate inputs (ADVICE round-5 item): zero conversions must give
+    zero removal effects (not fabricated uniform credit), and an empty
+    journey corpus returns an empty frame instead of raising."""
+    from time_series_spark_spark.operators.analytics import (
+        markov_attribution,
+    )
+
+    rows = [(["A"], False)] * 5 + [(["B", "A"], False)] * 5
+    df = spark.createDataFrame(rows, "path array<string>, converted boolean")
+    pdf = markov_attribution(df).set_index("channel")
+    assert (pdf["removal_effect"] == 0.0).all()
+
+    empty = spark.createDataFrame(
+        [], "path array<string>, converted boolean"
+    )
+    out = markov_attribution(empty)
+    assert len(out) == 0
+    assert list(out.columns) == ["channel", "removal_effect", "attribution"]

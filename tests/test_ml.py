@@ -343,3 +343,26 @@ def test_target_encode_oof_deterministic(spark):
     a = sorted(map(tuple, target_encode_oof(df, "key", "id", "t").collect()))
     b = sorted(map(tuple, target_encode_oof(df, "key", "id", "t").collect()))
     assert a == b
+
+
+def test_target_encode_oof_single_fold_category_gets_prior(spark):
+    """A category whose rows all land in ONE fold has no out-of-fold rows;
+    its encoding must fall back to the global prior mean, not null from a
+    0/0 division (ADVICE round-5 item)."""
+    from pyspark.sql import functions as F
+
+    from time_series_spark_spark.operators.ml import target_encode_oof
+
+    # id=1000 is a singleton category: exactly one row -> one fold only
+    rows = [(i, "big", float(i % 10)) for i in range(100)] + [
+        (1000, "solo", 42.0)
+    ]
+    df = spark.createDataFrame(rows, ["id", "key", "t"])
+    enc = target_encode_oof(df, "key", "id", "t", n_folds=5, salt="s")
+    solo = [r for r in enc.collect() if r["key"] == "solo"]
+    assert len(solo) == 1
+    prior = sum(t for _, _, t in rows) / len(rows)
+    assert solo[0]["oof_mean"] == round(prior, 4)
+    # multi-fold categories are untouched by the fallback
+    big = [r for r in enc.collect() if r["key"] == "big"]
+    assert all(r["oof_mean"] is not None for r in big)

@@ -232,3 +232,38 @@ def test_python_datasource_deterministic_and_prunes(spark):
     )
     full = [t for t in a if t[0] >= 4]
     assert filtered == full
+
+
+def test_synthetic_source_negation_filter_yielded_back(spark):
+    """A pushed ``Not`` filter has no ``attribute`` field in pyspark 4.x —
+    pushFilters must yield it back for Spark to re-apply, not raise
+    AttributeError (ADVICE round-5 item). End-to-end: a != predicate on
+    the source must read clean and match the engine-side filter."""
+    from pyspark.sql.datasource import EqualTo, Not
+
+    from time_series_spark_spark.sources.pydatasource import (
+        SyntheticSeriesReader,
+        register_synthetic_source,
+    )
+
+    r = SyntheticSeriesReader(
+        {"n_series": "6", "points_per_series": "8", "seed": "3",
+         "n_shards": "2"}
+    )
+    neg = Not(EqualTo(("series_id",), 3))
+    leftover = list(r.pushFilters([neg]))
+    assert leftover == [neg]  # yielded back, not absorbed, not crashed
+    assert (r.lo, r.hi) == (0, 5)  # no bogus narrowing from the negation
+
+    register_synthetic_source(spark)
+    import pyspark.sql.functions as F
+
+    got = (
+        spark.read.format("synthetic_series")
+        .option("n_series", 6).option("points_per_series", 8)
+        .option("seed", 3).option("n_shards", 2)
+        .load()
+        .filter(F.col("series_id") != 3)
+    )
+    ids = {row["series_id"] for row in got.collect()}
+    assert ids == {0, 1, 2, 4, 5}

@@ -747,6 +747,11 @@ def markov_attribution(
         .agg(F.count(F.lit(1)).alias("n"))
     ).collect()  # bounded: (channels + 3)^2 rows
 
+    if not trans:  # empty journey corpus → empty report, not a crash
+        return pd.DataFrame(
+            {"channel": [], "removal_effect": [], "attribution": []}
+        )
+
     states = sorted(
         {r["src"] for r in trans} | {r["dst"] for r in trans}
         | {"conv", "null"}
@@ -775,8 +780,13 @@ def markov_attribution(
 
     base = conv_prob(None)
     channels = [s for s in states if s not in {"start", "conv", "null"}]
+    # base == 0 (nobody converts) means every removal effect is 0 — NOT
+    # uniform credit: max(0, 1 - p/0)→1 for all channels would fabricate
+    # attribution out of zero conversions.
     effects = {
-        ch: max(0.0, 1.0 - (conv_prob(ch) / base if base > 0 else 0.0))
+        ch: (
+            max(0.0, 1.0 - conv_prob(ch) / base) if base > 0 else 0.0
+        )
         for ch in channels
     }
     total = sum(effects.values()) or 1.0

@@ -666,6 +666,12 @@ def target_encode_oof(
     never row-sized; join the result back to rows by (key, fold) when
     materializing features. Exact integer sums; the one division is
     IEEE-exact on both engines.
+
+    A category that occurs in only ONE fold has no out-of-fold rows
+    (N_key == N_key,fold); its encoding falls back to the GLOBAL prior
+    mean instead of dividing by zero. The prior is a window over the
+    |keys|-sized totals frame — single-task, but over the aggregate,
+    never the row table.
     """
     fold = F.expr(
         f"CAST(conv(substring(md5(concat('{salt}:', CAST({id_col} AS STRING))),"
@@ -680,8 +686,17 @@ def target_encode_oof(
         .groupBy("key", "fold")
         .agg(F.sum("t").alias("s_f"), F.count(F.lit(1)).alias("n_f"))
     )
+    from pyspark.sql.window import Window as W
+
+    w_all = W.partitionBy().rowsBetween(
+        W.unboundedPreceding, W.unboundedFollowing
+    )
     totals = per_fold.groupBy("key").agg(
         F.sum("s_f").alias("s_all"), F.sum("n_f").alias("n_all")
+    ).select(
+        "key", "s_all", "n_all",
+        (F.sum("s_all").over(w_all) * 1.0 / F.sum("n_all").over(w_all))
+        .alias("prior"),
     )
     return (
         per_fold.join(totals, on="key")
@@ -689,9 +704,12 @@ def target_encode_oof(
             F.col("key").alias(key_col),
             "fold",
             F.round(
-                (F.col("s_all") - F.col("s_f"))
-                * 1.0
-                / (F.col("n_all") - F.col("n_f")),
+                F.when(
+                    F.col("n_all") > F.col("n_f"),
+                    (F.col("s_all") - F.col("s_f"))
+                    * 1.0
+                    / (F.col("n_all") - F.col("n_f")),
+                ).otherwise(F.col("prior")),
                 4,
             ).alias("oof_mean"),
             F.col("n_f").alias("n_rows"),

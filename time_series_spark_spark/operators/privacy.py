@@ -82,8 +82,17 @@ def dp_noisy_counts(
     a reproducibility device, and a public seed would void the DP
     guarantee (noise becomes predictable).
 
-    Output: group cols, true count is NOT exposed — only
-    ``noisy_n`` (rounded 6 dp, libm rule) and the release parameters.
+    Cross-release composition caveats (the determinism is NOT free):
+
+    - noise is a pure function of ``(seed_tag, group key)``, so two
+      releases with the SAME seed_tag over changed data reuse identical
+      noise per key — differencing them reveals exact count deltas. Every
+      release MUST use a fresh ``seed_tag``, and the privacy budget
+      composes across releases (k releases at ε each spend k·ε total).
+    - groups absent from ``df`` are omitted from the output, which leaks
+      membership (an absent key reads as "count was 0, exactly"). When
+      the key domain is public, left-join this release onto the fixed
+      domain first so absent groups get noised zeros too.
     """
     key = F.concat_ws(
         "|", F.lit(seed_tag), *[F.col(c).cast("string") for c in group_cols]

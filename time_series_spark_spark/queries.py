@@ -112,14 +112,35 @@ _EXTERNALLY_CONFIRMED = [
     "docs_edit_pairs", "emb_semantic_dedup", "docs_weighted_sample",
     "docs_dup_spans", "docs_remove_dup_spans", "docs_lm_perplexity",
     "docs_repetition_stats", "docs_contamination_check", "docs_chunk_windows",
+    # round-5 driver greens (CORRECTNESS_r05.json: all 50 sampled queries
+    # rows+schema+hash matched, or rows-only by design — including the three
+    # round-3 failures re-verified fixed):
+    "events_rollup_cascade", "docs_curation_pipeline", "docs_multimodal_features",
+    "events_variant_props", "nation_collation_fold", "orders_pipe_summary",
+    "lateral_customer_order_stats", "nation_name_jw_pairs",
+    "orders_benford_first_digit", "star_integrity_report", "orders_group_by_all",
+    "lineitem_try_arithmetic", "order_ship_leadtime_by_priority",
+    "part_revenue_pareto", "region_nations_listagg", "orders_constraint_suite",
+    "supplier_order_counts_merge_join", "orders_pivot_sql",
+    "lineitem_weighted_median_price", "users_mode_event_type",
+    "events_sliding_hll_users", "events_local_date_nyc",
+    "event_type_corr_matrix", "events_slo_burn_alerts",
+    "forecast_hw_weekly_revenue", "forecast_model_selection",
+    "forecast_conformal_revenue", "forecast_theta_revenue",
+    "forecast_croston_purchases", "forecast_conformal_daily_revenue",
+    "docs_shuffle_shards", "docs_token_budget_fill",
+    "docs_incremental_dedup_exact", "docs_incremental_bloom_dedup",
+    "docs_pmi_bigrams", "docs_zipf_fit", "docs_heaps_curve", "emb_pq_topk",
+    "docs_rake_keywords", "docs_dup_graph_pagerank", "docs_bpe_train_merges",
+    "docs_ppmi_top_pairs", "docs_ppmi_svd_neighbors", "emb_pca_variance",
+    "emb_ann_quality_report", "docs_vocab_coverage", "docs_quality_classifier",
+    "docs_token_entropy", "emb_mips_topk", "docs_temperature_mix",
 ]
 
-# Round-3 external FAILURES, fixed this round (oracle BIGINT casts; array
-# column serialized): pinned to the very front of the sample window so the
-# driver re-verifies the fixes before they can ever rotate out.
-_RECHECK_FIRST = [
-    "events_rollup_cascade", "docs_curation_pipeline", "docs_multimodal_features",
-]
+# Externally-failed queries pinned to the very front of the sample window
+# until the driver re-confirms the fix. Round 5 had ZERO failures, so the
+# pin list is empty this round.
+_RECHECK_FIRST: list[str] = []
 
 SAMPLE_WINDOW = 50  # the external gate samples this many leading entries
 

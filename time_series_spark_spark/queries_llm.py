@@ -2128,11 +2128,18 @@ def docs_quality_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT key, CAST(sum(s_f) AS BIGINT) AS s_all,
                CAST(sum(n_f) AS BIGINT) AS n_all
         FROM per_fold GROUP BY key
+    ),
+    grand AS (
+        SELECT CAST(sum(s_all) AS BIGINT) * 1.0
+               / CAST(sum(n_all) AS BIGINT) AS prior
+        FROM totals
     )
     SELECT per_fold.key AS o_orderpriority, fold,
-           round((s_all - s_f) * 1.0 / (n_all - n_f), 4) AS oof_mean,
+           round(CASE WHEN n_all > n_f
+                      THEN (s_all - s_f) * 1.0 / (n_all - n_f)
+                      ELSE prior END, 4) AS oof_mean,
            n_f AS n_rows
-    FROM per_fold JOIN totals ON per_fold.key = totals.key
+    FROM per_fold JOIN totals ON per_fold.key = totals.key CROSS JOIN grand
     ORDER BY o_orderpriority, fold
     """,
     doc="N10 leakage-safe (out-of-fold) target encoding: per "
@@ -2141,7 +2148,8 @@ def docs_quality_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     "pipeline joins back to rows by (key, fold) so no row sees its own "
     "label. Two hash aggs, output |keys| x folds "
     "(operators/ml.py::target_encode_oof); exact integer sums, one "
-    "IEEE-exact division.",
+    "IEEE-exact division; single-fold categories fall back to the "
+    "global prior mean instead of dividing by zero.",
 )
 def orders_target_encoding_oof(spark: SparkSession, sf_dir: str) -> DataFrame:
     from time_series_spark_spark.operators.ml import target_encode_oof

@@ -1484,7 +1484,10 @@ def part_copurchase_lpa_communities(
     "Stephens small-sample approximation (libm exp/sqrt, rounded 6dp). "
     "One hash agg to distinct values, then a window over the distinct-"
     "value frame (partition by metric key at scale). Single summary "
-    "row.",
+    "row. Validity bound: |i*n_b - j*n_a| stays in BIGINT only while "
+    "n_a*n_b < 2^63 (≈ n ≲ 3e9 rows total) — past that, non-ANSI Spark "
+    "wraps silently while DuckDB promotes to HUGEINT; switch the "
+    "deviation to DECIMAL(38,0) or double beyond that row count.",
 )
 def orders_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window as W
@@ -1559,7 +1562,10 @@ def orders_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     "2U_a = 2R_a - n_a(n_a+1) is exact in both engines with zero fp "
     "rank arithmetic; the common-language effect size U/(n_a*n_b) (= "
     "AUC) is the single rounded division. Same scan shape as F90 "
-    "(distinct-value reduce + window). Single summary row.",
+    "(distinct-value reduce + window). Single summary row. Validity "
+    "bound: sum ca*(2s+t+1) ~ n^2 must stay < 2^63 (n ≲ 3e9 rows) — "
+    "non-ANSI Spark wraps silently past that while DuckDB promotes to "
+    "HUGEINT; use DECIMAL(38,0)/double deviations beyond that count.",
 )
 def orders_mannwhitney_period(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window as W
@@ -1632,7 +1638,10 @@ def orders_mannwhitney_period(spark: SparkSession, sf_dir: str) -> DataFrame:
     "per cell — no fractional expected-counts table; dow normalized to "
     "0=Monday in both engines (Spark dayofweek is 1=Sunday, DuckDB "
     "0=Sunday, §5.1 rule). One hash agg to the contingency table "
-    "(|types|×7 rows), windows over it, single summary row.",
+    "(|types|×7 rows), windows over it, single summary row. Validity "
+    "bound: O·N − R·C ~ n^2 stays in BIGINT only while n < ~3e9 rows — "
+    "non-ANSI Spark wraps silently past that while DuckDB promotes to "
+    "HUGEINT; compute deviations in DECIMAL(38,0)/double beyond that.",
 )
 def events_chi2_type_dow(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window as W

@@ -56,9 +56,14 @@ class SyntheticSeriesReader(DataSourceReader):
 
     def pushFilters(self, filters: list[Filter]) -> Iterator[Filter]:
         """Absorb series_id range/equality predicates into shard pruning;
-        yield back everything else for Spark to evaluate post-scan."""
+        yield back everything else for Spark to evaluate post-scan.
+
+        Not every Filter dataclass carries ``attribute`` (pyspark 4.x ``Not``
+        wraps a ``child`` instead), so probe with getattr — a pushed negation
+        must be yielded back for Spark to re-apply, not crash the read."""
         for f in filters:
-            col = f.attribute[-1] if f.attribute else None
+            attr = getattr(f, "attribute", None)
+            col = attr[-1] if attr else None
             if col == "series_id" and isinstance(f, EqualTo):
                 self.lo = max(self.lo, int(f.value))
                 self.hi = min(self.hi, int(f.value))
