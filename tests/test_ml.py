@@ -366,3 +366,41 @@ def test_target_encode_oof_single_fold_category_gets_prior(spark):
     # multi-fold categories are untouched by the fallback
     big = [r for r in enc.collect() if r["key"] == "big"]
     assert all(r["oof_mean"] is not None for r in big)
+
+
+def test_rank_auc_exact_with_ties(spark):
+    """rank_auc equals the hand-computed tie-averaged Mann-Whitney AUC
+    (= sklearn roc_auc_score semantics) and handles degenerate input."""
+    import math
+
+    from time_series_spark_spark.operators.ml import rank_auc
+
+    # scores: pos at {0.9, 0.8, 0.5}, neg at {0.5, 0.3, 0.1}
+    # ranks asc: 0.1->1, 0.3->2, 0.5->avg(3,4)=3.5, 0.8->5, 0.9->6
+    # R+ = 6 + 5 + 3.5 = 14.5; AUC = (14.5 - 3*4/2) / (3*3) = 8.5/9
+    rows = [(0.9, 1.0), (0.8, 1.0), (0.5, 1.0),
+            (0.5, 0.0), (0.3, 0.0), (0.1, 0.0)]
+    df = spark.createDataFrame(rows, ["p", "label"])
+    got = rank_auc(df, label_col="label", score_col="p")
+    assert abs(got - 8.5 / 9.0) < 1e-12
+
+    # perfect separation -> 1.0; single class -> nan
+    perfect = spark.createDataFrame(
+        [(0.9, 1.0), (0.8, 1.0), (0.2, 0.0)], ["p", "label"]
+    )
+    assert rank_auc(perfect, score_col="p") == 1.0
+    onecls = spark.createDataFrame([(0.9, 1.0), (0.1, 1.0)], ["p", "label"])
+    assert math.isnan(rank_auc(onecls, score_col="p"))
+
+
+def test_classifier_survives_observation_in_session(spark):
+    """Session-ordering regression (round-6 sweep find): running the A8
+    Observation quality gate FIRST used to crash every later
+    BinaryClassificationEvaluator.evaluate with 'Task not serializable:
+    ObservationManager'. rank_auc is pure DataFrame — immune."""
+    from time_series_spark_spark.queries import REGISTRY
+
+    sf = "/root/testdata/sf0.001"
+    REGISTRY["docs_quality_gate"].fn(spark, sf).collect()
+    out = REGISTRY["docs_quality_classifier"].fn(spark, sf).collect()
+    assert len(out) == 1 and out[0]["auc"] is not None

@@ -483,3 +483,36 @@ def test_inverted_index_rank_limit_pushdown(spark):
     assert count_op(df, "WindowGroupLimit") == 2
     assert count_op(df, "BroadcastHashJoin") >= 1
     assert count_op(df, "SortMergeJoin") == 0
+
+
+def test_vwap_single_agg_no_window(spark):
+    """F94: VWAP is ONE hash aggregation over the scan — no window, no
+    join; the scan reads only the 3 referenced lineitem columns."""
+    df = _df(spark, "lineitem_vwap_monthly")
+    plan = executed_plan(df)
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1
+    assert count_op(df, "Window") == 0
+    assert count_op(df, "SortMergeJoin") == 0
+    (cols,) = scan_columns(df)
+    assert len(cols) <= 3
+
+
+def test_sequential_stats_prereduce_before_tiny_window(spark):
+    """F95-F97 (Page-Hinkley / ADF / Granger): raw events hash-aggregate
+    to the |days| frame FIRST; the unpartitioned windows/reduce run over
+    that tiny frame only (one hash exchange; single-partition exchanges
+    carry days, not events), and no join appears."""
+    for name in (
+        "events_page_hinkley_drift",
+        "events_adf_unit_root",
+        "events_granger_view_purchase",
+    ):
+        df = _df(spark, name)
+        plan = executed_plan(df)
+        assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1, name
+        assert count_op(df, "SortMergeJoin") == 0, name
+        assert count_op(df, "BroadcastHashJoin") == 0, name
+        # pre-reduction: the hash agg sits below the single-partition side
+        assert plan.index("SinglePartition") < plan.index(
+            "hashpartitioning"
+        ), name

@@ -345,3 +345,116 @@ def test_benford_probabilities_consistent(spark):
         assert abs(
             r["deviation"] - round(r["observed_p"] - r["benford_p"], 5)
         ) < 2e-5
+
+
+# ---------------------------------------------------------------------------
+# round-6 additions: Page-Hinkley, ADF, Granger (reference recomputation)
+# ---------------------------------------------------------------------------
+
+def _daily_cents_pd(sf="/root/testdata/sf0.001"):
+    import pandas as pd
+
+    ev = pd.read_parquet(f"{sf}/events.parquet")
+    cents = (ev["value"] * 100).round().astype("int64")
+    return (
+        cents.groupby(ev["ts"].dt.floor("d"))
+        .sum()
+        .sort_index()
+        .to_numpy()
+        .astype(float)
+    )
+
+
+def test_page_hinkley_matches_simulation(spark):
+    """ph_stat equals the textbook sequential recursion run in plain
+    Python over the same daily totals (delta=500, running mean)."""
+    from time_series_spark_spark.queries import REGISTRY
+
+    got = (
+        REGISTRY["events_page_hinkley_drift"]
+        .fn(spark, "/root/testdata/sf0.001")
+        .collect()
+    )
+    v = _daily_cents_pd()
+    m, m_min, cum = 0.0, 0.0, 0.0
+    for i, (row, x) in enumerate(zip(got, v)):
+        cum += x
+        m += x - cum / (i + 1) - 500.0
+        m_min = min(m_min, m)
+        assert row["total_cents"] == int(x)
+        assert abs(row["ph_stat"] - round(m - m_min, 4)) < 1e-6
+        assert row["alarm"] == int(m - m_min > 100000.0)
+
+
+def test_adf_matches_numpy_ols(spark):
+    """DF statistic equals the closed-form OLS t-stat computed with
+    numpy over the same daily series; a planted stationary white-noise
+    series yields a strongly negative stat while a random walk does not
+    (sign sanity on the formula, computed the same way)."""
+    import numpy as np
+
+    from time_series_spark_spark.queries import REGISTRY
+
+    def adf_ref(y):
+        dy, yl = np.diff(y), y[:-1]
+        n = len(dy)
+        cxx = (yl * yl).sum() - yl.sum() ** 2 / n
+        cxy = (yl * dy).sum() - yl.sum() * dy.sum() / n
+        cyy = (dy * dy).sum() - dy.sum() ** 2 / n
+        b = cxy / cxx
+        se = np.sqrt(((cyy - b * cxy) / (n - 2)) / cxx)
+        return n, b, b / se
+
+    row = (
+        REGISTRY["events_adf_unit_root"]
+        .fn(spark, "/root/testdata/sf0.001")
+        .collect()[0]
+    )
+    n, b, t = adf_ref(_daily_cents_pd())
+    assert row["n_obs"] == n
+    assert abs(row["beta"] - round(b, 8)) < 1e-8
+    assert abs(row["adf_t"] - round(t, 6)) < 1e-6
+
+    rng = np.random.default_rng(5)
+    stationary = rng.normal(0, 1, 400)
+    walk = np.cumsum(rng.normal(0, 1, 400))
+    assert adf_ref(stationary)[2] < -10.0
+    assert adf_ref(walk)[2] > -3.0
+
+
+def test_granger_matches_numpy_lstsq(spark):
+    """Cramer's-rule coefficients and the F statistic equal numpy's
+    least-squares solve on the same daily count series."""
+    import numpy as np
+    import pandas as pd
+
+    from time_series_spark_spark.queries import REGISTRY
+
+    ev = pd.read_parquet("/root/testdata/sf0.001/events.parquet")
+    day = ev["ts"].dt.floor("d")
+    x = (ev["event_type"] == "view").groupby(day).sum().sort_index().to_numpy()
+    y = (
+        (ev["event_type"] == "purchase")
+        .groupby(day)
+        .sum()
+        .sort_index()
+        .to_numpy()
+    )
+    yt, yl, xl = y[1:].astype(float), y[:-1].astype(float), x[:-1].astype(float)
+    n = len(yt)
+    Xu = np.column_stack([np.ones(n), yl, xl])
+    cu, rss_u = np.linalg.lstsq(Xu, yt, rcond=None)[0], None
+    rss_u = float(((yt - Xu @ cu) ** 2).sum())
+    Xr = np.column_stack([np.ones(n), yl])
+    cr = np.linalg.lstsq(Xr, yt, rcond=None)[0]
+    rss_r = float(((yt - Xr @ cr) ** 2).sum())
+    f_ref = (rss_r - rss_u) / (rss_u / (n - 3))
+
+    row = (
+        REGISTRY["events_granger_view_purchase"]
+        .fn(spark, "/root/testdata/sf0.001")
+        .collect()[0]
+    )
+    assert row["n_obs"] == n
+    assert abs(row["x_coef"] - round(float(cu[2]), 6)) < 1e-4
+    assert abs(row["f_stat"] - round(f_ref, 6)) < 1e-3

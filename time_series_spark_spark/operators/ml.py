@@ -6,8 +6,8 @@ already uses MLlib for the IVF coarse quantizer (KMeans) and MinHash
 LSH. This module adds the supervised half of that surface: a
 feature-assembly → estimator → evaluation pipeline, built the idiomatic
 way (`VectorAssembler` + `StandardScaler` + `LogisticRegression` inside
-a `Pipeline`, time-based train/test split, `BinaryClassificationEvaluator`
-AUC) — the standard Spark propensity-model shape.
+a `Pipeline`, time-based train/test split) with an exact rank-based
+ROC-AUC (`rank_auc`) — the standard Spark propensity-model shape.
 
 Scale notes: feature building is one conditional-aggregation pass per
 (user, day) plus a lead() window on the same partitioning; MLlib LR
@@ -23,6 +23,114 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 FEATURES = ["n_click", "n_view", "n_error", "n_signup", "n_events", "day_value"]
+
+
+def rank_auc(
+    scored: DataFrame,
+    label_col: str = "label",
+    score_col: str = "probability",
+) -> float:
+    """Exact ROC-AUC via the tie-averaged Mann-Whitney rank identity:
+
+        AUC = (Σ_{positives} avgrank(score) − n_pos(n_pos+1)/2)
+              / (n_pos · n_neg)
+
+    Pure DataFrame — one hash aggregation to DISTINCT scores, one
+    ordered window over that (bounded by score cardinality, not rows),
+    one reduce. Replaces ``BinaryClassificationEvaluator`` everywhere in
+    this repo for two reasons: (a) the evaluator's RDD conversion
+    crashes with "Task not serializable: ObservationManager" whenever
+    any query in the session has used ``Observation`` (the A8 quality
+    gate does) — a session-ordering landmine; (b) the evaluator bins
+    scores (numBins=1000 default), while the rank form is EXACT and
+    deterministic. If ``score_col`` is an MLlib vector, P(class 1) is
+    extracted; a plain numeric column is used as-is. Degenerate input
+    (single class) returns nan, matching the evaluator's convention.
+    """
+    if dict(scored.dtypes).get(score_col) == "vector":
+        from pyspark.ml.functions import vector_to_array
+
+        score = vector_to_array(F.col(score_col))[1]
+    else:
+        score = F.col(score_col).cast("double")
+    per = (
+        scored.select(
+            score.alias("p"), F.col(label_col).cast("double").alias("y")
+        )
+        .groupBy("p")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("y").cast("long").alias("n_pos"),
+        )
+    )
+    w_prev = Window.orderBy("p").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    ranks = per.select(
+        "n",
+        "n_pos",
+        (
+            F.coalesce(F.sum("n").over(w_prev), F.lit(0))
+            + (F.col("n") + 1) / 2.0
+        ).alias("avg_rank"),
+    )
+    row = ranks.agg(
+        F.sum(F.col("n_pos") * F.col("avg_rank")).alias("r_pos"),
+        F.sum("n_pos").alias("np"),
+        F.sum("n").alias("nt"),
+    ).collect()[0]
+    n_pos, n_neg = row["np"], row["nt"] - row["np"]
+    if not n_pos or not n_neg:
+        return float("nan")
+    return float(
+        (row["r_pos"] - n_pos * (n_pos + 1) / 2.0) / (n_pos * n_neg)
+    )
+
+
+def fit_clean(estimator, df: DataFrame, tmp_dir: str | None = None):
+    """Fit, then roundtrip the fitted model through save/load — which
+    strips ``trainingSummary`` (persisted models carry none).
+
+    Why: ``LogisticRegressionModel.trainingSummary`` holds a reference to
+    the fit-time SparkSession, whose ``observationManager`` field is not
+    serializable; once ANY query in the session has used
+    ``pyspark.sql.Observation`` (the A8 quality gate does), every
+    ``model.transform`` closure that captures the summary-bearing model
+    dies with "Task not serializable: ObservationManager" (Spark 4.1,
+    reproduced in tests/test_ml.py). The roundtrip is the public-API way
+    to drop the summary; it is also exactly the production train→persist
+    →score flow. ``tmp_dir`` defaults to a driver-local temp dir (fine on
+    local/client mode; pass a shared filesystem path on a real cluster).
+    """
+    import shutil
+    import tempfile
+    import uuid
+
+    model = estimator.fit(df)
+    base = tmp_dir or tempfile.mkdtemp(prefix="spark-fit-clean-")
+    path = f"{base}/{uuid.uuid4().hex}"
+    model.write().overwrite().save(path)
+    clean = type(model).load(path)
+    shutil.rmtree(path, ignore_errors=True)
+    return clean
+
+
+class RankAucEvaluator:
+    """Drop-in ``Evaluator`` for CrossValidator backed by ``rank_auc``
+    (driver-side .evaluate over a DataFrame — no RDD path, no
+    Observation interaction)."""
+
+    def __new__(cls, labelCol: str = "label", scoreCol: str = "probability"):
+        from pyspark.ml.evaluation import Evaluator
+
+        class _Impl(Evaluator):
+            def _evaluate(self, dataset):
+                return rank_auc(dataset, labelCol, scoreCol)
+
+            def isLargerBetter(self):
+                return True
+
+        return _Impl()
 
 
 def daily_user_features(events: DataFrame) -> DataFrame:
@@ -74,7 +182,6 @@ def purchase_propensity_auc(
     Returns a metrics dict (n_train, n_test, pos_rate_test, auc)."""
     from pyspark.ml import Pipeline
     from pyspark.ml.classification import LogisticRegression
-    from pyspark.ml.evaluation import BinaryClassificationEvaluator
     from pyspark.ml.feature import StandardScaler, VectorAssembler
 
     data = daily_user_features(events)
@@ -89,11 +196,9 @@ def purchase_propensity_auc(
             ),
         ]
     )
-    model = pipe.fit(train)
+    model = fit_clean(pipe, train)
     scored = model.transform(test)
-    auc = BinaryClassificationEvaluator(
-        metricName="areaUnderROC"
-    ).evaluate(scored)
+    auc = rank_auc(scored)
     n_train, n_test = train.count(), test.count()
     pos = test.agg(F.avg("label")).collect()[0][0]
     return {
@@ -337,7 +442,6 @@ def text_quality_classifier_auc(
     """
     from pyspark.ml import Pipeline
     from pyspark.ml.classification import LogisticRegression
-    from pyspark.ml.evaluation import BinaryClassificationEvaluator
     from pyspark.ml.feature import HashingTF, StandardScaler, VectorAssembler
 
     labeled = docs.select(
@@ -375,11 +479,9 @@ def text_quality_classifier_auc(
             LogisticRegression(maxIter=60, regParam=0.001),
         ]
     )
-    model = pipe.fit(train)
+    model = fit_clean(pipe, train)
     scored = model.transform(test)
-    auc = BinaryClassificationEvaluator(metricName="areaUnderROC").evaluate(
-        scored
-    )
+    auc = rank_auc(scored)
     n_train, n_test = train.count(), test.count()
     pos = test.agg(F.avg("label")).collect()[0][0]
     return {
@@ -532,21 +634,27 @@ def cv_tune_quality_lr(
 ) -> list[dict]:
     """N8: hyperparameter tuning with DETERMINISTIC k-fold CV.
 
-    ``CrossValidator`` with ``foldCol`` = ``md5(doc_id) % n_folds`` — the
-    same lineage-stable split device as the N6 holdout, so every run and
-    every cluster layout trains on identical folds (MLlib's default
-    random folds are seed-stable but partitioning-sensitive; a foldCol is
-    a pure function of the data). Grid: LR regularization. Returns one
-    dict per grid point: {reg_param, avg_auc, is_best} — avg_auc is the
-    mean held-out-fold AUC, the quantity CV estimates.
+    Folds are ``md5(doc_id) % n_folds`` — the same lineage-stable split
+    device as the N6 holdout, so every run and every cluster layout
+    trains on identical folds (MLlib's default random folds are
+    seed-stable but partitioning-sensitive; a fold column is a pure
+    function of the data). Grid: LR regularization. Returns one dict per
+    grid point: {reg_param, avg_auc, is_best} — avg_auc is the mean
+    held-out-fold AUC, the quantity CV estimates.
+
+    The loop is hand-rolled (the exact ``CrossValidator``+``foldCol``
+    semantics) instead of using ``CrossValidator`` because the fitted LR
+    models it transforms with internally carry a training summary whose
+    SparkSession reference crashes task serialization once an
+    ``Observation`` has run in the session (see ``fit_clean``); each
+    fold's fit goes through ``fit_clean`` and is scored with the exact
+    rank AUC.
 
     Scale: each (fold, param) fit is an independent L-BFGS run over
-    fixed-width gradients; CrossValidator parallelizes fits, and nothing
-    but 2^15-wide gradient vectors is ever aggregated.
+    fixed-width gradients; fits can be dispatched in parallel from the
+    driver if wanted, and nothing but 2^15-wide gradient vectors is ever
+    aggregated.
     """
-    from pyspark.ml.evaluation import BinaryClassificationEvaluator
-    from pyspark.ml.tuning import CrossValidator, ParamGridBuilder
-
     frame = _quality_frame(docs).withColumn(
         "fold",
         (
@@ -557,21 +665,20 @@ def cv_tune_quality_lr(
             ).cast("int")
             % n_folds
         ),
-    )
-    pipe = _quality_pipeline(num_features, reg_param=0.001)
-    lr = pipe.getStages()[-1]
-    grid = ParamGridBuilder().addGrid(lr.regParam, list(reg_grid)).build()
-    cv = CrossValidator(
-        estimator=pipe,
-        estimatorParamMaps=grid,
-        evaluator=BinaryClassificationEvaluator(metricName="areaUnderROC"),
-        numFolds=n_folds,
-        foldCol="fold",
-        parallelism=2,
-        seed=7,
-    )
-    model = cv.fit(frame)
-    metrics = [float(m) for m in model.avgMetrics]
+    ).cache()
+    metrics = []
+    for rp in reg_grid:
+        fold_aucs = []
+        for fold in range(n_folds):
+            model = fit_clean(
+                _quality_pipeline(num_features, reg_param=rp),
+                frame.filter(F.col("fold") != fold),
+            )
+            fold_aucs.append(
+                rank_auc(model.transform(frame.filter(F.col("fold") == fold)))
+            )
+        metrics.append(sum(fold_aucs) / len(fold_aucs))
+    frame.unpersist()
     best = max(range(len(metrics)), key=lambda i: metrics[i])
     return [
         {
@@ -616,7 +723,7 @@ def isotonic_calibration(
     )
     train = frame.filter(~F.col("heldout"))
     test = frame.filter(F.col("heldout"))
-    model = _quality_pipeline(num_features, reg_param=0.001).fit(train)
+    model = fit_clean(_quality_pipeline(num_features, reg_param=0.001), train)
     scored = model.transform(test).select(
         "doc_id",
         "label",

@@ -2075,12 +2075,14 @@ def docs_multimodal_frame_sample(
     "docs_quality_cv_tuning",
     None,  # model tuning is not SQL-expressible → rows-only; grid/fold
     # determinism + best-param recovery pinned in tests/test_ml.py
-    doc="N8 hyperparameter tuning with deterministic k-fold CV: "
-    "CrossValidator over the N6 quality pipeline with foldCol = "
-    "md5(doc_id) % 3 (folds are a pure function of the data — identical "
-    "on every run and cluster layout, unlike random folds) and an LR "
-    "regularization grid; one row per grid point with the mean "
-    "held-out-fold AUC and the selected best (operators/ml.py)",
+    doc="N8 hyperparameter tuning with deterministic k-fold CV over the "
+    "N6 quality pipeline: folds = md5(doc_id) % 3 (a pure function of "
+    "the data — identical on every run and cluster layout, unlike "
+    "random folds), LR regularization grid, per-fold fits through "
+    "fit_clean and scored with the exact rank AUC (hand-rolled "
+    "CrossValidator semantics — see operators/ml.py::cv_tune_quality_lr "
+    "for why the MLlib class itself is avoided); one row per grid point "
+    "with the mean held-out-fold AUC and the selected best",
 )
 def docs_quality_cv_tuning(spark: SparkSession, sf_dir: str) -> DataFrame:
     from time_series_spark_spark.operators.ml import cv_tune_quality_lr

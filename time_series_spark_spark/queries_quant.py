@@ -1749,3 +1749,359 @@ def orders_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             "deviation"
         ),
     ).orderBy("digit")
+
+
+# ---------------------------------------------------------------------------
+# F94 VWAP (volume-weighted average price)
+# ---------------------------------------------------------------------------
+@register(
+    "lineitem_vwap_monthly",
+    """
+    SELECT CAST(date_trunc('month', l_shipdate) AS TIMESTAMP) AS ship_month,
+           CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS total_qty,
+           round(CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+                      AS DOUBLE)
+                 / sum(CAST(l_quantity AS BIGINT)) / 100.0, 4) AS vwap
+    FROM lineitem
+    GROUP BY 1 ORDER BY 1
+    """,
+    doc="F94 volume-weighted average price per ship month: "
+    "sum(extendedprice)/sum(quantity), the execution-quality benchmark "
+    "every trading/market system reports. Both numerator (integer "
+    "cents) and denominator (integer units) are EXACT integer sums — "
+    "order-insensitive at any scale — with a single fp division and "
+    "round at the end. One hash aggregation, output = |months|.",
+)
+def lineitem_vwap_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy(
+            F.date_trunc("month", F.col("l_shipdate")).alias("ship_month")
+        )
+        .agg(
+            F.sum(F.col("l_quantity").cast("long")).alias("total_qty"),
+            F.sum(
+                F.expr("CAST(round(l_extendedprice * 100) AS BIGINT)")
+            ).alias("_cents"),
+        )
+        .select(
+            "ship_month",
+            "total_qty",
+            F.round(
+                F.col("_cents").cast("double") / F.col("total_qty") / 100.0, 4
+            ).alias("vwap"),
+        )
+        .orderBy("ship_month")
+    )
+
+
+# ---------------------------------------------------------------------------
+# F95 Page-Hinkley sequential drift detection
+# ---------------------------------------------------------------------------
+@register(
+    "events_page_hinkley_drift",
+    f"""
+    WITH d AS (
+        SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS d,
+               CAST(sum({_CENTS}) AS BIGINT) AS v
+        FROM events GROUP BY 1
+    ),
+    dev AS (
+        SELECT d, v,
+               CAST(v AS DOUBLE)
+               - CAST(sum(v) OVER w AS DOUBLE) / count(*) OVER w
+               - 500.0 AS dev
+        FROM d
+        WINDOW w AS (ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING
+                     AND CURRENT ROW)
+    ),
+    cum AS (
+        SELECT d, v, sum(dev) OVER w AS m
+        FROM dev
+        WINDOW w AS (ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING
+                     AND CURRENT ROW)
+    ),
+    ph AS (
+        SELECT d, v, m, min(m) OVER w AS m_min
+        FROM cum
+        WINDOW w AS (ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING
+                     AND CURRENT ROW)
+    )
+    SELECT d, v AS total_cents, round(m - m_min, 4) AS ph_stat,
+           CAST(m - m_min > 100000.0 AS INT) AS alarm
+    FROM ph ORDER BY d
+    """,
+    doc="F95 Page-Hinkley sequential drift test over the daily total "
+    "(Page 1954, the streaming-drift standard in river/MOA): cumulative "
+    "deviation from the RUNNING mean minus slack delta=500 cents, "
+    "alarmed when it exceeds its own running minimum by lambda=1000.00. "
+    "Daily totals are exact integer cents; the running mean is the one "
+    "division and every cumulative sum is evaluated in deterministic "
+    "frame order, so both engines produce bit-identical doubles. "
+    "Windows here are over the 30-row daily aggregate (partition by "
+    "series key for fleets of series at scale).",
+)
+def events_page_hinkley_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    d = (
+        _events(spark, sf_dir)
+        .groupBy(F.date_trunc("day", F.col("ts")).alias("d"))
+        .agg(F.sum(F.expr(_CENTS)).alias("v"))
+    )
+    w = W.orderBy("d").rowsBetween(W.unboundedPreceding, W.currentRow)
+    dev = d.select(
+        "d", "v",
+        (
+            F.col("v").cast("double")
+            - F.sum("v").over(w).cast("double") / F.count(F.lit(1)).over(w)
+            - F.lit(500.0)
+        ).alias("dev"),
+    )
+    ph = dev.select(
+        "d", "v",
+        F.sum("dev").over(w).alias("m"),
+    ).select("d", "v", "m", F.min("m").over(w).alias("m_min"))
+    return ph.select(
+        "d",
+        F.col("v").alias("total_cents"),
+        F.round(F.col("m") - F.col("m_min"), 4).alias("ph_stat"),
+        ((F.col("m") - F.col("m_min")) > 100000.0).cast("int").alias("alarm"),
+    ).orderBy("d")
+
+
+# ---------------------------------------------------------------------------
+# F96 Dickey-Fuller unit-root test
+# ---------------------------------------------------------------------------
+@register(
+    "events_adf_unit_root",
+    f"""
+    WITH d AS (
+        SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS d,
+               CAST(sum({_CENTS}) AS BIGINT) AS v
+        FROM events GROUP BY 1
+    ),
+    lagd AS (
+        SELECT v - lag(v) OVER (ORDER BY d) AS dy,
+               lag(v) OVER (ORDER BY d) AS yl
+        FROM d
+    ),
+    s AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(yl) AS BIGINT) AS sx, CAST(sum(dy) AS BIGINT) AS sy,
+               CAST(sum(yl * yl) AS BIGINT) AS sxx,
+               CAST(sum(yl * dy) AS BIGINT) AS sxy,
+               CAST(sum(dy * dy) AS BIGINT) AS syy
+        FROM lagd WHERE yl IS NOT NULL
+    ),
+    c AS (
+        SELECT n,
+               CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx / n AS cxx,
+               CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * sy / n AS cxy,
+               CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * sy / n AS cyy
+        FROM s
+    )
+    SELECT n AS n_obs,
+           round(cxy / cxx, 8) AS beta,
+           round((cxy / cxx)
+                 / sqrt(((cyy - (cxy / cxx) * cxy) / (n - 2)) / cxx), 6)
+               AS adf_t
+    FROM c
+    """,
+    doc="F96 Dickey-Fuller unit-root test on the daily total: regress "
+    "Δy_t on y_(t-1) with intercept; the DF statistic β̂/se(β̂) "
+    "measures mean reversion (≈0 → random walk, strongly negative → "
+    "stationary). All power sums are EXACT BIGINTs (order-insensitive; "
+    "valid while Σy² < 2^63, ≈ daily totals ≲ 5e8 cents over ~30 "
+    "days — beyond that switch the sums to DECIMAL(38,0)); the "
+    "centered-moment algebra runs on doubles cast from identical "
+    "integers with the same expression text in both engines. One hash "
+    "agg + one lag window over the |days| frame; single summary row.",
+)
+def events_adf_unit_root(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    d = (
+        _events(spark, sf_dir)
+        .groupBy(F.date_trunc("day", F.col("ts")).alias("d"))
+        .agg(F.sum(F.expr(_CENTS)).alias("v"))
+    )
+    lagd = d.select(
+        (F.col("v") - F.lag("v").over(W.orderBy("d"))).alias("dy"),
+        F.lag("v").over(W.orderBy("d")).alias("yl"),
+    ).filter(F.col("yl").isNotNull())
+    s = lagd.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("yl").alias("sx"),
+        F.sum("dy").alias("sy"),
+        F.sum(F.col("yl") * F.col("yl")).alias("sxx"),
+        F.sum(F.col("yl") * F.col("dy")).alias("sxy"),
+        F.sum(F.col("dy") * F.col("dy")).alias("syy"),
+    )
+    c = s.select(
+        "n",
+        F.expr("CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx / n").alias("cxx"),
+        F.expr("CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * sy / n").alias("cxy"),
+        F.expr("CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * sy / n").alias("cyy"),
+    )
+    return c.select(
+        F.col("n").alias("n_obs"),
+        F.round(F.expr("cxy / cxx"), 8).alias("beta"),
+        F.expr(
+            "round((cxy / cxx)"
+            " / sqrt(((cyy - (cxy / cxx) * cxy) / (n - 2)) / cxx), 6)"
+        ).alias("adf_t"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# F97 Granger causality (lag-1, daily view -> purchase)
+# ---------------------------------------------------------------------------
+@register(
+    "events_granger_view_purchase",
+    """
+    WITH d AS (
+        SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS d,
+               CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS x,
+               CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS y
+        FROM events GROUP BY 1
+    ),
+    lagd AS (
+        SELECT y AS yt, lag(y) OVER (ORDER BY d) AS yl,
+               lag(x) OVER (ORDER BY d) AS xl
+        FROM d
+    ),
+    s AS (
+        SELECT CAST(count(*) AS DOUBLE) AS n,
+               CAST(sum(yl) AS DOUBLE) AS sy1, CAST(sum(xl) AS DOUBLE) AS sx1,
+               CAST(sum(yl * yl) AS DOUBLE) AS syy1,
+               CAST(sum(xl * xl) AS DOUBLE) AS sxx1,
+               CAST(sum(yl * xl) AS DOUBLE) AS syx1,
+               CAST(sum(yt) AS DOUBLE) AS sy,
+               CAST(sum(yt * yl) AS DOUBLE) AS syt1,
+               CAST(sum(yt * xl) AS DOUBLE) AS sxt1,
+               CAST(sum(yt * yt) AS DOUBLE) AS syy
+        FROM lagd WHERE yl IS NOT NULL
+    ),
+    u AS (
+        SELECT n, sy, syt1, sxt1, syy, sy1, syx1, sxx1, syy1, sx1,
+               n * (syy1 * sxx1 - syx1 * syx1)
+               - sy1 * (sy1 * sxx1 - syx1 * sx1)
+               + sx1 * (sy1 * syx1 - syy1 * sx1) AS det
+        FROM s
+    ),
+    coefs AS (
+        SELECT n, sy, syt1, sxt1, syy, syy1, sy1,
+               (sy * (syy1 * sxx1 - syx1 * syx1)
+                - sy1 * (syt1 * sxx1 - syx1 * sxt1)
+                + sx1 * (syt1 * syx1 - syy1 * sxt1)) / det AS a_u,
+               (n * (syt1 * sxx1 - syx1 * sxt1)
+                - sy * (sy1 * sxx1 - syx1 * sx1)
+                + sx1 * (sy1 * sxt1 - syt1 * sx1)) / det AS b_u,
+               (n * (syy1 * sxt1 - syt1 * syx1)
+                - sy1 * (sy1 * sxt1 - syt1 * sx1)
+                + sy * (sy1 * syx1 - syy1 * sx1)) / det AS c_u,
+               (n * syt1 - sy * sy1) / (n * syy1 - sy1 * sy1) AS b_r
+        FROM u
+    ),
+    rss AS (
+        SELECT n,
+               syy - a_u * sy - b_u * syt1 - c_u * sxt1 AS rss_u,
+               syy - ((sy - b_r * sy1) / n) * sy - b_r * syt1 AS rss_r,
+               c_u
+        FROM coefs
+    )
+    SELECT CAST(n AS BIGINT) AS n_obs,
+           round(c_u, 6) AS x_coef,
+           round((rss_r - rss_u) / (rss_u / (n - 3)), 6) AS f_stat
+    FROM rss
+    """,
+    doc="F97 Granger causality, lag 1: does yesterday's VIEW count "
+    "improve today's PURCHASE-count prediction beyond yesterday's "
+    "purchases? Unrestricted y_t ~ 1 + y_(t-1) + x_(t-1) solved in "
+    "closed form by Cramer's rule on the 3x3 normal equations; "
+    "restricted drops x. F = (RSS_r - RSS_u)/(RSS_u/(n-3)). Count "
+    "sums are exact integers cast once to double; every derived "
+    "quantity uses the SAME expression text in both engines, so fp "
+    "results agree bit-for-bit. One hash agg to days, one lag window, "
+    "one reduce; single summary row.",
+)
+def events_granger_view_purchase(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    d = (
+        _events(spark, sf_dir)
+        .groupBy(F.date_trunc("day", F.col("ts")).alias("d"))
+        .agg(
+            F.sum(
+                F.when(F.col("event_type") == "view", 1).otherwise(0)
+            ).alias("x"),
+            F.sum(
+                F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+            ).alias("y"),
+        )
+    )
+    lagd = d.select(
+        F.col("y").alias("yt"),
+        F.lag("y").over(W.orderBy("d")).alias("yl"),
+        F.lag("x").over(W.orderBy("d")).alias("xl"),
+    ).filter(F.col("yl").isNotNull())
+    s = lagd.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("yl").cast("double").alias("sy1"),
+        F.sum("xl").cast("double").alias("sx1"),
+        F.sum(F.col("yl") * F.col("yl")).cast("double").alias("syy1"),
+        F.sum(F.col("xl") * F.col("xl")).cast("double").alias("sxx1"),
+        F.sum(F.col("yl") * F.col("xl")).cast("double").alias("syx1"),
+        F.sum("yt").cast("double").alias("sy"),
+        F.sum(F.col("yt") * F.col("yl")).cast("double").alias("syt1"),
+        F.sum(F.col("yt") * F.col("xl")).cast("double").alias("sxt1"),
+        F.sum(F.col("yt") * F.col("yt")).cast("double").alias("syy"),
+    )
+    u = s.withColumn(
+        "det",
+        F.expr(
+            "n * (syy1 * sxx1 - syx1 * syx1)"
+            " - sy1 * (sy1 * sxx1 - syx1 * sx1)"
+            " + sx1 * (sy1 * syx1 - syy1 * sx1)"
+        ),
+    )
+    coefs = u.select(
+        "n", "sy", "syt1", "sxt1", "syy", "syy1", "sy1",
+        F.expr(
+            "(sy * (syy1 * sxx1 - syx1 * syx1)"
+            " - sy1 * (syt1 * sxx1 - syx1 * sxt1)"
+            " + sx1 * (syt1 * syx1 - syy1 * sxt1)) / det"
+        ).alias("a_u"),
+        F.expr(
+            "(n * (syt1 * sxx1 - syx1 * sxt1)"
+            " - sy * (sy1 * sxx1 - syx1 * sx1)"
+            " + sx1 * (sy1 * sxt1 - syt1 * sx1)) / det"
+        ).alias("b_u"),
+        F.expr(
+            "(n * (syy1 * sxt1 - syt1 * syx1)"
+            " - sy1 * (sy1 * sxt1 - syt1 * sx1)"
+            " + sy * (sy1 * syx1 - syy1 * sx1)) / det"
+        ).alias("c_u"),
+        F.expr(
+            "(n * syt1 - sy * sy1) / (n * syy1 - sy1 * sy1)"
+        ).alias("b_r"),
+    )
+    rss = coefs.select(
+        "n", "c_u",
+        F.expr("syy - a_u * sy - b_u * syt1 - c_u * sxt1").alias("rss_u"),
+        F.expr(
+            "syy - ((sy - b_r * sy1) / n) * sy - b_r * syt1"
+        ).alias("rss_r"),
+    )
+    return rss.select(
+        F.col("n").cast("long").alias("n_obs"),
+        F.round("c_u", 6).alias("x_coef"),
+        F.expr(
+            "round((rss_r - rss_u) / (rss_u / (n - 3)), 6)"
+        ).alias("f_stat"),
+    )

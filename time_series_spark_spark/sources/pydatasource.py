@@ -198,5 +198,26 @@ class SyntheticTickStreamDataSource(DataSource):
         return SyntheticTickStreamReader(self.options)
 
 
+def _pickle_module_by_value() -> None:
+    """Make this module's DataSource classes self-contained under pickle.
+
+    The engine cloudpickles a registered Python DataSource and unpickles
+    it in separate Python workers. Executor-side workers see files shipped
+    via ``addPyFile``, but the DRIVER-side planner worker for streaming
+    sources (``python_streaming_source_runner``) does not — a class
+    pickled by reference to ``time_series_spark_spark`` raises
+    ModuleNotFoundError there when the repo isn't on that interpreter's
+    path. Registering the module for pickle-BY-VALUE embeds the class
+    definition in the pickle itself, so no worker needs the package
+    importable. Idempotent; uses pyspark's vendored cloudpickle (the one
+    the engine serializes with)."""
+    import sys
+
+    from pyspark import cloudpickle
+
+    cloudpickle.register_pickle_by_value(sys.modules[__name__])
+
+
 def register_tick_stream_source(spark) -> None:
+    _pickle_module_by_value()
     spark.dataSource.register(SyntheticTickStreamDataSource)
