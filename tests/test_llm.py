@@ -1105,3 +1105,48 @@ def test_feature_hashing_conserves_mass_and_dimension(spark):
     # signs actually mix: signed mass differs from raw mass somewhere
     assert any(r["signed_mass"] != r["total_mass"] for r in rows)
     assert all(abs(r["signed_mass"]) <= r["total_mass"] for r in rows)
+
+
+def test_bpe_apply_matches_python_greedy_encoder(spark):
+    """K14b: the codegen merge-fold encodes exactly like the textbook
+    per-word greedy apply (merges replayed in training order)."""
+    from time_series_spark_spark.operators.llm import (
+        bpe_apply_merges,
+        bpe_train,
+    )
+    from time_series_spark_spark.sources.io import load
+
+    sf = "/root/testdata/sf0.001"
+    docs = load(spark, sf, "documents").limit(20).cache()
+    merges = bpe_train(docs, n_merges=10)
+    from pyspark.sql import functions as F
+
+    got = {
+        r["doc_id"]: sorted(r["t"])
+        for r in (
+            bpe_apply_merges(docs, merges)
+            .groupBy("doc_id")
+            .agg(F.collect_list("token").alias("t"))
+            .collect()
+        )
+    }
+
+    def encode_word(w):
+        syms = ["▁"] + list(w)
+        # the fold applies ONE merge pass per learned pair, in order
+        for left, right, _ in merges:
+            out = []
+            for s in syms:
+                if out and out[-1] == left and s == right:
+                    out[-1] = left + right
+                else:
+                    out.append(s)
+            syms = out
+        return syms
+
+    for row in docs.select("doc_id", "text").collect():
+        toks = []
+        for w in row["text"].split():
+            if w:
+                toks.extend(encode_word(w))
+        assert sorted(toks) == got[row["doc_id"]], row["doc_id"]

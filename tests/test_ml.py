@@ -404,3 +404,55 @@ def test_classifier_survives_observation_in_session(spark):
     REGISTRY["docs_quality_gate"].fn(spark, sf).collect()
     out = REGISTRY["docs_quality_classifier"].fn(spark, sf).collect()
     assert len(out) == 1 and out[0]["auc"] is not None
+
+
+def test_kmeans_lloyd_exact_matches_numpy_replica(spark):
+    """N11: assignments agree 100% with a plain-numpy implementation of
+    the same algorithm (same md5 init, same quantization, same exact
+    integer centroid sums) — bit-level determinism, the property MLlib
+    KMeans cannot give; clusters beat the random-label baseline."""
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+
+    from time_series_spark_spark.operators.ml import kmeans_lloyd_exact
+    from time_series_spark_spark.sources.io import load
+
+    sf = "/root/testdata/sf0.01"
+    emb = load(spark, sf, "embeddings")
+    assigned, cents = kmeans_lloyd_exact(emb, k=10, iters=5)
+    got = assigned.toPandas().set_index("vec_id")
+
+    raw = pd.read_parquet(f"{sf}/embeddings.parquet")
+    q = np.round(
+        np.stack(raw["embedding"].to_numpy()) * 1_000_000
+    ).astype(np.int64)
+    ids = raw["vec_id"].to_numpy()
+    h = np.array([hashlib.md5(str(i).encode()).hexdigest() for i in ids])
+    C = q[np.argsort(h)[:10]].astype(float)
+    for _ in range(5):
+        d = ((q[:, None, :].astype(float) - C[None, :, :]) ** 2).sum(axis=2)
+        cid = d.argmin(axis=1)
+        for c in range(10):
+            m = cid == c
+            if m.sum():
+                C[c] = q[m].sum(axis=0) / m.sum()
+    d = ((q[:, None, :].astype(float) - C[None, :, :]) ** 2).sum(axis=2)
+    ref = pd.Series(d.argmin(axis=1), index=ids)
+    assert (got["cid"] == ref).all()
+    # final centroids match too (original units)
+    assert np.allclose(np.array(cents), C / 1_000_000, atol=1e-9)
+
+    # planted 10-label structure: majority-label purity beats random (0.1)
+    pdf = got.join(raw.set_index("vec_id")["label"])
+    purity = (
+        pdf.groupby("cid")["label"].agg(lambda s: s.value_counts().iloc[0])
+    ).sum() / len(pdf)
+    assert purity > 0.13
+
+    # two runs are identical (determinism end to end)
+    again, _ = kmeans_lloyd_exact(emb, k=10, iters=5)
+    a = sorted(map(tuple, assigned.select("vec_id", "cid").collect()))
+    b = sorted(map(tuple, again.select("vec_id", "cid").collect()))
+    assert a == b

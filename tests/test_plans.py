@@ -516,3 +516,26 @@ def test_sequential_stats_prereduce_before_tiny_window(spark):
         assert plan.index("SinglePartition") < plan.index(
             "hashpartitioning"
         ), name
+
+
+def test_dpp_pruned_join_report(spark):
+    """A10: the runtime partition filter actually fires (dpp_active = 1)
+    and the selected-year aggregate equals a static recomputation over
+    the source table."""
+    from pyspark.sql import functions as F
+
+    from time_series_spark_spark.sources.io import load
+
+    row = _df(spark, "orders_dpp_pruned_join").collect()[0]
+    assert row["dpp_active"] == 1
+    assert row["n_years_total"] == 7 and row["n_years_selected"] == 2
+    orders = load(spark, SF, "orders").select(
+        F.expr("CAST(round(o_totalprice * 100) AS BIGINT)").alias("cents"),
+        F.year("o_orderdate").alias("y"),
+    )
+    lo = [r["y"] for r in orders.select("y").distinct().orderBy("y").limit(2).collect()]
+    ref = orders.filter(F.col("y").isin(lo)).agg(
+        F.count(F.lit(1)), F.sum("cents")
+    ).collect()[0]
+    assert row["n_rows_selected"] == ref[0]
+    assert row["cents_selected"] == ref[1]

@@ -822,3 +822,97 @@ def target_encode_oof(
             F.col("n_f").alias("n_rows"),
         )
     )
+
+
+def kmeans_lloyd_exact(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 10,
+    iters: int = 5,
+    quant: int = 1_000_000,
+) -> tuple[DataFrame, list[list[float]]]:
+    """N11: deterministic Lloyd's k-means over an embedding column — the
+    semantic-clustering primitive a curation pipeline uses to group a
+    corpus before mixing/dedup. MLlib's KMeans is seed-stable but its
+    centroid averages depend on fp aggregation ORDER (partition layout);
+    this variant is bit-reproducible on any layout:
+
+    - vectors are quantized once to integers (``round(x·quant)``), so
+      per-cluster per-dimension sums are EXACT BIGINTs — order-free;
+    - centroids are those exact sums / counts (one IEEE division);
+    - init is the k rows with the smallest ``md5(id)`` — a pure function
+      of the data, like every seeded device in this repo;
+    - assignment = argmin squared L2, ties to the smaller cluster id
+      (``array_min`` over (dist, cid) structs — struct ordering).
+
+    Plan shape per iteration: centroids ride into the assignment
+    expression as LITERALS (k·d doubles — broadcast-by-plan, no join)
+    and the recompute is ONE hash aggregation producing k rows of d+1
+    exact sums (map-side partial agg does the heavy lifting). Driver
+    holds only k×d floats. Empty clusters keep their previous centroid.
+
+    Returns (assignments DataFrame [id, cid, dist_sq in ORIGINAL units],
+    final centroids in quantized units / quant).
+    """
+    dim = len(df.select(vec_col).first()[0])
+    q = F.transform(
+        F.col(vec_col),
+        lambda x: F.round(x.cast("double") * quant).cast("long"),
+    )
+    base = df.select(F.col(id_col).alias("_id"), q.alias("q")).cache()
+    init = (
+        base.select(
+            "_id", "q", F.md5(F.col("_id").cast("string")).alias("h")
+        )
+        .orderBy("h")
+        .limit(k)
+        .collect()
+    )
+    cents = [[float(v) for v in r["q"]] for r in init]
+
+    def dist_structs(cs):
+        return F.array(
+            *[
+                F.struct(
+                    F.aggregate(
+                        F.zip_with(
+                            F.col("q"),
+                            F.array(*[F.lit(c) for c in cent]),
+                            lambda a, b: (a.cast("double") - b)
+                            * (a.cast("double") - b),
+                        ),
+                        F.lit(0.0),
+                        lambda acc, x: acc + x,
+                    ).alias("dist"),
+                    F.lit(ci).alias("cid"),
+                )
+                for ci, cent in enumerate(cs)
+            ]
+        )
+
+    for _ in range(iters):
+        assigned = base.select(
+            "_id", "q", F.array_min(dist_structs(cents))["cid"].alias("cid")
+        )
+        rows = (
+            assigned.groupBy("cid")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                *[F.sum(F.col("q")[i]).alias(f"s{i}") for i in range(dim)],
+            )
+            .collect()
+        )
+        new = {
+            r["cid"]: [r[f"s{i}"] / r["n"] for i in range(dim)] for r in rows
+        }
+        cents = [new.get(ci, cents[ci]) for ci in range(k)]
+
+    best = F.array_min(dist_structs(cents))
+    out = base.select(
+        F.col("_id").alias(id_col),
+        best["cid"].alias("cid"),
+        (best["dist"] / F.lit(float(quant) * float(quant))).alias("dist_sq"),
+    )
+    base.unpersist()
+    return out, [[c / quant for c in cent] for cent in cents]

@@ -2464,3 +2464,61 @@ def events_swinging_door_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     return swinging_door(daily, "d", "v", ["user_id"], tolerance=20.0).orderBy(
         "user_id", "d"
     )
+
+
+@register(
+    "orders_dpp_pruned_join",
+    None,  # partition-pruning evidence is plan/layout-level → rows-only
+    doc="A16 dynamic partition pruning, driver-visible: orders written "
+    "hive-partitioned by order YEAR, then joined to a small filtered "
+    "year dimension — Catalyst injects the dim's build-side keys as a "
+    "runtime partition filter (DynamicPruningExpression) so the fact "
+    "scan reads ONLY the matching partition directories. At 100 TB "
+    "this is the difference between scanning 2 of 7 years and all of "
+    "them; the report row carries the selected-year aggregate plus the "
+    "plan verdict, and tests/test_plans.py pins the pruning expression "
+    "in the executed plan.",
+)
+def orders_dpp_pruned_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    orders = load(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.expr("CAST(round(o_totalprice * 100) AS BIGINT)").alias("cents"),
+        F.year("o_orderdate").alias("o_year"),
+    )
+    path = tempfile.mkdtemp(prefix="dpp_orders_")
+    try:
+        orders.write.mode("overwrite").partitionBy("o_year").parquet(path)
+        fact = spark.read.parquet(path)
+        years = [r["o_year"] for r in fact.select("o_year").distinct().collect()]
+        dim = spark.createDataFrame(
+            [(y, 1 if y in sorted(years)[:2] else 0) for y in years],
+            "d_year int, is_selected int",
+        )
+        joined = fact.join(
+            F.broadcast(dim.filter(F.col("is_selected") == 1)),
+            fact["o_year"] == F.col("d_year"),
+        )
+        agg = joined.agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows_selected"),
+            F.sum("cents").cast("long").alias("cents_selected"),
+        )
+        plan = agg._jdf.queryExecution().executedPlan().toString()
+        row = agg.collect()[0]
+        return spark.createDataFrame(
+            [
+                (
+                    len(years),
+                    2,
+                    row["n_rows_selected"],
+                    row["cents_selected"],
+                    int("dynamicpruning" in plan.lower()),
+                )
+            ],
+            "n_years_total long, n_years_selected long, "
+            "n_rows_selected long, cents_selected long, dpp_active int",
+        )
+    finally:
+        shutil.rmtree(path, ignore_errors=True)

@@ -2320,3 +2320,98 @@ def docs_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+
+# --------------------------------------------------------------------------
+# N11: deterministic Lloyd's k-means corpus clustering (round 6)
+# --------------------------------------------------------------------------
+@register(
+    "emb_kmeans_clusters",
+    None,  # iterative clustering → rows-only; numpy-replica equivalence
+    # + planted-label purity pinned in tests/test_ml.py
+    doc="N11 semantic corpus clustering: deterministic Lloyd's k-means "
+    "(k=10, 5 iterations) over the embedding table — the grouping "
+    "primitive a curation pipeline runs before per-topic mixing or "
+    "semantic dedup. Vectors quantized to integers so per-cluster "
+    "per-dim sums are EXACT (bit-reproducible on any partition "
+    "layout, unlike MLlib KMeans whose averages are fp-order "
+    "sensitive); init = k smallest md5(vec_id); centroids ride the "
+    "assignment expression as literals (no join), recompute is ONE "
+    "hash agg per iteration (operators/ml.py::kmeans_lloyd_exact). "
+    "One report row per NON-EMPTY cluster (Lloyd's can strand an "
+    "unlucky init): size, mean within-cluster squared distance, "
+    "centroid norm.",
+)
+def emb_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from time_series_spark_spark.operators.ml import kmeans_lloyd_exact
+
+    emb = load(spark, sf_dir, "embeddings")
+    assigned, cents = kmeans_lloyd_exact(
+        emb, vec_col="embedding", id_col="vec_id", k=10, iters=5
+    )
+    norms = {
+        ci: sum(c * c for c in cent) ** 0.5 for ci, cent in enumerate(cents)
+    }
+    norm_col = F.element_at(
+        F.array(*[F.lit(round(norms[ci], 6)) for ci in range(10)]),
+        F.col("cid") + 1,
+    )
+    return (
+        assigned.groupBy("cid")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_vecs"),
+            F.round(F.avg("dist_sq"), 6).alias("mean_dist_sq"),
+        )
+        .select(
+            F.col("cid").alias("cluster_id"),
+            "n_vecs",
+            "mean_dist_sq",
+            norm_col.alias("centroid_norm"),
+        )
+        .orderBy("cluster_id")
+    )
+
+
+# --------------------------------------------------------------------------
+# K14b: BPE tokenizer APPLY — encode stats per language (round 6)
+# --------------------------------------------------------------------------
+@register(
+    "docs_bpe_encode_stats",
+    None,  # encoding with trained merges is iterative → rows-only;
+    # greedy-apply equivalence with the pure-Python reference encoder is
+    # pinned in tests/test_llm.py
+    doc="K14b BPE tokenizer APPLY — the other half of the K14 lifecycle: "
+    "train the top-20 merge table, then ENCODE the corpus with it "
+    "(per word, merges replayed in training order via the same codegen "
+    "fold — no Python in the row path) and report per-language token "
+    "counts and the compression ratio vs raw symbol count. At 100 TB "
+    "the merge table is a broadcast-sized artifact and encoding is "
+    "embarrassingly parallel map work "
+    "(operators/llm.py::bpe_apply_merges).",
+)
+def docs_bpe_encode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from time_series_spark_spark.operators.llm import (
+        bpe_apply_merges,
+        bpe_train,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    merges = bpe_train(docs, n_merges=20)
+    toks = bpe_apply_merges(docs, merges)
+    per_doc = toks.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_bpe"),
+        F.sum(F.length("token")).alias("n_syms"),
+    )
+    return (
+        per_doc.join(docs.select("doc_id", "lang"), "doc_id")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_bpe").cast("long").alias("n_bpe_tokens"),
+            F.sum("n_syms").cast("long").alias("n_symbols"),
+            F.round(
+                F.sum("n_syms") * 1.0 / F.sum("n_bpe"), 6
+            ).alias("chars_per_token"),
+        )
+        .orderBy("lang")
+    )
