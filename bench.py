@@ -80,6 +80,11 @@ HEAVY_TAIL = [
     "users_clamped_balance",
     "events_swinging_door_user",
     "part_copurchase_lpa_communities",
+    # round-6 session flagships
+    "emb_kmeans_clusters",
+    "docs_bpe_encode_stats",
+    "events_granger_view_purchase",
+    "lineitem_vwap_monthly",
 ]
 
 

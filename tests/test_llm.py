@@ -793,7 +793,10 @@ def test_bpe_apply_roundtrip(spark):
     train = spark.createDataFrame([(text,)], "text string")
     merges = bpe_train(train, n_merges=12)
     docs = spark.createDataFrame([(0, text)], "doc_id long, text string")
-    toks = bpe_apply_merges(docs, merges).collect()
+    toks = sorted(
+        bpe_apply_merges(docs, merges).collect(),
+        key=lambda r: (r["pos"], r["tok_idx"]),
+    )
     joined = "".join(r["token"] for r in toks)
     assert joined == "".join("▁" + w for w in text.split())
     # 'newest' (freq 4) is fully merged into one token by 12 merges

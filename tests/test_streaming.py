@@ -939,3 +939,32 @@ def test_watermark_drop_accounting_counts_late_rows(spark, tmp_path):
     buckets = {r["bucket"] for r in out.collect()}
     assert dt.datetime(2024, 1, 1, 0, 0) not in buckets
     assert dt.datetime(2024, 1, 2, 12, 0) in buckets
+
+
+def test_stream_page_hinkley_matches_python_replay(spark):
+    """J7c: the state-store recursion equals the plain-Python Page-
+    Hinkley recursion run over each type's events in event_id order."""
+    import pandas as pd
+
+    from time_series_spark_spark.queries import REGISTRY
+
+    sf = "/root/testdata/sf0.001"
+    got = {
+        r["event_type"]: r
+        for r in REGISTRY["stream_page_hinkley_drift"].fn(spark, sf).collect()
+    }
+    ev = pd.read_parquet(f"{sf}/events.parquet").sort_values("event_id")
+    for etype, grp in ev.groupby("event_type"):
+        n, total, m, m_min, alarms, ph = 0, 0.0, 0.0, 0.0, 0, 0.0
+        for v in grp["value"]:
+            cents = float(round(float(v) * 100))
+            n += 1
+            total += cents
+            m += cents - total / n - 50.0
+            m_min = min(m_min, m)
+            ph = m - m_min
+            alarms += ph > 5000.0
+        row = got[etype]
+        assert row["n_events"] == n, etype
+        assert row["n_alarms"] == alarms, etype
+        assert abs(row["final_ph"] - round(ph, 4)) < 1e-6, etype

@@ -2285,13 +2285,29 @@ def bpe_apply_merges(
 ) -> DataFrame:
     """Tokenize a corpus with a learned merge table: per word, apply the
     merges in training order (the standard BPE apply rule) via the same
-    codegen fold — no Python in the row path. Returns (doc_id, token)
-    rows."""
-    toks = df.select(
-        "doc_id", F.explode(F.split(F.col(text_col), r"\s+")).alias("w")
-    ).filter(F.col("w") != "")
-    cur = toks.select(
+    codegen fold — no Python in the row path. Returns
+    (doc_id, pos, tok_idx, token) rows — ``pos`` is the word's position
+    in the document and ``tok_idx`` the token's position within the
+    word, so the exact token stream is reconstructible by sorting
+    (collect order alone was never a distributed guarantee).
+
+    Scale shape (round-6 rewrite, measured): the merge folds run over
+    the DISTINCT-WORD frame only — encoding is a pure function of the
+    word, so folding every word OCCURRENCE repeats the same work per
+    duplicate (the original shape was ~corpus×merges: encode 32 s at
+    sf0.1 / 343 s at the 10× stress corpus; vocabulary-encode + join
+    back makes the full train+encode+stats query 16 s / 14 s — 10×
+    ratio <1 because the stress corpus grows tokens 10× but vocabulary
+    ~1×, exactly the Heaps-law regime a real corpus is in). The join
+    back to occurrences is a plain equi-join on the word (AQE
+    broadcasts it while the encode table is small; hash-join when the
+    vocabulary outgrows the driver)."""
+    occur = df.select(
         "doc_id",
+        F.posexplode(F.split(F.col(text_col), r"\s+")).alias("pos", "w"),
+    ).filter(F.col("w") != "")
+    vocab = occur.select("w").distinct().select(
+        "w",
         F.expr(
             f"filter(transform(split(concat('{marker}', w), ''), x -> x), "
             "x -> x <> '')"
@@ -2306,8 +2322,18 @@ def bpe_apply_merges(
             f"THEN concat(slice(acc, 1, size(acc) - 1), array('{le}{re_}')) "
             "ELSE concat(acc, array(x)) END)"
         )
-        cur = cur.select("doc_id", F.expr(fold).alias("syms"))
-    return cur.select("doc_id", F.explode("syms").alias("token"))
+        vocab = vocab.select("w", F.expr(fold).alias("syms"))
+    # Lineage barrier before the join: without it Catalyst pushes the
+    # explode's inferred size(syms)>0 predicate — carrying the 20-deep
+    # fold expression — below the distinct, re-evaluating the fold per
+    # word OCCURRENCE (measured: 343 s at the 10× stress scale vs 1 s
+    # for the vocabulary itself). Same device bpe_train uses per round.
+    vocab = vocab.localCheckpoint(eager=True)
+    return occur.join(vocab, "w").select(
+        "doc_id",
+        "pos",
+        F.posexplode("syms").alias("tok_idx", "token"),
+    )
 
 
 # --------------------------------------------------------------------------

@@ -431,3 +431,34 @@ def stream_state_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         "bucket", "event_type", "n", F.lit("emitted").alias("status")
     )
     return closed.unionByName(open_windows).orderBy("bucket", "event_type")
+
+
+@register(
+    "stream_page_hinkley_drift",
+    None,  # stateful streaming → rows-only; recursion equivalence with a
+    # plain-Python replay is pinned in tests/test_streaming.py
+    doc="J7c streaming Page-Hinkley drift detection per event_type "
+    "(availableNow replay): the F95 sequential statistic held as FOUR "
+    "state-store scalars per key — bounded state forever, vs the batch "
+    "version's full-history window; report row per type with event "
+    "count, alarms fired, and the final PH value "
+    "(streaming/jobs.py::stateful_page_hinkley).",
+)
+def stream_page_hinkley_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from time_series_spark_spark.streaming.jobs import (
+        stateful_page_hinkley,
+    )
+
+    sdf = read_events_stream(spark, sf_dir)
+    table = run_available_now(
+        stateful_page_hinkley(sdf), output_mode="append"
+    )
+    return (
+        table.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.sum(F.col("alarm").cast("long")).cast("long").alias("n_alarms"),
+            F.round(F.max_by("ph", "event_id"), 4).alias("final_ph"),
+        )
+        .orderBy("event_type")
+    )

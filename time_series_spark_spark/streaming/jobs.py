@@ -210,6 +210,66 @@ def stateful_anomaly_flags(sdf: DataFrame, z_thresh: float = 3.0) -> DataFrame:
     )
 
 
+def stateful_page_hinkley(
+    sdf: DataFrame,
+    delta: float = 50.0,
+    lam: float = 5000.0,
+) -> DataFrame:
+    """J7c: streaming Page-Hinkley drift detection per event_type — the
+    streaming analogue of the batch F95 test, with the same recursion:
+    the cumulative deviation of each value (cents) from the RUNNING mean
+    minus slack ``delta``, alarmed when it exceeds its own running
+    minimum by ``lam``. The sequential statistic needs only FOUR scalars
+    of state per key (n, sum, m, m_min) regardless of stream length —
+    the textbook reason PH is the drift detector of streaming libraries
+    (river/MOA); the batch version needs the full history in ordered
+    window frames.
+
+    Events are processed in event_id order within each batch (the
+    replay-determinism device every stateful job here uses). Emits one
+    row per event with the PH statistic and alarm flag; replay ≡ the
+    same recursion run in plain Python, pinned in tests.
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    output_schema = (
+        "event_type string, event_id long, cents long, "
+        "ph double, alarm boolean"
+    )
+    state_schema = "n long, total double, m double, m_min double"
+
+    def update(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
+        n, total, m, m_min = (
+            state.get if state.exists else (0, 0.0, 0.0, 0.0)
+        )
+        out = []
+        for pdf in pdfs:
+            ordered = pdf.sort_values("event_id")
+            for ev, v in zip(ordered["event_id"], ordered["value"]):
+                cents = float(round(float(v) * 100))
+                n += 1
+                total += cents
+                m += cents - total / n - delta
+                m_min = min(m_min, m)
+                ph = m - m_min
+                out.append(
+                    (key[0], int(ev), int(cents), round(ph, 4), ph > lam)
+                )
+        state.update((n, total, m, m_min))
+        yield pd.DataFrame(
+            out,
+            columns=["event_type", "event_id", "cents", "ph", "alarm"],
+        )
+
+    return sdf.groupBy("event_type").applyInPandasWithState(
+        update,
+        output_schema,
+        state_schema,
+        "append",
+        GroupStateTimeout.NoTimeout,
+    )
+
+
 def stream_static_join(sdf: DataFrame, static_dim: DataFrame, on: str) -> DataFrame:
     """J8: enrich a stream with a broadcast static dimension."""
     return sdf.join(F.broadcast(static_dim), on)
