@@ -499,3 +499,41 @@ def test_silhouette_report_laws_and_planted_two_clusters(spark):
         assert r["min_cluster_size"] >= 1
     assert rep[2]["silhouette"] > 0.7, rep
     assert rep[2]["silhouette"] >= rep[4]["silhouette"] - 0.05
+
+
+def test_pacf_matches_yule_walker_solve(spark):
+    """F47b: the Durbin-Levinson PACF equals an independent Yule-Walker
+    computation (Toeplitz solve per lag with numpy) on the same biased
+    autocovariances of the daily series."""
+    import numpy as np
+    import pandas as pd
+
+    from time_series_spark_spark.queries import REGISTRY
+
+    sf = "/root/testdata/sf0.001"
+    got = {
+        r["k"]: r["pacf"]
+        for r in REGISTRY["events_pacf_daily_total"].fn(spark, sf).collect()
+    }
+    ev = pd.read_parquet(f"{sf}/events.parquet")
+    y = (
+        (ev["value"] * 100)
+        .round()
+        .astype("int64")
+        .groupby(ev["ts"].dt.floor("d"))
+        .sum()
+        .sort_index()
+        .to_numpy()
+        .astype(float)
+    )
+    n = len(y)
+    yd = y - y.mean()
+    rho = np.array(
+        [1.0]
+        + [(yd[: n - k] * yd[k:]).sum() / n / ((yd * yd).sum() / n)
+           for k in range(1, 8)]
+    )
+    for k in range(1, 8):
+        R = np.array([[rho[abs(i - j)] for j in range(k)] for i in range(k)])
+        phi = np.linalg.solve(R, rho[1 : k + 1])
+        assert abs(got[k] - round(float(phi[-1]), 6)) < 1e-9, k

@@ -2415,3 +2415,126 @@ def docs_bpe_encode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+# --------------------------------------------------------------------------
+# K6c: Kneser-Ney smoothed bigram perplexity (round 6)
+# --------------------------------------------------------------------------
+@register(
+    "docs_kn_bigram_ppl",
+    r"""
+    WITH tok AS (
+        SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ),
+    db AS (
+        SELECT doc_id, t[i] AS w1, t[i + 1] AS w2
+        FROM tok, LATERAL (SELECT unnest(generate_series(1, len(t) - 1)) AS i) u
+        WHERE len(t) >= 2
+    ),
+    trb AS (
+        SELECT w1, w2, CAST(count(*) AS BIGINT) AS cb
+        FROM db WHERE doc_id % 7 <> 0 GROUP BY 1, 2
+    ),
+    c1 AS (
+        SELECT w1, CAST(sum(cb) AS BIGINT) AS c1,
+               CAST(count(*) AS BIGINT) AS n1p
+        FROM trb GROUP BY 1
+    ),
+    cont AS (
+        SELECT w2, CAST(count(*) AS BIGINT) AS nc FROM trb GROUP BY 1
+    ),
+    tot AS (
+        SELECT CAST(count(*) AS BIGINT) AS ntot,
+               CAST(count(DISTINCT w2) AS BIGINT) AS nv
+        FROM trb
+    ),
+    s AS (
+        SELECT db.doc_id, count(*) AS n_bigrams,
+               avg(ln(
+                 CASE WHEN c1.c1 IS NOT NULL
+                      THEN greatest(coalesce(trb.cb, 0)
+                                    - CAST(0.75 AS DOUBLE), CAST(0 AS DOUBLE))
+                           / c1.c1
+                           + CAST(0.75 AS DOUBLE) * c1.n1p / c1.c1
+                             * ((coalesce(cont.nc, 0) + CAST(1 AS DOUBLE))
+                                / (tot.ntot + tot.nv + CAST(1 AS DOUBLE)))
+                      ELSE (coalesce(cont.nc, 0) + CAST(1 AS DOUBLE))
+                           / (tot.ntot + tot.nv + CAST(1 AS DOUBLE))
+                 END)) AS a
+        FROM db
+        LEFT JOIN trb ON trb.w1 = db.w1 AND trb.w2 = db.w2
+        LEFT JOIN c1 ON c1.w1 = db.w1
+        LEFT JOIN cont ON cont.w2 = db.w2
+        CROSS JOIN tot
+        GROUP BY db.doc_id
+    )
+    SELECT doc_id, n_bigrams, round(a, 6) AS mean_logp,
+           round(exp(-a), 4) AS ppl
+    FROM s ORDER BY doc_id
+    """,
+    doc="K6c interpolated Kneser-Ney bigram perplexity (Kneser & Ney "
+    "1995; d = 0.75): the real LM-smoothing next to K6b's add-k — "
+    "absolute discounting on bigram counts with the continuation-count "
+    "backoff P_cont(w) ∝ |{w1 : c(w1,w) > 0}| that makes KN the "
+    "standard n-gram smoother. Trained on the doc_id%7!=0 slice, "
+    "scored per doc; continuation probabilities add-one smoothed over "
+    "V+1 so unseen words score finitely. Count tables are "
+    "vocabulary-bounded broadcasts; the corpus shuffles only per-doc "
+    "partials — the K6b scale shape exactly.",
+)
+def docs_kn_bigram_ppl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.split(F.col("text"), " ").alias("t"))
+    db = toks.filter(F.size("t") >= 2).select(
+        "doc_id",
+        F.explode(
+            F.arrays_zip(
+                F.expr("slice(t, 1, size(t) - 1)"),
+                F.expr("slice(t, 2, size(t) - 1)"),
+            )
+        ).alias("bg"),
+    ).select(
+        "doc_id", F.col("bg.0").alias("w1"), F.col("bg.1").alias("w2")
+    )
+    trb = (
+        db.filter(F.col("doc_id") % 7 != 0)
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("cb"))
+    )
+    c1 = trb.groupBy("w1").agg(
+        F.sum("cb").alias("c1"), F.count(F.lit(1)).alias("n1p")
+    )
+    cont = trb.groupBy("w2").agg(F.count(F.lit(1)).alias("nc"))
+    tot = trb.agg(
+        F.count(F.lit(1)).alias("ntot"),
+        F.countDistinct("w2").alias("nv"),
+    )
+    s = (
+        db.join(trb, ["w1", "w2"], "left")
+        .join(c1, "w1", "left")
+        .join(F.broadcast(cont), "w2", "left")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.avg(
+                F.expr(
+                    "ln(CASE WHEN c1 IS NOT NULL"
+                    " THEN greatest(coalesce(cb, 0)"
+                    " - CAST(0.75 AS DOUBLE), CAST(0 AS DOUBLE)) / c1"
+                    " + CAST(0.75 AS DOUBLE) * n1p / c1"
+                    " * ((coalesce(nc, 0) + CAST(1 AS DOUBLE))"
+                    " / (ntot + nv + CAST(1 AS DOUBLE)))"
+                    " ELSE (coalesce(nc, 0) + CAST(1 AS DOUBLE))"
+                    " / (ntot + nv + CAST(1 AS DOUBLE))"
+                    " END)"
+                )
+            ).alias("a"),
+        )
+    )
+    return s.select(
+        "doc_id",
+        "n_bigrams",
+        F.round("a", 6).alias("mean_logp"),
+        F.round(F.exp(-F.col("a")), 4).alias("ppl"),
+    ).orderBy("doc_id")

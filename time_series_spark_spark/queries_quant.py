@@ -2105,3 +2105,82 @@ def events_granger_view_purchase(
             "round((rss_r - rss_u) / (rss_u / (n - 3)), 6)"
         ).alias("f_stat"),
     )
+
+
+# ---------------------------------------------------------------------------
+# F98 one-way ANOVA across event types
+# ---------------------------------------------------------------------------
+@register(
+    "events_anova_value_by_type",
+    f"""
+    WITH g AS (
+        SELECT event_type,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum({_CENTS}) AS BIGINT) AS s,
+               CAST(sum({_CENTS} * {_CENTS}) AS BIGINT) AS ss
+        FROM events GROUP BY 1
+    ),
+    t AS (
+        SELECT CAST(count(*) AS BIGINT) AS k,
+               CAST(sum(n) AS BIGINT) AS n_tot,
+               CAST(sum(s) AS BIGINT) AS s_tot,
+               CAST(sum(ss) AS BIGINT) AS ss_tot,
+               sum(CAST(s AS DOUBLE) * s / n) AS sum_sq_over_n
+        FROM g
+    ),
+    f AS (
+        SELECT k, n_tot,
+               sum_sq_over_n - CAST(s_tot AS DOUBLE) * s_tot / n_tot AS ssb,
+               CAST(ss_tot AS DOUBLE) - sum_sq_over_n AS ssw
+        FROM t
+    )
+    SELECT CAST(k AS BIGINT) AS k_groups, n_tot AS n_obs,
+           round(ssb / (k - 1), 4) AS ms_between,
+           round(ssw / (n_tot - k), 4) AS ms_within,
+           round((ssb / (k - 1)) / (ssw / (n_tot - k)), 6) AS f_stat,
+           round(ssb / (ssb + ssw), 6) AS eta_squared
+    FROM f
+    """,
+    doc="F98 one-way ANOVA: does mean event value differ across the 5 "
+    "event types? F = MS_between/MS_within from the sum decomposition "
+    "SSB = Σ s_g²/n_g − S²/N, SSW = SS − Σ s_g²/n_g, with η² effect "
+    "size. Completes the hypothesis-test family (Welch t, KS, "
+    "Mann-Whitney, chi², Granger): the k-group mean comparison. All "
+    "power sums EXACT BIGINTs (cents² sums < 2^63 up to ~10^10 rows at "
+    "these magnitudes); the fp algebra is the same expression text in "
+    "both engines. ONE hash aggregation to k rows, then scalar math.",
+)
+def events_anova_value_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    g = (
+        _events(spark, sf_dir)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.expr(_CENTS)).alias("s"),
+            F.sum(F.expr(f"{_CENTS} * {_CENTS}")).alias("ss"),
+        )
+    )
+    t = g.agg(
+        F.count(F.lit(1)).alias("k"),
+        F.sum("n").alias("n_tot"),
+        F.sum("s").alias("s_tot"),
+        F.sum("ss").alias("ss_tot"),
+        F.sum(F.expr("CAST(s AS DOUBLE) * s / n")).alias("sum_sq_over_n"),
+    )
+    f = t.select(
+        "k", "n_tot",
+        F.expr(
+            "sum_sq_over_n - CAST(s_tot AS DOUBLE) * s_tot / n_tot"
+        ).alias("ssb"),
+        F.expr("CAST(ss_tot AS DOUBLE) - sum_sq_over_n").alias("ssw"),
+    )
+    return f.select(
+        F.col("k").cast("long").alias("k_groups"),
+        F.col("n_tot").alias("n_obs"),
+        F.expr("round(ssb / (k - 1), 4)").alias("ms_between"),
+        F.expr("round(ssw / (n_tot - k), 4)").alias("ms_within"),
+        F.expr(
+            "round((ssb / (k - 1)) / (ssw / (n_tot - k)), 6)"
+        ).alias("f_stat"),
+        F.expr("round(ssb / (ssb + ssw), 6)").alias("eta_squared"),
+    )

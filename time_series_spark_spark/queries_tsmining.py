@@ -521,3 +521,71 @@ def events_cluster_silhouette_scan(
     return cluster_silhouette_report(
         daily, ["user_id"], "d", "v"
     ).orderBy("k")
+
+
+@register(
+    "events_pacf_daily_total",
+    None,  # Durbin-Levinson recursion over the collected ACF (8 bounded
+    # scalars) → rows-only; Yule-Walker solve equivalence pinned in
+    # tests/test_tsmining.py
+    doc="F47b partial autocorrelation function of the daily total-value "
+    "series at lags 1..7 — the other half of the Box-Jenkins "
+    "identification panel next to F47's ACF (PACF cutoff picks AR "
+    "order, ACF cutoff picks MA order). Biased autocovariances "
+    "gamma_k are computed distributed (demeaned integer-cents daily "
+    "series, lag-fanout join exactly like F47); only the 8 gamma "
+    "scalars reach the driver, where the Durbin-Levinson recursion "
+    "(= Yule-Walker solve) is O(maxlag^2) arithmetic.",
+)
+def events_pacf_daily_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    maxlag = 7
+    ev = _events(spark, sf_dir)
+    d = ev.groupBy(F.date_trunc("day", F.col("ts")).alias("d")).agg(
+        F.sum(F.round(F.col("value") * 100).cast("long")).alias("c")
+    )
+    stats = d.agg(
+        F.count(F.lit(1)).alias("n"), F.avg(F.col("c")).alias("mu")
+    ).collect()[0]
+    n, mu = int(stats["n"]), float(stats["mu"])
+    rn = d.select(
+        (F.col("c").cast("double") - F.lit(mu)).alias("y"),
+        F.row_number().over(Window.orderBy("d")).alias("i"),
+    )
+    a = rn.select(F.col("i").alias("ia"), F.col("y").alias("ya"))
+    b = rn.select(F.col("i").alias("ib"), F.col("y").alias("yb"))
+    ks = d.sparkSession.range(0, maxlag + 1).select(
+        F.col("id").cast("int").alias("k")
+    )
+    gam = {
+        r["k"]: float(r["g"])
+        for r in (
+            a.crossJoin(F.broadcast(ks))
+            .join(b, F.col("ib") == F.col("ia") - F.col("k"))
+            .groupBy("k")
+            .agg((F.sum(F.col("ya") * F.col("yb")) / F.lit(n)).alias("g"))
+            .collect()
+        )
+    }
+    # Durbin-Levinson on the driver: 8 scalars in, 7 PACF values out
+    rho = [gam[k] / gam[0] for k in range(maxlag + 1)]
+    pacf = []
+    phi_prev: list[float] = []
+    for k in range(1, maxlag + 1):
+        if k == 1:
+            phi_kk = rho[1]
+            phi = [phi_kk]
+        else:
+            num = rho[k] - sum(
+                phi_prev[j] * rho[k - 1 - j] for j in range(k - 1)
+            )
+            den = 1.0 - sum(phi_prev[j] * rho[j + 1] for j in range(k - 1))
+            phi_kk = num / den
+            phi = [
+                phi_prev[j] - phi_kk * phi_prev[k - 2 - j]
+                for j in range(k - 1)
+            ] + [phi_kk]
+        pacf.append((k, round(phi_kk, 6)))
+        phi_prev = phi
+    return spark.createDataFrame(pacf, "k int, pacf double")
