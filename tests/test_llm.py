@@ -1153,3 +1153,31 @@ def test_bpe_apply_matches_python_greedy_encoder(spark):
             if w:
                 toks.extend(encode_word(w))
         assert sorted(toks) == got[row["doc_id"]], row["doc_id"]
+
+
+def test_neardup_quality_report_recall_floors(spark):
+    """K2d: dashboard is internally consistent and each generator clears
+    its recall floor at sf0.01 (minhash 1.0 and simhash 0.9 — both
+    already pinned individually by the recall tests; here the REPORT's
+    own arithmetic is checked too)."""
+    from time_series_spark_spark.queries import REGISTRY
+
+    rows = {
+        r["method"]: r
+        for r in REGISTRY["docs_neardup_quality_report"]
+        .fn(spark, "/root/testdata/sf0.01")
+        .collect()
+    }
+    assert set(rows) == {"minhash_lsh", "simhash"}
+    for r in rows.values():
+        assert r["n_hits"] <= min(r["n_exact"], r["n_candidates"])
+        assert abs(r["recall"] - round(r["n_hits"] / r["n_exact"], 4)) < 1e-9
+        assert (
+            abs(
+                r["candidate_ratio"]
+                - round(r["n_candidates"] / r["n_exact"], 4)
+            )
+            < 1e-9
+        )
+    assert rows["minhash_lsh"]["recall"] >= 0.95
+    assert rows["simhash"]["recall"] >= 0.9

@@ -458,3 +458,49 @@ def test_granger_matches_numpy_lstsq(spark):
     assert row["n_obs"] == n
     assert abs(row["x_coef"] - round(float(cu[2]), 6)) < 1e-4
     assert abs(row["f_stat"] - round(f_ref, 6)) < 1e-3
+
+
+def test_cointegration_matches_numpy_two_step(spark):
+    """F99: hedge ratio, gamma, and the EG statistic equal the numpy
+    two-step computation on the same daily series; a planted
+    cointegrated pair scores strongly negative while an independent
+    random-walk pair does not (formula sanity, same code path)."""
+    import numpy as np
+    import pandas as pd
+
+    from time_series_spark_spark.queries import REGISTRY
+
+    def eg_ref(x, y):
+        n = float(len(x))
+        b = (n * (x * y).sum() - x.sum() * y.sum()) / (
+            n * (x * x).sum() - x.sum() ** 2
+        )
+        a = (y.sum() - b * x.sum()) / n
+        e = y - a - b * x
+        de, el = np.diff(e), e[:-1]
+        g = (el * de).sum() / (el * el).sum()
+        m = len(de)
+        se = np.sqrt((((de - g * el) ** 2).sum() / (m - 1)) / (el * el).sum())
+        return b, g, g / se
+
+    ev = pd.read_parquet("/root/testdata/sf0.001/events.parquet")
+    day = ev["ts"].dt.floor("d")
+    x = (ev["event_type"] == "view").groupby(day).sum().sort_index().to_numpy().astype(float)
+    y = (ev["event_type"] == "click").groupby(day).sum().sort_index().to_numpy().astype(float)
+    b, g, t = eg_ref(x, y)
+    row = (
+        REGISTRY["events_cointegration_view_click"]
+        .fn(spark, "/root/testdata/sf0.001")
+        .collect()[0]
+    )
+    assert row["n_obs"] == len(x) - 1
+    assert abs(row["hedge_ratio"] - round(b, 6)) < 1e-6
+    assert abs(row["gamma"] - round(g, 6)) < 1e-6
+    assert abs(row["eg_t"] - round(t, 6)) < 1e-4
+
+    rng = np.random.default_rng(3)
+    w = np.cumsum(rng.normal(0, 1, 500))
+    coint_y = 2.0 * w + rng.normal(0, 0.5, 500)  # shares w's trend
+    indep_y = np.cumsum(rng.normal(0, 1, 500))
+    assert eg_ref(w, coint_y)[2] < -8.0
+    assert eg_ref(w, indep_y)[2] > -4.0

@@ -2538,3 +2538,60 @@ def docs_kn_bigram_ppl(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("a", 6).alias("mean_logp"),
         F.round(F.exp(-F.col("a")), 4).alias("ppl"),
     ).orderBy("doc_id")
+
+
+# --------------------------------------------------------------------------
+# K2d: text near-dup quality dashboard (round 6)
+# --------------------------------------------------------------------------
+@register(
+    "docs_neardup_quality_report",
+    None,  # compares hash-based candidate sets -> rows-only; per-method
+    # recall floors pinned individually in tests/test_llm.py
+    doc="K2d text near-dup quality dashboard — the TEXT sibling of the "
+    "K3+ ANN report: recall of the MinHash-LSH and SimHash candidate "
+    "generators against the EXACT PPJoin Jaccard>=0.4 pair set, plus "
+    "each method's candidate-mass blowup (n_pairs / n_exact — the "
+    "verification cost an index owner trades against recall when "
+    "tuning bands). Computed IN Spark by joining each method's "
+    "canonicalized (id_a, id_b) set to the exact set.",
+)
+def docs_neardup_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from time_series_spark_spark.operators.llm import (
+        minhash_lsh_pairs,
+        ngram_jaccard_pairs,
+        simhash_near_pairs,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    exact = (
+        ngram_jaccard_pairs(docs, threshold=0.4)
+        .select("id_a", "id_b")
+        .cache()
+    )
+    n_exact = exact.count()
+    methods = {
+        "minhash_lsh": minhash_lsh_pairs(docs, threshold=0.4),
+        "simhash": simhash_near_pairs(docs, max_hamming=10, n_bands=8),
+    }
+    rows = []
+    for name, df in methods.items():
+        got = df.select("id_a", "id_b").distinct().cache()
+        n_got = got.count()
+        hit = got.join(exact, ["id_a", "id_b"]).count()
+        rows.append(
+            (
+                name,
+                int(hit),
+                int(n_exact),
+                round(hit / n_exact, 4) if n_exact else 1.0,
+                int(n_got),
+                round(n_got / n_exact, 4) if n_exact else 0.0,
+            )
+        )
+        got.unpersist()
+    exact.unpersist()
+    return spark.createDataFrame(
+        rows,
+        "method string, n_hits long, n_exact long, recall double, "
+        "n_candidates long, candidate_ratio double",
+    ).orderBy("method")

@@ -2184,3 +2184,116 @@ def events_anova_value_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("f_stat"),
         F.expr("round(ssb / (ssb + ssw), 6)").alias("eta_squared"),
     )
+
+
+# ---------------------------------------------------------------------------
+# F99 Engle-Granger cointegration test
+# ---------------------------------------------------------------------------
+@register(
+    "events_cointegration_view_click",
+    """
+    WITH d AS (
+        SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS d,
+               CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS x,
+               CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS y
+        FROM events GROUP BY 1
+    ),
+    s AS (
+        SELECT CAST(count(*) AS DOUBLE) AS n,
+               CAST(sum(x) AS DOUBLE) AS sx, CAST(sum(y) AS DOUBLE) AS sy,
+               CAST(sum(x * x) AS DOUBLE) AS sxx,
+               CAST(sum(x * y) AS DOUBLE) AS sxy
+        FROM d
+    ),
+    ols AS (
+        SELECT (n * sxy - sx * sy) / (n * sxx - sx * sx) AS b,
+               (sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n AS a
+        FROM s
+    ),
+    resid AS (
+        SELECT d.d, y - a - b * x AS e FROM d CROSS JOIN ols
+    ),
+    lagr AS (
+        SELECT e - lag(e) OVER (ORDER BY d) AS de,
+               lag(e) OVER (ORDER BY d) AS el
+        FROM resid
+    ),
+    adf AS (
+        SELECT CAST(count(*) AS DOUBLE) AS m,
+               sum(el * de) AS sed, sum(el * el) AS see,
+               sum(de * de) AS sdd
+        FROM lagr WHERE el IS NOT NULL
+    )
+    SELECT CAST(m AS BIGINT) AS n_obs,
+           round((SELECT b FROM ols), 6) AS hedge_ratio,
+           round(sed / see, 6) AS gamma,
+           round((sed / see)
+                 / sqrt(((sdd - (sed / see) * sed) / (m - 1)) / see), 6)
+               AS eg_t
+    FROM adf
+    """,
+    doc="F99 Engle-Granger two-step cointegration between daily VIEW and "
+    "CLICK counts: (1) closed-form OLS y ~ a + b·x gives the hedge "
+    "ratio; (2) a no-constant Dickey-Fuller regression on the "
+    "residuals (Δe_t = γ·e_(t-1)) gives the EG statistic — strongly "
+    "negative means the spread mean-reverts (the pairs-trading / "
+    "metric-coupling test). Integer count sums cast once to double; "
+    "identical expression text in both engines. Shape: one hash agg to "
+    "days, a 1-row OLS broadcast back, one lag window, one reduce.",
+)
+def events_cointegration_view_click(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    d = (
+        _events(spark, sf_dir)
+        .groupBy(F.date_trunc("day", F.col("ts")).alias("d"))
+        .agg(
+            F.sum(
+                F.when(F.col("event_type") == "view", 1).otherwise(0)
+            ).alias("x"),
+            F.sum(
+                F.when(F.col("event_type") == "click", 1).otherwise(0)
+            ).alias("y"),
+        )
+    )
+    s = d.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("x").cast("double").alias("sx"),
+        F.sum("y").cast("double").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).cast("double").alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).cast("double").alias("sxy"),
+    )
+    ols = s.select(
+        F.expr("(n * sxy - sx * sy) / (n * sxx - sx * sx)").alias("b"),
+        F.expr(
+            "(sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n"
+        ).alias("a"),
+    )
+    resid = d.crossJoin(F.broadcast(ols)).select(
+        "d", F.expr("y - a - b * x").alias("e"), "b"
+    )
+    lagr = resid.select(
+        "b",
+        (F.col("e") - F.lag("e").over(W.orderBy("d"))).alias("de"),
+        F.lag("e").over(W.orderBy("d")).alias("el"),
+    ).filter(F.col("el").isNotNull())
+    adf = lagr.agg(
+        F.count(F.lit(1)).cast("double").alias("m"),
+        F.sum(F.col("el") * F.col("de")).alias("sed"),
+        F.sum(F.col("el") * F.col("el")).alias("see"),
+        F.sum(F.col("de") * F.col("de")).alias("sdd"),
+        F.first("b").alias("b"),
+    )
+    return adf.select(
+        F.col("m").cast("long").alias("n_obs"),
+        F.round("b", 6).alias("hedge_ratio"),
+        F.expr("round(sed / see, 6)").alias("gamma"),
+        F.expr(
+            "round((sed / see)"
+            " / sqrt(((sdd - (sed / see) * sed) / (m - 1)) / see), 6)"
+        ).alias("eg_t"),
+    )
