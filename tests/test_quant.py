@@ -504,3 +504,133 @@ def test_cointegration_matches_numpy_two_step(spark):
     indep_y = np.cumsum(rng.normal(0, 1, 500))
     assert eg_ref(w, coint_y)[2] < -8.0
     assert eg_ref(w, indep_y)[2] > -4.0
+
+
+def test_mann_kendall_matches_plain_python(spark):
+    """F100: S, the x18 variance numerator, and Z equal a plain-Python
+    O(n^2) replay on the same daily-cents series; planted monotone and
+    alternating series sign-check the same formula."""
+    import numpy as np
+    import pandas as pd
+
+    from time_series_spark_spark.queries import REGISTRY
+
+    def mk_ref(v):
+        n = len(v)
+        s = sum(
+            np.sign(v[j] - v[i]) for i in range(n) for j in range(i + 1, n)
+        )
+        _, counts = np.unique(v, return_counts=True)
+        tie = sum(int(c) * (c - 1) * (2 * c + 5) for c in counts)
+        var18 = n * (n - 1) * (2 * n + 5) - tie
+        if s > 0:
+            z = (s - 1.0) / np.sqrt(var18 / 18.0)
+        elif s < 0:
+            z = (s + 1.0) / np.sqrt(var18 / 18.0)
+        else:
+            z = 0.0
+        return int(s), int(var18), z
+
+    ev = pd.read_parquet("/root/testdata/sf0.001/events.parquet")
+    cents = (ev["value"] * 100).round().astype("int64")
+    v = (
+        cents.groupby(ev["ts"].dt.floor("d"))
+        .sum()
+        .sort_index()
+        .to_numpy()
+    )
+    s, var18, z = mk_ref(v)
+    row = (
+        REGISTRY["events_mann_kendall_daily"]
+        .fn(spark, "/root/testdata/sf0.001")
+        .collect()[0]
+    )
+    assert row["n_days"] == len(v)
+    assert row["s_stat"] == s
+    assert row["var_s_x18"] == var18
+    assert abs(row["z"] - round(z, 6)) < 1e-9
+
+    up = np.arange(20)
+    assert mk_ref(up)[0] == 20 * 19 // 2 and mk_ref(up)[2] > 4.0
+    alt = np.array([i % 2 for i in range(20)])
+    assert abs(mk_ref(alt)[2]) < 1.0
+
+
+def test_runs_test_matches_plain_python(spark):
+    """F101: n1/n2/R and Z equal a plain-Python replay (lower-median
+    threshold, median-ties dropped) on the same daily series; an
+    alternating sequence maxes the run count under the same formula."""
+    import numpy as np
+    import pandas as pd
+
+    from time_series_spark_spark.queries import REGISTRY
+
+    def runs_ref(v):
+        n = len(v)
+        m = np.sort(v)[(n + 1) // 2 - 1]
+        s = [1 if x > m else 0 for x in v if x != m]
+        n1, n2 = sum(s), len(s) - sum(s)
+        r = 1 + sum(a != b for a, b in zip(s, s[1:]))
+        e = 1.0 + 2.0 * n1 * n2 / (n1 + n2)
+        var = (
+            2.0 * n1 * n2 * (2.0 * n1 * n2 - n1 - n2)
+            / ((n1 + n2) * 1.0 * (n1 + n2) * (n1 + n2 - 1))
+        )
+        return n1, n2, r, (r - e) / np.sqrt(var)
+
+    ev = pd.read_parquet("/root/testdata/sf0.001/events.parquet")
+    cents = (ev["value"] * 100).round().astype("int64")
+    v = cents.groupby(ev["ts"].dt.floor("d")).sum().sort_index().to_numpy()
+    n1, n2, r, z = runs_ref(v)
+    row = (
+        REGISTRY["events_runs_test_daily"]
+        .fn(spark, "/root/testdata/sf0.001")
+        .collect()[0]
+    )
+    assert (row["n_above"], row["n_below"], row["runs"]) == (n1, n2, r)
+    assert row["n_kept"] == n1 + n2
+    assert abs(row["z"] - round(z, 6)) < 1e-9
+
+    # distinct-valued alternation → many runs, strongly positive z;
+    # a monotone ramp → 2 runs, strongly negative z
+    alt = np.array([i // 2 if i % 2 == 0 else 100 + i for i in range(21)])
+    assert runs_ref(alt)[3] > 3.0
+    ramp = np.arange(21)
+    assert runs_ref(ramp)[2] == 2 and runs_ref(ramp)[3] < -3.0
+
+
+def test_ljung_box_matches_numpy(spark):
+    """F102: rho_k and the cumulative Q equal the numpy textbook
+    computation (biased ACF, chi-square form) on the same daily-count
+    series, every lag row."""
+    import numpy as np
+    import pandas as pd
+
+    from time_series_spark_spark.queries import REGISTRY
+
+    ev = pd.read_parquet("/root/testdata/sf0.001/events.parquet")
+    x = (
+        ev.groupby(ev["ts"].dt.floor("d"))
+        .size()
+        .sort_index()
+        .to_numpy()
+        .astype(float)
+    )
+    n = len(x)
+    xb = x.mean()
+    c0 = ((x - xb) ** 2).sum()
+    rows = (
+        REGISTRY["events_ljung_box_daily"]
+        .fn(spark, "/root/testdata/sf0.001")
+        .orderBy("k")
+        .collect()
+    )
+    assert [r["k"] for r in rows] == list(range(1, 8))
+    q = 0.0
+    for r in rows:
+        k = r["k"]
+        rho = ((x[:-k] - xb) * (x[k:] - xb)).sum() / c0
+        q += rho * rho / (n - k)
+        assert r["n_pairs"] == n - k
+        assert abs(r["rho"] - rho) < 1e-5, k
+        assert abs(r["q_stat"] - n * (n + 2.0) * q) < 1e-4, k

@@ -2297,3 +2297,305 @@ def events_cointegration_view_click(
             " / sqrt(((sdd - (sed / see) * sed) / (m - 1)) / see), 6)"
         ).alias("eg_t"),
     )
+
+
+# ---------------------------------------------------------------------------
+# F100 Mann-Kendall trend test (exact integer S + tie-corrected variance)
+# ---------------------------------------------------------------------------
+@register(
+    "events_mann_kendall_daily",
+    f"""
+    WITH d AS (
+        SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS d,
+               CAST(sum({_CENTS}) AS BIGINT) AS v
+        FROM events GROUP BY 1
+    ),
+    r AS (
+        SELECT v, row_number() OVER (ORDER BY d) AS i FROM d
+    ),
+    p AS (
+        SELECT CAST(sum(CASE WHEN b.v > a.v THEN 1
+                             WHEN b.v < a.v THEN -1 ELSE 0 END)
+                    AS BIGINT) AS s
+        FROM r a JOIN r b ON b.i > a.i
+    ),
+    t AS (
+        SELECT CAST(sum(c * (c - 1) * (2 * c + 5)) AS BIGINT) AS tie_adj
+        FROM (SELECT CAST(count(*) AS BIGINT) AS c FROM d GROUP BY v)
+    ),
+    g AS (SELECT CAST(count(*) AS BIGINT) AS n FROM d)
+    SELECT n AS n_days, s AS s_stat,
+           CAST(n * (n - 1) * (2 * n + 5) - tie_adj AS BIGINT) AS var_s_x18,
+           round(CASE WHEN s > 0 THEN (s - 1.0)
+                    / sqrt((n * (n - 1) * (2 * n + 5) - tie_adj) / 18.0)
+                 WHEN s < 0 THEN (s + 1.0)
+                    / sqrt((n * (n - 1) * (2 * n + 5) - tie_adj) / 18.0)
+                 ELSE 0.0 END, 6) AS z
+    FROM p CROSS JOIN t CROSS JOIN g
+    """,
+    doc="F100 Mann-Kendall nonparametric trend test on the daily "
+    "total-cents series: S = sum over i<j of sign(v_j - v_i) is an "
+    "EXACT INTEGER (no fp rank arithmetic), the variance keeps its "
+    "x18 numerator exact with the standard tie-group correction "
+    "sum t(t-1)(2t+5), and the continuity-corrected Z is the only fp "
+    "step (identical expression text both engines). The O(days^2) "
+    "self-join runs AFTER the reduce to calendar days — bounded by "
+    "days^2 (= 435 pairs for a 30-day corpus, ~133k for a year), "
+    "independent of event-row count, so the heavy work is the one "
+    "hash agg. Single summary row.",
+)
+def events_mann_kendall_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _events(spark, sf_dir).groupBy(
+        F.date_trunc("day", F.col("ts")).alias("d")
+    ).agg(F.sum(F.expr(_CENTS)).alias("v"))
+    r = d.select(
+        "v", F.row_number().over(Window.orderBy("d")).alias("i")
+    )
+    a = r.select(F.col("i").alias("ia"), F.col("v").alias("va"))
+    b = r.select(F.col("i").alias("ib"), F.col("v").alias("vb"))
+    p = (
+        a.join(F.broadcast(b), F.col("ib") > F.col("ia"))
+        .agg(
+            F.sum(
+                F.when(F.col("vb") > F.col("va"), 1)
+                .when(F.col("vb") < F.col("va"), -1)
+                .otherwise(0)
+            ).alias("s")
+        )
+    )
+    t = (
+        d.groupBy("v")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .agg(
+            F.sum(
+                F.col("c") * (F.col("c") - 1) * (2 * F.col("c") + 5)
+            ).alias("tie_adj")
+        )
+    )
+    g = d.agg(F.count(F.lit(1)).alias("n"))
+    return (
+        p.crossJoin(F.broadcast(t))
+        .crossJoin(F.broadcast(g))
+        .select(
+            F.col("n").alias("n_days"),
+            F.col("s").alias("s_stat"),
+            F.expr(
+                "CAST(n * (n - 1) * (2 * n + 5) - tie_adj AS BIGINT)"
+            ).alias("var_s_x18"),
+            F.expr(
+                "round(CASE WHEN s > 0 THEN (s - 1.0)"
+                " / sqrt((n * (n - 1) * (2 * n + 5) - tie_adj) / 18.0)"
+                " WHEN s < 0 THEN (s + 1.0)"
+                " / sqrt((n * (n - 1) * (2 * n + 5) - tie_adj) / 18.0)"
+                " ELSE 0.0 END, 6)"
+            ).alias("z"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# F101 Wald-Wolfowitz runs test for randomness
+# ---------------------------------------------------------------------------
+@register(
+    "events_runs_test_daily",
+    f"""
+    WITH d AS (
+        SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS d,
+               CAST(sum({_CENTS}) AS BIGINT) AS v
+        FROM events GROUP BY 1
+    ),
+    g AS (SELECT CAST(count(*) AS BIGINT) AS n FROM d),
+    med AS (
+        SELECT v AS m
+        FROM (SELECT v, row_number() OVER (ORDER BY v) AS rnk FROM d)
+        CROSS JOIN g
+        WHERE rnk = CAST(floor((n + 1) / 2.0) AS BIGINT)
+    ),
+    k AS (
+        SELECT d.d, CASE WHEN d.v > m THEN 1 ELSE 0 END AS s
+        FROM d CROSS JOIN med WHERE d.v <> m
+    ),
+    seq AS (SELECT s, lag(s) OVER (ORDER BY d) AS ps FROM k),
+    agg AS (
+        SELECT CAST(sum(s) AS BIGINT) AS n1,
+               CAST(sum(1 - s) AS BIGINT) AS n2,
+               CAST(1 + sum(CASE WHEN ps IS NOT NULL AND s <> ps
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS runs
+        FROM seq
+    )
+    SELECT n1 + n2 AS n_kept, n1 AS n_above, n2 AS n_below, runs,
+           round((runs - (1.0 + 2.0 * n1 * n2 / (n1 + n2)))
+                 / sqrt(2.0 * n1 * n2 * (2.0 * n1 * n2 - n1 - n2)
+                        / ((n1 + n2) * 1.0 * (n1 + n2) * (n1 + n2 - 1))),
+                 6) AS z
+    FROM agg
+    """,
+    doc="F101 Wald-Wolfowitz runs test for randomness of the daily "
+    "total-cents series: days are classified above/below the EXACT "
+    "lower median (row_number rank pick at floor((n+1)/2) — no fp "
+    "percentile interpolation; ties with the median dropped, the "
+    "textbook rule), the run count R is an ordered-lag integer, and "
+    "the normal-approximation Z from exact integer n1/n2/R is the "
+    "single fp expression (identical text both engines). Too few runs "
+    "means positive serial dependence (trend/clustering), too many "
+    "means oscillation. One hash agg to days, rank window, lag "
+    "window, single summary row.",
+)
+def events_runs_test_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _events(spark, sf_dir).groupBy(
+        F.date_trunc("day", F.col("ts")).alias("d")
+    ).agg(F.sum(F.expr(_CENTS)).alias("v"))
+    g = d.agg(F.count(F.lit(1)).alias("n"))
+    med = (
+        d.select("v", F.row_number().over(Window.orderBy("v")).alias("rnk"))
+        .crossJoin(F.broadcast(g))
+        .filter(F.expr("rnk = CAST(floor((n + 1) / 2.0) AS BIGINT)"))
+        .select(F.col("v").alias("m"))
+    )
+    k = (
+        d.crossJoin(F.broadcast(med))
+        .filter(F.col("v") != F.col("m"))
+        .select(
+            "d", F.when(F.col("v") > F.col("m"), 1).otherwise(0).alias("s")
+        )
+    )
+    seq = k.select("s", F.lag("s").over(Window.orderBy("d")).alias("ps"))
+    agg = seq.agg(
+        F.sum("s").alias("n1"),
+        F.sum(F.lit(1) - F.col("s")).alias("n2"),
+        (
+            F.lit(1)
+            + F.sum(
+                F.when(
+                    F.col("ps").isNotNull() & (F.col("s") != F.col("ps")), 1
+                ).otherwise(0)
+            )
+        ).alias("runs"),
+    )
+    return agg.select(
+        (F.col("n1") + F.col("n2")).alias("n_kept"),
+        F.col("n1").alias("n_above"),
+        F.col("n2").alias("n_below"),
+        "runs",
+        F.expr(
+            "round((runs - (1.0 + 2.0 * n1 * n2 / (n1 + n2)))"
+            " / sqrt(2.0 * n1 * n2 * (2.0 * n1 * n2 - n1 - n2)"
+            " / ((n1 + n2) * 1.0 * (n1 + n2) * (n1 + n2 - 1))), 6)"
+        ).alias("z"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# F102 Ljung-Box portmanteau test (lags 1..7, exact power sums)
+# ---------------------------------------------------------------------------
+@register(
+    "events_ljung_box_daily",
+    """
+    WITH d AS (
+        SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS d,
+               CAST(count(*) AS BIGINT) AS x
+        FROM events GROUP BY 1
+    ),
+    r AS (SELECT x, row_number() OVER (ORDER BY d) AS i FROM d),
+    g AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(x) AS BIGINT) AS s,
+               CAST(sum(x * x) AS BIGINT) AS q2
+        FROM r
+    ),
+    ks AS (SELECT CAST(range AS BIGINT) AS k FROM range(1, 8)),
+    p AS (
+        SELECT k,
+               CAST(sum(a.x * b.x) AS BIGINT) AS pk,
+               CAST(sum(a.x) AS BIGINT) AS ak,
+               CAST(sum(b.x) AS BIGINT) AS bk
+        FROM ks JOIN r a ON true JOIN r b ON b.i = a.i + k
+        GROUP BY k
+    ),
+    rho AS (
+        SELECT k, n - k AS n_pairs, n,
+               (pk - (CAST(s AS DOUBLE) / n) * (ak + bk)
+                   + (n - k) * (CAST(s AS DOUBLE) / n)
+                     * (CAST(s AS DOUBLE) / n))
+               / (q2 - n * (CAST(s AS DOUBLE) / n)
+                       * (CAST(s AS DOUBLE) / n)) AS rho
+        FROM p CROSS JOIN g
+    ),
+    q AS (
+        SELECT k, n_pairs, rho,
+               n * (n + 2.0) * sum(rho * rho / (n - k))
+                   OVER (ORDER BY k
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS q
+        FROM rho
+    )
+    SELECT CAST(k AS INT) AS k, n_pairs,
+           round(rho, 6) AS rho, round(q, 6) AS q_stat
+    FROM q
+    """,
+    doc="F102 Ljung-Box portmanteau test on the daily event-count "
+    "series, lags 1..7: the autocovariance numerators are assembled "
+    "from EXACT BIGINT power sums (sum x_t*x_(t+k), head/tail range "
+    "sums, sum x, sum x^2) via the F47 lag-fanout join, so the only fp "
+    "steps are the shared-expression-text mean substitution and the "
+    "final rho/Q algebra; Q_k accumulates rho^2/(n-k) in deterministic "
+    "frame order (the F95 bit-identical running-sum pattern) and "
+    "Q ~ chi2(k) under the no-autocorrelation null — the residual "
+    "whiteness check behind every F7 forecast. Validity bound: "
+    "sum x^2 and sum x_t*x_(t+k) stay in BIGINT while daily counts "
+    "are < ~3e9 (~n*max(x)^2 < 2^63); cast to DOUBLE beyond that. "
+    "One hash agg to days, a 7-way bounded fanout join, one 7-row "
+    "window — heavy work is the reduce.",
+)
+def events_ljung_box_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _events(spark, sf_dir).groupBy(
+        F.date_trunc("day", F.col("ts")).alias("d")
+    ).agg(F.count(F.lit(1)).alias("x"))
+    r = d.select("x", F.row_number().over(Window.orderBy("d")).alias("i"))
+    g = r.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("s"),
+        F.sum(F.col("x") * F.col("x")).alias("q2"),
+    )
+    ks = d.sparkSession.range(1, 8).select(F.col("id").alias("k"))
+    a = r.select(F.col("i").alias("ia"), F.col("x").alias("xa"))
+    b = r.select(F.col("i").alias("ib"), F.col("x").alias("xb"))
+    p = (
+        a.crossJoin(F.broadcast(ks))
+        .join(b, F.col("ib") == F.col("ia") + F.col("k"))
+        .groupBy("k")
+        .agg(
+            F.sum(F.col("xa") * F.col("xb")).alias("pk"),
+            F.sum("xa").alias("ak"),
+            F.sum("xb").alias("bk"),
+        )
+    )
+    rho = p.crossJoin(F.broadcast(g)).select(
+        "k",
+        (F.col("n") - F.col("k")).alias("n_pairs"),
+        "n",
+        F.expr(
+            "(pk - (CAST(s AS DOUBLE) / n) * (ak + bk)"
+            " + (n - k) * (CAST(s AS DOUBLE) / n) * (CAST(s AS DOUBLE) / n))"
+            " / (q2 - n * (CAST(s AS DOUBLE) / n) * (CAST(s AS DOUBLE) / n))"
+        ).alias("rho"),
+    )
+    w = Window.orderBy("k").rowsBetween(Window.unboundedPreceding, 0)
+    q = rho.select(
+        "k",
+        "n_pairs",
+        "rho",
+        (
+            F.col("n")
+            * (F.col("n") + F.lit(2.0))
+            * F.sum(
+                F.col("rho") * F.col("rho") / (F.col("n") - F.col("k"))
+            ).over(w)
+        ).alias("q"),
+    )
+    return q.select(
+        F.col("k").cast("int").alias("k"),
+        "n_pairs",
+        F.round("rho", 6).alias("rho"),
+        F.round("q", 6).alias("q_stat"),
+    )
