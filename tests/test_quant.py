@@ -634,3 +634,95 @@ def test_ljung_box_matches_numpy(spark):
         assert r["n_pairs"] == n - k
         assert abs(r["rho"] - rho) < 1e-5, k
         assert abs(r["q_stat"] - n * (n + 2.0) * q) < 1e-4, k
+
+
+def test_var_cvar_matches_pandas_replay(spark):
+    """F103: VaR (exact-rank pick), the exact integer tail sum, and the
+    CVaR division equal a pandas replay of the same definitions;
+    invariants cvar >= var and worst >= var hold."""
+    import math
+
+    import pandas as pd
+
+    from time_series_spark_spark.queries import REGISTRY
+
+    od = pd.read_parquet("/root/testdata/sf0.001/orders.parquet")
+    cents = (od["o_totalprice"] * 100).round().astype("int64")
+    v = cents.groupby(od["o_orderdate"].dt.floor("d")).sum().sort_index()
+    loss = (v.shift(1) - v).dropna().astype("int64")
+    frame = (
+        loss.reset_index()
+        .rename(columns={loss.reset_index().columns[1]: "loss"})
+        .sort_values(["loss", "o_orderdate"], kind="mergesort")
+        .reset_index(drop=True)
+    )
+    m = len(frame)
+    k = math.ceil(m * 0.95)
+    tail = frame["loss"].iloc[k - 1 :]
+    row = (
+        REGISTRY["orders_var_cvar_daily"]
+        .fn(spark, "/root/testdata/sf0.001")
+        .collect()[0]
+    )
+    assert row["n_losses"] == m
+    assert row["var95_cents"] == int(frame["loss"].iloc[k - 1])
+    assert row["tail_sum_cents"] == int(tail.sum())
+    assert row["n_tail"] == m - k + 1
+    assert row["cvar95_cents"] == round(tail.sum() / (m - k + 1), 4)
+    assert row["worst_loss_cents"] == int(loss.max())
+    assert row["cvar95_cents"] >= row["var95_cents"]
+    assert row["worst_loss_cents"] >= row["var95_cents"]
+
+
+def test_item_item_recs_match_pandas_bruteforce(spark):
+    """F104: the full top-3 recommendation table at sf0.001 equals a
+    pandas brute-force (same counts, same cos^2 rank key, same
+    tie-break) — every item, every rank position."""
+    import pandas as pd
+
+    from time_series_spark_spark.queries import REGISTRY
+
+    li = pd.read_parquet(
+        "/root/testdata/sf0.001/lineitem.parquet",
+        columns=["l_orderkey", "l_partkey"],
+    ).drop_duplicates()
+    ci = li.groupby("l_partkey").size()
+    pairs = li.merge(li, on="l_orderkey")
+    pairs = pairs[pairs["l_partkey_x"] != pairs["l_partkey_y"]]
+    cij = pairs.groupby(["l_partkey_x", "l_partkey_y"]).size().reset_index(
+        name="cij"
+    )
+    cij["ci"] = cij["l_partkey_x"].map(ci)
+    cij["cj"] = cij["l_partkey_y"].map(ci)
+    cij = cij[cij["ci"] >= 5]
+    cij["cos2"] = (cij["cij"] * cij["cij"]).astype(float) / (
+        cij["ci"] * cij["cj"]
+    )
+    cij = cij.sort_values(
+        ["l_partkey_x", "cos2", "cij", "l_partkey_y"],
+        ascending=[True, False, False, True],
+        kind="mergesort",
+    )
+    cij["rnk"] = cij.groupby("l_partkey_x").cumcount() + 1
+    want = {
+        (int(r.l_partkey_x), int(r.rnk)): (
+            int(r.l_partkey_y),
+            int(r.cij),
+            round(float(r.cos2) ** 0.5, 6),
+        )
+        for r in cij[cij["rnk"] <= 3].itertuples()
+    }
+    got_rows = (
+        REGISTRY["part_item_item_recs"]
+        .fn(spark, "/root/testdata/sf0.001")
+        .collect()
+    )
+    got = {
+        (r["part_id"], r["rnk"]): (
+            r["rec_part_id"],
+            r["n_coorders"],
+            r["cosine"],
+        )
+        for r in got_rows
+    }
+    assert got == want

@@ -2599,3 +2599,194 @@ def events_ljung_box_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("rho", 6).alias("rho"),
         F.round("q", 6).alias("q_stat"),
     )
+
+
+# ---------------------------------------------------------------------------
+# F103 historical VaR / CVaR (exact-rank quantile, integer tail mean)
+# ---------------------------------------------------------------------------
+@register(
+    "orders_var_cvar_daily",
+    """
+    WITH d AS (
+        SELECT CAST(date_trunc('day', o_orderdate) AS TIMESTAMP) AS d,
+               CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT))
+                    AS BIGINT) AS v
+        FROM orders GROUP BY 1
+    ),
+    l AS (
+        SELECT d, lag(v) OVER (ORDER BY d) - v AS loss
+        FROM d QUALIFY loss IS NOT NULL
+    ),
+    r AS (
+        SELECT loss,
+               row_number() OVER (ORDER BY loss, d) AS rnk,
+               CAST(count(*) OVER () AS BIGINT) AS m
+        FROM l
+    ),
+    k AS (SELECT CAST(ceiling(max(m) * 0.95) AS BIGINT) AS k,
+                 max(m) AS m FROM r)
+    SELECT m AS n_losses,
+           (SELECT loss FROM r CROSS JOIN k WHERE rnk = k) AS var95_cents,
+           CAST((SELECT sum(loss) FROM r CROSS JOIN k WHERE rnk >= k)
+                AS BIGINT) AS tail_sum_cents,
+           m - k + 1 AS n_tail,
+           round(CAST((SELECT sum(loss) FROM r CROSS JOIN k
+                       WHERE rnk >= k) AS DOUBLE)
+                 / (m - k + 1), 4) AS cvar95_cents,
+           (SELECT max(loss) FROM l) AS worst_loss_cents
+    FROM k
+    """,
+    doc="F103 historical VaR/CVaR on the daily order-revenue series: "
+    "loss = day-over-day revenue DROP in exact integer cents; VaR95 is "
+    "an EXACT-RANK pick (row_number over (loss, d) at k = ceil(0.95m) "
+    "— no fp percentile interpolation, the F87 discretization rule), "
+    "CVaR95 (expected shortfall) is the exact integer tail sum over "
+    "the (m-k+1) worst losses with ONE rounded division. One hash agg "
+    "to days, one lag window, one rank window; single summary row. "
+    "At scale the series per risk key is calendar-bounded, so the "
+    "windows run per-key after the reduce.",
+)
+def orders_var_cvar_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "orders").groupBy(
+        F.date_trunc("day", F.col("o_orderdate")).alias("d")
+    ).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("long")).alias("v")
+    )
+    loss = d.select(
+        "d", (F.lag("v").over(Window.orderBy("d")) - F.col("v")).alias("loss")
+    ).filter(F.col("loss").isNotNull())
+    r = loss.select(
+        "loss",
+        F.row_number().over(Window.orderBy("loss", "d")).alias("rnk"),
+        F.count(F.lit(1))
+        .over(
+            Window.rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        )
+        .alias("m"),
+    )
+    k = r.agg(
+        F.expr("CAST(ceiling(max(m) * 0.95) AS BIGINT)").alias("k"),
+        F.max("m").alias("m_tot"),
+    )
+    tail = (
+        r.drop("m")
+        .crossJoin(F.broadcast(k))
+        .filter(F.col("rnk") >= F.col("k"))
+        .agg(
+            F.min(F.when(F.col("rnk") == F.col("k"), F.col("loss"))).alias(
+                "var95_cents"
+            ),
+            F.sum("loss").alias("tail_sum_cents"),
+            F.max("m_tot").alias("m"),
+            F.max("k").alias("k"),
+        )
+    )
+    worst = loss.agg(F.max("loss").alias("worst_loss_cents"))
+    return tail.crossJoin(F.broadcast(worst)).select(
+        F.col("m").alias("n_losses"),
+        "var95_cents",
+        F.col("tail_sum_cents").cast("long").alias("tail_sum_cents"),
+        (F.col("m") - F.col("k") + 1).alias("n_tail"),
+        F.expr(
+            "round(CAST(tail_sum_cents AS DOUBLE) / (m - k + 1), 4)"
+        ).alias("cvar95_cents"),
+        "worst_loss_cents",
+    )
+
+
+# ---------------------------------------------------------------------------
+# F104 item-item co-purchase recommender (exact cosine^2 rank key)
+# ---------------------------------------------------------------------------
+@register(
+    "part_item_item_recs",
+    """
+    WITH b AS (
+        SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+    ),
+    item AS (
+        SELECT p, CAST(count(*) AS BIGINT) AS ci FROM b GROUP BY p
+    ),
+    pair AS (
+        SELECT a.p AS i, c.p AS j, CAST(count(*) AS BIGINT) AS cij
+        FROM b a JOIN b c ON a.o = c.o AND a.p <> c.p
+        GROUP BY a.p, c.p
+    ),
+    scored AS (
+        SELECT i, j, cij,
+               CAST(cij * cij AS DOUBLE) / (ia.ci * ja.ci) AS cos2,
+               ia.ci AS ci, ja.ci AS cj
+        FROM pair
+        JOIN item ia ON ia.p = i
+        JOIN item ja ON ja.p = j
+        WHERE ia.ci >= 5
+    ),
+    ranked AS (
+        SELECT i, j, cij, ci, cj, cos2,
+               row_number() OVER (PARTITION BY i
+                                  ORDER BY cos2 DESC, cij DESC, j) AS rnk
+        FROM scored
+    )
+    SELECT i AS part_id, rnk, j AS rec_part_id, cij AS n_coorders,
+           ci AS n_orders_i, cj AS n_orders_j,
+           round(sqrt(cos2), 6) AS cosine
+    FROM ranked WHERE rnk <= 3
+    """,
+    doc="F104 item-item collaborative-filtering recommender over the "
+    "order-basket bipartite graph: co-occurrence counts c_ij from "
+    "WITHIN-order pair expansion (baskets are small — TPC-H <= ~17 "
+    "lines/order — so pair mass is sum(basket^2), LINEAR in orders, "
+    "never an all-pairs item join), cosine(i,j) = c_ij/sqrt(c_i*c_j) "
+    "ranked by its SQUARE c_ij^2/(c_i*c_j) — an exact-integer "
+    "division, bit-identical cross-engine, monotone in cosine — so "
+    "the fp sqrt only ever formats the report, never decides the "
+    "ranking (ties broken by (c_ij DESC, j)). Top-3 partners per "
+    "item with support >= 5 orders. One distinct reduce, one "
+    "basket-bounded self-join, broadcastable item-count joins, one "
+    "per-item window.",
+)
+def part_item_item_recs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    b = (
+        load(spark, sf_dir, "lineitem")
+        .select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
+        .distinct()
+    )
+    item = b.groupBy("p").agg(F.count(F.lit(1)).alias("ci"))
+    a = b.select(F.col("o"), F.col("p").alias("i"))
+    c = b.select(F.col("o"), F.col("p").alias("j"))
+    pair = (
+        a.join(c, "o")
+        .filter(F.col("i") != F.col("j"))
+        .groupBy("i", "j")
+        .agg(F.count(F.lit(1)).alias("cij"))
+    )
+    ia = item.select(F.col("p").alias("i"), F.col("ci").alias("ci"))
+    ja = item.select(F.col("p").alias("j"), F.col("ci").alias("cj"))
+    scored = (
+        pair.join(ia, "i")
+        .join(ja, "j")
+        .filter(F.col("ci") >= 5)
+        .select(
+            "i", "j", "cij", "ci", "cj",
+            F.expr(
+                "CAST(cij * cij AS DOUBLE) / (ci * cj)"
+            ).alias("cos2"),
+        )
+    )
+    w = Window.partitionBy("i").orderBy(
+        F.col("cos2").desc(), F.col("cij").desc(), F.col("j")
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select(
+            F.col("i").alias("part_id"),
+            "rnk",
+            F.col("j").alias("rec_part_id"),
+            F.col("cij").alias("n_coorders"),
+            F.col("ci").alias("n_orders_i"),
+            F.col("cj").alias("n_orders_j"),
+            F.round(F.sqrt("cos2"), 6).alias("cosine"),
+        )
+    )
