@@ -539,3 +539,35 @@ def test_dpp_pruned_join_report(spark):
     ).collect()[0]
     assert row["n_rows_selected"] == ref[0]
     assert row["cents_selected"] == ref[1]
+
+
+def test_item_item_recs_plan_shape(spark):
+    """part_item_item_recs (F104): the basket self-join must be a hash
+    EQUI-join on the order key (pair mass bounded by basket size) and
+    the item-count joins must broadcast — never a nested-loop or
+    cartesian anywhere, which at 100 TB would be an all-pairs item
+    blowup."""
+    df = _df(spark, "part_item_item_recs")
+    plan = executed_plan(df)
+    assert "BroadcastNestedLoop" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_trend_tests_reduce_before_pair_join(spark):
+    """F100/F101/F103: the O(days^2)/rank work must run AFTER the reduce
+    to calendar days — the raw-table scan feeds exactly one hash
+    aggregate pair, and any nested-loop join operand is the bounded
+    day frame (single-partition exchange), never the raw table."""
+    for name in (
+        "events_mann_kendall_daily",
+        "events_runs_test_daily",
+        "orders_var_cvar_daily",
+    ):
+        df = _df(spark, name)
+        plan = executed_plan(df)
+        # raw scan -> partial+final agg: the day reduce appears as a
+        # hashpartitioning exchange on the day grouping expression
+        assert re.search(
+            r"hashpartitioning\((_groupingexpression|d)[#,]", plan
+        ), name
+        assert "SortMergeJoin" not in plan, name
