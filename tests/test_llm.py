@@ -1181,3 +1181,43 @@ def test_neardup_quality_report_recall_floors(spark):
         )
     assert rows["minhash_lsh"]["recall"] >= 0.95
     assert rows["simhash"]["recall"] >= 0.9
+
+
+def test_cluster_keep_best_is_argmax_of_cluster(spark):
+    """K1c: every multi-doc cluster from docs_dup_clusters appears
+    exactly once, and its keeper is the member with the maximum
+    distinct-token count (min doc_id on ties) — checked against an
+    independent pandas argmax over the same membership."""
+    import pandas as pd
+
+    from time_series_spark_spark.queries import REGISTRY
+
+    sf = "/root/testdata/sf0.01"
+    comp = (
+        REGISTRY["docs_dup_clusters"].fn(spark, sf).toPandas()
+    )
+    docs = pd.read_parquet(f"{sf}/documents.parquet", columns=["doc_id", "text"])
+    docs["n_distinct"] = docs["text"].map(
+        lambda t: len(set(t.split(" ")))
+    )
+    m = comp.merge(docs[["doc_id", "n_distinct"]], on="doc_id")
+    sizes = m.groupby("cluster_id")["doc_id"].size()
+    multi = sizes[sizes >= 2].index
+    m = m[m["cluster_id"].isin(multi)].sort_values(
+        ["cluster_id", "n_distinct", "doc_id"],
+        ascending=[True, False, True],
+        kind="mergesort",
+    )
+    want = {
+        int(r.cluster_id): (int(r.doc_id), int(r.n_distinct))
+        for r in m.groupby("cluster_id").head(1).itertuples()
+    }
+    got_rows = REGISTRY["docs_cluster_keep_best"].fn(spark, sf).collect()
+    got = {
+        r["cluster_id"]: (r["keeper_doc_id"], r["keeper_n_distinct"])
+        for r in got_rows
+    }
+    assert got == want
+    assert all(
+        r["n_members"] == sizes[r["cluster_id"]] for r in got_rows
+    )

@@ -2595,3 +2595,109 @@ def docs_neardup_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         "method string, n_hits long, n_exact long, recall double, "
         "n_candidates long, candidate_ratio double",
     ).orderBy("method")
+
+
+# --------------------------------------------------------------------------
+# K1c: quality-survivorship dedup (keep the BEST doc per near-dup cluster)
+# --------------------------------------------------------------------------
+@register(
+    "docs_cluster_keep_best",
+    """
+    WITH RECURSIVE s AS (
+        SELECT doc_id,
+               list_distinct(list_transform(
+                   generate_series(1, len(t) - 2),
+                   i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS sh
+        FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
+    ),
+    x AS (SELECT doc_id, len(sh) AS n_sh, unnest(sh) AS g FROM s),
+    p AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               a.n_sh AS na, b.n_sh AS nb, count(*) AS inter
+        FROM x a JOIN x b ON a.g = b.g AND a.doc_id < b.doc_id
+        GROUP BY 1, 2, 3, 4
+    ),
+    dup AS (
+        SELECT id_a, id_b FROM p
+        WHERE CAST(inter AS DOUBLE) / (na + nb - inter) >= 0.5
+    ),
+    edges AS (
+        SELECT id_a AS src, id_b AS dst FROM dup
+        UNION
+        SELECT id_b AS src, id_a AS dst FROM dup
+    ),
+    reach AS (
+        SELECT DISTINCT src AS id, src AS r FROM edges
+        UNION
+        SELECT reach.id, e.dst FROM reach JOIN edges e ON e.src = reach.r
+    ),
+    comp AS (SELECT id, min(r) AS cluster_id FROM reach GROUP BY id),
+    member AS (
+        SELECT c.cluster_id, d.doc_id,
+               CAST(len(list_distinct(string_split(d.text, ' ')))
+                    AS BIGINT) AS n_distinct
+        FROM comp c JOIN documents d ON d.doc_id = c.id
+    ),
+    ranked AS (
+        SELECT cluster_id, doc_id, n_distinct,
+               row_number() OVER (PARTITION BY cluster_id
+                                  ORDER BY n_distinct DESC, doc_id) AS rnk,
+               CAST(count(*) OVER (PARTITION BY cluster_id) AS BIGINT)
+                   AS n_members
+        FROM member
+    )
+    SELECT cluster_id, n_members, doc_id AS keeper_doc_id,
+           n_distinct AS keeper_n_distinct
+    FROM ranked WHERE rnk = 1 AND n_members >= 2
+    ORDER BY cluster_id
+    """,
+    doc="K1c quality-SURVIVORSHIP dedup: exact 3-gram Jaccard>=0.5 pairs "
+    "-> connected components (pointer-jumping, operators/graph.py) -> "
+    "per multi-doc cluster keep the HIGHEST-QUALITY member instead of "
+    "the min-id one (the FineWeb/Gopher curation rule: the "
+    "representative should be the best doc, not the first). Quality "
+    "rank = EXACT INTEGER distinct-token count (no fp ratio ties), "
+    "tie-broken by doc_id, so reruns keep identical survivors. The "
+    "oracle recomputes reachability with a recursive CTE. Scale: the "
+    "pair join is the PPJoin prefix-filtered inverted index, CC is "
+    "O(log n) rounds, the window moves only cluster members.",
+)
+def docs_cluster_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    from time_series_spark_spark.operators.graph import dup_clusters
+
+    docs = load(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, k=3, threshold=0.5)
+    comp = dup_clusters(docs, pairs)
+    member = comp.join(
+        docs.select(
+            "doc_id",
+            F.size(F.array_distinct(F.split("text", " ")))
+            .cast("long")
+            .alias("n_distinct"),
+        ),
+        "doc_id",
+    )
+    w = W.partitionBy("cluster_id")
+    ranked = member.select(
+        "cluster_id",
+        "doc_id",
+        "n_distinct",
+        F.row_number()
+        .over(w.orderBy(F.col("n_distinct").desc(), F.col("doc_id")))
+        .alias("rnk"),
+        F.count(F.lit(1))
+        .over(w.rowsBetween(W.unboundedPreceding, W.unboundedFollowing))
+        .alias("n_members"),
+    )
+    return (
+        ranked.filter((F.col("rnk") == 1) & (F.col("n_members") >= 2))
+        .select(
+            "cluster_id",
+            "n_members",
+            F.col("doc_id").alias("keeper_doc_id"),
+            F.col("n_distinct").alias("keeper_n_distinct"),
+        )
+        .orderBy("cluster_id")
+    )
