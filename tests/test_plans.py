@@ -571,3 +571,14 @@ def test_trend_tests_reduce_before_pair_join(spark):
             r"hashpartitioning\((_groupingexpression|d)[#,]", plan
         ), name
         assert "SortMergeJoin" not in plan, name
+
+
+def test_debounce_single_hash_exchange(spark):
+    """events_debounce_user_type (F105): the lag window, the running
+    burst-id sum, and BOTH aggregates must all run on one
+    hash((user_id, event_type)) exchange — the F5 superset-clustering
+    reuse; the only other exchange is the final presentation sort."""
+    df = _df(spark, "events_debounce_user_type")
+    plan = executed_plan(df)
+    assert len(re.findall(r"Exchange hashpartitioning\(user_id", plan)) == 1
+    assert count_op(df, "Exchange") == 2

@@ -384,3 +384,53 @@ def test_slo_burn_multiwindow_suppresses_blips(spark):
     assert out[17]["alert"] == 1
     # healthy hours never alert
     assert all(out[h]["alert"] == 0 for h in range(10))
+
+
+def test_debounce_matches_sequential_replay(spark):
+    """F105: per-(user,type) burst counts equal a plain-Python sequential
+    debounce replay (5-min gap rule) at sf0.001, every key; the
+    suppressed identity n_suppressed = n_events - n_bursts holds."""
+    import pandas as pd
+
+    from time_series_spark_spark.queries import REGISTRY
+
+    ev = pd.read_parquet(
+        "/root/testdata/sf0.001/events.parquet",
+        columns=["user_id", "event_type", "ts", "event_id"],
+    ).sort_values(["user_id", "event_type", "ts", "event_id"])
+    want = {}
+    for (u, t), g in ev.groupby(["user_id", "event_type"]):
+        bursts, cur = [], 0
+        prev = None
+        for ts in g["ts"]:
+            if prev is None or (ts - prev).total_seconds() > 300:
+                if cur:
+                    bursts.append(cur)
+                cur = 1
+            else:
+                cur += 1
+            prev = ts
+        bursts.append(cur)
+        want[(u, t)] = (
+            len(bursts),
+            sum(bursts),
+            max(bursts),
+            sum(b - 1 for b in bursts),
+        )
+    rows = (
+        REGISTRY["events_debounce_user_type"]
+        .fn(spark, "/root/testdata/sf0.001")
+        .collect()
+    )
+    got = {
+        (r["user_id"], r["event_type"]): (
+            r["n_bursts"],
+            r["n_events"],
+            r["max_burst"],
+            r["n_suppressed"],
+        )
+        for r in rows
+    }
+    assert got == want
+    for r in rows:
+        assert r["n_suppressed"] == r["n_events"] - r["n_bursts"]

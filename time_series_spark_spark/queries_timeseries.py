@@ -991,3 +991,93 @@ def slo_burn_alerts(ev: DataFrame) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+
+# --------------------------------------------------------------------------
+# F105 debounce / burst-collapse (keep the first event per burst)
+# --------------------------------------------------------------------------
+@register(
+    "events_debounce_user_type",
+    """
+    WITH e AS (
+        SELECT user_id, event_type, ts, event_id,
+               CASE WHEN epoch_us(ts) - lag(epoch_us(ts))
+                        OVER (PARTITION BY user_id, event_type
+                              ORDER BY ts, event_id) > 300000000
+                         OR lag(ts) OVER (PARTITION BY user_id, event_type
+                                          ORDER BY ts, event_id) IS NULL
+                    THEN 1 ELSE 0 END AS is_start
+        FROM events
+    ),
+    b AS (
+        SELECT user_id, event_type, ts, event_id, is_start,
+               CAST(sum(is_start) OVER (PARTITION BY user_id, event_type
+                                        ORDER BY ts, event_id
+                                        ROWS BETWEEN UNBOUNDED PRECEDING
+                                        AND CURRENT ROW) AS BIGINT) AS burst
+        FROM e
+    ),
+    agg AS (
+        SELECT user_id, event_type, burst,
+               CAST(count(*) AS BIGINT) AS n_collapsed,
+               min(ts) AS first_ts,
+               CAST(min_by(event_id, ts) AS BIGINT) AS keeper_event_id
+        FROM b GROUP BY 1, 2, 3
+    )
+    SELECT user_id, event_type,
+           CAST(count(*) AS BIGINT) AS n_bursts,
+           CAST(sum(n_collapsed) AS BIGINT) AS n_events,
+           CAST(max(n_collapsed) AS BIGINT) AS max_burst,
+           CAST(sum(n_collapsed - 1) AS BIGINT) AS n_suppressed
+    FROM agg
+    GROUP BY 1, 2
+    ORDER BY user_id, event_type
+    """,
+    doc="F105 debounce / burst-collapse: within each (user, event_type) "
+    "stream, an event starts a new BURST when >5 min passed since the "
+    "previous one (the F5 sessionize gap rule per composite key); only "
+    "the burst's first event survives — the alerting/notification "
+    "throttle shape. Reports per-key burst counts, raw counts, max "
+    "burst length, and how many events the debounce suppressed. ONE "
+    "hash((user,type)) exchange drives the lag window, the running "
+    "burst-id sum, and both aggregates (superset-clustering reuse, the "
+    "F5 plan property). min_by keeps the keeper deterministic on ties.",
+)
+def events_debounce_user_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    key = Window.partitionBy("user_id", "event_type").orderBy(
+        "ts", "event_id"
+    )
+    e = _events(spark, sf_dir).select(
+        "user_id", "event_type", "ts", "event_id",
+        F.when(
+            (
+                F.unix_micros("ts") - F.lag(F.unix_micros("ts")).over(key)
+                > 300_000_000
+            )
+            | F.lag("ts").over(key).isNull(),
+            1,
+        )
+        .otherwise(0)
+        .alias("is_start"),
+    )
+    b = e.select(
+        "user_id", "event_type", "ts", "event_id",
+        F.sum("is_start")
+        .over(key.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("burst"),
+    )
+    agg = b.groupBy("user_id", "event_type", "burst").agg(
+        F.count(F.lit(1)).alias("n_collapsed"),
+        F.min("ts").alias("first_ts"),
+        F.min_by("event_id", "ts").alias("keeper_event_id"),
+    )
+    return (
+        agg.groupBy("user_id", "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_bursts"),
+            F.sum("n_collapsed").alias("n_events"),
+            F.max("n_collapsed").alias("max_burst"),
+            F.sum(F.col("n_collapsed") - 1).alias("n_suppressed"),
+        )
+        .orderBy("user_id", "event_type")
+    )
