@@ -178,3 +178,33 @@ def test_check_constraints_single_scan_and_verdicts(spark):
     assert rep["v_mostly_positive"]["passed"]  # 0.75 >= 0.7
     assert rep["s_not_null"]["n_pass"] == 3 and not rep["s_not_null"]["passed"]
     assert all(r["n_rows"] == 4 for r in rep.values())
+
+
+def test_compaction_preserves_rows_and_hits_file_budget(spark, tmp_path):
+    """A17: compact_parquet never changes data (exact row multiset via
+    sorted collect), plans ceil(bytes/target) files, and the rewritten
+    layout matches the plan; the registered report agrees."""
+    from pyspark.sql import functions as F
+
+    from time_series_spark_spark.queries import REGISTRY
+    from time_series_spark_spark.sources.io import compact_parquet, load
+
+    orders = load(spark, "/root/testdata/sf0.001", "orders")
+    src = str(tmp_path / "frag")
+    dst = str(tmp_path / "compact")
+    orders.repartition(16).write.parquet(src)
+    stats = compact_parquet(spark, src, dst, target_file_bytes=20_000)
+    assert stats["n_files_before"] == 16
+    assert stats["n_files_after"] == stats["n_out_planned"] >= 2
+    before = sorted(map(tuple, spark.read.parquet(src).collect()))
+    after = sorted(map(tuple, spark.read.parquet(dst).collect()))
+    assert before == after
+
+    row = (
+        REGISTRY["orders_compaction_report"]
+        .fn(spark, "/root/testdata/sf0.001")
+        .collect()[0]
+    )
+    assert row["rows_identical"]
+    assert row["n_files_after"] < row["n_files_before"] == 64
+    assert row["n_rows_before"] == row["n_rows_after"] == orders.count()

@@ -2522,3 +2522,68 @@ def orders_dpp_pruned_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(path, ignore_errors=True)
+
+
+# --------------------------------------------------------------------------
+# A17: small-file compaction report (maintenance op, rows-only)
+# --------------------------------------------------------------------------
+@register(
+    "orders_compaction_report",
+    None,  # file-layout maintenance is not SQL-expressible → rows-only;
+    # row-identity + layout assertions pinned in tests/test_quality.py
+    doc="A17 small-file compaction, driver-visible: orders written "
+    "deliberately fragmented (64 shuffle files — the streaming-"
+    "micro-batch failure mode), then compact_parquet (sources/io.py) "
+    "rewrites them into byte-budgeted files. The report row carries "
+    "before/after file counts and bytes plus an xxhash64 XOR "
+    "row-fingerprint equality proof (the M7 Merkle rule applied to a "
+    "maintenance rewrite): compaction must change LAYOUT and never "
+    "DATA. Temp dirs are cleaned before returning.",
+)
+def orders_compaction_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from time_series_spark_spark.sources.io import compact_parquet
+
+    orders = load(spark, sf_dir, "orders")
+    base = tempfile.mkdtemp(prefix="compact_orders_")
+    src, dst = f"{base}/frag", f"{base}/compact"
+    try:
+        orders.repartition(64).write.parquet(src)
+
+        def fingerprint(df):
+            cols = [F.col(c).cast("string") for c in sorted(df.columns)]
+            row = df.select(
+                F.xxhash64(*cols).alias("h"), F.lit(1).alias("one")
+            )
+            agg = row.agg(
+                F.expr("CAST(bit_xor(h) AS BIGINT)").alias("x"),
+                F.sum("one").alias("n"),
+            ).collect()[0]
+            return agg["x"], agg["n"]
+
+        stats = compact_parquet(
+            spark, src, dst, target_file_bytes=1 * 1024 * 1024
+        )
+        x_before, n_before = fingerprint(spark.read.parquet(src))
+        x_after, n_after = fingerprint(spark.read.parquet(dst))
+        return spark.createDataFrame(
+            [
+                (
+                    stats["n_files_before"],
+                    stats["n_files_after"],
+                    stats["n_out_planned"],
+                    stats["bytes_before"],
+                    stats["bytes_after"],
+                    int(n_before),
+                    int(n_after),
+                    bool(x_before == x_after and n_before == n_after),
+                )
+            ],
+            "n_files_before int, n_files_after int, n_out_planned int, "
+            "bytes_before long, bytes_after long, n_rows_before long, "
+            "n_rows_after long, rows_identical boolean",
+        )
+    finally:
+        shutil.rmtree(base, ignore_errors=True)

@@ -280,3 +280,53 @@ def read_versioned(
         manifest = json.load(fh)
     paths = [os.path.join(table_path, f) for f in manifest["files"]]
     return spark.read.parquet(*paths)
+
+
+def compact_parquet(
+    spark: SparkSession,
+    src_path: str,
+    dst_path: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+) -> dict:
+    """A17 small-file compaction (the OPTIMIZE maintenance op): rewrite a
+    fragmented parquet directory into ``ceil(total_bytes / target)``
+    right-sized files and report the layout change.
+
+    Small files are the classic lakehouse failure mode — a 100 TB table
+    ingested by many streaming micro-batches ends up with millions of
+    KB-scale files, and every scan pays per-file open/footer cost plus
+    scheduler overhead. The fix is mechanical: size the output file
+    count from the INPUT byte total (compressed bytes are the honest
+    proxy for output size at the same codec), repartition — a full
+    shuffle, chosen over coalesce because coalesce would chain input
+    splits unevenly and skew file sizes — and rewrite. Production note:
+    the swap to ``dst_path`` should be a rename/manifest flip so readers
+    never see a half-written directory (write_versioned's manifest
+    pattern, sources/io.py); this helper writes to a separate dst so the
+    caller owns that policy.
+    """
+    import glob
+    import math
+    import os
+
+    files = [
+        f
+        for f in glob.glob(os.path.join(src_path, "**"), recursive=True)
+        if os.path.isfile(f) and f.endswith(".parquet")
+    ]
+    bytes_before = sum(os.path.getsize(f) for f in files)
+    n_out = max(1, math.ceil(bytes_before / target_file_bytes))
+    df = spark.read.parquet(src_path)
+    df.repartition(n_out).write.mode("overwrite").parquet(dst_path)
+    files_after = [
+        f
+        for f in glob.glob(os.path.join(dst_path, "**"), recursive=True)
+        if os.path.isfile(f) and f.endswith(".parquet")
+    ]
+    return {
+        "n_files_before": len(files),
+        "n_files_after": len(files_after),
+        "bytes_before": bytes_before,
+        "bytes_after": sum(os.path.getsize(f) for f in files_after),
+        "n_out_planned": n_out,
+    }
