@@ -340,3 +340,50 @@ def test_lpa_deterministic_across_runs(spark):
     a = sorted(map(tuple, label_propagation(edges, "a", "b").collect()))
     b = sorted(map(tuple, label_propagation(edges, "a", "b").collect()))
     assert a == b
+
+
+def test_sssp_bounded_matches_dijkstra_within_hops(spark):
+    """G7: distances from sssp_bounded on a hand-built weighted graph
+    equal an exhaustive <=4-edge path enumeration (planted: a direct
+    heavy edge loses to a lighter 3-hop detour; a node 5 hops out is
+    absent)."""
+    import itertools
+
+    from time_series_spark_spark.operators.graph import sssp_bounded
+
+    # 0-1-2-3 chain weight 1 each; heavy shortcut 0-3 weight 10;
+    # 3-4 w1, 4-5 w1, 5-6 w1 (6 is 6 hops from 0 -> absent)
+    edges_py = [
+        (0, 1, 1), (1, 2, 1), (2, 3, 1), (0, 3, 10),
+        (3, 4, 1), (4, 5, 1), (5, 6, 1),
+    ]
+    edges = spark.createDataFrame(edges_py, "s1 long, s2 long, w long")
+    got = {
+        r["node"]: r["d"]
+        for r in sssp_bounded(edges, 0, max_rounds=4).collect()
+    }
+
+    # reference: min path weight over all simple paths with <= 4 edges
+    adj = {}
+    for u, v, w in edges_py:
+        adj.setdefault(u, []).append((v, w))
+        adj.setdefault(v, []).append((u, w))
+    best = {0: 0}
+    frontier = {0: 0}
+    for _ in range(4):
+        nxt = {}
+        for node, d in frontier.items():
+            for v, w in adj[node]:
+                nd = d + w
+                if nd < nxt.get(v, float("inf")):
+                    nxt[v] = nd
+        frontier = nxt
+        for v, d in nxt.items():
+            if d < best.get(v, float("inf")):
+                best[v] = d
+    assert got == best
+    assert got[3] == 3  # light 3-hop detour beats the weight-10 shortcut
+    # 6 is reachable in exactly 4 edges ONLY via the heavy shortcut
+    # (0-3-4-5-6): the bound forces the worse path, by design
+    assert got[6] == 13
+    assert 0 in got and got[0] == 0

@@ -467,3 +467,50 @@ def label_propagation(
         if changed == 0:
             break
     return labels
+
+
+def sssp_bounded(
+    edges: DataFrame,
+    source,
+    max_rounds: int = 4,
+    src: str = "s1",
+    dst: str = "s2",
+    weight: str = "w",
+) -> DataFrame:
+    """Single-source WEIGHTED shortest paths over at most ``max_rounds``
+    edges: Bellman-Ford with the relaxation UNROLLED into a fixed number
+    of rounds instead of a convergence loop.
+
+    Each round is one hash join (current distances x edges, partitioned
+    by vertex) followed by a min-reduce per node — the frontier never
+    re-materializes on the driver and there is NO per-round scalar
+    action (unlike :func:`bfs_hops`'s emptiness probe): the whole
+    expansion is a single declarative plan, so Catalyst/AQE schedules
+    it like any other query. Fixed rounds make the result well-defined
+    and ORACLE-CHECKABLE ("shortest distance using <= max_rounds
+    edges") and bound the plan depth; for full convergence semantics
+    compose rounds of log2(diameter) doublings or fall back to the
+    loop-with-checkpoint discipline of :func:`connected_components`.
+    Output: ``node, dist`` (unreachable-within-bound nodes absent).
+    """
+    sym = edges.select(
+        F.col(src).alias("u"), F.col(dst).alias("v"), F.col(weight).alias("w")
+    ).unionAll(
+        edges.select(
+            F.col(dst).alias("u"), F.col(src).alias("v"),
+            F.col(weight).alias("w"),
+        )
+    )
+    spark = edges.sparkSession
+    dist = spark.createDataFrame([(int(source), 0)], "node long, d long")
+    for _ in range(max_rounds):
+        relaxed = (
+            dist.join(sym, dist.node == sym.u)
+            .select(F.col("v").alias("node"), (F.col("d") + F.col("w")).alias("d"))
+        )
+        dist = (
+            dist.unionAll(relaxed)
+            .groupBy("node")
+            .agg(F.min("d").alias("d"))
+        )
+    return dist
