@@ -968,3 +968,63 @@ def test_stream_page_hinkley_matches_python_replay(spark):
         assert row["n_events"] == n, etype
         assert row["n_alarms"] == alarms, etype
         assert abs(row["final_ph"] - round(ph, 4)) < 1e-6, etype
+
+
+def test_stream_debounce_equals_batch_burst_starts(spark):
+    """J12 ≡ F105: the streamed keeper set (one state scalar per key)
+    equals the batch burst-start set computed with the ordered-window
+    rule, per (user, event_type) — and the per-type kept counts equal
+    the batch query's n_bursts totals."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from time_series_spark_spark.queries import REGISTRY
+    from time_series_spark_spark.sources.io import load
+    from time_series_spark_spark.streaming.jobs import (
+        read_events_stream,
+        run_available_now,
+        stateful_debounce,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    kept = run_available_now(
+        stateful_debounce(read_events_stream(spark, sf))
+    )
+    got = sorted(
+        (r["user_id"], r["event_type"], r["event_id"])
+        for r in kept.collect()
+    )
+
+    key = Window.partitionBy("user_id", "event_type").orderBy(
+        "ts", "event_id"
+    )
+    ev = load(spark, sf, "events")
+    batch = ev.select(
+        "user_id", "event_type", "event_id",
+        (
+            (
+                F.unix_micros("ts") - F.lag(F.unix_micros("ts")).over(key)
+                > 300_000_000
+            )
+            | F.lag("ts").over(key).isNull()
+        ).alias("is_start"),
+    ).filter("is_start")
+    want = sorted(
+        (r["user_id"], r["event_type"], r["event_id"])
+        for r in batch.collect()
+    )
+    assert got == want
+
+    # and the registered report's totals agree with batch F105
+    rep = {
+        r["event_type"]: r["n_kept"]
+        for r in REGISTRY["stream_debounce_user_type"].fn(spark, sf).collect()
+    }
+    f105 = (
+        REGISTRY["events_debounce_user_type"]
+        .fn(spark, sf)
+        .groupBy("event_type")
+        .agg(F.sum("n_bursts").alias("n"))
+        .collect()
+    )
+    assert rep == {r["event_type"]: r["n"] for r in f105}

@@ -462,3 +462,32 @@ def stream_page_hinkley_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "stream_debounce_user_type",
+    None,  # stateful streaming → rows-only; keeper-set equality with the
+    # batch F105 burst rule is pinned in tests/test_streaming.py
+    doc="J12 streaming debounce / alert suppression per (user, "
+    "event_type) (availableNow replay): the F105 batch burst rule as "
+    "ONE state-store scalar per key (last event timestamp) — bounded "
+    "state forever, suppression correct across micro-batch boundaries "
+    "because the carried timestamp spans batches; report row per "
+    "event_type with keys seen, events kept, and first/last kept "
+    "event ids (streaming/jobs.py::stateful_debounce).",
+)
+def stream_debounce_user_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from time_series_spark_spark.streaming.jobs import stateful_debounce
+
+    sdf = read_events_stream(spark, sf_dir)
+    table = run_available_now(stateful_debounce(sdf), output_mode="append")
+    return (
+        table.groupBy("event_type")
+        .agg(
+            F.countDistinct("user_id").cast("long").alias("n_users"),
+            F.count(F.lit(1)).cast("long").alias("n_kept"),
+            F.min("event_id").alias("first_kept_id"),
+            F.max("event_id").alias("last_kept_id"),
+        )
+        .orderBy("event_type")
+    )

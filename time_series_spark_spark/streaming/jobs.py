@@ -831,3 +831,53 @@ def watermark_drop_stats(progress_list) -> dict:
         total += dropped
     return {"n_batches": len(per_batch), "total_dropped": total,
             "per_batch": per_batch}
+
+
+def stateful_debounce(
+    sdf: DataFrame,
+    gap_us: int = 300_000_000,
+) -> DataFrame:
+    """J12: streaming debounce / alert suppression per (user_id,
+    event_type) — the batch F105 burst rule with ONE state scalar: the
+    last-seen event timestamp per key. An event is emitted iff more
+    than ``gap_us`` elapsed since the key's previous event (or the key
+    is new); everything inside a burst is suppressed at the source,
+    which is the notification-throttle shape: state is bounded forever
+    (one long per key), while the batch version needs the full ordered
+    history in a window.
+
+    Events are processed in (ts, event_id) order within each batch
+    (the replay-determinism device every stateful job here uses); the
+    carried timestamp makes suppression correct ACROSS micro-batch
+    boundaries too. Emits only the surviving burst-start events;
+    replay ≡ the batch F105 keeper set, pinned in tests.
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    output_schema = (
+        "user_id long, event_type string, event_id long, ts timestamp"
+    )
+    state_schema = "last_us long"
+
+    def update(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
+        last_us = state.get[0] if state.exists else None
+        out = []
+        for pdf in pdfs:
+            ordered = pdf.sort_values(["ts", "event_id"])
+            for ev, ts in zip(ordered["event_id"], ordered["ts"]):
+                ts_us = int(ts.value) // 1000  # pandas ns -> µs
+                if last_us is None or ts_us - last_us > gap_us:
+                    out.append((key[0], key[1], int(ev), ts))
+                last_us = ts_us
+        state.update((last_us,))
+        yield pd.DataFrame(
+            out, columns=["user_id", "event_type", "event_id", "ts"]
+        )
+
+    return sdf.groupBy("user_id", "event_type").applyInPandasWithState(
+        update,
+        output_schema,
+        state_schema,
+        "append",
+        GroupStateTimeout.NoTimeout,
+    )
