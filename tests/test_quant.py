@@ -726,3 +726,61 @@ def test_item_item_recs_match_pandas_bruteforce(spark):
         for r in got_rows
     }
     assert got == want
+
+
+def test_esd_outliers_match_numpy_rosner(spark):
+    """F106: all three ESD rounds (removed day, value, R statistic)
+    equal a numpy replay of Rosner's iteration on the same daily
+    series; the `round` column's int literal type matches the oracle.
+    A planted spike is removed in round 1 under the same replay."""
+    import numpy as np
+    import pandas as pd
+
+    from time_series_spark_spark.queries import REGISTRY
+
+    def rosner(days, vals, k=3):
+        days, vals = list(days), list(vals)
+        out = []
+        for i in range(1, k + 1):
+            n = len(vals)
+            s, q2 = sum(vals), float(sum(float(v) * v for v in vals))
+            # integer-exact argmax of |v - mean|, day tie-break
+            key = [(-abs(v * n - s), d) for d, v in zip(days, vals)]
+            j = key.index(min(key))
+            r = (abs(vals[j] * n - s) / n) / np.sqrt(
+                (q2 - float(s) * s / n) / (n - 1)
+            )
+            out.append((i, days[j], vals[j], round(float(r), 4), n))
+            days.pop(j), vals.pop(j)
+        return out
+
+    ev = pd.read_parquet("/root/testdata/sf0.001/events.parquet")
+    cents = (ev["value"] * 100).round().astype("int64")
+    v = cents.groupby(ev["ts"].dt.floor("d")).sum().sort_index()
+    want = rosner(list(v.index.to_pydatetime()), [int(x) for x in v])
+    rows = (
+        REGISTRY["events_esd_outliers"]
+        .fn(spark, "/root/testdata/sf0.001")
+        .collect()
+    )
+    got = [
+        (
+            r["round"],
+            r["day_removed"],
+            r["value_cents"],
+            r["r_stat"],
+            r["n_remaining"],
+        )
+        for r in rows
+    ]
+    assert got == want
+
+    # planted: one huge spike dominates round 1 of the same replay
+    import datetime as dt
+
+    days = [dt.datetime(2024, 2, 1) + dt.timedelta(days=i) for i in range(20)]
+    vals = [1000 + (i % 5) for i in range(20)]
+    vals[7] = 50_000
+    planted = rosner(days, vals)
+    assert planted[0][1] == days[7] and planted[0][2] == 50_000
+    assert planted[0][3] > 4.0

@@ -2894,3 +2894,106 @@ def supplier_cosupply_sssp(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("node", F.col("d").alias("dist"))
         .orderBy("node")
     )
+
+
+# ---------------------------------------------------------------------------
+# F106 generalized ESD (Rosner) outlier iterations, unrolled
+# ---------------------------------------------------------------------------
+def _esd_round(i: int) -> str:
+    """One unrolled ESD round as oracle CTE text: stats over d{i-1},
+    integer-exact argmax pick, residual set d{i}. The rank key
+    abs(v*n - s) is an EXACT INTEGER (|v - mean| scaled by n), so the
+    removal order is bit-identical cross-engine even though the
+    reported R statistic is fp."""
+    p = i - 1
+    return f"""
+    g{i} AS (
+        SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(v) AS BIGINT) AS s,
+               sum(CAST(v AS DOUBLE) * v) AS q2
+        FROM d{p}
+    ),
+    r{i} AS (
+        SELECT d, v, n, s, q2,
+               row_number() OVER (ORDER BY abs(v * n - s) DESC, d) AS rnk
+        FROM d{p} CROSS JOIN g{i}
+    ),
+    o{i} AS (
+        SELECT {i} AS round, d AS day_removed, v AS value_cents,
+               round((CAST(abs(v * n - s) AS DOUBLE) / n)
+                     / sqrt((q2 - CAST(s AS DOUBLE) * s / n) / (n - 1)),
+                     4) AS r_stat,
+               n AS n_remaining
+        FROM r{i} WHERE rnk = 1
+    ),
+    d{i} AS (SELECT d, v FROM r{i} WHERE rnk > 1)"""
+
+
+@register(
+    "events_esd_outliers",
+    """
+    WITH d0 AS (
+        SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS d,
+               CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS v
+        FROM events GROUP BY 1
+    ),"""
+    + ",".join(_esd_round(i) for i in (1, 2, 3))
+    + """
+    SELECT round, day_removed, value_cents, r_stat, n_remaining
+    FROM (SELECT * FROM o1 UNION ALL SELECT * FROM o2
+          UNION ALL SELECT * FROM o3)
+    ORDER BY round
+    """,
+    doc="F106 generalized ESD (Rosner 1983) outlier iterations on the "
+    "daily total-cents series, UNROLLED to 3 rounds (the G7 "
+    "fixed-rounds-for-oracle-checkability rule): each round computes "
+    "the test statistic R_i = max|v - mean|/sd over the REMAINING "
+    "days and removes the argmax — the removal ORDER is decided by "
+    "the exact integer |v*n - s| (|v - mean| scaled by n), so "
+    "cross-engine fp never picks different outliers; R itself is the "
+    "single rounded fp expression per round (sample sd from power "
+    "sums; q2 summed in DOUBLE — the BIGINT v² sum would overflow at "
+    "~1.3e9 daily cents). The masking-robust multi-outlier test "
+    "beside the single-shot MAD/z anomaly queries; compare R_i to "
+    "the Rosner lambda table for a formal verdict. One hash agg then "
+    "three reduce+rank rounds over the bounded day frame.",
+)
+def events_esd_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _events(spark, sf_dir).groupBy(
+        F.date_trunc("day", F.col("ts")).alias("d")
+    ).agg(F.sum(F.expr(_CENTS)).alias("v"))
+    outs = []
+    for i in (1, 2, 3):
+        g = d.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("v").alias("s"),
+            F.sum(F.expr("CAST(v AS DOUBLE) * v")).alias("q2"),
+        )
+        r = d.crossJoin(F.broadcast(g)).select(
+            "d", "v", "n", "s", "q2",
+            F.row_number()
+            .over(
+                Window.orderBy(
+                    F.abs(F.col("v") * F.col("n") - F.col("s")).desc(),
+                    F.col("d"),
+                )
+            )
+            .alias("rnk"),
+        )
+        outs.append(
+            r.filter(F.col("rnk") == 1).select(
+                F.lit(i).alias("round"),
+                F.col("d").alias("day_removed"),
+                F.col("v").alias("value_cents"),
+                F.expr(
+                    "round((CAST(abs(v * n - s) AS DOUBLE) / n)"
+                    " / sqrt((q2 - CAST(s AS DOUBLE) * s / n) / (n - 1)),"
+                    " 4)"
+                ).alias("r_stat"),
+                F.col("n").alias("n_remaining"),
+            )
+        )
+        d = r.filter(F.col("rnk") > 1).select("d", "v")
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionAll(o)
+    return out.orderBy("round")
