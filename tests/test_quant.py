@@ -784,3 +784,71 @@ def test_esd_outliers_match_numpy_rosner(spark):
     planted = rosner(days, vals)
     assert planted[0][1] == days[7] and planted[0][2] == 50_000
     assert planted[0][3] > 4.0
+
+
+def test_kaplan_meier_matches_python_product_limit(spark):
+    """F107: the survival curve equals a plain-Python product-limit
+    replay (same censoring rule) on sf0.001; a planted cohort with
+    known death/censor pattern reproduces the textbook KM values under
+    the same replay."""
+    import math
+
+    import pandas as pd
+
+    from time_series_spark_spark.queries import REGISTRY
+
+    def km_ref(lifetimes):
+        # lifetimes: list of (t, died)
+        per_t = {}
+        for t, died in lifetimes:
+            d, c = per_t.get(t, (0, 0))
+            per_t[t] = (d + died, c + (1 - died))
+        out, s = [], 1.0
+        n_risk = len(lifetimes)
+        for t in sorted(per_t):
+            d, c = per_t[t]
+            if d > 0:
+                s *= (n_risk - d) / n_risk
+            out.append((t, n_risk, d, round(s, 6)))
+            n_risk -= d + c
+        return out
+
+    ev = pd.read_parquet(
+        "/root/testdata/sf0.001/events.parquet", columns=["user_id", "ts"]
+    )
+    day = ev["ts"].dt.floor("d")
+    horizon = day.max()
+    g = day.groupby(ev["user_id"]).agg(["min", "max"])
+    lifetimes = [
+        (
+            int((row["max"] - row["min"]).days),
+            1 if (horizon - row["max"]).days > 7 else 0,
+        )
+        for _, row in g.iterrows()
+    ]
+    want = km_ref(lifetimes)
+    rows = (
+        REGISTRY["users_kaplan_meier"]
+        .fn(spark, "/root/testdata/sf0.001")
+        .collect()
+    )
+    got = [
+        (r["t_days"], r["n_risk"], r["n_deaths"], r["survival"])
+        for r in rows
+    ]
+    # fp: exp(sum ln) vs repeated product — allow 1e-6 on survival only
+    assert [(a, b, c) for a, b, c, _ in got] == [
+        (a, b, c) for a, b, c, _ in want
+    ]
+    for (_, _, _, sg), (_, _, _, sw) in zip(got, want):
+        assert math.isclose(sg, sw, abs_tol=2e-6)
+
+    # textbook planted cohort: deaths at t=1 (2 of 10), censored at t=2
+    # (1), deaths at t=3 (1 of 7)
+    planted = (
+        [(1, 1)] * 2 + [(2, 0)] + [(3, 1)] + [(5, 0)] * 6
+    )
+    ref = {t: s for t, _, _, s in km_ref(planted)}
+    assert ref[1] == round(8 / 10, 6)
+    assert ref[2] == round(8 / 10, 6)  # censoring does not drop S
+    assert ref[3] == round(8 / 10 * 6 / 7, 6)

@@ -2997,3 +2997,113 @@ def events_esd_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     for o in outs[1:]:
         out = out.unionAll(o)
     return out.orderBy("round")
+
+
+# ---------------------------------------------------------------------------
+# F107 Kaplan-Meier survival estimator (user lifetime, right-censored)
+# ---------------------------------------------------------------------------
+@register(
+    "users_kaplan_meier",
+    """
+    WITH bounds AS (
+        SELECT CAST(date_trunc('day', max(ts)) AS TIMESTAMP) AS horizon
+        FROM events
+    ),
+    u AS (
+        SELECT user_id,
+               CAST(date_trunc('day', min(ts)) AS TIMESTAMP) AS first_d,
+               CAST(date_trunc('day', max(ts)) AS TIMESTAMP) AS last_d
+        FROM events GROUP BY user_id
+    ),
+    lif AS (
+        SELECT CAST(datediff('day', first_d, last_d) AS BIGINT) AS t,
+               CASE WHEN datediff('day', last_d, horizon) > 7
+                    THEN 1 ELSE 0 END AS died
+        FROM u CROSS JOIN bounds
+    ),
+    per_t AS (
+        SELECT t, CAST(sum(died) AS BIGINT) AS d,
+               CAST(count(*) AS BIGINT) AS leaving
+        FROM lif GROUP BY t
+    ),
+    risk AS (
+        SELECT t, d,
+               CAST(sum(leaving) OVER (ORDER BY t DESC
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS n_risk
+        FROM per_t
+    ),
+    km AS (
+        SELECT t, d, n_risk,
+               sum(CASE WHEN d > 0
+                        THEN ln(CAST(n_risk - d AS DOUBLE) / n_risk)
+                        ELSE 0.0 END)
+                   OVER (ORDER BY t
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS log_s
+        FROM risk
+    )
+    SELECT t AS t_days, n_risk, d AS n_deaths,
+           round(exp(log_s), 6) AS survival
+    FROM km
+    ORDER BY t_days
+    """,
+    doc="F107 Kaplan-Meier product-limit survival over user LIFETIMES "
+    "(days between a user's first and last event; a user whose last "
+    "event is within 7 days of the corpus horizon is right-CENSORED — "
+    "still at risk, not churned): n_risk at each distinct lifetime is "
+    "a reverse-ordered running sum of EXACT INTEGER counts, and the "
+    "product-limit S(t) = prod(1 - d_i/n_i) is accumulated in LOG "
+    "space by a forward frame-ordered window (the F95 bit-identical "
+    "running-sum device; ln/exp with identical expression text both "
+    "engines, one rounded exp at the end). The churn/retention "
+    "estimator handling censoring correctly, vs the F21 cohort "
+    "retention that ignores it. One user reduce, one t reduce, two "
+    "ordered windows over the bounded lifetime frame.",
+)
+def users_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    bounds = ev.agg(
+        F.date_trunc("day", F.max("ts")).alias("horizon")
+    )
+    u = ev.groupBy("user_id").agg(
+        F.date_trunc("day", F.min("ts")).alias("first_d"),
+        F.date_trunc("day", F.max("ts")).alias("last_d"),
+    )
+    lif = u.crossJoin(F.broadcast(bounds)).select(
+        F.expr("CAST(datediff(last_d, first_d) AS BIGINT)").alias("t"),
+        F.expr(
+            "CASE WHEN datediff(horizon, last_d) > 7 THEN 1 ELSE 0 END"
+        ).alias("died"),
+    )
+    per_t = lif.groupBy("t").agg(
+        F.sum("died").alias("d"),
+        F.count(F.lit(1)).alias("leaving"),
+    )
+    w_rev = Window.orderBy(F.col("t").desc()).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    w_fwd = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, 0)
+    risk = per_t.select(
+        "t", "d",
+        F.sum("leaving").over(w_rev).alias("n_risk"),
+    )
+    km = risk.select(
+        "t", "d", "n_risk",
+        F.sum(
+            F.when(
+                F.col("d") > 0,
+                F.log(
+                    F.expr("CAST(n_risk - d AS DOUBLE)") / F.col("n_risk")
+                ),
+            ).otherwise(F.lit(0.0))
+        )
+        .over(w_fwd)
+        .alias("log_s"),
+    )
+    return km.select(
+        F.col("t").alias("t_days"),
+        "n_risk",
+        F.col("d").alias("n_deaths"),
+        F.round(F.exp("log_s"), 6).alias("survival"),
+    ).orderBy("t_days")
