@@ -828,7 +828,7 @@ def test_kaplan_meier_matches_python_product_limit(spark):
     ]
     want = km_ref(lifetimes)
     rows = (
-        REGISTRY["users_kaplan_meier"]
+        REGISTRY["users_lifetime_kaplan_meier"]
         .fn(spark, "/root/testdata/sf0.001")
         .collect()
     )

@@ -41,6 +41,14 @@ REGISTRY: dict[str, Query] = {}
 
 def register(name: str, oracle: str | None, doc: str = ""):
     def deco(fn: QueryFn) -> QueryFn:
+        # A duplicate name would silently SHADOW the earlier query (last
+        # module import wins) — the earlier query's oracle and external
+        # confirmations would then describe code that no longer runs.
+        if name in REGISTRY:
+            raise ValueError(
+                f"duplicate query registration: {name!r} is already "
+                "registered; pick a distinct name"
+            )
         REGISTRY[name] = Query(fn=fn, oracle=oracle, doc=doc)
         return fn
 

@@ -3003,7 +3003,7 @@ def events_esd_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 # F107 Kaplan-Meier survival estimator (user lifetime, right-censored)
 # ---------------------------------------------------------------------------
 @register(
-    "users_kaplan_meier",
+    "users_lifetime_kaplan_meier",
     """
     WITH bounds AS (
         SELECT CAST(date_trunc('day', max(ts)) AS TIMESTAMP) AS horizon
@@ -3049,6 +3049,8 @@ def events_esd_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY t_days
     """,
     doc="F107 Kaplan-Meier product-limit survival over user LIFETIMES "
+    "(the ACCOUNT-churn granularity, vs the registered session-lifetime "
+    "KM in queries_analytics.py) "
     "(days between a user's first and last event; a user whose last "
     "event is within 7 days of the corpus horizon is right-CENSORED — "
     "still at risk, not churned): n_risk at each distinct lifetime is "
@@ -3061,7 +3063,7 @@ def events_esd_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     "retention that ignores it. One user reduce, one t reduce, two "
     "ordered windows over the bounded lifetime frame.",
 )
-def users_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
+def users_lifetime_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _events(spark, sf_dir)
     bounds = ev.agg(
         F.date_trunc("day", F.max("ts")).alias("horizon")
