@@ -852,3 +852,59 @@ def test_kaplan_meier_matches_python_product_limit(spark):
     assert ref[1] == round(8 / 10, 6)
     assert ref[2] == round(8 / 10, 6)  # censoring does not drop S
     assert ref[3] == round(8 / 10 * 6 / 7, 6)
+
+
+def test_binseg_matches_python_replay(spark):
+    """F108: both levels' split days and gains equal a plain-Python
+    binary-segmentation replay with the same gain formula and
+    tie-breaks; a planted two-step series recovers its true
+    changepoints under the same replay."""
+    import pandas as pd
+
+    from time_series_spark_spark.queries import REGISTRY
+
+    def best_split(vals):
+        # returns (index 1-based, gain) or None; tie-break smallest i
+        n, s = len(vals), sum(vals)
+        best = None
+        cum = 0
+        for i in range(1, n):
+            cum += vals[i - 1]
+            num = cum * (n - i) - (s - cum) * i
+            gain = (float(num) * num) / (i * (n - i))
+            if best is None or gain > best[1]:
+                best = (i, gain)
+        return best
+
+    def binseg(days, vals):
+        out = []
+        k, g = best_split(vals)
+        out.append((1, -1, days[k - 1], round(g, 4)))
+        for side, (ds, vs) in enumerate(
+            ((days[:k], vals[:k]), (days[k:], vals[k:]))
+        ):
+            if len(vs) >= 2:
+                j, g2 = best_split(vs)
+                out.append((2, side, ds[j - 1], round(g2, 4)))
+        return out
+
+    ev = pd.read_parquet("/root/testdata/sf0.001/events.parquet")
+    cents = (ev["value"] * 100).round().astype("int64")
+    v = cents.groupby(ev["ts"].dt.floor("d")).sum().sort_index()
+    want = binseg(list(v.index.to_pydatetime()), [int(x) for x in v])
+    rows = (
+        REGISTRY["events_binseg_changepoints"]
+        .fn(spark, "/root/testdata/sf0.001")
+        .collect()
+    )
+    got = [
+        (r["level"], r["side"], r["split_day"], r["gain"]) for r in rows
+    ]
+    assert got == want
+
+    # planted: flat 100 -> 500 at index 10, -> 200 at index 20 (n=30)
+    days = list(range(30))
+    vals = [100] * 10 + [500] * 10 + [200] * 10
+    p = binseg(days, vals)
+    splits = sorted(d for _, _, d, _ in p)
+    assert 9 in splits and 19 in splits  # both true boundaries found

@@ -3109,3 +3109,168 @@ def users_lifetime_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("d").alias("n_deaths"),
         F.round(F.exp("log_s"), 6).alias("survival"),
     ).orderBy("t_days")
+
+
+# ---------------------------------------------------------------------------
+# F108 binary-segmentation changepoints (2 levels, exact prefix sums)
+# ---------------------------------------------------------------------------
+@register(
+    "events_binseg_changepoints",
+    """
+    WITH d AS (
+        SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS d,
+               CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS v
+        FROM events GROUP BY 1
+    ),
+    r AS (
+        SELECT d, v,
+               CAST(row_number() OVER (ORDER BY d) AS BIGINT) AS i,
+               CAST(sum(v) OVER (ORDER BY d
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS cum,
+               CAST(count(*) OVER () AS BIGINT) AS n,
+               CAST(sum(v) OVER () AS BIGINT) AS s
+        FROM d
+    ),
+    g1 AS (
+        SELECT d, i,
+               (CAST(cum * (n - i) - (s - cum) * i AS DOUBLE)
+                * (cum * (n - i) - (s - cum) * i)) / (i * (n - i)) AS gain,
+               row_number() OVER (ORDER BY
+                   (CAST(cum * (n - i) - (s - cum) * i AS DOUBLE)
+                    * (cum * (n - i) - (s - cum) * i)) / (i * (n - i))
+                   DESC, i) AS rnk
+        FROM r WHERE i < n
+    ),
+    k1 AS (SELECT i AS k, d AS split_d, gain FROM g1 WHERE rnk = 1),
+    sided AS (
+        SELECT r.d, r.v, r.i,
+               CASE WHEN r.i <= k1.k THEN 0 ELSE 1 END AS side
+        FROM r CROSS JOIN k1
+    ),
+    r2 AS (
+        SELECT d, v, i, side,
+               CAST(row_number() OVER (PARTITION BY side ORDER BY i)
+                    AS BIGINT) AS j,
+               CAST(sum(v) OVER (PARTITION BY side ORDER BY i
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS cum,
+               CAST(count(*) OVER (PARTITION BY side) AS BIGINT) AS n,
+               CAST(sum(v) OVER (PARTITION BY side) AS BIGINT) AS s
+        FROM sided
+    ),
+    g2 AS (
+        SELECT side, d, j,
+               (CAST(cum * (n - j) - (s - cum) * j AS DOUBLE)
+                * (cum * (n - j) - (s - cum) * j)) / (j * (n - j)) AS gain,
+               row_number() OVER (PARTITION BY side ORDER BY
+                   (CAST(cum * (n - j) - (s - cum) * j AS DOUBLE)
+                    * (cum * (n - j) - (s - cum) * j)) / (j * (n - j))
+                   DESC, j) AS rnk
+        FROM r2 WHERE j < n
+    )
+    SELECT CAST(1 AS INT) AS level, CAST(-1 AS INT) AS side,
+           split_d AS split_day, round(gain, 4) AS gain
+    FROM k1
+    UNION ALL
+    SELECT CAST(2 AS INT) AS level, CAST(side AS INT) AS side,
+           d AS split_day, round(gain, 4) AS gain
+    FROM g2 WHERE rnk = 1
+    ORDER BY level, side
+    """,
+    doc="F108 binary-segmentation changepoints on the daily total-cents "
+    "series, 2 levels unrolled (the G7/F106 "
+    "fixed-rounds-for-oracle-checkability rule): at each level the "
+    "split maximizes the between-segment sum-of-squares gain "
+    "(S1*n2 - S2*n1)^2 / (n1*n2) whose NUMERATOR is built from exact "
+    "integer prefix sums (frame-ordered windows) — the double "
+    "conversion of an exact <2^53 integer and one IEEE multiply/"
+    "divide are bit-identical cross-engine, so the argmax never "
+    "diverges (i tie-break). Level 2 re-splits each side with the "
+    "SAME windows partitioned by side — the shape that scales to "
+    "per-key segmentation. The multi-changepoint complement to F14 "
+    "CUSUM (single drift) and F95 Page-Hinkley (sequential). "
+    "Validity: |S1*n2 - S2*n1| < 2^53 needs days*max_daily_cents "
+    "< ~9e15 — calendar-bounded, generous.",
+)
+def events_binseg_changepoints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _events(spark, sf_dir).groupBy(
+        F.date_trunc("day", F.col("ts")).alias("d")
+    ).agg(F.sum(F.expr(_CENTS)).alias("v"))
+    w_all = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    r = d.select(
+        "d", "v",
+        F.row_number().over(Window.orderBy("d")).cast("long").alias("i"),
+        F.sum("v")
+        .over(Window.orderBy("d").rowsBetween(Window.unboundedPreceding, 0))
+        .alias("cum"),
+        F.count(F.lit(1)).over(w_all).alias("n"),
+        F.sum("v").over(w_all).alias("s"),
+    )
+    gain_txt = (
+        "(CAST(cum * (n - i) - (s - cum) * i AS DOUBLE)"
+        " * (cum * (n - i) - (s - cum) * i)) / (i * (n - i))"
+    )
+    g1 = r.filter(F.col("i") < F.col("n")).select(
+        "d", "i",
+        F.expr(gain_txt).alias("gain"),
+    )
+    g1 = g1.withColumn(
+        "rnk",
+        F.row_number().over(Window.orderBy(F.col("gain").desc(), F.col("i"))),
+    )
+    k1 = g1.filter(F.col("rnk") == 1).select(
+        F.col("i").alias("k"), F.col("d").alias("split_d"), F.col("gain")
+    )
+    sided = r.select("d", "v", "i").crossJoin(F.broadcast(k1.select("k"))).select(
+        "d", "v",
+        F.when(F.col("i") <= F.col("k"), 0).otherwise(1).alias("side"),
+        "i",
+    )
+    w_side = Window.partitionBy("side")
+    r2 = sided.select(
+        "d", "v", "side",
+        F.row_number().over(w_side.orderBy("i")).cast("long").alias("j"),
+        F.sum("v")
+        .over(
+            w_side.orderBy("i").rowsBetween(Window.unboundedPreceding, 0)
+        )
+        .alias("cum"),
+        F.count(F.lit(1))
+        .over(w_side.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing))
+        .alias("n"),
+        F.sum("v")
+        .over(w_side.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing))
+        .alias("s"),
+    )
+    gain2_txt = (
+        "(CAST(cum * (n - j) - (s - cum) * j AS DOUBLE)"
+        " * (cum * (n - j) - (s - cum) * j)) / (j * (n - j))"
+    )
+    g2 = r2.filter(F.col("j") < F.col("n")).select(
+        "side", "d", "j",
+        F.expr(gain2_txt).alias("gain"),
+    )
+    g2 = g2.withColumn(
+        "rnk",
+        F.row_number().over(
+            Window.partitionBy("side").orderBy(
+                F.col("gain").desc(), F.col("j")
+            )
+        ),
+    )
+    lvl1 = k1.select(
+        F.lit(1).cast("int").alias("level"),
+        F.lit(-1).cast("int").alias("side"),
+        F.col("split_d").alias("split_day"),
+        F.round("gain", 4).alias("gain"),
+    )
+    lvl2 = g2.filter(F.col("rnk") == 1).select(
+        F.lit(2).cast("int").alias("level"),
+        F.col("side").cast("int").alias("side"),
+        F.col("d").alias("split_day"),
+        F.round("gain", 4).alias("gain"),
+    )
+    return lvl1.unionAll(lvl2).orderBy("level", "side")
