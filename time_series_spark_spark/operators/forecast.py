@@ -195,7 +195,7 @@ def fit_forecast_series(
     )
 
 
-def fit_forecast_multi(
+def fit_forecast_multi_stacked(
     ds: np.ndarray,
     Y: np.ndarray,
     horizon: int,
@@ -211,7 +211,7 @@ def fit_forecast_multi(
     holidays: dict[str, list] | None = None,
     ridge_holiday: float = 0.01,
     seasonality_mode: str = "additive",
-) -> list[pd.DataFrame]:
+) -> pd.DataFrame:
     """Fit MANY series that share one observation grid with ONE factorized
     solve: the ridge normal matrix ``XᵀX + diag(λ)`` depends only on the
     grid, so m same-grid series reduce to a single multi-right-hand-side
@@ -222,8 +222,10 @@ def fit_forecast_multi(
     cohorts here and ragged/NaN/short series to the scalar path.
 
     ``ds`` must be sorted and NaN-free in every column of ``Y``
-    (callers guarantee it); ``Y`` has one column per series. Returns one
-    ``(ds, yhat, yhat_lower, yhat_upper)`` frame per column.
+    (callers guarantee it); ``Y`` has one column per series. Returns ONE
+    member-major stacked ``(ds, yhat, yhat_lower, yhat_upper)`` frame
+    (horizon rows per column, in column order) — per-member frame
+    construction was the measured pandas hot spot for wide cohorts.
     """
     n, m = Y.shape
     assert len(ds) == n and n >= 5
@@ -301,21 +303,40 @@ def fit_forecast_multi(
     future_t_days = (future_ds - t0) / np.timedelta64(1, "D")
     YH = design(future_t_days, future_ds) @ B * y_scales  # (horizon, m)
     widen = 1.0 + interval_widening * np.arange(1, horizon + 1) / max(horizon, 1)
-    outs = []
-    for j in range(m):
-        out = pd.DataFrame(
-            {
-                "ds": future_ds,
-                "yhat": YH[:, j],
-                "yhat_lower": YH[:, j] + q_lo[j] * widen,
-                "yhat_upper": YH[:, j] + q_hi[j] * widen,
-            }
-        )
-        if multiplicative:
-            for c in ("yhat", "yhat_lower", "yhat_upper"):
-                out[c] = np.exp(out[c])
-        outs.append(out)
-    return outs
+    # ONE stacked frame for the whole cohort (member-major), built from
+    # arrays — per-member frame construction was measured pandas-bound
+    # for wide cohorts (round 6); callers that want per-member frames
+    # slice horizon-sized views off this one
+    yh = YH.ravel(order="F")
+    lo = (YH + q_lo[None, :] * widen[:, None]).ravel(order="F")
+    hi = (YH + q_hi[None, :] * widen[:, None]).ravel(order="F")
+    if multiplicative:
+        yh, lo, hi = np.exp(yh), np.exp(lo), np.exp(hi)
+    return pd.DataFrame(
+        {
+            "ds": np.tile(future_ds, m),
+            "yhat": yh,
+            "yhat_lower": lo,
+            "yhat_upper": hi,
+        }
+    )
+
+
+def fit_forecast_multi(
+    ds: np.ndarray,
+    Y: np.ndarray,
+    horizon: int,
+    freq_days: float = 1.0,
+    **fit_kwargs,
+) -> list[pd.DataFrame]:
+    """Per-member view of :func:`fit_forecast_multi_stacked` (the m-frame
+    API the property tests exercise); numbers identical to calling
+    :func:`fit_forecast_series` per column."""
+    stacked = fit_forecast_multi_stacked(ds, Y, horizon, freq_days, **fit_kwargs)
+    return [
+        stacked.iloc[j * horizon : (j + 1) * horizon].reset_index(drop=True)
+        for j in range(Y.shape[1])
+    ]
 
 
 def forecast(
@@ -374,15 +395,20 @@ def forecast(
         for members in cohorts.values():
             ds_arr = members[0][1]
             Y = np.column_stack([y for _, _, y in members])
-            fitted = fit_forecast_multi(
+            cohort = fit_forecast_multi_stacked(
                 ds_arr, Y, horizon, freq_days, **fit_kwargs
             )
-            for (kv, _, _), out in zip(members, fitted):
-                for k, v in zip(keys, kv):
-                    out[k] = v
-                outs.append(
-                    out[[*keys, "ds", "yhat", "yhat_lower", "yhat_upper"]]
+            # the whole cohort arrives as ONE member-major frame; keys
+            # attach as np.repeat columns — per-member frame construction
+            # + per-key setitem was the measured pandas hot spot once the
+            # solve itself became shared (round 6)
+            for idx, k in enumerate(keys):
+                cohort[k] = np.repeat(
+                    np.array([kv[idx] for kv, _, _ in members]), horizon
                 )
+            outs.append(
+                cohort[[*keys, "ds", "yhat", "yhat_lower", "yhat_upper"]]
+            )
         return pd.concat(outs, ignore_index=True)
 
     # project early: the UDF is a pushdown barrier (SURVEY.md §4.3)

@@ -53,6 +53,23 @@ def forecast_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 def forecast_user_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load(spark, sf_dir, "events")
     series = daily_series(ev, ["user_id"], "ts", F.sum("value"))
+    # densify to the corpus calendar: a day with no events is a TRUE 0
+    # for a daily event-value total, not missing data — and with every
+    # user on one shared grid the packed fit collapses to ONE multi-RHS
+    # solve (1213 distinct ragged grids -> 1 at sf0.1, measured round 6)
+    bounds = series.agg(F.min("ds").alias("lo"), F.max("ds").alias("hi"))
+    grid = (
+        series.select("user_id")
+        .distinct()
+        .crossJoin(F.broadcast(bounds))
+        .select(
+            "user_id",
+            F.explode(F.expr("sequence(lo, hi, interval 1 day)")).alias("ds"),
+        )
+    )
+    series = grid.join(series, ["user_id", "ds"], "left").select(
+        "user_id", "ds", F.coalesce("y", F.lit(0.0)).alias("y")
+    )
     fc = forecast(series, ["user_id"], "ds", "y", horizon=7)
     return fc.select(
         "user_id",
