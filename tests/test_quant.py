@@ -822,7 +822,7 @@ def test_kaplan_meier_matches_python_product_limit(spark):
     lifetimes = [
         (
             int((row["max"] - row["min"]).days),
-            1 if (horizon - row["max"]).days > 7 else 0,
+            1 if (horizon - row["max"]).days > 0 else 0,
         )
         for _, row in g.iterrows()
     ]
@@ -908,3 +908,71 @@ def test_binseg_matches_python_replay(spark):
     p = binseg(days, vals)
     splits = sorted(d for _, _, d, _ in p)
     assert 9 in splits and 19 in splits  # both true boundaries found
+
+
+def test_logrank_matches_python_replay(spark):
+    """F109: n_deaths/O1/E1/V/z equal a plain-Python log-rank replay
+    (same heavy/light split, same censoring) on sf0.001; a planted
+    cohort where group 1 dies strictly earlier produces a large
+    positive z under the same replay."""
+    import math
+
+    import pandas as pd
+
+    from time_series_spark_spark.queries import REGISTRY
+
+    def logrank(lifetimes):
+        # lifetimes: list of (t, died, grp)
+        times = sorted({t for t, d, _ in lifetimes if d})
+        o1 = e1 = v = dtot = 0.0
+        for t in times:
+            at_risk = [(tt, d, g) for tt, d, g in lifetimes if tt >= t]
+            n = len(at_risk)
+            n1 = sum(g for _, _, g in at_risk)
+            d = sum(dd for tt, dd, _ in at_risk if tt == t)
+            d1 = sum(dd * g for tt, dd, g in at_risk if tt == t)
+            o1 += d1
+            dtot += d
+            e1 += d * n1 / n
+            if n > 1:
+                v += (d * n1 / n) * (1 - n1 / n) * (n - d) / (n - 1)
+        z = (o1 - e1) / math.sqrt(v) if v > 0 else 0.0
+        return dtot, o1, e1, v, z
+
+    ev = pd.read_parquet(
+        "/root/testdata/sf0.001/events.parquet", columns=["user_id", "ts"]
+    )
+    day = ev["ts"].dt.floor("d")
+    horizon = day.max()
+    g = day.groupby(ev["user_id"]).agg(["min", "max", "size"])
+    ranked = g.sort_values(
+        ["size"], kind="mergesort"
+    ).reset_index()  # ties keep user_id order via stable sort on index
+    ranked = ranked.sort_values(
+        ["size", "user_id"], kind="mergesort"
+    ).reset_index(drop=True)
+    m = int(ranked["size"].iloc[(len(ranked) + 1) // 2 - 1])
+    lifetimes = [
+        (
+            int((row["max"] - row["min"]).days),
+            1 if (horizon - row["max"]).days > 0 else 0,
+            1 if row["size"] >= m else 0,
+        )
+        for _, row in g.iterrows()
+    ]
+    dtot, o1, e1, v, z = logrank(lifetimes)
+    row = (
+        REGISTRY["users_logrank_heavy_light"]
+        .fn(spark, "/root/testdata/sf0.001")
+        .collect()[0]
+    )
+    assert row["n_deaths"] == dtot
+    assert row["o1"] == o1
+    assert math.isclose(row["e1"], e1, abs_tol=1e-6)
+    assert math.isclose(row["var_o1"], v, abs_tol=1e-6)
+    assert math.isclose(row["z"], round(z, 6), abs_tol=1e-6)
+
+    # planted: group 1 all dies early, group 0 all censored late
+    planted = [(2, 1, 1)] * 8 + [(20, 0, 0)] * 8
+    _, po1, pe1, pv, pz = logrank(planted)
+    assert pz > 2.0  # early group-1 deaths -> strongly positive z

@@ -3017,7 +3017,7 @@ def events_esd_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     lif AS (
         SELECT CAST(datediff('day', first_d, last_d) AS BIGINT) AS t,
-               CASE WHEN datediff('day', last_d, horizon) > 7
+               CASE WHEN datediff('day', last_d, horizon) > 0
                     THEN 1 ELSE 0 END AS died
         FROM u CROSS JOIN bounds
     ),
@@ -3051,9 +3051,10 @@ def events_esd_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="F107 Kaplan-Meier product-limit survival over user LIFETIMES "
     "(the ACCOUNT-churn granularity, vs the registered session-lifetime "
     "KM in queries_analytics.py) "
-    "(days between a user's first and last event; a user whose last "
-    "event is within 7 days of the corpus horizon is right-CENSORED — "
-    "still at risk, not churned): n_risk at each distinct lifetime is "
+    "(days between a user's first and last event; a user still active "
+    "on the corpus horizon DAY is right-CENSORED — at risk, not "
+    "churned; on this synthetic 30-day corpus a 7-day rule would mark "
+    "ZERO deaths, measured, so the curve would be vacuously 1.0): n_risk at each distinct lifetime is "
     "a reverse-ordered running sum of EXACT INTEGER counts, and the "
     "product-limit S(t) = prod(1 - d_i/n_i) is accumulated in LOG "
     "space by a forward frame-ordered window (the F95 bit-identical "
@@ -3075,7 +3076,7 @@ def users_lifetime_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
     lif = u.crossJoin(F.broadcast(bounds)).select(
         F.expr("CAST(datediff(last_d, first_d) AS BIGINT)").alias("t"),
         F.expr(
-            "CASE WHEN datediff(horizon, last_d) > 7 THEN 1 ELSE 0 END"
+            "CASE WHEN datediff(horizon, last_d) > 0 THEN 1 ELSE 0 END"
         ).alias("died"),
     )
     per_t = lif.groupBy("t").agg(
@@ -3274,3 +3275,183 @@ def events_binseg_changepoints(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("gain", 4).alias("gain"),
     )
     return lvl1.unionAll(lvl2).orderBy("level", "side")
+
+
+
+# ---------------------------------------------------------------------------
+# F109 log-rank test (two-group survival comparison)
+# ---------------------------------------------------------------------------
+@register(
+    "users_logrank_heavy_light",
+    """
+    WITH bounds AS (
+        SELECT CAST(date_trunc('day', max(ts)) AS TIMESTAMP) AS horizon
+        FROM events
+    ),
+    u AS (
+        SELECT user_id,
+               CAST(date_trunc('day', min(ts)) AS TIMESTAMP) AS first_d,
+               CAST(date_trunc('day', max(ts)) AS TIMESTAMP) AS last_d,
+               CAST(count(*) AS BIGINT) AS cnt
+        FROM events GROUP BY user_id
+    ),
+    g AS (SELECT CAST(count(*) AS BIGINT) AS nu FROM u),
+    med AS (
+        SELECT cnt AS m
+        FROM (SELECT cnt,
+                     row_number() OVER (ORDER BY cnt, user_id) AS rnk
+              FROM u)
+        CROSS JOIN g
+        WHERE rnk = CAST(floor((nu + 1) / 2.0) AS BIGINT)
+    ),
+    lif AS (
+        SELECT CAST(datediff('day', first_d, last_d) AS BIGINT) AS t,
+               CASE WHEN datediff('day', last_d, horizon) > 0
+                    THEN 1 ELSE 0 END AS died,
+               CASE WHEN cnt >= m THEN 1 ELSE 0 END AS grp
+        FROM u CROSS JOIN bounds CROSS JOIN med
+    ),
+    per_t AS (
+        SELECT t,
+               CAST(sum(died * grp) AS BIGINT) AS d1,
+               CAST(sum(died) AS BIGINT) AS d,
+               CAST(sum(grp) AS BIGINT) AS l1,
+               CAST(count(*) AS BIGINT) AS l
+        FROM lif GROUP BY t
+    ),
+    risk AS (
+        SELECT t, d1, d,
+               CAST(sum(l) OVER (ORDER BY t DESC
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS n,
+               CAST(sum(l1) OVER (ORDER BY t DESC
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS n1
+        FROM per_t
+    ),
+    terms AS (
+        SELECT sum(CASE WHEN d > 0 THEN d1 ELSE 0 END) OVER w AS o1,
+               sum(CASE WHEN d > 0 THEN d ELSE 0 END) OVER w AS dtot,
+               sum(CASE WHEN d > 0
+                        THEN CAST(d AS DOUBLE) * n1 / n ELSE 0.0 END)
+                   OVER w AS e1,
+               sum(CASE WHEN d > 0 AND n > 1
+                        THEN (CAST(d AS DOUBLE) * n1 / n)
+                             * (1 - CAST(n1 AS DOUBLE) / n)
+                             * (n - d) / (n - 1)
+                        ELSE 0.0 END)
+                   OVER w AS v,
+               row_number() OVER (ORDER BY t DESC) AS rn
+        FROM risk
+        WINDOW w AS (ORDER BY t
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    )
+    SELECT CAST(dtot AS BIGINT) AS n_deaths,
+           CAST(o1 AS BIGINT) AS o1,
+           round(e1, 6) AS e1,
+           round(v, 6) AS var_o1,
+           round(CASE WHEN v > 0 THEN (o1 - e1) / sqrt(v)
+                 ELSE 0.0 END, 6) AS z,
+           round(CASE WHEN v > 0 THEN (o1 - e1) * (o1 - e1) / v
+                 ELSE 0.0 END, 6) AS chi2
+    FROM terms WHERE rn = 1
+    """,
+    doc="F109 log-rank (Mantel-Cox) test comparing the F107 survival "
+    "curves of HEAVY vs light users (total event count >= the "
+    "EXACT-RANK median — the F101 rank-pick rule, no fp percentile; "
+    "the corpus has no behavioral split that isn't universal, so the "
+    "null is approximately TRUE and an honest chi2 is small): at each "
+    "distinct lifetime with deaths, observed heavy-group deaths vs "
+    "the hypergeometric expectation d*n1/n and variance "
+    "d*(n1/n)(1-n1/n)(n-d)/(n-1); O/E/V accumulate in deterministic "
+    "FRAME ORDER (the F95 bit-identical device — a plain fp SUM would "
+    "be aggregation-order-sensitive cross-engine), the last frame row "
+    "carries the totals, and v=0 degrades to z=0 instead of dividing "
+    "by zero. At-risk counts are reverse-ordered integer running sums "
+    "exactly as in F107. Single summary row.",
+)
+def users_logrank_heavy_light(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    bounds = ev.agg(F.date_trunc("day", F.max("ts")).alias("horizon"))
+    u = ev.groupBy("user_id").agg(
+        F.date_trunc("day", F.min("ts")).alias("first_d"),
+        F.date_trunc("day", F.max("ts")).alias("last_d"),
+        F.count(F.lit(1)).alias("cnt"),
+    )
+    g = u.agg(F.count(F.lit(1)).alias("nu"))
+    med = (
+        u.select(
+            "cnt",
+            F.row_number().over(Window.orderBy("cnt", "user_id")).alias("rnk"),
+        )
+        .crossJoin(F.broadcast(g))
+        .filter(F.expr("rnk = CAST(floor((nu + 1) / 2.0) AS BIGINT)"))
+        .select(F.col("cnt").alias("m"))
+    )
+    lif = (
+        u.crossJoin(F.broadcast(bounds))
+        .crossJoin(F.broadcast(med))
+        .select(
+            F.expr("CAST(datediff(last_d, first_d) AS BIGINT)").alias("t"),
+            F.expr(
+                "CASE WHEN datediff(horizon, last_d) > 0 THEN 1 ELSE 0 END"
+            ).alias("died"),
+            F.expr("CASE WHEN cnt >= m THEN 1 ELSE 0 END").alias("grp"),
+        )
+    )
+    per_t = lif.groupBy("t").agg(
+        F.sum(F.col("died") * F.col("grp")).alias("d1"),
+        F.sum("died").alias("d"),
+        F.sum("grp").alias("l1"),
+        F.count(F.lit(1)).alias("l"),
+    )
+    w_rev = Window.orderBy(F.col("t").desc()).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    risk = per_t.select(
+        "t", "d1", "d",
+        F.sum("l").over(w_rev).alias("n"),
+        F.sum("l1").over(w_rev).alias("n1"),
+    )
+    w_fwd = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, 0)
+    terms = risk.select(
+        F.sum(F.when(F.col("d") > 0, F.col("d1")).otherwise(0))
+        .over(w_fwd)
+        .alias("o1"),
+        F.sum(F.when(F.col("d") > 0, F.col("d")).otherwise(0))
+        .over(w_fwd)
+        .alias("dtot"),
+        F.sum(
+            F.when(F.col("d") > 0, F.expr("CAST(d AS DOUBLE) * n1 / n"))
+            .otherwise(F.lit(0.0))
+        )
+        .over(w_fwd)
+        .alias("e1"),
+        F.sum(
+            F.when(
+                (F.col("d") > 0) & (F.col("n") > 1),
+                F.expr(
+                    "(CAST(d AS DOUBLE) * n1 / n)"
+                    " * (1 - CAST(n1 AS DOUBLE) / n)"
+                    " * (n - d) / (n - 1)"
+                ),
+            ).otherwise(F.lit(0.0))
+        )
+        .over(w_fwd)
+        .alias("v"),
+        F.row_number().over(Window.orderBy(F.col("t").desc())).alias("rn"),
+    )
+    return terms.filter(F.col("rn") == 1).select(
+        F.col("dtot").cast("long").alias("n_deaths"),
+        F.col("o1").cast("long").alias("o1"),
+        F.round("e1", 6).alias("e1"),
+        F.round("v", 6).alias("var_o1"),
+        F.expr(
+            "round(CASE WHEN v > 0 THEN (o1 - e1) / sqrt(v)"
+            " ELSE 0.0 END, 6)"
+        ).alias("z"),
+        F.expr(
+            "round(CASE WHEN v > 0 THEN (o1 - e1) * (o1 - e1) / v"
+            " ELSE 0.0 END, 6)"
+        ).alias("chi2"),
+    )
