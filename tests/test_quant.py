@@ -976,3 +976,132 @@ def test_logrank_matches_python_replay(spark):
     planted = [(2, 1, 1)] * 8 + [(20, 0, 0)] * 8
     _, po1, pe1, pv, pz = logrank(planted)
     assert pz > 2.0  # early group-1 deaths -> strongly positive z
+
+
+def test_kendall_spearman_match_python(spark):
+    """F110/F111: tau-b and Spearman rho equal plain-Python references
+    (O(n^2) Kendall; tie-averaged-rank Pearson) on the same daily
+    series; a tie-heavy planted pair sanity-checks both formulas."""
+    import math
+
+    import numpy as np
+    import pandas as pd
+
+    from time_series_spark_spark.queries import REGISTRY
+
+    def kendall_ref(x, y):
+        n = len(x)
+        c = d = tx = ty = 0
+        for i in range(n):
+            for j in range(i + 1, n):
+                dx, dy = x[j] - x[i], y[j] - y[i]
+                if dx * dy > 0:
+                    c += 1
+                elif dx * dy < 0:
+                    d += 1
+                elif dx == 0 and dy != 0:
+                    tx += 1
+                elif dy == 0 and dx != 0:
+                    ty += 1
+        n0 = n * (n - 1) // 2
+        return c, d, tx, ty, (c - d) / math.sqrt(
+            float(n0 - tx) * (n0 - ty)
+        )
+
+    def spearman_ref(x, y):
+        def dranks(v):
+            order = sorted(range(len(v)), key=lambda i: v[i])
+            out = [0] * len(v)
+            i = 0
+            while i < len(v):
+                j = i
+                while j < len(v) and v[order[j]] == v[order[i]]:
+                    j += 1
+                # doubled average rank of the tie group [i, j)
+                dr = (i + 1) + j  # 2 * (min_rank + max_rank)/2 = min+max
+                for k in range(i, j):
+                    out[order[k]] = dr
+                i = j
+            return out
+        rx, ry = dranks(x), dranks(y)
+        n = len(x)
+        sx, sy = sum(rx), sum(ry)
+        sxx = sum(r * r for r in rx)
+        syy = sum(r * r for r in ry)
+        sxy = sum(a * b for a, b in zip(rx, ry))
+        return (n * sxy - sx * sy) / math.sqrt(
+            float(n * sxx - sx * sx) * (n * syy - sy * sy)
+        )
+
+    ev = pd.read_parquet("/root/testdata/sf0.001/events.parquet")
+    day = ev["ts"].dt.floor("d")
+    x = list((ev["event_type"] == "view").groupby(day).sum().sort_index())
+    y = list((ev["event_type"] == "click").groupby(day).sum().sort_index())
+    c, d, tx, ty, tau = kendall_ref(x, y)
+    kt = (
+        REGISTRY["events_kendall_tau_daily"]
+        .fn(spark, "/root/testdata/sf0.001")
+        .collect()[0]
+    )
+    assert (kt["concordant"], kt["discordant"]) == (c, d)
+    assert (kt["ties_x_only"], kt["ties_y_only"]) == (tx, ty)
+    assert math.isclose(kt["tau_b"], round(tau, 6), abs_tol=1e-9)
+
+    rho = spearman_ref(x, y)
+    sp = (
+        REGISTRY["events_spearman_daily"]
+        .fn(spark, "/root/testdata/sf0.001")
+        .collect()[0]
+    )
+    assert sp["n_days"] == len(x)
+    assert math.isclose(sp["spearman_rho"], round(rho, 6), abs_tol=1e-9)
+
+    # planted tie-heavy monotone pair: both near 1, and both formulas
+    # agree with numpy's corrcoef on the rank vectors
+    px = [1, 1, 2, 2, 3, 3, 4, 5]
+    py = [2, 2, 2, 4, 5, 5, 6, 9]
+    _, _, _, _, ptau = kendall_ref(px, py)
+    prho = spearman_ref(px, py)
+    assert ptau > 0.8 and prho > 0.9
+    assert math.isclose(
+        prho,
+        float(np.corrcoef(
+            pd.Series(px).rank().to_numpy(), pd.Series(py).rank().to_numpy()
+        )[0, 1]),
+        abs_tol=1e-12,
+    )
+
+
+def test_trimmed_winsorized_match_numpy(spark):
+    """F112: trimmed and winsorized means equal the numpy/pandas replay
+    with the same exact-rank cut rule on sf0.001; bounds hold
+    (min <= winsorized, trimmed <= max)."""
+    import numpy as np
+    import pandas as pd
+
+    from time_series_spark_spark.queries import REGISTRY
+
+    od = pd.read_parquet("/root/testdata/sf0.001/orders.parquet")
+    v = (
+        od.assign(v=(od["o_totalprice"] * 100).round().astype("int64"))
+        .sort_values(["v", "o_orderkey"], kind="mergesort")["v"]
+        .to_numpy()
+    )
+    n = len(v)
+    cut = int(np.floor(n * 0.05))
+    trimmed = v[cut : n - cut]
+    lo_cap, hi_cap = v[cut], v[n - cut - 1]
+    wins = np.clip(v, lo_cap, hi_cap)
+    row = (
+        REGISTRY["orders_trimmed_winsorized_price"]
+        .fn(spark, "/root/testdata/sf0.001")
+        .collect()[0]
+    )
+    assert row["n_orders"] == n and row["n_cut_each_side"] == cut
+    assert row["trimmed_mean_cents"] == round(
+        float(trimmed.sum()) / len(trimmed), 4
+    )
+    assert row["winsorized_mean_cents"] == round(
+        float(wins.sum()) / n, 4
+    )
+    assert v.min() <= row["winsorized_mean_cents"] <= v.max()

@@ -3455,3 +3455,301 @@ def users_logrank_heavy_light(spark: SparkSession, sf_dir: str) -> DataFrame:
             " ELSE 0.0 END, 6)"
         ).alias("chi2"),
     )
+
+
+# ---------------------------------------------------------------------------
+# F110 Kendall tau-b rank correlation (exact integer C/D/tie counts)
+# ---------------------------------------------------------------------------
+@register(
+    "events_kendall_tau_daily",
+    """
+    WITH d AS (
+        SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS d,
+               CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS x,
+               CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS y
+        FROM events GROUP BY 1
+    ),
+    p AS (
+        SELECT
+            CAST(sum(CASE WHEN (b.x - a.x) * (b.y - a.y) > 0
+                          THEN 1 ELSE 0 END) AS BIGINT) AS c,
+            CAST(sum(CASE WHEN (b.x - a.x) * (b.y - a.y) < 0
+                          THEN 1 ELSE 0 END) AS BIGINT) AS disc,
+            CAST(sum(CASE WHEN b.x = a.x AND b.y <> a.y
+                          THEN 1 ELSE 0 END) AS BIGINT) AS tx,
+            CAST(sum(CASE WHEN b.y = a.y AND b.x <> a.x
+                          THEN 1 ELSE 0 END) AS BIGINT) AS ty,
+            CAST(count(*) AS BIGINT) AS n0
+        FROM d a JOIN d b ON b.d > a.d
+    )
+    SELECT n0 AS n_pairs, c AS concordant, disc AS discordant,
+           tx AS ties_x_only, ty AS ties_y_only,
+           round((c - disc)
+                 / sqrt(CAST(n0 - tx AS DOUBLE) * (n0 - ty)), 6) AS tau_b
+    FROM p
+    """,
+    doc="F110 Kendall tau-b between daily VIEW and CLICK counts: "
+    "concordant/discordant/tie pair counts are EXACT INTEGERS from "
+    "one O(days^2) self-join AFTER the calendar reduce (the F100 "
+    "bound — pair mass is days^2, never row count), and the tie-"
+    "corrected tau-b = (C-D)/sqrt((n0-tx)(n0-ty)) is the single fp "
+    "expression. The robust, outlier-insensitive complement to the "
+    "F75 Pearson matrix. Single summary row.",
+)
+def events_kendall_tau_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _events(spark, sf_dir).groupBy(
+        F.date_trunc("day", F.col("ts")).alias("d")
+    ).agg(
+        F.sum(
+            F.when(F.col("event_type") == "view", 1).otherwise(0)
+        ).alias("x"),
+        F.sum(
+            F.when(F.col("event_type") == "click", 1).otherwise(0)
+        ).alias("y"),
+    )
+    a = d.select(
+        F.col("d").alias("da"), F.col("x").alias("xa"), F.col("y").alias("ya")
+    )
+    b = d.select(
+        F.col("d").alias("db"), F.col("x").alias("xb"), F.col("y").alias("yb")
+    )
+    dx = F.col("xb") - F.col("xa")
+    dy = F.col("yb") - F.col("ya")
+    p = a.join(F.broadcast(b), F.col("db") > F.col("da")).agg(
+        F.sum(F.when(dx * dy > 0, 1).otherwise(0)).alias("c"),
+        F.sum(F.when(dx * dy < 0, 1).otherwise(0)).alias("disc"),
+        F.sum(
+            F.when((F.col("xb") == F.col("xa")) & (F.col("yb") != F.col("ya")), 1)
+            .otherwise(0)
+        ).alias("tx"),
+        F.sum(
+            F.when((F.col("yb") == F.col("ya")) & (F.col("xb") != F.col("xa")), 1)
+            .otherwise(0)
+        ).alias("ty"),
+        F.count(F.lit(1)).alias("n0"),
+    )
+    return p.select(
+        F.col("n0").alias("n_pairs"),
+        F.col("c").alias("concordant"),
+        F.col("disc").alias("discordant"),
+        F.col("tx").alias("ties_x_only"),
+        F.col("ty").alias("ties_y_only"),
+        F.expr(
+            "round((c - disc)"
+            " / sqrt(CAST(n0 - tx AS DOUBLE) * (n0 - ty)), 6)"
+        ).alias("tau_b"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# F111 Spearman rank correlation (exact doubled tie-averaged ranks)
+# ---------------------------------------------------------------------------
+@register(
+    "events_spearman_daily",
+    """
+    WITH d AS (
+        SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS d,
+               CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS x,
+               CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS y
+        FROM events GROUP BY 1
+    ),
+    r AS (
+        SELECT d,
+               CAST(2 * rank() OVER (ORDER BY x)
+                    + count(*) OVER (PARTITION BY x) - 1 AS BIGINT) AS rx,
+               CAST(2 * rank() OVER (ORDER BY y)
+                    + count(*) OVER (PARTITION BY y) - 1 AS BIGINT) AS ry
+        FROM d
+    ),
+    s AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(rx) AS BIGINT) AS sx,
+               CAST(sum(ry) AS BIGINT) AS sy,
+               CAST(sum(rx * rx) AS BIGINT) AS sxx,
+               CAST(sum(ry * ry) AS BIGINT) AS syy,
+               CAST(sum(rx * ry) AS BIGINT) AS sxy
+        FROM r
+    )
+    SELECT n AS n_days,
+           round((n * sxy - sx * sy)
+                 / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+                        * (n * syy - sy * sy)), 6) AS spearman_rho
+    FROM s
+    """,
+    doc="F111 Spearman rank correlation between daily VIEW and CLICK "
+    "counts with EXACT tie handling: the doubled tie-averaged rank "
+    "2r = 2*min_rank + tie_count - 1 is an INTEGER (no fp rank "
+    "arithmetic — the F91 doubled-rank device), so all five power "
+    "sums are exact BIGINTs and Pearson-on-ranks is one closed-form "
+    "fp expression with identical text both engines. Validity: rank "
+    "power sums ~ n^3 stay in BIGINT while days < ~2e6 — centuries "
+    "of daily data. Single summary row.",
+)
+def events_spearman_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _events(spark, sf_dir).groupBy(
+        F.date_trunc("day", F.col("ts")).alias("d")
+    ).agg(
+        F.sum(
+            F.when(F.col("event_type") == "view", 1).otherwise(0)
+        ).alias("x"),
+        F.sum(
+            F.when(F.col("event_type") == "click", 1).otherwise(0)
+        ).alias("y"),
+    )
+    r = d.select(
+        (
+            2 * F.rank().over(Window.orderBy("x"))
+            + F.count(F.lit(1)).over(Window.partitionBy("x"))
+            - 1
+        )
+        .cast("long")
+        .alias("rx"),
+        (
+            2 * F.rank().over(Window.orderBy("y"))
+            + F.count(F.lit(1)).over(Window.partitionBy("y"))
+            - 1
+        )
+        .cast("long")
+        .alias("ry"),
+    )
+    s = r.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("rx").alias("sx"),
+        F.sum("ry").alias("sy"),
+        F.sum(F.col("rx") * F.col("rx")).alias("sxx"),
+        F.sum(F.col("ry") * F.col("ry")).alias("syy"),
+        F.sum(F.col("rx") * F.col("ry")).alias("sxy"),
+    )
+    return s.select(
+        F.col("n").alias("n_days"),
+        F.expr(
+            "round((n * sxy - sx * sy)"
+            " / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)"
+            " * (n * syy - sy * sy)), 6)"
+        ).alias("spearman_rho"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# F112 trimmed & winsorized mean (exact-rank cuts)
+# ---------------------------------------------------------------------------
+@register(
+    "orders_trimmed_winsorized_price",
+    """
+    WITH x AS (
+        SELECT CAST(round(o_totalprice * 100, 0) AS BIGINT) AS v,
+               o_orderkey
+        FROM orders
+    ),
+    r AS (
+        SELECT v,
+               row_number() OVER (ORDER BY v, o_orderkey) AS rnk,
+               CAST(count(*) OVER () AS BIGINT) AS n
+        FROM x
+    ),
+    k AS (
+        SELECT CAST(floor(max(n) * 0.05) AS BIGINT) AS cut,
+               max(n) AS n_tot
+        FROM r
+    ),
+    caps AS (
+        SELECT
+            (SELECT v FROM r CROSS JOIN k WHERE rnk = cut + 1) AS lo_cap,
+            (SELECT v FROM r CROSS JOIN k WHERE rnk = n_tot - cut) AS hi_cap
+    ),
+    agg AS (
+        SELECT
+            CAST(sum(CASE WHEN rnk > cut AND rnk <= n_tot - cut
+                          THEN v ELSE 0 END) AS BIGINT) AS trim_sum,
+            CAST(sum(CASE WHEN rnk > cut AND rnk <= n_tot - cut
+                          THEN 1 ELSE 0 END) AS BIGINT) AS trim_n,
+            CAST(sum(CASE WHEN v < lo_cap THEN lo_cap
+                          WHEN v > hi_cap THEN hi_cap
+                          ELSE v END) AS BIGINT) AS wins_sum,
+            max(n_tot) AS n, max(cut) AS cut
+        FROM r CROSS JOIN k CROSS JOIN caps
+    )
+    SELECT n AS n_orders, cut AS n_cut_each_side,
+           round(CAST(trim_sum AS DOUBLE) / trim_n, 4) AS trimmed_mean_cents,
+           round(CAST(wins_sum AS DOUBLE) / n, 4) AS winsorized_mean_cents
+    FROM agg
+    """,
+    doc="F112 5% trimmed and winsorized means of order price: the cut "
+    "points are EXACT-RANK picks over a (value, key) total order (the "
+    "F87/F101 rule — no fp percentile interpolation, bit-identical "
+    "cross-engine), the trimmed mean drops the bottom/top floor(0.05n) "
+    "rows by rank, the winsorized mean clamps values to the cap "
+    "VALUES; both numerators are exact integer sums with one rounded "
+    "division each — the robust-location pair beside the F106 "
+    "outlier detector. One rank window (per metric key at scale), "
+    "one reduce. Single summary row.",
+)
+def orders_trimmed_winsorized_price(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    x = load(spark, sf_dir, "orders").select(
+        F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("v"),
+        "o_orderkey",
+    )
+    r = x.select(
+        "v",
+        F.row_number().over(Window.orderBy("v", "o_orderkey")).alias("rnk"),
+        F.count(F.lit(1))
+        .over(
+            Window.rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        )
+        .alias("n"),
+    )
+    k = r.agg(
+        F.expr("CAST(floor(max(n) * 0.05) AS BIGINT)").alias("cut"),
+        F.max("n").alias("n_tot"),
+    )
+    rk = r.crossJoin(F.broadcast(k))
+    lo = rk.filter(F.expr("rnk = cut + 1")).select(
+        F.col("v").alias("lo_cap")
+    )
+    hi = rk.filter(F.expr("rnk = n_tot - cut")).select(
+        F.col("v").alias("hi_cap")
+    )
+    agg = (
+        rk.crossJoin(F.broadcast(lo))
+        .crossJoin(F.broadcast(hi))
+        .agg(
+            F.sum(
+                F.expr(
+                    "CASE WHEN rnk > cut AND rnk <= n_tot - cut"
+                    " THEN v ELSE 0 END"
+                )
+            ).alias("trim_sum"),
+            F.sum(
+                F.expr(
+                    "CASE WHEN rnk > cut AND rnk <= n_tot - cut"
+                    " THEN 1 ELSE 0 END"
+                )
+            ).alias("trim_n"),
+            F.sum(
+                F.expr(
+                    "CASE WHEN v < lo_cap THEN lo_cap"
+                    " WHEN v > hi_cap THEN hi_cap ELSE v END"
+                )
+            ).alias("wins_sum"),
+            F.max("n").alias("n"),
+            F.max("cut").alias("cut"),
+        )
+    )
+    return agg.select(
+        F.col("n").alias("n_orders"),
+        F.col("cut").alias("n_cut_each_side"),
+        F.expr(
+            "round(CAST(trim_sum AS DOUBLE) / trim_n, 4)"
+        ).alias("trimmed_mean_cents"),
+        F.expr(
+            "round(CAST(wins_sum AS DOUBLE) / n, 4)"
+        ).alias("winsorized_mean_cents"),
+    )
