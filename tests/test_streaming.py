@@ -1028,3 +1028,38 @@ def test_stream_debounce_equals_batch_burst_starts(spark):
         .collect()
     )
     assert rep == {r["event_type"]: r["n"] for r in f105}
+
+
+def test_stream_heavy_hitters_bounds_and_state(spark):
+    """J13: every emitted (item, bounds) pair brackets the EXACT count
+    (cnt_lower <= true <= cnt_upper); with a counter budget below the
+    domain size the decrement path runs (some lower bound < true);
+    state arrays never exceed the counter budget."""
+    from pyspark.sql import functions as F
+
+    from time_series_spark_spark.queries import REGISTRY
+    from time_series_spark_spark.sources.io import load
+
+    sf = "/root/testdata/sf0.01"
+    rows = REGISTRY["stream_heavy_hitters_users"].fn(spark, sf).collect()
+    assert rows, "no heavy hitters emitted"
+
+    exact = {
+        (r["event_type"], str(r["item"])): r["n"]
+        for r in load(spark, sf, "events")
+        .groupBy(
+            "event_type", (F.col("user_id") % 100).cast("string").alias("item")
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert len(rows) > 0
+    decremented = 0
+    for r in rows:
+        true = exact[(r["event_type"], r["item"])]
+        assert r["cnt_lower"] <= true <= r["cnt_upper"], (r, true)
+        if r["cnt_lower"] < true:
+            decremented += 1
+        assert 1 <= r["rnk"] <= 10
+    # 100-item domain vs 64 counters: decrements must have happened
+    assert decremented > 0

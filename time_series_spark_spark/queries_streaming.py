@@ -491,3 +491,27 @@ def stream_debounce_user_type(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "stream_heavy_hitters_users",
+    None,  # stateful streaming → rows-only; MG bound + exact-domain
+    # equivalence pinned in tests/test_streaming.py
+    doc="J13 streaming Misra-Gries heavy hitters per event_type "
+    "(availableNow replay): the D18 sketch as BOUNDED state-store "
+    "arrays (<=64 counters + one decrement scalar per key, forever); "
+    "items are user-id buckets (mod 100), top-10 by upper bound after "
+    "the final batch. With 100 distinct items > 64 counters the "
+    "decrement path is actually exercised "
+    "(streaming/jobs.py::stateful_heavy_hitters).",
+)
+def stream_heavy_hitters_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from time_series_spark_spark.streaming.jobs import (
+        stateful_heavy_hitters,
+    )
+
+    sdf = read_events_stream(spark, sf_dir)
+    table = run_available_now(
+        stateful_heavy_hitters(sdf), output_mode="append"
+    )
+    return table.orderBy("event_type", "rnk")

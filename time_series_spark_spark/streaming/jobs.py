@@ -881,3 +881,72 @@ def stateful_debounce(
         "append",
         GroupStateTimeout.NoTimeout,
     )
+
+
+def stateful_heavy_hitters(
+    sdf: DataFrame,
+    counters: int = 64,
+    k: int = 10,
+) -> DataFrame:
+    """J13: streaming Misra-Gries heavy hitters per event_type — the D18
+    batch sketch (operators/sketches.py::mg_heavy_hitters) held as
+    BOUNDED state-store arrays per key: at most ``counters`` (item,
+    count) counters plus one decrement scalar D, regardless of stream
+    length. Each micro-batch adds its items exactly, then overflow
+    decrements by the (counters+1)-th largest count and drops
+    non-positives — the same recursion as the batch per-partition pass,
+    so the streamed bounds obey the identical guarantee:
+
+        cnt(t) <= true(t) <= cnt(t) + D
+
+    Events are processed in event_id order within each batch (the
+    replay-determinism device every stateful job here uses). Emits the
+    current top-``k`` (by upper bound, item tie-break) after each batch;
+    with availableNow single-batch replay the emission equals the batch
+    D18 sketch run with ONE partition. State schema is two parallel
+    arrays + a long — no maps, so the state store schema stays flat.
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    output_schema = (
+        "event_type string, item string, cnt_lower long, cnt_upper long, "
+        "rnk int"
+    )
+    state_schema = "items array<string>, counts array<long>, d long"
+
+    def update(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
+        if state.exists:
+            items, counts, d = state.get
+            table = dict(zip(items, counts))
+        else:
+            table, d = {}, 0
+        for pdf in pdfs:
+            ordered = pdf.sort_values("event_id")
+            for u in ordered["user_id"]:
+                item = str(u % 100)  # bounded item domain: user bucket
+                table[item] = table.get(item, 0) + 1
+                if len(table) > counters:
+                    dec = sorted(table.values(), reverse=True)[counters]
+                    d += dec
+                    table = {
+                        t: c - dec for t, c in table.items() if c - dec > 0
+                    }
+        state.update((list(table), [table[t] for t in table], d))
+        top = sorted(
+            table.items(), key=lambda kv: (-(kv[1] + d), kv[0])
+        )[:k]
+        yield pd.DataFrame(
+            [
+                (key[0], t, c, c + d, i + 1)
+                for i, (t, c) in enumerate(top)
+            ],
+            columns=["event_type", "item", "cnt_lower", "cnt_upper", "rnk"],
+        )
+
+    return sdf.groupBy("event_type").applyInPandasWithState(
+        update,
+        output_schema,
+        state_schema,
+        "append",
+        GroupStateTimeout.NoTimeout,
+    )
