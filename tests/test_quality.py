@@ -208,3 +208,32 @@ def test_compaction_preserves_rows_and_hits_file_budget(spark, tmp_path):
     assert row["rows_identical"]
     assert row["n_files_after"] < row["n_files_before"] == 64
     assert row["n_rows_before"] == row["n_rows_after"] == orders.count()
+
+
+def test_schema_compat_verdict_taxonomy(spark):
+    """A18: every verdict class fires on the planted evolution and the
+    compatible flag matches the taxonomy; widening is direction-aware
+    (int->bigint compatible, bigint->int narrowed)."""
+    from pyspark.sql import types as T
+
+    from time_series_spark_spark.queries import REGISTRY
+    from time_series_spark_spark.sources.io import schema_compat_report
+
+    rows = {
+        r["column"]: (r["verdict"], r["compatible"])
+        for r in REGISTRY["orders_schema_compat_report"]
+        .fn(spark, "/root/testdata/sf0.001")
+        .collect()
+    }
+    assert rows["o_channel"] == ("added", True)
+    assert rows["o_orderpriority"] == ("removed", False)
+    assert rows["o_custkey"] == ("narrowed", False)  # bigint -> int
+    assert rows["o_orderstatus"] == ("type_changed", False)
+    assert rows["o_orderkey"] == ("unchanged", True)
+
+    a = T.StructType([T.StructField("x", T.IntegerType())])
+    b = T.StructType([T.StructField("x", T.LongType())])
+    up = schema_compat_report(a, b)[0]
+    down = schema_compat_report(b, a)[0]
+    assert (up["verdict"], up["compatible"]) == ("widened", True)
+    assert (down["verdict"], down["compatible"]) == ("narrowed", False)

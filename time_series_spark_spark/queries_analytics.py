@@ -2587,3 +2587,43 @@ def orders_compaction_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(base, ignore_errors=True)
+
+
+# --------------------------------------------------------------------------
+# A18: schema-compatibility report (data contract check, rows-only)
+# --------------------------------------------------------------------------
+@register(
+    "orders_schema_compat_report",
+    None,  # pure-metadata check → rows-only; verdict taxonomy pinned in
+    # tests/test_quality.py
+    doc="A18 schema-compatibility report, driver-visible: the orders "
+    "schema 'evolves' (drop o_orderpriority, widen o_custkey-like int "
+    "column, add o_channel, retype o_orderstatus to int) and "
+    "schema_compat_report (sources/io.py) issues per-column verdicts "
+    "— added/widened compatible, removed/narrowed/type_changed "
+    "breaking — the pre-deploy data-contract gate for a lake table "
+    "(the metadata sibling of the A2c mergeSchema read). No data "
+    "scan; pure StructType diff.",
+)
+def orders_schema_compat_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import types as T
+
+    from time_series_spark_spark.sources.io import schema_compat_report
+
+    old = load(spark, sf_dir, "orders").schema
+    new = T.StructType(
+        [
+            T.StructField("o_orderkey", T.LongType()),
+            T.StructField("o_custkey", T.IntegerType()),  # narrowed
+            T.StructField("o_orderstatus", T.IntegerType()),  # retyped
+            T.StructField("o_totalprice", T.DoubleType()),
+            T.StructField("o_orderdate", T.TimestampType()),
+            # o_orderpriority removed
+            T.StructField("o_channel", T.StringType()),  # added
+        ]
+    )
+    rows = schema_compat_report(old, new)
+    return spark.createDataFrame(
+        [(r["column"], r["verdict"], r["detail"], r["compatible"]) for r in rows],
+        "column string, verdict string, detail string, compatible boolean",
+    ).orderBy("column")

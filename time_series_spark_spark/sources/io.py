@@ -330,3 +330,52 @@ def compact_parquet(
         "bytes_after": sum(os.path.getsize(f) for f in files_after),
         "n_out_planned": n_out,
     }
+
+
+# widening chains a lake reader can absorb without data loss; anything
+# off-chain (or reversed) is a BREAKING type change
+_WIDENING = {
+    ("int", "bigint"), ("smallint", "int"), ("smallint", "bigint"),
+    ("tinyint", "smallint"), ("tinyint", "int"), ("tinyint", "bigint"),
+    ("int", "double"), ("bigint", "double"), ("float", "double"),
+    ("date", "timestamp"),
+}
+
+
+def schema_compat_report(old: T.StructType, new: T.StructType) -> list[dict]:
+    """A18: column-level compatibility verdicts between two schema
+    versions — the data-contract check a lake table needs BEFORE a
+    writer deploys. Per column: ``added`` (readable as NULL for old
+    files — compatible under mergeSchema), ``removed`` (breaking for
+    readers that select it), ``widened`` (on the safe promotion chain,
+    compatible), ``narrowed`` / ``type_changed`` (breaking),
+    ``unchanged``. Pure metadata — no data scan.
+    """
+    old_f = {f.name: f for f in old.fields}
+    new_f = {f.name: f for f in new.fields}
+    out = []
+    for name in sorted(set(old_f) | set(new_f)):
+        if name not in old_f:
+            verdict, detail = "added", f"-> {new_f[name].dataType.simpleString()}"
+        elif name not in new_f:
+            verdict, detail = "removed", f"{old_f[name].dataType.simpleString()} ->"
+        else:
+            a = old_f[name].dataType.simpleString()
+            b = new_f[name].dataType.simpleString()
+            if a == b:
+                verdict, detail = "unchanged", a
+            elif (a, b) in _WIDENING:
+                verdict, detail = "widened", f"{a} -> {b}"
+            elif (b, a) in _WIDENING:
+                verdict, detail = "narrowed", f"{a} -> {b}"
+            else:
+                verdict, detail = "type_changed", f"{a} -> {b}"
+        out.append(
+            {
+                "column": name,
+                "verdict": verdict,
+                "detail": detail,
+                "compatible": verdict in ("unchanged", "added", "widened"),
+            }
+        )
+    return out
