@@ -85,6 +85,11 @@ HEAVY_TAIL = [
     "docs_bpe_encode_stats",
     "events_granger_view_purchase",
     "lineitem_vwap_monthly",
+    "part_item_item_recs",
+    "docs_cluster_keep_best",
+    "events_debounce_user_type",
+    "supplier_cosupply_sssp",
+    "users_lifetime_kaplan_meier",
 ]
 
 

@@ -1105,3 +1105,78 @@ def test_trimmed_winsorized_match_numpy(spark):
         float(wins.sum()) / n, 4
     )
     assert v.min() <= row["winsorized_mean_cents"] <= v.max()
+
+
+def test_shesd_matches_python_and_beats_plain_esd(spark):
+    """F113: both S-H-ESD rounds equal a plain-Python replay
+    (per-weekday exact-rank median detrend, then Rosner); a planted
+    weekly-seasonal series with one mid-scale spike shows S-H-ESD
+    flagging the spike FIRST while plain ESD picks a structural
+    weekend dip — the reason the seasonal detrend exists."""
+    import numpy as np
+    import pandas as pd
+
+    from time_series_spark_spark.queries import REGISTRY
+
+    def detrend(days, vals):
+        dows = [(d.weekday()) % 7 for d in days]  # Monday=0 like (dow+5)%7
+        resid = []
+        for d, v, w in zip(days, vals, dows):
+            grp = sorted(
+                (vv, dd) for vv, dd, ww in zip(vals, days, dows) if ww == w
+            )
+            m = grp[(len(grp) + 1) // 2 - 1][0]
+            resid.append((d, v - m))
+        return resid
+
+    def esd_rounds(resid, k=2):
+        days = [d for d, _ in resid]
+        vals = [v for _, v in resid]
+        out = []
+        for i in range(1, k + 1):
+            n = len(vals)
+            s, q2 = sum(vals), float(sum(float(v) * v for v in vals))
+            key = [(-abs(v * n - s), d) for d, v in zip(days, vals)]
+            j = key.index(min(key))
+            r = (abs(vals[j] * n - s) / n) / np.sqrt(
+                (q2 - float(s) * s / n) / (n - 1)
+            )
+            out.append((i, days[j], vals[j], round(float(r), 4), n))
+            days.pop(j), vals.pop(j)
+        return out
+
+    ev = pd.read_parquet("/root/testdata/sf0.001/events.parquet")
+    cents = (ev["value"] * 100).round().astype("int64")
+    v = cents.groupby(ev["ts"].dt.floor("d")).sum().sort_index()
+    want = esd_rounds(
+        detrend(list(v.index.to_pydatetime()), [int(x) for x in v])
+    )
+    rows = (
+        REGISTRY["events_shesd_outliers"]
+        .fn(spark, "/root/testdata/sf0.001")
+        .collect()
+    )
+    got = [
+        (
+            r["round"],
+            r["day_removed"],
+            r["resid_cents"],
+            r["r_stat"],
+            r["n_remaining"],
+        )
+        for r in rows
+    ]
+    assert got == want
+
+    # planted: strong weekly pattern (weekends 10x lower) + one modest
+    # Tuesday spike. Plain ESD on raw values picks a structural weekend
+    # day; S-H-ESD flags the Tuesday spike.
+    import datetime as dt
+
+    days = [dt.datetime(2024, 3, 4) + dt.timedelta(days=i) for i in range(28)]
+    vals = [1000 if d.weekday() < 5 else 100 for d in days]
+    vals[8] = 1300  # a Tuesday, +30% — smaller than the weekend gap
+    plain = esd_rounds(list(zip(days, vals)))
+    seasonal = esd_rounds(detrend(days, vals))
+    assert seasonal[0][1] == days[8]
+    assert plain[0][1] != days[8]

@@ -3753,3 +3753,127 @@ def orders_trimmed_winsorized_price(
             "round(CAST(wins_sum AS DOUBLE) / n, 4)"
         ).alias("winsorized_mean_cents"),
     )
+
+
+# ---------------------------------------------------------------------------
+# F113 seasonal-hybrid ESD (per-DOW exact-rank median detrend + ESD rounds)
+# ---------------------------------------------------------------------------
+@register(
+    "events_shesd_outliers",
+    """
+    WITH d0 AS (
+        SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS d,
+               CAST((dayofweek(CAST(date_trunc('day', ts) AS TIMESTAMP))
+                     + 5) % 7 AS BIGINT) AS dow,
+               CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS v
+        FROM events GROUP BY 1, 2
+    ),
+    ranked AS (
+        SELECT d, dow, v,
+               row_number() OVER (PARTITION BY dow ORDER BY v, d) AS rnk,
+               CAST(count(*) OVER (PARTITION BY dow) AS BIGINT) AS nd
+        FROM d0
+    ),
+    med AS (
+        SELECT dow, v AS m FROM ranked
+        WHERE rnk = CAST(floor((nd + 1) / 2.0) AS BIGINT)
+    ),
+    resid0 AS (
+        SELECT r.d, CAST(r.v - m.m AS BIGINT) AS v
+        FROM d0 r JOIN med m ON m.dow = r.dow
+    ),"""
+    + ",".join(
+        f"""
+    g{i} AS (
+        SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(v) AS BIGINT) AS s,
+               sum(CAST(v AS DOUBLE) * v) AS q2
+        FROM resid{i - 1}
+    ),
+    r{i} AS (
+        SELECT d, v, n, s, q2,
+               row_number() OVER (ORDER BY abs(v * n - s) DESC, d) AS rnk
+        FROM resid{i - 1} CROSS JOIN g{i}
+    ),
+    o{i} AS (
+        SELECT {i} AS round, d AS day_removed, v AS resid_cents,
+               round((CAST(abs(v * n - s) AS DOUBLE) / n)
+                     / sqrt((q2 - CAST(s AS DOUBLE) * s / n) / (n - 1)),
+                     4) AS r_stat,
+               n AS n_remaining
+        FROM r{i} WHERE rnk = 1
+    ),
+    resid{i} AS (SELECT d, v FROM r{i} WHERE rnk > 1)"""
+        for i in (1, 2)
+    )
+    + """
+    SELECT round, day_removed, resid_cents, r_stat, n_remaining
+    FROM (SELECT * FROM o1 UNION ALL SELECT * FROM o2)
+    ORDER BY round
+    """,
+    doc="F113 seasonal-hybrid ESD (the Twitter AnomalyDetection S-H-ESD "
+    "shape): daily totals are first detrended by their PER-WEEKDAY "
+    "EXACT-RANK median (the F101 rank pick, partitioned by dow — "
+    "robust seasonal component, no fp percentile), then the F106 ESD "
+    "iteration runs 2 unrolled rounds on the residuals with the same "
+    "integer-exact |v*n - s| removal order. Catches anomalies that "
+    "plain ESD misses because weekday seasonality inflates the sd — "
+    "and vice versa ignores weekend dips that are structural. Same "
+    "scale shape as F106: one hash agg, per-dow rank windows over the "
+    "bounded day frame, two reduce+rank rounds.",
+)
+def events_shesd_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d0 = _events(spark, sf_dir).groupBy(
+        F.date_trunc("day", F.col("ts")).alias("d"),
+        F.expr(
+            "CAST((dayofweek(CAST(date_trunc('day', ts) AS TIMESTAMP))"
+            " + 5) % 7 AS BIGINT)"
+        ).alias("dow"),
+    ).agg(F.sum(F.expr(_CENTS)).alias("v"))
+    wd = Window.partitionBy("dow")
+    ranked = d0.select(
+        "d", "dow", "v",
+        F.row_number().over(wd.orderBy("v", "d")).alias("rnk"),
+        F.count(F.lit(1))
+        .over(wd.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing))
+        .alias("nd"),
+    )
+    med = ranked.filter(
+        F.expr("rnk = CAST(floor((nd + 1) / 2.0) AS BIGINT)")
+    ).select("dow", F.col("v").alias("m"))
+    resid = (
+        d0.join(F.broadcast(med), "dow")
+        .select("d", (F.col("v") - F.col("m")).cast("long").alias("v"))
+    )
+    outs = []
+    for i in (1, 2):
+        g = resid.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("v").alias("s"),
+            F.sum(F.expr("CAST(v AS DOUBLE) * v")).alias("q2"),
+        )
+        r = resid.crossJoin(F.broadcast(g)).select(
+            "d", "v", "n", "s", "q2",
+            F.row_number()
+            .over(
+                Window.orderBy(
+                    F.abs(F.col("v") * F.col("n") - F.col("s")).desc(),
+                    F.col("d"),
+                )
+            )
+            .alias("rnk"),
+        )
+        outs.append(
+            r.filter(F.col("rnk") == 1).select(
+                F.lit(i).alias("round"),
+                F.col("d").alias("day_removed"),
+                F.col("v").alias("resid_cents"),
+                F.expr(
+                    "round((CAST(abs(v * n - s) AS DOUBLE) / n)"
+                    " / sqrt((q2 - CAST(s AS DOUBLE) * s / n) / (n - 1)),"
+                    " 4)"
+                ).alias("r_stat"),
+                F.col("n").alias("n_remaining"),
+            )
+        )
+        resid = r.filter(F.col("rnk") > 1).select("d", "v")
+    return outs[0].unionAll(outs[1]).orderBy("round")
