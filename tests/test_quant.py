@@ -1180,3 +1180,53 @@ def test_shesd_matches_python_and_beats_plain_esd(spark):
     seasonal = esd_rounds(detrend(days, vals))
     assert seasonal[0][1] == days[8]
     assert plain[0][1] != days[8]
+
+
+def test_compression_report_matches_python_bit_accounting(spark):
+    """F114: per-type bit totals equal a plain-Python replay of the
+    simplified Gorilla cost model (delta-of-delta + XOR, exact bit
+    lengths) on sf0.001; a constant-cadence constant-value planted
+    series costs exactly 1+1 bits per point under the same model."""
+    import pandas as pd
+
+    from time_series_spark_spark.queries import REGISTRY
+
+    def bits_ref(ts_us, cents):
+        ts_total = val_total = n = 0
+        deltas = [b - a for a, b in zip(ts_us, ts_us[1:])]
+        for i in range(1, len(deltas)):
+            dod = deltas[i] - deltas[i - 1]
+            ts_total += 1 if dod == 0 else 2 + len(bin(abs(dod))[2:])
+            vx = cents[i + 1] ^ cents[i]
+            val_total += 1 if vx == 0 else 2 + len(bin(vx)[2:])
+            n += 1
+        return n, ts_total, val_total
+
+    ev = pd.read_parquet("/root/testdata/sf0.001/events.parquet").sort_values(
+        ["event_type", "ts", "event_id"], kind="mergesort"
+    )
+    ev["t_us"] = ev["ts"].astype("datetime64[us]").astype("int64")
+    ev["cents"] = (ev["value"] * 100).round().astype("int64")
+    rows = {
+        r["event_type"]: r
+        for r in REGISTRY["events_compression_report"]
+        .fn(spark, "/root/testdata/sf0.001")
+        .collect()
+    }
+    for etype, g in ev.groupby("event_type"):
+        n, ts_total, val_total = bits_ref(
+            list(g["t_us"]), list(g["cents"])
+        )
+        r = rows[etype]
+        assert (r["n_points"], r["ts_bits_total"], r["val_bits_total"]) == (
+            n, ts_total, val_total
+        ), etype
+        assert r["compression_x"] == round(
+            128.0 * n / (ts_total + val_total), 4
+        )
+
+    # planted: perfect cadence, constant value -> 1 ts bit + 1 val bit
+    ts = [1_000_000 * i for i in range(10)]
+    vals = [42] * 10
+    n, t, v = bits_ref(ts, vals)
+    assert (t, v) == (n, n)

@@ -3877,3 +3877,120 @@ def events_shesd_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         resid = r.filter(F.col("rnk") > 1).select("d", "v")
     return outs[0].unionAll(outs[1]).orderBy("round")
+
+
+# ---------------------------------------------------------------------------
+# F114 Gorilla-style compressibility report (exact integer bit accounting)
+# ---------------------------------------------------------------------------
+@register(
+    "events_compression_report",
+    """
+    WITH e AS (
+        SELECT event_type,
+               epoch_us(ts) AS t_us,
+               CAST(round(value * 100) AS BIGINT) AS v,
+               event_id
+        FROM events
+    ),
+    d1 AS (
+        SELECT event_type, t_us, event_id,
+               t_us - lag(t_us) OVER w AS delta,
+               xor(v, lag(v) OVER w) AS vx
+        FROM e
+        WINDOW w AS (PARTITION BY event_type ORDER BY t_us, event_id)
+    ),
+    lagged AS (
+        SELECT event_type, delta,
+               lag(delta) OVER (PARTITION BY event_type
+                                ORDER BY t_us, event_id) AS prev_delta,
+               vx
+        FROM d1
+    ),
+    bits AS (
+        SELECT event_type,
+               CASE WHEN delta - prev_delta = 0 THEN 1
+                    ELSE 2 + length(bin(abs(delta - prev_delta))) END
+                   AS ts_bits,
+               CASE WHEN vx = 0 THEN 1
+                    ELSE 2 + length(bin(vx)) END AS val_bits
+        FROM lagged
+        WHERE delta IS NOT NULL AND prev_delta IS NOT NULL AND vx IS NOT NULL
+    )
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_points,
+           CAST(sum(ts_bits) AS BIGINT) AS ts_bits_total,
+           CAST(sum(val_bits) AS BIGINT) AS val_bits_total,
+           round(CAST(sum(ts_bits) AS DOUBLE) / count(*), 4) AS ts_bits_avg,
+           round(CAST(sum(val_bits) AS DOUBLE) / count(*), 4) AS val_bits_avg,
+           round(CAST(128 AS DOUBLE) * count(*)
+                 / (sum(ts_bits) + sum(val_bits)), 4) AS compression_x
+    FROM bits
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+    doc="F114 Gorilla-style compressibility report per event_type "
+    "(Pelkonen et al., VLDB 2015 — the Facebook/Prometheus TSDB "
+    "encoding): timestamp cost via DELTA-OF-DELTA (1 bit when the "
+    "cadence repeats, else a 2-bit tag + the dod's binary magnitude) "
+    "and value cost via XOR of consecutive integer cents (1 bit when "
+    "unchanged, else tag + significant XOR bits). Bit lengths are "
+    "EXACT INTEGERS computed as length(bin(x)) — string-length of the "
+    "binary rendering, portable to the digit both engines — never "
+    "floor(log2(x)) whose libm rounding can disagree AT POWERS OF "
+    "TWO. A simplified cost model (no leading-zero window reuse), "
+    "useful as the storage-planning analytic: which series compress, "
+    "what the storage budget buys. One hash((type)) exchange for the "
+    "lag windows, then a hash agg; compression_x is raw 128-bit "
+    "(ts,value) pairs over modeled bits.",
+)
+def events_compression_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    key = Window.partitionBy("event_type").orderBy("t_us", "event_id")
+    e = _events(spark, sf_dir).select(
+        "event_type",
+        F.unix_micros("ts").alias("t_us"),
+        F.expr(_CENTS).alias("v"),
+        "event_id",
+    )
+    d1 = e.select(
+        "event_type", "t_us", "event_id",
+        (F.col("t_us") - F.lag("t_us").over(key)).alias("delta"),
+        F.col("v").bitwiseXOR(F.lag("v").over(key)).alias("vx"),
+    )
+    lagged = d1.select(
+        "event_type", "delta",
+        F.lag("delta").over(key).alias("prev_delta"),
+        "vx",
+    )
+    bits = lagged.filter(
+        F.col("delta").isNotNull()
+        & F.col("prev_delta").isNotNull()
+        & F.col("vx").isNotNull()
+    ).select(
+        "event_type",
+        F.expr(
+            "CASE WHEN delta - prev_delta = 0 THEN 1"
+            " ELSE 2 + length(bin(abs(delta - prev_delta))) END"
+        ).alias("ts_bits"),
+        F.expr(
+            "CASE WHEN vx = 0 THEN 1 ELSE 2 + length(bin(vx)) END"
+        ).alias("val_bits"),
+    )
+    return (
+        bits.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_points"),
+            F.sum("ts_bits").cast("long").alias("ts_bits_total"),
+            F.sum("val_bits").cast("long").alias("val_bits_total"),
+            F.expr(
+                "round(CAST(sum(ts_bits) AS DOUBLE) / count(*), 4)"
+            ).alias("ts_bits_avg"),
+            F.expr(
+                "round(CAST(sum(val_bits) AS DOUBLE) / count(*), 4)"
+            ).alias("val_bits_avg"),
+            F.expr(
+                "round(CAST(128 AS DOUBLE) * count(*)"
+                " / (sum(ts_bits) + sum(val_bits)), 4)"
+            ).alias("compression_x"),
+        )
+        .orderBy("event_type")
+    )
