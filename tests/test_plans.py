@@ -582,3 +582,14 @@ def test_debounce_single_hash_exchange(spark):
     plan = executed_plan(df)
     assert len(re.findall(r"Exchange hashpartitioning\(user_id", plan)) == 1
     assert count_op(df, "Exchange") == 2
+
+
+def test_compression_report_single_type_exchange(spark):
+    """events_compression_report (F114): both lag passes and the final
+    aggregate must share one hash(event_type) exchange — re-shuffling
+    a 100 TB event stream per window pass would triple the dominant
+    cost; bit arithmetic stays in codegen."""
+    df = _df(spark, "events_compression_report")
+    plan = executed_plan(df)
+    assert len(re.findall(r"Exchange hashpartitioning\(event_type", plan)) == 1
+    assert "BroadcastNestedLoop" not in plan
