@@ -593,3 +593,42 @@ def test_compression_report_single_type_exchange(spark):
     plan = executed_plan(df)
     assert len(re.findall(r"Exchange hashpartitioning\(event_type", plan)) == 1
     assert "BroadcastNestedLoop" not in plan
+
+
+def test_mv_navigation_exact_and_scans_mv_not_fact(spark, tmp_path):
+    """D27: the monthly answer derived from the daily MV equals the
+    direct fact aggregation for every month, and the re-aggregation
+    plan scans the MV parquet (2-3 narrow columns), not the orders
+    table."""
+    from pyspark.sql import functions as F
+
+    from time_series_spark_spark.queries import REGISTRY
+    from time_series_spark_spark.sources.io import load
+
+    rows = (
+        REGISTRY["orders_mv_rollup_navigation"]
+        .fn(spark, SF)
+        .collect()
+    )
+    assert rows and all(r["navigation_exact"] for r in rows)
+    n_days = (
+        load(spark, SF, "orders")
+        .select(F.date_trunc("day", "o_orderdate"))
+        .distinct()
+        .count()
+    )
+    assert all(r["mv_rows_scanned"] == n_days for r in rows)
+    assert all(r["fact_rows_avoided"] > r["mv_rows_scanned"] for r in rows)
+
+    # plan side: a from-MV re-aggregation reads ONLY the MV files
+    orders = load(spark, SF, "orders")
+    mv_path = str(tmp_path / "mv")
+    orders.groupBy(
+        F.date_trunc("day", F.col("o_orderdate")).alias("day")
+    ).agg(F.count(F.lit(1)).alias("n")).write.parquet(mv_path)
+    plan = executed_plan(
+        spark.read.parquet(mv_path)
+        .groupBy(F.date_trunc("month", "day"))
+        .agg(F.sum("n"))
+    )
+    assert "mv" in plan and "orders" not in plan

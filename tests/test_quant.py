@@ -1230,3 +1230,47 @@ def test_compression_report_matches_python_bit_accounting(spark):
     vals = [42] * 10
     n, t, v = bits_ref(ts, vals)
     assert (t, v) == (n, n)
+
+
+def test_quantile_normalization_properties_and_pandas_replay(spark):
+    """F115: output equals the pandas replay (rank -> cross-group mean
+    of order statistics), every group's normalized marginal is
+    IDENTICAL, and within-group order is preserved."""
+    import pandas as pd
+
+    from time_series_spark_spark.queries import REGISTRY
+
+    ev = pd.read_parquet("/root/testdata/sf0.001/events.parquet")
+    cents = (ev["value"] * 100).round().astype("int64")
+    d = (
+        ev.assign(c=cents, day=ev["ts"].dt.floor("d"))
+        .groupby(["event_type", "day"])["c"]
+        .sum()
+        .reset_index()
+    )
+    d = d.sort_values(["event_type", "c", "day"], kind="mergesort")
+    d["rnk"] = d.groupby("event_type").cumcount() + 1
+    ref = d.groupby("rnk")["c"].agg(["sum", "count"])
+    want = {
+        (r.event_type, r.day): round(
+            float(ref.loc[r.rnk, "sum"]) / ref.loc[r.rnk, "count"], 4
+        )
+        for r in d.itertuples()
+    }
+    rows = (
+        REGISTRY["events_quantile_normalize_types"]
+        .fn(spark, "/root/testdata/sf0.001")
+        .collect()
+    )
+    got = {(r["event_type"], r["d"]): r["normalized_cents"] for r in rows}
+    assert got == want
+
+    # identical marginals: the sorted normalized values per type match
+    out = pd.DataFrame(
+        [(r["event_type"], r["normalized_cents"]) for r in rows],
+        columns=["t", "n"],
+    )
+    marginals = {
+        t: tuple(sorted(g["n"])) for t, g in out.groupby("t")
+    }
+    assert len(set(marginals.values())) == 1

@@ -2627,3 +2627,74 @@ def orders_schema_compat_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(r["column"], r["verdict"], r["detail"], r["compatible"]) for r in rows],
         "column string, verdict string, detail string, compatible boolean",
     ).orderBy("column")
+
+
+# --------------------------------------------------------------------------
+# D27: materialized-view rollup navigation (aggregate reuse, rows-only)
+# --------------------------------------------------------------------------
+@register(
+    "orders_mv_rollup_navigation",
+    None,  # file-layout + plan demonstration → rows-only; identity and
+    # scan-source assertions pinned in tests/test_plans.py
+    doc="D27 materialized-view rollup navigation: a DAILY revenue MV "
+    "(day, n_orders, rev_cents — additive measures only, the rule "
+    "that makes a rollup navigable) is materialized once, and the "
+    "MONTHLY question is answered by re-aggregating the MV — "
+    "days-not-orders rows scanned, the classic warehouse aggregate-"
+    "navigation contract (Spark has no automatic MV matching, so the "
+    "navigation is explicit — same answer, documented equivalence). "
+    "Report row per month carries both the MV-derived and the "
+    "direct-from-fact revenue plus the match flag and the scan-size "
+    "ratio; temp MV cleaned before returning.",
+)
+def orders_mv_rollup_navigation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    orders = load(spark, sf_dir, "orders")
+    mv_path = tempfile.mkdtemp(prefix="mv_orders_daily_")
+    try:
+        daily = orders.groupBy(
+            F.date_trunc("day", F.col("o_orderdate")).alias("day")
+        ).agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(
+                F.round(F.col("o_totalprice") * 100, 0).cast("long")
+            ).alias("rev_cents"),
+        )
+        daily.write.mode("overwrite").parquet(mv_path)
+        mv = spark.read.parquet(mv_path)
+        from_mv = mv.groupBy(
+            F.date_trunc("month", F.col("day")).alias("month")
+        ).agg(
+            F.sum("n_orders").alias("n_orders"),
+            F.sum("rev_cents").alias("rev_cents_mv"),
+        )
+        direct = orders.groupBy(
+            F.date_trunc("month", F.col("o_orderdate")).alias("month")
+        ).agg(
+            F.sum(
+                F.round(F.col("o_totalprice") * 100, 0).cast("long")
+            ).alias("rev_cents_direct")
+        )
+        n_fact = orders.count()
+        n_mv = mv.count()
+        out = (
+            from_mv.join(direct, "month")
+            .select(
+                "month",
+                "n_orders",
+                "rev_cents_mv",
+                "rev_cents_direct",
+                (F.col("rev_cents_mv") == F.col("rev_cents_direct")).alias(
+                    "navigation_exact"
+                ),
+                F.lit(n_mv).alias("mv_rows_scanned"),
+                F.lit(n_fact).alias("fact_rows_avoided"),
+            )
+            .orderBy("month")
+        )
+        rows = out.collect()  # materialize before the MV files vanish
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(mv_path, ignore_errors=True)

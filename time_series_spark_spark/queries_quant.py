@@ -3994,3 +3994,72 @@ def events_compression_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# F115 quantile normalization across groups (exact-rank alignment)
+# ---------------------------------------------------------------------------
+@register(
+    "events_quantile_normalize_types",
+    """
+    WITH d AS (
+        SELECT event_type,
+               CAST(date_trunc('day', ts) AS TIMESTAMP) AS d,
+               CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS v
+        FROM events GROUP BY 1, 2
+    ),
+    r AS (
+        SELECT event_type, d, v,
+               row_number() OVER (PARTITION BY event_type
+                                  ORDER BY v, d) AS rnk
+        FROM d
+    ),
+    ref AS (
+        SELECT rnk,
+               CAST(sum(v) AS BIGINT) AS s,
+               CAST(count(*) AS BIGINT) AS c
+        FROM r GROUP BY rnk
+    )
+    SELECT r.event_type, r.d, r.v AS raw_cents,
+           round(CAST(ref.s AS DOUBLE) / ref.c, 4) AS normalized_cents
+    FROM r JOIN ref ON ref.rnk = r.rnk
+    ORDER BY r.event_type, r.d
+    """,
+    doc="F115 quantile normalization of the per-type daily series (the "
+    "batch-effect corrector of genomics/feature pipelines, Bolstad "
+    "2003): each group's r-th order statistic maps to the MEAN of the "
+    "r-th order statistics ACROSS groups, so every group ends up with "
+    "an identical marginal distribution. Ranks are EXACT (row_number "
+    "over (v, d) — the F87 total-order rule), the reference "
+    "distribution is an exact integer sum over <=|groups| values per "
+    "rank with ONE rounded division. Two hash exchanges (per-type "
+    "rank, per-rank reduce) + one bounded join — all frames are "
+    "days x types.",
+)
+def events_quantile_normalize_types(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    d = _events(spark, sf_dir).groupBy(
+        "event_type", F.date_trunc("day", F.col("ts")).alias("d")
+    ).agg(F.sum(F.expr(_CENTS)).alias("v"))
+    r = d.select(
+        "event_type", "d", "v",
+        F.row_number()
+        .over(Window.partitionBy("event_type").orderBy("v", "d"))
+        .alias("rnk"),
+    )
+    ref = r.groupBy("rnk").agg(
+        F.sum("v").alias("s"), F.count(F.lit(1)).alias("c")
+    )
+    return (
+        r.join(F.broadcast(ref), "rnk")
+        .select(
+            "event_type",
+            "d",
+            F.col("v").alias("raw_cents"),
+            F.expr("round(CAST(s AS DOUBLE) / c, 4)").alias(
+                "normalized_cents"
+            ),
+        )
+        .orderBy("event_type", "d")
+    )
