@@ -1274,3 +1274,113 @@ def test_quantile_normalization_properties_and_pandas_replay(spark):
         t: tuple(sorted(g["n"])) for t, g in out.groupby("t")
     }
     assert len(set(marginals.values())) == 1
+
+
+def test_seasonal_mk_matches_python_and_deseasonalizes(spark):
+    """F116: summed S and x18 variance equal a per-weekday plain-Python
+    replay; a pure weekly cycle scores |z| small under seasonal MK
+    while plain MK-over-blocks machinery on a monotone series stays
+    strongly positive (formula sanity)."""
+    import numpy as np
+    import pandas as pd
+
+    from time_series_spark_spark.queries import REGISTRY
+
+    def smk(days, vals):
+        s = var18 = 0
+        dows = [(d.weekday()) % 7 for d in days]
+        for w in set(dows):
+            v = [vv for vv, ww in zip(vals, dows) if ww == w]
+            n = len(v)
+            s += sum(
+                np.sign(v[j] - v[i])
+                for i in range(n)
+                for j in range(i + 1, n)
+            )
+            _, counts = np.unique(v, return_counts=True)
+            tie = sum(int(c) * (c - 1) * (2 * c + 5) for c in counts)
+            var18 += n * (n - 1) * (2 * n + 5) - tie
+        if s > 0:
+            z = (s - 1.0) / np.sqrt(var18 / 18.0)
+        elif s < 0:
+            z = (s + 1.0) / np.sqrt(var18 / 18.0)
+        else:
+            z = 0.0
+        return int(s), int(var18), z
+
+    ev = pd.read_parquet("/root/testdata/sf0.001/events.parquet")
+    cents = (ev["value"] * 100).round().astype("int64")
+    v = cents.groupby(ev["ts"].dt.floor("d")).sum().sort_index()
+    s, var18, z = smk(list(v.index.to_pydatetime()), [int(x) for x in v])
+    row = (
+        REGISTRY["events_seasonal_mann_kendall"]
+        .fn(spark, "/root/testdata/sf0.001")
+        .collect()[0]
+    )
+    assert row["s_stat"] == s
+    assert row["var_s_x18"] == var18
+    assert abs(row["z"] - round(z, 6)) < 1e-9
+
+    import datetime as dt
+
+    days = [dt.datetime(2024, 1, 1) + dt.timedelta(days=i) for i in range(56)]
+    cycle = [100 if d.weekday() < 5 else 10 for d in days]  # pure season
+    ramp = list(range(56))
+    assert abs(smk(days, cycle)[2]) < 1.0  # seasonality is NOT trend
+    assert smk(days, ramp)[2] > 4.0  # real trend still detected
+
+
+def test_cvm_matches_python_and_orders_with_ks(spark):
+    """F117: u4 sums and T equal a plain-Python doubled-midrank replay;
+    identical planted samples give T at its minimum while disjoint
+    samples give a large T (integral-distance sanity)."""
+    import math
+
+    import pandas as pd
+
+    from time_series_spark_spark.queries import REGISTRY
+
+    def cvm(a, b):
+        allv = sorted([(v, 0, i) for i, v in enumerate(a)] +
+                      [(v, 1, i) for i, v in enumerate(b)])
+        # doubled midrank per value
+        from collections import Counter
+        cnt = Counter(v for v, _, _ in allv)
+        minrank = {}
+        pos = 1
+        for v in sorted(cnt):
+            minrank[v] = pos
+            pos += cnt[v]
+        def u4(sample, which):
+            s = 0
+            for i, v in enumerate(sorted(sample), start=1):
+                dr = 2 * minrank[v] + cnt[v] - 1
+                s += (dr - 2 * i) ** 2
+            return s
+        n, m = len(a), len(b)
+        ua4, ub4 = u4(a, 0), u4(b, 1)
+        t = (n * (ua4 / 4) + m * (ub4 / 4)) / (n * m * (n + m)) - (
+            4.0 * n * m - 1
+        ) / (6 * (n + m))
+        return ua4, ub4, t
+
+    od = pd.read_parquet("/root/testdata/sf0.001/orders.parquet")
+    cents = (od["o_totalprice"] * 100).round().astype("int64")
+    in_a = od["o_orderdate"] < "1998-01-01"
+    a = list(cents[in_a])
+    b = list(cents[~in_a])
+    ua4, ub4, t = cvm(a, b)
+    row = (
+        REGISTRY["orders_cvm_drift"]
+        .fn(spark, "/root/testdata/sf0.001")
+        .collect()[0]
+    )
+    assert (row["n_a"], row["n_b"]) == (len(a), len(b))
+    assert (row["u4_a"], row["u4_b"]) == (ua4, ub4)
+    assert math.isclose(row["cvm_t"], round(t, 6), abs_tol=1e-9)
+
+    same = list(range(100))
+    _, _, t_same = cvm(same, same)
+    _, _, t_disjoint = cvm(list(range(100)), list(range(200, 300)))
+    assert t_same < 0.05
+    assert t_disjoint > 10 * max(t_same, 1e-9)

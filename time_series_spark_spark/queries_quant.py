@@ -4063,3 +4063,232 @@ def events_quantile_normalize_types(
         )
         .orderBy("event_type", "d")
     )
+
+
+# ---------------------------------------------------------------------------
+# F116 seasonal Mann-Kendall (Hirsch-Slack, per-weekday blocks)
+# ---------------------------------------------------------------------------
+@register(
+    "events_seasonal_mann_kendall",
+    f"""
+    WITH d AS (
+        SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS d,
+               CAST((dayofweek(CAST(date_trunc('day', ts) AS TIMESTAMP))
+                     + 5) % 7 AS BIGINT) AS dow,
+               CAST(sum({_CENTS}) AS BIGINT) AS v
+        FROM events GROUP BY 1, 2
+    ),
+    r AS (
+        SELECT dow, v,
+               row_number() OVER (PARTITION BY dow ORDER BY d) AS i
+        FROM d
+    ),
+    s_g AS (
+        SELECT a.dow,
+               CAST(sum(CASE WHEN b.v > a.v THEN 1
+                             WHEN b.v < a.v THEN -1 ELSE 0 END)
+                    AS BIGINT) AS s
+        FROM r a JOIN r b ON b.dow = a.dow AND b.i > a.i
+        GROUP BY a.dow
+    ),
+    t_g AS (
+        SELECT dow,
+               CAST(sum(c * (c - 1) * (2 * c + 5)) AS BIGINT) AS tie_adj
+        FROM (SELECT dow, CAST(count(*) AS BIGINT) AS c
+              FROM d GROUP BY dow, v)
+        GROUP BY dow
+    ),
+    n_g AS (SELECT dow, CAST(count(*) AS BIGINT) AS n FROM d GROUP BY dow),
+    tot AS (
+        SELECT CAST(sum(s) AS BIGINT) AS s,
+               CAST(sum(n_g.n * (n_g.n - 1) * (2 * n_g.n + 5)
+                        - t_g.tie_adj) AS BIGINT) AS var18,
+               CAST(count(*) AS BIGINT) AS n_seasons
+        FROM s_g JOIN t_g ON t_g.dow = s_g.dow
+                 JOIN n_g ON n_g.dow = s_g.dow
+    )
+    SELECT n_seasons, s AS s_stat, var18 AS var_s_x18,
+           round(CASE WHEN s > 0 THEN (s - 1.0) / sqrt(var18 / 18.0)
+                 WHEN s < 0 THEN (s + 1.0) / sqrt(var18 / 18.0)
+                 ELSE 0.0 END, 6) AS z
+    FROM tot
+    """,
+    doc="F116 seasonal Mann-Kendall (Hirsch & Slack 1984): the F100 "
+    "test computed WITHIN each weekday block and summed — S = sum S_g "
+    "and Var = sum Var_g stay EXACT INTEGERS (x18 numerator, per-block "
+    "tie correction), so a weekly cycle can never masquerade as trend "
+    "(the raw test compares Mondays to Sundays; this one never "
+    "does). Pair mass is sum over blocks of (days/7)^2 — even more "
+    "bounded than F100. Single summary row; identical continuity-"
+    "corrected Z expression both engines.",
+)
+def events_seasonal_mann_kendall(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    d = _events(spark, sf_dir).groupBy(
+        F.date_trunc("day", F.col("ts")).alias("d"),
+        F.expr(
+            "CAST((dayofweek(CAST(date_trunc('day', ts) AS TIMESTAMP))"
+            " + 5) % 7 AS BIGINT)"
+        ).alias("dow"),
+    ).agg(F.sum(F.expr(_CENTS)).alias("v"))
+    r = d.select(
+        "dow", "v",
+        F.row_number()
+        .over(Window.partitionBy("dow").orderBy("d"))
+        .alias("i"),
+    )
+    a = r.select(
+        F.col("dow"), F.col("i").alias("ia"), F.col("v").alias("va")
+    )
+    b = r.select(
+        F.col("dow").alias("dowb"),
+        F.col("i").alias("ib"),
+        F.col("v").alias("vb"),
+    )
+    s_g = (
+        a.join(
+            F.broadcast(b),
+            (F.col("dowb") == F.col("dow")) & (F.col("ib") > F.col("ia")),
+        )
+        .groupBy("dow")
+        .agg(
+            F.sum(
+                F.when(F.col("vb") > F.col("va"), 1)
+                .when(F.col("vb") < F.col("va"), -1)
+                .otherwise(0)
+            ).alias("s")
+        )
+    )
+    t_g = (
+        d.groupBy("dow", "v")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("dow")
+        .agg(
+            F.sum(
+                F.col("c") * (F.col("c") - 1) * (2 * F.col("c") + 5)
+            ).alias("tie_adj")
+        )
+    )
+    n_g = d.groupBy("dow").agg(F.count(F.lit(1)).alias("n"))
+    tot = (
+        s_g.join(t_g, "dow")
+        .join(n_g, "dow")
+        .agg(
+            F.sum("s").alias("s"),
+            F.sum(
+                F.col("n") * (F.col("n") - 1) * (2 * F.col("n") + 5)
+                - F.col("tie_adj")
+            ).alias("var18"),
+            F.count(F.lit(1)).alias("n_seasons"),
+        )
+    )
+    return tot.select(
+        "n_seasons",
+        F.col("s").alias("s_stat"),
+        F.col("var18").alias("var_s_x18"),
+        F.expr(
+            "round(CASE WHEN s > 0 THEN (s - 1.0) / sqrt(var18 / 18.0)"
+            " WHEN s < 0 THEN (s + 1.0) / sqrt(var18 / 18.0)"
+            " ELSE 0.0 END, 6)"
+        ).alias("z"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# F117 Cramér-von Mises two-sample test (exact doubled-midrank U)
+# ---------------------------------------------------------------------------
+@register(
+    "orders_cvm_drift",
+    """
+    WITH x AS (
+        SELECT CAST(round(o_totalprice * 100, 0) AS BIGINT) AS v,
+               o_orderkey,
+               CASE WHEN o_orderdate < TIMESTAMP '1998-01-01'
+                    THEN 1 ELSE 0 END AS in_a
+        FROM orders
+    ),
+    r AS (
+        SELECT in_a,
+               CAST(2 * rank() OVER (ORDER BY v)
+                    + count(*) OVER (PARTITION BY v) - 1 AS BIGINT) AS dr,
+               CAST(2 * row_number() OVER (PARTITION BY in_a
+                                           ORDER BY v, o_orderkey)
+                    AS BIGINT) AS di
+        FROM x
+    ),
+    agg AS (
+        SELECT
+            CAST(sum(CASE WHEN in_a = 1
+                          THEN (dr - di) * (dr - di) END) AS BIGINT) AS ua4,
+            CAST(sum(CASE WHEN in_a = 0
+                          THEN (dr - di) * (dr - di) END) AS BIGINT) AS ub4,
+            CAST(sum(in_a) AS BIGINT) AS n,
+            CAST(sum(1 - in_a) AS BIGINT) AS m
+        FROM r
+    )
+    SELECT n AS n_a, m AS n_b, ua4 AS u4_a, ub4 AS u4_b,
+           round((n * (CAST(ua4 AS DOUBLE) / 4)
+                  + m * (CAST(ub4 AS DOUBLE) / 4))
+                     / (CAST(n AS DOUBLE) * m * (n + m))
+                 - (CAST(4 AS DOUBLE) * n * m - 1) / (6 * (n + m)),
+                 6) AS cvm_t
+    FROM agg
+    """,
+    doc="F117 two-sample Cramér-von Mises drift test (Anderson 1962 "
+    "rank form) between pre-1998 and 1998+ order values — the "
+    "INTEGRAL-distance complement to F90 KS's supremum (CvM sees "
+    "distributed small shifts KS misses): U's rank deviations are "
+    "held as EXACT INTEGERS via doubled midranks (2r = 2*min_rank + "
+    "tie_count - 1, the F91/F111 device) against doubled within-"
+    "sample positions, so u4 = sum(2r - 2i)^2 is exact per sample; "
+    "the n*u4 product is cast to DOUBLE before multiplying (it "
+    "overflows BIGINT past ~1e5 rows — noted), and T's closed form "
+    "is the single fp expression. Same distinct-value scan shape as "
+    "F90/F91. Single summary row.",
+)
+def orders_cvm_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    x = load(spark, sf_dir, "orders").select(
+        F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("v"),
+        "o_orderkey",
+        F.when(F.col("o_orderdate") < "1998-01-01", 1)
+        .otherwise(0)
+        .alias("in_a"),
+    )
+    r = x.select(
+        "in_a",
+        (
+            2 * F.rank().over(Window.orderBy("v"))
+            + F.count(F.lit(1)).over(Window.partitionBy("v"))
+            - 1
+        )
+        .cast("long")
+        .alias("dr"),
+        (
+            2
+            * F.row_number().over(
+                Window.partitionBy("in_a").orderBy("v", "o_orderkey")
+            )
+        )
+        .cast("long")
+        .alias("di"),
+    )
+    dev2 = (F.col("dr") - F.col("di")) * (F.col("dr") - F.col("di"))
+    agg = r.agg(
+        F.sum(F.when(F.col("in_a") == 1, dev2)).alias("ua4"),
+        F.sum(F.when(F.col("in_a") == 0, dev2)).alias("ub4"),
+        F.sum("in_a").alias("n"),
+        F.sum(F.lit(1) - F.col("in_a")).alias("m"),
+    )
+    return agg.select(
+        F.col("n").alias("n_a"),
+        F.col("m").alias("n_b"),
+        F.col("ua4").cast("long").alias("u4_a"),
+        F.col("ub4").cast("long").alias("u4_b"),
+        F.expr(
+            "round((n * (CAST(ua4 AS DOUBLE) / 4)"
+            " + m * (CAST(ub4 AS DOUBLE) / 4))"
+            " / (CAST(n AS DOUBLE) * m * (n + m))"
+            " - (CAST(4 AS DOUBLE) * n * m - 1) / (6 * (n + m)), 6)"
+        ).alias("cvm_t"),
+    )
