@@ -1384,3 +1384,110 @@ def test_cvm_matches_python_and_orders_with_ks(spark):
     _, _, t_disjoint = cvm(list(range(100)), list(range(200, 300)))
     assert t_same < 0.05
     assert t_disjoint > 10 * max(t_same, 1e-9)
+
+
+def test_jonckheere_matches_python_replay(spark):
+    """F118: 2J, E[2J], and the tie-corrected z equal a plain-Python
+    O(N^2) replay on sf0.001; a planted monotone-by-group sample gives
+    a strongly positive z under the same replay."""
+    import math
+
+    import pandas as pd
+
+    from time_series_spark_spark.queries import REGISTRY
+
+    def jt(vals, grps):
+        n = len(vals)
+        j2 = 0
+        for i in range(n):
+            for k in range(n):
+                if grps[i] < grps[k]:
+                    if vals[k] > vals[i]:
+                        j2 += 2
+                    elif vals[k] == vals[i]:
+                        j2 += 1
+        from collections import Counter
+        ng = Counter(grps)
+        tv = Counter(vals)
+        sn2 = sum(c * c for c in ng.values())
+        g_a = sum(c * (c - 1) * (2 * c + 5) for c in ng.values())
+        g_b = sum(c * (c - 1) * (c - 2) for c in ng.values())
+        g_c = sum(c * (c - 1) for c in ng.values())
+        t_a = sum(t * (t - 1) * (2 * t + 5) for t in tv.values())
+        t_b = sum(t * (t - 1) * (t - 2) for t in tv.values())
+        t_c = sum(t * (t - 1) for t in tv.values())
+        e2j = (n * n - sn2) // 2
+        var = (
+            (n * (n - 1) * (2 * n + 5) - g_a - t_a) / 72.0
+            + (float(g_b) * t_b) / (36.0 * n * (n - 1) * (n - 2))
+            + (float(g_c) * t_c) / (8.0 * n * (n - 1))
+        )
+        return j2, e2j, ((j2 - e2j) / 2.0) / math.sqrt(var)
+
+    od = pd.read_parquet("/root/testdata/sf0.001/orders.parquet")
+    vals = list((od["o_totalprice"] * 100).round().astype("int64"))
+    grps = list(od["o_orderpriority"].str[0].astype(int))
+    j2, e2j, z = jt(vals, grps)
+    row = (
+        REGISTRY["orders_jonckheere_priority"]
+        .fn(spark, "/root/testdata/sf0.001")
+        .collect()[0]
+    )
+    assert row["j2_stat"] == j2
+    assert row["e2j"] == e2j
+    assert math.isclose(row["z"], round(z, 6), abs_tol=1e-6)
+
+    planted_vals = [10, 11, 12, 20, 21, 22, 30, 31, 32, 40, 41, 42]
+    planted_grps = [1, 1, 1, 2, 2, 2, 3, 3, 3, 4, 4, 4]
+    _, _, pz = jt(planted_vals, planted_grps)
+    assert pz > 3.0
+
+
+def test_brown_forsythe_matches_python_replay(spark):
+    """F119: BF F-statistic equals the plain-Python median-centered
+    Levene replay on sf0.001; a planted unequal-variance pair gives a
+    large F while equal-variance groups give a small one."""
+    import math
+
+    import numpy as np
+    import pandas as pd
+
+    from time_series_spark_spark.queries import REGISTRY
+
+    def bf(groups):
+        zs = []
+        for g in groups:
+            g = sorted(g)
+            m = g[(len(g) + 1) // 2 - 1]
+            zs.append([abs(v - m) for v in g])
+        k = len(zs)
+        nn = sum(len(z) for z in zs)
+        ss = sum(sum(z) for z in zs)
+        qq = sum(sum(v * v for v in z) for z in zs)
+        sb = sum((float(sum(z)) / len(z)) * sum(z) for z in zs)
+        return ((sb - (float(ss) / nn) * ss) / (k - 1)) / (
+            (qq - sb) / (nn - k)
+        )
+
+    ev = pd.read_parquet("/root/testdata/sf0.001/events.parquet")
+    cents = (ev["value"] * 100).round().astype("int64")
+    groups = [
+        sorted(cents[ev["event_type"] == t])
+        for t in sorted(ev["event_type"].unique())
+    ]
+    f_ref = bf(groups)
+    row = (
+        REGISTRY["events_brown_forsythe_value"]
+        .fn(spark, "/root/testdata/sf0.001")
+        .collect()[0]
+    )
+    assert row["n_groups"] == len(groups)
+    assert row["n_events"] == len(ev)
+    assert math.isclose(row["bf_f"], round(f_ref, 6), rel_tol=1e-6)
+
+    rng = np.random.default_rng(11)
+    tight = list((rng.normal(0, 1, 400) * 100).round().astype(int))
+    wide = list((rng.normal(0, 8, 400) * 100).round().astype(int))
+    same = list((rng.normal(0, 1, 400) * 100).round().astype(int))
+    assert bf([tight, wide]) > 50.0
+    assert bf([tight, same]) < 5.0

@@ -4292,3 +4292,278 @@ def orders_cvm_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             " - (CAST(4 AS DOUBLE) * n * m - 1) / (6 * (n + m)), 6)"
         ).alias("cvm_t"),
     )
+
+
+# ---------------------------------------------------------------------------
+# F118 Jonckheere-Terpstra ordered-alternative test (rank formulation)
+# ---------------------------------------------------------------------------
+@register(
+    "orders_jonckheere_priority",
+    """
+    WITH x AS (
+        SELECT CAST(round(o_totalprice * 100, 0) AS BIGINT) AS v,
+               CAST(substr(o_orderpriority, 1, 1) AS BIGINT) AS g
+        FROM orders
+    ),
+    per_v AS (
+        SELECT v,
+               CAST(sum(CASE WHEN g = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+               CAST(sum(CASE WHEN g = 2 THEN 1 ELSE 0 END) AS BIGINT) AS c2,
+               CAST(sum(CASE WHEN g = 3 THEN 1 ELSE 0 END) AS BIGINT) AS c3,
+               CAST(sum(CASE WHEN g = 4 THEN 1 ELSE 0 END) AS BIGINT) AS c4,
+               CAST(sum(CASE WHEN g = 5 THEN 1 ELSE 0 END) AS BIGINT) AS c5
+        FROM x GROUP BY v
+    ),
+    cum AS (
+        SELECT c1, c2, c3, c4, c5,
+               CAST(coalesce(sum(c1) OVER w, 0) AS BIGINT) AS l1,
+               CAST(coalesce(sum(c2) OVER w, 0) AS BIGINT) AS l2,
+               CAST(coalesce(sum(c3) OVER w, 0) AS BIGINT) AS l3,
+               CAST(coalesce(sum(c4) OVER w, 0) AS BIGINT) AS l4
+        FROM per_v
+        WINDOW w AS (ORDER BY v
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+    ),
+    j AS (
+        SELECT CAST(sum(
+                   c2 * (2 * l1 + c1)
+                 + c3 * (2 * (l1 + l2) + c1 + c2)
+                 + c4 * (2 * (l1 + l2 + l3) + c1 + c2 + c3)
+                 + c5 * (2 * (l1 + l2 + l3 + l4) + c1 + c2 + c3 + c4)
+               ) AS BIGINT) AS j2
+        FROM cum
+    ),
+    sizes AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(CASE WHEN g = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+               CAST(sum(CASE WHEN g = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+               CAST(sum(CASE WHEN g = 3 THEN 1 ELSE 0 END) AS BIGINT) AS n3,
+               CAST(sum(CASE WHEN g = 4 THEN 1 ELSE 0 END) AS BIGINT) AS n4,
+               CAST(sum(CASE WHEN g = 5 THEN 1 ELSE 0 END) AS BIGINT) AS n5
+        FROM x
+    ),
+    ties AS (
+        SELECT CAST(sum(t * (t - 1) * (2 * t + 5)) AS BIGINT) AS t_a,
+               CAST(sum(t * (t - 1) * (t - 2)) AS BIGINT) AS t_b,
+               CAST(sum(t * (t - 1)) AS BIGINT) AS t_c
+        FROM (SELECT CAST(count(*) AS BIGINT) AS t FROM x GROUP BY v)
+    ),
+    gsum AS (
+        SELECT n,
+               n1*n1 + n2*n2 + n3*n3 + n4*n4 + n5*n5 AS sn2,
+               n1*(n1-1)*(2*n1+5) + n2*(n2-1)*(2*n2+5)
+             + n3*(n3-1)*(2*n3+5) + n4*(n4-1)*(2*n4+5)
+             + n5*(n5-1)*(2*n5+5) AS g_a,
+               n1*(n1-1)*(n1-2) + n2*(n2-1)*(n2-2) + n3*(n3-1)*(n3-2)
+             + n4*(n4-1)*(n4-2) + n5*(n5-1)*(n5-2) AS g_b,
+               n1*(n1-1) + n2*(n2-1) + n3*(n3-1) + n4*(n4-1) + n5*(n5-1)
+                   AS g_c
+        FROM sizes
+    )
+    SELECT n AS n_orders, j2 AS j2_stat,
+           CAST((n * n - sn2) / 2.0 AS BIGINT) AS e2j,
+           round(((j2 - (n * n - sn2) / 2.0) / 2.0)
+                 / sqrt(
+                     (n*(n-1)*(2*n+5) - g_a - t_a) / 72.0
+                   + (CAST(g_b AS DOUBLE) * t_b)
+                     / (36.0 * n * (n-1) * (n-2))
+                   + (CAST(g_c AS DOUBLE) * t_c) / (8.0 * n * (n-1))
+                 ), 6) AS z
+    FROM j CROSS JOIN gsum CROSS JOIN ties
+    """,
+    doc="F118 Jonckheere-Terpstra test for a MONOTONE ordering of order "
+    "value across the five priority levels (the ordered-alternative "
+    "test that beats Kruskal-Wallis when the hypothesis IS the "
+    "ordering): J is assembled in its RANK formulation — per distinct "
+    "value, each group's count pairs with the strictly-lower "
+    "cumulative counts of LOWER groups (doubled, ties counting once — "
+    "the midrank convention), so the pair mass never materializes "
+    "(F90's distinct-value window shape, NOT an O(N^2) join); 2J and "
+    "E[2J] = (N^2 - sum(n_g^2))/2 are EXACT INTEGERS (the difference is always even), and the z uses the "
+    "full Hollander-Wolfe tie-corrected variance (A/B/C terms from "
+    "exact group/tie power sums, double-cast products). Single "
+    "summary row. On this corpus priorities are value-independent, "
+    "so z honestly hovers near 0.",
+)
+def orders_jonckheere_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    x = load(spark, sf_dir, "orders").select(
+        F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("v"),
+        F.substring("o_orderpriority", 1, 1).cast("long").alias("g"),
+    )
+    cs = [
+        F.sum(F.when(F.col("g") == i, 1).otherwise(0)).alias(f"c{i}")
+        for i in range(1, 6)
+    ]
+    per_v = x.groupBy("v").agg(*cs)
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
+    cum = per_v.select(
+        *[f"c{i}" for i in range(1, 6)],
+        *[
+            F.coalesce(F.sum(f"c{i}").over(w), F.lit(0)).alias(f"l{i}")
+            for i in range(1, 5)
+        ],
+    )
+    j = cum.agg(
+        F.sum(
+            F.expr(
+                "c2 * (2 * l1 + c1)"
+                " + c3 * (2 * (l1 + l2) + c1 + c2)"
+                " + c4 * (2 * (l1 + l2 + l3) + c1 + c2 + c3)"
+                " + c5 * (2 * (l1 + l2 + l3 + l4) + c1 + c2 + c3 + c4)"
+            )
+        ).alias("j2")
+    )
+    sizes = x.agg(
+        F.count(F.lit(1)).alias("n"),
+        *[
+            F.sum(F.when(F.col("g") == i, 1).otherwise(0)).alias(f"n{i}")
+            for i in range(1, 6)
+        ],
+    )
+    ties = (
+        x.groupBy("v")
+        .agg(F.count(F.lit(1)).alias("t"))
+        .agg(
+            F.sum(
+                F.col("t") * (F.col("t") - 1) * (2 * F.col("t") + 5)
+            ).alias("t_a"),
+            F.sum(
+                F.col("t") * (F.col("t") - 1) * (F.col("t") - 2)
+            ).alias("t_b"),
+            F.sum(F.col("t") * (F.col("t") - 1)).alias("t_c"),
+        )
+    )
+    gsum = sizes.select(
+        "n",
+        F.expr("n1*n1 + n2*n2 + n3*n3 + n4*n4 + n5*n5").alias("sn2"),
+        F.expr(
+            "n1*(n1-1)*(2*n1+5) + n2*(n2-1)*(2*n2+5)"
+            " + n3*(n3-1)*(2*n3+5) + n4*(n4-1)*(2*n4+5)"
+            " + n5*(n5-1)*(2*n5+5)"
+        ).alias("g_a"),
+        F.expr(
+            "n1*(n1-1)*(n1-2) + n2*(n2-1)*(n2-2) + n3*(n3-1)*(n3-2)"
+            " + n4*(n4-1)*(n4-2) + n5*(n5-1)*(n5-2)"
+        ).alias("g_b"),
+        F.expr(
+            "n1*(n1-1) + n2*(n2-1) + n3*(n3-1) + n4*(n4-1) + n5*(n5-1)"
+        ).alias("g_c"),
+    )
+    return (
+        j.crossJoin(F.broadcast(gsum))
+        .crossJoin(F.broadcast(ties))
+        .select(
+            F.col("n").alias("n_orders"),
+            F.col("j2").alias("j2_stat"),
+            F.expr("CAST((n * n - sn2) / 2.0 AS BIGINT)").alias("e2j"),
+            F.expr(
+                "round(((j2 - (n * n - sn2) / 2.0) / 2.0)"
+                " / sqrt("
+                " (n*(n-1)*(2*n+5) - g_a - t_a) / 72.0"
+                " + (CAST(g_b AS DOUBLE) * t_b)"
+                " / (36.0 * n * (n-1) * (n-2))"
+                " + (CAST(g_c AS DOUBLE) * t_c) / (8.0 * n * (n-1))"
+                " ), 6)"
+            ).alias("z"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# F119 Brown-Forsythe variance-homogeneity test (median-centered Levene)
+# ---------------------------------------------------------------------------
+@register(
+    "events_brown_forsythe_value",
+    """
+    WITH x AS (
+        SELECT event_type AS g,
+               CAST(round(value * 100) AS BIGINT) AS v,
+               event_id
+        FROM events
+    ),
+    r AS (
+        SELECT g, v,
+               row_number() OVER (PARTITION BY g ORDER BY v, event_id)
+                   AS rnk,
+               CAST(count(*) OVER (PARTITION BY g) AS BIGINT) AS ng
+        FROM x
+    ),
+    med AS (
+        SELECT g, v AS m FROM r
+        WHERE rnk = CAST(floor((ng + 1) / 2.0) AS BIGINT)
+    ),
+    z AS (
+        SELECT r.g, CAST(abs(r.v - med.m) AS BIGINT) AS z
+        FROM x r JOIN med ON med.g = r.g
+    ),
+    per_g AS (
+        SELECT g, CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(z) AS BIGINT) AS s,
+               CAST(sum(z * z) AS BIGINT) AS q
+        FROM z GROUP BY g
+    ),
+    tot AS (
+        SELECT CAST(count(*) AS BIGINT) AS k,
+               CAST(sum(n) AS BIGINT) AS nn,
+               CAST(sum(s) AS BIGINT) AS ss,
+               CAST(sum(q) AS BIGINT) AS qq,
+               sum((CAST(s AS DOUBLE) / n) * s) AS sb
+        FROM per_g
+    )
+    SELECT k AS n_groups, nn AS n_events,
+           round((sb - (CAST(ss AS DOUBLE) / nn) * ss) / (k - 1)
+                 / ((qq - sb) / (nn - k)), 6) AS bf_f
+    FROM tot
+    """,
+    doc="F119 Brown-Forsythe test for variance homogeneity across event "
+    "types (the robust Levene variant — one-way ANOVA on deviations "
+    "from the GROUP MEDIAN, not the mean, so heavy tails don't "
+    "inflate the test): medians are EXACT-RANK picks per group (F101 "
+    "rule), deviations |v - m| are exact integers, and SSB/SSW come "
+    "from the same exact power-sum algebra as F98 ANOVA (the "
+    "CAST-DOUBLE group terms sum over k=5 rows — order-safe because "
+    "the final agg is a 5-row reduce; per_g sums themselves are "
+    "integer-exact). F ~ F(k-1, N-k) under equal variances — the "
+    "check that should PASS before trusting F98's equal-variance "
+    "assumption. Per-group rank window + two hash aggs.",
+)
+def events_brown_forsythe_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    x = _events(spark, sf_dir).select(
+        F.col("event_type").alias("g"),
+        F.expr(_CENTS).alias("v"),
+        "event_id",
+    )
+    wg = Window.partitionBy("g")
+    r = x.select(
+        "g", "v",
+        F.row_number().over(wg.orderBy("v", "event_id")).alias("rnk"),
+        F.count(F.lit(1))
+        .over(wg.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing))
+        .alias("ng"),
+    )
+    med = r.filter(
+        F.expr("rnk = CAST(floor((ng + 1) / 2.0) AS BIGINT)")
+    ).select("g", F.col("v").alias("m"))
+    z = x.join(F.broadcast(med), "g").select(
+        "g", F.abs(F.col("v") - F.col("m")).cast("long").alias("z")
+    )
+    per_g = z.groupBy("g").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("z").alias("s"),
+        F.sum(F.col("z") * F.col("z")).alias("q"),
+    )
+    tot = per_g.agg(
+        F.count(F.lit(1)).alias("k"),
+        F.sum("n").alias("nn"),
+        F.sum("s").alias("ss"),
+        F.sum("q").alias("qq"),
+        F.sum(F.expr("(CAST(s AS DOUBLE) / n) * s")).alias("sb"),
+    )
+    return tot.select(
+        F.col("k").alias("n_groups"),
+        F.col("nn").alias("n_events"),
+        F.expr(
+            "round((sb - (CAST(ss AS DOUBLE) / nn) * ss) / (k - 1)"
+            " / ((qq - sb) / (nn - k)), 6)"
+        ).alias("bf_f"),
+    )
