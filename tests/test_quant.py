@@ -1491,3 +1491,312 @@ def test_brown_forsythe_matches_python_replay(spark):
     same = list((rng.normal(0, 1, 400) * 100).round().astype(int))
     assert bf([tight, wide]) > 50.0
     assert bf([tight, same]) < 5.0
+
+
+def test_friedman_matches_python_replay(spark):
+    """F120: doubled-midrank sums, A2, and the tie-corrected Conover Q
+    equal a plain-Python replay on sf0.001 complete blocks; a planted
+    always-ordered design gives maximal Q, a fully-tied one gives 0."""
+    import math
+    from collections import defaultdict
+
+    import pandas as pd
+
+    from time_series_spark_spark.queries import REGISTRY
+
+    def friedman(blocks):
+        # blocks: list of dict {treatment: value}, all complete
+        k = len(blocks[0])
+        n = len(blocks)
+        dsum = defaultdict(int)
+        a2 = 0
+        for b in blocks:
+            vals = sorted(b.values())
+            for t, v in b.items():
+                lt = sum(1 for x in vals if x < v)
+                eq = sum(1 for x in vals if x == v)
+                dr = 2 * (lt + 1) + eq - 1  # doubled midrank
+                dsum[t] += dr
+                a2 += dr * dr
+        num = sum((dsum[t] - n * (k + 1)) ** 2 for t in dsum)
+        den = a2 - n * k * (k + 1) * (k + 1)
+        q = 0.0 if den == 0 else (k - 1) * num / den
+        return n, k, a2, q
+
+    ev = pd.read_parquet("/root/testdata/sf0.001/events.parquet")
+    ev["cents"] = (ev["value"] * 100).round().astype("int64")
+    ev["d"] = ev["ts"].dt.floor("D")
+    daily = ev.groupby(["d", "event_type"])["cents"].sum().reset_index()
+    all_types = set(ev["event_type"].unique())
+    blocks = []
+    for d, g in daily.groupby("d"):
+        if set(g["event_type"]) == all_types:
+            blocks.append(dict(zip(g["event_type"], g["cents"])))
+    n, k, a2, q = friedman(blocks)
+    row = (
+        REGISTRY["events_friedman_daily"]
+        .fn(spark, "/root/testdata/sf0.001")
+        .collect()[0]
+    )
+    assert (row["n_days"], row["k_types"], row["a2_ranks"]) == (n, k, a2)
+    assert math.isclose(row["q_friedman"], round(q, 6), abs_tol=1e-9)
+
+    # planted: treatment j always ranks j-th -> Q == n*(k-1) (the maximum)
+    ordered = [{"a": 1 + i, "b": 100 + i, "c": 1000 + i} for i in range(20)]
+    n2, k2, _, q2 = friedman(ordered)
+    assert math.isclose(q2, n2 * (k2 - 1), abs_tol=1e-12)
+    tied = [{"a": 5, "b": 5, "c": 5} for _ in range(20)]
+    assert friedman(tied)[3] == 0.0
+
+
+def test_durbin_watson_matches_numpy_replay(spark):
+    """F121: DW equals a numpy OLS-residual replay on sf0.001; planted
+    alternating residuals give DW near 4, a slow sine near 0."""
+    import math
+
+    import numpy as np
+    import pandas as pd
+
+    from time_series_spark_spark.queries import REGISTRY
+
+    def dw(y):
+        y = np.asarray(y, dtype=float)
+        t = np.arange(len(y), dtype=float)
+        b, a = np.polyfit(t, y, 1)
+        e = y - (a + b * t)
+        return float(np.sum(np.diff(e) ** 2) / np.sum(e * e))
+
+    ev = pd.read_parquet("/root/testdata/sf0.001/events.parquet")
+    ev["cents"] = (ev["value"] * 100).round().astype("int64")
+    daily = (
+        ev.groupby(ev["ts"].dt.floor("D"))["cents"].sum().sort_index()
+    )
+    row = (
+        REGISTRY["events_durbin_watson_daily"]
+        .fn(spark, "/root/testdata/sf0.001")
+        .collect()[0]
+    )
+    assert row["n_days"] == len(daily)
+    assert math.isclose(row["dw"], round(dw(list(daily)), 6), abs_tol=1e-5)
+
+    alt = [100, -100] * 50
+    assert dw(alt) > 3.5
+    slow = list(1000 * np.sin(np.arange(100) / 25.0))
+    assert dw(slow) < 0.5
+
+
+def test_jarque_bera_matches_numpy_replay(spark):
+    """F122: skewness, kurtosis, and JB equal the numpy moment replay on
+    sf0.001; planted normal data gives small JB, exponential large."""
+    import math
+
+    import numpy as np
+    import pandas as pd
+
+    from time_series_spark_spark.queries import REGISTRY
+
+    def jb(y):
+        y = np.asarray(y, dtype=float)
+        e = y - y.mean()
+        n = len(y)
+        m2, m3, m4 = (np.sum(e**p) / n for p in (2, 3, 4))
+        s = m3 / (m2 * math.sqrt(m2))
+        k = m4 / (m2 * m2)
+        return s, k, n / 6.0 * (s * s + (k - 3.0) ** 2 / 4.0)
+
+    ev = pd.read_parquet("/root/testdata/sf0.001/events.parquet")
+    ev["cents"] = (ev["value"] * 100).round().astype("int64")
+    daily = (
+        ev.groupby(ev["ts"].dt.floor("D"))["cents"].sum().sort_index()
+    )
+    s_ref, k_ref, jb_ref = jb(list(daily))
+    row = (
+        REGISTRY["events_jarque_bera_daily"]
+        .fn(spark, "/root/testdata/sf0.001")
+        .collect()[0]
+    )
+    assert row["n_days"] == len(daily)
+    assert math.isclose(row["skewness"], round(s_ref, 6), abs_tol=1e-6)
+    assert math.isclose(row["kurtosis"], round(k_ref, 6), abs_tol=1e-6)
+    assert math.isclose(row["jb_stat"], round(jb_ref, 6), rel_tol=1e-4)
+
+    rng = np.random.default_rng(7)
+    assert jb(rng.normal(0, 1, 5000))[2] < 12.0
+    assert jb(rng.exponential(1.0, 5000))[2] > 500.0
+
+
+def test_nelson_aalen_matches_python_replay(spark):
+    """F123: H(t), its variance, and exp(-H) equal a plain-Python replay
+    of the lifetime frame on sf0.001; NA hazard is non-decreasing and
+    FH survival brackets the KM curve from above."""
+    import math
+
+    import pandas as pd
+
+    from time_series_spark_spark.queries import REGISTRY
+
+    ev = pd.read_parquet("/root/testdata/sf0.001/events.parquet")
+    per_u = ev.groupby("user_id")["ts"].agg(["min", "max"])
+    horizon = ev["ts"].max().floor("D")
+    t = (per_u["max"].dt.floor("D") - per_u["min"].dt.floor("D")).dt.days
+    died = (horizon - per_u["max"].dt.floor("D")).dt.days > 0
+
+    frame = pd.DataFrame({"t": t, "died": died.astype(int)})
+    per_t = (
+        frame.groupby("t")
+        .agg(d=("died", "sum"), leaving=("died", "count"))
+        .sort_index()
+    )
+    n_risk = per_t["leaving"][::-1].cumsum()[::-1]
+    h = (per_t["d"] / n_risk).cumsum()
+    vh = (per_t["d"] / (n_risk * n_risk)).cumsum()
+
+    rows = (
+        REGISTRY["users_nelson_aalen_hazard"]
+        .fn(spark, "/root/testdata/sf0.001")
+        .collect()
+    )
+    assert len(rows) == len(per_t)
+    for r in rows:
+        assert r["n_risk"] == n_risk.loc[r["t_days"]]
+        assert r["n_deaths"] == per_t["d"].loc[r["t_days"]]
+        assert math.isclose(r["na_cumhaz"], round(h.loc[r["t_days"]], 6),
+                            abs_tol=1e-9)
+        assert math.isclose(r["na_var"], round(vh.loc[r["t_days"]], 6),
+                            abs_tol=1e-9)
+        assert math.isclose(
+            r["fh_survival"],
+            round(math.exp(-h.loc[r["t_days"]]), 6), abs_tol=1e-9,
+        )
+    haz = [r["na_cumhaz"] for r in sorted(rows, key=lambda r: r["t_days"])]
+    assert haz == sorted(haz)  # cumulative hazard is non-decreasing
+    # FH survival >= KM survival pointwise (standard inequality)
+    km = {
+        r["t_days"]: r["survival"]
+        for r in REGISTRY["users_lifetime_kaplan_meier"]
+        .fn(spark, "/root/testdata/sf0.001")
+        .collect()
+    }
+    for r in rows:
+        assert r["fh_survival"] >= km[r["t_days"]] - 1e-9
+
+
+def test_mood_median_matches_python_replay(spark):
+    """F124: pooled lower median, above counts, and the collapsed 2xk
+    chi-square equal a plain-Python replay on sf0.001; a planted
+    shifted-median group gives a large chi2, identical groups 0."""
+    import math
+
+    import pandas as pd
+
+    from time_series_spark_spark.queries import REGISTRY
+
+    def mood(groups):
+        pooled = sorted(v for g in groups for v in g)
+        n = len(pooled)
+        m = pooled[(n + 1) // 2 - 1]
+        a = sum(1 for v in pooled if v > m)
+        sdel = sum(
+            (n * sum(1 for v in g if v > m) - len(g) * a) ** 2 / len(g)
+            for g in groups
+        )
+        return m, a, sdel / (a * (n - a))
+
+    ev = pd.read_parquet("/root/testdata/sf0.001/events.parquet")
+    cents = (ev["value"] * 100).round().astype("int64")
+    groups = [
+        list(cents[ev["event_type"] == t])
+        for t in sorted(ev["event_type"].unique())
+    ]
+    m, a, chi2 = mood(groups)
+    row = (
+        REGISTRY["events_mood_median_test"]
+        .fn(spark, "/root/testdata/sf0.001")
+        .collect()[0]
+    )
+    assert row["n_events"] == len(ev)
+    assert row["k_types"] == len(groups)
+    assert row["pooled_median_cents"] == m
+    assert row["n_above"] == a
+    assert math.isclose(row["chi2_mood"], round(chi2, 6), rel_tol=1e-9)
+
+    same = [list(range(100)), list(range(100))]
+    shifted = [list(range(100)), list(range(60, 160))]
+    assert mood(same)[2] < 1e-9
+    assert mood(shifted)[2] > 50.0
+
+
+def test_eb_purchase_rates_shrinkage_properties(spark):
+    """F125: shrunk rate equals the pandas replay; shrinkage pulls
+    TOWARD the pooled rate, harder for low-n users, and is a convex
+    combination (always between raw rate and pooled rate)."""
+    import math
+
+    import pandas as pd
+
+    from time_series_spark_spark.queries import REGISTRY
+
+    ev = pd.read_parquet("/root/testdata/sf0.001/events.parquet")
+    per_u = ev.groupby("user_id").agg(
+        n=("event_id", "count"),
+        k=("event_type", lambda s: int((s == "purchase").sum())),
+    )
+    mu = per_u["k"].sum() / per_u["n"].sum()
+    mm = int(sorted(per_u["n"])[(len(per_u) + 1) // 2 - 1])
+
+    rows = (
+        REGISTRY["users_eb_purchase_rates"]
+        .fn(spark, "/root/testdata/sf0.001")
+        .collect()
+    )
+    assert len(rows) == len(per_u)
+    for r in rows:
+        n, k = per_u.loc[r["user_id"], ["n", "k"]]
+        assert (r["n_events"], r["n_purchases"]) == (n, k)
+        assert math.isclose(r["raw_rate"], round(k / n, 6), abs_tol=1e-9)
+        want = (k + mu * mm) / (n + mm)
+        assert math.isclose(r["shrunk_rate"], round(want, 6), abs_tol=1e-9)
+        lo, hi = sorted((k / n, mu))
+        assert lo - 1e-6 <= r["shrunk_rate"] <= hi + 1e-6  # convexity
+    # shrinkage weight on the prior decreases with n: check the formula's
+    # weight M/(n+M) ordering on two synthetic users
+    assert mm / (1 + mm) > mm / (100 + mm)
+
+
+def test_concentration_report_matches_python_replay(spark):
+    """F126: HHI and CR-k equal an exact-integer Python replay on
+    sf0.001; planted monopoly gives HHI 10000 bp, equal split 10000/n."""
+    import math
+
+    import pandas as pd
+
+    from time_series_spark_spark.queries import REGISTRY
+
+    def conc(revs):
+        t = sum(revs)
+        s2 = sum(r * r for r in revs)
+        top = sorted(revs, reverse=True)
+        return (
+            10000.0 * s2 / (float(t) * t),
+            sum(top[:1]) / t,
+            sum(top[:4]) / t,
+            sum(top[:8]) / t,
+        )
+
+    od = pd.read_parquet("/root/testdata/sf0.001/orders.parquet")
+    od["cents"] = (od["o_totalprice"] * 100).round().astype("int64")
+    revs = list(od.groupby("o_custkey")["cents"].sum())
+    hhi, cr1, cr4, cr8 = conc(revs)
+    row = (
+        REGISTRY["customer_concentration_report"]
+        .fn(spark, "/root/testdata/sf0.001")
+        .collect()[0]
+    )
+    assert row["n_customers"] == len(revs)
+    assert row["total_cents"] == sum(revs)
+    assert math.isclose(row["hhi_bp"], round(hhi, 6), rel_tol=1e-9)
+    for got, want in ((row["cr1"], cr1), (row["cr4"], cr4), (row["cr8"], cr8)):
+        assert math.isclose(got, round(want, 6), abs_tol=1e-9)
+
+    assert math.isclose(conc([100, 0, 0, 0])[0], 10000.0)
+    assert math.isclose(conc([25, 25, 25, 25])[0], 2500.0)

@@ -4567,3 +4567,723 @@ def events_brown_forsythe_value(spark: SparkSession, sf_dir: str) -> DataFrame:
             " / ((qq - sb) / (nn - k)), 6)"
         ).alias("bf_f"),
     )
+
+
+# ---------------------------------------------------------------------------
+# F120 Friedman rank test (complete blocks: days x event types)
+# ---------------------------------------------------------------------------
+@register(
+    "events_friedman_daily",
+    f"""
+    WITH daily AS (
+        SELECT event_type, CAST(date_trunc('day', ts) AS TIMESTAMP) AS d,
+               CAST(sum({_CENTS}) AS BIGINT) AS v
+        FROM events GROUP BY 1, 2
+    ),
+    k AS (SELECT CAST(count(DISTINCT event_type) AS BIGINT) AS kk FROM daily),
+    full_d AS (
+        SELECT d FROM daily GROUP BY d
+        HAVING count(*) = (SELECT kk FROM k)
+    ),
+    r AS (
+        SELECT event_type,
+               CAST(2 * rank() OVER (PARTITION BY daily.d ORDER BY v)
+                    + count(*) OVER (PARTITION BY daily.d, v) - 1
+                    AS BIGINT) AS dr
+        FROM daily JOIN full_d ON full_d.d = daily.d
+    ),
+    per_t AS (
+        SELECT event_type, CAST(sum(dr) AS BIGINT) AS dsum,
+               CAST(sum(dr * dr) AS BIGINT) AS d2sum,
+               CAST(count(*) AS BIGINT) AS n
+        FROM r GROUP BY event_type
+    ),
+    tot AS (
+        SELECT CAST(sum(d2sum) AS BIGINT) AS a2,
+               CAST(min(n) AS BIGINT) AS n,
+               CAST(count(*) AS BIGINT) AS kk,
+               CAST(sum(dsum) AS BIGINT) AS sd,
+               CAST(sum(dsum * dsum) AS BIGINT) AS sd2
+        FROM per_t
+    )
+    SELECT n AS n_days, kk AS k_types, a2 AS a2_ranks,
+           round(CASE WHEN a2 - n * kk * (kk + 1) * (kk + 1) = 0 THEN 0.0
+                      ELSE CAST((kk - 1) AS DOUBLE)
+                           * (sd2 - 2 * n * (kk + 1) * sd
+                              + kk * n * n * (kk + 1) * (kk + 1))
+                           / (a2 - n * kk * (kk + 1) * (kk + 1)) END,
+                 6) AS q_friedman
+    FROM tot
+    """,
+    doc="F120 Friedman rank test for treatment effects in complete "
+    "blocks — blocks are calendar DAYS, treatments are event types, "
+    "the response is the daily value-cents total: do the types keep "
+    "the same daily ordering beyond chance? Within-block ranks are "
+    "held as EXACT INTEGER doubled midranks (the F91/F111/F117 "
+    "device: 2r = 2*min_rank + tie_count - 1), so the per-type rank "
+    "sums D_j, the squared-rank total A2 = 4*sum(r^2), and the "
+    "tie-corrected Conover statistic's numerator/denominator are all "
+    "exact BIGINTs; Q = (k-1)*sum(D_j - n(k+1))^2 / (A2 - nk(k+1)^2) "
+    "is the single fp division (denominator 0 — every block fully "
+    "tied — short-circuits to 0, not a crash). Only complete blocks "
+    "(days with all k types) enter, per the textbook design. "
+    "Pre-reduces to the days x types frame, so the rank windows are "
+    "corpus-size-invariant. Single summary row.",
+)
+def events_friedman_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    daily = _daily_cents(spark, sf_dir)
+    k = daily.agg(
+        F.countDistinct("event_type").cast("long").alias("kk")
+    )
+    full_d = (
+        daily.groupBy("d")
+        .agg(F.count(F.lit(1)).alias("nt"))
+        .join(F.broadcast(k), F.col("nt") == F.col("kk"), "left_semi")
+        .select("d")
+    )
+    r = daily.join(F.broadcast(full_d), "d").select(
+        "event_type",
+        (
+            2 * F.rank().over(Window.partitionBy("d").orderBy("v"))
+            + F.count(F.lit(1)).over(Window.partitionBy("d", "v"))
+            - 1
+        )
+        .cast("long")
+        .alias("dr"),
+    )
+    per_t = r.groupBy("event_type").agg(
+        F.sum("dr").alias("dsum"),
+        F.sum(F.col("dr") * F.col("dr")).alias("d2sum"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    tot = per_t.agg(
+        F.sum("d2sum").alias("a2"),
+        F.min("n").alias("n"),
+        F.count(F.lit(1)).alias("kk"),
+        F.sum("dsum").alias("sd"),
+        F.sum(F.col("dsum") * F.col("dsum")).alias("sd2"),
+    )
+    return tot.select(
+        F.col("n").alias("n_days"),
+        F.col("kk").alias("k_types"),
+        F.col("a2").alias("a2_ranks"),
+        F.expr(
+            "round(CASE WHEN a2 - n * kk * (kk + 1) * (kk + 1) = 0 THEN 0.0"
+            " ELSE CAST((kk - 1) AS DOUBLE)"
+            " * (sd2 - 2 * n * (kk + 1) * sd"
+            " + kk * n * n * (kk + 1) * (kk + 1))"
+            " / (a2 - n * kk * (kk + 1) * (kk + 1)) END, 6)"
+        ).alias("q_friedman"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# F121 Durbin-Watson serial-correlation test on linear-detrend residuals
+# ---------------------------------------------------------------------------
+@register(
+    "events_durbin_watson_daily",
+    f"""
+    WITH daily AS (
+        SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS d,
+               CAST(sum({_CENTS}) AS BIGINT) AS y
+        FROM events GROUP BY 1
+    ),
+    idx AS (
+        SELECT d, y,
+               CAST(row_number() OVER (ORDER BY d) - 1 AS BIGINT) AS t
+        FROM daily
+    ),
+    s AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(t) AS BIGINT) AS st,
+               CAST(sum(t * t) AS BIGINT) AS st2,
+               CAST(sum(y) AS BIGINT) AS sy,
+               CAST(sum(t * y) AS BIGINT) AS sty
+        FROM idx
+    ),
+    e AS (
+        SELECT d,
+               CAST(y AS DOUBLE)
+               - (CAST(sy AS DOUBLE)
+                  - (CAST(n * sty - st * sy AS DOUBLE) / (n * st2 - st * st))
+                    * st) / n
+               - (CAST(n * sty - st * sy AS DOUBLE) / (n * st2 - st * st))
+                 * t AS e,
+               n
+        FROM idx CROSS JOIN s
+    ),
+    l AS (
+        SELECT d, n, e, lag(e) OVER (ORDER BY d) AS ep FROM e
+    ),
+    c AS (
+        SELECT n,
+               sum(e * e) OVER w AS den,
+               sum(CASE WHEN ep IS NULL THEN 0.0
+                        ELSE (e - ep) * (e - ep) END) OVER w AS num,
+               row_number() OVER (ORDER BY d) AS rn
+        FROM l
+        WINDOW w AS (ORDER BY d
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    )
+    SELECT n AS n_days, round(num / den, 6) AS dw
+    FROM c WHERE rn = n
+    """,
+    doc="F121 Durbin-Watson first-order serial-correlation test on the "
+    "residuals of an OLS linear detrend of daily value-cents totals: "
+    "DW = sum((e_t - e_(t-1))^2) / sum(e_t^2), ~2 under whiteness, "
+    "->0 under positive autocorrelation — the classic companion to "
+    "F102 Ljung-Box for trend-fit residuals specifically. The OLS "
+    "slope/intercept come from EXACT BIGINT sums (n, sum t, sum t^2, "
+    "sum y, sum t*y; valid while n*sum(t*y) < 2^63, i.e. daily cents "
+    "x days^2 below ~9e18 — noted), residuals share one expression "
+    "text in both engines, and both quadratic-form sums accumulate "
+    "in DETERMINISTIC frame order (the F95/F102 running-sum device), "
+    "so DW is bit-identical. Pre-reduces to the calendar-day frame; "
+    "windows are corpus-size-invariant. Single summary row.",
+)
+def events_durbin_watson_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    daily = (
+        _events(spark, sf_dir)
+        .groupBy(F.date_trunc("day", F.col("ts")).alias("d"))
+        .agg(F.sum(F.expr(_CENTS)).alias("y"))
+    )
+    idx = daily.select(
+        "d", "y",
+        (F.row_number().over(Window.orderBy("d")) - 1)
+        .cast("long")
+        .alias("t"),
+    )
+    s = idx.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("t").alias("st"),
+        F.sum(F.col("t") * F.col("t")).alias("st2"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("t") * F.col("y")).alias("sty"),
+    )
+    e = idx.crossJoin(F.broadcast(s)).select(
+        "d",
+        "n",
+        F.expr(
+            "CAST(y AS DOUBLE)"
+            " - (CAST(sy AS DOUBLE)"
+            " - (CAST(n * sty - st * sy AS DOUBLE) / (n * st2 - st * st))"
+            " * st) / n"
+            " - (CAST(n * sty - st * sy AS DOUBLE) / (n * st2 - st * st))"
+            " * t"
+        ).alias("e"),
+    )
+    wl = Window.orderBy("d")
+    wc = wl.rowsBetween(Window.unboundedPreceding, 0)
+    l = e.select("d", "n", "e", F.lag("e").over(wl).alias("ep"))
+    c = l.select(
+        "n",
+        F.sum(F.col("e") * F.col("e")).over(wc).alias("den"),
+        F.sum(
+            F.when(F.col("ep").isNull(), F.lit(0.0)).otherwise(
+                (F.col("e") - F.col("ep")) * (F.col("e") - F.col("ep"))
+            )
+        )
+        .over(wc)
+        .alias("num"),
+        F.row_number().over(wl).alias("rn"),
+    )
+    return c.filter(F.col("rn") == F.col("n")).select(
+        F.col("n").alias("n_days"),
+        F.round(F.col("num") / F.col("den"), 6).alias("dw"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# F122 Jarque-Bera normality test on daily totals
+# ---------------------------------------------------------------------------
+@register(
+    "events_jarque_bera_daily",
+    f"""
+    WITH daily AS (
+        SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS d,
+               CAST(sum({_CENTS}) AS BIGINT) AS y
+        FROM events GROUP BY 1
+    ),
+    s AS (
+        SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(y) AS BIGINT) AS sy
+        FROM daily
+    ),
+    e AS (
+        SELECT d, CAST(y AS DOUBLE) - CAST(sy AS DOUBLE) / n AS e, n
+        FROM daily CROSS JOIN s
+    ),
+    c AS (
+        SELECT n,
+               sum(e * e) OVER w AS s2,
+               sum(e * e * e) OVER w AS s3,
+               sum(e * e * e * e) OVER w AS s4,
+               row_number() OVER (ORDER BY d) AS rn
+        FROM e
+        WINDOW w AS (ORDER BY d
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    )
+    SELECT n AS n_days,
+           round((s3 / n) / ((s2 / n) * sqrt(s2 / n)), 6) AS skewness,
+           round((s4 / n) / ((s2 / n) * (s2 / n)), 6) AS kurtosis,
+           round(n / 6.0
+                 * ( ((s3 / n) / ((s2 / n) * sqrt(s2 / n)))
+                     * ((s3 / n) / ((s2 / n) * sqrt(s2 / n)))
+                   + ((s4 / n) / ((s2 / n) * (s2 / n)) - 3.0)
+                     * ((s4 / n) / ((s2 / n) * (s2 / n)) - 3.0) / 4.0),
+                 6) AS jb_stat
+    FROM c WHERE rn = n
+    """,
+    doc="F122 Jarque-Bera normality test on daily value-cents totals: "
+    "JB = n/6*(S^2 + (K-3)^2/4) from the sample skewness S and "
+    "kurtosis K, ~chi2(2) under normality — the distributional "
+    "companion to F121 (serial correlation) and F102 (whiteness) for "
+    "residual/total diagnostics. The mean is the one exact-integer "
+    "division; centered moment sums e^2, e^3, e^4 accumulate in "
+    "DETERMINISTIC frame order (the F95 running-sum device — an "
+    "unordered double SUM would drift across engines), and S/K/JB "
+    "share one expression text (sqrt/div/mult only, no pow) so all "
+    "three are bit-identical doubles. Pre-reduces to the calendar-day "
+    "frame. Single summary row.",
+)
+def events_jarque_bera_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    daily = (
+        _events(spark, sf_dir)
+        .groupBy(F.date_trunc("day", F.col("ts")).alias("d"))
+        .agg(F.sum(F.expr(_CENTS)).alias("y"))
+    )
+    s = daily.agg(
+        F.count(F.lit(1)).alias("n"), F.sum("y").alias("sy")
+    )
+    e = daily.crossJoin(F.broadcast(s)).select(
+        "d",
+        "n",
+        F.expr("CAST(y AS DOUBLE) - CAST(sy AS DOUBLE) / n").alias("e"),
+    )
+    wl = Window.orderBy("d")
+    wc = wl.rowsBetween(Window.unboundedPreceding, 0)
+    c = e.select(
+        "n",
+        F.sum(F.col("e") * F.col("e")).over(wc).alias("s2"),
+        F.sum(F.col("e") * F.col("e") * F.col("e")).over(wc).alias("s3"),
+        F.sum(F.col("e") * F.col("e") * F.col("e") * F.col("e"))
+        .over(wc)
+        .alias("s4"),
+        F.row_number().over(wl).alias("rn"),
+    )
+    return c.filter(F.col("rn") == F.col("n")).select(
+        F.col("n").alias("n_days"),
+        F.expr(
+            "round((s3 / n) / ((s2 / n) * sqrt(s2 / n)), 6)"
+        ).alias("skewness"),
+        F.expr("round((s4 / n) / ((s2 / n) * (s2 / n)), 6)").alias(
+            "kurtosis"
+        ),
+        F.expr(
+            "round(n / 6.0"
+            " * ( ((s3 / n) / ((s2 / n) * sqrt(s2 / n)))"
+            " * ((s3 / n) / ((s2 / n) * sqrt(s2 / n)))"
+            " + ((s4 / n) / ((s2 / n) * (s2 / n)) - 3.0)"
+            " * ((s4 / n) / ((s2 / n) * (s2 / n)) - 3.0) / 4.0), 6)"
+        ).alias("jb_stat"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# F123 Nelson-Aalen cumulative hazard (companion to F107 Kaplan-Meier)
+# ---------------------------------------------------------------------------
+@register(
+    "users_nelson_aalen_hazard",
+    """
+    WITH bounds AS (
+        SELECT CAST(date_trunc('day', max(ts)) AS TIMESTAMP) AS horizon
+        FROM events
+    ),
+    u AS (
+        SELECT user_id,
+               CAST(date_trunc('day', min(ts)) AS TIMESTAMP) AS first_d,
+               CAST(date_trunc('day', max(ts)) AS TIMESTAMP) AS last_d
+        FROM events GROUP BY user_id
+    ),
+    lif AS (
+        SELECT CAST(datediff('day', first_d, last_d) AS BIGINT) AS t,
+               CASE WHEN datediff('day', last_d, horizon) > 0
+                    THEN 1 ELSE 0 END AS died
+        FROM u CROSS JOIN bounds
+    ),
+    per_t AS (
+        SELECT t, CAST(sum(died) AS BIGINT) AS d,
+               CAST(count(*) AS BIGINT) AS leaving
+        FROM lif GROUP BY t
+    ),
+    risk AS (
+        SELECT t, d,
+               CAST(sum(leaving) OVER (ORDER BY t DESC
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS n_risk
+        FROM per_t
+    ),
+    na AS (
+        SELECT t, d, n_risk,
+               sum(CAST(d AS DOUBLE) / n_risk) OVER w AS h,
+               sum(CAST(d AS DOUBLE) / (CAST(n_risk AS DOUBLE) * n_risk))
+                   OVER w AS vh
+        FROM risk
+        WINDOW w AS (ORDER BY t
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    )
+    SELECT t AS t_days, n_risk, d AS n_deaths,
+           round(h, 6) AS na_cumhaz,
+           round(vh, 6) AS na_var,
+           round(exp(-h), 6) AS fh_survival
+    FROM na
+    ORDER BY t_days
+    """,
+    doc="F123 Nelson-Aalen cumulative-hazard estimator over the SAME "
+    "right-censored user-lifetime frame as F107 Kaplan-Meier: "
+    "H(t) = sum(d_i/n_i) over event times <= t, its Poisson variance "
+    "sum(d_i/n_i^2), and the Fleming-Harrington survival exp(-H) — "
+    "the hazard-scale view KM cannot give (additive risk increments; "
+    "FH and KM converge for large n_risk, FH is the better small-n "
+    "estimator). Risk sets are reverse-ordered EXACT INTEGER running "
+    "sums; both hazard sums accumulate in DETERMINISTIC frame order "
+    "(F95 device), div-only fp with shared expression text. One user "
+    "reduce, one t reduce, ordered windows over the bounded lifetime "
+    "frame — corpus-size-invariant.",
+)
+def users_nelson_aalen_hazard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    bounds = ev.agg(F.date_trunc("day", F.max("ts")).alias("horizon"))
+    u = ev.groupBy("user_id").agg(
+        F.date_trunc("day", F.min("ts")).alias("first_d"),
+        F.date_trunc("day", F.max("ts")).alias("last_d"),
+    )
+    lif = u.crossJoin(F.broadcast(bounds)).select(
+        F.expr("CAST(datediff(last_d, first_d) AS BIGINT)").alias("t"),
+        F.expr(
+            "CASE WHEN datediff(horizon, last_d) > 0 THEN 1 ELSE 0 END"
+        ).alias("died"),
+    )
+    per_t = lif.groupBy("t").agg(
+        F.sum("died").alias("d"),
+        F.count(F.lit(1)).alias("leaving"),
+    )
+    w_rev = Window.orderBy(F.col("t").desc()).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    w_fwd = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, 0)
+    risk = per_t.select(
+        "t", "d", F.sum("leaving").over(w_rev).alias("n_risk")
+    )
+    na = risk.select(
+        "t", "d", "n_risk",
+        F.sum(F.expr("CAST(d AS DOUBLE) / n_risk")).over(w_fwd).alias("h"),
+        F.sum(
+            F.expr("CAST(d AS DOUBLE) / (CAST(n_risk AS DOUBLE) * n_risk)")
+        )
+        .over(w_fwd)
+        .alias("vh"),
+    )
+    return na.select(
+        F.col("t").alias("t_days"),
+        "n_risk",
+        F.col("d").alias("n_deaths"),
+        F.round("h", 6).alias("na_cumhaz"),
+        F.round("vh", 6).alias("na_var"),
+        F.round(F.exp(-F.col("h")), 6).alias("fh_survival"),
+    ).orderBy("t_days")
+
+
+# ---------------------------------------------------------------------------
+# F124 Mood's median test across event types (distinct-value median)
+# ---------------------------------------------------------------------------
+@register(
+    "events_mood_median_test",
+    f"""
+    WITH x AS (
+        SELECT event_type AS g, {_CENTS} AS v FROM events
+    ),
+    per_v AS (
+        SELECT v, CAST(count(*) AS BIGINT) AS c FROM x GROUP BY v
+    ),
+    cum AS (
+        SELECT v, c,
+               CAST(sum(c) OVER (ORDER BY v
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS cm,
+               CAST(sum(c) OVER () AS BIGINT) AS n
+        FROM per_v
+    ),
+    med AS (
+        SELECT min(v) AS m FROM cum
+        WHERE cm >= CAST(floor((n + 1) / 2.0) AS BIGINT)
+    ),
+    per_g AS (
+        SELECT g, CAST(count(*) AS BIGINT) AS ng,
+               CAST(sum(CASE WHEN v > (SELECT m FROM med)
+                             THEN 1 ELSE 0 END) AS BIGINT) AS ag
+        FROM x GROUP BY g
+    ),
+    tot AS (
+        SELECT CAST(count(*) AS BIGINT) AS k,
+               CAST(sum(ng) AS BIGINT) AS n,
+               CAST(sum(ag) AS BIGINT) AS a,
+               sum((CAST(n * ag - ng * a AS DOUBLE)
+                    * (n * ag - ng * a)) / ng) AS sdel
+        FROM per_g
+             CROSS JOIN (SELECT CAST(sum(ng2) AS BIGINT) AS n,
+                                CAST(sum(ag2) AS BIGINT) AS a
+                         FROM (SELECT count(*) AS ng2,
+                                      sum(CASE WHEN v > (SELECT m FROM med)
+                                               THEN 1 ELSE 0 END) AS ag2
+                               FROM x GROUP BY g))
+    )
+    SELECT n AS n_events, k AS k_types,
+           (SELECT m FROM med) AS pooled_median_cents,
+           a AS n_above,
+           round(sdel / (CAST(a AS DOUBLE) * (n - a)), 6) AS chi2_mood
+    FROM tot
+    """,
+    doc="F124 Mood's median test — do the k event types share a common "
+    "median value? Pooled LOWER MEDIAN is an exact-rank pick over the "
+    "DISTINCT-VALUE frame (per-v counts + running sum, the F90/F117 "
+    "shape — never a corpus-sized sort window), per-group above-"
+    "median counts are exact integers, and the 2xk chi-square "
+    "collapses algebraically to sum(delta_g^2/n_g)/(A*B) with "
+    "delta_g = N*a_g - n_g*A an EXACT BIGINT (cast to DOUBLE only "
+    "before squaring — delta^2 would overflow past ~3e9 rows, noted); "
+    "chi2 ~ chi2(k-1) under a common median. The median-only "
+    "complement to F119 Brown-Forsythe (scale) and F98 ANOVA (mean). "
+    "Two hash aggs + one bounded distinct-value window.",
+)
+def events_mood_median_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    x = _events(spark, sf_dir).select(
+        F.col("event_type").alias("g"), F.expr(_CENTS).alias("v")
+    )
+    per_v = x.groupBy("v").agg(F.count(F.lit(1)).alias("c"))
+    w_all = Window.orderBy("v").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    cum = per_v.select(
+        "v",
+        F.sum("c")
+        .over(Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0))
+        .alias("cm"),
+        F.sum("c").over(w_all).alias("n"),
+    )
+    med = (
+        cum.filter(
+            F.expr("cm >= CAST(floor((n + 1) / 2.0) AS BIGINT)")
+        )
+        .agg(F.min("v").alias("m"))
+    )
+    per_g = x.crossJoin(F.broadcast(med)).groupBy("g").agg(
+        F.count(F.lit(1)).alias("ng"),
+        F.sum(F.when(F.col("v") > F.col("m"), 1).otherwise(0)).alias("ag"),
+        F.min("m").alias("m"),
+    )
+    scal = per_g.agg(
+        F.sum("ng").alias("n"), F.sum("ag").alias("a")
+    )
+    tot = per_g.crossJoin(F.broadcast(scal)).agg(
+        F.count(F.lit(1)).alias("k"),
+        F.min("n").alias("n"),
+        F.min("a").alias("a"),
+        F.min("m").alias("m"),
+        F.sum(
+            F.expr(
+                "(CAST(n * ag - ng * a AS DOUBLE) * (n * ag - ng * a)) / ng"
+            )
+        ).alias("sdel"),
+    )
+    return tot.select(
+        F.col("n").alias("n_events"),
+        F.col("k").alias("k_types"),
+        F.col("m").alias("pooled_median_cents"),
+        F.col("a").alias("n_above"),
+        F.expr(
+            "round(sdel / (CAST(a AS DOUBLE) * (n - a)), 6)"
+        ).alias("chi2_mood"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# F125 empirical-Bayes shrunk per-user purchase rates
+# ---------------------------------------------------------------------------
+@register(
+    "users_eb_purchase_rates",
+    """
+    WITH u AS (
+        SELECT user_id,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(CASE WHEN event_type = 'purchase'
+                             THEN 1 ELSE 0 END) AS BIGINT) AS k
+        FROM events GROUP BY user_id
+    ),
+    per_n AS (
+        SELECT n, CAST(count(*) AS BIGINT) AS c FROM u GROUP BY n
+    ),
+    mcum AS (
+        SELECT n, c,
+               CAST(sum(c) OVER (ORDER BY n
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS cm,
+               CAST(sum(c) OVER () AS BIGINT) AS m
+        FROM per_n
+    ),
+    prior AS (
+        SELECT (SELECT min(n) FROM mcum
+                WHERE cm >= CAST(floor((m + 1) / 2.0) AS BIGINT)) AS mm,
+               CAST(sum(k) AS BIGINT) AS sk,
+               CAST(sum(n) AS BIGINT) AS sn
+        FROM u
+    )
+    SELECT user_id, n AS n_events, k AS n_purchases,
+           round(CAST(k AS DOUBLE) / n, 6) AS raw_rate,
+           round((k + (CAST(sk AS DOUBLE) / sn) * mm)
+                 / CAST(n + mm AS DOUBLE), 6) AS shrunk_rate
+    FROM u CROSS JOIN prior
+    """,
+    doc="F125 empirical-Bayes (beta-binomial pseudo-count) shrinkage of "
+    "per-user purchase rates — the estimator a training-data pipeline "
+    "needs wherever a per-key rate from few trials ranks keys (domain "
+    "quality rates, dedup-cluster keep rates): shrunk = (k + mu*M) / "
+    "(n + M), pulling low-n users toward the pooled rate mu = "
+    "sum(k)/sum(n) while high-n users keep their own. The prior "
+    "strength M is the MEDIAN events-per-user — an EXACT-RANK integer "
+    "pick over the bounded distinct-n frame (F124 device), so the "
+    "whole release is deterministic: integer sums, one shared-text "
+    "division each for mu/raw/shrunk. Two hash aggs + one bounded "
+    "distinct-n window; output is the per-user frame.",
+)
+def users_eb_purchase_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    u = _events(spark, sf_dir).groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).alias("k"),
+    )
+    per_n = u.groupBy("n").agg(F.count(F.lit(1)).alias("c"))
+    w_all = Window.orderBy("n").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    mcum = per_n.select(
+        "n",
+        F.sum("c")
+        .over(Window.orderBy("n").rowsBetween(Window.unboundedPreceding, 0))
+        .alias("cm"),
+        F.sum("c").over(w_all).alias("m"),
+    )
+    mm = (
+        mcum.filter(F.expr("cm >= CAST(floor((m + 1) / 2.0) AS BIGINT)"))
+        .agg(F.min("n").alias("mm"))
+    )
+    prior = (
+        u.agg(F.sum("k").alias("sk"), F.sum("n").alias("sn"))
+        .crossJoin(F.broadcast(mm))
+    )
+    return u.crossJoin(F.broadcast(prior)).select(
+        "user_id",
+        F.col("n").alias("n_events"),
+        F.col("k").alias("n_purchases"),
+        F.expr("round(CAST(k AS DOUBLE) / n, 6)").alias("raw_rate"),
+        F.expr(
+            "round((k + (CAST(sk AS DOUBLE) / sn) * mm)"
+            " / CAST(n + mm AS DOUBLE), 6)"
+        ).alias("shrunk_rate"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# F126 market-concentration report (HHI + CR-k from exact power sums)
+# ---------------------------------------------------------------------------
+@register(
+    "customer_concentration_report",
+    """
+    WITH c AS (
+        SELECT o_custkey,
+               CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT))
+                    AS BIGINT) AS rev
+        FROM orders GROUP BY o_custkey
+    ),
+    r AS (
+        SELECT rev,
+               row_number() OVER (ORDER BY rev DESC, o_custkey) AS rnk
+        FROM c
+    ),
+    tot AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(rev) AS BIGINT) AS t,
+               CAST(sum(CAST(rev AS DECIMAL(18,0))
+                        * CAST(rev AS DECIMAL(18,0))) AS DOUBLE) AS s2,
+               CAST(sum(CASE WHEN rnk <= 1 THEN rev ELSE 0 END)
+                    AS BIGINT) AS top1,
+               CAST(sum(CASE WHEN rnk <= 4 THEN rev ELSE 0 END)
+                    AS BIGINT) AS top4,
+               CAST(sum(CASE WHEN rnk <= 8 THEN rev ELSE 0 END)
+                    AS BIGINT) AS top8
+        FROM r
+    )
+    SELECT n AS n_customers, t AS total_cents,
+           round(10000.0 * s2 / (CAST(t AS DOUBLE) * t), 6) AS hhi_bp,
+           round(CAST(top1 AS DOUBLE) / t, 6) AS cr1,
+           round(CAST(top4 AS DOUBLE) / t, 6) AS cr4,
+           round(CAST(top8 AS DOUBLE) / t, 6) AS cr8
+    FROM tot
+    """,
+    doc="F126 revenue-concentration report over customers: Herfindahl-"
+    "Hirschman index in basis points (10000*sum(s_i^2), the antitrust "
+    "scale) plus CR1/CR4/CR8 concentration ratios. HHI's power sum "
+    "sum(rev^2) is EXACT via DECIMAL(18,0) products (BIGINT would "
+    "overflow at ~3e9-cent customers; decimal keeps 36 digits, summed "
+    "exactly in both engines, converted to DOUBLE once — the dialect's "
+    "HUGEINT-avoidance rule) over exact integer per-customer revenue; "
+    "CR-k picks are rank-windowed with a custkey tiebreak. The rank "
+    "window runs over the per-customer AGGREGATE (the documented RFM "
+    "posture: swap to a broadcast top-k when the dimension outgrows "
+    "one task). One hash agg + one aggregate-frame window; single "
+    "summary row.",
+)
+def customer_concentration_report(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    c = load(spark, sf_dir, "orders").groupBy("o_custkey").agg(
+        F.sum(
+            F.expr("CAST(round(o_totalprice * 100, 0) AS BIGINT)")
+        ).alias("rev")
+    )
+    r = c.select(
+        "rev",
+        F.row_number()
+        .over(Window.orderBy(F.col("rev").desc(), "o_custkey"))
+        .alias("rnk"),
+    )
+    tot = r.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("rev").alias("t"),
+        F.sum(
+            F.expr(
+                "CAST(rev AS DECIMAL(18,0)) * CAST(rev AS DECIMAL(18,0))"
+            )
+        )
+        .cast("double")
+        .alias("s2"),
+        F.sum(F.when(F.col("rnk") <= 1, F.col("rev")).otherwise(0)).alias(
+            "top1"
+        ),
+        F.sum(F.when(F.col("rnk") <= 4, F.col("rev")).otherwise(0)).alias(
+            "top4"
+        ),
+        F.sum(F.when(F.col("rnk") <= 8, F.col("rev")).otherwise(0)).alias(
+            "top8"
+        ),
+    )
+    return tot.select(
+        F.col("n").alias("n_customers"),
+        F.col("t").alias("total_cents"),
+        F.expr(
+            "round(10000.0 * s2 / (CAST(t AS DOUBLE) * t), 6)"
+        ).alias("hhi_bp"),
+        F.expr("round(CAST(top1 AS DOUBLE) / t, 6)").alias("cr1"),
+        F.expr("round(CAST(top4 AS DOUBLE) / t, 6)").alias("cr4"),
+        F.expr("round(CAST(top8 AS DOUBLE) / t, 6)").alias("cr8"),
+    )
