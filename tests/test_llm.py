@@ -1221,3 +1221,61 @@ def test_cluster_keep_best_is_argmax_of_cluster(spark):
     assert all(
         r["n_members"] == sizes[r["cluster_id"]] for r in got_rows
     )
+
+
+def test_lexical_diversity_matches_python_replay(spark):
+    """K11: the frequency-spectrum identities hold vs a plain-Python
+    Counter replay on sf0.001, and Yule's K is invariant under
+    corpus duplication while TTR is not (the reason K exists)."""
+    import math
+    from collections import Counter
+
+    import pandas as pd
+
+    from time_series_spark_spark.queries import REGISTRY
+
+    def diversity(tokens):
+        tf = Counter(tokens)
+        n = sum(tf.values())
+        v = len(tf)
+        v1 = sum(1 for f in tf.values() if f == 1)
+        m2 = sum(f * f for f in tf.values())
+        ss = sum(f * (f - 1) for f in tf.values())
+        return (
+            n, v, v1,
+            v / n, v1 / v,
+            10000.0 * (m2 - n) / (float(n) * n),
+            ss / (float(n) * (n - 1)),
+        )
+
+    docs = pd.read_parquet("/root/testdata/sf0.001/documents.parquet")
+    rows = {
+        r["lang"]: r
+        for r in REGISTRY["docs_lexical_diversity"]
+        .fn(spark, "/root/testdata/sf0.001")
+        .collect()
+    }
+    langs = sorted(docs["lang"].unique())
+    assert sorted(rows) == langs
+    for lang in langs:
+        toks = [
+            w
+            for t in docs.loc[docs["lang"] == lang, "text"]
+            for w in t.split(" ")
+        ]
+        n, v, v1, ttr, hapax, yk, sd = diversity(toks)
+        r = rows[lang]
+        assert (r["n_tokens"], r["n_types"], r["n_hapax"]) == (n, v, v1)
+        assert math.isclose(r["ttr"], round(ttr, 6), abs_tol=1e-9)
+        assert math.isclose(r["hapax_ratio"], round(hapax, 6), abs_tol=1e-9)
+        assert math.isclose(r["yule_k"], round(yk, 6), abs_tol=1e-6)
+        assert math.isclose(r["simpson_d"], round(sd, 6), abs_tol=1e-9)
+
+    base = ["a", "b", "b", "c", "c", "c", "d", "e", "f", "g"]
+    # K converges under corpus growth (the -N correction washes out as
+    # sum(f^2) >> N), while TTR collapses — the reason K exists:
+    k10 = diversity(base * 10)[5]
+    k100 = diversity(base * 100)[5]
+    assert abs(k10 - k100) / k100 < 0.1
+    ttr1, ttr2 = diversity(base)[3], diversity(base * 10)[3]
+    assert ttr2 < ttr1 / 5  # TTR collapses under duplication

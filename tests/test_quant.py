@@ -1800,3 +1800,44 @@ def test_concentration_report_matches_python_replay(spark):
 
     assert math.isclose(conc([100, 0, 0, 0])[0], 10000.0)
     assert math.isclose(conc([25, 25, 25, 25])[0], 2500.0)
+
+
+def test_poisson_rate_test_matches_python_replay(spark):
+    """F127: the conditional-binomial z equals a Python replay on
+    sf0.001; planted equal rates give |z| small, a 3x rate jump in
+    the second half gives a strongly negative z."""
+    import math
+
+    import pandas as pd
+
+    from time_series_spark_spark.queries import REGISTRY
+
+    def pois_z(k1, k2, t1, t2):
+        w = t1 / (t1 + t2)
+        kk = k1 + k2
+        return (k1 - kk * w) / math.sqrt(kk * w * (1 - w))
+
+    ev = pd.read_parquet("/root/testdata/sf0.001/events.parquet")
+    d = ev["ts"].dt.floor("D")
+    d0, d1 = d.min(), d.max()
+    n_days = (d1 - d0).days + 1
+    half = n_days // 2
+    purch = ev[ev["event_type"] == "purchase"]
+    in_a = (purch["ts"].dt.floor("D") - d0).dt.days < half
+    k1, k2 = int(in_a.sum()), int((~in_a).sum())
+
+    row = (
+        REGISTRY["events_poisson_rate_test"]
+        .fn(spark, "/root/testdata/sf0.001")
+        .collect()[0]
+    )
+    assert (row["days_a"], row["days_b"]) == (half, n_days - half)
+    assert (row["k1"], row["k2"]) == (k1, k2)
+    assert math.isclose(
+        row["z_score"],
+        round(pois_z(k1, k2, half, n_days - half), 6),
+        abs_tol=1e-9,
+    )
+
+    assert abs(pois_z(500, 500, 15, 15)) < 1.0
+    assert pois_z(100, 300, 15, 15) < -8.0

@@ -2701,3 +2701,85 @@ def docs_cluster_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cluster_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# K11 lexical-diversity report (Yule's K, Simpson's D, TTR, hapax)
+# ---------------------------------------------------------------------------
+@register(
+    "docs_lexical_diversity",
+    """
+    WITH tok AS (
+        SELECT lang, unnest(string_split(text, ' ')) AS w FROM documents
+    ),
+    tf AS (
+        SELECT lang, w, CAST(count(*) AS BIGINT) AS f
+        FROM tok GROUP BY lang, w
+    ),
+    vm AS (
+        SELECT lang, f, CAST(count(*) AS BIGINT) AS vm
+        FROM tf GROUP BY lang, f
+    ),
+    agg AS (
+        SELECT lang,
+               CAST(sum(f * vm) AS BIGINT) AS n,
+               CAST(sum(vm) AS BIGINT) AS v,
+               CAST(sum(CASE WHEN f = 1 THEN vm ELSE 0 END) AS BIGINT)
+                   AS v1,
+               CAST(sum(f * f * vm) AS BIGINT) AS m2,
+               CAST(sum(f * (f - 1) * vm) AS BIGINT) AS ss
+        FROM vm GROUP BY lang
+    )
+    SELECT lang, n AS n_tokens, v AS n_types, v1 AS n_hapax,
+           round(CAST(v AS DOUBLE) / n, 6) AS ttr,
+           round(CAST(v1 AS DOUBLE) / v, 6) AS hapax_ratio,
+           round(10000.0 * (m2 - n) / (CAST(n AS DOUBLE) * n), 6)
+               AS yule_k,
+           round(CAST(ss AS DOUBLE) / (CAST(n AS DOUBLE) * (n - 1)), 6)
+               AS simpson_d
+    FROM agg ORDER BY lang
+    """,
+    doc="K11 lexical-diversity report per language — the vocabulary-"
+    "richness signals a curation pipeline ranks corpora by, all from "
+    "ONE frequency-spectrum reduce (types -> V_m = #types with "
+    "frequency m): type-token ratio V/N, hapax ratio V1/V (Zipf tail "
+    "mass, the K5 Heaps/Zipf companion), Yule's K = 1e4*(sum(m^2*V_m)"
+    "-N)/N^2 (repeat-rate; length-invariant unlike TTR), and "
+    "Simpson's D = sum(f(f-1))/(N(N-1)) (the probability two sampled "
+    "tokens coincide). Every spectrum sum is an EXACT BIGINT (bound: "
+    "sum f^2*V_m <= N*f_max < 2^63 while tokens-per-lang * top-word "
+    "count stays under ~9e18 — noted); one shared-text fp division "
+    "each. Two hash aggs over the (lang, word) frame, then a "
+    "spectrum-sized reduce. One row per language.",
+)
+def docs_lexical_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from time_series_spark_spark.operators.llm import tokens
+
+    tf = (
+        load(spark, sf_dir, "documents")
+        .select("lang", F.explode(tokens()).alias("w"))
+        .groupBy("lang", "w")
+        .agg(F.count(F.lit(1)).alias("f"))
+    )
+    vm = tf.groupBy("lang", "f").agg(F.count(F.lit(1)).alias("vm"))
+    agg = vm.groupBy("lang").agg(
+        F.sum(F.col("f") * F.col("vm")).alias("n"),
+        F.sum("vm").alias("v"),
+        F.sum(F.when(F.col("f") == 1, F.col("vm")).otherwise(0)).alias("v1"),
+        F.sum(F.col("f") * F.col("f") * F.col("vm")).alias("m2"),
+        F.sum(F.col("f") * (F.col("f") - 1) * F.col("vm")).alias("ss"),
+    )
+    return agg.select(
+        "lang",
+        F.col("n").alias("n_tokens"),
+        F.col("v").alias("n_types"),
+        F.col("v1").alias("n_hapax"),
+        F.expr("round(CAST(v AS DOUBLE) / n, 6)").alias("ttr"),
+        F.expr("round(CAST(v1 AS DOUBLE) / v, 6)").alias("hapax_ratio"),
+        F.expr(
+            "round(10000.0 * (m2 - n) / (CAST(n AS DOUBLE) * n), 6)"
+        ).alias("yule_k"),
+        F.expr(
+            "round(CAST(ss AS DOUBLE) / (CAST(n AS DOUBLE) * (n - 1)), 6)"
+        ).alias("simpson_d"),
+    ).orderBy("lang")

@@ -5287,3 +5287,97 @@ def customer_concentration_report(
         F.expr("round(CAST(top4 AS DOUBLE) / t, 6)").alias("cr4"),
         F.expr("round(CAST(top8 AS DOUBLE) / t, 6)").alias("cr8"),
     )
+
+
+# ---------------------------------------------------------------------------
+# F127 two-sample Poisson rate test (conditional binomial score z)
+# ---------------------------------------------------------------------------
+@register(
+    "events_poisson_rate_test",
+    """
+    WITH bounds AS (
+        SELECT CAST(date_trunc('day', min(ts)) AS TIMESTAMP) AS d0,
+               CAST(date_trunc('day', max(ts)) AS TIMESTAMP) AS d1
+        FROM events
+    ),
+    split AS (
+        SELECT d0,
+               CAST(datediff('day', d0, d1) + 1 AS BIGINT) AS n_days,
+               CAST(floor((datediff('day', d0, d1) + 1) / 2.0) AS BIGINT)
+                   AS half
+        FROM bounds
+    ),
+    x AS (
+        SELECT CASE WHEN datediff('day', d0, CAST(date_trunc('day', ts)
+                                             AS TIMESTAMP)) < half
+                    THEN 1 ELSE 0 END AS in_a
+        FROM events CROSS JOIN split
+        WHERE event_type = 'purchase'
+    ),
+    k AS (
+        SELECT CAST(sum(in_a) AS BIGINT) AS k1,
+               CAST(sum(1 - in_a) AS BIGINT) AS k2
+        FROM x
+    )
+    SELECT half AS days_a, n_days - half AS days_b, k1, k2,
+           round(CAST(k1 AS DOUBLE) / half, 6) AS rate_a,
+           round(CAST(k2 AS DOUBLE) / (n_days - half), 6) AS rate_b,
+           round((k1 - (k1 + k2) * (CAST(half AS DOUBLE) / n_days))
+                 / sqrt((k1 + k2) * (CAST(half AS DOUBLE) / n_days)
+                        * (CAST(n_days - half AS DOUBLE) / n_days)), 6)
+               AS z_score
+    FROM k CROSS JOIN split
+    """,
+    doc="F127 two-sample Poisson rate test on daily purchase counts, "
+    "first half of the corpus calendar vs second: conditional on the "
+    "total K = k1+k2, k1 ~ Binomial(K, t1/(t1+t2)) under equal rates, "
+    "so the score z = (k1 - K*w) / sqrt(K*w*(1-w)) with w = t1/T "
+    "needs only EXACT INTEGER counts and day spans — no variance "
+    "estimation, the standard epidemiology/SRE rate-comparison form "
+    "(complements F84 variant props, which compares proportions per "
+    "USER, not rates per DAY). Exposure halves via exact floor "
+    "division of the day span. One filtered scan + a 2-cell reduce; "
+    "single summary row.",
+)
+def events_poisson_rate_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    bounds = ev.agg(
+        F.date_trunc("day", F.min("ts")).alias("d0"),
+        F.date_trunc("day", F.max("ts")).alias("d1"),
+    )
+    split = bounds.select(
+        "d0",
+        F.expr("CAST(datediff(d1, d0) + 1 AS BIGINT)").alias("n_days"),
+        F.expr(
+            "CAST(floor((datediff(d1, d0) + 1) / 2.0) AS BIGINT)"
+        ).alias("half"),
+    )
+    x = (
+        ev.filter(F.col("event_type") == "purchase")
+        .crossJoin(F.broadcast(split))
+        .select(
+            F.expr(
+                "CASE WHEN datediff(date_trunc('day', ts), d0) < half"
+                " THEN 1 ELSE 0 END"
+            ).alias("in_a")
+        )
+    )
+    k = x.agg(
+        F.sum("in_a").alias("k1"),
+        F.sum(F.lit(1) - F.col("in_a")).alias("k2"),
+    )
+    return k.crossJoin(F.broadcast(split)).select(
+        F.col("half").alias("days_a"),
+        (F.col("n_days") - F.col("half")).alias("days_b"),
+        "k1",
+        "k2",
+        F.expr("round(CAST(k1 AS DOUBLE) / half, 6)").alias("rate_a"),
+        F.expr(
+            "round(CAST(k2 AS DOUBLE) / (n_days - half), 6)"
+        ).alias("rate_b"),
+        F.expr(
+            "round((k1 - (k1 + k2) * (CAST(half AS DOUBLE) / n_days))"
+            " / sqrt((k1 + k2) * (CAST(half AS DOUBLE) / n_days)"
+            " * (CAST(n_days - half AS DOUBLE) / n_days)), 6)"
+        ).alias("z_score"),
+    )
