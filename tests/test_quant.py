@@ -1841,3 +1841,116 @@ def test_poisson_rate_test_matches_python_replay(spark):
 
     assert abs(pois_z(500, 500, 15, 15)) < 1.0
     assert pois_z(100, 300, 15, 15) < -8.0
+
+
+def test_mutual_info_matches_python_replay(spark):
+    """F128: MI, marginal entropies, and NMI equal a plain-Python
+    replay on sf0.001; independence gives MI ~ 0, a diagonal table
+    gives NMI == 1."""
+    import math
+    from collections import Counter
+
+    import pandas as pd
+
+    from time_series_spark_spark.queries import REGISTRY
+
+    def mi_stats(pairs):
+        nij = Counter(pairs)
+        ri = Counter(a for a, _ in pairs)
+        cj = Counter(b for _, b in pairs)
+        n = len(pairs)
+        mi = sum(
+            (o / n) * math.log(o * n / (ri[a] * cj[b]))
+            for (a, b), o in nij.items()
+        )
+        hr = -sum((r / n) * math.log(r / n) for r in ri.values())
+        hc = -sum((c / n) * math.log(c / n) for c in cj.values())
+        return mi, hr, hc, mi / math.sqrt(hr * hc)
+
+    ev = pd.read_parquet("/root/testdata/sf0.001/events.parquet")
+    dow = (ev["ts"].dt.dayofweek).astype(int)  # pandas: 0=Monday already
+    pairs = list(zip(ev["event_type"], dow))
+    mi, hr, hc, nmi = mi_stats(pairs)
+    row = (
+        REGISTRY["events_mutual_info_type_dow"]
+        .fn(spark, "/root/testdata/sf0.001")
+        .collect()[0]
+    )
+    assert row["n_events"] == len(ev)
+    assert math.isclose(row["mi_nats"], round(mi, 6), abs_tol=1e-6)
+    assert math.isclose(row["h_type"], round(hr, 6), abs_tol=1e-9)
+    assert math.isclose(row["h_dow"], round(hc, 6), abs_tol=1e-9)
+    assert math.isclose(row["nmi"], round(nmi, 6), abs_tol=1e-6)
+
+    indep = [(a, b) for a in "xy" for b in "uv" for _ in range(25)]
+    diag = [("x", "u")] * 50 + [("y", "v")] * 50
+    assert mi_stats(indep)[0] < 1e-12
+    assert math.isclose(mi_stats(diag)[3], 1.0, abs_tol=1e-12)
+
+
+def test_bh_fdr_matches_python_replay(spark):
+    """F129: z, the A&S p-value, ranks, and the step-up rejection set
+    equal a Python replay on sf0.001; the step-up property (every
+    rank <= k* rejected even if its own p > its cutoff) is exercised
+    on a planted family."""
+    import math
+
+    import pandas as pd
+
+    from time_series_spark_spark.queries import REGISTRY
+
+    def phi_tail_2sided(z):
+        az = abs(z)
+        t = 1.0 / (1.0 + 0.2316419 * az)
+        poly = (
+            0.319381530 * t - 0.356563782 * t**2 + 1.781477937 * t**3
+            - 1.821255978 * t**4 + 1.330274429 * t**5
+        )
+        return 2.0 * (math.exp(-az * az / 2.0) / 2.5066282746310002) * poly
+
+    def bh(ps, alpha=0.05):
+        order = sorted(range(len(ps)), key=lambda i: ps[i])
+        kstar = 0
+        for rank, i in enumerate(order, 1):
+            if ps[i] <= rank * alpha / len(ps):
+                kstar = rank
+        rejected = set(order[:kstar])
+        return rejected
+
+    ev = pd.read_parquet("/root/testdata/sf0.001/events.parquet")
+    d = ev["ts"].dt.floor("D")
+    d0 = d.min()
+    n_days = (d.max() - d0).days + 1
+    half = n_days // 2
+    w = half / n_days
+    zs, names = [], []
+    for t, g in ev.groupby("event_type"):
+        k1 = int(((g["ts"].dt.floor("D") - d0).dt.days < half).sum())
+        kk = len(g)
+        zs.append((k1 - kk * w) / math.sqrt(kk * w * (1 - w)))
+        names.append(t)
+    ps = [phi_tail_2sided(z) for z in zs]
+    rej = bh(ps)
+
+    rows = (
+        REGISTRY["events_bh_fdr_type_drift"]
+        .fn(spark, "/root/testdata/sf0.001")
+        .collect()
+    )
+    got = {r["event_type"]: r for r in rows}
+    for i, name in enumerate(names):
+        r = got[name]
+        assert math.isclose(r["z"], round(zs[i], 6), abs_tol=1e-9)
+        assert math.isclose(r["p_value"], round(ps[i], 6), abs_tol=1e-9)
+        assert r["rejected"] == int(i in rej)
+    ranks = sorted(r["p_rank"] for r in rows)
+    assert ranks == list(range(1, len(names) + 1))
+
+    # A&S polynomial sanity vs known normal quantiles
+    assert math.isclose(phi_tail_2sided(1.959964), 0.05, abs_tol=1e-4)
+    assert math.isclose(phi_tail_2sided(2.575829), 0.01, abs_tol=1e-4)
+    # step-up property: p = [.001,.012,.013,.8] at alpha=.05, m=4:
+    # rank2 cutoff .025 >= .012, rank3 cutoff .0375 >= .013 -> k*=3,
+    # and rank 2 is rejected even though naive per-test alpha/m would
+    # only reject rank 1
+    assert bh([0.001, 0.012, 0.013, 0.8]) == {0, 1, 2}

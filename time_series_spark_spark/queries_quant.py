@@ -5381,3 +5381,306 @@ def events_poisson_rate_test(spark: SparkSession, sf_dir: str) -> DataFrame:
             " * (CAST(n_days - half AS DOUBLE) / n_days)), 6)"
         ).alias("z_score"),
     )
+
+
+# ---------------------------------------------------------------------------
+# F128 mutual information / normalized MI for event_type x day-of-week
+# ---------------------------------------------------------------------------
+@register(
+    "events_mutual_info_type_dow",
+    """
+    WITH obs AS (
+        SELECT event_type,
+               CAST((CAST(dayofweek(ts) AS BIGINT) + 6) % 7 AS BIGINT)
+                   AS dow,
+               CAST(count(*) AS BIGINT) AS o
+        FROM events GROUP BY 1, 2
+    ),
+    m AS (
+        SELECT event_type, dow, o,
+               CAST(sum(o) OVER (PARTITION BY event_type) AS BIGINT) AS r,
+               CAST(sum(o) OVER (PARTITION BY dow) AS BIGINT) AS c,
+               CAST(sum(o) OVER () AS BIGINT) AS n
+        FROM obs
+    ),
+    mi AS (
+        SELECT n,
+               sum((CAST(o AS DOUBLE) / n)
+                   * ln((CAST(o AS DOUBLE) * n) / (CAST(r AS DOUBLE) * c)))
+                   OVER (ORDER BY event_type, dow
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS mi,
+               row_number() OVER (ORDER BY event_type, dow) AS rn,
+               count(*) OVER () AS cells
+        FROM m
+    ),
+    hr AS (
+        SELECT sum(-(CAST(r AS DOUBLE) / n)
+                   * ln(CAST(r AS DOUBLE) / n))
+                   OVER (ORDER BY event_type
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS h,
+               row_number() OVER (ORDER BY event_type) AS rn,
+               count(*) OVER () AS k
+        FROM (SELECT event_type, CAST(sum(o) AS BIGINT) AS r,
+                     CAST(sum(sum(o)) OVER () AS BIGINT) AS n
+              FROM obs GROUP BY event_type)
+    ),
+    hc AS (
+        SELECT sum(-(CAST(c AS DOUBLE) / n)
+                   * ln(CAST(c AS DOUBLE) / n))
+                   OVER (ORDER BY dow
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS h,
+               row_number() OVER (ORDER BY dow) AS rn,
+               count(*) OVER () AS k
+        FROM (SELECT dow, CAST(sum(o) AS BIGINT) AS c,
+                     CAST(sum(sum(o)) OVER () AS BIGINT) AS n
+              FROM obs GROUP BY dow)
+    )
+    SELECT (SELECT max(n) FROM m) AS n_events,
+           round((SELECT mi FROM mi WHERE rn = cells), 6) AS mi_nats,
+           round((SELECT h FROM hr WHERE rn = k), 6) AS h_type,
+           round((SELECT h FROM hc WHERE rn = k), 6) AS h_dow,
+           round((SELECT mi FROM mi WHERE rn = cells)
+                 / sqrt((SELECT h FROM hr WHERE rn = k)
+                        * (SELECT h FROM hc WHERE rn = k)), 6) AS nmi
+    """,
+    doc="F128 mutual information between event_type and day-of-week in "
+    "nats, with marginal entropies and the sqrt-normalized NMI in "
+    "[0,1] — the effect-size companion to F92's chi-square (MI is the "
+    "G-statistic/2N, additive across cells and comparable across "
+    "tables; NMI is the clustering-agreement standard). Counts are "
+    "EXACT BIGINTs from one contingency reduce; every entropy/MI sum "
+    "accumulates in DETERMINISTIC frame order over the bounded "
+    "|types|x7 frame (F95 device), ln/div with one shared expression "
+    "text. Dow normalized to 0=Monday in both engines (§5.1). Single "
+    "summary row.",
+)
+def events_mutual_info_type_dow(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    ev = _events(spark, sf_dir)
+    obs = ev.groupBy(
+        "event_type",
+        ((F.dayofweek("ts").cast("long") + 5) % 7).alias("dow"),
+    ).agg(F.count(F.lit(1)).alias("o"))
+    w_all = W.partitionBy().rowsBetween(
+        W.unboundedPreceding, W.unboundedFollowing
+    )
+    m = obs.select(
+        "event_type", "dow", "o",
+        F.sum("o").over(W.partitionBy("event_type")).alias("r"),
+        F.sum("o").over(W.partitionBy("dow")).alias("c"),
+        F.sum("o").over(w_all).alias("n"),
+    )
+    w_mi = W.orderBy("event_type", "dow").rowsBetween(
+        W.unboundedPreceding, 0
+    )
+    mi = m.select(
+        "n",
+        F.sum(
+            F.expr(
+                "(CAST(o AS DOUBLE) / n)"
+                " * ln((CAST(o AS DOUBLE) * n) / (CAST(r AS DOUBLE) * c))"
+            )
+        )
+        .over(w_mi)
+        .alias("mi"),
+        F.row_number().over(W.orderBy("event_type", "dow")).alias("rn"),
+        F.count(F.lit(1)).over(w_all).alias("cells"),
+    ).filter(F.col("rn") == F.col("cells")).select("n", "mi")
+
+    def _marginal(col: str):
+        g = obs.groupBy(col).agg(F.sum("o").alias("x"))
+        g = g.select(col, "x", F.sum("x").over(w_all).alias("n"))
+        return (
+            g.select(
+                F.sum(
+                    F.expr(
+                        "-(CAST(x AS DOUBLE) / n) * ln(CAST(x AS DOUBLE) / n)"
+                    )
+                )
+                .over(W.orderBy(col).rowsBetween(W.unboundedPreceding, 0))
+                .alias("h"),
+                F.row_number().over(W.orderBy(col)).alias("rn"),
+                F.count(F.lit(1)).over(w_all).alias("k"),
+            )
+            .filter(F.col("rn") == F.col("k"))
+            .select("h")
+        )
+
+    hr = _marginal("event_type").select(F.col("h").alias("h_type"))
+    hc = _marginal("dow").select(F.col("h").alias("h_dow"))
+    return (
+        mi.crossJoin(F.broadcast(hr))
+        .crossJoin(F.broadcast(hc))
+        .select(
+            F.col("n").alias("n_events"),
+            F.round("mi", 6).alias("mi_nats"),
+            F.round("h_type", 6).alias("h_type"),
+            F.round("h_dow", 6).alias("h_dow"),
+            F.expr("round(mi / sqrt(h_type * h_dow), 6)").alias("nmi"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# F129 Benjamini-Hochberg FDR control over a per-type rate-test family
+# ---------------------------------------------------------------------------
+_PHI_TAIL = (
+    "(2.0 * (exp(-az * az / 2.0) / 2.5066282746310002)"
+    " * (0.319381530 * t - 0.356563782 * t * t"
+    " + 1.781477937 * t * t * t - 1.821255978 * t * t * t * t"
+    " + 1.330274429 * t * t * t * t * t))"
+)
+
+
+@register(
+    "events_bh_fdr_type_drift",
+    f"""
+    WITH bounds AS (
+        SELECT CAST(date_trunc('day', min(ts)) AS TIMESTAMP) AS d0,
+               CAST(datediff('day', CAST(date_trunc('day', min(ts))
+                                         AS TIMESTAMP),
+                             CAST(date_trunc('day', max(ts))
+                                  AS TIMESTAMP)) + 1 AS BIGINT) AS n_days
+        FROM events
+    ),
+    split AS (
+        SELECT d0, n_days,
+               CAST(floor(n_days / 2.0) AS BIGINT) AS half
+        FROM bounds
+    ),
+    k AS (
+        SELECT event_type,
+               CAST(sum(CASE WHEN datediff('day', d0,
+                        CAST(date_trunc('day', ts) AS TIMESTAMP)) < half
+                        THEN 1 ELSE 0 END) AS BIGINT) AS k1,
+               CAST(sum(CASE WHEN datediff('day', d0,
+                        CAST(date_trunc('day', ts) AS TIMESTAMP)) < half
+                        THEN 0 ELSE 1 END) AS BIGINT) AS k2
+        FROM events CROSS JOIN split GROUP BY event_type
+    ),
+    z AS (
+        SELECT event_type, k1, k2,
+               (k1 - (k1 + k2) * (CAST(half AS DOUBLE) / n_days))
+               / sqrt((k1 + k2) * (CAST(half AS DOUBLE) / n_days)
+                      * (CAST(n_days - half AS DOUBLE) / n_days)) AS z
+        FROM k CROSS JOIN split
+    ),
+    p AS (
+        SELECT event_type, k1, k2, z, {_PHI_TAIL} AS p
+        FROM (SELECT event_type, k1, k2, z, abs(z) AS az,
+                     1.0 / (1.0 + 0.2316419 * abs(z)) AS t
+              FROM z)
+    ),
+    bh AS (
+        SELECT event_type, k1, k2, z, p,
+               row_number() OVER (ORDER BY p, event_type) AS p_rank,
+               count(*) OVER () AS m
+        FROM p
+    ),
+    cut AS (
+        SELECT event_type, k1, k2, z, p, p_rank,
+               CAST(p_rank AS DOUBLE) * 0.05 / m AS bh_cutoff,
+               max(CASE WHEN p <= CAST(p_rank AS DOUBLE) * 0.05 / m
+                        THEN p_rank ELSE 0 END) OVER () AS kstar
+        FROM bh
+    )
+    SELECT event_type, k1, k2, round(z, 6) AS z,
+           round(p, 6) AS p_value,
+           CAST(p_rank AS BIGINT) AS p_rank,
+           round(bh_cutoff, 6) AS bh_cutoff,
+           CASE WHEN p_rank <= kstar THEN 1 ELSE 0 END AS rejected
+    FROM cut ORDER BY p_rank
+    """,
+    doc="F129 Benjamini-Hochberg step-up FDR control (alpha=0.05) over "
+    "a FAMILY of per-event-type calendar-drift tests (each type's "
+    "first-vs-second-half event count compared by the F127 "
+    "conditional-binomial score z): p-values via the Abramowitz-"
+    "Stegun 26.2.17 normal-tail polynomial (|err| < 7.5e-8; exp/mult "
+    "only, SHARED expression text so both engines produce bit-equal "
+    "doubles — neither engine has a builtin erf), then the BH "
+    "step-up: rank p ascending, k* = max{{k : p_k <= k*alpha/m}}, "
+    "reject ranks <= k*. THE multiple-testing guard every metrics "
+    "platform needs once it runs a test per segment — F92/F98 alone "
+    "inflate false positives across k segments. Counts exact "
+    "BIGINTs; rank/threshold comparisons on identical doubles. One "
+    "contingency reduce + windows over the k-types frame.",
+)
+def events_bh_fdr_type_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    ev = _events(spark, sf_dir)
+    bounds = ev.agg(
+        F.date_trunc("day", F.min("ts")).alias("d0"),
+        F.expr(
+            "CAST(datediff(date_trunc('day', max(ts)),"
+            " date_trunc('day', min(ts))) + 1 AS BIGINT)"
+        ).alias("n_days"),
+    )
+    split = bounds.select(
+        "d0", "n_days",
+        F.expr("CAST(floor(n_days / 2.0) AS BIGINT)").alias("half"),
+    )
+    k = (
+        ev.crossJoin(F.broadcast(split))
+        .groupBy("event_type")
+        .agg(
+            F.sum(
+                F.expr(
+                    "CASE WHEN datediff(date_trunc('day', ts), d0) < half"
+                    " THEN 1 ELSE 0 END"
+                )
+            ).alias("k1"),
+            F.sum(
+                F.expr(
+                    "CASE WHEN datediff(date_trunc('day', ts), d0) < half"
+                    " THEN 0 ELSE 1 END"
+                )
+            ).alias("k2"),
+        )
+    )
+    z = k.crossJoin(F.broadcast(split)).select(
+        "event_type", "k1", "k2",
+        F.expr(
+            "(k1 - (k1 + k2) * (CAST(half AS DOUBLE) / n_days))"
+            " / sqrt((k1 + k2) * (CAST(half AS DOUBLE) / n_days)"
+            " * (CAST(n_days - half AS DOUBLE) / n_days))"
+        ).alias("z"),
+    )
+    p = z.withColumn("az", F.expr("abs(z)")).withColumn(
+        "t", F.expr("1.0 / (1.0 + 0.2316419 * abs(z))")
+    ).withColumn("p", F.expr(_PHI_TAIL)).drop("az", "t")
+    w_all = W.partitionBy().rowsBetween(
+        W.unboundedPreceding, W.unboundedFollowing
+    )
+    bh = p.select(
+        "event_type", "k1", "k2", "z", "p",
+        F.row_number().over(W.orderBy("p", "event_type")).alias("p_rank"),
+        F.count(F.lit(1)).over(w_all).alias("m"),
+    )
+    cut = bh.select(
+        "event_type", "k1", "k2", "z", "p", "p_rank",
+        F.expr("CAST(p_rank AS DOUBLE) * 0.05 / m").alias("bh_cutoff"),
+        F.max(
+            F.expr(
+                "CASE WHEN p <= CAST(p_rank AS DOUBLE) * 0.05 / m THEN p_rank ELSE 0 END"
+            )
+        )
+        .over(w_all)
+        .alias("kstar"),
+    )
+    return cut.select(
+        "event_type", "k1", "k2",
+        F.round("z", 6).alias("z"),
+        F.round("p", 6).alias("p_value"),
+        F.col("p_rank").cast("long").alias("p_rank"),
+        F.round("bh_cutoff", 6).alias("bh_cutoff"),
+        F.expr(
+            "CASE WHEN p_rank <= kstar THEN 1 ELSE 0 END"
+        ).alias("rejected"),
+    ).orderBy("p_rank")
