@@ -1954,3 +1954,125 @@ def test_bh_fdr_matches_python_replay(spark):
     # and rank 2 is rejected even though naive per-test alpha/m would
     # only reject rank 1
     assert bh([0.001, 0.012, 0.013, 0.8]) == {0, 1, 2}
+
+
+def test_cochran_q_matches_python_replay(spark):
+    """F130: Q equals a plain-Python replay of the user x type binary
+    grid on sf0.001; a planted one-treatment-always design gives a
+    large Q, an exchangeable design a small one; degenerate blocks
+    cancel out of both numerator and denominator."""
+    import math
+
+    import pandas as pd
+
+    from time_series_spark_spark.queries import REGISTRY
+
+    def cochran_q(grid):  # grid: list of per-block dict {t: 0/1}
+        ts = sorted(grid[0])
+        k = len(ts)
+        cj = {t: sum(b[t] for b in grid) for t in ts}
+        ri = [sum(b.values()) for b in grid]
+        n = sum(ri)
+        den = k * n - sum(r * r for r in ri)
+        if den == 0:
+            return 0.0
+        return (k - 1) * (k * sum(c * c for c in cj.values()) - n * n) / den
+
+    ev = pd.read_parquet("/root/testdata/sf0.001/events.parquet")
+    d = ev["ts"].dt.floor("D")
+    d0 = d.min()
+    half = ((d.max() - d0).days + 1) // 2
+    late = ev[(d - d0).dt.days >= half]
+    types = sorted(ev["event_type"].unique())
+    users = sorted(ev["user_id"].unique())
+    hits = set(zip(late["user_id"], late["event_type"]))
+    grid = [{t: int((u, t) in hits) for t in types} for u in users]
+    q_ref = cochran_q(grid)
+    row = (
+        REGISTRY["users_cochran_q_types"]
+        .fn(spark, "/root/testdata/sf0.001")
+        .collect()[0]
+    )
+    assert row["n_users"] == len(users)
+    assert row["k_types"] == len(types)
+    assert row["n_hits"] == len(hits)
+    assert math.isclose(row["q_cochran"], round(q_ref, 6), rel_tol=1e-9)
+
+    always_a = [{"a": 1, "b": 0, "c": i % 2} for i in range(40)]
+    fair = [{"a": i % 2, "b": (i + 1) % 2, "c": i % 2} for i in range(40)]
+    assert cochran_q(always_a) > 30.0
+    assert cochran_q(fair) < 5.0
+    degenerate = [{"a": 1, "b": 1}] * 10  # all-ones blocks only
+    assert cochran_q(degenerate) == 0.0
+
+
+def test_ansari_bradley_matches_scipy_style_replay(spark):
+    """F131: T (score sum) and the tie-aware z equal a plain-Python
+    replay on sf0.001; planted wider-spread sample A gives strongly
+    negative z (extremes get SMALL scores), equal spreads give |z|
+    small."""
+    import math
+
+    import pandas as pd
+
+    from time_series_spark_spark.queries import REGISTRY
+
+    def ab(a, b):
+        pooled = sorted(
+            [(v, 1) for v in a] + [(v, 0) for v in b]
+        )
+        nn = len(pooled)
+        # doubled midranks then folded scores
+        from collections import Counter
+        cnt = Counter(v for v, _ in pooled)
+        before = {}
+        run = 0
+        for v in sorted(cnt):
+            before[v] = run
+            run += cnt[v]
+        t2 = 0
+        sd2 = 0
+        for v, flag in pooled:
+            dr = 2 * before[v] + cnt[v] + 1
+            dv = min(dr, 2 * (nn + 1) - dr)
+            sd2 += dv * dv
+            if flag:
+                t2 += dv
+        m = len(a)
+        if nn % 2 == 0:
+            e2 = m * (nn + 2) / 2.0
+            var4 = (
+                m * (nn - m)
+                * (4.0 * sd2 - float(nn) * (nn + 2) * (nn + 2))
+                / (4.0 * nn * (nn - 1))
+            )
+        else:
+            e2 = m * float(nn + 1) * (nn + 1) / (2.0 * nn)
+            var4 = (
+                m * (nn - m)
+                * (4.0 * nn * sd2 - (float(nn + 1) * (nn + 1)) ** 2)
+                / (4.0 * float(nn) * nn * (nn - 1))
+            )
+        return t2, (t2 - e2) / math.sqrt(var4)
+
+    ev = pd.read_parquet("/root/testdata/sf0.001/events.parquet")
+    cents = (ev["value"] * 100).round().astype("int64")
+    a = list(cents[ev["event_type"] == "click"])
+    b = list(cents[ev["event_type"] == "view"])
+    t2_ref, z_ref = ab(a, b)
+    row = (
+        REGISTRY["events_ansari_bradley_scale"]
+        .fn(spark, "/root/testdata/sf0.001")
+        .collect()[0]
+    )
+    assert (row["n_click"], row["n_view"]) == (len(a), len(b))
+    assert row["t2_ab"] == t2_ref
+    assert math.isclose(row["z_ab"], round(z_ref, 6), abs_tol=1e-6)
+
+    import numpy as np
+    rng = np.random.default_rng(3)
+    narrow = list((rng.normal(0, 1, 301) * 100).round().astype(int))
+    wide = list((rng.normal(0, 6, 301) * 100).round().astype(int))
+    same = list((rng.normal(0, 1, 301) * 100).round().astype(int))
+    assert ab(wide, narrow)[1] < -5.0  # wide sample -> small scores
+    assert abs(ab(same, narrow)[1]) < 3.0

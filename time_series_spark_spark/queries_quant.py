@@ -5684,3 +5684,265 @@ def events_bh_fdr_type_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CASE WHEN p_rank <= kstar THEN 1 ELSE 0 END"
         ).alias("rejected"),
     ).orderBy("p_rank")
+
+
+# ---------------------------------------------------------------------------
+# F130 Cochran's Q test (binary repeated measures: users x types)
+# ---------------------------------------------------------------------------
+@register(
+    "users_cochran_q_types",
+    """
+    WITH split AS (
+        SELECT CAST(date_trunc('day', min(ts)) AS TIMESTAMP) AS d0,
+               CAST(floor((datediff('day',
+                        CAST(date_trunc('day', min(ts)) AS TIMESTAMP),
+                        CAST(date_trunc('day', max(ts)) AS TIMESTAMP))
+                    + 1) / 2.0) AS BIGINT) AS half
+        FROM events
+    ),
+    x AS (
+        SELECT user_id, event_type,
+               CAST(max(CASE WHEN datediff('day', d0,
+                            CAST(date_trunc('day', ts) AS TIMESTAMP))
+                            >= half THEN 1 ELSE 0 END) AS BIGINT) AS hit
+        FROM events CROSS JOIN split
+        GROUP BY user_id, event_type
+    ),
+    types AS (SELECT DISTINCT event_type FROM events),
+    users AS (SELECT DISTINCT user_id FROM events),
+    grid AS (
+        SELECT u.user_id, t.event_type,
+               CAST(coalesce(x.hit, 0) AS BIGINT) AS hit
+        FROM users u CROSS JOIN types t
+        LEFT JOIN x ON x.user_id = u.user_id
+                   AND x.event_type = t.event_type
+    ),
+    rows_ AS (
+        SELECT user_id, CAST(sum(hit) AS BIGINT) AS r
+        FROM grid GROUP BY user_id
+    ),
+    cols_ AS (
+        SELECT event_type, CAST(sum(hit) AS BIGINT) AS c
+        FROM grid GROUP BY event_type
+    ),
+    agg AS (
+        SELECT (SELECT CAST(count(*) AS BIGINT) FROM rows_) AS b,
+               (SELECT CAST(count(*) AS BIGINT) FROM cols_) AS k,
+               (SELECT CAST(sum(r) AS BIGINT) FROM rows_) AS n,
+               (SELECT CAST(sum(r * r) AS BIGINT) FROM rows_) AS sr2,
+               (SELECT CAST(sum(c * c) AS BIGINT) FROM cols_) AS sc2
+    )
+    SELECT b AS n_users, k AS k_types, n AS n_hits,
+           round(CASE WHEN k * n - sr2 = 0 THEN 0.0
+                      ELSE CAST((k - 1) AS DOUBLE) * (k * sc2 - n * n)
+                           / (k * n - sr2) END, 6) AS q_cochran
+    FROM agg
+    """,
+    doc="F130 Cochran's Q test for equality of k binary treatment rates "
+    "under blocking — blocks are USERS, treatments are event types, "
+    "the response is 'did the user perform that type in the SECOND "
+    "half of the calendar' (per-user binary engagement — the matched "
+    "design that a naive per-type proportion test would get wrong by "
+    "ignoring user effects; Q is McNemar's generalization to k>2): "
+    "Q = (k-1)(k*sum(C_j^2) - N^2) / (k*N - sum(R_i^2)), every term "
+    "an EXACT BIGINT (users who hit all types or none contribute "
+    "R(k-R)=0 and drop out through the algebra; an all-degenerate "
+    "denominator short-circuits to 0); ~chi2(k-1) under exchangeable "
+    "types. The user x type grid is densified with a bounded "
+    "types-dimension cross join (missing cell = 0). Two hash aggs + "
+    "a 5-row reduce; single summary row.",
+)
+def users_cochran_q_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    split = ev.agg(
+        F.date_trunc("day", F.min("ts")).alias("d0"),
+        F.expr(
+            "CAST(floor((datediff(date_trunc('day', max(ts)),"
+            " date_trunc('day', min(ts))) + 1) / 2.0) AS BIGINT)"
+        ).alias("half"),
+    )
+    x = (
+        ev.crossJoin(F.broadcast(split))
+        .groupBy("user_id", "event_type")
+        .agg(
+            F.max(
+                F.expr(
+                    "CASE WHEN datediff(date_trunc('day', ts), d0) >= half"
+                    " THEN 1 ELSE 0 END"
+                )
+            )
+            .cast("long")
+            .alias("hit")
+        )
+    )
+    types = ev.select("event_type").distinct()
+    users = ev.select("user_id").distinct()
+    grid = (
+        users.crossJoin(F.broadcast(types))
+        .join(x, ["user_id", "event_type"], "left")
+        .select(
+            "user_id", "event_type",
+            F.coalesce(F.col("hit"), F.lit(0)).cast("long").alias("hit"),
+        )
+    )
+    rows_ = grid.groupBy("user_id").agg(F.sum("hit").alias("r"))
+    cols_ = grid.groupBy("event_type").agg(F.sum("hit").alias("c"))
+    ragg = rows_.agg(
+        F.count(F.lit(1)).alias("b"),
+        F.sum("r").alias("n"),
+        F.sum(F.col("r") * F.col("r")).alias("sr2"),
+    )
+    cagg = cols_.agg(
+        F.count(F.lit(1)).alias("k"),
+        F.sum(F.col("c") * F.col("c")).alias("sc2"),
+    )
+    agg = ragg.crossJoin(F.broadcast(cagg))
+    return agg.select(
+        F.col("b").alias("n_users"),
+        F.col("k").alias("k_types"),
+        F.col("n").alias("n_hits"),
+        F.expr(
+            "round(CASE WHEN k * n - sr2 = 0 THEN 0.0"
+            " ELSE CAST((k - 1) AS DOUBLE) * (k * sc2 - n * n)"
+            " / (k * n - sr2) END, 6)"
+        ).alias("q_cochran"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# F131 Ansari-Bradley scale test (view vs click; distinct-value frame)
+# ---------------------------------------------------------------------------
+@register(
+    "events_ansari_bradley_scale",
+    f"""
+    WITH x AS (
+        SELECT {_CENTS} AS v,
+               CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS in_a
+        FROM events WHERE event_type IN ('view', 'click')
+    ),
+    per_v AS (
+        SELECT v, CAST(sum(in_a) AS BIGINT) AS ca,
+               CAST(count(*) AS BIGINT) AS c
+        FROM x GROUP BY v
+    ),
+    cum AS (
+        SELECT v, ca, c,
+               CAST(coalesce(sum(c) OVER (ORDER BY v
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                    AS BIGINT) AS before,
+               CAST(sum(c) OVER () AS BIGINT) AS nn
+        FROM per_v
+    ),
+    scored AS (
+        SELECT ca, c, nn,
+               least(2 * before + c + 1,
+                     2 * (nn + 1) - (2 * before + c + 1)) AS d
+        FROM cum
+    ),
+    agg AS (
+        SELECT CAST(max(nn) AS BIGINT) AS nn,
+               CAST(sum(ca) AS BIGINT) AS m,
+               CAST(sum(ca * d) AS BIGINT) AS t2,
+               CAST(sum(c * d * d) AS BIGINT) AS sd2
+        FROM scored
+    )
+    SELECT m AS n_click, nn - m AS n_view, t2 AS t2_ab,
+           round(CASE WHEN nn % 2 = 0 THEN
+                    (t2 - m * (nn + 2) / 2.0)
+                    / sqrt(CAST(m AS DOUBLE) * (nn - m)
+                           * (4.0 * sd2 - CAST(nn AS DOUBLE) * (nn + 2)
+                              * (nn + 2))
+                           / (4.0 * nn * (nn - 1)))
+                 ELSE
+                    (t2 - m * (CAST(nn + 1 AS DOUBLE) * (nn + 1)) / (2.0 * nn))
+                    / sqrt(CAST(m AS DOUBLE) * (nn - m)
+                           * (4.0 * nn * sd2
+                              - (CAST(nn + 1 AS DOUBLE) * (nn + 1))
+                                * (CAST(nn + 1 AS DOUBLE) * (nn + 1)))
+                           / (4.0 * CAST(nn AS DOUBLE) * nn * (nn - 1)))
+                 END, 6) AS z_ab
+    FROM agg
+    """,
+    doc="F131 Ansari-Bradley rank test for a SCALE (dispersion) "
+    "difference between click and view event values — ranks folded "
+    "from both ends (score = min(rank, N+1-rank): extreme values get "
+    "small scores, so a low/high mean score in one sample means "
+    "wider/narrower spread), the nonparametric complement to F119 "
+    "Brown-Forsythe that needs no location estimate (it assumes "
+    "equal medians). Scores are EXACT INTEGERS via the doubled-"
+    "midrank fold d = min(2r, 2(N+1)-2r) over the DISTINCT-VALUE "
+    "frame (F90/F124 shape — never a corpus sort), T2 = sum of "
+    "sample-A doubled scores and sum(c*d^2) are exact BIGINTs "
+    "(validity: sum(d^2) ~ N^3/3 < 2^63 while the two-type row count "
+    "stays under ~3e6 — beyond that accumulate sd2 in DOUBLE over "
+    "the ordered distinct-value frame), and the tie-aware normal "
+    "approximation (Hollander-Wolfe, parity-split) is one shared fp "
+    "expression. One hash agg + bounded distinct-value windows; "
+    "single summary row.",
+)
+def events_ansari_bradley_scale(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    x = (
+        _events(spark, sf_dir)
+        .filter(F.col("event_type").isin("view", "click"))
+        .select(
+            F.expr(_CENTS).alias("v"),
+            F.when(F.col("event_type") == "click", 1)
+            .otherwise(0)
+            .alias("in_a"),
+        )
+    )
+    per_v = x.groupBy("v").agg(
+        F.sum("in_a").alias("ca"), F.count(F.lit(1)).alias("c")
+    )
+    w_all = Window.orderBy("v").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    cum = per_v.select(
+        "v", "ca", "c",
+        F.coalesce(
+            F.sum("c").over(
+                Window.orderBy("v").rowsBetween(
+                    Window.unboundedPreceding, -1
+                )
+            ),
+            F.lit(0),
+        )
+        .cast("long")
+        .alias("before"),
+        F.sum("c").over(w_all).alias("nn"),
+    )
+    scored = cum.select(
+        "ca", "c", "nn",
+        F.expr(
+            "least(2 * before + c + 1,"
+            " 2 * (nn + 1) - (2 * before + c + 1))"
+        ).alias("d"),
+    )
+    agg = scored.agg(
+        F.max("nn").alias("nn"),
+        F.sum("ca").alias("m"),
+        F.sum(F.col("ca") * F.col("d")).alias("t2"),
+        F.sum(F.col("c") * F.col("d") * F.col("d")).alias("sd2"),
+    )
+    return agg.select(
+        F.col("m").alias("n_click"),
+        (F.col("nn") - F.col("m")).alias("n_view"),
+        F.col("t2").alias("t2_ab"),
+        F.expr(
+            "round(CASE WHEN nn % 2 = 0 THEN"
+            " (t2 - m * (nn + 2) / 2.0)"
+            " / sqrt(CAST(m AS DOUBLE) * (nn - m)"
+            " * (4.0 * sd2 - CAST(nn AS DOUBLE) * (nn + 2) * (nn + 2))"
+            " / (4.0 * nn * (nn - 1)))"
+            " ELSE"
+            " (t2 - m * (CAST(nn + 1 AS DOUBLE) * (nn + 1)) / (2.0 * nn))"
+            " / sqrt(CAST(m AS DOUBLE) * (nn - m)"
+            " * (4.0 * nn * sd2"
+            " - (CAST(nn + 1 AS DOUBLE) * (nn + 1))"
+            " * (CAST(nn + 1 AS DOUBLE) * (nn + 1)))"
+            " / (4.0 * CAST(nn AS DOUBLE) * nn * (nn - 1)))"
+            " END, 6)"
+        ).alias("z_ab"),
+    )
