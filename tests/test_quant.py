@@ -2076,3 +2076,54 @@ def test_ansari_bradley_matches_scipy_style_replay(spark):
     same = list((rng.normal(0, 1, 301) * 100).round().astype(int))
     assert ab(wide, narrow)[1] < -5.0  # wide sample -> small scores
     assert abs(ab(same, narrow)[1]) < 3.0
+
+
+def test_allan_variance_matches_numpy_replay(spark):
+    """F132: AVAR at every tau equals the non-overlapping numpy replay
+    on sf0.001; white noise gives AVAR ~ 1/tau (slope ~ -1 in log2),
+    a random walk gives AVAR growing with tau."""
+    import math
+
+    import numpy as np
+    import pandas as pd
+
+    from time_series_spark_spark.queries import REGISTRY
+
+    def avar(x, tau):
+        nb = len(x) // tau
+        if nb < 2:
+            return None, 0
+        s = [sum(x[b * tau:(b + 1) * tau]) for b in range(nb)]
+        d = [(s[b + 1] - s[b]) for b in range(nb - 1)]
+        return sum(v * v for v in d) / (2.0 * tau * tau * len(d)), len(d)
+
+    ev = pd.read_parquet("/root/testdata/sf0.001/events.parquet")
+    daily = list(
+        ev.groupby(ev["ts"].dt.floor("D"))["event_id"].count().sort_index()
+    )
+    rows = {
+        r["tau"]: r
+        for r in REGISTRY["events_allan_variance_daily"]
+        .fn(spark, "/root/testdata/sf0.001")
+        .collect()
+    }
+    for tau in (1, 2, 4, 8):
+        want, m = avar(daily, tau)
+        if want is None:
+            assert tau not in rows
+            continue
+        r = rows[tau]
+        assert r["m_pairs"] == m
+        assert math.isclose(r["avar"], round(want, 6), rel_tol=1e-9)
+        assert math.isclose(r["adev"], round(math.sqrt(want), 6),
+                            abs_tol=1e-6)
+
+    rng = np.random.default_rng(5)
+    white = list(rng.integers(900, 1100, 4096))
+    walk = list(np.cumsum(rng.integers(-50, 51, 4096)) + 10000)
+    aw1, _ = avar(white, 1)
+    aw8, _ = avar(white, 8)
+    assert aw1 / aw8 > 4.0  # white: AVAR ~ 1/tau
+    rw1, _ = avar(walk, 1)
+    rw8, _ = avar(walk, 8)
+    assert rw8 / rw1 > 3.0  # random walk: AVAR grows with tau

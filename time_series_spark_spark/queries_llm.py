@@ -2783,3 +2783,117 @@ def docs_lexical_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
             "round(CAST(ss AS DOUBLE) / (CAST(n AS DOUBLE) * (n - 1)), 6)"
         ).alias("simpson_d"),
     ).orderBy("lang")
+
+
+# ---------------------------------------------------------------------------
+# K12 Johnson-Lindenstrauss sign-projection distortion report
+# ---------------------------------------------------------------------------
+@register(
+    "emb_jl_projection_report",
+    """
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    proj AS (
+        SELECT vec_id, v,
+               list_transform(
+                   list_transform(range(0, 16), r ->
+                       list_transform(range(0, 64), j ->
+                           CASE WHEN substring(
+                                    md5('jl-v1:' || r || ':' || j), 1, 1)
+                                    < '8'
+                                THEN 1.0 ELSE -1.0 END)),
+                   s -> list_inner_product(v, s)) AS y
+        FROM e
+    ),
+    pairs AS (
+        SELECT (list_inner_product(a.v, a.v)
+                - 2 * list_inner_product(a.v, b.v)
+                + list_inner_product(b.v, b.v)) AS orig_d2,
+               (list_inner_product(a.y, a.y)
+                - 2 * list_inner_product(a.y, b.y)
+                + list_inner_product(b.y, b.y)) AS proj_d2
+        FROM proj a JOIN proj b ON b.vec_id = a.vec_id + 1
+    ),
+    ratio AS (
+        SELECT proj_d2 / (16.0 * orig_d2) AS ratio
+        FROM pairs WHERE orig_d2 > 0
+    )
+    SELECT CAST(floor(ratio * 4) AS BIGINT) AS ratio_bucket,
+           CAST(count(*) AS BIGINT) AS n_pairs,
+           round(min(ratio), 6) AS min_ratio,
+           round(max(ratio), 6) AS max_ratio
+    FROM ratio GROUP BY 1 ORDER BY 1
+    """,
+    doc="K12 Johnson-Lindenstrauss random sign projection (64 -> 16 "
+    "dims) with a measured distortion report — the dimensionality "
+    "reduction a 100 TB ANN pipeline runs BEFORE indexing (4x fewer "
+    "bytes per vector, distances preserved within ~sqrt(2/k)): the "
+    "+-1 projection matrix is md5-DERIVED in-query (seed 'jl-v1', "
+    "hex-nibble fair coin — no stored artifact, both engines generate "
+    "the identical matrix), each coordinate one zip_with/aggregate "
+    "fold (the driver-green K3 dot idiom, sequential index order so "
+    "doubles match bit-for-bit), and squared distances expand as "
+    "dot(a,a) - 2dot(a,b) + dot(b,b) with one shared tree. Distortion "
+    "ratio ||Py||^2/(k*||x||^2) over consecutive-id pairs lands in "
+    "quarter-width buckets with exact counts + per-bucket min/max "
+    "(order-independent fp reduces only — never an unordered fp sum). "
+    "One narrow projection pass + an id-shifted self-join.",
+)
+def emb_jl_projection_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("v"),
+    )
+    proj = e.select(
+        "vec_id", "v",
+        F.expr(
+            "transform("
+            " transform(sequence(0, 15), r ->"
+            "  transform(sequence(0, 63), j ->"
+            "   CASE WHEN substring(md5(concat('jl-v1:',"
+            "     CAST(r AS STRING), ':', CAST(j AS STRING))), 1, 1) < '8'"
+            "        THEN CAST(1.0 AS DOUBLE)"
+            "        ELSE CAST(-1.0 AS DOUBLE) END)),"
+            " s -> aggregate(zip_with(v, s, (x, w) -> x * w), 0D,"
+            "                (acc, t) -> acc + t))"
+        ).alias("y"),
+    )
+    a = proj.select(
+        F.col("vec_id").alias("ida"),
+        F.col("v").alias("va"),
+        F.col("y").alias("ya"),
+    )
+    b = proj.select(
+        F.col("vec_id").alias("idb"),
+        F.col("v").alias("vb"),
+        F.col("y").alias("yb"),
+    )
+    dot = (
+        "aggregate(zip_with({p}, {q}, (x, w) -> x * w), 0D,"
+        " (acc, t) -> acc + t)"
+    )
+    pairs = a.join(b, F.col("idb") == F.col("ida") + 1).select(
+        F.expr(
+            f"({dot.format(p='va', q='va')}"
+            f" - 2 * {dot.format(p='va', q='vb')}"
+            f" + {dot.format(p='vb', q='vb')})"
+        ).alias("orig_d2"),
+        F.expr(
+            f"({dot.format(p='ya', q='ya')}"
+            f" - 2 * {dot.format(p='ya', q='yb')}"
+            f" + {dot.format(p='yb', q='yb')})"
+        ).alias("proj_d2"),
+    )
+    ratio = pairs.filter(F.col("orig_d2") > 0).select(
+        F.expr("proj_d2 / (16.0 * orig_d2)").alias("ratio")
+    )
+    return (
+        ratio.groupBy(
+            F.expr("CAST(floor(ratio * 4) AS BIGINT)").alias("ratio_bucket")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.round(F.min("ratio"), 6).alias("min_ratio"),
+            F.round(F.max("ratio"), 6).alias("max_ratio"),
+        )
+        .orderBy("ratio_bucket")
+    )

@@ -5946,3 +5946,119 @@ def events_ansari_bradley_scale(
             " END, 6)"
         ).alias("z_ab"),
     )
+
+
+# ---------------------------------------------------------------------------
+# F132 Allan variance of the daily event-count series (taus 1,2,4,8)
+# ---------------------------------------------------------------------------
+@register(
+    "events_allan_variance_daily",
+    """
+    WITH d AS (
+        SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS d,
+               CAST(count(*) AS BIGINT) AS x
+        FROM events GROUP BY 1
+    ),
+    idx AS (
+        SELECT x, CAST(row_number() OVER (ORDER BY d) - 1 AS BIGINT) AS i
+        FROM d
+    ),
+    taus AS (SELECT CAST(unnest([1, 2, 4, 8]) AS BIGINT) AS tau),
+    blocks AS (
+        SELECT tau,
+               CAST(floor((i * 1.0) / tau) AS BIGINT) AS b,
+               CAST(sum(x) AS BIGINT) AS s,
+               CAST(count(*) AS BIGINT) AS cnt
+        FROM idx CROSS JOIN taus
+        GROUP BY tau, CAST(floor((i * 1.0) / tau) AS BIGINT)
+    ),
+    full_b AS (
+        SELECT tau, b, s,
+               lead(s) OVER (PARTITION BY tau ORDER BY b) AS s_next,
+               lead(cnt) OVER (PARTITION BY tau ORDER BY b) AS cnt_next,
+               cnt
+        FROM blocks
+    ),
+    diffs AS (
+        SELECT tau,
+               CAST(sum((s_next - s) * (s_next - s)) AS BIGINT) AS ssd,
+               CAST(count(*) AS BIGINT) AS m_pairs
+        FROM full_b
+        WHERE cnt = tau AND cnt_next = tau
+        GROUP BY tau
+    )
+    SELECT tau, m_pairs, ssd AS sum_sq_diff,
+           round(CAST(ssd AS DOUBLE)
+                 / (2.0 * tau * tau * m_pairs), 6) AS avar,
+           round(sqrt(CAST(ssd AS DOUBLE)
+                      / (2.0 * tau * tau * m_pairs)), 6) AS adev
+    FROM diffs ORDER BY tau
+    """,
+    doc="F132 non-overlapping Allan variance of the daily event-count "
+    "series at averaging windows tau = 1,2,4,8 days — the stability-"
+    "vs-averaging-time diagnostic (clock/SRE heritage): white noise "
+    "shows AVAR ~ 1/tau, a random-walk rate shows AVAR ~ tau, so the "
+    "slope of adev(tau) identifies which regime a counter is in "
+    "(F102/F121 only test lag-1 structure). AVAR(tau) = "
+    "sum((S_(b+1)-S_b)^2) / (2 tau^2 (M-1)) over consecutive FULL "
+    "tau-day block sums: block sums, their differences, and the "
+    "squared-diff total are all EXACT BIGINTs (bound: tau*max_daily "
+    "< ~3e9); the normalization is the single fp step. One day "
+    "reduce, a 4-way bounded tau fanout, per-tau lead windows on the "
+    "bounded block frame. One row per tau.",
+)
+def events_allan_variance_daily(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    d = _events(spark, sf_dir).groupBy(
+        F.date_trunc("day", F.col("ts")).alias("d")
+    ).agg(F.count(F.lit(1)).alias("x"))
+    idx = d.select(
+        "x",
+        (F.row_number().over(Window.orderBy("d")) - 1)
+        .cast("long")
+        .alias("i"),
+    )
+    taus = d.sparkSession.range(0, 4).select(
+        F.expr("CAST(shiftleft(1, CAST(id AS INT)) AS BIGINT)").alias("tau")
+    )
+    blocks = (
+        idx.crossJoin(F.broadcast(taus))
+        .groupBy(
+            "tau",
+            F.expr("CAST(floor((i * 1.0) / tau) AS BIGINT)").alias("b"),
+        )
+        .agg(F.sum("x").alias("s"), F.count(F.lit(1)).alias("cnt"))
+    )
+    w = Window.partitionBy("tau").orderBy("b")
+    full_b = blocks.select(
+        "tau", "s", "cnt",
+        F.lead("s").over(w).alias("s_next"),
+        F.lead("cnt").over(w).alias("cnt_next"),
+    )
+    diffs = (
+        full_b.filter(
+            (F.col("cnt") == F.col("tau"))
+            & (F.col("cnt_next") == F.col("tau"))
+        )
+        .groupBy("tau")
+        .agg(
+            F.sum(
+                (F.col("s_next") - F.col("s"))
+                * (F.col("s_next") - F.col("s"))
+            ).alias("ssd"),
+            F.count(F.lit(1)).alias("m_pairs"),
+        )
+    )
+    return diffs.select(
+        "tau",
+        "m_pairs",
+        F.col("ssd").alias("sum_sq_diff"),
+        F.expr(
+            "round(CAST(ssd AS DOUBLE) / (2.0 * tau * tau * m_pairs), 6)"
+        ).alias("avar"),
+        F.expr(
+            "round(sqrt(CAST(ssd AS DOUBLE)"
+            " / (2.0 * tau * tau * m_pairs)), 6)"
+        ).alias("adev"),
+    ).orderBy("tau")
