@@ -2127,3 +2127,92 @@ def test_allan_variance_matches_numpy_replay(spark):
     rw1, _ = avar(walk, 1)
     rw8, _ = avar(walk, 8)
     assert rw8 / rw1 > 3.0  # random walk: AVAR grows with tau
+
+
+def test_pettitt_matches_python_replay(spark):
+    """F133: K, t*, and the approximate p equal a plain-Python O(n^2)
+    sgn replay on sf0.001 (proving the midrank identity), and a
+    planted level shift is located exactly."""
+    import math
+
+    import pandas as pd
+
+    from time_series_spark_spark.queries import REGISTRY
+
+    def pettitt(y):
+        n = len(y)
+        best_k, best_t = -1, -1
+        for t in range(1, n):
+            u = sum(
+                (y[j] > y[i]) - (y[j] < y[i])
+                for i in range(t)
+                for j in range(t, n)
+            )
+            if abs(u) > best_k:
+                best_k, best_t = abs(u), t
+        p = 2 * math.exp(-6.0 * best_k**2 / (float(n) ** 3 + float(n) ** 2))
+        return best_k, best_t, p
+
+    ev = pd.read_parquet("/root/testdata/sf0.001/events.parquet")
+    ev["cents"] = (ev["value"] * 100).round().astype("int64")
+    daily = ev.groupby(ev["ts"].dt.floor("D"))["cents"].sum().sort_index()
+    k_ref, t_ref, p_ref = pettitt(list(daily))
+    row = (
+        REGISTRY["events_pettitt_changepoint"]
+        .fn(spark, "/root/testdata/sf0.001")
+        .collect()[0]
+    )
+    assert row["n_days"] == len(daily)
+    assert row["k_stat"] == k_ref
+    assert row["t_star"] == t_ref
+    assert row["change_day"] == daily.index[t_ref - 1]
+    assert math.isclose(row["p_approx"], round(p_ref, 6), abs_tol=1e-9)
+
+    shifted = [10] * 20 + [50] * 20
+    k2, t2, p2 = pettitt(shifted)
+    assert t2 == 20 and k2 == 20 * 20 and p2 < 1e-3
+
+
+def test_kpss_matches_statsmodels_style_replay(spark):
+    """F134: eta equals a numpy replay of the textbook KPSS recipe on
+    sf0.001; a planted trending series gives a large eta, white noise
+    a small one."""
+    import math
+
+    import numpy as np
+    import pandas as pd
+
+    from time_series_spark_spark.queries import REGISTRY
+
+    def kpss(y):
+        y = np.asarray(y, dtype=float)
+        n = len(y)
+        e = y - y.mean()
+        st = np.cumsum(e)
+        ll = int(math.floor(4.0 * math.sqrt(math.sqrt(n / 100.0))))
+        g0 = float(np.sum(e * e))
+        tail = 0.0
+        for k in range(1, ll + 1):
+            gk = float(np.sum(e[k:] * e[:-k]))
+            tail += 2.0 * (1.0 - k / (ll + 1)) * gk
+        return n, ll, (np.sum(st * st) / (float(n) * n)) / ((g0 + tail) / n)
+
+    ev = pd.read_parquet("/root/testdata/sf0.001/events.parquet")
+    ev["cents"] = (ev["value"] * 100).round().astype("int64")
+    daily = list(
+        ev.groupby(ev["ts"].dt.floor("D"))["cents"].sum().sort_index()
+    )
+    n_ref, l_ref, eta_ref = kpss(daily)
+    row = (
+        REGISTRY["events_kpss_stationarity"]
+        .fn(spark, "/root/testdata/sf0.001")
+        .collect()[0]
+    )
+    assert (row["n_days"], row["lag_l"]) == (n_ref, l_ref)
+    assert math.isclose(row["eta_kpss"], round(eta_ref, 6), rel_tol=1e-6)
+
+    rng = np.random.default_rng(9)
+    noise = rng.normal(0, 1, 500)
+    trend = np.arange(500) * 0.1 + noise
+    assert kpss(noise)[2] < 0.8  # stationary: below the 1% critical value
+    assert kpss(trend)[2] > 2.0  # trending: far above

@@ -6062,3 +6062,270 @@ def events_allan_variance_daily(
             " / (2.0 * tau * tau * m_pairs)), 6)"
         ).alias("adev"),
     ).orderBy("tau")
+
+
+# ---------------------------------------------------------------------------
+# F133 Pettitt single-changepoint test (exact rank identity)
+# ---------------------------------------------------------------------------
+@register(
+    "events_pettitt_changepoint",
+    f"""
+    WITH daily AS (
+        SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS d,
+               CAST(sum({_CENTS}) AS BIGINT) AS y
+        FROM events GROUP BY 1
+    ),
+    r AS (
+        SELECT d,
+               CAST(2 * rank() OVER (ORDER BY y)
+                    + count(*) OVER (PARTITION BY y) - 1 AS BIGINT) AS dr,
+               CAST(row_number() OVER (ORDER BY d) AS BIGINT) AS t,
+               CAST(count(*) OVER () AS BIGINT) AS n
+        FROM daily
+    ),
+    u AS (
+        SELECT d, t, n,
+               t * (n + 1)
+               - CAST(sum(dr) OVER (ORDER BY d
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                      AS BIGINT) AS ut
+        FROM r
+    ),
+    k AS (
+        SELECT d, t, n, ut, abs(ut) AS aut,
+               row_number() OVER (ORDER BY abs(ut) DESC, t) AS rk
+        FROM u WHERE t < n
+    )
+    SELECT n AS n_days, aut AS k_stat, t AS t_star, d AS change_day,
+           round(2 * exp(-6.0 * aut * aut
+                         / (CAST(n AS DOUBLE) * n * n + CAST(n AS DOUBLE) * n)),
+                 6) AS p_approx
+    FROM k WHERE rk = 1
+    """,
+    doc="F133 Pettitt nonparametric single-changepoint test on daily "
+    "value-cents totals — the rank-based Mann-Whitney scan that finds "
+    "WHERE a distribution shifted without assuming normality (the "
+    "location complement to F108 binseg's mean-split and F94 CUSUM's "
+    "parametric drift): U_t = sum_(i<=t, j>t) sgn(y_j - y_i) collapses "
+    "by the midrank identity to t(n+1) - sum_(i<=t) 2r_i, so with "
+    "DOUBLED midranks (F91/F120 device) every U_t is an EXACT BIGINT "
+    "running sum; K = max|U_t| picks the change day (earliest on "
+    "ties), and the classic approximation p ~ 2exp(-6K^2/(n^3+n^2)) "
+    "is the single fp expression. Pre-reduces to the calendar-day "
+    "frame. Single summary row.",
+)
+def events_pettitt_changepoint(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    daily = (
+        _events(spark, sf_dir)
+        .groupBy(F.date_trunc("day", F.col("ts")).alias("d"))
+        .agg(F.sum(F.expr(_CENTS)).alias("y"))
+    )
+    w_all = Window.orderBy("d").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    r = daily.select(
+        "d",
+        (
+            2 * F.rank().over(Window.orderBy("y"))
+            + F.count(F.lit(1)).over(Window.partitionBy("y"))
+            - 1
+        )
+        .cast("long")
+        .alias("dr"),
+        F.row_number().over(Window.orderBy("d")).cast("long").alias("t"),
+        F.count(F.lit(1)).over(w_all).alias("n"),
+    )
+    u = r.select(
+        "d", "t", "n",
+        (
+            F.col("t") * (F.col("n") + 1)
+            - F.sum("dr")
+            .over(
+                Window.orderBy("d").rowsBetween(Window.unboundedPreceding, 0)
+            )
+            .cast("long")
+        ).alias("ut"),
+    )
+    k = u.filter(F.col("t") < F.col("n")).select(
+        "d", "t", "n", F.abs("ut").alias("aut"),
+        F.row_number()
+        .over(Window.orderBy(F.abs("ut").desc(), "t"))
+        .alias("rk"),
+    )
+    return k.filter(F.col("rk") == 1).select(
+        F.col("n").alias("n_days"),
+        F.col("aut").alias("k_stat"),
+        F.col("t").alias("t_star"),
+        F.col("d").alias("change_day"),
+        F.expr(
+            "round(2 * exp(-6.0 * aut * aut"
+            " / (CAST(n AS DOUBLE) * n * n + CAST(n AS DOUBLE) * n)), 6)"
+        ).alias("p_approx"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# F134 KPSS level-stationarity test (Bartlett long-run variance)
+# ---------------------------------------------------------------------------
+@register(
+    "events_kpss_stationarity",
+    f"""
+    WITH daily AS (
+        SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS d,
+               CAST(sum({_CENTS}) AS BIGINT) AS y
+        FROM events GROUP BY 1
+    ),
+    g AS (
+        SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(y) AS BIGINT) AS sy
+        FROM daily
+    ),
+    e AS (
+        SELECT d, CAST(y AS DOUBLE) - CAST(sy AS DOUBLE) / n AS e, n,
+               CAST(floor(4.0 * sqrt(sqrt(n / 100.0))) AS BIGINT) AS l,
+               row_number() OVER (ORDER BY d) AS i
+        FROM daily CROSS JOIN g
+    ),
+    s AS (
+        SELECT n, l, i,
+               sum(e) OVER w AS st,
+               sum(e * e) OVER w AS g0
+        FROM e
+        WINDOW w AS (ORDER BY d
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ),
+    num AS (
+        SELECT n, l, g0,
+               sum(st * st) OVER (ORDER BY i
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS ss2,
+               row_number() OVER (ORDER BY i) AS rn
+        FROM s
+    ),
+    numf AS (SELECT n, l, g0, ss2 FROM num WHERE rn = n),
+    ks AS (SELECT CAST(range AS BIGINT) AS k FROM range(1, 32)),
+    lag_p AS (
+        SELECT a.n, a.l, b.k,
+               sum(a.e * c.e) OVER (PARTITION BY b.k ORDER BY a.i
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS gk,
+               row_number() OVER (PARTITION BY b.k ORDER BY a.i) AS rn,
+               count(*) OVER (PARTITION BY b.k) AS cnt
+        FROM e a JOIN ks b ON b.k <= a.l JOIN e c ON c.i = a.i - b.k
+    ),
+    gks AS (
+        SELECT n, l, k, gk FROM lag_p WHERE rn = cnt
+    ),
+    lrv AS (
+        SELECT n, l,
+               sum(2.0 * (1.0 - CAST(k AS DOUBLE) / (l + 1)) * gk)
+                   OVER (ORDER BY k
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS tail,
+               row_number() OVER (ORDER BY k) AS rn,
+               count(*) OVER () AS cnt
+        FROM gks
+    )
+    SELECT numf.n AS n_days, numf.l AS lag_l,
+           round((numf.ss2 / (CAST(numf.n AS DOUBLE) * numf.n))
+                 / ((numf.g0 + lrv.tail) / numf.n), 6) AS eta_kpss
+    FROM numf CROSS JOIN lrv WHERE lrv.rn = lrv.cnt
+    """,
+    doc="F134 KPSS test of level stationarity on daily value-cents "
+    "totals — the NULL-reversed complement to F96 ADF (ADF's null is "
+    "a unit root, KPSS's null is stationarity; agreeing verdicts from "
+    "the pair are the textbook pre-modeling check): eta = "
+    "n^-2 sum(S_t^2) / s^2(l), partial sums S_t of the demeaned "
+    "series, long-run variance via Bartlett weights w_k = 1-k/(l+1) "
+    "up to l = floor(4(n/100)^(1/4)) (computed as nested sqrt — the "
+    "no-pow dialect rule). Autocovariance tails come from the F102 "
+    "lag-fanout join; EVERY fp sum (S_t, S_t^2, gamma_k, the "
+    "Bartlett tail) accumulates in DETERMINISTIC frame order, shared "
+    "expression text throughout. Pre-reduces to the calendar-day "
+    "frame; the fanout is days x l, corpus-size-invariant. Single "
+    "summary row.",
+)
+def events_kpss_stationarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    daily = (
+        _events(spark, sf_dir)
+        .groupBy(F.date_trunc("day", F.col("ts")).alias("d"))
+        .agg(F.sum(F.expr(_CENTS)).alias("y"))
+    )
+    g = daily.agg(
+        F.count(F.lit(1)).alias("n"), F.sum("y").alias("sy")
+    )
+    e = daily.crossJoin(F.broadcast(g)).select(
+        "d",
+        F.expr("CAST(y AS DOUBLE) - CAST(sy AS DOUBLE) / n").alias("e"),
+        "n",
+        F.expr(
+            "CAST(floor(4.0 * sqrt(sqrt(n / 100.0))) AS BIGINT)"
+        ).alias("l"),
+        F.row_number().over(Window.orderBy("d")).alias("i"),
+    )
+    w_d = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, 0)
+    s = e.select(
+        "n", "l", "i",
+        F.sum("e").over(w_d).alias("st"),
+        F.sum(F.col("e") * F.col("e")).over(w_d).alias("g0"),
+    )
+    w_i = Window.orderBy("i").rowsBetween(Window.unboundedPreceding, 0)
+    num = s.select(
+        "n", "l", "g0",
+        F.sum(F.col("st") * F.col("st")).over(w_i).alias("ss2"),
+        F.row_number().over(Window.orderBy("i")).alias("rn"),
+    )
+    numf = num.filter(F.col("rn") == F.col("n")).select(
+        "n", "l", "g0", "ss2"
+    )
+    ks = daily.sparkSession.range(1, 32).select(F.col("id").alias("k"))
+    a = e.select("n", "l", "i", F.col("e").alias("ea"))
+    c = e.select(F.col("i").alias("ic"), F.col("e").alias("ec"))
+    w_k = Window.partitionBy("k").orderBy("i").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    w_kp = Window.partitionBy("k")
+    lag_p = (
+        a.crossJoin(F.broadcast(ks))
+        .filter(F.col("k") <= F.col("l"))
+        .join(c, F.col("ic") == F.col("i") - F.col("k"))
+        .select(
+            "n", "l", "k", "i",
+            F.sum(F.col("ea") * F.col("ec")).over(w_k).alias("gk"),
+            F.row_number().over(
+                Window.partitionBy("k").orderBy("i")
+            ).alias("rn"),
+            F.count(F.lit(1))
+            .over(
+                w_kp.rowsBetween(
+                    Window.unboundedPreceding, Window.unboundedFollowing
+                )
+            )
+            .alias("cnt"),
+        )
+    )
+    gks = lag_p.filter(F.col("rn") == F.col("cnt")).select(
+        "n", "l", "k", "gk"
+    )
+    w_tail = Window.orderBy("k").rowsBetween(Window.unboundedPreceding, 0)
+    w_all = Window.partitionBy().rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    lrv = gks.select(
+        F.sum(
+            F.expr("2.0 * (1.0 - CAST(k AS DOUBLE) / (l + 1)) * gk")
+        )
+        .over(w_tail)
+        .alias("tail"),
+        F.row_number().over(Window.orderBy("k")).alias("rn"),
+        F.count(F.lit(1)).over(w_all).alias("cnt"),
+    ).filter(F.col("rn") == F.col("cnt")).select("tail")
+    return numf.crossJoin(F.broadcast(lrv)).select(
+        F.col("n").alias("n_days"),
+        F.col("l").alias("lag_l"),
+        F.expr(
+            "round((ss2 / (CAST(n AS DOUBLE) * n))"
+            " / ((g0 + tail) / n), 6)"
+        ).alias("eta_kpss"),
+    )
