@@ -2216,3 +2216,59 @@ def test_kpss_matches_statsmodels_style_replay(spark):
     trend = np.arange(500) * 0.1 + noise
     assert kpss(noise)[2] < 0.8  # stationary: below the 1% critical value
     assert kpss(trend)[2] > 2.0  # trending: far above
+
+
+def test_bartels_matches_python_replay(spark):
+    """F136: num4/den4/RVN/z equal a plain-Python doubled-midrank
+    replay on sf0.001; alternation drives RVN toward 4 (z>0), a
+    monotone ramp toward 0 (z<0)."""
+    import math
+
+    import pandas as pd
+
+    from time_series_spark_spark.queries import REGISTRY
+
+    def bartels(y):
+        n = len(y)
+        sv = sorted(range(n), key=lambda i: y[i])
+        # doubled midranks
+        dr = [0] * n
+        i = 0
+        while i < n:
+            j = i
+            while j < n and y[sv[j]] == y[sv[i]]:
+                j += 1
+            for k in range(i, j):
+                dr[sv[k]] = 2 * (i + 1) + (j - i) - 1
+            i = j
+        num4 = sum(
+            (dr[t] - dr[t + 1]) ** 2 for t in range(n - 1)
+        )
+        den4 = sum((d - (n + 1)) ** 2 for d in dr)
+        rvn = num4 / den4
+        var = (
+            4.0 * (n - 2) * (5.0 * n * n - 2 * n - 9)
+            / (5.0 * n * (n + 1) * (float(n - 1) ** 2))
+        )
+        return num4, den4, rvn, (rvn - 2.0) / math.sqrt(var)
+
+    ev = pd.read_parquet("/root/testdata/sf0.001/events.parquet")
+    ev["cents"] = (ev["value"] * 100).round().astype("int64")
+    daily = list(
+        ev.groupby(ev["ts"].dt.floor("D"))["cents"].sum().sort_index()
+    )
+    num4, den4, rvn, z = bartels(daily)
+    row = (
+        REGISTRY["events_bartels_rank_test"]
+        .fn(spark, "/root/testdata/sf0.001")
+        .collect()[0]
+    )
+    assert row["n_days"] == len(daily)
+    assert (row["num4"], row["den4"]) == (num4, den4)
+    assert math.isclose(row["rvn"], round(rvn, 6), abs_tol=1e-9)
+    assert math.isclose(row["z_rvn"], round(z, 6), abs_tol=1e-6)
+
+    alt = [10, 90] * 30
+    ramp = list(range(60))
+    assert bartels(alt)[3] > 5.0 and bartels(alt)[2] > 3.5
+    assert bartels(ramp)[3] < -5.0 and bartels(ramp)[2] < 0.2

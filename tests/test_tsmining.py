@@ -537,3 +537,42 @@ def test_pacf_matches_yule_walker_solve(spark):
         R = np.array([[rho[abs(i - j)] for j in range(k)] for i in range(k)])
         phi = np.linalg.solve(R, rho[1 : k + 1])
         assert abs(got[k] - round(float(phi[-1]), 6)) < 1e-9, k
+
+
+def test_lomb_scargle_recovers_planted_irregular_sine(spark):
+    """F135: a 24h sine sampled at IRREGULAR (seeded-random) times is
+    recovered exactly from the fixed period grid with high normalized
+    power; white noise never shows such power; the registered per-user
+    query runs and respects its min-points floor."""
+    import numpy as np
+
+    from time_series_spark_spark.operators.tsmining import (
+        _lomb_scargle_one,
+    )
+    from time_series_spark_spark.queries import REGISTRY
+
+    rng = np.random.default_rng(42)
+    t = np.sort(rng.uniform(0, 14 * 86400.0, 300))  # 2 irregular weeks
+    y = 100.0 * np.sin(2 * np.pi * t / 86400.0) + rng.normal(0, 5, 300)
+    period, power = _lomb_scargle_one(t, y)
+    assert period == 24.0
+    assert power > 50.0  # P ~ Exp(1) under noise; a real tone is huge
+
+    noise = rng.normal(0, 1, 300)
+    _, p_noise = _lomb_scargle_one(t, noise)
+    assert p_noise < 15.0  # max of 8 ~Exp(1) draws stays small
+
+    weekly = 10.0 * np.sin(2 * np.pi * t / (7 * 86400.0))
+    pw, _ = _lomb_scargle_one(t, weekly + rng.normal(0, 0.5, 300))
+    assert pw == 168.0
+
+    rows = (
+        REGISTRY["events_lomb_scargle_user"]
+        .fn(spark, "/root/testdata/sf0.001")
+        .collect()
+    )
+    assert all(r["n_points"] >= 16 for r in rows)
+    assert all(r["ls_power"] >= 0.0 for r in rows)
+    assert all(r["best_period_hours"] in
+               (6.0, 12.0, 24.0, 48.0, 84.0, 168.0, 336.0, 672.0)
+               for r in rows)

@@ -907,3 +907,92 @@ def hurst_rs(
         f"{key_schema}, n_points long, hurst double, fit_r2 double, "
         "n_scales long",
     )
+
+
+# ---------------------------------------------------------------------------
+# Lomb-Scargle periodogram for IRREGULARLY sampled series
+# ---------------------------------------------------------------------------
+
+LS_PERIODS_HOURS = (6.0, 12.0, 24.0, 48.0, 84.0, 168.0, 336.0, 672.0)
+
+
+def _lomb_scargle_one(
+    t_sec: np.ndarray, y: np.ndarray, periods_h=LS_PERIODS_HOURS
+) -> tuple[float, float]:
+    """Classic Lomb (1976) / Scargle (1982) normalized periodogram for
+    one irregularly sampled series, evaluated on a fixed period grid.
+
+    P(w) = 1/(2 s^2) * [ (sum c_i (y_i - ybar))^2 / sum c_i^2
+                       + (sum s_i (y_i - ybar))^2 / sum s_i^2 ]
+    with the tau phase shift tan(2 w tau) = sum sin(2 w t) / sum cos(2 w t)
+    that makes the estimate invariant to time origin. Normalized by the
+    sample variance, P ~ Exp(1) per frequency under white noise, so the
+    peak value doubles as a significance score. All frequencies at once
+    via an (m, n) outer-product broadcast. Returns (best_period_hours,
+    best_power); (nan, 0.0) for constant series."""
+    ybar = y.mean()
+    dy = y - ybar
+    s2 = float(dy @ dy) / (len(y) - 1) if len(y) > 1 else 0.0
+    if s2 <= 0:
+        return float("nan"), 0.0
+    w = 2.0 * np.pi / (np.asarray(periods_h, dtype=np.float64) * 3600.0)
+    wt = w[:, None] * t_sec[None, :]  # (m, n)
+    tau = np.arctan2(np.sin(2 * wt).sum(axis=1),
+                     np.cos(2 * wt).sum(axis=1)) / (2.0 * w)
+    arg = wt - (w * tau)[:, None]
+    c, s = np.cos(arg), np.sin(arg)
+    pc = (c @ dy) ** 2 / (c * c).sum(axis=1)
+    ps = (s @ dy) ** 2 / np.maximum((s * s).sum(axis=1), 1e-300)
+    p = (pc + ps) / (2.0 * s2)
+    i = int(np.argmax(p))
+    return float(periods_h[i]), float(p[i])
+
+
+def lomb_scargle_periods(
+    df: DataFrame,
+    keys: list[str],
+    ts: str,
+    value: str,
+    min_points: int = 16,
+) -> DataFrame:
+    """Per-series Lomb-Scargle dominant period over IRREGULAR samples —
+    the period detector :func:`dominant_periods` cannot be (the FFT
+    periodogram needs a dense regular grid; event streams are neither).
+    One hash shuffle on keys -> packed grouped map (many series per
+    Arrow batch), numpy-vectorized over the whole frequency grid.
+    Output: keys..., n_points, best_period_hours, ls_power."""
+    from time_series_spark_spark.operators.packed import packed_grouped_map
+
+    in_fields = {f.name: f.dataType.simpleString() for f in df.schema.fields}
+    key_schema = ", ".join(f"{k} {in_fields[k]}" for k in keys)
+
+    def _apply(pdf: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for kv, g in pdf.groupby(keys, sort=False):
+            if not isinstance(kv, tuple):
+                kv = (kv,)
+            if len(g) < min_points:
+                continue
+            g = g.sort_values(ts)
+            t_sec = (
+                g[ts].astype("int64").to_numpy(dtype=np.float64) / 1e9
+            )
+            t_sec -= t_sec[0]
+            y = g[value].to_numpy(dtype=np.float64)
+            period, power = _lomb_scargle_one(t_sec, y)
+            if period != period:  # constant series -> NaN
+                continue
+            rows.append((*kv, len(g), period, round(power, 4)))
+        return pd.DataFrame(
+            rows,
+            columns=[*keys, "n_points", "best_period_hours", "ls_power"],
+        )
+
+    return packed_grouped_map(
+        df.select(*keys, ts, value),
+        keys,
+        [ts],
+        _apply,
+        f"{key_schema}, n_points long, best_period_hours double,"
+        " ls_power double",
+    )

@@ -6329,3 +6329,105 @@ def events_kpss_stationarity(spark: SparkSession, sf_dir: str) -> DataFrame:
             " / ((g0 + tail) / n), 6)"
         ).alias("eta_kpss"),
     )
+
+
+# ---------------------------------------------------------------------------
+# F136 Bartels rank von-Neumann randomness test
+# ---------------------------------------------------------------------------
+@register(
+    "events_bartels_rank_test",
+    f"""
+    WITH daily AS (
+        SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS d,
+               CAST(sum({_CENTS}) AS BIGINT) AS y
+        FROM events GROUP BY 1
+    ),
+    r AS (
+        SELECT d,
+               CAST(2 * rank() OVER (ORDER BY y)
+                    + count(*) OVER (PARTITION BY y) - 1 AS BIGINT) AS dr,
+               CAST(count(*) OVER () AS BIGINT) AS n
+        FROM daily
+    ),
+    l AS (
+        SELECT dr, n, lead(dr) OVER (ORDER BY d) AS dr_next
+        FROM r
+    ),
+    agg AS (
+        SELECT CAST(max(n) AS BIGINT) AS n,
+               CAST(sum(CASE WHEN dr_next IS NULL THEN 0
+                             ELSE (dr - dr_next) * (dr - dr_next) END)
+                    AS BIGINT) AS num4,
+               CAST(sum((dr - (n + 1)) * (dr - (n + 1))) AS BIGINT) AS den4
+        FROM l
+    )
+    SELECT n AS n_days, num4, den4,
+           round(CAST(num4 AS DOUBLE) / den4, 6) AS rvn,
+           round((CAST(num4 AS DOUBLE) / den4 - 2.0)
+                 / sqrt(4.0 * (n - 2) * (5.0 * n * n - 2 * n - 9)
+                        / (5.0 * n * (n + 1)
+                           * (CAST(n - 1 AS DOUBLE) * (n - 1)))), 6)
+               AS z_rvn
+    FROM agg
+    """,
+    doc="F136 Bartels rank von-Neumann ratio test for randomness of the "
+    "daily value-cents sequence: RVN = sum((r_t - r_(t+1))^2) / "
+    "sum((r_t - rbar)^2) on TIME-ordered ranks — the rank analogue of "
+    "F121 Durbin-Watson (~2 under randomness, ->0 under positive "
+    "serial dependence, ->4 under alternation), more powerful than "
+    "F101's binary runs test because it keeps rank magnitudes. With "
+    "DOUBLED midranks both quadratic forms are EXACT BIGINTs (the "
+    "doubled rank mean is exactly n+1 since sum(2r) = n(n+1), ties "
+    "included), so RVN is one exact-integer division and z uses the "
+    "Bartels (1982) variance 4(n-2)(5n^2-2n-9)/(5n(n+1)(n-1)^2) in "
+    "one shared fp expression. Pre-reduces to the calendar-day frame. "
+    "Single summary row.",
+)
+def events_bartels_rank_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    daily = (
+        _events(spark, sf_dir)
+        .groupBy(F.date_trunc("day", F.col("ts")).alias("d"))
+        .agg(F.sum(F.expr(_CENTS)).alias("y"))
+    )
+    w_all = Window.orderBy("d").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    r = daily.select(
+        "d",
+        (
+            2 * F.rank().over(Window.orderBy("y"))
+            + F.count(F.lit(1)).over(Window.partitionBy("y"))
+            - 1
+        )
+        .cast("long")
+        .alias("dr"),
+        F.count(F.lit(1)).over(w_all).alias("n"),
+    )
+    l = r.select(
+        "dr", "n", F.lead("dr").over(Window.orderBy("d")).alias("dr_next")
+    )
+    agg = l.agg(
+        F.max("n").alias("n"),
+        F.sum(
+            F.when(F.col("dr_next").isNull(), 0).otherwise(
+                (F.col("dr") - F.col("dr_next"))
+                * (F.col("dr") - F.col("dr_next"))
+            )
+        ).alias("num4"),
+        F.sum(
+            (F.col("dr") - (F.col("n") + 1))
+            * (F.col("dr") - (F.col("n") + 1))
+        ).alias("den4"),
+    )
+    return agg.select(
+        F.col("n").alias("n_days"),
+        "num4",
+        "den4",
+        F.expr("round(CAST(num4 AS DOUBLE) / den4, 6)").alias("rvn"),
+        F.expr(
+            "round((CAST(num4 AS DOUBLE) / den4 - 2.0)"
+            " / sqrt(4.0 * (n - 2) * (5.0 * n * n - 2 * n - 9)"
+            " / (5.0 * n * (n + 1)"
+            " * (CAST(n - 1 AS DOUBLE) * (n - 1)))), 6)"
+        ).alias("z_rvn"),
+    )

@@ -589,3 +589,33 @@ def events_pacf_daily_total(spark: SparkSession, sf_dir: str) -> DataFrame:
         pacf.append((k, round(phi_kk, 6)))
         phi_prev = phi
     return spark.createDataFrame(pacf, "k int, pacf double")
+
+
+@register(
+    "events_lomb_scargle_user",
+    None,  # trig periodogram -> rows-only; planted irregular-sine
+    # recovery pinned in tests/test_tsmining.py
+    doc="F135 Lomb-Scargle dominant period per user over the RAW "
+    "irregular event stream (timestamps as sampled, values in cents) "
+    "— the period detector for series F48's FFT cannot handle "
+    "(no densification, no regular grid; the astronomy-standard "
+    "estimator for uneven sampling). Fixed period grid 6h..28d, "
+    "variance-normalized power (P ~ Exp(1) per frequency under white "
+    "noise). One hash shuffle on user_id -> packed grouped map, "
+    "numpy outer-product over the whole grid per Arrow batch.",
+)
+def events_lomb_scargle_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from time_series_spark_spark.operators.tsmining import (
+        lomb_scargle_periods,
+    )
+
+    ev = _events(spark, sf_dir).select(
+        "user_id",
+        "ts",
+        F.expr("CAST(round(value * 100) AS BIGINT)").cast("double").alias(
+            "v"
+        ),
+    )
+    return lomb_scargle_periods(ev, ["user_id"], "ts", "v").orderBy(
+        "user_id"
+    )
