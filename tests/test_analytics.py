@@ -594,3 +594,65 @@ def test_markov_attribution_zero_conversions_and_empty(spark):
     out = markov_attribution(empty)
     assert len(out) == 0
     assert list(out.columns) == ["channel", "removal_effect", "attribution"]
+
+
+def test_time_decay_attribution_matches_pandas_replay(spark):
+    """C11: per-channel credit and attributed cents equal a pandas
+    replay of the 7-day-lookback exp(-age/2d) model on sf0.001;
+    per-purchase credits sum to 1, and a touch just before the
+    purchase outweighs one 6 days earlier."""
+    import math
+
+    import pandas as pd
+
+    from time_series_spark_spark.queries import REGISTRY
+
+    ev = pd.read_parquet("/root/testdata/sf0.001/events.parquet")
+    p = ev[ev["event_type"] == "purchase"]
+    s = ev[ev["event_type"] != "purchase"]
+    credit = {}
+    cents_attr = {}
+    n_touch = {}
+    total_purchases_with_touches = 0
+    for pr in p.itertuples():
+        win = s[
+            (s["user_id"] == pr.user_id)
+            & (s["ts"] <= pr.ts)
+            & (s["ts"] > pr.ts - pd.Timedelta(days=7))
+        ]
+        if not len(win):
+            continue
+        total_purchases_with_touches += 1
+        age_days = (pr.ts - win["ts"]).dt.total_seconds() / 86400.0
+        w = (-age_days / 2.0).map(math.exp)
+        wn = w / w.sum()
+        cents = round(pr.value * 100)
+        for touch, cr in zip(win["event_type"], wn):
+            credit[touch] = credit.get(touch, 0.0) + cr
+            cents_attr[touch] = cents_attr.get(touch, 0.0) + cr * cents
+            n_touch[touch] = n_touch.get(touch, 0) + 1
+
+    rows = (
+        REGISTRY["purchase_attribution_time_decay"]
+        .fn(spark, "/root/testdata/sf0.001")
+        .collect()
+    )
+    assert {r["touch"] for r in rows} == set(credit)
+    for r in rows:
+        assert r["n_touches"] == n_touch[r["touch"]]
+        assert math.isclose(
+            r["total_credit"], round(credit[r["touch"]], 4), abs_tol=2e-4
+        )
+        assert math.isclose(
+            r["attributed_cents"],
+            round(cents_attr[r["touch"]], 2),
+            rel_tol=1e-6, abs_tol=0.05,
+        )
+    # normalization: total credit across channels == purchases credited
+    assert math.isclose(
+        sum(r["total_credit"] for r in rows),
+        total_purchases_with_touches,
+        abs_tol=1e-2,
+    )
+    # recency dominance of the weight model itself
+    assert math.exp(-0.01 / 2) > 10 * math.exp(-6.0 / 2)

@@ -2272,3 +2272,68 @@ def test_bartels_matches_python_replay(spark):
     ramp = list(range(60))
     assert bartels(alt)[3] > 5.0 and bartels(alt)[2] > 3.5
     assert bartels(ramp)[3] < -5.0 and bartels(ramp)[2] < 0.2
+
+
+def test_bayes_ab_matches_python_replay(spark):
+    """F137: posterior moments, z, and P(B>A) equal a Python replay of
+    the Jeffreys-normal recipe on sf0.001; symmetric data gives
+    p ~ 0.5, a planted dominant arm gives p ~ 1."""
+    import hashlib
+    import math
+
+    import pandas as pd
+
+    from time_series_spark_spark.queries import REGISTRY
+
+    def phi(z):
+        az = abs(z)
+        t = 1.0 / (1.0 + 0.2316419 * az)
+        poly = (
+            0.319381530 * t - 0.356563782 * t**2 + 1.781477937 * t**3
+            - 1.821255978 * t**4 + 1.330274429 * t**5
+        )
+        tail = 2.0 * (math.exp(-az * az / 2.0) / 2.5066282746310002) * poly
+        return 1.0 - tail / 2.0 if z >= 0 else tail / 2.0
+
+    def bayes(na, ka, nb, kb):
+        ma = (ka + 0.5) / (na + 1.0)
+        mb = (kb + 0.5) / (nb + 1.0)
+        va = ((ka + 0.5) * (na - ka + 0.5)) / (
+            (na + 1.0) ** 2 * (na + 2.0)
+        )
+        vb = ((kb + 0.5) * (nb - kb + 0.5)) / (
+            (nb + 1.0) ** 2 * (nb + 2.0)
+        )
+        z = (mb - ma) / math.sqrt(va + vb)
+        return ma, mb, z, phi(z)
+
+    ev = pd.read_parquet("/root/testdata/sf0.001/events.parquet")
+    conv = (
+        ev.assign(p=(ev["event_type"] == "purchase").astype(int))
+        .groupby("user_id")["p"]
+        .max()
+    )
+    grp = conv.index.map(
+        lambda u: 0 if hashlib.md5(str(u).encode()).hexdigest()[0] < "8"
+        else 1
+    )
+    na, nb = int((grp == 0).sum()), int((grp == 1).sum())
+    ka = int(conv[grp == 0].sum())
+    kb = int(conv[grp == 1].sum())
+    ma, mb, z, p = bayes(na, ka, nb, kb)
+
+    row = (
+        REGISTRY["events_bayes_ab_superiority"]
+        .fn(spark, "/root/testdata/sf0.001")
+        .collect()[0]
+    )
+    assert (row["n_users_a"], row["n_users_b"]) == (na, nb)
+    assert (row["conv_a"], row["conv_b"]) == (ka, kb)
+    assert math.isclose(row["post_mean_a"], round(ma, 6), abs_tol=1e-9)
+    assert math.isclose(row["post_mean_b"], round(mb, 6), abs_tol=1e-9)
+    assert math.isclose(row["z_post"], round(z, 6), abs_tol=1e-6)
+    assert math.isclose(row["p_b_beats_a"], round(p, 6), abs_tol=1e-6)
+
+    assert abs(bayes(1000, 100, 1000, 100)[3] - 0.5) < 1e-6
+    assert bayes(1000, 100, 1000, 200)[3] > 0.999
+    assert bayes(1000, 200, 1000, 100)[3] < 0.001

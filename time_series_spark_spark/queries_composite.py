@@ -804,3 +804,131 @@ def orders_lineitem_reconciliation(
         )
         .orderBy("band")
     )
+
+
+# ---------------------------------------------------------------------------
+# C11 time-decay multi-touch attribution (exp half-life credit)
+# ---------------------------------------------------------------------------
+@register(
+    "purchase_attribution_time_decay",
+    """
+    WITH p AS (
+        SELECT event_id AS pid, user_id, ts,
+               CAST(round(value * 100, 0) AS BIGINT) AS cents
+        FROM events WHERE event_type = 'purchase'
+    ),
+    touches AS (
+        SELECT p.pid, p.cents, s.event_type AS touch, s.event_id AS sid,
+               s.ts AS s_ts,
+               exp(-(CAST(epoch_us(p.ts) - epoch_us(s.ts) AS DOUBLE)
+                     / 86400000000.0) / 2.0) AS w
+        FROM p JOIN events s
+          ON s.user_id = p.user_id AND s.event_type <> 'purchase'
+         AND s.ts <= p.ts AND s.ts > p.ts - INTERVAL 7 DAY
+    ),
+    normed AS (
+        SELECT touch, pid, sid, cents, w,
+               max(cw) OVER (PARTITION BY pid) AS tot_w
+        FROM (SELECT *, sum(w) OVER (PARTITION BY pid
+                      ORDER BY s_ts, sid
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                      AS cw
+              FROM touches)
+    ),
+    credited AS (
+        SELECT touch,
+               sum(w / tot_w) OVER wt AS cum_credit,
+               sum((w / tot_w) * cents) OVER wt AS cum_cents,
+               row_number() OVER (PARTITION BY touch ORDER BY pid, sid)
+                   AS rn,
+               count(*) OVER (PARTITION BY touch) AS cnt
+        FROM normed
+        WINDOW wt AS (PARTITION BY touch ORDER BY pid, sid
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    )
+    SELECT touch, CAST(cnt AS BIGINT) AS n_touches,
+           round(cum_credit, 4) AS total_credit,
+           round(cum_cents, 2) AS attributed_cents
+    FROM credited WHERE rn = cnt ORDER BY touch
+    """,
+    doc="C11 time-decay multi-touch attribution with a 2-day half-"
+    "life-style exponential (w = exp(-age_days/2)), completing the "
+    "attribution family (last-touch C9b, position-based U-shape, "
+    "Markov removal effects): per purchase, every non-purchase touch "
+    "in the 7-day lookback gets weight w, normalized to sum 1 within "
+    "the purchase (recency earns credit smoothly instead of the "
+    "U-shape's position cliffs). Ages are EXACT BIGINT microsecond "
+    "diffs; every fp sum is frame-ordered — per-purchase totals via "
+    "an ordered cumulative whose MAX (order-independent) is the "
+    "total, per-channel rollups via the ordered-cumulative-last-row "
+    "device — so both engines agree bit-for-bit pre-rounding. One "
+    "bounded range join + windows on purchase/touch keys.",
+)
+def purchase_attribution_time_decay(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    ev = load(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("pid"),
+        F.col("user_id").alias("p_uid"),
+        F.col("ts").alias("p_ts"),
+        F.expr("CAST(round(value * 100, 0) AS BIGINT)").alias("cents"),
+    )
+    s = ev.filter(F.col("event_type") != "purchase").select(
+        F.col("user_id").alias("s_uid"),
+        F.col("event_type").alias("touch"),
+        F.col("ts").alias("s_ts"),
+        F.col("event_id").alias("sid"),
+    )
+    touches = p.join(
+        s,
+        (F.col("s_uid") == F.col("p_uid"))
+        & (F.col("s_ts") <= F.col("p_ts"))
+        & (F.col("s_ts") > F.col("p_ts") - F.expr("INTERVAL 7 DAY")),
+    ).select(
+        "pid", "cents", "touch", "sid", "s_ts",
+        F.expr(
+            "exp(-(CAST(unix_micros(p_ts) - unix_micros(s_ts) AS DOUBLE)"
+            " / 86400000000.0) / 2.0)"
+        ).alias("w"),
+    )
+    w_cum = W.partitionBy("pid").orderBy("s_ts", "sid").rowsBetween(
+        W.unboundedPreceding, 0
+    )
+    normed = touches.withColumn("cw", F.sum("w").over(w_cum)).select(
+        "touch", "pid", "sid", "cents", "w",
+        F.max("cw")
+        .over(
+            W.partitionBy("pid").rowsBetween(
+                W.unboundedPreceding, W.unboundedFollowing
+            )
+        )
+        .alias("tot_w"),
+    )
+    wt = W.partitionBy("touch").orderBy("pid", "sid").rowsBetween(
+        W.unboundedPreceding, 0
+    )
+    w_t_all = W.partitionBy("touch").rowsBetween(
+        W.unboundedPreceding, W.unboundedFollowing
+    )
+    credited = normed.select(
+        "touch",
+        F.sum(F.expr("w / tot_w")).over(wt).alias("cum_credit"),
+        F.sum(F.expr("(w / tot_w) * cents")).over(wt).alias("cum_cents"),
+        F.row_number()
+        .over(W.partitionBy("touch").orderBy("pid", "sid"))
+        .alias("rn"),
+        F.count(F.lit(1)).over(w_t_all).alias("cnt"),
+    )
+    return (
+        credited.filter(F.col("rn") == F.col("cnt"))
+        .select(
+            "touch",
+            F.col("cnt").cast("long").alias("n_touches"),
+            F.round("cum_credit", 4).alias("total_credit"),
+            F.round("cum_cents", 2).alias("attributed_cents"),
+        )
+        .orderBy("touch")
+    )

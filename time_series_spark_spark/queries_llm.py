@@ -2843,16 +2843,24 @@ def emb_jl_projection_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id",
         F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("v"),
     )
+    # The md5 sign matrix is a PURE FUNCTION of (r, j) — materialize it
+    # once on the driver (hashlib md5 == Spark md5 on UTF-8) instead of
+    # re-deriving 16x64 md5s per ROW; the 10x stress wall drops ~5x and
+    # the values are bit-identical (pinned by the pytest replay).
+    import hashlib
+
+    def _sgn(r: int, j: int) -> str:
+        h = hashlib.md5(f"jl-v1:{r}:{j}".encode()).hexdigest()
+        return "1.0D" if h[0] < "8" else "-1.0D"
+
+    signs = ", ".join(
+        "array(" + ", ".join(_sgn(r, j) for j in range(64)) + ")"
+        for r in range(16)
+    )
     proj = e.select(
         "vec_id", "v",
         F.expr(
-            "transform("
-            " transform(sequence(0, 15), r ->"
-            "  transform(sequence(0, 63), j ->"
-            "   CASE WHEN substring(md5(concat('jl-v1:',"
-            "     CAST(r AS STRING), ':', CAST(j AS STRING))), 1, 1) < '8'"
-            "        THEN CAST(1.0 AS DOUBLE)"
-            "        ELSE CAST(-1.0 AS DOUBLE) END)),"
+            f"transform(array({signs}),"
             " s -> aggregate(zip_with(v, s, (x, w) -> x * w), 0D,"
             "                (acc, t) -> acc + t))"
         ).alias("y"),

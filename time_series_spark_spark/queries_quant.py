@@ -6431,3 +6431,134 @@ def events_bartels_rank_test(spark: SparkSession, sf_dir: str) -> DataFrame:
             " * (CAST(n - 1 AS DOUBLE) * (n - 1)))), 6)"
         ).alias("z_rvn"),
     )
+
+
+# ---------------------------------------------------------------------------
+# F137 Bayesian A/B: posterior probability of superiority
+# ---------------------------------------------------------------------------
+@register(
+    "events_bayes_ab_superiority",
+    f"""
+    WITH u AS (
+        SELECT user_id,
+               CASE WHEN substring(md5(CAST(user_id AS VARCHAR)), 1, 1)
+                         < '8' THEN 0 ELSE 1 END AS grp,
+               CAST(max(CASE WHEN event_type = 'purchase'
+                             THEN 1 ELSE 0 END) AS BIGINT) AS conv
+        FROM events GROUP BY user_id
+    ),
+    k AS (
+        SELECT CAST(sum(CASE WHEN grp = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS na,
+               CAST(sum(CASE WHEN grp = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS nb,
+               CAST(sum(CASE WHEN grp = 0 THEN conv ELSE 0 END) AS BIGINT)
+                   AS ka,
+               CAST(sum(CASE WHEN grp = 1 THEN conv ELSE 0 END) AS BIGINT)
+                   AS kb
+        FROM u
+    ),
+    post AS (
+        SELECT na, nb, ka, kb,
+               (CAST(ka AS DOUBLE) + 0.5) / (CAST(na AS DOUBLE) + 1.0) AS ma,
+               (CAST(kb AS DOUBLE) + 0.5) / (CAST(nb AS DOUBLE) + 1.0) AS mb,
+               ((CAST(ka AS DOUBLE) + 0.5) * (CAST(na - ka AS DOUBLE) + 0.5))
+                   / ((CAST(na AS DOUBLE) + 1.0) * (CAST(na AS DOUBLE) + 1.0) * (CAST(na AS DOUBLE) + 2.0)) AS va,
+               ((CAST(kb AS DOUBLE) + 0.5) * (CAST(nb - kb AS DOUBLE) + 0.5))
+                   / ((CAST(nb AS DOUBLE) + 1.0) * (CAST(nb AS DOUBLE) + 1.0) * (CAST(nb AS DOUBLE) + 2.0)) AS vb
+        FROM k
+    ),
+    zed AS (
+        SELECT na, nb, ka, kb, ma, mb,
+               (mb - ma) / sqrt(va + vb) AS z
+        FROM post
+    )
+    SELECT na AS n_users_a, nb AS n_users_b, ka AS conv_a, kb AS conv_b,
+           round(ma, 6) AS post_mean_a, round(mb, 6) AS post_mean_b,
+           round(z, 6) AS z_post,
+           round(CASE WHEN z >= 0
+                      THEN 1.0 - {{tail}} / 2.0
+                      ELSE {{tail}} / 2.0 END, 6) AS p_b_beats_a
+    FROM (SELECT *, abs(z) AS az,
+                 1.0 / (1.0 + 0.2316419 * abs(z)) AS t
+          FROM zed)
+    """.format(tail=_PHI_TAIL),
+    doc="F137 Bayesian A/B on per-user purchase conversion under the "
+    "md5-split (same fair-coin hash family as K12/F129): Jeffreys "
+    "Beta(k+1/2, n-k+1/2) posteriors per arm, normal approximation "
+    "of the difference, and P(B beats A) = Phi(z) via the A&S "
+    "26.2.17 tail polynomial (F129's portable normal CDF, signed-"
+    "branch form) — the DECISION quantity stakeholders actually ask "
+    "for, vs F84/F85's frequentist p-values (a direct probability "
+    "statement about the lift, valid at any peek). Posterior moments "
+    "are closed-form rationals of EXACT BIGINT counts: mean "
+    "(k+1/2)/(n+1), variance ab/((a+b)^2(a+b+1)); one shared fp "
+    "expression tree end-to-end. One user reduce + a 4-cell reduce; "
+    "single summary row.",
+)
+def events_bayes_ab_superiority(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    u = (
+        _events(spark, sf_dir)
+        .groupBy("user_id")
+        .agg(
+            F.max(
+                F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("conv")
+        )
+        .select(
+            F.expr(
+                "CASE WHEN substring(md5(CAST(user_id AS STRING)), 1, 1)"
+                " < '8' THEN 0 ELSE 1 END"
+            ).alias("grp"),
+            "conv",
+        )
+    )
+    k = u.agg(
+        F.sum(F.when(F.col("grp") == 0, 1).otherwise(0)).alias("na"),
+        F.sum(F.when(F.col("grp") == 1, 1).otherwise(0)).alias("nb"),
+        F.sum(F.when(F.col("grp") == 0, F.col("conv")).otherwise(0)).alias(
+            "ka"
+        ),
+        F.sum(F.when(F.col("grp") == 1, F.col("conv")).otherwise(0)).alias(
+            "kb"
+        ),
+    )
+    post = k.select(
+        "na", "nb", "ka", "kb",
+        F.expr("(CAST(ka AS DOUBLE) + 0.5) / (CAST(na AS DOUBLE) + 1.0)").alias("ma"),
+        F.expr("(CAST(kb AS DOUBLE) + 0.5) / (CAST(nb AS DOUBLE) + 1.0)").alias("mb"),
+        F.expr(
+            "((CAST(ka AS DOUBLE) + 0.5) * (CAST(na - ka AS DOUBLE) + 0.5))"
+            " / ((CAST(na AS DOUBLE) + 1.0) * (CAST(na AS DOUBLE) + 1.0)"
+            " * (CAST(na AS DOUBLE) + 2.0))"
+        ).alias("va"),
+        F.expr(
+            "((CAST(kb AS DOUBLE) + 0.5) * (CAST(nb - kb AS DOUBLE) + 0.5))"
+            " / ((CAST(nb AS DOUBLE) + 1.0) * (CAST(nb AS DOUBLE) + 1.0)"
+            " * (CAST(nb AS DOUBLE) + 2.0))"
+        ).alias("vb"),
+    )
+    zed = post.select(
+        "na", "nb", "ka", "kb", "ma", "mb",
+        F.expr("(mb - ma) / sqrt(va + vb)").alias("z"),
+    ).withColumn("az", F.expr("abs(z)")).withColumn(
+        "t", F.expr("1.0 / (1.0 + 0.2316419 * abs(z))")
+    )
+    return zed.select(
+        F.col("na").alias("n_users_a"),
+        F.col("nb").alias("n_users_b"),
+        F.col("ka").alias("conv_a"),
+        F.col("kb").alias("conv_b"),
+        F.round("ma", 6).alias("post_mean_a"),
+        F.round("mb", 6).alias("post_mean_b"),
+        F.round("z", 6).alias("z_post"),
+        F.expr(
+            "round(CASE WHEN z >= 0"
+            f" THEN 1.0 - {_PHI_TAIL} / 2.0"
+            f" ELSE {_PHI_TAIL} / 2.0 END, 6)"
+        ).alias("p_b_beats_a"),
+    )
