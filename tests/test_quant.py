@@ -2337,3 +2337,45 @@ def test_bayes_ab_matches_python_replay(spark):
     assert abs(bayes(1000, 100, 1000, 100)[3] - 0.5) < 1e-6
     assert bayes(1000, 100, 1000, 200)[3] > 0.999
     assert bayes(1000, 200, 1000, 100)[3] < 0.001
+
+
+def test_buishand_matches_numpy_replay(spark):
+    """F138: the rescaled range and break day equal a numpy replay on
+    sf0.001; a planted level shift yields a large R and the right
+    break location; homogeneous noise stays near its ~1.2 expectation."""
+    import math
+
+    import numpy as np
+    import pandas as pd
+
+    from time_series_spark_spark.queries import REGISTRY
+
+    def buishand(y):
+        y = np.asarray(y, dtype=float)
+        n = len(y)
+        sk = np.cumsum(y - y.mean())
+        s = math.sqrt(float(np.sum((y - y.mean()) ** 2)) / n)
+        r = (sk.max() - sk.min()) / s / math.sqrt(n)
+        kstar = int(np.argmax(np.abs(sk[:-1])))
+        return r, kstar
+
+    ev = pd.read_parquet("/root/testdata/sf0.001/events.parquet")
+    ev["cents"] = (ev["value"] * 100).round().astype("int64")
+    daily = ev.groupby(ev["ts"].dt.floor("D"))["cents"].sum().sort_index()
+    r_ref, k_ref = buishand(list(daily))
+    row = (
+        REGISTRY["events_buishand_range"]
+        .fn(spark, "/root/testdata/sf0.001")
+        .collect()[0]
+    )
+    assert row["n_days"] == len(daily)
+    assert math.isclose(row["r_rescaled"], round(r_ref, 6), abs_tol=1e-6)
+    assert row["change_day"] == daily.index[k_ref]
+
+    rng = np.random.default_rng(13)
+    flat = rng.normal(100, 5, 200)
+    shifted = np.concatenate([rng.normal(100, 5, 100),
+                              rng.normal(160, 5, 100)])
+    assert buishand(flat)[0] < 2.0
+    r_s, k_s = buishand(shifted)
+    assert r_s > 3.0 and abs(k_s - 99) <= 2

@@ -1063,3 +1063,80 @@ def test_stream_heavy_hitters_bounds_and_state(spark):
         assert 1 <= r["rnk"] <= 10
     # 100-item domain vs 64 counters: decrements must have happened
     assert decremented > 0
+
+
+def test_sprt_partials_multibatch_equals_sequential_replay(
+    spark, tmp_path
+):
+    """J14: the partial log written over MANY micro-batches merges to
+    the exact cumulative counts of the whole stream, the LLR path
+    equals a plain-Python sequential replay, and planted streams
+    cross the correct Wald bound (B-heavy -> accept_h1 at the right
+    batch; balanced -> accept_h0 or continue; never the wrong bound)."""
+    import hashlib
+    import math
+
+    from time_series_spark_spark.streaming.jobs import (
+        SPRT_ALPHA,
+        SPRT_BETA,
+        SPRT_Q1,
+        incremental_sprt_partials,
+        read_sprt_decisions,
+    )
+
+    src = str(tmp_path / "src")
+    log = str(tmp_path / "log")
+    ev = load(spark, "/root/testdata/sf0.01", "events")
+    # write the corpus as 4 file-chunks -> 4 micro-batches
+    ev.withColumn(
+        "chunk", (F.col("event_id") % 4).cast("int")
+    ).write.partitionBy("chunk").parquet(src)
+    sdf = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src + "/chunk=*")
+    )
+    incremental_sprt_partials(sdf, log)
+    out = read_sprt_decisions(spark, log).collect()
+    assert len(out) >= 2  # really multi-batch
+
+    # merge-law: final cumulative counts == batch aggregation
+    purch = ev.filter(F.col("event_type") == "purchase").collect()
+    k_a = sum(
+        1 for r in purch
+        if hashlib.md5(str(r.user_id).encode()).hexdigest()[0] < "8"
+    )
+    k_b = len(purch) - k_a
+    assert (out[-1]["k_a"], out[-1]["k_b"]) == (k_a, k_b)
+
+    # LLR path replay at every prefix
+    for r in out:
+        want = r["k_b"] * math.log(2 * SPRT_Q1) + r["k_a"] * math.log(
+            2 * (1 - SPRT_Q1)
+        )
+        assert math.isclose(r["llr"], round(want, 6), abs_tol=1e-9)
+
+    # planted sequential behavior (pure replay of the decision rule)
+    up = math.log((1 - SPRT_BETA) / SPRT_ALPHA)
+    lo = math.log(SPRT_BETA / (1 - SPRT_ALPHA))
+
+    def verdict_path(arms):
+        llr, v = 0.0, "continue"
+        path = []
+        for a in arms:
+            llr += math.log(2 * SPRT_Q1) if a else math.log(
+                2 * (1 - SPRT_Q1)
+            )
+            if v == "continue":
+                if llr >= up:
+                    v = "accept_h1"
+                elif llr <= lo:
+                    v = "accept_h0"
+            path.append(v)
+        return path
+
+    heavy_b = verdict_path([1] * 40)
+    assert heavy_b[-1] == "accept_h1"
+    assert "accept_h0" not in heavy_b
+    balanced = verdict_path([0, 1] * 200)
+    assert "accept_h1" not in balanced[:50]

@@ -6562,3 +6562,136 @@ def events_bayes_ab_superiority(
             f" ELSE {_PHI_TAIL} / 2.0 END, 6)"
         ).alias("p_b_beats_a"),
     )
+
+
+# ---------------------------------------------------------------------------
+# F138 Buishand range test (rescaled cumulative-deviation range)
+# ---------------------------------------------------------------------------
+@register(
+    "events_buishand_range",
+    f"""
+    WITH daily AS (
+        SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS d,
+               CAST(sum({_CENTS}) AS BIGINT) AS y
+        FROM events GROUP BY 1
+    ),
+    g AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(y) AS BIGINT) AS sy
+        FROM daily
+    ),
+    s AS (
+        SELECT d, n,
+               n * CAST(sum(y) OVER (ORDER BY d
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS BIGINT)
+               - sy * CAST(row_number() OVER (ORDER BY d) AS BIGINT)
+                   AS sk_n,
+               row_number() OVER (ORDER BY d) AS k
+        FROM daily CROSS JOIN g
+    ),
+    dev AS (
+        SELECT max(n) AS n,
+               CAST(max(sk_n) AS BIGINT) AS smax_n,
+               CAST(min(sk_n) AS BIGINT) AS smin_n
+        FROM s
+    ),
+    var_ AS (
+        SELECT n,
+               sum((CAST(y AS DOUBLE) - CAST(sy AS DOUBLE) / n)
+                   * (CAST(y AS DOUBLE) - CAST(sy AS DOUBLE) / n))
+                   OVER (ORDER BY d
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS ssq,
+               row_number() OVER (ORDER BY d) AS rn
+        FROM daily CROSS JOIN g
+    ),
+    sd AS (SELECT sqrt(ssq / n) AS s FROM var_ WHERE rn = n),
+    loc AS (
+        SELECT d AS change_day, abs(sk_n) AS a_n,
+               row_number() OVER (ORDER BY abs(sk_n) DESC, d) AS rk
+        FROM s WHERE k < n
+    )
+    SELECT dev.n AS n_days,
+           round((CAST(smax_n AS DOUBLE) - smin_n)
+                 / (dev.n * (SELECT s FROM sd))
+                 / sqrt(CAST(dev.n AS DOUBLE)), 6) AS r_rescaled,
+           (SELECT change_day FROM loc WHERE rk = 1) AS change_day
+    FROM dev
+    """,
+    doc="F138 Buishand range test for homogeneity of the daily value-"
+    "cents series — the parametric CUSUM-range complement to F133 "
+    "Pettitt (same question, deviation magnitudes instead of ranks; "
+    "the hydrology-standard pair): partial sums of deviations are "
+    "held EXACTLY as n-scaled integers S*_k*n = n*cumsum(y) - k*sum(y) "
+    "(no fp until the end; bound n*sum(y) < 2^63, ~daily cents x "
+    "days^2 under 9e18 — the F121 bound), the range max-min is order-"
+    "independent, the std uses one frame-ordered deviation sum, and "
+    "R/(s*sqrt(n)) is the rescaled statistic (~1.0-1.5 under "
+    "homogeneity, large under a level break). Also reports the "
+    "argmax |S_k| day — the most likely break location. Pre-reduces "
+    "to the calendar-day frame. Single summary row.",
+)
+def events_buishand_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    daily = (
+        _events(spark, sf_dir)
+        .groupBy(F.date_trunc("day", F.col("ts")).alias("d"))
+        .agg(F.sum(F.expr(_CENTS)).alias("y"))
+    )
+    g = daily.agg(
+        F.count(F.lit(1)).alias("n"), F.sum("y").alias("sy")
+    )
+    w_ord = Window.orderBy("d")
+    w_cum = w_ord.rowsBetween(Window.unboundedPreceding, 0)
+    s = daily.crossJoin(F.broadcast(g)).select(
+        "d", "n",
+        (
+            F.col("n") * F.sum("y").over(w_cum).cast("long")
+            - F.col("sy") * F.row_number().over(w_ord).cast("long")
+        ).alias("sk_n"),
+        F.row_number().over(w_ord).alias("k"),
+    )
+    dev = s.agg(
+        F.max("n").alias("n"),
+        F.max("sk_n").alias("smax_n"),
+        F.min("sk_n").alias("smin_n"),
+    )
+    var_ = daily.crossJoin(F.broadcast(g)).select(
+        "n",
+        F.sum(
+            F.expr(
+                "(CAST(y AS DOUBLE) - CAST(sy AS DOUBLE) / n)"
+                " * (CAST(y AS DOUBLE) - CAST(sy AS DOUBLE) / n)"
+            )
+        )
+        .over(w_cum)
+        .alias("ssq"),
+        F.row_number().over(w_ord).alias("rn"),
+    )
+    sd = var_.filter(F.col("rn") == F.col("n")).select(
+        F.expr("sqrt(ssq / n)").alias("s")
+    )
+    loc = (
+        s.filter(F.col("k") < F.col("n"))
+        .select(
+            F.col("d").alias("change_day"),
+            F.abs("sk_n").alias("a_n"),
+            F.row_number()
+            .over(Window.orderBy(F.abs("sk_n").desc(), "d"))
+            .alias("rk"),
+        )
+        .filter(F.col("rk") == 1)
+        .select("change_day")
+    )
+    return (
+        dev.crossJoin(F.broadcast(sd))
+        .crossJoin(F.broadcast(loc))
+        .select(
+            F.col("n").alias("n_days"),
+            F.expr(
+                "round((CAST(smax_n AS DOUBLE) - smin_n) / (n * s)"
+                " / sqrt(CAST(n AS DOUBLE)), 6)"
+            ).alias("r_rescaled"),
+            "change_day",
+        )
+    )

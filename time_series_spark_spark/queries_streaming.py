@@ -515,3 +515,38 @@ def stream_heavy_hitters_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         stateful_heavy_hitters(sdf), output_mode="append"
     )
     return table.orderBy("event_type", "rnk")
+
+
+@register(
+    "stream_sprt_ab_decision",
+    None,  # streaming partial log → rows-only; merge-law and decision
+    # equivalence with a plain-Python sequential replay pinned in
+    # tests/test_streaming.py
+    doc="J14 streaming sequential A/B test (Wald SPRT) over the "
+    "conversion stream (availableNow replay): each micro-batch folds "
+    "to TWO exact integers (per-arm conversion counts under the "
+    "md5 split) appended idempotently to a partial log; merge-on-read "
+    "rebuilds the exact LLR path k_B*ln(2q1) + k_A*ln(2(1-q1)) and "
+    "the first Wald-bound crossing — the always-valid-peeking "
+    "sequential decision the fixed-horizon F85 test cannot give "
+    "(streaming/jobs.py::incremental_sprt_partials / "
+    "read_sprt_decisions). One report row per micro-batch with "
+    "cumulative counts, LLR, and the sticky verdict.",
+)
+def stream_sprt_ab_decision(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from time_series_spark_spark.streaming.jobs import (
+        incremental_sprt_partials,
+        read_sprt_decisions,
+    )
+
+    tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    base = os.path.join(tempfile.gettempdir(), "tss_sprt", tag)
+    shutil.rmtree(base, ignore_errors=True)
+    log = os.path.join(base, "partials")
+    incremental_sprt_partials(read_events_stream(spark, sf_dir), log)
+    return read_sprt_decisions(spark, log)

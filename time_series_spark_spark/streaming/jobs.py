@@ -950,3 +950,95 @@ def stateful_heavy_hitters(
         "append",
         GroupStateTimeout.NoTimeout,
     )
+
+
+# --------------------------------------------------------------------------
+# J14: streaming SPRT — sequential A/B decision over a conversion stream
+# --------------------------------------------------------------------------
+
+SPRT_Q1 = 0.55          # H1: a conversion comes from arm B with prob q1
+SPRT_ALPHA = 0.05       # type-I error -> upper bound ln((1-beta)/alpha)
+SPRT_BETA = 0.10        # type-II error -> lower bound ln(beta/(1-alpha))
+
+
+def incremental_sprt_partials(
+    stream_events: DataFrame,
+    partials_path: str,
+    checkpoint_dir: str | None = None,
+) -> None:
+    """J14: streaming sequential probability ratio test (Wald SPRT) on
+    an A/B conversion stream, as an append-only partial log.
+
+    The two-sample rate comparison reduces to a single Bernoulli by
+    conditioning on conversions (the classic play-the-winner device):
+    under H0 (equal rates, fair md5 split) each conversion comes from
+    arm B with p = 1/2; under H1 (planned ~20% lift) with p = q1. The
+    per-batch partial is just (conv_a, conv_b) — two EXACT integers,
+    associative under addition — so merge-on-read reproduces the exact
+    sequential LLR path: LLR_t = k_B ln(2 q1) + k_A ln(2 (1 - q1)).
+    Decision = first crossing of the Wald bounds ln((1-b)/a) /
+    ln(b/(1-a)); unlike the fixed-horizon F85 Welch test, peeking at
+    every batch is VALID by construction. Idempotent per-batch writes
+    (batch-id partition + dynamic overwrite) as in J9.
+    """
+
+    def fold_batch(batch_df: DataFrame, batch_id: int) -> None:
+        arm = F.expr(
+            "CASE WHEN substring(md5(CAST(user_id AS STRING)), 1, 1) < '8'"
+            " THEN 0 ELSE 1 END"
+        )
+        p = (
+            batch_df.filter(F.col("event_type") == "purchase")
+            .select(arm.alias("arm"))
+            .groupBy()
+            .agg(
+                F.sum(F.expr("1 - arm")).cast("long").alias("conv_a"),
+                F.sum("arm").cast("long").alias("conv_b"),
+            )
+        )
+        _write_partials_idempotent(p, batch_id, partials_path)
+
+    writer = stream_events.writeStream.foreachBatch(fold_batch)
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    q = writer.trigger(availableNow=True).start()
+    q.awaitTermination()
+
+
+def read_sprt_decisions(spark, partials_path: str) -> DataFrame:
+    """Merge-on-read for the J14 log: cumulative counts in batch order,
+    the exact LLR path, and the sequential verdict at each prefix
+    ('accept_h1' / 'accept_h0' once a bound is crossed, sticky)."""
+    import math
+
+    from pyspark.sql.window import Window as W
+
+    up = math.log((1.0 - SPRT_BETA) / SPRT_ALPHA)
+    lo = math.log(SPRT_BETA / (1.0 - SPRT_ALPHA))
+    w_cum = W.orderBy("batch_id").rowsBetween(W.unboundedPreceding, 0)
+    p = spark.read.parquet(partials_path)
+    cum = p.select(
+        "batch_id",
+        F.sum("conv_a").over(w_cum).alias("k_a"),
+        F.sum("conv_b").over(w_cum).alias("k_b"),
+    ).withColumn(
+        "llr",
+        F.col("k_b") * F.lit(math.log(2.0 * SPRT_Q1))
+        + F.col("k_a") * F.lit(math.log(2.0 * (1.0 - SPRT_Q1))),
+    )
+    crossed = cum.withColumn(
+        "verdict_here",
+        F.when(F.col("llr") >= up, F.lit("accept_h1"))
+        .when(F.col("llr") <= lo, F.lit("accept_h0"))
+        .otherwise(F.lit("continue")),
+    )
+    # sticky: once decided, later prefixes inherit the first decision
+    first_dec = F.first(
+        F.when(F.col("verdict_here") != "continue", F.col("verdict_here")),
+        ignorenulls=True,
+    ).over(w_cum)
+    return crossed.select(
+        "batch_id", "k_a", "k_b",
+        F.round("llr", 6).alias("llr"),
+        F.coalesce(first_dec, F.lit("continue")).alias("verdict"),
+    ).orderBy("batch_id")
