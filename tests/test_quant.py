@@ -2379,3 +2379,61 @@ def test_buishand_matches_numpy_replay(spark):
     assert buishand(flat)[0] < 2.0
     r_s, k_s = buishand(shifted)
     assert r_s > 3.0 and abs(k_s - 99) <= 2
+
+
+def test_duplicate_payments_and_yoy_replays(spark):
+    """B9/B10: the band-dup pair set equals a pandas replay (symmetric,
+    deduped, 90-day bounded) on sf0.01 where pairs exist; YoY growth
+    equals the aligned-month pandas replay on sf0.001."""
+    import math
+
+    import pandas as pd
+
+    from time_series_spark_spark.queries import REGISTRY
+
+    od = pd.read_parquet("/root/testdata/sf0.01/orders.parquet")
+    od["band"] = ((od["o_totalprice"].round(0)) / 100.0).map(
+        math.floor
+    ).astype("int64")
+    expect = set()
+    for (_, _), g in od.groupby(["o_custkey", "band"]):
+        rows = list(g.itertuples())
+        for i, a in enumerate(rows):
+            for b in rows:
+                if (
+                    b.o_orderkey > a.o_orderkey
+                    and b.o_orderdate >= a.o_orderdate
+                    and (b.o_orderdate - a.o_orderdate).days <= 90
+                ):
+                    expect.add((a.o_orderkey, b.o_orderkey))
+    got = {
+        (r["key_a"], r["key_b"])
+        for r in REGISTRY["orders_duplicate_payments"]
+        .fn(spark, "/root/testdata/sf0.01")
+        .collect()
+    }
+    assert got == expect and len(got) >= 1
+
+    od1 = pd.read_parquet("/root/testdata/sf0.001/orders.parquet")
+    od1["cents"] = (od1["o_totalprice"] * 100).round().astype("int64")
+    m = od1.groupby(
+        [od1["o_orderdate"].dt.year, od1["o_orderdate"].dt.month]
+    )["cents"].sum()
+    rows = (
+        REGISTRY["orders_yoy_growth_monthly"]
+        .fn(spark, "/root/testdata/sf0.001")
+        .collect()
+    )
+    expect_pairs = {
+        (y, mo): (m[(y, mo)], m[(y - 1, mo)])
+        for (y, mo) in m.index
+        if (y - 1, mo) in m.index
+    }
+    assert {(r["year"], r["month"]) for r in rows} == set(expect_pairs)
+    for r in rows:
+        cur, prev = expect_pairs[(r["year"], r["month"])]
+        assert (r["rev_cents"], r["prev_year_cents"]) == (cur, prev)
+        assert math.isclose(
+            r["yoy_bp"], round(10000.0 * (cur - prev) / prev, 4),
+            abs_tol=1e-9,
+        )

@@ -1956,3 +1956,145 @@ def users_mode_event_type(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n").alias("n_occurrences"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# B9 duplicate-payment detection (same payer, same amount, close in time)
+# ---------------------------------------------------------------------------
+@register(
+    "orders_duplicate_payments",
+    """
+    WITH o AS (
+        SELECT o_orderkey, o_custkey, o_orderdate,
+               CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents,
+               CAST(floor(round(o_totalprice, 0) / 100.0) AS BIGINT)
+                   AS band
+        FROM orders
+    )
+    SELECT a.o_custkey AS custkey, a.band AS amount_band,
+           a.cents AS cents_a, b.cents AS cents_b,
+           a.o_orderkey AS key_a, b.o_orderkey AS key_b,
+           CAST(datediff('day', a.o_orderdate, b.o_orderdate) AS BIGINT)
+               AS gap_days
+    FROM o a JOIN o b
+      ON b.o_custkey = a.o_custkey
+     AND b.band = a.band
+     AND b.o_orderkey > a.o_orderkey
+     AND b.o_orderdate >= a.o_orderdate
+     AND b.o_orderdate <= a.o_orderdate + INTERVAL 90 DAY
+    ORDER BY custkey, amount_band, key_a, key_b
+    """,
+    doc="B9 duplicate-payment candidates: pairs of orders from the SAME "
+    "customer in the SAME $100 amount band within 90 days — the "
+    "AP-audit / fin-crime screen (banded rather than exact-cents: "
+    "TPC-H prices are near-unique, and real double-payments differ by "
+    "fees; both sides' exact cents are reported for the analyst). The "
+    "join is EQUI on (custkey, band) — Catalyst plans a hash join, "
+    "never a cartesian — with the 90-day residual post-match and "
+    "key_a < key_b dedup so each pair reports once. Pair mass is "
+    "bounded by per-(customer, band) multiplicity. One shuffle on "
+    "the composite key.",
+)
+def orders_duplicate_payments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate",
+        F.expr("CAST(round(o_totalprice * 100, 0) AS BIGINT)").alias(
+            "cents"
+        ),
+        F.expr(
+            "CAST(floor(round(o_totalprice, 0) / 100.0) AS BIGINT)"
+        ).alias("band"),
+    )
+    a = o.select(
+        F.col("o_custkey").alias("custkey"),
+        F.col("band").alias("amount_band"),
+        F.col("cents").alias("cents_a"),
+        F.col("o_orderkey").alias("key_a"),
+        F.col("o_orderdate").alias("date_a"),
+    )
+    b = o.select(
+        F.col("o_custkey").alias("custkey_b"),
+        F.col("band").alias("band_b"),
+        F.col("cents").alias("cents_b"),
+        F.col("o_orderkey").alias("key_b"),
+        F.col("o_orderdate").alias("date_b"),
+    )
+    pairs = a.join(
+        b,
+        (F.col("custkey_b") == F.col("custkey"))
+        & (F.col("band_b") == F.col("amount_band"))
+        & (F.col("key_b") > F.col("key_a"))
+        & (F.col("date_b") >= F.col("date_a"))
+        & (F.col("date_b") <= F.expr("date_a + INTERVAL 90 DAY")),
+    )
+    return pairs.select(
+        "custkey", "amount_band", "cents_a", "cents_b", "key_a", "key_b",
+        F.expr("CAST(datediff(date_b, date_a) AS BIGINT)").alias(
+            "gap_days"
+        ),
+    ).orderBy("custkey", "amount_band", "key_a", "key_b")
+
+
+# ---------------------------------------------------------------------------
+# B10 calendar-aligned year-over-year growth
+# ---------------------------------------------------------------------------
+@register(
+    "orders_yoy_growth_monthly",
+    """
+    WITH m AS (
+        SELECT CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS y,
+               CAST(EXTRACT(month FROM o_orderdate) AS BIGINT) AS mo,
+               CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT))
+                    AS BIGINT) AS rev
+        FROM orders GROUP BY 1, 2
+    )
+    SELECT cur.y AS year, cur.mo AS month,
+           cur.rev AS rev_cents, prev.rev AS prev_year_cents,
+           round(10000.0 * (cur.rev - prev.rev) / prev.rev, 4)
+               AS yoy_bp
+    FROM m cur JOIN m prev
+      ON prev.y = cur.y - 1 AND prev.mo = cur.mo
+    ORDER BY year, month
+    """,
+    doc="B10 calendar-ALIGNED year-over-year growth per month — the "
+    "seasonality-free growth read (same-month comparison cancels the "
+    "seasonal profile that the F-series MoM growth can't), in basis "
+    "points from exact integer cents (one fp division, the dialect "
+    "rule). Self-join on the shifted (year-1, month) key — a bounded "
+    "months x months equi-join on the AGGREGATE, never the fact "
+    "table. One hash agg + one tiny join.",
+)
+def orders_yoy_growth_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    m = load(spark, sf_dir, "orders").groupBy(
+        F.year("o_orderdate").cast("long").alias("y"),
+        F.month("o_orderdate").cast("long").alias("mo"),
+    ).agg(
+        F.sum(
+            F.expr("CAST(round(o_totalprice * 100, 0) AS BIGINT)")
+        ).alias("rev")
+    )
+    cur = m.select(
+        F.col("y").alias("year"),
+        F.col("mo").alias("month"),
+        F.col("rev").alias("rev_cents"),
+    )
+    prev = m.select(
+        (F.col("y") + 1).alias("py"),
+        F.col("mo").alias("pmo"),
+        F.col("rev").alias("prev_year_cents"),
+    )
+    return (
+        cur.join(
+            prev,
+            (F.col("py") == F.col("year"))
+            & (F.col("pmo") == F.col("month")),
+        )
+        .select(
+            "year", "month", "rev_cents", "prev_year_cents",
+            F.expr(
+                "round(10000.0 * (rev_cents - prev_year_cents)"
+                " / prev_year_cents, 4)"
+            ).alias("yoy_bp"),
+        )
+        .orderBy("year", "month")
+    )
