@@ -2437,3 +2437,70 @@ def test_duplicate_payments_and_yoy_replays(spark):
             r["yoy_bp"], round(10000.0 * (cur - prev) / prev, 4),
             abs_tol=1e-9,
         )
+
+
+def test_median_polish_matches_python_replay(spark):
+    """F140: column effects and max residuals equal a plain-Python
+    2-sweep lower-median polish on sf0.001; an exactly additive
+    planted matrix polishes to ZERO residuals with the planted
+    effects recovered up to the overall shift."""
+    from collections import defaultdict
+
+    import pandas as pd
+
+    from time_series_spark_spark.queries import REGISTRY
+
+    def lower_median(vals):
+        s = sorted(vals)
+        return s[(len(s) + 1) // 2 - 1]
+
+    def polish(cells):  # {(d, t): v} -> (col_eff, resid)
+        resid = dict(cells)
+        col_eff = defaultdict(int)
+        for _ in range(2):
+            by_d = defaultdict(list)
+            for (d, t), v in resid.items():
+                by_d[d].append(v)
+            med_d = {d: lower_median(v) for d, v in by_d.items()}
+            resid = {(d, t): v - med_d[d] for (d, t), v in resid.items()}
+            by_t = defaultdict(list)
+            for (d, t), v in resid.items():
+                by_t[t].append(v)
+            med_t = {t: lower_median(v) for t, v in by_t.items()}
+            resid = {(d, t): v - med_t[t] for (d, t), v in resid.items()}
+            for t, m in med_t.items():
+                col_eff[t] += m
+        return col_eff, resid
+
+    ev = pd.read_parquet("/root/testdata/sf0.001/events.parquet")
+    ev["cents"] = (ev["value"] * 100).round().astype("int64")
+    ev["d"] = ev["ts"].dt.floor("D")
+    cells = {
+        (d, t): int(v)
+        for (d, t), v in ev.groupby(["d", "event_type"])["cents"].sum().items()
+    }
+    col_eff, resid = polish(cells)
+    rows = (
+        REGISTRY["events_median_polish_effects"]
+        .fn(spark, "/root/testdata/sf0.001")
+        .collect()
+    )
+    got = {r["event_type"]: r for r in rows}
+    assert set(got) == set(col_eff)
+    for t, r in got.items():
+        assert r["col_effect_cents"] == col_eff[t]
+        assert r["max_abs_resid"] == max(
+            abs(v) for (d2, t2), v in resid.items() if t2 == t
+        )
+
+    # exactly additive matrix -> zero residuals, effects recovered
+    days = list(range(7))
+    types = ["a", "b", "c"]
+    row_e = {d: 10 * d for d in days}
+    col_e = {"a": 0, "b": 500, "c": -300}
+    additive = {
+        (d, t): 1000 + row_e[d] + col_e[t] for d in days for t in types
+    }
+    eff, res = polish(additive)
+    assert all(v == 0 for v in res.values())
+    assert eff["b"] - eff["a"] == 500 and eff["c"] - eff["a"] == -300

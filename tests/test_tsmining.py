@@ -576,3 +576,84 @@ def test_lomb_scargle_recovers_planted_irregular_sine(spark):
     assert all(r["best_period_hours"] in
                (6.0, 12.0, 24.0, 48.0, 84.0, 168.0, 336.0, 672.0)
                for r in rows)
+
+
+def test_pelt_equals_unpruned_dp_and_recovers_planted_shifts(spark):
+    """F139: PELT's changepoint set EQUALS the exact unpruned O(n^2) DP
+    on the real sf0.001 per-type daily series AND on planted series;
+    planted two-shift means are recovered at the right locations; a
+    constant series yields a single segment."""
+    import numpy as np
+    import pandas as pd
+
+    from time_series_spark_spark.operators.tsmining import _pelt_one
+    from time_series_spark_spark.queries import REGISTRY
+
+    def dp_exact(x, beta):
+        n = len(x)
+        cs = np.concatenate([[0.0], np.cumsum(x)])
+        css = np.concatenate([[0.0], np.cumsum(x * x)])
+
+        def cost(a, b):
+            s = cs[b] - cs[a]
+            return (css[b] - css[a]) - s * s / (b - a)
+
+        f = np.full(n + 1, np.inf)
+        f[0] = -beta
+        last = np.zeros(n + 1, dtype=int)
+        for t in range(1, n + 1):
+            for s in range(t):
+                v = f[s] + cost(s, t) + beta
+                if v < f[t]:
+                    f[t], last[t] = v, s
+        cps, t = [], n
+        while t > 0:
+            s = last[t]
+            if s > 0:
+                cps.append(s)
+            t = s
+        return sorted(cps)
+
+    def beta_of(x):
+        d = np.diff(x)
+        return 2.0 * max(float(d @ d) / (2.0 * max(len(d), 1)), 1e-12) \
+            * np.log(len(x))
+
+    rng = np.random.default_rng(21)
+    planted = np.concatenate(
+        [rng.normal(100, 3, 40), rng.normal(160, 3, 30),
+         rng.normal(80, 3, 30)]
+    )
+    got = _pelt_one(planted)
+    assert got == dp_exact(planted, beta_of(planted))
+    assert len(got) == 2
+    assert abs(got[0] - 40) <= 2 and abs(got[1] - 70) <= 2
+
+    assert _pelt_one(np.full(50, 7.0)) == []
+
+    ev = pd.read_parquet("/root/testdata/sf0.001/events.parquet")
+    ev["cents"] = (ev["value"] * 100).round().astype("int64")
+    for t, g in ev.groupby("event_type"):
+        daily = (
+            g.groupby(g["ts"].dt.floor("D"))["cents"].sum().sort_index()
+        )
+        x = daily.to_numpy(dtype=float)
+        if len(x) >= 4:
+            assert _pelt_one(x) == dp_exact(x, beta_of(x))
+
+    rows = (
+        REGISTRY["events_pelt_changepoints"]
+        .fn(spark, "/root/testdata/sf0.001")
+        .collect()
+    )
+    # segments tile each series: lengths sum to the series length
+    per_type = {}
+    for r in rows:
+        per_type.setdefault(r["event_type"], []).append(r)
+    for t, segs in per_type.items():
+        days = ev[ev["event_type"] == t]["ts"].dt.floor("D").nunique()
+        assert sum(s["n_points"] for s in segs) == days
+        assert [s["seg_idx"] for s in
+                sorted(segs, key=lambda s: s["start_ts"])] == list(
+            range(len(segs))
+        )

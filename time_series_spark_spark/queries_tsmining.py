@@ -619,3 +619,36 @@ def events_lomb_scargle_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lomb_scargle_periods(ev, ["user_id"], "ts", "v").orderBy(
         "user_id"
     )
+
+
+@register(
+    "events_pelt_changepoints",
+    None,  # optimal DP segmentation -> rows-only; exact equivalence with
+    # the unpruned O(n^2) DP and planted recovery pinned in
+    # tests/test_tsmining.py
+    doc="F139 PELT optimal multi-changepoint segmentation of the daily "
+    "value-cents series per event_type (Killick 2012): exact minimum "
+    "of sum SSE + beta*k via the pruned DP — the OPTIMAL counterpart "
+    "to greedy F108 binseg (binseg can misplace breaks when shifts "
+    "interact; PELT provably cannot) with beta = 2*sigma^2*ln(n) from "
+    "the lag-1 difference variance. One hash shuffle to pre-reduce to "
+    "(type, day), one packed grouped map over the bounded day frame; "
+    "output one row per detected segment with start day, length, and "
+    "mean (operators/tsmining.py::pelt_changepoints).",
+)
+def events_pelt_changepoints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from time_series_spark_spark.operators.tsmining import pelt_changepoints
+
+    daily = (
+        _events(spark, sf_dir)
+        .groupBy(
+            "event_type", F.date_trunc("day", F.col("ts")).alias("d")
+        )
+        .agg(
+            F.expr("CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE)")
+            .alias("v")
+        )
+    )
+    return pelt_changepoints(daily, ["event_type"], "d", "v").orderBy(
+        "event_type", "seg_idx"
+    )
