@@ -2504,3 +2504,96 @@ def test_median_polish_matches_python_replay(spark):
     eff, res = polish(additive)
     assert all(v == 0 for v in res.values())
     assert eff["b"] - eff["a"] == 500 and eff["c"] - eff["a"] == -300
+
+
+def test_circular_daypart_matches_python_replay(spark):
+    """F141: rbar, Rayleigh z, and peak hour equal a plain-Python
+    binned-trig replay on sf0.001; a planted single-hour rush gives
+    rbar ~ 1, a uniform clock rbar ~ 0."""
+    import math
+    from collections import Counter
+
+    import pandas as pd
+
+    from time_series_spark_spark.queries import REGISTRY
+
+    COS = [math.cos(2 * math.pi * (h + 0.5) / 24) for h in range(24)]
+    SIN = [math.sin(2 * math.pi * (h + 0.5) / 24) for h in range(24)]
+
+    def circ(hours):
+        cnt = Counter(hours)
+        n = sum(cnt.values())
+        sc = sum(c * COS[h] for h, c in sorted(cnt.items()))
+        ss = sum(c * SIN[h] for h, c in sorted(cnt.items()))
+        rbar = math.sqrt(sc * sc + ss * ss) / n
+        return rbar, n * rbar * rbar, min(
+            (h for h in cnt), key=lambda h: (-cnt[h], h)
+        )
+
+    ev = pd.read_parquet("/root/testdata/sf0.001/events.parquet")
+    rows = {
+        r["event_type"]: r
+        for r in REGISTRY["events_circular_daypart"]
+        .fn(spark, "/root/testdata/sf0.001")
+        .collect()
+    }
+    for t, g in ev.groupby("event_type"):
+        rbar, z, peak = circ(list(g["ts"].dt.hour))
+        r = rows[t]
+        assert r["n_events"] == len(g)
+        assert math.isclose(r["rbar"], round(rbar, 6), abs_tol=1e-6)
+        assert math.isclose(r["rayleigh_z"], round(z, 6), rel_tol=1e-4)
+        assert r["peak_hour"] == peak
+
+    rush = [9] * 100
+    uniform = list(range(24)) * 50
+    assert circ(rush)[0] > 0.99
+    assert circ(uniform)[0] < 1e-9
+
+
+def test_markov_entropy_matches_python_replay(spark):
+    """F142: H_cond, H_marg, and predictability equal a Counter replay
+    on sf0.001; a deterministic cycle gives predictability 1, an iid
+    sequence ~0."""
+    import math
+    from collections import Counter, defaultdict
+
+    import pandas as pd
+
+    from time_series_spark_spark.queries import REGISTRY
+
+    def entropy_rate(transitions):
+        c = Counter(transitions)
+        n = sum(c.values())
+        rc = defaultdict(int)
+        for (a, _), k in c.items():
+            rc[a] += k
+        h_cond = -sum(
+            (k / n) * math.log(k / rc[a]) for (a, _), k in c.items()
+        )
+        h_marg = -sum((r / n) * math.log(r / n) for r in rc.values())
+        return h_cond, h_marg, 1.0 - h_cond / h_marg
+
+    ev = pd.read_parquet("/root/testdata/sf0.001/events.parquet")
+    ev = ev.sort_values(["ts", "event_id"])
+    trans = []
+    for _, g in ev.groupby("user_id"):
+        seq = list(g["event_type"])
+        trans += list(zip(seq, seq[1:]))
+    h_cond, h_marg, pred = entropy_rate(trans)
+    row = (
+        REGISTRY["events_markov_entropy_rate"]
+        .fn(spark, "/root/testdata/sf0.001")
+        .collect()[0]
+    )
+    assert row["n_transitions"] == len(trans)
+    assert math.isclose(row["h_conditional"], round(h_cond, 6),
+                        abs_tol=1e-6)
+    assert math.isclose(row["h_marginal"], round(h_marg, 6), abs_tol=1e-6)
+    assert math.isclose(row["predictability"], round(pred, 6),
+                        abs_tol=1e-5)
+
+    cycle = list(zip("abcabcabcabc", "bcabcabcabca"))
+    iid = [("a", "a"), ("a", "b"), ("b", "a"), ("b", "b")] * 25
+    assert entropy_rate(cycle)[2] > 0.999
+    assert abs(entropy_rate(iid)[2]) < 1e-9

@@ -6846,3 +6846,262 @@ def events_median_polish_effects(
         )
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# F141 circular time-of-day statistics + Rayleigh uniformity test
+# ---------------------------------------------------------------------------
+import math as _math
+
+_CIRC_COS = ", ".join(
+    "%.17g" % _math.cos(2 * _math.pi * (h + 0.5) / 24) for h in range(24)
+)
+_CIRC_SIN = ", ".join(
+    "%.17g" % _math.sin(2 * _math.pi * (h + 0.5) / 24) for h in range(24)
+)
+
+
+@register(
+    "events_circular_daypart",
+    f"""
+    WITH h AS (
+        SELECT event_type,
+               CAST(EXTRACT(hour FROM ts) AS BIGINT) AS hh,
+               CAST(count(*) AS BIGINT) AS c
+        FROM events GROUP BY 1, 2
+    ),
+    trig AS (
+        SELECT event_type, hh, c,
+               ([{_CIRC_COS}]::DOUBLE[])[hh + 1] AS ch,
+               ([{_CIRC_SIN}]::DOUBLE[])[hh + 1] AS sh
+        FROM h
+    ),
+    acc AS (
+        SELECT event_type,
+               sum(c * ch) OVER w AS sc,
+               sum(c * sh) OVER w AS ss,
+               sum(c) OVER (PARTITION BY event_type) AS n,
+               row_number() OVER (PARTITION BY event_type ORDER BY hh)
+                   AS rn,
+               count(*) OVER (PARTITION BY event_type) AS bins
+        FROM trig
+        WINDOW w AS (PARTITION BY event_type ORDER BY hh
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ),
+    peak AS (
+        SELECT event_type, hh AS peak_hour,
+               row_number() OVER (PARTITION BY event_type
+                                  ORDER BY c DESC, hh) AS pk
+        FROM h
+    )
+    SELECT acc.event_type, CAST(n AS BIGINT) AS n_events,
+           round(sqrt(sc * sc + ss * ss) / n, 6) AS rbar,
+           round(n * ((sc * sc + ss * ss) / (CAST(n AS DOUBLE) * n)), 6)
+               AS rayleigh_z,
+           (SELECT peak_hour FROM peak
+            WHERE peak.event_type = acc.event_type AND pk = 1)
+               AS peak_hour
+    FROM acc WHERE rn = bins ORDER BY event_type
+    """,
+    doc="F141 circular statistics of event time-of-day per type: the "
+    "mean resultant length rbar = |sum e^(i theta)|/n and the "
+    "Rayleigh uniformity test z = n*rbar^2 (z ~ Exp(1) under a "
+    "uniform clock; large z = a real daily rush hour) — the CIRCULAR "
+    "treatment the F-series dow/hour heatmap can't give (2300 and "
+    "0100 are 2h apart on the clock, 22h apart linearly). Hours are "
+    "binned to 24 cells with PRECOMPUTED bin-center cos/sin literal "
+    "tables shared by both engines (no runtime trig — JVM and C libm "
+    "sin/cos are not bit-identical, the pow lesson), so sums are "
+    "exact-count x literal products accumulated in frame order. One "
+    "contingency reduce + windows over the bounded 24 x types frame.",
+)
+def events_circular_daypart(spark: SparkSession, sf_dir: str) -> DataFrame:
+    h = _events(spark, sf_dir).groupBy(
+        "event_type",
+        F.expr("CAST(EXTRACT(hour FROM ts) AS BIGINT)").alias("hh"),
+    ).agg(F.count(F.lit(1)).alias("c"))
+    trig = h.select(
+        "event_type", "hh", "c",
+        F.expr(
+            f"CAST(array({_CIRC_COS}) AS array<double>)[CAST(hh AS INT)]"
+        ).alias("ch"),
+        F.expr(
+            f"CAST(array({_CIRC_SIN}) AS array<double>)[CAST(hh AS INT)]"
+        ).alias("sh"),
+    )
+    wp = Window.partitionBy("event_type")
+    w_cum = wp.orderBy("hh").rowsBetween(Window.unboundedPreceding, 0)
+    w_all = wp.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    acc = trig.select(
+        "event_type",
+        F.sum(F.col("c") * F.col("ch")).over(w_cum).alias("sc"),
+        F.sum(F.col("c") * F.col("sh")).over(w_cum).alias("ss"),
+        F.sum("c").over(w_all).alias("n"),
+        F.row_number().over(wp.orderBy("hh")).alias("rn"),
+        F.count(F.lit(1)).over(w_all).alias("bins"),
+    ).filter(F.col("rn") == F.col("bins"))
+    peak = (
+        h.select(
+            F.col("event_type").alias("pt"),
+            F.col("hh").alias("peak_hour"),
+            F.row_number()
+            .over(
+                Window.partitionBy("event_type").orderBy(
+                    F.col("c").desc(), "hh"
+                )
+            )
+            .alias("pk"),
+        )
+        .filter(F.col("pk") == 1)
+        .drop("pk")
+    )
+    return (
+        acc.join(F.broadcast(peak), F.col("pt") == F.col("event_type"))
+        .select(
+            "event_type",
+            F.col("n").cast("long").alias("n_events"),
+            F.expr("round(sqrt(sc * sc + ss * ss) / n, 6)").alias("rbar"),
+            F.expr(
+                "round(n * ((sc * sc + ss * ss)"
+                " / (CAST(n AS DOUBLE) * n)), 6)"
+            ).alias("rayleigh_z"),
+            "peak_hour",
+        )
+        .orderBy("event_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# F142 Markov conditional entropy / predictability of event sequences
+# ---------------------------------------------------------------------------
+@register(
+    "events_markov_entropy_rate",
+    """
+    WITH seq AS (
+        SELECT user_id, event_type AS cur,
+               lead(event_type) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS nxt
+        FROM events
+    ),
+    pairs AS (
+        SELECT cur, nxt, CAST(count(*) AS BIGINT) AS c
+        FROM seq WHERE nxt IS NOT NULL GROUP BY cur, nxt
+    ),
+    m AS (
+        SELECT cur, nxt, c,
+               CAST(sum(c) OVER (PARTITION BY cur) AS BIGINT) AS rc,
+               CAST(sum(c) OVER () AS BIGINT) AS n
+        FROM pairs
+    ),
+    hcond AS (
+        SELECT n,
+               sum(-(CAST(c AS DOUBLE) / n)
+                   * ln(CAST(c AS DOUBLE) / rc)) OVER w AS h_cond,
+               row_number() OVER (ORDER BY cur, nxt) AS rn,
+               count(*) OVER () AS cells
+        FROM m
+        WINDOW w AS (ORDER BY cur, nxt
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ),
+    hmarg AS (
+        SELECT sum(-(CAST(rc AS DOUBLE) / n) * ln(CAST(rc AS DOUBLE) / n))
+                   OVER (ORDER BY cur
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS h_marg,
+               row_number() OVER (ORDER BY cur) AS rn,
+               count(*) OVER () AS k
+        FROM (SELECT cur, CAST(sum(c) AS BIGINT) AS rc,
+                     CAST(sum(sum(c)) OVER () AS BIGINT) AS n
+              FROM pairs GROUP BY cur)
+    )
+    SELECT (SELECT max(n) FROM m) AS n_transitions,
+           round((SELECT h_cond FROM hcond WHERE rn = cells), 6)
+               AS h_conditional,
+           round((SELECT h_marg FROM hmarg WHERE rn = k), 6) AS h_marginal,
+           round(1.0 - (SELECT h_cond FROM hcond WHERE rn = cells)
+                       / (SELECT h_marg FROM hmarg WHERE rn = k), 6)
+               AS predictability
+    FROM (SELECT 1)
+    """,
+    doc="F142 entropy rate of the per-user event-type Markov chain: "
+    "conditional entropy H(X_t | X_(t-1)) = -sum p(i,j) ln p(j|i) "
+    "from the empirical transition counts, the marginal entropy "
+    "H(X) of the source distribution, and the predictability index "
+    "1 - H_cond/H_marg in [0,1] (0 = the next action is as random as "
+    "the base rate; 1 = fully determined by the previous action) — "
+    "the information-theoretic summary of the F-series transition "
+    "matrix and the sequence-level companion to F128's MI. Counts "
+    "are EXACT BIGINTs from one lag window + hash reduce; entropy "
+    "sums accumulate in DETERMINISTIC frame order over the bounded "
+    "k x k frame (F95/F128 device), shared ln/div text. Single "
+    "summary row.",
+)
+def events_markov_entropy_rate(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    seq = _events(spark, sf_dir).select(
+        F.col("event_type").alias("cur"),
+        F.lead("event_type")
+        .over(W.partitionBy("user_id").orderBy("ts", "event_id"))
+        .alias("nxt"),
+    )
+    pairs = (
+        seq.filter(F.col("nxt").isNotNull())
+        .groupBy("cur", "nxt")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    w_all = W.partitionBy().rowsBetween(
+        W.unboundedPreceding, W.unboundedFollowing
+    )
+    m = pairs.select(
+        "cur", "nxt", "c",
+        F.sum("c").over(W.partitionBy("cur")).alias("rc"),
+        F.sum("c").over(w_all).alias("n"),
+    )
+    hcond = (
+        m.select(
+            "n",
+            F.sum(
+                F.expr(
+                    "-(CAST(c AS DOUBLE) / n) * ln(CAST(c AS DOUBLE) / rc)"
+                )
+            )
+            .over(
+                W.orderBy("cur", "nxt").rowsBetween(
+                    W.unboundedPreceding, 0
+                )
+            )
+            .alias("h_cond"),
+            F.row_number().over(W.orderBy("cur", "nxt")).alias("rn"),
+            F.count(F.lit(1)).over(w_all).alias("cells"),
+        )
+        .filter(F.col("rn") == F.col("cells"))
+        .select("n", "h_cond")
+    )
+    marg = pairs.groupBy("cur").agg(F.sum("c").alias("rc"))
+    marg = marg.select("cur", "rc", F.sum("rc").over(w_all).alias("n"))
+    hmarg = (
+        marg.select(
+            F.sum(
+                F.expr(
+                    "-(CAST(rc AS DOUBLE) / n) * ln(CAST(rc AS DOUBLE) / n)"
+                )
+            )
+            .over(W.orderBy("cur").rowsBetween(W.unboundedPreceding, 0))
+            .alias("h_marg"),
+            F.row_number().over(W.orderBy("cur")).alias("rn"),
+            F.count(F.lit(1)).over(w_all).alias("k"),
+        )
+        .filter(F.col("rn") == F.col("k"))
+        .select("h_marg")
+    )
+    return hcond.crossJoin(F.broadcast(hmarg)).select(
+        F.col("n").alias("n_transitions"),
+        F.round("h_cond", 6).alias("h_conditional"),
+        F.round("h_marg", 6).alias("h_marginal"),
+        F.expr("round(1.0 - h_cond / h_marg, 6)").alias("predictability"),
+    )

@@ -2050,7 +2050,7 @@ def orders_duplicate_payments(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT cur.y AS year, cur.mo AS month,
            cur.rev AS rev_cents, prev.rev AS prev_year_cents,
-           round(10000.0 * (cur.rev - prev.rev) / prev.rev, 4)
+           round(10000.0 * CAST(cur.rev - prev.rev AS DOUBLE) / prev.rev, 4)
                AS yoy_bp
     FROM m cur JOIN m prev
       ON prev.y = cur.y - 1 AND prev.mo = cur.mo
@@ -2092,7 +2092,7 @@ def orders_yoy_growth_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "year", "month", "rev_cents", "prev_year_cents",
             F.expr(
-                "round(10000.0 * (rev_cents - prev_year_cents)"
+                "round(10000.0 * CAST(rev_cents - prev_year_cents AS DOUBLE)"
                 " / prev_year_cents, 4)"
             ).alias("yoy_bp"),
         )
