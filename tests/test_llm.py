@@ -1333,3 +1333,42 @@ def test_jl_projection_distortion_bounds(spark):
         ).alias("y0")
     ).collect()[0]["y0"]
     assert abs(one - y0) < 1e-9
+
+
+def test_vocab_unseen_estimate_matches_counter_replay(spark):
+    """K13: Chao1 and Good-Turing mass equal a Counter replay on
+    sf0.001; Chao1 >= V always; a fully-duplicated corpus (V1 = 0)
+    estimates zero unseen mass."""
+    import math
+    from collections import Counter
+
+    import pandas as pd
+
+    from time_series_spark_spark.queries import REGISTRY
+
+    def est(tokens):
+        tf = Counter(tokens)
+        n = sum(tf.values())
+        v = len(tf)
+        v1 = sum(1 for f in tf.values() if f == 1)
+        v2 = sum(1 for f in tf.values() if f == 2)
+        chao = v + (v1 * v1) / (2.0 * v2) if v2 else v + v1 * (v1 - 1) / 2.0
+        return n, v, v1, v2, chao, v1 / n
+
+    docs = pd.read_parquet("/root/testdata/sf0.001/documents.parquet")
+    toks = [w for t in docs["text"] for w in t.split(" ")]
+    n, v, v1, v2, chao, gt = est(toks)
+    row = (
+        REGISTRY["docs_vocab_unseen_estimate"]
+        .fn(spark, "/root/testdata/sf0.001")
+        .collect()[0]
+    )
+    assert (row["n_tokens"], row["n_types"]) == (n, v)
+    assert (row["v1"], row["v2"]) == (v1, v2)
+    assert math.isclose(row["chao1_richness"], round(chao, 4),
+                        abs_tol=1e-9)
+    assert math.isclose(row["gt_unseen_mass"], round(gt, 6), abs_tol=1e-9)
+    assert row["chao1_richness"] >= row["n_types"]
+
+    dup = est(["a", "b", "c"] * 10)
+    assert dup[4] == 3 and dup[5] == 0.0

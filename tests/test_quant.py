@@ -2597,3 +2597,68 @@ def test_markov_entropy_matches_python_replay(spark):
     iid = [("a", "a"), ("a", "b"), ("b", "a"), ("b", "b")] * 25
     assert entropy_rate(cycle)[2] > 0.999
     assert abs(entropy_rate(iid)[2]) < 1e-9
+
+
+def test_h_index_and_rmst_replays(spark):
+    """F143/F144: h-index equals the classic definition replay; RMST
+    equals the trapezoid-free step-area replay of the KM curve; both
+    checked on sf0.001 plus planted cases (h-index of [5,4,3,2,1] is
+    3; RMST of no-censoring equals the mean lifetime... up to the
+    last-interval truncation, asserted as a bracket)."""
+    import math
+
+    import pandas as pd
+
+    from time_series_spark_spark.queries import REGISTRY
+
+    def h_index(counts):
+        s = sorted(counts, reverse=True)
+        h = 0
+        for i, c in enumerate(s, 1):
+            if c >= i:
+                h = i
+        return h
+
+    ev = pd.read_parquet("/root/testdata/sf0.001/events.parquet")
+    per_u = ev.groupby("user_id")["event_id"].count()
+    row = (
+        REGISTRY["users_activity_h_index"]
+        .fn(spark, "/root/testdata/sf0.001")
+        .collect()[0]
+    )
+    h_ref = h_index(list(per_u))
+    assert row["n_users"] == len(per_u)
+    assert row["h_index"] == h_ref
+    assert row["g_core_min_events"] == h_ref * h_ref
+    assert h_index([5, 4, 3, 2, 1]) == 3
+    assert h_index([9, 9, 9]) == 3
+    assert h_index([1, 1, 1, 1]) == 1
+
+    # RMST replay of the step area
+    horizon = ev["ts"].max().floor("D")
+    g = ev.groupby("user_id")["ts"].agg(["min", "max"])
+    t = (g["max"].dt.floor("D") - g["min"].dt.floor("D")).dt.days
+    died = ((horizon - g["max"].dt.floor("D")).dt.days > 0).astype(int)
+    frame = (
+        pd.DataFrame({"t": t, "d": died})
+        .groupby("t")
+        .agg(d=("d", "sum"), leaving=("d", "count"))
+        .sort_index()
+    )
+    n_risk = frame["leaving"][::-1].cumsum()[::-1]
+    s_km = ((n_risk - frame["d"]) / n_risk).where(frame["d"] > 0, 1.0)
+    s_km = s_km.cumprod()
+    ts_ = list(frame.index)
+    rmst_ref = float(ts_[0])  # S = 1 on [0, t_min)
+    for i in range(len(ts_) - 1):
+        rmst_ref += float(s_km.iloc[i]) * (ts_[i + 1] - ts_[i])
+    row2 = (
+        REGISTRY["users_rmst_lifetime"]
+        .fn(spark, "/root/testdata/sf0.001")
+        .collect()[0]
+    )
+    assert row2["n_users"] == len(per_u)
+    assert math.isclose(row2["rmst_days"], round(rmst_ref, 6),
+                        abs_tol=1e-6)
+    # bracket: RMST is within [0, max lifetime]
+    assert 0 <= row2["rmst_days"] <= max(ts_)

@@ -2905,3 +2905,74 @@ def emb_jl_projection_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("ratio_bucket")
     )
+
+
+# ---------------------------------------------------------------------------
+# K13 unseen-vocabulary estimate (Chao1 + Good-Turing mass)
+# ---------------------------------------------------------------------------
+@register(
+    "docs_vocab_unseen_estimate",
+    """
+    WITH tf AS (
+        SELECT w, CAST(count(*) AS BIGINT) AS f
+        FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+        GROUP BY w
+    ),
+    spec AS (
+        SELECT CAST(sum(f) AS BIGINT) AS n,
+               CAST(count(*) AS BIGINT) AS v,
+               CAST(sum(CASE WHEN f = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS v1,
+               CAST(sum(CASE WHEN f = 2 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS v2
+        FROM tf
+    )
+    SELECT n AS n_tokens, v AS n_types, v1, v2,
+           round(v + CASE WHEN v2 > 0
+                          THEN (CAST(v1 AS DOUBLE) * v1) / (2.0 * v2)
+                          ELSE (CAST(v1 AS DOUBLE) * (v1 - 1)) / 2.0 END,
+                 4) AS chao1_richness,
+           round(CAST(v1 AS DOUBLE) / n, 6) AS gt_unseen_mass
+    FROM spec
+    """,
+    doc="K13 how much vocabulary has the corpus NOT seen yet — the "
+    "coverage planner for tokenizer/vocab decisions at 100 TB: "
+    "Chao1's lower bound on true type richness V + V1^2/(2 V2) "
+    "(bias-corrected V1(V1-1)/2 when no doubletons) and the Good-"
+    "Turing unseen-probability mass V1/N (the chance the NEXT token "
+    "is a new type — the smoothing mass every n-gram LM reserves, "
+    "cf. the K6b Kneser-Ney discount). Both are closed forms of the "
+    "same exact frequency-spectrum integers as K11; one shared fp "
+    "expression each. Two hash aggs; single summary row.",
+)
+def docs_vocab_unseen_estimate(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from time_series_spark_spark.operators.llm import tokens
+
+    tf = (
+        load(spark, sf_dir, "documents")
+        .select(F.explode(tokens()).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("f"))
+    )
+    spec = tf.agg(
+        F.sum("f").alias("n"),
+        F.count(F.lit(1)).alias("v"),
+        F.sum(F.when(F.col("f") == 1, 1).otherwise(0)).alias("v1"),
+        F.sum(F.when(F.col("f") == 2, 1).otherwise(0)).alias("v2"),
+    )
+    return spec.select(
+        F.col("n").alias("n_tokens"),
+        F.col("v").alias("n_types"),
+        "v1",
+        "v2",
+        F.expr(
+            "round(v + CASE WHEN v2 > 0"
+            " THEN (CAST(v1 AS DOUBLE) * v1) / (2.0 * v2)"
+            " ELSE (CAST(v1 AS DOUBLE) * (v1 - 1)) / 2.0 END, 4)"
+        ).alias("chao1_richness"),
+        F.expr("round(CAST(v1 AS DOUBLE) / n, 6)").alias(
+            "gt_unseen_mass"
+        ),
+    )

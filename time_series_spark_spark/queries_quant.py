@@ -7105,3 +7105,203 @@ def events_markov_entropy_rate(
         F.round("h_marg", 6).alias("h_marginal"),
         F.expr("round(1.0 - h_cond / h_marg, 6)").alias("predictability"),
     )
+
+
+# ---------------------------------------------------------------------------
+# F143 activity h-index of the user base
+# ---------------------------------------------------------------------------
+@register(
+    "users_activity_h_index",
+    """
+    WITH u AS (
+        SELECT user_id, CAST(count(*) AS BIGINT) AS n
+        FROM events GROUP BY user_id
+    ),
+    r AS (
+        SELECT n, CAST(row_number() OVER (ORDER BY n DESC, user_id)
+                       AS BIGINT) AS rk
+        FROM u
+    )
+    SELECT CAST((SELECT count(*) FROM u) AS BIGINT) AS n_users,
+           CAST(coalesce(max(CASE WHEN n >= rk THEN rk END), 0)
+                AS BIGINT) AS h_index,
+           CAST(coalesce(max(CASE WHEN n >= rk THEN rk END), 0)
+                * coalesce(max(CASE WHEN n >= rk THEN rk END), 0)
+                AS BIGINT) AS g_core_min_events
+    FROM r
+    """,
+    doc="F143 h-index of the user base: the largest h such that h users "
+    "each produced >= h events — the single-scalar engagement-"
+    "concentration summary bibliometrics standardized (robust to both "
+    "the long tail and superuser outliers, unlike mean or max), plus "
+    "h^2 as the minimum event mass of that core. Pure EXACT-INTEGER "
+    "rank scan: one user reduce, one rank window over the per-user "
+    "AGGREGATE (RFM posture), a conditional max. Single summary row.",
+)
+def users_activity_h_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    u = _events(spark, sf_dir).groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    r = u.select(
+        "n",
+        F.row_number()
+        .over(Window.orderBy(F.col("n").desc(), "user_id"))
+        .cast("long")
+        .alias("rk"),
+    )
+    total = u.agg(F.count(F.lit(1)).alias("n_users"))
+    h = r.agg(
+        F.coalesce(
+            F.max(F.when(F.col("n") >= F.col("rk"), F.col("rk"))),
+            F.lit(0),
+        )
+        .cast("long")
+        .alias("h_index")
+    )
+    return total.crossJoin(F.broadcast(h)).select(
+        "n_users",
+        "h_index",
+        (F.col("h_index") * F.col("h_index"))
+        .cast("long")
+        .alias("g_core_min_events"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# F144 restricted mean survival time (area under the KM curve)
+# ---------------------------------------------------------------------------
+@register(
+    "users_rmst_lifetime",
+    """
+    WITH bounds AS (
+        SELECT CAST(date_trunc('day', max(ts)) AS TIMESTAMP) AS horizon
+        FROM events
+    ),
+    u AS (
+        SELECT user_id,
+               CAST(date_trunc('day', min(ts)) AS TIMESTAMP) AS first_d,
+               CAST(date_trunc('day', max(ts)) AS TIMESTAMP) AS last_d
+        FROM events GROUP BY user_id
+    ),
+    lif AS (
+        SELECT CAST(datediff('day', first_d, last_d) AS BIGINT) AS t,
+               CASE WHEN datediff('day', last_d, horizon) > 0
+                    THEN 1 ELSE 0 END AS died
+        FROM u CROSS JOIN bounds
+    ),
+    per_t AS (
+        SELECT t, CAST(sum(died) AS BIGINT) AS d,
+               CAST(count(*) AS BIGINT) AS leaving
+        FROM lif GROUP BY t
+    ),
+    risk AS (
+        SELECT t, d,
+               CAST(sum(leaving) OVER (ORDER BY t DESC
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS n_risk
+        FROM per_t
+    ),
+    km AS (
+        SELECT t, exp(sum(CASE WHEN d > 0
+                        THEN ln(CAST(n_risk - d AS DOUBLE) / n_risk)
+                        ELSE 0.0 END)
+                   OVER (ORDER BY t
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+                   AS s,
+               lead(t) OVER (ORDER BY t) AS t_next
+        FROM risk
+    ),
+    area AS (
+        SELECT sum(CASE WHEN t_next IS NULL THEN 0.0
+                        ELSE s * (t_next - t) END)
+                   OVER (ORDER BY t
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS tail_area,
+               row_number() OVER (ORDER BY t) AS rn,
+               count(*) OVER () AS cnt
+        FROM km
+    )
+    SELECT CAST((SELECT count(*) FROM u) AS BIGINT) AS n_users,
+           round((SELECT CAST(min(t) AS DOUBLE) FROM per_t)
+                 + (SELECT tail_area FROM area WHERE rn = cnt), 6)
+               AS rmst_days
+    FROM (SELECT 1)
+    """,
+    doc="F144 restricted mean survival time over the F107 right-"
+    "censored user-lifetime frame: the area under the Kaplan-Meier "
+    "curve up to the last observed lifetime — 'expected active days "
+    "per user within the window', the single-number effect scale "
+    "regulators now prefer to hazard ratios (it needs no proportional-"
+    "hazards assumption; pairs with F109's log-rank). Step-function "
+    "area: S=1 on [0, t_min) contributes exactly t_min, then each "
+    "interval adds S(t_i) x its exact integer width; fp sums frame-ordered "
+    "(F95 device), KM factors in log space as in F107. One user "
+    "reduce + ordered windows over the bounded lifetime frame. "
+    "Single summary row.",
+)
+def users_rmst_lifetime(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    bounds = ev.agg(F.date_trunc("day", F.max("ts")).alias("horizon"))
+    u = ev.groupBy("user_id").agg(
+        F.date_trunc("day", F.min("ts")).alias("first_d"),
+        F.date_trunc("day", F.max("ts")).alias("last_d"),
+    )
+    lif = u.crossJoin(F.broadcast(bounds)).select(
+        F.expr("CAST(datediff(last_d, first_d) AS BIGINT)").alias("t"),
+        F.expr(
+            "CASE WHEN datediff(horizon, last_d) > 0 THEN 1 ELSE 0 END"
+        ).alias("died"),
+    )
+    per_t = lif.groupBy("t").agg(
+        F.sum("died").alias("d"), F.count(F.lit(1)).alias("leaving")
+    )
+    w_rev = Window.orderBy(F.col("t").desc()).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    w_fwd = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, 0)
+    risk = per_t.select(
+        "t", "d", F.sum("leaving").over(w_rev).alias("n_risk")
+    )
+    km = risk.select(
+        "t",
+        F.exp(
+            F.sum(
+                F.when(
+                    F.col("d") > 0,
+                    F.log(
+                        F.expr("CAST(n_risk - d AS DOUBLE)")
+                        / F.col("n_risk")
+                    ),
+                ).otherwise(F.lit(0.0))
+            ).over(w_fwd)
+        ).alias("s"),
+        F.lead("t").over(Window.orderBy("t")).alias("t_next"),
+    )
+    w_all = Window.orderBy("t").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    area = km.select(
+        F.sum(
+            F.when(F.col("t_next").isNull(), F.lit(0.0)).otherwise(
+                F.col("s") * (F.col("t_next") - F.col("t"))
+            )
+        )
+        .over(w_fwd)
+        .alias("tail_area"),
+        F.row_number().over(Window.orderBy("t")).alias("rn"),
+        F.count(F.lit(1)).over(w_all).alias("cnt"),
+    ).filter(F.col("rn") == F.col("cnt"))
+    t_min = per_t.agg(
+        F.expr("CAST(min(t) AS DOUBLE)").alias("t_min")
+    )
+    n_users = u.agg(F.count(F.lit(1)).alias("n_users"))
+    return (
+        n_users.crossJoin(F.broadcast(area))
+        .crossJoin(F.broadcast(t_min))
+        .select(
+            "n_users",
+            F.round(F.col("t_min") + F.col("tail_area"), 6).alias(
+                "rmst_days"
+            ),
+        )
+    )
