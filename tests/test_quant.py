@@ -2775,3 +2775,40 @@ def test_ratio_metric_delta_matches_numpy_replay(spark):
     r2, v2 = delta(ys * 1.2, ms)  # planted 20% lift
     z_lift = (r2 - r1) / math.sqrt(v1 + v2)
     assert z_lift > 5.0
+
+
+def test_pricing_waterfall_identities(spark):
+    """B11: tiers equal a pandas integer replay on sf0.001, the bridge
+    identity net = gross - discount and charged = net + tax holds
+    EXACTLY, and rates are consistent."""
+    import math
+
+    import pandas as pd
+
+    from time_series_spark_spark.queries import REGISTRY
+
+    import numpy as np
+
+    def half_up(x):  # Spark/DuckDB round() is half-away-from-zero;
+        return int(np.floor(x + 0.5).astype("int64").sum())  # pandas banker's
+
+    li = pd.read_parquet("/root/testdata/sf0.001/lineitem.parquet")
+    gross = half_up(li["l_extendedprice"] * 100)
+    disc = half_up(li["l_extendedprice"] * li["l_discount"] * 100)
+    tax = half_up(
+        li["l_extendedprice"] * (1 - li["l_discount"]) * li["l_tax"] * 100
+    )
+    row = (
+        REGISTRY["lineitem_pricing_waterfall"]
+        .fn(spark, "/root/testdata/sf0.001")
+        .collect()[0]
+    )
+    assert row["n_lines"] == len(li)
+    assert row["gross_cents"] == gross
+    assert row["discount_cents"] == disc
+    assert row["tax_cents"] == tax
+    assert row["net_cents"] == gross - disc
+    assert row["charged_cents"] == gross - disc + tax
+    assert math.isclose(
+        row["discount_bp"], round(10000.0 * disc / gross, 4), abs_tol=1e-9
+    )

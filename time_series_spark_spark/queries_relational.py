@@ -2098,3 +2098,72 @@ def orders_yoy_growth_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("year", "month")
     )
+
+
+# ---------------------------------------------------------------------------
+# B11 pricing waterfall (gross -> discount -> net -> tax -> charged)
+# ---------------------------------------------------------------------------
+@register(
+    "lineitem_pricing_waterfall",
+    """
+    WITH l AS (
+        SELECT CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS gross,
+               CAST(round(l_extendedprice * l_discount * 100, 0)
+                    AS BIGINT) AS disc,
+               CAST(round(l_extendedprice * (1 - l_discount) * l_tax
+                          * 100, 0) AS BIGINT) AS tax
+        FROM lineitem
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_lines,
+           CAST(sum(gross) AS BIGINT) AS gross_cents,
+           CAST(sum(disc) AS BIGINT) AS discount_cents,
+           CAST(sum(gross) - sum(disc) AS BIGINT) AS net_cents,
+           CAST(sum(tax) AS BIGINT) AS tax_cents,
+           CAST(sum(gross) - sum(disc) + sum(tax) AS BIGINT)
+               AS charged_cents,
+           round(10000.0 * CAST(sum(disc) AS DOUBLE) / sum(gross), 4)
+               AS discount_bp,
+           round(10000.0 * CAST(sum(tax) AS DOUBLE)
+                 / (sum(gross) - sum(disc)), 4) AS effective_tax_bp
+    FROM l
+    """,
+    doc="B11 pricing waterfall over lineitem: gross extended price -> "
+    "discount taken -> net -> tax -> amount charged, every tier an "
+    "EXACT BIGINT total from per-line integer-cents rounding (the "
+    "q1 dialect discipline applied to the full revenue bridge — the "
+    "finance close-out report where a one-cent drift is a reconcile "
+    "failure), plus discount and effective-tax rates in basis "
+    "points. One scan, one reduce; single summary row.",
+)
+def lineitem_pricing_waterfall(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    l = load(spark, sf_dir, "lineitem").select(
+        F.expr("CAST(round(l_extendedprice * 100, 0) AS BIGINT)").alias(
+            "gross"
+        ),
+        F.expr(
+            "CAST(round(l_extendedprice * l_discount * 100, 0) AS BIGINT)"
+        ).alias("disc"),
+        F.expr(
+            "CAST(round(l_extendedprice * (1 - l_discount) * l_tax"
+            " * 100, 0) AS BIGINT)"
+        ).alias("tax"),
+    )
+    return l.agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.sum("gross").alias("gross_cents"),
+        F.sum("disc").alias("discount_cents"),
+        (F.sum("gross") - F.sum("disc")).cast("long").alias("net_cents"),
+        F.sum("tax").alias("tax_cents"),
+        (F.sum("gross") - F.sum("disc") + F.sum("tax"))
+        .cast("long")
+        .alias("charged_cents"),
+        F.expr(
+            "round(10000.0 * CAST(sum(disc) AS DOUBLE) / sum(gross), 4)"
+        ).alias("discount_bp"),
+        F.expr(
+            "round(10000.0 * CAST(sum(tax) AS DOUBLE)"
+            " / (sum(gross) - sum(disc)), 4)"
+        ).alias("effective_tax_bp"),
+    )
