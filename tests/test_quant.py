@@ -2900,3 +2900,79 @@ def test_theta_sketch_error_bound_and_merge_property(spark):
     big = theta_est(range(100000))
     assert abs(big - 100000) / 100000 < 4 / math.sqrt(64)
     assert theta_est(range(50)) == 50.0
+
+
+def test_partial_corr_and_odds_replays(spark):
+    """F149/F150: both equal numpy/Counter replays on sf0.001; the
+    partial-r formula removes a planted common driver (x = z + e1,
+    y = z + e2 -> raw r large, partial r ~ 0), and the Haldane OR of
+    a planted strong association is far above 1."""
+    import hashlib
+    import math
+
+    import numpy as np
+    import pandas as pd
+
+    from time_series_spark_spark.queries import REGISTRY
+
+    def pearson(x, y):
+        x, y = np.asarray(x, float), np.asarray(y, float)
+        n = len(x)
+        return (n * (x * y).sum() - x.sum() * y.sum()) / math.sqrt(
+            (n * (x * x).sum() - x.sum() ** 2)
+            * (n * (y * y).sum() - y.sum() ** 2)
+        )
+
+    def partial(x, y, z):
+        rxy, rxz, ryz = pearson(x, y), pearson(x, z), pearson(y, z)
+        return (rxy - rxz * ryz) / math.sqrt(
+            (1 - rxz**2) * (1 - ryz**2)
+        )
+
+    ev = pd.read_parquet("/root/testdata/sf0.001/events.parquet")
+    d = ev["ts"].dt.floor("D")
+    daily = ev.groupby([d, "event_type"])["event_id"].count().unstack(
+        fill_value=0
+    )
+    x, y, z = daily["view"], daily["purchase"], daily["click"]
+    row = (
+        REGISTRY["events_partial_corr_types"]
+        .fn(spark, "/root/testdata/sf0.001")
+        .collect()[0]
+    )
+    assert row["n_days"] == len(daily)
+    assert math.isclose(row["r_view_purchase"], round(pearson(x, y), 6),
+                        abs_tol=1e-6)
+    assert math.isclose(row["partial_r"], round(partial(x, y, z), 6),
+                        abs_tol=1e-6)
+
+    rng = np.random.default_rng(31)
+    zz = rng.normal(0, 5, 500)
+    xx = zz + rng.normal(0, 1, 500)
+    yy = zz + rng.normal(0, 1, 500)
+    assert pearson(xx, yy) > 0.8
+    assert abs(partial(xx, yy, zz)) < 0.15  # confounder removed
+
+    # odds replay
+    per_u = ev.groupby("user_id")["event_type"].agg(set)
+    a = sum(1 for s_ in per_u if "click" in s_ and "purchase" in s_)
+    b = sum(1 for s_ in per_u if "click" in s_ and "purchase" not in s_)
+    c = sum(1 for s_ in per_u if "click" not in s_ and "purchase" in s_)
+    dd = sum(
+        1 for s_ in per_u if "click" not in s_ and "purchase" not in s_
+    )
+    row2 = (
+        REGISTRY["users_click_purchase_odds"]
+        .fn(spark, "/root/testdata/sf0.001")
+        .collect()[0]
+    )
+    assert (
+        row2["n_click_buy"], row2["n_click_nobuy"],
+        row2["n_noclick_buy"], row2["n_noclick_nobuy"],
+    ) == (a, b, c, dd)
+    or_ref = ((a + 0.5) * (dd + 0.5)) / ((b + 0.5) * (c + 0.5))
+    assert math.isclose(row2["odds_ratio"], round(or_ref, 6), abs_tol=1e-6)
+    assert row2["log_or_ci_lo"] < math.log(or_ref) < row2["log_or_ci_hi"]
+
+    strong = ((90 + 0.5) * (90 + 0.5)) / ((10 + 0.5) * (10 + 0.5))
+    assert strong > 50

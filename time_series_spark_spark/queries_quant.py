@@ -7627,3 +7627,215 @@ def events_session_concurrency(
         .agg(F.max("conc").cast("long").alias("peak_concurrency"))
         .orderBy("h")
     )
+
+
+# ---------------------------------------------------------------------------
+# F149 partial correlation of daily type counts (controlling a third)
+# ---------------------------------------------------------------------------
+@register(
+    "events_partial_corr_types",
+    """
+    WITH d AS (
+        SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS d,
+               CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS x,
+               CAST(sum(CASE WHEN event_type = 'purchase'
+                             THEN 1 ELSE 0 END) AS BIGINT) AS y,
+               CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS z
+        FROM events GROUP BY 1
+    ),
+    s AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+               CAST(sum(z) AS BIGINT) AS sz,
+               CAST(sum(x * x) AS BIGINT) AS sxx,
+               CAST(sum(y * y) AS BIGINT) AS syy,
+               CAST(sum(z * z) AS BIGINT) AS szz,
+               CAST(sum(x * y) AS BIGINT) AS sxy,
+               CAST(sum(x * z) AS BIGINT) AS sxz,
+               CAST(sum(y * z) AS BIGINT) AS syz
+        FROM d
+    ),
+    r AS (
+        SELECT n,
+               (n * sxy - sx * sy)
+                   / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+                          * (n * syy - sy * sy)) AS rxy,
+               (n * sxz - sx * sz)
+                   / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+                          * (n * szz - sz * sz)) AS rxz,
+               (n * syz - sy * sz)
+                   / sqrt(CAST(n * syy - sy * sy AS DOUBLE)
+                          * (n * szz - sz * sz)) AS ryz
+        FROM s
+    )
+    SELECT n AS n_days,
+           round(rxy, 6) AS r_view_purchase,
+           round(rxz, 6) AS r_view_click,
+           round(ryz, 6) AS r_purchase_click,
+           round((rxy - rxz * ryz)
+                 / sqrt((1.0 - rxz * rxz) * (1.0 - ryz * ryz)), 6)
+               AS partial_r
+    FROM r
+    """,
+    doc="F149 partial correlation of daily view and purchase counts "
+    "CONTROLLING for clicks — does the view-purchase association "
+    "survive once the shared click driver is removed? (the classic "
+    "confounder screen; F80's raw correlation matrix can't tell a "
+    "direct link from a common cause): all three Pearson r's from "
+    "EXACT BIGINT power sums (n*sxy - sx*sy etc., the F92 deviation "
+    "device; bound n*sum(xy) < 2^63 noted), the partial r closed "
+    "form is one shared fp expression. One day reduce + one 10-sum "
+    "reduce; single summary row.",
+)
+def events_partial_corr_types(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    d = _events(spark, sf_dir).groupBy(
+        F.date_trunc("day", F.col("ts")).alias("d")
+    ).agg(
+        F.sum(F.when(F.col("event_type") == "view", 1).otherwise(0)).alias(
+            "x"
+        ),
+        F.sum(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).alias("y"),
+        F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0)).alias(
+            "z"
+        ),
+    )
+    s = d.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"), F.sum("y").alias("sy"),
+        F.sum("z").alias("sz"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+        F.sum(F.col("z") * F.col("z")).alias("szz"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("z")).alias("sxz"),
+        F.sum(F.col("y") * F.col("z")).alias("syz"),
+    )
+    r = s.select(
+        "n",
+        F.expr(
+            "(n * sxy - sx * sy) / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)"
+            " * (n * syy - sy * sy))"
+        ).alias("rxy"),
+        F.expr(
+            "(n * sxz - sx * sz) / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)"
+            " * (n * szz - sz * sz))"
+        ).alias("rxz"),
+        F.expr(
+            "(n * syz - sy * sz) / sqrt(CAST(n * syy - sy * sy AS DOUBLE)"
+            " * (n * szz - sz * sz))"
+        ).alias("ryz"),
+    )
+    return r.select(
+        F.col("n").alias("n_days"),
+        F.round("rxy", 6).alias("r_view_purchase"),
+        F.round("rxz", 6).alias("r_view_click"),
+        F.round("ryz", 6).alias("r_purchase_click"),
+        F.expr(
+            "round((rxy - rxz * ryz)"
+            " / sqrt((1.0 - rxz * rxz) * (1.0 - ryz * ryz)), 6)"
+        ).alias("partial_r"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# F150 odds ratio / relative risk 2x2 report (click -> purchase)
+# ---------------------------------------------------------------------------
+@register(
+    "users_click_purchase_odds",
+    """
+    WITH u AS (
+        SELECT user_id,
+               CAST(max(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS clicked,
+               CAST(max(CASE WHEN event_type = 'purchase'
+                             THEN 1 ELSE 0 END) AS BIGINT) AS purchased
+        FROM events GROUP BY user_id
+    ),
+    cells AS (
+        SELECT CAST(sum(clicked * purchased) AS BIGINT) AS a,
+               CAST(sum(clicked * (1 - purchased)) AS BIGINT) AS b,
+               CAST(sum((1 - clicked) * purchased) AS BIGINT) AS c,
+               CAST(sum((1 - clicked) * (1 - purchased)) AS BIGINT) AS d
+        FROM u
+    )
+    SELECT a AS n_click_buy, b AS n_click_nobuy,
+           c AS n_noclick_buy, d AS n_noclick_nobuy,
+           round(((CAST(a AS DOUBLE) + 0.5) * (CAST(d AS DOUBLE) + 0.5)) / ((CAST(b AS DOUBLE) + 0.5) * (CAST(c AS DOUBLE) + 0.5)), 6)
+               AS odds_ratio,
+           round(((CAST(a AS DOUBLE) + 0.5) / (CAST(a + b AS DOUBLE) + 1.0))
+                 / ((CAST(c AS DOUBLE) + 0.5) / (CAST(c + d AS DOUBLE) + 1.0)), 6) AS relative_risk,
+           round(ln(((CAST(a AS DOUBLE) + 0.5) * (CAST(d AS DOUBLE) + 0.5)) / ((CAST(b AS DOUBLE) + 0.5) * (CAST(c AS DOUBLE) + 0.5)))
+                 - 1.959964 * sqrt(1.0/(CAST(a AS DOUBLE) + 0.5) + 1.0/(CAST(b AS DOUBLE) + 0.5)
+                                   + 1.0/(CAST(c AS DOUBLE) + 0.5) + 1.0/(CAST(d AS DOUBLE) + 0.5)), 6)
+               AS log_or_ci_lo,
+           round(ln(((CAST(a AS DOUBLE) + 0.5) * (CAST(d AS DOUBLE) + 0.5)) / ((CAST(b AS DOUBLE) + 0.5) * (CAST(c AS DOUBLE) + 0.5)))
+                 + 1.959964 * sqrt(1.0/(CAST(a AS DOUBLE) + 0.5) + 1.0/(CAST(b AS DOUBLE) + 0.5)
+                                   + 1.0/(CAST(c AS DOUBLE) + 0.5) + 1.0/(CAST(d AS DOUBLE) + 0.5)), 6)
+               AS log_or_ci_hi
+    FROM cells
+    """,
+    doc="F150 epidemiology 2x2 for click -> purchase at the USER grain: "
+    "odds ratio ad/bc, relative risk, and the Woolf 95% CI for "
+    "ln(OR) (+-1.96 sqrt(1/a+1/b+1/c+1/d)) — the effect-size report "
+    "behind every 'does X drive Y' question, complementing F92's "
+    "chi-square (which only says WHETHER they associate, not how "
+    "strongly, and is event-weighted rather than user-weighted). "
+    "Cells are EXACT BIGINT user counts from one reduce; OR/RR/CI "
+    "use the Haldane-Anscombe +0.5 continuity correction on every "
+    "cell (the standard zero-cell treatment — the sf0.001 corpus "
+    "really has an empty no-click-buy cell, and ANSI Spark would "
+    "otherwise raise DIVIDE_BY_ZERO where DuckDB returns inf), with "
+    "raw cells reported alongside. Two hash reduces; single row.",
+)
+def users_click_purchase_odds(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    u = _events(spark, sf_dir).groupBy("user_id").agg(
+        F.max(
+            F.when(F.col("event_type") == "click", 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("clicked"),
+        F.max(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("purchased"),
+    )
+    cells = u.agg(
+        F.sum(F.col("clicked") * F.col("purchased")).alias("a"),
+        F.sum(F.col("clicked") * (1 - F.col("purchased"))).alias("b"),
+        F.sum((1 - F.col("clicked")) * F.col("purchased")).alias("c"),
+        F.sum((1 - F.col("clicked")) * (1 - F.col("purchased"))).alias(
+            "d"
+        ),
+    )
+    return cells.select(
+        F.col("a").alias("n_click_buy"),
+        F.col("b").alias("n_click_nobuy"),
+        F.col("c").alias("n_noclick_buy"),
+        F.col("d").alias("n_noclick_nobuy"),
+        F.expr(
+            "round(((CAST(a AS DOUBLE) + 0.5) * (CAST(d AS DOUBLE) + 0.5)) / ((CAST(b AS DOUBLE) + 0.5) * (CAST(c AS DOUBLE) + 0.5)), 6)"
+        ).alias("odds_ratio"),
+        F.expr(
+            "round(((CAST(a AS DOUBLE) + 0.5) / (CAST(a + b AS DOUBLE) + 1.0))"
+            " / ((CAST(c AS DOUBLE) + 0.5) / (CAST(c + d AS DOUBLE) + 1.0)), 6)"
+        ).alias("relative_risk"),
+        F.expr(
+            "round(ln(((CAST(a AS DOUBLE) + 0.5) * (CAST(d AS DOUBLE) + 0.5)) / ((CAST(b AS DOUBLE) + 0.5) * (CAST(c AS DOUBLE) + 0.5)))"
+            " - 1.959964 * sqrt(1.0/(CAST(a AS DOUBLE) + 0.5) + 1.0/(CAST(b AS DOUBLE) + 0.5)"
+            " + 1.0/(CAST(c AS DOUBLE) + 0.5) + 1.0/(CAST(d AS DOUBLE) + 0.5)), 6)"
+        ).alias("log_or_ci_lo"),
+        F.expr(
+            "round(ln(((CAST(a AS DOUBLE) + 0.5) * (CAST(d AS DOUBLE) + 0.5)) / ((CAST(b AS DOUBLE) + 0.5) * (CAST(c AS DOUBLE) + 0.5)))"
+            " + 1.959964 * sqrt(1.0/(CAST(a AS DOUBLE) + 0.5) + 1.0/(CAST(b AS DOUBLE) + 0.5)"
+            " + 1.0/(CAST(c AS DOUBLE) + 0.5) + 1.0/(CAST(d AS DOUBLE) + 0.5)), 6)"
+        ).alias("log_or_ci_hi"),
+    )
