@@ -1372,3 +1372,48 @@ def test_vocab_unseen_estimate_matches_counter_replay(spark):
 
     dup = est(["a", "b", "c"] * 10)
     assert dup[4] == 3 and dup[5] == 0.0
+
+
+def test_source_overlap_matrix_matches_python_replay(spark):
+    """K14: shared counts and Jaccard equal a set replay on sf0.001;
+    every pair is reported once (a < b); self-overlap is excluded."""
+    import math
+
+    import pandas as pd
+
+    from time_series_spark_spark.queries import REGISTRY
+
+    docs = pd.read_parquet("/root/testdata/sf0.001/documents.parquet")
+    grams = {}
+    for src, g in docs.groupby("source"):
+        s = set()
+        for t in g["text"]:
+            toks = t.split(" ")
+            for i in range(len(toks) - 4):
+                s.add(" ".join(toks[i : i + 5]))
+        grams[src] = s
+    rows = (
+        REGISTRY["docs_source_overlap_matrix"]
+        .fn(spark, "/root/testdata/sf0.001")
+        .collect()
+    )
+    seen = set()
+    for r in rows:
+        a, b = r["source_a"], r["source_b"]
+        assert a < b and (a, b) not in seen
+        seen.add((a, b))
+        inter = len(grams[a] & grams[b])
+        assert r["shared"] == inter
+        assert (r["grams_a"], r["grams_b"]) == (len(grams[a]),
+                                                len(grams[b]))
+        want_j = inter / (len(grams[a]) + len(grams[b]) - inter)
+        assert math.isclose(r["jaccard"], round(want_j, 6), abs_tol=1e-9)
+    # all overlapping pairs reported
+    srcs = sorted(grams)
+    expect_pairs = {
+        (a, b)
+        for i, a in enumerate(srcs)
+        for b in srcs[i + 1 :]
+        if grams[a] & grams[b]
+    }
+    assert seen == expect_pairs

@@ -2976,3 +2976,52 @@ def test_partial_corr_and_odds_replays(spark):
 
     strong = ((90 + 0.5) * (90 + 0.5)) / ((10 + 0.5) * (10 + 0.5))
     assert strong > 50
+
+
+def test_icc_design_effect_matches_numpy_replay(spark):
+    """F151: ICC and DEFF equal the one-way random-effects replay on
+    sf0.001; planted strong clustering gives ICC near 1, iid noise
+    near 0, and DEFF = 1 + (mbar-1)*ICC by construction."""
+    import math
+
+    import numpy as np
+    import pandas as pd
+
+    from time_series_spark_spark.queries import REGISTRY
+
+    def icc_deff(groups):
+        k = len(groups)
+        n = sum(len(g) for g in groups)
+        t = sum(sum(g) for g in groups)
+        sb = sum(sum(g) ** 2 / len(g) for g in groups) - t * t / n
+        q = sum(v * v for g in groups for v in g)
+        sw = q - sum(sum(g) ** 2 / len(g) for g in groups)
+        msb = sb / (k - 1)
+        msw = sw / (n - k)
+        n0 = (n - sum(len(g) ** 2 for g in groups) / n) / (k - 1)
+        icc = (msb - msw) / (msb + (n0 - 1) * msw)
+        return icc, 1.0 + (n / k - 1.0) * icc
+
+    ev = pd.read_parquet("/root/testdata/sf0.001/events.parquet")
+    ev["cents"] = (ev["value"] * 100).round().astype("int64")
+    groups = [list(g) for _, g in ev.groupby("user_id")["cents"]]
+    icc_ref, deff_ref = icc_deff(groups)
+    row = (
+        REGISTRY["events_icc_design_effect"]
+        .fn(spark, "/root/testdata/sf0.001")
+        .collect()[0]
+    )
+    assert row["n_users"] == len(groups)
+    assert row["n_events"] == len(ev)
+    assert math.isclose(row["icc"], round(icc_ref, 6), abs_tol=1e-5)
+    assert math.isclose(row["design_effect"], round(deff_ref, 6),
+                        rel_tol=1e-4)
+
+    rng = np.random.default_rng(41)
+    clustered = [
+        list(rng.normal(mu, 1, 20)) for mu in rng.normal(0, 50, 50)
+    ]
+    iid = [list(rng.normal(0, 10, 20)) for _ in range(50)]
+    assert icc_deff(clustered)[0] > 0.9
+    assert abs(icc_deff(iid)[0]) < 0.1
+    assert icc_deff(clustered)[1] > 10  # 20-per-cluster design collapses

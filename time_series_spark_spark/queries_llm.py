@@ -2976,3 +2976,101 @@ def docs_vocab_unseen_estimate(
             "gt_unseen_mass"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# K14 cross-source contamination matrix (shared 5-gram shingles)
+# ---------------------------------------------------------------------------
+@register(
+    "docs_source_overlap_matrix",
+    """
+    WITH s AS (
+        SELECT source,
+               list_distinct(list_transform(
+                   generate_series(1, len(t) - 4),
+                   i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' '
+                        || t[i+3] || ' ' || t[i+4])) AS sh
+        FROM (SELECT source, string_split(text, ' ') AS t FROM documents)
+    ),
+    x AS (
+        SELECT DISTINCT source, unnest(sh) AS g FROM s
+    ),
+    sizes AS (
+        SELECT source, CAST(count(*) AS BIGINT) AS n FROM x
+        GROUP BY source
+    ),
+    p AS (
+        SELECT a.source AS source_a, b.source AS source_b,
+               CAST(count(*) AS BIGINT) AS shared
+        FROM x a JOIN x b ON a.g = b.g AND a.source < b.source
+        GROUP BY 1, 2
+    )
+    SELECT p.source_a, p.source_b, sa.n AS grams_a, sb.n AS grams_b,
+           p.shared,
+           round(CAST(p.shared AS DOUBLE)
+                 / (sa.n + sb.n - p.shared), 6) AS jaccard
+    FROM p JOIN sizes sa ON sa.source = p.source_a
+           JOIN sizes sb ON sb.source = p.source_b
+    ORDER BY source_a, source_b
+    """,
+    doc="K14 cross-SOURCE contamination matrix: for every source pair, "
+    "the count of shared distinct word 5-grams and the Jaccard "
+    "overlap of their shingle sets — the corpus-hygiene view behind "
+    "K2's doc-level near-dups and the K5d train/test contamination "
+    "check (a hot pair means one source scraped another; dedup "
+    "within sources won't catch it). Inverted-index equi-join on the "
+    "shingle (per-gram source lists are bounded by #sources, so pair "
+    "mass is #grams x sources^2 worst case, never corpus^2); "
+    "distinct (source, gram) projection first so multiplicity "
+    "doesn't inflate the overlap. One row per source pair.",
+)
+def docs_source_overlap_matrix(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from time_series_spark_spark.operators.llm import shingles_expr
+
+    s = load(spark, sf_dir, "documents").select(
+        "source",
+        F.expr(shingles_expr("split(text, ' ')", k=5)).alias("sh"),
+    )
+    x = s.select("source", F.explode("sh").alias("g")).distinct()
+    sizes = x.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    a = x.select(F.col("source").alias("source_a"), "g")
+    b = x.select(F.col("source").alias("source_b"), F.col("g").alias("gb"))
+    p = (
+        a.join(
+            b,
+            (F.col("g") == F.col("gb"))
+            & (F.col("source_a") < F.col("source_b")),
+        )
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    return (
+        p.join(
+            F.broadcast(
+                sizes.select(
+                    F.col("source").alias("source_a"),
+                    F.col("n").alias("grams_a"),
+                )
+            ),
+            "source_a",
+        )
+        .join(
+            F.broadcast(
+                sizes.select(
+                    F.col("source").alias("source_b"),
+                    F.col("n").alias("grams_b"),
+                )
+            ),
+            "source_b",
+        )
+        .select(
+            "source_a", "source_b", "grams_a", "grams_b", "shared",
+            F.expr(
+                "round(CAST(shared AS DOUBLE)"
+                " / (grams_a + grams_b - shared), 6)"
+            ).alias("jaccard"),
+        )
+        .orderBy("source_a", "source_b")
+    )

@@ -7839,3 +7839,119 @@ def users_click_purchase_odds(
             " + 1.0/(CAST(c AS DOUBLE) + 0.5) + 1.0/(CAST(d AS DOUBLE) + 0.5)), 6)"
         ).alias("log_or_ci_hi"),
     )
+
+
+# ---------------------------------------------------------------------------
+# F151 intraclass correlation + design effect (user clustering)
+# ---------------------------------------------------------------------------
+@register(
+    "events_icc_design_effect",
+    f"""
+    WITH u AS (
+        SELECT user_id, CAST(count(*) AS BIGINT) AS ni,
+               CAST(sum({_CENTS}) AS BIGINT) AS si,
+               CAST(sum(CAST({_CENTS} AS DOUBLE) * {_CENTS}) AS DOUBLE)
+                   AS qi
+        FROM events GROUP BY user_id
+    ),
+    tot AS (
+        SELECT CAST(count(*) AS BIGINT) AS k,
+               CAST(sum(ni) AS BIGINT) AS n,
+               CAST(sum(si) AS BIGINT) AS t
+        FROM u
+    ),
+    ordered AS (
+        SELECT u.*, tot.k, tot.n, tot.t,
+               sum((CAST(si AS DOUBLE) / ni) * si)
+                   OVER (ORDER BY user_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS cum_sb,
+               sum(qi) OVER (ORDER BY user_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS cum_q,
+               row_number() OVER (ORDER BY user_id) AS rn
+        FROM u CROSS JOIN tot
+    ),
+    ms AS (
+        SELECT k, n,
+               (cum_sb - (CAST(t AS DOUBLE) / n) * t) / (k - 1) AS msb,
+               (cum_q - cum_sb) / (n - k) AS msw,
+               (CAST(n AS DOUBLE)
+                - (SELECT sum(CAST(o2.ni AS DOUBLE) * o2.ni)
+                   FROM u o2) / n) / (k - 1) AS n0
+        FROM ordered WHERE rn = k
+    )
+    SELECT k AS n_users, n AS n_events,
+           round((msb - msw) / (msb + (n0 - 1) * msw), 6) AS icc,
+           round(1.0 + (CAST(n AS DOUBLE) / k - 1.0)
+                       * ((msb - msw) / (msb + (n0 - 1) * msw)), 6)
+               AS design_effect
+    FROM ms
+    """,
+    doc="F151 one-way random-effects intraclass correlation of event "
+    "values within users, and the Kish design effect DEFF = 1 + "
+    "(mbar-1)*ICC — the number that says how much an event-level "
+    "experiment analysis UNDERSTATES variance when randomization is "
+    "per-user (the quantitative justification for F146's delta "
+    "method; DEFF=3 means your effective sample is a third of your "
+    "event count): ANOVA MSB/MSW from per-user exact integer sums "
+    "(qi in DOUBLE — cents^2 sums overflow BIGINT at scale; per-user "
+    "products are exact, cross-user accumulation is FRAME-ORDERED by "
+    "user_id, the F95 device on the aggregate frame), unbalanced-"
+    "design n0 correction included. One user reduce + one ordered "
+    "window over the user aggregate (RFM posture). Single row.",
+)
+def events_icc_design_effect(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    u = _events(spark, sf_dir).groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("ni"),
+        F.sum(F.expr(_CENTS)).alias("si"),
+        F.sum(
+            F.expr(f"CAST({_CENTS} AS DOUBLE) * {_CENTS}")
+        ).alias("qi"),
+    )
+    tot = u.agg(
+        F.count(F.lit(1)).alias("k"),
+        F.sum("ni").alias("n"),
+        F.sum("si").alias("t"),
+    )
+    sn2 = u.agg(
+        F.sum(F.expr("CAST(ni AS DOUBLE) * ni")).alias("sn2")
+    )
+    w_cum = Window.orderBy("user_id").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    ordered = u.crossJoin(F.broadcast(tot)).select(
+        "k", "n", "t",
+        F.sum(F.expr("(CAST(si AS DOUBLE) / ni) * si"))
+        .over(w_cum)
+        .alias("cum_sb"),
+        F.sum("qi").over(w_cum).alias("cum_q"),
+        F.row_number().over(Window.orderBy("user_id")).alias("rn"),
+    )
+    ms = (
+        ordered.filter(F.col("rn") == F.col("k"))
+        .crossJoin(F.broadcast(sn2))
+        .select(
+            "k", "n",
+            F.expr(
+                "(cum_sb - (CAST(t AS DOUBLE) / n) * t) / (k - 1)"
+            ).alias("msb"),
+            F.expr("(cum_q - cum_sb) / (n - k)").alias("msw"),
+            F.expr(
+                "(CAST(n AS DOUBLE) - sn2 / n) / (k - 1)"
+            ).alias("n0"),
+        )
+    )
+    return ms.select(
+        F.col("k").alias("n_users"),
+        F.col("n").alias("n_events"),
+        F.expr(
+            "round((msb - msw) / (msb + (n0 - 1) * msw), 6)"
+        ).alias("icc"),
+        F.expr(
+            "round(1.0 + (CAST(n AS DOUBLE) / k - 1.0)"
+            " * ((msb - msw) / (msb + (n0 - 1) * msw)), 6)"
+        ).alias("design_effect"),
+    )
