@@ -83,6 +83,13 @@ HEAVY_TAIL = [
     # round-6 session flagships
     "emb_kmeans_clusters",
     "docs_bpe_encode_stats",
+    # round-6 late-session flagships (batches 72-92)
+    "events_pelt_changepoints",
+    "events_median_polish_effects",
+    "emb_jl_projection_report",
+    "events_lomb_scargle_user",
+    "purchase_attribution_time_decay",
+    "docs_source_overlap_matrix",
     "events_granger_view_purchase",
     "lineitem_vwap_monthly",
     "part_item_item_recs",

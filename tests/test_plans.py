@@ -632,3 +632,41 @@ def test_mv_navigation_exact_and_scans_mv_not_fact(spark, tmp_path):
         .agg(F.sum("n"))
     )
     assert "mv" in plan and "orders" not in plan
+
+
+def test_duplicate_payments_is_equi_join_never_bnlj(spark):
+    """B9: the (custkey, band) match must plan as an EQUI join (hash or
+    sort-merge) with the 90-day window as a post-join residual — a
+    BroadcastNestedLoopJoin here would be a fact x fact cartesian at
+    100 TB."""
+    df = _df(spark, "orders_duplicate_payments")
+    plan = executed_plan(df)
+    assert "BroadcastNestedLoop" not in plan
+    assert (
+        count_op(df, "SortMergeJoin") + count_op(df, "BroadcastHashJoin")
+        + count_op(df, "ShuffledHashJoin") >= 1
+    )
+
+
+def test_friedman_rank_windows_on_bounded_frame(spark):
+    """F120: the rank windows must run AFTER the (day, type) pre-reduce
+    — the plan's window partitioning is on the daily frame key 'd',
+    never on raw event columns, and no nested-loop join appears."""
+    df = _df(spark, "events_friedman_daily")
+    plan = executed_plan(df)
+    assert "BroadcastNestedLoop" not in plan
+    # the pre-reduce exists: a hash aggregate on (event_type, d)
+    assert re.search(r"HashAggregate.*event_type", plan)
+
+
+def test_source_overlap_join_is_equi_on_gram(spark):
+    """K14: the source-pair overlap joins on the shingle hash (equi),
+    with the a < b dedup as a residual — never a nested loop over the
+    gram universe."""
+    df = _df(spark, "docs_source_overlap_matrix")
+    plan = executed_plan(df)
+    assert "BroadcastNestedLoop" not in plan
+    assert (
+        count_op(df, "SortMergeJoin") + count_op(df, "BroadcastHashJoin")
+        + count_op(df, "ShuffledHashJoin") >= 1
+    )
