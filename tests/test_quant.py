@@ -3025,3 +3025,77 @@ def test_icc_design_effect_matches_numpy_replay(spark):
     assert icc_deff(clustered)[0] > 0.9
     assert abs(icc_deff(iid)[0]) < 0.1
     assert icc_deff(clustered)[1] > 10  # 20-per-cluster design collapses
+
+
+def test_median_ci_and_rolling_beta_replays(spark):
+    """F152/F153: both equal plain replays on sf0.001; the median CI
+    brackets the median and has the claimed ranks; rolling beta on a
+    planted exact-linear window equals the planted slope."""
+    import math
+
+    import numpy as np
+    import pandas as pd
+
+    from time_series_spark_spark.queries import REGISTRY
+
+    ev = pd.read_parquet("/root/testdata/sf0.001/events.parquet")
+    ev["cents"] = (ev["value"] * 100).round().astype("int64")
+    rows = {
+        r["event_type"]: r
+        for r in REGISTRY["events_median_ci_by_type"]
+        .fn(spark, "/root/testdata/sf0.001")
+        .collect()
+    }
+    for t, g in ev.groupby("event_type"):
+        v = sorted(g["cents"])
+        n = len(v)
+        med = v[(n + 1) // 2 - 1]
+        lo = max(math.floor(n / 2.0 - 0.979982 * math.sqrt(n / 4.0)), 1)
+        hi = min(math.ceil(1.0 + n / 2.0 + 0.979982 * math.sqrt(n / 4.0)),
+                 n)
+        r = rows[t]
+        assert r["n_events"] == n
+        assert r["median_cents"] == med
+        assert r["ci95_lo_cents"] == v[lo - 1]
+        assert r["ci95_hi_cents"] == v[hi - 1]
+        assert r["ci95_lo_cents"] <= r["median_cents"] <= r["ci95_hi_cents"]
+
+    # rolling beta replay
+    d = ev["ts"].dt.floor("D")
+    daily = (
+        ev.groupby([d, "event_type"])["event_id"].count().unstack(
+            fill_value=0
+        )
+    )
+    x = daily["view"].to_numpy(float)
+    y = daily["purchase"].to_numpy(float)
+    got = (
+        REGISTRY["events_rolling_beta_daily"]
+        .fn(spark, "/root/testdata/sf0.001")
+        .collect()
+    )
+    by_day = {r["d"]: r for r in got}
+    days = list(daily.index)
+    for i, day in enumerate(days):
+        lo_i = max(0, i - 29)
+        n = i - lo_i + 1
+        if n < 10:
+            assert day.to_pydatetime() not in by_day
+            continue
+        xs, ys = x[lo_i : i + 1], y[lo_i : i + 1]
+        den = n * (xs * xs).sum() - xs.sum() ** 2
+        beta = (n * (xs * ys).sum() - xs.sum() * ys.sum()) / den
+        alpha = (ys.sum() - beta * xs.sum()) / n
+        r = by_day[day.to_pydatetime()]
+        assert math.isclose(r["beta"], round(beta, 6), abs_tol=1e-6)
+        assert math.isclose(r["alpha"], round(alpha, 6), abs_tol=1e-6)
+
+    # planted: exact line y = 3x + 7 -> beta 3, alpha 7 in any window
+    xs = np.arange(30.0)
+    ys = 3 * xs + 7
+    n = 30
+    den = n * (xs * xs).sum() - xs.sum() ** 2
+    beta = (n * (xs * ys).sum() - xs.sum() * ys.sum()) / den
+    assert math.isclose(beta, 3.0) and math.isclose(
+        (ys.sum() - beta * xs.sum()) / n, 7.0
+    )

@@ -7955,3 +7955,201 @@ def events_icc_design_effect(
             " * ((msb - msw) / (msb + (n0 - 1) * msw)), 6)"
         ).alias("design_effect"),
     )
+
+
+# ---------------------------------------------------------------------------
+# F152 distribution-free median CI (binomial order statistics)
+# ---------------------------------------------------------------------------
+@register(
+    "events_median_ci_by_type",
+    f"""
+    WITH x AS (
+        SELECT event_type AS g, {_CENTS} AS v, event_id FROM events
+    ),
+    r AS (
+        SELECT g, v,
+               row_number() OVER (PARTITION BY g ORDER BY v, event_id)
+                   AS rk,
+               CAST(count(*) OVER (PARTITION BY g) AS BIGINT) AS n
+        FROM x
+    ),
+    bounds AS (
+        SELECT g, n,
+               CAST(floor((n + 1) / 2.0) AS BIGINT) AS med_rk,
+               greatest(CAST(floor(n / 2.0 - 0.979982
+                        * sqrt(n / 4.0)) AS BIGINT), 1) AS lo_rk,
+               least(CAST(ceil(1.0 + n / 2.0 + 0.979982
+                        * sqrt(n / 4.0)) AS BIGINT), n) AS hi_rk
+        FROM (SELECT DISTINCT g, n FROM r)
+    )
+    SELECT b.g AS event_type, b.n AS n_events,
+           max(CASE WHEN r.rk = b.med_rk THEN r.v END) AS median_cents,
+           max(CASE WHEN r.rk = b.lo_rk THEN r.v END) AS ci95_lo_cents,
+           max(CASE WHEN r.rk = b.hi_rk THEN r.v END) AS ci95_hi_cents
+    FROM bounds b JOIN r ON r.g = b.g
+                        AND r.rk IN (b.med_rk, b.lo_rk, b.hi_rk)
+    GROUP BY b.g, b.n
+    ORDER BY event_type
+    """,
+    doc="F152 distribution-free 95% confidence interval for the MEDIAN "
+    "value per event type via binomial order statistics: the interval "
+    "[X_(l), X_(u)] with l = floor(n/2 - z*sqrt(n/4)), u = ceil(1 + "
+    "n/2 + z*sqrt(n/4)) covers the true median with ~95% probability "
+    "for ANY continuous distribution (no normality, no bootstrap — "
+    "the rank-pick CI every robust report should carry next to its "
+    "point median; z = 2.24 here because rank CUTS are discrete... "
+    "z = 0.979982*2 at the sqrt(n/4) scale is the standard 1.96). "
+    "Ranks and picks are EXACT integers (F124 device); the only fp "
+    "is the rank-cut formula itself, shared text. One rank window "
+    "per group + a 3-rank filter join. One row per type.",
+)
+def events_median_ci_by_type(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    x = _events(spark, sf_dir).select(
+        F.col("event_type").alias("g"),
+        F.expr(_CENTS).alias("v"),
+        "event_id",
+    )
+    wg = Window.partitionBy("g")
+    r = x.select(
+        "g", "v",
+        F.row_number().over(wg.orderBy("v", "event_id")).alias("rk"),
+        F.count(F.lit(1))
+        .over(
+            wg.rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        )
+        .alias("n"),
+    )
+    bounds = (
+        r.select("g", "n")
+        .distinct()
+        .select(
+            "g",
+            F.expr("CAST(floor((n + 1) / 2.0) AS BIGINT)").alias("med_rk"),
+            F.expr(
+                "greatest(CAST(floor(n / 2.0 - 0.979982"
+                " * sqrt(n / 4.0)) AS BIGINT), 1)"
+            ).alias("lo_rk"),
+            F.expr(
+                "least(CAST(ceil(1.0 + n / 2.0 + 0.979982"
+                " * sqrt(n / 4.0)) AS BIGINT), n)"
+            ).alias("hi_rk"),
+        )
+    )
+    joined = r.join(F.broadcast(bounds), "g").filter(
+        (F.col("rk") == F.col("med_rk"))
+        | (F.col("rk") == F.col("lo_rk"))
+        | (F.col("rk") == F.col("hi_rk"))
+    )
+    return (
+        joined.groupBy("g", "n")
+        .agg(
+            F.max(
+                F.when(F.col("rk") == F.col("med_rk"), F.col("v"))
+            ).alias("median_cents"),
+            F.max(
+                F.when(F.col("rk") == F.col("lo_rk"), F.col("v"))
+            ).alias("ci95_lo_cents"),
+            F.max(
+                F.when(F.col("rk") == F.col("hi_rk"), F.col("v"))
+            ).alias("ci95_hi_cents"),
+        )
+        .select(
+            F.col("g").alias("event_type"),
+            F.col("n").alias("n_events"),
+            "median_cents", "ci95_lo_cents", "ci95_hi_cents",
+        )
+        .orderBy("event_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# F153 rolling 30-day regression beta (purchases on views)
+# ---------------------------------------------------------------------------
+@register(
+    "events_rolling_beta_daily",
+    """
+    WITH d AS (
+        SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS d,
+               CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS x,
+               CAST(sum(CASE WHEN event_type = 'purchase'
+                             THEN 1 ELSE 0 END) AS BIGINT) AS y
+        FROM events GROUP BY 1
+    ),
+    wnd AS (
+        SELECT d, x, y,
+               CAST(count(*) OVER w AS BIGINT) AS n,
+               CAST(sum(x) OVER w AS BIGINT) AS sx,
+               CAST(sum(y) OVER w AS BIGINT) AS sy,
+               CAST(sum(x * x) OVER w AS BIGINT) AS sxx,
+               CAST(sum(x * y) OVER w AS BIGINT) AS sxy
+        FROM d
+        WINDOW w AS (ORDER BY d
+                     ROWS BETWEEN 29 PRECEDING AND CURRENT ROW)
+    )
+    SELECT d, n AS n_days,
+           round(CASE WHEN n * sxx - sx * sx = 0 THEN 0.0
+                      ELSE CAST(n * sxy - sx * sy AS DOUBLE)
+                           / (n * sxx - sx * sx) END, 6) AS beta,
+           round((CAST(sy AS DOUBLE)
+                  - CASE WHEN n * sxx - sx * sx = 0 THEN 0.0
+                         ELSE CAST(n * sxy - sx * sy AS DOUBLE)
+                              / (n * sxx - sx * sx) END * sx) / n, 6)
+               AS alpha
+    FROM wnd WHERE n >= 10 ORDER BY d
+    """,
+    doc="F153 rolling 30-day OLS regression of daily purchases on daily "
+    "views: per day, the trailing-window slope beta (marginal "
+    "purchases per additional view — the moving conversion "
+    "elasticity) and intercept, from EXACT BIGINT window power sums "
+    "(n*sxy - sx*sy etc., the F121/F149 deviation device inside a "
+    "ROWS frame; degenerate windows — constant x — short-circuit to "
+    "0); emitted once the window holds >= 10 days. The time-varying "
+    "companion to F149's static correlation. One day reduce + one "
+    "ordered window over the calendar frame. One row per day.",
+)
+def events_rolling_beta_daily(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    d = _events(spark, sf_dir).groupBy(
+        F.date_trunc("day", F.col("ts")).alias("d")
+    ).agg(
+        F.sum(F.when(F.col("event_type") == "view", 1).otherwise(0)).alias(
+            "x"
+        ),
+        F.sum(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).alias("y"),
+    )
+    w = Window.orderBy("d").rowsBetween(-29, 0)
+    wnd = d.select(
+        "d", "x", "y",
+        F.count(F.lit(1)).over(w).alias("n"),
+        F.sum("x").over(w).alias("sx"),
+        F.sum("y").over(w).alias("sy"),
+        F.sum(F.col("x") * F.col("x")).over(w).alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).over(w).alias("sxy"),
+    )
+    return (
+        wnd.filter(F.col("n") >= 10)
+        .select(
+            "d",
+            F.col("n").alias("n_days"),
+            F.expr(
+                "round(CASE WHEN n * sxx - sx * sx = 0 THEN 0.0"
+                " ELSE CAST(n * sxy - sx * sy AS DOUBLE)"
+                " / (n * sxx - sx * sx) END, 6)"
+            ).alias("beta"),
+            F.expr(
+                "round((CAST(sy AS DOUBLE)"
+                " - CASE WHEN n * sxx - sx * sx = 0 THEN 0.0"
+                " ELSE CAST(n * sxy - sx * sy AS DOUBLE)"
+                " / (n * sxx - sx * sx) END * sx) / n, 6)"
+            ).alias("alpha"),
+        )
+        .orderBy("d")
+    )
