@@ -3099,3 +3099,78 @@ def test_median_ci_and_rolling_beta_replays(spark):
     assert math.isclose(beta, 3.0) and math.isclose(
         (ys.sum() - beta * xs.sum()) / n, 7.0
     )
+
+
+def test_hodges_lehmann_and_deming_replays(spark):
+    """F154/F155: both equal numpy replays on sf0.001; HL of a
+    symmetric sample matches its median-of-Walsh definition and
+    shrugs off a planted outlier; Deming recovers a planted slope
+    under symmetric x/y noise where OLS attenuates."""
+    import math
+
+    import numpy as np
+    import pandas as pd
+
+    from time_series_spark_spark.queries import REGISTRY
+
+    def hl(y):
+        w = sorted(y[i] + y[j] for i in range(len(y))
+                   for j in range(i, len(y)))
+        return w[(len(w) + 1) // 2 - 1] / 2.0
+
+    ev = pd.read_parquet("/root/testdata/sf0.001/events.parquet")
+    ev["cents"] = (ev["value"] * 100).round().astype("int64")
+    daily = list(
+        ev.groupby(ev["ts"].dt.floor("D"))["cents"].sum().sort_index()
+    )
+    row = (
+        REGISTRY["events_hodges_lehmann_daily"]
+        .fn(spark, "/root/testdata/sf0.001")
+        .collect()[0]
+    )
+    n = len(daily)
+    assert row["n_days"] == n
+    assert row["n_walsh"] == n * (n + 1) // 2
+    assert math.isclose(row["hl_cents"], round(hl(daily), 1), abs_tol=0.11)
+
+    base = list(range(100, 131))
+    spiked = base[:-1] + [100000]
+    assert abs(hl(spiked) - hl(base)) < 20  # robust to one outlier
+
+    # Deming replay + attenuation demo
+    def deming(x, y):
+        x, y = np.asarray(x, float), np.asarray(y, float)
+        n = len(x)
+        dxx = n * (x * x).sum() - x.sum() ** 2
+        dyy = n * (y * y).sum() - y.sum() ** 2
+        dxy = n * (x * y).sum() - x.sum() * y.sum()
+        slope = (dyy - dxx + math.sqrt((dyy - dxx) ** 2 + 4 * dxy**2)) / (
+            2 * dxy
+        )
+        return slope, y.mean() - slope * x.mean(), dxy / dxx
+
+    d = ev["ts"].dt.floor("D")
+    daily2 = ev.groupby([d, "event_type"])["event_id"].count().unstack(
+        fill_value=0
+    )
+    s_ref, a_ref, ols_ref = deming(daily2["view"], daily2["click"])
+    row2 = (
+        REGISTRY["events_deming_view_click"]
+        .fn(spark, "/root/testdata/sf0.001")
+        .collect()[0]
+    )
+    assert row2["n_days"] == len(daily2)
+    assert math.isclose(row2["deming_slope"], round(s_ref, 6),
+                        abs_tol=1e-6)
+    assert math.isclose(row2["deming_intercept"], round(a_ref, 6),
+                        abs_tol=1e-5)
+    assert math.isclose(row2["ols_slope"], round(ols_ref, 6),
+                        abs_tol=1e-6)
+
+    rng = np.random.default_rng(43)
+    true_x = rng.uniform(0, 100, 2000)
+    x_obs = true_x + rng.normal(0, 10, 2000)
+    y_obs = 2.0 * true_x + rng.normal(0, 10, 2000)
+    dm, _, ols = deming(x_obs, y_obs)
+    assert ols < 1.85  # attenuated
+    assert abs(dm - 2.0) < 0.25  # Deming recovers (lambda matches here)

@@ -8153,3 +8153,175 @@ def events_rolling_beta_daily(
         )
         .orderBy("d")
     )
+
+
+# ---------------------------------------------------------------------------
+# F154 Hodges-Lehmann pseudomedian of daily totals
+# ---------------------------------------------------------------------------
+@register(
+    "events_hodges_lehmann_daily",
+    f"""
+    WITH daily AS (
+        SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS d,
+               CAST(sum({_CENTS}) AS BIGINT) AS y
+        FROM events GROUP BY 1
+    ),
+    idx AS (
+        SELECT y, row_number() OVER (ORDER BY d) AS i FROM daily
+    ),
+    walsh AS (
+        SELECT CAST(a.y + b.y AS BIGINT) AS w2
+        FROM idx a JOIN idx b ON b.i >= a.i
+    ),
+    r AS (
+        SELECT w2,
+               row_number() OVER (ORDER BY w2) AS rk,
+               CAST(count(*) OVER () AS BIGINT) AS m
+        FROM walsh
+    )
+    SELECT (SELECT CAST(count(*) AS BIGINT) FROM daily) AS n_days,
+           (SELECT m FROM r WHERE rk = 1) AS n_walsh,
+           round((SELECT CAST(w2 AS DOUBLE) / 2.0 FROM r
+                  WHERE rk = CAST(floor((m + 1) / 2.0) AS BIGINT)), 1)
+               AS hl_cents
+    FROM (SELECT 1)
+    """,
+    doc="F154 Hodges-Lehmann pseudomedian of daily value-cents totals — "
+    "the location estimator dual to the Wilcoxon signed-rank test "
+    "(median of all n(n+1)/2 pairwise Walsh averages (y_i+y_j)/2, "
+    "i <= j): 29% breakdown like the median but ~96% Gaussian "
+    "efficiency vs the median's 64% — the robust center a reporting "
+    "layer should prefer to both mean and median. Walsh averages are "
+    "held DOUBLED (y_i + y_j, exact BIGINTs) so the lower-median "
+    "rank pick (F124 device) never touches fp; the single /2.0 is "
+    "the output. Pair fanout is the day-frame squared (bounded by "
+    "the calendar, never the corpus — same posture as F133 Pettitt). "
+    "Single summary row.",
+)
+def events_hodges_lehmann_daily(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    daily = (
+        _events(spark, sf_dir)
+        .groupBy(F.date_trunc("day", F.col("ts")).alias("d"))
+        .agg(F.sum(F.expr(_CENTS)).alias("y"))
+    )
+    idx = daily.select(
+        "y", F.row_number().over(Window.orderBy("d")).alias("i")
+    )
+    a = idx.select(F.col("y").alias("ya"), F.col("i").alias("ia"))
+    b = idx.select(F.col("y").alias("yb"), F.col("i").alias("ib"))
+    walsh = a.join(b, F.col("ib") >= F.col("ia")).select(
+        (F.col("ya") + F.col("yb")).cast("long").alias("w2")
+    )
+    w_all = Window.partitionBy().rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    r = walsh.select(
+        "w2",
+        F.row_number().over(Window.orderBy("w2")).alias("rk"),
+        F.count(F.lit(1)).over(w_all).alias("m"),
+    )
+    hl = r.filter(
+        F.expr("rk = CAST(floor((m + 1) / 2.0) AS BIGINT)")
+    ).select(
+        F.col("m").alias("n_walsh"),
+        F.expr("round(CAST(w2 AS DOUBLE) / 2.0, 1)").alias("hl_cents"),
+    )
+    n = daily.agg(F.count(F.lit(1)).alias("n_days"))
+    return n.crossJoin(F.broadcast(hl)).select(
+        "n_days", "n_walsh", "hl_cents"
+    )
+
+
+# ---------------------------------------------------------------------------
+# F155 Deming regression (errors in both variables, lambda = 1)
+# ---------------------------------------------------------------------------
+@register(
+    "events_deming_view_click",
+    """
+    WITH d AS (
+        SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS d,
+               CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS x,
+               CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS y
+        FROM events GROUP BY 1
+    ),
+    s AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+               CAST(sum(x * x) AS BIGINT) AS sxx,
+               CAST(sum(y * y) AS BIGINT) AS syy,
+               CAST(sum(x * y) AS BIGINT) AS sxy
+        FROM d
+    ),
+    c AS (
+        SELECT n,
+               CAST(n * syy - sy * sy AS DOUBLE) AS dyy,
+               CAST(n * sxx - sx * sx AS DOUBLE) AS dxx,
+               CAST(n * sxy - sx * sy AS DOUBLE) AS dxy,
+               CAST(sx AS DOUBLE) / n AS mx,
+               CAST(sy AS DOUBLE) / n AS my
+        FROM s
+    )
+    SELECT n AS n_days,
+           round((dyy - dxx + sqrt((dyy - dxx) * (dyy - dxx)
+                                   + 4.0 * dxy * dxy))
+                 / (2.0 * dxy), 6) AS deming_slope,
+           round(my - ((dyy - dxx + sqrt((dyy - dxx) * (dyy - dxx)
+                                         + 4.0 * dxy * dxy))
+                       / (2.0 * dxy)) * mx, 6) AS deming_intercept,
+           round(dxy / dxx, 6) AS ols_slope
+    FROM c
+    """,
+    doc="F155 Deming regression of daily clicks on daily views (equal "
+    "error variances, lambda=1 — orthogonal regression): slope = "
+    "(Syy - Sxx + sqrt((Syy-Sxx)^2 + 4Sxy^2)) / (2Sxy), the "
+    "errors-in-BOTH-variables fit OLS cannot give (OLS attenuates "
+    "the slope toward 0 when x is noisy — reported side by side so "
+    "the attenuation is visible). All deviation moments are EXACT "
+    "BIGINT n-scaled forms (n*sxy - sx*sy, the F149 device) cast "
+    "once; slope/intercept are one shared sqrt/div expression. One "
+    "day reduce + a 6-sum reduce; single summary row.",
+)
+def events_deming_view_click(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    d = _events(spark, sf_dir).groupBy(
+        F.date_trunc("day", F.col("ts")).alias("d")
+    ).agg(
+        F.sum(F.when(F.col("event_type") == "view", 1).otherwise(0)).alias(
+            "x"
+        ),
+        F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0)).alias(
+            "y"
+        ),
+    )
+    s = d.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"), F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    c = s.select(
+        "n",
+        F.expr("CAST(n * syy - sy * sy AS DOUBLE)").alias("dyy"),
+        F.expr("CAST(n * sxx - sx * sx AS DOUBLE)").alias("dxx"),
+        F.expr("CAST(n * sxy - sx * sy AS DOUBLE)").alias("dxy"),
+        F.expr("CAST(sx AS DOUBLE) / n").alias("mx"),
+        F.expr("CAST(sy AS DOUBLE) / n").alias("my"),
+    )
+    return c.select(
+        F.col("n").alias("n_days"),
+        F.expr(
+            "round((dyy - dxx + sqrt((dyy - dxx) * (dyy - dxx)"
+            " + 4.0 * dxy * dxy)) / (2.0 * dxy), 6)"
+        ).alias("deming_slope"),
+        F.expr(
+            "round(my - ((dyy - dxx + sqrt((dyy - dxx) * (dyy - dxx)"
+            " + 4.0 * dxy * dxy)) / (2.0 * dxy)) * mx, 6)"
+        ).alias("deming_intercept"),
+        F.expr("round(dxy / dxx, 6)").alias("ols_slope"),
+    )
