@@ -3174,3 +3174,73 @@ def test_hodges_lehmann_and_deming_replays(spark):
     dm, _, ols = deming(x_obs, y_obs)
     assert ols < 1.85  # attenuated
     assert abs(dm - 2.0) < 0.25  # Deming recovers (lambda matches here)
+
+
+def test_hill_and_pairwise_ks_replays(spark):
+    """F156/F157: Hill alpha equals a numpy order-statistic replay on
+    sf0.001 and recovers a planted Pareto exponent; the KS matrix
+    equals per-pair scipy-style exact D and is symmetric-complete."""
+    import math
+    from itertools import combinations
+
+    import numpy as np
+    import pandas as pd
+
+    from time_series_spark_spark.queries import REGISTRY
+
+    def hill(xs, k=None):
+        xs = sorted(xs, reverse=True)
+        m = len(xs)
+        k = k or max(int(m / 10), 2)
+        s = sum(math.log(xs[i] / xs[k]) for i in range(k))
+        return k, k / s
+
+    ev = pd.read_parquet("/root/testdata/sf0.001/events.parquet")
+    per_u = sorted(
+        ev.groupby("user_id")["event_id"].count(), reverse=True
+    )
+    # replay must break count ties the same way the query does (by
+    # user_id) — ranks differ but the VALUES at each rank are equal,
+    # so the estimator is tie-stable; verify via values-only replay.
+    k_ref, a_ref = hill(per_u)
+    row = (
+        REGISTRY["users_hill_tail_index"]
+        .fn(spark, "/root/testdata/sf0.001")
+        .collect()[0]
+    )
+    assert row["n_users"] == len(per_u)
+    assert row["k_tail"] == k_ref
+    assert math.isclose(row["hill_alpha"], round(a_ref, 6), abs_tol=1e-6)
+
+    rng = np.random.default_rng(47)
+    pareto = (rng.pareto(2.5, 50000) + 1.0) * 10
+    _, a_p = hill(list(pareto), k=2000)
+    assert abs(a_p - 2.5) < 0.2  # Hill recovers the exponent
+
+    def ks(a, b):
+        allv = sorted(set(a) | set(b))
+        na, nb = len(a), len(b)
+        from bisect import bisect_right
+        sa, sb = sorted(a), sorted(b)
+        return max(
+            abs(bisect_right(sa, v) * nb - bisect_right(sb, v) * na)
+            for v in allv
+        ) / (na * nb)
+
+    ev["cents"] = (ev["value"] * 100).round().astype("int64")
+    groups = {
+        t: list(g) for t, g in ev.groupby("event_type")["cents"]
+    }
+    rows = {
+        (r["type_a"], r["type_b"]): r
+        for r in REGISTRY["events_pairwise_ks_matrix"]
+        .fn(spark, "/root/testdata/sf0.001")
+        .collect()
+    }
+    expect_pairs = set(combinations(sorted(groups), 2))
+    assert set(rows) == expect_pairs
+    for (ta, tb), r in rows.items():
+        assert (r["n_a"], r["n_b"]) == (len(groups[ta]), len(groups[tb]))
+        assert math.isclose(
+            r["ks_d"], round(ks(groups[ta], groups[tb]), 6), abs_tol=1e-9
+        )

@@ -8325,3 +8325,206 @@ def events_deming_view_click(
         ).alias("deming_intercept"),
         F.expr("round(dxy / dxx, 6)").alias("ols_slope"),
     )
+
+
+# ---------------------------------------------------------------------------
+# F156 Hill tail-index estimator of user activity
+# ---------------------------------------------------------------------------
+@register(
+    "users_hill_tail_index",
+    """
+    WITH u AS (
+        SELECT user_id, CAST(count(*) AS BIGINT) AS n
+        FROM events GROUP BY user_id
+    ),
+    r AS (
+        SELECT n,
+               row_number() OVER (ORDER BY n DESC, user_id) AS rk,
+               CAST(count(*) OVER () AS BIGINT) AS m
+        FROM u
+    ),
+    kk AS (
+        SELECT CAST(greatest(floor(max(m) / 10.0), 2) AS BIGINT) AS k,
+               CAST(max(m) AS BIGINT) AS m
+        FROM r
+    ),
+    thr AS (
+        SELECT r.n AS xk1, kk.k, kk.m FROM r CROSS JOIN kk
+        WHERE r.rk = kk.k + 1
+    ),
+    tail AS (
+        SELECT t.k, t.m,
+               sum(ln(CAST(r.n AS DOUBLE) / t.xk1))
+                   OVER (ORDER BY r.rk
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS s,
+               row_number() OVER (ORDER BY r.rk) AS j
+        FROM r CROSS JOIN thr t WHERE r.rk <= t.k
+    )
+    SELECT m AS n_users, k AS k_tail,
+           round(CAST(k AS DOUBLE) / s, 6) AS hill_alpha,
+           round(s / k, 6) AS mean_log_excess
+    FROM tail WHERE j = k
+    """,
+    doc="F156 Hill estimator of the power-law tail index of user "
+    "activity (events per user): alpha = k / sum(ln(x_(i)/x_(k+1))) "
+    "over the top k = m/10 order statistics — the standard tail-"
+    "heaviness gauge (alpha < 2: infinite variance, capacity planning "
+    "must size for whales; complements F53 Zipf on words and F143's "
+    "h-index with an actual exponent). Order statistics are EXACT "
+    "integer rank picks on the per-user aggregate (RFM posture); the "
+    "ln-excess sum accumulates in DETERMINISTIC rank order (F95 "
+    "device). One user reduce + one rank window; single summary row.",
+)
+def users_hill_tail_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    u = _events(spark, sf_dir).groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    w_all = Window.partitionBy().rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    r = u.select(
+        "n",
+        F.row_number()
+        .over(Window.orderBy(F.col("n").desc(), "user_id"))
+        .alias("rk"),
+        F.count(F.lit(1)).over(w_all).alias("m"),
+    )
+    kk = r.agg(
+        F.expr("CAST(greatest(floor(max(m) / 10.0), 2) AS BIGINT)").alias(
+            "k"
+        ),
+        F.max("m").alias("m"),
+    )
+    thr = (
+        r.crossJoin(F.broadcast(kk.select("k")))
+        .filter(F.col("rk") == F.col("k") + 1)
+        .select(F.col("n").alias("xk1"), "k")
+    )
+    tail = (
+        r.crossJoin(F.broadcast(thr))
+        .filter(F.col("rk") <= F.col("k"))
+        .select(
+            "k", "m",
+            F.sum(F.expr("ln(CAST(n AS DOUBLE) / xk1)"))
+            .over(
+                Window.orderBy("rk").rowsBetween(
+                    Window.unboundedPreceding, 0
+                )
+            )
+            .alias("s"),
+            F.row_number().over(Window.orderBy("rk")).alias("j"),
+        )
+    )
+    return tail.filter(F.col("j") == F.col("k")).select(
+        F.col("m").alias("n_users"),
+        F.col("k").alias("k_tail"),
+        F.expr("round(CAST(k AS DOUBLE) / s, 6)").alias("hill_alpha"),
+        F.expr("round(s / k, 6)").alias("mean_log_excess"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# F157 pairwise KS distance matrix across event types
+# ---------------------------------------------------------------------------
+@register(
+    "events_pairwise_ks_matrix",
+    f"""
+    WITH x AS (
+        SELECT event_type AS g, {_CENTS} AS v FROM events
+    ),
+    types AS (SELECT DISTINCT g FROM x),
+    pairs AS (
+        SELECT a.g AS ga, b.g AS gb FROM types a JOIN types b ON a.g < b.g
+    ),
+    tagged AS (
+        SELECT p.ga, p.gb, x.v,
+               CASE WHEN x.g = p.ga THEN 1 ELSE 0 END AS in_a
+        FROM x JOIN pairs p ON x.g = p.ga OR x.g = p.gb
+    ),
+    per_v AS (
+        SELECT ga, gb, v,
+               CAST(sum(in_a) AS BIGINT) AS ca,
+               CAST(sum(1 - in_a) AS BIGINT) AS cb
+        FROM tagged GROUP BY ga, gb, v
+    ),
+    cum AS (
+        SELECT ga, gb,
+               CAST(sum(ca) OVER w AS BIGINT) AS fa,
+               CAST(sum(cb) OVER w AS BIGINT) AS fb,
+               CAST(sum(ca) OVER (PARTITION BY ga, gb) AS BIGINT) AS na,
+               CAST(sum(cb) OVER (PARTITION BY ga, gb) AS BIGINT) AS nb
+        FROM per_v
+        WINDOW w AS (PARTITION BY ga, gb ORDER BY v
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    )
+    SELECT ga AS type_a, gb AS type_b,
+           CAST(max(na) AS BIGINT) AS n_a, CAST(max(nb) AS BIGINT) AS n_b,
+           CAST(max(abs(fa * nb - fb * na)) AS BIGINT) AS d_num,
+           round(CAST(max(abs(fa * nb - fb * na)) AS DOUBLE)
+                 / (CAST(max(na) AS DOUBLE) * max(nb)), 6) AS ks_d
+    FROM cum GROUP BY ga, gb ORDER BY type_a, type_b
+    """,
+    doc="F157 pairwise two-sample Kolmogorov-Smirnov distance matrix "
+    "across ALL event-type pairs — which types share a value "
+    "distribution and which don't, in one pass (F90 does one pair; "
+    "this is the k(k-1)/2 panel a segmentation review wants): per "
+    "pair, D = max|F_a - F_b| is held as the EXACT INTEGER cross "
+    "max|cum_a*n_b - cum_b*n_a| over the distinct-value frame (F90 "
+    "device), divided once. The pair fanout multiplies the scan by "
+    "k-1 (k = 5 types), bounded by the type count, and all windows "
+    "run on (pair, distinct-value) frames. One row per type pair.",
+)
+def events_pairwise_ks_matrix(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    x = _events(spark, sf_dir).select(
+        F.col("event_type").alias("g"), F.expr(_CENTS).alias("v")
+    )
+    types = x.select("g").distinct()
+    a = types.select(F.col("g").alias("ga"))
+    b = types.select(F.col("g").alias("gb"))
+    pairs = a.join(b, F.col("ga") < F.col("gb"))
+    tagged = x.join(
+        F.broadcast(pairs),
+        (F.col("g") == F.col("ga")) | (F.col("g") == F.col("gb")),
+    ).select(
+        "ga", "gb", "v",
+        F.when(F.col("g") == F.col("ga"), 1).otherwise(0).alias("in_a"),
+    )
+    per_v = tagged.groupBy("ga", "gb", "v").agg(
+        F.sum("in_a").alias("ca"),
+        F.sum(F.lit(1) - F.col("in_a")).alias("cb"),
+    )
+    wp = Window.partitionBy("ga", "gb")
+    w_cum = wp.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    w_all = wp.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    cum = per_v.select(
+        "ga", "gb",
+        F.sum("ca").over(w_cum).alias("fa"),
+        F.sum("cb").over(w_cum).alias("fb"),
+        F.sum("ca").over(w_all).alias("na"),
+        F.sum("cb").over(w_all).alias("nb"),
+    )
+    return (
+        cum.groupBy("ga", "gb")
+        .agg(
+            F.max("na").alias("n_a"),
+            F.max("nb").alias("n_b"),
+            F.max(
+                F.abs(F.col("fa") * F.col("nb") - F.col("fb") * F.col("na"))
+            ).alias("d_num"),
+        )
+        .select(
+            F.col("ga").alias("type_a"),
+            F.col("gb").alias("type_b"),
+            "n_a", "n_b", "d_num",
+            F.expr(
+                "round(CAST(d_num AS DOUBLE)"
+                " / (CAST(n_a AS DOUBLE) * n_b), 6)"
+            ).alias("ks_d"),
+        )
+        .orderBy("type_a", "type_b")
+    )
