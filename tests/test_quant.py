@@ -3244,3 +3244,72 @@ def test_hill_and_pairwise_ks_replays(spark):
         assert math.isclose(
             r["ks_d"], round(ks(groups[ta], groups[tb]), 6), abs_tol=1e-9
         )
+
+
+def test_records_and_turning_points_replays(spark):
+    """F158/F159: both equal plain replays on sf0.001; a monotone ramp
+    maximizes records (n of them, huge z) and minimizes turning
+    points; an alternating series has zero records after day 2 and
+    every interior day a turning point."""
+    import math
+
+    import pandas as pd
+
+    from time_series_spark_spark.queries import REGISTRY
+
+    def records(y):
+        best = None
+        cnt = 0
+        for v in y:
+            if best is None or v > best:
+                cnt += 1
+                best = v
+        n = len(y)
+        hn = sum(1.0 / i for i in range(1, n + 1))
+        h2n = sum(1.0 / (i * i) for i in range(1, n + 1))
+        return cnt, hn, (cnt - hn) / math.sqrt(hn - h2n)
+
+    def turning(y):
+        n = len(y)
+        cnt = sum(
+            1
+            for i in range(1, n - 1)
+            if (y[i] > y[i - 1] and y[i] > y[i + 1])
+            or (y[i] < y[i - 1] and y[i] < y[i + 1])
+        )
+        e = 2.0 * (n - 2) / 3.0
+        return cnt, e, (cnt - e) / math.sqrt((16.0 * n - 29.0) / 90.0)
+
+    ev = pd.read_parquet("/root/testdata/sf0.001/events.parquet")
+    ev["cents"] = (ev["value"] * 100).round().astype("int64")
+    daily = list(
+        ev.groupby(ev["ts"].dt.floor("D"))["cents"].sum().sort_index()
+    )
+    cnt, hn, z = records(daily)
+    row = (
+        REGISTRY["events_record_days_test"]
+        .fn(spark, "/root/testdata/sf0.001")
+        .collect()[0]
+    )
+    assert row["n_days"] == len(daily)
+    assert row["n_records"] == cnt
+    assert math.isclose(row["expected_records"], round(hn, 6),
+                        abs_tol=1e-9)
+    assert math.isclose(row["z_records"], round(z, 6), abs_tol=1e-6)
+
+    cnt2, e2, z2 = turning(daily)
+    row2 = (
+        REGISTRY["events_turning_points_test"]
+        .fn(spark, "/root/testdata/sf0.001")
+        .collect()[0]
+    )
+    assert row2["n_turning"] == cnt2
+    assert math.isclose(row2["expected_tp"], round(e2, 6), abs_tol=1e-9)
+    assert math.isclose(row2["z_tp"], round(z2, 6), abs_tol=1e-6)
+
+    ramp = list(range(60))
+    alt = [5, 9] * 30
+    assert records(ramp)[0] == 60 and records(ramp)[2] > 10
+    assert turning(ramp)[0] == 0 and turning(ramp)[2] < -5
+    assert records(alt)[0] == 2
+    assert turning(alt)[0] == 58 and turning(alt)[2] > 5

@@ -8528,3 +8528,181 @@ def events_pairwise_ks_matrix(
         )
         .orderBy("type_a", "type_b")
     )
+
+
+# ---------------------------------------------------------------------------
+# F158 record-days test (running-max breaks vs harmonic expectation)
+# ---------------------------------------------------------------------------
+@register(
+    "events_record_days_test",
+    f"""
+    WITH daily AS (
+        SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS d,
+               CAST(sum({_CENTS}) AS BIGINT) AS y
+        FROM events GROUP BY 1
+    ),
+    rec AS (
+        SELECT d, y,
+               CASE WHEN y > coalesce(max(y) OVER (ORDER BY d
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                        -9223372036854775808)
+                    THEN 1 ELSE 0 END AS is_rec,
+               row_number() OVER (ORDER BY d) AS i,
+               CAST(count(*) OVER () AS BIGINT) AS n
+        FROM daily
+    ),
+    h AS (
+        SELECT n,
+               sum(1.0 / CAST(i AS DOUBLE)) OVER (ORDER BY i
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS hn,
+               sum(1.0 / (CAST(i AS DOUBLE) * i)) OVER (ORDER BY i
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS h2n,
+               row_number() OVER (ORDER BY i) AS rn
+        FROM rec
+    ),
+    agg AS (
+        SELECT CAST(sum(is_rec) AS BIGINT) AS n_rec,
+               CAST(max(n) AS BIGINT) AS n
+        FROM rec
+    )
+    SELECT agg.n AS n_days, n_rec AS n_records,
+           round(h.hn, 6) AS expected_records,
+           round((n_rec - h.hn) / sqrt(h.hn - h.h2n), 6) AS z_records
+    FROM agg CROSS JOIN h WHERE h.rn = agg.n
+    """,
+    doc="F158 record-days test: how many days set a NEW all-time-high "
+    "daily total, against the iid expectation H_n (under exchange-"
+    "ability the i-th day is a record with probability exactly 1/i, "
+    "so E = harmonic(n), Var = H_n - H2_n — a beautiful distribution-"
+    "FREE trend detector: a trending series smashes records far "
+    "above H_n ~ ln n, no ranks or moments needed; complements F100 "
+    "Mann-Kendall with an interpretable count). Record flags are "
+    "exact integer running-max comparisons; the harmonic sums "
+    "accumulate in DETERMINISTIC frame order (F95 device). "
+    "Pre-reduces to the calendar-day frame. Single summary row.",
+)
+def events_record_days_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    daily = (
+        _events(spark, sf_dir)
+        .groupBy(F.date_trunc("day", F.col("ts")).alias("d"))
+        .agg(F.sum(F.expr(_CENTS)).alias("y"))
+    )
+    w_prev = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, -1)
+    w_all = Window.partitionBy().rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    rec = daily.select(
+        "d", "y",
+        F.when(
+            F.col("y")
+            > F.coalesce(
+                F.max("y").over(w_prev), F.lit(-9223372036854775808)
+            ),
+            1,
+        )
+        .otherwise(0)
+        .alias("is_rec"),
+        F.row_number().over(Window.orderBy("d")).alias("i"),
+        F.count(F.lit(1)).over(w_all).alias("n"),
+    )
+    w_cum = Window.orderBy("i").rowsBetween(Window.unboundedPreceding, 0)
+    h = rec.select(
+        F.sum(F.expr("1.0 / CAST(i AS DOUBLE)")).over(w_cum).alias("hn"),
+        F.sum(F.expr("1.0 / (CAST(i AS DOUBLE) * i)"))
+        .over(w_cum)
+        .alias("h2n"),
+        F.row_number().over(Window.orderBy("i")).alias("rn"),
+    )
+    agg = rec.agg(
+        F.sum("is_rec").alias("n_rec"), F.max("n").alias("n")
+    )
+    return (
+        agg.crossJoin(F.broadcast(h))
+        .filter(F.col("rn") == F.col("n"))
+        .select(
+            F.col("n").alias("n_days"),
+            F.col("n_rec").alias("n_records"),
+            F.round("hn", 6).alias("expected_records"),
+            F.expr(
+                "round((n_rec - hn) / sqrt(hn - h2n), 6)"
+            ).alias("z_records"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# F159 turning-points randomness test
+# ---------------------------------------------------------------------------
+@register(
+    "events_turning_points_test",
+    f"""
+    WITH daily AS (
+        SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS d,
+               CAST(sum({_CENTS}) AS BIGINT) AS y
+        FROM events GROUP BY 1
+    ),
+    tp AS (
+        SELECT CASE WHEN (y > lag(y) OVER w AND y > lead(y) OVER w)
+                      OR (y < lag(y) OVER w AND y < lead(y) OVER w)
+                    THEN 1 ELSE 0 END AS is_tp,
+               CAST(count(*) OVER () AS BIGINT) AS n
+        FROM daily WINDOW w AS (ORDER BY d)
+    )
+    SELECT CAST(max(n) AS BIGINT) AS n_days,
+           CAST(sum(is_tp) AS BIGINT) AS n_turning,
+           round(2.0 * CAST(max(n) - 2 AS DOUBLE) / 3.0, 6) AS expected_tp,
+           round((sum(is_tp) - 2.0 * CAST(max(n) - 2 AS DOUBLE) / 3.0)
+                 / sqrt((16.0 * max(n) - 29.0) / 90.0), 6) AS z_tp
+    FROM tp
+    """,
+    doc="F159 turning-points test (Bienayme): count strict local maxima "
+    "+ minima in the daily total series; under iid exchangeability "
+    "E = 2(n-2)/3 and Var = (16n-29)/90, so z flags BOTH too-smooth "
+    "series (trend/AR: fewer turns, z < 0) and oscillatory ones "
+    "(negative autocorrelation: more turns, z > 0) — the third "
+    "classic randomness lens beside F101 runs (signs) and F136 "
+    "Bartels (rank gradients). Turning flags are exact integer "
+    "lag/lead comparisons; the moments are closed forms. Pre-reduces "
+    "to the calendar-day frame. Single summary row.",
+)
+def events_turning_points_test(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    daily = (
+        _events(spark, sf_dir)
+        .groupBy(F.date_trunc("day", F.col("ts")).alias("d"))
+        .agg(F.sum(F.expr(_CENTS)).alias("y"))
+    )
+    w = Window.orderBy("d")
+    w_all = Window.partitionBy().rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    tp = daily.select(
+        F.when(
+            (
+                (F.col("y") > F.lag("y").over(w))
+                & (F.col("y") > F.lead("y").over(w))
+            )
+            | (
+                (F.col("y") < F.lag("y").over(w))
+                & (F.col("y") < F.lead("y").over(w))
+            ),
+            1,
+        )
+        .otherwise(0)
+        .alias("is_tp"),
+        F.count(F.lit(1)).over(w_all).alias("n"),
+    )
+    return tp.agg(
+        F.max("n").alias("n_days"),
+        F.sum("is_tp").alias("n_turning"),
+        F.expr(
+            "round(2.0 * CAST(max(n) - 2 AS DOUBLE) / 3.0, 6)"
+        ).alias("expected_tp"),
+        F.expr(
+            "round((sum(is_tp) - 2.0 * CAST(max(n) - 2 AS DOUBLE) / 3.0)"
+            " / sqrt((16.0 * max(n) - 29.0) / 90.0), 6)"
+        ).alias("z_tp"),
+    )
