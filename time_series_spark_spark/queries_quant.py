@@ -8706,3 +8706,66 @@ def events_turning_points_test(
             " / sqrt((16.0 * max(n) - 29.0) / 90.0), 6)"
         ).alias("z_tp"),
     )
+
+
+# ---------------------------------------------------------------------------
+# F160 transition-latency matrix (mean dwell between type transitions)
+# ---------------------------------------------------------------------------
+@register(
+    "events_transition_latency",
+    """
+    WITH seq AS (
+        SELECT event_type AS src,
+               lead(event_type) OVER w AS dst,
+               CAST(epoch_us(lead(ts) OVER w) - epoch_us(ts) AS BIGINT)
+                   AS gap_us
+        FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT src, dst,
+           CAST(count(*) AS BIGINT) AS n_transitions,
+           CAST(sum(gap_us) AS BIGINT) AS total_us,
+           round(CAST(sum(gap_us) AS DOUBLE) / count(*) / 1000000.0, 4)
+               AS mean_gap_sec,
+           CAST(max(gap_us) AS BIGINT) AS max_gap_us
+    FROM seq WHERE dst IS NOT NULL
+    GROUP BY src, dst ORDER BY src, dst
+    """,
+    doc="F160 transition-LATENCY matrix: for every (from, to) event-"
+    "type pair within a user's stream, the count, total, mean, and "
+    "max inter-event time — the TIMING companion to the F29 "
+    "transition-count matrix and F142's entropy (counts say WHERE "
+    "users go next; this says HOW LONG they dwell before each hop — "
+    "the view->purchase cell is the consideration time). Gaps are "
+    "EXACT BIGINT microsecond diffs from one lag window; sums exact, "
+    "one fp division per cell. One window + one k^2-cell reduce. "
+    "One row per observed transition pair.",
+)
+def events_transition_latency(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = _events(spark, sf_dir).select(
+        F.col("event_type").alias("src"),
+        F.lead("event_type").over(w).alias("dst"),
+        F.expr("CAST(unix_micros(ts) AS BIGINT)").alias("t0"),
+        F.lead(F.expr("CAST(unix_micros(ts) AS BIGINT)")).over(w).alias(
+            "t1"
+        ),
+    )
+    return (
+        seq.filter(F.col("dst").isNotNull())
+        .select("src", "dst", (F.col("t1") - F.col("t0")).alias("gap_us"))
+        .groupBy("src", "dst")
+        .agg(
+            F.count(F.lit(1)).alias("n_transitions"),
+            F.sum("gap_us").alias("total_us"),
+            F.expr(
+                "round(CAST(sum(gap_us) AS DOUBLE) / count(*)"
+                " / 1000000.0, 4)"
+            ).alias("mean_gap_sec"),
+            F.max("gap_us").alias("max_gap_us"),
+        )
+        .orderBy("src", "dst")
+    )

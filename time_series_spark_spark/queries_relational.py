@@ -2167,3 +2167,88 @@ def lineitem_pricing_waterfall(
             " / (sum(gross) - sum(disc)), 4)"
         ).alias("effective_tax_bp"),
     )
+
+
+# ---------------------------------------------------------------------------
+# B12 4-4-5 fiscal-calendar revenue rollup
+# ---------------------------------------------------------------------------
+@register(
+    "orders_fiscal_445_rollup",
+    """
+    WITH base AS (
+        SELECT CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents,
+               CAST(datediff('day', TIMESTAMP '1992-01-01', o_orderdate)
+                    AS BIGINT) AS doff
+        FROM orders
+    ),
+    fis AS (
+        SELECT cents,
+               CAST(floor(doff / 364.0) AS BIGINT) AS fy,
+               CAST(floor((doff % 364) / 91.0) AS BIGINT) AS fq,
+               CASE WHEN CAST((doff % 364) % 91 AS BIGINT) < 28 THEN 0
+                    WHEN CAST((doff % 364) % 91 AS BIGINT) < 56 THEN 1
+                    ELSE 2 END AS pin_q,
+               CAST(floor((doff % 364) / 7.0) AS BIGINT) AS fw
+        FROM base WHERE doff >= 0
+    )
+    SELECT fy AS fiscal_year, fq AS fiscal_quarter,
+           CAST(fq * 3 + pin_q AS BIGINT) AS fiscal_period,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(cents) AS BIGINT) AS rev_cents,
+           CAST(min(fw) AS BIGINT) AS first_week,
+           CAST(max(fw) AS BIGINT) AS last_week
+    FROM fis
+    GROUP BY fy, fq, pin_q
+    ORDER BY fiscal_year, fiscal_quarter, fiscal_period
+    """,
+    doc="B12 4-4-5 fiscal-calendar rollup (retail/NRF convention): each "
+    "364-day fiscal year (epoch 1992-01-01) splits into four 91-day "
+    "quarters of 4+4+5 whole weeks, so every fiscal period contains "
+    "complete weeks and period-over-period comparisons are weekday-"
+    "mix-clean — the calendar dimension Gregorian months break (a "
+    "month's extra Saturday inflates retail revenue ~3%). All "
+    "bucketing is EXACT integer day arithmetic (floor/mod on day "
+    "offsets — no fp dates); revenue in exact cents. The 53rd-week "
+    "leap residue lands in the final period per the NRF restatement "
+    "rule. One scan + one hash reduce; one row per fiscal period.",
+)
+def orders_fiscal_445_rollup(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    base = load(spark, sf_dir, "orders").select(
+        F.expr("CAST(round(o_totalprice * 100, 0) AS BIGINT)").alias(
+            "cents"
+        ),
+        F.expr(
+            "CAST(datediff(o_orderdate, TIMESTAMP '1992-01-01') AS BIGINT)"
+        ).alias("doff"),
+    )
+    fis = base.filter(F.col("doff") >= 0).select(
+        "cents",
+        F.expr("CAST(floor(doff / 364.0) AS BIGINT)").alias("fy"),
+        F.expr("CAST(floor((doff % 364) / 91.0) AS BIGINT)").alias("fq"),
+        F.expr(
+            "CASE WHEN CAST((doff % 364) % 91 AS BIGINT) < 28 THEN 0"
+            " WHEN CAST((doff % 364) % 91 AS BIGINT) < 56 THEN 1"
+            " ELSE 2 END"
+        ).alias("pin_q"),
+        F.expr("CAST((doff % 364) DIV 7 AS BIGINT)").alias("fw"),
+    )
+    return (
+        fis.groupBy("fy", "fq", "pin_q")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum("cents").alias("rev_cents"),
+            F.min("fw").alias("first_week"),
+            F.max("fw").alias("last_week"),
+        )
+        .select(
+            F.col("fy").alias("fiscal_year"),
+            F.col("fq").alias("fiscal_quarter"),
+            (F.col("fq") * 3 + F.col("pin_q"))
+            .cast("long")
+            .alias("fiscal_period"),
+            "n_orders", "rev_cents", "first_week", "last_week",
+        )
+        .orderBy("fiscal_year", "fiscal_quarter", "fiscal_period")
+    )
