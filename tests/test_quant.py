@@ -3371,3 +3371,54 @@ def test_transition_latency_and_fiscal_445_replays(spark):
         assert 1 <= weeks <= cap
         # periods sit inside their quarter's 13-week band
         assert r["first_week"] // 13 == r["fiscal_quarter"]
+
+
+def test_growth_accounting_identities(spark):
+    """F161: the accounting identities hold exactly against a pandas
+    set replay on sf0.001 — active = new + retained + resurrected,
+    and active_w - active_(w-1) = new + resurrected - churned_in
+    (for every week after the first)."""
+    import pandas as pd
+
+    from time_series_spark_spark.queries import REGISTRY
+
+    ev = pd.read_parquet("/root/testdata/sf0.001/events.parquet")
+    ev["w"] = ev["ts"].dt.to_period("W").dt.start_time
+    weeks = sorted(ev["w"].unique())
+    present = {
+        w: set(ev.loc[ev["w"] == w, "user_id"]) for w in weeks
+    }
+    first = ev.groupby("user_id")["w"].min()
+
+    rows = (
+        REGISTRY["users_growth_accounting_weekly"]
+        .fn(spark, "/root/testdata/sf0.001")
+        .collect()
+    )
+    got = {r["week"]: r for r in rows}
+    assert sorted(got) == [w.to_pydatetime() for w in weeks]
+    prev_active = None
+    for i, w in enumerate(weeks):
+        r = got[w.to_pydatetime()]
+        cur = present[w]
+        new = {u for u in cur if first[u] == w}
+        ret = cur & (present[weeks[i - 1]] if i else set())
+        ret = {u for u in ret if first[u] != w} if i else set()
+        # a user can't be both new and retained: first week wins
+        resurrected = cur - new - ret
+        churned = (
+            len(present[weeks[i - 1]] - cur) if i else 0
+        )
+        assert r["active"] == len(cur)
+        assert r["new_users"] == len(new)
+        assert r["retained"] == len(ret)
+        assert r["resurrected"] == len(resurrected)
+        assert r["churned_in"] == churned
+        assert r["active"] == (
+            r["new_users"] + r["retained"] + r["resurrected"]
+        )
+        if prev_active is not None:
+            assert r["active"] - prev_active == (
+                r["new_users"] + r["resurrected"] - r["churned_in"]
+            )
+        prev_active = r["active"]

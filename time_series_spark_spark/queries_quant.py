@@ -8769,3 +8769,134 @@ def events_transition_latency(
         )
         .orderBy("src", "dst")
     )
+
+
+# ---------------------------------------------------------------------------
+# F161 weekly growth accounting (new / retained / resurrected / churned)
+# ---------------------------------------------------------------------------
+@register(
+    "users_growth_accounting_weekly",
+    """
+    WITH presence AS (
+        SELECT DISTINCT user_id,
+               CAST(date_trunc('week', ts) AS TIMESTAMP) AS w
+        FROM events
+    ),
+    firstw AS (
+        SELECT user_id, min(w) AS fw FROM presence GROUP BY user_id
+    ),
+    flags AS (
+        SELECT p.w, p.user_id,
+               CASE WHEN p.w = f.fw THEN 1 ELSE 0 END AS is_new,
+               CASE WHEN lag(p.w) OVER (PARTITION BY p.user_id ORDER BY p.w)
+                         = p.w - INTERVAL 7 DAY
+                    THEN 1 ELSE 0 END AS is_retained
+        FROM presence p JOIN firstw f ON f.user_id = p.user_id
+    ),
+    active AS (
+        SELECT w,
+               CAST(count(*) AS BIGINT) AS active,
+               CAST(sum(is_new) AS BIGINT) AS new_users,
+               CAST(sum(is_retained) AS BIGINT) AS retained,
+               CAST(sum(CASE WHEN is_new = 0 AND is_retained = 0
+                             THEN 1 ELSE 0 END) AS BIGINT) AS resurrected
+        FROM flags GROUP BY w
+    ),
+    churn AS (
+        SELECT p.w + INTERVAL 7 DAY AS w, CAST(count(*) AS BIGINT) AS churned
+        FROM presence p
+        LEFT JOIN presence nx ON nx.user_id = p.user_id
+                             AND nx.w = p.w + INTERVAL 7 DAY
+        WHERE nx.user_id IS NULL
+        GROUP BY p.w
+    )
+    SELECT a.w AS week, a.active, a.new_users, a.retained, a.resurrected,
+           CAST(coalesce(c.churned, 0) AS BIGINT) AS churned_in,
+           round(CASE WHEN lag(a.active) OVER (ORDER BY a.w) IS NULL
+                      THEN NULL
+                      ELSE CAST(a.retained AS DOUBLE)
+                           / lag(a.active) OVER (ORDER BY a.w) END, 6)
+               AS quick_ratio_retention
+    FROM active a LEFT JOIN churn c ON c.w = a.w
+    ORDER BY week
+    """,
+    doc="F161 weekly growth accounting — the MAU-accounting identity "
+    "every growth team reports (Social Capital convention): per week, "
+    "ACTIVE = NEW (first-ever week) + RETAINED (also present the "
+    "prior week) + RESURRECTED (returned after a gap), plus CHURNED "
+    "attributed to the week a user went missing; retained/active_prev "
+    "is the week-over-week retention quick ratio. The identity "
+    "active = new + retained + resurrected holds EXACTLY by "
+    "construction (flags partition presence — pinned in pytest along "
+    "with active_w - active_(w-1) = new + resurrected - churned). "
+    "All exact integer set logic: one distinct reduce, one first-week "
+    "reduce, a per-user lag window, an anti-join for churn. The "
+    "F21-cohort-triangle complement at the TOTALS grain. One row "
+    "per week.",
+)
+def users_growth_accounting_weekly(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    presence = (
+        _events(spark, sf_dir)
+        .select(
+            "user_id", F.date_trunc("week", F.col("ts")).alias("w")
+        )
+        .distinct()
+    )
+    firstw = presence.groupBy("user_id").agg(F.min("w").alias("fw"))
+    flags = presence.join(firstw, "user_id").select(
+        "w", "user_id",
+        F.when(F.col("w") == F.col("fw"), 1).otherwise(0).alias("is_new"),
+        F.when(
+            F.lag("w").over(W.partitionBy("user_id").orderBy("w"))
+            == F.expr("w - INTERVAL 7 DAY"),
+            1,
+        )
+        .otherwise(0)
+        .alias("is_retained"),
+    )
+    active = flags.groupBy("w").agg(
+        F.count(F.lit(1)).alias("active"),
+        F.sum("is_new").alias("new_users"),
+        F.sum("is_retained").alias("retained"),
+        F.sum(
+            F.when(
+                (F.col("is_new") == 0) & (F.col("is_retained") == 0), 1
+            ).otherwise(0)
+        ).alias("resurrected"),
+    )
+    nx = presence.select(
+        F.col("user_id").alias("nu"), F.col("w").alias("nw")
+    )
+    churn = (
+        presence.join(
+            nx,
+            (F.col("nu") == F.col("user_id"))
+            & (F.col("nw") == F.expr("w + INTERVAL 7 DAY")),
+            "left",
+        )
+        .filter(F.col("nu").isNull())
+        .select(F.expr("w + INTERVAL 7 DAY").alias("cw"))
+        .groupBy("cw")
+        .agg(F.count(F.lit(1)).alias("churned"))
+    )
+    out = active.join(churn, active.w == churn.cw, "left").select(
+        F.col("w").alias("week"),
+        "active", "new_users", "retained", "resurrected",
+        F.coalesce(F.col("churned"), F.lit(0))
+        .cast("long")
+        .alias("churned_in"),
+    )
+    w_ord = W.orderBy("week")
+    return out.select(
+        "week", "active", "new_users", "retained", "resurrected",
+        "churned_in",
+        F.expr(
+            "round(CASE WHEN lag(active) OVER (ORDER BY week) IS NULL"
+            " THEN NULL ELSE CAST(retained AS DOUBLE)"
+            " / lag(active) OVER (ORDER BY week) END, 6)"
+        ).alias("quick_ratio_retention"),
+    ).orderBy("week")
