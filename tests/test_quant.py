@@ -3422,3 +3422,75 @@ def test_growth_accounting_identities(spark):
                 r["new_users"] + r["resurrected"] - r["churned_in"]
             )
         prev_active = r["active"]
+
+
+def test_haar_energy_matches_pywt_style_replay(spark):
+    """F162: per-level detail energies equal a plain-Python Haar replay
+    on sf0.001; on a dyadic series the level energies + final
+    approximation energy satisfy Parseval exactly; a planted pure
+    2-day alternation puts ~all energy at level 1, a weekly-ish
+    square wave at the matching scale."""
+    import math
+
+    import numpy as np
+    import pandas as pd
+
+    from time_series_spark_spark.queries import REGISTRY
+
+    def haar_levels(y, kmax=5):
+        out = {}
+        for k in range(1, kmax + 1):
+            w = 1 << k
+            h = w >> 1
+            nb = len(y) // w
+            s2 = 0
+            for j in range(nb):
+                blk = y[j * w:(j + 1) * w]
+                d = sum(blk[:h]) - sum(blk[h:])
+                s2 += d * d
+            if nb:
+                out[k] = (nb, s2, s2 / w)
+        return out
+
+    ev = pd.read_parquet("/root/testdata/sf0.001/events.parquet")
+    ev["cents"] = (ev["value"] * 100).round().astype("int64")
+    daily = list(
+        ev.groupby(ev["ts"].dt.floor("D"))["cents"].sum().sort_index()
+    )
+    ref = haar_levels(daily)
+    rows = {
+        r["level"]: r
+        for r in REGISTRY["events_haar_energy_daily"]
+        .fn(spark, "/root/testdata/sf0.001")
+        .collect()
+    }
+    assert set(rows) == set(ref)
+    tot = sum(e for _, _, e in ref.values())
+    for k, (nb, s2, e) in ref.items():
+        r = rows[k]
+        assert (r["n_blocks"], r["sum_d2"]) == (nb, s2)
+        assert math.isclose(r["energy"], round(e, 4), abs_tol=1e-9)
+        assert math.isclose(r["energy_frac"], round(e / tot, 6),
+                            abs_tol=1e-6)
+
+    # Parseval on a dyadic length-32 series: sum of detail energies
+    # (levels 1..5) + approx energy (mean^2 * 32) == sum(y^2)
+    rng = np.random.default_rng(53)
+    y = list(rng.integers(-50, 50, 32))
+    lv = haar_levels(y, kmax=5)
+    approx = sum(y) ** 2 / 32.0
+    assert math.isclose(
+        sum(e for _, _, e in lv.values()) + approx,
+        sum(v * v for v in y),
+        rel_tol=1e-12,
+    )
+
+    alt = [100, -100] * 32
+    lv_alt = haar_levels(alt)
+    tot_alt = sum(e for _, _, e in lv_alt.values())
+    assert lv_alt[1][2] / tot_alt > 0.999  # all energy at scale 2
+
+    weekly = ([50] * 4 + [-50] * 4) * 8  # period 8 = scale 2^3
+    lv_w = haar_levels(weekly)
+    tot_w = sum(e for _, _, e in lv_w.values())
+    assert lv_w[3][2] / tot_w > 0.999

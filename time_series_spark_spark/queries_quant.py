@@ -8900,3 +8900,127 @@ def users_growth_accounting_weekly(
             " / lag(active) OVER (ORDER BY week) END, 6)"
         ).alias("quick_ratio_retention"),
     ).orderBy("week")
+
+
+# ---------------------------------------------------------------------------
+# F162 Haar wavelet multiresolution energy of the daily series
+# ---------------------------------------------------------------------------
+@register(
+    "events_haar_energy_daily",
+    f"""
+    WITH daily AS (
+        SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS d,
+               CAST(sum({_CENTS}) AS BIGINT) AS y
+        FROM events GROUP BY 1
+    ),
+    idx AS (
+        SELECT y, CAST(row_number() OVER (ORDER BY d) - 1 AS BIGINT) AS i,
+               CAST(count(*) OVER () AS BIGINT) AS n
+        FROM daily
+    ),
+    lv AS (SELECT * FROM (VALUES (CAST(1 AS BIGINT), CAST(2 AS BIGINT),
+                                  CAST(1 AS BIGINT)),
+                                 (2, 4, 2), (3, 8, 4), (4, 16, 8),
+                                 (5, 32, 16)) AS t(k, w, h)),
+    blocks AS (
+        SELECT k, w,
+               CAST(floor(i / (w * 1.0)) AS BIGINT) AS j,
+               CAST(sum(CASE WHEN i % w < h THEN y ELSE -y END)
+                    AS BIGINT) AS det,
+               CAST(count(*) AS BIGINT) AS cnt
+        FROM idx CROSS JOIN lv
+        GROUP BY k, w, CAST(floor(i / (w * 1.0)) AS BIGINT)
+    ),
+    en AS (
+        SELECT k, w,
+               CAST(count(*) AS BIGINT) AS n_blocks,
+               CAST(sum(det * det) AS BIGINT) AS sum_d2
+        FROM blocks WHERE cnt = w
+        GROUP BY k, w
+    ),
+    tot AS (
+        SELECT k, w, n_blocks, sum_d2,
+               CAST(sum_d2 AS DOUBLE) / w AS energy,
+               sum(CAST(sum_d2 AS DOUBLE) / w)
+                   OVER (ORDER BY k
+                         ROWS BETWEEN UNBOUNDED PRECEDING
+                         AND UNBOUNDED FOLLOWING) AS total_e
+        FROM en
+    )
+    SELECT k AS level, w AS scale_days, n_blocks, sum_d2,
+           round(energy, 4) AS energy,
+           round(energy / total_e, 6) AS energy_frac
+    FROM tot ORDER BY level
+    """,
+    doc="F162 Haar wavelet multiresolution energy of daily value-cents "
+    "totals, levels 1-5 (scales 2..32 days): the detail coefficient "
+    "of each complete 2^k-day block is the EXACT INTEGER first-half "
+    "minus second-half sum, its orthonormal energy d^2/2^k, and the "
+    "per-level energy fraction says WHICH TIMESCALE the variance "
+    "lives at (day-to-day noise vs weekly cycle vs monthly drift) — "
+    "the orthogonal-decomposition companion to F132 Allan variance "
+    "(Parseval on a dyadic planted series is pinned in pytest). "
+    "Block sums are grouped integer reduces (no sequential pass); "
+    "the 5-row fraction window is frame-ordered. Pre-reduces to the "
+    "calendar-day frame. One row per level.",
+)
+def events_haar_energy_daily(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    daily = (
+        _events(spark, sf_dir)
+        .groupBy(F.date_trunc("day", F.col("ts")).alias("d"))
+        .agg(F.sum(F.expr(_CENTS)).alias("y"))
+    )
+    w_all_rows = Window.partitionBy().rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    idx = daily.select(
+        "y",
+        (F.row_number().over(Window.orderBy("d")) - 1)
+        .cast("long")
+        .alias("i"),
+        F.count(F.lit(1)).over(w_all_rows).alias("n"),
+    )
+    lv = daily.sparkSession.createDataFrame(
+        [(1, 2, 1), (2, 4, 2), (3, 8, 4), (4, 16, 8), (5, 32, 16)],
+        "k long, w long, h long",
+    )
+    blocks = (
+        idx.crossJoin(F.broadcast(lv))
+        .groupBy(
+            "k", "w",
+            F.expr("CAST(floor(i / (w * 1.0)) AS BIGINT)").alias("j"),
+        )
+        .agg(
+            F.sum(
+                F.expr("CASE WHEN i % w < h THEN y ELSE -y END")
+            ).alias("det"),
+            F.count(F.lit(1)).alias("cnt"),
+        )
+    )
+    en = (
+        blocks.filter(F.col("cnt") == F.col("w"))
+        .groupBy("k", "w")
+        .agg(
+            F.count(F.lit(1)).alias("n_blocks"),
+            F.sum(F.col("det") * F.col("det")).alias("sum_d2"),
+        )
+    )
+    w_ordered_all = Window.orderBy("k").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    tot = en.select(
+        "k", "w", "n_blocks", "sum_d2",
+        F.expr("CAST(sum_d2 AS DOUBLE) / w").alias("energy"),
+        F.sum(F.expr("CAST(sum_d2 AS DOUBLE) / w"))
+        .over(w_ordered_all)
+        .alias("total_e"),
+    )
+    return tot.select(
+        F.col("k").alias("level"),
+        F.col("w").alias("scale_days"),
+        "n_blocks", "sum_d2",
+        F.round("energy", 4).alias("energy"),
+        F.expr("round(energy / total_e, 6)").alias("energy_frac"),
+    ).orderBy("level")
