@@ -1140,3 +1140,77 @@ def test_sprt_partials_multibatch_equals_sequential_replay(
     assert "accept_h0" not in heavy_b
     balanced = verdict_path([0, 1] * 200)
     assert "accept_h1" not in balanced[:50]
+
+
+def test_token_bucket_stream_equals_batch_and_hand_replay(
+    spark, tmp_path
+):
+    """F163/J15: the streaming token-bucket audit over MANY micro-
+    batches equals the batch packed audit row-for-row; a hand-built
+    burst scenario admits exactly the bucket semantics (capacity 2,
+    one token per 6h: two immediate admits, third rejected, refill
+    readmits)."""
+    import pandas as pd
+
+    from time_series_spark_spark.operators.analytics import (
+        token_bucket_flags,
+    )
+    from time_series_spark_spark.queries import REGISTRY
+    from time_series_spark_spark.streaming.jobs import (
+        run_available_now,
+        stateful_token_bucket,
+    )
+
+    # hand replay: one user, a burst then a refill
+    from datetime import datetime, timedelta
+
+    t0 = datetime(2024, 1, 1)
+    h = timedelta(hours=1)
+    df = spark.createDataFrame(
+        [
+            (1, 10, t0),            # admit (tokens 2 -> 1)
+            (1, 11, t0 + h),        # admit (refill 1/6 -> spends)
+            (1, 12, t0 + 2 * h),    # reject (below one token)
+            (1, 13, t0 + 14 * h),   # admit (12h refill, capped)
+        ],
+        "user_id long, event_id long, ts timestamp",
+    )
+    flags = {
+        r["event_id"]: r["admitted"]
+        for r in token_bucket_flags(df, "user_id", "ts").collect()
+    }
+    assert flags == {10: 1, 11: 1, 12: 0, 13: 1}
+
+    # multibatch streaming == batch on sf0.001
+    src = str(tmp_path / "src")
+    ev = load(spark, "/root/testdata/sf0.001", "events")
+    # chunk by TIME (week index), not by id — micro-batches must arrive
+    # in event-time order for the carried (last_us, stok) state to mean
+    # anything, exactly like a real ingestion stream
+    ev.withColumn(
+        "chunk",
+        F.expr(
+            "CAST(datediff(date_trunc('day', ts),"
+            " TIMESTAMP '2024-01-01') DIV 8 AS INT)"
+        ),
+    ).write.partitionBy("chunk").parquet(src)
+    sdf = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src + "/chunk=*")
+    )
+    table = run_available_now(
+        stateful_token_bucket(sdf), output_mode="append"
+    )
+    stream_flags = {
+        (r["user_id"], r["event_id"]): (r["admitted"],
+                                        r["tokens_after_p"])
+        for r in table.collect()
+    }
+    batch_flags = {
+        (r["user_id"], r["event_id"]): (r["admitted"],
+                                        r["tokens_after_p"])
+        for r in token_bucket_flags(ev, "user_id", "ts").collect()
+    }
+    assert stream_flags == batch_flags
+    assert any(adm == 0 for adm, _ in batch_flags.values())

@@ -883,3 +883,70 @@ def swinging_door(
         F.timestamp_micros(F.col("__t")).alias(ts),
         F.col("__v").alias(value),
     )
+
+
+# ---------------------------------------------------------------------------
+# Token-bucket rate-limit audit (exact integer microsecond state)
+# ---------------------------------------------------------------------------
+
+RL_PERIOD_US = 21_600_000_000  # one token per 6 hours
+RL_CAPACITY = 2                # burst capacity (tokens)
+
+
+def token_bucket_flags(
+    df: DataFrame,
+    key: str,
+    ts_col: str,
+    period_us: int = RL_PERIOD_US,
+    capacity: int = RL_CAPACITY,
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Per-event token-bucket admission flags — the throttling audit
+    ('which requests WOULD a limiter of capacity C, refill 1/P have
+    rejected'): tokens refill continuously at 1 per ``period_us`` and
+    cap at ``capacity``; each admitted event spends one. State is kept
+    SCALED by the period (stok = tokens * P, an exact integer count of
+    microsecond-equivalents), so refill is `+= gap_us`, the cap is
+    C*P, admission costs P — no fp anywhere, bit-identical on any
+    engine or replay order. Sequential per key -> packed grouped map
+    (one shuffle); the same recurrence runs in the streaming J15 job
+    with (last_us, stok) as the two state scalars, and the two paths
+    are equivalence-pinned in tests.
+    Output: key, id, ts, admitted (int), tokens_after_p (stok)."""
+    from time_series_spark_spark.operators.packed import packed_grouped_map
+
+    in_fields = {f.name: f.dataType.simpleString() for f in df.schema.fields}
+    cap_p = capacity * period_us
+
+    def _apply(pdf: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for kv, g in pdf.groupby([key], sort=False):
+            kv = kv[0] if isinstance(kv, tuple) else kv
+            g = g.sort_values([ts_col, id_col])
+            stok = cap_p
+            last_us = None
+            for eid, ts in zip(g[id_col], g[ts_col]):
+                ts_us = int(ts.value) // 1000
+                if last_us is not None:
+                    stok = min(cap_p, stok + (ts_us - last_us))
+                last_us = ts_us
+                if stok >= period_us:
+                    stok -= period_us
+                    adm = 1
+                else:
+                    adm = 0
+                rows.append((kv, int(eid), ts, adm, stok))
+        return pd.DataFrame(
+            rows,
+            columns=[key, id_col, ts_col, "admitted", "tokens_after_p"],
+        )
+
+    return packed_grouped_map(
+        df.select(key, id_col, ts_col),
+        [key],
+        [ts_col],
+        _apply,
+        f"{key} {in_fields[key]}, {id_col} {in_fields[id_col]},"
+        f" {ts_col} {in_fields[ts_col]}, admitted int,"
+        " tokens_after_p long",
+    )

@@ -2698,3 +2698,39 @@ def orders_mv_rollup_navigation(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame(rows, out.schema)
     finally:
         shutil.rmtree(mv_path, ignore_errors=True)
+
+
+@register(
+    "events_rate_limit_audit",
+    None,  # sequential clamp recurrence -> rows-only; streaming
+    # equivalence + hand-replay pinned in tests/test_streaming.py
+    doc="F163 token-bucket rate-limit audit per user (capacity 2, one "
+    "token per 6h): which events WOULD a production limiter have "
+    "rejected — the pre-rollout throttling what-if. The clamped "
+    "refill recurrence is not window-expressible (min() clamp "
+    "between rows); state is the exact-integer scaled token count "
+    "stok = tokens * P, so admission is deterministic bit-for-bit "
+    "(operators/analytics.py::token_bucket_flags). One shuffle -> "
+    "packed grouped map; per-user summary row with admit/reject "
+    "counts and the first rejected event.",
+)
+def events_rate_limit_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from time_series_spark_spark.operators.analytics import (
+        token_bucket_flags,
+    )
+
+    flags = token_bucket_flags(
+        load(spark, sf_dir, "events"), "user_id", "ts"
+    )
+    return (
+        flags.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("admitted").cast("long").alias("n_admitted"),
+            F.sum(F.expr("1 - admitted")).cast("long").alias("n_rejected"),
+            F.min(
+                F.when(F.col("admitted") == 0, F.col("event_id"))
+            ).alias("first_rejected_id"),
+        )
+        .orderBy("user_id")
+    )

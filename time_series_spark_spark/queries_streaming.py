@@ -550,3 +550,38 @@ def stream_sprt_ab_decision(spark: SparkSession, sf_dir: str) -> DataFrame:
     log = os.path.join(base, "partials")
     incremental_sprt_partials(read_events_stream(spark, sf_dir), log)
     return read_sprt_decisions(spark, log)
+
+
+@register(
+    "stream_rate_limit_audit",
+    None,  # stateful streaming -> rows-only; cross-batch equivalence
+    # with the batch F163 audit pinned in tests/test_streaming.py
+    doc="J15 streaming token-bucket rate limiter per user (availableNow "
+    "replay): the F163 recurrence as TWO state-store scalars "
+    "(last-event µs, scaled tokens) — bounded state forever, "
+    "admission decisions exact across micro-batch boundaries "
+    "(streaming/jobs.py::stateful_token_bucket). Per-user summary "
+    "row mirroring the batch audit.",
+)
+def stream_rate_limit_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from time_series_spark_spark.streaming.jobs import (
+        run_available_now,
+        stateful_token_bucket,
+    )
+
+    sdf = read_events_stream(spark, sf_dir)
+    table = run_available_now(
+        stateful_token_bucket(sdf), output_mode="append"
+    )
+    return (
+        table.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("admitted").cast("long").alias("n_admitted"),
+            F.sum(F.expr("1 - admitted")).cast("long").alias("n_rejected"),
+            F.min(
+                F.when(F.col("admitted") == 0, F.col("event_id"))
+            ).alias("first_rejected_id"),
+        )
+        .orderBy("user_id")
+    )

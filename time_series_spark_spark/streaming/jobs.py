@@ -1042,3 +1042,64 @@ def read_sprt_decisions(spark, partials_path: str) -> DataFrame:
         F.round("llr", 6).alias("llr"),
         F.coalesce(first_dec, F.lit("continue")).alias("verdict"),
     ).orderBy("batch_id")
+
+
+def stateful_token_bucket(
+    sdf: DataFrame,
+    period_us: int = 21_600_000_000,
+    capacity: int = 2,
+) -> DataFrame:
+    """J15: streaming token-bucket rate limiter per user — the
+    operators/analytics.py::token_bucket_flags recurrence with TWO
+    state scalars (last event µs, scaled tokens stok = tokens * P):
+    refill `+= gap_us` capped at C*P, admission costs P, all exact
+    integers, so admission decisions are identical across micro-batch
+    boundaries and identical to the batch audit (equivalence pinned in
+    tests). Assumes micro-batches arrive in event-time order per key
+    (the ingestion contract every carried-timestamp job here shares —
+    J12's debounce too); a late event would refill negatively. The
+    throttling/admission-control shape: bounded state forever,
+    per-event admit/reject emitted downstream."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    output_schema = (
+        "user_id long, event_id long, ts timestamp, admitted int,"
+        " tokens_after_p long"
+    )
+    state_schema = "last_us long, stok long"
+    cap_p = capacity * period_us
+
+    def update(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
+        if state.exists:
+            last_us, stok = state.get
+        else:
+            last_us, stok = None, cap_p
+        out = []
+        for pdf in pdfs:
+            ordered = pdf.sort_values(["ts", "event_id"])
+            for eid, ts in zip(ordered["event_id"], ordered["ts"]):
+                ts_us = int(ts.value) // 1000
+                if last_us is not None:
+                    stok = min(cap_p, stok + (ts_us - last_us))
+                last_us = ts_us
+                if stok >= period_us:
+                    stok -= period_us
+                    adm = 1
+                else:
+                    adm = 0
+                out.append((key[0], int(eid), ts, adm, stok))
+        state.update((last_us, stok))
+        yield pd.DataFrame(
+            out,
+            columns=[
+                "user_id", "event_id", "ts", "admitted", "tokens_after_p",
+            ],
+        )
+
+    return sdf.groupBy("user_id").applyInPandasWithState(
+        update,
+        output_schema,
+        state_schema,
+        "append",
+        GroupStateTimeout.NoTimeout,
+    )
