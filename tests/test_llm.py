@@ -1417,3 +1417,60 @@ def test_source_overlap_matrix_matches_python_replay(spark):
         if grams[a] & grams[b]
     }
     assert seen == expect_pairs
+
+
+def test_farthest_point_sample_matches_numpy_greedy(spark):
+    """K15: the selected exemplar sequence equals a numpy greedy
+    max-min replay exactly (ids and distances) on sf0.001, and the
+    min pairwise distance within the selected set beats a
+    same-size id-prefix sample's (the whole point of the op)."""
+    import math
+
+    import numpy as np
+    import pandas as pd
+
+    from time_series_spark_spark.queries import REGISTRY
+
+    emb = pd.read_parquet("/root/testdata/sf0.001/embeddings.parquet")
+    vecs = {
+        int(r.vec_id): np.array(r.embedding, dtype=np.float64)
+        for r in emb.itertuples()
+    }
+
+    def greedy(k=8):
+        sel = [min(vecs)]
+        dists = [0.0]
+        while len(sel) < k:
+            best_id, best_d = None, -1.0
+            for vid in sorted(vecs):
+                if vid in sel:
+                    continue
+                d = min(
+                    float(((vecs[vid] - vecs[s]) ** 2).sum()) for s in sel
+                )
+                if d > best_d + 1e-12:
+                    best_id, best_d = vid, d
+            sel.append(best_id)
+            dists.append(math.sqrt(best_d))
+        return sel, dists
+
+    sel_ref, d_ref = greedy()
+    rows = sorted(
+        REGISTRY["emb_diverse_exemplars"]
+        .fn(spark, "/root/testdata/sf0.001")
+        .collect(),
+        key=lambda r: r["pick_order"],
+    )
+    assert [r["vec_id"] for r in rows] == sel_ref
+    for r, d in zip(rows, d_ref):
+        assert math.isclose(r["dist_at_pick"], round(d, 6), abs_tol=1e-6)
+
+    def min_pairwise(ids):
+        return min(
+            float(((vecs[a] - vecs[b]) ** 2).sum()) ** 0.5
+            for i, a in enumerate(ids)
+            for b in ids[i + 1:]
+        )
+
+    prefix = sorted(vecs)[:8]
+    assert min_pairwise(sel_ref) > min_pairwise(prefix)

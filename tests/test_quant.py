@@ -3494,3 +3494,47 @@ def test_haar_energy_matches_pywt_style_replay(spark):
     lv_w = haar_levels(weekly)
     tot_w = sum(e for _, _, e in lv_w.values())
     assert lv_w[3][2] / tot_w > 0.999
+
+
+def test_top_movers_matches_pandas_replay(spark):
+    """F164: the rank-20 mover set, integer cross ranking, and bp
+    shifts equal a pandas replay on sf0.001."""
+    import math
+
+    import pandas as pd
+
+    from time_series_spark_spark.queries import REGISTRY
+
+    ev = pd.read_parquet("/root/testdata/sf0.001/events.parquet")
+    d = ev["ts"].dt.floor("D")
+    d0 = d.min()
+    half = ((d.max() - d0).days + 1) // 2
+    ev["first_half"] = (d - d0).dt.days < half
+    per_u = ev.groupby("user_id")["first_half"].agg(["sum", "count"])
+    per_u["n1"] = per_u["sum"].astype(int)
+    per_u["n2"] = (per_u["count"] - per_u["sum"]).astype(int)
+    t1, t2 = per_u["n1"].sum(), per_u["n2"].sum()
+    per_u["cross"] = (per_u["n2"] * t1 - per_u["n1"] * t2).abs()
+    ranked = per_u.sort_values(
+        ["cross"], ascending=False, kind="stable"
+    )
+    ranked = ranked.sort_values(
+        ["cross", "user_id"], ascending=[False, True],
+        key=None, kind="stable",
+    ) if False else per_u.reset_index().sort_values(
+        ["cross", "user_id"], ascending=[False, True]
+    )
+    top = ranked.head(20)
+    rows = (
+        REGISTRY["users_top_movers"]
+        .fn(spark, "/root/testdata/sf0.001")
+        .collect()
+    )
+    assert [r["user_id"] for r in rows] == list(top["user_id"])
+    for r, (_, t) in zip(rows, top.iterrows()):
+        assert (r["n_first_half"], r["n_second_half"]) == (
+            t["n1"], t["n2"],
+        )
+        want = 10000.0 * (t["n2"] / t2 - t["n1"] / t1)
+        assert math.isclose(r["share_shift_bp"], round(want, 4),
+                            abs_tol=1e-9)

@@ -2791,3 +2791,62 @@ def bm25_search(
         .agg(F.round(F.sum(idf * tf_part), 4).alias("bm25"))
     )
     return scored.orderBy(F.desc("bm25"), "doc_id").limit(k)
+
+
+# ---------------------------------------------------------------------------
+# Farthest-point (max-min) diverse subset selection
+# ---------------------------------------------------------------------------
+
+def farthest_point_sample(
+    df: DataFrame,
+    k: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> "list[tuple[int, float]]":
+    """Greedy max-min (farthest-point / Gonzalez 1985) diverse subset:
+    start from the smallest id (deterministic seed), then k-1 times add
+    the point farthest from the CURRENT selected set. The classic
+    2-approximation to the k-center objective — the diverse-exemplar
+    picker a curation pipeline uses for eval-set seeding and dedup
+    anchors.
+
+    Distributed shape: the selected set is tiny (k vectors, broadcast);
+    each round is ONE distributed aggregation — min-distance-to-set per
+    point (zip_with/aggregate fold, codegen), then a max_by reduce.
+    k driver-side rounds of bounded scalars (the connected-components
+    convergence discipline), never a collect of the corpus. Returns
+    [(id, dist_to_set_at_selection)] — dist 0.0 for the seed; ties on
+    distance break to the smallest id (md5-free determinism).
+    """
+    sel: list[tuple[int, float]] = []
+    seed = df.agg(F.min(id_col)).collect()[0][0]
+    sel.append((int(seed), 0.0))
+    base = df.select(
+        F.col(id_col).alias("_id"),
+        F.expr(
+            f"transform({vec_col}, x -> CAST(x AS DOUBLE))"
+        ).alias("_v"),
+    )
+    for _ in range(k - 1):
+        sel_rows = [r[0] for r in sel]
+        sel_df = base.filter(F.col("_id").isin(sel_rows)).collect()
+        # literal arrays of the selected vectors (k of them, tiny)
+        dists = []
+        for r in sel_rows:
+            vec = next(x["_v"] for x in sel_df if x["_id"] == r)
+            arr = ", ".join(f"{x!r}D" for x in vec)
+            dists.append(
+                "aggregate(zip_with(_v, array(" + arr + "),"
+                " (x, w) -> (x - w) * (x - w)), 0D, (acc, t) -> acc + t)"
+            )
+        min_d = "least(" + ", ".join(dists) + ")" if len(dists) > 1 \
+            else dists[0]
+        cand = (
+            base.filter(~F.col("_id").isin(sel_rows))
+            .select("_id", F.expr(min_d).alias("_d2"))
+            .orderBy(F.col("_d2").desc(), F.col("_id"))
+            .limit(1)
+            .collect()[0]
+        )
+        sel.append((int(cand["_id"]), float(cand["_d2"]) ** 0.5))
+    return sel

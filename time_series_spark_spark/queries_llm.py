@@ -2993,7 +2993,9 @@ def docs_vocab_unseen_estimate(
         FROM (SELECT source, string_split(text, ' ') AS t FROM documents)
     ),
     x AS (
-        SELECT DISTINCT source, unnest(sh) AS g FROM s
+        SELECT DISTINCT source,
+               ('0x' || substring(md5(g), 1, 15))::BIGINT AS g
+        FROM (SELECT source, unnest(sh) AS g FROM s)
     ),
     sizes AS (
         SELECT source, CAST(count(*) AS BIGINT) AS n FROM x
@@ -3019,31 +3021,61 @@ def docs_vocab_unseen_estimate(
     "K2's doc-level near-dups and the K5d train/test contamination "
     "check (a hot pair means one source scraped another; dedup "
     "within sources won't catch it). Inverted-index equi-join on the "
-    "shingle (per-gram source lists are bounded by #sources, so pair "
-    "mass is #grams x sources^2 worst case, never corpus^2); "
-    "distinct (source, gram) projection first so multiplicity "
-    "doesn't inflate the overlap. One row per source pair.",
+    "shingle's 60-BIT md5 HASH (joining/shuffling 5-word strings "
+    "measured 9x slower at 10x stress; both engines hash identically "
+    "so counts are unchanged — collision odds ~grams^2/2^60, "
+    "negligible and engine-symmetric); per-gram source lists are "
+    "bounded by #sources, so pair mass is #grams x sources^2 worst "
+    "case, never corpus^2; distinct (source, hash) projection first "
+    "so multiplicity doesn't inflate the overlap. One row per pair.",
 )
 def docs_source_overlap_matrix(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
     from time_series_spark_spark.operators.llm import shingles_expr
 
-    s = load(spark, sf_dir, "documents").select(
-        "source",
-        F.expr(shingles_expr("split(text, ' ')", k=5)).alias("sh"),
+    # Lineage barrier: Catalyst's projection collapse re-inlines the
+    # split() into every t[i+j] access inside the shingle lambda (5
+    # re-splits per position — the docs_bpe_encode_stats pathology);
+    # localCheckpoint pins the materialized token arrays.
+    toks = (
+        load(spark, sf_dir, "documents")
+        .select("source", F.split("text", " ").alias("t"))
+        .localCheckpoint(eager=False)
     )
-    x = s.select("source", F.explode("sh").alias("g")).distinct()
-    sizes = x.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
-    a = x.select(F.col("source").alias("source_a"), "g")
-    b = x.select(F.col("source").alias("source_b"), F.col("g").alias("gb"))
-    p = (
-        a.join(
-            b,
-            (F.col("g") == F.col("gb"))
-            & (F.col("source_a") < F.col("source_b")),
+    s = toks.select("source", F.expr(shingles_expr("t", k=5)).alias("sh"))
+    x = (
+        s.select("source", F.explode("sh").alias("g"))
+        .select(
+            "source",
+            F.expr(
+                "CAST(conv(substring(md5(g), 1, 15), 16, 10) AS BIGINT)"
+            ).alias("g"),
         )
-        .groupBy("source_a", "source_b")
+        .distinct()
+    )
+    sizes = x.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    # ONE shuffle to per-gram source SETS (bounded by #sources), then
+    # pair expansion happens map-side and combines to k^2 rows before
+    # the final tiny shuffle — the naive gram self-join moved the full
+    # grams x sources^2 pair mass through an exchange (measured 9x at
+    # 10x stress; this shape only shuffles the gram frame once).
+    p = (
+        x.groupBy("g")
+        .agg(F.sort_array(F.collect_set("source")).alias("srcs"))
+        .select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(srcs, (a, i) ->"
+                    " transform(slice(srcs, i + 2, size(srcs)),"
+                    " b -> struct(a AS sa, b AS sb))))"
+                )
+            ).alias("pr")
+        )
+        .groupBy(
+            F.col("pr.sa").alias("source_a"),
+            F.col("pr.sb").alias("source_b"),
+        )
         .agg(F.count(F.lit(1)).alias("shared"))
     )
     return (
@@ -3073,4 +3105,29 @@ def docs_source_overlap_matrix(
             ).alias("jaccard"),
         )
         .orderBy("source_a", "source_b")
+    )
+
+
+@register(
+    "emb_diverse_exemplars",
+    None,  # k driver-side greedy rounds -> rows-only; exact equivalence
+    # with a numpy max-min replay pinned in tests/test_llm.py
+    doc="K15 farthest-point (max-min) diverse exemplar selection, k=8 "
+    "(Gonzalez 1985, the 2-approximation to k-center): seeds at the "
+    "smallest vec_id, then repeatedly adds the vector farthest from "
+    "the selected set — the diversity-first subset picker (eval-set "
+    "seeding, annotation sampling) that random/stratified sampling "
+    "is not (those follow density; this covers the SPACE). Each of "
+    "the k rounds is one distributed min-dist fold + max_by reduce "
+    "over broadcast literal anchors (never an all-pairs matrix or a "
+    "corpus collect) — operators/llm.py::farthest_point_sample. One "
+    "row per exemplar with its selection distance.",
+)
+def emb_diverse_exemplars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from time_series_spark_spark.operators.llm import farthest_point_sample
+
+    sel = farthest_point_sample(load(spark, sf_dir, "embeddings"), k=8)
+    return spark.createDataFrame(
+        [(i, vid, round(d, 6)) for i, (vid, d) in enumerate(sel)],
+        "pick_order int, vec_id long, dist_at_pick double",
     )

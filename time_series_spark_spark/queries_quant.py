@@ -9024,3 +9024,111 @@ def events_haar_energy_daily(
         F.round("energy", 4).alias("energy"),
         F.expr("round(energy / total_e, 6)").alias("energy_frac"),
     ).orderBy("level")
+
+
+# ---------------------------------------------------------------------------
+# F164 top-mover users (largest activity-share shifts between halves)
+# ---------------------------------------------------------------------------
+@register(
+    "users_top_movers",
+    """
+    WITH split AS (
+        SELECT CAST(date_trunc('day', min(ts)) AS TIMESTAMP) AS d0,
+               CAST(floor((datediff('day',
+                        CAST(date_trunc('day', min(ts)) AS TIMESTAMP),
+                        CAST(date_trunc('day', max(ts)) AS TIMESTAMP))
+                    + 1) / 2.0) AS BIGINT) AS half
+        FROM events
+    ),
+    u AS (
+        SELECT user_id,
+               CAST(sum(CASE WHEN datediff('day', d0,
+                        CAST(date_trunc('day', ts) AS TIMESTAMP)) < half
+                        THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+               CAST(sum(CASE WHEN datediff('day', d0,
+                        CAST(date_trunc('day', ts) AS TIMESTAMP)) < half
+                        THEN 0 ELSE 1 END) AS BIGINT) AS n2
+        FROM events CROSS JOIN split GROUP BY user_id
+    ),
+    tot AS (
+        SELECT CAST(sum(n1) AS BIGINT) AS t1, CAST(sum(n2) AS BIGINT) AS t2
+        FROM u
+    ),
+    delta AS (
+        SELECT user_id, n1, n2,
+               CAST(abs(n2 * t1 - n1 * t2) AS BIGINT) AS d_num,
+               t1, t2,
+               row_number() OVER (ORDER BY abs(n2 * t1 - n1 * t2) DESC,
+                                  user_id) AS rk
+        FROM u CROSS JOIN tot
+    )
+    SELECT CAST(rk AS BIGINT) AS rank, user_id, n1 AS n_first_half,
+           n2 AS n_second_half,
+           round(10000.0 * (CAST(n2 AS DOUBLE) / t2
+                            - CAST(n1 AS DOUBLE) / t1), 4)
+               AS share_shift_bp
+    FROM delta WHERE rk <= 20 ORDER BY rank
+    """,
+    doc="F164 top-mover users: the 20 users whose SHARE of total "
+    "activity shifted most between the first and second calendar "
+    "halves — the entity-level drill-down behind every aggregate "
+    "drift alarm (F90 says THAT the distribution moved; this says "
+    "WHO moved it). Shift ranking uses the EXACT INTEGER cross "
+    "|n2*t1 - n1*t2| (share comparison without fp — the F124 "
+    "device), ties to user_id; the reported shift is one fp "
+    "expression in basis points. One user reduce + one rank window "
+    "over the user aggregate (top-k would swap to a broadcast "
+    "heap at dimension scale — RFM posture). 20 rows.",
+)
+def users_top_movers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    split = ev.agg(
+        F.date_trunc("day", F.min("ts")).alias("d0"),
+        F.expr(
+            "CAST(floor((datediff(date_trunc('day', max(ts)),"
+            " date_trunc('day', min(ts))) + 1) / 2.0) AS BIGINT)"
+        ).alias("half"),
+    )
+    u = (
+        ev.crossJoin(F.broadcast(split))
+        .groupBy("user_id")
+        .agg(
+            F.sum(
+                F.expr(
+                    "CASE WHEN datediff(date_trunc('day', ts), d0) < half"
+                    " THEN 1 ELSE 0 END"
+                )
+            ).alias("n1"),
+            F.sum(
+                F.expr(
+                    "CASE WHEN datediff(date_trunc('day', ts), d0) < half"
+                    " THEN 0 ELSE 1 END"
+                )
+            ).alias("n2"),
+        )
+    )
+    tot = u.agg(F.sum("n1").alias("t1"), F.sum("n2").alias("t2"))
+    delta = u.crossJoin(F.broadcast(tot)).select(
+        "user_id", "n1", "n2", "t1", "t2",
+        F.row_number()
+        .over(
+            Window.orderBy(
+                F.expr("abs(n2 * t1 - n1 * t2)").desc(), "user_id"
+            )
+        )
+        .alias("rk"),
+    )
+    return (
+        delta.filter(F.col("rk") <= 20)
+        .select(
+            F.col("rk").cast("long").alias("rank"),
+            "user_id",
+            F.col("n1").alias("n_first_half"),
+            F.col("n2").alias("n_second_half"),
+            F.expr(
+                "round(10000.0 * (CAST(n2 AS DOUBLE) / t2"
+                " - CAST(n1 AS DOUBLE) / t1), 4)"
+            ).alias("share_shift_bp"),
+        )
+        .orderBy("rank")
+    )
