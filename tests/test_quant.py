@@ -3538,3 +3538,101 @@ def test_top_movers_matches_pandas_replay(spark):
         want = 10000.0 * (t["n2"] / t2 - t["n1"] / t1)
         assert math.isclose(r["share_shift_bp"], round(want, 4),
                             abs_tol=1e-9)
+
+
+def test_hac_and_price_indices_replays(spark):
+    """F165/B13: HAC slope/SE/t equal a numpy Newey-West replay on
+    sf0.001 (and the HAC SE exceeds the naive OLS SE when residuals
+    are positively autocorrelated, planted); the index formulas
+    satisfy Laspeyres >= Fisher >= Paasche on a planted substitution
+    scenario and all equal 100 in the base year."""
+    import math
+
+    import numpy as np
+    import pandas as pd
+
+    from time_series_spark_spark.queries import REGISTRY
+
+    def hac(y):
+        y = np.asarray(y, float)
+        n = len(y)
+        t = np.arange(n, dtype=float)
+        sxx = ((t - t.mean()) ** 2).sum() / n
+        beta = ((t - t.mean()) * (y - y.mean())).sum() / (
+            ((t - t.mean()) ** 2).sum()
+        )
+        alpha = y.mean() - beta * t.mean()
+        u = (t - t.mean()) * (y - alpha - beta * t)
+        ll = int(math.floor(4.0 * math.sqrt(math.sqrt(n / 100.0))))
+        s = float((u * u).sum())
+        for j in range(1, ll + 1):
+            s += 2.0 * (1 - j / (ll + 1)) * float((u[j:] * u[:-j]).sum())
+        sxx_tot = float(((t - t.mean()) ** 2).sum())
+        se = math.sqrt(s) / sxx_tot
+        return ll, beta, se, beta / se
+
+    ev = pd.read_parquet("/root/testdata/sf0.001/events.parquet")
+    ev["cents"] = (ev["value"] * 100).round().astype("int64")
+    daily = list(
+        ev.groupby(ev["ts"].dt.floor("D"))["cents"].sum().sort_index()
+    )
+    ll, beta, se, tst = hac(daily)
+    row = (
+        REGISTRY["events_trend_hac_inference"]
+        .fn(spark, "/root/testdata/sf0.001")
+        .collect()[0]
+    )
+    assert (row["n_days"], row["hac_lags"]) == (len(daily), ll)
+    assert math.isclose(row["slope_cents_per_day"], round(beta, 6),
+                        abs_tol=1e-5)
+    assert math.isclose(row["hac_se"], round(se, 6), rel_tol=1e-6)
+    assert math.isclose(row["t_hac"], round(tst, 6), rel_tol=1e-5)
+
+    rng = np.random.default_rng(61)
+    ar = [0.0]
+    for _ in range(499):
+        ar.append(0.8 * ar[-1] + rng.normal())
+    _, b2, se_hac, _ = hac(ar)
+    # naive OLS SE for comparison
+    y = np.asarray(ar)
+    n = len(y)
+    t = np.arange(n, dtype=float)
+    e = y - (y.mean() - b2 * t.mean()) - b2 * t
+    se_naive = math.sqrt(
+        (e @ e) / (n - 2) / ((t - t.mean()) ** 2).sum()
+    )
+    assert se_hac > 1.5 * se_naive  # autocorrelation inflates the SE
+
+    rows = (
+        REGISTRY["lineitem_price_indices_yearly"]
+        .fn(spark, "/root/testdata/sf0.001")
+        .collect()
+    )
+    base = rows[0]
+    assert base["laspeyres"] == base["paasche"] == base["fisher"] == 100.0
+    for r in rows:
+        assert math.isclose(
+            r["fisher"],
+            round(
+                100.0
+                * math.sqrt(
+                    (r["laspeyres"] / 100.0) * (r["paasche"] / 100.0)
+                ),
+                4,
+            ),
+            abs_tol=2e-4,
+        )
+
+    # planted substitution: price of A doubles, buyers shift to B
+    p0 = {"A": 1.0, "B": 1.0}
+    q0 = {"A": 10, "B": 10}
+    p1 = {"A": 2.0, "B": 1.0}
+    q1 = {"A": 2, "B": 18}
+    lasp = sum(p1[k] * q0[k] for k in p0) / sum(
+        p0[k] * q0[k] for k in p0
+    )
+    paas = sum(p1[k] * q1[k] for k in p0) / sum(
+        p0[k] * q1[k] for k in p0
+    )
+    fish = math.sqrt(lasp * paas)
+    assert lasp > fish > paas

@@ -9132,3 +9132,187 @@ def users_top_movers(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# F165 trend slope with Newey-West (HAC) standard error
+# ---------------------------------------------------------------------------
+@register(
+    "events_trend_hac_inference",
+    f"""
+    WITH daily AS (
+        SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS d,
+               CAST(sum({_CENTS}) AS BIGINT) AS y
+        FROM events GROUP BY 1
+    ),
+    idx AS (
+        SELECT d, y,
+               CAST(row_number() OVER (ORDER BY d) - 1 AS BIGINT) AS t
+        FROM daily
+    ),
+    s AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(t) AS BIGINT) AS st,
+               CAST(sum(t * t) AS BIGINT) AS st2,
+               CAST(sum(y) AS BIGINT) AS sy,
+               CAST(sum(t * y) AS BIGINT) AS sty
+        FROM idx
+    ),
+    e AS (
+        SELECT d, t, n,
+               CAST(floor(4.0 * sqrt(sqrt(n / 100.0))) AS BIGINT) AS l,
+               (CAST(t AS DOUBLE) - CAST(st AS DOUBLE) / n)
+                   * (CAST(y AS DOUBLE)
+                      - (CAST(sy AS DOUBLE)
+                         - (CAST(n * sty - st * sy AS DOUBLE)
+                            / (n * st2 - st * st)) * st) / n
+                      - (CAST(n * sty - st * sy AS DOUBLE)
+                         / (n * st2 - st * st)) * t) AS u,
+               CAST(n * st2 - st * st AS DOUBLE) / n AS sxx,
+               (CAST(n * sty - st * sy AS DOUBLE) / (n * st2 - st * st))
+                   AS beta,
+               row_number() OVER (ORDER BY d) AS i
+        FROM idx CROSS JOIN s
+    ),
+    g0 AS (
+        SELECT n, l, sxx, beta,
+               sum(u * u) OVER (ORDER BY i
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS s0,
+               row_number() OVER (ORDER BY i) AS rn
+        FROM e
+    ),
+    g0f AS (SELECT n, l, sxx, beta, s0 FROM g0 WHERE rn = n),
+    ks AS (SELECT CAST(range AS BIGINT) AS j FROM range(1, 32)),
+    lagp AS (
+        SELECT a.n, b.j,
+               sum(a.u * c.u) OVER (PARTITION BY b.j ORDER BY a.i
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS sj,
+               row_number() OVER (PARTITION BY b.j ORDER BY a.i) AS rn,
+               count(*) OVER (PARTITION BY b.j) AS cnt
+        FROM e a JOIN ks b ON b.j <= a.l JOIN e c ON c.i = a.i - b.j
+    ),
+    tail AS (
+        SELECT g0f.n, g0f.l, g0f.sxx, g0f.beta, g0f.s0,
+               coalesce(sum(2.0 * (1.0 - CAST(lagp.j AS DOUBLE)
+                                   / (g0f.l + 1)) * lagp.sj), 0.0) AS stail
+        FROM g0f LEFT JOIN lagp ON lagp.rn = lagp.cnt
+        GROUP BY g0f.n, g0f.l, g0f.sxx, g0f.beta, g0f.s0
+    )
+    SELECT n AS n_days, l AS hac_lags,
+           round(beta, 6) AS slope_cents_per_day,
+           round(sqrt(s0 + stail) / sxx, 6) AS hac_se,
+           round(beta * sxx / sqrt(s0 + stail), 6) AS t_hac
+    FROM tail
+    """,
+    doc="F165 OLS trend slope on daily value-cents with Newey-West "
+    "(HAC, Bartlett kernel) standard errors — trend INFERENCE that "
+    "stays honest under the serial correlation F121/F102 detect "
+    "(naive OLS SEs are anti-conservative exactly when DW < 2): "
+    "slope from exact integer sums (F121 device), residual score "
+    "u_t = (t - tbar)*e_t, long-run variance (u_0 autocovariance + "
+    "Bartlett tail to l = floor(4(n/100)^(1/4)), the F134 lag-fanout "
+    "machinery), SE = sqrt(LRV/(n*Sxx^2/n^2))... assembled as "
+    "sqrt((s0+tail)/(n*sxx^2)) with sxx = Sxx/n. Every fp sum "
+    "frame-ordered. Single summary row.",
+)
+def events_trend_hac_inference(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    daily = (
+        _events(spark, sf_dir)
+        .groupBy(F.date_trunc("day", F.col("ts")).alias("d"))
+        .agg(F.sum(F.expr(_CENTS)).alias("y"))
+    )
+    idx = daily.select(
+        "d", "y",
+        (F.row_number().over(Window.orderBy("d")) - 1)
+        .cast("long")
+        .alias("t"),
+    )
+    s = idx.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("t").alias("st"),
+        F.sum(F.col("t") * F.col("t")).alias("st2"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("t") * F.col("y")).alias("sty"),
+    )
+    e = idx.crossJoin(F.broadcast(s)).select(
+        "d",
+        F.col("t"),
+        "n",
+        F.expr(
+            "CAST(floor(4.0 * sqrt(sqrt(n / 100.0))) AS BIGINT)"
+        ).alias("l"),
+        F.expr(
+            "(CAST(t AS DOUBLE) - CAST(st AS DOUBLE) / n)"
+            " * (CAST(y AS DOUBLE)"
+            " - (CAST(sy AS DOUBLE)"
+            " - (CAST(n * sty - st * sy AS DOUBLE)"
+            " / (n * st2 - st * st)) * st) / n"
+            " - (CAST(n * sty - st * sy AS DOUBLE)"
+            " / (n * st2 - st * st)) * t)"
+        ).alias("u"),
+        F.expr("CAST(n * st2 - st * st AS DOUBLE) / n").alias("sxx"),
+        F.expr(
+            "(CAST(n * sty - st * sy AS DOUBLE) / (n * st2 - st * st))"
+        ).alias("beta"),
+        F.row_number().over(Window.orderBy("d")).alias("i"),
+    )
+    w_i = Window.orderBy("i").rowsBetween(Window.unboundedPreceding, 0)
+    g0 = e.select(
+        "n", "l", "sxx", "beta",
+        F.sum(F.col("u") * F.col("u")).over(w_i).alias("s0"),
+        F.row_number().over(Window.orderBy("i")).alias("rn"),
+    )
+    g0f = g0.filter(F.col("rn") == F.col("n")).select(
+        "n", "l", "sxx", "beta", "s0"
+    )
+    ks = daily.sparkSession.range(1, 32).select(F.col("id").alias("j"))
+    a = e.select("n", "l", "i", F.col("u").alias("ua"))
+    c = e.select(F.col("i").alias("ic"), F.col("u").alias("uc"))
+    w_j = Window.partitionBy("j").orderBy("i").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    lagp = (
+        a.crossJoin(F.broadcast(ks))
+        .filter(F.col("j") <= F.col("l"))
+        .join(c, F.col("ic") == F.col("i") - F.col("j"))
+        .select(
+            "j", "i",
+            F.sum(F.col("ua") * F.col("uc")).over(w_j).alias("sj"),
+            F.row_number().over(
+                Window.partitionBy("j").orderBy("i")
+            ).alias("rn"),
+            F.count(F.lit(1))
+            .over(
+                Window.partitionBy("j").rowsBetween(
+                    Window.unboundedPreceding, Window.unboundedFollowing
+                )
+            )
+            .alias("cnt"),
+        )
+    )
+    lasts = lagp.filter(F.col("rn") == F.col("cnt")).select("j", "sj")
+    tail = g0f.crossJoin(F.broadcast(lasts)).groupBy(
+        "n", "l", "sxx", "beta", "s0"
+    ).agg(
+        F.coalesce(
+            F.sum(
+                F.expr(
+                    "CASE WHEN j <= l THEN"
+                    " 2.0 * (1.0 - CAST(j AS DOUBLE) / (l + 1)) * sj"
+                    " ELSE 0.0 END"
+                )
+            ),
+            F.lit(0.0),
+        ).alias("stail")
+    )
+    return tail.select(
+        F.col("n").alias("n_days"),
+        F.col("l").alias("hac_lags"),
+        F.round("beta", 6).alias("slope_cents_per_day"),
+        F.expr("round(sqrt(s0 + stail) / sxx, 6)").alias("hac_se"),
+        F.expr("round(beta * sxx / sqrt(s0 + stail), 6)").alias("t_hac"),
+    )

@@ -2252,3 +2252,115 @@ def orders_fiscal_445_rollup(
         )
         .orderBy("fiscal_year", "fiscal_quarter", "fiscal_period")
     )
+
+
+# ---------------------------------------------------------------------------
+# B13 Laspeyres / Paasche / Fisher price indices by year
+# ---------------------------------------------------------------------------
+@register(
+    "lineitem_price_indices_yearly",
+    """
+    WITH li AS (
+        SELECT l.l_partkey AS pk,
+               CAST(EXTRACT(year FROM o.o_orderdate) AS BIGINT) AS y,
+               CAST(sum(CAST(round(l.l_extendedprice * 100, 0) AS BIGINT))
+                    AS BIGINT) AS rev,
+               CAST(sum(CAST(round(l.l_quantity, 0) AS BIGINT))
+                    AS BIGINT) AS qty
+        FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+        GROUP BY 1, 2
+    ),
+    base AS (
+        SELECT pk, rev AS rev0, qty AS qty0 FROM li
+        WHERE y = (SELECT min(y) FROM li)
+    ),
+    matched AS (
+        SELECT li.y, li.pk, li.rev, li.qty, b.rev0, b.qty0
+        FROM li JOIN base b ON b.pk = li.pk
+        WHERE li.qty > 0 AND b.qty0 > 0
+    ),
+    agg AS (
+        SELECT y,
+               CAST(count(*) AS BIGINT) AS n_parts,
+               sum((CAST(rev AS DOUBLE) / qty) * qty0) AS p1q0,
+               sum((CAST(rev0 AS DOUBLE) / qty0) * qty0) AS p0q0,
+               sum((CAST(rev AS DOUBLE) / qty) * qty) AS p1q1,
+               sum((CAST(rev0 AS DOUBLE) / qty0) * qty) AS p0q1
+        FROM matched GROUP BY y
+    )
+    SELECT y AS year, n_parts,
+           round(100.0 * p1q0 / p0q0, 4) AS laspeyres,
+           round(100.0 * p1q1 / p0q1, 4) AS paasche,
+           round(100.0 * sqrt((p1q0 / p0q0) * (p1q1 / p0q1)), 4)
+               AS fisher
+    FROM agg ORDER BY year
+    """,
+    doc="B13 index-number theory on part prices by year (base = first "
+    "year): Laspeyres (base-quantity weights — overstates inflation "
+    "under substitution), Paasche (current weights — understates), "
+    "and Fisher's ideal geometric mean, over the parts present in "
+    "both the base and comparison year (matched-model). Unit prices "
+    "are exact-cents revenue / integer quantity per (part, year); "
+    "the four cross-sums are double but each term is a ratio of "
+    "exact integers times an exact integer — and the sums aggregate "
+    "UNORDERED, so the result is rounded at 4dp where association "
+    "drift cannot reach (term magnitudes ~1e6, 53-bit mantissa "
+    "headroom ~1e9 terms — the F119 small-reduce argument at the "
+    "parts-per-year scale; at 1e9+ matched parts switch to the "
+    "ordered-cumulative device). One join + two reduces; one row "
+    "per year.",
+)
+def lineitem_price_indices_yearly(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    li = (
+        load(spark, sf_dir, "lineitem")
+        .join(
+            load(spark, sf_dir, "orders").select(
+                "o_orderkey", F.year("o_orderdate").cast("long").alias("y")
+            ),
+            F.col("o_orderkey") == F.col("l_orderkey"),
+        )
+        .groupBy(F.col("l_partkey").alias("pk"), "y")
+        .agg(
+            F.sum(
+                F.expr("CAST(round(l_extendedprice * 100, 0) AS BIGINT)")
+            ).alias("rev"),
+            F.sum(
+                F.expr("CAST(round(l_quantity, 0) AS BIGINT)")
+            ).alias("qty"),
+        )
+    )
+    y0 = li.agg(F.min("y").alias("y0"))
+    base = (
+        li.crossJoin(F.broadcast(y0))
+        .filter(F.col("y") == F.col("y0"))
+        .select(
+            F.col("pk").alias("bpk"),
+            F.col("rev").alias("rev0"),
+            F.col("qty").alias("qty0"),
+        )
+    )
+    matched = li.join(base, li.pk == base.bpk).filter(
+        (F.col("qty") > 0) & (F.col("qty0") > 0)
+    )
+    agg = matched.groupBy("y").agg(
+        F.count(F.lit(1)).alias("n_parts"),
+        F.sum(F.expr("(CAST(rev AS DOUBLE) / qty) * qty0")).alias("p1q0"),
+        F.sum(F.expr("(CAST(rev0 AS DOUBLE) / qty0) * qty0")).alias(
+            "p0q0"
+        ),
+        F.sum(F.expr("(CAST(rev AS DOUBLE) / qty) * qty")).alias("p1q1"),
+        F.sum(F.expr("(CAST(rev0 AS DOUBLE) / qty0) * qty")).alias(
+            "p0q1"
+        ),
+    )
+    return agg.select(
+        F.col("y").alias("year"),
+        "n_parts",
+        F.expr("round(100.0 * p1q0 / p0q0, 4)").alias("laspeyres"),
+        F.expr("round(100.0 * p1q1 / p0q1, 4)").alias("paasche"),
+        F.expr(
+            "round(100.0 * sqrt((p1q0 / p0q0) * (p1q1 / p0q1)), 4)"
+        ).alias("fisher"),
+    ).orderBy("year")
