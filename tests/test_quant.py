@@ -3636,3 +3636,63 @@ def test_hac_and_price_indices_replays(spark):
     )
     fish = math.sqrt(lasp * paas)
     assert lasp > fish > paas
+
+
+def test_qq_and_hampel_replays(spark):
+    """F166/F167: QQ picks equal nearest-rank numpy replays per half;
+    Hampel flags equal a rolling median/MAD replay, and a planted
+    spike inside a flat series is flagged while the flat days are
+    not."""
+    import math
+
+    import numpy as np
+    import pandas as pd
+
+    from time_series_spark_spark.queries import REGISTRY
+
+    ev = pd.read_parquet("/root/testdata/sf0.001/events.parquet")
+    ev["cents"] = (ev["value"] * 100).round().astype("int64")
+    d = ev["ts"].dt.floor("D")
+    d0 = d.min()
+    half = ((d.max() - d0).days + 1) // 2
+    first = sorted(ev.loc[(d - d0).dt.days < half, "cents"])
+    second = sorted(ev.loc[(d - d0).dt.days >= half, "cents"])
+
+    rows = (
+        REGISTRY["events_qq_halves"]
+        .fn(spark, "/root/testdata/sf0.001")
+        .collect()
+    )
+    assert [r["vigintile"] for r in rows] == list(range(1, 20))
+    for r in rows:
+        q = r["vigintile"]
+        pf = first[max(math.ceil(q * len(first) / 20.0), 1) - 1]
+        ps = second[max(math.ceil(q * len(second) / 20.0), 1) - 1]
+        assert (r["q_first_cents"], r["q_second_cents"]) == (pf, ps)
+        assert r["shift_cents"] == ps - pf
+
+    def hampel(y):
+        flags = []
+        for i in range(len(y)):
+            w = sorted(y[max(0, i - 3): i + 4])
+            med = w[(len(w) + 1) // 2 - 1]
+            madw = sorted(abs(x - med) for x in w)
+            mad = madw[(len(w) + 1) // 2 - 1]
+            flags.append(int(abs(y[i] - med) > 4.4478 * mad))
+        return flags
+
+    daily = list(
+        ev.groupby(d)["cents"].sum().sort_index()
+    )
+    flags_ref = hampel(daily)
+    rows2 = sorted(
+        REGISTRY["events_hampel_outliers"]
+        .fn(spark, "/root/testdata/sf0.001")
+        .collect(),
+        key=lambda r: r["d"],
+    )
+    assert [r["is_outlier"] for r in rows2] == flags_ref
+
+    planted = [1000] * 10 + [9000] + [1000] * 10
+    f = hampel(planted)
+    assert f[10] == 1 and sum(f) == 1

@@ -9316,3 +9316,197 @@ def events_trend_hac_inference(
         F.expr("round(sqrt(s0 + stail) / sxx, 6)").alias("hac_se"),
         F.expr("round(beta * sxx / sqrt(s0 + stail), 6)").alias("t_hac"),
     )
+
+
+# ---------------------------------------------------------------------------
+# F166 QQ pairs between calendar halves (plot-ready drift diagnostics)
+# ---------------------------------------------------------------------------
+@register(
+    "events_qq_halves",
+    f"""
+    WITH split AS (
+        SELECT CAST(date_trunc('day', min(ts)) AS TIMESTAMP) AS d0,
+               CAST(floor((datediff('day',
+                        CAST(date_trunc('day', min(ts)) AS TIMESTAMP),
+                        CAST(date_trunc('day', max(ts)) AS TIMESTAMP))
+                    + 1) / 2.0) AS BIGINT) AS half
+        FROM events
+    ),
+    x AS (
+        SELECT {_CENTS} AS v, event_id,
+               CASE WHEN datediff('day', d0,
+                        CAST(date_trunc('day', ts) AS TIMESTAMP)) < half
+                    THEN 0 ELSE 1 END AS grp
+        FROM events CROSS JOIN split
+    ),
+    r AS (
+        SELECT grp, v,
+               row_number() OVER (PARTITION BY grp ORDER BY v, event_id)
+                   AS rk,
+               CAST(count(*) OVER (PARTITION BY grp) AS BIGINT) AS n
+        FROM x
+    ),
+    qs AS (SELECT CAST(range AS BIGINT) AS q FROM range(1, 20)),
+    picks AS (
+        SELECT r.grp, qs.q, r.v
+        FROM r JOIN qs
+          ON r.rk = greatest(CAST(ceil(qs.q * r.n / 20.0) AS BIGINT), 1)
+    )
+    SELECT a.q AS vigintile,
+           round(CAST(a.q AS DOUBLE) * 5.0, 1) AS pct,
+           max(CASE WHEN a.grp = 0 THEN a.v END) AS q_first_cents,
+           max(CASE WHEN a.grp = 1 THEN a.v END) AS q_second_cents,
+           CAST(max(CASE WHEN a.grp = 1 THEN a.v END)
+                - max(CASE WHEN a.grp = 0 THEN a.v END) AS BIGINT)
+               AS shift_cents
+    FROM picks a GROUP BY a.q ORDER BY vigintile
+    """,
+    doc="F166 QQ pairs between the first and second calendar halves at "
+    "every vigintile (5%..95%) — the PLOT-READY drift diagnostic "
+    "behind F90 KS / F117 CvM (the scalar tests say THAT the "
+    "distribution moved; the QQ table says WHERE — tail-only vs "
+    "uniform shift — which decides the remediation). Quantiles are "
+    "NEAREST-RANK exact picks (ceil(q*n/20), the §5.1 integer-"
+    "quantile rule) on exact cents, per-half rank windows, shift in "
+    "exact integer cents. 19 rows.",
+)
+def events_qq_halves(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    split = ev.agg(
+        F.date_trunc("day", F.min("ts")).alias("d0"),
+        F.expr(
+            "CAST(floor((datediff(date_trunc('day', max(ts)),"
+            " date_trunc('day', min(ts))) + 1) / 2.0) AS BIGINT)"
+        ).alias("half"),
+    )
+    x = ev.crossJoin(F.broadcast(split)).select(
+        F.expr(_CENTS).alias("v"),
+        "event_id",
+        F.expr(
+            "CASE WHEN datediff(date_trunc('day', ts), d0) < half"
+            " THEN 0 ELSE 1 END"
+        ).alias("grp"),
+    )
+    wg = Window.partitionBy("grp")
+    r = x.select(
+        "grp", "v",
+        F.row_number().over(wg.orderBy("v", "event_id")).alias("rk"),
+        F.count(F.lit(1))
+        .over(
+            wg.rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        )
+        .alias("n"),
+    )
+    qs = ev.sparkSession.range(1, 20).select(F.col("id").alias("q"))
+    picks = r.join(
+        F.broadcast(qs),
+        F.col("rk")
+        == F.expr("greatest(CAST(ceil(q * n / 20.0) AS BIGINT), 1)"),
+    )
+    return (
+        picks.groupBy("q")
+        .agg(
+            F.max(F.when(F.col("grp") == 0, F.col("v"))).alias(
+                "q_first_cents"
+            ),
+            F.max(F.when(F.col("grp") == 1, F.col("v"))).alias(
+                "q_second_cents"
+            ),
+        )
+        .select(
+            F.col("q").alias("vigintile"),
+            F.expr("round(CAST(q AS DOUBLE) * 5.0, 1)").alias("pct"),
+            "q_first_cents",
+            "q_second_cents",
+            (F.col("q_second_cents") - F.col("q_first_cents"))
+            .cast("long")
+            .alias("shift_cents"),
+        )
+        .orderBy("vigintile")
+    )
+
+
+# ---------------------------------------------------------------------------
+# F167 Hampel filter (rolling exact median +- 4.4478 MAD outlier flags)
+# ---------------------------------------------------------------------------
+@register(
+    "events_hampel_outliers",
+    f"""
+    WITH daily AS (
+        SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS d,
+               CAST(sum({_CENTS}) AS BIGINT) AS y
+        FROM events GROUP BY 1
+    ),
+    wins AS (
+        SELECT d, y,
+               list_sort(list(y) OVER (ORDER BY d
+                    ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)) AS w
+        FROM daily
+    ),
+    med AS (
+        SELECT d, y,
+               CAST(w[CAST(floor((len(w) + 1) / 2.0) AS BIGINT)]
+                    AS BIGINT) AS med,
+               w
+        FROM wins
+    ),
+    mad AS (
+        SELECT d, y, med,
+               CAST(list_sort(list_transform(w, x -> abs(x - med)))
+                    [CAST(floor((len(w) + 1) / 2.0) AS BIGINT)]
+                    AS BIGINT) AS mad
+        FROM med
+    )
+    SELECT d, y AS y_cents, med AS med7_cents, mad AS mad7_cents,
+           CASE WHEN CAST(abs(y - med) AS DOUBLE) > 4.4478 * mad
+                THEN 1 ELSE 0 END AS is_outlier
+    FROM mad ORDER BY d
+    """,
+    doc="F167 Hampel identifier on daily value-cents totals: a day is "
+    "an outlier when it sits more than 3 robust sigmas (= 3 x 1.4826 "
+    "= 4.4478 MADs) from the CENTERED 7-day rolling median — the "
+    "despiking standard (a rolling MEAN filter drags toward the "
+    "spike it should flag; median/MAD have 50% breakdown inside the "
+    "window). The window's 7 values are collected in frame order, "
+    "sorted, and the LOWER MEDIAN is an exact integer element pick "
+    "(F124 rule; MAD the same over |y - med|) — no fp until the "
+    "single threshold comparison, shared text. One bounded centered "
+    "window over the calendar frame. One row per day with flags.",
+)
+def events_hampel_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    daily = (
+        _events(spark, sf_dir)
+        .groupBy(F.date_trunc("day", F.col("ts")).alias("d"))
+        .agg(F.sum(F.expr(_CENTS)).alias("y"))
+    )
+    w = Window.orderBy("d").rowsBetween(-3, 3)
+    wins = daily.select(
+        "d", "y",
+        F.array_sort(F.collect_list("y").over(w)).alias("w"),
+    )
+    med = wins.select(
+        "d", "y", "w",
+        F.expr(
+            "CAST(element_at(w, CAST(floor((size(w) + 1) / 2.0) AS INT))"
+            " AS BIGINT)"
+        ).alias("med"),
+    )
+    mad = med.select(
+        "d", "y", "med",
+        F.expr(
+            "CAST(element_at(array_sort(transform(w, x -> abs(x - med))),"
+            " CAST(floor((size(w) + 1) / 2.0) AS INT)) AS BIGINT)"
+        ).alias("mad"),
+    )
+    return mad.select(
+        "d",
+        F.col("y").alias("y_cents"),
+        F.col("med").alias("med7_cents"),
+        F.col("mad").alias("mad7_cents"),
+        F.expr(
+            "CASE WHEN CAST(abs(y - med) AS DOUBLE) > 4.4478 * mad"
+            " THEN 1 ELSE 0 END"
+        ).alias("is_outlier"),
+    ).orderBy("d")
