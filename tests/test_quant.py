@@ -3696,3 +3696,54 @@ def test_qq_and_hampel_replays(spark):
     planted = [1000] * 10 + [9000] + [1000] * 10
     f = hampel(planted)
     assert f[10] == 1 and sum(f) == 1
+
+
+def test_activation_and_tenure_replays(spark):
+    """F168/F169: activation quartiles equal a nearest-rank pandas
+    replay; the tenure curve equals a per-week replay and week 0
+    covers every user."""
+    import math
+
+    import pandas as pd
+
+    from time_series_spark_spark.queries import REGISTRY
+
+    ev = pd.read_parquet("/root/testdata/sf0.001/events.parquet")
+    ev = ev.sort_values(["ts", "event_id"])
+    lats = []
+    for _, g in ev.groupby("user_id"):
+        if len(g) >= 10:
+            lats.append(
+                (g["ts"].iloc[9] - g["ts"].iloc[0]).value // 1000
+            )
+    lats.sort()
+    n = len(lats)
+    row = (
+        REGISTRY["users_activation_latency"]
+        .fn(spark, "/root/testdata/sf0.001")
+        .collect()[0]
+    )
+    assert row["n_users"] == ev["user_id"].nunique()
+    assert row["n_activated"] == n
+    for p, col in ((0.25, "p25_days"), (0.5, "p50_days"),
+                   (0.75, "p75_days")):
+        want = lats[max(math.ceil(n * p), 1) - 1] / 86400e6
+        assert math.isclose(row[col], round(want, 4), abs_tol=1e-9)
+
+    first = ev.groupby("user_id")["ts"].transform("min").dt.floor("D")
+    tw = ((ev["ts"].dt.floor("D") - first).dt.days // 7).astype(int)
+    per_w = pd.DataFrame({"tw": tw, "u": ev["user_id"]}).groupby("tw").agg(
+        n_events=("u", "count"), n_users=("u", "nunique")
+    )
+    rows = (
+        REGISTRY["users_tenure_activity_curve"]
+        .fn(spark, "/root/testdata/sf0.001")
+        .collect()
+    )
+    assert [r["tenure_week"] for r in rows] == list(per_w.index)
+    for r in rows:
+        w = per_w.loc[r["tenure_week"]]
+        assert (r["n_events"], r["n_active_users"]) == (
+            w["n_events"], w["n_users"],
+        )
+    assert rows[0]["n_active_users"] == ev["user_id"].nunique()

@@ -9510,3 +9510,175 @@ def events_hampel_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             " THEN 1 ELSE 0 END"
         ).alias("is_outlier"),
     ).orderBy("d")
+
+
+# ---------------------------------------------------------------------------
+# F168 activation latency: days from first to 10th event, quartiles
+# ---------------------------------------------------------------------------
+@register(
+    "users_activation_latency",
+    """
+    WITH seq AS (
+        SELECT user_id, ts,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS k,
+               min(ts) OVER (PARTITION BY user_id) AS first_ts
+        FROM events
+    ),
+    lat AS (
+        SELECT user_id,
+               CAST(epoch_us(ts) - epoch_us(first_ts) AS BIGINT) AS us10
+        FROM seq WHERE k = 10
+    ),
+    r AS (
+        SELECT us10,
+               row_number() OVER (ORDER BY us10, user_id) AS rk,
+               CAST(count(*) OVER () AS BIGINT) AS n
+        FROM lat
+    )
+    SELECT (SELECT CAST(count(DISTINCT user_id) AS BIGINT) FROM events)
+               AS n_users,
+           (SELECT n FROM r WHERE rk = 1) AS n_activated,
+           round((SELECT us10 FROM r
+                  WHERE rk = greatest(CAST(ceil(n * 0.25) AS BIGINT), 1))
+                 / CAST(86400000000 AS DOUBLE), 4) AS p25_days,
+           round((SELECT us10 FROM r
+                  WHERE rk = greatest(CAST(ceil(n * 0.50) AS BIGINT), 1))
+                 / CAST(86400000000 AS DOUBLE), 4) AS p50_days,
+           round((SELECT us10 FROM r
+                  WHERE rk = greatest(CAST(ceil(n * 0.75) AS BIGINT), 1))
+                 / CAST(86400000000 AS DOUBLE), 4) AS p75_days
+    FROM (SELECT 1)
+    """,
+    doc="F168 activation latency: per user, the exact microsecond span "
+    "from the first to the TENTH event (the 'reached habit' "
+    "milestone), with nearest-rank quartiles across activated users "
+    "— the onboarding-speed metric product teams pair with F161's "
+    "growth accounting (how FAST users reach depth, not just whether "
+    "they return). One rank window per user (exact integer "
+    "microseconds), one global rank pick at each quartile (§5.1 "
+    "nearest-rank rule), reported in fractional days. Single "
+    "summary row.",
+)
+def users_activation_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    ev = _events(spark, sf_dir)
+    wu = W.partitionBy("user_id")
+    seq = ev.select(
+        "user_id", "ts",
+        F.row_number().over(wu.orderBy("ts", "event_id")).alias("k"),
+        F.min("ts").over(wu).alias("first_ts"),
+    )
+    lat = seq.filter(F.col("k") == 10).select(
+        "user_id",
+        F.expr(
+            "CAST(unix_micros(ts) - unix_micros(first_ts) AS BIGINT)"
+        ).alias("us10"),
+    )
+    w_all = W.partitionBy().rowsBetween(
+        W.unboundedPreceding, W.unboundedFollowing
+    )
+    r = lat.select(
+        "us10",
+        F.row_number().over(W.orderBy("us10", "user_id")).alias("rk"),
+        F.count(F.lit(1)).over(w_all).alias("n"),
+    )
+
+    def pick(p: str):
+        return (
+            r.filter(
+                F.expr(
+                    f"rk = greatest(CAST(ceil(n * {p}) AS BIGINT), 1)"
+                )
+            )
+            .select("us10")
+        )
+
+    n_users = ev.agg(
+        F.countDistinct("user_id").cast("long").alias("n_users")
+    )
+    n_act = r.agg(F.max("n").alias("n_activated"))
+    p25 = pick("0.25").select(F.col("us10").alias("u25"))
+    p50 = pick("0.50").select(F.col("us10").alias("u50"))
+    p75 = pick("0.75").select(F.col("us10").alias("u75"))
+    return (
+        n_users.crossJoin(F.broadcast(n_act))
+        .crossJoin(F.broadcast(p25))
+        .crossJoin(F.broadcast(p50))
+        .crossJoin(F.broadcast(p75))
+        .select(
+            "n_users", "n_activated",
+            F.expr("round(u25 / CAST(86400000000 AS DOUBLE), 4)").alias("p25_days"),
+            F.expr("round(u50 / CAST(86400000000 AS DOUBLE), 4)").alias("p50_days"),
+            F.expr("round(u75 / CAST(86400000000 AS DOUBLE), 4)").alias("p75_days"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# F169 engagement aging curve (events per active user by tenure week)
+# ---------------------------------------------------------------------------
+@register(
+    "users_tenure_activity_curve",
+    """
+    WITH f AS (
+        SELECT user_id, CAST(date_trunc('day', min(ts)) AS TIMESTAMP)
+                   AS first_d
+        FROM events GROUP BY user_id
+    ),
+    x AS (
+        SELECT e.user_id,
+               CAST(floor(datediff('day', f.first_d,
+                        CAST(date_trunc('day', e.ts) AS TIMESTAMP))
+                    / 7.0) AS BIGINT) AS tw
+        FROM events e JOIN f ON f.user_id = e.user_id
+    )
+    SELECT tw AS tenure_week,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_active_users,
+           round(CAST(count(*) AS DOUBLE) / count(DISTINCT user_id), 4)
+               AS events_per_active_user
+    FROM x GROUP BY tw ORDER BY tenure_week
+    """,
+    doc="F169 engagement aging curve: events per ACTIVE user at each "
+    "tenure week (weeks since the user's own first event) — the "
+    "intensity companion to retention (F21 counts who comes back; "
+    "this says how hard they use it as they age; a rising curve = "
+    "habit formation, falling = novelty decay). Tenure weeks are "
+    "exact integer floor(day-diff/7) against the per-user first day "
+    "(one user reduce + broadcast-joinable dim); counts exact, one "
+    "fp division per row. One row per tenure week.",
+)
+def users_tenure_activity_curve(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    f = ev.groupBy("user_id").agg(
+        F.date_trunc("day", F.min("ts")).alias("first_d")
+    )
+    x = ev.join(f, "user_id").select(
+        "user_id",
+        F.expr(
+            "CAST(floor(datediff(date_trunc('day', ts), first_d)"
+            " / 7.0) AS BIGINT)"
+        ).alias("tw"),
+    )
+    return (
+        x.groupBy("tw")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("user_id").cast("long").alias(
+                "n_active_users"
+            ),
+        )
+        .select(
+            F.col("tw").alias("tenure_week"),
+            "n_events",
+            "n_active_users",
+            F.expr(
+                "round(CAST(n_events AS DOUBLE) / n_active_users, 4)"
+            ).alias("events_per_active_user"),
+        )
+        .orderBy("tenure_week")
+    )
