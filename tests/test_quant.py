@@ -3747,3 +3747,68 @@ def test_activation_and_tenure_replays(spark):
             w["n_events"], w["n_users"],
         )
     assert rows[0]["n_active_users"] == ev["user_id"].nunique()
+
+
+def test_wilcoxon_signed_rank_matches_python_replay(spark):
+    """F170: W+, tie term, and both z's equal a plain-Python replay on
+    sf0.001; a planted uniform +shift gives strongly positive z's,
+    a symmetric distribution of differences small ones."""
+    import math
+
+    import pandas as pd
+
+    from time_series_spark_spark.queries import REGISTRY
+
+    def wilcoxon(diffs):
+        nz = [d for d in diffs if d != 0]
+        n_zero = len(diffs) - len(nz)
+        m = len(nz)
+        srt = sorted(nz, key=abs)
+        # doubled midranks on |d|
+        dr = {}
+        i = 0
+        while i < m:
+            j = i
+            while j < m and abs(srt[j]) == abs(srt[i]):
+                j += 1
+            for k in range(i, j):
+                pass
+            val = 2 * (i + 1) + (j - i) - 1
+            dr[abs(srt[i])] = val
+            i = j
+        w2 = sum(dr[abs(d)] for d in nz if d > 0)
+        n_pos = sum(1 for d in nz if d > 0)
+        from collections import Counter
+        t3t = sum(
+            t**3 - t for t in Counter(abs(d) for d in nz).values()
+        )
+        zw = (w2 - m * (m + 1) / 2.0) / math.sqrt(
+            m * (m + 1) * (2 * m + 1) / 6.0 - t3t / 12.0
+        )
+        zs = (n_pos - m / 2.0) / math.sqrt(m / 4.0)
+        return m, n_zero, w2, n_pos, zw, zs
+
+    ev = pd.read_parquet("/root/testdata/sf0.001/events.parquet")
+    ev["cents"] = (ev["value"] * 100).round().astype("int64")
+    daily = list(
+        ev.groupby(ev["ts"].dt.floor("D"))["cents"].sum().sort_index()
+    )
+    half = len(daily) // 2
+    diffs = [daily[k + half] - daily[k] for k in range(half)]
+    m, nz0, w2, npos, zw, zs = wilcoxon(diffs)
+    row = (
+        REGISTRY["events_wilcoxon_signed_rank"]
+        .fn(spark, "/root/testdata/sf0.001")
+        .collect()[0]
+    )
+    assert (row["n_pairs"], row["n_zero_dropped"]) == (m, nz0)
+    assert (row["w2_plus"], row["n_pos"]) == (w2, npos)
+    assert math.isclose(row["z_wilcoxon"], round(zw, 6), abs_tol=1e-6)
+    assert math.isclose(row["z_sign"], round(zs, 6), abs_tol=1e-6)
+
+    shifted = [100 + (k % 7) for k in range(40)]
+    _, _, _, _, zw2, zs2 = wilcoxon(shifted)
+    assert zw2 > 5 and zs2 > 5
+    sym = [(-1) ** k * (1 + k) for k in range(40)]
+    _, _, _, _, zw3, _ = wilcoxon(sym)
+    assert abs(zw3) < 1.0

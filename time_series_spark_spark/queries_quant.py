@@ -9682,3 +9682,153 @@ def users_tenure_activity_curve(
         )
         .orderBy("tenure_week")
     )
+
+
+# ---------------------------------------------------------------------------
+# F170 paired Wilcoxon signed-rank + sign test between calendar halves
+# ---------------------------------------------------------------------------
+@register(
+    "events_wilcoxon_signed_rank",
+    f"""
+    WITH daily AS (
+        SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS d,
+               CAST(sum({_CENTS}) AS BIGINT) AS y
+        FROM events GROUP BY 1
+    ),
+    idx AS (
+        SELECT y, CAST(row_number() OVER (ORDER BY d) - 1 AS BIGINT) AS i,
+               CAST(count(*) OVER () AS BIGINT) AS n
+        FROM daily
+    ),
+    pairs AS (
+        SELECT b.y - a.y AS diff
+        FROM idx a JOIN idx b
+          ON b.i = a.i + CAST(floor(a.n / 2.0) AS BIGINT)
+        WHERE a.i < CAST(floor(a.n / 2.0) AS BIGINT)
+    ),
+    nz AS (
+        SELECT diff, abs(diff) AS ad FROM pairs WHERE diff <> 0
+    ),
+    r AS (
+        SELECT diff,
+               CAST(2 * rank() OVER (ORDER BY ad)
+                    + count(*) OVER (PARTITION BY ad) - 1 AS BIGINT)
+                   AS dr,
+               ad
+        FROM nz
+    ),
+    ties AS (
+        SELECT CAST(sum(t * t * t - t) AS BIGINT) AS t3t
+        FROM (SELECT CAST(count(*) AS BIGINT) AS t FROM nz GROUP BY ad)
+    ),
+    agg AS (
+        SELECT CAST(count(*) AS BIGINT) AS m,
+               CAST(sum(CASE WHEN diff > 0 THEN dr ELSE 0 END)
+                    AS BIGINT) AS w2,
+               CAST(sum(CASE WHEN diff > 0 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_pos
+        FROM r
+    ),
+    drops AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_zero FROM pairs
+        WHERE diff = 0
+    )
+    SELECT m AS n_pairs, n_zero AS n_zero_dropped, w2 AS w2_plus, n_pos,
+           round((w2 - CAST(m AS DOUBLE) * (m + 1) / 2.0)
+                 / sqrt(CAST(m AS DOUBLE) * (m + 1) * (2 * m + 1) / 6.0
+                        - CAST(t3t AS DOUBLE) / 12.0), 6) AS z_wilcoxon,
+           round((n_pos - CAST(m AS DOUBLE) / 2.0)
+                 / sqrt(CAST(m AS DOUBLE) / 4.0), 6) AS z_sign
+    FROM agg CROSS JOIN ties CROSS JOIN drops
+    """,
+    doc="F170 paired Wilcoxon signed-rank AND sign tests: day k of the "
+    "first calendar half paired with day k of the second (same "
+    "position in the period, so weekday mix cancels), on the exact "
+    "integer cents difference — the PAIRED location tests the "
+    "unpaired F91 Mann-Whitney is not (pairing removes the shared "
+    "day-position variance). Zero diffs drop (reported), |d| ranks "
+    "are DOUBLED midranks so W2+ = 2W+ and the tie term sum(t^3-t) "
+    "stay exact BIGINTs; z uses Var(W2) = m(m+1)(2m+1)/6 - T/12, and "
+    "the sign test needs only the positive count. Day-frame join + "
+    "distinct-|d| rank windows. Single summary row.",
+)
+def events_wilcoxon_signed_rank(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    daily = (
+        _events(spark, sf_dir)
+        .groupBy(F.date_trunc("day", F.col("ts")).alias("d"))
+        .agg(F.sum(F.expr(_CENTS)).alias("y"))
+    )
+    w_all = Window.partitionBy().rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    idx = daily.select(
+        "y",
+        (F.row_number().over(Window.orderBy("d")) - 1)
+        .cast("long")
+        .alias("i"),
+        F.count(F.lit(1)).over(w_all).alias("n"),
+    )
+    a = idx.select(
+        F.col("y").alias("ya"), F.col("i").alias("ia"), "n"
+    )
+    b = idx.select(F.col("y").alias("yb"), F.col("i").alias("ib"))
+    pairs = a.join(
+        b,
+        F.col("ib")
+        == F.col("ia") + F.expr("CAST(floor(n / 2.0) AS BIGINT)"),
+    ).filter(
+        F.col("ia") < F.expr("CAST(floor(n / 2.0) AS BIGINT)")
+    ).select((F.col("yb") - F.col("ya")).alias("diff"))
+    nz = pairs.filter(F.col("diff") != 0).select(
+        "diff", F.abs("diff").alias("ad")
+    )
+    r = nz.select(
+        "diff",
+        (
+            2 * F.rank().over(Window.orderBy("ad"))
+            + F.count(F.lit(1)).over(Window.partitionBy("ad"))
+            - 1
+        )
+        .cast("long")
+        .alias("dr"),
+    )
+    ties = (
+        nz.groupBy("ad")
+        .agg(F.count(F.lit(1)).alias("t"))
+        .agg(
+            F.sum(
+                F.col("t") * F.col("t") * F.col("t") - F.col("t")
+            ).alias("t3t")
+        )
+    )
+    agg = r.agg(
+        F.count(F.lit(1)).alias("m"),
+        F.sum(F.when(F.col("diff") > 0, F.col("dr")).otherwise(0)).alias(
+            "w2"
+        ),
+        F.sum(F.when(F.col("diff") > 0, 1).otherwise(0)).alias("n_pos"),
+    )
+    drops = pairs.filter(F.col("diff") == 0).agg(
+        F.count(F.lit(1)).alias("n_zero")
+    )
+    return (
+        agg.crossJoin(F.broadcast(ties))
+        .crossJoin(F.broadcast(drops))
+        .select(
+            F.col("m").alias("n_pairs"),
+            F.col("n_zero").alias("n_zero_dropped"),
+            F.col("w2").alias("w2_plus"),
+            "n_pos",
+            F.expr(
+                "round((w2 - CAST(m AS DOUBLE) * (m + 1) / 2.0)"
+                " / sqrt(CAST(m AS DOUBLE) * (m + 1) * (2 * m + 1) / 6.0"
+                " - CAST(t3t AS DOUBLE) / 12.0), 6)"
+            ).alias("z_wilcoxon"),
+            F.expr(
+                "round((n_pos - CAST(m AS DOUBLE) / 2.0)"
+                " / sqrt(CAST(m AS DOUBLE) / 4.0), 6)"
+            ).alias("z_sign"),
+        )
+    )
