@@ -3812,3 +3812,43 @@ def test_wilcoxon_signed_rank_matches_python_replay(spark):
     sym = [(-1) ** k * (1 + k) for k in range(40)]
     _, _, _, _, zw3, _ = wilcoxon(sym)
     assert abs(zw3) < 1.0
+
+
+def test_stickiness_and_migration_replays(spark):
+    """F171/F172: DAU/WAU/MAU equal set replays per day; the migration
+    matrix counts tie out (cells sum to all users; quartile classes
+    near-balanced among spenders)."""
+    import pandas as pd
+
+    from time_series_spark_spark.queries import REGISTRY
+
+    ev = pd.read_parquet("/root/testdata/sf0.001/events.parquet")
+    d = ev["ts"].dt.floor("D")
+    days = pd.date_range(d.min(), d.max(), freq="D")
+    per_day = {
+        w: set(ev.loc[d == w, "user_id"]) for w in days
+    }
+    rows = {
+        r["d"]: r
+        for r in REGISTRY["users_stickiness_panel"]
+        .fn(spark, "/root/testdata/sf0.001")
+        .collect()
+    }
+    assert sorted(rows) == [w.to_pydatetime() for w in days]
+    for i, w in enumerate(days):
+        r = rows[w.to_pydatetime()]
+        dau = len(per_day[w])
+        wau = len(set().union(*[per_day[x] for x in days[max(0, i - 6): i + 1]]))
+        mau = len(set().union(*[per_day[x] for x in days[max(0, i - 27): i + 1]]))
+        assert (r["dau"], r["wau"], r["mau"]) == (dau, wau, mau)
+        assert r["dau"] <= r["wau"] <= r["mau"]
+
+    cells = (
+        REGISTRY["users_spend_migration_matrix"]
+        .fn(spark, "/root/testdata/sf0.001")
+        .collect()
+    )
+    assert sum(c["n_users"] for c in cells) == ev["user_id"].nunique()
+    for c in cells:
+        assert 0 <= c["quartile_first"] <= 4
+        assert 0 <= c["quartile_second"] <= 4

@@ -9832,3 +9832,251 @@ def events_wilcoxon_signed_rank(
             ).alias("z_sign"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# F171 stickiness panel: DAU / WAU / MAU ratios per day
+# ---------------------------------------------------------------------------
+@register(
+    "users_stickiness_panel",
+    """
+    WITH pairs AS (
+        SELECT DISTINCT CAST(date_trunc('day', ts) AS TIMESTAMP) AS d,
+               user_id
+        FROM events
+    ),
+    span AS (
+        SELECT CAST(date_trunc('day', min(ts)) AS TIMESTAMP) AS lo,
+               CAST(date_trunc('day', max(ts)) AS TIMESTAMP) AS hi
+        FROM events
+    ),
+    days AS (
+        SELECT unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS d
+        FROM span
+    ),
+    dau AS (
+        SELECT d, CAST(count(DISTINCT user_id) AS BIGINT) AS dau
+        FROM pairs GROUP BY d
+    ),
+    wau AS (
+        SELECT days.d, CAST(count(DISTINCT p.user_id) AS BIGINT) AS wau
+        FROM days JOIN pairs p
+          ON p.d <= days.d AND p.d > days.d - INTERVAL 7 DAY
+        GROUP BY days.d
+    ),
+    mau AS (
+        SELECT days.d, CAST(count(DISTINCT p.user_id) AS BIGINT) AS mau
+        FROM days JOIN pairs p
+          ON p.d <= days.d AND p.d > days.d - INTERVAL 28 DAY
+        GROUP BY days.d
+    )
+    SELECT mau.d AS d, coalesce(dau.dau, 0) AS dau,
+           coalesce(wau.wau, 0) AS wau, mau.mau,
+           round(CAST(coalesce(dau.dau, 0) AS DOUBLE) / mau.mau, 6)
+               AS dau_mau,
+           round(CAST(coalesce(wau.wau, 0) AS DOUBLE) / mau.mau, 6)
+               AS wau_mau
+    FROM mau LEFT JOIN dau ON dau.d = mau.d
+             LEFT JOIN wau ON wau.d = mau.d
+    ORDER BY d
+    """,
+    doc="F171 stickiness panel: exact DAU, trailing-7d WAU, trailing-"
+    "28d MAU and the DAU/MAU + WAU/MAU ratios per day — the habit "
+    "metric growth teams track daily (DAU/MAU ~ usage days per "
+    "month/28). The trailing distinct counts use the F15 scale shape "
+    "(dedupe to (day, user) FIRST, then each active day contributes "
+    "to its n trailing window-ends via a bounded explode — never "
+    "collect_set over a moving frame); the oracle mirrors with "
+    "windowed distinct joins. All counts exact; two fp ratios per "
+    "row. One row per observed day.",
+)
+def users_stickiness_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from time_series_spark_spark.operators.timeseries import (
+        trailing_distinct,
+    )
+
+    ev = _events(spark, sf_dir)
+    dau = (
+        ev.select(
+            F.date_trunc("day", F.col("ts")).alias("d"), "user_id"
+        )
+        .distinct()
+        .groupBy("d")
+        .agg(F.countDistinct("user_id").cast("long").alias("dau"))
+    )
+    wau = trailing_distinct(ev, "ts", "user_id", n_days=7).select(
+        F.col("d").alias("dw"), F.col("users_7d").alias("wau")
+    )
+    mau = trailing_distinct(ev, "ts", "user_id", n_days=28).select(
+        F.col("d").alias("dm"), F.col("users_28d").alias("mau")
+    )
+    return (
+        mau.join(dau, F.col("dm") == F.col("d"), "left")
+        .join(wau, F.col("dm") == F.col("dw"), "left")
+        .select(
+            F.col("dm").alias("d"),
+            F.coalesce(F.col("dau"), F.lit(0)).cast("long").alias("dau"),
+            F.coalesce(F.col("wau"), F.lit(0)).cast("long").alias("wau"),
+            F.col("mau").cast("long").alias("mau"),
+            F.expr(
+                "round(CAST(coalesce(dau, 0) AS DOUBLE) / mau, 6)"
+            ).alias("dau_mau"),
+            F.expr(
+                "round(CAST(coalesce(wau, 0) AS DOUBLE) / mau, 6)"
+            ).alias("wau_mau"),
+        )
+        .orderBy("d")
+    )
+
+
+# ---------------------------------------------------------------------------
+# F172 customer spend-quartile migration matrix between halves
+# ---------------------------------------------------------------------------
+@register(
+    "users_spend_migration_matrix",
+    f"""
+    WITH split AS (
+        SELECT CAST(date_trunc('day', min(ts)) AS TIMESTAMP) AS d0,
+               CAST(floor((datediff('day',
+                        CAST(date_trunc('day', min(ts)) AS TIMESTAMP),
+                        CAST(date_trunc('day', max(ts)) AS TIMESTAMP))
+                    + 1) / 2.0) AS BIGINT) AS half
+        FROM events
+    ),
+    u AS (
+        SELECT user_id,
+               CAST(sum(CASE WHEN event_type = 'purchase'
+                         AND datediff('day', d0,
+                             CAST(date_trunc('day', ts) AS TIMESTAMP))
+                             < half
+                        THEN {_CENTS} ELSE 0 END) AS BIGINT) AS s1,
+               CAST(sum(CASE WHEN event_type = 'purchase'
+                         AND datediff('day', d0,
+                             CAST(date_trunc('day', ts) AS TIMESTAMP))
+                             >= half
+                        THEN {_CENTS} ELSE 0 END) AS BIGINT) AS s2
+        FROM events CROSS JOIN split GROUP BY user_id
+    ),
+    q1 AS (
+        SELECT user_id,
+               CASE WHEN s1 = 0 THEN 0
+                    ELSE CAST(ceil(4.0 * CAST(row_number() OVER (
+                             PARTITION BY CASE WHEN s1 > 0 THEN 1 END
+                             ORDER BY s1, user_id) AS DOUBLE)
+                         / sum(CASE WHEN s1 > 0 THEN 1 ELSE 0 END)
+                               OVER ()) AS BIGINT) END AS qa
+        FROM u
+    ),
+    q2 AS (
+        SELECT user_id,
+               CASE WHEN s2 = 0 THEN 0
+                    ELSE CAST(ceil(4.0 * CAST(row_number() OVER (
+                             PARTITION BY CASE WHEN s2 > 0 THEN 1 END
+                             ORDER BY s2, user_id) AS DOUBLE)
+                         / sum(CASE WHEN s2 > 0 THEN 1 ELSE 0 END)
+                               OVER ()) AS BIGINT) END AS qb
+        FROM u
+    )
+    SELECT q1.qa AS quartile_first, q2.qb AS quartile_second,
+           CAST(count(*) AS BIGINT) AS n_users
+    FROM q1 JOIN q2 ON q2.user_id = q1.user_id
+    GROUP BY q1.qa, q2.qb
+    ORDER BY quartile_first, quartile_second
+    """,
+    doc="F172 customer spend-quartile migration matrix: each user's "
+    "purchase spend is bucketed into quartiles (0 = no spend, 1..4 = "
+    "exact-rank quartile among that half's spenders) in the first "
+    "and second calendar halves, and the matrix counts who moved "
+    "where — the CRM segment-migration report behind churn/upsell "
+    "programs (the cell (4,0) is lost whales; (0,4) is new whales). "
+    "Quartiles are ceil(4*rank/n) EXACT integer rank buckets "
+    "(user_id tiebreak; the zero class is carved out first so the "
+    "positive ranks are dense), counts exact. One user reduce + two "
+    "rank windows over the user aggregate. One row per occupied "
+    "cell.",
+)
+def users_spend_migration_matrix(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    split = ev.agg(
+        F.date_trunc("day", F.min("ts")).alias("d0"),
+        F.expr(
+            "CAST(floor((datediff(date_trunc('day', max(ts)),"
+            " date_trunc('day', min(ts))) + 1) / 2.0) AS BIGINT)"
+        ).alias("half"),
+    )
+    u = (
+        ev.crossJoin(F.broadcast(split))
+        .groupBy("user_id")
+        .agg(
+            F.sum(
+                F.expr(
+                    "CASE WHEN event_type = 'purchase'"
+                    " AND datediff(date_trunc('day', ts), d0) < half"
+                    f" THEN {_CENTS} ELSE 0 END"
+                )
+            ).alias("s1"),
+            F.sum(
+                F.expr(
+                    "CASE WHEN event_type = 'purchase'"
+                    " AND datediff(date_trunc('day', ts), d0) >= half"
+                    f" THEN {_CENTS} ELSE 0 END"
+                )
+            ).alias("s2"),
+        )
+    )
+
+    def quart(col, out):
+        pos = Window.partitionBy(
+            F.when(F.col(col) > 0, 1)
+        ).orderBy(col, "user_id")
+        n_pos = Window.partitionBy().rowsBetween(
+            Window.unboundedPreceding, Window.unboundedFollowing
+        )
+        return u.select(
+            "user_id",
+            F.when(F.col(col) == 0, F.lit(0))
+            .otherwise(
+                F.expr(
+                    f"CAST(ceil(4.0 * _rn / _np) AS BIGINT)"
+                )
+            )
+            .alias(out),
+        )
+
+    # assemble with explicit helper columns (window exprs can't nest in
+    # the CASE cleanly across engines otherwise)
+    n_pos1 = u.agg(
+        F.sum(F.when(F.col("s1") > 0, 1).otherwise(0)).alias("np1"),
+        F.sum(F.when(F.col("s2") > 0, 1).otherwise(0)).alias("np2"),
+    )
+    w1 = Window.partitionBy(
+        F.when(F.col("s1") > 0, 1)
+    ).orderBy("s1", "user_id")
+    w2 = Window.partitionBy(
+        F.when(F.col("s2") > 0, 1)
+    ).orderBy("s2", "user_id")
+    ranked = (
+        u.crossJoin(F.broadcast(n_pos1))
+        .withColumn("r1", F.row_number().over(w1))
+        .withColumn("r2", F.row_number().over(w2))
+        .select(
+            "user_id",
+            F.when(F.col("s1") == 0, F.lit(0))
+            .otherwise(
+                F.expr("CAST(ceil(4.0 * CAST(r1 AS DOUBLE) / np1) AS BIGINT)")
+            )
+            .alias("quartile_first"),
+            F.when(F.col("s2") == 0, F.lit(0))
+            .otherwise(
+                F.expr("CAST(ceil(4.0 * CAST(r2 AS DOUBLE) / np2) AS BIGINT)")
+            )
+            .alias("quartile_second"),
+        )
+    )
+    return (
+        ranked.groupBy("quartile_first", "quartile_second")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+        .orderBy("quartile_first", "quartile_second")
+    )
