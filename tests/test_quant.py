@@ -3852,3 +3852,55 @@ def test_stickiness_and_migration_replays(spark):
     for c in cells:
         assert 0 <= c["quartile_first"] <= 4
         assert 0 <= c["quartile_second"] <= 4
+
+
+def test_kruskal_wallis_matches_scipy_style_replay(spark):
+    """F173: tie-corrected H equals a plain-Python replay on sf0.001;
+    identical groups give H ~ 0 and a planted shifted group a large
+    H (and the replay agrees with the classic no-tie formula)."""
+    import math
+    from collections import Counter
+
+    import pandas as pd
+
+    from time_series_spark_spark.queries import REGISTRY
+
+    def kw(groups):
+        pooled = sorted(v for g in groups for v in g)
+        n = len(pooled)
+        # doubled midranks
+        cnt = Counter(pooled)
+        before = {}
+        run = 0
+        for v in sorted(cnt):
+            before[v] = run
+            run += cnt[v]
+        dr = {v: 2 * before[v] + cnt[v] + 1 for v in cnt}
+        sr2 = sum(
+            (sum(dr[v] for v in g) / 2.0) ** 2 / len(g) for g in groups
+        )
+        h = 12.0 * sr2 / (n * (n + 1)) - 3.0 * (n + 1)
+        t3t = sum(t**3 - t for t in cnt.values())
+        return h / (1.0 - t3t / (float(n) ** 3 - n))
+
+    ev = pd.read_parquet("/root/testdata/sf0.001/events.parquet")
+    cents = (ev["value"] * 100).round().astype("int64")
+    groups = [
+        list(cents[ev["event_type"] == t])
+        for t in sorted(ev["event_type"].unique())
+    ]
+    h_ref = kw(groups)
+    row = (
+        REGISTRY["events_kruskal_wallis_value"]
+        .fn(spark, "/root/testdata/sf0.001")
+        .collect()[0]
+    )
+    assert row["k_groups"] == len(groups)
+    assert row["n_events"] == len(ev)
+    assert math.isclose(row["h_kw"], round(h_ref, 6), rel_tol=1e-6)
+
+    same = [list(range(100)), list(range(100)), list(range(100))]
+    shifted = [list(range(100)), list(range(100)),
+               list(range(500, 600))]
+    assert kw(same) < 1.0
+    assert kw(shifted) > 100.0

@@ -10080,3 +10080,100 @@ def users_spend_migration_matrix(
         .agg(F.count(F.lit(1)).alias("n_users"))
         .orderBy("quartile_first", "quartile_second")
     )
+
+
+# ---------------------------------------------------------------------------
+# F173 Kruskal-Wallis k-group rank test
+# ---------------------------------------------------------------------------
+@register(
+    "events_kruskal_wallis_value",
+    f"""
+    WITH x AS (
+        SELECT event_type AS g, {_CENTS} AS v FROM events
+    ),
+    r AS (
+        SELECT g,
+               CAST(2 * rank() OVER (ORDER BY v)
+                    + count(*) OVER (PARTITION BY v) - 1 AS BIGINT) AS dr
+        FROM x
+    ),
+    per_g AS (
+        SELECT g, CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(dr) AS BIGINT) AS dsum
+        FROM r GROUP BY g
+    ),
+    ties AS (
+        SELECT CAST(sum(t * t * t - t) AS BIGINT) AS t3t
+        FROM (SELECT CAST(count(*) AS BIGINT) AS t FROM x GROUP BY v)
+    ),
+    agg AS (
+        SELECT CAST(count(*) AS BIGINT) AS k,
+               CAST(sum(n) AS BIGINT) AS nn,
+               sum((CAST(dsum AS DOUBLE) / (2.0 * n)) * (dsum / 2.0))
+                   AS sr2
+        FROM per_g
+    )
+    SELECT k AS k_groups, nn AS n_events,
+           round((12.0 * sr2 / (CAST(nn AS DOUBLE) * (nn + 1))
+                  - 3.0 * (nn + 1))
+                 / (1.0 - CAST(t3t AS DOUBLE)
+                          / (CAST(nn AS DOUBLE) * nn * nn - nn)), 6)
+               AS h_kw
+    FROM agg CROSS JOIN ties
+    """,
+    doc="F173 Kruskal-Wallis rank test — do the k event types share a "
+    "value distribution? THE standard k-group nonparametric omnibus "
+    "(the rank ANOVA: F98 assumes normal errors, F91 handles only "
+    "two groups; H ~ chi2(k-1) feeds the F129 BH family): per-group "
+    "rank sums from EXACT BIGINT doubled midranks (F91/F120 device; "
+    "the R_j^2/n_j terms cast to DOUBLE before squaring — D^2 "
+    "overflows BIGINT past ~2e9 rows, noted — summed over the k=5 "
+    "frame, the F119 small-reduce argument), the tie correction "
+    "1 - sum(t^3-t)/(N^3-N) exact-integer. One rank window over the "
+    "distinct-value-partitioned scan + two reduces. Single row.",
+)
+def events_kruskal_wallis_value(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    x = _events(spark, sf_dir).select(
+        F.col("event_type").alias("g"), F.expr(_CENTS).alias("v")
+    )
+    r = x.select(
+        "g",
+        (
+            2 * F.rank().over(Window.orderBy("v"))
+            + F.count(F.lit(1)).over(Window.partitionBy("v"))
+            - 1
+        )
+        .cast("long")
+        .alias("dr"),
+    )
+    per_g = r.groupBy("g").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("dr").alias("dsum")
+    )
+    ties = (
+        x.groupBy("v")
+        .agg(F.count(F.lit(1)).alias("t"))
+        .agg(
+            F.sum(
+                F.col("t") * F.col("t") * F.col("t") - F.col("t")
+            ).alias("t3t")
+        )
+    )
+    agg = per_g.agg(
+        F.count(F.lit(1)).alias("k"),
+        F.sum("n").alias("nn"),
+        F.sum(
+            F.expr("(CAST(dsum AS DOUBLE) / (2.0 * n)) * (dsum / 2.0)")
+        ).alias("sr2"),
+    )
+    return agg.crossJoin(F.broadcast(ties)).select(
+        F.col("k").alias("k_groups"),
+        F.col("nn").alias("n_events"),
+        F.expr(
+            "round((12.0 * sr2 / (CAST(nn AS DOUBLE) * (nn + 1))"
+            " - 3.0 * (nn + 1))"
+            " / (1.0 - CAST(t3t AS DOUBLE)"
+            " / (CAST(nn AS DOUBLE) * nn * nn - nn)), 6)"
+        ).alias("h_kw"),
+    )
