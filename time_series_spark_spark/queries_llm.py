@@ -3131,3 +3131,68 @@ def emb_diverse_exemplars(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(i, vid, round(d, 6)) for i, (vid, d) in enumerate(sel)],
         "pick_order int, vec_id long, dist_at_pick double",
     )
+
+
+# ---------------------------------------------------------------------------
+# K7c audio-style waveform windowing (oracle-backed multimodal plumbing)
+# ---------------------------------------------------------------------------
+@register(
+    "docs_audio_window_features",
+    """
+    WITH w AS (
+        SELECT doc_id, text,
+               unnest(generate_series(1, len(text) - 31, 16)) AS s
+        FROM documents WHERE len(text) >= 32
+    )
+    SELECT doc_id, CAST(s - 1 AS BIGINT) AS sample_offset,
+           CAST(list_sum(list_transform(range(s, s + 32),
+                i -> (ascii(substr(text, i, 1)) - 96)
+                     * (ascii(substr(text, i, 1)) - 96))) AS BIGINT)
+               AS energy_i64,
+           CAST(list_sum(list_transform(range(s, s + 31),
+                i -> CASE WHEN (ascii(substr(text, i, 1)) - 96)
+                          * (ascii(substr(text, i + 1, 1)) - 96) < 0
+                     THEN 1 ELSE 0 END)) AS BIGINT) AS zero_crossings
+    FROM w ORDER BY doc_id, sample_offset
+    """,
+    doc="K7c audio-style WINDOWED feature extraction over the payload "
+    "byte stream (window 32 samples, hop 16 — the STFT frame shape): "
+    "per (doc, window), the exact integer energy sum((b-96)^2) and "
+    "the zero-crossing count of the centered samples — the two "
+    "features every audio pipeline computes before any model, with "
+    "the decode step deterministic (bytes AS int8 samples; the repo's "
+    "ASCII corpus makes byte == char, so this is the one multimodal "
+    "query a SQL ORACLE can check end-to-end — K7/K7b stay rows-only "
+    "for the same plumbing over opaque payloads). Spark side is a "
+    "bounded explode(sequence) + per-window integer fold (codegen, "
+    "no Python); output rows = ceil(len/hop) per doc. One row per "
+    "(doc, window).",
+)
+def docs_audio_window_features(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    d = load(spark, sf_dir, "documents").filter(
+        F.length("text") >= 32
+    )
+    w = d.select(
+        "doc_id",
+        "text",
+        F.explode(
+            F.expr("sequence(1, length(text) - 31, 16)")
+        ).alias("s"),
+    )
+    v = "(ascii(substring(text, i, 1)) - 96)"
+    v1 = "(ascii(substring(text, i + 1, 1)) - 96)"
+    return w.select(
+        "doc_id",
+        (F.col("s") - 1).cast("long").alias("sample_offset"),
+        F.expr(
+            f"CAST(aggregate(transform(sequence(s, s + 31),"
+            f" i -> {v} * {v}), 0L, (acc, t) -> acc + t) AS BIGINT)"
+        ).alias("energy_i64"),
+        F.expr(
+            f"CAST(aggregate(transform(sequence(s, s + 30),"
+            f" i -> CASE WHEN {v} * {v1} < 0 THEN 1 ELSE 0 END),"
+            " 0L, (acc, t) -> acc + t) AS BIGINT)"
+        ).alias("zero_crossings"),
+    ).orderBy("doc_id", "sample_offset")
