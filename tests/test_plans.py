@@ -670,3 +670,26 @@ def test_source_overlap_join_is_equi_on_gram(spark):
         count_op(df, "SortMergeJoin") + count_op(df, "BroadcastHashJoin")
         + count_op(df, "ShuffledHashJoin") >= 1
     )
+
+
+def test_stickiness_never_collects_sets(spark):
+    """F171: the trailing-distinct shape must stay dedupe+explode+count
+    — a collect_set-over-window plan would hold every hot window's
+    user set in executor memory at 100 TB."""
+    df = _df(spark, "users_stickiness_panel")
+    plan = executed_plan(df)
+    assert "collect_set" not in plan.lower()
+    # the one BroadcastNestedLoopJoin present is the 1-row span filter
+    # (broadcast-of-one-scalar, the accepted pattern) — assert nothing
+    # joins two UNBOUNDED sides by checking the dedupe pre-reduce exists
+    assert "HashAggregate" in plan
+
+
+def test_audio_windows_stay_in_codegen(spark):
+    """K7c: the window fold must run as whole-stage-codegen higher-order
+    functions — no Python evaluation node (BatchEvalPython /
+    ArrowEvalPython) in the plan; the explode is the only fan-out."""
+    df = _df(spark, "docs_audio_window_features")
+    plan = executed_plan(df)
+    assert "EvalPython" not in plan
+    assert "Generate explode" in plan or "Generate" in plan
