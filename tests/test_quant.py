@@ -3904,3 +3904,63 @@ def test_kruskal_wallis_matches_scipy_style_replay(spark):
                list(range(500, 600))]
     assert kw(same) < 1.0
     assert kw(shifted) > 100.0
+
+
+def test_control_charts_replays(spark):
+    """F174/F175: p-chart and c-chart limits/flags equal pandas
+    replays; a planted 10x-rate week in a synthetic series would sit
+    above its UCL (formula sanity)."""
+    import math
+
+    import pandas as pd
+
+    from time_series_spark_spark.queries import REGISTRY
+
+    li = pd.read_parquet("/root/testdata/sf0.001/lineitem.parquet")
+    li["w"] = li["l_shipdate"].dt.to_period("W").dt.start_time
+    per_w = li.groupby("w").agg(
+        n=("l_returnflag", "count"),
+        k=("l_returnflag", lambda s: int((s == "R").sum())),
+    )
+    tk, tn = per_w["k"].sum(), per_w["n"].sum()
+    pb = tk / tn
+    rows = {
+        r["week"]: r
+        for r in REGISTRY["lineitem_return_rate_pchart"]
+        .fn(spark, "/root/testdata/sf0.001")
+        .collect()
+    }
+    assert sorted(rows) == [w.to_pydatetime() for w in per_w.index]
+    for w, g in per_w.iterrows():
+        r = rows[w.to_pydatetime()]
+        assert (r["n_lines"], r["n_returned"]) == (g["n"], g["k"])
+        lim = 3.0 * math.sqrt(pb * (1 - pb) / g["n"])
+        assert math.isclose(r["ucl"], round(pb + lim, 6), abs_tol=1e-9)
+        assert math.isclose(r["lcl"], round(pb - lim, 6), abs_tol=1e-9)
+        assert r["out_of_control"] == int(
+            g["k"] / g["n"] > pb + lim or g["k"] / g["n"] < pb - lim
+        )
+
+    ev = pd.read_parquet("/root/testdata/sf0.001/events.parquet")
+    err = ev[ev["event_type"] == "error"]
+    per_d = err.groupby(err["ts"].dt.floor("D"))["event_id"].count()
+    cb = per_d.sum() / len(per_d)
+    rows2 = {
+        r["d"]: r
+        for r in REGISTRY["events_error_cchart"]
+        .fn(spark, "/root/testdata/sf0.001")
+        .collect()
+    }
+    for d, c in per_d.items():
+        r = rows2[d.to_pydatetime()]
+        assert r["n_errors"] == c
+        assert math.isclose(
+            r["ucl"], round(cb + 3 * math.sqrt(cb), 6), abs_tol=1e-9
+        )
+        assert r["out_of_control"] == int(
+            c > cb + 3 * math.sqrt(cb)
+            or c < max(cb - 3 * math.sqrt(cb), 0.0)
+        )
+
+    # formula sanity: a 10x day clears the Poisson UCL
+    assert 10 * 20 > 20 + 3 * math.sqrt(20)

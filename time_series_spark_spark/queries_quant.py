@@ -10177,3 +10177,157 @@ def events_kruskal_wallis_value(
             " / (CAST(nn AS DOUBLE) * nn * nn - nn)), 6)"
         ).alias("h_kw"),
     )
+
+
+# ---------------------------------------------------------------------------
+# F174 p-chart: weekly late-shipment rate with 3-sigma control limits
+# ---------------------------------------------------------------------------
+@register(
+    "lineitem_return_rate_pchart",
+    """
+    WITH x AS (
+        SELECT CAST(date_trunc('week', l_shipdate) AS TIMESTAMP) AS w,
+               CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS late
+        FROM lineitem
+    ),
+    per_w AS (
+        SELECT w, CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(late) AS BIGINT) AS k
+        FROM x GROUP BY w
+    ),
+    pbar AS (
+        SELECT CAST(sum(k) AS BIGINT) AS tk, CAST(sum(n) AS BIGINT) AS tn
+        FROM per_w
+    )
+    SELECT w AS week, n AS n_lines, k AS n_returned,
+           round(CAST(k AS DOUBLE) / n, 6) AS p_hat,
+           round(CAST(tk AS DOUBLE) / tn, 6) AS p_bar,
+           round(CAST(tk AS DOUBLE) / tn
+                 - 3.0 * sqrt((CAST(tk AS DOUBLE) / tn)
+                              * (1.0 - CAST(tk AS DOUBLE) / tn) / n), 6)
+               AS lcl,
+           round(CAST(tk AS DOUBLE) / tn
+                 + 3.0 * sqrt((CAST(tk AS DOUBLE) / tn)
+                              * (1.0 - CAST(tk AS DOUBLE) / tn) / n), 6)
+               AS ucl,
+           CASE WHEN CAST(k AS DOUBLE) / n
+                     > CAST(tk AS DOUBLE) / tn
+                       + 3.0 * sqrt((CAST(tk AS DOUBLE) / tn)
+                                    * (1.0 - CAST(tk AS DOUBLE) / tn) / n)
+                  OR CAST(k AS DOUBLE) / n
+                     < CAST(tk AS DOUBLE) / tn
+                       - 3.0 * sqrt((CAST(tk AS DOUBLE) / tn)
+                                    * (1.0 - CAST(tk AS DOUBLE) / tn) / n)
+                THEN 1 ELSE 0 END AS out_of_control
+    FROM per_w CROSS JOIN pbar
+    ORDER BY week
+    """,
+    doc="F174 Shewhart p-chart on the weekly RETURNED-line rate "
+    "(l_returnflag = 'R'): per-week proportion against the pooled "
+    "center line with the classic 3-sigma binomial limits "
+    "p_bar +- 3 sqrt(p_bar(1-p_bar)/n_w) — VARIABLE limits because "
+    "week sizes differ, the part naive dashboards get wrong — and an "
+    "out-of-control flag per week; the attribute-chart complement to "
+    "F56 Bollinger (measurements) and F95 Page-Hinkley (sequential). "
+    "Counts exact; one shared fp expression family. One reduce + a "
+    "broadcast scalar. One row per week.",
+)
+def lineitem_return_rate_pchart(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    x = load(spark, sf_dir, "lineitem").select(
+        F.date_trunc("week", F.col("l_shipdate")).alias("w"),
+        F.when(F.col("l_returnflag") == "R", 1).otherwise(0).alias(
+            "late"
+        ),
+    )
+    per_w = x.groupBy("w").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("late").alias("k")
+    )
+    pbar = per_w.agg(
+        F.sum("k").alias("tk"), F.sum("n").alias("tn")
+    )
+    lim = (
+        "3.0 * sqrt((CAST(tk AS DOUBLE) / tn)"
+        " * (1.0 - CAST(tk AS DOUBLE) / tn) / n)"
+    )
+    return per_w.crossJoin(F.broadcast(pbar)).select(
+        F.col("w").alias("week"),
+        F.col("n").alias("n_lines"),
+        F.col("k").alias("n_returned"),
+        F.expr("round(CAST(k AS DOUBLE) / n, 6)").alias("p_hat"),
+        F.expr("round(CAST(tk AS DOUBLE) / tn, 6)").alias("p_bar"),
+        F.expr(f"round(CAST(tk AS DOUBLE) / tn - {lim}, 6)").alias("lcl"),
+        F.expr(f"round(CAST(tk AS DOUBLE) / tn + {lim}, 6)").alias("ucl"),
+        F.expr(
+            f"CASE WHEN CAST(k AS DOUBLE) / n"
+            f" > CAST(tk AS DOUBLE) / tn + {lim}"
+            f" OR CAST(k AS DOUBLE) / n"
+            f" < CAST(tk AS DOUBLE) / tn - {lim}"
+            " THEN 1 ELSE 0 END"
+        ).alias("out_of_control"),
+    ).orderBy("week")
+
+
+# ---------------------------------------------------------------------------
+# F175 c-chart: daily error counts with Poisson control limits
+# ---------------------------------------------------------------------------
+@register(
+    "events_error_cchart",
+    """
+    WITH d AS (
+        SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS d,
+               CAST(count(*) AS BIGINT) AS c
+        FROM events WHERE event_type = 'error' GROUP BY 1
+    ),
+    cbar AS (
+        SELECT CAST(sum(c) AS BIGINT) AS tc,
+               CAST(count(*) AS BIGINT) AS nd
+        FROM d
+    )
+    SELECT d.d, c AS n_errors,
+           round(CAST(tc AS DOUBLE) / nd, 6) AS c_bar,
+           round(greatest(CAST(tc AS DOUBLE) / nd
+                 - 3.0 * sqrt(CAST(tc AS DOUBLE) / nd), 0.0), 6) AS lcl,
+           round(CAST(tc AS DOUBLE) / nd
+                 + 3.0 * sqrt(CAST(tc AS DOUBLE) / nd), 6) AS ucl,
+           CASE WHEN c > CAST(tc AS DOUBLE) / nd
+                        + 3.0 * sqrt(CAST(tc AS DOUBLE) / nd)
+                  OR c < greatest(CAST(tc AS DOUBLE) / nd
+                        - 3.0 * sqrt(CAST(tc AS DOUBLE) / nd), 0.0)
+                THEN 1 ELSE 0 END AS out_of_control
+    FROM d CROSS JOIN cbar ORDER BY d.d
+    """,
+    doc="F175 Shewhart c-chart on daily ERROR-event counts: Poisson "
+    "3-sigma limits c_bar +- 3 sqrt(c_bar) (floored at 0) around the "
+    "pooled mean, out-of-control flags per day — the incident-rate "
+    "monitoring chart (counts with constant exposure; pairs with "
+    "F174's p-chart for proportions with varying exposure). Counts "
+    "exact, one shared fp family. One filtered reduce + broadcast "
+    "scalar. One row per day with errors.",
+)
+def events_error_cchart(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = (
+        _events(spark, sf_dir)
+        .filter(F.col("event_type") == "error")
+        .groupBy(F.date_trunc("day", F.col("ts")).alias("d"))
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    cbar = d.agg(
+        F.sum("c").alias("tc"), F.count(F.lit(1)).alias("nd")
+    )
+    lim = "3.0 * sqrt(CAST(tc AS DOUBLE) / nd)"
+    return d.crossJoin(F.broadcast(cbar)).select(
+        "d",
+        F.col("c").alias("n_errors"),
+        F.expr("round(CAST(tc AS DOUBLE) / nd, 6)").alias("c_bar"),
+        F.expr(
+            f"round(greatest(CAST(tc AS DOUBLE) / nd - {lim}, 0.0), 6)"
+        ).alias("lcl"),
+        F.expr(f"round(CAST(tc AS DOUBLE) / nd + {lim}, 6)").alias("ucl"),
+        F.expr(
+            f"CASE WHEN c > CAST(tc AS DOUBLE) / nd + {lim}"
+            f" OR c < greatest(CAST(tc AS DOUBLE) / nd - {lim}, 0.0)"
+            " THEN 1 ELSE 0 END"
+        ).alias("out_of_control"),
+    ).orderBy("d")
