@@ -3964,3 +3964,80 @@ def test_control_charts_replays(spark):
 
     # formula sanity: a 10x day clears the Poisson UCL
     assert 10 * 20 > 20 + 3 * math.sqrt(20)
+
+
+def test_lorenz_and_theil_replays(spark):
+    """F176/F177: Lorenz decile shares equal a sorted-cumsum replay
+    (monotone, ending at 1.0); Theil total/between/within equal a
+    plain replay and the decomposition identity holds EXACTLY on a
+    planted two-group population."""
+    import math
+
+    import pandas as pd
+
+    from time_series_spark_spark.queries import REGISTRY
+
+    od = pd.read_parquet("/root/testdata/sf0.001/orders.parquet")
+    od["cents"] = (od["o_totalprice"] * 100).round().astype("int64")
+    rev = od.groupby("o_custkey")["cents"].sum().sort_values()
+    cum = rev.cumsum()
+    tot = rev.sum()
+    n = len(rev)
+    rows = (
+        REGISTRY["customer_lorenz_curve"]
+        .fn(spark, "/root/testdata/sf0.001")
+        .collect()
+    )
+    assert [r["decile"] for r in rows] == list(range(1, 11))
+    prev = -1.0
+    for r in rows:
+        k = (r["decile"] * n) // 10
+        want = cum.iloc[k - 1] / tot
+        assert math.isclose(r["rev_share"], round(want, 6), abs_tol=1e-9)
+        assert r["rev_share"] >= prev
+        prev = r["rev_share"]
+    assert rows[-1]["rev_share"] == 1.0
+
+    def theil(vals):
+        x = sum(vals)
+        n_ = len(vals)
+        return sum((v / x) * math.log((v / x) * n_) for v in vals if v)
+
+    cust = pd.read_parquet("/root/testdata/sf0.001/customer.parquet")
+    merged = od.merge(
+        cust[["c_custkey", "c_nationkey"]],
+        left_on="o_custkey", right_on="c_custkey",
+    )
+    per = merged.groupby(["c_nationkey", "o_custkey"])["cents"].sum()
+    per = per[per > 0]
+    t_tot = theil(list(per))
+    x = per.sum()
+    nn = len(per)
+    t_bet = 0.0
+    for nk, g in per.groupby(level=0):
+        xg, ng = g.sum(), len(g)
+        t_bet += (xg / x) * math.log((xg / x) * (nn / ng))
+    row = (
+        REGISTRY["customer_theil_decomposition"]
+        .fn(spark, "/root/testdata/sf0.001")
+        .collect()[0]
+    )
+    assert row["n_customers"] == nn
+    assert math.isclose(row["theil_total"], round(t_tot, 6), abs_tol=1e-6)
+    assert math.isclose(row["theil_between"], round(t_bet, 6),
+                        abs_tol=1e-6)
+    assert math.isclose(
+        row["theil_within"], round(t_tot - t_bet, 6), abs_tol=1e-6
+    )
+
+    # identity on planted two-group data: within = weighted group Theils
+    g1, g2 = [10, 20, 30], [100, 100, 100, 100]
+    allv = g1 + g2
+    t_all = theil(allv)
+    xa = sum(allv)
+    tb = sum(
+        (sum(g) / xa) * math.log((sum(g) / xa) * (len(allv) / len(g)))
+        for g in (g1, g2)
+    )
+    tw = sum((sum(g) / xa) * theil(g) for g in (g1, g2))
+    assert math.isclose(t_all, tb + tw, rel_tol=1e-12)

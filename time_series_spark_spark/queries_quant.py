@@ -10331,3 +10331,234 @@ def events_error_cchart(spark: SparkSession, sf_dir: str) -> DataFrame:
             " THEN 1 ELSE 0 END"
         ).alias("out_of_control"),
     ).orderBy("d")
+
+
+# ---------------------------------------------------------------------------
+# F176 Lorenz curve of customer revenue (decile points)
+# ---------------------------------------------------------------------------
+@register(
+    "customer_lorenz_curve",
+    """
+    WITH c AS (
+        SELECT o_custkey,
+               CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT))
+                    AS BIGINT) AS rev
+        FROM orders GROUP BY o_custkey
+    ),
+    r AS (
+        SELECT rev,
+               row_number() OVER (ORDER BY rev, o_custkey) AS rk,
+               CAST(count(*) OVER () AS BIGINT) AS n,
+               CAST(sum(rev) OVER (ORDER BY rev, o_custkey
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS cum,
+               CAST(sum(rev) OVER () AS BIGINT) AS tot
+        FROM c
+    )
+    SELECT CAST(d AS BIGINT) AS decile,
+           round(CAST(d AS DOUBLE) / 10.0, 1) AS pop_share,
+           round(CAST(max(CASE WHEN rk = CAST(floor(d * n / 10.0)
+                                            AS BIGINT)
+                              THEN cum END) AS DOUBLE) / max(tot), 6)
+               AS rev_share
+    FROM r CROSS JOIN (SELECT unnest(generate_series(1, 10)) AS d)
+    WHERE rk = CAST(floor(d * n / 10.0) AS BIGINT)
+    GROUP BY d ORDER BY decile
+    """,
+    doc="F176 Lorenz curve of customer revenue at population deciles: "
+    "the cumulative revenue share held by the poorest d/10 of "
+    "customers — the PLOT behind the F-series Gini scalar (Gini is "
+    "twice the area between this curve and the diagonal) and the "
+    "exact-rank, integer-cents counterpart of the Pareto 80/20 "
+    "report. Customers sort ascending by revenue (custkey tiebreak); "
+    "cum sums are exact ordered BIGINTs; one fp share per decile. "
+    "One reduce + one rank window over the customer aggregate "
+    "(RFM posture). 10 rows, rev_share monotone with decile and "
+    "rev_share(10) = 1.",
+)
+def customer_lorenz_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "orders").groupBy("o_custkey").agg(
+        F.sum(
+            F.expr("CAST(round(o_totalprice * 100, 0) AS BIGINT)")
+        ).alias("rev")
+    )
+    w_ord = Window.orderBy("rev", "o_custkey")
+    w_all = Window.partitionBy().rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    r = c.select(
+        "rev",
+        F.row_number().over(w_ord).alias("rk"),
+        F.count(F.lit(1)).over(w_all).alias("n"),
+        F.sum("rev")
+        .over(w_ord.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("cum"),
+        F.sum("rev").over(w_all).alias("tot"),
+    )
+    ds = c.sparkSession.range(1, 11).select(F.col("id").alias("d"))
+    return (
+        r.crossJoin(F.broadcast(ds))
+        .filter(
+            F.col("rk") == F.expr("CAST(floor(d * n / 10.0) AS BIGINT)")
+        )
+        .groupBy("d")
+        .agg(
+            F.expr(
+                "round(CAST(max(cum) AS DOUBLE) / max(tot), 6)"
+            ).alias("rev_share")
+        )
+        .select(
+            F.col("d").cast("long").alias("decile"),
+            F.expr("round(CAST(d AS DOUBLE) / 10.0, 1)").alias("pop_share"),
+            "rev_share",
+        )
+        .orderBy("decile")
+    )
+
+
+# ---------------------------------------------------------------------------
+# F177 Theil inequality index with between/within-nation decomposition
+# ---------------------------------------------------------------------------
+@register(
+    "customer_theil_decomposition",
+    """
+    WITH c AS (
+        SELECT cu.c_nationkey AS nk,
+               CAST(sum(CAST(round(o.o_totalprice * 100, 0) AS BIGINT))
+                    AS BIGINT) AS rev,
+               o.o_custkey
+        FROM orders o JOIN customer cu ON cu.c_custkey = o.o_custkey
+        GROUP BY cu.c_nationkey, o.o_custkey
+    ),
+    tot AS (
+        SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(rev) AS BIGINT)
+                   AS x
+        FROM c
+    ),
+    per_cust AS (
+        SELECT nk, rev, n, x,
+               sum((CAST(rev AS DOUBLE) / x)
+                   * ln((CAST(rev AS DOUBLE) / x) * n))
+                   OVER (ORDER BY nk, o_custkey
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS cum_t,
+               row_number() OVER (ORDER BY nk, o_custkey) AS rn
+        FROM c CROSS JOIN tot WHERE rev > 0
+    ),
+    t_total AS (
+        SELECT cum_t AS t_tot, n, x FROM per_cust
+        WHERE rn = (SELECT count(*) FROM c WHERE rev > 0)
+    ),
+    per_nat AS (
+        SELECT nk, CAST(count(*) AS BIGINT) AS ng,
+               CAST(sum(rev) AS BIGINT) AS xg
+        FROM c WHERE rev > 0 GROUP BY nk
+    ),
+    t_between AS (
+        SELECT sum((CAST(xg AS DOUBLE) / t.x)
+                   * ln((CAST(xg AS DOUBLE) / t.x)
+                        * (CAST(t.n AS DOUBLE) / ng)))
+                   OVER (ORDER BY nk
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS cum_b,
+               row_number() OVER (ORDER BY nk) AS rn,
+               count(*) OVER () AS k
+        FROM per_nat CROSS JOIN t_total t
+    )
+    SELECT (SELECT n FROM t_total) AS n_customers,
+           round((SELECT t_tot FROM t_total), 6) AS theil_total,
+           round((SELECT cum_b FROM t_between WHERE rn = k), 6)
+               AS theil_between,
+           round((SELECT t_tot FROM t_total)
+                 - (SELECT cum_b FROM t_between WHERE rn = k), 6)
+               AS theil_within
+    FROM (SELECT 1)
+    """,
+    doc="F177 Theil-T inequality index of customer revenue with the "
+    "exact between/within-NATION decomposition — the inequality "
+    "measure that decomposes additively (Gini does not): T = "
+    "sum(s_i ln(s_i N)), T_between over nation revenue shares, "
+    "T_within = T - T_between by the Theil identity (pinned in "
+    "pytest on planted data). Every entropy sum accumulates in "
+    "DETERMINISTIC (nation, custkey) frame order over the customer "
+    "AGGREGATE (F95 device at RFM posture; zero-revenue customers "
+    "excluded as ln's domain requires). One join + reduces + ordered "
+    "windows. Single summary row.",
+)
+def customer_theil_decomposition(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    c = (
+        load(spark, sf_dir, "orders")
+        .join(
+            load(spark, sf_dir, "customer").select(
+                "c_custkey", "c_nationkey"
+            ),
+            F.col("c_custkey") == F.col("o_custkey"),
+        )
+        .groupBy(F.col("c_nationkey").alias("nk"), "o_custkey")
+        .agg(
+            F.sum(
+                F.expr("CAST(round(o_totalprice * 100, 0) AS BIGINT)")
+            ).alias("rev")
+        )
+        .filter(F.col("rev") > 0)
+    )
+    tot = c.agg(
+        F.count(F.lit(1)).alias("n"), F.sum("rev").alias("x")
+    )
+    w_ord = Window.orderBy("nk", "o_custkey").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    w_all = Window.partitionBy().rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    per_cust = c.crossJoin(F.broadcast(tot)).select(
+        "n", "x",
+        F.sum(
+            F.expr(
+                "(CAST(rev AS DOUBLE) / x)"
+                " * ln((CAST(rev AS DOUBLE) / x) * n)"
+            )
+        )
+        .over(w_ord)
+        .alias("cum_t"),
+        F.row_number().over(Window.orderBy("nk", "o_custkey")).alias(
+            "rn"
+        ),
+        F.count(F.lit(1)).over(w_all).alias("cnt"),
+    )
+    t_total = per_cust.filter(F.col("rn") == F.col("cnt")).select(
+        "n", "x", F.col("cum_t").alias("t_tot")
+    )
+    per_nat = c.groupBy("nk").agg(
+        F.count(F.lit(1)).alias("ng"), F.sum("rev").alias("xg")
+    )
+    t_between = (
+        per_nat.crossJoin(F.broadcast(t_total))
+        .select(
+            F.sum(
+                F.expr(
+                    "(CAST(xg AS DOUBLE) / x)"
+                    " * ln((CAST(xg AS DOUBLE) / x)"
+                    " * (CAST(n AS DOUBLE) / ng))"
+                )
+            )
+            .over(
+                Window.orderBy("nk").rowsBetween(
+                    Window.unboundedPreceding, 0
+                )
+            )
+            .alias("cum_b"),
+            F.row_number().over(Window.orderBy("nk")).alias("rn"),
+            F.count(F.lit(1)).over(w_all).alias("k"),
+        )
+        .filter(F.col("rn") == F.col("k"))
+        .select(F.col("cum_b").alias("t_bet"))
+    )
+    return t_total.crossJoin(F.broadcast(t_between)).select(
+        F.col("n").alias("n_customers"),
+        F.round("t_tot", 6).alias("theil_total"),
+        F.round("t_bet", 6).alias("theil_between"),
+        F.expr("round(t_tot - t_bet, 6)").alias("theil_within"),
+    )
