@@ -3171,28 +3171,41 @@ def emb_diverse_exemplars(spark: SparkSession, sf_dir: str) -> DataFrame:
 def docs_audio_window_features(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
-    d = load(spark, sf_dir, "documents").filter(
-        F.length("text") >= 32
+    # Decode the byte stream to an int array ONCE per row (behind a
+    # repartition + lineage barrier — without it Catalyst re-inlines the
+    # transform into every window access, re-running ascii(substring())
+    # 64x per window: 27.8 s -> ~3 s at sf0.1), then every window is an
+    # O(32) integer fold over array slices.
+    v = (
+        load(spark, sf_dir, "documents")
+        .filter(F.length("text") >= 32)
+        .repartition(32, "doc_id")
+        .select(
+            "doc_id",
+            F.expr(
+                "transform(sequence(1, length(text)),"
+                " i -> ascii(substring(text, i, 1)) - 96)"
+            ).alias("v"),
+        )
+        .localCheckpoint(eager=False)
     )
-    w = d.select(
+    w = v.select(
         "doc_id",
-        "text",
+        "v",
         F.explode(
-            F.expr("sequence(1, length(text) - 31, 16)")
+            F.expr("sequence(1, size(v) - 31, 16)")
         ).alias("s"),
     )
-    v = "(ascii(substring(text, i, 1)) - 96)"
-    v1 = "(ascii(substring(text, i + 1, 1)) - 96)"
     return w.select(
         "doc_id",
         (F.col("s") - 1).cast("long").alias("sample_offset"),
         F.expr(
-            f"CAST(aggregate(transform(sequence(s, s + 31),"
-            f" i -> {v} * {v}), 0L, (acc, t) -> acc + t) AS BIGINT)"
+            "CAST(aggregate(slice(v, s, 32), 0L,"
+            " (acc, x) -> acc + CAST(x AS BIGINT) * x) AS BIGINT)"
         ).alias("energy_i64"),
         F.expr(
-            f"CAST(aggregate(transform(sequence(s, s + 30),"
-            f" i -> CASE WHEN {v} * {v1} < 0 THEN 1 ELSE 0 END),"
-            " 0L, (acc, t) -> acc + t) AS BIGINT)"
+            "CAST(aggregate(zip_with(slice(v, s, 31), slice(v, s + 1, 31),"
+            " (a, b) -> CASE WHEN a * b < 0 THEN 1 ELSE 0 END), 0L,"
+            " (acc, t) -> acc + t) AS BIGINT)"
         ).alias("zero_crossings"),
     ).orderBy("doc_id", "sample_offset")
