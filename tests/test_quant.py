@@ -4041,3 +4041,53 @@ def test_lorenz_and_theil_replays(spark):
     )
     tw = sum((sum(g) / xa) * theil(g) for g in (g1, g2))
     assert math.isclose(t_all, tb + tw, rel_tol=1e-12)
+
+
+def test_arch_lm_matches_numpy_replay(spark):
+    """F178: rho and LM equal a numpy replay on sf0.001; planted
+    ARCH(1)-style alternating-volatility data gives a large LM while
+    iid noise stays small."""
+    import math
+
+    import numpy as np
+    import pandas as pd
+
+    from time_series_spark_spark.queries import REGISTRY
+
+    def arch_lm(y):
+        u = np.diff(np.asarray(y, float))
+        s = (u - u.mean()) ** 2
+        a, b = s[1:], s[:-1]
+        n = len(a)
+        num = n * (a * b).sum() - a.sum() * b.sum()
+        den = math.sqrt(
+            (n * (a * a).sum() - a.sum() ** 2)
+            * (n * (b * b).sum() - b.sum() ** 2)
+        )
+        rho = num / den
+        return n, rho, n * rho * rho
+
+    ev = pd.read_parquet("/root/testdata/sf0.001/events.parquet")
+    ev["cents"] = (ev["value"] * 100).round().astype("int64")
+    daily = list(
+        ev.groupby(ev["ts"].dt.floor("D"))["cents"].sum().sort_index()
+    )
+    n, rho, lm = arch_lm(daily)
+    row = (
+        REGISTRY["events_arch_lm_test"]
+        .fn(spark, "/root/testdata/sf0.001")
+        .collect()[0]
+    )
+    assert row["n_pairs"] == n
+    assert math.isclose(row["rho1_sq"], round(rho, 6), abs_tol=1e-6)
+    assert math.isclose(row["arch_lm"], round(lm, 6), rel_tol=1e-4)
+
+    rng = np.random.default_rng(71)
+    # volatility clusters: 50 calm, 50 wild, repeated
+    vol = np.concatenate([
+        np.where(np.arange(400) // 50 % 2 == 0, 1.0, 20.0)
+    ])
+    clustered = np.cumsum(rng.normal(0, 1, 400) * vol)
+    iid = np.cumsum(rng.normal(0, 5, 400))
+    assert arch_lm(clustered)[2] > 20.0
+    assert arch_lm(iid)[2] < 10.0

@@ -10562,3 +10562,112 @@ def customer_theil_decomposition(
         F.round("t_bet", 6).alias("theil_between"),
         F.expr("round(t_tot - t_bet, 6)").alias("theil_within"),
     )
+
+
+# ---------------------------------------------------------------------------
+# F178 ARCH-LM volatility-clustering test (Engle 1982, q = 1)
+# ---------------------------------------------------------------------------
+@register(
+    "events_arch_lm_test",
+    f"""
+    WITH daily AS (
+        SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS d,
+               CAST(sum({_CENTS}) AS BIGINT) AS y
+        FROM events GROUP BY 1
+    ),
+    diffs AS (
+        SELECT d, CAST(y - lag(y) OVER (ORDER BY d) AS BIGINT) AS u
+        FROM daily QUALIFY u IS NOT NULL
+    ),
+    m AS (
+        SELECT CAST(count(*) AS BIGINT) AS nd, CAST(sum(u) AS BIGINT) AS su
+        FROM diffs
+    ),
+    sq AS (
+        SELECT d,
+               (CAST(u AS DOUBLE) - CAST(su AS DOUBLE) / nd)
+               * (CAST(u AS DOUBLE) - CAST(su AS DOUBLE) / nd) AS s
+        FROM diffs CROSS JOIN m
+    ),
+    pairs AS (
+        SELECT d, s, lag(s) OVER (ORDER BY d) AS sp
+        FROM sq QUALIFY sp IS NOT NULL
+    ),
+    acc AS (
+        SELECT count(*) OVER () AS n,
+               sum(s) OVER w AS sx, sum(sp) OVER w AS sy,
+               sum(s * s) OVER w AS sxx, sum(sp * sp) OVER w AS syy,
+               sum(s * sp) OVER w AS sxy,
+               row_number() OVER (ORDER BY d) AS rn
+        FROM pairs
+        WINDOW w AS (ORDER BY d
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    )
+    SELECT CAST(n AS BIGINT) AS n_pairs,
+           round((n * sxy - sx * sy)
+                 / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 6)
+               AS rho1_sq,
+           round(n * ((n * sxy - sx * sy)
+                      / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)))
+                   * ((n * sxy - sx * sy)
+                      / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))),
+                 6) AS arch_lm
+    FROM acc WHERE rn = n
+    """,
+    doc="F178 Engle's ARCH-LM test (q=1) for volatility clustering in "
+    "daily value changes: LM = n * rho^2 where rho is the lag-1 "
+    "autocorrelation of SQUARED demeaned first differences — "
+    "LM ~ chi2(1) under constant conditional variance; a large LM "
+    "says calm and turbulent days cluster (the GARCH-worthiness "
+    "pre-test; F102 Ljung-Box tests the LEVEL series, this tests its "
+    "VARIANCE). First differences are exact BIGINTs; squared "
+    "deviations are doubles with EVERY sum frame-ordered (F95 "
+    "device), shared expression text. Pre-reduces to the calendar "
+    "frame. Single summary row.",
+)
+def events_arch_lm_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    daily = (
+        _events(spark, sf_dir)
+        .groupBy(F.date_trunc("day", F.col("ts")).alias("d"))
+        .agg(F.sum(F.expr(_CENTS)).alias("y"))
+    )
+    w_ord = Window.orderBy("d")
+    diffs = daily.select(
+        "d",
+        (F.col("y") - F.lag("y").over(w_ord)).cast("long").alias("u"),
+    ).filter(F.col("u").isNotNull())
+    m = diffs.agg(
+        F.count(F.lit(1)).alias("nd"), F.sum("u").alias("su")
+    )
+    sq = diffs.crossJoin(F.broadcast(m)).select(
+        "d",
+        F.expr(
+            "(CAST(u AS DOUBLE) - CAST(su AS DOUBLE) / nd)"
+            " * (CAST(u AS DOUBLE) - CAST(su AS DOUBLE) / nd)"
+        ).alias("s"),
+    )
+    pairs = sq.select(
+        "d", "s", F.lag("s").over(w_ord).alias("sp")
+    ).filter(F.col("sp").isNotNull())
+    w_cum = w_ord.rowsBetween(Window.unboundedPreceding, 0)
+    w_all = Window.partitionBy().rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    acc = pairs.select(
+        F.count(F.lit(1)).over(w_all).alias("n"),
+        F.sum("s").over(w_cum).alias("sx"),
+        F.sum("sp").over(w_cum).alias("sy"),
+        F.sum(F.col("s") * F.col("s")).over(w_cum).alias("sxx"),
+        F.sum(F.col("sp") * F.col("sp")).over(w_cum).alias("syy"),
+        F.sum(F.col("s") * F.col("sp")).over(w_cum).alias("sxy"),
+        F.row_number().over(w_ord).alias("rn"),
+    )
+    rho = (
+        "(n * sxy - sx * sy)"
+        " / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))"
+    )
+    return acc.filter(F.col("rn") == F.col("n")).select(
+        F.col("n").cast("long").alias("n_pairs"),
+        F.expr(f"round({rho}, 6)").alias("rho1_sq"),
+        F.expr(f"round(n * ({rho}) * ({rho}), 6)").alias("arch_lm"),
+    )
