@@ -4082,12 +4082,12 @@ def test_arch_lm_matches_numpy_replay(spark):
     assert math.isclose(row["rho1_sq"], round(rho, 6), abs_tol=1e-6)
     assert math.isclose(row["arch_lm"], round(lm, 6), rel_tol=1e-4)
 
-    rng = np.random.default_rng(71)
-    # volatility clusters: 50 calm, 50 wild, repeated
-    vol = np.concatenate([
-        np.where(np.arange(400) // 50 % 2 == 0, 1.0, 20.0)
-    ])
-    clustered = np.cumsum(rng.normal(0, 1, 400) * vol)
-    iid = np.cumsum(rng.normal(0, 5, 400))
-    assert arch_lm(clustered)[2] > 20.0
-    assert arch_lm(iid)[2] < 10.0
+    # separate generators: the two samples must not share one stream
+    # (a draw-order change would silently reseed the other sample)
+    vol = np.where(np.arange(400) // 50 % 2 == 0, 1.0, 20.0)
+    clustered = np.cumsum(
+        np.random.default_rng(71).normal(0, 1, 400) * vol
+    )
+    iid = np.cumsum(np.random.default_rng(71).normal(0, 5, 400))
+    assert arch_lm(clustered)[2] > 15.0
+    assert arch_lm(iid)[2] < 5.0
