@@ -4091,3 +4091,49 @@ def test_arch_lm_matches_numpy_replay(spark):
     iid = np.cumsum(np.random.default_rng(71).normal(0, 5, 400))
     assert arch_lm(clustered)[2] > 15.0
     assert arch_lm(iid)[2] < 5.0
+
+
+def test_cronbach_alpha_matches_numpy_replay(spark):
+    """F179: alpha equals the numpy item/total-variance replay on
+    sf0.001; planted perfectly-parallel items give alpha -> 1 and
+    independent items alpha ~ 0."""
+    import math
+
+    import numpy as np
+    import pandas as pd
+
+    from time_series_spark_spark.queries import REGISTRY
+
+    def alpha(items):  # items: (k, n) matrix
+        items = np.asarray(items, float)
+        k, n = items.shape
+        item_vars = sum(
+            float((r * r).sum() - r.sum() ** 2 / n) for r in items
+        )
+        tot = items.sum(axis=0)
+        tot_var = float((tot * tot).sum() - tot.sum() ** 2 / n)
+        return (k / (k - 1)) * (1 - item_vars / tot_var)
+
+    ev = pd.read_parquet("/root/testdata/sf0.001/events.parquet")
+    types = ["view", "click", "purchase", "signup", "error"]
+    mat = []
+    users = sorted(ev["user_id"].unique())
+    for t in types:
+        cnt = ev[ev["event_type"] == t].groupby("user_id").size()
+        mat.append([int(cnt.get(u, 0)) for u in users])
+    a_ref = alpha(mat)
+    row = (
+        REGISTRY["users_cronbach_alpha"]
+        .fn(spark, "/root/testdata/sf0.001")
+        .collect()[0]
+    )
+    assert row["n_users"] == len(users)
+    assert math.isclose(row["cronbach_alpha"], round(a_ref, 6),
+                        abs_tol=1e-6)
+
+    rng = np.random.default_rng(81)
+    base = rng.normal(0, 10, 300)
+    parallel = [base + rng.normal(0, 0.5, 300) for _ in range(5)]
+    indep = [rng.normal(0, 10, 300) for _ in range(5)]
+    assert alpha(parallel) > 0.98
+    assert abs(alpha(indep)) < 0.35

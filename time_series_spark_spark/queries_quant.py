@@ -10671,3 +10671,106 @@ def events_arch_lm_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(f"round({rho}, 6)").alias("rho1_sq"),
         F.expr(f"round(n * ({rho}) * ({rho}), 6)").alias("arch_lm"),
     )
+
+
+# ---------------------------------------------------------------------------
+# F179 Cronbach's alpha: internal consistency of engagement items
+# ---------------------------------------------------------------------------
+@register(
+    "users_cronbach_alpha",
+    """
+    WITH m AS (
+        SELECT user_id,
+               CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS x1,
+               CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS x2,
+               CAST(sum(CASE WHEN event_type = 'purchase'
+                             THEN 1 ELSE 0 END) AS BIGINT) AS x3,
+               CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS x4,
+               CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS x5
+        FROM events GROUP BY user_id
+    ),
+    s AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(x1) AS BIGINT) AS s1, CAST(sum(x1*x1) AS BIGINT)
+                   AS q1,
+               CAST(sum(x2) AS BIGINT) AS s2, CAST(sum(x2*x2) AS BIGINT)
+                   AS q2,
+               CAST(sum(x3) AS BIGINT) AS s3, CAST(sum(x3*x3) AS BIGINT)
+                   AS q3,
+               CAST(sum(x4) AS BIGINT) AS s4, CAST(sum(x4*x4) AS BIGINT)
+                   AS q4,
+               CAST(sum(x5) AS BIGINT) AS s5, CAST(sum(x5*x5) AS BIGINT)
+                   AS q5,
+               CAST(sum(x1+x2+x3+x4+x5) AS BIGINT) AS st,
+               CAST(sum((x1+x2+x3+x4+x5)*(x1+x2+x3+x4+x5)) AS BIGINT)
+                   AS qt
+        FROM m
+    )
+    SELECT n AS n_users,
+           round((CAST(q1 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / n
+                  + CAST(q2 AS DOUBLE) - CAST(s2 AS DOUBLE) * s2 / n
+                  + CAST(q3 AS DOUBLE) - CAST(s3 AS DOUBLE) * s3 / n
+                  + CAST(q4 AS DOUBLE) - CAST(s4 AS DOUBLE) * s4 / n
+                  + CAST(q5 AS DOUBLE) - CAST(s5 AS DOUBLE) * s5 / n)
+                 / (CAST(qt AS DOUBLE) - CAST(st AS DOUBLE) * st / n), 6)
+               AS item_total_var_ratio,
+           round((5.0 / 4.0)
+                 * (1.0
+                    - (CAST(q1 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / n
+                       + CAST(q2 AS DOUBLE) - CAST(s2 AS DOUBLE) * s2 / n
+                       + CAST(q3 AS DOUBLE) - CAST(s3 AS DOUBLE) * s3 / n
+                       + CAST(q4 AS DOUBLE) - CAST(s4 AS DOUBLE) * s4 / n
+                       + CAST(q5 AS DOUBLE) - CAST(s5 AS DOUBLE) * s5 / n)
+                      / (CAST(qt AS DOUBLE) - CAST(st AS DOUBLE) * st / n)),
+                 6) AS cronbach_alpha
+    FROM s
+    """,
+    doc="F179 Cronbach's alpha over the five per-user engagement items "
+    "(counts of each event type): alpha = k/(k-1) * (1 - sum(item "
+    "variances)/variance(total)) — the internal-consistency "
+    "reliability of treating 'engagement' as one scale (alpha near 1 "
+    "= the items co-move and a composite score is meaningful; near 0 "
+    "= they measure different things; the psychometrics standard "
+    "imported to product scoring). Every variance is assembled from "
+    "EXACT BIGINT power sums (q - s^2/n, the F149 device; bound "
+    "sum(total^2) < 2^63 while per-user events < ~3e6 — noted). One "
+    "user reduce + one 12-sum reduce; single summary row.",
+)
+def users_cronbach_alpha(spark: SparkSession, sf_dir: str) -> DataFrame:
+    types = ["view", "click", "purchase", "signup", "error"]
+    m = _events(spark, sf_dir).groupBy("user_id").agg(
+        *[
+            F.sum(
+                F.when(F.col("event_type") == t, 1).otherwise(0)
+            ).alias(f"x{i+1}")
+            for i, t in enumerate(types)
+        ]
+    )
+    tot = " + ".join(f"x{i+1}" for i in range(5))
+    aggs = [F.count(F.lit(1)).alias("n")]
+    for i in range(5):
+        aggs.append(F.sum(f"x{i+1}").alias(f"s{i+1}"))
+        aggs.append(
+            F.sum(F.col(f"x{i+1}") * F.col(f"x{i+1}")).alias(f"q{i+1}")
+        )
+    aggs.append(F.sum(F.expr(tot)).alias("st"))
+    aggs.append(F.sum(F.expr(f"({tot}) * ({tot})")).alias("qt"))
+    s = m.agg(*aggs)
+    item_vars = " + ".join(
+        f"CAST(q{i+1} AS DOUBLE) - CAST(s{i+1} AS DOUBLE) * s{i+1} / n"
+        for i in range(5)
+    )
+    tot_var = "CAST(qt AS DOUBLE) - CAST(st AS DOUBLE) * st / n"
+    return s.select(
+        F.col("n").alias("n_users"),
+        F.expr(f"round(({item_vars}) / ({tot_var}), 6)").alias(
+            "item_total_var_ratio"
+        ),
+        F.expr(
+            f"round((5.0 / 4.0) * (1.0 - ({item_vars}) / ({tot_var})), 6)"
+        ).alias("cronbach_alpha"),
+    )
