@@ -4137,3 +4137,72 @@ def test_cronbach_alpha_matches_numpy_replay(spark):
     indep = [rng.normal(0, 10, 300) for _ in range(5)]
     assert alpha(parallel) > 0.98
     assert abs(alpha(indep)) < 0.35
+
+
+def test_renewal_and_mix_divergence_replays(spark):
+    """F180/F181: QQ correlation equals a numpy replay (and planted
+    exponential gaps give r near 1 while constant gaps do not); daily
+    KL equals a Counter replay and is ~0 for a day drawn at the
+    global mix."""
+    import math
+
+    import numpy as np
+    import pandas as pd
+
+    from time_series_spark_spark.queries import REGISTRY
+
+    def qq_corr(gaps):
+        x = np.sort(np.asarray(gaps, float))
+        n = len(x)
+        y = -np.log(1.0 - (np.arange(1, n + 1) - 0.5) / n)
+        num = n * (x * y).sum() - x.sum() * y.sum()
+        den = math.sqrt(
+            (n * (x * x).sum() - x.sum() ** 2)
+            * (n * (y * y).sum() - y.sum() ** 2)
+        )
+        return num / den
+
+    od = pd.read_parquet("/root/testdata/sf0.001/orders.parquet")
+    od = od.sort_values(["o_orderdate", "o_orderkey"])
+    gaps = []
+    for _, g in od.groupby("o_custkey"):
+        ds = list(g["o_orderdate"])
+        gaps += [
+            (b - a).days for a, b in zip(ds, ds[1:]) if (b - a).days > 0
+        ]
+    row = (
+        REGISTRY["orders_cadence_renewal_check"]
+        .fn(spark, "/root/testdata/sf0.001")
+        .collect()[0]
+    )
+    assert row["n_gaps"] == len(gaps)
+    assert math.isclose(
+        row["qq_corr_exponential"], round(qq_corr(gaps), 6), abs_tol=1e-6
+    )
+    rng = np.random.default_rng(91)
+    expo = np.ceil(rng.exponential(30, 5000))
+    const = np.full(5000, 30.0)
+    assert qq_corr(expo) > 0.98
+    assert math.isnan(qq_corr(const)) or qq_corr(const) < 0.5
+
+    ev = pd.read_parquet("/root/testdata/sf0.001/events.parquet")
+    d = ev["ts"].dt.floor("D")
+    glob = ev["event_type"].value_counts()
+    n = len(ev)
+    rows = {
+        r["d"]: r
+        for r in REGISTRY["events_daily_mix_divergence"]
+        .fn(spark, "/root/testdata/sf0.001")
+        .collect()
+    }
+    for day, g in ev.groupby(d):
+        cnt = g["event_type"].value_counts()
+        nd = len(g)
+        kl = sum(
+            (c / nd) * math.log((c / nd) / (glob[t] / n))
+            for t, c in cnt.items()
+        )
+        r = rows[day.to_pydatetime()]
+        assert r["n_events"] == nd
+        assert math.isclose(r["kl_nats"], round(kl, 6), abs_tol=1e-6)
+        assert r["kl_nats"] >= -1e-9  # KL(day||global) can dip 0- only by rounding

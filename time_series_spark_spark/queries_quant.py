@@ -10774,3 +10774,220 @@ def users_cronbach_alpha(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"round((5.0 / 4.0) * (1.0 - ({item_vars}) / ({tot_var})), 6)"
         ).alias("cronbach_alpha"),
     )
+
+
+# ---------------------------------------------------------------------------
+# F180 renewal check: exponential QQ correlation of order interarrivals
+# ---------------------------------------------------------------------------
+@register(
+    "orders_cadence_renewal_check",
+    """
+    WITH ia AS (
+        SELECT CAST(datediff('day', lag(o_orderdate) OVER w, o_orderdate)
+                    AS BIGINT) AS gap
+        FROM orders
+        WINDOW w AS (PARTITION BY o_custkey
+                     ORDER BY o_orderdate, o_orderkey)
+        QUALIFY gap IS NOT NULL AND gap > 0
+    ),
+    r AS (
+        SELECT gap,
+               CAST(row_number() OVER (ORDER BY gap) AS BIGINT) AS rk,
+               CAST(count(*) OVER () AS BIGINT) AS n
+        FROM ia
+    ),
+    q AS (
+        SELECT gap, rk, n,
+               -ln(1.0 - (rk - 0.5) / n) AS eq
+        FROM r
+    ),
+    acc AS (
+        SELECT n,
+               sum(CAST(gap AS DOUBLE)) OVER w AS sx,
+               sum(eq) OVER w AS sy,
+               sum(CAST(gap AS DOUBLE) * gap) OVER w AS sxx,
+               sum(eq * eq) OVER w AS syy,
+               sum(CAST(gap AS DOUBLE) * eq) OVER w AS sxy,
+               row_number() OVER (ORDER BY rk) AS rn
+        FROM q
+        WINDOW w AS (ORDER BY rk
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    )
+    SELECT CAST(n AS BIGINT) AS n_gaps,
+           round((n * sxy - sx * sy)
+                 / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 6)
+               AS qq_corr_exponential
+    FROM acc WHERE rn = n
+    """,
+    doc="F180 renewal-process check on customer order cadence: the QQ "
+    "correlation between sorted positive interarrival days and "
+    "exponential plotting positions -ln(1-(i-1/2)/n) — r near 1 says "
+    "reorder gaps are memoryless (a Poisson renewal process, so "
+    "'time since last order' carries no churn signal); materially "
+    "lower r says aging matters and F107/F123's hazard machinery is "
+    "the right model. Gaps are exact integer days from one lag "
+    "window; ranks exact; every fp sum frame-ordered in rank order "
+    "(F95 device) with shared ln text. Single summary row.",
+)
+def orders_cadence_renewal_check(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    ia = (
+        load(spark, sf_dir, "orders")
+        .select(
+            F.expr(
+                "CAST(datediff(o_orderdate, lag(o_orderdate) OVER ("
+                "PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey"
+                ")) AS BIGINT)"
+            ).alias("gap")
+        )
+        .filter(F.col("gap").isNotNull() & (F.col("gap") > 0))
+    )
+    w_all = W.partitionBy().rowsBetween(
+        W.unboundedPreceding, W.unboundedFollowing
+    )
+    r = ia.select(
+        "gap",
+        F.row_number().over(W.orderBy("gap")).cast("long").alias("rk"),
+        F.count(F.lit(1)).over(w_all).alias("n"),
+    )
+    q = r.select(
+        "gap", "rk", "n",
+        F.expr("-ln(1.0 - (rk - 0.5) / n)").alias("eq"),
+    )
+    w_cum = W.orderBy("rk").rowsBetween(W.unboundedPreceding, 0)
+    acc = q.select(
+        "n",
+        F.sum(F.expr("CAST(gap AS DOUBLE)")).over(w_cum).alias("sx"),
+        F.sum("eq").over(w_cum).alias("sy"),
+        F.sum(F.expr("CAST(gap AS DOUBLE) * gap")).over(w_cum).alias(
+            "sxx"
+        ),
+        F.sum(F.col("eq") * F.col("eq")).over(w_cum).alias("syy"),
+        F.sum(F.expr("CAST(gap AS DOUBLE) * eq")).over(w_cum).alias(
+            "sxy"
+        ),
+        F.row_number().over(W.orderBy("rk")).alias("rn"),
+    )
+    return acc.filter(F.col("rn") == F.col("n")).select(
+        F.col("n").cast("long").alias("n_gaps"),
+        F.expr(
+            "round((n * sxy - sx * sy)"
+            " / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 6)"
+        ).alias("qq_corr_exponential"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# F181 daily type-mix KL divergence from the corpus mix
+# ---------------------------------------------------------------------------
+@register(
+    "events_daily_mix_divergence",
+    """
+    WITH cell AS (
+        SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS d, event_type,
+               CAST(count(*) AS BIGINT) AS c
+        FROM events GROUP BY 1, 2
+    ),
+    day_tot AS (
+        SELECT d, CAST(sum(c) AS BIGINT) AS nd FROM cell GROUP BY d
+    ),
+    gl AS (
+        SELECT event_type, CAST(sum(c) AS BIGINT) AS g,
+               CAST(sum(sum(c)) OVER () AS BIGINT) AS n
+        FROM cell GROUP BY event_type
+    ),
+    kl AS (
+        SELECT cell.d,
+               sum((CAST(c AS DOUBLE) / nd)
+                   * ln((CAST(c AS DOUBLE) / nd)
+                        / (CAST(g AS DOUBLE) / n)))
+                   OVER (PARTITION BY cell.d ORDER BY cell.event_type
+                         ROWS BETWEEN UNBOUNDED PRECEDING
+                         AND CURRENT ROW) AS cum_kl,
+               row_number() OVER (PARTITION BY cell.d
+                                  ORDER BY cell.event_type) AS rn,
+               count(*) OVER (PARTITION BY cell.d) AS k,
+               max(nd) OVER (PARTITION BY cell.d) AS nd
+        FROM cell
+        JOIN day_tot ON day_tot.d = cell.d
+        JOIN gl ON gl.event_type = cell.event_type
+    )
+    SELECT d, CAST(nd AS BIGINT) AS n_events,
+           round(cum_kl, 6) AS kl_nats
+    FROM kl WHERE rn = k ORDER BY d
+    """,
+    doc="F181 per-day KL divergence of the event-type mix from the "
+    "corpus-wide mix: KL(day || global) in nats — the composition-"
+    "shift trace that catches a day whose VOLUME looks normal but "
+    "whose mix is off (error storms, bot floods; the daily companion "
+    "to F63's PSI which needs binned numerics). Counts exact; the "
+    "per-day entropy sum accumulates in DETERMINISTIC type order "
+    "over the bounded k-types frame (F128 device; absent types "
+    "contribute their true limit 0). One contingency reduce + "
+    "bounded windows. One row per day.",
+)
+def events_daily_mix_divergence(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    cell = _events(spark, sf_dir).groupBy(
+        F.date_trunc("day", F.col("ts")).alias("d"), "event_type"
+    ).agg(F.count(F.lit(1)).alias("c"))
+    day_tot = cell.groupBy("d").agg(F.sum("c").alias("nd"))
+    w_all = W.partitionBy().rowsBetween(
+        W.unboundedPreceding, W.unboundedFollowing
+    )
+    gl = cell.groupBy("event_type").agg(F.sum("c").alias("g"))
+    gl = gl.select(
+        "event_type", "g", F.sum("g").over(w_all).alias("n")
+    )
+    wd = W.partitionBy("d")
+    kl = (
+        cell.join(day_tot, "d")
+        .join(F.broadcast(gl), "event_type")
+        .select(
+            "d",
+            F.sum(
+                F.expr(
+                    "(CAST(c AS DOUBLE) / nd)"
+                    " * ln((CAST(c AS DOUBLE) / nd)"
+                    " / (CAST(g AS DOUBLE) / n))"
+                )
+            )
+            .over(
+                wd.orderBy("event_type").rowsBetween(
+                    W.unboundedPreceding, 0
+                )
+            )
+            .alias("cum_kl"),
+            F.row_number().over(wd.orderBy("event_type")).alias("rn"),
+            F.count(F.lit(1))
+            .over(
+                wd.rowsBetween(
+                    W.unboundedPreceding, W.unboundedFollowing
+                )
+            )
+            .alias("k"),
+            F.max("nd")
+            .over(
+                wd.rowsBetween(
+                    W.unboundedPreceding, W.unboundedFollowing
+                )
+            )
+            .alias("nd"),
+        )
+    )
+    return (
+        kl.filter(F.col("rn") == F.col("k"))
+        .select(
+            "d",
+            F.col("nd").cast("long").alias("n_events"),
+            F.round("cum_kl", 6).alias("kl_nats"),
+        )
+        .orderBy("d")
+    )
