@@ -4206,3 +4206,53 @@ def test_renewal_and_mix_divergence_replays(spark):
         assert r["n_events"] == nd
         assert math.isclose(r["kl_nats"], round(kl, 6), abs_tol=1e-6)
         assert r["kl_nats"] >= -1e-9  # KL(day||global) can dip 0- only by rounding
+
+
+def test_weibull_fit_matches_numpy_replay(spark):
+    """F182: shape/scale equal the numpy rank-regression replay on
+    sf0.001, and the fit RECOVERS planted Weibull parameters
+    (k=0.8 and k=2.5) within sampling error."""
+    import math
+
+    import numpy as np
+    import pandas as pd
+
+    from time_series_spark_spark.queries import REGISTRY
+
+    def weibull_fit(ts):
+        x = np.log(np.sort(np.asarray(ts, float)))
+        n = len(x)
+        f = (np.arange(1, n + 1) - 0.3) / (n + 0.4)
+        y = np.log(-np.log(1.0 - f))
+        k = (n * (x * y).sum() - x.sum() * y.sum()) / (
+            n * (x * x).sum() - x.sum() ** 2
+        )
+        intercept = (y.sum() - k * x.sum()) / n
+        return k, math.exp(-intercept / k)
+
+    ev = pd.read_parquet("/root/testdata/sf0.001/events.parquet")
+    per_u = ev.groupby("user_id")["ts"].agg(["min", "max"])
+    horizon = ev["ts"].max().floor("D")
+    died = (horizon - per_u["max"].dt.floor("D")).dt.days > 0
+    t = (
+        (per_u["max"].dt.floor("D") - per_u["min"].dt.floor("D")).dt.days
+        + 1
+    )[died]
+    k_ref, lam_ref = weibull_fit(list(t))
+    row = (
+        REGISTRY["users_weibull_lifetime_fit"]
+        .fn(spark, "/root/testdata/sf0.001")
+        .collect()[0]
+    )
+    assert row["n_churned"] == int(died.sum())
+    assert math.isclose(row["weibull_shape_k"], round(k_ref, 6),
+                        abs_tol=1e-6)
+    assert math.isclose(row["weibull_scale_days"], round(lam_ref, 4),
+                        rel_tol=1e-6)
+
+    rng = np.random.default_rng(97)
+    for k_true in (0.8, 2.5):
+        sample = 100.0 * rng.weibull(k_true, 20000)
+        k_est, lam_est = weibull_fit(sample[sample > 0])
+        assert abs(k_est - k_true) / k_true < 0.05
+        assert abs(lam_est - 100.0) / 100.0 < 0.05

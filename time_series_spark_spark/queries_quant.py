@@ -10991,3 +10991,118 @@ def events_daily_mix_divergence(
         )
         .orderBy("d")
     )
+
+
+# ---------------------------------------------------------------------------
+# F182 Weibull plot fit of churned-user lifetimes (rank regression)
+# ---------------------------------------------------------------------------
+@register(
+    "users_weibull_lifetime_fit",
+    """
+    WITH bounds AS (
+        SELECT CAST(date_trunc('day', max(ts)) AS TIMESTAMP) AS horizon
+        FROM events
+    ),
+    u AS (
+        SELECT user_id,
+               CAST(date_trunc('day', min(ts)) AS TIMESTAMP) AS first_d,
+               CAST(date_trunc('day', max(ts)) AS TIMESTAMP) AS last_d
+        FROM events GROUP BY user_id
+    ),
+    died AS (
+        SELECT CAST(datediff('day', first_d, last_d) + 1 AS BIGINT) AS t
+        FROM u CROSS JOIN bounds
+        WHERE datediff('day', last_d, horizon) > 0
+    ),
+    r AS (
+        SELECT t,
+               CAST(row_number() OVER (ORDER BY t) AS BIGINT) AS rk,
+               CAST(count(*) OVER () AS BIGINT) AS n
+        FROM died
+    ),
+    xy AS (
+        SELECT ln(CAST(t AS DOUBLE)) AS x,
+               ln(-ln(1.0 - (rk - 0.3) / (n + 0.4))) AS y,
+               rk, n
+        FROM r
+    ),
+    acc AS (
+        SELECT n,
+               sum(x) OVER w AS sx, sum(y) OVER w AS sy,
+               sum(x * x) OVER w AS sxx, sum(x * y) OVER w AS sxy,
+               row_number() OVER (ORDER BY rk) AS rn
+        FROM xy
+        WINDOW w AS (ORDER BY rk
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    )
+    SELECT CAST(n AS BIGINT) AS n_churned,
+           round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6)
+               AS weibull_shape_k,
+           round(exp(-((sy - ((n * sxy - sx * sy)
+                              / (n * sxx - sx * sx)) * sx) / n)
+                     / ((n * sxy - sx * sy) / (n * sxx - sx * sx))), 4)
+               AS weibull_scale_days
+    FROM acc WHERE rn = n
+    """,
+    doc="F182 Weibull plot fit of CHURNED user lifetimes (rank "
+    "regression / median-rank probability plotting, the reliability-"
+    "engineering standard): ln(-ln(1-F_i)) on ln(t_i) with Bernard "
+    "median ranks (i-0.3)/(n+0.4) is linear iff lifetimes are "
+    "Weibull; the slope IS the shape k (k < 1 = infant mortality — "
+    "churn risk is highest right after signup; k > 1 = wear-out) and "
+    "exp(-intercept/k) the scale — the PARAMETRIC summary beside the "
+    "nonparametric F107/F123/F144 family, fit only on uncensored "
+    "users. Lifetimes exact integer days (+1 so single-day users "
+    "keep ln finite); ranks exact; every fp sum frame-ordered with "
+    "shared ln/exp text. Single summary row.",
+)
+def users_weibull_lifetime_fit(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    ev = _events(spark, sf_dir)
+    bounds = ev.agg(F.date_trunc("day", F.max("ts")).alias("horizon"))
+    u = ev.groupBy("user_id").agg(
+        F.date_trunc("day", F.min("ts")).alias("first_d"),
+        F.date_trunc("day", F.max("ts")).alias("last_d"),
+    )
+    died = (
+        u.crossJoin(F.broadcast(bounds))
+        .filter(F.expr("datediff(horizon, last_d) > 0"))
+        .select(
+            F.expr(
+                "CAST(datediff(last_d, first_d) + 1 AS BIGINT)"
+            ).alias("t")
+        )
+    )
+    w_all = W.partitionBy().rowsBetween(
+        W.unboundedPreceding, W.unboundedFollowing
+    )
+    r = died.select(
+        "t",
+        F.row_number().over(W.orderBy("t")).cast("long").alias("rk"),
+        F.count(F.lit(1)).over(w_all).alias("n"),
+    )
+    xy = r.select(
+        "rk", "n",
+        F.expr("ln(CAST(t AS DOUBLE))").alias("x"),
+        F.expr("ln(-ln(1.0 - (rk - 0.3) / (n + 0.4)))").alias("y"),
+    )
+    w_cum = W.orderBy("rk").rowsBetween(W.unboundedPreceding, 0)
+    acc = xy.select(
+        "n",
+        F.sum("x").over(w_cum).alias("sx"),
+        F.sum("y").over(w_cum).alias("sy"),
+        F.sum(F.col("x") * F.col("x")).over(w_cum).alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).over(w_cum).alias("sxy"),
+        F.row_number().over(W.orderBy("rk")).alias("rn"),
+    )
+    slope = "(n * sxy - sx * sy) / (n * sxx - sx * sx)"
+    return acc.filter(F.col("rn") == F.col("n")).select(
+        F.col("n").cast("long").alias("n_churned"),
+        F.expr(f"round({slope}, 6)").alias("weibull_shape_k"),
+        F.expr(
+            f"round(exp(-((sy - ({slope}) * sx) / n) / ({slope})), 4)"
+        ).alias("weibull_scale_days"),
+    )
