@@ -4238,17 +4238,41 @@ def test_weibull_fit_matches_numpy_replay(spark):
         (per_u["max"].dt.floor("D") - per_u["min"].dt.floor("D")).dt.days
         + 1
     )[died]
-    k_ref, lam_ref = weibull_fit(list(t))
     row = (
         REGISTRY["users_weibull_lifetime_fit"]
         .fn(spark, "/root/testdata/sf0.001")
         .collect()[0]
     )
     assert row["n_churned"] == int(died.sum())
-    assert math.isclose(row["weibull_shape_k"], round(k_ref, 6),
-                        abs_tol=1e-6)
-    assert math.isclose(row["weibull_scale_days"], round(lam_ref, 4),
-                        rel_tol=1e-6)
+    if len(t) < 3 or len(set(t)) == 1:  # sf0.001: one churned user
+        assert row["weibull_shape_k"] is None
+        assert row["weibull_scale_days"] is None
+    else:
+        k_ref, lam_ref = weibull_fit(list(t))
+        assert math.isclose(row["weibull_shape_k"], round(k_ref, 6),
+                            abs_tol=1e-6)
+        assert math.isclose(row["weibull_scale_days"], round(lam_ref, 4),
+                            rel_tol=1e-6)
+    # the non-degenerate path is exercised at sf0.01
+    per_u2 = (
+        pd.read_parquet("/root/testdata/sf0.01/events.parquet")
+        .groupby("user_id")["ts"].agg(["min", "max"])
+    )
+    h2 = per_u2["max"].max().floor("D")
+    died2 = (h2 - per_u2["max"].dt.floor("D")).dt.days > 0
+    t2 = (
+        (per_u2["max"].dt.floor("D") - per_u2["min"].dt.floor("D")).dt.days
+        + 1
+    )[died2]
+    if len(t2) >= 3 and len(set(t2)) > 1:
+        k2, lam2 = weibull_fit(list(t2))
+        row2 = (
+            REGISTRY["users_weibull_lifetime_fit"]
+            .fn(spark, "/root/testdata/sf0.01")
+            .collect()[0]
+        )
+        assert math.isclose(row2["weibull_shape_k"], round(k2, 6),
+                            abs_tol=1e-6)
 
     rng = np.random.default_rng(97)
     for k_true in (0.8, 2.5):

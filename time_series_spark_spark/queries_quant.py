@@ -11036,12 +11036,14 @@ def events_daily_mix_divergence(
                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
     )
     SELECT CAST(n AS BIGINT) AS n_churned,
-           round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6)
-               AS weibull_shape_k,
-           round(exp(-((sy - ((n * sxy - sx * sy)
+           CASE WHEN n < 3 OR n * sxx - sx * sx = 0 THEN NULL
+                ELSE round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6)
+                END AS weibull_shape_k,
+           CASE WHEN n < 3 OR n * sxx - sx * sx = 0 THEN NULL
+                ELSE round(exp(-((sy - ((n * sxy - sx * sy)
                               / (n * sxx - sx * sx)) * sx) / n)
                      / ((n * sxy - sx * sy) / (n * sxx - sx * sx))), 4)
-               AS weibull_scale_days
+                END AS weibull_scale_days
     FROM acc WHERE rn = n
     """,
     doc="F182 Weibull plot fit of CHURNED user lifetimes (rank "
@@ -11099,10 +11101,15 @@ def users_weibull_lifetime_fit(
         F.row_number().over(W.orderBy("rk")).alias("rn"),
     )
     slope = "(n * sxy - sx * sy) / (n * sxx - sx * sx)"
+    guard = "n < 3 OR n * sxx - sx * sx = 0"
     return acc.filter(F.col("rn") == F.col("n")).select(
         F.col("n").cast("long").alias("n_churned"),
-        F.expr(f"round({slope}, 6)").alias("weibull_shape_k"),
         F.expr(
-            f"round(exp(-((sy - ({slope}) * sx) / n) / ({slope})), 4)"
+            f"CASE WHEN {guard} THEN NULL ELSE round({slope}, 6) END"
+        ).alias("weibull_shape_k"),
+        F.expr(
+            f"CASE WHEN {guard} THEN NULL"
+            f" ELSE round(exp(-((sy - ({slope}) * sx) / n)"
+            f" / ({slope})), 4) END"
         ).alias("weibull_scale_days"),
     )
