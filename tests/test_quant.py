@@ -4280,3 +4280,66 @@ def test_weibull_fit_matches_numpy_replay(spark):
         k_est, lam_est = weibull_fit(sample[sample > 0])
         assert abs(k_est - k_true) / k_true < 0.05
         assert abs(lam_est - 100.0) / 100.0 < 0.05
+
+
+def test_market_model_and_tuw_replays(spark):
+    """F183/F184: betas equal the numpy OLS replay (and value-weighted
+    betas average to 1 — the market identity); time-under-water
+    equals a running-peak replay and resets to 0 on every new peak."""
+    import math
+
+    import numpy as np
+    import pandas as pd
+
+    from time_series_spark_spark.queries import REGISTRY
+
+    ev = pd.read_parquet("/root/testdata/sf0.001/events.parquet")
+    ev["cents"] = (ev["value"] * 100).round().astype("int64")
+    d = ev["ts"].dt.floor("D")
+    cell = ev.groupby([d, "event_type"])["cents"].sum().unstack(
+        fill_value=0
+    )
+    mkt = cell.sum(axis=1)
+    rows = {
+        r["event_type"]: r
+        for r in REGISTRY["events_market_model_betas"]
+        .fn(spark, "/root/testdata/sf0.001")
+        .collect()
+    }
+    for t in cell.columns:
+        x, y = mkt.to_numpy(float), cell[t].to_numpy(float)
+        # query joins only days where the TYPE has rows; all types
+        # active daily in this corpus -> frames align
+        n = len(x)
+        beta = (n * (x * y).sum() - x.sum() * y.sum()) / (
+            n * (x * x).sum() - x.sum() ** 2
+        )
+        r = rows[t]
+        assert r["n_days"] == n
+        assert math.isclose(r["beta"], round(beta, 6), abs_tol=1e-6)
+    # identity: sum of per-type covariances equals market variance, so
+    # the betas of all types sum to 1 when every type is active daily
+    assert math.isclose(
+        sum(r["beta"] for r in rows.values()), 1.0, abs_tol=1e-4
+    )
+
+    od = pd.read_parquet("/root/testdata/sf0.001/orders.parquet")
+    od["cents"] = (od["o_totalprice"] * 100).round().astype("int64")
+    daily = od.groupby(od["o_orderdate"].dt.floor("D"))["cents"].sum()
+    daily = daily.sort_index()
+    peak = daily.cummax()
+    tuw_rows = sorted(
+        REGISTRY["orders_time_under_water"]
+        .fn(spark, "/root/testdata/sf0.001")
+        .collect(),
+        key=lambda r: r["d"],
+    )
+    count = 0
+    for r, (day, v) in zip(tuw_rows, daily.items()):
+        assert r["rev_cents"] == v
+        assert r["peak_cents"] == peak[day]
+        if v == peak[day]:
+            count = 0
+        else:
+            count += 1
+        assert r["days_under_water"] == count

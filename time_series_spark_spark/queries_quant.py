@@ -11113,3 +11113,176 @@ def users_weibull_lifetime_fit(
             f" / ({slope})), 4) END"
         ).alias("weibull_scale_days"),
     )
+
+
+# ---------------------------------------------------------------------------
+# F183 market-model regression: per-type beta to the aggregate
+# ---------------------------------------------------------------------------
+@register(
+    "events_market_model_betas",
+    f"""
+    WITH cell AS (
+        SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS d, event_type,
+               CAST(sum({_CENTS}) AS BIGINT) AS v
+        FROM events GROUP BY 1, 2
+    ),
+    mkt AS (
+        SELECT d, CAST(sum(v) AS BIGINT) AS m FROM cell GROUP BY d
+    ),
+    s AS (
+        SELECT event_type,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(v) AS BIGINT) AS sv,
+               CAST(sum(m) AS BIGINT) AS sm,
+               CAST(sum(v * m) AS BIGINT) AS svm,
+               CAST(sum(m * m) AS BIGINT) AS smm,
+               CAST(sum(v * v) AS BIGINT) AS svv
+        FROM cell JOIN mkt ON mkt.d = cell.d
+        GROUP BY event_type
+    )
+    SELECT event_type, n AS n_days,
+           round(CAST(n * svm - sv * sm AS DOUBLE)
+                 / (n * smm - sm * sm), 6) AS beta,
+           round((CAST(sv AS DOUBLE)
+                  - (CAST(n * svm - sv * sm AS DOUBLE)
+                     / (n * smm - sm * sm)) * sm) / n, 4) AS alpha_cents,
+           round((CAST(n * svm - sv * sm AS DOUBLE)
+                  * (n * svm - sv * sm))
+                 / (CAST(n * smm - sm * sm AS DOUBLE)
+                    * (n * svv - sv * sv)), 6) AS r2
+    FROM s ORDER BY event_type
+    """,
+    doc="F183 market-model regression per event type: daily type "
+    "revenue on the daily AGGREGATE (the 'market'), reporting beta "
+    "(systematic sensitivity — beta > 1 amplifies corpus-wide "
+    "swings), alpha (idiosyncratic level) and R^2 (how much of the "
+    "type's variance the aggregate explains) — the portfolio-"
+    "analytics decomposition applied to revenue streams, feeding "
+    "mix-shift risk (a high-beta type dominates drawdowns). All "
+    "moments are EXACT BIGINT power sums (F149 device; v*m ~ "
+    "daily-cents^2 < 2^63 while daily totals stay under ~3e9 cents "
+    "- noted); one shared fp expression per column. Two reduces + a "
+    "day-frame join. One row per type.",
+)
+def events_market_model_betas(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    cell = _events(spark, sf_dir).groupBy(
+        F.date_trunc("day", F.col("ts")).alias("d"), "event_type"
+    ).agg(F.sum(F.expr(_CENTS)).alias("v"))
+    mkt = cell.groupBy("d").agg(F.sum("v").alias("m"))
+    s = (
+        cell.join(mkt, "d")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("v").alias("sv"),
+            F.sum("m").alias("sm"),
+            F.sum(F.col("v") * F.col("m")).alias("svm"),
+            F.sum(F.col("m") * F.col("m")).alias("smm"),
+            F.sum(F.col("v") * F.col("v")).alias("svv"),
+        )
+    )
+    beta = "CAST(n * svm - sv * sm AS DOUBLE) / (n * smm - sm * sm)"
+    return s.select(
+        "event_type",
+        F.col("n").alias("n_days"),
+        F.expr(f"round({beta}, 6)").alias("beta"),
+        F.expr(
+            f"round((CAST(sv AS DOUBLE) - ({beta}) * sm) / n, 4)"
+        ).alias("alpha_cents"),
+        F.expr(
+            "round((CAST(n * svm - sv * sm AS DOUBLE)"
+            " * (n * svm - sv * sm))"
+            " / (CAST(n * smm - sm * sm AS DOUBLE)"
+            " * (n * svv - sv * sv)), 6)"
+        ).alias("r2"),
+    ).orderBy("event_type")
+
+
+# ---------------------------------------------------------------------------
+# F184 time under water: drawdown duration per day
+# ---------------------------------------------------------------------------
+@register(
+    "orders_time_under_water",
+    """
+    WITH d AS (
+        SELECT CAST(date_trunc('day', o_orderdate) AS TIMESTAMP) AS d,
+               CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT))
+                    AS BIGINT) AS v
+        FROM orders GROUP BY 1
+    ),
+    peaks AS (
+        SELECT d, v,
+               CAST(max(v) OVER (ORDER BY d
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS peak
+        FROM d
+    ),
+    flagged AS (
+        SELECT d, v, peak,
+               CASE WHEN v = peak THEN 1 ELSE 0 END AS at_peak,
+               CAST(sum(CASE WHEN v = peak THEN 1 ELSE 0 END)
+                    OVER (ORDER BY d
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND CURRENT ROW) AS BIGINT) AS epoch
+        FROM peaks
+    ),
+    tuw AS (
+        SELECT d, v, peak, at_peak,
+               CAST(row_number() OVER (PARTITION BY epoch ORDER BY d) - 1
+                    AS BIGINT) AS days_under_water
+        FROM flagged
+    )
+    SELECT d, v AS rev_cents, peak AS peak_cents, days_under_water
+    FROM tuw ORDER BY d
+    """,
+    doc="F184 time under water: for each day, how many consecutive days "
+    "daily revenue has sat below its running all-time peak — the "
+    "DURATION dimension of drawdown risk the F-series drawdown-depth "
+    "report lacks (a shallow 6-month slump and a deep 2-day dip are "
+    "different failures). The running peak is an exact integer "
+    "prefix max; peak days open a new epoch via an exact integer "
+    "cumulative flag (gaps-and-islands), and days-under-water is "
+    "the 0-based position within the epoch. Pure integer windows "
+    "over the calendar frame. One row per day.",
+)
+def orders_time_under_water(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "orders").groupBy(
+        F.date_trunc("day", F.col("o_orderdate")).alias("d")
+    ).agg(
+        F.sum(
+            F.expr("CAST(round(o_totalprice * 100, 0) AS BIGINT)")
+        ).alias("v")
+    )
+    w_cum = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, 0)
+    peaks = d.select(
+        "d", "v", F.max("v").over(w_cum).cast("long").alias("peak")
+    )
+    flagged = peaks.select(
+        "d", "v", "peak",
+        F.when(F.col("v") == F.col("peak"), 1).otherwise(0).alias(
+            "at_peak"
+        ),
+        F.sum(F.when(F.col("v") == F.col("peak"), 1).otherwise(0))
+        .over(w_cum)
+        .cast("long")
+        .alias("epoch"),
+    )
+    tuw = flagged.select(
+        "d", "v", "peak",
+        (
+            F.row_number().over(
+                Window.partitionBy("epoch").orderBy("d")
+            )
+            - 1
+        )
+        .cast("long")
+        .alias("days_under_water"),
+    )
+    return tuw.select(
+        "d",
+        F.col("v").alias("rev_cents"),
+        F.col("peak").alias("peak_cents"),
+        "days_under_water",
+    ).orderBy("d")
