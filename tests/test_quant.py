@@ -4343,3 +4343,91 @@ def test_market_model_and_tuw_replays(spark):
         else:
             count += 1
         assert r["days_under_water"] == count
+
+
+def test_strength_and_halflife_replays(spark):
+    """F185/F186: both equal numpy replays on sf0.001; a planted pure
+    ramp gives trend strength ~1, a pure weekly cycle seasonal
+    strength ~1; a planted AR(0.5) series recovers half-life 1."""
+    import math
+
+    import numpy as np
+    import pandas as pd
+
+    from time_series_spark_spark.queries import REGISTRY
+
+    def strengths(y, epoch_dow):
+        y = np.asarray(y, float)
+        n = len(y)
+        t = np.full(n, np.nan)
+        for i in range(3, n - 3):
+            t[i] = y[i - 3 : i + 4].mean()
+        ok = ~np.isnan(t)
+        dt = y[ok] - t[ok]
+        dows = np.asarray(epoch_dow)[ok]
+        s = np.array(
+            [dt[dows == k].mean() for k in range(7)]
+        )[dows]
+        r = dt - s
+
+        def var(v):
+            return ((v - v.mean()) ** 2).sum()
+
+        ft = max(0.0, 1 - var(r) / var(t[ok] + r))
+        fs = max(0.0, 1 - var(r) / var(s + r))
+        return ft, fs
+
+    ev = pd.read_parquet("/root/testdata/sf0.001/events.parquet")
+    ev["cents"] = (ev["value"] * 100).round().astype("int64")
+    daily = ev.groupby(ev["ts"].dt.floor("D"))["cents"].sum().sort_index()
+    epoch = (
+        daily.index - pd.Timestamp("2024-01-01")
+    ).days.to_numpy() % 7
+    ft_ref, fs_ref = strengths(list(daily), epoch)
+    row = (
+        REGISTRY["events_strength_indices"]
+        .fn(spark, "/root/testdata/sf0.001")
+        .collect()[0]
+    )
+    assert math.isclose(row["trend_strength"], round(ft_ref, 6),
+                        abs_tol=1e-5)
+    assert math.isclose(row["seasonal_strength"], round(fs_ref, 6),
+                        abs_tol=1e-5)
+
+    ramp = np.arange(100) * 100.0
+    cyc = np.tile([0, 0, 0, 0, 0, 5000, 5000], 15)[:100]
+    assert strengths(ramp, np.arange(100) % 7)[0] > 0.999
+    assert strengths(cyc, np.arange(100) % 7)[1] > 0.999
+
+    def halflife(y):
+        y = np.asarray(y, float)
+        a, b = y[1:], y[:-1]
+        n = len(a)
+        rho = (n * (a * b).sum() - a.sum() * b.sum()) / (
+            n * (b * b).sum() - b.sum() ** 2
+        )
+        if rho <= 0 or rho >= 1:
+            return rho, None
+        return rho, -math.log(2) / math.log(rho)
+
+    rho_ref, hl_ref = halflife(list(daily))
+    row2 = (
+        REGISTRY["events_mean_reversion_halflife"]
+        .fn(spark, "/root/testdata/sf0.001")
+        .collect()[0]
+    )
+    assert row2["n_pairs"] == len(daily) - 1
+    assert math.isclose(row2["ar1_rho"], round(rho_ref, 6), abs_tol=1e-6)
+    if hl_ref is None:
+        assert row2["halflife_days"] is None
+    else:
+        assert math.isclose(row2["halflife_days"], round(hl_ref, 4),
+                            rel_tol=1e-4)
+
+    rng = np.random.default_rng(101)
+    ar = [0.0]
+    for _ in range(5000):
+        ar.append(0.5 * ar[-1] + rng.normal())
+    rho_p, hl_p = halflife(ar)
+    assert abs(rho_p - 0.5) < 0.05
+    assert abs(hl_p - 1.0) < 0.15

@@ -11286,3 +11286,205 @@ def orders_time_under_water(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("peak").alias("peak_cents"),
         "days_under_water",
     ).orderBy("d")
+
+
+# ---------------------------------------------------------------------------
+# F185 trend & seasonal strength of the daily series (Hyndman indices)
+# ---------------------------------------------------------------------------
+@register(
+    "events_strength_indices",
+    f"""
+    WITH daily AS (
+        SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS d,
+               CAST(sum({_CENTS}) AS BIGINT) AS y
+        FROM events GROUP BY 1
+    ),
+    tr AS (
+        SELECT d, y,
+               CASE WHEN count(*) OVER w7 = 7
+                    THEN CAST(sum(y) OVER w7 AS DOUBLE) / 7.0 END AS t
+        FROM daily
+        WINDOW w7 AS (ORDER BY d ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+    ),
+    detr AS (
+        SELECT d, y, t, CAST(y AS DOUBLE) - t AS dt_,
+               CAST((CAST(datediff('day', TIMESTAMP '2024-01-01', d)
+                     AS BIGINT) % 7 + 7) % 7 AS BIGINT) AS dow
+        FROM tr WHERE t IS NOT NULL
+    ),
+    seas AS (
+        SELECT dow, avg(dt_) AS s FROM detr GROUP BY dow
+    ),
+    parts AS (
+        SELECT detr.d, detr.y, detr.t, seas.s,
+               detr.dt_ - seas.s AS r
+        FROM detr JOIN seas ON seas.dow = detr.dow
+    ),
+    acc AS (
+        SELECT count(*) OVER () AS n,
+               sum(r) OVER w AS sr, sum(r * r) OVER w AS srr,
+               sum(t + r) OVER w AS str_, sum((t + r) * (t + r)) OVER w
+                   AS strr,
+               sum(s + r) OVER w AS ssr, sum((s + r) * (s + r)) OVER w
+                   AS ssrr,
+               row_number() OVER (ORDER BY d) AS rn
+        FROM parts
+        WINDOW w AS (ORDER BY d
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    )
+    SELECT CAST(n AS BIGINT) AS n_days,
+           round(greatest(0.0, 1.0 - (srr - sr * sr / n)
+                                 / (strr - str_ * str_ / n)), 6)
+               AS trend_strength,
+           round(greatest(0.0, 1.0 - (srr - sr * sr / n)
+                                 / (ssrr - ssr * ssr / n)), 6)
+               AS seasonal_strength
+    FROM acc WHERE rn = n
+    """,
+    doc="F185 Hyndman trend and seasonal strength of the daily total: "
+    "classical additive decomposition (centered 7-day MA trend, "
+    "per-weekday mean seasonal on the detrended series, residual), "
+    "then F_T = max(0, 1 - Var(R)/Var(T+R)) and F_S = max(0, 1 - "
+    "Var(R)/Var(S+R)) — the two [0,1] scalars that rank thousands of "
+    "series by how trended/seasonal they are (the feature-based "
+    "forecasting triage; F23 emits the components, this emits the "
+    "summary). Trend is an exact integer 7-sum / 7.0; weekday via "
+    "exact epoch-day mod; every variance from frame-ordered sums "
+    "(F95 device). Single summary row.",
+)
+def events_strength_indices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    daily = (
+        _events(spark, sf_dir)
+        .groupBy(F.date_trunc("day", F.col("ts")).alias("d"))
+        .agg(F.sum(F.expr(_CENTS)).alias("y"))
+    )
+    w7 = Window.orderBy("d").rowsBetween(-3, 3)
+    tr = daily.select(
+        "d", "y",
+        F.when(
+            F.count(F.lit(1)).over(w7) == 7,
+            F.sum("y").over(w7).cast("double") / 7.0,
+        ).alias("t"),
+    )
+    detr = tr.filter(F.col("t").isNotNull()).select(
+        "d", "y", "t",
+        (F.col("y").cast("double") - F.col("t")).alias("dt_"),
+        F.expr(
+            "CAST((CAST(datediff(d, TIMESTAMP '2024-01-01') AS BIGINT)"
+            " % 7 + 7) % 7 AS BIGINT)"
+        ).alias("dow"),
+    )
+    seas = detr.groupBy("dow").agg(F.avg("dt_").alias("s"))
+    parts = detr.join(F.broadcast(seas), "dow").select(
+        "d", "t", "s", (F.col("dt_") - F.col("s")).alias("r")
+    )
+    w_cum = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, 0)
+    w_all = Window.partitionBy().rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    acc = parts.select(
+        F.count(F.lit(1)).over(w_all).alias("n"),
+        F.sum("r").over(w_cum).alias("sr"),
+        F.sum(F.col("r") * F.col("r")).over(w_cum).alias("srr"),
+        F.sum(F.col("t") + F.col("r")).over(w_cum).alias("str_"),
+        F.sum((F.col("t") + F.col("r")) * (F.col("t") + F.col("r")))
+        .over(w_cum)
+        .alias("strr"),
+        F.sum(F.col("s") + F.col("r")).over(w_cum).alias("ssr"),
+        F.sum((F.col("s") + F.col("r")) * (F.col("s") + F.col("r")))
+        .over(w_cum)
+        .alias("ssrr"),
+        F.row_number().over(Window.orderBy("d")).alias("rn"),
+    )
+    return acc.filter(F.col("rn") == F.col("n")).select(
+        F.col("n").cast("long").alias("n_days"),
+        F.expr(
+            "round(greatest(0.0, 1.0 - (srr - sr * sr / n)"
+            " / (strr - str_ * str_ / n)), 6)"
+        ).alias("trend_strength"),
+        F.expr(
+            "round(greatest(0.0, 1.0 - (srr - sr * sr / n)"
+            " / (ssrr - ssr * ssr / n)), 6)"
+        ).alias("seasonal_strength"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# F186 AR(1) mean-reversion half-life of the daily series
+# ---------------------------------------------------------------------------
+@register(
+    "events_mean_reversion_halflife",
+    f"""
+    WITH daily AS (
+        SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS d,
+               CAST(sum({_CENTS}) AS BIGINT) AS y
+        FROM events GROUP BY 1
+    ),
+    pairs AS (
+        SELECT d, CAST(y AS DOUBLE) AS y,
+               CAST(lag(y) OVER (ORDER BY d) AS DOUBLE) AS yp
+        FROM daily QUALIFY yp IS NOT NULL
+    ),
+    acc AS (
+        SELECT count(*) OVER () AS n,
+               sum(y) OVER w AS sy, sum(yp) OVER w AS sp,
+               sum(y * yp) OVER w AS syp, sum(yp * yp) OVER w AS spp,
+               row_number() OVER (ORDER BY d) AS rn
+        FROM pairs
+        WINDOW w AS (ORDER BY d
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    )
+    SELECT CAST(n AS BIGINT) AS n_pairs,
+           round((n * syp - sy * sp) / (n * spp - sp * sp), 6) AS ar1_rho,
+           CASE WHEN (n * syp - sy * sp) / (n * spp - sp * sp) <= 0
+                  OR (n * syp - sy * sp) / (n * spp - sp * sp) >= 1
+                THEN NULL
+                ELSE round(-ln(2.0)
+                           / ln((n * syp - sy * sp)
+                                / (n * spp - sp * sp)), 4) END
+               AS halflife_days
+    FROM acc WHERE rn = n
+    """,
+    doc="F186 mean-reversion half-life: the AR(1) coefficient rho of "
+    "the daily total (OLS of y_t on y_(t-1)) mapped to ln(2)/-ln(rho) "
+    "days — how long a shock takes to decay halfway back, THE number "
+    "a capacity planner or trader reads off F96 ADF's verdict "
+    "(stationary says IT reverts; this says HOW FAST). rho outside "
+    "(0,1) returns NULL honestly (no reversion). Every sum frame-"
+    "ordered; one shared ln expression. Single summary row.",
+)
+def events_mean_reversion_halflife(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    daily = (
+        _events(spark, sf_dir)
+        .groupBy(F.date_trunc("day", F.col("ts")).alias("d"))
+        .agg(F.sum(F.expr(_CENTS)).alias("y"))
+    )
+    w_ord = Window.orderBy("d")
+    pairs = daily.select(
+        "d",
+        F.col("y").cast("double").alias("y"),
+        F.lag("y").over(w_ord).cast("double").alias("yp"),
+    ).filter(F.col("yp").isNotNull())
+    w_cum = w_ord.rowsBetween(Window.unboundedPreceding, 0)
+    w_all = Window.partitionBy().rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    acc = pairs.select(
+        F.count(F.lit(1)).over(w_all).alias("n"),
+        F.sum("y").over(w_cum).alias("sy"),
+        F.sum("yp").over(w_cum).alias("sp"),
+        F.sum(F.col("y") * F.col("yp")).over(w_cum).alias("syp"),
+        F.sum(F.col("yp") * F.col("yp")).over(w_cum).alias("spp"),
+        F.row_number().over(w_ord).alias("rn"),
+    )
+    rho = "(n * syp - sy * sp) / (n * spp - sp * sp)"
+    return acc.filter(F.col("rn") == F.col("n")).select(
+        F.col("n").cast("long").alias("n_pairs"),
+        F.expr(f"round({rho}, 6)").alias("ar1_rho"),
+        F.expr(
+            f"CASE WHEN {rho} <= 0 OR {rho} >= 1 THEN NULL"
+            f" ELSE round(-ln(2.0) / ln({rho}), 4) END"
+        ).alias("halflife_days"),
+    )
