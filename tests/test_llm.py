@@ -1525,3 +1525,46 @@ def test_audio_window_features_matches_python_replay(spark):
     assert all(z == 0 for _, _, z in alt)
     mix = replay("a " * 32)  # space = -64 -> sign flips every step
     assert all(z == 31 for _, _, z in mix)
+
+
+def test_dedup_impact_report_identities(spark):
+    """K16: each strategy row's counts EQUAL the individual operators'
+    outputs (exact_dedup keeper count; cluster keeper count), the
+    none row is the full corpus, and aggressiveness is monotone."""
+    from time_series_spark_spark.operators.graph import dup_clusters
+    from time_series_spark_spark.operators.llm import (
+        exact_dedup,
+        ngram_jaccard_pairs,
+    )
+    from time_series_spark_spark.queries import REGISTRY
+
+    sf = "/root/testdata/sf0.01"
+    d = load(spark, sf, "documents")
+    rows = {
+        r["strategy"]: r
+        for r in REGISTRY["docs_dedup_impact_report"]
+        .fn(spark, sf)
+        .collect()
+    }
+    assert rows["none"]["docs_kept"] == d.count()
+    assert rows["none"]["doc_retention"] == 1.0
+
+    exact_n = exact_dedup(d).count()
+    assert rows["exact_hash"]["docs_kept"] == exact_n
+
+    pairs = ngram_jaccard_pairs(d, k=3, threshold=0.5)
+    clusters = dup_clusters(d, pairs)
+    keep_n = clusters.filter("is_canonical").count()
+    assert rows["near_dup_cluster_keep_one"]["docs_kept"] == keep_n
+
+    assert (
+        rows["none"]["docs_kept"]
+        >= rows["exact_hash"]["docs_kept"]
+        >= rows["near_dup_cluster_keep_one"]["docs_kept"]
+    )
+    # the sf0.01 corpus plants near-dups: the cluster pass must bite
+    assert rows["near_dup_cluster_keep_one"]["docs_kept"] < rows[
+        "none"
+    ]["docs_kept"]
+    for r in rows.values():
+        assert 0 < r["token_retention"] <= 1.0

@@ -3209,3 +3209,83 @@ def docs_audio_window_features(
             " (acc, t) -> acc + t) AS BIGINT)"
         ).alias("zero_crossings"),
     ).orderBy("doc_id", "sample_offset")
+
+
+# ---------------------------------------------------------------------------
+# K16 dedup impact report: what each strategy would keep / cost
+# ---------------------------------------------------------------------------
+@register(
+    "docs_dedup_impact_report",
+    None,  # composes LSH/CC machinery -> rows-only; per-strategy counts
+    # are identity-pinned against the individual ops in tests/test_llm.py
+    doc="K16 dedup IMPACT report — the what-if table a curation run is "
+    "planned from: for each strategy (none; exact normalized-hash "
+    "K1; near-dup cluster keep-one over 3-gram Jaccard >= 0.5 "
+    "pairs + CC, K2+), the documents kept, whitespace tokens kept, "
+    "and the retention percentages. Each row reuses the registered "
+    "operators verbatim (exact_dedup; ngram_jaccard_pairs -> "
+    "dup_clusters keeper rule), so the numbers ARE the ops' numbers "
+    "(identity-pinned in pytest) — the report only adds the bounded "
+    "3-row union. One scan per strategy at corpus scale; strategies "
+    "ordered by aggressiveness.",
+)
+def docs_dedup_impact_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from time_series_spark_spark.operators.graph import dup_clusters
+    from time_series_spark_spark.operators.llm import (
+        exact_dedup,
+        ngram_jaccard_pairs,
+    )
+
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", "text", F.size(F.split("text", " ")).alias("n_tok")
+    )
+    base = docs.agg(
+        F.count(F.lit(1)).alias("docs"), F.sum("n_tok").alias("toks")
+    ).collect()[0]
+
+    def summarize(kept_ids, name, order):
+        kept = docs.join(kept_ids, "doc_id", "left_semi").agg(
+            F.count(F.lit(1)).alias("docs"),
+            F.sum("n_tok").alias("toks"),
+        ).collect()[0]
+        return (
+            order,
+            name,
+            int(kept["docs"]),
+            int(kept["toks"]),
+            round(kept["docs"] / base["docs"], 6),
+            round(kept["toks"] / base["toks"], 6),
+        )
+
+    rows = [
+        (
+            0,
+            "none",
+            int(base["docs"]),
+            int(base["toks"]),
+            1.0,
+            1.0,
+        )
+    ]
+    rows.append(
+        summarize(
+            exact_dedup(docs.select("doc_id", "text")).select("doc_id"),
+            "exact_hash",
+            1,
+        )
+    )
+    pairs = ngram_jaccard_pairs(
+        load(spark, sf_dir, "documents"), k=3, threshold=0.5
+    )
+    clustered = dup_clusters(load(spark, sf_dir, "documents"), pairs)
+    keepers = (
+        clustered.groupBy("cluster_id")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    rows.append(summarize(keepers, "near_dup_cluster_keep_one", 2))
+    return spark.createDataFrame(
+        rows,
+        "strategy_order int, strategy string, docs_kept long,"
+        " tokens_kept long, doc_retention double, token_retention double",
+    )
