@@ -11134,22 +11134,23 @@ def users_weibull_lifetime_fit(
                CAST(count(*) AS BIGINT) AS n,
                CAST(sum(v) AS BIGINT) AS sv,
                CAST(sum(m) AS BIGINT) AS sm,
-               CAST(sum(v * m) AS BIGINT) AS svm,
-               CAST(sum(m * m) AS BIGINT) AS smm,
-               CAST(sum(v * v) AS BIGINT) AS svv
+               sum(CAST(v AS DOUBLE) * m) AS svm,
+               sum(CAST(m AS DOUBLE) * m) AS smm,
+               sum(CAST(v AS DOUBLE) * v) AS svv
         FROM cell JOIN mkt ON mkt.d = cell.d
         GROUP BY event_type
     )
     SELECT event_type, n AS n_days,
-           round(CAST(n * svm - sv * sm AS DOUBLE)
-                 / (n * smm - sm * sm), 6) AS beta,
+           round((n * svm - CAST(sv AS DOUBLE) * sm)
+                 / (n * smm - CAST(sm AS DOUBLE) * sm), 6) AS beta,
            round((CAST(sv AS DOUBLE)
-                  - (CAST(n * svm - sv * sm AS DOUBLE)
-                     / (n * smm - sm * sm)) * sm) / n, 4) AS alpha_cents,
-           round((CAST(n * svm - sv * sm AS DOUBLE)
-                  * (n * svm - sv * sm))
-                 / (CAST(n * smm - sm * sm AS DOUBLE)
-                    * (n * svv - sv * sv)), 6) AS r2
+                  - ((n * svm - CAST(sv AS DOUBLE) * sm)
+                     / (n * smm - CAST(sm AS DOUBLE) * sm)) * sm) / n, 4)
+               AS alpha_cents,
+           round(((n * svm - CAST(sv AS DOUBLE) * sm)
+                  * (n * svm - CAST(sv AS DOUBLE) * sm))
+                 / ((n * smm - CAST(sm AS DOUBLE) * sm)
+                    * (n * svv - CAST(sv AS DOUBLE) * sv)), 6) AS r2
     FROM s ORDER BY event_type
     """,
     doc="F183 market-model regression per event type: daily type "
@@ -11158,10 +11159,11 @@ def users_weibull_lifetime_fit(
     "swings), alpha (idiosyncratic level) and R^2 (how much of the "
     "type's variance the aggregate explains) — the portfolio-"
     "analytics decomposition applied to revenue streams, feeding "
-    "mix-shift risk (a high-beta type dominates drawdowns). All "
-    "moments are EXACT BIGINT power sums (F149 device; v*m ~ "
-    "daily-cents^2 < 2^63 while daily totals stay under ~3e9 cents "
-    "- noted); one shared fp expression per column. Two reduces + a "
+    "mix-shift risk (a high-beta type dominates drawdowns). Linear "
+    "sums stay EXACT BIGINTs; the POWER sums accumulate as doubles "
+    "(daily-cents^2 x days overflows BIGINT at 10x stress, measured "
+    "- the F119 bounded-frame reduce argument covers the drift); one "
+    "shared fp expression per column. Two reduces + a "
     "day-frame join. One row per type.",
 )
 def events_market_model_betas(
@@ -11178,12 +11180,13 @@ def events_market_model_betas(
             F.count(F.lit(1)).alias("n"),
             F.sum("v").alias("sv"),
             F.sum("m").alias("sm"),
-            F.sum(F.col("v") * F.col("m")).alias("svm"),
-            F.sum(F.col("m") * F.col("m")).alias("smm"),
-            F.sum(F.col("v") * F.col("v")).alias("svv"),
+            F.sum(F.expr("CAST(v AS DOUBLE) * m")).alias("svm"),
+            F.sum(F.expr("CAST(m AS DOUBLE) * m")).alias("smm"),
+            F.sum(F.expr("CAST(v AS DOUBLE) * v")).alias("svv"),
         )
     )
-    beta = "CAST(n * svm - sv * sm AS DOUBLE) / (n * smm - sm * sm)"
+    beta = ("(n * svm - CAST(sv AS DOUBLE) * sm)"
+            " / (n * smm - CAST(sm AS DOUBLE) * sm)")
     return s.select(
         "event_type",
         F.col("n").alias("n_days"),
@@ -11192,10 +11195,10 @@ def events_market_model_betas(
             f"round((CAST(sv AS DOUBLE) - ({beta}) * sm) / n, 4)"
         ).alias("alpha_cents"),
         F.expr(
-            "round((CAST(n * svm - sv * sm AS DOUBLE)"
-            " * (n * svm - sv * sm))"
-            " / (CAST(n * smm - sm * sm AS DOUBLE)"
-            " * (n * svv - sv * sv)), 6)"
+            "round(((n * svm - CAST(sv AS DOUBLE) * sm)"
+            " * (n * svm - CAST(sv AS DOUBLE) * sm))"
+            " / ((n * smm - CAST(sm AS DOUBLE) * sm)"
+            " * (n * svv - CAST(sv AS DOUBLE) * sv)), 6)"
         ).alias("r2"),
     ).orderBy("event_type")
 
