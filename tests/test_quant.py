@@ -4431,3 +4431,89 @@ def test_strength_and_halflife_replays(spark):
     rho_p, hl_p = halflife(ar)
     assert abs(rho_p - 0.5) < 0.05
     assert abs(hl_p - 1.0) < 0.15
+
+
+def test_cochran_armitage_and_chapman_replays(spark):
+    """F187/F188: both equal plain replays on sf0.001/sf0.01; a planted
+    monotone dose-response gives a large positive z while a flat one
+    stays small; Chapman's estimate brackets a planted true
+    population within 2 SE."""
+    import math
+
+    import pandas as pd
+
+    from time_series_spark_spark.queries import REGISTRY
+
+    def ca_z(table):  # [(score, n, k)]
+        nn = sum(n for _, n, _ in table)
+        kk = sum(k for _, _, k in table)
+        swn = sum(w * n for w, n, _ in table)
+        swk = sum(w * k for w, _, k in table)
+        sw2n = sum(w * w * n for w, n, _ in table)
+        if kk in (0, nn) or nn * sw2n == swn * swn:
+            return None
+        return (nn * swk - kk * swn) / math.sqrt(
+            kk * (nn - kk) * (nn * sw2n - swn * swn) / nn
+        )
+
+    ev = pd.read_parquet("/root/testdata/sf0.01/events.parquet")
+    per_u = ev.groupby("user_id").agg(
+        n_ev=("event_id", "count"),
+        conv=("event_type", lambda s: int((s == "purchase").any())),
+    )
+    per_u["band"] = (per_u["n_ev"] // 20).clip(upper=4)
+    table = [
+        (b, len(g), int(g["conv"].sum()))
+        for b, g in per_u.groupby("band")
+    ]
+    z_ref = ca_z(table)
+    row = (
+        REGISTRY["users_cochran_armitage_trend"]
+        .fn(spark, "/root/testdata/sf0.01")
+        .collect()[0]
+    )
+    assert row["n_users"] == len(per_u)
+    if z_ref is None:
+        assert row["z_trend"] is None
+    else:
+        assert math.isclose(row["z_trend"], round(z_ref, 6), abs_tol=1e-6)
+
+    rising = [(w, 100, 10 + 15 * w) for w in range(5)]
+    flat = [(w, 100, 30) for w in range(5)]
+    assert ca_z(rising) > 5.0
+    assert abs(ca_z(flat)) < 1e-9
+
+    # Chapman replay on sf0.001
+    ev1 = pd.read_parquet("/root/testdata/sf0.001/events.parquet")
+    d = ev1["ts"].dt.floor("D")
+    d0 = d.min()
+    half = ((d.max() - d0).days + 1) // 2
+    g1 = set(ev1.loc[(d - d0).dt.days < half, "user_id"])
+    g2 = set(ev1.loc[(d - d0).dt.days >= half, "user_id"])
+    n1, n2, m = len(g1), len(g2), len(g1 & g2)
+    est = (n1 + 1) * (n2 + 1) / (m + 1) - 1
+    row2 = (
+        REGISTRY["users_capture_recapture"]
+        .fn(spark, "/root/testdata/sf0.001")
+        .collect()[0]
+    )
+    assert (row2["n_first"], row2["n_second"], row2["n_both"]) == (
+        n1, n2, m,
+    )
+    assert row2["observed"] == len(g1 | g2)
+    assert math.isclose(row2["chapman_estimate"], round(est, 4),
+                        abs_tol=1e-9)
+    assert row2["chapman_estimate"] >= row2["observed"] - 1e-9
+
+    # planted: true N=1000, capture 300 and 400 independently (ids)
+    import random
+    rnd = random.Random(7)
+    s1 = set(rnd.sample(range(1000), 300))
+    s2 = set(rnd.sample(range(1000), 400))
+    mm = len(s1 & s2)
+    est_p = (301 * 401) / (mm + 1) - 1
+    se_p = math.sqrt(
+        (301 * 401 * (300 - mm) * (400 - mm))
+        / ((mm + 1) ** 2 * (mm + 2))
+    )
+    assert abs(est_p - 1000) < 2 * se_p + 1

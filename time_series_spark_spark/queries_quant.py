@@ -11491,3 +11491,210 @@ def events_mean_reversion_halflife(
             f" ELSE round(-ln(2.0) / ln({rho}), 4) END"
         ).alias("halflife_days"),
     )
+
+
+# ---------------------------------------------------------------------------
+# F187 Cochran-Armitage trend test (purchase rate across activity bands)
+# ---------------------------------------------------------------------------
+@register(
+    "users_cochran_armitage_trend",
+    """
+    WITH u AS (
+        SELECT user_id, CAST(count(*) AS BIGINT) AS n_ev,
+               CAST(max(CASE WHEN event_type = 'purchase'
+                             THEN 1 ELSE 0 END) AS BIGINT) AS conv
+        FROM events GROUP BY user_id
+    ),
+    banded AS (
+        SELECT conv,
+               CAST(least(floor(n_ev / 20.0), 4) AS BIGINT) AS band
+        FROM u
+    ),
+    per_b AS (
+        SELECT band, CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(conv) AS BIGINT) AS k
+        FROM banded GROUP BY band
+    ),
+    tot AS (
+        SELECT CAST(sum(n) AS BIGINT) AS nn, CAST(sum(k) AS BIGINT) AS kk,
+               CAST(sum(band * n) AS BIGINT) AS swn,
+               CAST(sum(band * k) AS BIGINT) AS swk,
+               CAST(sum(band * band * n) AS BIGINT) AS sw2n
+        FROM per_b
+    )
+    SELECT (SELECT CAST(count(*) AS BIGINT) FROM per_b) AS n_bands,
+           nn AS n_users, kk AS n_converters,
+           CAST(nn * swk - kk * swn AS BIGINT) AS trend_num,
+           CASE WHEN kk = 0 OR kk = nn
+                  OR nn * sw2n - swn * swn = 0 THEN NULL
+                ELSE round(CAST(nn * swk - kk * swn AS DOUBLE)
+                 / sqrt(CAST(kk AS DOUBLE) * (nn - kk)
+                        * (CAST(nn AS DOUBLE) * sw2n
+                           - CAST(swn AS DOUBLE) * swn) / nn), 6)
+                END AS z_trend
+    FROM tot
+    """,
+    doc="F187 Cochran-Armitage trend test: does purchase conversion "
+    "rise MONOTONICALLY across activity bands (events-per-user "
+    "bucketed 0..4 with integer scores)? The categorical dose-"
+    "response test (F118 Jonckheere handles continuous responses; "
+    "this is its 2xk proportions sibling, and the one-df trend chi-"
+    "square is far more powerful than F92's omnibus when the "
+    "alternative is ordered): z = (N*sum(w k) - K*sum(w n)) / "
+    "sqrt(K(N-K)(N*sum(w^2 n) - (sum(w n))^2)/N), every sum an "
+    "EXACT BIGINT (bound: N*sum(w^2 n) ~ 16N^2 < 2^63 while users "
+    "< ~7e8 — noted; all-convert / no-convert / one-band corpora "
+    "return NULL honestly — the sf0.001 everyone-buys case). One "
+    "user reduce + a 5-row reduce. Single row.",
+)
+def users_cochran_armitage_trend(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    u = _events(spark, sf_dir).groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_ev"),
+        F.max(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("conv"),
+    )
+    banded = u.select(
+        "conv",
+        F.expr("CAST(least(floor(n_ev / 20.0), 4) AS BIGINT)").alias(
+            "band"
+        ),
+    )
+    per_b = banded.groupBy("band").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("conv").alias("k")
+    )
+    tot = per_b.agg(
+        F.count(F.lit(1)).alias("n_bands"),
+        F.sum("n").alias("nn"),
+        F.sum("k").alias("kk"),
+        F.sum(F.col("band") * F.col("n")).alias("swn"),
+        F.sum(F.col("band") * F.col("k")).alias("swk"),
+        F.sum(F.col("band") * F.col("band") * F.col("n")).alias("sw2n"),
+    )
+    return tot.select(
+        "n_bands",
+        F.col("nn").alias("n_users"),
+        F.col("kk").alias("n_converters"),
+        (F.col("nn") * F.col("swk") - F.col("kk") * F.col("swn"))
+        .cast("long")
+        .alias("trend_num"),
+        F.expr(
+            "CASE WHEN kk = 0 OR kk = nn"
+            " OR nn * sw2n - swn * swn = 0 THEN NULL"
+            " ELSE round(CAST(nn * swk - kk * swn AS DOUBLE)"
+            " / sqrt(CAST(kk AS DOUBLE) * (nn - kk)"
+            " * (CAST(nn AS DOUBLE) * sw2n"
+            " - CAST(swn AS DOUBLE) * swn) / nn), 6) END"
+        ).alias("z_trend"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# F188 Chapman capture-recapture population estimate
+# ---------------------------------------------------------------------------
+@register(
+    "users_capture_recapture",
+    """
+    WITH split AS (
+        SELECT CAST(date_trunc('day', min(ts)) AS TIMESTAMP) AS d0,
+               CAST(floor((datediff('day',
+                        CAST(date_trunc('day', min(ts)) AS TIMESTAMP),
+                        CAST(date_trunc('day', max(ts)) AS TIMESTAMP))
+                    + 1) / 2.0) AS BIGINT) AS half
+        FROM events
+    ),
+    u AS (
+        SELECT user_id,
+               CAST(max(CASE WHEN datediff('day', d0,
+                        CAST(date_trunc('day', ts) AS TIMESTAMP)) < half
+                        THEN 1 ELSE 0 END) AS BIGINT) AS in1,
+               CAST(max(CASE WHEN datediff('day', d0,
+                        CAST(date_trunc('day', ts) AS TIMESTAMP)) >= half
+                        THEN 1 ELSE 0 END) AS BIGINT) AS in2
+        FROM events CROSS JOIN split GROUP BY user_id
+    ),
+    c AS (
+        SELECT CAST(sum(in1) AS BIGINT) AS n1,
+               CAST(sum(in2) AS BIGINT) AS n2,
+               CAST(sum(in1 * in2) AS BIGINT) AS m,
+               CAST(count(*) AS BIGINT) AS observed
+        FROM u
+    )
+    SELECT n1 AS n_first, n2 AS n_second, m AS n_both, observed,
+           round((CAST(n1 + 1 AS DOUBLE) * (n2 + 1)) / (m + 1) - 1.0, 4)
+               AS chapman_estimate,
+           round(sqrt((CAST(n1 + 1 AS DOUBLE) * (n2 + 1)
+                       * (n1 - m) * (n2 - m))
+                      / ((CAST(m + 1 AS DOUBLE) * (m + 1) * (m + 2)))),
+                 4) AS chapman_se
+    FROM c
+    """,
+    doc="F188 Chapman capture-recapture estimate of the TRUE user "
+    "population from two observation windows (calendar halves as the "
+    "two 'captures'): N_hat = (n1+1)(n2+1)/(m+1) - 1 with its "
+    "standard error — the ecology-standard bias-corrected Lincoln-"
+    "Petersen, imported to data work as 'how many users exist that "
+    "we have NEVER observed' (log-coverage gaps, dedup-universe "
+    "sizing; observed <= N_hat, and N_hat - observed is the blind "
+    "spot). Assumes independence of the two captures (violated by "
+    "loyal users — reported beside the raw observed count so the "
+    "gap reads as a bound, not gospel). All counts EXACT BIGINTs, "
+    "two shared fp expressions. One user reduce. Single row.",
+)
+def users_capture_recapture(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    split = ev.agg(
+        F.date_trunc("day", F.min("ts")).alias("d0"),
+        F.expr(
+            "CAST(floor((datediff(date_trunc('day', max(ts)),"
+            " date_trunc('day', min(ts))) + 1) / 2.0) AS BIGINT)"
+        ).alias("half"),
+    )
+    u = (
+        ev.crossJoin(F.broadcast(split))
+        .groupBy("user_id")
+        .agg(
+            F.max(
+                F.expr(
+                    "CASE WHEN datediff(date_trunc('day', ts), d0) < half"
+                    " THEN 1 ELSE 0 END"
+                )
+            )
+            .cast("long")
+            .alias("in1"),
+            F.max(
+                F.expr(
+                    "CASE WHEN datediff(date_trunc('day', ts), d0) >= half"
+                    " THEN 1 ELSE 0 END"
+                )
+            )
+            .cast("long")
+            .alias("in2"),
+        )
+    )
+    c = u.agg(
+        F.sum("in1").alias("n1"),
+        F.sum("in2").alias("n2"),
+        F.sum(F.col("in1") * F.col("in2")).alias("m"),
+        F.count(F.lit(1)).alias("observed"),
+    )
+    return c.select(
+        F.col("n1").alias("n_first"),
+        F.col("n2").alias("n_second"),
+        F.col("m").alias("n_both"),
+        "observed",
+        F.expr(
+            "round((CAST(n1 + 1 AS DOUBLE) * (n2 + 1)) / (m + 1) - 1.0, 4)"
+        ).alias("chapman_estimate"),
+        F.expr(
+            "round(sqrt((CAST(n1 + 1 AS DOUBLE) * (n2 + 1)"
+            " * (n1 - m) * (n2 - m))"
+            " / ((CAST(m + 1 AS DOUBLE) * (m + 1) * (m + 2)))), 4)"
+        ).alias("chapman_se"),
+    )
