@@ -4517,3 +4517,54 @@ def test_cochran_armitage_and_chapman_replays(spark):
         / ((mm + 1) ** 2 * (mm + 2))
     )
     assert abs(est_p - 1000) < 2 * se_p + 1
+
+
+def test_mcnemar_kappa_matches_python_replay(spark):
+    """F189/F190: cells, McNemar chi2, and kappa equal a set replay on
+    sf0.001; a planted symmetric-churn table gives chi2 ~ 0 while a
+    one-sided loss gives a large chi2; perfect persistence gives
+    kappa 1."""
+    import math
+
+    import pandas as pd
+
+    from time_series_spark_spark.queries import REGISTRY
+
+    def stats(a, b, c, d):
+        n = a + b + c + d
+        mc = None if b + c == 0 else (abs(b - c) - 1.0) ** 2 / (b + c)
+        pe = ((a + b) * (a + c) + (c + d) * (b + d)) / (n * n)
+        kappa = ((a + d) / n - pe) / (1 - pe)
+        return mc, kappa
+
+    ev = pd.read_parquet("/root/testdata/sf0.001/events.parquet")
+    dd = ev["ts"].dt.floor("D")
+    d0 = dd.min()
+    half = ((dd.max() - d0).days + 1) // 2
+    p = ev[ev["event_type"] == "purchase"]
+    g1 = set(p.loc[(dd.loc[p.index] - d0).dt.days < half, "user_id"])
+    g2 = set(p.loc[(dd.loc[p.index] - d0).dt.days >= half, "user_id"])
+    users = set(ev["user_id"])
+    a = len(g1 & g2)
+    b = len(g1 - g2)
+    c = len(g2 - g1)
+    d = len(users - g1 - g2)
+    mc_ref, kappa_ref = stats(a, b, c, d)
+    row = (
+        REGISTRY["users_mcnemar_kappa_halves"]
+        .fn(spark, "/root/testdata/sf0.001")
+        .collect()[0]
+    )
+    assert (row["n_both"], row["n_lost"], row["n_gained"],
+            row["n_never"]) == (a, b, c, d)
+    if mc_ref is None:
+        assert row["mcnemar_chi2"] is None
+    else:
+        assert math.isclose(row["mcnemar_chi2"], round(mc_ref, 6),
+                            abs_tol=1e-9)
+    assert math.isclose(row["cohen_kappa"], round(kappa_ref, 6),
+                        abs_tol=1e-6)
+
+    assert stats(50, 20, 20, 50)[0] < 0.1       # symmetric churn
+    assert stats(50, 40, 2, 50)[0] > 25.0       # one-sided loss
+    assert math.isclose(stats(60, 0, 0, 40)[1], 1.0)  # persistence

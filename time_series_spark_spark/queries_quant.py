@@ -11698,3 +11698,127 @@ def users_capture_recapture(
             " / ((CAST(m + 1 AS DOUBLE) * (m + 1) * (m + 2)))), 4)"
         ).alias("chapman_se"),
     )
+
+
+# ---------------------------------------------------------------------------
+# F189 McNemar's test + F190 Cohen's kappa on paired buyer status
+# ---------------------------------------------------------------------------
+@register(
+    "users_mcnemar_kappa_halves",
+    """
+    WITH split AS (
+        SELECT CAST(date_trunc('day', min(ts)) AS TIMESTAMP) AS d0,
+               CAST(floor((datediff('day',
+                        CAST(date_trunc('day', min(ts)) AS TIMESTAMP),
+                        CAST(date_trunc('day', max(ts)) AS TIMESTAMP))
+                    + 1) / 2.0) AS BIGINT) AS half
+        FROM events
+    ),
+    u AS (
+        SELECT user_id,
+               CAST(max(CASE WHEN event_type = 'purchase'
+                         AND datediff('day', d0,
+                             CAST(date_trunc('day', ts) AS TIMESTAMP))
+                             < half THEN 1 ELSE 0 END) AS BIGINT) AS b1,
+               CAST(max(CASE WHEN event_type = 'purchase'
+                         AND datediff('day', d0,
+                             CAST(date_trunc('day', ts) AS TIMESTAMP))
+                             >= half THEN 1 ELSE 0 END) AS BIGINT) AS b2
+        FROM events CROSS JOIN split GROUP BY user_id
+    ),
+    cells AS (
+        SELECT CAST(sum(b1 * b2) AS BIGINT) AS a,
+               CAST(sum(b1 * (1 - b2)) AS BIGINT) AS b,
+               CAST(sum((1 - b1) * b2) AS BIGINT) AS c,
+               CAST(sum((1 - b1) * (1 - b2)) AS BIGINT) AS d,
+               CAST(count(*) AS BIGINT) AS n
+        FROM u
+    )
+    SELECT a AS n_both, b AS n_lost, c AS n_gained, d AS n_never,
+           CASE WHEN b + c = 0 THEN NULL
+                ELSE round((CAST(abs(b - c) AS DOUBLE) - 1.0)
+                           * (abs(b - c) - 1.0) / (b + c), 6) END
+               AS mcnemar_chi2,
+           round((CAST(a + d AS DOUBLE) / n
+                  - ((CAST(a + b AS DOUBLE) * (a + c)
+                      + CAST(c + d AS DOUBLE) * (b + d))
+                     / (CAST(n AS DOUBLE) * n)))
+                 / (1.0
+                    - ((CAST(a + b AS DOUBLE) * (a + c)
+                        + CAST(c + d AS DOUBLE) * (b + d))
+                       / (CAST(n AS DOUBLE) * n))), 6) AS cohen_kappa
+    FROM cells
+    """,
+    doc="F189+F190 on the paired buyer-status 2x2 (same users, first vs "
+    "second calendar half): McNemar's continuity-corrected chi-square "
+    "(|b-c|-1)^2/(b+c) asks whether conversion CHANGED — only the "
+    "discordant cells matter, the within-subject design F84's "
+    "unpaired test wastes (NULL when no discordance); Cohen's kappa "
+    "gives the chance-corrected AGREEMENT between halves (kappa ~ 0 "
+    "means this half's buyers tell you nothing about next half's — "
+    "targeting churn models need kappa >> 0; the scalar summary of "
+    "F172's migration matrix diagonal). Cells EXACT BIGINTs from one "
+    "user reduce; shared fp expressions. Single summary row.",
+)
+def users_mcnemar_kappa_halves(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    split = ev.agg(
+        F.date_trunc("day", F.min("ts")).alias("d0"),
+        F.expr(
+            "CAST(floor((datediff(date_trunc('day', max(ts)),"
+            " date_trunc('day', min(ts))) + 1) / 2.0) AS BIGINT)"
+        ).alias("half"),
+    )
+    u = (
+        ev.crossJoin(F.broadcast(split))
+        .groupBy("user_id")
+        .agg(
+            F.max(
+                F.expr(
+                    "CASE WHEN event_type = 'purchase'"
+                    " AND datediff(date_trunc('day', ts), d0) < half"
+                    " THEN 1 ELSE 0 END"
+                )
+            )
+            .cast("long")
+            .alias("b1"),
+            F.max(
+                F.expr(
+                    "CASE WHEN event_type = 'purchase'"
+                    " AND datediff(date_trunc('day', ts), d0) >= half"
+                    " THEN 1 ELSE 0 END"
+                )
+            )
+            .cast("long")
+            .alias("b2"),
+        )
+    )
+    cells = u.agg(
+        F.sum(F.col("b1") * F.col("b2")).alias("a"),
+        F.sum(F.col("b1") * (1 - F.col("b2"))).alias("b"),
+        F.sum((1 - F.col("b1")) * F.col("b2")).alias("c"),
+        F.sum((1 - F.col("b1")) * (1 - F.col("b2"))).alias("d"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    pe = (
+        "((CAST(a + b AS DOUBLE) * (a + c)"
+        " + CAST(c + d AS DOUBLE) * (b + d))"
+        " / (CAST(n AS DOUBLE) * n))"
+    )
+    return cells.select(
+        F.col("a").alias("n_both"),
+        F.col("b").alias("n_lost"),
+        F.col("c").alias("n_gained"),
+        F.col("d").alias("n_never"),
+        F.expr(
+            "CASE WHEN b + c = 0 THEN NULL"
+            " ELSE round((CAST(abs(b - c) AS DOUBLE) - 1.0)"
+            " * (abs(b - c) - 1.0) / (b + c), 6) END"
+        ).alias("mcnemar_chi2"),
+        F.expr(
+            f"round((CAST(a + d AS DOUBLE) / n - {pe})"
+            f" / (1.0 - {pe}), 6)"
+        ).alias("cohen_kappa"),
+    )
