@@ -4534,7 +4534,9 @@ def test_mcnemar_kappa_matches_python_replay(spark):
         n = a + b + c + d
         mc = None if b + c == 0 else (abs(b - c) - 1.0) ** 2 / (b + c)
         pe = ((a + b) * (a + c) + (c + d) * (b + d)) / (n * n)
-        kappa = ((a + d) / n - pe) / (1 - pe)
+        kappa = (
+            None if pe == 1 else ((a + d) / n - pe) / (1 - pe)
+        )
         return mc, kappa
 
     ev = pd.read_parquet("/root/testdata/sf0.001/events.parquet")
@@ -4562,8 +4564,11 @@ def test_mcnemar_kappa_matches_python_replay(spark):
     else:
         assert math.isclose(row["mcnemar_chi2"], round(mc_ref, 6),
                             abs_tol=1e-9)
-    assert math.isclose(row["cohen_kappa"], round(kappa_ref, 6),
-                        abs_tol=1e-6)
+    if kappa_ref is None:
+        assert row["cohen_kappa"] is None
+    else:
+        assert math.isclose(row["cohen_kappa"], round(kappa_ref, 6),
+                            abs_tol=1e-6)
 
     assert stats(50, 20, 20, 50)[0] < 0.1       # symmetric churn
     assert stats(50, 40, 2, 50)[0] > 25.0       # one-sided loss

@@ -11739,14 +11739,18 @@ def users_capture_recapture(
                 ELSE round((CAST(abs(b - c) AS DOUBLE) - 1.0)
                            * (abs(b - c) - 1.0) / (b + c), 6) END
                AS mcnemar_chi2,
-           round((CAST(a + d AS DOUBLE) / n
+           CASE WHEN (CAST(a + b AS DOUBLE) * (a + c)
+                      + CAST(c + d AS DOUBLE) * (b + d))
+                     = CAST(n AS DOUBLE) * n THEN NULL
+                ELSE round((CAST(a + d AS DOUBLE) / n
                   - ((CAST(a + b AS DOUBLE) * (a + c)
                       + CAST(c + d AS DOUBLE) * (b + d))
                      / (CAST(n AS DOUBLE) * n)))
                  / (1.0
                     - ((CAST(a + b AS DOUBLE) * (a + c)
                         + CAST(c + d AS DOUBLE) * (b + d))
-                       / (CAST(n AS DOUBLE) * n))), 6) AS cohen_kappa
+                       / (CAST(n AS DOUBLE) * n))), 6)
+                END AS cohen_kappa
     FROM cells
     """,
     doc="F189+F190 on the paired buyer-status 2x2 (same users, first vs "
@@ -11757,7 +11761,9 @@ def users_capture_recapture(
     "gives the chance-corrected AGREEMENT between halves (kappa ~ 0 "
     "means this half's buyers tell you nothing about next half's — "
     "targeting churn models need kappa >> 0; the scalar summary of "
-    "F172's migration matrix diagonal). Cells EXACT BIGINTs from one "
+    "F172's migration matrix diagonal; a degenerate all-agree "
+    "marginal — pe = 1, the sf0.001 everyone-buys case — returns "
+    "NULL, not NaN). Cells EXACT BIGINTs from one "
     "user reduce; shared fp expressions. Single summary row.",
 )
 def users_mcnemar_kappa_halves(
@@ -11818,7 +11824,8 @@ def users_mcnemar_kappa_halves(
             " * (abs(b - c) - 1.0) / (b + c), 6) END"
         ).alias("mcnemar_chi2"),
         F.expr(
-            f"round((CAST(a + d AS DOUBLE) / n - {pe})"
-            f" / (1.0 - {pe}), 6)"
+            f"CASE WHEN {pe} = 1.0 THEN NULL"
+            f" ELSE round((CAST(a + d AS DOUBLE) / n - {pe})"
+            f" / (1.0 - {pe}), 6) END"
         ).alias("cohen_kappa"),
     )
