@@ -4573,3 +4573,81 @@ def test_mcnemar_kappa_matches_python_replay(spark):
     assert stats(50, 20, 20, 50)[0] < 0.1       # symmetric churn
     assert stats(50, 40, 2, 50)[0] > 25.0       # one-sided loss
     assert math.isclose(stats(60, 0, 0, 40)[1], 1.0)  # persistence
+
+
+def test_standardized_rates_and_wilson_replays(spark):
+    """F191/F192: both equal plain replays; a planted Simpson's-trap
+    table flips order under standardization; Wilson intervals bracket
+    p_hat, stay in [0,1], and match the closed form."""
+    import math
+
+    import pandas as pd
+
+    from time_series_spark_spark.queries import REGISTRY
+
+    ev = pd.read_parquet("/root/testdata/sf0.001/events.parquet")
+    import hashlib
+
+    per_u = ev.groupby("user_id").agg(
+        n_ev=("event_id", "count"),
+        conv=("event_type", lambda s: int((s == "purchase").any())),
+    )
+    per_u["grp"] = [
+        "A" if hashlib.md5(str(u).encode()).hexdigest()[0] < "8" else "B"
+        for u in per_u.index
+    ]
+    per_u["band"] = (per_u["n_ev"] // 20).clip(upper=4)
+    wts = per_u.groupby("band").size()
+    wt = wts.sum()
+    rows = {
+        r["grp"]: r
+        for r in REGISTRY["users_standardized_rates"]
+        .fn(spark, "/root/testdata/sf0.001")
+        .collect()
+    }
+    for grp, g in per_u.groupby("grp"):
+        std = sum(
+            (gb["conv"].sum() / len(gb)) * wts[b] / wt
+            for b, gb in g.groupby("band")
+        )
+        r = rows[grp]
+        assert r["n_users"] == len(g)
+        assert math.isclose(
+            r["crude_rate"], round(g["conv"].sum() / len(g), 6),
+            abs_tol=1e-9,
+        )
+        assert math.isclose(r["standardized_rate"], round(std, 6),
+                            abs_tol=1e-6)
+
+    # Simpson planted: A is better in every stratum yet worse crude
+    # strata: (n_A, k_A, n_B, k_B, weight)
+    strata = [(90, 9, 10, 0, 100), (10, 9, 90, 72, 100)]
+    crude_a = sum(k for _, k, _, _, _ in strata) / sum(
+        n for n, _, _, _, _ in strata
+    )
+    crude_b = sum(k for _, _, _, k, _ in strata) / sum(
+        n for _, _, n, _, _ in strata
+    )
+    std_a = sum((k / n) * w for n, k, _, _, w in strata) / 200
+    std_b = sum((k / n) * w for _, _, n, k, w in strata) / 200
+    assert crude_a < crude_b and std_a > std_b
+
+    # Wilson replay
+    n_users = ev["user_id"].nunique()
+    wrows = (
+        REGISTRY["events_type_reach_wilson"]
+        .fn(spark, "/root/testdata/sf0.001")
+        .collect()
+    )
+    z, z2 = 1.959964, 3.841459
+    for r in wrows:
+        k = ev[ev["event_type"] == r["event_type"]]["user_id"].nunique()
+        assert (r["n_reached"], r["n_users"]) == (k, n_users)
+        p = k / n_users
+        rad = z * math.sqrt(p * (1 - p) / n_users
+                            + z2 / (4 * n_users * n_users))
+        lo = (p + z2 / (2 * n_users) - rad) / (1 + z2 / n_users)
+        hi = (p + z2 / (2 * n_users) + rad) / (1 + z2 / n_users)
+        assert math.isclose(r["wilson_lo"], round(lo, 6), abs_tol=1e-9)
+        assert math.isclose(r["wilson_hi"], round(hi, 6), abs_tol=1e-9)
+        assert 0.0 <= r["wilson_lo"] <= r["p_hat"] <= r["wilson_hi"] <= 1.0

@@ -11829,3 +11829,178 @@ def users_mcnemar_kappa_halves(
             f" / (1.0 - {pe}), 6) END"
         ).alias("cohen_kappa"),
     )
+
+
+# ---------------------------------------------------------------------------
+# F191 directly standardized conversion rates (activity-band strata)
+# ---------------------------------------------------------------------------
+@register(
+    "users_standardized_rates",
+    """
+    WITH u AS (
+        SELECT user_id,
+               CASE WHEN substring(md5(CAST(user_id AS VARCHAR)), 1, 1)
+                         < '8' THEN 'A' ELSE 'B' END AS grp,
+               CAST(least(floor(count(*) / 20.0), 4) AS BIGINT) AS band,
+               CAST(max(CASE WHEN event_type = 'purchase'
+                             THEN 1 ELSE 0 END) AS BIGINT) AS conv
+        FROM events GROUP BY user_id
+    ),
+    std AS (
+        SELECT band, CAST(count(*) AS BIGINT) AS w,
+               CAST(sum(count(*)) OVER () AS BIGINT) AS wt
+        FROM u GROUP BY band
+    ),
+    cell AS (
+        SELECT grp, band, CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(conv) AS BIGINT) AS k
+        FROM u GROUP BY grp, band
+    ),
+    rates AS (
+        SELECT grp,
+               sum(CAST(k AS DOUBLE) / n) AS crude_unused,
+               sum(CAST(cell.k AS DOUBLE) * std.w
+                   / (CAST(cell.n AS DOUBLE) * std.wt))
+                   AS std_rate,
+               CAST(sum(k) AS BIGINT) AS kk,
+               CAST(sum(n) AS BIGINT) AS nn
+        FROM cell JOIN std ON std.band = cell.band
+        GROUP BY grp
+    )
+    SELECT grp, nn AS n_users, kk AS n_converters,
+           round(CAST(kk AS DOUBLE) / nn, 6) AS crude_rate,
+           round(std_rate, 6) AS standardized_rate
+    FROM rates ORDER BY grp
+    """,
+    doc="F191 directly standardized conversion rates: each md5 arm's "
+    "per-activity-band conversion rates are re-weighted to the "
+    "POOLED band mix (the epidemiology age-standardization recipe "
+    "on engagement strata) — crude rates can order A ahead of B "
+    "purely because A holds more heavy users (Simpson's trap; the "
+    "standardized pair compares like with like and feeds F146's "
+    "clustered machinery an honest point estimate). Counts exact; "
+    "the 5-stratum weighted sum is a bounded reduce (F119 argument). "
+    "One row per arm with crude vs standardized side by side.",
+)
+def users_standardized_rates(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    u = _events(spark, sf_dir).groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_ev"),
+        F.max(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("conv"),
+    ).select(
+        F.expr(
+            "CASE WHEN substring(md5(CAST(user_id AS STRING)), 1, 1)"
+            " < '8' THEN 'A' ELSE 'B' END"
+        ).alias("grp"),
+        F.expr("CAST(least(floor(n_ev / 20.0), 4) AS BIGINT)").alias(
+            "band"
+        ),
+        "conv",
+    )
+    from pyspark.sql.window import Window as W
+
+    std = u.groupBy("band").agg(F.count(F.lit(1)).alias("w"))
+    std = std.select(
+        "band", "w",
+        F.sum("w")
+        .over(
+            W.partitionBy().rowsBetween(
+                W.unboundedPreceding, W.unboundedFollowing
+            )
+        )
+        .alias("wt"),
+    )
+    cell = u.groupBy("grp", "band").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("conv").alias("k")
+    )
+    rates = (
+        cell.join(F.broadcast(std), "band")
+        .groupBy("grp")
+        .agg(
+            F.sum(
+                F.expr(
+                    "CAST(k AS DOUBLE) * w / (CAST(n AS DOUBLE) * wt)"
+                )
+            ).alias("std_rate"),
+            F.sum("k").alias("kk"),
+            F.sum("n").alias("nn"),
+        )
+    )
+    return rates.select(
+        "grp",
+        F.col("nn").alias("n_users"),
+        F.col("kk").alias("n_converters"),
+        F.expr("round(CAST(kk AS DOUBLE) / nn, 6)").alias("crude_rate"),
+        F.round("std_rate", 6).alias("standardized_rate"),
+    ).orderBy("grp")
+
+
+# ---------------------------------------------------------------------------
+# F192 Wilson score intervals for per-type user reach
+# ---------------------------------------------------------------------------
+@register(
+    "events_type_reach_wilson",
+    """
+    WITH tot AS (
+        SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS n FROM events
+    ),
+    reach AS (
+        SELECT event_type,
+               CAST(count(DISTINCT user_id) AS BIGINT) AS k
+        FROM events GROUP BY event_type
+    )
+    SELECT event_type, k AS n_reached, n AS n_users,
+           round(CAST(k AS DOUBLE) / n, 6) AS p_hat,
+           round((CAST(k AS DOUBLE) / n + 3.841459 / (2.0 * n)
+                  - 1.959964 * sqrt((CAST(k AS DOUBLE) / n)
+                        * (1.0 - CAST(k AS DOUBLE) / n) / n
+                        + 3.841459 / (4.0 * CAST(n AS DOUBLE) * n)))
+                 / (1.0 + 3.841459 / n), 6) AS wilson_lo,
+           round((CAST(k AS DOUBLE) / n + 3.841459 / (2.0 * n)
+                  + 1.959964 * sqrt((CAST(k AS DOUBLE) / n)
+                        * (1.0 - CAST(k AS DOUBLE) / n) / n
+                        + 3.841459 / (4.0 * CAST(n AS DOUBLE) * n)))
+                 / (1.0 + 3.841459 / n), 6) AS wilson_hi
+    FROM reach CROSS JOIN tot ORDER BY event_type
+    """,
+    doc="F192 user reach per event type with WILSON score 95% "
+    "intervals: p_hat = distinct users touching the type / all "
+    "users, and the score interval (z=1.959964, z^2=3.841459) — the "
+    "binomial CI that stays inside [0,1] and behaves at p near 0 or "
+    "1 where the Wald interval (F85's +-1.96 sqrt(pq/n) habit) "
+    "collapses — completing the interval toolkit (Woolf for ORs, "
+    "order statistics for medians, Wilson for proportions). Counts "
+    "exact; one shared fp expression per bound. One row per type.",
+)
+def events_type_reach_wilson(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    tot = ev.agg(F.countDistinct("user_id").cast("long").alias("n"))
+    reach = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").cast("long").alias("k")
+    )
+    ph = "CAST(k AS DOUBLE) / n"
+    rad = (
+        f"1.959964 * sqrt(({ph}) * (1.0 - {ph}) / n"
+        " + 3.841459 / (4.0 * CAST(n AS DOUBLE) * n))"
+    )
+    return reach.crossJoin(F.broadcast(tot)).select(
+        "event_type",
+        F.col("k").alias("n_reached"),
+        F.col("n").alias("n_users"),
+        F.expr(f"round({ph}, 6)").alias("p_hat"),
+        F.expr(
+            f"round(({ph} + 3.841459 / (2.0 * n) - {rad})"
+            " / (1.0 + 3.841459 / n), 6)"
+        ).alias("wilson_lo"),
+        F.expr(
+            f"round(({ph} + 3.841459 / (2.0 * n) + {rad})"
+            " / (1.0 + 3.841459 / n), 6)"
+        ).alias("wilson_hi"),
+    ).orderBy("event_type")
