@@ -4651,3 +4651,56 @@ def test_standardized_rates_and_wilson_replays(spark):
         assert math.isclose(r["wilson_lo"], round(lo, 6), abs_tol=1e-9)
         assert math.isclose(r["wilson_hi"], round(hi, 6), abs_tol=1e-9)
         assert 0.0 <= r["wilson_lo"] <= r["p_hat"] <= r["wilson_hi"] <= 1.0
+
+
+def test_assortativity_matches_networkx_style_replay(spark):
+    """G8: r equals a plain-Python Newman replay on sf0.001's edge
+    list; a planted star graph is strongly disassortative and a
+    clique returns NULL (regular graph — zero variance)."""
+    import math
+    from collections import defaultdict
+
+    import pandas as pd
+
+    from time_series_spark_spark.queries import REGISTRY
+
+    def assort(edges):
+        deg = defaultdict(int)
+        for a, b in edges:
+            deg[a] += 1
+            deg[b] += 1
+        m = len(edges)
+        s1 = sum(deg[a] + deg[b] for a, b in edges)
+        sjk = sum(deg[a] * deg[b] for a, b in edges)
+        s2 = sum(deg[a] ** 2 + deg[b] ** 2 for a, b in edges)
+        den = 2.0 * m * s2 - float(s1) * s1
+        if den == 0:
+            return None
+        return (4.0 * m * sjk - float(s1) * s1) / den
+
+    li = pd.read_parquet("/root/testdata/sf0.001/lineitem.parquet")
+    li = li[li["l_quantity"] > 45][["l_orderkey", "l_suppkey"]]
+    li = li.drop_duplicates()
+    edges = set()
+    for _, g in li.groupby("l_orderkey"):
+        ss = sorted(set(g["l_suppkey"]))
+        for i, x in enumerate(ss):
+            for y in ss[i + 1:]:
+                edges.add((x, y))
+    r_ref = assort(sorted(edges))
+    row = (
+        REGISTRY["supplier_cosupply_assortativity"]
+        .fn(spark, "/root/testdata/sf0.001")
+        .collect()[0]
+    )
+    assert row["n_edges"] == len(edges)
+    if r_ref is None:
+        assert row["assortativity_r"] is None
+    else:
+        assert math.isclose(row["assortativity_r"], round(r_ref, 6),
+                            abs_tol=1e-6)
+
+    star = [(0, i) for i in range(1, 11)]
+    clique = [(i, j) for i in range(5) for j in range(i + 1, 5)]
+    assert assort(star) < -0.99  # hub-and-spoke
+    assert assort(clique) is None  # regular graph

@@ -12004,3 +12004,117 @@ def events_type_reach_wilson(
             " / (1.0 + 3.841459 / n), 6)"
         ).alias("wilson_hi"),
     ).orderBy("event_type")
+
+
+# ---------------------------------------------------------------------------
+# G8 degree assortativity of the supplier co-supply graph
+# ---------------------------------------------------------------------------
+@register(
+    "supplier_cosupply_assortativity",
+    """
+    WITH li AS (
+        SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem
+        WHERE l_quantity > 45
+    ),
+    e AS (
+        SELECT DISTINCT a.l_suppkey AS s1, b.l_suppkey AS s2
+        FROM li a JOIN li b
+          ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey
+    ),
+    deg AS (
+        SELECT v, CAST(count(*) AS BIGINT) AS d
+        FROM (SELECT s1 AS v FROM e UNION ALL SELECT s2 AS v FROM e)
+        GROUP BY v
+    ),
+    ends AS (
+        SELECT da.d AS j, db.d AS k FROM e
+        JOIN deg da ON da.v = e.s1
+        JOIN deg db ON db.v = e.s2
+    ),
+    s AS (
+        SELECT CAST(count(*) AS BIGINT) AS m,
+               CAST(sum(j + k) AS BIGINT) AS s1,
+               CAST(sum(j * k) AS BIGINT) AS sjk,
+               CAST(sum(j * j + k * k) AS BIGINT) AS s2
+        FROM ends
+    )
+    SELECT m AS n_edges,
+           (SELECT CAST(count(*) AS BIGINT) FROM deg) AS n_vertices,
+           CASE WHEN 2.0 * m * s2 - CAST(s1 AS DOUBLE) * s1 = 0 THEN NULL
+                ELSE round((4.0 * m * sjk - CAST(s1 AS DOUBLE) * s1)
+                           / (2.0 * m * s2 - CAST(s1 AS DOUBLE) * s1), 6)
+                END AS assortativity_r
+    FROM s
+    """,
+    doc="G8 degree assortativity of the supplier co-supply graph "
+    "(Newman 2002): the Pearson correlation of endpoint degrees over "
+    "edges, r = (4m*sum(jk) - (sum(j+k))^2) / (2m*sum(j^2+k^2) - "
+    "(sum(j+k))^2) — positive means hubs link hubs (resilient core), "
+    "negative means hub-and-spoke (single-point fragility); THE "
+    "topology scalar the G-series (triangles, k-core, CC, PageRank) "
+    "still lacked. Degree joins are two broadcast-able dim joins on "
+    "the edge list; all sums EXACT BIGINTs (d <= vertices, sum(j*k) "
+    "< m*d_max^2 — bound noted), one shared fp expression, regular "
+    "(all-equal-degree) graphs return NULL honestly. Single row.",
+)
+def supplier_cosupply_assortativity(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    li = (
+        load(spark, sf_dir, "lineitem")
+        .filter(F.col("l_quantity") > 45)
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
+    )
+    a = li.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_suppkey").alias("s1")
+    )
+    b = li.select(
+        F.col("l_orderkey").alias("ok2"), F.col("l_suppkey").alias("s2")
+    )
+    e = (
+        a.join(
+            b,
+            (F.col("ok") == F.col("ok2")) & (F.col("s1") < F.col("s2")),
+        )
+        .select("s1", "s2")
+        .distinct()
+    )
+    deg = (
+        e.select(F.col("s1").alias("v"))
+        .unionAll(e.select(F.col("s2").alias("v")))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    ends = (
+        e.join(
+            F.broadcast(deg.select(F.col("v").alias("s1"),
+                                   F.col("d").alias("j"))),
+            "s1",
+        )
+        .join(
+            F.broadcast(deg.select(F.col("v").alias("s2"),
+                                   F.col("d").alias("k"))),
+            "s2",
+        )
+        .select("j", "k")
+    )
+    s = ends.agg(
+        F.count(F.lit(1)).alias("m"),
+        F.sum(F.col("j") + F.col("k")).alias("s1"),
+        F.sum(F.col("j") * F.col("k")).alias("sjk"),
+        F.sum(
+            F.col("j") * F.col("j") + F.col("k") * F.col("k")
+        ).alias("s2"),
+    )
+    nv = deg.agg(F.count(F.lit(1)).alias("n_vertices"))
+    return s.crossJoin(F.broadcast(nv)).select(
+        F.col("m").alias("n_edges"),
+        "n_vertices",
+        F.expr(
+            "CASE WHEN 2.0 * m * s2 - CAST(s1 AS DOUBLE) * s1 = 0"
+            " THEN NULL"
+            " ELSE round((4.0 * m * sjk - CAST(s1 AS DOUBLE) * s1)"
+            " / (2.0 * m * s2 - CAST(s1 AS DOUBLE) * s1), 6) END"
+        ).alias("assortativity_r"),
+    )
