@@ -143,12 +143,47 @@ _EXTERNALLY_CONFIRMED = [
     "docs_ppmi_top_pairs", "docs_ppmi_svd_neighbors", "emb_pca_variance",
     "emb_ann_quality_report", "docs_vocab_coverage", "docs_quality_classifier",
     "docs_token_entropy", "emb_mips_topk", "docs_temperature_mix",
+    # round-6 driver greens (CORRECTNESS_r06.json: 24 rows+schema+hash
+    # matched; the rest ran clean rows-only by design). The eleven
+    # stream_* queries that gained DuckDB oracles in round 7 are
+    # deliberately NOT listed — they re-enter the sample window via
+    # _RECHECK_FIRST so the driver can upgrade their rows-only record to
+    # a full hash confirmation:
+    "orders_duplicate_payments", "orders_yoy_growth_monthly",
+    "lineitem_pricing_waterfall", "orders_fiscal_445_rollup",
+    "lineitem_price_indices_yearly", "events_debounce_user_type",
+    "orders_target_encoding_oof", "docs_inverted_index", "docs_bm25_search",
+    "docs_feature_hashing", "docs_kn_bigram_ppl", "docs_cluster_keep_best",
+    "docs_lexical_diversity", "emb_jl_projection_report",
+    "docs_vocab_unseen_estimate", "docs_source_overlap_matrix",
+    "docs_audio_window_features", "events_watermark_lateness_audit",
+    "q10_returned_revenue", "q14_promo_revenue_share",
+    "q18_large_volume_customers", "q19_disjunctive_part_revenue",
+    "market_share_by_year", "mom_revenue_growth",
+    "docs_multimodal_frame_sample", "docs_quality_cv_tuning",
+    "docs_quality_calibration", "emb_kmeans_clusters",
+    "docs_bpe_encode_stats", "docs_neardup_quality_report",
+    "emb_diverse_exemplars", "docs_dedup_impact_report",
+    "stream_anomaly_flags", "stream_forecast_serving",
+    "stream_left_outer_views", "stream_python_source_ticks",
+    "stream_page_hinkley_drift", "stream_heavy_hitters_users",
+    "stream_rate_limit_audit",
 ]
 
-# Externally-failed queries pinned to the very front of the sample window
-# until the driver re-confirms the fix. Round 5 had ZERO failures, so the
-# pin list is empty this round.
-_RECHECK_FIRST: list[str] = []
+# Queries pinned to the very front of the sample window: externally-failed
+# fixes awaiting re-confirmation, plus queries whose check STRENGTH changed
+# (rows-only → oracle-backed) and should face the driver again under the
+# stronger check. Round 6 had ZERO failures; the round-7 pins are the
+# eleven deterministic stream_* replays that gained DuckDB batch-
+# equivalence oracles (queries_streaming.py, round-6 verdict item 1).
+_RECHECK_FIRST: list[str] = [
+    "stream_hourly_counts", "stream_sliding_counts",
+    "stream_session_windows", "stream_dedup_counts",
+    "stream_stateful_user_totals", "stream_static_join_enriched",
+    "stream_stream_join_pairs", "stream_dedup_within_watermark",
+    "stream_debounce_user_type", "stream_sprt_ab_decision",
+    "stream_state_audit",
+]
 
 SAMPLE_WINDOW = 50  # the external gate samples this many leading entries
 
@@ -174,6 +209,14 @@ def _apply_rotation(
     fresh = [
         n for n in registry if n not in conf_set and n not in set(front)
     ]
+    # Oracle-backed fresh queries first (stable within each class): every
+    # driver round spends its ~50 sample slots on hash-verifiable entries;
+    # rows-only entries trail until the oracle-backed backlog clears
+    # (round-6 verdict item 3 — a window burning 26 slots on rows-only
+    # checks confirms half as much as one that doesn't).
+    fresh.sort(
+        key=lambda n: getattr(registry[n], "oracle", None) is None
+    )
     tail = [n for n in confirmed if n in registry]
     spare = window - len(front) - len(fresh)
     slice_names: list[str] = []
