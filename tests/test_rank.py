@@ -1,0 +1,185 @@
+"""operators/rank.py — scale-safe exact global order statistics.
+
+Every helper must be BIT-IDENTICAL to the single-task global window it
+replaces (that is what lets the six rewritten queries keep their DuckDB
+oracles unchanged), while its plan funnels no row-scale frame through a
+single-partition exchange.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+from pyspark.sql.window import Window
+
+from time_series_spark_spark.operators.rank import (
+    global_cummax,
+    global_cumsum,
+    global_lag_gaps,
+    global_rank,
+    ntile_expr,
+)
+from time_series_spark_spark.plans.audit import (
+    rowscale_single_partition_exchanges,
+)
+
+
+def _toy(spark, n=500, seed=7):
+    """Deterministic frame with heavy ties in v and a unique key."""
+    return spark.range(n).select(
+        F.col("id").alias("k"),
+        (F.hash(F.col("id") + seed) % 17).alias("v"),
+        (F.hash(F.col("id") * 3 + seed) % 1000).cast("long").alias("w"),
+    )
+
+
+def test_global_rank_matches_single_task_window(spark):
+    df = _toy(spark)
+    got = (
+        global_rank(df, [F.asc("v"), F.asc("k")], "rnk", total_col="n",
+                    num_partitions=7)
+        .orderBy("k")
+        .collect()
+    )
+    want = (
+        df.withColumn("rnk", F.row_number().over(Window.orderBy("v", "k")))
+        .withColumn(
+            "n",
+            F.count(F.lit(1)).over(
+                Window.rowsBetween(
+                    Window.unboundedPreceding, Window.unboundedFollowing
+                )
+            ),
+        )
+        .orderBy("k")
+        .collect()
+    )
+    assert [(r["k"], r["rnk"], r["n"]) for r in got] == [
+        (r["k"], r["rnk"], r["n"]) for r in want
+    ]
+
+
+def test_global_rank_desc_order(spark):
+    df = _toy(spark, n=200)
+    got = (
+        global_rank(df, [F.desc("v"), F.asc("k")], "rnk", num_partitions=5)
+        .orderBy("k")
+        .collect()
+    )
+    want = (
+        df.withColumn(
+            "rnk", F.row_number().over(Window.orderBy(F.desc("v"), F.asc("k")))
+        )
+        .orderBy("k")
+        .collect()
+    )
+    assert [(r["k"], r["rnk"]) for r in got] == [
+        (r["k"], r["rnk"]) for r in want
+    ]
+
+
+def test_global_cumsum_matches_rows_frame_window(spark):
+    df = _toy(spark)
+    got = (
+        global_cumsum(df, [F.asc("v"), F.asc("k")], ["w"], num_partitions=7)
+        .orderBy("k")
+        .collect()
+    )
+    w = (
+        Window.orderBy("v", "k")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    want = df.withColumn("w", F.sum("w").over(w)).orderBy("k").collect()
+    assert [(r["k"], r["w"]) for r in got] == [(r["k"], r["w"]) for r in want]
+
+
+def test_global_cumsum_distinct_reduce_gives_range_ecdf(spark):
+    """The documented RANGE-frame recipe: pre-reduce to distinct keys,
+    then ROWS ≡ RANGE — the exact pooled-ECDF shape events_ks_two_sample
+    is built on."""
+    df = _toy(spark)
+    per_v = df.groupBy("v").agg(F.count(F.lit(1)).alias("c"))
+    got = (
+        global_cumsum(per_v, [F.asc("v")], ["c"], num_partitions=5)
+        .orderBy("v")
+        .collect()
+    )
+    want = (
+        df.select("v", F.lit(1).alias("one"))
+        .withColumn("c", F.sum("one").over(Window.orderBy("v")))
+        .groupBy("v")
+        .agg(F.max("c").alias("c"))
+        .orderBy("v")
+        .collect()
+    )
+    assert [(r["v"], r["c"]) for r in got] == [(r["v"], r["c"]) for r in want]
+
+
+def test_global_cummax_matches_window(spark):
+    df = _toy(spark)
+    got = (
+        global_cummax(df, [F.asc("k")], ["w"], num_partitions=7)
+        .orderBy("k")
+        .collect()
+    )
+    w = Window.orderBy("k").rowsBetween(Window.unboundedPreceding, 0)
+    want = df.withColumn("w", F.max("w").over(w)).orderBy("k").collect()
+    assert [(r["k"], r["w"]) for r in got] == [(r["k"], r["w"]) for r in want]
+
+
+def test_global_lag_gaps_matches_lag_window(spark):
+    # sparse unique ids with gaps of assorted sizes
+    df = spark.range(2000).select(
+        (F.col("id") * 7 % 4096).alias("event_id")
+    ).distinct().filter(F.col("event_id") % 5 != 0)
+    got = sorted(
+        (r["prev_id"], r["event_id"])
+        for r in global_lag_gaps(df, "event_id", num_partitions=9).collect()
+    )
+    s = df.withColumn(
+        "prev_id", F.lag("event_id").over(Window.orderBy("event_id"))
+    ).filter(
+        F.col("prev_id").isNotNull()
+        & (F.col("event_id") - F.col("prev_id") > 1)
+    )
+    want = sorted((r["prev_id"], r["event_id"]) for r in s.collect())
+    assert got == want and len(got) > 50
+
+
+@pytest.mark.parametrize("n,k", [(500, 4), (500, 5), (3, 5), (17, 4), (1, 3)])
+def test_ntile_expr_matches_spark_ntile(spark, n, k):
+    df = _toy(spark, n=n)
+    got = (
+        global_rank(df, [F.asc("v"), F.asc("k")], "rnk", total_col="n",
+                    num_partitions=4)
+        .select("k", ntile_expr(F.col("rnk"), F.col("n"), k).alias("q"))
+        .orderBy("k")
+        .collect()
+    )
+    want = (
+        df.select(
+            "k", F.ntile(k).over(Window.orderBy("v", "k")).alias("q")
+        )
+        .orderBy("k")
+        .collect()
+    )
+    assert [(r["k"], r["q"]) for r in got] == [
+        (r["k"], r["q"]) for r in want
+    ]
+
+
+def test_rank_plan_has_no_rowscale_single_partition_exchange(spark, tmp_path):
+    """The whole point: the construction must not funnel the row-scale
+    frame through one task. (A parquet source is used so the audit's
+    scan detector sees a real file scan.)"""
+    p = str(tmp_path / "t.parquet")
+    _toy(spark, n=1000).write.parquet(p)
+    df = spark.read.parquet(p)
+    out = global_rank(df, [F.asc("v"), F.asc("k")], "rnk", total_col="n",
+                      num_partitions=4)
+    assert rowscale_single_partition_exchanges(out) == []
+    # and the audit DOES flag the single-task shape it replaces
+    naive = df.withColumn(
+        "rnk", F.row_number().over(Window.orderBy("v", "k"))
+    )
+    assert rowscale_single_partition_exchanges(naive) != []

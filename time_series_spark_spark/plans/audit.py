@@ -49,6 +49,55 @@ def read_schemas(df: DataFrame) -> list[str]:
     return re.findall(r"ReadSchema: (struct<[^>]*)", executed_plan(df))
 
 
+def _tree_depth(line: str) -> int:
+    """Column where a plan-tree node's name starts (tree-drawing prefix
+    length). Children render strictly deeper than their parent, which is
+    all the subtree extraction below relies on."""
+    m = re.match(r"^[\s:+|-]*", line)
+    return m.end()
+
+
+def rowscale_single_partition_exchanges(df: DataFrame) -> list[str]:
+    """``Exchange SinglePartition`` nodes whose subtree reads a row-scale
+    source with NO aggregate in between — the §4.3 scale-killer shape (a
+    global unpartitioned window/sort funneling every row through one
+    task).
+
+    A single-partition exchange is legitimate when it feeds on an already
+    -reduced frame: the final stage of a global aggregate, or the bounded
+    per-partition summary frame of the ``operators/rank.py`` two-pass
+    construction (≤ #partitions rows). Those subtrees always contain a
+    partial HashAggregate; a subtree that reaches a file scan without ANY
+    aggregate is funneling raw rows and gets flagged. Returns the
+    offending plan lines (empty list = scale-clean).
+    """
+    lines = executed_plan(df).splitlines()
+    bad: list[str] = []
+    for i, line in enumerate(lines):
+        if "Exchange SinglePartition" not in line:
+            continue
+        d = _tree_depth(line)
+        sub: list[str] = []
+        for j in range(i + 1, len(lines)):
+            if _tree_depth(lines[j]) <= d:
+                break
+            sub.append(lines[j])
+        subtxt = "\n".join(sub)
+        has_scan = (
+            "Scan parquet" in subtxt
+            or "FileScan" in subtxt
+            or "Scan ExistingRDD" in subtxt
+        )
+        has_agg = (
+            "HashAggregate" in subtxt
+            or "SortAggregate" in subtxt
+            or "ObjectHashAggregate" in subtxt
+        )
+        if has_scan and not has_agg:
+            bad.append(line.strip())
+    return bad
+
+
 def scan_columns(df: DataFrame) -> list[set[str]]:
     """Column-name sets actually read by each parquet scan."""
     out = []
