@@ -359,7 +359,7 @@ def test_sssp_bounded_matches_dijkstra_within_hops(spark):
     ]
     edges = spark.createDataFrame(edges_py, "s1 long, s2 long, w long")
     got = {
-        r["node"]: r["d"]
+        r["node"]: r["dist"]
         for r in sssp_bounded(edges, 0, max_rounds=4).collect()
     }
 
@@ -387,3 +387,20 @@ def test_sssp_bounded_matches_dijkstra_within_hops(spark):
     # (0-3-4-5-6): the bound forces the worse path, by design
     assert got[6] == 13
     assert 0 in got and got[0] == 0
+
+
+def test_sssp_bounded_fractional_weights_stay_double(spark):
+    """Fractional edge weights must come back as exact doubles — the
+    seed distance is cast to the weight column's type, not pinned long."""
+    from time_series_spark_spark.operators.graph import sssp_bounded
+
+    edges = spark.createDataFrame(
+        [(0, 1, 0.5), (1, 2, 0.25)], "s1 long, s2 long, w double"
+    )
+    got = {
+        r["node"]: r["dist"]
+        for r in sssp_bounded(edges, 0, max_rounds=3).collect()
+    }
+    assert got == {0: 0.0, 1: 0.5, 2: 0.75}
+    fields = dict(sssp_bounded(edges, 0, max_rounds=1).dtypes)
+    assert fields == {"node": "bigint", "dist": "double"}

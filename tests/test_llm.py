@@ -1568,3 +1568,29 @@ def test_dedup_impact_report_identities(spark):
     ]["docs_kept"]
     for r in rows.values():
         assert 0 < r["token_retention"] <= 1.0
+
+
+def test_farthest_point_sample_guards(spark):
+    """Degenerate inputs: NaN/Inf vectors are excluded (they would
+    splice as invalid SQL literals and poison distances), k past the
+    clean row count truncates instead of IndexError, and an all-bad
+    frame returns []."""
+    import math
+
+    from time_series_spark_spark.operators.llm import farthest_point_sample
+
+    rows = [
+        (1, [0.0, 0.0]),
+        (2, [3.0, 4.0]),
+        (3, [float("nan"), 1.0]),
+        (4, [float("inf"), 0.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    sel = farthest_point_sample(df, k=5)
+    assert [i for i, _ in sel] == [1, 2]  # 3, 4 excluded; k truncated
+    assert sel[0][1] == 0.0 and abs(sel[1][1] - 5.0) < 1e-12
+    assert all(math.isfinite(d) for _, d in sel)
+    bad = spark.createDataFrame(
+        [(7, [float("nan")])], "vec_id long, embedding array<double>"
+    )
+    assert farthest_point_sample(bad, k=3) == []

@@ -391,6 +391,9 @@ def test_rank_auc_exact_with_ties(spark):
     assert rank_auc(perfect, score_col="p") == 1.0
     onecls = spark.createDataFrame([(0.9, 1.0), (0.1, 1.0)], ["p", "label"])
     assert math.isnan(rank_auc(onecls, score_col="p"))
+    # empty test split -> nan, never a TypeError on NULL aggregates
+    empty = spark.createDataFrame([], "p double, label double")
+    assert math.isnan(rank_auc(empty, score_col="p"))
 
 
 def test_classifier_survives_observation_in_session(spark):

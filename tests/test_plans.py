@@ -693,3 +693,26 @@ def test_audio_windows_stay_in_codegen(spark):
     plan = executed_plan(df)
     assert "EvalPython" not in plan
     assert "Generate explode" in plan or "Generate" in plan
+
+
+def test_no_rowscale_single_partition_window_plans(spark):
+    """Round-7 rewrite pin: the six formerly single-task global-window
+    queries (round-6 verdict 'weak' list) now build on the
+    operators/rank.py range-partitioned two-pass construction — no
+    Exchange SinglePartition in any of their plans may funnel a raw
+    (un-aggregated) scan through one task. The only single-partition
+    exchanges allowed are those above an aggregate (final global aggs
+    and the bounded per-partition offset frames)."""
+    from time_series_spark_spark.plans.audit import (
+        rowscale_single_partition_exchanges,
+    )
+
+    for name in [
+        "events_ks_two_sample",
+        "events_id_gap_audit",
+        "orders_price_decile_bins",
+        "orders_trimmed_winsorized_price",
+        "docs_heaps_curve",
+        "customers_rfm_segments",
+    ]:
+        assert rowscale_single_partition_exchanges(_df(spark, name)) == [], name

@@ -4704,3 +4704,35 @@ def test_assortativity_matches_networkx_style_replay(spark):
     clique = [(i, j) for i in range(5) for j in range(i + 1, 5)]
     assert assort(star) < -0.99  # hub-and-spoke
     assert assort(clique) is None  # regular graph
+
+
+def test_bigint_validity_bounds_are_enforced(spark):
+    """The integer-exact statistic families must RAISE when their
+    documented BIGINT validity bound is exceeded, never silently wrap
+    where DuckDB would promote to HUGEINT. Planting 3e9 real rows is
+    impossible locally, so the bound itself is shrunk below sf0.001's
+    actual magnitudes — the same guard expression then trips on real
+    data exactly as it would at scale."""
+    import pytest
+
+    from time_series_spark_spark.operators import guards
+    from time_series_spark_spark.queries import REGISTRY
+
+    sf = "/root/testdata/sf0.001"
+    names = [
+        "orders_ks_drift",
+        "orders_mannwhitney_period",
+        "events_chi2_type_dow",
+        "events_ljung_box_daily",
+    ]
+    old = guards._BIGINT_SAFE
+    try:
+        guards._BIGINT_SAFE = 10.0
+        for name in names:
+            with pytest.raises(Exception, match="BIGINT validity bound"):
+                REGISTRY[name].fn(spark, sf).collect()
+    finally:
+        guards._BIGINT_SAFE = old
+    # and with the real 2^63 threshold every family still runs clean
+    for name in names:
+        assert REGISTRY[name].fn(spark, sf).count() >= 1

@@ -36,7 +36,7 @@ def _toy(spark, n=500, seed=7):
 def test_global_rank_matches_single_task_window(spark):
     df = _toy(spark)
     got = (
-        global_rank(df, [F.asc("v"), F.asc("k")], "rnk", total_col="n",
+        global_rank(df, [("v", True), ("k", True)], "rnk", total_col="n",
                     num_partitions=7)
         .orderBy("k")
         .collect()
@@ -62,7 +62,7 @@ def test_global_rank_matches_single_task_window(spark):
 def test_global_rank_desc_order(spark):
     df = _toy(spark, n=200)
     got = (
-        global_rank(df, [F.desc("v"), F.asc("k")], "rnk", num_partitions=5)
+        global_rank(df, [("v", False), ("k", True)], "rnk", num_partitions=5)
         .orderBy("k")
         .collect()
     )
@@ -81,7 +81,7 @@ def test_global_rank_desc_order(spark):
 def test_global_cumsum_matches_rows_frame_window(spark):
     df = _toy(spark)
     got = (
-        global_cumsum(df, [F.asc("v"), F.asc("k")], ["w"], num_partitions=7)
+        global_cumsum(df, [("v", True), ("k", True)], ["w"], num_partitions=7)
         .orderBy("k")
         .collect()
     )
@@ -100,7 +100,7 @@ def test_global_cumsum_distinct_reduce_gives_range_ecdf(spark):
     df = _toy(spark)
     per_v = df.groupBy("v").agg(F.count(F.lit(1)).alias("c"))
     got = (
-        global_cumsum(per_v, [F.asc("v")], ["c"], num_partitions=5)
+        global_cumsum(per_v, [("v", True)], ["c"], num_partitions=5)
         .orderBy("v")
         .collect()
     )
@@ -118,7 +118,7 @@ def test_global_cumsum_distinct_reduce_gives_range_ecdf(spark):
 def test_global_cummax_matches_window(spark):
     df = _toy(spark)
     got = (
-        global_cummax(df, [F.asc("k")], ["w"], num_partitions=7)
+        global_cummax(df, [("k", True)], ["w"], num_partitions=7)
         .orderBy("k")
         .collect()
     )
@@ -150,7 +150,7 @@ def test_global_lag_gaps_matches_lag_window(spark):
 def test_ntile_expr_matches_spark_ntile(spark, n, k):
     df = _toy(spark, n=n)
     got = (
-        global_rank(df, [F.asc("v"), F.asc("k")], "rnk", total_col="n",
+        global_rank(df, [("v", True), ("k", True)], "rnk", total_col="n",
                     num_partitions=4)
         .select("k", ntile_expr(F.col("rnk"), F.col("n"), k).alias("q"))
         .orderBy("k")
@@ -175,7 +175,7 @@ def test_rank_plan_has_no_rowscale_single_partition_exchange(spark, tmp_path):
     p = str(tmp_path / "t.parquet")
     _toy(spark, n=1000).write.parquet(p)
     df = spark.read.parquet(p)
-    out = global_rank(df, [F.asc("v"), F.asc("k")], "rnk", total_col="n",
+    out = global_rank(df, [("v", True), ("k", True)], "rnk", total_col="n",
                       num_partitions=4)
     assert rowscale_single_partition_exchanges(out) == []
     # and the audit DOES flag the single-task shape it replaces

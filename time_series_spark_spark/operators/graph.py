@@ -502,7 +502,12 @@ def sssp_bounded(
         )
     )
     spark = edges.sparkSession
-    dist = spark.createDataFrame([(int(source), 0)], "node long, d long")
+    # seed distance in the WEIGHT column's own type — fractional weights
+    # must not ride on union coercion to stay double
+    w_type = sym.schema["w"].dataType.simpleString()
+    dist = spark.createDataFrame([(int(source),)], "node long").select(
+        "node", F.lit(0).cast(w_type).alias("d")
+    )
     for _ in range(max_rounds):
         relaxed = (
             dist.join(sym, dist.node == sym.u)
@@ -513,4 +518,4 @@ def sssp_bounded(
             .groupBy("node")
             .agg(F.min("d").alias("d"))
         )
-    return dist
+    return dist.select("node", F.col("d").alias("dist"))

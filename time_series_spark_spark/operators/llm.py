@@ -2818,15 +2818,24 @@ def farthest_point_sample(
     [(id, dist_to_set_at_selection)] — dist 0.0 for the seed; ties on
     distance break to the smallest id (md5-free determinism).
     """
-    sel: list[tuple[int, float]] = []
-    seed = df.agg(F.min(id_col)).collect()[0][0]
-    sel.append((int(seed), 0.0))
     base = df.select(
         F.col(id_col).alias("_id"),
         F.expr(
             f"transform({vec_col}, x -> CAST(x AS DOUBLE))"
         ).alias("_v"),
+    ).filter(
+        # NaN/Inf components would splice as invalid SQL literals below
+        # ('nanD') AND poison every distance they touch — exclude the
+        # malformed vectors up front
+        F.expr(
+            "forall(_v, x -> x IS NOT NULL AND NOT isnan(x)"
+            " AND abs(x) < CAST('inf' AS DOUBLE))"
+        )
     )
+    seed = base.agg(F.min("_id")).collect()[0][0]
+    if seed is None:
+        return []
+    sel: list[tuple[int, float]] = [(int(seed), 0.0)]
     for _ in range(k - 1):
         sel_rows = [r[0] for r in sel]
         sel_df = base.filter(F.col("_id").isin(sel_rows)).collect()
@@ -2841,12 +2850,15 @@ def farthest_point_sample(
             )
         min_d = "least(" + ", ".join(dists) + ")" if len(dists) > 1 \
             else dists[0]
-        cand = (
+        cands = (
             base.filter(~F.col("_id").isin(sel_rows))
             .select("_id", F.expr(min_d).alias("_d2"))
             .orderBy(F.col("_d2").desc(), F.col("_id"))
             .limit(1)
-            .collect()[0]
+            .collect()
         )
+        if not cands:  # k exceeds the (finite-vector) row count
+            break
+        cand = cands[0]
         sel.append((int(cand["_id"]), float(cand["_d2"]) ** 0.5))
     return sel

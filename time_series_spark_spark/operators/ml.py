@@ -74,10 +74,14 @@ def rank_auc(
             + (F.col("n") + 1) / 2.0
         ).alias("avg_rank"),
     )
+    # coalesce: an EMPTY input aggregates to NULL sums — the degenerate-
+    # class guard below must see 0, not crash on None arithmetic
     row = ranks.agg(
-        F.sum(F.col("n_pos") * F.col("avg_rank")).alias("r_pos"),
-        F.sum("n_pos").alias("np"),
-        F.sum("n").alias("nt"),
+        F.coalesce(
+            F.sum(F.col("n_pos") * F.col("avg_rank")), F.lit(0.0)
+        ).alias("r_pos"),
+        F.coalesce(F.sum("n_pos"), F.lit(0)).alias("np"),
+        F.coalesce(F.sum("n"), F.lit(0)).alias("nt"),
     ).collect()[0]
     n_pos, n_neg = row["np"], row["nt"] - row["np"]
     if not n_pos or not n_neg:

@@ -6,28 +6,44 @@ task holding every row (WindowExec warns exactly this), so any query
 built on it is correct at sf0.1 and dead at 100 TB. The survey's §4.3
 playbook ("reduce first, window over the bounded frame") covers most
 sites; the residue — exact global rank/ECDF/ntile over row-scale input
-— needs the classic two-pass range-partitioned construction this module
-provides:
+— needs the classic two-pass construction this module provides:
 
-1. ``repartitionByRange`` on the sort key: partition i holds a
-   contiguous key range, ranges ascend with ``spark_partition_id()``
-   (Spark's RangePartitioner contract), all partitions work in
-   parallel.
-2. Per-partition window (partitionBy the pid): local row_number /
-   cumulative aggregate — parallel, no global sort.
-3. Per-partition summaries (one row per partition, ≤ a few thousand
-   rows at any scale) prefix-combined with a window over the BOUNDED
-   summary frame.
-4. Broadcast the per-partition offsets back and add: global stat =
-   partition offset ⊕ local stat.
+1. Assign each row a bucket id that is a DETERMINISTIC, monotone
+   function of its sort key: quantile boundaries of the leading key
+   column are computed once (``percentile_approx``, a bounded
+   n_partitions-sized artifact collected to the driver — the BPE-merge-
+   list precedent) and frozen as literals; ``bucket = #boundaries
+   below the row's key`` via a codegen higher-order filter over the
+   literal array. Buckets ascend with the global order, every bucket
+   works in parallel.
+2. Per-bucket window (partitionBy the bucket id): local row_number /
+   cumulative aggregate — one hash shuffle, no global sort.
+3. Per-bucket summaries (one row per bucket, ≤ a few thousand rows at
+   any scale) prefix-combined with a window over the BOUNDED summary
+   frame.
+4. Broadcast the per-bucket offsets back and add: global stat =
+   bucket offset ⊕ local stat.
 
-Both branches read the same range exchange inside one job (Spark's
-ReuseExchange), so the construction costs one wide shuffle + one
-broadcast join. Exactness: with a total order (caller supplies a unique
-tiebreaker, or pre-reduces to distinct keys) no key can straddle a
-range boundary ambiguously — offset + local rank is THE global rank,
-bit-identical to the single-task window it replaces, which is what lets
-the rewritten queries keep their existing DuckDB oracles unchanged.
+Why value-derived buckets instead of ``repartitionByRange`` +
+``spark_partition_id()``: the construction reads the bucketed frame
+from TWO plan branches (local stats, offsets). Range-exchange
+boundaries come from runtime reservoir sampling seeded per RDD
+instantiation, so whenever the optimizer fails to reuse the exchange
+between the branches the two evaluations disagree on which partition a
+row belongs to — offsets for one partitioning added to local ranks of
+another, silently wrong and nondeterministic (observed at sf0.1 under
+AQE). A frozen-literal bucket function cannot disagree with itself:
+both branches compute identical ids row-by-row, whatever the physical
+plan does. Skew bound: all ties of one leading-key value share a
+bucket — callers order by near-unique leading keys or accept the tie
+mass as the irreducible skew a range sort would have too.
+
+Exactness: with a total order (caller supplies a unique tiebreaker, or
+pre-reduces to distinct keys) and monotone bucketing, no key ordering
+crosses bucket boundaries — offset + local rank is THE global rank,
+bit-identical to the single-task window it replaces, which is what
+lets the rewritten queries keep their existing DuckDB oracles
+unchanged.
 
 Integer validity: rank/offset arithmetic stays in BIGINT; the floor-
 division helper is exact for magnitudes < 2^53 (division of two exact
@@ -45,6 +61,11 @@ from pyspark.sql.window import Window
 
 _PID = "__range_pid"
 
+# (column name, ascending) — the ordering vocabulary of every helper
+# below. Plain column names only (pre-select expressions first); the
+# leading key must be numeric (quantile boundaries are computed on it).
+Key = tuple[str, bool]
+
 
 def _floor_div(a: Column, b: Column | int) -> Column:
     """Exact floor division for non-negative BIGINT columns.
@@ -56,23 +77,56 @@ def _floor_div(a: Column, b: Column | int) -> Column:
     return ((a - (a % b)) / b).cast("long")
 
 
-def _range_parted(
+def _sort_cols(keys: Sequence[Key]) -> list[Column]:
+    return [F.asc(c) if asc else F.desc(c) for c, asc in keys]
+
+
+def _bucketed(
     df: DataFrame,
-    order_by: Sequence[Column | str],
+    keys: Sequence[Key],
     num_partitions: int | None,
 ) -> DataFrame:
+    """Attach the deterministic monotone bucket id ``_PID`` (see module
+    doc). One bounded ``percentile_approx`` collect freezes the
+    boundaries; the id itself is a whole-stage-codegen expression."""
     spark = df.sparkSession
     n_part = num_partitions or int(
         spark.conf.get("spark.sql.shuffle.partitions", "200")
     )
-    return df.repartitionByRange(n_part, *order_by).withColumn(
-        _PID, F.spark_partition_id()
-    )
+    col, asc = keys[0]
+    bounds: list = []
+    if n_part > 1:
+        qs = [i / n_part for i in range(1, n_part)]
+        row = df.agg(
+            F.percentile_approx(col, qs, 10000).alias("__b")
+        ).first()
+        bounds = [
+            b for b in ((row["__b"] if row else None) or []) if b is not None
+        ]
+    if not bounds:
+        pid = F.lit(0)
+    elif asc:
+        # bucket = #boundaries strictly below the key; ties at a
+        # boundary stay together in the earlier bucket. NULLS FIRST
+        # (Spark's ascending default) → bucket 0.
+        arr = F.lit(bounds)
+        pid = F.when(F.col(col).isNull(), F.lit(0)).otherwise(
+            F.size(F.filter(arr, lambda b: F.col(col) > b))
+        )
+    else:
+        # descending: bucket = #boundaries strictly above the key
+        # (boundaries reversed so bucket ids ascend with the DESC
+        # order). NULLS LAST (Spark's descending default) → last bucket.
+        arr = F.lit(list(reversed(bounds)))
+        pid = F.when(F.col(col).isNull(), F.lit(len(bounds))).otherwise(
+            F.size(F.filter(arr, lambda b: F.col(col) < b))
+        )
+    return df.withColumn(_PID, pid.cast("int"))
 
 
 def global_rank(
     df: DataFrame,
-    order_by: Sequence[Column | str],
+    order_by: Sequence[Key],
     rank_col: str = "rnk",
     total_col: str | None = None,
     num_partitions: int | None = None,
@@ -80,17 +134,20 @@ def global_rank(
     """Exact 1-based global row_number over ``order_by`` (which MUST be a
     total order — include a unique tiebreaker), plus optionally the
     global row count attached to every row (``total_col``), computed
-    from the same per-partition summaries (no extra single-task
+    from the same per-bucket summaries (no extra single-task
     ``count() over ()`` window).
 
-    Scale shape: one range exchange + per-partition row_number, offsets
-    from a ≤#partitions-row prefix sum, one broadcast join. Replaces
+    Scale shape: one boundary collect + one hash shuffle on the bucket
+    id + per-bucket row_number, offsets from a ≤#buckets-row prefix
+    sum, one broadcast join. Replaces
     ``row_number().over(Window.orderBy(...))`` bit-for-bit.
     """
-    parted = _range_parted(df, order_by, num_partitions)
+    parted = _bucketed(df, order_by, num_partitions)
     local = parted.withColumn(
         "__lrn",
-        F.row_number().over(Window.partitionBy(_PID).orderBy(*order_by)),
+        F.row_number().over(
+            Window.partitionBy(_PID).orderBy(*_sort_cols(order_by))
+        ),
     )
     counts = local.groupBy(_PID).agg(F.count(F.lit(1)).alias("__cnt"))
     w_prev = Window.orderBy(_PID).rowsBetween(Window.unboundedPreceding, -1)
@@ -115,7 +172,7 @@ def global_rank(
 
 def global_cumsum(
     df: DataFrame,
-    order_by: Sequence[Column | str],
+    order_by: Sequence[Key],
     cols: Sequence[str],
     num_partitions: int | None = None,
 ) -> DataFrame:
@@ -125,13 +182,13 @@ def global_cumsum(
 
     For RANGE-frame semantics over tied keys (an ECDF), pre-reduce to
     one row per distinct key first — then ROWS ≡ RANGE and ties cannot
-    straddle a partition boundary. Sums are computed in each column's
+    straddle a bucket boundary. Sums are computed in each column's
     own type (longs stay exact longs).
     """
-    parted = _range_parted(df, order_by, num_partitions)
+    parted = _bucketed(df, order_by, num_partitions)
     w_loc = (
         Window.partitionBy(_PID)
-        .orderBy(*order_by)
+        .orderBy(*_sort_cols(order_by))
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     local = parted
@@ -160,17 +217,17 @@ def global_cumsum(
 
 def global_cummax(
     df: DataFrame,
-    order_by: Sequence[Column | str],
+    order_by: Sequence[Key],
     cols: Sequence[str],
     num_partitions: int | None = None,
 ) -> DataFrame:
     """Exact inclusive running max of ``cols`` over the global order —
     the scale-safe form of ``max(c).over(Window.orderBy(...))`` (e.g.
     a watermark-lateness running high-water mark over arrival order)."""
-    parted = _range_parted(df, order_by, num_partitions)
+    parted = _bucketed(df, order_by, num_partitions)
     w_loc = (
         Window.partitionBy(_PID)
-        .orderBy(*order_by)
+        .orderBy(*_sort_cols(order_by))
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     local = parted
@@ -206,12 +263,12 @@ def global_lag_gaps(
     over the globally sorted unique BIGINT ``id_col`` — the scale-safe
     form of ``lag(id).over(Window.orderBy(id))``.
 
-    Within-partition pairs come from a pid-partitioned lag; the one
-    missing pair per partition boundary is recovered from the bounded
-    per-partition (min, max) summary frame. Returns columns
+    Within-bucket pairs come from a bucket-partitioned lag; the one
+    missing pair per bucket boundary is recovered from the bounded
+    per-bucket (min, max) summary frame. Returns columns
     ``(prev_id, id_col)`` for gap rows only.
     """
-    parted = _range_parted(df.select(id_col), [id_col], num_partitions)
+    parted = _bucketed(df.select(id_col), [(id_col, True)], num_partitions)
     w_loc = Window.partitionBy(_PID).orderBy(id_col)
     inner = (
         parted.withColumn("prev_id", F.lag(id_col).over(w_loc))

@@ -1306,32 +1306,36 @@ def purchase_attribution_u_shaped(spark: SparkSession, sf_dir: str) -> DataFrame
     FROM e, n GROUP BY n.n0, n.n1
     """,
     doc="Kolmogorov-Smirnov two-sample statistic between the A/B value "
-    "distributions: D = max |ECDF_a - ECDF_b| via one cumulative window "
-    "over the pooled sorted values (ties handled identically by the "
-    "range-frame cumulative sum in both engines), plus the "
-    "sqrt(n0*n1/(n0+n1))-scaled statistic — the distribution-level "
-    "companion to the Welch mean test",
+    "distributions: D = max |ECDF_a - ECDF_b|, exact. D changes only at "
+    "distinct values, so the plan hash-reduces to per-distinct-value "
+    "group counts and takes range-partitioned exact running sums "
+    "(operators/rank.py two-pass construction) — bit-identical to the "
+    "oracle's RANGE-framed pooled cumulative window but with no single-"
+    "task global window; plus the sqrt(n0*n1/(n0+n1))-scaled statistic "
+    "— the distribution-level companion to the Welch mean test",
 )
 def events_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql.window import Window
+    from time_series_spark_spark.operators.rank import global_cumsum
 
     ev = load(spark, sf_dir, "events")
     s = ev.select(
         "value", (F.col("user_id") % 2).cast("int").alias("grp")
     )
-    # exact D needs the pooled ECDF => one global ORDER BY value window
-    # (single task). Beyond memory, swap for the bucketed ECDF: compare
-    # the two CDFs at equi-width bucket boundaries (F26 histogram
-    # machinery) — error bounded by one bucket's probability mass.
-    w = Window.orderBy("value")
-    e = s.select(
-        F.sum(F.when(F.col("grp") == 0, 1).otherwise(0)).over(w).alias("c0"),
-        F.sum(F.when(F.col("grp") == 1, 1).otherwise(0)).over(w).alias("c1"),
+    # Exact pooled ECDF without a single-task window: D only changes at
+    # DISTINCT values, and the oracle's RANGE-framed cumulative at any
+    # tied row equals the cumulative at its distinct value — so reduce
+    # to one row per distinct value (hash agg), then range-partitioned
+    # exact running sums (operators/rank.py). Bit-identical to the
+    # global ORDER BY value window, parallel at any scale.
+    per_v = s.groupBy("value").agg(
+        F.sum(F.when(F.col("grp") == 0, 1).otherwise(0)).alias("c0"),
+        F.sum(F.when(F.col("grp") == 1, 1).otherwise(0)).alias("c1"),
     )
-    n = s.agg(
-        F.sum(F.when(F.col("grp") == 0, 1).otherwise(0)).cast("long").alias("n0"),
-        F.sum(F.when(F.col("grp") == 1, 1).otherwise(0)).cast("long").alias("n1"),
+    n = per_v.agg(
+        F.sum("c0").cast("long").alias("n0"),
+        F.sum("c1").cast("long").alias("n1"),
     )
+    e = global_cumsum(per_v, [("value", True)], ["c0", "c1"])
     d = F.abs(F.col("c0") * 1.0 / F.col("n0") - F.col("c1") * 1.0 / F.col("n1"))
     return (
         e.crossJoin(F.broadcast(n))
@@ -1668,20 +1672,18 @@ def view_to_purchase_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM s WHERE prev_id IS NOT NULL AND event_id - prev_id > 1
     """,
     doc="Sequence-id gap audit (ingestion-loss detector): missing-id runs "
-    "in the event_id sequence via one lag window — count of gaps, total "
-    "missing ids, longest run; all integer, fully deterministic",
+    "in the event_id sequence — count of gaps, total missing ids, "
+    "longest run; all integer, fully deterministic. Scale shape: range-"
+    "partition by event_id, lag within partitions, recover the one "
+    "missing pair per partition boundary from the bounded per-partition "
+    "(min, max) frame (operators/rank.py global_lag_gaps) — no single-"
+    "task global lag window",
 )
 def events_id_gap_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql.window import Window
+    from time_series_spark_spark.operators.rank import global_lag_gaps
 
     ev = load(spark, sf_dir, "events").select("event_id")
-    s = ev.withColumn(
-        "prev_id", F.lag("event_id").over(Window.orderBy("event_id"))
-    )
-    g = s.filter(
-        F.col("prev_id").isNotNull()
-        & (F.col("event_id") - F.col("prev_id") > 1)
-    )
+    g = global_lag_gaps(ev, "event_id")
     return g.agg(
         F.count(F.lit(1)).alias("n_gaps"),
         F.coalesce(

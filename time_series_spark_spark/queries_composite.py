@@ -311,15 +311,28 @@ def mom_revenue_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="RFM segmentation (composite): per-customer recency/frequency/"
     "monetary from orders, quintile-scored with deterministic custkey "
     "tiebreaks (5 = best), rolled up to segment cells. Integer-cents "
-    "money; the three ntile windows are over the per-customer aggregate "
-    "(customer-count rows), never the fact table.",
+    "money; each quintile score is a range-partitioned exact rank + "
+    "closed-form ntile arithmetic over the per-customer aggregate — "
+    "parallel even when the customer dimension is billions of rows.",
 )
 def customers_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # Scale note: the three unpartitioned ntile windows run over the
-    # per-customer AGGREGATE (|customers| rows, not |orders|). If the
-    # customer dimension itself outgrows one task, swap exact ntile for
-    # approx_percentile(col, [.2,.4,.6,.8]) boundaries + a broadcast
-    # bucket join — same segments up to boundary ties, fully parallel.
+    # Scale note: the three quintile scores run over the per-customer
+    # AGGREGATE (|customers| rows, not |orders|) — but customers at
+    # 100 TB is still billions, so each score is an operators/rank.py
+    # range-partitioned exact rank + the closed-form ntile arithmetic
+    # (ntile_expr), never an unpartitioned ntile window. Bit-identical
+    # to SQL ntile(5) with the same tiebreaks.
+    from time_series_spark_spark.operators.rank import (
+        global_rank,
+        ntile_expr,
+    )
+
+    def _quintile(df, order_by, out: str):
+        r = global_rank(df, order_by, "__rnk", total_col="__n")
+        return r.withColumn(
+            out, ntile_expr(F.col("__rnk"), F.col("__n"), 5)
+        ).drop("__rnk", "__n")
+
     orders = load(spark, sf_dir, "orders")
     anchor = orders.agg(F.max("o_orderdate").alias("mx"))
     base = (
@@ -335,17 +348,14 @@ def customers_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
-    scored = base.select(
-        "*",
-        F.ntile(5)
-        .over(Window.orderBy(F.desc("recency_days"), F.asc("c_custkey")))
-        .alias("r"),
-        F.ntile(5)
-        .over(Window.orderBy(F.asc("frequency"), F.asc("c_custkey")))
-        .alias("f"),
-        F.ntile(5)
-        .over(Window.orderBy(F.asc("monetary_cents"), F.asc("c_custkey")))
-        .alias("m"),
+    scored = _quintile(
+        base, [("recency_days", False), ("c_custkey", True)], "r"
+    )
+    scored = _quintile(
+        scored, [("frequency", True), ("c_custkey", True)], "f"
+    )
+    scored = _quintile(
+        scored, [("monetary_cents", True), ("c_custkey", True)], "m"
     )
     return (
         scored.groupBy(
@@ -688,26 +698,26 @@ def customer_revenue_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
     "arithmetic: bin = ((rank-1)*10) div n over a (cents, key) total "
     "order, so bin populations differ by at most 1 and both engines "
     "agree bit-for-bit (no interpolated quantile boundaries at all). "
-    "At 100 TB the total order is the one global sort (range-partition "
-    "+ rank), everything after is per-bin aggregation.",
+    "The total order is the operators/rank.py two-pass range-partition "
+    "+ local rank + broadcast offsets (no single-task window); "
+    "everything after is per-bin aggregation.",
 )
 def orders_price_decile_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
-    cents = F.round(F.col("o_totalprice") * 100, 0).cast("long")
-    r = load(spark, sf_dir, "orders").select(
-        cents.alias("cents"),
-        F.row_number()
-        .over(Window.orderBy(F.round(F.col("o_totalprice") * 100, 0),
-                             "o_orderkey"))
-        .alias("rnk"),
-        F.count(F.lit(1))
-        .over(Window.rowsBetween(Window.unboundedPreceding,
-                                 Window.unboundedFollowing))
-        .alias("n"),
+    from time_series_spark_spark.operators.rank import global_rank
+
+    x = load(spark, sf_dir, "orders").select(
+        F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("cents"),
+        "o_orderkey",
+    )
+    r = global_rank(
+        x, [("cents", True), ("o_orderkey", True)], "rnk", total_col="n"
     )
     binned = r.select(
         "cents",
+        # exact BIGINT floor division (SQL div), same arithmetic as the
+        # oracle's // — no double rounding anywhere near the boundaries
         F.least(
-            ((F.col("rnk") - 1) * 10 / F.col("n")).cast("long"), F.lit(9)
+            F.expr("(rnk - 1) * 10 div n"), F.lit(9)
         ).cast("int").alias("bin"),
     )
     return (

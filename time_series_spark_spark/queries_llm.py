@@ -1540,15 +1540,28 @@ def docs_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
 def docs_heaps_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window
 
+    from time_series_spark_spark.operators.rank import (
+        global_rank,
+        ntile_expr,
+    )
+
     docs = load(spark, sf_dir, "documents")
-    # ntile over the global doc_id order funnels (doc_id, n_tok) pairs —
-    # two slim longs, never text — through one task; beyond ~1e9 docs swap
-    # for approx_percentile(doc_id, [.25,.5,.75]) cut-offs (exactness of
-    # the curve then depends only on the cut placement, not the counts)
-    q = docs.select(
+    # Exact quartile assignment without a single-task ntile window:
+    # range-partitioned global rank over doc_id (unique, so a total
+    # order) + the closed-form ANSI ntile arithmetic — bit-identical to
+    # ntile(4) OVER (ORDER BY doc_id), parallel at any corpus size.
+    # Only (doc_id, n_tok) pairs flow through the rank — never text.
+    q = global_rank(
+        docs.select(
+            "doc_id", F.size(F.split(F.col("text"), " ")).alias("n_tok")
+        ),
+        [("doc_id", True)],
+        "__rnk",
+        total_col="__n",
+    ).select(
         "doc_id",
-        F.ntile(4).over(Window.orderBy("doc_id")).alias("quartile"),
-        F.size(F.split(F.col("text"), " ")).alias("n_tok"),
+        ntile_expr(F.col("__rnk"), F.col("__n"), 4).alias("quartile"),
+        "n_tok",
     )
     cuts = q.groupBy("quartile").agg(
         F.max("doc_id").alias("cut"),

@@ -241,9 +241,13 @@ def docs_l_diversity_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     "domain so ABSENT bands emit noised zeros — closing the "
     "membership leak dp_noisy_counts documents (a missing key reads "
     "as 'exactly 0'); per-band Laplace(1/ε) noise from the md5-"
-    "uniform inverse-CDF with a RELEASE-SPECIFIC seed tag "
-    "('dp-hist-v1' — the fresh-seed-per-release composition rule). "
-    "One hash reduce + a 6-row broadcast domain join.",
+    "uniform inverse-CDF with a release-specific seed tag. CAVEAT — "
+    "NOT a real DP release: the seed tag 'dp-hist-v1' is a hardcoded "
+    "PUBLIC constant, so any consumer can recompute and subtract the "
+    "noise exactly; it exists only so the DuckDB oracle can verify the "
+    "mechanism cross-engine. A production release must draw the seed "
+    "from out-of-band secret config (dp_noisy_counts documents the "
+    "same rule). One hash reduce + a 6-row broadcast domain join.",
 )
 def docs_dp_histogram_fixed_domain(
     spark: SparkSession, sf_dir: str

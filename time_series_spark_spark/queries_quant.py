@@ -1487,7 +1487,9 @@ def part_copurchase_lpa_communities(
     "row. Validity bound: |i*n_b - j*n_a| stays in BIGINT only while "
     "n_a*n_b < 2^63 (≈ n ≲ 3e9 rows total) — past that, non-ANSI Spark "
     "wraps silently while DuckDB promotes to HUGEINT; switch the "
-    "deviation to DECIMAL(38,0) or double beyond that row count.",
+    "deviation to DECIMAL(38,0) or double beyond that row count. "
+    "ENFORCED at runtime: operators/guards.bigint_bound raises past "
+    "the bound instead of diverging.",
 )
 def orders_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window as W
@@ -1515,10 +1517,14 @@ def orders_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     ks_d = d_num * 1.0 / (na * nb)
     n_eff = F.sqrt(na * 1.0 * nb / (na + nb))
     lam = (n_eff + 0.12 + 0.11 / n_eff) * ks_d
+    from time_series_spark_spark.operators.guards import bigint_bound
+
     return cum.agg(
         na.alias("n_a"),
         nb.alias("n_b"),
-        d_num.alias("d_numer"),
+        # enforce (not just document) the validity bound: the deviation
+        # |i*n_b - j*n_a| <= n_a*n_b must stay in BIGINT
+        bigint_bound(d_num, na * 1.0 * nb, "n_a*n_b").alias("d_numer"),
         F.round(ks_d, 6).alias("ks_d"),
         F.round(2.0 * F.exp(-2.0 * F.pow(lam, 2)), 6).alias("p_approx"),
     )
@@ -1565,7 +1571,8 @@ def orders_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     "(distinct-value reduce + window). Single summary row. Validity "
     "bound: sum ca*(2s+t+1) ~ n^2 must stay < 2^63 (n ≲ 3e9 rows) — "
     "non-ANSI Spark wraps silently past that while DuckDB promotes to "
-    "HUGEINT; use DECIMAL(38,0)/double deviations beyond that count.",
+    "HUGEINT; use DECIMAL(38,0)/double deviations beyond that count. "
+    "ENFORCED at runtime via operators/guards.bigint_bound.",
 )
 def orders_mannwhitney_period(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window as W
@@ -1590,10 +1597,15 @@ def orders_mannwhitney_period(spark: SparkSession, sf_dir: str) -> DataFrame:
     two_r_a = F.sum(F.col("ca") * (2 * F.col("s") + F.col("t") + 1))
     na, nb = F.max("na"), F.max("nb")
     u2_a = two_r_a - na * (na + 1)
+    from time_series_spark_spark.operators.guards import bigint_bound
+
+    n_all = (na + nb) * 1.0
     return cum.agg(
         na.alias("n_a"),
         nb.alias("n_b"),
-        u2_a.cast("long").alias("u2_a"),
+        # enforce the documented bound: 2R_a = sum ca*(2s+t+1) ~ n^2
+        bigint_bound(u2_a.cast("long"), n_all * n_all, "n^2 rank sum")
+        .alias("u2_a"),
         F.round(u2_a * 0.5 / (na * nb), 6).alias("auc_effect"),
     )
 
@@ -1641,7 +1653,8 @@ def orders_mannwhitney_period(spark: SparkSession, sf_dir: str) -> DataFrame:
     "(|types|×7 rows), windows over it, single summary row. Validity "
     "bound: O·N − R·C ~ n^2 stays in BIGINT only while n < ~3e9 rows — "
     "non-ANSI Spark wraps silently past that while DuckDB promotes to "
-    "HUGEINT; compute deviations in DECIMAL(38,0)/double beyond that.",
+    "HUGEINT; compute deviations in DECIMAL(38,0)/double beyond that. "
+    "ENFORCED at runtime via operators/guards.bigint_bound.",
 )
 def events_chi2_type_dow(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window as W
@@ -1670,8 +1683,14 @@ def events_chi2_type_dow(spark: SparkSession, sf_dir: str) -> DataFrame:
             dev * dev * 1.0 / (F.col("n") * 1.0 * F.col("r") * F.col("c"))
         ).alias("chi2"),
     )
+    from time_series_spark_spark.operators.guards import bigint_bound
+
     return stat.select(
-        F.col("n").alias("n_events"),
+        # enforce the documented bound: each cell deviation O*N - R*C
+        # is at most n^2 in magnitude
+        bigint_bound(
+            F.col("n"), F.col("n") * 1.0 * F.col("n"), "cell deviation n^2"
+        ).alias("n_events"),
         ((F.col("nr") - 1) * (F.col("nc") - 1)).alias("dof"),
         F.round("chi2", 4).alias("chi2"),
         F.round(
@@ -2543,7 +2562,8 @@ def events_runs_test_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     "Q ~ chi2(k) under the no-autocorrelation null — the residual "
     "whiteness check behind every F7 forecast. Validity bound: "
     "sum x^2 and sum x_t*x_(t+k) stay in BIGINT while daily counts "
-    "are < ~3e9 (~n*max(x)^2 < 2^63); cast to DOUBLE beyond that. "
+    "are < ~3e9 (~n*max(x)^2 < 2^63); cast to DOUBLE beyond that "
+    "(ENFORCED at runtime via operators/guards.bigint_bound). "
     "One hash agg to days, a 7-way bounded fanout join, one 7-row "
     "window — heavy work is the reduce.",
 )
@@ -2556,6 +2576,7 @@ def events_ljung_box_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         F.sum("x").alias("s"),
         F.sum(F.col("x") * F.col("x")).alias("q2"),
+        F.max("x").alias("mx"),
     )
     ks = d.sparkSession.range(1, 8).select(F.col("id").alias("k"))
     a = r.select(F.col("i").alias("ia"), F.col("x").alias("xa"))
@@ -2570,9 +2591,18 @@ def events_ljung_box_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("xb").alias("bk"),
         )
     )
+    from time_series_spark_spark.operators.guards import bigint_bound
+
     rho = p.crossJoin(F.broadcast(g)).select(
         "k",
-        (F.col("n") - F.col("k")).alias("n_pairs"),
+        # enforce the documented bound: the exact power sums q2 and pk
+        # are at most n * max(x)^2 — guard BEFORE they could have
+        # wrapped, from the double estimate of that magnitude
+        bigint_bound(
+            F.col("n") - F.col("k"),
+            F.col("n") * 1.0 * F.col("mx") * F.col("mx"),
+            "n*max(x)^2 power sum",
+        ).alias("n_pairs"),
         "n",
         F.expr(
             "(pk - (CAST(s AS DOUBLE) / n) * (ak + bk)"
@@ -2891,7 +2921,7 @@ def supplier_cosupply_sssp(spark: SparkSession, sf_dir: str) -> DataFrame:
     source = edges.agg(F.min("s1")).first()[0]
     return (
         sssp_bounded(edges, source, max_rounds=4)
-        .select("node", F.col("d").alias("dist"))
+        .select("node", "dist")
         .orderBy("node")
     )
 
@@ -3685,27 +3715,22 @@ def events_spearman_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     "rows by rank, the winsorized mean clamps values to the cap "
     "VALUES; both numerators are exact integer sums with one rounded "
     "division each — the robust-location pair beside the F106 "
-    "outlier detector. One rank window (per metric key at scale), "
-    "one reduce. Single summary row.",
+    "outlier detector. The rank is the operators/rank.py range-"
+    "partitioned two-pass (no single-task window), then one reduce. "
+    "Single summary row.",
 )
 def orders_trimmed_winsorized_price(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
+    from time_series_spark_spark.operators.rank import global_rank
+
     x = load(spark, sf_dir, "orders").select(
         F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("v"),
         "o_orderkey",
     )
-    r = x.select(
-        "v",
-        F.row_number().over(Window.orderBy("v", "o_orderkey")).alias("rnk"),
-        F.count(F.lit(1))
-        .over(
-            Window.rowsBetween(
-                Window.unboundedPreceding, Window.unboundedFollowing
-            )
-        )
-        .alias("n"),
-    )
+    r = global_rank(
+        x, [("v", True), ("o_orderkey", True)], "rnk", total_col="n"
+    ).select("v", "rnk", "n")
     k = r.agg(
         F.expr("CAST(floor(max(n) * 0.05) AS BIGINT)").alias("cut"),
         F.max("n").alias("n_tot"),

@@ -304,30 +304,41 @@ def compact_parquet(
     never see a half-written directory (write_versioned's manifest
     pattern, sources/io.py); this helper writes to a separate dst so the
     caller owns that policy.
-    """
-    import glob
-    import math
-    import os
 
-    files = [
-        f
-        for f in glob.glob(os.path.join(src_path, "**"), recursive=True)
-        if os.path.isfile(f) and f.endswith(".parquet")
-    ]
-    bytes_before = sum(os.path.getsize(f) for f in files)
+    Input sizing goes through the Hadoop FileSystem API, so s3a://,
+    hdfs://, and file:// paths all size correctly — a local-only glob
+    would return nothing for a remote URI, plan n_out=1, and silently
+    rewrite a huge table into a single file.
+    """
+    import math
+
+    def _ls_parquet(path: str) -> list[tuple[str, int]]:
+        """(path, bytes) of every .parquet file under ``path``, via the
+        Hadoop FS for whatever scheme the path carries."""
+        jvm = spark.sparkContext._jvm
+        hconf = spark.sparkContext._jsc.hadoopConfiguration()
+        jpath = jvm.org.apache.hadoop.fs.Path(path)
+        fs = jpath.getFileSystem(hconf)
+        out: list[tuple[str, int]] = []
+        it = fs.listFiles(jpath, True)  # recursive
+        while it.hasNext():
+            st = it.next()
+            p = st.getPath().toString()
+            if p.endswith(".parquet"):
+                out.append((p, st.getLen()))
+        return out
+
+    files = _ls_parquet(src_path)
+    bytes_before = sum(b for _, b in files)
     n_out = max(1, math.ceil(bytes_before / target_file_bytes))
     df = spark.read.parquet(src_path)
     df.repartition(n_out).write.mode("overwrite").parquet(dst_path)
-    files_after = [
-        f
-        for f in glob.glob(os.path.join(dst_path, "**"), recursive=True)
-        if os.path.isfile(f) and f.endswith(".parquet")
-    ]
+    files_after = _ls_parquet(dst_path)
     return {
         "n_files_before": len(files),
         "n_files_after": len(files_after),
         "bytes_before": bytes_before,
-        "bytes_after": sum(os.path.getsize(f) for f in files_after),
+        "bytes_after": sum(b for _, b in files_after),
         "n_out_planned": n_out,
     }
 
