@@ -1214,3 +1214,86 @@ def test_token_bucket_stream_equals_batch_and_hand_replay(
     }
     assert stream_flags == batch_flags
     assert any(adm == 0 for adm, _ in batch_flags.values())
+
+
+def test_versioned_sink_crash_atomicity_redelivery_and_time_travel(
+    spark, tmp_path
+):
+    """J11d+A13: (1) a writer crash mid-batch — data dir + .tmp manifest
+    on disk, rename never happened — is INVISIBLE to readers (the table
+    stays at the previous version, no torn read); (2) recovery
+    overwrites the orphaned dir, versions stay monotone, every stream
+    version is a time-travel point; (3) at-least-once redelivery of
+    already-committed batch ids publishes nothing."""
+    import os
+
+    import pandas as pd
+
+    from time_series_spark_spark.sources.io import (
+        committed_batch_ids,
+        read_versioned,
+        write_versioned,
+    )
+    from time_series_spark_spark.streaming.jobs import (
+        stream_to_versioned_table,
+    )
+
+    table = str(tmp_path / "table")
+    src = tmp_path / "src"
+    src.mkdir()
+    pd.DataFrame({"id": [1, 2], "v": [10, 20]}).to_parquet(src / "a.parquet")
+    pd.DataFrame({"id": [3, 4], "v": [30, 40]}).to_parquet(src / "b.parquet")
+
+    # version 0: a plain batch commit (no batch id)
+    base = spark.createDataFrame([(0, 0)], "id long, v long")
+    assert write_versioned(base, table) == 0
+
+    # simulated CRASH mid-batch: data dir written, manifest never renamed
+    crash_dir = os.path.join(table, "v=1")
+    os.makedirs(crash_dir)
+    pd.DataFrame({"id": [999], "v": [999]}).to_parquet(
+        os.path.join(crash_dir, "junk.parquet")
+    )
+    with open(os.path.join(table, "_manifest.1.json.tmp"), "w") as fh:
+        fh.write("{torn")
+    # readers still resolve version 0 — the crash is invisible
+    assert [r["id"] for r in read_versioned(spark, table).collect()] == [0]
+
+    # recovery: the stream publishes each micro-batch as the next version
+    sdf = (
+        spark.readStream.schema("id long, v long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    got = stream_to_versioned_table(
+        sdf, table, checkpoint_dir=str(tmp_path / "ck1")
+    )
+    assert got == [1, 2]  # monotone, orphaned v=1 dir reclaimed
+    latest = {
+        (r["id"], r["v"]) for r in read_versioned(spark, table).collect()
+    }
+    # append snapshots: latest = base + both micro-batches, junk absent
+    assert latest == {(0, 0), (1, 10), (2, 20), (3, 30), (4, 40)}
+    # every stream version is a time-travel point: v1 = base + exactly
+    # one micro-batch (one source file), v2 = everything
+    v1 = {(r["id"], r["v"]) for r in read_versioned(spark, table, as_of=1).collect()}
+    assert v1 in (
+        {(0, 0), (1, 10), (2, 20)},
+        {(0, 0), (3, 30), (4, 40)},
+    )
+    assert committed_batch_ids(table) == {0, 1}
+
+    # redelivery of the same batch ids (fresh checkpoint, same source):
+    # the ledger absorbs it — nothing new published
+    sdf2 = (
+        spark.readStream.schema("id long, v long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    again = stream_to_versioned_table(
+        sdf2, table, checkpoint_dir=str(tmp_path / "ck2")
+    )
+    assert again == []
+    assert {
+        (r["id"], r["v"]) for r in read_versioned(spark, table).collect()
+    } == latest

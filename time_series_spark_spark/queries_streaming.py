@@ -770,3 +770,43 @@ def stream_rate_limit_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+@register(
+    "stream_versioned_sink_roundtrip",
+    """
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(0 AS BIGINT) AS version
+    FROM events GROUP BY event_type
+    """,
+    doc="J11d + A13 loop-closer: the events stream publishes each micro-"
+    "batch as the next version of a manifest-versioned table "
+    "(foreachBatch -> atomic manifest rename; batch-id ledger absorbs "
+    "redelivery), then the LATEST COMMITTED SNAPSHOT is read back and "
+    "aggregated — stream-through-table ≡ batch, so the oracle is the "
+    "plain per-type count (single-file corpus = one micro-batch = "
+    "version 0). Crash-mid-batch atomicity, redelivery idempotency, "
+    "multi-batch version monotonicity, and time travel across stream "
+    "versions are pinned in tests/test_streaming.py.",
+)
+def stream_versioned_sink_roundtrip(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import tempfile
+
+    from time_series_spark_spark.sources.io import read_versioned
+    from time_series_spark_spark.streaming.jobs import (
+        stream_to_versioned_table,
+    )
+
+    table_path = tempfile.mkdtemp(prefix="tss_versioned_sink_")
+    sdf = read_events_stream(spark, sf_dir)
+    versions = stream_to_versioned_table(
+        sdf, table_path, checkpoint_dir=tempfile.mkdtemp(prefix="tss_ck_")
+    )
+    back = read_versioned(spark, table_path)
+    return back.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.lit(max(versions)).cast("long").alias("version"),
+    )

@@ -210,7 +210,12 @@ def read_parquet_evolved(
 # --------------------------------------------------------------------------
 # A13 (round 5): manifest-versioned table — snapshot isolation + time travel
 # --------------------------------------------------------------------------
-def write_versioned(df: DataFrame, table_path: str) -> int:
+def write_versioned(
+    df: DataFrame,
+    table_path: str,
+    batch_id: int | None = None,
+    carry_forward: bool = False,
+) -> int:
     """Commit ``df`` as the next version of a manifest-versioned table —
     the table-format core (what Delta/Iceberg do) in ~30 lines, format
     libraries not required:
@@ -226,6 +231,19 @@ def write_versioned(df: DataFrame, table_path: str) -> int:
     Returns the committed version number. Single-writer by assumption
     (manifest N collision = concurrent writers; a real deployment adds a
     lock service or conditional put, exactly as the table formats do).
+
+    ``batch_id`` (optional) is recorded in the manifest — the streaming
+    sink (streaming/jobs.py::stream_to_versioned_table) uses it to make
+    foreachBatch redelivery idempotent: a batch whose id is already
+    committed is skipped, so at-least-once delivery never publishes the
+    same micro-batch as two versions.
+
+    ``carry_forward=True`` gives APPEND snapshot semantics: the new
+    manifest lists the previous committed version's files PLUS this
+    df's — exactly how the table formats model append commits, so
+    "latest" is always the cumulative table and every intermediate
+    version remains a consistent time-travel point. Default (False) is
+    replace semantics: the version is just this df.
     """
     import glob as _glob
     import json
@@ -243,11 +261,17 @@ def write_versioned(df: DataFrame, table_path: str) -> int:
         os.path.relpath(p, table_path)
         for p in _glob.glob(os.path.join(data_dir, "*.parquet"))
     )
+    if carry_forward and existing:
+        with open(
+            os.path.join(table_path, f"_manifest.{existing[-1]}.json")
+        ) as fh:
+            files = sorted(set(json.load(fh)["files"]) | set(files))
     manifest = {
         "version": version,
         "files": files,
         "schema": df.schema.json(),
         "n_files": len(files),
+        "batch_id": batch_id,
     }
     tmp = os.path.join(table_path, f"_manifest.{version}.json.tmp")
     final = os.path.join(table_path, f"_manifest.{version}.json")
@@ -280,6 +304,24 @@ def read_versioned(
         manifest = json.load(fh)
     paths = [os.path.join(table_path, f) for f in manifest["files"]]
     return spark.read.parquet(*paths)
+
+
+def committed_batch_ids(table_path: str) -> set[int]:
+    """Batch ids recorded by COMMITTED manifests of a versioned table —
+    the redelivery ledger of the streaming sink. ``.tmp`` manifests
+    (crashed writers) are invisible, exactly like data files without a
+    manifest."""
+    import glob as _glob
+    import json
+    import os
+
+    out: set[int] = set()
+    for p in _glob.glob(os.path.join(table_path, "_manifest.*.json")):
+        with open(p) as fh:
+            b = json.load(fh).get("batch_id")
+        if b is not None:
+            out.add(int(b))
+    return out
 
 
 def compact_parquet(

@@ -1103,3 +1103,52 @@ def stateful_token_bucket(
         "append",
         GroupStateTimeout.NoTimeout,
     )
+
+
+# --------------------------------------------------------------------------
+# J11d + A13: streaming sink onto the manifest-versioned table
+# --------------------------------------------------------------------------
+
+def stream_to_versioned_table(
+    stream_df: DataFrame,
+    table_path: str,
+    checkpoint_dir: str | None = None,
+) -> list[int]:
+    """Publish each micro-batch as the NEXT VERSION of an A13 manifest-
+    versioned table — the loop-closer between J11 idempotency and A13
+    time travel: readers always resolve a complete committed snapshot
+    (the manifest rename is the atomic publish), a writer crash mid-
+    batch leaves only an invisible ``v=N/`` directory plus at most a
+    ``.tmp`` manifest (the table stays at the previous version), and
+    at-least-once redelivery is absorbed by the batch-id ledger in the
+    committed manifests — a replayed micro-batch whose id is already
+    committed is skipped, never published twice.
+
+    Runs the stream to completion (availableNow) and returns the list
+    of versions committed BY THIS RUN (empty when every batch was a
+    redelivery). Each stream version is also a time-travel point:
+    ``read_versioned(spark, table_path, as_of=v)`` reconstructs the
+    table exactly as of that micro-batch.
+    """
+    from time_series_spark_spark.sources.io import (
+        committed_batch_ids,
+        write_versioned,
+    )
+
+    committed: list[int] = []
+
+    def commit(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_id in committed_batch_ids(table_path):
+            return  # redelivered micro-batch: already a committed version
+        committed.append(
+            write_versioned(
+                batch_df, table_path, batch_id, carry_forward=True
+            )
+        )
+
+    writer = stream_df.writeStream.foreachBatch(commit)
+    if checkpoint_dir is not None:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    q = writer.trigger(availableNow=True).start()
+    q.awaitTermination()
+    return committed
