@@ -708,11 +708,24 @@ def test_no_rowscale_single_partition_window_plans(spark):
     )
 
     for name in [
+        # the round-6 verdict's six
         "events_ks_two_sample",
         "events_id_gap_audit",
         "orders_price_decile_bins",
         "orders_trimmed_winsorized_price",
         "docs_heaps_curve",
         "customers_rfm_segments",
+        # the round-7 registry-wide plan-audit catches
+        # (scripts/plan_audit.py found these beyond the verdict's list)
+        "events_mann_whitney_u",
+        "events_kruskal_wallis_value",
+        "orders_cvm_drift",
+        "orders_cadence_renewal_check",
+        "users_activation_latency",
+        "events_watermark_lateness_audit",
+        # detector false positives fixed by recognizing WindowGroupLimit
+        # and LocalLimit as bounded-rows reducers
+        "topk_parts_with_ties",
+        "docs_multimodal_frame_sample",
     ]:
         assert rowscale_single_partition_exchanges(_df(spark, name)) == [], name

@@ -64,12 +64,15 @@ def rowscale_single_partition_exchanges(df: DataFrame) -> list[str]:
     task).
 
     A single-partition exchange is legitimate when it feeds on an already
-    -reduced frame: the final stage of a global aggregate, or the bounded
+    -reduced frame: the final stage of a global aggregate, the bounded
     per-partition summary frame of the ``operators/rank.py`` two-pass
-    construction (≤ #partitions rows). Those subtrees always contain a
-    partial HashAggregate; a subtree that reaches a file scan without ANY
-    aggregate is funneling raw rows and gets flagged. Returns the
-    offending plan lines (empty list = scale-clean).
+    construction (≤ #partitions rows), a ``WindowGroupLimit`` partial
+    (per-partition top-k-with-ties pre-filter — only ~k rows per input
+    partition cross), or a ``LocalLimit`` (≤ limit rows per partition
+    cross). Those subtrees always contain one of the reducer operators
+    below; a subtree that reaches a file scan without ANY reducer is
+    funneling raw rows and gets flagged. Returns the offending plan
+    lines (empty list = scale-clean).
     """
     lines = executed_plan(df).splitlines()
     bad: list[str] = []
@@ -88,12 +91,14 @@ def rowscale_single_partition_exchanges(df: DataFrame) -> list[str]:
             or "FileScan" in subtxt
             or "Scan ExistingRDD" in subtxt
         )
-        has_agg = (
+        has_reducer = (
             "HashAggregate" in subtxt
             or "SortAggregate" in subtxt
             or "ObjectHashAggregate" in subtxt
+            or "WindowGroupLimit" in subtxt
+            or "LocalLimit" in subtxt
         )
-        if has_scan and not has_agg:
+        if has_scan and not has_reducer:
             bad.append(line.strip())
     return bad
 

@@ -1428,29 +1428,41 @@ def events_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM agg
     """,
     doc="Mann-Whitney U rank-sum test between the A/B value samples: "
-    "tie-corrected average ranks via ONE row_number window + a per-value "
-    "avg window (integer ranks — no fp drift), U statistic and the "
-    "U/(n0*n1) common-language effect size (= P(X0 > X1), the AUC "
-    "reading) — the nonparametric companion to Welch (means) and KS "
-    "(distributions)",
+    "tie-corrected average ranks reduced to the distinct-value frame "
+    "(avg_rank = prefix count + (ties+1)/2, an exact fp half) with the "
+    "prefix from the operators/rank.py range-partitioned running count "
+    "— no row-scale global rank window, bit-identical to the row-level "
+    "oracle formulation; U statistic and the U/(n0*n1) common-language "
+    "effect size (= P(X0 > X1), the AUC reading) — the nonparametric "
+    "companion to Welch (means) and KS (distributions)",
 )
 def events_mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql.window import Window
+    from time_series_spark_spark.operators.rank import global_cumsum
 
     ev = load(spark, sf_dir, "events")
     s = ev.select("value", (F.col("user_id") % 2).cast("int").alias("grp"))
-    rn = s.withColumn(
-        "rn", F.row_number().over(Window.orderBy("value", "grp"))
+    # Tie-averaged ranks depend only on the DISTINCT value: avg_rank(v)
+    # = s + (t+1)/2 with s = #rows below v, t = ties at v — both from a
+    # hash reduce + the range-partitioned exact running count
+    # (operators/rank.py), no row-scale global rank window. Exactness:
+    # avg_rank is an exact fp half (x.0/x.5) and every product/sum here
+    # stays under 2^52, so r0 is BIT-IDENTICAL to the oracle's
+    # row-level avg-of-row_number formulation regardless of summation
+    # order.
+    per_v = s.groupBy("value").agg(
+        F.sum(F.when(F.col("grp") == 0, 1).otherwise(0)).alias("c0"),
+        F.count(F.lit(1)).alias("ct"),
     )
-    r = rn.withColumn(
-        "avg_rank", F.avg("rn").over(Window.partitionBy("value"))
+    cum = global_cumsum(
+        per_v.withColumn("cum_t", F.col("ct")), [("value", True)], ["cum_t"]
     )
-    agg = r.agg(
-        F.sum(F.when(F.col("grp") == 0, 1).otherwise(0)).cast("long").alias("n0"),
-        F.sum(F.when(F.col("grp") == 1, 1).otherwise(0)).cast("long").alias("n1"),
-        F.sum(F.when(F.col("grp") == 0, F.col("avg_rank")).otherwise(0.0)).alias(
-            "r0"
-        ),
+    avg_rank = (
+        (F.col("cum_t") - F.col("ct")) + (F.col("ct") + 1) / 2.0
+    )
+    agg = cum.agg(
+        F.sum("c0").cast("long").alias("n0"),
+        F.sum(F.col("ct") - F.col("c0")).cast("long").alias("n1"),
+        F.sum(F.col("c0") * avg_rank).alias("r0"),
     )
     u = F.col("r0") - F.col("n0") * (F.col("n0") + 1.0) / 2
     return agg.select(

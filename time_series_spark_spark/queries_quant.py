@@ -4266,7 +4266,10 @@ def events_seasonal_mann_kendall(
     "distributed small shifts KS misses): U's rank deviations are "
     "held as EXACT INTEGERS via doubled midranks (2r = 2*min_rank + "
     "tie_count - 1, the F91/F111 device) against doubled within-"
-    "sample positions, so u4 = sum(2r - 2i)^2 is exact per sample; "
+    "sample positions; per distinct value the class sum of (2r-2i)^2 "
+    "has a closed BIGINT form, so the whole statistic reduces to the "
+    "distinct-value frame + range-partitioned running counts "
+    "(operators/rank.py) — no row-scale rank windows; "
     "the n*u4 product is cast to DOUBLE before multiplying (it "
     "overflows BIGINT past ~1e5 rows — noted), and T's closed form "
     "is the single fp expression. Same distinct-value scan shape as "
@@ -4280,30 +4283,50 @@ def orders_cvm_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(0)
         .alias("in_a"),
     )
-    r = x.select(
-        "in_a",
-        (
-            2 * F.rank().over(Window.orderBy("v"))
-            + F.count(F.lit(1)).over(Window.partitionBy("v"))
-            - 1
-        )
-        .cast("long")
-        .alias("dr"),
-        (
-            2
-            * F.row_number().over(
-                Window.partitionBy("in_a").orderBy("v", "o_orderkey")
-            )
-        )
-        .cast("long")
-        .alias("di"),
+    from time_series_spark_spark.operators.rank import global_cumsum
+
+    # Reduce to the distinct-value frame: within a tie class of value v,
+    # dr is constant and the sample's doubled positions enumerate
+    # consecutive evens 2(s_g+1)..2(s_g+c_g), so the class's
+    # sum (dr - di)^2 has the exact closed form
+    #   c*D^2 - 2*D*c*(c+1) + 4*(c*(c+1)*(2c+1) div 6),  D = dr - 2*s_g
+    # — all BIGINT, identical to the oracle's per-row window sums, with
+    # the prefixes from the range-partitioned running counts
+    # (operators/rank.py) instead of row-scale global rank windows.
+    per_v = x.groupBy("v").agg(
+        F.sum("in_a").alias("ca"), F.count(F.lit(1)).alias("t")
     )
-    dev2 = (F.col("dr") - F.col("di")) * (F.col("dr") - F.col("di"))
-    agg = r.agg(
-        F.sum(F.when(F.col("in_a") == 1, dev2)).alias("ua4"),
-        F.sum(F.when(F.col("in_a") == 0, dev2)).alias("ub4"),
-        F.sum("in_a").alias("n"),
-        F.sum(F.lit(1) - F.col("in_a")).alias("m"),
+    cum = global_cumsum(
+        per_v.withColumn("cum_t", F.col("t")).withColumn(
+            "cum_a", F.col("ca")
+        ),
+        [("v", True)],
+        ["cum_t", "cum_a"],
+    )
+    cls = cum.select(
+        "ca",
+        "t",
+        (F.col("t") - F.col("ca")).alias("cb"),
+        (2 * (F.col("cum_t") - F.col("t")) + F.col("t") + 1).alias("dr"),
+        (F.col("cum_a") - F.col("ca")).alias("sa"),
+        ((F.col("cum_t") - F.col("t")) - (F.col("cum_a") - F.col("ca")))
+        .alias("sb"),
+    )
+
+    def _class_sum(c: str, s: str) -> F.Column:
+        # Σ_{j=1..c}(D - 2j)^2, D = dr - 2s — SQL `div` keeps the
+        # c(c+1)(2c+1)/6 term exact BIGINT (it is always divisible by 6)
+        return F.expr(
+            f"{c} * (dr - 2*{s}) * (dr - 2*{s})"
+            f" - 2 * (dr - 2*{s}) * {c} * ({c} + 1)"
+            f" + 4 * (({c} * ({c} + 1) * (2*{c} + 1)) div 6)"
+        )
+
+    agg = cls.agg(
+        F.sum(_class_sum("ca", "sa")).alias("ua4"),
+        F.sum(_class_sum("cb", "sb")).alias("ub4"),
+        F.sum("ca").alias("n"),
+        F.sum("cb").alias("m"),
     )
     return agg.select(
         F.col("n").alias("n_a"),
@@ -9601,14 +9624,14 @@ def users_activation_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CAST(unix_micros(ts) - unix_micros(first_ts) AS BIGINT)"
         ).alias("us10"),
     )
-    w_all = W.partitionBy().rowsBetween(
-        W.unboundedPreceding, W.unboundedFollowing
-    )
-    r = lat.select(
-        "us10",
-        F.row_number().over(W.orderBy("us10", "user_id")).alias("rk"),
-        F.count(F.lit(1)).over(w_all).alias("n"),
-    )
+    from time_series_spark_spark.operators.rank import global_rank
+
+    # exact global quartile ranks over the activated-user frame via the
+    # range-partitioned two-pass (users at 100 TB are billions — same
+    # class as the RFM rewrite, no single-task window)
+    r = global_rank(
+        lat, [("us10", True), ("user_id", True)], "rk", total_col="n"
+    ).select("us10", "rk", "n")
 
     def pick(p: str):
         return (
@@ -10154,36 +10177,45 @@ def users_spend_migration_matrix(
     "the R_j^2/n_j terms cast to DOUBLE before squaring — D^2 "
     "overflows BIGINT past ~2e9 rows, noted — summed over the k=5 "
     "frame, the F119 small-reduce argument), the tie correction "
-    "1 - sum(t^3-t)/(N^3-N) exact-integer. One rank window over the "
-    "distinct-value-partitioned scan + two reduces. Single row.",
+    "1 - sum(t^3-t)/(N^3-N) exact-integer. Doubled midranks come from "
+    "the distinct-value reduce + range-partitioned running count "
+    "(operators/rank.py) — no row-scale rank window. Single row.",
 )
 def events_kruskal_wallis_value(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
+    from time_series_spark_spark.operators.rank import global_cumsum
+
     x = _events(spark, sf_dir).select(
         F.col("event_type").alias("g"), F.expr(_CENTS).alias("v")
     )
-    r = x.select(
-        "g",
-        (
-            2 * F.rank().over(Window.orderBy("v"))
-            + F.count(F.lit(1)).over(Window.partitionBy("v"))
-            - 1
-        )
-        .cast("long")
-        .alias("dr"),
+    # doubled midrank depends only on the DISTINCT value: dr(v) =
+    # 2*prefix + ties + 1 (exact BIGINT), prefix from the range-
+    # partitioned running count — no row-scale global rank window;
+    # per-group rank sums are then sum(c_g(v) * dr(v)), the same
+    # integers the oracle's per-row window produces
+    per_vg = x.groupBy("v", "g").agg(F.count(F.lit(1)).alias("c"))
+    per_v = per_vg.groupBy("v").agg(F.sum("c").alias("t"))
+    cum = global_cumsum(
+        per_v.withColumn("cum_t", F.col("t")), [("v", True)], ["cum_t"]
     )
-    per_g = r.groupBy("g").agg(
-        F.count(F.lit(1)).alias("n"), F.sum("dr").alias("dsum")
+    dr_v = cum.select(
+        "v",
+        "t",
+        (2 * F.col("cum_t") - F.col("t") + 1).cast("long").alias("dr"),
     )
-    ties = (
-        x.groupBy("v")
-        .agg(F.count(F.lit(1)).alias("t"))
+    per_g = (
+        per_vg.join(dr_v.select("v", "dr"), "v")
+        .groupBy("g")
         .agg(
-            F.sum(
-                F.col("t") * F.col("t") * F.col("t") - F.col("t")
-            ).alias("t3t")
+            F.sum("c").alias("n"),
+            F.sum(F.col("c") * F.col("dr")).alias("dsum"),
         )
+    )
+    ties = dr_v.agg(
+        F.sum(
+            F.col("t") * F.col("t") * F.col("t") - F.col("t")
+        ).alias("t3t")
     )
     agg = per_g.agg(
         F.count(F.lit(1)).alias("k"),
@@ -10815,44 +10847,55 @@ def users_cronbach_alpha(spark: SparkSession, sf_dir: str) -> DataFrame:
                      ORDER BY o_orderdate, o_orderkey)
         QUALIFY gap IS NOT NULL AND gap > 0
     ),
-    r AS (
-        SELECT gap,
-               CAST(row_number() OVER (ORDER BY gap) AS BIGINT) AS rk,
-               CAST(count(*) OVER () AS BIGINT) AS n
-        FROM ia
+    per_g AS (
+        SELECT gap, CAST(count(*) AS BIGINT) AS t FROM ia GROUP BY gap
+    ),
+    cum AS (
+        SELECT gap, t,
+               CAST(sum(t) OVER (ORDER BY gap
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS ct,
+               CAST(sum(t) OVER () AS BIGINT) AS n
+        FROM per_g
     ),
     q AS (
-        SELECT gap, rk, n,
-               -ln(1.0 - (rk - 0.5) / n) AS eq
-        FROM r
+        SELECT gap, t, n,
+               -ln(1.0 - ((ct - t) + t / 2.0) / n) AS eq
+        FROM cum
     ),
     acc AS (
         SELECT n,
-               sum(CAST(gap AS DOUBLE)) OVER w AS sx,
-               sum(eq) OVER w AS sy,
-               sum(CAST(gap AS DOUBLE) * gap) OVER w AS sxx,
-               sum(eq * eq) OVER w AS syy,
-               sum(CAST(gap AS DOUBLE) * eq) OVER w AS sxy,
-               row_number() OVER (ORDER BY rk) AS rn
+               sum(CAST(t AS DOUBLE) * gap) OVER w AS sx,
+               sum(CAST(t AS DOUBLE) * eq) OVER w AS sy,
+               sum(CAST(t AS DOUBLE) * gap * gap) OVER w AS sxx,
+               sum(CAST(t AS DOUBLE) * eq * eq) OVER w AS syy,
+               sum(CAST(t AS DOUBLE) * gap * eq) OVER w AS sxy,
+               row_number() OVER (ORDER BY gap) AS rn,
+               count(*) OVER () AS ng
         FROM q
-        WINDOW w AS (ORDER BY rk
+        WINDOW w AS (ORDER BY gap
                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
     )
     SELECT CAST(n AS BIGINT) AS n_gaps,
            round((n * sxy - sx * sy)
                  / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 6)
                AS qq_corr_exponential
-    FROM acc WHERE rn = n
+    FROM acc WHERE rn = ng
     """,
     doc="F180 renewal-process check on customer order cadence: the QQ "
     "correlation between sorted positive interarrival days and "
-    "exponential plotting positions -ln(1-(i-1/2)/n) — r near 1 says "
-    "reorder gaps are memoryless (a Poisson renewal process, so "
-    "'time since last order' carries no churn signal); materially "
-    "lower r says aging matters and F107/F123's hazard machinery is "
-    "the right model. Gaps are exact integer days from one lag "
-    "window; ranks exact; every fp sum frame-ordered in rank order "
-    "(F95 device) with shared ln text. Single summary row.",
+    "exponential plotting positions — r near 1 says reorder gaps are "
+    "memoryless (a Poisson renewal process, so 'time since last "
+    "order' carries no churn signal); materially lower r says aging "
+    "matters and F107/F123's hazard machinery is the right model. "
+    "Tied gaps share their class-MIDRANK plotting position "
+    "-ln(1-(midrank-1/2)/n) (the standard tie treatment), weighted by "
+    "class size — which collapses the frame to DISTINCT integer-day "
+    "gaps (domain-bounded like a calendar), so every window here runs "
+    "over a bounded frame: no row-scale global rank window. Gaps are "
+    "exact integer days from one per-customer lag window; every fp "
+    "sum frame-ordered in gap order (F95 device) with shared ln text. "
+    "Single summary row.",
 )
 def orders_cadence_renewal_check(
     spark: SparkSession, sf_dir: str
@@ -10871,33 +10914,39 @@ def orders_cadence_renewal_check(
         )
         .filter(F.col("gap").isNotNull() & (F.col("gap") > 0))
     )
+    # distinct-gap reduce first: all windows below run over the bounded
+    # integer-day gap domain, never the row-scale pair frame
+    per_g = ia.groupBy("gap").agg(F.count(F.lit(1)).alias("t"))
     w_all = W.partitionBy().rowsBetween(
         W.unboundedPreceding, W.unboundedFollowing
     )
-    r = ia.select(
-        "gap",
-        F.row_number().over(W.orderBy("gap")).cast("long").alias("rk"),
-        F.count(F.lit(1)).over(w_all).alias("n"),
+    w_cum = W.orderBy("gap").rowsBetween(W.unboundedPreceding, 0)
+    cum = per_g.select(
+        "gap", "t",
+        F.sum("t").over(w_cum).cast("long").alias("ct"),
+        F.sum("t").over(w_all).cast("long").alias("n"),
     )
-    q = r.select(
-        "gap", "rk", "n",
-        F.expr("-ln(1.0 - (rk - 0.5) / n)").alias("eq"),
+    q = cum.select(
+        "gap", "t", "n",
+        F.expr("-ln(1.0 - ((ct - t) + t / 2.0) / n)").alias("eq"),
     )
-    w_cum = W.orderBy("rk").rowsBetween(W.unboundedPreceding, 0)
     acc = q.select(
         "n",
-        F.sum(F.expr("CAST(gap AS DOUBLE)")).over(w_cum).alias("sx"),
-        F.sum("eq").over(w_cum).alias("sy"),
-        F.sum(F.expr("CAST(gap AS DOUBLE) * gap")).over(w_cum).alias(
+        F.sum(F.expr("CAST(t AS DOUBLE) * gap")).over(w_cum).alias("sx"),
+        F.sum(F.expr("CAST(t AS DOUBLE) * eq")).over(w_cum).alias("sy"),
+        F.sum(F.expr("CAST(t AS DOUBLE) * gap * gap")).over(w_cum).alias(
             "sxx"
         ),
-        F.sum(F.col("eq") * F.col("eq")).over(w_cum).alias("syy"),
-        F.sum(F.expr("CAST(gap AS DOUBLE) * eq")).over(w_cum).alias(
+        F.sum(F.expr("CAST(t AS DOUBLE) * eq * eq")).over(w_cum).alias(
+            "syy"
+        ),
+        F.sum(F.expr("CAST(t AS DOUBLE) * gap * eq")).over(w_cum).alias(
             "sxy"
         ),
-        F.row_number().over(W.orderBy("rk")).alias("rn"),
+        F.row_number().over(W.orderBy("gap")).alias("rn"),
+        F.count(F.lit(1)).over(w_all).alias("ng"),
     )
-    return acc.filter(F.col("rn") == F.col("n")).select(
+    return acc.filter(F.col("rn") == F.col("ng")).select(
         F.col("n").cast("long").alias("n_gaps"),
         F.expr(
             "round((n * sxy - sx * sy)"

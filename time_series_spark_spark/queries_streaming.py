@@ -448,23 +448,25 @@ def stream_python_source_ticks(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="Watermark-delay sizing audit (the batch analysis run BEFORE "
     "choosing a streaming watermark): event_id is the arrival order, so "
     "lateness = running-max event time minus own event time; the report "
-    "counts events a 10m/30m/1h watermark would drop. One ordered "
-    "window over the arrival sequence + one aggregate — the single "
-    "global window is over arrival order by definition (at scale: run "
-    "per ingestion partition, which is where watermarks apply anyway)",
+    "counts events a 10m/30m/1h watermark would drop. The arrival-order "
+    "running max is the operators/rank.py range-partitioned cummax "
+    "(global_cummax) — exact, parallel at any scale, no single-task "
+    "window over the arrival sequence",
 )
 def events_watermark_lateness_audit(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
-    ev = load(spark, sf_dir, "events")
-    from pyspark.sql import Window
+    from time_series_spark_spark.operators.rank import global_cummax
 
-    w = Window.orderBy("event_id").rowsBetween(
-        Window.unboundedPreceding, 0
+    ev = load(spark, sf_dir, "events")
+    a = global_cummax(
+        ev.select("event_id", "ts", F.col("ts").alias("max_seen")),
+        [("event_id", True)],
+        ["max_seen"],
     )
-    lat = ev.select(
+    lat = a.select(
         (
-            F.unix_micros(F.max("ts").over(w)) - F.unix_micros("ts")
+            F.unix_micros("max_seen") - F.unix_micros("ts")
         ).alias("late_us")
     )
     return lat.agg(
