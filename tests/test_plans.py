@@ -727,5 +727,11 @@ def test_no_rowscale_single_partition_window_plans(spark):
         # and LocalLimit as bounded-rows reducers
         "topk_parts_with_ties",
         "docs_multimodal_frame_sample",
+        # low-cardinality PARTITION BY windows over raw rows (2-5 tasks
+        # each holding a corpus-scale slice) rewritten on grouped_rank
+        "events_qq_halves",
+        "events_median_ci_by_type",
+        "events_trimmed_mean_by_type",
+        "events_value_iqr_outliers",
     ]:
         assert rowscale_single_partition_exchanges(_df(spark, name)) == [], name

@@ -183,3 +183,28 @@ def test_rank_plan_has_no_rowscale_single_partition_exchange(spark, tmp_path):
         "rnk", F.row_number().over(Window.orderBy("v", "k"))
     )
     assert rowscale_single_partition_exchanges(naive) != []
+
+
+def test_grouped_rank_matches_partitioned_window(spark):
+    df = _toy(spark, n=400).withColumn("g", F.col("k") % 3)
+    from time_series_spark_spark.operators.rank import grouped_rank
+
+    got = (
+        grouped_rank(df, ["g"], [("v", True), ("k", True)], "rnk",
+                     total_col="n", num_partitions=5)
+        .orderBy("k")
+        .collect()
+    )
+    w = Window.partitionBy("g").orderBy("v", "k")
+    wg = Window.partitionBy("g").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    want = (
+        df.withColumn("rnk", F.row_number().over(w))
+        .withColumn("n", F.count(F.lit(1)).over(wg))
+        .orderBy("k")
+        .collect()
+    )
+    assert [(r["k"], r["rnk"], r["n"]) for r in got] == [
+        (r["k"], r["rnk"], r["n"]) for r in want
+    ]

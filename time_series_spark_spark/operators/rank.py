@@ -170,6 +170,62 @@ def global_rank(
     return out.drop(_PID, "__lrn", "__off", "__tot")
 
 
+def grouped_rank(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    order_by: Sequence[Key],
+    rank_col: str = "rnk",
+    total_col: str | None = None,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Per-group exact 1-based row_number over ``order_by`` within each
+    group, plus optionally the group's row count on every row — the
+    scale-safe form of
+    ``row_number().over(Window.partitionBy(*groups).orderBy(...))``
+    for LOW-CARDINALITY group keys (event types, calendar halves, A/B
+    arms), where the plain partitioned window still funnels a
+    corpus-scale slice through ONE task per group value.
+
+    Buckets come from the same frozen global leading-key boundaries as
+    :func:`global_rank` (shared across groups — determinism is what
+    matters; balance only needs the value distributions to be broadly
+    similar across groups, which A/B-style splits are by design). The
+    local window partitions by (groups..., bucket); the offset frame is
+    bounded at |groups| x #buckets rows.
+    """
+    parted = _bucketed(df, order_by, num_partitions)
+    gcols = list(group_cols)
+    local = parted.withColumn(
+        "__lrn",
+        F.row_number().over(
+            Window.partitionBy(*gcols, _PID).orderBy(*_sort_cols(order_by))
+        ),
+    )
+    counts = local.groupBy(*gcols, _PID).agg(
+        F.count(F.lit(1)).alias("__cnt")
+    )
+    w_prev = (
+        Window.partitionBy(*gcols)
+        .orderBy(_PID)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_grp = Window.partitionBy(*gcols).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    offsets = counts.select(
+        *gcols,
+        _PID,
+        F.coalesce(F.sum("__cnt").over(w_prev), F.lit(0)).alias("__off"),
+        F.sum("__cnt").over(w_grp).alias("__tot"),
+    )
+    out = local.join(F.broadcast(offsets), [*gcols, _PID]).withColumn(
+        rank_col, (F.col("__off") + F.col("__lrn")).cast("long")
+    )
+    if total_col is not None:
+        out = out.withColumn(total_col, F.col("__tot").cast("long"))
+    return out.drop(_PID, "__lrn", "__off", "__tot")
+
+
 def global_cumsum(
     df: DataFrame,
     order_by: Sequence[Key],

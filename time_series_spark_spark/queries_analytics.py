@@ -1494,15 +1494,26 @@ def events_mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
     "one window + one agg",
 )
 def events_trimmed_mean_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql.window import Window
+    from time_series_spark_spark.operators.rank import grouped_rank
 
     ev = load(spark, sf_dir, "events")
-    r = ev.select(
+    # per-type percent_rank from the grouped two-pass (operators/rank.py)
+    # — PARTITION BY event_type is ~5 corpus-scale tasks; with a unique
+    # tiebreaker rank() == row_number(), so pr = (rnk-1)/(n-1) is the
+    # same double both engines' percent_rank computes (0.0 when n = 1)
+    r = grouped_rank(
+        ev.select("event_type", "value", "event_id"),
+        ["event_type"],
+        [("value", True), ("event_id", True)],
+        "rnk",
+        total_col="n",
+    ).select(
         "event_type",
         "value",
-        F.percent_rank()
-        .over(Window.partitionBy("event_type").orderBy("value", "event_id"))
-        .alias("pr"),
+        F.expr(
+            "CASE WHEN n = 1 THEN 0.0"
+            " ELSE (rnk - 1) / CAST(n - 1 AS DOUBLE) END"
+        ).alias("pr"),
     )
     return (
         r.filter((F.col("pr") >= 0.1) & (F.col("pr") <= 0.9))
@@ -1745,15 +1756,18 @@ def events_id_gap_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 def events_value_iqr_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window
 
+    from time_series_spark_spark.operators.rank import grouped_rank
+
     ev = load(spark, sf_dir, "events")
-    w = Window.partitionBy("event_type").orderBy("value", "event_id")
-    r = ev.select(
-        "event_type",
-        "event_id",
-        "value",
-        F.row_number().over(w).alias("rn"),
-        F.count(F.lit(1)).over(Window.partitionBy("event_type")).alias("n"),
-    )
+    # per-type exact ranks via the grouped two-pass (operators/rank.py)
+    # — no corpus-scale per-type window task
+    r = grouped_rank(
+        ev.select("event_type", "event_id", "value"),
+        ["event_type"],
+        [("value", True), ("event_id", True)],
+        "rn",
+        total_col="n",
+    ).select("event_type", "event_id", "value", "rn", "n")
     q = r.groupBy("event_type").agg(
         F.max(
             F.when(

@@ -8059,18 +8059,14 @@ def events_median_ci_by_type(
         F.expr(_CENTS).alias("v"),
         "event_id",
     )
-    wg = Window.partitionBy("g")
-    r = x.select(
-        "g", "v",
-        F.row_number().over(wg.orderBy("v", "event_id")).alias("rk"),
-        F.count(F.lit(1))
-        .over(
-            wg.rowsBetween(
-                Window.unboundedPreceding, Window.unboundedFollowing
-            )
-        )
-        .alias("n"),
-    )
+    from time_series_spark_spark.operators.rank import grouped_rank
+
+    # per-type exact ranks via the grouped two-pass (operators/rank.py):
+    # PARTITION BY event_type is ~5 tasks each holding a corpus-scale
+    # slice — the grouped construction buckets by value instead
+    r = grouped_rank(
+        x, ["g"], [("v", True), ("event_id", True)], "rk", total_col="n"
+    ).select("g", "v", "rk", "n")
     bounds = (
         r.select("g", "n")
         .distinct()
@@ -9435,18 +9431,14 @@ def events_qq_halves(spark: SparkSession, sf_dir: str) -> DataFrame:
             " THEN 0 ELSE 1 END"
         ).alias("grp"),
     )
-    wg = Window.partitionBy("grp")
-    r = x.select(
-        "grp", "v",
-        F.row_number().over(wg.orderBy("v", "event_id")).alias("rk"),
-        F.count(F.lit(1))
-        .over(
-            wg.rowsBetween(
-                Window.unboundedPreceding, Window.unboundedFollowing
-            )
-        )
-        .alias("n"),
-    )
+    from time_series_spark_spark.operators.rank import grouped_rank
+
+    # per-half exact ranks via the grouped two-pass (operators/rank.py):
+    # a plain PARTITION BY grp window is TWO tasks each holding half
+    # the corpus — the grouped construction buckets by value instead
+    r = grouped_rank(
+        x, ["grp"], [("v", True), ("event_id", True)], "rk", total_col="n"
+    ).select("grp", "v", "rk", "n")
     qs = ev.sparkSession.range(1, 20).select(F.col("id").alias("q"))
     picks = r.join(
         F.broadcast(qs),
