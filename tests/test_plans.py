@@ -733,5 +733,20 @@ def test_no_rowscale_single_partition_window_plans(spark):
         "events_median_ci_by_type",
         "events_trimmed_mean_by_type",
         "events_value_iqr_outliers",
+        # distinct-value / dimension-scale cumulative windows converted
+        # to the range-partitioned two-pass (near-unique cents frames,
+        # user/customer dimensions, conversion-pair frames)
+        "orders_ks_drift",
+        "orders_mannwhitney_period",
+        "orders_jonckheere_priority",
+        "events_mood_median_test",
+        "events_ansari_bradley_scale",
+        "events_gpd_tail_fit",
+        "events_pairwise_ks_matrix",
+        "events_key_skew_profile",
+        "view_to_purchase_latency",
+        "customer_revenue_pareto",
+        "customer_concentration_report",
+        "users_logrank_heavy_light",
     ]:
         assert rowscale_single_partition_exchanges(_df(spark, name)) == [], name

@@ -4152,13 +4152,22 @@ def test_renewal_and_mix_divergence_replays(spark):
     from time_series_spark_spark.queries import REGISTRY
 
     def qq_corr(gaps):
-        x = np.sort(np.asarray(gaps, float))
-        n = len(x)
-        y = -np.log(1.0 - (np.arange(1, n + 1) - 0.5) / n)
-        num = n * (x * y).sum() - x.sum() * y.sum()
+        # round-7 spec: tied gaps share their class-MIDRANK plotting
+        # position -ln(1 - (midrank - 1/2)/n), weighted by class size —
+        # the standard tie treatment (collapses the frame to distinct
+        # gaps, which is what makes the query scale-safe)
+        gaps = np.asarray(gaps, float)
+        vals, t = np.unique(gaps, return_counts=True)
+        n = t.sum()
+        ct = np.cumsum(t)
+        y = -np.log(1.0 - ((ct - t) + t / 2.0) / n)
+        x = vals
+        w = t.astype(float)
+        sx, sy = (w * x).sum(), (w * y).sum()
+        num = n * (w * x * y).sum() - sx * sy
         den = math.sqrt(
-            (n * (x * x).sum() - x.sum() ** 2)
-            * (n * (y * y).sum() - y.sum() ** 2)
+            (n * (w * x * x).sum() - sx**2)
+            * (n * (w * y * y).sum() - sy**2)
         )
         return num / den
 
@@ -4183,7 +4192,7 @@ def test_renewal_and_mix_divergence_replays(spark):
     expo = np.ceil(rng.exponential(30, 5000))
     const = np.full(5000, 30.0)
     assert qq_corr(expo) > 0.98
-    assert math.isnan(qq_corr(const)) or qq_corr(const) < 0.5
+    assert not math.isfinite(qq_corr(const)) or qq_corr(const) < 0.5
 
     ev = pd.read_parquet("/root/testdata/sf0.001/events.parquet")
     d = ev["ts"].dt.floor("D")

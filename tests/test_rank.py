@@ -208,3 +208,22 @@ def test_grouped_rank_matches_partitioned_window(spark):
     assert [(r["k"], r["rnk"], r["n"]) for r in got] == [
         (r["k"], r["rnk"], r["n"]) for r in want
     ]
+
+
+def test_grouped_cumsum_matches_partitioned_window(spark):
+    df = _toy(spark, n=400).withColumn("g", F.col("k") % 3)
+    from time_series_spark_spark.operators.rank import grouped_cumsum
+
+    got = (
+        grouped_cumsum(df, ["g"], [("v", True), ("k", True)], ["w"],
+                       num_partitions=5)
+        .orderBy("k")
+        .collect()
+    )
+    w = (
+        Window.partitionBy("g")
+        .orderBy("v", "k")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    want = df.withColumn("w", F.sum("w").over(w)).orderBy("k").collect()
+    assert [(r["k"], r["w"]) for r in got] == [(r["k"], r["w"]) for r in want]

@@ -271,6 +271,56 @@ def global_cumsum(
     return out.drop(_PID)
 
 
+def grouped_cumsum(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    order_by: Sequence[Key],
+    cols: Sequence[str],
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Per-group exact inclusive running sums of ``cols`` over
+    ``order_by`` within each group — the scale-safe form of
+    ``sum(c).over(Window.partitionBy(*groups).orderBy(...))`` for
+    low-cardinality group keys (see :func:`grouped_rank` for why the
+    plain partitioned window is 2-5 corpus-scale tasks). Buckets share
+    the global frozen leading-key boundaries; the offset frame is
+    bounded at |groups| x #buckets rows."""
+    parted = _bucketed(df, order_by, num_partitions)
+    gcols = list(group_cols)
+    w_loc = (
+        Window.partitionBy(*gcols, _PID)
+        .orderBy(*_sort_cols(order_by))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    local = parted
+    for c in cols:
+        local = local.withColumn(f"__loc_{c}", F.sum(c).over(w_loc))
+    totals = local.groupBy(*gcols, _PID).agg(
+        *[F.sum(c).alias(f"__sum_{c}") for c in cols]
+    )
+    w_prev = (
+        Window.partitionBy(*gcols)
+        .orderBy(_PID)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = totals.select(
+        *gcols,
+        _PID,
+        *[
+            F.coalesce(F.sum(f"__sum_{c}").over(w_prev), F.lit(0)).alias(
+                f"__off_{c}"
+            )
+            for c in cols
+        ],
+    )
+    out = local.join(F.broadcast(offsets), [*gcols, _PID])
+    for c in cols:
+        out = out.withColumn(
+            c, F.col(f"__off_{c}") + F.col(f"__loc_{c}")
+        ).drop(f"__loc_{c}", f"__off_{c}")
+    return out.drop(_PID)
+
+
 def global_cummax(
     df: DataFrame,
     order_by: Sequence[Key],

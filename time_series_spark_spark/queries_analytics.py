@@ -882,13 +882,21 @@ def events_pattern_view_click_purchase(
 def events_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window
 
+    from time_series_spark_spark.operators.rank import global_rank
+
     ev = load(spark, sf_dir, "events")
     c = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("cnt"))
-    s = c.select(
-        "cnt",
-        F.row_number().over(Window.orderBy("cnt", "user_id")).alias("i"),
-        F.sum("cnt").over(Window.partitionBy()).alias("total"),
-        F.count(F.lit(1)).over(Window.partitionBy()).alias("n_keys"),
+    # Gini needs the exact key rank — the key dimension is billions at
+    # 100 TB, so the rank is the range-partitioned two-pass
+    # (operators/rank.py), with totals from a 1-row broadcast
+    tot = c.agg(
+        F.sum("cnt").cast("long").alias("total"),
+        F.count(F.lit(1)).cast("long").alias("n_keys"),
+    )
+    s = (
+        global_rank(c, [("cnt", True), ("user_id", True)], "i")
+        .select("cnt", "i")
+        .crossJoin(F.broadcast(tot))
     )
     p = F.col("cnt") * 1.0 / F.col("total")
     return s.agg(
@@ -1658,12 +1666,14 @@ def view_to_purchase_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
     # nearest-rank order statistics (ceil(q*n)-th value): exact integers
     # in both engines — interpolated percentiles land a half-ulp apart
     # across engines and flip integer truncation
-    from pyspark.sql.window import Window as _W
+    from time_series_spark_spark.operators.rank import global_rank
 
-    r = p.select(
-        "latency_us",
-        F.row_number().over(_W.orderBy("latency_us")).alias("rn"),
-        F.count(F.lit(1)).over(_W.partitionBy()).alias("n"),
+    # conversion-pair frame is row-scale: exact rank picks via the
+    # range-partitioned two-pass (operators/rank.py); ties in
+    # latency_us are pick-safe (any rank in a tie class reads the
+    # same value)
+    r = global_rank(
+        p.select("latency_us"), [("latency_us", True)], "rn", total_col="n"
     )
     pick = lambda q: F.max(  # noqa: E731 — tiny local helper
         F.when(

@@ -644,18 +644,25 @@ def customer_revenue_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("cents")
         )
     )
-    w_ord = Window.orderBy(F.desc("cents"), "o_custkey")
-    w_all = Window.rowsBetween(
-        Window.unboundedPreceding, Window.unboundedFollowing
+    from time_series_spark_spark.operators.rank import global_cumsum
+
+    # customer dimension is billions at 100 TB: running revenue AND the
+    # rank (a running count over the same total order) via one
+    # range-partitioned two-pass (operators/rank.py); totals broadcast
+    tot = cust.agg(
+        F.sum("cents").cast("long").alias("total_cents"),
+        F.count(F.lit(1)).cast("long").alias("n_cust"),
     )
-    ranked = cust.select(
-        "cents",
-        F.sum("cents").over(
-            w_ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        ).alias("cum_cents"),
-        F.row_number().over(w_ord).alias("rnk"),
-        F.sum("cents").over(w_all).alias("total_cents"),
-        F.count(F.lit(1)).over(w_all).alias("n_cust"),
+    ranked = (
+        global_cumsum(
+            cust.withColumn("cum_cents", F.col("cents")).withColumn(
+                "rnk", F.lit(1)
+            ),
+            [("cents", False), ("o_custkey", True)],
+            ["cum_cents", "rnk"],
+        )
+        .select("cents", "cum_cents", "rnk")
+        .crossJoin(F.broadcast(tot))
     )
     hit = F.when(
         F.col("cum_cents") * 10 >= F.col("total_cents") * 8, F.col("rnk")

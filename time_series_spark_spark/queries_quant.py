@@ -1500,20 +1500,26 @@ def orders_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("o_orderdate") < "1998-01-01", 1
         ).otherwise(0).alias("in_a"),
     )
+    from time_series_spark_spark.operators.rank import global_cumsum
+
     per_v = x.groupBy("v").agg(
         F.sum("in_a").alias("ca"),
         F.sum(F.lit(1) - F.col("in_a")).alias("cb"),
     )
-    w_cum = W.orderBy("v").rowsBetween(W.unboundedPreceding, W.currentRow)
-    w_all = W.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
-    cum = per_v.select(
-        F.sum("ca").over(w_cum).alias("i"),
-        F.sum("cb").over(w_cum).alias("j"),
-        F.sum("ca").over(w_all).alias("na"),
-        F.sum("cb").over(w_all).alias("nb"),
+    # distinct cents are near-unique -> the distinct-value frame is
+    # row-scale; running counts via the range-partitioned two-pass
+    # (operators/rank.py), totals via a 1-row broadcast
+    tot = per_v.agg(
+        F.sum("ca").cast("long").alias("na"),
+        F.sum("cb").cast("long").alias("nb"),
     )
-    d_num = F.max(F.abs(F.col("i") * F.col("nb") - F.col("j") * F.col("na")))
+    cum = global_cumsum(
+        per_v.withColumn("i", F.col("ca")).withColumn("j", F.col("cb")),
+        [("v", True)],
+        ["i", "j"],
+    ).select("i", "j").crossJoin(F.broadcast(tot))
     na, nb = F.max("na"), F.max("nb")
+    d_num = F.max(F.abs(F.col("i") * F.col("nb") - F.col("j") * F.col("na")))
     ks_d = d_num * 1.0 / (na * nb)
     n_eff = F.sqrt(na * 1.0 * nb / (na + nb))
     lam = (n_eff + 0.12 + 0.11 / n_eff) * ks_d
@@ -1583,19 +1589,21 @@ def orders_mannwhitney_period(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("o_orderdate") < "1998-01-01", 1
         ).otherwise(0).alias("in_a"),
     )
+    from time_series_spark_spark.operators.rank import global_cumsum
+
     per_v = x.groupBy("v").agg(
         F.sum("in_a").alias("ca"), F.count(F.lit(1)).alias("t")
     )
-    w_prev = W.orderBy("v").rowsBetween(W.unboundedPreceding, -1)
-    w_all = W.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
-    cum = per_v.select(
-        "ca", "t",
-        F.coalesce(F.sum("t").over(w_prev), F.lit(0)).alias("s"),
-        F.sum("ca").over(w_all).alias("na"),
-        F.sum(F.col("t") - F.col("ca")).over(w_all).alias("nb"),
+    # near-unique distinct cents: prefix counts via the range-
+    # partitioned two-pass (operators/rank.py); s = inclusive - t
+    cum = global_cumsum(
+        per_v.withColumn("ct", F.col("t")), [("v", True)], ["ct"]
+    ).select(
+        "ca", "t", (F.col("ct") - F.col("t")).alias("s")
     )
     two_r_a = F.sum(F.col("ca") * (2 * F.col("s") + F.col("t") + 1))
-    na, nb = F.max("na"), F.max("nb")
+    na = F.sum("ca")
+    nb = F.sum(F.col("t") - F.col("ca"))
     u2_a = two_r_a - na * (na + 1)
     from time_series_spark_spark.operators.guards import bigint_bound
 
@@ -3409,10 +3417,14 @@ def users_logrank_heavy_light(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("cnt"),
     )
     g = u.agg(F.count(F.lit(1)).alias("nu"))
+    from time_series_spark_spark.operators.rank import global_rank
+
+    # user-dimension median split via the range-partitioned two-pass
     med = (
-        u.select(
-            "cnt",
-            F.row_number().over(Window.orderBy("cnt", "user_id")).alias("rnk"),
+        global_rank(
+            u.select("cnt", "user_id"),
+            [("cnt", True), ("user_id", True)],
+            "rnk",
         )
         .crossJoin(F.broadcast(g))
         .filter(F.expr("rnk = CAST(floor((nu + 1) / 2.0) AS BIGINT)"))
@@ -4442,14 +4454,26 @@ def orders_jonckheere_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("g") == i, 1).otherwise(0)).alias(f"c{i}")
         for i in range(1, 6)
     ]
+    from time_series_spark_spark.operators.rank import global_cumsum
+
     per_v = x.groupBy("v").agg(*cs)
-    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
-    cum = per_v.select(
+    # near-unique distinct cents: prefix counts via the range-
+    # partitioned two-pass (operators/rank.py); exclusive = incl - c
+    incl = per_v
+    for i in range(1, 5):
+        incl = incl.withColumn(f"l{i}", F.col(f"c{i}"))
+    incl = global_cumsum(
+        incl, [("v", True)], [f"l{i}" for i in range(1, 5)]
+    )
+    cum = incl.select(
         *[f"c{i}" for i in range(1, 6)],
         *[
-            F.coalesce(F.sum(f"c{i}").over(w), F.lit(0)).alias(f"l{i}")
+            (F.col(f"l{i}") - F.col(f"c{i}")).alias(f"l{i}_x")
             for i in range(1, 5)
         ],
+    ).select(
+        *[f"c{i}" for i in range(1, 6)],
+        *[F.col(f"l{i}_x").alias(f"l{i}") for i in range(1, 5)],
     )
     j = cum.agg(
         F.sum(
@@ -5107,16 +5131,18 @@ def events_mood_median_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     x = _events(spark, sf_dir).select(
         F.col("event_type").alias("g"), F.expr(_CENTS).alias("v")
     )
+    from time_series_spark_spark.operators.rank import global_cumsum
+
     per_v = x.groupBy("v").agg(F.count(F.lit(1)).alias("c"))
-    w_all = Window.orderBy("v").rowsBetween(
-        Window.unboundedPreceding, Window.unboundedFollowing
-    )
-    cum = per_v.select(
-        "v",
-        F.sum("c")
-        .over(Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0))
-        .alias("cm"),
-        F.sum("c").over(w_all).alias("n"),
+    # near-unique distinct cents: running count via the range-
+    # partitioned two-pass (operators/rank.py), total via broadcast
+    tot = per_v.agg(F.sum("c").cast("long").alias("n"))
+    cum = (
+        global_cumsum(
+            per_v.withColumn("cm", F.col("c")), [("v", True)], ["cm"]
+        )
+        .select("v", "cm")
+        .crossJoin(F.broadcast(tot))
     )
     med = (
         cum.filter(
@@ -5299,12 +5325,12 @@ def customer_concentration_report(
             F.expr("CAST(round(o_totalprice * 100, 0) AS BIGINT)")
         ).alias("rev")
     )
-    r = c.select(
-        "rev",
-        F.row_number()
-        .over(Window.orderBy(F.col("rev").desc(), "o_custkey"))
-        .alias("rnk"),
-    )
+    from time_series_spark_spark.operators.rank import global_rank
+
+    # customer dimension rank via the range-partitioned two-pass
+    r = global_rank(
+        c, [("rev", False), ("o_custkey", True)], "rnk"
+    ).select("rev", "rnk")
     tot = r.agg(
         F.count(F.lit(1)).alias("n"),
         F.sum("rev").alias("t"),
@@ -5941,25 +5967,23 @@ def events_ansari_bradley_scale(
             .alias("in_a"),
         )
     )
+    from time_series_spark_spark.operators.rank import global_cumsum
+
     per_v = x.groupBy("v").agg(
         F.sum("in_a").alias("ca"), F.count(F.lit(1)).alias("c")
     )
-    w_all = Window.orderBy("v").rowsBetween(
-        Window.unboundedPreceding, Window.unboundedFollowing
-    )
-    cum = per_v.select(
-        "v", "ca", "c",
-        F.coalesce(
-            F.sum("c").over(
-                Window.orderBy("v").rowsBetween(
-                    Window.unboundedPreceding, -1
-                )
-            ),
-            F.lit(0),
+    # near-unique distinct cents: prefix via the range-partitioned
+    # two-pass (operators/rank.py), total via broadcast
+    tot = per_v.agg(F.sum("c").cast("long").alias("nn"))
+    cum = (
+        global_cumsum(
+            per_v.withColumn("ct", F.col("c")), [("v", True)], ["ct"]
         )
-        .cast("long")
-        .alias("before"),
-        F.sum("c").over(w_all).alias("nn"),
+        .select(
+            "v", "ca", "c",
+            (F.col("ct") - F.col("c")).cast("long").alias("before"),
+        )
+        .crossJoin(F.broadcast(tot))
     )
     scored = cum.select(
         "ca", "c", "nn",
@@ -7422,16 +7446,18 @@ def users_rmst_lifetime(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def events_gpd_tail_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     x = _events(spark, sf_dir).select(F.expr(_CENTS).alias("v"))
+    from time_series_spark_spark.operators.rank import global_cumsum
+
     per_v = x.groupBy("v").agg(F.count(F.lit(1)).alias("c"))
-    w_all = Window.orderBy("v").rowsBetween(
-        Window.unboundedPreceding, Window.unboundedFollowing
-    )
-    cum = per_v.select(
-        "v",
-        F.sum("c")
-        .over(Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0))
-        .alias("cm"),
-        F.sum("c").over(w_all).alias("n"),
+    # near-unique distinct cents: running count via the range-
+    # partitioned two-pass (operators/rank.py), total via broadcast
+    tot = per_v.agg(F.sum("c").cast("long").alias("n"))
+    cum = (
+        global_cumsum(
+            per_v.withColumn("cm", F.col("c")), [("v", True)], ["cm"]
+        )
+        .select("v", "cm")
+        .crossJoin(F.broadcast(tot))
     )
     thr = cum.filter(
         F.expr("cm >= CAST(ceil(n * 0.95) AS BIGINT)")
@@ -8540,17 +8566,26 @@ def events_pairwise_ks_matrix(
         F.sum("in_a").alias("ca"),
         F.sum(F.lit(1) - F.col("in_a")).alias("cb"),
     )
-    wp = Window.partitionBy("ga", "gb")
-    w_cum = wp.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
-    w_all = wp.rowsBetween(
-        Window.unboundedPreceding, Window.unboundedFollowing
+    from time_series_spark_spark.operators.rank import grouped_cumsum
+
+    # per-pair running counts via the grouped two-pass
+    # (operators/rank.py) — a plain PARTITION BY (ga, gb) window is
+    # k(k-1)/2 tasks each holding a corpus-scale distinct-value slice;
+    # per-pair totals ride a bounded broadcast join
+    tot = per_v.groupBy("ga", "gb").agg(
+        F.sum("ca").alias("na"), F.sum("cb").alias("nb")
     )
-    cum = per_v.select(
-        "ga", "gb",
-        F.sum("ca").over(w_cum).alias("fa"),
-        F.sum("cb").over(w_cum).alias("fb"),
-        F.sum("ca").over(w_all).alias("na"),
-        F.sum("cb").over(w_all).alias("nb"),
+    cum = (
+        grouped_cumsum(
+            per_v.withColumn("fa", F.col("ca")).withColumn(
+                "fb", F.col("cb")
+            ),
+            ["ga", "gb"],
+            [("v", True)],
+            ["fa", "fb"],
+        )
+        .select("ga", "gb", "fa", "fb")
+        .join(F.broadcast(tot), ["ga", "gb"])
     )
     return (
         cum.groupBy("ga", "gb")
