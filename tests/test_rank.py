@@ -227,3 +227,40 @@ def test_grouped_cumsum_matches_partitioned_window(spark):
     )
     want = df.withColumn("w", F.sum("w").over(w)).orderBy("k").collect()
     assert [(r["k"], r["w"]) for r in got] == [(r["k"], r["w"]) for r in want]
+
+
+def test_rank_chain_deterministic_over_shuffled_input(spark):
+    """Regression (round-7 RFM bug class): chaining rank constructions
+    over a groupBy output (nondeterministic physical row order) must be
+    deterministic. The old placement-based bucket ids (range exchange +
+    spark_partition_id) disagreed between the local and offsets plan
+    branches whenever exchange reuse failed; value-derived frozen
+    boundaries cannot disagree with themselves."""
+    from time_series_spark_spark.operators.rank import (
+        global_rank,
+        ntile_expr,
+    )
+
+    base = (
+        spark.range(3000)
+        .select((F.col("id") % 997).alias("k"), F.col("id").alias("x"))
+        .groupBy("k")
+        .agg(F.sum("x").alias("a"), F.count(F.lit(1)).alias("b"))
+    )
+
+    def score(df, order, out):
+        r = global_rank(df, order, "__r", total_col="__n",
+                        num_partitions=7)
+        return r.withColumn(
+            out, ntile_expr(F.col("__r"), F.col("__n"), 5)
+        ).drop("__r", "__n")
+
+    def run():
+        s = score(base, [("a", False), ("k", True)], "qa")
+        s = score(s, [("b", True), ("k", True)], "qb")
+        return sorted(
+            (r["k"], r["qa"], r["qb"]) for r in s.collect()
+        )
+
+    first = run()
+    assert first == run() == run()
