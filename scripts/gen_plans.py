@@ -78,6 +78,15 @@ ANNOTATED = {
     "vertex-partitioned hash join + min reduce, in ONE declarative "
     "plan — no driver-side convergence scalar, so AQE plans the whole "
     "expansion.",
+    "customers_rfm_segments": "round-7 rewrite: each quintile score is "
+    "the operators/rank.py two-pass — hash exchange on the frozen "
+    "value-bucket id (NO Exchange SinglePartition over raw rows), "
+    "per-bucket window, broadcast of the bounded offset frame; the "
+    "only single-partition exchanges left sit above aggregates.",
+    "orders_price_decile_bins": "round-7 rewrite: the global decile "
+    "rank is bucket-local row_number + broadcast offsets; the scan is "
+    "2 columns, the wide exchange carries (cents, bucket) only, and "
+    "binning is exact BIGINT div in codegen.",
 }
 
 

@@ -49,6 +49,15 @@ Integer validity: rank/offset arithmetic stays in BIGINT; the floor-
 division helper is exact for magnitudes < 2^53 (division of two exact
 longs through a double) — i.e. up to ~9e15 rows, documented per the
 BIGINT-bounds policy in queries_quant.py.
+
+Cost model: the bucket-id expression is O(#buckets) comparisons per
+row (a codegen higher-order filter over the literal boundary array).
+With #buckets = spark.sql.shuffle.partitions (default here) that is
+dozens-to-thousands of long-compares per row — noise next to the hash
+shuffle the construction replaces a global sort with. If a deployment
+pushes shuffle partitions into the tens of thousands, pass an explicit
+smaller ``num_partitions`` (bucket count only bounds per-task memory,
+it does not need to match the shuffle width).
 """
 
 from __future__ import annotations
