@@ -264,3 +264,59 @@ def test_rank_chain_deterministic_over_shuffled_input(spark):
 
     first = run()
     assert first == run() == run()
+
+
+def test_global_rank_timestamp_and_date_leading_keys(spark):
+    """TIMESTAMP/DATE leading keys bucket through their order-preserving
+    integer encodings — no surrogate numeric column needed."""
+    from time_series_spark_spark.operators.rank import (
+        global_cummax,
+        global_rank,
+    )
+
+    df = spark.range(300).select(
+        F.col("id").alias("k"),
+        # unique ts (prefix-max over a ROWS frame is ambiguous on ties)
+        F.timestamp_micros(
+            (F.hash("id") % 100000).cast("long") * 1000000
+            + F.col("id") + 1577836800000000
+        ).alias("ts"),
+        (F.hash(F.col("id") + 9) % 50).cast("long").alias("w"),
+    ).withColumn("d", F.to_date("ts"))
+    got = (
+        global_rank(df, [("ts", True), ("k", True)], "rnk",
+                    num_partitions=6)
+        .orderBy("k")
+        .collect()
+    )
+    want = (
+        df.withColumn("rnk", F.row_number().over(Window.orderBy("ts", "k")))
+        .orderBy("k")
+        .collect()
+    )
+    assert [(r["k"], r["rnk"]) for r in got] == [
+        (r["k"], r["rnk"]) for r in want
+    ]
+    got_d = (
+        global_rank(df, [("d", True), ("k", True)], "rnk",
+                    num_partitions=6)
+        .orderBy("k")
+        .collect()
+    )
+    want_d = (
+        df.withColumn("rnk", F.row_number().over(Window.orderBy("d", "k")))
+        .orderBy("k")
+        .collect()
+    )
+    assert [(r["k"], r["rnk"]) for r in got_d] == [
+        (r["k"], r["rnk"]) for r in want_d
+    ]
+    # cummax over a timestamp order (the watermark-audit shape)
+    got_m = (
+        global_cummax(df, [("ts", True)], ["w"], num_partitions=6)
+        .orderBy("ts", "k")
+        .collect()
+    )
+    w = Window.orderBy("ts").rowsBetween(Window.unboundedPreceding, 0)
+    want_m = df.withColumn("w", F.max("w").over(w)).orderBy("ts", "k").collect()
+    assert [r["w"] for r in got_m] == [r["w"] for r in want_m]

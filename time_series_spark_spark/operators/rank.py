@@ -97,12 +97,27 @@ def _bucketed(
 ) -> DataFrame:
     """Attach the deterministic monotone bucket id ``_PID`` (see module
     doc). One bounded ``percentile_approx`` collect freezes the
-    boundaries; the id itself is a whole-stage-codegen expression."""
+    boundaries; the id itself is a whole-stage-codegen expression.
+
+    The leading key may be any numeric type, or TIMESTAMP/DATE — the
+    temporal types are bucketed through their order-preserving integer
+    encodings (``unix_micros`` / days-since-epoch), so time-ordered
+    constructions (arrival-order running max, event-time rank) need no
+    surrogate numeric column."""
     spark = df.sparkSession
     n_part = num_partitions or int(
         spark.conf.get("spark.sql.shuffle.partitions", "200")
     )
-    col, asc = keys[0]
+    raw, asc = keys[0]
+    dtype = dict(df.dtypes).get(raw, "")
+    if dtype.startswith("timestamp"):
+        key_expr = F.unix_micros(F.col(raw).cast("timestamp"))
+    elif dtype == "date":
+        key_expr = F.datediff(F.col(raw), F.lit("1970-01-01").cast("date"))
+    else:
+        key_expr = F.col(raw)
+    col = "__bucket_key"
+    df = df.withColumn(col, key_expr)
     bounds: list = []
     if n_part > 1:
         qs = [i / n_part for i in range(1, n_part)]
@@ -130,7 +145,7 @@ def _bucketed(
         pid = F.when(F.col(col).isNull(), F.lit(len(bounds))).otherwise(
             F.size(F.filter(arr, lambda b: F.col(col) < b))
         )
-    return df.withColumn(_PID, pid.cast("int"))
+    return df.withColumn(_PID, pid.cast("int")).drop(col)
 
 
 def global_rank(
