@@ -1297,3 +1297,51 @@ def test_versioned_sink_crash_atomicity_redelivery_and_time_travel(
     assert {
         (r["id"], r["v"]) for r in read_versioned(spark, table).collect()
     } == latest
+
+
+def test_compact_versioned_publishes_new_version_time_travel_intact(
+    spark, tmp_path
+):
+    """A17 on A13: compaction rewrites the latest snapshot into fewer
+    files as the NEXT version — same rows, old versions still readable,
+    and a subsequent streaming append carries the COMPACTED file list
+    forward."""
+    import pandas as pd
+
+    from time_series_spark_spark.sources.io import (
+        compact_versioned,
+        read_versioned,
+        write_versioned,
+    )
+    from time_series_spark_spark.streaming.jobs import (
+        stream_to_versioned_table,
+    )
+
+    table = str(tmp_path / "table")
+    df = spark.range(2000).select(
+        F.col("id"), (F.col("id") % 7).alias("g")
+    )
+    assert write_versioned(df.repartition(16), table) == 0
+
+    stats = compact_versioned(spark, table, target_file_bytes=1 << 30)
+    assert stats["version"] == 1
+    assert stats["n_files_before"] == 16 and stats["n_files_after"] == 1
+    latest = read_versioned(spark, table)
+    assert latest.count() == 2000
+    assert latest.agg(F.sum("id")).first()[0] == 2000 * 1999 // 2
+    # time travel: the pre-compaction version is untouched
+    assert read_versioned(spark, table, as_of=0).count() == 2000
+
+    # streaming append on top of the compacted snapshot
+    src = tmp_path / "src"
+    src.mkdir()
+    pd.DataFrame({"id": [9001, 9002], "g": [1, 2]}).to_parquet(
+        src / "a.parquet"
+    )
+    sdf = spark.readStream.schema("id long, g long").parquet(str(src))
+    got = stream_to_versioned_table(
+        sdf, table, checkpoint_dir=str(tmp_path / "ck")
+    )
+    assert got == [2]
+    assert read_versioned(spark, table).count() == 2002
+    assert read_versioned(spark, table, as_of=1).count() == 2000

@@ -503,3 +503,56 @@ def orders_version_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         shutil.rmtree(path, ignore_errors=True)
     return spark.createDataFrame(rows, out.schema)
+
+
+@register(
+    "orders_versioned_compaction_roundtrip",
+    """
+    SELECT o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(1 AS BIGINT) AS compacted_version
+    FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+    doc="A17 ∘ A13 OPTIMIZE on the versioned table: orders committed as "
+    "a deliberately fragmented version 0 (16 files), compacted by "
+    "sources/io.compact_versioned into version 1 via the same atomic "
+    "manifest publish every write uses — readers resolve either a "
+    "complete old layout or a complete new one, never a mix, and the "
+    "pre-compaction version stays time-travel readable. The result "
+    "reads the COMPACTED snapshot back and aggregates it, so the "
+    "oracle (plain per-priority counts + the deterministic version "
+    "number) proves the rewrite is row-lossless. File-count and "
+    "stream-append composition laws are pinned in "
+    "tests/test_streaming.py. Temp table removed before returning.",
+)
+def orders_versioned_compaction_roundtrip(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from time_series_spark_spark.sources.io import (
+        compact_versioned,
+        read_versioned,
+        write_versioned,
+    )
+
+    orders = load(spark, sf_dir, "orders")
+    path = tempfile.mkdtemp(prefix="versioned_compact_")
+    try:
+        write_versioned(orders.repartition(16), path)
+        stats = compact_versioned(spark, path, target_file_bytes=1 << 34)
+        out = (
+            read_versioned(spark, path)
+            .groupBy("o_orderpriority")
+            .agg(F.count(F.lit(1)).alias("n_orders"))
+            .withColumn(
+                "compacted_version",
+                F.lit(stats["version"]).cast("long"),
+            )
+            .orderBy("o_orderpriority")
+        )
+        rows = out.collect()
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
+    return spark.createDataFrame(rows, out.schema)

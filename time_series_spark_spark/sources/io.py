@@ -306,6 +306,59 @@ def read_versioned(
     return spark.read.parquet(*paths)
 
 
+def compact_versioned(
+    spark: SparkSession,
+    table_path: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+) -> dict:
+    """OPTIMIZE for the manifest-versioned table (A17 ∘ A13): rewrite the
+    LATEST snapshot into ``ceil(total_bytes / target)`` right-sized files
+    and publish the result as the NEXT version via the same atomic
+    manifest rename every write uses.
+
+    Readers never see a torn layout: until the new manifest lands they
+    resolve the old version; afterwards they resolve the compacted one —
+    and every PRIOR version stays readable (time travel is unaffected,
+    because compaction only ADDS a version whose manifest points at the
+    new files; retention, not compaction, is what eventually prunes old
+    data dirs). Streaming appends (stream_to_versioned_table) compose:
+    their next micro-batch carry-forward manifest builds on the
+    compacted snapshot's file list.
+
+    Returns {version, n_files_before, n_files_after, bytes_before}.
+    """
+    import glob as _glob
+    import json
+    import math
+    import os
+
+    versions = sorted(
+        int(p.rsplit(".", 2)[-2])
+        for p in _glob.glob(os.path.join(table_path, "_manifest.*.json"))
+    )
+    if not versions:
+        raise FileNotFoundError(f"no committed versions in {table_path}")
+    with open(
+        os.path.join(table_path, f"_manifest.{versions[-1]}.json")
+    ) as fh:
+        manifest = json.load(fh)
+    files = [os.path.join(table_path, f) for f in manifest["files"]]
+    bytes_before = sum(os.path.getsize(f) for f in files)
+    n_out = max(1, math.ceil(bytes_before / target_file_bytes))
+    df = spark.read.parquet(*files).repartition(n_out)
+    version = write_versioned(df, table_path)
+    with open(
+        os.path.join(table_path, f"_manifest.{version}.json")
+    ) as fh:
+        after = json.load(fh)
+    return {
+        "version": version,
+        "n_files_before": len(files),
+        "n_files_after": after["n_files"],
+        "bytes_before": bytes_before,
+    }
+
+
 def committed_batch_ids(table_path: str) -> set[int]:
     """Batch ids recorded by COMMITTED manifests of a versioned table —
     the redelivery ledger of the streaming sink. ``.tmp`` manifests
