@@ -320,3 +320,53 @@ def test_global_rank_timestamp_and_date_leading_keys(spark):
     w = Window.orderBy("ts").rowsBetween(Window.unboundedPreceding, 0)
     want_m = df.withColumn("w", F.max("w").over(w)).orderBy("ts", "k").collect()
     assert [r["w"] for r in got_m] == [r["w"] for r in want_m]
+
+
+def test_cumsum_null_semantics_match_window(spark):
+    """The 'bit-identical to sum().over(orderBy)' contract on a NULL-
+    bearing column (round-7 advice): a row whose prefix within its
+    bucket is all-NULL must CARRY the prior running total when any
+    earlier row contributed, and stay NULL only while NOTHING has
+    contributed yet. Planted so the first bucket(s) are entirely NULL
+    (leading rows exercise the stay-NULL branch) and later buckets
+    begin with NULL runs (exercise the carry branch)."""
+    from time_series_spark_spark.operators.rank import grouped_cumsum
+
+    n = 400
+    df = spark.range(n).select(
+        F.col("id").alias("k"),
+        F.col("id").alias("v"),
+        (F.col("id") % 2).alias("g"),
+        # NULL for the first 120 rows and for every 3rd row after —
+        # all-NULL leading buckets + NULL runs inside later buckets
+        F.when(
+            (F.col("id") >= 120) & (F.col("id") % 3 != 0), F.col("id")
+        ).alias("w"),
+    )
+    got = (
+        global_cumsum(df, [("v", True), ("k", True)], ["w"], num_partitions=8)
+        .orderBy("k")
+        .collect()
+    )
+    w = Window.orderBy("v", "k").rowsBetween(Window.unboundedPreceding, 0)
+    want = df.withColumn("w", F.sum("w").over(w)).orderBy("k").collect()
+    assert [(r["k"], r["w"]) for r in got] == [
+        (r["k"], r["w"]) for r in want
+    ]
+
+    got_g = (
+        grouped_cumsum(
+            df, ["g"], [("v", True), ("k", True)], ["w"], num_partitions=8
+        )
+        .orderBy("k")
+        .collect()
+    )
+    wg = (
+        Window.partitionBy("g")
+        .orderBy("v", "k")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    want_g = df.withColumn("w", F.sum("w").over(wg)).orderBy("k").collect()
+    assert [(r["k"], r["w"]) for r in got_g] == [
+        (r["k"], r["w"]) for r in want_g
+    ]

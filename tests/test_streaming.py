@@ -1223,8 +1223,10 @@ def test_versioned_sink_crash_atomicity_redelivery_and_time_travel(
     on disk, rename never happened — is INVISIBLE to readers (the table
     stays at the previous version, no torn read); (2) recovery
     overwrites the orphaned dir, versions stay monotone, every stream
-    version is a time-travel point; (3) at-least-once redelivery of
-    already-committed batch ids publishes nothing."""
+    version is a time-travel point; (3) at-least-once redelivery of an
+    already-committed (stream_id, batch_id) publishes nothing, while a
+    FRESH stream identity whose batch ids restart at 0 publishes
+    normally (the batch-id-alone keying bug would have dropped it)."""
     import os
 
     import pandas as pd
@@ -1281,10 +1283,33 @@ def test_versioned_sink_crash_atomicity_redelivery_and_time_travel(
         {(0, 0), (1, 10), (2, 20)},
         {(0, 0), (3, 30), (4, 40)},
     )
-    assert committed_batch_ids(table) == {0, 1}
+    sid1 = str(tmp_path / "ck1")
+    assert committed_batch_ids(table, sid1) == {0, 1}
+    # the ledger is scoped by stream identity: the base batch commit
+    # (no stream id) is invisible under sid1 and vice versa
+    assert committed_batch_ids(table) == set()
 
-    # redelivery of the same batch ids (fresh checkpoint, same source):
-    # the ledger absorbs it — nothing new published
+    # TRUE redelivery: crash between the sink commit and the checkpoint
+    # commit marker — delete commits/1 so the restart replays batch 1
+    # with the SAME (stream_id, batch_id); the ledger absorbs it.
+    os.remove(os.path.join(sid1, "commits", "1"))
+    # the local checksum fs would otherwise reject the recreated file
+    os.remove(os.path.join(sid1, "commits", ".1.crc"))
+    sdf_replay = (
+        spark.readStream.schema("id long, v long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    replay = stream_to_versioned_table(sdf_replay, table, checkpoint_dir=sid1)
+    assert replay == []
+    assert {
+        (r["id"], r["v"]) for r in read_versioned(spark, table).collect()
+    } == latest
+
+    # a FRESH checkpoint is a DIFFERENT stream identity: its batch ids
+    # restart at 0 but its micro-batches are genuinely new work — they
+    # MUST publish (keying on batch_id alone silently dropped them;
+    # this is Delta's (txnAppId, txnVersion) rule)
     sdf2 = (
         spark.readStream.schema("id long, v long")
         .option("maxFilesPerTrigger", 1)
@@ -1293,10 +1318,10 @@ def test_versioned_sink_crash_atomicity_redelivery_and_time_travel(
     again = stream_to_versioned_table(
         sdf2, table, checkpoint_dir=str(tmp_path / "ck2")
     )
-    assert again == []
-    assert {
-        (r["id"], r["v"]) for r in read_versioned(spark, table).collect()
-    } == latest
+    assert len(again) == 2
+    assert committed_batch_ids(table, str(tmp_path / "ck2")) == {0, 1}
+    # both streams' rows are present (append semantics, two producers)
+    assert read_versioned(spark, table).count() == len(latest) + 4
 
 
 def test_compact_versioned_publishes_new_version_time_travel_intact(
@@ -1345,3 +1370,77 @@ def test_compact_versioned_publishes_new_version_time_travel_intact(
     assert got == [2]
     assert read_versioned(spark, table).count() == 2002
     assert read_versioned(spark, table, as_of=1).count() == 2000
+
+
+def test_vacuum_versioned_prunes_old_versions_and_composes(
+    spark, tmp_path
+):
+    """A13 retention (VACUUM): (1) the floor is published atomically and
+    reads below it fail LOUDLY (never a partial scan); (2) files shared
+    with retained manifests survive (carry-forward reference counting);
+    (3) the latest snapshot is byte-identical before/after; (4) a
+    streaming append composes on the vacuumed table; (5) the floor is
+    monotone — a second, laxer vacuum cannot resurrect pruned versions."""
+    import os
+
+    import pandas as pd
+    import pytest as _pytest
+
+    from time_series_spark_spark.sources.io import (
+        read_versioned,
+        retention_floor,
+        vacuum_versioned,
+        write_versioned,
+    )
+    from time_series_spark_spark.streaming.jobs import (
+        stream_to_versioned_table,
+    )
+
+    table = str(tmp_path / "table")
+    # v0: ids 0..9; v1 REPLACES with 10..14; v2 APPENDS 100 (carry-forward
+    # shares v1's files, so v1's files must survive a floor at v2)
+    write_versioned(spark.range(10).select(F.col("id")), table)
+    write_versioned(spark.range(10, 15).select(F.col("id")), table)
+    write_versioned(
+        spark.range(100, 101).select(F.col("id")),
+        table,
+        carry_forward=True,
+    )
+    before = {r["id"] for r in read_versioned(spark, table).collect()}
+    assert before == set(range(10, 15)) | {100}
+
+    stats = vacuum_versioned(table, keep_last=2)
+    assert stats["floor"] == 1 and stats["versions_pruned"] == [0]
+    assert stats["n_files_deleted"] > 0
+    assert retention_floor(table) == 1
+
+    # pruned version: loud retention error, not a partial read
+    with _pytest.raises(ValueError, match="retention floor"):
+        read_versioned(spark, table, as_of=0)
+    # retained versions intact — including v1, whose files v2 shares
+    assert {
+        r["id"] for r in read_versioned(spark, table, as_of=1).collect()
+    } == set(range(10, 15))
+    assert {
+        r["id"] for r in read_versioned(spark, table).collect()
+    } == before
+
+    # streaming append composes on the vacuumed table
+    src = tmp_path / "src"
+    src.mkdir()
+    pd.DataFrame({"id": [777]}).to_parquet(src / "a.parquet")
+    sdf = spark.readStream.schema("id long").parquet(str(src))
+    got = stream_to_versioned_table(
+        sdf, table, checkpoint_dir=str(tmp_path / "ck")
+    )
+    assert got == [3]
+    assert {
+        r["id"] for r in read_versioned(spark, table).collect()
+    } == before | {777}
+
+    # monotone floor: keep_last=10 now would allow floor 0, but the
+    # published floor must never move backwards
+    stats2 = vacuum_versioned(table, keep_last=10)
+    assert stats2["floor"] == 1
+    with _pytest.raises(ValueError, match="retention floor"):
+        read_versioned(spark, table, as_of=0)

@@ -79,9 +79,13 @@ Key = tuple[str, bool]
 def _floor_div(a: Column, b: Column | int) -> Column:
     """Exact floor division for non-negative BIGINT columns.
 
-    ``(a - a % b) / b`` is an integer-valued double — exact while the
-    quotient < 2^53 (~9e15), far past any row count this engine will
-    rank."""
+    ``(a - a % b) / b`` routes through double, so exactness requires the
+    DIVIDEND ``a - a % b`` < 2^53 (~9e15) — not merely the quotient: a
+    larger dividend already rounds in the long→double conversion and can
+    land the quotient in the wrong bucket even when the quotient itself
+    is tiny. Every current caller passes ``a`` bounded by a row count or
+    an ntile index (≤ n), far inside the bound; callers with larger
+    operands must pre-check or use SQL's exact integer ``div``."""
     b = F.lit(b) if isinstance(b, int) else b
     return ((a - (a % b)) / b).cast("long")
 
@@ -264,6 +268,14 @@ def global_cumsum(
     one row per distinct key first — then ROWS ≡ RANGE and ties cannot
     straddle a bucket boundary. Sums are computed in each column's
     own type (longs stay exact longs).
+
+    NULL semantics match the window exactly (sum ignores NULLs but the
+    running total only becomes non-NULL once SOME prior value was
+    non-NULL): a row whose in-bucket prefix is all-NULL takes the prior
+    buckets' offset when any earlier bucket contributed a non-NULL
+    value, and stays NULL when none did — tracked via per-bucket
+    non-null counts, so the "replaces sum().over(orderBy)" contract
+    holds bit-for-bit on NULL-bearing columns too.
     """
     parted = _bucketed(df, order_by, num_partitions)
     w_loc = (
@@ -275,7 +287,8 @@ def global_cumsum(
     for c in cols:
         local = local.withColumn(f"__loc_{c}", F.sum(c).over(w_loc))
     totals = local.groupBy(_PID).agg(
-        *[F.sum(c).alias(f"__sum_{c}") for c in cols]
+        *[F.sum(c).alias(f"__sum_{c}") for c in cols],
+        *[F.count(c).alias(f"__nn_{c}") for c in cols],
     )
     w_prev = Window.orderBy(_PID).rowsBetween(Window.unboundedPreceding, -1)
     offsets = totals.select(
@@ -286,12 +299,22 @@ def global_cumsum(
             )
             for c in cols
         ],
+        *[
+            F.coalesce(F.sum(f"__nn_{c}").over(w_prev), F.lit(0)).alias(
+                f"__nnp_{c}"
+            )
+            for c in cols
+        ],
     )
     out = local.join(F.broadcast(offsets), _PID)
     for c in cols:
         out = out.withColumn(
-            c, F.col(f"__off_{c}") + F.col(f"__loc_{c}")
-        ).drop(f"__loc_{c}", f"__off_{c}")
+            c,
+            F.when(
+                F.col(f"__loc_{c}").isNull(),
+                F.when(F.col(f"__nnp_{c}") > 0, F.col(f"__off_{c}")),
+            ).otherwise(F.col(f"__off_{c}") + F.col(f"__loc_{c}")),
+        ).drop(f"__loc_{c}", f"__off_{c}", f"__nnp_{c}")
     return out.drop(_PID)
 
 
@@ -320,7 +343,8 @@ def grouped_cumsum(
     for c in cols:
         local = local.withColumn(f"__loc_{c}", F.sum(c).over(w_loc))
     totals = local.groupBy(*gcols, _PID).agg(
-        *[F.sum(c).alias(f"__sum_{c}") for c in cols]
+        *[F.sum(c).alias(f"__sum_{c}") for c in cols],
+        *[F.count(c).alias(f"__nn_{c}") for c in cols],
     )
     w_prev = (
         Window.partitionBy(*gcols)
@@ -336,12 +360,24 @@ def grouped_cumsum(
             )
             for c in cols
         ],
+        *[
+            F.coalesce(F.sum(f"__nn_{c}").over(w_prev), F.lit(0)).alias(
+                f"__nnp_{c}"
+            )
+            for c in cols
+        ],
     )
     out = local.join(F.broadcast(offsets), [*gcols, _PID])
     for c in cols:
+        # same NULL contract as global_cumsum: all-NULL in-group prefix
+        # → carry the prior buckets' offset only if they contributed
         out = out.withColumn(
-            c, F.col(f"__off_{c}") + F.col(f"__loc_{c}")
-        ).drop(f"__loc_{c}", f"__off_{c}")
+            c,
+            F.when(
+                F.col(f"__loc_{c}").isNull(),
+                F.when(F.col(f"__nnp_{c}") > 0, F.col(f"__off_{c}")),
+            ).otherwise(F.col(f"__off_{c}") + F.col(f"__loc_{c}")),
+        ).drop(f"__loc_{c}", f"__off_{c}", f"__nnp_{c}")
     return out.drop(_PID)
 
 

@@ -168,22 +168,43 @@ _EXTERNALLY_CONFIRMED = [
     "stream_left_outer_views", "stream_python_source_ticks",
     "stream_page_hinkley_drift", "stream_heavy_hitters_users",
     "stream_rate_limit_audit",
-]
-
-# Queries pinned to the very front of the sample window: externally-failed
-# fixes awaiting re-confirmation, plus queries whose check STRENGTH changed
-# (rows-only → oracle-backed) and should face the driver again under the
-# stronger check. Round 6 had ZERO failures; the round-7 pins are the
-# eleven deterministic stream_* replays that gained DuckDB batch-
-# equivalence oracles (queries_streaming.py, round-6 verdict item 1).
-_RECHECK_FIRST: list[str] = [
+    # round-7 driver greens (CORRECTNESS_r07.json: all 50 sampled queries
+    # rows+schema+hash matched — the first fully hash-verifiable window,
+    # including the eleven stream_* replays re-confirmed under their
+    # round-7 DuckDB batch-equivalence oracles):
     "stream_hourly_counts", "stream_sliding_counts",
     "stream_session_windows", "stream_dedup_counts",
     "stream_stateful_user_totals", "stream_static_join_enriched",
     "stream_stream_join_pairs", "stream_dedup_within_watermark",
     "stream_debounce_user_type", "stream_sprt_ab_decision",
-    "stream_state_audit",
+    "stream_state_audit", "stream_versioned_sink_roundtrip",
+    "customers_rfm_segments", "purchase_attribution_last_touch",
+    "customer_revenue_pareto", "orders_price_decile_bins",
+    "orders_lineitem_reconciliation", "purchase_attribution_time_decay",
+    "udf_value_band_row", "udf_token_count_pandas",
+    "udf_embedding_norm_iter", "udtf_doc_shingles", "events_bfill_daily",
+    "udf_vowels_arrow", "events_cents_map_in_arrow",
+    "udtf_first_tokens_dynamic", "user_value_stats_arrow",
+    "q2_min_unit_price_supplier", "q4_late_shipment_priority",
+    "q6_revenue_change", "q7_volume_shipping", "q8_national_market_share",
+    "q9_product_profit", "q11_important_parts", "q12_latency_priority",
+    "q13_order_count_distribution", "q15_top_supplier",
+    "q16_supplier_part_variety", "q17_small_quantity_revenue",
+    "q20_heavy_shippers", "q21_sole_late_supplier",
+    "q22_idle_rich_customers", "events_bitmap_daily_users",
+    "events_hist_p95_daily", "events_theta_sketch_users",
+    "orders_snapshot_diff", "orders_apply_changes", "events_scd2_user_type",
+    "purchases_pit_activity_state", "orders_lineitem_incremental_join",
 ]
+
+# Queries pinned to the very front of the sample window: externally-failed
+# fixes awaiting re-confirmation, plus queries whose check STRENGTH changed
+# (rows-only → oracle-backed) and should face the driver again under the
+# stronger check. Round 7 had ZERO failures (50/50 hash-green, including
+# the eleven stream_* replays re-confirmed under their new oracles), so no
+# round-8 pins — except queries upgraded rows-only → oracle-backed THIS
+# round, which face the driver under the stronger check for the first time.
+_RECHECK_FIRST: list[str] = []
 
 SAMPLE_WINDOW = 50  # the external gate samples this many leading entries
 

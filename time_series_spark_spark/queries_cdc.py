@@ -556,3 +556,79 @@ def orders_versioned_compaction_roundtrip(
     finally:
         shutil.rmtree(path, ignore_errors=True)
     return spark.createDataFrame(rows, out.schema)
+
+
+@register(
+    "orders_versioned_vacuum_roundtrip",
+    """
+    SELECT o_orderstatus,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(1 AS BIGINT) AS floor_version,
+           CAST(1 AS BIGINT) AS n_versions_pruned,
+           CAST(1 AS BIGINT) AS pruned_read_raises
+    FROM orders WHERE o_orderstatus IN ('F', 'O')
+    GROUP BY o_orderstatus ORDER BY o_orderstatus
+    """,
+    doc="A13 retention (VACUUM) — the third leg of versioned-table "
+    "lifecycle after write/time-travel and A17b OPTIMIZE: v0 = all "
+    "orders, v1 REPLACES with the F-status subset, v2 carry-forward "
+    "APPENDS the O-status subset (v2's manifest shares v1's files). "
+    "sources/io.vacuum_versioned(keep_last=2) publishes retention "
+    "floor 1 ATOMICALLY before deleting, prunes exactly v0's files "
+    "(v1's survive via reference counting over retained manifests), "
+    "and read_versioned(as_of=0) then fails LOUDLY with a retention "
+    "error instead of a partial scan. The oracle pins the surviving "
+    "snapshot (F+O counts) plus the deterministic floor / pruned-"
+    "version / raised flags — proving vacuum is invisible to live "
+    "readers and fatal to pruned ones. Crash-safety ordering, shared-"
+    "file survival, and streaming-append composition are pinned in "
+    "tests/test_streaming.py. Temp table removed before returning.",
+)
+def orders_versioned_vacuum_roundtrip(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from time_series_spark_spark.sources.io import (
+        read_versioned,
+        vacuum_versioned,
+        write_versioned,
+    )
+
+    orders = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    path = tempfile.mkdtemp(prefix="versioned_vacuum_")
+    try:
+        write_versioned(orders, path)
+        write_versioned(orders.filter(F.col("o_orderstatus") == "F"), path)
+        write_versioned(
+            orders.filter(F.col("o_orderstatus") == "O"),
+            path,
+            carry_forward=True,
+        )
+        stats = vacuum_versioned(path, keep_last=2)
+        try:
+            read_versioned(spark, path, as_of=0)
+            raised = 0
+        except ValueError:
+            raised = 1
+        out = (
+            read_versioned(spark, path)
+            .groupBy("o_orderstatus")
+            .agg(F.count(F.lit(1)).alias("n_orders"))
+            .withColumn(
+                "floor_version", F.lit(stats["floor"]).cast("long")
+            )
+            .withColumn(
+                "n_versions_pruned",
+                F.lit(len(stats["versions_pruned"])).cast("long"),
+            )
+            .withColumn("pruned_read_raises", F.lit(raised).cast("long"))
+            .orderBy("o_orderstatus")
+        )
+        rows = out.collect()
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
+    return spark.createDataFrame(rows, out.schema)

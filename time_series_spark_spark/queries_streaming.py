@@ -795,6 +795,7 @@ def stream_rate_limit_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 def stream_versioned_sink_roundtrip(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
+    import shutil
     import tempfile
 
     from time_series_spark_spark.sources.io import read_versioned
@@ -803,12 +804,32 @@ def stream_versioned_sink_roundtrip(
     )
 
     table_path = tempfile.mkdtemp(prefix="tss_versioned_sink_")
-    sdf = read_events_stream(spark, sf_dir)
-    versions = stream_to_versioned_table(
-        sdf, table_path, checkpoint_dir=tempfile.mkdtemp(prefix="tss_ck_")
-    )
-    back = read_versioned(spark, table_path)
-    return back.groupBy("event_type").agg(
-        F.count(F.lit(1)).alias("n_rows"),
-        F.lit(max(versions)).cast("long").alias("version"),
-    )
+    ck_path = tempfile.mkdtemp(prefix="tss_ck_")
+    try:
+        sdf = read_events_stream(spark, sf_dir)
+        versions = stream_to_versioned_table(
+            sdf, table_path, checkpoint_dir=ck_path
+        )
+        # a fresh table + fresh checkpoint always commits >= 1 version;
+        # an empty `versions` here would mean every batch was absorbed
+        # as redelivery, which on a brand-new table is a ledger bug —
+        # surface it instead of max()-crashing on an empty list
+        if not versions:
+            raise RuntimeError(
+                "stream_to_versioned_table committed nothing on a fresh "
+                f"table ({table_path}): every micro-batch was skipped as "
+                "redelivery — (stream_id, batch_id) ledger is broken"
+            )
+        out = (
+            read_versioned(spark, table_path)
+            .groupBy("event_type")
+            .agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.lit(max(versions)).cast("long").alias("version"),
+            )
+        )
+        rows = out.collect()
+    finally:
+        shutil.rmtree(table_path, ignore_errors=True)
+        shutil.rmtree(ck_path, ignore_errors=True)
+    return spark.createDataFrame(rows, out.schema)

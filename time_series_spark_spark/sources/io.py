@@ -215,6 +215,7 @@ def write_versioned(
     table_path: str,
     batch_id: int | None = None,
     carry_forward: bool = False,
+    stream_id: str | None = None,
 ) -> int:
     """Commit ``df`` as the next version of a manifest-versioned table —
     the table-format core (what Delta/Iceberg do) in ~30 lines, format
@@ -232,11 +233,17 @@ def write_versioned(
     (manifest N collision = concurrent writers; a real deployment adds a
     lock service or conditional put, exactly as the table formats do).
 
-    ``batch_id`` (optional) is recorded in the manifest — the streaming
-    sink (streaming/jobs.py::stream_to_versioned_table) uses it to make
-    foreachBatch redelivery idempotent: a batch whose id is already
-    committed is skipped, so at-least-once delivery never publishes the
-    same micro-batch as two versions.
+    ``batch_id`` + ``stream_id`` (optional) are recorded in the manifest
+    — the streaming sink (streaming/jobs.py::stream_to_versioned_table)
+    uses the PAIR to make foreachBatch redelivery idempotent: a batch
+    whose (stream_id, batch_id) is already committed is skipped, so
+    at-least-once delivery never publishes the same micro-batch as two
+    versions. The pair — not batch_id alone — is the key because
+    foreachBatch batch ids restart at 0 for every fresh checkpoint:
+    keying on batch_id alone would silently DROP the first batches of a
+    restarted-after-checkpoint-loss stream (or of a second stream
+    writing the same table) as phantom "redeliveries". This mirrors how
+    Delta keys idempotent writes by (txnAppId, txnVersion).
 
     ``carry_forward=True`` gives APPEND snapshot semantics: the new
     manifest lists the previous committed version's files PLUS this
@@ -272,6 +279,7 @@ def write_versioned(
         "schema": df.schema.json(),
         "n_files": len(files),
         "batch_id": batch_id,
+        "stream_id": stream_id,
     }
     tmp = os.path.join(table_path, f"_manifest.{version}.json.tmp")
     final = os.path.join(table_path, f"_manifest.{version}.json")
@@ -300,9 +308,23 @@ def read_versioned(
     pick = versions[-1] if as_of is None else as_of
     if pick not in versions:
         raise ValueError(f"version {pick} not committed (have {versions})")
+    floor = retention_floor(table_path)
+    if pick < floor:
+        # The manifest still exists (it is the redelivery ledger) but its
+        # data files may be vacuumed — fail LOUDLY rather than return a
+        # partial/missing-file scan.
+        raise ValueError(
+            f"version {pick} is below the retention floor {floor} of "
+            f"{table_path}: its data files were pruned by "
+            "vacuum_versioned; time travel is only valid for versions "
+            f">= {floor}"
+        )
     with open(os.path.join(table_path, f"_manifest.{pick}.json")) as fh:
         manifest = json.load(fh)
     paths = [os.path.join(table_path, f) for f in manifest["files"]]
+    if not paths:
+        schema = T.StructType.fromJson(json.loads(manifest["schema"]))
+        return spark.createDataFrame([], schema)
     return spark.read.parquet(*paths)
 
 
@@ -343,6 +365,17 @@ def compact_versioned(
     ) as fh:
         manifest = json.load(fh)
     files = [os.path.join(table_path, f) for f in manifest["files"]]
+    if not files:
+        # An empty snapshot (empty df committed) has nothing to rewrite;
+        # spark.read.parquet() with zero paths would die with an opaque
+        # "can not infer schema" — short-circuit with honest stats and
+        # no new version.
+        return {
+            "version": versions[-1],
+            "n_files_before": 0,
+            "n_files_after": 0,
+            "bytes_before": 0,
+        }
     bytes_before = sum(os.path.getsize(f) for f in files)
     n_out = max(1, math.ceil(bytes_before / target_file_bytes))
     df = spark.read.parquet(*files).repartition(n_out)
@@ -359,11 +392,21 @@ def compact_versioned(
     }
 
 
-def committed_batch_ids(table_path: str) -> set[int]:
+def committed_batch_ids(
+    table_path: str, stream_id: str | None = None
+) -> set[int]:
     """Batch ids recorded by COMMITTED manifests of a versioned table —
-    the redelivery ledger of the streaming sink. ``.tmp`` manifests
-    (crashed writers) are invisible, exactly like data files without a
-    manifest."""
+    the redelivery ledger of the streaming sink, scoped to one stream
+    identity. ``.tmp`` manifests (crashed writers) are invisible,
+    exactly like data files without a manifest.
+
+    ``stream_id`` scopes the ledger: only manifests committed under the
+    SAME identity count, so two streams writing one table (or a stream
+    restarted on a fresh checkpoint, whose batch ids restart at 0) never
+    mistake each other's batch ids for redeliveries. ``None`` matches
+    only manifests committed without a stream id (legacy/batch writes).
+    Manifests survive vacuum_versioned (only data files are pruned), so
+    the ledger keeps absorbing arbitrarily late redeliveries."""
     import glob as _glob
     import json
     import os
@@ -371,10 +414,109 @@ def committed_batch_ids(table_path: str) -> set[int]:
     out: set[int] = set()
     for p in _glob.glob(os.path.join(table_path, "_manifest.*.json")):
         with open(p) as fh:
-            b = json.load(fh).get("batch_id")
-        if b is not None:
-            out.add(int(b))
+            m = json.load(fh)
+        if m.get("batch_id") is not None and m.get("stream_id") == stream_id:
+            out.add(int(m["batch_id"]))
     return out
+
+
+def retention_floor(table_path: str) -> int:
+    """The oldest version whose data files are guaranteed present (0 when
+    vacuum has never run). Published atomically by vacuum_versioned."""
+    import json
+    import os
+
+    p = os.path.join(table_path, "_retention.json")
+    if not os.path.exists(p):
+        return 0
+    with open(p) as fh:
+        return int(json.load(fh)["floor"])
+
+
+def vacuum_versioned(table_path: str, keep_last: int = 2) -> dict:
+    """Retention for the manifest-versioned table — the third leg of
+    A13 (time travel) + A17b (OPTIMIZE): physically delete data files
+    referenced ONLY by versions older than the last ``keep_last``
+    committed snapshots, exactly what Delta's VACUUM / Iceberg's
+    expire_snapshots do.
+
+    Safety order matters and mirrors the table formats:
+
+    1. The new retention floor is published FIRST via the same
+       POSIX-atomic tmp-then-rename every commit uses
+       (``_retention.json``) — from that instant,
+       ``read_versioned(as_of < floor)`` fails loudly with a
+       retention error instead of ever returning a partial scan, even
+       if the process dies before a single file is deleted.
+    2. Only then are files deleted — and only files NOT referenced by
+       any retained manifest (compaction carry-forward means one file
+       can appear in many manifests; reference counting is over the
+       retained set, never per-version).
+    3. Manifests themselves are KEPT: they are the streaming sink's
+       (stream_id, batch_id) redelivery ledger and let pruned-version
+       reads raise "pruned" rather than "never committed".
+
+    The floor is monotone (max of old and new) so concurrent/older
+    vacuum invocations can never resurrect readability of pruned data.
+    Streaming appends compose: carry-forward builds on the LATEST
+    manifest, whose files are always retained.
+
+    Returns {floor, n_files_deleted, bytes_deleted, versions_pruned}.
+    """
+    import glob as _glob
+    import json
+    import os
+
+    versions = sorted(
+        int(p.rsplit(".", 2)[-2])
+        for p in _glob.glob(os.path.join(table_path, "_manifest.*.json"))
+    )
+    if not versions:
+        raise FileNotFoundError(f"no committed versions in {table_path}")
+    keep_last = max(1, keep_last)
+    new_floor = versions[-keep_last] if len(versions) >= keep_last else versions[0]
+    floor = max(retention_floor(table_path), new_floor)
+
+    def _files_of(v: int) -> set[str]:
+        with open(os.path.join(table_path, f"_manifest.{v}.json")) as fh:
+            return set(json.load(fh)["files"])
+
+    retained: set[str] = set()
+    for v in versions:
+        if v >= floor:
+            retained |= _files_of(v)
+    doomed: set[str] = set()
+    pruned_versions = [v for v in versions if v < floor]
+    for v in pruned_versions:
+        doomed |= _files_of(v) - retained
+
+    # (1) publish the floor atomically BEFORE any delete
+    tmp = os.path.join(table_path, "_retention.json.tmp")
+    final = os.path.join(table_path, "_retention.json")
+    with open(tmp, "w") as fh:
+        json.dump({"floor": floor, "keep_last": keep_last}, fh)
+    os.rename(tmp, final)
+
+    # (2) delete unreferenced data files, then any emptied v=N dirs
+    bytes_deleted = 0
+    for rel in sorted(doomed):
+        p = os.path.join(table_path, rel)
+        if os.path.exists(p):
+            bytes_deleted += os.path.getsize(p)
+            os.remove(p)
+    for d in _glob.glob(os.path.join(table_path, "v=*")):
+        if os.path.isdir(d) and not any(
+            f.endswith(".parquet") for f in os.listdir(d)
+        ):
+            import shutil
+
+            shutil.rmtree(d, ignore_errors=True)
+    return {
+        "floor": floor,
+        "n_files_deleted": len(doomed),
+        "bytes_deleted": bytes_deleted,
+        "versions_pruned": pruned_versions,
+    }
 
 
 def compact_parquet(

@@ -1129,20 +1129,38 @@ def stream_to_versioned_table(
     redelivery). Each stream version is also a time-travel point:
     ``read_versioned(spark, table_path, as_of=v)`` reconstructs the
     table exactly as of that micro-batch.
+
+    Idempotency is keyed by the (stream_id, batch_id) PAIR — Delta's
+    (txnAppId, txnVersion) pattern — where the stream identity is the
+    checkpoint directory (the thing whose continuity makes batch ids
+    comparable across restarts). batch_id alone would be wrong: ids
+    restart at 0 on any fresh checkpoint, so a stream restarted after
+    checkpoint loss — or a second stream targeting the same table —
+    would have its genuinely NEW batches silently skipped as
+    "redeliveries". Without a checkpoint dir there is no redelivery to
+    absorb (nothing persists to replay from), so each run gets a fresh
+    UUID identity and never collides with prior runs' ledger entries.
     """
+    import uuid
+
     from time_series_spark_spark.sources.io import (
         committed_batch_ids,
         write_versioned,
     )
 
+    stream_id = checkpoint_dir or f"ephemeral-{uuid.uuid4()}"
     committed: list[int] = []
 
     def commit(batch_df: DataFrame, batch_id: int) -> None:
-        if batch_id in committed_batch_ids(table_path):
+        if batch_id in committed_batch_ids(table_path, stream_id):
             return  # redelivered micro-batch: already a committed version
         committed.append(
             write_versioned(
-                batch_df, table_path, batch_id, carry_forward=True
+                batch_df,
+                table_path,
+                batch_id,
+                carry_forward=True,
+                stream_id=stream_id,
             )
         )
 
