@@ -1444,3 +1444,77 @@ def test_vacuum_versioned_prunes_old_versions_and_composes(
     assert stats2["floor"] == 1
     with _pytest.raises(ValueError, match="retention floor"):
         read_versioned(spark, table, as_of=0)
+
+
+def test_tick_stream_values_oracle_rederived_in_numpy():
+    """The VALUES oracle of stream_python_source_ticks is NOT circular:
+    re-derive every bucket from the generator SPEC (per-row PCG64 seeded
+    seed*999_983+i, fixed epoch, 60 s step) in plain numpy and parse the
+    oracle's literals back out of the registered SQL — they must agree
+    row for row."""
+    import datetime
+    import re
+    from collections import defaultdict
+
+    import numpy as np
+
+    from time_series_spark_spark.queries import REGISTRY
+
+    epoch_us = 1_700_000_000_000_000
+    buckets: dict[int, list[float]] = defaultdict(list)
+    for i in range(200):
+        rng = np.random.default_rng(7 * 999_983 + i)
+        ts_us = epoch_us + i * 60_000_000
+        buckets[(ts_us // 600_000_000) * 600_000_000].append(
+            round(float(10.0 + rng.normal(0.0, 1.0)), 6)
+        )
+    expect = [
+        (
+            str(
+                datetime.datetime.fromtimestamp(
+                    k / 1e6, tz=datetime.timezone.utc
+                ).replace(tzinfo=None)
+            ),
+            len(v),
+            round(float(np.mean(v)), 4),
+        )
+        for k, v in sorted(buckets.items())
+    ]
+    sql = REGISTRY["stream_python_source_ticks"].oracle
+    got = [
+        (ts, int(n), float(m))
+        for ts, n, m in re.findall(
+            r"TIMESTAMP '([^']+)', (\d+), ([\d.]+)\)", sql
+        )
+    ]
+    assert got == expect
+
+
+def test_series_source_values_oracle_rederived_in_numpy():
+    """Same non-circularity check for synthetic_source_series_stats: the
+    per-series means in the VALUES oracle re-derived from the generator
+    spec (PCG64 seeded seed*100_003+sid, 10+sid+3sin(2πt/24)+N(0,0.5),
+    values rounded to 6 dp at emission)."""
+    import re
+
+    import numpy as np
+
+    from time_series_spark_spark.queries import REGISTRY
+
+    expect = []
+    for sid in range(8):
+        rng = np.random.default_rng(7 * 100_003 + sid)
+        vals = (
+            10.0
+            + sid
+            + 3.0 * np.sin(2 * np.pi * np.arange(96) / 24.0)
+            + rng.normal(0.0, 0.5, 96)
+        )
+        vals6 = [round(float(x), 6) for x in vals]
+        expect.append((sid, round(float(np.mean(vals6)), 4)))
+    sql = REGISTRY["synthetic_source_series_stats"].oracle
+    got = [
+        (int(s), float(m))
+        for s, m in re.findall(r"\((\d), ([\d.]+)\)", sql)
+    ]
+    assert got == expect

@@ -382,8 +382,40 @@ def stream_left_outer_views(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "stream_python_source_ticks",
-    None,  # custom streaming source → rows-only; offset/replay laws
-    # pinned in tests/test_streaming.py
+    # The tick generator is fully deterministic (per-row PCG64 seeded by
+    # seed*999_983+i, fixed epoch, 60 s step, 200 rows), so the expected
+    # 10-minute buckets are a CLOSED FORM — pinned here as a VALUES
+    # oracle, independently re-derived in plain numpy (not via Spark) in
+    # tests/test_streaming.py. Offset/replay laws remain pinned there too.
+    """
+    SELECT bucket,
+           CAST(n_ticks AS BIGINT) AS n_ticks,
+           CAST(mean_value AS DOUBLE) AS mean_value
+    FROM (VALUES
+        (TIMESTAMP '2023-11-14 22:10:00', 7, 9.7045),
+        (TIMESTAMP '2023-11-14 22:20:00', 10, 10.1259),
+        (TIMESTAMP '2023-11-14 22:30:00', 10, 9.9916),
+        (TIMESTAMP '2023-11-14 22:40:00', 10, 10.1346),
+        (TIMESTAMP '2023-11-14 22:50:00', 10, 9.431),
+        (TIMESTAMP '2023-11-14 23:00:00', 10, 9.5159),
+        (TIMESTAMP '2023-11-14 23:10:00', 10, 9.1283),
+        (TIMESTAMP '2023-11-14 23:20:00', 10, 10.1769),
+        (TIMESTAMP '2023-11-14 23:30:00', 10, 9.8137),
+        (TIMESTAMP '2023-11-14 23:40:00', 10, 10.1228),
+        (TIMESTAMP '2023-11-14 23:50:00', 10, 9.4585),
+        (TIMESTAMP '2023-11-15 00:00:00', 10, 10.2433),
+        (TIMESTAMP '2023-11-15 00:10:00', 10, 10.146),
+        (TIMESTAMP '2023-11-15 00:20:00', 10, 10.2214),
+        (TIMESTAMP '2023-11-15 00:30:00', 10, 10.0416),
+        (TIMESTAMP '2023-11-15 00:40:00', 10, 9.9121),
+        (TIMESTAMP '2023-11-15 00:50:00', 10, 9.8432),
+        (TIMESTAMP '2023-11-15 01:00:00', 10, 9.8921),
+        (TIMESTAMP '2023-11-15 01:10:00', 10, 10.1144),
+        (TIMESTAMP '2023-11-15 01:20:00', 10, 9.5427),
+        (TIMESTAMP '2023-11-15 01:30:00', 3, 9.8657)
+    ) AS t(bucket, n_ticks, mean_value)
+    ORDER BY bucket
+    """,
     doc="A12 streaming Python DataSource (SimpleDataSourceStreamReader): "
     "an offset-tracked synthetic tick stream — read() advances a plain "
     "dict offset per micro-batch, readBetweenOffsets() replays a "

@@ -430,8 +430,30 @@ def ml_aft_session_lifetime(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "synthetic_source_series_stats",
-    None,  # custom Python DataSource → rows-only; determinism +
-    # pushdown-pruning laws pinned in tests/test_udfs.py
+    # The series generator is fully deterministic (per-series PCG64
+    # seeded by seed*100_003+sid, fixed epoch, 1 h step, 96 points), so
+    # the expected per-series stats are a CLOSED FORM — pinned here as a
+    # VALUES oracle, independently re-derived in plain numpy (not via
+    # Spark) in tests/test_udfs.py. Pushdown-pruning laws remain pinned
+    # there too.
+    """
+    SELECT CAST(series_id AS BIGINT) AS series_id,
+           CAST(96 AS BIGINT) AS n_points,
+           CAST(mean_value AS DOUBLE) AS mean_value,
+           TIMESTAMP '2023-11-14 22:13:20' AS first_ts,
+           TIMESTAMP '2023-11-18 21:13:20' AS last_ts
+    FROM (VALUES
+        (0, 10.0507),
+        (1, 10.927),
+        (2, 12.0846),
+        (3, 13.026),
+        (4, 14.0988),
+        (5, 14.9659),
+        (6, 16.077),
+        (7, 17.0091)
+    ) AS t(series_id, mean_value)
+    ORDER BY series_id
+    """,
     doc="A11 custom Python DataSource (Spark 4 pyspark.sql.datasource): "
     "a deterministic synthetic-series generator source with REAL "
     "partition planning (one InputPartition per series shard) and "
