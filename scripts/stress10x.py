@@ -1,11 +1,18 @@
-"""Build a 10x stress corpus from sf0.1 and time the expensive queries.
+"""Build an Nx stress corpus from sf0.1 and time the expensive queries.
 
 Usage:
-    python scripts/stress10x.py build     # writes /tmp/stress10x/*.parquet
-    python scripts/stress10x.py run q21_suppliers_who_kept_waiting ...
+    python scripts/stress10x.py build [N]       # /tmp/stress{N}x/*.parquet
+    python scripts/stress10x.py run [N] q21 ... # ratio vs sf0.1 at Nx
+
+N defaults to 10 (the round-6 protocol); round 9 adds N=100 so the
+"would the plan survive 100x?" grade rests on a MEASURED order of
+magnitude, not extrapolation (round-7 verdict item 3). lineitem at
+100x is 60M rows / ~1 GB parquet -- small enough to build in minutes,
+big enough that a super-linear plan (all-pairs candidate blowup,
+driver-side collect, single-task window) shows up unmistakably.
 
 Scaling model (the round-1 protocol, now checked in): facts are
-replicated 10x with consistently shifted keys, dims stay 1x --
+replicated Nx with consistently shifted keys, dims stay 1x --
 the realistic shape where data grows but the schema doesn't.
 
 - documents: doc_id shifted per replica; replicas r>0 get a distinct
@@ -30,10 +37,13 @@ import sys
 import time
 from pathlib import Path
 
-OUT = Path("/tmp/stress10x")
 SRC = Path("/root/testdata/sf0.1")
 SHIFT = 10_000_000
-REPLICAS = 10
+REPLICAS = 10  # overridden by the optional [N] CLI arg
+
+
+def out_dir() -> Path:
+    return Path(f"/tmp/stress{REPLICAS}x")
 
 
 def build() -> None:
@@ -43,6 +53,7 @@ def build() -> None:
     import pyarrow as pa
     import pyarrow.parquet as pq
 
+    OUT = out_dir()
     OUT.mkdir(parents=True, exist_ok=True)
     con = duckdb.connect()
 
@@ -52,11 +63,11 @@ def build() -> None:
         ]
         q = " UNION ALL ".join(parts)
         con.execute(
-            f"COPY ({q}) TO '{OUT / f'{table}.parquet'}' (FORMAT PARQUET)"
+            f"COPY ({q}) TO '{OUT / (table + '.parquet')}' (FORMAT PARQUET)"
         )
 
     rep(
-        "SELECT doc_id + {r} * 10000000 AS doc_id, "
+        "SELECT doc_id + CAST({r} AS BIGINT) * 10000000 AS doc_id, "
         "CASE WHEN {r} = 0 THEN text ELSE 'r{r} ' || text END AS text, "
         "lang, source, "
         "CAST(length(CASE WHEN {r} = 0 THEN text ELSE 'r{r} ' || text END) "
@@ -65,18 +76,18 @@ def build() -> None:
         "documents",
     )
     rep(
-        "SELECT event_id + {r} * 100000000 AS event_id, ts, "
-        "user_id + {r} * 10000000 AS user_id, event_type, value, props "
+        "SELECT event_id + CAST({r} AS BIGINT) * 100000000 AS event_id, ts, "
+        "user_id + CAST({r} AS BIGINT) * 10000000 AS user_id, event_type, value, props "
         "FROM '{src}'",
         "events",
     )
     rep(
-        "SELECT * REPLACE (l_orderkey + {r} * 10000000 AS l_orderkey) "
+        "SELECT * REPLACE (l_orderkey + CAST({r} AS BIGINT) * 10000000 AS l_orderkey) "
         "FROM '{src}'",
         "lineitem",
     )
     rep(
-        "SELECT * REPLACE (o_orderkey + {r} * 10000000 AS o_orderkey) "
+        "SELECT * REPLACE (o_orderkey + CAST({r} AS BIGINT) * 10000000 AS o_orderkey) "
         "FROM '{src}'",
         "orders",
     )
@@ -122,21 +133,28 @@ def run(names: list[str]) -> None:
     for name in names:
         fn = REGISTRY[name].fn
         row = {"query": name}
-        for label, d in (("sf0.1", str(SRC)), ("10x", str(OUT))):
+        for label, d in (
+            ("sf0.1", str(SRC)),
+            (f"{REPLICAS}x", str(out_dir())),
+        ):
             best = float("inf")
             for _ in range(2):
                 t0 = time.perf_counter()
                 fn(spark, d).toPandas()
                 best = min(best, time.perf_counter() - t0)
             row[label] = round(best, 3)
-        row["ratio"] = round(row["10x"] / row["sf0.1"], 2)
+        row["ratio"] = round(row[f"{REPLICAS}x"] / row["sf0.1"], 2)
         print(row)
 
 
 if __name__ == "__main__":
-    if sys.argv[1] == "build":
+    argv = sys.argv[1:]
+    cmd = argv.pop(0)
+    if argv and argv[0].isdigit():  # optional replica count
+        REPLICAS = int(argv.pop(0))
+    if cmd == "build":
         build()
-    elif sys.argv[1] == "run":  # usage line: `run q1 q2 ...`
-        run(sys.argv[2:])
+    elif cmd == "run":  # usage: `run [N] q1 q2 ...`
+        run(argv)
     else:
-        run(sys.argv[1:])
+        run([cmd] + argv)

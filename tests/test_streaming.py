@@ -1444,6 +1444,13 @@ def test_vacuum_versioned_prunes_old_versions_and_composes(
     assert stats2["floor"] == 1
     with _pytest.raises(ValueError, match="retention floor"):
         read_versioned(spark, table, as_of=0)
+    # idempotent stats: a re-run at the SAME floor finds v0's files
+    # already gone and must report zero deletions (not re-count doomed
+    # files the earlier run removed — round-8 advice)
+    stats3 = vacuum_versioned(table, keep_last=3)
+    assert stats3["floor"] == 1
+    assert stats3["n_files_deleted"] == 0
+    assert stats3["bytes_deleted"] == 0
 
 
 def test_tick_stream_values_oracle_rederived_in_numpy():
@@ -1518,3 +1525,86 @@ def test_series_source_values_oracle_rederived_in_numpy():
         for s, m in re.findall(r"\((\d), ([\d.]+)\)", sql)
     ]
     assert got == expect
+
+
+def test_versioned_sink_stream_identity_normalized_and_legacy_migration(
+    spark, tmp_path
+):
+    """Two hardening rules for the (stream_id, batch_id) redelivery
+    ledger (round-8 advice):
+
+    1. NORMALIZATION — different spellings of the SAME checkpoint dir
+       (e.g. with redundant ``sub/..`` components) are ONE stream
+       identity. Spark's checkpoint resume treats them identically, so
+       a resume under a different spelling must hit the same ledger —
+       otherwise a redelivered micro-batch republishes as duplicates.
+    2. MIGRATION — manifests committed BEFORE stream ids existed carry
+       ``stream_id: null``. A checkpoint-backed stream resuming onto
+       such a table treats their batch ids as committed, not fresh.
+    """
+    import os
+
+    import pandas as pd
+
+    from time_series_spark_spark.sources.io import (
+        committed_batch_ids,
+        read_versioned,
+        write_versioned,
+    )
+    from time_series_spark_spark.streaming.jobs import (
+        stream_to_versioned_table,
+    )
+
+    src = tmp_path / "src"
+    src.mkdir()
+    pd.DataFrame({"id": [1], "v": [10]}).to_parquet(src / "a.parquet")
+    pd.DataFrame({"id": [2], "v": [20]}).to_parquet(src / "b.parquet")
+
+    # --- (1) normalization: publish under a denormalized spelling ---
+    (tmp_path / "sub").mkdir()
+    table1 = str(tmp_path / "t1")
+    ck_clean = str(tmp_path / "ck")
+    ck_denorm = str(tmp_path / "sub" / ".." / "ck")
+    sdf = (
+        spark.readStream.schema("id long, v long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    got = stream_to_versioned_table(sdf, table1, checkpoint_dir=ck_denorm)
+    assert got == [0, 1]
+    # the ledger is keyed by the NORMALIZED path, not the raw spelling
+    assert committed_batch_ids(table1, ck_clean) == {0, 1}
+    # redelivery under the CLEAN spelling: drop batch 1's checkpoint
+    # commit marker so the restart replays (stream_id, batch_id=1)
+    os.remove(os.path.join(ck_clean, "commits", "1"))
+    os.remove(os.path.join(ck_clean, "commits", ".1.crc"))
+    sdf_replay = (
+        spark.readStream.schema("id long, v long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    replay = stream_to_versioned_table(
+        sdf_replay, table1, checkpoint_dir=ck_clean
+    )
+    assert replay == []  # absorbed — same identity under both spellings
+    assert read_versioned(spark, table1).count() == 2
+
+    # --- (2) migration: legacy stream manifests (stream_id=None) ---
+    table2 = str(tmp_path / "t2")
+    legacy = spark.createDataFrame([(99, 990)], "id long, v long")
+    # pre-migration stream commit: batch_id recorded, no stream identity
+    assert write_versioned(legacy, table2, batch_id=0) == 0
+    sdf2 = (
+        spark.readStream.schema("id long, v long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    got2 = stream_to_versioned_table(
+        sdf2, table2, checkpoint_dir=str(tmp_path / "ck2")
+    )
+    # batch 0 matches the legacy ledger -> skipped; batch 1 publishes
+    assert got2 == [1]
+    rows = {
+        (r["id"], r["v"]) for r in read_versioned(spark, table2).collect()
+    }
+    assert (99, 990) in rows and len(rows) == 2

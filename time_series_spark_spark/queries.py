@@ -165,7 +165,11 @@ _EXTERNALLY_CONFIRMED = [
     "docs_bpe_encode_stats", "docs_neardup_quality_report",
     "emb_diverse_exemplars", "docs_dedup_impact_report",
     "stream_anomaly_flags", "stream_forecast_serving",
-    "stream_left_outer_views", "stream_python_source_ticks",
+    # "stream_left_outer_views" moved to _RECHECK_FIRST (round 9): it
+    # gained a piecewise batch-equivalence oracle this round.
+    # "stream_python_source_ticks" moved to _RECHECK_FIRST (round 9): its
+    # round-8 VALUES oracle has never faced the external gate — the old
+    # rows-only record does not confirm the new, stronger check.
     "stream_page_hinkley_drift", "stream_heavy_hitters_users",
     "stream_rate_limit_audit",
     # round-7 driver greens (CORRECTNESS_r07.json: all 50 sampled queries
@@ -195,16 +199,48 @@ _EXTERNALLY_CONFIRMED = [
     "events_hist_p95_daily", "events_theta_sketch_users",
     "orders_snapshot_diff", "orders_apply_changes", "events_scd2_user_type",
     "purchases_pit_activity_state", "orders_lineitem_incremental_join",
+    # round-8 driver greens (CORRECTNESS_r08.json: all 50 sampled queries
+    # rows+schema+hash matched — second consecutive fully hash-verifiable
+    # window, including the round-8 versioned-table VACUUM roundtrip and
+    # the synthetic-source VALUES oracle):
+    "synthetic_source_series_stats", "orders_rollup_incremental_merge",
+    "orders_merkle_bucket_diff", "orders_versioned_compaction_roundtrip",
+    "orders_versioned_vacuum_roundtrip", "events_ohlc_daily",
+    "events_twa_user", "events_counter_increase_daily",
+    "events_type_streaks", "events_rolling_corr_7d",
+    "user_retention_weekly", "events_funnel_ordered",
+    "events_decompose_daily", "events_rolling_median_7",
+    "events_value_histogram", "events_drift_psi",
+    "customer_active_periods", "events_transition_matrix",
+    "events_unpivot_daily", "orders_profile_numeric",
+    "events_seasonal_ratio_anomaly", "events_pattern_view_click_purchase",
+    "events_key_skew_profile", "events_interarrival_burstiness",
+    "events_ab_welch_test", "users_kaplan_meier",
+    "orders_decimal_exact_totals", "events_session_window_batch",
+    "purchase_attribution_u_shaped", "events_ks_two_sample",
+    "events_chi2_independence", "events_mann_whitney_u",
+    "events_trimmed_mean_by_type", "cohort_ltv_curve",
+    "view_to_purchase_latency", "events_id_gap_audit",
+    "events_value_iqr_outliers", "events_dow_hour_heatmap",
+    "docs_length_log_histogram", "events_bootstrap_ci",
+    "events_theil_sen_trend", "events_diff_in_diff",
+    "events_cuped_adjusted_ab", "events_new_vs_returning_daily",
+    "events_ab_power_mde", "cohort_ltv_curves", "events_m4_type",
+    "events_paa_sax_user", "events_sax_words_user", "events_lead_lag_corr",
 ]
 
 # Queries pinned to the very front of the sample window: externally-failed
 # fixes awaiting re-confirmation, plus queries whose check STRENGTH changed
 # (rows-only → oracle-backed) and should face the driver again under the
-# stronger check. Round 7 had ZERO failures (50/50 hash-green, including
-# the eleven stream_* replays re-confirmed under their new oracles), so no
-# round-8 pins — except queries upgraded rows-only → oracle-backed THIS
-# round, which face the driver under the stronger check for the first time.
-_RECHECK_FIRST: list[str] = []
+# stronger check. Round 8 had ZERO failures (50/50 hash-green), but
+# stream_python_source_ticks gained its VALUES oracle in round 8 AFTER its
+# rows-only confirmation and was not in the r08 sample — it faces the
+# driver under the stronger check for the first time here. Likewise any
+# query upgraded rows-only → oracle-backed THIS round is pinned.
+_RECHECK_FIRST: list[str] = [
+    "stream_python_source_ticks",
+    "stream_left_outer_views",  # rows-only → piecewise oracle (round 9)
+]
 
 SAMPLE_WINDOW = 50  # the external gate samples this many leading entries
 

@@ -434,8 +434,8 @@ def ml_aft_session_lifetime(spark: SparkSession, sf_dir: str) -> DataFrame:
     # seeded by seed*100_003+sid, fixed epoch, 1 h step, 96 points), so
     # the expected per-series stats are a CLOSED FORM — pinned here as a
     # VALUES oracle, independently re-derived in plain numpy (not via
-    # Spark) in tests/test_udfs.py. Pushdown-pruning laws remain pinned
-    # there too.
+    # Spark) in tests/test_streaming.py (next to the A11 source's other
+    # replay tests); pushdown-pruning laws are pinned in tests/test_udfs.py.
     """
     SELECT CAST(series_id AS BIGINT) AS series_id,
            CAST(96 AS BIGINT) AS n_points,

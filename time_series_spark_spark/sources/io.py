@@ -446,8 +446,16 @@ def vacuum_versioned(table_path: str, keep_last: int = 2) -> dict:
        POSIX-atomic tmp-then-rename every commit uses
        (``_retention.json``) — from that instant,
        ``read_versioned(as_of < floor)`` fails loudly with a
-       retention error instead of ever returning a partial scan, even
-       if the process dies before a single file is deleted.
+       retention error instead of silently scanning pruned data, even
+       if the process dies before a single file is deleted. The
+       floor-then-delete order protects against CRASHES, not reader
+       races: a reader that passed the floor check can still lose
+       files to a vacuum that raises the floor mid-scan. Do not run
+       vacuum concurrently with time-travel reads of prunable
+       versions — production table formats close this window with a
+       retention GRACE PERIOD (Delta deletes only files older than
+       ``deletedFileRetentionDuration``); here single-maintainer
+       scheduling is the stated contract.
     2. Only then are files deleted — and only files NOT referenced by
        any retained manifest (compaction carry-forward means one file
        can appear in many manifests; reference counting is over the
@@ -497,13 +505,18 @@ def vacuum_versioned(table_path: str, keep_last: int = 2) -> dict:
         json.dump({"floor": floor, "keep_last": keep_last}, fh)
     os.rename(tmp, final)
 
-    # (2) delete unreferenced data files, then any emptied v=N dirs
+    # (2) delete unreferenced data files, then any emptied v=N dirs.
+    # Count only files ACTUALLY removed this invocation: a re-run after a
+    # prior vacuum (or crash between floor publish and delete) finds some
+    # doomed files already gone and must not report them as deletions.
+    n_files_deleted = 0
     bytes_deleted = 0
     for rel in sorted(doomed):
         p = os.path.join(table_path, rel)
         if os.path.exists(p):
             bytes_deleted += os.path.getsize(p)
             os.remove(p)
+            n_files_deleted += 1
     for d in _glob.glob(os.path.join(table_path, "v=*")):
         if os.path.isdir(d) and not any(
             f.endswith(".parquet") for f in os.listdir(d)
@@ -513,7 +526,7 @@ def vacuum_versioned(table_path: str, keep_last: int = 2) -> dict:
             shutil.rmtree(d, ignore_errors=True)
     return {
         "floor": floor,
-        "n_files_deleted": len(doomed),
+        "n_files_deleted": n_files_deleted,
         "bytes_deleted": bytes_deleted,
         "versions_pruned": pruned_versions,
     }

@@ -1141,6 +1141,7 @@ def stream_to_versioned_table(
     absorb (nothing persists to replay from), so each run gets a fresh
     UUID identity and never collides with prior runs' ledger entries.
     """
+    import os
     import uuid
 
     from time_series_spark_spark.sources.io import (
@@ -1148,11 +1149,29 @@ def stream_to_versioned_table(
         write_versioned,
     )
 
-    stream_id = checkpoint_dir or f"ephemeral-{uuid.uuid4()}"
+    # Normalize the checkpoint path: relative vs absolute spellings of
+    # the SAME checkpoint dir are one stream identity — Spark's own
+    # checkpoint resume treats them identically, so the redelivery
+    # ledger must too, else a resumed stream republishes committed
+    # batches as duplicates.
+    stream_id = (
+        os.path.abspath(checkpoint_dir)
+        if checkpoint_dir is not None
+        else f"ephemeral-{uuid.uuid4()}"
+    )
     committed: list[int] = []
 
     def commit(batch_df: DataFrame, batch_id: int) -> None:
-        if batch_id in committed_batch_ids(table_path, stream_id):
+        ledger = committed_batch_ids(table_path, stream_id)
+        if checkpoint_dir is not None:
+            # One-time migration: manifests written before stream ids
+            # existed carry stream_id=None. A checkpoint-backed stream
+            # resuming onto such a table must treat those batch ids as
+            # committed, not as fresh work (legacy batch writes never
+            # set batch_id, so the None-scoped ledger holds only
+            # pre-migration STREAM commits).
+            ledger |= committed_batch_ids(table_path, None)
+        if batch_id in ledger:
             return  # redelivered micro-batch: already a committed version
         committed.append(
             write_versioned(
