@@ -1608,3 +1608,134 @@ def test_versioned_sink_stream_identity_normalized_and_legacy_migration(
         (r["id"], r["v"]) for r in read_versioned(spark, table2).collect()
     }
     assert (99, 990) in rows and len(rows) == 2
+
+
+def test_versioned_stream_source_snapshot_incremental_prune(
+    spark, tmp_path
+):
+    """J11e versioned-table streaming source: (1) a fresh consumer gets
+    every committed row with exact per-version attribution; (2) a resume
+    on the same checkpoint emits ONLY versions committed since (offset =
+    version number, checkpointed by the engine); (3) after vacuum, a
+    fresh consumer starts at the FLOOR SNAPSHOT — carried-forward rows
+    are emitted once, tagged with the floor version (Delta's
+    isStartingVersion), never silently dropped; (4) reading a range
+    whose data files were pruned raises loudly at plan time; (5) one
+    InputPartition per added file — read parallelism scales with the
+    commit's file count, not 1."""
+    from time_series_spark_spark.sources.io import (
+        vacuum_versioned,
+        write_versioned,
+    )
+    from time_series_spark_spark.sources.pydatasource import (
+        VersionedTableStreamReader,
+        register_versioned_table_stream_source,
+    )
+
+    table = str(tmp_path / "vt")
+    for r in range(3):
+        write_versioned(
+            spark.range(r * 10, (r + 1) * 10).selectExpr(
+                "id", "id * 2 AS v"
+            ),
+            table,
+            carry_forward=True,
+        )
+    register_versioned_table_stream_source(spark)
+    ck = str(tmp_path / "ck")
+    out_dir = str(tmp_path / "out")
+
+    def drain():
+        sdf = (
+            spark.readStream.format("versioned_table")
+            .option("path", table)
+            .load()
+        )
+        q = (
+            sdf.writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return spark.read.parquet(out_dir)
+
+    # (1) full feed, per-version attribution
+    got = drain()
+    assert got.count() == 30
+    per_v = dict(
+        (r["_commit_version"], r["count"])
+        for r in got.groupBy("_commit_version").count().collect()
+    )
+    assert per_v == {0: 10, 1: 10, 2: 10}
+
+    # (2) incremental resume: only the new version arrives
+    write_versioned(
+        spark.range(30, 35).selectExpr("id", "id * 2 AS v"),
+        table,
+        carry_forward=True,
+    )
+    got = drain()
+    assert got.count() == 35
+    assert got.filter("_commit_version = 3").count() == 5
+
+    # (3) floor snapshot for a fresh consumer after vacuum: carry-forward
+    # retention keeps every file (all referenced by the floor manifest),
+    # and the fresh feed re-emits them ONCE, tagged with the floor version
+    vacuum_versioned(table, keep_last=2)  # floor = 2
+    ck2, out2 = str(tmp_path / "ck2"), str(tmp_path / "out2")
+    sdf = (
+        spark.readStream.format("versioned_table")
+        .option("path", table)
+        .load()
+    )
+    q = (
+        sdf.writeStream.format("parquet")
+        .option("path", out2)
+        .option("checkpointLocation", ck2)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    fresh = spark.read.parquet(out2)
+    assert fresh.count() == 35  # nothing dropped
+    assert dict(
+        (r["_commit_version"], r["count"])
+        for r in fresh.groupBy("_commit_version").count().collect()
+    ) == {2: 30, 3: 5}  # snapshot-at-floor + increment
+
+    # (4) pruned range raises at plan time (reader-level: REPLACE
+    # versions so vacuum genuinely deletes files)
+    import pytest as _pytest
+
+    table2 = str(tmp_path / "vt2")
+    for r in range(3):
+        write_versioned(
+            spark.range(r * 5, (r + 1) * 5).selectExpr("id"), table2
+        )
+    vacuum_versioned(table2, keep_last=1)  # floor = 2; v0/v1 files gone
+    rd = VersionedTableStreamReader({"path": table2})
+    assert rd.initialOffset() == {"version": 2, "snapshot": True}
+    with _pytest.raises(ValueError, match="pruned by"):
+        rd.partitions(
+            {"version": 0, "snapshot": False},
+            {"version": 2, "snapshot": False},
+        )
+    # the surviving range still plans fine
+    assert rd.partitions(
+        {"version": 1, "snapshot": False},
+        {"version": 2, "snapshot": False},
+    )
+
+    # (5) partition planning = one slice per ADDED file
+    table3 = str(tmp_path / "vt3")
+    write_versioned(
+        spark.range(100).repartition(4).selectExpr("id"), table3
+    )
+    rd3 = VersionedTableStreamReader({"path": table3})
+    parts = rd3.partitions(
+        {"version": 0, "snapshot": True}, {"version": 0, "snapshot": False}
+    )
+    assert len(parts) == 4
+    assert {p.version for p in parts} == {0}

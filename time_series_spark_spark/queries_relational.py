@@ -1870,45 +1870,48 @@ def orders_pivot_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     doc="Weighted median (quantity-weighted median extended price per "
     "return flag): cumulative-weight nearest-rank — the first value "
-    "whose running weight reaches half the total under a TOTAL order "
-    "(price, orderkey, linenumber), so both engines select the identical "
-    "element; integer weights keep the running sums exact. One window "
-    "pass + one filter on the same partitioning. Scale caveat stated "
-    "honestly: with only 3 flag groups each window is a single-task "
-    "sort — at 100 TB per-group volumes, swap to the D15 KLL mergeable "
-    "quantile path (weights via repetition counts) or a two-phase "
-    "bucket-then-refine exact search; this query is the exactness "
-    "oracle for those",
+    "whose running weight reaches half the total, so both engines "
+    "select the identical element; integer weights keep the running "
+    "sums exact. Scale shape (round 9, after the 100x stress run "
+    "measured the old per-flag single-task window at 65x/73 s): "
+    "(1) PRE-REDUCE to (flag, price) with summed weights — the selected "
+    "median PRICE is invariant to intra-price tiebreak order, and the "
+    "reduced frame is bounded by the rounded-price DOMAIN, not the "
+    "corpus; (2) grouped_cumsum (operators/rank.py frozen-boundary "
+    "two-pass) for the per-flag running weight — no single-task sort "
+    "at any scale; (3) broadcast per-flag totals, min(price) over the "
+    "qualifying rows ≡ the oracle's rn=1 pick since prices are distinct "
+    "per flag after the reduce. Oracle unchanged — bit-identical "
+    "result. 100x stress: 64.9x -> ~2x (PERF.md round-9 table)",
 )
 def lineitem_weighted_median_price(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql.window import Window
+    from time_series_spark_spark.operators.rank import grouped_cumsum
 
-    li = load(spark, sf_dir, "lineitem").select(
-        "l_returnflag",
-        F.round("l_extendedprice", 2).alias("price"),
-        F.col("l_quantity").cast("long").alias("wt"),
-        "l_orderkey",
-        "l_linenumber",
+    byprice = (
+        load(spark, sf_dir, "lineitem")
+        .select(
+            "l_returnflag",
+            F.round("l_extendedprice", 2).alias("price"),
+            F.col("l_quantity").cast("long").alias("wt"),
+        )
+        .groupBy("l_returnflag", "price")
+        .agg(F.sum("wt").alias("w"))
     )
-    order = ["price", "l_orderkey", "l_linenumber"]
-    wc = (
-        Window.partitionBy("l_returnflag")
-        .orderBy(*order)
-        .rowsBetween(Window.unboundedPreceding, 0)
+    cum = grouped_cumsum(
+        byprice.withColumn("cum", F.col("w")),
+        ["l_returnflag"],
+        [("price", True)],
+        ["cum"],
     )
-    c = li.withColumn("cum", F.sum("wt").over(wc)).withColumn(
-        "total", F.sum("wt").over(Window.partitionBy("l_returnflag"))
-    )
-    rn = F.row_number().over(
-        Window.partitionBy("l_returnflag").orderBy(*order)
+    totals = byprice.groupBy("l_returnflag").agg(
+        F.sum("w").alias("total")
     )
     return (
-        c.filter(2 * F.col("cum") >= F.col("total"))
-        .withColumn("rn", rn)
-        .filter(F.col("rn") == 1)
-        .select(
-            "l_returnflag", F.col("price").alias("weighted_median_price")
-        )
+        cum.join(F.broadcast(totals), "l_returnflag")
+        .filter(2 * F.col("cum") >= F.col("total"))
+        .groupBy("l_returnflag")
+        .agg(F.min("price").alias("weighted_median_price"))
+        .select("l_returnflag", "weighted_median_price")
     )
 
 

@@ -918,3 +918,75 @@ def stream_versioned_sink_roundtrip(
         shutil.rmtree(table_path, ignore_errors=True)
         shutil.rmtree(ck_path, ignore_errors=True)
     return spark.createDataFrame(rows, out.schema)
+
+
+@register(
+    "stream_versioned_source_feed",
+    # Three carry-forward versions are committed by o_orderkey % 3 in
+    # ascending order, so _commit_version == o_orderkey % 3 — the change
+    # feed's per-version attribution is checkable with plain batch SQL.
+    """
+    SELECT CAST(o_orderkey % 3 AS BIGINT) AS commit_version,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS total_cents
+    FROM orders GROUP BY 1 ORDER BY 1
+    """,
+    doc="J11e versioned-table STREAMING SOURCE (round 9) — the read-side "
+    "complement of the J11d sink: a Python DataSourceStreamReader whose "
+    "offsets are committed version numbers, planning micro-batches from "
+    "manifests alone (one InputPartition per added data file, Arrow "
+    "record-batch reads, _commit_version stamped per row — Delta's "
+    "streaming read from first principles). The query commits three "
+    "append versions of orders keyed by o_orderkey % 3, drains the "
+    "source with availableNow, and aggregates per commit version. "
+    "Incremental resume (only new versions emitted on an existing "
+    "checkpoint), the floor-snapshot initial offset, and the loud "
+    "pruned-version failure are pinned in tests/test_streaming.py.",
+)
+def stream_versioned_source_feed(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from time_series_spark_spark.sources.io import write_versioned
+    from time_series_spark_spark.sources.pydatasource import (
+        register_versioned_table_stream_source,
+    )
+
+    table = tempfile.mkdtemp(prefix="tss_vt_src_")
+    try:
+        orders = load(spark, sf_dir, "orders").select(
+            "o_orderkey",
+            F.expr("CAST(round(o_totalprice * 100) AS BIGINT)").alias(
+                "price_cents"
+            ),
+        )
+        for r in range(3):
+            write_versioned(
+                orders.filter(F.col("o_orderkey") % 3 == r),
+                table,
+                carry_forward=True,
+            )
+        register_versioned_table_stream_source(spark)
+        sdf = (
+            spark.readStream.format("versioned_table")
+            .option("path", table)
+            .load()
+        )
+        feed = run_available_now(sdf, output_mode="append")
+        out = (
+            feed.groupBy(
+                F.col("_commit_version").alias("commit_version")
+            )
+            .agg(
+                F.count(F.lit(1)).alias("n_orders"),
+                F.sum("price_cents").alias("total_cents"),
+            )
+            .orderBy("commit_version")
+        )
+        rows = out.collect()
+    finally:
+        shutil.rmtree(table, ignore_errors=True)
+    return spark.createDataFrame(rows, out.schema)

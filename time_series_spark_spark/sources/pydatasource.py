@@ -25,6 +25,7 @@ from collections.abc import Iterator, Sequence
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceStreamReader,
     SimpleDataSourceStreamReader,
     EqualTo,
     Filter,
@@ -221,3 +222,194 @@ def _pickle_module_by_value() -> None:
 def register_tick_stream_source(spark) -> None:
     _pickle_module_by_value()
     spark.dataSource.register(SyntheticTickStreamDataSource)
+
+
+# ---------------------------------------------------------------------------
+# J11e (round 9): streaming source OVER the A13 manifest-versioned table —
+# the read-side complement of the J11d sink (Delta's streaming read /
+# incremental version feed, from first principles).
+# ---------------------------------------------------------------------------
+class _VersionFileSlice(InputPartition):
+    """One added data file of one committed version — the unit of read
+    parallelism. A micro-batch spanning K versions with F new files total
+    schedules F independent tasks (no driver-side row funnel)."""
+
+    def __init__(self, file_path: str, version: int):
+        self.file_path = file_path
+        self.version = version
+
+
+class VersionedTableStreamReader(DataSourceStreamReader):
+    """Incremental version feed over a manifest-versioned table
+    (`sources/io.py::write_versioned`): offsets are COMMITTED VERSION
+    NUMBERS ({"version": v} = versions ≤ v consumed), each micro-batch
+    emits the data files ADDED by versions (start, end], and every row
+    carries a ``_commit_version`` column (Delta CDF's _commit_version).
+
+    Scale/semantics notes, in the order they matter at 100 TB:
+
+    - **Planning is manifest-only.** latestOffset() lists manifests;
+      partitions() takes per-version file-set differences — never opens
+      a data file. Carry-forward manifests make `added(v) = files(v) −
+      files(v−1)` exactly the commit's appended files.
+    - **One InputPartition per added file** → Spark schedules reads in
+      parallel; read() streams pyarrow record batches (Arrow path, no
+      per-row Python), cast to the table's committed schema.
+    - **Append-only contract** (what the J11d sink writes): a REPLACE
+      commit's files all count as "added" — rows from replaced versions
+      are not retracted. Same contract as Delta's streaming source,
+      which refuses non-append commits unless ignoreChanges is set.
+    - **Vacuum interplay**: manifests survive vacuum_versioned, so
+      offset arithmetic always works, but data files below the
+      retention floor may be gone — a start offset below ``floor − 1``
+      raises loudly (the read would be silently partial otherwise),
+      mirroring read_versioned's floor check.
+    - **Replay-safe**: partitions(start, end) is a pure function of the
+      immutable manifests, so a post-crash replay of a committed range
+      reads byte-identical data.
+    """
+
+    def __init__(self, options: dict):
+        path = options.get("path")
+        if not path:
+            raise ValueError("versioned_table source requires .option('path', ...)")
+        import os
+
+        self.table_path = os.path.abspath(path)
+
+    # -- manifest helpers (driver-side planner worker) --
+    def _versions(self) -> list:
+        import glob as _glob
+        import os
+
+        return sorted(
+            int(p.rsplit(".", 2)[-2])
+            for p in _glob.glob(
+                os.path.join(self.table_path, "_manifest.*.json")
+            )
+        )
+
+    def _files_of(self, v: int) -> set:
+        import json
+        import os
+
+        with open(
+            os.path.join(self.table_path, f"_manifest.{v}.json")
+        ) as fh:
+            return set(json.load(fh)["files"])
+
+    def _floor(self) -> int:
+        import json
+        import os
+
+        p = os.path.join(self.table_path, "_retention.json")
+        if not os.path.exists(p):
+            return 0
+        with open(p) as fh:
+            return int(json.load(fh)["floor"])
+
+    def initialOffset(self) -> dict:
+        # Fresh consumer: begin with the FULL SNAPSHOT of the retention
+        # floor version (Delta's isStartingVersion), then increments.
+        # Snapshot-at-floor, not added-files-since-floor: carry-forward
+        # manifests mean the floor version REFERENCES files first added
+        # by pruned versions — a fresh consumer must still see those
+        # rows (they are part of every readable snapshot).
+        return {"version": self._floor(), "snapshot": True}
+
+    def latestOffset(self) -> dict:
+        vs = self._versions()
+        if not vs:
+            raise FileNotFoundError(
+                f"no committed versions in {self.table_path}"
+            )
+        return {"version": vs[-1], "snapshot": False}
+
+    def partitions(self, start: dict, end: dict):
+        """Plan the micro-batch (start, end]: the full file list of the
+        snapshot version when ``start`` is the initial snapshot offset,
+        plus each later version's ADDED files. Manifest-only planning;
+        per-file existence is checked HERE so a checkpoint that predates
+        a vacuum fails loudly at plan time ("version pruned") instead of
+        surfacing a partial scan — and a resume whose files all survived
+        (the append-only common case: vacuum deletes nothing when every
+        old file is still referenced by retained manifests) proceeds."""
+        import os
+
+        v1 = int(end["version"])
+        parts = []
+        if start.get("snapshot", False):
+            v0 = int(start["version"])
+            snap_files = [(v0, rel) for rel in sorted(self._files_of(v0))]
+            lo = v0 + 1
+        else:
+            v0 = int(start["version"])
+            snap_files = []
+            lo = v0 + 1
+        todo = snap_files
+        for v in range(lo, v1 + 1):
+            prev = self._files_of(v - 1) if v > 0 else set()
+            todo += [(v, rel) for rel in sorted(self._files_of(v) - prev)]
+        for v, rel in todo:
+            p = os.path.join(self.table_path, rel)
+            if not os.path.exists(p):
+                raise ValueError(
+                    f"data file {rel} of version {v} was pruned by "
+                    f"vacuum (retention floor {self._floor()} of "
+                    f"{self.table_path}): this checkpoint cannot be "
+                    "resumed — restart from a fresh checkpoint to read "
+                    "the floor snapshot"
+                )
+            parts.append(_VersionFileSlice(p, v))
+        # a batch may legitimately add zero files (empty commit) — an
+        # empty list yields an empty micro-batch
+        return parts
+
+    def read(self, partition: "_VersionFileSlice"):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        table = pq.read_table(partition.file_path)
+        ver = pa.array(
+            [partition.version] * table.num_rows, type=pa.int64()
+        )
+        table = table.append_column("_commit_version", ver)
+        yield from table.to_batches(max_chunksize=1 << 16)
+
+    def commit(self, end: dict) -> None:
+        pass  # manifests are immutable; nothing to acknowledge
+
+    def stop(self) -> None:
+        pass
+
+
+class VersionedTableStreamDataSource(DataSource):
+    @classmethod
+    def name(cls) -> str:
+        return "versioned_table"
+
+    def schema(self):
+        import glob as _glob
+        import json
+        import os
+
+        from pyspark.sql.types import LongType, StructType
+
+        path = os.path.abspath(self.options["path"])
+        manifests = sorted(
+            _glob.glob(os.path.join(path, "_manifest.*.json")),
+            key=lambda p: int(p.rsplit(".", 2)[-2]),
+        )
+        if not manifests:
+            raise FileNotFoundError(f"no committed versions in {path}")
+        with open(manifests[-1]) as fh:
+            st = StructType.fromJson(json.loads(json.load(fh)["schema"]))
+        return st.add("_commit_version", LongType())
+
+    def streamReader(self, schema) -> VersionedTableStreamReader:
+        return VersionedTableStreamReader(self.options)
+
+
+def register_versioned_table_stream_source(spark) -> None:
+    _pickle_module_by_value()
+    spark.dataSource.register(VersionedTableStreamDataSource)
