@@ -124,10 +124,20 @@ def build() -> None:
 
 
 def run(names: list[str]) -> None:
+    import os
+
     sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
     from time_series_spark_spark.queries import REGISTRY
     from time_series_spark_spark.session import get_spark
 
+    # STRESS_COUNT_ONLY=1: materialize via .count() instead of
+    # .toPandas() — for pair-emitting queries whose OUTPUT grows
+    # quadratically in the replica count (every replica of a doc is a
+    # true near-dup of every other), driver-side pandas materialization
+    # of tens of millions of result rows would dominate the measurement;
+    # count() keeps the full distributed compute and drops only the
+    # driver funnel no pipeline would do with such a result anyway.
+    count_only = os.environ.get("STRESS_COUNT_ONLY") == "1"
     spark = get_spark("stress10x")
     spark.sparkContext.setLogLevel("ERROR")
     for name in names:
@@ -140,9 +150,11 @@ def run(names: list[str]) -> None:
             best = float("inf")
             for _ in range(2):
                 t0 = time.perf_counter()
-                fn(spark, d).toPandas()
+                df = fn(spark, d)
+                n = df.count() if count_only else len(df.toPandas())
                 best = min(best, time.perf_counter() - t0)
             row[label] = round(best, 3)
+            row[f"n_{label}"] = n
         row["ratio"] = round(row[f"{REPLICAS}x"] / row["sf0.1"], 2)
         print(row)
 

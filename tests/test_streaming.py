@@ -1739,3 +1739,74 @@ def test_versioned_stream_source_snapshot_incremental_prune(
     )
     assert len(parts) == 4
     assert {p.version for p in parts} == {0}
+
+
+def test_versioned_table_additive_schema_evolution(spark, tmp_path):
+    """A13c: (1) a carry-forward commit may ADD columns — the manifest
+    is the read schema, so pre-evolution files null-fill the addition;
+    (2) time travel to a pre-evolution version shows the ORIGINAL
+    schema; (3) non-additive carry-forward changes (drop, retype) are
+    rejected at write time; (4) the J11e streaming source pads
+    pre-evolution files to the latest schema the same way."""
+    import pytest as _pytest
+
+    from time_series_spark_spark.sources.io import (
+        read_versioned,
+        write_versioned,
+    )
+    from time_series_spark_spark.sources.pydatasource import (
+        register_versioned_table_stream_source,
+    )
+
+    table = str(tmp_path / "vt")
+    write_versioned(
+        spark.range(5).selectExpr("id", "id * 2 AS v"), table
+    )
+    write_versioned(
+        spark.range(5, 8).selectExpr("id", "id * 2 AS v", "id * 3 AS w"),
+        table,
+        carry_forward=True,
+    )
+    latest = read_versioned(spark, table)
+    assert latest.columns == ["id", "v", "w"]
+    rows = {r["id"]: (r["v"], r["w"]) for r in latest.collect()}
+    assert rows[0] == (0, None) and rows[7] == (14, 21)  # null-filled
+    assert latest.filter("w IS NULL").count() == 5
+    # (2) as-of the pre-evolution version: original schema, no w
+    v0 = read_versioned(spark, table, as_of=0)
+    assert v0.columns == ["id", "v"] and v0.count() == 5
+    # (3) non-additive changes rejected at write time
+    with _pytest.raises(ValueError, match="not additive"):
+        write_versioned(
+            spark.range(3).selectExpr("id"), table, carry_forward=True
+        )  # drops v and w
+    with _pytest.raises(ValueError, match="not additive"):
+        write_versioned(
+            spark.range(3).selectExpr(
+                "id", "CAST(id AS STRING) AS v", "id * 3 AS w"
+            ),
+            table,
+            carry_forward=True,
+        )  # retypes v
+    # REPLACE commits are schema-free by design (a new snapshot)
+    # ... but don't publish one here: the stream below reads the table.
+    # (4) streaming source pads pre-evolution files identically
+    register_versioned_table_stream_source(spark)
+    sdf = (
+        spark.readStream.format("versioned_table")
+        .option("path", table)
+        .load()
+    )
+    q = (
+        sdf.writeStream.format("parquet")
+        .option("path", str(tmp_path / "out"))
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    feed = spark.read.parquet(str(tmp_path / "out"))
+    assert set(feed.columns) == {"id", "v", "w", "_commit_version"}
+    assert feed.count() == 8
+    assert feed.filter("w IS NULL").count() == 5
+    assert feed.filter("_commit_version = 1 AND w IS NOT NULL").count() == 3

@@ -632,3 +632,75 @@ def orders_versioned_vacuum_roundtrip(
     finally:
         shutil.rmtree(path, ignore_errors=True)
     return spark.createDataFrame(rows, out.schema)
+
+
+@register(
+    "orders_versioned_schema_evolution",
+    # cohort = o_orderkey % 2 == the version each row was committed in:
+    # cohort-0 files predate the column addition, so their o_custkey is
+    # NULL under the manifest-authoritative read schema.
+    """
+    SELECT CAST(o_orderkey % 2 AS BIGINT) AS cohort,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(CASE WHEN o_orderkey % 2 = 1 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_with_custkey,
+           CAST(sum(CASE WHEN o_orderkey % 2 = 1 THEN o_custkey ELSE 0 END)
+                AS BIGINT) AS custkey_sum
+    FROM orders GROUP BY 1 ORDER BY 1
+    """,
+    doc="A13c additive schema evolution on the versioned table (round 9): "
+    "v0 commits even-keyed orders as (o_orderkey, price_cents); v1 "
+    "carry-forward-appends odd-keyed orders WITH a new o_custkey column. "
+    "The manifest stores each commit's schema, reads resolve the AS-OF "
+    "manifest's schema explicitly (no footer inference), so v0's files "
+    "null-fill the added column and time travel to v0 still shows the "
+    "ORIGINAL two-column schema. Non-additive carry-forward changes "
+    "(drop/retype/widen) are REJECTED at write time by the enforced A18 "
+    "contract check — pinned with the null-fill and as-of-schema laws "
+    "in tests/test_streaming.py. Temp table removed before returning.",
+)
+def orders_versioned_schema_evolution(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from time_series_spark_spark.sources.io import (
+        read_versioned,
+        write_versioned,
+    )
+
+    orders = load(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.expr("CAST(round(o_totalprice * 100) AS BIGINT)").alias(
+            "price_cents"
+        ),
+        "o_custkey",
+    )
+    path = tempfile.mkdtemp(prefix="versioned_evolve_")
+    try:
+        write_versioned(
+            orders.filter(F.col("o_orderkey") % 2 == 0).drop("o_custkey"),
+            path,
+        )
+        write_versioned(
+            orders.filter(F.col("o_orderkey") % 2 == 1),
+            path,
+            carry_forward=True,
+        )
+        out = (
+            read_versioned(spark, path)
+            .groupBy((F.col("o_orderkey") % 2).alias("cohort"))
+            .agg(
+                F.count(F.lit(1)).alias("n_orders"),
+                F.count("o_custkey").alias("n_with_custkey"),
+                F.coalesce(F.sum("o_custkey"), F.lit(0)).alias(
+                    "custkey_sum"
+                ),
+            )
+            .orderBy("cohort")
+        )
+        rows = out.collect()
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
+    return spark.createDataFrame(rows, out.schema)

@@ -272,7 +272,34 @@ def write_versioned(
         with open(
             os.path.join(table_path, f"_manifest.{existing[-1]}.json")
         ) as fh:
-            files = sorted(set(json.load(fh)["files"]) | set(files))
+            prev = json.load(fh)
+        # A13c schema evolution, additive-only (round 9): a carry-forward
+        # commit whose schema differs from the previous manifest's must
+        # be a pure COLUMN ADDITION — old files then read as NULL for the
+        # new columns under the manifest-authoritative read schema.
+        # Removed / retyped / widened columns are REJECTED at write time
+        # (the A18 contract check, enforced): carry-forward re-lists the
+        # old files, so any non-additive change would silently corrupt
+        # the snapshot the moment the manifest is published. Widening is
+        # excluded deliberately — parquet footers keep the old physical
+        # type and not every reader upcasts; Delta gates widening behind
+        # an explicit table feature for the same reason.
+        prev_schema = T.StructType.fromJson(json.loads(prev["schema"]))
+        if prev_schema != df.schema:
+            bad = [
+                r
+                for r in schema_compat_report(prev_schema, df.schema)
+                if r["verdict"] not in ("unchanged", "added")
+            ]
+            if bad:
+                raise ValueError(
+                    "carry-forward schema change is not additive: "
+                    + "; ".join(
+                        f"{r['column']} {r['verdict']} ({r['detail']})"
+                        for r in bad
+                    )
+                )
+        files = sorted(set(prev["files"]) | set(files))
     manifest = {
         "version": version,
         "files": files,
@@ -322,10 +349,14 @@ def read_versioned(
     with open(os.path.join(table_path, f"_manifest.{pick}.json")) as fh:
         manifest = json.load(fh)
     paths = [os.path.join(table_path, f) for f in manifest["files"]]
+    schema = T.StructType.fromJson(json.loads(manifest["schema"]))
     if not paths:
-        schema = T.StructType.fromJson(json.loads(manifest["schema"]))
         return spark.createDataFrame([], schema)
-    return spark.read.parquet(*paths)
+    # Manifest-authoritative read schema (A13c): files written before an
+    # additive schema change lack the added columns — reading with the
+    # COMMIT's schema null-fills them (and skips footer schema inference
+    # entirely, which at 100 TB is also the cheaper scan plan).
+    return spark.read.schema(schema).parquet(*paths)
 
 
 def compact_versioned(

@@ -269,13 +269,18 @@ class VersionedTableStreamReader(DataSourceStreamReader):
       reads byte-identical data.
     """
 
-    def __init__(self, options: dict):
+    def __init__(self, options: dict, schema=None):
         path = options.get("path")
         if not path:
             raise ValueError("versioned_table source requires .option('path', ...)")
         import os
 
         self.table_path = os.path.abspath(path)
+        # the declared source schema (latest manifest + _commit_version);
+        # read() pads/casts every file to it so commits written BEFORE an
+        # additive schema change stream null-filled, exactly like the
+        # batch read (A13c)
+        self._schema = schema
 
     # -- manifest helpers (driver-side planner worker) --
     def _versions(self) -> list:
@@ -370,6 +375,30 @@ class VersionedTableStreamReader(DataSourceStreamReader):
         import pyarrow.parquet as pq
 
         table = pq.read_table(partition.file_path)
+        if self._schema is not None:
+            # pad/cast to the declared schema (minus the version stamp):
+            # files predating an additive schema change lack the added
+            # columns — null-fill them, mirroring the batch read
+            from pyspark.sql.pandas.types import to_arrow_schema
+
+            import pyspark.sql.types as T
+
+            target = to_arrow_schema(
+                T.StructType(
+                    [
+                        f
+                        for f in self._schema.fields
+                        if f.name != "_commit_version"
+                    ]
+                )
+            )
+            arrays = [
+                table[f.name].cast(f.type)
+                if f.name in table.column_names
+                else pa.nulls(table.num_rows, type=f.type)
+                for f in target
+            ]
+            table = pa.table(arrays, schema=target)
         ver = pa.array(
             [partition.version] * table.num_rows, type=pa.int64()
         )
@@ -393,7 +422,7 @@ class VersionedTableStreamDataSource(DataSource):
         import json
         import os
 
-        from pyspark.sql.types import LongType, StructType
+        from pyspark.sql.types import LongType, StructField, StructType
 
         path = os.path.abspath(self.options["path"])
         manifests = sorted(
@@ -404,10 +433,21 @@ class VersionedTableStreamDataSource(DataSource):
             raise FileNotFoundError(f"no committed versions in {path}")
         with open(manifests[-1]) as fh:
             st = StructType.fromJson(json.loads(json.load(fh)["schema"]))
+        # the feed schema is NULLABLE everywhere: files committed before
+        # an additive schema change are null-padded for the added
+        # columns, so a non-nullable field in the latest commit's schema
+        # (e.g. from spark.range) would make the Arrow reader reject the
+        # padding ("Value at index is null")
+        st = StructType(
+            [
+                StructField(f.name, f.dataType, nullable=True, metadata=f.metadata)
+                for f in st.fields
+            ]
+        )
         return st.add("_commit_version", LongType())
 
     def streamReader(self, schema) -> VersionedTableStreamReader:
-        return VersionedTableStreamReader(self.options)
+        return VersionedTableStreamReader(self.options, schema)
 
 
 def register_versioned_table_stream_source(spark) -> None:
