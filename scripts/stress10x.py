@@ -116,7 +116,16 @@ def build() -> None:
             ("label", pa.int32()),
         ]
     )
-    pq.write_table(pa.Table.from_pandas(out, schema=schema), OUT / "embeddings.parquet")
+    # row_group_size matters: parquet splits only at row-group boundaries,
+    # and pyarrow's default (1M rows) would put the whole 100x corpus in
+    # ONE row group — every Spark scan of it becomes a single task (the
+    # round-9 pq_topk profile measured an 80 s one-task sample read).
+    # DuckDB's COPY (the fact tables) already writes ~122K-row groups.
+    pq.write_table(
+        pa.Table.from_pandas(out, schema=schema),
+        OUT / "embeddings.parquet",
+        row_group_size=10_000,
+    )
 
     for t in ("region", "nation", "supplier", "customer", "part"):
         shutil.copy(SRC / f"{t}.parquet", OUT / f"{t}.parquet")

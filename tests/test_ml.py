@@ -443,7 +443,10 @@ def test_kmeans_lloyd_exact_matches_numpy_replica(spark):
                 C[c] = q[m].sum(axis=0) / m.sum()
     d = ((q[:, None, :].astype(float) - C[None, :, :]) ** 2).sum(axis=2)
     ref = pd.Series(d.argmin(axis=1), index=ids)
-    assert (got["cid"] == ref).all()
+    # align by vec_id: the operator hash-repartitions its cached frame
+    # (round-9 parallelism fix), so toPandas row ORDER is not file order
+    # — the invariant is per-id assignment equality, not ordering
+    assert (got["cid"].reindex(ref.index) == ref).all()
     # final centroids match too (original units)
     assert np.allclose(np.array(cents), C / 1_000_000, atol=1e-9)
 

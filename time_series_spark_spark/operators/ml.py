@@ -864,7 +864,20 @@ def kmeans_lloyd_exact(
         F.col(vec_col),
         lambda x: F.round(x.cast("double") * quant).cast("long"),
     )
-    base = df.select(F.col(id_col).alias("_id"), q.alias("q")).cache()
+    # Size the cached frame to the CLUSTER, not the file layout: every
+    # iteration re-scans it with a compute-bound assignment expression
+    # (k x d ops/row), and a source parquet that splits into fewer
+    # partitions than cores caps parallelism for all `iters` scans (the
+    # 100x stress run measured a 13-task straggler pattern on 32 cores
+    # before this). Hash on the id, not round-robin, so placement is
+    # deterministic; results were already layout-invariant (exact
+    # integer sums), this only fixes the parallelism.
+    n_parts = max(df.sparkSession.sparkContext.defaultParallelism, 1)
+    base = (
+        df.select(F.col(id_col).alias("_id"), q.alias("q"))
+        .repartition(n_parts, "_id")
+        .cache()
+    )
     init = (
         base.select(
             "_id", "q", F.md5(F.col("_id").cast("string")).alias("h")

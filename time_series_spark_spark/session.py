@@ -88,6 +88,15 @@ def get_spark(
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions or cpus))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # File-split sizing: Spark's maxSplitBytes = min(maxPartitionBytes,
+        # max(openCostInBytes, totalBytes/defaultParallelism)). With the
+        # 4 MB default openCost, a mid-size compute-heavy input (the 100x
+        # stress corpus's 57 MB documents file) splits into ~14 partitions
+        # on 32 cores — scan-stage parallelism capped at half the machine
+        # for n-gram explodes and Arrow UDFs. 1 MB keeps splits aligned to
+        # bytesPerCore until files are genuinely small. (Measured: the
+        # 100x docs_lm_perplexity scan went 14 -> 32 tasks.)
+        .config("spark.sql.files.openCostInBytes", str(1024 * 1024))
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
@@ -117,5 +126,8 @@ def ensure_engine_conf(spark: SparkSession) -> SparkSession:
     spark.conf.set(
         "spark.sql.shuffle.partitions", str(default_parallelism())
     )
+    # see get_spark: scan-stage parallelism for mid-size compute-heavy
+    # files (runtime-settable, applies to the driver's own session too)
+    spark.conf.set("spark.sql.files.openCostInBytes", str(1024 * 1024))
     ship_package(spark)
     return spark
