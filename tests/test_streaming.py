@@ -1810,3 +1810,75 @@ def test_versioned_table_additive_schema_evolution(spark, tmp_path):
     assert feed.count() == 8
     assert feed.filter("w IS NULL").count() == 5
     assert feed.filter("_commit_version = 1 AND w IS NOT NULL").count() == 3
+
+
+def test_incremental_pipeline_exactly_once_composition(spark, tmp_path):
+    """J11f: the J11e-source -> transform -> J11d-sink pipeline is
+    exactly-once across BOTH versioned tables: (1) first run transforms
+    the full src snapshot; (2) re-running with no new src versions
+    publishes NOTHING (no-op law); (3) appending a src version flows
+    exactly the increment; (4) a crash between the dst manifest commit
+    and the checkpoint commit (replayed micro-batch) is absorbed by the
+    dst ledger — no duplicate rows, no duplicate versions."""
+    import os
+
+    from time_series_spark_spark.sources.io import (
+        read_versioned,
+        write_versioned,
+    )
+    from time_series_spark_spark.streaming.jobs import (
+        run_incremental_pipeline,
+    )
+
+    src = str(tmp_path / "src")
+    dst = str(tmp_path / "dst")
+    ck = str(tmp_path / "ck")
+    for r in range(2):
+        write_versioned(
+            spark.range(r * 10, (r + 1) * 10).selectExpr(
+                "id", "id * 2 AS v"
+            ),
+            src,
+            carry_forward=True,
+        )
+
+    def transform(feed):
+        return feed.filter(F.col("v") % 4 == 0).select(
+            "id", "v", F.col("_commit_version").alias("src_version")
+        )
+
+    got1 = run_incremental_pipeline(spark, src, dst, transform, ck)
+    assert got1  # committed at least one dst version
+    d1 = read_versioned(spark, dst)
+    assert d1.count() == 10  # v multiples of 4 among 0..38
+    assert {r["src_version"] for r in d1.collect()} == {0, 1}
+
+    # (2) no-op law
+    assert run_incremental_pipeline(spark, src, dst, transform, ck) == []
+    assert read_versioned(spark, dst).count() == 10
+
+    # (3) incremental: new src version flows exactly once
+    write_versioned(
+        spark.range(20, 24).selectExpr("id", "id * 2 AS v"),
+        src,
+        carry_forward=True,
+    )
+    got3 = run_incremental_pipeline(spark, src, dst, transform, ck)
+    assert len(got3) >= 1
+    d3 = read_versioned(spark, dst)
+    assert d3.count() == 12  # +2 (v=40,44)
+    assert d3.filter("src_version = 2").count() == 2
+
+    # (4) replay: drop the checkpoint's last commit marker so the next
+    # run re-delivers the already-committed micro-batch
+    commits = sorted(
+        f for f in os.listdir(os.path.join(ck, "commits"))
+        if not f.startswith(".")
+    )
+    os.remove(os.path.join(ck, "commits", commits[-1]))
+    crc = os.path.join(ck, "commits", f".{commits[-1]}.crc")
+    if os.path.exists(crc):
+        os.remove(crc)
+    got4 = run_incremental_pipeline(spark, src, dst, transform, ck)
+    assert got4 == []  # redelivery absorbed by the dst ledger
+    assert read_versioned(spark, dst).count() == 12

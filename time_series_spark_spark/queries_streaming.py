@@ -990,3 +990,87 @@ def stream_versioned_source_feed(
     finally:
         shutil.rmtree(table, ignore_errors=True)
     return spark.createDataFrame(rows, out.schema)
+
+
+@register(
+    "orders_incremental_pipeline_roundtrip",
+    # src commit version == o_orderkey % 3 (three ascending carry-forward
+    # commits), so the pipeline's per-source-version output is checkable
+    # with plain batch SQL over orders.
+    """
+    SELECT CAST(o_orderkey % 3 AS BIGINT) AS src_version,
+           CAST(count(*) AS BIGINT) AS n_high_value,
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS total_cents
+    FROM orders
+    WHERE CAST(round(o_totalprice * 100) AS BIGINT) >= 20000000
+    GROUP BY 1 ORDER BY 1
+    """,
+    doc="J11f end-to-end incremental pipeline (round 9) — the medallion "
+    "step composed from the repo's own table format: J11e versioned-"
+    "table SOURCE (incremental version feed) -> stateless transform "
+    "(high-value filter + projection) -> J11d versioned-table SINK. "
+    "Exactly-once across BOTH tables by composition: source offsets "
+    "(src version numbers) live in the checkpoint, the sink's "
+    "(stream_id, batch_id) manifest ledger absorbs replay redelivery. "
+    "The query builds a 3-version src from orders, runs the pipeline, "
+    "and aggregates the DESTINATION table per source commit version. "
+    "Incremental resume (only new src versions flow), the no-op law "
+    "(re-run publishes nothing), and crash-replay idempotency are "
+    "pinned in tests/test_streaming.py. Temp tables removed before "
+    "returning.",
+)
+def orders_incremental_pipeline_roundtrip(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from time_series_spark_spark.sources.io import (
+        read_versioned,
+        write_versioned,
+    )
+    from time_series_spark_spark.streaming.jobs import (
+        run_incremental_pipeline,
+    )
+
+    src = tempfile.mkdtemp(prefix="tss_pipe_src_")
+    dst = tempfile.mkdtemp(prefix="tss_pipe_dst_")
+    ck = tempfile.mkdtemp(prefix="tss_pipe_ck_")
+    try:
+        orders = load(spark, sf_dir, "orders").select(
+            "o_orderkey",
+            F.expr("CAST(round(o_totalprice * 100) AS BIGINT)").alias(
+                "price_cents"
+            ),
+        )
+        for r in range(3):
+            write_versioned(
+                orders.filter(F.col("o_orderkey") % 3 == r),
+                src,
+                carry_forward=True,
+            )
+
+        def transform(feed: DataFrame) -> DataFrame:
+            return feed.filter(F.col("price_cents") >= 20_000_000).select(
+                "o_orderkey",
+                "price_cents",
+                F.col("_commit_version").alias("src_version"),
+            )
+
+        run_incremental_pipeline(spark, src, dst, transform, ck)
+        out = (
+            read_versioned(spark, dst)
+            .groupBy("src_version")
+            .agg(
+                F.count(F.lit(1)).alias("n_high_value"),
+                F.sum("price_cents").alias("total_cents"),
+            )
+            .orderBy("src_version")
+        )
+        rows = out.collect()
+    finally:
+        shutil.rmtree(src, ignore_errors=True)
+        shutil.rmtree(dst, ignore_errors=True)
+        shutil.rmtree(ck, ignore_errors=True)
+    return spark.createDataFrame(rows, out.schema)

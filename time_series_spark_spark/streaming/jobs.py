@@ -1189,3 +1189,57 @@ def stream_to_versioned_table(
     q = writer.trigger(availableNow=True).start()
     q.awaitTermination()
     return committed
+
+
+# --------------------------------------------------------------------------
+# J11f (round 9): end-to-end incremental pipeline between versioned tables
+# --------------------------------------------------------------------------
+
+def run_incremental_pipeline(
+    spark: "SparkSession",
+    src_table: str,
+    dst_table: str,
+    transform,
+    checkpoint_dir: str,
+) -> list[int]:
+    """The medallion step, composed from this repo's own table format:
+    stream the J11e versioned-table SOURCE (incremental version feed of
+    ``src_table``), apply ``transform`` (DataFrame -> DataFrame, any
+    stateless narrow/wide logic), and publish each micro-batch as the
+    next version of ``dst_table`` through the J11d sink.
+
+    Exactly-once ACROSS BOTH TABLES, by composition of the two halves'
+    own guarantees — no new mechanism:
+
+    - the SOURCE's offsets (committed version numbers of ``src_table``)
+      live in the engine checkpoint, so a resume reads only versions
+      committed since the last run, and a post-crash replay re-reads a
+      committed range byte-identically (manifests are immutable);
+    - the SINK's (stream_id, batch_id) ledger in ``dst_table``'s
+      manifests absorbs the at-least-once redelivery the replay
+      produces — a re-delivered micro-batch publishes nothing.
+
+    Crash anywhere: either the dst manifest rename happened (the batch
+    is committed and its redelivery will be skipped) or it didn't (the
+    table is untouched and the replay publishes it once). Running the
+    pipeline twice with no new src versions is a no-op.
+
+    Returns the dst versions committed by THIS run. Requires a real
+    ``checkpoint_dir`` (source offsets are the progress marker — an
+    ephemeral identity would re-read everything and rely on the dst
+    ledger alone, which only dedups identical batch SPLITS, not a
+    re-planned full re-read).
+    """
+    from time_series_spark_spark.sources.pydatasource import (
+        register_versioned_table_stream_source,
+    )
+
+    register_versioned_table_stream_source(spark)
+    feed = (
+        spark.readStream.format("versioned_table")
+        .option("path", src_table)
+        .load()
+    )
+    return stream_to_versioned_table(
+        transform(feed), dst_table, checkpoint_dir=checkpoint_dir
+    )
