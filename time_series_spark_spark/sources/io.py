@@ -671,3 +671,63 @@ def schema_compat_report(old: T.StructType, new: T.StructType) -> list[dict]:
             }
         )
     return out
+
+
+def parquet_layout_report(
+    spark: SparkSession, file_paths: "list[str] | str"
+) -> DataFrame:
+    """A19 (round 9): distributed parquet LAYOUT audit — one output row
+    per (file, row group) with its row count and uncompressed byte size,
+    read from footers only (no data pages touched).
+
+    Why it exists: parquet splits only at row-group boundaries, so a
+    writer that produces one giant row group serializes every downstream
+    scan of that file no matter how many executors the cluster has — the
+    exact defect this round's 100× stress run measured (a one-row-group
+    embeddings file made PQ/k-means scans single-task, 182 s → 19 s
+    after re-layout; PERF.md round 9). File COUNT problems are A17
+    compaction's job; this is the other axis, and its report is what a
+    maintenance pipeline alerts on before readers degrade.
+
+    Scale shape: the FILE LIST parallelizes across executors (one task
+    batch per ~defaultParallelism slice) and each task reads only
+    footers via pyarrow — at 100 TB this is thousands of O(KB) metadata
+    reads, embarrassingly parallel, no data scan. Glob expansion is
+    driver-side (the same listing any planner does).
+    """
+    import glob as _glob
+
+    import pandas as _pd
+
+    if isinstance(file_paths, str):
+        paths = sorted(_glob.glob(file_paths))
+    else:
+        paths = sorted(file_paths)
+    if not paths:
+        raise FileNotFoundError(f"no parquet files match {file_paths!r}")
+    par = min(len(paths), spark.sparkContext.defaultParallelism)
+    files_df = spark.createDataFrame(
+        [(p,) for p in paths], "path string"
+    ).repartition(par, "path")
+
+    def read_footers(batches):
+        import pyarrow.parquet as pq
+
+        for pdf in batches:
+            rows = []
+            for p in pdf["path"]:
+                md = pq.ParquetFile(p).metadata
+                for i in range(md.num_row_groups):
+                    rg = md.row_group(i)
+                    rows.append(
+                        (p, i, rg.num_rows, rg.total_byte_size)
+                    )
+            yield _pd.DataFrame(
+                rows,
+                columns=["path", "group_idx", "n_rows", "n_bytes"],
+            )
+
+    return files_df.mapInPandas(
+        read_footers,
+        "path string, group_idx long, n_rows long, n_bytes long",
+    )
