@@ -704,3 +704,74 @@ def orders_versioned_schema_evolution(
     finally:
         shutil.rmtree(path, ignore_errors=True)
     return spark.createDataFrame(rows, out.schema)
+
+
+@register(
+    "orders_versioned_layout_health",
+    # deterministic layout: each version is written coalesce(1) (one
+    # file) and is far under the writer's 128 MB block size (one row
+    # group), so the health report is a closed form of the cohort
+    # counts. version == o_orderkey % 2 by construction.
+    """
+    SELECT CAST(o_orderkey % 2 AS BIGINT) AS version,
+           CAST(1 AS BIGINT) AS n_files,
+           CAST(1 AS BIGINT) AS n_row_groups,
+           CAST(count(*) AS BIGINT) AS n_rows
+    FROM orders GROUP BY 1 ORDER BY 1
+    """,
+    doc="A19 ∘ A13: layout HEALTH of the live versioned table — the "
+    "report a maintenance scheduler consumes to decide between A17b "
+    "compaction (too many small files) and re-layout (too-large row "
+    "groups serializing scans). Resolves the latest manifest's file "
+    "list, runs the distributed footer auditor over exactly those "
+    "files (never orphaned/uncommitted ones), attributes each file to "
+    "its commit version from the v=N path layout, and aggregates "
+    "files/row-groups/rows per version. The coalesce(1) writes are the "
+    "deterministic DEMO harness (closed-form oracle), not the operator "
+    "— production versions write at natural parallelism and the same "
+    "report covers them. Temp table removed before returning.",
+)
+def orders_versioned_layout_health(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import json
+    import os
+    import shutil
+    import tempfile
+
+    from time_series_spark_spark.sources.io import (
+        parquet_layout_report,
+        write_versioned,
+    )
+
+    orders = load(spark, sf_dir, "orders").select("o_orderkey")
+    path = tempfile.mkdtemp(prefix="versioned_layout_")
+    try:
+        for r in range(2):
+            write_versioned(
+                orders.filter(F.col("o_orderkey") % 2 == r).coalesce(1),
+                path,
+                carry_forward=True,
+            )
+        with open(os.path.join(path, "_manifest.1.json")) as fh:
+            files = json.load(fh)["files"]
+        rep = parquet_layout_report(
+            spark, [os.path.join(path, f) for f in files]
+        )
+        out = (
+            rep.withColumn(
+                "version",
+                F.regexp_extract("path", r"v=(\d+)/", 1).cast("long"),
+            )
+            .groupBy("version")
+            .agg(
+                F.count_distinct("path").alias("n_files"),
+                F.count(F.lit(1)).alias("n_row_groups"),
+                F.sum("n_rows").alias("n_rows"),
+            )
+            .orderBy("version")
+        )
+        rows = out.collect()
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
+    return spark.createDataFrame(rows, out.schema)
