@@ -227,20 +227,43 @@ _EXTERNALLY_CONFIRMED = [
     "events_cuped_adjusted_ab", "events_new_vs_returning_daily",
     "events_ab_power_mde", "cohort_ltv_curves", "events_m4_type",
     "events_paa_sax_user", "events_sax_words_user", "events_lead_lag_corr",
+    # round-9 driver greens (CORRECTNESS_r09.json: all 50 sampled queries
+    # rows+schema+hash matched — third consecutive fully hash-verifiable
+    # window, including both _RECHECK_FIRST re-pins confirmed under their
+    # upgraded oracles):
+    "stream_python_source_ticks", "stream_left_outer_views",
+    "stream_versioned_source_feed", "orders_incremental_pipeline_roundtrip",
+    "orders_versioned_schema_evolution", "orders_versioned_layout_health",
+    "events_parquet_layout_audit", "events_acf_daily_total",
+    "events_bollinger_daily", "orders_daily_drawdown",
+    "events_rolling_skew_kurt", "events_rsi_cutler", "customer_revenue_gini",
+    "session_top_paths", "orders_business_day_revenue",
+    "full_outer_hourly_type_matrix", "events_anomaly_mad",
+    "brand_discount_elasticity", "topk_parts_with_ties",
+    "orders_budget_runoff_rcte", "orders_param_sql_priority_summary",
+    "nation_revenue_share_of_region", "events_purchase_carry_forward",
+    "events_user_behavior_entropy", "supplier_part_bipartite_degree",
+    "events_salted_user_enrichment", "supplier_cosupply_triangles",
+    "supplier_cosupply_bfs_hops", "users_clamped_balance", "orders_ks_drift",
+    "orders_mannwhitney_period", "events_chi2_type_dow",
+    "orders_benford_audit", "lineitem_vwap_monthly",
+    "events_page_hinkley_drift", "events_adf_unit_root",
+    "events_granger_view_purchase", "events_anova_value_by_type",
+    "events_cointegration_view_click", "events_mann_kendall_daily",
+    "events_runs_test_daily", "events_ljung_box_daily",
+    "orders_var_cvar_daily", "part_item_item_recs", "supplier_cosupply_sssp",
+    "events_esd_outliers", "users_lifetime_kaplan_meier",
+    "events_binseg_changepoints", "users_logrank_heavy_light",
+    "events_kendall_tau_daily",
 ]
 
 # Queries pinned to the very front of the sample window: externally-failed
 # fixes awaiting re-confirmation, plus queries whose check STRENGTH changed
 # (rows-only → oracle-backed) and should face the driver again under the
-# stronger check. Round 8 had ZERO failures (50/50 hash-green), but
-# stream_python_source_ticks gained its VALUES oracle in round 8 AFTER its
-# rows-only confirmation and was not in the r08 sample — it faces the
-# driver under the stronger check for the first time here. Likewise any
-# query upgraded rows-only → oracle-backed THIS round is pinned.
-_RECHECK_FIRST: list[str] = [
-    "stream_python_source_ticks",
-    "stream_left_outer_views",  # rows-only → piecewise oracle (round 9)
-]
+# stronger check. Round 9 had ZERO failures (50/50 hash-green) and both
+# round-9 re-pins confirmed under their upgraded oracles, so only this
+# round's rows-only → oracle-backed upgrades are pinned here.
+_RECHECK_FIRST: list[str] = []
 
 SAMPLE_WINDOW = 50  # the external gate samples this many leading entries
 
