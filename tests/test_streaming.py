@@ -6,6 +6,7 @@ maxFilesPerTrigger=1) for the stateful paths."""
 from __future__ import annotations
 
 import pyspark.sql.functions as F
+import pyspark.sql.types as T
 import pytest
 
 from time_series_spark_spark.operators.timeseries import session_summary
@@ -1538,9 +1539,14 @@ def test_versioned_sink_stream_identity_normalized_and_legacy_migration(
        identity. Spark's checkpoint resume treats them identically, so
        a resume under a different spelling must hit the same ledger —
        otherwise a redelivered micro-batch republishes as duplicates.
-    2. MIGRATION — manifests committed BEFORE stream ids existed carry
-       ``stream_id: null``. A checkpoint-backed stream resuming onto
-       such a table treats their batch ids as committed, not fresh.
+    2. MIGRATION, gated by a checkpoint marker — manifests committed
+       BEFORE stream ids existed carry ``stream_id: null``. ONLY a
+       checkpoint that itself predates the migration (engine state
+       present, no identity marker) treats those batch ids as
+       committed; a BRAND-NEW stream (fresh checkpoint, batch ids
+       restarting at 0) must NOT absorb the None-scoped ledger — that
+       would silently drop its first micro-batches as phantom
+       redeliveries (round-9 advice).
     """
     import os
 
@@ -1589,7 +1595,7 @@ def test_versioned_sink_stream_identity_normalized_and_legacy_migration(
     assert replay == []  # absorbed — same identity under both spellings
     assert read_versioned(spark, table1).count() == 2
 
-    # --- (2) migration: legacy stream manifests (stream_id=None) ---
+    # --- (2a) a BRAND-NEW stream does NOT absorb the legacy ledger ---
     table2 = str(tmp_path / "t2")
     legacy = spark.createDataFrame([(99, 990)], "id long, v long")
     # pre-migration stream commit: batch_id recorded, no stream identity
@@ -1602,12 +1608,39 @@ def test_versioned_sink_stream_identity_normalized_and_legacy_migration(
     got2 = stream_to_versioned_table(
         sdf2, table2, checkpoint_dir=str(tmp_path / "ck2")
     )
-    # batch 0 matches the legacy ledger -> skipped; batch 1 publishes
-    assert got2 == [1]
+    # ck2 is a FRESH checkpoint: its batch ids 0,1 are new work, not
+    # redeliveries of the legacy batch 0 — both must publish
+    assert got2 == [1, 2]
     rows = {
         (r["id"], r["v"]) for r in read_versioned(spark, table2).collect()
     }
-    assert (99, 990) in rows and len(rows) == 2
+    assert rows == {(99, 990), (1, 10), (2, 20)}
+
+    # --- (2b) a PRE-MIGRATION checkpoint (engine state, no marker)
+    # DOES absorb the None-scoped ledger ---
+    table3 = str(tmp_path / "t3")
+    assert write_versioned(legacy, table3, batch_id=0) == 0
+    ck3 = tmp_path / "ck3"
+    (ck3 / "offsets").mkdir(parents=True)  # looks like an old checkpoint
+    sdf3 = (
+        spark.readStream.schema("id long, v long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    got3 = stream_to_versioned_table(sdf3, table3, checkpoint_dir=str(ck3))
+    # batch 0 matches the legacy ledger -> skipped; batch 1 publishes
+    assert got3 == [1]
+    rows3 = {
+        (r["id"], r["v"]) for r in read_versioned(spark, table3).collect()
+    }
+    assert (99, 990) in rows3 and len(rows3) == 2
+    # the marker persists the resolved aliases, so a RESUME keeps
+    # absorbing the legacy scope even though engine state now exists
+    import json
+
+    with open(ck3 / "_versioned_sink_identity.json") as fh:
+        m = json.load(fh)
+    assert m["stream_id"] == str(ck3) and m["alias_ids"] == [None]
 
 
 def test_versioned_stream_source_snapshot_incremental_prune(
@@ -1810,6 +1843,26 @@ def test_versioned_table_additive_schema_evolution(spark, tmp_path):
     assert feed.count() == 8
     assert feed.filter("w IS NULL").count() == 5
     assert feed.filter("_commit_version = 1 AND w IS NOT NULL").count() == 3
+    # (5) the BATCH read schema is all-nullable (round-9 advice): w came
+    # from spark.range (non-nullable in the commit's schema), but old
+    # files null-fill it — a read schema asserting non-null would let
+    # the optimizer mis-prune the IS NULL filters above
+    assert all(f.nullable for f in latest.schema.fields)
+    # (6) a NULLABILITY-ONLY carry-forward difference is not a schema
+    # change (round-9 advice): same columns, different nullability, must
+    # pass the additive gate without touching the compat check
+    nullable_df = spark.createDataFrame(
+        [(100, 200, 300)],
+        T.StructType(
+            [
+                T.StructField("id", T.LongType(), True),
+                T.StructField("v", T.LongType(), True),
+                T.StructField("w", T.LongType(), True),
+            ]
+        ),
+    )
+    v_null = write_versioned(nullable_df, table, carry_forward=True)
+    assert read_versioned(spark, table, as_of=v_null).count() == 9
 
 
 def test_incremental_pipeline_exactly_once_composition(spark, tmp_path):

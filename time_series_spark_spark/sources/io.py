@@ -210,6 +210,19 @@ def read_parquet_evolved(
 # --------------------------------------------------------------------------
 # A13 (round 5): manifest-versioned table — snapshot isolation + time travel
 # --------------------------------------------------------------------------
+def _normalize_schema(schema: T.StructType) -> T.StructType:
+    """Schema with nullability + field metadata stripped — the identity
+    under which the versioned table compares schemas. Nullability is not
+    part of the table's logical schema (old files may null-fill added
+    columns, so every read path forces nullable; Delta does the same)."""
+    return T.StructType(
+        [
+            T.StructField(f.name, f.dataType, nullable=True)
+            for f in schema.fields
+        ]
+    )
+
+
 def write_versioned(
     df: DataFrame,
     table_path: str,
@@ -285,7 +298,14 @@ def write_versioned(
         # type and not every reader upcasts; Delta gates widening behind
         # an explicit table feature for the same reason.
         prev_schema = T.StructType.fromJson(json.loads(prev["schema"]))
-        if prev_schema != df.schema:
+        # Compare NORMALIZED schemas: a nullability- or metadata-only
+        # difference is NOT a schema change (schema_compat_report only
+        # sees dataType, so such a change would otherwise pass the gate
+        # as "unchanged" and silently make e.g. nullable→required the
+        # manifest-authoritative schema — wrong, because carried-forward
+        # old files may hold nulls for a newly-"required" column; read
+        # paths force nullable anyway, see read_versioned).
+        if _normalize_schema(prev_schema) != _normalize_schema(df.schema):
             bad = [
                 r
                 for r in schema_compat_report(prev_schema, df.schema)
@@ -351,12 +371,17 @@ def read_versioned(
     paths = [os.path.join(table_path, f) for f in manifest["files"]]
     schema = T.StructType.fromJson(json.loads(manifest["schema"]))
     if not paths:
-        return spark.createDataFrame([], schema)
+        return spark.createDataFrame([], _normalize_schema(schema))
     # Manifest-authoritative read schema (A13c): files written before an
     # additive schema change lack the added columns — reading with the
     # COMMIT's schema null-fills them (and skips footer schema inference
-    # entirely, which at 100 TB is also the cheaper scan plan).
-    return spark.read.schema(schema).parquet(*paths)
+    # entirely, which at 100 TB is also the cheaper scan plan). The
+    # schema is RELAXED to all-nullable first, like the streaming
+    # source's: a non-nullable field in the latest commit's schema (e.g.
+    # from a spark.range-derived frame) would falsely assert non-null
+    # over null-filled pre-evolution files and let the optimizer
+    # mis-prune IsNull/IsNotNull filters.
+    return spark.read.schema(_normalize_schema(schema)).parquet(*paths)
 
 
 def compact_versioned(

@@ -1109,6 +1109,71 @@ def stateful_token_bucket(
 # J11d + A13: streaming sink onto the manifest-versioned table
 # --------------------------------------------------------------------------
 
+_IDENTITY_MARKER = "_versioned_sink_identity.json"
+
+
+def _resolve_stream_identity(
+    checkpoint_dir: str | None,
+) -> "tuple[str, list[str | None]]":
+    """Resolve the stream identity for the (stream_id, batch_id) ledger,
+    plus the ALIAS ledger scopes this checkpoint's history may also have
+    committed under.
+
+    The identity is the normalized (absolute) checkpoint path — relative
+    vs absolute spellings of the SAME checkpoint dir are one stream:
+    Spark's own checkpoint resume treats them identically, so the
+    redelivery ledger must too, else a resumed stream republishes
+    committed batches as duplicates. Without a checkpoint dir there is no
+    redelivery to absorb, so each run gets a fresh UUID identity.
+
+    A MARKER file inside the checkpoint dir records the identity the
+    first run resolved, which settles the one genuinely ambiguous case —
+    a checkpoint created before manifests carried stream ids at all:
+
+    - marker present → this checkpoint was created by marker-aware code;
+      its ledger lives entirely under the recorded stream_id (+ recorded
+      aliases). No legacy absorption.
+    - no marker, but the dir already holds engine checkpoint state
+      (``offsets``/``metadata``) → a PRE-MIGRATION checkpoint: its
+      earlier commits were recorded under stream_id=None (and possibly
+      under a raw un-normalized path spelling), so those scopes are
+      returned as aliases and persisted in the new marker.
+    - no marker, no engine state → a BRAND-NEW stream. Critically, it
+      absorbs NOTHING: its batch ids restart at 0, and merging the
+      None-scoped ledger of a table holding legacy manifests would
+      silently drop its first micro-batches as phantom redeliveries —
+      the exact failure the pair-keyed ledger exists to prevent.
+    """
+    import json
+    import os
+    import uuid
+
+    if checkpoint_dir is None:
+        return f"ephemeral-{uuid.uuid4()}", []
+    norm = os.path.abspath(checkpoint_dir)
+    marker = os.path.join(norm, _IDENTITY_MARKER)
+    if os.path.exists(marker):
+        with open(marker) as fh:
+            m = json.load(fh)
+        return m["stream_id"], m.get("alias_ids", [])
+    pre_migration = os.path.exists(
+        os.path.join(norm, "offsets")
+    ) or os.path.exists(os.path.join(norm, "metadata"))
+    alias_ids: list[str | None] = []
+    if pre_migration:
+        alias_ids.append(None)
+        if checkpoint_dir != norm:
+            # older code keyed the ledger by the RAW spelling — a resume
+            # invoked with the same relative path must still match it
+            alias_ids.append(checkpoint_dir)
+    os.makedirs(norm, exist_ok=True)
+    tmp = marker + ".tmp"
+    with open(tmp, "w") as fh:
+        json.dump({"stream_id": norm, "alias_ids": alias_ids}, fh)
+    os.rename(tmp, marker)
+    return norm, alias_ids
+
+
 def stream_to_versioned_table(
     stream_df: DataFrame,
     table_path: str,
@@ -1141,36 +1206,26 @@ def stream_to_versioned_table(
     absorb (nothing persists to replay from), so each run gets a fresh
     UUID identity and never collides with prior runs' ledger entries.
     """
-    import os
-    import uuid
-
     from time_series_spark_spark.sources.io import (
         committed_batch_ids,
         write_versioned,
     )
 
-    # Normalize the checkpoint path: relative vs absolute spellings of
-    # the SAME checkpoint dir are one stream identity — Spark's own
-    # checkpoint resume treats them identically, so the redelivery
-    # ledger must too, else a resumed stream republishes committed
-    # batches as duplicates.
-    stream_id = (
-        os.path.abspath(checkpoint_dir)
-        if checkpoint_dir is not None
-        else f"ephemeral-{uuid.uuid4()}"
-    )
+    stream_id, alias_ids = _resolve_stream_identity(checkpoint_dir)
     committed: list[int] = []
 
     def commit(batch_df: DataFrame, batch_id: int) -> None:
         ledger = committed_batch_ids(table_path, stream_id)
-        if checkpoint_dir is not None:
-            # One-time migration: manifests written before stream ids
-            # existed carry stream_id=None. A checkpoint-backed stream
-            # resuming onto such a table must treat those batch ids as
-            # committed, not as fresh work (legacy batch writes never
-            # set batch_id, so the None-scoped ledger holds only
-            # pre-migration STREAM commits).
-            ledger |= committed_batch_ids(table_path, None)
+        # alias_ids (possibly empty) are the ADDITIONAL ledger scopes this
+        # checkpoint's history may have committed under — the legacy
+        # None-scope and/or a raw (un-normalized) path spelling. They are
+        # resolved ONCE at identity resolution and only for checkpoints
+        # that actually predate the marker migration: a brand-new stream
+        # (fresh checkpoint, batch ids restarting at 0) must NOT absorb a
+        # stranger's None-scoped ledger, or its first micro-batches would
+        # be silently dropped as phantom "redeliveries".
+        for alias in alias_ids:
+            ledger |= committed_batch_ids(table_path, alias)
         if batch_id in ledger:
             return  # redelivered micro-batch: already a committed version
         committed.append(
