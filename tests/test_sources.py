@@ -99,3 +99,63 @@ def test_compaction_heals_one_row_group_layout(spark, tmp_path):
     assert after.groupby("path")["n_rows"].sum().max() < 50_000
     assert spark.read.parquet(dst).count() == 50_000
     assert stats["n_files_after"] == after["path"].nunique()
+
+
+def test_versioned_table_through_subtree_filesystem(spark, tmp_path):
+    """The fsio seam (round 10): the WHOLE A13 family — write (replace +
+    carry-forward), time travel, OPTIMIZE, VACUUM + retention floor,
+    and the (stream_id, batch_id) ledger — runs against a NON-DEFAULT
+    pyarrow filesystem. A SubTreeFileSystem re-roots every storage call:
+    if any code path bypassed the seam (a stray os/glob/open), it would
+    look at the wrong directory and this test would see missing
+    manifests or files."""
+    from pyarrow import fs as pafs
+
+    from time_series_spark_spark.sources.fsio import TableFS
+    from time_series_spark_spark.sources.io import (
+        committed_batch_ids,
+        compact_versioned,
+        read_versioned,
+        retention_floor,
+        vacuum_versioned,
+        write_versioned,
+    )
+
+    base = tmp_path / "store"
+    base.mkdir()
+    sub = pafs.SubTreeFileSystem(str(base), pafs.LocalFileSystem())
+    # manifest I/O goes through the subtree FS (root-relative path);
+    # Spark addresses the same directory via the composed local path
+    tfs = TableFS("vt", filesystem=sub, spark_root=str(base / "vt"))
+
+    assert write_versioned(spark.range(4).selectExpr("id"), tfs) == 0
+    assert (
+        write_versioned(
+            spark.range(4, 6).selectExpr("id"),
+            tfs,
+            carry_forward=True,
+            batch_id=0,
+            stream_id="s1",
+        )
+        == 1
+    )
+    # every storage artifact landed under the SUBTREE root
+    assert (base / "vt" / "_manifest.0.json").exists()
+    assert (base / "vt" / "_manifest.1.json").exists()
+    assert read_versioned(spark, tfs).count() == 6
+    assert read_versioned(spark, tfs, as_of=0).count() == 4
+    assert committed_batch_ids(tfs, "s1") == {0}
+
+    stats = compact_versioned(spark, tfs, target_file_bytes=1 << 30)
+    assert stats["version"] == 2 and stats["n_files_after"] >= 1
+    assert read_versioned(spark, tfs).count() == 6
+
+    vac = vacuum_versioned(tfs, keep_last=1)
+    assert vac["floor"] == 2 == retention_floor(tfs)
+    assert read_versioned(spark, tfs).count() == 6  # latest unaffected
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="retention floor"):
+        read_versioned(spark, tfs, as_of=0)
+    # the ledger survives vacuum (manifests are kept)
+    assert committed_batch_ids(tfs, "s1") == {0}

@@ -1773,6 +1773,53 @@ def test_versioned_stream_source_snapshot_incremental_prune(
     assert len(parts) == 4
     assert {p.version for p in parts} == {0}
 
+    # (6) a single BIG multi-row-group file splits at row-group
+    # boundaries (round 10 — the A19 lesson: one-partition-per-file
+    # would serialize the read of a large appended file)
+    import json
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    table4 = tmp_path / "vt4"
+    (table4 / "v=0").mkdir(parents=True)
+    pq.write_table(
+        pa.table({"id": list(range(5000))}),
+        table4 / "v=0" / "big.parquet",
+        row_group_size=1000,  # 5 groups — 5 parquet split points
+    )
+    with open(table4 / "_manifest.0.json", "w") as fh:
+        json.dump(
+            {
+                "version": 0,
+                "files": ["v=0/big.parquet"],
+                "schema": spark.range(1).schema.json(),
+                "n_files": 1,
+                "batch_id": None,
+                "stream_id": None,
+            },
+            fh,
+        )
+    rd4 = VersionedTableStreamReader({"path": str(table4)})
+    rd4.TARGET_SLICE_BYTES = 8_000  # ~one 1000-row int64 group per slice
+    parts4 = rd4.partitions(
+        {"version": 0, "snapshot": True}, {"version": 0, "snapshot": False}
+    )
+    assert len(parts4) == 5  # one slice per row group
+    got_groups = sorted(g for p in parts4 for g in p.row_groups)
+    assert got_groups == [0, 1, 2, 3, 4]
+    # the slices partition the file: no row read twice, none dropped
+    n = sum(
+        sum(b.num_rows for b in rd4.read(p)) for p in parts4
+    )
+    assert n == 5000
+    # default target keeps small files whole: one slice, all 5 groups
+    rd4b = VersionedTableStreamReader({"path": str(table4)})
+    parts4b = rd4b.partitions(
+        {"version": 0, "snapshot": True}, {"version": 0, "snapshot": False}
+    )
+    assert len(parts4b) == 1 and parts4b[0].row_groups == [0, 1, 2, 3, 4]
+
 
 def test_versioned_table_additive_schema_evolution(spark, tmp_path):
     """A13c: (1) a carry-forward commit may ADD columns — the manifest

@@ -1,0 +1,145 @@
+"""Filesystem seam for the manifest-versioned table family (A13/A13b/
+A13c/A17b/J11d/J11e — round-10 portability item).
+
+Everything the versioned table does to storage — manifest list/read/
+atomic-publish, retention floor, data-file sizing/deletion — goes through
+:class:`TableFS`, a thin wrapper over a ``pyarrow.fs.FileSystem`` plus the
+table root. The default is the local filesystem (byte-identical behavior
+to the previous ``os``/``glob``/``os.rename`` code), but any pyarrow
+filesystem works: ``SubTreeFileSystem`` (exercised in tests), ``S3FileSystem``,
+``HadoopFileSystem``, ``GcsFileSystem``.
+
+Atomicity note, honest and load-bearing: the manifest publish is
+``write tmp → move``. On POSIX local filesystems ``move`` is ``rename(2)``
+— atomic, which is the single-writer commit protocol the table documents.
+Object stores have no atomic rename: a production deployment there must
+replace ``write_json_atomic`` with a conditional put (S3
+``If-None-Match:*``, GCS ``ifGenerationMatch=0``) or an external lock/
+catalog — exactly the swap Delta's LogStore abstraction makes per-store.
+The seam exists so that swap is one method, not a rewrite.
+
+Spark itself cannot scan through an arbitrary pyarrow filesystem object —
+it resolves paths via Hadoop FileSystem from the path STRING. So
+``TableFS`` carries a parallel ``spark_root``: the spelling of the same
+location that Spark's reader/writer understands (for the local default
+they are identical; for a ``SubTreeFileSystem`` over a local base the
+caller passes the composed local path; for s3a://-style deployments the
+caller passes the Hadoop-addressable URI).
+"""
+
+from __future__ import annotations
+
+import json
+import posixpath
+import re
+
+
+class TableFS:
+    """A table root on some ``pyarrow.fs.FileSystem``.
+
+    Parameters
+    ----------
+    root : fs-native path of the table directory (for the default local
+        filesystem this is a plain path, normalized to absolute).
+    filesystem : a ``pyarrow.fs.FileSystem``; ``None`` → local.
+    spark_root : the spelling of the same directory Spark can address
+        (defaults to ``root`` — correct for the local filesystem and for
+        any URI Hadoop resolves natively).
+    """
+
+    def __init__(self, root: str, filesystem=None, spark_root: str | None = None):
+        from pyarrow import fs as pafs
+
+        if filesystem is None:
+            import os
+
+            root = os.path.abspath(root)
+            filesystem = pafs.LocalFileSystem()
+        self.fs = filesystem
+        self.root = root.rstrip("/")
+        self.spark_root = (spark_root or root).rstrip("/")
+
+    # -- paths -------------------------------------------------------------
+    def path(self, *rel: str) -> str:
+        return posixpath.join(self.root, *rel) if rel else self.root
+
+    def spark_path(self, *rel: str) -> str:
+        return posixpath.join(self.spark_root, *rel) if rel else self.spark_root
+
+    # -- metadata ----------------------------------------------------------
+    def exists(self, *rel: str) -> bool:
+        from pyarrow import fs as pafs
+
+        info = self.fs.get_file_info(self.path(*rel))
+        return info.type != pafs.FileType.NotFound
+
+    def size(self, *rel: str) -> int:
+        return self.fs.get_file_info(self.path(*rel)).size
+
+    def ls(self, *rel: str) -> list[str]:
+        """Base names of entries DIRECTLY under a directory (non-recursive);
+        empty list when the directory does not exist."""
+        from pyarrow import fs as pafs
+
+        sel = pafs.FileSelector(
+            self.path(*rel), recursive=False, allow_not_found=True
+        )
+        return sorted(posixpath.basename(i.path) for i in self.fs.get_file_info(sel))
+
+    def ls_info(self, *rel: str) -> list:
+        from pyarrow import fs as pafs
+
+        sel = pafs.FileSelector(
+            self.path(*rel), recursive=False, allow_not_found=True
+        )
+        return self.fs.get_file_info(sel)
+
+    # -- I/O ---------------------------------------------------------------
+    def mkdirs(self, *rel: str) -> None:
+        self.fs.create_dir(self.path(*rel), recursive=True)
+
+    def read_json(self, *rel: str) -> dict:
+        with self.fs.open_input_stream(self.path(*rel)) as f:
+            return json.loads(f.read().decode("utf-8"))
+
+    def write_json_atomic(self, obj: dict, *rel: str) -> None:
+        """Publish a small JSON file atomically: write ``<name>.tmp`` then
+        move over the final name — rename(2) on local/HDFS (atomic; the
+        commit protocol), copy-delete on object stores (NOT atomic there:
+        swap in a conditional put, see module docstring)."""
+        final = self.path(*rel)
+        tmp = final + ".tmp"
+        with self.fs.open_output_stream(tmp) as f:
+            f.write(json.dumps(obj).encode("utf-8"))
+        self.fs.move(tmp, final)
+
+    def delete_file(self, *rel: str) -> None:
+        self.fs.delete_file(self.path(*rel))
+
+    def delete_dir(self, *rel: str) -> None:
+        self.fs.delete_dir(self.path(*rel))
+
+    def __repr__(self) -> str:  # debugging aid only
+        return f"TableFS({self.fs.type_name}:{self.root})"
+
+
+_MANIFEST_RE = re.compile(r"^_manifest\.(\d+)\.json$")
+
+
+def as_table_fs(table_path: "str | TableFS") -> TableFS:
+    """The A13 family's argument conversion: every function accepts either
+    a plain path string (local filesystem — the sandbox default) or a
+    ready ``TableFS`` (any pyarrow filesystem)."""
+    return table_path if isinstance(table_path, TableFS) else TableFS(table_path)
+
+
+def manifest_versions(tfs: TableFS) -> list[int]:
+    """Committed version numbers, from the manifest directory listing
+    (one LIST call — the same planner-side listing any table format's
+    log replay does)."""
+    out = []
+    for name in tfs.ls():
+        m = _MANIFEST_RE.match(name)
+        if m:
+            out.append(int(m.group(1)))
+    return sorted(out)

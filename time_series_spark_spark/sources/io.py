@@ -225,7 +225,7 @@ def _normalize_schema(schema: T.StructType) -> T.StructType:
 
 def write_versioned(
     df: DataFrame,
-    table_path: str,
+    table_path,
     batch_id: int | None = None,
     carry_forward: bool = False,
     stream_id: str | None = None,
@@ -264,28 +264,32 @@ def write_versioned(
     "latest" is always the cumulative table and every intermediate
     version remains a consistent time-travel point. Default (False) is
     replace semantics: the version is just this df.
-    """
-    import glob as _glob
-    import json
-    import os
 
-    os.makedirs(table_path, exist_ok=True)
-    existing = sorted(
-        int(p.rsplit(".", 2)[-2])
-        for p in _glob.glob(os.path.join(table_path, "_manifest.*.json"))
+    ``table_path`` is a path string (local filesystem) or a
+    :class:`~time_series_spark_spark.sources.fsio.TableFS` — every
+    storage touch goes through the fsio seam, so the whole A13 family
+    runs against any pyarrow filesystem (see fsio module docstring for
+    the object-store commit-protocol caveat).
+    """
+    import json
+
+    from time_series_spark_spark.sources.fsio import (
+        as_table_fs,
+        manifest_versions,
     )
+
+    tfs = as_table_fs(table_path)
+    tfs.mkdirs()
+    existing = manifest_versions(tfs)
     version = (existing[-1] + 1) if existing else 0
-    data_dir = os.path.join(table_path, f"v={version}")
-    df.write.mode("overwrite").parquet(data_dir)
+    df.write.mode("overwrite").parquet(tfs.spark_path(f"v={version}"))
     files = sorted(
-        os.path.relpath(p, table_path)
-        for p in _glob.glob(os.path.join(data_dir, "*.parquet"))
+        f"v={version}/{name}"
+        for name in tfs.ls(f"v={version}")
+        if name.endswith(".parquet")
     )
     if carry_forward and existing:
-        with open(
-            os.path.join(table_path, f"_manifest.{existing[-1]}.json")
-        ) as fh:
-            prev = json.load(fh)
+        prev = tfs.read_json(f"_manifest.{existing[-1]}.json")
         # A13c schema evolution, additive-only (round 9): a carry-forward
         # commit whose schema differs from the previous manifest's must
         # be a pure COLUMN ADDITION — old files then read as NULL for the
@@ -328,47 +332,43 @@ def write_versioned(
         "batch_id": batch_id,
         "stream_id": stream_id,
     }
-    tmp = os.path.join(table_path, f"_manifest.{version}.json.tmp")
-    final = os.path.join(table_path, f"_manifest.{version}.json")
-    with open(tmp, "w") as fh:
-        json.dump(manifest, fh)
-    os.rename(tmp, final)  # POSIX-atomic publish
+    tfs.write_json_atomic(manifest, f"_manifest.{version}.json")
     return version
 
 
 def read_versioned(
-    spark: SparkSession, table_path: str, as_of: int | None = None
+    spark: SparkSession, table_path, as_of: int | None = None
 ) -> DataFrame:
     """Read a manifest-versioned table at the latest version, or AS OF an
     earlier one. Only files listed in the resolved manifest are read —
     uncommitted/partial writes are invisible by construction."""
-    import glob as _glob
     import json
-    import os
 
-    versions = sorted(
-        int(p.rsplit(".", 2)[-2])
-        for p in _glob.glob(os.path.join(table_path, "_manifest.*.json"))
+    from time_series_spark_spark.sources.fsio import (
+        as_table_fs,
+        manifest_versions,
     )
+
+    tfs = as_table_fs(table_path)
+    versions = manifest_versions(tfs)
     if not versions:
-        raise FileNotFoundError(f"no committed versions in {table_path}")
+        raise FileNotFoundError(f"no committed versions in {tfs.root}")
     pick = versions[-1] if as_of is None else as_of
     if pick not in versions:
         raise ValueError(f"version {pick} not committed (have {versions})")
-    floor = retention_floor(table_path)
+    floor = retention_floor(tfs)
     if pick < floor:
         # The manifest still exists (it is the redelivery ledger) but its
         # data files may be vacuumed — fail LOUDLY rather than return a
         # partial/missing-file scan.
         raise ValueError(
             f"version {pick} is below the retention floor {floor} of "
-            f"{table_path}: its data files were pruned by "
+            f"{tfs.root}: its data files were pruned by "
             "vacuum_versioned; time travel is only valid for versions "
             f">= {floor}"
         )
-    with open(os.path.join(table_path, f"_manifest.{pick}.json")) as fh:
-        manifest = json.load(fh)
-    paths = [os.path.join(table_path, f) for f in manifest["files"]]
+    manifest = tfs.read_json(f"_manifest.{pick}.json")
+    paths = [tfs.spark_path(f) for f in manifest["files"]]
     schema = T.StructType.fromJson(json.loads(manifest["schema"]))
     if not paths:
         return spark.createDataFrame([], _normalize_schema(schema))
@@ -386,7 +386,7 @@ def read_versioned(
 
 def compact_versioned(
     spark: SparkSession,
-    table_path: str,
+    table_path,
     target_file_bytes: int = 128 * 1024 * 1024,
 ) -> dict:
     """OPTIMIZE for the manifest-versioned table (A17 ∘ A13): rewrite the
@@ -405,22 +405,19 @@ def compact_versioned(
 
     Returns {version, n_files_before, n_files_after, bytes_before}.
     """
-    import glob as _glob
-    import json
     import math
-    import os
 
-    versions = sorted(
-        int(p.rsplit(".", 2)[-2])
-        for p in _glob.glob(os.path.join(table_path, "_manifest.*.json"))
+    from time_series_spark_spark.sources.fsio import (
+        as_table_fs,
+        manifest_versions,
     )
+
+    tfs = as_table_fs(table_path)
+    versions = manifest_versions(tfs)
     if not versions:
-        raise FileNotFoundError(f"no committed versions in {table_path}")
-    with open(
-        os.path.join(table_path, f"_manifest.{versions[-1]}.json")
-    ) as fh:
-        manifest = json.load(fh)
-    files = [os.path.join(table_path, f) for f in manifest["files"]]
+        raise FileNotFoundError(f"no committed versions in {tfs.root}")
+    manifest = tfs.read_json(f"_manifest.{versions[-1]}.json")
+    files = manifest["files"]
     if not files:
         # An empty snapshot (empty df committed) has nothing to rewrite;
         # spark.read.parquet() with zero paths would die with an opaque
@@ -432,14 +429,13 @@ def compact_versioned(
             "n_files_after": 0,
             "bytes_before": 0,
         }
-    bytes_before = sum(os.path.getsize(f) for f in files)
+    bytes_before = sum(tfs.size(f) for f in files)
     n_out = max(1, math.ceil(bytes_before / target_file_bytes))
-    df = spark.read.parquet(*files).repartition(n_out)
-    version = write_versioned(df, table_path)
-    with open(
-        os.path.join(table_path, f"_manifest.{version}.json")
-    ) as fh:
-        after = json.load(fh)
+    df = spark.read.parquet(*(tfs.spark_path(f) for f in files)).repartition(
+        n_out
+    )
+    version = write_versioned(df, tfs)
+    after = tfs.read_json(f"_manifest.{version}.json")
     return {
         "version": version,
         "n_files_before": len(files),
@@ -449,7 +445,7 @@ def compact_versioned(
 
 
 def committed_batch_ids(
-    table_path: str, stream_id: str | None = None
+    table_path, stream_id: str | None = None
 ) -> set[int]:
     """Batch ids recorded by COMMITTED manifests of a versioned table —
     the redelivery ledger of the streaming sink, scoped to one stream
@@ -463,33 +459,32 @@ def committed_batch_ids(
     only manifests committed without a stream id (legacy/batch writes).
     Manifests survive vacuum_versioned (only data files are pruned), so
     the ledger keeps absorbing arbitrarily late redeliveries."""
-    import glob as _glob
-    import json
-    import os
+    from time_series_spark_spark.sources.fsio import (
+        as_table_fs,
+        manifest_versions,
+    )
 
+    tfs = as_table_fs(table_path)
     out: set[int] = set()
-    for p in _glob.glob(os.path.join(table_path, "_manifest.*.json")):
-        with open(p) as fh:
-            m = json.load(fh)
+    for v in manifest_versions(tfs):
+        m = tfs.read_json(f"_manifest.{v}.json")
         if m.get("batch_id") is not None and m.get("stream_id") == stream_id:
             out.add(int(m["batch_id"]))
     return out
 
 
-def retention_floor(table_path: str) -> int:
+def retention_floor(table_path) -> int:
     """The oldest version whose data files are guaranteed present (0 when
     vacuum has never run). Published atomically by vacuum_versioned."""
-    import json
-    import os
+    from time_series_spark_spark.sources.fsio import as_table_fs
 
-    p = os.path.join(table_path, "_retention.json")
-    if not os.path.exists(p):
+    tfs = as_table_fs(table_path)
+    if not tfs.exists("_retention.json"):
         return 0
-    with open(p) as fh:
-        return int(json.load(fh)["floor"])
+    return int(tfs.read_json("_retention.json")["floor"])
 
 
-def vacuum_versioned(table_path: str, keep_last: int = 2) -> dict:
+def vacuum_versioned(table_path, keep_last: int = 2) -> dict:
     """Retention for the manifest-versioned table — the third leg of
     A13 (time travel) + A17b (OPTIMIZE): physically delete data files
     referenced ONLY by versions older than the last ``keep_last``
@@ -527,23 +522,23 @@ def vacuum_versioned(table_path: str, keep_last: int = 2) -> dict:
 
     Returns {floor, n_files_deleted, bytes_deleted, versions_pruned}.
     """
-    import glob as _glob
-    import json
-    import os
+    from pyarrow import fs as pafs
 
-    versions = sorted(
-        int(p.rsplit(".", 2)[-2])
-        for p in _glob.glob(os.path.join(table_path, "_manifest.*.json"))
+    from time_series_spark_spark.sources.fsio import (
+        as_table_fs,
+        manifest_versions,
     )
+
+    tfs = as_table_fs(table_path)
+    versions = manifest_versions(tfs)
     if not versions:
-        raise FileNotFoundError(f"no committed versions in {table_path}")
+        raise FileNotFoundError(f"no committed versions in {tfs.root}")
     keep_last = max(1, keep_last)
     new_floor = versions[-keep_last] if len(versions) >= keep_last else versions[0]
-    floor = max(retention_floor(table_path), new_floor)
+    floor = max(retention_floor(tfs), new_floor)
 
     def _files_of(v: int) -> set[str]:
-        with open(os.path.join(table_path, f"_manifest.{v}.json")) as fh:
-            return set(json.load(fh)["files"])
+        return set(tfs.read_json(f"_manifest.{v}.json")["files"])
 
     retained: set[str] = set()
     for v in versions:
@@ -555,11 +550,9 @@ def vacuum_versioned(table_path: str, keep_last: int = 2) -> dict:
         doomed |= _files_of(v) - retained
 
     # (1) publish the floor atomically BEFORE any delete
-    tmp = os.path.join(table_path, "_retention.json.tmp")
-    final = os.path.join(table_path, "_retention.json")
-    with open(tmp, "w") as fh:
-        json.dump({"floor": floor, "keep_last": keep_last}, fh)
-    os.rename(tmp, final)
+    tfs.write_json_atomic(
+        {"floor": floor, "keep_last": keep_last}, "_retention.json"
+    )
 
     # (2) delete unreferenced data files, then any emptied v=N dirs.
     # Count only files ACTUALLY removed this invocation: a re-run after a
@@ -568,18 +561,17 @@ def vacuum_versioned(table_path: str, keep_last: int = 2) -> dict:
     n_files_deleted = 0
     bytes_deleted = 0
     for rel in sorted(doomed):
-        p = os.path.join(table_path, rel)
-        if os.path.exists(p):
-            bytes_deleted += os.path.getsize(p)
-            os.remove(p)
+        if tfs.exists(rel):
+            bytes_deleted += tfs.size(rel)
+            tfs.delete_file(rel)
             n_files_deleted += 1
-    for d in _glob.glob(os.path.join(table_path, "v=*")):
-        if os.path.isdir(d) and not any(
-            f.endswith(".parquet") for f in os.listdir(d)
-        ):
-            import shutil
-
-            shutil.rmtree(d, ignore_errors=True)
+    for info in tfs.ls_info():
+        name = info.path.rsplit("/", 1)[-1]
+        if info.type == pafs.FileType.Directory and name.startswith("v="):
+            if not any(
+                f.endswith(".parquet") for f in tfs.ls(name)
+            ):
+                tfs.delete_dir(name)
     return {
         "floor": floor,
         "n_files_deleted": n_files_deleted,

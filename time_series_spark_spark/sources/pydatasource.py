@@ -229,14 +229,59 @@ def register_tick_stream_source(spark) -> None:
 # the read-side complement of the J11d sink (Delta's streaming read /
 # incremental version feed, from first principles).
 # ---------------------------------------------------------------------------
-class _VersionFileSlice(InputPartition):
-    """One added data file of one committed version — the unit of read
-    parallelism. A micro-batch spanning K versions with F new files total
-    schedules F independent tasks (no driver-side row funnel)."""
+def _normalize_table_path(path: str) -> str:
+    """Absolute-ize plain local paths (relative spellings must resolve
+    the same table from the driver and the planner worker); leave
+    scheme-qualified URIs (s3://…, hdfs://…) untouched."""
+    if "://" in path:
+        return path.rstrip("/")
+    import os
 
-    def __init__(self, file_path: str, version: int):
+    return os.path.abspath(path)
+
+
+def _fs_for_path(path: str):
+    """(pyarrow FileSystem, fs-native root) for a table path/URI."""
+    from pyarrow import fs as pafs
+
+    return pafs.FileSystem.from_uri(path)
+
+
+def _list_manifest_versions(fs, root: str) -> list:
+    import re
+
+    from pyarrow import fs as pafs
+
+    sel = pafs.FileSelector(root, recursive=False, allow_not_found=True)
+    out = []
+    for info in fs.get_file_info(sel):
+        m = re.match(r"^_manifest\.(\d+)\.json$", info.path.rsplit("/", 1)[-1])
+        if m:
+            out.append(int(m.group(1)))
+    return sorted(out)
+
+
+def _read_manifest(fs, root: str, v: int) -> dict:
+    import json
+
+    with fs.open_input_stream(f"{root}/_manifest.{v}.json") as f:
+        return json.loads(f.read().decode("utf-8"))
+
+
+class _VersionFileSlice(InputPartition):
+    """A contiguous run of ROW GROUPS of one added data file of one
+    committed version — the unit of read parallelism. A micro-batch
+    spanning K versions with F new files schedules at least F independent
+    tasks, and a single BIG file with many row groups splits into
+    multiple tasks (round 10 — the A19 lesson: parquet parallelizes only
+    at row-group boundaries, so one-partition-per-FILE would serialize
+    reads of a large appended file exactly like the one-row-group layout
+    defect the A19 auditor flags)."""
+
+    def __init__(self, file_path: str, version: int, row_groups: list):
         self.file_path = file_path
         self.version = version
+        self.row_groups = row_groups
 
 
 class VersionedTableStreamReader(DataSourceStreamReader):
@@ -273,45 +318,42 @@ class VersionedTableStreamReader(DataSourceStreamReader):
         path = options.get("path")
         if not path:
             raise ValueError("versioned_table source requires .option('path', ...)")
-        import os
-
-        self.table_path = os.path.abspath(path)
+        self.table_path = _normalize_table_path(path)
         # the declared source schema (latest manifest + _commit_version);
         # read() pads/casts every file to it so commits written BEFORE an
         # additive schema change stream null-filled, exactly like the
         # batch read (A13c)
         self._schema = schema
 
-    # -- manifest helpers (driver-side planner worker) --
-    def _versions(self) -> list:
-        import glob as _glob
-        import os
+    # -- manifest helpers (driver-side planner worker). All storage access
+    # goes through pyarrow.fs resolved from the path's scheme (local,
+    # s3://, hdfs://, gs://…) — the J11e half of the round-10 filesystem
+    # seam; options carry strings only, so the fs is re-resolved from the
+    # URI rather than injected. --
+    def _fs(self):
+        if not hasattr(self, "_fs_cached"):
+            self._fs_cached = _fs_for_path(self.table_path)
+        return self._fs_cached
 
-        return sorted(
-            int(p.rsplit(".", 2)[-2])
-            for p in _glob.glob(
-                os.path.join(self.table_path, "_manifest.*.json")
-            )
-        )
+    def _versions(self) -> list:
+        fs, root = self._fs()
+        return _list_manifest_versions(fs, root)
 
     def _files_of(self, v: int) -> set:
-        import json
-        import os
-
-        with open(
-            os.path.join(self.table_path, f"_manifest.{v}.json")
-        ) as fh:
-            return set(json.load(fh)["files"])
+        fs, root = self._fs()
+        return set(_read_manifest(fs, root, v)["files"])
 
     def _floor(self) -> int:
         import json
-        import os
 
-        p = os.path.join(self.table_path, "_retention.json")
-        if not os.path.exists(p):
+        from pyarrow import fs as pafs
+
+        fs, root = self._fs()
+        p = f"{root}/_retention.json"
+        if fs.get_file_info(p).type == pafs.FileType.NotFound:
             return 0
-        with open(p) as fh:
-            return int(json.load(fh)["floor"])
+        with fs.open_input_stream(p) as f:
+            return int(json.loads(f.read().decode("utf-8"))["floor"])
 
     def initialOffset(self) -> dict:
         # Fresh consumer: begin with the FULL SNAPSHOT of the retention
@@ -330,17 +372,28 @@ class VersionedTableStreamReader(DataSourceStreamReader):
             )
         return {"version": vs[-1], "snapshot": False}
 
+    # pack contiguous row groups of one file into read slices of roughly
+    # this many (uncompressed) bytes — the same knob as Spark's
+    # maxPartitionBytes; small-group files still coalesce into one task,
+    # a single huge multi-group file fans out
+    TARGET_SLICE_BYTES = 128 * 1024 * 1024
+
     def partitions(self, start: dict, end: dict):
         """Plan the micro-batch (start, end]: the full file list of the
         snapshot version when ``start`` is the initial snapshot offset,
-        plus each later version's ADDED files. Manifest-only planning;
-        per-file existence is checked HERE so a checkpoint that predates
-        a vacuum fails loudly at plan time ("version pruned") instead of
-        surfacing a partial scan — and a resume whose files all survived
-        (the append-only common case: vacuum deletes nothing when every
-        old file is still referenced by retained manifests) proceeds."""
-        import os
+        plus each later version's ADDED files. Planning touches manifests
+        plus one FOOTER read per planned file (O(KB) metadata — what any
+        parquet planner pays): per-file existence is checked HERE so a
+        checkpoint that predates a vacuum fails loudly at plan time
+        ("version pruned") instead of surfacing a partial scan, and the
+        footer's row-group boundaries split big files into multiple
+        input partitions (parquet's only split points — one slice per
+        ~TARGET_SLICE_BYTES run of contiguous groups)."""
+        import pyarrow.parquet as pq
+        from pyarrow import fs as pafs
+        from pyarrow.lib import ArrowIOError
 
+        fs, root = self._fs()
         v1 = int(end["version"])
         parts = []
         if start.get("snapshot", False):
@@ -356,8 +409,8 @@ class VersionedTableStreamReader(DataSourceStreamReader):
             prev = self._files_of(v - 1) if v > 0 else set()
             todo += [(v, rel) for rel in sorted(self._files_of(v) - prev)]
         for v, rel in todo:
-            p = os.path.join(self.table_path, rel)
-            if not os.path.exists(p):
+            p = f"{root}/{rel}"
+            if fs.get_file_info(p).type == pafs.FileType.NotFound:
                 raise ValueError(
                     f"data file {rel} of version {v} was pruned by "
                     f"vacuum (retention floor {self._floor()} of "
@@ -365,7 +418,21 @@ class VersionedTableStreamReader(DataSourceStreamReader):
                     "resumed — restart from a fresh checkpoint to read "
                     "the floor snapshot"
                 )
-            parts.append(_VersionFileSlice(p, v))
+            try:
+                md = pq.ParquetFile(p, filesystem=fs).metadata
+            except ArrowIOError as exc:
+                raise ValueError(f"unreadable data file {rel} of version {v}: {exc}")
+            run: list = []
+            run_bytes = 0
+            for g in range(md.num_row_groups):
+                gb = md.row_group(g).total_byte_size
+                if run and run_bytes + gb > self.TARGET_SLICE_BYTES:
+                    parts.append(_VersionFileSlice(p, v, run))
+                    run, run_bytes = [], 0
+                run.append(g)
+                run_bytes += gb
+            if run:
+                parts.append(_VersionFileSlice(p, v, run))
         # a batch may legitimately add zero files (empty commit) — an
         # empty list yields an empty micro-batch
         return parts
@@ -374,7 +441,10 @@ class VersionedTableStreamReader(DataSourceStreamReader):
         import pyarrow as pa
         import pyarrow.parquet as pq
 
-        table = pq.read_table(partition.file_path)
+        fs, _ = self._fs()
+        table = pq.ParquetFile(
+            partition.file_path, filesystem=fs
+        ).read_row_groups(partition.row_groups)
         if self._schema is not None:
             # pad/cast to the declared schema (minus the version stamp):
             # files predating an additive schema change lack the added
@@ -418,21 +488,18 @@ class VersionedTableStreamDataSource(DataSource):
         return "versioned_table"
 
     def schema(self):
-        import glob as _glob
         import json
-        import os
 
         from pyspark.sql.types import LongType, StructField, StructType
 
-        path = os.path.abspath(self.options["path"])
-        manifests = sorted(
-            _glob.glob(os.path.join(path, "_manifest.*.json")),
-            key=lambda p: int(p.rsplit(".", 2)[-2]),
-        )
-        if not manifests:
+        path = _normalize_table_path(self.options["path"])
+        fs, root = _fs_for_path(path)
+        versions = _list_manifest_versions(fs, root)
+        if not versions:
             raise FileNotFoundError(f"no committed versions in {path}")
-        with open(manifests[-1]) as fh:
-            st = StructType.fromJson(json.loads(json.load(fh)["schema"]))
+        st = StructType.fromJson(
+            json.loads(_read_manifest(fs, root, versions[-1])["schema"])
+        )
         # the feed schema is NULLABLE everywhere: files committed before
         # an additive schema change are null-padded for the added
         # columns, so a non-nullable field in the latest commit's schema
