@@ -143,3 +143,49 @@ def manifest_versions(tfs: TableFS) -> list[int]:
         if m:
             out.append(int(m.group(1)))
     return sorted(out)
+
+
+def latest_version(tfs: TableFS) -> int | None:
+    """Latest committed version in O(1) via the ``_latest.json`` hint
+    (probe-forward covers a hint left stale-low by a crash between
+    manifest publish and hint publish); falls back to the full listing
+    for tables written before the hint existed. ``None`` = no commits."""
+    if tfs.exists("_latest.json"):
+        v = int(tfs.read_json("_latest.json")["version"])
+        if tfs.exists(f"_manifest.{v}.json"):
+            while tfs.exists(f"_manifest.{v + 1}.json"):
+                v += 1
+            return v
+    versions = manifest_versions(tfs)
+    return versions[-1] if versions else None
+
+
+def manifest_files(tfs: TableFS, version: int) -> list[str]:
+    """Resolve the FULL file list of a version by walking the delta
+    chain (``adds`` + ``base``) back to the nearest full-snapshot
+    manifest (``files``) — at most ``checkpoint_every`` reads (see
+    ``write_versioned``). Pre-round-10 manifests all carry ``files``,
+    so the walk terminates immediately on legacy tables."""
+    adds_stack: list[list[str]] = []
+    cur = version
+    while True:
+        m = tfs.read_json(f"_manifest.{cur}.json")
+        if "files" in m:
+            files = set(m["files"])
+            break
+        adds_stack.append(m["adds"])
+        cur = m["base"]
+    for adds in adds_stack:
+        files |= set(adds)
+    return sorted(files)
+
+
+def manifest_adds(tfs: TableFS, version: int) -> list[str]:
+    """The files ADDED by one commit — directly from the manifest's
+    ``adds`` when present (every round-10+ manifest), else the
+    files(v) − files(v−1) difference (legacy manifests)."""
+    m = tfs.read_json(f"_manifest.{version}.json")
+    if "adds" in m:
+        return sorted(m["adds"])
+    prev = set(manifest_files(tfs, version - 1)) if version > 0 else set()
+    return sorted(set(m["files"]) - prev)

@@ -223,6 +223,37 @@ def _normalize_schema(schema: T.StructType) -> T.StructType:
     )
 
 
+# Full-snapshot manifest cadence for carry-forward commits: delta-chain
+# resolution and ledger reconstruction read at most this many manifests.
+# Delta Lake's log checkpoint interval (10) solves the same problem.
+_CHECKPOINT_INTERVAL = 20
+
+
+def _collect_ledger_pairs(tfs, versions: list[int]) -> list:
+    """All (stream_id, batch_id) pairs committed up to the given versions,
+    walking DESCENDING and stopping at the first ledger-snapshot manifest
+    — bounded by _CHECKPOINT_INTERVAL reads on round-10+ tables, full
+    walk on legacy tables (which have no snapshots to stop at)."""
+    pairs: list = []
+    seen: set = set()
+
+    def _absorb(sid, bid):
+        key = (sid, int(bid))
+        if key not in seen:
+            seen.add(key)
+            pairs.append([sid, int(bid)])
+
+    for v in reversed(versions):
+        m = tfs.read_json(f"_manifest.{v}.json")
+        if m.get("batch_id") is not None:
+            _absorb(m.get("stream_id"), m["batch_id"])
+        if "ledger" in m:
+            for sid, bid in m["ledger"]:
+                _absorb(sid, bid)
+            break
+    return pairs
+
+
 def write_versioned(
     df: DataFrame,
     table_path,
@@ -265,6 +296,19 @@ def write_versioned(
     version remains a consistent time-travel point. Default (False) is
     replace semantics: the version is just this df.
 
+    **Manifest scalability (round 10 — Delta's log-checkpoint idea):**
+    a naive carry-forward manifest re-lists EVERY file, so manifest
+    size and append cost grow O(total files) — quadratic-ish metadata
+    at streaming append cadence. Instead, carry-forward commits between
+    checkpoints write a DELTA manifest (``adds`` + ``base`` pointer,
+    cost O(Δ files)); every ``checkpoint_every``-th version (and every
+    replace commit) writes a full ``files`` snapshot plus a ``ledger``
+    snapshot of all (stream_id, batch_id) pairs committed so far, so
+    file-list resolution walks at most ``checkpoint_every`` manifests
+    and ledger reconstruction stops at the nearest checkpoint. Every
+    manifest also records ``adds`` — the incremental streaming source
+    plans a micro-batch from it without any per-version diffing.
+
     ``table_path`` is a path string (local filesystem) or a
     :class:`~time_series_spark_spark.sources.fsio.TableFS` — every
     storage touch goes through the fsio seam, so the whole A13 family
@@ -275,6 +319,7 @@ def write_versioned(
 
     from time_series_spark_spark.sources.fsio import (
         as_table_fs,
+        manifest_files,
         manifest_versions,
     )
 
@@ -283,7 +328,7 @@ def write_versioned(
     existing = manifest_versions(tfs)
     version = (existing[-1] + 1) if existing else 0
     df.write.mode("overwrite").parquet(tfs.spark_path(f"v={version}"))
-    files = sorted(
+    adds = sorted(
         f"v={version}/{name}"
         for name in tfs.ls(f"v={version}")
         if name.endswith(".parquet")
@@ -323,16 +368,52 @@ def write_versioned(
                         for r in bad
                     )
                 )
-        files = sorted(set(prev["files"]) | set(files))
-    manifest = {
-        "version": version,
-        "files": files,
-        "schema": df.schema.json(),
-        "n_files": len(files),
-        "batch_id": batch_id,
-        "stream_id": stream_id,
-    }
+        manifest = {
+            "version": version,
+            "adds": adds,
+            "schema": df.schema.json(),
+            "n_files": int(prev["n_files"]) + len(adds),
+            "batch_id": batch_id,
+            "stream_id": stream_id,
+        }
+        if version % _CHECKPOINT_INTERVAL == 0:
+            # checkpoint commit: materialize the full resolved file list
+            # and the accumulated redelivery ledger (reads at most
+            # _CHECKPOINT_INTERVAL prior manifests — the amortized cost
+            # that keeps every OTHER append O(Δ))
+            files = sorted(
+                set(manifest_files(tfs, existing[-1])) | set(adds)
+            )
+            manifest["files"] = files
+            manifest["n_files"] = len(files)
+            ledger = _collect_ledger_pairs(tfs, existing)
+            if batch_id is not None:
+                ledger.append([stream_id, int(batch_id)])
+            manifest["ledger"] = ledger
+        else:
+            manifest["base"] = existing[-1]  # delta manifest
+    else:
+        # replace commit (or very first version): a full snapshot — by
+        # construction also a checkpoint for both resolution walks
+        ledger = _collect_ledger_pairs(tfs, existing)
+        if batch_id is not None:
+            ledger.append([stream_id, int(batch_id)])
+        manifest = {
+            "version": version,
+            "files": adds,
+            "adds": adds,
+            "schema": df.schema.json(),
+            "n_files": len(adds),
+            "batch_id": batch_id,
+            "stream_id": stream_id,
+            "ledger": ledger,
+        }
     tfs.write_json_atomic(manifest, f"_manifest.{version}.json")
+    # publish the latest-version HINT (after the manifest — readers probe
+    # forward from it, so a crash here only leaves the hint stale-low).
+    # Makes latest-version discovery O(1) instead of a directory listing
+    # over O(versions) manifests.
+    tfs.write_json_atomic({"version": version}, "_latest.json")
     return version
 
 
@@ -346,16 +427,19 @@ def read_versioned(
 
     from time_series_spark_spark.sources.fsio import (
         as_table_fs,
-        manifest_versions,
+        latest_version,
+        manifest_files,
     )
 
     tfs = as_table_fs(table_path)
-    versions = manifest_versions(tfs)
-    if not versions:
+    latest = latest_version(tfs)
+    if latest is None:
         raise FileNotFoundError(f"no committed versions in {tfs.root}")
-    pick = versions[-1] if as_of is None else as_of
-    if pick not in versions:
-        raise ValueError(f"version {pick} not committed (have {versions})")
+    pick = latest if as_of is None else as_of
+    if not tfs.exists(f"_manifest.{pick}.json"):
+        raise ValueError(
+            f"version {pick} not committed (latest is {latest})"
+        )
     floor = retention_floor(tfs)
     if pick < floor:
         # The manifest still exists (it is the redelivery ledger) but its
@@ -368,7 +452,7 @@ def read_versioned(
             f">= {floor}"
         )
     manifest = tfs.read_json(f"_manifest.{pick}.json")
-    paths = [tfs.spark_path(f) for f in manifest["files"]]
+    paths = [tfs.spark_path(f) for f in manifest_files(tfs, pick)]
     schema = T.StructType.fromJson(json.loads(manifest["schema"]))
     if not paths:
         return spark.createDataFrame([], _normalize_schema(schema))
@@ -409,22 +493,22 @@ def compact_versioned(
 
     from time_series_spark_spark.sources.fsio import (
         as_table_fs,
-        manifest_versions,
+        latest_version,
+        manifest_files,
     )
 
     tfs = as_table_fs(table_path)
-    versions = manifest_versions(tfs)
-    if not versions:
+    latest = latest_version(tfs)
+    if latest is None:
         raise FileNotFoundError(f"no committed versions in {tfs.root}")
-    manifest = tfs.read_json(f"_manifest.{versions[-1]}.json")
-    files = manifest["files"]
+    files = manifest_files(tfs, latest)
     if not files:
         # An empty snapshot (empty df committed) has nothing to rewrite;
         # spark.read.parquet() with zero paths would die with an opaque
         # "can not infer schema" — short-circuit with honest stats and
         # no new version.
         return {
-            "version": versions[-1],
+            "version": latest,
             "n_files_before": 0,
             "n_files_after": 0,
             "bytes_before": 0,
@@ -458,19 +542,22 @@ def committed_batch_ids(
     mistake each other's batch ids for redeliveries. ``None`` matches
     only manifests committed without a stream id (legacy/batch writes).
     Manifests survive vacuum_versioned (only data files are pruned), so
-    the ledger keeps absorbing arbitrarily late redeliveries."""
+    the ledger keeps absorbing arbitrarily late redeliveries. Cost is
+    bounded: the walk stops at the nearest checkpoint manifest's
+    ``ledger`` snapshot (≤ _CHECKPOINT_INTERVAL reads on round-10+
+    tables), so the per-micro-batch ledger check does not scale with
+    table age."""
     from time_series_spark_spark.sources.fsio import (
         as_table_fs,
         manifest_versions,
     )
 
     tfs = as_table_fs(table_path)
-    out: set[int] = set()
-    for v in manifest_versions(tfs):
-        m = tfs.read_json(f"_manifest.{v}.json")
-        if m.get("batch_id") is not None and m.get("stream_id") == stream_id:
-            out.add(int(m["batch_id"]))
-    return out
+    return {
+        int(bid)
+        for sid, bid in _collect_ledger_pairs(tfs, manifest_versions(tfs))
+        if sid == stream_id
+    }
 
 
 def retention_floor(table_path) -> int:
@@ -537,17 +624,26 @@ def vacuum_versioned(table_path, keep_last: int = 2) -> dict:
     new_floor = versions[-keep_last] if len(versions) >= keep_last else versions[0]
     floor = max(retention_floor(tfs), new_floor)
 
-    def _files_of(v: int) -> set[str]:
-        return set(tfs.read_json(f"_manifest.{v}.json")["files"])
+    # Resolve every version's full file set in ONE ascending pass (each
+    # manifest read once): a delta manifest's set is base's ∪ adds, a
+    # snapshot manifest restates its own. O(versions) manifest reads
+    # total — not O(versions × chain) as per-version resolution would be.
+    files_by_v: dict[int, set[str]] = {}
+    for v in versions:
+        m = tfs.read_json(f"_manifest.{v}.json")
+        if "files" in m:
+            files_by_v[v] = set(m["files"])
+        else:
+            files_by_v[v] = files_by_v[m["base"]] | set(m["adds"])
 
     retained: set[str] = set()
     for v in versions:
         if v >= floor:
-            retained |= _files_of(v)
+            retained |= files_by_v[v]
     doomed: set[str] = set()
     pruned_versions = [v for v in versions if v < floor]
     for v in pruned_versions:
-        doomed |= _files_of(v) - retained
+        doomed |= files_by_v[v] - retained
 
     # (1) publish the floor atomically BEFORE any delete
     tfs.write_json_atomic(
