@@ -159,3 +159,131 @@ def test_versioned_table_through_subtree_filesystem(spark, tmp_path):
         read_versioned(spark, tfs, as_of=0)
     # the ledger survives vacuum (manifests are kept)
     assert committed_batch_ids(tfs, "s1") == {0}
+
+
+def test_write_versioned_records_row_group_stats(spark, tmp_path):
+    """Round 11 (r10 verdict item 4): every commit records per-added-file
+    row-group byte sizes in the manifest (`add_stats`; full-snapshot
+    manifests also carry `file_stats` for the whole list), read once at
+    commit time from the footers the writer just produced — and
+    `fsio.manifest_file_stats` resolves the full map through the delta
+    chain."""
+    import json
+
+    import pyarrow.parquet as pq
+
+    from time_series_spark_spark.sources.fsio import (
+        as_table_fs,
+        manifest_file_stats,
+        manifest_files,
+    )
+    from time_series_spark_spark.sources.io import write_versioned
+
+    table = tmp_path / "vt"
+    write_versioned(spark.range(100).repartition(2).selectExpr("id"), str(table))
+    with open(table / "_manifest.0.json") as fh:
+        m0 = json.load(fh)
+    assert set(m0["add_stats"]) == set(m0["adds"]) and len(m0["adds"]) == 2
+    assert m0["file_stats"] == m0["add_stats"]  # first commit: files == adds
+    for rel, rg_bytes in m0["add_stats"].items():
+        md = pq.ParquetFile(table / rel).metadata
+        assert rg_bytes == [
+            md.row_group(g).total_byte_size for g in range(md.num_row_groups)
+        ]
+    # a carry-forward DELTA manifest records stats for ITS adds only...
+    write_versioned(
+        spark.range(100, 150).selectExpr("id"), str(table), carry_forward=True
+    )
+    with open(table / "_manifest.1.json") as fh:
+        m1 = json.load(fh)
+    assert "files" not in m1 and set(m1["add_stats"]) == set(m1["adds"])
+    # ...and the chain resolver covers the FULL snapshot file list
+    tfs = as_table_fs(str(table))
+    stats = manifest_file_stats(tfs, 1)
+    assert set(stats) >= set(manifest_files(tfs, 1))
+
+
+def test_versioned_stream_plans_without_datafile_io(spark, tmp_path, monkeypatch):
+    """Round 11 (r10 verdict item 4): `partitions()` splits a
+    multi-row-group file into multiple slices from the manifest's
+    commit-time stats alone — no data-file open at plan time (the
+    legacy footer-read fallback stays for manifests without stats,
+    pinned by the vt4 case in test_streaming.py)."""
+    import json
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from time_series_spark_spark.sources.pydatasource import (
+        VersionedTableStreamReader,
+    )
+
+    table = tmp_path / "vt"
+    (table / "v=0").mkdir(parents=True)
+    pq.write_table(
+        pa.table({"id": list(range(5000))}),
+        table / "v=0" / "big.parquet",
+        row_group_size=1000,  # 5 groups
+    )
+    md = pq.ParquetFile(table / "v=0" / "big.parquet").metadata
+    rg_bytes = [
+        md.row_group(g).total_byte_size for g in range(md.num_row_groups)
+    ]
+    with open(table / "_manifest.0.json", "w") as fh:
+        json.dump(
+            {
+                "version": 0,
+                "files": ["v=0/big.parquet"],
+                "adds": ["v=0/big.parquet"],
+                "add_stats": {"v=0/big.parquet": rg_bytes},
+                "schema": spark.range(1).schema.json(),
+                "n_files": 1,
+                "batch_id": None,
+                "stream_id": None,
+            },
+            fh,
+        )
+    rd = VersionedTableStreamReader({"path": str(table)})
+    rd.TARGET_SLICE_BYTES = 8_000  # ~one 1000-row int64 group per slice
+
+    def _no_plan_time_open(*a, **k):
+        raise AssertionError("partitions() opened a data file at plan time")
+
+    monkeypatch.setattr(pq, "ParquetFile", _no_plan_time_open)
+    parts = rd.partitions(
+        {"version": 0, "snapshot": True}, {"version": 0, "snapshot": False}
+    )
+    assert len(parts) == 5
+    assert sorted(g for p in parts for g in p.row_groups) == [0, 1, 2, 3, 4]
+    monkeypatch.undo()
+    # the stats-planned slices read exactly the file's rows, once each
+    assert sum(sum(b.num_rows for b in rd.read(p)) for p in parts) == 5000
+
+
+def test_committed_batch_ids_no_directory_listing(spark, tmp_path, monkeypatch):
+    """Round 11 (r10 verdict item 6): the sink's per-micro-batch ledger
+    check resolves the latest version via the `_latest.json` hint —
+    never a manifest-directory LISTING (O(versions) at streaming
+    cadence). Pinned by poisoning TableFS.ls for the duration."""
+    from time_series_spark_spark.sources.fsio import TableFS
+    from time_series_spark_spark.sources.io import (
+        committed_batch_ids,
+        write_versioned,
+    )
+
+    table = str(tmp_path / "vt")
+    for b in range(3):
+        write_versioned(
+            spark.range(b * 5, (b + 1) * 5).selectExpr("id"),
+            table,
+            carry_forward=True,
+            batch_id=b,
+            stream_id="s1",
+        )
+
+    def _no_listing(self, *rel):
+        raise AssertionError("committed_batch_ids listed the manifest dir")
+
+    monkeypatch.setattr(TableFS, "ls", _no_listing)
+    assert committed_batch_ids(table, "s1") == {0, 1, 2}
+    assert committed_batch_ids(table, "other") == set()

@@ -1761,7 +1761,10 @@ def test_versioned_stream_source_snapshot_incremental_prune(
         {"version": 2, "snapshot": False},
     )
 
-    # (5) partition planning = one slice per ADDED file
+    # (5) partition planning: tiny files BIN-PACK into one task (round
+    # 11 — openCostInBytes semantics: a Python data source pays a worker
+    # round-trip per partition, so one-partition-per-small-file turns a
+    # streaming backfill into thousands of fixed-overhead tasks)...
     table3 = str(tmp_path / "vt3")
     write_versioned(
         spark.range(100).repartition(4).selectExpr("id"), table3
@@ -1770,8 +1773,18 @@ def test_versioned_stream_source_snapshot_incremental_prune(
     parts = rd3.partitions(
         {"version": 0, "snapshot": True}, {"version": 0, "snapshot": False}
     )
-    assert len(parts) == 4
-    assert {p.version for p in parts} == {0}
+    assert len(parts) == 1 and len(parts[0].chunks) == 4
+    assert {v for _, v, _ in parts[0].chunks} == {0}
+    assert sum(sum(b.num_rows for b in rd3.read(p)) for p in parts) == 100
+    # ...and raising the open cost to the partition target forces the
+    # old one-task-per-file fan-out (each file alone fills a partition)
+    rd3b = VersionedTableStreamReader({"path": table3})
+    rd3b.OPEN_COST_BYTES = rd3b.TARGET_SLICE_BYTES
+    parts_b = rd3b.partitions(
+        {"version": 0, "snapshot": True}, {"version": 0, "snapshot": False}
+    )
+    assert len(parts_b) == 4
+    assert {p.version for p in parts_b} == {0}
 
     # (6) a single BIG multi-row-group file splits at row-group
     # boundaries (round 10 — the A19 lesson: one-partition-per-file

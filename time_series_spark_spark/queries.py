@@ -231,9 +231,14 @@ _EXTERNALLY_CONFIRMED = [
     # rows+schema+hash matched — third consecutive fully hash-verifiable
     # window, including both _RECHECK_FIRST re-pins confirmed under their
     # upgraded oracles):
+    # (stream_versioned_source_feed, orders_incremental_pipeline_roundtrip
+    # and orders_versioned_layout_health were round-9 greens, but the
+    # round-10 delta-manifest format change invalidated those
+    # confirmations — they broke at HEAD and are re-pinned in
+    # _RECHECK_FIRST below until the driver re-confirms them under the
+    # new format.)
     "stream_python_source_ticks", "stream_left_outer_views",
-    "stream_versioned_source_feed", "orders_incremental_pipeline_roundtrip",
-    "orders_versioned_schema_evolution", "orders_versioned_layout_health",
+    "orders_versioned_schema_evolution",
     "events_parquet_layout_audit", "events_acf_daily_total",
     "events_bollinger_daily", "orders_daily_drawdown",
     "events_rolling_skew_kurt", "events_rsi_cutler", "customer_revenue_gini",
@@ -255,15 +260,49 @@ _EXTERNALLY_CONFIRMED = [
     "events_esd_outliers", "users_lifetime_kaplan_meier",
     "events_binseg_changepoints", "users_logrank_heavy_light",
     "events_kendall_tau_daily",
+    # round-10 driver greens (CORRECTNESS_r10.json: all 50 sampled queries
+    # rows+schema+hash matched — fourth consecutive fully hash-verifiable
+    # window):
+    "events_spearman_daily", "orders_trimmed_winsorized_price",
+    "events_shesd_outliers", "events_compression_report",
+    "events_quantile_normalize_types", "events_seasonal_mann_kendall",
+    "orders_cvm_drift", "orders_jonckheere_priority",
+    "events_brown_forsythe_value", "events_friedman_daily",
+    "events_durbin_watson_daily", "events_jarque_bera_daily",
+    "users_nelson_aalen_hazard", "events_mood_median_test",
+    "users_eb_purchase_rates", "customer_concentration_report",
+    "events_poisson_rate_test", "events_mutual_info_type_dow",
+    "events_bh_fdr_type_drift", "users_cochran_q_types",
+    "events_ansari_bradley_scale", "events_allan_variance_daily",
+    "events_pettitt_changepoint", "events_kpss_stationarity",
+    "events_bartels_rank_test", "events_bayes_ab_superiority",
+    "events_buishand_range", "events_median_polish_effects",
+    "events_circular_daypart", "events_markov_entropy_rate",
+    "users_activity_h_index", "users_rmst_lifetime",
+    "events_gpd_tail_fit", "events_ratio_metric_ab",
+    "events_session_concurrency", "events_partial_corr_types",
+    "users_click_purchase_odds", "events_icc_design_effect",
+    "events_median_ci_by_type", "events_rolling_beta_daily",
+    "events_hodges_lehmann_daily", "events_deming_view_click",
+    "users_hill_tail_index", "events_pairwise_ks_matrix",
+    "events_record_days_test", "events_turning_points_test",
+    "events_transition_latency", "users_growth_accounting_weekly",
+    "events_haar_energy_daily", "users_top_movers",
 ]
 
 # Queries pinned to the very front of the sample window: externally-failed
 # fixes awaiting re-confirmation, plus queries whose check STRENGTH changed
 # (rows-only → oracle-backed) and should face the driver again under the
-# stronger check. Round 9 had ZERO failures (50/50 hash-green) and both
-# round-9 re-pins confirmed under their upgraded oracles, so only this
-# round's rows-only → oracle-backed upgrades are pinned here.
-_RECHECK_FIRST: list[str] = []
+# stronger check. Round 11: the three queries the round-10 delta-manifest
+# format change broke (KeyError 'files' in the J11e stream planner and the
+# A19 live-table health report — fixed this round via the adds+base chain
+# walk / fsio.manifest_files) must face the external gate again under the
+# new manifest format before their round-9 confirmations can be trusted.
+_RECHECK_FIRST: list[str] = [
+    "stream_versioned_source_feed",
+    "orders_incremental_pipeline_roundtrip",
+    "orders_versioned_layout_health",
+]
 
 SAMPLE_WINDOW = 50  # the external gate samples this many leading entries
 

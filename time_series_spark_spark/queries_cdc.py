@@ -734,11 +734,14 @@ def orders_versioned_schema_evolution(
 def orders_versioned_layout_health(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
-    import json
     import os
     import shutil
     import tempfile
 
+    from time_series_spark_spark.sources.fsio import (
+        as_table_fs,
+        manifest_files,
+    )
     from time_series_spark_spark.sources.io import (
         parquet_layout_report,
         write_versioned,
@@ -753,8 +756,10 @@ def orders_versioned_layout_health(
                 path,
                 carry_forward=True,
             )
-        with open(os.path.join(path, "_manifest.1.json")) as fh:
-            files = json.load(fh)["files"]
+        # version 1 is a carry-forward DELTA manifest (adds + base, no
+        # 'files' key — round 10): resolve the full snapshot through the
+        # chain walk, never the raw manifest key
+        files = manifest_files(as_table_fs(path), 1)
         rep = parquet_layout_report(
             spark, [os.path.join(path, f) for f in files]
         )

@@ -180,6 +180,32 @@ def manifest_files(tfs: TableFS, version: int) -> list[str]:
     return sorted(files)
 
 
+def manifest_file_stats(tfs: TableFS, version: int) -> dict:
+    """Best-effort per-file row-group BYTE SIZES (``rel → [bytes, ...]``)
+    for the files visible at ``version``, resolved by walking the same
+    delta chain as :func:`manifest_files` and merging each manifest's
+    commit-time ``add_stats`` (and the terminal snapshot's
+    ``file_stats``), oldest first so later rewrites win. Round-11
+    manifests record these at commit (the writer reads the footers it
+    just produced ONCE), so planners — the J11e streaming source above
+    all — split files at row-group boundaries with zero data-file I/O.
+    Files from legacy manifests are simply absent: callers fall back to
+    one footer read for exactly those files."""
+    chain = []
+    cur = version
+    while True:
+        m = tfs.read_json(f"_manifest.{cur}.json")
+        chain.append(m)
+        if "files" in m:
+            break
+        cur = m["base"]
+    stats: dict = {}
+    for m in reversed(chain):
+        stats.update(m.get("file_stats", {}))
+        stats.update(m.get("add_stats", {}))
+    return stats
+
+
 def manifest_adds(tfs: TableFS, version: int) -> list[str]:
     """The files ADDED by one commit — directly from the manifest's
     ``adds`` when present (every round-10+ manifest), else the

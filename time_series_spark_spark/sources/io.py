@@ -317,15 +317,25 @@ def write_versioned(
     """
     import json
 
+    import pyarrow.parquet as pq
+
     from time_series_spark_spark.sources.fsio import (
         as_table_fs,
+        latest_version,
+        manifest_file_stats,
         manifest_files,
-        manifest_versions,
     )
 
     tfs = as_table_fs(table_path)
     tfs.mkdirs()
-    existing = manifest_versions(tfs)
+    # latest-version discovery is O(1) via the _latest.json hint (probe-
+    # forward covers a stale hint; pre-hint tables fall back to one
+    # listing inside latest_version) — versions are dense from 0 by
+    # construction, so the committed set is just range(latest + 1).
+    # At streaming-append cadence this keeps the per-commit metadata
+    # cost O(Δ), not O(versions) LIST calls (round-11 hygiene item).
+    latest = latest_version(tfs)
+    existing = list(range(latest + 1)) if latest is not None else []
     version = (existing[-1] + 1) if existing else 0
     df.write.mode("overwrite").parquet(tfs.spark_path(f"v={version}"))
     adds = sorted(
@@ -333,6 +343,20 @@ def write_versioned(
         for name in tfs.ls(f"v={version}")
         if name.endswith(".parquet")
     )
+    # Per-added-file row-group byte sizes, read ONCE from the footers
+    # this commit just produced (O(Δ) reads of O(KB) metadata). The
+    # streaming source (J11e) plans its row-group-split input
+    # partitions from these, so micro-batch PLANNING does zero
+    # data-file I/O — at 100 TB append cadence the alternative is
+    # thousands of driver-side footer opens per micro-batch per
+    # consumer (round-11, r10 verdict item 4).
+    add_stats = {}
+    for rel in adds:
+        md = pq.ParquetFile(tfs.path(rel), filesystem=tfs.fs).metadata
+        add_stats[rel] = [
+            md.row_group(g).total_byte_size
+            for g in range(md.num_row_groups)
+        ]
     if carry_forward and existing:
         prev = tfs.read_json(f"_manifest.{existing[-1]}.json")
         # A13c schema evolution, additive-only (round 9): a carry-forward
@@ -371,21 +395,32 @@ def write_versioned(
         manifest = {
             "version": version,
             "adds": adds,
+            "add_stats": add_stats,
             "schema": df.schema.json(),
             "n_files": int(prev["n_files"]) + len(adds),
             "batch_id": batch_id,
             "stream_id": stream_id,
         }
         if version % _CHECKPOINT_INTERVAL == 0:
-            # checkpoint commit: materialize the full resolved file list
-            # and the accumulated redelivery ledger (reads at most
-            # _CHECKPOINT_INTERVAL prior manifests — the amortized cost
-            # that keeps every OTHER append O(Δ))
+            # checkpoint commit: materialize the full resolved file
+            # list, its row-group stats, and the accumulated redelivery
+            # ledger (reads at most _CHECKPOINT_INTERVAL prior
+            # manifests — the amortized cost that keeps every OTHER
+            # append O(Δ))
             files = sorted(
                 set(manifest_files(tfs, existing[-1])) | set(adds)
             )
             manifest["files"] = files
             manifest["n_files"] = len(files)
+            stats = manifest_file_stats(tfs, existing[-1])
+            stats.update(add_stats)
+            # restricted to the live list: stats of replaced files must
+            # not accumulate forever across checkpoints; legacy files
+            # without commit-time stats are simply absent (planner
+            # footer-read fallback)
+            manifest["file_stats"] = {
+                f: stats[f] for f in files if f in stats
+            }
             ledger = _collect_ledger_pairs(tfs, existing)
             if batch_id is not None:
                 ledger.append([stream_id, int(batch_id)])
@@ -402,6 +437,8 @@ def write_versioned(
             "version": version,
             "files": adds,
             "adds": adds,
+            "add_stats": add_stats,
+            "file_stats": add_stats,
             "schema": df.schema.json(),
             "n_files": len(adds),
             "batch_id": batch_id,
@@ -543,19 +580,24 @@ def committed_batch_ids(
     only manifests committed without a stream id (legacy/batch writes).
     Manifests survive vacuum_versioned (only data files are pruned), so
     the ledger keeps absorbing arbitrarily late redeliveries. Cost is
-    bounded: the walk stops at the nearest checkpoint manifest's
+    bounded TWICE over: latest-version discovery is O(1) via the
+    ``_latest.json`` hint (no directory listing — round-11 fix; versions
+    are dense from 0, so the committed set is range(latest + 1)), and
+    the ledger walk stops at the nearest checkpoint manifest's
     ``ledger`` snapshot (≤ _CHECKPOINT_INTERVAL reads on round-10+
-    tables), so the per-micro-batch ledger check does not scale with
-    table age."""
+    tables). The per-micro-batch ledger check therefore does not scale
+    with table age."""
     from time_series_spark_spark.sources.fsio import (
         as_table_fs,
-        manifest_versions,
+        latest_version,
     )
 
     tfs = as_table_fs(table_path)
+    latest = latest_version(tfs)
+    versions = list(range(latest + 1)) if latest is not None else []
     return {
         int(bid)
-        for sid, bid in _collect_ledger_pairs(tfs, manifest_versions(tfs))
+        for sid, bid in _collect_ledger_pairs(tfs, versions)
         if sid == stream_id
     }
 

@@ -268,20 +268,74 @@ def _read_manifest(fs, root: str, v: int) -> dict:
         return json.loads(f.read().decode("utf-8"))
 
 
-class _VersionFileSlice(InputPartition):
-    """A contiguous run of ROW GROUPS of one added data file of one
-    committed version — the unit of read parallelism. A micro-batch
-    spanning K versions with F new files schedules at least F independent
-    tasks, and a single BIG file with many row groups splits into
-    multiple tasks (round 10 — the A19 lesson: parquet parallelizes only
-    at row-group boundaries, so one-partition-per-FILE would serialize
-    reads of a large appended file exactly like the one-row-group layout
-    defect the A19 auditor flags)."""
+def _latest_version(fs, root: str):
+    """Latest committed version: O(1) via the ``_latest.json`` hint with
+    probe-forward (a crash between manifest publish and hint publish
+    only leaves the hint stale-LOW); one directory listing as fallback
+    for pre-hint tables. Mirrors ``fsio.latest_version`` — this module
+    keeps standalone (fs, root) helpers because they run inside Spark's
+    Python planner worker."""
+    import json
 
-    def __init__(self, file_path: str, version: int, row_groups: list):
-        self.file_path = file_path
-        self.version = version
-        self.row_groups = row_groups
+    from pyarrow import fs as pafs
+
+    hint = f"{root}/_latest.json"
+    if fs.get_file_info(hint).type != pafs.FileType.NotFound:
+        with fs.open_input_stream(hint) as f:
+            v = int(json.loads(f.read().decode("utf-8"))["version"])
+
+        def _has(u):
+            return (
+                fs.get_file_info(f"{root}/_manifest.{u}.json").type
+                != pafs.FileType.NotFound
+            )
+
+        if _has(v):
+            while _has(v + 1):
+                v += 1
+            return v
+    versions = _list_manifest_versions(fs, root)
+    return versions[-1] if versions else None
+
+
+class _VersionFileSlice(InputPartition):
+    """One input partition = a BIN-PACKED list of chunks, each chunk a
+    contiguous run of ROW GROUPS of one data file of one committed
+    version. Two sizing rules, both Spark's own file-scan model:
+
+    - a single BIG file splits at row-group boundaries into multiple
+      partitions (round 10 — the A19 lesson: parquet parallelizes only
+      at row groups, so one-partition-per-FILE would serialize the read
+      of a large appended file);
+    - many SMALL files pack into one partition until
+      ``max(bytes, OPEN_COST_BYTES)`` sums past the target (round 11 —
+      the FilePartition/openCostInBytes lesson: streaming sinks commit
+      small files at micro-batch cadence, and for a PYTHON data source
+      every partition is a worker round-trip, so one-partition-per-file
+      turns a 100-version backfill into thousands of fixed-overhead
+      tasks).
+    """
+
+    def __init__(self, chunks: list):
+        # chunks: [(file_path, version, [row_group, ...]), ...]
+        self.chunks = chunks
+
+    # single-chunk accessors (the common steady-state shape; also keeps
+    # the big-file-split tests reading naturally)
+    @property
+    def file_path(self) -> str:
+        (fp, _, _), = self.chunks
+        return fp
+
+    @property
+    def version(self) -> int:
+        (_, v, _), = self.chunks
+        return v
+
+    @property
+    def row_groups(self) -> list:
+        (_, _, rgs), = self.chunks
+        return rgs
 
 
 class VersionedTableStreamReader(DataSourceStreamReader):
@@ -335,13 +389,73 @@ class VersionedTableStreamReader(DataSourceStreamReader):
             self._fs_cached = _fs_for_path(self.table_path)
         return self._fs_cached
 
-    def _versions(self) -> list:
-        fs, root = self._fs()
-        return _list_manifest_versions(fs, root)
+    def _manifest(self, v: int) -> dict:
+        # manifests are IMMUTABLE once published, so a per-reader memo is
+        # safe; it keeps the chain walks below from re-reading the same
+        # manifest across _files_of/_adds_of/_stats_at within one
+        # partitions() call (the memo is dropped from the pickle sent to
+        # executors — read() never touches manifests)
+        if not hasattr(self, "_manifest_memo"):
+            self._manifest_memo = {}
+        if v not in self._manifest_memo:
+            fs, root = self._fs()
+            self._manifest_memo[v] = _read_manifest(fs, root, v)
+        return self._manifest_memo[v]
+
+    def __getstate__(self):
+        state = dict(self.__dict__)
+        state.pop("_manifest_memo", None)
+        return state
 
     def _files_of(self, v: int) -> set:
-        fs, root = self._fs()
-        return set(_read_manifest(fs, root, v)["files"])
+        """FULL file set of one version, walking the ``adds`` + ``base``
+        delta chain to the nearest full-snapshot manifest — round-10
+        carry-forward commits between checkpoints carry no ``files``
+        key (mirrors ``fsio.manifest_files``; ≤ checkpoint-interval
+        manifest reads, memoized)."""
+        adds_stack: list = []
+        cur = v
+        while True:
+            m = self._manifest(cur)
+            if "files" in m:
+                files = set(m["files"])
+                break
+            adds_stack.append(m["adds"])
+            cur = m["base"]
+        for adds in adds_stack:
+            files |= set(adds)
+        return files
+
+    def _adds_of(self, v: int) -> list:
+        """The files one commit ADDED — straight from the manifest's
+        ``adds`` (every round-10+ manifest records it, so planning an
+        increment is one manifest read, no per-version set diffs); the
+        files(v) − files(v−1) difference only for legacy manifests."""
+        m = self._manifest(v)
+        if "adds" in m:
+            return sorted(m["adds"])
+        prev = self._files_of(v - 1) if v > 0 else set()
+        return sorted(set(m["files"]) - prev)
+
+    def _stats_at(self, v: int) -> dict:
+        """``rel → [row-group bytes]`` for files visible at ``v``, from
+        the manifests' commit-time ``add_stats``/``file_stats`` (mirrors
+        ``fsio.manifest_file_stats``). Files committed before stats were
+        recorded are absent — partitions() falls back to one footer read
+        for exactly those."""
+        chain: list = []
+        cur = v
+        while True:
+            m = self._manifest(cur)
+            chain.append(m)
+            if "files" in m:
+                break
+            cur = m["base"]
+        stats: dict = {}
+        for m in reversed(chain):
+            stats.update(m.get("file_stats", {}))
+            stats.update(m.get("add_stats", {}))
+        return stats
 
     def _floor(self) -> int:
         import json
@@ -365,74 +479,126 @@ class VersionedTableStreamReader(DataSourceStreamReader):
         return {"version": self._floor(), "snapshot": True}
 
     def latestOffset(self) -> dict:
-        vs = self._versions()
-        if not vs:
+        # once per micro-batch → must not LIST the manifest directory
+        # (O(versions) at streaming cadence): the _latest.json hint makes
+        # this O(1) on every table the round-10+ writer touched
+        fs, root = self._fs()
+        latest = _latest_version(fs, root)
+        if latest is None:
             raise FileNotFoundError(
                 f"no committed versions in {self.table_path}"
             )
-        return {"version": vs[-1], "snapshot": False}
+        return {"version": latest, "snapshot": False}
 
-    # pack contiguous row groups of one file into read slices of roughly
-    # this many (uncompressed) bytes — the same knob as Spark's
-    # maxPartitionBytes; small-group files still coalesce into one task,
-    # a single huge multi-group file fans out
+    # pack row-group runs into input partitions of roughly this many
+    # (uncompressed) bytes — the same knob as Spark's maxPartitionBytes;
+    # small-group files still coalesce into one task, a single huge
+    # multi-group file fans out
     TARGET_SLICE_BYTES = 128 * 1024 * 1024
+    # a small file still costs a file open + a Python-worker task — count
+    # every chunk as at least this many bytes when bin-packing, so a
+    # micro-batch of tiny streaming-sink files coalesces instead of
+    # scheduling one fixed-overhead task per file (Spark's
+    # spark.sql.files.openCostInBytes, same default)
+    OPEN_COST_BYTES = 4 * 1024 * 1024
 
     def partitions(self, start: dict, end: dict):
-        """Plan the micro-batch (start, end]: the full file list of the
-        snapshot version when ``start`` is the initial snapshot offset,
-        plus each later version's ADDED files. Planning touches manifests
-        plus one FOOTER read per planned file (O(KB) metadata — what any
-        parquet planner pays): per-file existence is checked HERE so a
-        checkpoint that predates a vacuum fails loudly at plan time
-        ("version pruned") instead of surfacing a partial scan, and the
-        footer's row-group boundaries split big files into multiple
-        input partitions (parquet's only split points — one slice per
-        ~TARGET_SLICE_BYTES run of contiguous groups)."""
+        """Plan the micro-batch (start, end] from MANIFESTS ONLY: the
+        full file list (delta-chain walk) of the snapshot version when
+        ``start`` is the initial snapshot offset, plus each later
+        version's ``adds``. Row-group split points come from the
+        manifests' commit-time ``add_stats``/``file_stats`` (the writer
+        read the footers it had just produced — round 11), so planning
+        does ZERO data-file I/O on round-11+ tables; a file from a
+        legacy manifest without stats costs one footer read, and only
+        that file. Offsets whose data files may have been vacuumed
+        (below the retention floor) fail loudly AT PLAN TIME — an O(1)
+        floor comparison, not a per-file existence probe — instead of
+        surfacing a partial scan; files added at versions ≥ floor are
+        referenced by a retained manifest and therefore never pruned."""
         import pyarrow.parquet as pq
         from pyarrow import fs as pafs
         from pyarrow.lib import ArrowIOError
 
         fs, root = self._fs()
+        v0 = int(start["version"])
         v1 = int(end["version"])
-        parts = []
+        floor = self._floor()
+        stats: dict = {}
         if start.get("snapshot", False):
-            v0 = int(start["version"])
-            snap_files = [(v0, rel) for rel in sorted(self._files_of(v0))]
-            lo = v0 + 1
+            if v0 < floor:
+                raise ValueError(
+                    f"snapshot version {v0} was pruned by vacuum "
+                    f"(retention floor {floor} of {self.table_path}): "
+                    "restart from a fresh checkpoint to read the floor "
+                    "snapshot"
+                )
+            todo = [(v0, rel) for rel in sorted(self._files_of(v0))]
+            stats.update(self._stats_at(v0))
         else:
-            v0 = int(start["version"])
-            snap_files = []
-            lo = v0 + 1
-        todo = snap_files
-        for v in range(lo, v1 + 1):
-            prev = self._files_of(v - 1) if v > 0 else set()
-            todo += [(v, rel) for rel in sorted(self._files_of(v) - prev)]
+            if v0 + 1 < floor:
+                raise ValueError(
+                    f"versions {v0 + 1}..{min(v1, floor - 1)} may have "
+                    f"data files pruned by vacuum (retention floor "
+                    f"{floor} of {self.table_path}): this checkpoint "
+                    "cannot be resumed — restart from a fresh "
+                    "checkpoint to read the floor snapshot"
+                )
+            todo = []
+        for v in range(v0 + 1, v1 + 1):
+            todo += [(v, rel) for rel in self._adds_of(v)]
+            stats.update(self._manifest(v).get("add_stats", {}))
+        # (1) split each file into row-group runs of ≤ TARGET_SLICE_BYTES
+        chunks: list = []  # (path, version, [row groups], bytes)
         for v, rel in todo:
             p = f"{root}/{rel}"
-            if fs.get_file_info(p).type == pafs.FileType.NotFound:
-                raise ValueError(
-                    f"data file {rel} of version {v} was pruned by "
-                    f"vacuum (retention floor {self._floor()} of "
-                    f"{self.table_path}): this checkpoint cannot be "
-                    "resumed — restart from a fresh checkpoint to read "
-                    "the floor snapshot"
-                )
-            try:
-                md = pq.ParquetFile(p, filesystem=fs).metadata
-            except ArrowIOError as exc:
-                raise ValueError(f"unreadable data file {rel} of version {v}: {exc}")
+            rg_bytes = stats.get(rel)
+            if rg_bytes is None:
+                # legacy manifest without commit-time stats: pay one
+                # footer read (and existence probe) for THIS file only
+                if fs.get_file_info(p).type == pafs.FileType.NotFound:
+                    raise ValueError(
+                        f"data file {rel} of version {v} was pruned by "
+                        f"vacuum (retention floor {floor} of "
+                        f"{self.table_path}): this checkpoint cannot be "
+                        "resumed — restart from a fresh checkpoint to "
+                        "read the floor snapshot"
+                    )
+                try:
+                    md = pq.ParquetFile(p, filesystem=fs).metadata
+                except ArrowIOError as exc:
+                    raise ValueError(
+                        f"unreadable data file {rel} of version {v}: {exc}"
+                    )
+                rg_bytes = [
+                    md.row_group(g).total_byte_size
+                    for g in range(md.num_row_groups)
+                ]
             run: list = []
             run_bytes = 0
-            for g in range(md.num_row_groups):
-                gb = md.row_group(g).total_byte_size
+            for g, gb in enumerate(rg_bytes):
                 if run and run_bytes + gb > self.TARGET_SLICE_BYTES:
-                    parts.append(_VersionFileSlice(p, v, run))
+                    chunks.append((p, v, run, run_bytes))
                     run, run_bytes = [], 0
                 run.append(g)
                 run_bytes += gb
             if run:
-                parts.append(_VersionFileSlice(p, v, run))
+                chunks.append((p, v, run, run_bytes))
+        # (2) bin-pack runs into input partitions, each run costing at
+        # least OPEN_COST_BYTES — tiny streaming-commit files share one
+        # Python-worker task, big files keep one task per run
+        parts = []
+        pack: list = []
+        pack_cost = 0
+        for p, v, run, run_bytes in chunks:
+            cost = max(run_bytes, self.OPEN_COST_BYTES)
+            if pack and pack_cost + cost > self.TARGET_SLICE_BYTES:
+                parts.append(_VersionFileSlice(pack))
+                pack, pack_cost = [], 0
+            pack.append((p, v, run))
+            pack_cost += cost
+        if pack:
+            parts.append(_VersionFileSlice(pack))
         # a batch may legitimately add zero files (empty commit) — an
         # empty list yields an empty micro-batch
         return parts
@@ -442,9 +608,7 @@ class VersionedTableStreamReader(DataSourceStreamReader):
         import pyarrow.parquet as pq
 
         fs, _ = self._fs()
-        table = pq.ParquetFile(
-            partition.file_path, filesystem=fs
-        ).read_row_groups(partition.row_groups)
+        target = None
         if self._schema is not None:
             # pad/cast to the declared schema (minus the version stamp):
             # files predating an additive schema change lack the added
@@ -462,18 +626,21 @@ class VersionedTableStreamReader(DataSourceStreamReader):
                     ]
                 )
             )
-            arrays = [
-                table[f.name].cast(f.type)
-                if f.name in table.column_names
-                else pa.nulls(table.num_rows, type=f.type)
-                for f in target
-            ]
-            table = pa.table(arrays, schema=target)
-        ver = pa.array(
-            [partition.version] * table.num_rows, type=pa.int64()
-        )
-        table = table.append_column("_commit_version", ver)
-        yield from table.to_batches(max_chunksize=1 << 16)
+        for file_path, version, row_groups in partition.chunks:
+            table = pq.ParquetFile(
+                file_path, filesystem=fs
+            ).read_row_groups(row_groups)
+            if target is not None:
+                arrays = [
+                    table[f.name].cast(f.type)
+                    if f.name in table.column_names
+                    else pa.nulls(table.num_rows, type=f.type)
+                    for f in target
+                ]
+                table = pa.table(arrays, schema=target)
+            ver = pa.array([version] * table.num_rows, type=pa.int64())
+            table = table.append_column("_commit_version", ver)
+            yield from table.to_batches(max_chunksize=1 << 16)
 
     def commit(self, end: dict) -> None:
         pass  # manifests are immutable; nothing to acknowledge
@@ -494,11 +661,11 @@ class VersionedTableStreamDataSource(DataSource):
 
         path = _normalize_table_path(self.options["path"])
         fs, root = _fs_for_path(path)
-        versions = _list_manifest_versions(fs, root)
-        if not versions:
+        latest = _latest_version(fs, root)
+        if latest is None:
             raise FileNotFoundError(f"no committed versions in {path}")
         st = StructType.fromJson(
-            json.loads(_read_manifest(fs, root, versions[-1])["schema"])
+            json.loads(_read_manifest(fs, root, latest)["schema"])
         )
         # the feed schema is NULLABLE everywhere: files committed before
         # an additive schema change are null-padded for the added
