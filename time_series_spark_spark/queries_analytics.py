@@ -2506,7 +2506,22 @@ def events_swinging_door_user(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "orders_dpp_pruned_join",
-    None,  # partition-pruning evidence is plan/layout-level → rows-only
+    # round 11 (rows-only → oracle-backed): the selected years are the 2
+    # smallest distinct order years — a closed-form relational spec; the
+    # dpp_active literal 1 makes the oracle ENFORCE that the executed
+    # plan contained a DynamicPruningExpression (a plan regression now
+    # hash-mismatches instead of passing rows-only).
+    """
+    WITH y AS (SELECT DISTINCT year(o_orderdate) AS yr FROM orders),
+    sel AS (SELECT yr FROM y ORDER BY yr LIMIT 2)
+    SELECT (SELECT count(*) FROM y) AS n_years_total,
+           CAST(2 AS BIGINT) AS n_years_selected,
+           count(*) AS n_rows_selected,
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS cents_selected,
+           CAST(1 AS INT) AS dpp_active
+    FROM orders WHERE year(o_orderdate) IN (SELECT yr FROM sel)
+    """,
     doc="A16 dynamic partition pruning, driver-visible: orders written "
     "hive-partitioned by order YEAR, then joined to a small filtered "
     "year dimension — Catalyst injects the dim's build-side keys as a "
@@ -2632,8 +2647,24 @@ def orders_compaction_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 @register(
     "orders_schema_compat_report",
-    None,  # pure-metadata check → rows-only; verdict taxonomy pinned in
-    # tests/test_quality.py
+    # round 11 (rows-only → oracle-backed): the report is a pure
+    # StructType diff of the FIXED orders schema against a FIXED
+    # "evolved" schema — scale-independent and fully deterministic, so
+    # the oracle is the expected verdict table verbatim (the same
+    # VALUES-oracle pattern as synthetic_source_series_stats). Verdict
+    # taxonomy laws remain pinned in tests/test_quality.py.
+    """
+    SELECT * FROM (VALUES
+        ('o_channel', 'added', '-> string', TRUE),
+        ('o_custkey', 'narrowed', 'bigint -> int', FALSE),
+        ('o_orderdate', 'type_changed', 'timestamp_ntz -> timestamp', FALSE),
+        ('o_orderkey', 'unchanged', 'bigint', TRUE),
+        ('o_orderpriority', 'removed', 'string ->', FALSE),
+        ('o_orderstatus', 'type_changed', 'string -> int', FALSE),
+        ('o_totalprice', 'unchanged', 'double', TRUE)
+    ) AS t("column", verdict, detail, compatible)
+    ORDER BY "column"
+    """,
     doc="A18 schema-compatibility report, driver-visible: the orders "
     "schema 'evolves' (drop o_orderpriority, widen o_custkey-like int "
     "column, add o_channel, retype o_orderstatus to int) and "
@@ -2672,8 +2703,27 @@ def orders_schema_compat_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 @register(
     "orders_mv_rollup_navigation",
-    None,  # file-layout + plan demonstration → rows-only; identity and
-    # scan-source assertions pinned in tests/test_plans.py
+    # round 11 (rows-only → oracle-backed): both the MV-derived and the
+    # direct monthly rollups have closed forms over orders (exact-integer
+    # cents, so MV-sum ≡ direct-sum bit-for-bit), and the scan-size
+    # columns are the MV day count / fact row count — all relational.
+    # Scan-source plan assertions remain pinned in tests/test_plans.py.
+    """
+    WITH mv AS (
+        SELECT CAST(date_trunc('day', o_orderdate) AS TIMESTAMP) AS day,
+               count(*) AS n_orders,
+               CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                    AS BIGINT) AS rev_cents
+        FROM orders GROUP BY 1)
+    SELECT CAST(date_trunc('month', day) AS TIMESTAMP) AS month,
+           CAST(sum(n_orders) AS BIGINT) AS n_orders,
+           CAST(sum(rev_cents) AS BIGINT) AS rev_cents_mv,
+           CAST(sum(rev_cents) AS BIGINT) AS rev_cents_direct,
+           TRUE AS navigation_exact,
+           (SELECT CAST(count(*) AS INT) FROM mv) AS mv_rows_scanned,
+           (SELECT CAST(count(*) AS INT) FROM orders) AS fact_rows_avoided
+    FROM mv GROUP BY 1 ORDER BY 1
+    """,
     doc="D27 materialized-view rollup navigation: a DAILY revenue MV "
     "(day, n_orders, rev_cents — additive measures only, the rule "
     "that makes a rollup navigable) is materialized once, and the "

@@ -284,8 +284,26 @@ def orders_lineitem_incremental_join(
 
 @register(
     "orders_time_travel_report",
-    None,  # file-layout versioning → rows-only; isolation/travel laws
-    # pinned in tests/test_cdc.py
+    # round 11 (rows-only → oracle-backed): the three committed snapshots
+    # are deterministic parity splits of orders (v0: %3==0, v1: %3<=1,
+    # v2: all), so each AS OF read has a closed-form relational oracle —
+    # the hash match proves the manifest-resolved snapshots are exactly
+    # the frames that were committed. Isolation/travel laws remain
+    # pinned in tests/test_cdc.py.
+    """
+    WITH v(version) AS (VALUES (0), (1), (2)),
+    s AS (
+        SELECT v.version AS version,
+               count(*) AS n_orders,
+               CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                    AS BIGINT) AS rev_cents
+        FROM v JOIN orders ON o_orderkey % 3 <= v.version
+        GROUP BY v.version
+    )
+    SELECT CAST(version AS BIGINT) AS version, n_orders, rev_cents,
+           (SELECT count(*) FROM orders) AS n_latest
+    FROM s ORDER BY version
+    """,
     doc="A13 manifest-versioned table: three successive order snapshots "
     "committed via atomic manifest renames (the Delta/Iceberg core — "
     "data files invisible until the manifest publishes, so crashes "
@@ -460,8 +478,30 @@ def orders_merkle_bucket_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 @register(
     "orders_version_change_feed",
-    None,  # file-layout versioning → rows-only; the CDF laws
-    # (diff(v0,v1) ∘ apply ≡ v1; per-version counts) pinned in pytest
+    # round 11 (rows-only → oracle-backed): the two committed versions
+    # are the same deterministic snapshots M1's diff oracle uses, so the
+    # change-feed summary has a direct relational oracle — the diff
+    # classification re-stated over the snapshot SQL, aggregated by op.
+    # CDF laws (diff ∘ apply ≡ v1) remain pinned in pytest.
+    f"""
+    WITH old AS ({_OLD_SQL}), new AS ({_NEW_SQL}),
+    d AS (
+        SELECT CASE WHEN n.o_orderkey IS NULL THEN 'delete'
+                    WHEN o.o_orderkey IS NULL THEN 'insert'
+                    ELSE 'update' END AS op,
+               o.price_cents AS old_price_cents,
+               n.price_cents AS new_price_cents
+        FROM old o FULL OUTER JOIN new n ON o.o_orderkey = n.o_orderkey
+        WHERE o.o_orderkey IS NULL OR n.o_orderkey IS NULL
+           OR o.price_cents IS DISTINCT FROM n.price_cents
+           OR o.o_orderstatus IS DISTINCT FROM n.o_orderstatus
+    )
+    SELECT op, count(*) AS n_rows,
+           CAST(sum(COALESCE(new_price_cents, 0)
+                    - COALESCE(old_price_cents, 0)) AS BIGINT)
+               AS net_cents_delta
+    FROM d GROUP BY op ORDER BY op
+    """,
     doc="M8 change data feed from the A13 manifest-versioned store: "
     "commit two order snapshots as table versions, read both AS OF, "
     "and derive the version-to-version changelog with M1's snapshot "
