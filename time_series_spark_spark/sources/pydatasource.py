@@ -521,6 +521,11 @@ class VersionedTableStreamReader(DataSourceStreamReader):
         from pyarrow.lib import ArrowIOError
 
         fs, root = self._fs()
+        # fresh memo per plan: manifests are immutable so caching is
+        # safe, but an unbounded cross-batch cache would grow O(versions)
+        # on a long-lived stream — within one plan is where the reuse is
+        # (_files_of/_adds_of/_stats_at walk overlapping chains)
+        self._manifest_memo = {}
         v0 = int(start["version"])
         v1 = int(end["version"])
         floor = self._floor()
