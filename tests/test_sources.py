@@ -287,3 +287,49 @@ def test_committed_batch_ids_no_directory_listing(spark, tmp_path, monkeypatch):
     monkeypatch.setattr(TableFS, "ls", _no_listing)
     assert committed_batch_ids(table, "s1") == {0, 1, 2}
     assert committed_batch_ids(table, "other") == set()
+
+
+def test_versioned_stream_on_replace_option(spark, tmp_path):
+    """Round 11: manifests record the commit mode, and the J11e source's
+    onReplace option picks the Delta posture — 'added' (default)
+    re-emits a replace commit's files as adds; 'fail' raises at plan
+    time so downstream exactly-once state is never silently corrupted
+    by re-emitted rows."""
+    import json
+
+    import pytest as _pytest
+
+    from time_series_spark_spark.sources.io import write_versioned
+    from time_series_spark_spark.sources.pydatasource import (
+        VersionedTableStreamReader,
+    )
+
+    table = tmp_path / "vt"
+    write_versioned(spark.range(5).selectExpr("id"), str(table))
+    write_versioned(
+        spark.range(5, 8).selectExpr("id"), str(table), carry_forward=True
+    )
+    write_versioned(spark.range(20).selectExpr("id"), str(table))  # replace
+    with open(table / "_manifest.1.json") as fh:
+        assert json.load(fh)["mode"] == "append"
+    with open(table / "_manifest.2.json") as fh:
+        assert json.load(fh)["mode"] == "replace"
+
+    span = ({"version": 0, "snapshot": False}, {"version": 2, "snapshot": False})
+    # default: the replace's files arrive as adds (ignoreChanges)
+    rd = VersionedTableStreamReader({"path": str(table)})
+    parts = rd.partitions(*span)
+    n = sum(sum(b.num_rows for b in rd.read(p)) for p in parts)
+    assert n == 3 + 20  # v1 increment + the replace snapshot re-emitted
+    # onReplace=fail: loud plan-time error naming the replace version
+    rd_f = VersionedTableStreamReader(
+        {"path": str(table), "onReplace": "fail"}
+    )
+    with _pytest.raises(ValueError, match="REPLACE"):
+        rd_f.partitions(*span)
+    # an append-only range still plans fine under fail
+    assert rd_f.partitions(
+        {"version": 0, "snapshot": False}, {"version": 1, "snapshot": False}
+    )
+    with _pytest.raises(ValueError, match="onReplace"):
+        VersionedTableStreamReader({"path": str(table), "onReplace": "bogus"})

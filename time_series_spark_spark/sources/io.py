@@ -394,6 +394,7 @@ def write_versioned(
                 )
         manifest = {
             "version": version,
+            "mode": "append",
             "adds": adds,
             "add_stats": add_stats,
             "schema": df.schema.json(),
@@ -435,6 +436,10 @@ def write_versioned(
             ledger.append([stream_id, int(batch_id)])
         manifest = {
             "version": version,
+            # the very first commit is an append by definition; anything
+            # later on this branch REPLACES the previous snapshot — the
+            # streaming source's onReplace option keys off this field
+            "mode": "append" if version == 0 else "replace",
             "files": adds,
             "adds": adds,
             "add_stats": add_stats,

@@ -354,10 +354,12 @@ class VersionedTableStreamReader(DataSourceStreamReader):
     - **One InputPartition per added file** → Spark schedules reads in
       parallel; read() streams pyarrow record batches (Arrow path, no
       per-row Python), cast to the table's committed schema.
-    - **Append-only contract** (what the J11d sink writes): a REPLACE
-      commit's files all count as "added" — rows from replaced versions
-      are not retracted. Same contract as Delta's streaming source,
-      which refuses non-append commits unless ignoreChanges is set.
+    - **Append-only contract** (what the J11d sink writes): by default a
+      REPLACE commit's files all count as "added" — rows from replaced
+      versions are not retracted (Delta's ignoreChanges). Pass
+      ``.option("onReplace", "fail")`` to get Delta's default posture
+      instead: the plan fails loudly on any replace commit in the feed
+      range (round 11; manifests record the commit ``mode``).
     - **Vacuum interplay**: manifests survive vacuum_versioned, so
       offset arithmetic always works, but data files below the
       retention floor may be gone — a start offset below ``floor − 1``
@@ -373,6 +375,18 @@ class VersionedTableStreamReader(DataSourceStreamReader):
         if not path:
             raise ValueError("versioned_table source requires .option('path', ...)")
         self.table_path = _normalize_table_path(path)
+        # onReplace: what to do when the feed range contains a REPLACE
+        # commit (overwrite). "added" (default, the documented behavior)
+        # emits the replace's files as adds without retracting replaced
+        # rows — Delta's ignoreChanges. "fail" raises at plan time —
+        # Delta's default posture, for consumers whose downstream state
+        # would be silently corrupted by re-emitted data. Commits from
+        # writers predating the manifest 'mode' field count as appends.
+        self.on_replace = str(options.get("onReplace", "added")).lower()
+        if self.on_replace not in ("added", "fail"):
+            raise ValueError(
+                f"onReplace must be 'added' or 'fail', got {self.on_replace!r}"
+            )
         # the declared source schema (latest manifest + _commit_version);
         # read() pads/casts every file to it so commits written BEFORE an
         # additive schema change stream null-filled, exactly like the
@@ -551,6 +565,18 @@ class VersionedTableStreamReader(DataSourceStreamReader):
                 )
             todo = []
         for v in range(v0 + 1, v1 + 1):
+            if (
+                self.on_replace == "fail"
+                and self._manifest(v).get("mode") == "replace"
+            ):
+                raise ValueError(
+                    f"version {v} of {self.table_path} is a REPLACE "
+                    "commit and this stream was started with "
+                    "onReplace=fail: re-emitting an overwrite as adds "
+                    "would duplicate rows downstream — restart from a "
+                    "fresh checkpoint (snapshot-at-floor) or read with "
+                    "onReplace=added to accept re-emission"
+                )
             todo += [(v, rel) for rel in self._adds_of(v)]
             stats.update(self._manifest(v).get("add_stats", {}))
         # (1) split each file into row-group runs of ≤ TARGET_SLICE_BYTES
