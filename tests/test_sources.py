@@ -333,3 +333,48 @@ def test_versioned_stream_on_replace_option(spark, tmp_path):
     )
     with _pytest.raises(ValueError, match="onReplace"):
         VersionedTableStreamReader({"path": str(table), "onReplace": "bogus"})
+
+
+def test_describe_versioned_history(spark, tmp_path):
+    """A13d (round 11): DESCRIBE HISTORY reads manifests only — one row
+    per version with mode / file+row deltas / checkpoint flag / stream
+    provenance; fields a legacy writer never recorded surface as NULL
+    rather than a guess."""
+    import json
+
+    from time_series_spark_spark.sources.io import (
+        describe_versioned_history,
+        write_versioned,
+    )
+
+    table = tmp_path / "vt"
+    write_versioned(spark.range(6).selectExpr("id").coalesce(1), str(table))
+    write_versioned(
+        spark.range(6, 10).selectExpr("id").coalesce(1),
+        str(table),
+        carry_forward=True,
+        batch_id=7,
+        stream_id="s1",
+    )
+    write_versioned(spark.range(3).selectExpr("id").coalesce(1), str(table))
+    hist = {r["version"]: r for r in describe_versioned_history(spark, str(table)).collect()}
+    assert hist[0]["mode"] == "append" and hist[0]["is_checkpoint"]
+    assert hist[0]["n_files"] == 1 and hist[0]["n_rows_added"] == 6
+    assert hist[1]["mode"] == "append" and not hist[1]["is_checkpoint"]
+    assert hist[1]["n_files"] == 2 and hist[1]["n_adds"] == 1
+    assert hist[1]["n_rows_added"] == 4
+    assert hist[1]["stream_id"] == "s1" and hist[1]["batch_id"] == 7
+    assert hist[2]["mode"] == "replace" and hist[2]["n_rows_added"] == 3
+    assert hist[2]["is_checkpoint"] and hist[2]["stream_id"] is None
+
+    # legacy manifest (pre-round-11 writer): mode / n_rows_added NULL
+    m_path = table / "_manifest.1.json"
+    with open(m_path) as fh:
+        m = json.load(fh)
+    for k in ("mode", "n_rows_added", "add_stats"):
+        m.pop(k, None)
+    with open(m_path, "w") as fh:
+        json.dump(m, fh)
+    hist = {r["version"]: r for r in describe_versioned_history(spark, str(table)).collect()}
+    assert hist[1]["mode"] is None and hist[1]["n_rows_added"] is None
+    assert hist[1]["n_adds"] == 1  # adds still present in the manifest

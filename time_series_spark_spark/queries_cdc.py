@@ -345,6 +345,66 @@ def orders_time_travel_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "orders_versioned_history",
+    # A13d (round 11): the commits are deterministic (coalesce(1) parity
+    # splits), so every history column has a closed form — per-version
+    # row counts from orders, the rest structural literals.
+    """
+    SELECT CAST(0 AS BIGINT) AS version, 'append' AS mode,
+           CAST(1 AS BIGINT) AS n_files, CAST(1 AS BIGINT) AS n_adds,
+           (SELECT count(*) FROM orders WHERE o_orderkey % 3 = 0)
+               AS n_rows_added,
+           TRUE AS is_checkpoint
+    UNION ALL
+    SELECT 1, 'append', 2, 1,
+           (SELECT count(*) FROM orders WHERE o_orderkey % 3 = 1), FALSE
+    UNION ALL
+    SELECT 2, 'replace', 1, 1, (SELECT count(*) FROM orders), TRUE
+    ORDER BY version
+    """,
+    doc="A13d DESCRIBE HISTORY over the manifest-versioned table "
+    "(Delta's DESCRIBE HISTORY / Iceberg's snapshots table): one row "
+    "per committed version — mode (append|replace), snapshot file "
+    "count, files/rows added at commit, checkpoint flag — from "
+    "MANIFEST reads only (O(versions) O(KB) metadata, no data-file "
+    "I/O; row counts were recorded at commit time from the footers "
+    "the writer had just produced). The table here is three "
+    "deterministic commits: a first snapshot (orderkey%3=0), a "
+    "carry-forward append (%3=1), and a REPLACE of the whole "
+    "snapshot. Temp table removed before returning.",
+)
+def orders_versioned_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from time_series_spark_spark.sources.io import (
+        describe_versioned_history,
+        write_versioned,
+    )
+
+    orders = load(spark, sf_dir, "orders").select("o_orderkey")
+    path = tempfile.mkdtemp(prefix="versioned_history_")
+    try:
+        write_versioned(
+            orders.filter(F.col("o_orderkey") % 3 == 0).coalesce(1), path
+        )
+        write_versioned(
+            orders.filter(F.col("o_orderkey") % 3 == 1).coalesce(1),
+            path,
+            carry_forward=True,
+        )
+        write_versioned(orders.coalesce(1), path)  # replace commit
+        out = describe_versioned_history(spark, path).select(
+            "version", "mode", "n_files", "n_adds", "n_rows_added",
+            "is_checkpoint",
+        ).orderBy("version")
+        rows = out.collect()
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
+    return spark.createDataFrame(rows, out.schema)
+
+
 # ---------------------------------------------------------------------------
 # M6: incremental aggregate-view maintenance
 # ---------------------------------------------------------------------------

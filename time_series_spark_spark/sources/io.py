@@ -351,12 +351,14 @@ def write_versioned(
     # thousands of driver-side footer opens per micro-batch per
     # consumer (round-11, r10 verdict item 4).
     add_stats = {}
+    n_rows_added = 0
     for rel in adds:
         md = pq.ParquetFile(tfs.path(rel), filesystem=tfs.fs).metadata
         add_stats[rel] = [
             md.row_group(g).total_byte_size
             for g in range(md.num_row_groups)
         ]
+        n_rows_added += md.num_rows
     if carry_forward and existing:
         prev = tfs.read_json(f"_manifest.{existing[-1]}.json")
         # A13c schema evolution, additive-only (round 9): a carry-forward
@@ -397,6 +399,7 @@ def write_versioned(
             "mode": "append",
             "adds": adds,
             "add_stats": add_stats,
+            "n_rows_added": n_rows_added,
             "schema": df.schema.json(),
             "n_files": int(prev["n_files"]) + len(adds),
             "batch_id": batch_id,
@@ -444,6 +447,7 @@ def write_versioned(
             "adds": adds,
             "add_stats": add_stats,
             "file_stats": add_stats,
+            "n_rows_added": n_rows_added,
             "schema": df.schema.json(),
             "n_files": len(adds),
             "batch_id": batch_id,
@@ -605,6 +609,57 @@ def committed_batch_ids(
         for sid, bid in _collect_ledger_pairs(tfs, versions)
         if sid == stream_id
     }
+
+
+def describe_versioned_history(spark: SparkSession, table_path) -> DataFrame:
+    """DESCRIBE HISTORY for the manifest-versioned table (A13d — Delta's
+    ``DESCRIBE HISTORY`` / Iceberg's ``snapshots`` metadata table): one
+    row per committed version with the commit's mode (append|replace),
+    snapshot file count, files/rows added, streaming provenance
+    (stream_id, batch_id) and whether the manifest is a full-snapshot
+    checkpoint. Pure MANIFEST reads — O(versions) O(KB) metadata, no
+    data-file I/O; fields recorded only by round-11+ writers (mode,
+    n_rows_added) surface as NULL on older commits instead of guessing.
+    """
+    import pyspark.sql.types as T
+
+    from time_series_spark_spark.sources.fsio import (
+        as_table_fs,
+        latest_version,
+    )
+
+    tfs = as_table_fs(table_path)
+    latest = latest_version(tfs)
+    if latest is None:
+        raise FileNotFoundError(f"no committed versions in {tfs.root}")
+    rows = []
+    for v in range(latest + 1):
+        m = tfs.read_json(f"_manifest.{v}.json")
+        rows.append(
+            (
+                v,
+                m.get("mode"),
+                int(m["n_files"]),
+                len(m["adds"]) if "adds" in m else None,
+                int(m["n_rows_added"]) if "n_rows_added" in m else None,
+                "files" in m,
+                m.get("stream_id"),
+                int(m["batch_id"]) if m.get("batch_id") is not None else None,
+            )
+        )
+    schema = T.StructType(
+        [
+            T.StructField("version", T.LongType(), False),
+            T.StructField("mode", T.StringType(), True),
+            T.StructField("n_files", T.LongType(), False),
+            T.StructField("n_adds", T.LongType(), True),
+            T.StructField("n_rows_added", T.LongType(), True),
+            T.StructField("is_checkpoint", T.BooleanType(), False),
+            T.StructField("stream_id", T.StringType(), True),
+            T.StructField("batch_id", T.LongType(), True),
+        ]
+    )
+    return spark.createDataFrame(rows, schema)
 
 
 def retention_floor(table_path) -> int:
