@@ -378,3 +378,65 @@ def test_describe_versioned_history(spark, tmp_path):
     hist = {r["version"]: r for r in describe_versioned_history(spark, str(table)).collect()}
     assert hist[1]["mode"] is None and hist[1]["n_rows_added"] is None
     assert hist[1]["n_adds"] == 1  # adds still present in the manifest
+
+
+def test_restore_versioned(spark, tmp_path):
+    """A13e (round 11): RESTORE is a metadata-only rollback — a new
+    manifest re-referencing the target version's files. Laws: (1) the
+    latest snapshot equals the restored version exactly; (2) history is
+    preserved (every prior version still time-travels; the rollback is
+    its own mode='restore' commit); (3) restored files are re-protected
+    from vacuum; (4) the streaming source emits NOTHING for a restore
+    by default and fails loudly under onReplace=fail; (5) restoring
+    below the retention floor refuses."""
+    import pytest as _pytest
+
+    from time_series_spark_spark.sources.io import (
+        describe_versioned_history,
+        read_versioned,
+        restore_versioned,
+        vacuum_versioned,
+        write_versioned,
+    )
+    from time_series_spark_spark.sources.pydatasource import (
+        VersionedTableStreamReader,
+    )
+
+    table = str(tmp_path / "vt")
+    write_versioned(spark.range(6).selectExpr("id").coalesce(1), table)
+    write_versioned(spark.range(100).selectExpr("id").coalesce(1), table)
+    v = restore_versioned(table, 0)
+    assert v == 2
+    # (1) exact rollback, (2) history preserved
+    assert sorted(r["id"] for r in read_versioned(spark, table).collect()) == list(range(6))
+    assert read_versioned(spark, table, as_of=1).count() == 100
+    hist = {r["version"]: r for r in describe_versioned_history(spark, table).collect()}
+    assert hist[2]["mode"] == "restore" and hist[2]["n_adds"] == 0
+    assert hist[2]["n_files"] == 1 and hist[2]["is_checkpoint"]
+    # (4) stream: a restore emits nothing...
+    rd = VersionedTableStreamReader({"path": table})
+    parts = rd.partitions(
+        {"version": 1, "snapshot": False}, {"version": 2, "snapshot": False}
+    )
+    assert parts == []
+    # ...and fails loudly under onReplace=fail
+    rd_f = VersionedTableStreamReader({"path": table, "onReplace": "fail"})
+    with _pytest.raises(ValueError, match="RESTORE"):
+        rd_f.partitions(
+            {"version": 1, "snapshot": False},
+            {"version": 2, "snapshot": False},
+        )
+    # (3) vacuum keeps the restored version's files (re-referenced by
+    # the latest manifest) even when their ORIGINAL version is pruned
+    vacuum_versioned(table, keep_last=1)
+    assert read_versioned(spark, table).count() == 6
+    # (5) below-floor restore refuses (v1's files are gone)
+    with _pytest.raises(ValueError, match="retention floor"):
+        restore_versioned(table, 1)
+    # a post-restore carry-forward append composes
+    write_versioned(
+        spark.range(6, 9).selectExpr("id").coalesce(1),
+        table,
+        carry_forward=True,
+    )
+    assert read_versioned(spark, table).count() == 9

@@ -346,6 +346,69 @@ def orders_time_travel_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "orders_versioned_restore_roundtrip",
+    # A13e (round 11): after RESTORE, the latest snapshot must be exactly
+    # the restored version's frame — here the deterministic %3==0 parity
+    # split — and the rollback commit's metadata is structural literals.
+    """
+    SELECT o_orderstatus,
+           count(*) AS n_orders,
+           CAST(2 AS BIGINT) AS restored_version,
+           CAST(0 AS BIGINT) AS restored_from
+    FROM orders WHERE o_orderkey % 3 = 0
+    GROUP BY o_orderstatus ORDER BY o_orderstatus
+    """,
+    doc="A13e RESTORE (Delta's RESTORE TABLE ... TO VERSION AS OF) on "
+    "the manifest-versioned table: commit a snapshot (orderkey%3=0), "
+    "REPLACE it with the full table, then roll back to version 0 — a "
+    "METADATA-ONLY commit (one manifest re-referencing the old files, "
+    "zero data movement) that also re-protects those files from "
+    "vacuum. The read-back of the restored snapshot aggregated per "
+    "status proves the rollback is exact; history keeps every version "
+    "time-travel readable. Temp table removed before returning.",
+)
+def orders_versioned_restore_roundtrip(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from time_series_spark_spark.sources.io import (
+        read_versioned,
+        restore_versioned,
+        write_versioned,
+    )
+
+    orders = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus"
+    )
+    path = tempfile.mkdtemp(prefix="versioned_restore_")
+    try:
+        write_versioned(
+            orders.filter(F.col("o_orderkey") % 3 == 0).coalesce(1), path
+        )
+        write_versioned(orders.coalesce(1), path)  # replace with all rows
+        v = restore_versioned(path, 0)
+        from time_series_spark_spark.sources.fsio import as_table_fs
+
+        m = as_table_fs(path).read_json(f"_manifest.{v}.json")
+        out = (
+            read_versioned(spark, path)
+            .groupBy("o_orderstatus")
+            .agg(F.count(F.lit(1)).alias("n_orders"))
+            .withColumn("restored_version", F.lit(v).cast("long"))
+            .withColumn(
+                "restored_from", F.lit(m["restored_from"]).cast("long")
+            )
+            .orderBy("o_orderstatus")
+        )
+        rows = out.collect()
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
+    return spark.createDataFrame(rows, out.schema)
+
+
+@register(
     "orders_versioned_history",
     # A13d (round 11): the commits are deterministic (coalesce(1) parity
     # splits), so every history column has a closed form — per-version

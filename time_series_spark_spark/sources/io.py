@@ -611,6 +611,71 @@ def committed_batch_ids(
     }
 
 
+def restore_versioned(table_path, to_version: int) -> int:
+    """RESTORE the manifest-versioned table to an earlier version (A13e —
+    Delta's ``RESTORE TABLE ... TO VERSION AS OF``): publish a NEW
+    manifest whose file list IS the target version's resolved list.
+    Metadata-only — zero data movement, one manifest write — because the
+    manifest layer owns visibility; the restored version's files are
+    simply re-referenced, which also re-protects them from vacuum
+    (reference counting runs over retained manifests). History is
+    preserved: the rollback is itself a new commit (``mode="restore"``,
+    ``restored_from`` recorded), every prior version still time-travels,
+    and the streaming source emits NOTHING for it by default
+    (``adds=[]`` — nothing new to read; under ``onReplace=fail`` the
+    plan fails loudly instead, because rows logically REMOVED by the
+    rollback are not retracted downstream).
+
+    Fails loudly when the target is below the retention floor (its data
+    files may be vacuumed — same check as ``read_versioned``) or not
+    committed. Returns the new version number."""
+    from time_series_spark_spark.sources.fsio import (
+        as_table_fs,
+        latest_version,
+        manifest_file_stats,
+        manifest_files,
+    )
+
+    tfs = as_table_fs(table_path)
+    latest = latest_version(tfs)
+    if latest is None:
+        raise FileNotFoundError(f"no committed versions in {tfs.root}")
+    if not tfs.exists(f"_manifest.{to_version}.json"):
+        raise ValueError(
+            f"version {to_version} not committed (latest is {latest})"
+        )
+    floor = retention_floor(tfs)
+    if to_version < floor:
+        raise ValueError(
+            f"cannot restore to version {to_version}: below the "
+            f"retention floor {floor} of {tfs.root} — its data files "
+            "were pruned by vacuum_versioned"
+        )
+    target = tfs.read_json(f"_manifest.{to_version}.json")
+    files = manifest_files(tfs, to_version)
+    stats = manifest_file_stats(tfs, to_version)
+    version = latest + 1
+    ledger = _collect_ledger_pairs(tfs, list(range(latest + 1)))
+    manifest = {
+        "version": version,
+        "mode": "restore",
+        "restored_from": int(to_version),
+        "files": files,
+        "adds": [],
+        "add_stats": {},
+        "file_stats": {f: stats[f] for f in files if f in stats},
+        "n_rows_added": 0,
+        "schema": target["schema"],
+        "n_files": len(files),
+        "batch_id": None,
+        "stream_id": None,
+        "ledger": ledger,
+    }
+    tfs.write_json_atomic(manifest, f"_manifest.{version}.json")
+    tfs.write_json_atomic({"version": version}, "_latest.json")
+    return version
+
+
 def describe_versioned_history(spark: SparkSession, table_path) -> DataFrame:
     """DESCRIBE HISTORY for the manifest-versioned table (A13d — Delta's
     ``DESCRIBE HISTORY`` / Iceberg's ``snapshots`` metadata table): one

@@ -368,6 +368,16 @@ class VersionedTableStreamReader(DataSourceStreamReader):
     - **Replay-safe**: partitions(start, end) is a pure function of the
       immutable manifests, so a post-crash replay of a committed range
       reads byte-identical data.
+    - **Known limitation — no admission control**: the Python
+      ``DataSourceStreamReader`` API has no ``latestOffset(start, limit)``
+      hook (Spark's SupportsAdmissionControl), so a backfill plans the
+      whole pending range as ONE micro-batch (availableNow captures the
+      target offset once). A stateful workaround (tracking the last
+      committed offset in the reader) breaks on restart — the first
+      post-restart trigger cannot know the checkpointed position — so it
+      is deliberately not attempted; bounded-batch backfill at 100 TB
+      should seed from a bounded snapshot (initial floor) or wait for
+      the engine API to grow the hook.
     """
 
     def __init__(self, options: dict, schema=None):
@@ -565,17 +575,18 @@ class VersionedTableStreamReader(DataSourceStreamReader):
                 )
             todo = []
         for v in range(v0 + 1, v1 + 1):
-            if (
-                self.on_replace == "fail"
-                and self._manifest(v).get("mode") == "replace"
-            ):
+            mode = self._manifest(v).get("mode")
+            if self.on_replace == "fail" and mode not in (None, "append"):
+                # replace AND restore both leave downstream state stale:
+                # replace re-emits rows as adds, restore logically
+                # REMOVES rows without retracting them
                 raise ValueError(
-                    f"version {v} of {self.table_path} is a REPLACE "
-                    "commit and this stream was started with "
-                    "onReplace=fail: re-emitting an overwrite as adds "
-                    "would duplicate rows downstream — restart from a "
+                    f"version {v} of {self.table_path} is a "
+                    f"{(mode or 'replace').upper()} commit and this "
+                    "stream was started with onReplace=fail: downstream "
+                    "state would silently diverge — restart from a "
                     "fresh checkpoint (snapshot-at-floor) or read with "
-                    "onReplace=added to accept re-emission"
+                    "onReplace=added to accept it"
                 )
             todo += [(v, rel) for rel in self._adds_of(v)]
             stats.update(self._manifest(v).get("add_stats", {}))
