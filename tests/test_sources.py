@@ -440,3 +440,55 @@ def test_restore_versioned(spark, tmp_path):
         carry_forward=True,
     )
     assert read_versioned(spark, table).count() == 9
+
+
+def test_versioned_as_of_timestamp(spark, tmp_path):
+    """Round 11: TIMESTAMP AS OF time travel — every commit stamps
+    committed_at (epoch µs); a timestamp resolves to the LATEST version
+    committed at or before it. Boundary-exact (resolution uses the
+    recorded stamps themselves), loud on pre-history instants and on
+    tables written before stamps existed."""
+    import json
+
+    import pytest as _pytest
+
+    from time_series_spark_spark.sources.io import (
+        describe_versioned_history,
+        read_versioned,
+        write_versioned,
+    )
+
+    table = tmp_path / "vt"
+    write_versioned(spark.range(3).selectExpr("id"), str(table))
+    write_versioned(
+        spark.range(3, 7).selectExpr("id"), str(table), carry_forward=True
+    )
+    ts = {
+        r["version"]: r["committed_at"]
+        for r in describe_versioned_history(spark, str(table)).collect()
+    }
+    assert ts[0] is not None and ts[1] >= ts[0]
+    # exactly at each commit instant -> that version
+    assert read_versioned(spark, str(table), as_of_timestamp=ts[0]).count() == 3
+    assert read_versioned(spark, str(table), as_of_timestamp=ts[1]).count() == 7
+    # far future -> latest; just before the first commit -> loud error
+    assert (
+        read_versioned(
+            spark, str(table), as_of_timestamp=ts[1] + 10**12
+        ).count()
+        == 7
+    )
+    with _pytest.raises(ValueError, match="committed at or before"):
+        read_versioned(spark, str(table), as_of_timestamp=ts[0] - 1)
+    with _pytest.raises(ValueError, match="not both"):
+        read_versioned(spark, str(table), as_of=0, as_of_timestamp=ts[0])
+    # legacy manifests (no stamp) cannot match a timestamp
+    for v in (0, 1):
+        p = table / f"_manifest.{v}.json"
+        with open(p) as fh:
+            m = json.load(fh)
+        m.pop("committed_at", None)
+        with open(p, "w") as fh:
+            json.dump(m, fh)
+    with _pytest.raises(ValueError, match="predates commit timestamps"):
+        read_versioned(spark, str(table), as_of_timestamp=ts[1])

@@ -359,6 +359,12 @@ def write_versioned(
             for g in range(md.num_row_groups)
         ]
         n_rows_added += md.num_rows
+    # wall-clock commit stamp (epoch µs, UTC) — powers AS OF TIMESTAMP
+    # time travel and DESCRIBE HISTORY; deliberately NOT part of any
+    # registered query's hashed output (wall clocks are not oracles)
+    import time as _time
+
+    committed_at = int(_time.time() * 1_000_000)
     if carry_forward and existing:
         prev = tfs.read_json(f"_manifest.{existing[-1]}.json")
         # A13c schema evolution, additive-only (round 9): a carry-forward
@@ -397,6 +403,7 @@ def write_versioned(
         manifest = {
             "version": version,
             "mode": "append",
+            "committed_at": committed_at,
             "adds": adds,
             "add_stats": add_stats,
             "n_rows_added": n_rows_added,
@@ -443,6 +450,7 @@ def write_versioned(
             # later on this branch REPLACES the previous snapshot — the
             # streaming source's onReplace option keys off this field
             "mode": "append" if version == 0 else "replace",
+            "committed_at": committed_at,
             "files": adds,
             "adds": adds,
             "add_stats": add_stats,
@@ -464,11 +472,18 @@ def write_versioned(
 
 
 def read_versioned(
-    spark: SparkSession, table_path, as_of: int | None = None
+    spark: SparkSession,
+    table_path,
+    as_of: int | None = None,
+    as_of_timestamp: int | None = None,
 ) -> DataFrame:
-    """Read a manifest-versioned table at the latest version, or AS OF an
-    earlier one. Only files listed in the resolved manifest are read —
-    uncommitted/partial writes are invisible by construction."""
+    """Read a manifest-versioned table at the latest version, AS OF an
+    earlier version number, or AS OF a wall-clock TIMESTAMP (epoch µs —
+    Delta's ``TIMESTAMP AS OF``: the latest version committed at or
+    before the instant; round 11, resolved from the ``committed_at``
+    stamp every commit records). Only files listed in the resolved
+    manifest are read — uncommitted/partial writes are invisible by
+    construction."""
     import json
 
     from time_series_spark_spark.sources.fsio import (
@@ -477,10 +492,30 @@ def read_versioned(
         manifest_files,
     )
 
+    if as_of is not None and as_of_timestamp is not None:
+        raise ValueError("pass as_of OR as_of_timestamp, not both")
     tfs = as_table_fs(table_path)
     latest = latest_version(tfs)
     if latest is None:
         raise FileNotFoundError(f"no committed versions in {tfs.root}")
+    if as_of_timestamp is not None:
+        # walk descending until the first commit at/before the instant —
+        # O(versions-after-the-instant) manifest reads, the same replay
+        # any table format's timestamp resolution does. Commits from
+        # writers predating the stamp (no committed_at) cannot match.
+        as_of = None
+        for v in range(latest, -1, -1):
+            m = tfs.read_json(f"_manifest.{v}.json")
+            ca = m.get("committed_at")
+            if ca is not None and int(ca) <= int(as_of_timestamp):
+                as_of = v
+                break
+        if as_of is None:
+            raise ValueError(
+                f"no version of {tfs.root} was committed at or before "
+                f"epoch_us={as_of_timestamp} (earliest stamped commit "
+                "is later, or the table predates commit timestamps)"
+            )
     pick = latest if as_of is None else as_of
     if not tfs.exists(f"_manifest.{pick}.json"):
         raise ValueError(
@@ -656,9 +691,12 @@ def restore_versioned(table_path, to_version: int) -> int:
     stats = manifest_file_stats(tfs, to_version)
     version = latest + 1
     ledger = _collect_ledger_pairs(tfs, list(range(latest + 1)))
+    import time as _time
+
     manifest = {
         "version": version,
         "mode": "restore",
+        "committed_at": int(_time.time() * 1_000_000),
         "restored_from": int(to_version),
         "files": files,
         "adds": [],
@@ -710,6 +748,7 @@ def describe_versioned_history(spark: SparkSession, table_path) -> DataFrame:
                 "files" in m,
                 m.get("stream_id"),
                 int(m["batch_id"]) if m.get("batch_id") is not None else None,
+                int(m["committed_at"]) if "committed_at" in m else None,
             )
         )
     schema = T.StructType(
@@ -722,6 +761,10 @@ def describe_versioned_history(spark: SparkSession, table_path) -> DataFrame:
             T.StructField("is_checkpoint", T.BooleanType(), False),
             T.StructField("stream_id", T.StringType(), True),
             T.StructField("batch_id", T.LongType(), True),
+            # wall-clock commit stamp (epoch µs; NULL on pre-round-11
+            # commits) — deliberately excluded from the registered
+            # query's hashed output
+            T.StructField("committed_at", T.LongType(), True),
         ]
     )
     return spark.createDataFrame(rows, schema)
