@@ -492,3 +492,35 @@ def test_versioned_as_of_timestamp(spark, tmp_path):
             json.dump(m, fh)
     with _pytest.raises(ValueError, match="predates commit timestamps"):
         read_versioned(spark, str(table), as_of_timestamp=ts[1])
+
+
+def test_vacuum_dry_run(spark, tmp_path):
+    """Round 11: VACUUM DRY RUN reports exactly what the real pass would
+    do — same floor, same files/bytes — while changing NOTHING (no
+    floor publish, no deletes); the subsequent real vacuum matches the
+    forecast."""
+    from time_series_spark_spark.sources.io import (
+        read_versioned,
+        retention_floor,
+        vacuum_versioned,
+        write_versioned,
+    )
+
+    table = str(tmp_path / "vt")
+    for r in range(3):
+        write_versioned(
+            spark.range(r * 5, (r + 1) * 5).selectExpr("id").coalesce(1),
+            table,
+        )  # replace commits -> old files genuinely unreferenced
+    what_if = vacuum_versioned(table, keep_last=1, dry_run=True)
+    assert what_if["dry_run"] and what_if["floor"] == 2
+    assert what_if["n_files_deleted"] == 2 and what_if["bytes_deleted"] > 0
+    # nothing changed: no floor, all versions still readable
+    assert retention_floor(table) == 0
+    assert read_versioned(spark, table, as_of=0).count() == 5
+    # the real pass matches the forecast
+    real = vacuum_versioned(table, keep_last=1)
+    assert real["floor"] == what_if["floor"]
+    assert real["n_files_deleted"] == what_if["n_files_deleted"]
+    assert real["bytes_deleted"] == what_if["bytes_deleted"]
+    assert real["versions_pruned"] == what_if["versions_pruned"]

@@ -781,12 +781,17 @@ def retention_floor(table_path) -> int:
     return int(tfs.read_json("_retention.json")["floor"])
 
 
-def vacuum_versioned(table_path, keep_last: int = 2) -> dict:
+def vacuum_versioned(
+    table_path, keep_last: int = 2, dry_run: bool = False
+) -> dict:
     """Retention for the manifest-versioned table — the third leg of
     A13 (time travel) + A17b (OPTIMIZE): physically delete data files
     referenced ONLY by versions older than the last ``keep_last``
     committed snapshots, exactly what Delta's VACUUM / Iceberg's
-    expire_snapshots do.
+    expire_snapshots do. ``dry_run=True`` (Delta's ``VACUUM ... DRY
+    RUN``, round 11) computes the SAME report — what the floor would
+    become, which files/bytes would go — while publishing nothing and
+    deleting nothing; the maintenance scheduler's what-if.
 
     Safety order matters and mirrors the table formats:
 
@@ -854,6 +859,19 @@ def vacuum_versioned(table_path, keep_last: int = 2) -> dict:
     pruned_versions = [v for v in versions if v < floor]
     for v in pruned_versions:
         doomed |= files_by_v[v] - retained
+
+    if dry_run:
+        # report-only: same accounting as the real pass (existence-
+        # checked so a what-if after a crashed vacuum is accurate),
+        # zero writes — the floor file is NOT published
+        doomed_live = [rel for rel in sorted(doomed) if tfs.exists(rel)]
+        return {
+            "floor": floor,
+            "n_files_deleted": len(doomed_live),
+            "bytes_deleted": sum(tfs.size(r) for r in doomed_live),
+            "versions_pruned": pruned_versions,
+            "dry_run": True,
+        }
 
     # (1) publish the floor atomically BEFORE any delete
     tfs.write_json_atomic(
