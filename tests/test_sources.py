@@ -524,3 +524,47 @@ def test_vacuum_dry_run(spark, tmp_path):
     assert real["n_files_deleted"] == what_if["n_files_deleted"]
     assert real["bytes_deleted"] == what_if["bytes_deleted"]
     assert real["versions_pruned"] == what_if["versions_pruned"]
+
+
+def test_manifest_publish_put_if_absent(spark, tmp_path):
+    """Round 11: the manifest publish is PUT-IF-ABSENT (Delta's LogStore
+    contract) — a writer losing a commit race gets a loud
+    FileExistsError and the committed manifest is untouched. Atomic via
+    link(2) on the local filesystem; existence-pre-check fallback on
+    other filesystems (exercised through SubTreeFileSystem)."""
+    import pytest as _pytest
+    from pyarrow import fs as pafs
+
+    from time_series_spark_spark.sources.fsio import TableFS, as_table_fs
+    from time_series_spark_spark.sources.io import (
+        read_versioned,
+        write_versioned,
+    )
+
+    table = str(tmp_path / "vt")
+    write_versioned(spark.range(5).selectExpr("id"), table)
+    tfs = as_table_fs(table)
+    committed = tfs.read_json("_manifest.0.json")
+    # a racing writer that resolved the same version number loses loudly
+    with _pytest.raises(FileExistsError, match="concurrent commit"):
+        tfs.write_json_atomic(
+            {"version": 0, "files": []}, "_manifest.0.json", if_absent=True
+        )
+    assert tfs.read_json("_manifest.0.json") == committed  # untouched
+    assert not tfs.exists("_manifest.0.json.tmp")  # loser's tmp cleaned
+    assert read_versioned(spark, table).count() == 5
+    # non-local branch: same contract through a SubTreeFileSystem
+    sub = TableFS(
+        "vt2",
+        filesystem=pafs.SubTreeFileSystem(
+            str(tmp_path), pafs.LocalFileSystem()
+        ),
+        spark_root=str(tmp_path / "vt2"),
+    )
+    sub.mkdirs()
+    sub.write_json_atomic({"version": 0}, "_manifest.0.json", if_absent=True)
+    with _pytest.raises(FileExistsError, match="concurrent commit"):
+        sub.write_json_atomic(
+            {"version": 0}, "_manifest.0.json", if_absent=True
+        )
+    assert not sub.exists("_manifest.0.json.tmp")

@@ -102,15 +102,51 @@ class TableFS:
         with self.fs.open_input_stream(self.path(*rel)) as f:
             return json.loads(f.read().decode("utf-8"))
 
-    def write_json_atomic(self, obj: dict, *rel: str) -> None:
+    def write_json_atomic(
+        self, obj: dict, *rel: str, if_absent: bool = False
+    ) -> None:
         """Publish a small JSON file atomically: write ``<name>.tmp`` then
         move over the final name — rename(2) on local/HDFS (atomic; the
         commit protocol), copy-delete on object stores (NOT atomic there:
-        swap in a conditional put, see module docstring)."""
+        swap in a conditional put, see module docstring).
+
+        ``if_absent=True`` is the PUT-IF-ABSENT the commit log needs
+        (Delta's LogStore contract): two writers racing to publish the
+        same version must produce ONE winner and ONE loud
+        ``FileExistsError`` — never a silent clobber (``rename(2)``
+        REPLACES an existing destination). On the local filesystem this
+        is truly atomic via ``link(2)`` (fails with EEXIST, no window);
+        on other pyarrow filesystems it degrades to an existence
+        pre-check + move, which narrows but does not close the race —
+        the same store-specific gap the module docstring documents, to
+        be closed by a conditional put (S3 ``If-None-Match:*``, GCS
+        ``ifGenerationMatch=0``) in a real deployment."""
+        from pyarrow import fs as pafs
+
         final = self.path(*rel)
         tmp = final + ".tmp"
         with self.fs.open_output_stream(tmp) as f:
             f.write(json.dumps(obj).encode("utf-8"))
+        if not if_absent:
+            self.fs.move(tmp, final)
+            return
+        if isinstance(self.fs, pafs.LocalFileSystem):
+            import os
+
+            try:
+                os.link(tmp, final)  # atomic put-if-absent (EEXIST on loss)
+            except FileExistsError:
+                self.fs.delete_file(tmp)
+                raise FileExistsError(
+                    f"concurrent commit: {final} already published"
+                )
+            self.fs.delete_file(tmp)
+            return
+        if self.exists(*rel):  # non-local: narrowed, not closed (see above)
+            self.fs.delete_file(tmp)
+            raise FileExistsError(
+                f"concurrent commit: {final} already published"
+            )
         self.fs.move(tmp, final)
 
     def delete_file(self, *rel: str) -> None:

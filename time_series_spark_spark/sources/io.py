@@ -462,7 +462,12 @@ def write_versioned(
             "stream_id": stream_id,
             "ledger": ledger,
         }
-    tfs.write_json_atomic(manifest, f"_manifest.{version}.json")
+    # PUT-IF-ABSENT publish (Delta LogStore contract): a concurrent
+    # writer racing to the same version number loses LOUDLY with
+    # FileExistsError — never a silent clobber of a committed manifest
+    tfs.write_json_atomic(
+        manifest, f"_manifest.{version}.json", if_absent=True
+    )
     # publish the latest-version HINT (after the manifest — readers probe
     # forward from it, so a crash here only leaves the hint stale-low).
     # Makes latest-version discovery O(1) instead of a directory listing
@@ -709,7 +714,12 @@ def restore_versioned(table_path, to_version: int) -> int:
         "stream_id": None,
         "ledger": ledger,
     }
-    tfs.write_json_atomic(manifest, f"_manifest.{version}.json")
+    # PUT-IF-ABSENT publish (Delta LogStore contract): a concurrent
+    # writer racing to the same version number loses LOUDLY with
+    # FileExistsError — never a silent clobber of a committed manifest
+    tfs.write_json_atomic(
+        manifest, f"_manifest.{version}.json", if_absent=True
+    )
     tfs.write_json_atomic({"version": version}, "_latest.json")
     return version
 
