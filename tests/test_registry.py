@@ -20,13 +20,27 @@ def test_every_entry_well_formed():
         assert q.oracle is None or "SELECT" in q.oracle.upper(), name
 
 
-def test_confirmed_names_exist_and_sit_last():
+def test_window_structure_regression_slice_regime():
+    """Round 12+: the fresh pool no longer fills the 50-slot window, so
+    the live registry runs the REGRESSION-SLICE regime — rechecks first,
+    then EVERY fresh (never-confirmed) query, then a rotating slice of
+    confirmed queries fills the spare slots. Pin that every fresh query
+    is inside the driver's sample window (the round-11 verdict's top
+    item: the last never-sampled queries must face the driver)."""
     names = list(reg.REGISTRY)
-    confirmed = reg._EXTERNALLY_CONFIRMED
-    assert set(confirmed) <= set(names)
-    assert names[-len(confirmed):] == confirmed
-    # the driver's sample window must contain no already-confirmed query
-    assert not (set(names[:50]) & set(confirmed))
+    confirmed = set(reg._EXTERNALLY_CONFIRMED)
+    recheck = reg._RECHECK_FIRST
+    assert confirmed <= set(names)
+    fresh = [n for n in names if n not in confirmed and n not in set(recheck)]
+    window = names[: reg.SAMPLE_WINDOW]
+    # rechecks lead, all fresh queries fit inside the window
+    assert window[: len(recheck)] == recheck
+    assert set(fresh) <= set(window), sorted(set(fresh) - set(window))
+    assert window[len(recheck) : len(recheck) + len(fresh)] == fresh
+    # spare slots hold confirmed queries only (the rotating slice)
+    assert set(window[len(recheck) + len(fresh) :]) <= confirmed
+    # everything after the window is confirmed (nothing fresh buried)
+    assert set(names[reg.SAMPLE_WINDOW :]) <= confirmed
 
 
 def test_confirmed_list_covers_settled_driver_files():
@@ -66,14 +80,20 @@ def test_confirmed_list_covers_settled_driver_files():
         )
 
 
-def test_apply_rotation_fresh_regime_matches_live_registry():
+def test_apply_rotation_fresh_regime():
     """While never-confirmed queries overfill the window, rotation is
-    rechecks-first + fresh + confirmed tail — exactly what the live
-    REGISTRY uses (no regression slice yet)."""
-    names = list(reg.REGISTRY)
-    confirmed = reg._EXTERNALLY_CONFIRMED
-    assert names[: len(reg._RECHECK_FIRST)] == reg._RECHECK_FIRST
-    assert names[-len(confirmed):] == confirmed
+    rechecks-first + fresh + confirmed tail (no regression slice) — the
+    regime the live registry ran in rounds 1–11, kept pinned as a pure
+    function so a future registration surge can't silently bury fresh
+    queries behind a confirmed slice."""
+    registry = {f"q{i}": i for i in range(20)}
+    confirmed = [f"q{i}" for i in range(5)]  # q5..q19 fresh: overfills w=10
+    rotated = list(
+        reg._apply_rotation(registry, confirmed, ["q19"], window=10, round_idx=3)
+    )
+    assert rotated[0] == "q19"
+    assert rotated[1:15] == [f"q{i}" for i in range(5, 19)]
+    assert rotated[-5:] == confirmed  # confirmed tail, original order
 
 
 def test_apply_rotation_regression_slice_regime():

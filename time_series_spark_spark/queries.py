@@ -288,21 +288,46 @@ _EXTERNALLY_CONFIRMED = [
     "events_record_days_test", "events_turning_points_test",
     "events_transition_latency", "users_growth_accounting_weekly",
     "events_haar_energy_daily", "users_top_movers",
+    # round-11 driver greens (CORRECTNESS_r11.json: 47 sampled queries
+    # rows+schema+hash matched and 3 rows-only-by-design queries executed
+    # clean — fifth consecutive zero-failure window, including the three
+    # round-10 delta-manifest regressions re-confirmed under the new
+    # format from _RECHECK_FIRST):
+    "stream_versioned_source_feed", "orders_incremental_pipeline_roundtrip",
+    "orders_versioned_layout_health", "orders_time_travel_report",
+    "orders_versioned_restore_roundtrip", "orders_versioned_history",
+    "orders_version_change_feed", "orders_dpp_pruned_join",
+    "orders_schema_compat_report", "orders_mv_rollup_navigation",
+    "events_trend_hac_inference", "events_qq_halves",
+    "events_hampel_outliers", "users_activation_latency",
+    "users_tenure_activity_curve", "events_wilcoxon_signed_rank",
+    "users_stickiness_panel", "users_spend_migration_matrix",
+    "events_kruskal_wallis_value", "lineitem_return_rate_pchart",
+    "events_error_cchart", "customer_lorenz_curve",
+    "customer_theil_decomposition", "events_arch_lm_test",
+    "users_cronbach_alpha", "orders_cadence_renewal_check",
+    "events_daily_mix_divergence", "users_weibull_lifetime_fit",
+    "events_market_model_betas", "orders_time_under_water",
+    "events_strength_indices", "events_mean_reversion_halflife",
+    "users_cochran_armitage_trend", "users_capture_recapture",
+    "users_mcnemar_kappa_halves", "users_standardized_rates",
+    "events_type_reach_wilson", "supplier_cosupply_assortativity",
+    "geo_radius_pairs", "geo_nearest_supplier", "geo_grid_density",
+    "geo_supplier_coverage", "geo_grid_dbscan_clusters",
+    "docs_k_anonymity_report", "docs_dp_noisy_counts",
+    "docs_l_diversity_report", "docs_dp_histogram_fixed_domain",
+    "training_data_pipeline_report", "purchase_attribution_markov",
+    "ml_purchase_propensity",
 ]
 
 # Queries pinned to the very front of the sample window: externally-failed
 # fixes awaiting re-confirmation, plus queries whose check STRENGTH changed
 # (rows-only → oracle-backed) and should face the driver again under the
-# stronger check. Round 11: the three queries the round-10 delta-manifest
-# format change broke (KeyError 'files' in the J11e stream planner and the
-# A19 live-table health report — fixed this round via the adds+base chain
-# walk / fsio.manifest_files) must face the external gate again under the
-# new manifest format before their round-9 confirmations can be trusted.
-_RECHECK_FIRST: list[str] = [
-    "stream_versioned_source_feed",
-    "orders_incremental_pipeline_roundtrip",
-    "orders_versioned_layout_health",
-]
+# stronger check. Round 12: empty at round start (all three round-11
+# re-pins were driver-confirmed green — CORRECTNESS_r11.json); entries
+# are added below only when a round-12 change upgrades a confirmed
+# query's check or alters a confirmed query's own code path.
+_RECHECK_FIRST: list[str] = []
 
 SAMPLE_WINDOW = 50  # the external gate samples this many leading entries
 
