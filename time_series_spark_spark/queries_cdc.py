@@ -929,7 +929,9 @@ def orders_versioned_layout_health(
         out = (
             rep.withColumn(
                 "version",
-                F.regexp_extract("path", r"v=(\d+)/", 1).cast("long"),
+                # commit version from the staging-dir name v=N-<token>/
+                # (writer-unique since round 12; bare v=N/ on legacy tables)
+                F.regexp_extract("path", r"v=(\d+)", 1).cast("long"),
             )
             .groupBy("version")
             .agg(
@@ -938,6 +940,125 @@ def orders_versioned_layout_health(
                 F.sum("n_rows").alias("n_rows"),
             )
             .orderBy("version")
+        )
+        rows = out.collect()
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
+    return spark.createDataFrame(rows, out.schema)
+
+
+@register(
+    "orders_versioned_merge_roundtrip",
+    # A13f (round 12): the table is two deterministic parity files
+    # (o_orderkey%10 < 5 / >= 5) and the changelog is closed-form —
+    # delete %10==0, update %10==1 (status→'U', cents+100), insert
+    # synthetic keys k+10M for %10==2 (status 'N', 1 cent) — so the
+    # post-MERGE snapshot has an exact relational oracle, and the
+    # copy-on-write structure (only the %10<5 file rewritten, the
+    # other carried by reference) is pinned as structural literals.
+    """
+    WITH t AS (
+        SELECT o_orderkey AS k, o_orderstatus AS status,
+               CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        FROM orders
+    ),
+    merged AS (
+        SELECT k,
+               CASE WHEN k % 10 = 1 THEN 'U' ELSE status END AS status,
+               CASE WHEN k % 10 = 1 THEN cents + 100 ELSE cents END AS cents
+        FROM t WHERE k % 10 <> 0
+        UNION ALL
+        SELECT k + 10000000, 'N', CAST(1 AS BIGINT)
+        FROM t WHERE k % 10 = 2
+    )
+    SELECT status, count(*) AS n_rows,
+           CAST(sum(cents) AS BIGINT) AS total_cents,
+           CAST(2 AS BIGINT) AS merge_version,
+           CAST(1 AS BIGINT) AS files_rewritten,
+           CAST(1 AS BIGINT) AS files_carried
+    FROM merged GROUP BY status ORDER BY status
+    """,
+    doc="A13f MERGE INTO on the manifest-versioned table (Delta's "
+    "copy-on-write MERGE): commit orders as two parity files, apply a "
+    "deterministic keyed changelog (delete / update / insert arms) via "
+    "merge_versioned — ONE new commit that rewrites only the file "
+    "containing matched keys (%10<5) and carries the other file by "
+    "manifest reference with zero I/O. The post-merge snapshot "
+    "aggregated per status proves MERGE semantics end-to-end; the "
+    "rewritten/carried file counts pin the copy-on-write structure. "
+    "History records mode='merge'; onReplace=fail streams refuse the "
+    "commit (tests/test_versioned_cow.py). Temp table removed before "
+    "returning.",
+)
+def orders_versioned_merge_roundtrip(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from time_series_spark_spark.sources.io import (
+        merge_versioned,
+        read_versioned,
+        write_versioned,
+    )
+
+    t = load(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_orderstatus").alias("status"),
+        F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("cents"),
+    )
+    path = tempfile.mkdtemp(prefix="versioned_merge_")
+    try:
+        write_versioned(t.filter(F.col("k") % 10 < 5).coalesce(1), path)
+        write_versioned(
+            t.filter(F.col("k") % 10 >= 5).coalesce(1),
+            path,
+            carry_forward=True,
+        )
+        m = F.col("k") % 10
+        changes = (
+            t.filter(m == 0).select(
+                "k",
+                F.lit("delete").alias("op"),
+                F.lit(None).cast("string").alias("new_status"),
+                F.lit(None).cast("long").alias("new_cents"),
+            )
+            .unionByName(
+                t.filter(m == 1).select(
+                    "k",
+                    F.lit("update").alias("op"),
+                    F.lit("U").alias("new_status"),
+                    (F.col("cents") + 100).alias("new_cents"),
+                )
+            )
+            .unionByName(
+                t.filter(m == 2).select(
+                    (F.col("k") + 10_000_000).alias("k"),
+                    F.lit("insert").alias("op"),
+                    F.lit("N").alias("new_status"),
+                    F.lit(1).cast("long").alias("new_cents"),
+                )
+            )
+        )
+        rep = merge_versioned(spark, path, changes, ["k"])
+        out = (
+            read_versioned(spark, path)
+            .groupBy("status")
+            .agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.sum("cents").cast("long").alias("total_cents"),
+            )
+            .withColumn(
+                "merge_version", F.lit(rep["version"]).cast("long")
+            )
+            .withColumn(
+                "files_rewritten",
+                F.lit(rep["n_files_rewritten"]).cast("long"),
+            )
+            .withColumn(
+                "files_carried", F.lit(rep["n_files_carried"]).cast("long")
+            )
+            .orderBy("status")
         )
         rows = out.collect()
     finally:
