@@ -568,3 +568,76 @@ def test_manifest_publish_put_if_absent(spark, tmp_path):
             {"version": 0}, "_manifest.0.json", if_absent=True
         )
     assert not sub.exists("_manifest.0.json.tmp")
+
+
+def test_compact_versioned_zorder_preserves_and_prunes(spark, tmp_path):
+    """A9 ∘ A17b (round 12): OPTIMIZE ZORDER rewrites the snapshot in
+    Morton order as the NEXT version — data preserved exactly, prior
+    versions still travel, and a tight range predicate on a zorder
+    column overlaps strictly fewer row-group [min,max] envelopes than
+    on the shuffled layout (the pruning proof, measured from footers
+    via parquet_rowgroup_stats_report)."""
+    from pyspark.sql import functions as F
+
+    from time_series_spark_spark.sources.fsio import (
+        as_table_fs,
+        manifest_files,
+    )
+    from time_series_spark_spark.sources.io import (
+        compact_versioned,
+        parquet_rowgroup_stats_report,
+        read_versioned,
+        write_versioned,
+    )
+
+    path = str(tmp_path / "vt")
+    df = spark.range(20_000).select(
+        (F.xxhash64("id") % 1000).alias("a"),
+        (F.xxhash64("id", F.lit(1)) % 1000).alias("b"),
+        "id",
+    )
+    write_versioned(df.repartition(8), path)
+    tfs = as_table_fs(path)
+    before = [tfs.spark_path(f) for f in manifest_files(tfs, 0)]
+    rep = compact_versioned(
+        spark, path, target_file_bytes=25_000, zorder_by=["a", "b"]
+    )
+    assert rep["zorder_by"] == ["a", "b"]
+    after = [
+        tfs.spark_path(f) for f in manifest_files(tfs, rep["version"])
+    ]
+    # data preserved bit-for-bit (same multiset of rows)
+    assert read_versioned(spark, path).exceptAll(df).count() == 0
+    assert df.exceptAll(read_versioned(spark, path)).count() == 0
+    assert read_versioned(spark, path, as_of=0).count() == 20_000
+
+    def overlap(paths, col, lo, hi):
+        st = parquet_rowgroup_stats_report(spark, paths, col)
+        tot = st.count()
+        ov = st.filter(
+            (F.col("col_max") >= lo) & (F.col("col_min") <= hi)
+        ).count()
+        return ov / tot
+
+    # pruning tightens on BOTH dimensions (the multi-column property a
+    # plain sort on `a` cannot give)
+    assert overlap(after, "a", 100, 150) < overlap(before, "a", 100, 150)
+    assert overlap(after, "b", -500, -450) < overlap(before, "b", -500, -450)
+
+
+def test_zorder_rejects_unsupported_types(spark, tmp_path):
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from time_series_spark_spark.sources.io import (
+        compact_versioned,
+        write_versioned,
+    )
+
+    path = str(tmp_path / "vt")
+    write_versioned(
+        spark.range(10).select(F.format_string("s%d", "id").alias("s")),
+        path,
+    )
+    with _pytest.raises(ValueError, match="unsupported type"):
+        compact_versioned(spark, path, zorder_by=["s"])

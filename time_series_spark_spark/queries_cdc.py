@@ -1064,3 +1064,101 @@ def orders_versioned_merge_roundtrip(
     finally:
         shutil.rmtree(path, ignore_errors=True)
     return spark.createDataFrame(rows, out.schema)
+
+
+@register(
+    "orders_versioned_zorder_report",
+    # rows-only: the pruning fractions depend on approxQuantile sampling
+    # and file-split boundaries (stable in DIRECTION, not in exact
+    # value), so the registered output is the structural verdicts — the
+    # exact envelope math is pinned by pytest
+    # (tests/test_sources.py::test_compact_versioned_zorder_preserves_and_prunes).
+    None,
+    doc="A9 ∘ A17b (round 12): OPTIMIZE ZORDER on the manifest-versioned "
+    "table — rewrite the latest snapshot in Morton order over "
+    "(o_custkey, price cents) as the next version, then prove from "
+    "parquet FOOTER stats (parquet_rowgroup_stats_report, the A19b "
+    "auditor) that a tight range predicate on each zorder column "
+    "overlaps a strictly smaller fraction of row-group [min,max] "
+    "envelopes than on the shuffled pre-OPTIMIZE layout. Data "
+    "preserved bit-for-bit; prior versions still time-travel. Temp "
+    "table removed before returning.",
+)
+def orders_versioned_zorder_report(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from time_series_spark_spark.sources.fsio import (
+        as_table_fs,
+        manifest_files,
+    )
+    from time_series_spark_spark.sources.io import (
+        compact_versioned,
+        parquet_rowgroup_stats_report,
+        read_versioned,
+        write_versioned,
+    )
+
+    t = load(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("cents"),
+        "o_orderkey",
+    )
+    n_total = t.count()
+    path = tempfile.mkdtemp(prefix="versioned_zorder_")
+    try:
+        write_versioned(t.repartition(8), path)  # shuffled baseline
+        tfs = as_table_fs(path)
+        before = [tfs.spark_path(f) for f in manifest_files(tfs, 0)]
+        rep = compact_versioned(
+            spark,
+            path,
+            target_file_bytes=max(4096, sum(tfs.size(f) for f in manifest_files(tfs, 0)) // 8),
+            zorder_by=["o_custkey", "cents"],
+        )
+        after = [
+            tfs.spark_path(f) for f in manifest_files(tfs, rep["version"])
+        ]
+        preserved = read_versioned(spark, path).count() == n_total
+
+        def overlap(paths, col, lo, hi):
+            st = parquet_rowgroup_stats_report(spark, paths, col)
+            agg = st.agg(
+                F.count(F.lit(1)).alias("tot"),
+                F.sum(
+                    (
+                        (F.col("col_max") >= lo) & (F.col("col_min") <= hi)
+                    ).cast("long")
+                ).alias("ov"),
+            ).collect()[0]
+            return agg["ov"] / agg["tot"]
+
+        # tight range predicates at ~5% of each column's domain
+        ck = t.agg(
+            F.min("o_custkey").alias("lo"), F.max("o_custkey").alias("hi")
+        ).collect()[0]
+        ck_lo = ck["lo"] + (ck["hi"] - ck["lo"]) * 40 // 100
+        ck_hi = ck["lo"] + (ck["hi"] - ck["lo"]) * 45 // 100
+        ct = t.agg(
+            F.min("cents").alias("lo"), F.max("cents").alias("hi")
+        ).collect()[0]
+        ct_lo = ct["lo"] + (ct["hi"] - ct["lo"]) * 40 // 100
+        ct_hi = ct["lo"] + (ct["hi"] - ct["lo"]) * 45 // 100
+        row = (
+            int(rep["n_files_before"]),
+            int(rep["n_files_after"]),
+            bool(preserved),
+            overlap(after, "o_custkey", ck_lo, ck_hi)
+            < overlap(before, "o_custkey", ck_lo, ck_hi),
+            overlap(after, "cents", ct_lo, ct_hi)
+            < overlap(before, "cents", ct_lo, ct_hi),
+        )
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
+    return spark.createDataFrame(
+        [row],
+        "n_files_before long, n_files_after long, rows_preserved boolean, "
+        "custkey_pruning_improved boolean, cents_pruning_improved boolean",
+    )
