@@ -106,7 +106,11 @@ _EXTERNALLY_CONFIRMED = [
     # round-3 driver greens (CORRECTNESS_r03.json: rows+schema+hash matched,
     # or rows-only by design):
     "asof_purchase_view", "asof_forward_next_view", "range_join_views_1h",
-    "lag_lead_event_pairs", "time_range_frame_3d", "ewma_user_daily",
+    "lag_lead_event_pairs", "time_range_frame_3d",
+    # "ewma_user_daily" moved to _RECHECK_FIRST (round 12): upgraded
+    # rows-only → oracle (closed-form weighted-running-sum ratio) and its
+    # daily-mean input switched to exact integer-cents derivation — the
+    # old rows-only record does not confirm the new, stronger check.
     "geo_mean_grouped_udaf", "events_change_points", "events_trailing_7d_users",
     "forecast_daily_revenue", "forecast_user_events", "backtest_daily_revenue",
     "docs_dedup", "docs_dedup_keep_first", "docs_lang_stats", "docs_top_terms",
@@ -327,7 +331,13 @@ _EXTERNALLY_CONFIRMED = [
 # re-pins were driver-confirmed green — CORRECTNESS_r11.json); entries
 # are added below only when a round-12 change upgrades a confirmed
 # query's check or alters a confirmed query's own code path.
-_RECHECK_FIRST: list[str] = []
+_RECHECK_FIRST: list[str] = [
+    # round 12: rows-only → oracle upgrade (and an exact integer-cents
+    # daily-mean derivation replacing round(avg(value), 4), which flips
+    # the 4th decimal cross-engine at sf0.1) — must face the driver
+    # under the stronger check before its r3 confirmation can carry
+    "ewma_user_daily",
+]
 
 SAMPLE_WINDOW = 50  # the external gate samples this many leading entries
 

@@ -1063,8 +1063,21 @@ def events_salted_user_enrichment(
 
 @register(
     "bucketed_join_layout_report",
-    None,  # file-layout + plan evidence → rows-only; plan pinned in
-    # tests/test_plans.py (bucketed join has no exchange)
+    # round 12 (rows-only → oracle): the per-priority join aggregates
+    # are plain relational math, and join_key_exchanges is pinned to
+    # the LITERAL 0 — the oracle now ENFORCES the exchange-free bucketed
+    # plan (the A15 dpp_active=1 upgrade pattern): a layout regression
+    # that reintroduces a shuffle hash-fails externally, not just in
+    # tests/test_plans.py.
+    """
+    SELECT o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_lines,
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS price_cents,
+           CAST(0 AS BIGINT) AS join_key_exchanges
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
     doc="A4b/C1 co-located bucketed join, driver-visible: orders and "
     "lineitem written bucketBy(8, orderkey) into a temp warehouse, "
     "joined with broadcast disabled — the plan's Exchange count (0 on "

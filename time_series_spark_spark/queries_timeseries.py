@@ -632,17 +632,66 @@ def time_range_frame_3d(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 @register(
     "ewma_user_daily",
-    None,  # recursive EWMA is not oracle-SQL-expressible; pytest covers it
-    doc="E8 EWMA per user over daily means (applyInPandas; pandas ewm "
-    "semantics, adjust=True, alpha=0.3)",
+    # round 12 (rows-only → oracle): adjust=True EWM has the closed form
+    # y_t = Σ(x_i·w⁻ⁱ)/Σ(w⁻ⁱ) over running sums — invalid at production
+    # series lengths (w⁻ⁱ = 0.7⁻ⁱ overflows float64 after ~2k rows,
+    # exactly why the ENGINE uses the grouped-map recursion; see
+    # operators/timeseries.py::ewma), but exact at the corpus's ≤90-day
+    # daily series, so the ORACLE may use it: the hash match proves the
+    # engine's recursive path against independent math, not a port of it.
+    """
+    WITH daily AS (
+        -- daily mean derived from EXACT integer cents and left
+        -- UNROUNDED: both engines divide the same integers, so v is
+        -- bit-identical by IEEE-754 (raw avg(value) flips under fp
+        -- association, and round(x, 4) itself flips at .00005
+        -- boundaries — Spark HALF_UP on the shortest decimal repr vs
+        -- DuckDB's scaled-binary rounding)
+        SELECT user_id, CAST(date_trunc('day', ts) AS TIMESTAMP) AS d,
+               CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE)
+                   / count(*) / 100.0 AS v
+        FROM events GROUP BY 1, 2
+    ),
+    rn AS (
+        SELECT user_id, d, v,
+               CAST(row_number() OVER (PARTITION BY user_id ORDER BY d) - 1
+                    AS DOUBLE) AS i
+        FROM daily
+    ),
+    acc AS (
+        SELECT user_id, d, v,
+               sum(v * power(1.0 / 0.7, i)) OVER (
+                   PARTITION BY user_id ORDER BY i
+                   ROWS UNBOUNDED PRECEDING) AS s_num,
+               sum(power(1.0 / 0.7, i)) OVER (
+                   PARTITION BY user_id ORDER BY i
+                   ROWS UNBOUNDED PRECEDING) AS s_den
+        FROM rn
+    )
+    SELECT user_id, d, v, round(s_num / s_den, 6) AS ewma FROM acc
+    """,
+    doc="E8 EWMA per user over daily means (packed grouped map; pandas "
+    "ewm semantics, adjust=True, alpha=0.3); oracle = the closed-form "
+    "weighted-running-sum ratio, valid at test-scale series lengths",
 )
 def ewma_user_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # daily mean from exact integer cents (sum BIGINT / count / 100):
+    # identical operands → identical doubles → identical round(…, 4) in
+    # both engines, where raw avg(value) flips the 4th decimal under
+    # cross-engine fp association (round-12 oracle upgrade)
     daily = resample(
         _events(spark, sf_dir),
         "ts",
         "day",
         ["user_id"],
-        [F.round(F.avg("value"), 4).alias("v")],
+        [
+            (
+                F.sum(F.expr("CAST(round(value * 100) AS BIGINT)"))
+                .cast("double")
+                / F.count(F.lit(1))
+                / 100.0
+            ).alias("v")
+        ],
         bucket_col="d",
     )
     out = ewma(daily, ["user_id"], "d", "v", alpha=0.3)

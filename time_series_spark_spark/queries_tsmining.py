@@ -459,8 +459,82 @@ def events_dominant_period(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "events_hurst_user",
-    None,  # iterative log-log fit per series → rows-only; planted
-    # noise/walk/antipersistent recovery pinned in tests/test_tsmining.py
+    # round 12 (rows-only → oracle): R/S analysis is block-local window
+    # math end-to-end — per (user, scale w): disjoint blocks of w points,
+    # R = range of the mean-adjusted cumulative sum, S = population std,
+    # rs_w = mean(R/S over blocks with S>0); H = OLS slope of ln(rs) on
+    # ln(w) (regr_slope; r² = corr² — identical to the engine's polyfit
+    # analytically). The doubling scale ladder is a fixed list filtered
+    # by w <= n//2, exactly the engine's loop. Only the log-log fit's
+    # last digits are fp-sensitive; round(…, 4) matches the engine's.
+    """
+    WITH hourly AS (
+        SELECT user_id, CAST(date_trunc('hour', ts) AS TIMESTAMP) AS h,
+               CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS v
+        FROM events GROUP BY 1, 2
+    ),
+    span AS (SELECT min(h) AS lo, max(h) AS hi FROM hourly),
+    grid AS (
+        SELECT u.user_id, g.h
+        FROM (SELECT DISTINCT user_id FROM hourly) u
+        CROSS JOIN (SELECT unnest(generate_series(
+                        (SELECT lo FROM span), (SELECT hi FROM span),
+                        INTERVAL 1 HOUR)) AS h) g
+    ),
+    dense AS (
+        SELECT g.user_id, g.h,
+               CAST(coalesce(hh.v, 0) AS DOUBLE) AS v,
+               row_number() OVER (PARTITION BY g.user_id ORDER BY g.h) - 1
+                   AS idx,
+               count(*) OVER (PARTITION BY g.user_id) AS n
+        FROM grid g LEFT JOIN hourly hh USING (user_id, h)
+    ),
+    scales AS (SELECT unnest([8, 16, 32, 64, 128, 256, 512, 1024, 2048,
+                              4096, 8192, 16384]) AS w),
+    blocks AS (
+        SELECT d.user_id, s.w, CAST(floor(d.idx / s.w) AS BIGINT) AS b,
+               d.idx, d.v
+        FROM dense d JOIN scales s ON s.w <= d.n // 2
+        WHERE d.idx < (d.n // s.w) * s.w
+    ),
+    bm AS (
+        SELECT user_id, w, b, avg(v) AS m, stddev_pop(v) AS s
+        FROM blocks GROUP BY 1, 2, 3
+    ),
+    cums AS (
+        SELECT bl.user_id, bl.w, bl.b,
+               sum(bl.v - bm.m) OVER (
+                   PARTITION BY bl.user_id, bl.w, bl.b
+                   ORDER BY bl.idx ROWS UNBOUNDED PRECEDING) AS y
+        FROM blocks bl JOIN bm USING (user_id, w, b)
+    ),
+    rs_block AS (
+        SELECT user_id, w, b, max(y) - min(y) AS r
+        FROM cums GROUP BY 1, 2, 3
+    ),
+    rs AS (
+        SELECT rb.user_id, rb.w, avg(rb.r / bm.s) AS rs_w
+        FROM rs_block rb JOIN bm USING (user_id, w, b)
+        WHERE bm.s > 0
+        GROUP BY 1, 2
+    ),
+    fit AS (
+        SELECT user_id,
+               regr_slope(ln(rs_w), ln(CAST(w AS DOUBLE))) AS hexp,
+               CASE WHEN var_pop(ln(rs_w)) = 0 THEN 1.0
+                    ELSE corr(ln(rs_w), ln(CAST(w AS DOUBLE))) ** 2
+               END AS r2,
+               CAST(count(*) AS BIGINT) AS n_scales
+        FROM rs GROUP BY user_id HAVING count(*) >= 2
+    )
+    SELECT f.user_id, CAST(d.n AS BIGINT) AS n_points,
+           round(f.hexp, 4) AS hurst, round(f.r2, 4) AS fit_r2,
+           f.n_scales
+    FROM fit f JOIN (SELECT DISTINCT user_id, n FROM dense) d
+      USING (user_id)
+    WHERE isfinite(f.hexp) AND d.n >= 32
+    ORDER BY f.user_id
+    """,
     doc="Hurst exponent (R/S, Mandelbrot-Wallis) per user over the dense "
     "0-filled HOURLY value-cents series (the 30-day corpus gives ~720 "
     "hourly points — six R/S scales — where daily would give one): "
