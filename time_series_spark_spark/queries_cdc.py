@@ -428,7 +428,9 @@ def orders_versioned_restore_roundtrip(
     """,
     doc="A13d DESCRIBE HISTORY over the manifest-versioned table "
     "(Delta's DESCRIBE HISTORY / Iceberg's snapshots table): one row "
-    "per committed version — mode (append|replace), snapshot file "
+    "per committed version — mode (append|replace|restore|merge|"
+    "delete|update — this table exercises append/replace; A13e/A13f "
+    "commits record the others), snapshot file "
     "count, files/rows added at commit, checkpoint flag — from "
     "MANIFEST reads only (O(versions) O(KB) metadata, no data-file "
     "I/O; row counts were recorded at commit time from the footers "
