@@ -435,3 +435,84 @@ def test_describe_history_paging_and_distributed_reads(spark, tmp_path):
         spark, cfs, since_version=n - 3
     ).collect()
     assert [r["version"] for r in since] == [n - 3, n - 2, n - 1]
+
+
+def test_data_skipping_prunes_and_stays_safe(spark, tmp_path):
+    """A13g (round 12): per-file column min/max envelopes recorded at
+    commit drive manifest-only file pruning — a file is skipped only
+    when its envelope PROVES no match; legacy manifests without
+    envelopes are never pruned; the pruned scan + caller filter equals
+    the full scan + filter (skipping is an optimization, never a
+    correctness filter)."""
+    import json
+
+    from pyspark.sql import functions as F
+
+    from time_series_spark_spark.sources.io import (
+        prune_files_by_stats,
+        read_versioned,
+        write_versioned,
+    )
+
+    path = str(tmp_path / "vt")
+    df = spark.range(1000).select(
+        "id", F.format_string("s%04d", "id").alias("s")
+    )
+    write_versioned(df.filter("id < 500").coalesce(1), path)
+    write_versioned(
+        df.filter("id >= 500").coalesce(1), path, carry_forward=True
+    )
+    kept, skipped = prune_files_by_stats(path, 1, "id", 600, 700)
+    assert len(kept) == 1 and len(skipped) == 1
+    # string envelopes prune too
+    k2, s2 = prune_files_by_stats(path, 1, "s", "s0100", "s0200")
+    assert len(k2) == 1 and len(s2) == 1
+    # open-ended predicate
+    k3, s3 = prune_files_by_stats(path, 1, "id", 500, None)
+    assert len(k3) == 1 and len(s3) == 1
+    # pruned scan + filter ≡ full scan + filter
+    pruned = read_versioned(spark, path, prune=("id", 600, 700)).filter(
+        "id between 600 and 700"
+    )
+    full = read_versioned(spark, path).filter("id between 600 and 700")
+    assert pruned.exceptAll(full).count() == 0
+    assert full.exceptAll(pruned).count() == 0
+    # boundary overlap keeps the file (max == lo)
+    k4, s4 = prune_files_by_stats(path, 1, "id", 499, 499)
+    assert len(k4) == 1 and len(s4) == 1
+
+    # legacy manifests (no col stats keys) are NEVER pruned
+    tfs = as_table_fs(path)
+    for v in (0, 1):
+        m = tfs.read_json(f"_manifest.{v}.json")
+        m.pop("col_stats", None)
+        m.pop("add_col_stats", None)
+        (tmp_path / "vt" / f"_manifest.{v}.json").write_text(json.dumps(m))
+    k5, s5 = prune_files_by_stats(path, 1, "id", 600, 700)
+    assert len(k5) == 2 and s5 == []
+
+
+def test_data_skipping_composes_with_cow_and_restore(spark, tmp_path):
+    """Envelopes follow the snapshot through merge (rewritten files get
+    fresh envelopes, carried files keep theirs) and restore (the target
+    version's envelopes are re-referenced)."""
+    from time_series_spark_spark.sources.io import (
+        merge_versioned,
+        prune_files_by_stats,
+        restore_versioned,
+        write_versioned,
+    )
+
+    path = _two_file_table(spark, tmp_path)  # k<5 file A, k>=5 file B
+    merge_versioned(
+        spark, path, _changelog(spark, [(2, "update", 999, "g9")]), ["k"]
+    )
+    # after the merge, pruning on k still sees both halves' envelopes
+    kept, skipped = prune_files_by_stats(path, 2, "k", 7, 9)
+    assert len(kept) == 1 and len(skipped) == 1  # only file B kept
+    # the rewritten file's val envelope includes the new 999
+    kv, sv = prune_files_by_stats(path, 2, "val", 999, 999)
+    assert len(kv) == 1 and len(sv) == 1
+    v = restore_versioned(path, 1)
+    kept_r, skipped_r = prune_files_by_stats(path, v, "k", 7, 9)
+    assert len(kept_r) == 1 and len(skipped_r) == 1

@@ -1164,3 +1164,82 @@ def orders_versioned_zorder_report(
         "n_files_before long, n_files_after long, rows_preserved boolean, "
         "custkey_pruning_improved boolean, cents_pruning_improved boolean",
     )
+
+
+@register(
+    "orders_versioned_skipping_scan",
+    # A13g (round 12): the two committed files split o_orderkey at
+    # max(o_orderkey)//2 into DISJOINT ranges, so a predicate inside the
+    # upper half provably skips the lower file from manifest envelopes
+    # alone — the kept/skipped counts are structural literals and the
+    # scanned rows have a closed-form relational oracle.
+    """
+    WITH thr AS (SELECT max(o_orderkey) // 2 AS t FROM orders),
+    hits AS (
+        SELECT o_orderstatus,
+               CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        FROM orders, thr
+        WHERE o_orderkey > thr.t
+    )
+    SELECT o_orderstatus,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(cents) AS BIGINT) AS total_cents,
+           CAST(1 AS BIGINT) AS files_scanned,
+           CAST(1 AS BIGINT) AS files_skipped
+    FROM hits GROUP BY o_orderstatus ORDER BY o_orderstatus
+    """,
+    doc="A13g manifest-level data skipping (Delta/Iceberg file "
+    "skipping): commits record per-file column min/max envelopes in "
+    "the manifest (from the footers the writer had just produced), and "
+    "read_versioned(prune=(col, lo, hi)) plans the scan over only the "
+    "files whose envelope can contain the range — ZERO footer or "
+    "data-file I/O at plan time, the 100 TB planning move. The table "
+    "here is two disjoint o_orderkey ranges; a predicate inside the "
+    "upper half skips the lower file (pinned as literals), and the "
+    "pruned-scan-plus-filter aggregates match the whole-table oracle "
+    "exactly (skipping is an optimization, never a correctness "
+    "filter). Temp table removed before returning.",
+)
+def orders_versioned_skipping_scan(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from time_series_spark_spark.sources.io import (
+        prune_files_by_stats,
+        read_versioned,
+        write_versioned,
+    )
+
+    t = load(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        "o_orderstatus",
+        F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("cents"),
+    )
+    thr = t.agg(F.max("k").alias("m")).collect()[0]["m"] // 2
+    path = tempfile.mkdtemp(prefix="versioned_skip_")
+    try:
+        write_versioned(t.filter(F.col("k") <= thr).coalesce(1), path)
+        write_versioned(
+            t.filter(F.col("k") > thr).coalesce(1),
+            path,
+            carry_forward=True,
+        )
+        kept, skipped = prune_files_by_stats(path, 1, "k", thr + 1, None)
+        out = (
+            read_versioned(spark, path, prune=("k", thr + 1, None))
+            .filter(F.col("k") > thr)  # caller filter, as documented
+            .groupBy("o_orderstatus")
+            .agg(
+                F.count(F.lit(1)).alias("n_orders"),
+                F.sum("cents").cast("long").alias("total_cents"),
+            )
+            .withColumn("files_scanned", F.lit(len(kept)).cast("long"))
+            .withColumn("files_skipped", F.lit(len(skipped)).cast("long"))
+            .orderBy("o_orderstatus")
+        )
+        rows = out.collect()
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
+    return spark.createDataFrame(rows, out.schema)

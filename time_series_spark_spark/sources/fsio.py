@@ -242,6 +242,30 @@ def manifest_file_stats(tfs: TableFS, version: int) -> dict:
     return stats
 
 
+def manifest_col_stats(tfs: TableFS, version: int) -> dict:
+    """Best-effort per-file COLUMN MIN/MAX envelopes
+    (``rel → {col: [min, max]}``) for the files visible at ``version``,
+    resolved by the same delta-chain walk as :func:`manifest_file_stats`
+    (terminal snapshot's ``col_stats`` + each commit's
+    ``add_col_stats``, oldest first so rewrites win). Round-12 writers
+    record these at commit; files from older manifests are simply
+    absent — and ABSENT MEANS NEVER PRUNED (data skipping is an
+    optimization, not a correctness filter)."""
+    chain = []
+    cur = version
+    while True:
+        m = tfs.read_json(f"_manifest.{cur}.json")
+        chain.append(m)
+        if "files" in m:
+            break
+        cur = m["base"]
+    stats: dict = {}
+    for m in reversed(chain):
+        stats.update(m.get("col_stats", {}))
+        stats.update(m.get("add_col_stats", {}))
+    return stats
+
+
 def manifest_adds(tfs: TableFS, version: int) -> list[str]:
     """The files ADDED by one commit — directly from the manifest's
     ``adds`` when present (every round-10+ manifest), else the

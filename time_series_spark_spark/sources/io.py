@@ -283,25 +283,58 @@ def _stage_data_files(df: DataFrame, tfs, version: int) -> tuple[str, list[str]]
     return stage, adds
 
 
-def _read_add_stats(tfs, adds: list[str]) -> tuple[dict, int]:
-    """Per-added-file row-group byte sizes + total row count, read ONCE
-    from the footers the commit just produced (O(Δ) reads of O(KB)
-    metadata). The streaming source (J11e) plans its row-group-split
-    input partitions from these, so micro-batch PLANNING does zero
-    data-file I/O — at 100 TB append cadence the alternative is
-    thousands of driver-side footer opens per micro-batch per consumer
-    (round 11, r10 verdict item 4)."""
+def _read_add_stats(tfs, adds: list[str]) -> tuple[dict, int, dict]:
+    """Per-added-file row-group byte sizes, total row count, and
+    per-file COLUMN MIN/MAX envelopes, read ONCE from the footers the
+    commit just produced (O(Δ) reads of O(KB) metadata). The streaming
+    source (J11e) plans its row-group-split input partitions from the
+    byte sizes, and ``read_versioned``'s data skipping (A13g, round 12)
+    prunes files from the column envelopes — so both micro-batch
+    planning AND predicate scan planning do zero data-file I/O. At
+    100 TB the alternative is thousands of driver-side footer opens per
+    plan (round 11, r10 verdict item 4; Delta records per-file stats in
+    the log for exactly this).
+
+    Column envelopes cover only JSON-native stat types (int/float/str/
+    bool); columns without parquet stats — or with types the manifest
+    can't carry losslessly (timestamps, decimals) — are simply absent,
+    and absent means NEVER PRUNED (skipping is only ever an
+    optimization, never a correctness filter)."""
     import pyarrow.parquet as pq
 
     add_stats: dict = {}
+    col_stats: dict = {}
     n_rows = 0
     for rel in adds:
-        md = pq.ParquetFile(tfs.path(rel), filesystem=tfs.fs).metadata
+        pf = pq.ParquetFile(tfs.path(rel), filesystem=tfs.fs)
+        md = pf.metadata
         add_stats[rel] = [
             md.row_group(g).total_byte_size for g in range(md.num_row_groups)
         ]
         n_rows += md.num_rows
-    return add_stats, n_rows
+        names = pf.schema_arrow.names
+        envelopes: dict = {}
+        for ci, col in enumerate(names):
+            lo = hi = None
+            ok = md.num_row_groups > 0
+            for g in range(md.num_row_groups):
+                st = md.row_group(g).column(ci).statistics
+                if st is None or not st.has_min_max:
+                    ok = False
+                    break
+                if not (
+                    isinstance(st.min, (int, float, str, bool))
+                    and isinstance(st.max, (int, float, str, bool))
+                ):
+                    ok = False
+                    break
+                lo = st.min if lo is None else min(lo, st.min)
+                hi = st.max if hi is None else max(hi, st.max)
+            if ok:
+                envelopes[col] = [lo, hi]
+        if envelopes:
+            col_stats[rel] = envelopes
+    return add_stats, n_rows, col_stats
 
 
 def _collect_ledger_pairs(tfs, versions: list[int]) -> list:
@@ -399,6 +432,7 @@ def write_versioned(
     from time_series_spark_spark.sources.fsio import (
         as_table_fs,
         latest_version,
+        manifest_col_stats,
         manifest_file_stats,
         manifest_files,
     )
@@ -415,7 +449,7 @@ def write_versioned(
     existing = list(range(latest + 1)) if latest is not None else []
     version = (existing[-1] + 1) if existing else 0
     stage, adds = _stage_data_files(df, tfs, version)
-    add_stats, n_rows_added = _read_add_stats(tfs, adds)
+    add_stats, n_rows_added, add_col_stats = _read_add_stats(tfs, adds)
     # wall-clock commit stamp (epoch µs, UTC), clamped strictly above the
     # previous commit's — powers AS OF TIMESTAMP time travel and DESCRIBE
     # HISTORY; deliberately NOT part of any registered query's hashed
@@ -462,6 +496,7 @@ def write_versioned(
             "committed_at": committed_at,
             "adds": adds,
             "add_stats": add_stats,
+            "add_col_stats": add_col_stats,
             "n_rows_added": n_rows_added,
             "schema": df.schema.json(),
             "n_files": int(prev["n_files"]) + len(adds),
@@ -488,6 +523,11 @@ def write_versioned(
             manifest["file_stats"] = {
                 f: stats[f] for f in files if f in stats
             }
+            cstats = manifest_col_stats(tfs, existing[-1])
+            cstats.update(add_col_stats)
+            manifest["col_stats"] = {
+                f: cstats[f] for f in files if f in cstats
+            }
             ledger = _collect_ledger_pairs(tfs, existing)
             if batch_id is not None:
                 ledger.append([stream_id, int(batch_id)])
@@ -511,6 +551,8 @@ def write_versioned(
             "adds": adds,
             "add_stats": add_stats,
             "file_stats": add_stats,
+            "add_col_stats": add_col_stats,
+            "col_stats": add_col_stats,
             "n_rows_added": n_rows_added,
             "schema": df.schema.json(),
             "n_files": len(adds),
@@ -539,11 +581,47 @@ def write_versioned(
     return version
 
 
+def prune_files_by_stats(
+    table_path, version: int, column: str, lo, hi
+) -> tuple[list[str], list[str]]:
+    """A13g data skipping (round 12 — Delta/Iceberg file skipping): split
+    a version's file list into (kept, skipped) for the predicate
+    ``column BETWEEN lo AND hi``, using ONLY the per-file min/max
+    envelopes the commits recorded in their manifests — zero data-file
+    or footer I/O at plan time. A file is skipped only when its
+    envelope PROVES no row can match (``max < lo`` or ``min > hi``);
+    files without an envelope (legacy commits, stat-less columns,
+    types the manifest can't carry) are always kept. Open-ended
+    predicates: pass ``lo=None`` / ``hi=None``."""
+    from time_series_spark_spark.sources.fsio import (
+        as_table_fs,
+        manifest_col_stats,
+        manifest_files,
+    )
+
+    tfs = as_table_fs(table_path)
+    files = manifest_files(tfs, version)
+    cstats = manifest_col_stats(tfs, version)
+    kept, skipped = [], []
+    for f in files:
+        env = cstats.get(f, {}).get(column)
+        if env is None:
+            kept.append(f)
+            continue
+        fmin, fmax = env
+        if (lo is not None and fmax < lo) or (hi is not None and fmin > hi):
+            skipped.append(f)
+        else:
+            kept.append(f)
+    return kept, skipped
+
+
 def read_versioned(
     spark: SparkSession,
     table_path,
     as_of: int | None = None,
     as_of_timestamp: int | None = None,
+    prune: tuple | None = None,
 ) -> DataFrame:
     """Read a manifest-versioned table at the latest version, AS OF an
     earlier version number, or AS OF a wall-clock TIMESTAMP (epoch µs —
@@ -551,7 +629,16 @@ def read_versioned(
     before the instant; round 11, resolved from the ``committed_at``
     stamp every commit records). Only files listed in the resolved
     manifest are read — uncommitted/partial writes are invisible by
-    construction."""
+    construction.
+
+    ``prune=(column, lo, hi)`` (A13g, round 12) additionally plans the
+    scan over only the files whose manifest-recorded min/max envelope
+    can contain ``column BETWEEN lo AND hi`` — manifest-level data
+    skipping with zero footer I/O, the 100 TB planning move (parquet
+    row-group pruning still applies inside the kept files). The scan
+    MAY still return rows outside the range (envelopes are file-level);
+    the caller applies its own filter exactly as with partition
+    pruning. Files without envelopes are never skipped."""
     import json
 
     from time_series_spark_spark.sources.fsio import (
@@ -601,7 +688,11 @@ def read_versioned(
             f">= {floor}"
         )
     manifest = tfs.read_json(f"_manifest.{pick}.json")
-    paths = [tfs.spark_path(f) for f in manifest_files(tfs, pick)]
+    if prune is not None:
+        kept, _ = prune_files_by_stats(tfs, pick, *prune)
+        paths = [tfs.spark_path(f) for f in kept]
+    else:
+        paths = [tfs.spark_path(f) for f in manifest_files(tfs, pick)]
     schema = T.StructType.fromJson(json.loads(manifest["schema"]))
     if not paths:
         return spark.createDataFrame([], _normalize_schema(schema))
@@ -825,6 +916,7 @@ def restore_versioned(table_path, to_version: int) -> int:
     from time_series_spark_spark.sources.fsio import (
         as_table_fs,
         latest_version,
+        manifest_col_stats,
         manifest_file_stats,
         manifest_files,
     )
@@ -847,6 +939,7 @@ def restore_versioned(table_path, to_version: int) -> int:
     target = tfs.read_json(f"_manifest.{to_version}.json")
     files = manifest_files(tfs, to_version)
     stats = manifest_file_stats(tfs, to_version)
+    cstats = manifest_col_stats(tfs, to_version)
     version = latest + 1
     ledger = _collect_ledger_pairs(tfs, list(range(latest + 1)))
     manifest = {
@@ -857,7 +950,9 @@ def restore_versioned(table_path, to_version: int) -> int:
         "files": files,
         "adds": [],
         "add_stats": {},
+        "add_col_stats": {},
         "file_stats": {f: stats[f] for f in files if f in stats},
+        "col_stats": {f: cstats[f] for f in files if f in cstats},
         "n_rows_added": 0,
         "schema": target["schema"],
         "n_files": len(files),
@@ -920,11 +1015,14 @@ def _cow_commit(
     report come from O(touched) KB-sized footer reads."""
     import pyarrow.parquet as pq
 
-    from time_series_spark_spark.sources.fsio import manifest_file_stats
+    from time_series_spark_spark.sources.fsio import (
+        manifest_col_stats,
+        manifest_file_stats,
+    )
 
     version = latest + 1
     stage, adds = _stage_data_files(rewritten, tfs, version)
-    add_stats, n_rows_written = _read_add_stats(tfs, adds)
+    add_stats, n_rows_written, add_col_stats = _read_add_stats(tfs, adds)
     n_rows_touched = sum(
         pq.ParquetFile(tfs.path(rel), filesystem=tfs.fs).metadata.num_rows
         for rel in touched
@@ -932,6 +1030,8 @@ def _cow_commit(
     new_files = sorted((set(files) - set(touched)) | set(adds))
     stats = manifest_file_stats(tfs, latest)
     stats.update(add_stats)
+    cstats = manifest_col_stats(tfs, latest)
+    cstats.update(add_col_stats)
     ledger = _collect_ledger_pairs(tfs, list(range(latest + 1)))
     manifest = {
         "version": version,
@@ -940,7 +1040,9 @@ def _cow_commit(
         "files": new_files,
         "adds": adds,
         "add_stats": add_stats,
+        "add_col_stats": add_col_stats,
         "file_stats": {f: stats[f] for f in new_files if f in stats},
+        "col_stats": {f: cstats[f] for f in new_files if f in cstats},
         "removes": touched,
         "n_rows_added": n_rows_written,
         "schema": schema_json,
