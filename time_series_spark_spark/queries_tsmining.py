@@ -425,8 +425,68 @@ def events_acf_daily_total(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "events_dominant_period",
-    None,  # FFT periodogram → rows-only; planted 7/12/30-sample cycle
-    # recovery (with trend) pinned in tests/test_tsmining.py
+    # round 12 (rows-only → oracle): the rfft periodogram is the DFT,
+    # so each bin is a closed-form trig sum over the OLS-detrended
+    # series (regr_slope/intercept ≡ polyfit deg-1 analytically); bins
+    # 0 and 1 are excluded exactly as the engine zeroes them, argmax
+    # breaks ties at the lowest bin like np.argmax, and power_frac is
+    # the peak's share of the retained bins' total. ~1.3M trig terms in
+    # DuckDB at test scale — an oracle cost, not an engine cost (the
+    # engine stays O(n log n) FFT per series).
+    """
+    WITH hourly AS (
+        SELECT event_type, CAST(date_trunc('hour', ts) AS TIMESTAMP) AS h,
+               CAST(count(*) AS DOUBLE) AS v
+        FROM events GROUP BY 1, 2
+    ),
+    span AS (SELECT min(h) AS lo, max(h) AS hi FROM hourly),
+    grid AS (
+        SELECT t.event_type, g.h
+        FROM (SELECT DISTINCT event_type FROM hourly) t
+        CROSS JOIN (SELECT unnest(generate_series(
+                        (SELECT lo FROM span), (SELECT hi FROM span),
+                        INTERVAL 1 HOUR)) AS h) g
+    ),
+    dense AS (
+        SELECT g.event_type, g.h, coalesce(hh.v, 0.0) AS v,
+               CAST(row_number() OVER (PARTITION BY g.event_type
+                                       ORDER BY g.h) - 1 AS DOUBLE) AS t,
+               count(*) OVER (PARTITION BY g.event_type) AS n
+        FROM grid g LEFT JOIN hourly hh USING (event_type, h)
+    ),
+    fit AS (
+        SELECT event_type, regr_slope(v, t) AS sl, regr_intercept(v, t) AS ic
+        FROM dense GROUP BY 1 HAVING count(*) >= 8
+    ),
+    resid AS (
+        SELECT d.event_type, d.t, d.n, d.v - (f.sl * d.t + f.ic) AS r
+        FROM dense d JOIN fit f USING (event_type)
+    ),
+    js AS (
+        SELECT unnest(generate_series(
+            2, (SELECT max(n) // 2 FROM dense))) AS j
+    ),
+    bins AS (
+        SELECT r.event_type, js.j, any_value(r.n) AS n,
+               sum(r.r * cos(2 * pi() * js.j * r.t / r.n)) AS cr,
+               sum(r.r * sin(2 * pi() * js.j * r.t / r.n)) AS sr
+        FROM resid r JOIN js ON js.j <= r.n // 2
+        GROUP BY 1, 2
+    ),
+    spec AS (
+        SELECT event_type, j, n, cr * cr + sr * sr AS p,
+               sum(cr * cr + sr * sr) OVER (PARTITION BY event_type)
+                   AS total,
+               row_number() OVER (PARTITION BY event_type
+                                  ORDER BY cr * cr + sr * sr DESC, j)
+                   AS rk
+        FROM bins
+    )
+    SELECT event_type, CAST(n AS BIGINT) AS n_points,
+           round(n / j, 4) AS period, round(p / total, 4) AS power_frac
+    FROM spec WHERE rk = 1 AND total > 0
+    ORDER BY event_type
+    """,
     doc="F48 dominant-period estimation per event_type: least-squares "
     "detrend + periodogram peak over the dense hourly count series — "
     "the automatic season detector feeding F7/F7b period choices; "
@@ -667,8 +727,77 @@ def events_pacf_daily_total(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "events_lomb_scargle_user",
-    None,  # trig periodogram -> rows-only; planted irregular-sine
-    # recovery pinned in tests/test_tsmining.py
+    # round 12 (rows-only → oracle): the Lomb-Scargle periodogram on a
+    # FIXED 8-period grid is closed-form trig-sum math — two aggregation
+    # passes (sin/cos sums → tau, then the tau-shifted component sums)
+    # and a first-max argmax (row_number over p DESC, grid index ASC ≡
+    # np.argmax's first-occurrence rule). t is seconds from each
+    # series' first sample via epoch_ns/1e9, the engine's exact
+    # derivation, so both engines feed identical doubles into the same
+    # formula; ls_power rounds at 4.
+    """
+    WITH pts AS (
+        SELECT user_id,
+               epoch_ns(ts) / 1000000000.0 AS tsec,
+               CAST(CAST(round(value * 100) AS BIGINT) AS DOUBLE) AS v
+        FROM events
+    ),
+    base AS (
+        SELECT user_id,
+               tsec - min(tsec) OVER (PARTITION BY user_id) AS t, v
+        FROM pts
+    ),
+    stats AS (
+        SELECT user_id, CAST(count(*) AS BIGINT) AS n,
+               avg(v) AS ybar, var_samp(v) AS s2
+        FROM base GROUP BY user_id
+        HAVING count(*) >= 16 AND var_samp(v) > 0
+    ),
+    wgrid AS (
+        SELECT gi, ph, 2 * pi() / (ph * 3600.0) AS w
+        FROM (VALUES (1, 6.0), (2, 12.0), (3, 24.0), (4, 48.0),
+                     (5, 84.0), (6, 168.0), (7, 336.0), (8, 672.0))
+            AS g(gi, ph)
+    ),
+    s1 AS (
+        SELECT b.user_id, g.gi, g.ph, g.w,
+               sum(sin(2 * g.w * b.t)) AS s2w,
+               sum(cos(2 * g.w * b.t)) AS c2w
+        FROM base b JOIN stats st USING (user_id) CROSS JOIN wgrid g
+        GROUP BY 1, 2, 3, 4
+    ),
+    tau AS (
+        SELECT user_id, gi, ph, w, atan2(s2w, c2w) / (2 * w) AS tau
+        FROM s1
+    ),
+    comp AS (
+        SELECT b.user_id, ta.gi, ta.ph,
+               sum(cos(ta.w * b.t - ta.w * ta.tau) * (b.v - st.ybar)) AS cd,
+               sum(sin(ta.w * b.t - ta.w * ta.tau) * (b.v - st.ybar)) AS sd,
+               sum(cos(ta.w * b.t - ta.w * ta.tau) ** 2) AS cc,
+               sum(sin(ta.w * b.t - ta.w * ta.tau) ** 2) AS ss
+        FROM base b
+        JOIN stats st USING (user_id)
+        JOIN tau ta ON ta.user_id = b.user_id
+        GROUP BY 1, 2, 3
+    ),
+    pw AS (
+        SELECT c.user_id, c.gi, c.ph,
+               (c.cd * c.cd / c.cc
+                + c.sd * c.sd / greatest(c.ss, 1e-300)) / (2 * st.s2) AS p
+        FROM comp c JOIN stats st USING (user_id)
+    ),
+    best AS (
+        SELECT user_id, ph, p,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY p DESC, gi) AS rk
+        FROM pw
+    )
+    SELECT b.user_id, st.n AS n_points, b.ph AS best_period_hours,
+           round(b.p, 4) AS ls_power
+    FROM best b JOIN stats st USING (user_id)
+    WHERE b.rk = 1 ORDER BY b.user_id
+    """,
     doc="F135 Lomb-Scargle dominant period per user over the RAW "
     "irregular event stream (timestamps as sampled, values in cents) "
     "— the period detector for series F48's FFT cannot handle "
