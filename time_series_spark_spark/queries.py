@@ -143,7 +143,10 @@ _EXTERNALLY_CONFIRMED = [
     "docs_shuffle_shards", "docs_token_budget_fill",
     "docs_incremental_dedup_exact", "docs_incremental_bloom_dedup",
     "docs_pmi_bigrams", "docs_zipf_fit", "docs_heaps_curve", "emb_pq_topk",
-    "docs_rake_keywords", "docs_dup_graph_pagerank", "docs_bpe_train_merges",
+    "docs_rake_keywords",
+    # "docs_dup_graph_pagerank" moved to _RECHECK_FIRST (round 12):
+    # upgraded rows-only → oracle (15 unrolled power-iteration CTEs).
+    "docs_bpe_train_merges",
     "docs_ppmi_top_pairs", "docs_ppmi_svd_neighbors", "emb_pca_variance",
     "emb_ann_quality_report", "docs_vocab_coverage", "docs_quality_classifier",
     "docs_token_entropy", "emb_mips_topk", "docs_temperature_mix",
@@ -337,6 +340,10 @@ _RECHECK_FIRST: list[str] = [
     # the 4th decimal cross-engine at sf0.1) — must face the driver
     # under the stronger check before its r3 confirmation can carry
     "ewma_user_daily",
+    # round 12: rows-only → oracle upgrade (the engine's fixed 15-round
+    # power iteration unrolled as 15 chained join+agg CTEs) — same
+    # re-confirmation rule
+    "docs_dup_graph_pagerank",
 ]
 
 SAMPLE_WINDOW = 50  # the external gate samples this many leading entries

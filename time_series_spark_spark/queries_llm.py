@@ -1663,11 +1663,72 @@ def docs_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rake_keywords(load(spark, sf_dir, "documents"))
 
 
+def _pagerank_oracle(iters: int = 15, damping: float = 0.85) -> str:
+    """Round 12 (rows-only → oracle): the engine runs a FIXED 15-round
+    power iteration, so the oracle unrolls exactly 15 chained
+    join+agg CTEs over the same symmetrized Jaccard dup graph — the
+    identical recurrence r' = (1-d)/n + d·Σ r(src)/deg(src), not an
+    approximation; only fp association in the per-node inflow sums
+    differs, absorbed by the 6-decimal rounding (the update is a
+    contraction, so those last-ulp differences shrink per round)."""
+    graph = """
+    WITH s AS (
+        SELECT doc_id,
+               list_distinct(list_transform(
+                   generate_series(1, len(t) - 2),
+                   i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS sh
+        FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
+    ),
+    x AS (SELECT doc_id, len(sh) AS n_sh, unnest(sh) AS g FROM s),
+    p AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               a.n_sh AS na, b.n_sh AS nb, count(*) AS inter
+        FROM x a JOIN x b ON a.g = b.g AND a.doc_id < b.doc_id
+        GROUP BY 1, 2, 3, 4
+    ),
+    pairs AS (
+        SELECT id_a, id_b FROM p
+        WHERE CAST(inter AS DOUBLE) / (na + nb - inter) >= 0.5
+    ),
+    edges AS (
+        SELECT id_a AS src, id_b AS dst FROM pairs
+        UNION
+        SELECT id_b AS src, id_a AS dst FROM pairs
+    ),
+    nodes AS (SELECT DISTINCT src AS id FROM edges),
+    nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+    deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src),
+    r0 AS (SELECT id, 1.0 / (SELECT n FROM nn) AS rank FROM nodes)
+    """
+    step = """,
+    r{i} AS (
+        SELECT n.id,
+               (1.0 - {d}) / (SELECT n FROM nn)
+               + {d} * coalesce(inf.inflow, 0.0) AS rank
+        FROM nodes n
+        LEFT JOIN (
+            SELECT e.dst AS id, sum(r.rank / d.deg) AS inflow
+            FROM edges e
+            JOIN r{prev} r ON r.id = e.src
+            JOIN deg d ON d.src = e.src
+            GROUP BY e.dst
+        ) inf ON inf.id = n.id
+    )"""
+    body = graph + "".join(
+        step.format(i=i, prev=i - 1, d=damping) for i in range(1, iters + 1)
+    )
+    return (
+        body
+        + f"""
+    SELECT id, round(rank, 6) AS rank FROM r{iters}
+    ORDER BY round(rank, 6) DESC, id LIMIT 10
+    """
+    )
+
+
 @register(
     "docs_dup_graph_pagerank",
-    None,  # iterative power method → rows-only; ≡ dense numpy power
-    # iteration to 1e-9 + uniform/star/mass-conservation properties in
-    # tests/test_graph.py
+    _pagerank_oracle(),
     doc="K2++ PageRank centrality over the n-gram-Jaccard duplicate "
     "graph (Brin & Page 1998, undirected reading): which documents sit "
     "at the center of duplication clusters — 15 join+agg power rounds "

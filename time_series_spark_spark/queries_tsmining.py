@@ -659,9 +659,69 @@ def events_cluster_silhouette_scan(
 
 @register(
     "events_pacf_daily_total",
-    None,  # Durbin-Levinson recursion over the collected ACF (8 bounded
-    # scalars) → rows-only; Yule-Walker solve equivalence pinned in
-    # tests/test_tsmining.py
+    # round 12 (rows-only → oracle): the Durbin-Levinson recursion is 7
+    # rounds of scalar arithmetic over the 8 autocovariances, so a
+    # RECURSIVE CTE carrying the φ vector as a DuckDB list runs the
+    # IDENTICAL recurrence (same fold order as the engine's Python
+    # sums — left-assoc); only the distributed γ_k sums differ in fp
+    # association, absorbed by the 6-decimal rounding.
+    """
+    WITH RECURSIVE d AS (
+        SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS d,
+               CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS c
+        FROM events GROUP BY 1
+    ),
+    st AS (SELECT count(*) AS n, avg(c) AS mu FROM d),
+    rn AS (
+        SELECT CAST(c AS DOUBLE) - (SELECT mu FROM st) AS y,
+               row_number() OVER (ORDER BY d) AS i
+        FROM d
+    ),
+    g AS (
+        SELECT k.k, sum(a.y * b.y) / (SELECT n FROM st) AS g
+        FROM rn a
+        CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS k) k
+        JOIN rn b ON b.i = a.i - k.k
+        GROUP BY k.k
+    ),
+    rho AS (
+        SELECT [max(CASE WHEN k = 1 THEN g END) / max(CASE WHEN k = 0 THEN g END),
+                max(CASE WHEN k = 2 THEN g END) / max(CASE WHEN k = 0 THEN g END),
+                max(CASE WHEN k = 3 THEN g END) / max(CASE WHEN k = 0 THEN g END),
+                max(CASE WHEN k = 4 THEN g END) / max(CASE WHEN k = 0 THEN g END),
+                max(CASE WHEN k = 5 THEN g END) / max(CASE WHEN k = 0 THEN g END),
+                max(CASE WHEN k = 6 THEN g END) / max(CASE WHEN k = 0 THEN g END),
+                max(CASE WHEN k = 7 THEN g END) / max(CASE WHEN k = 0 THEN g END)]
+            AS r
+        FROM g
+    ),
+    dl AS (
+        SELECT 1 AS k, [r[1]] AS phi FROM rho
+        UNION ALL
+        SELECT dl.k + 1,
+               list_append(
+                   list_transform(generate_series(1, dl.k), j ->
+                       dl.phi[j]
+                       - ((rho.r[dl.k + 1]
+                           - list_sum(list_transform(
+                                 generate_series(1, dl.k),
+                                 jj -> dl.phi[jj] * rho.r[dl.k + 1 - jj])))
+                          / (1.0
+                             - list_sum(list_transform(
+                                   generate_series(1, dl.k),
+                                   jj -> dl.phi[jj] * rho.r[jj]))))
+                         * dl.phi[dl.k + 1 - j]),
+                   (rho.r[dl.k + 1]
+                    - list_sum(list_transform(generate_series(1, dl.k),
+                          jj -> dl.phi[jj] * rho.r[dl.k + 1 - jj])))
+                   / (1.0
+                      - list_sum(list_transform(generate_series(1, dl.k),
+                            jj -> dl.phi[jj] * rho.r[jj]))))
+        FROM dl, rho WHERE dl.k < 7
+    )
+    SELECT CAST(k AS INTEGER) AS k, round(phi[k], 6) AS pacf
+    FROM dl ORDER BY k
+    """,
     doc="F47b partial autocorrelation function of the daily total-value "
     "series at lags 1..7 — the other half of the Box-Jenkins "
     "identification panel next to F47's ACF (PACF cutoff picks AR "
