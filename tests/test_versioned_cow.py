@@ -516,3 +516,102 @@ def test_data_skipping_composes_with_cow_and_restore(spark, tmp_path):
     v = restore_versioned(path, 1)
     kept_r, skipped_r = prune_files_by_stats(path, v, "k", 7, 9)
     assert len(kept_r) == 1 and len(skipped_r) == 1
+
+
+def test_write_versioned_with_retry(spark, tmp_path, monkeypatch):
+    """Optimistic-concurrency append retry: a writer that loses the
+    put-if-absent race once (stale latest_version view) re-resolves and
+    lands at the next version; replace commits are refused upfront; a
+    persistent loser surfaces the FileExistsError."""
+    import time_series_spark_spark.sources.fsio as fsio_mod
+    from time_series_spark_spark.sources.io import (
+        write_versioned_with_retry,
+    )
+
+    path = str(tmp_path / "vt")
+    write_versioned(spark.range(5).selectExpr("id"), path)
+    tfs = as_table_fs(path)
+    stolen = dict(tfs.read_json("_manifest.0.json"))
+    stolen["version"] = 1
+    tfs.write_json_atomic(stolen, "_manifest.1.json", if_absent=True)
+
+    real = fsio_mod.latest_version
+    calls = {"n": 0}
+
+    def stale_once(t):
+        calls["n"] += 1
+        return 0 if calls["n"] == 1 else real(t)
+
+    monkeypatch.setattr(fsio_mod, "latest_version", stale_once)
+    v = write_versioned_with_retry(
+        spark.range(5, 8).selectExpr("id"), path, carry_forward=True
+    )
+    monkeypatch.undo()
+    assert v == 2  # lost v1, retried, won v2
+    assert read_versioned(spark, path).count() == 5 + 3
+    # replace commits are refused upfront
+    with pytest.raises(ValueError, match="carry_forward=True"):
+        write_versioned_with_retry(spark.range(1).selectExpr("id"), path)
+    # a persistent loser gives up loudly after max_attempts
+    monkeypatch.setattr(fsio_mod, "latest_version", lambda t: 0)
+    with pytest.raises(FileExistsError, match="lost the commit race"):
+        write_versioned_with_retry(
+            spark.range(1).selectExpr("id"),
+            path,
+            max_attempts=2,
+            carry_forward=True,
+        )
+    monkeypatch.undo()
+
+
+def test_vacuum_grace_period(spark, tmp_path, monkeypatch):
+    """Delta's deletedFileRetentionDuration: under a nonzero grace, a
+    doomed file is deleted only once the commit that unreferenced it is
+    old enough — young files are deferred (still on disk) while the
+    floor still rises; aged files go on the next run; files
+    unreferenced by UNSTAMPED legacy commits are deferred forever."""
+    import json
+
+    import time_series_spark_spark.sources.io as io_mod
+
+    path = str(tmp_path / "vt")
+    write_versioned(spark.range(5).selectExpr("id"), path)   # v0
+    write_versioned(spark.range(9).selectExpr("id"), path)   # v1 replace
+    write_versioned(spark.range(3).selectExpr("id"), path)   # v2 replace
+    tfs = as_table_fs(path)
+    v0_files = manifest_files(tfs, 0)
+
+    # young unreference → deferred, but the floor rises and below-floor
+    # reads refuse while the file is still physically present
+    rep = vacuum_versioned(path, keep_last=2, grace_us=3_600_000_000)
+    assert rep["n_files_deleted"] == 0
+    assert rep["n_files_deferred"] == len(v0_files)
+    assert rep["floor"] == 1
+    for f in v0_files:
+        assert tfs.exists(f)
+    with pytest.raises(ValueError, match="retention floor"):
+        read_versioned(spark, path, as_of=0)
+
+    # age the clock past the grace: the deferred file is now deletable
+    real_now = io_mod._now_us
+    monkeypatch.setattr(io_mod, "_now_us", lambda: real_now() + 7_200_000_000)
+    rep2 = vacuum_versioned(path, keep_last=2, grace_us=3_600_000_000)
+    assert rep2["n_files_deleted"] == len(v0_files)
+    assert rep2["n_files_deferred"] == 0
+    monkeypatch.undo()
+
+    # legacy commits without stamps: conservatively deferred forever
+    path2 = str(tmp_path / "vt2")
+    write_versioned(spark.range(4).selectExpr("id"), path2)
+    write_versioned(spark.range(2).selectExpr("id"), path2)
+    write_versioned(spark.range(1).selectExpr("id"), path2)
+    tfs2 = as_table_fs(path2)
+    for v in range(3):
+        m = tfs2.read_json(f"_manifest.{v}.json")
+        m.pop("committed_at", None)
+        (tmp_path / "vt2" / f"_manifest.{v}.json").write_text(json.dumps(m))
+    rep3 = vacuum_versioned(path2, keep_last=2, grace_us=1)
+    assert rep3["n_files_deleted"] == 0 and rep3["n_files_deferred"] >= 1
+    # grace_us=0 keeps the original immediate-delete contract
+    rep4 = vacuum_versioned(path2, keep_last=2)
+    assert rep4["n_files_deleted"] >= 1

@@ -616,6 +616,48 @@ def prune_files_by_stats(
     return kept, skipped
 
 
+def write_versioned_with_retry(
+    df: DataFrame,
+    table_path,
+    max_attempts: int = 3,
+    **kwargs,
+) -> int:
+    """Optimistic-concurrency commit loop for APPEND commits (round 12 —
+    Delta's transaction retry): a writer losing the put-if-absent race
+    re-resolves the latest version and re-attempts, up to
+    ``max_attempts`` times. Safe ONLY for appends (``carry_forward=
+    True``): a rival append added rows this commit never touched, so
+    re-attempting at the next version number preserves semantics —
+    exactly the AddFile-only conflict Delta auto-resolves. REPLACE
+    commits are refused: a replace's meaning depends on what it
+    replaces, so losing the race is a SEMANTIC conflict the caller must
+    re-read and re-decide (Delta fails those too). Each attempt
+    re-stages the data files — the failed attempt's staging directory
+    was already removed with its publish.
+
+    Streaming-sink redelivery remains keyed on (stream_id, batch_id)
+    in the manifest ledger, which passes through unchanged, so a retry
+    that lands after a rival's copy of the SAME batch is still absorbed
+    by the ledger check in the sink, not here."""
+    if not kwargs.get("carry_forward"):
+        raise ValueError(
+            "write_versioned_with_retry requires carry_forward=True: "
+            "retrying a REPLACE after losing a commit race would "
+            "silently overwrite the rival's commit — re-read the table "
+            "and decide, or use write_versioned and handle "
+            "FileExistsError explicitly"
+        )
+    last: FileExistsError | None = None
+    for _ in range(max(1, max_attempts)):
+        try:
+            return write_versioned(df, table_path, **kwargs)
+        except FileExistsError as e:
+            last = e
+    raise FileExistsError(
+        f"append lost the commit race {max_attempts} times: {last}"
+    )
+
+
 def read_versioned(
     spark: SparkSession,
     table_path,
@@ -1378,7 +1420,10 @@ def retention_floor(table_path) -> int:
 
 
 def vacuum_versioned(
-    table_path, keep_last: int = 2, dry_run: bool = False
+    table_path,
+    keep_last: int = 2,
+    dry_run: bool = False,
+    grace_us: int = 0,
 ) -> dict:
     """Retention for the manifest-versioned table — the third leg of
     A13 (time travel) + A17b (OPTIMIZE): physically delete data files
@@ -1399,12 +1444,19 @@ def vacuum_versioned(
        if the process dies before a single file is deleted. The
        floor-then-delete order protects against CRASHES, not reader
        races: a reader that passed the floor check can still lose
-       files to a vacuum that raises the floor mid-scan. Do not run
-       vacuum concurrently with time-travel reads of prunable
-       versions — production table formats close this window with a
-       retention GRACE PERIOD (Delta deletes only files older than
-       ``deletedFileRetentionDuration``); here single-maintainer
-       scheduling is the stated contract.
+       files to a vacuum that raises the floor mid-scan. That window
+       is closed by ``grace_us`` (round 12 — Delta's
+       ``deletedFileRetentionDuration``): a doomed file is physically
+       deleted only once the commit that UNREFERENCED it (the first
+       version after its last reference, located via the monotonic
+       ``committed_at`` stamps) is at least ``grace_us`` old — any
+       reader that planned its scan before the superseding commit has
+       had that long to finish. Deferred files are reported
+       (``n_files_deferred``) and go on the next vacuum run once aged;
+       files unreferenced by UNSTAMPED legacy commits are conservatively
+       deferred forever under a nonzero grace (age unknown). The
+       default ``grace_us=0`` keeps the single-maintainer contract:
+       delete immediately, stamps not consulted.
     2. Only then are files deleted — and only files NOT referenced by
        any retained manifest (compaction carry-forward means one file
        can appear in many manifests; reference counting is over the
@@ -1418,7 +1470,8 @@ def vacuum_versioned(
     Streaming appends compose: carry-forward builds on the LATEST
     manifest, whose files are always retained.
 
-    Returns {floor, n_files_deleted, bytes_deleted, versions_pruned}.
+    Returns {floor, n_files_deleted, bytes_deleted, versions_pruned,
+    n_files_deferred}.
     """
     from pyarrow import fs as pafs
 
@@ -1440,8 +1493,13 @@ def vacuum_versioned(
     # snapshot manifest restates its own. O(versions) manifest reads
     # total — not O(versions × chain) as per-version resolution would be.
     files_by_v: dict[int, set[str]] = {}
+    stamp_by_v: dict[int, int | None] = {}
     for v in versions:
         m = tfs.read_json(f"_manifest.{v}.json")
+        stamp_by_v[v] = (
+            int(m["committed_at"]) if m.get("committed_at") is not None
+            else None
+        )
         if "files" in m:
             files_by_v[v] = set(m["files"])
         else:
@@ -1456,6 +1514,24 @@ def vacuum_versioned(
     for v in pruned_versions:
         doomed |= files_by_v[v] - retained
 
+    # grace period (Delta's deletedFileRetentionDuration): a doomed file
+    # is deletable only once the commit that unreferenced it — the first
+    # version after its last reference — is at least grace_us old
+    n_files_deferred = 0
+    if grace_us > 0 and doomed:
+        now = _now_us()
+        last_ref: dict[str, int] = {}
+        for v in pruned_versions:
+            for rel in files_by_v[v] & doomed:
+                last_ref[rel] = v
+        deletable: set[str] = set()
+        for rel, v in last_ref.items():
+            ca = stamp_by_v.get(v + 1)
+            if ca is not None and now - ca >= grace_us:
+                deletable.add(rel)
+        n_files_deferred = len(doomed) - len(deletable)
+        doomed = deletable
+
     if dry_run:
         # report-only: same accounting as the real pass (existence-
         # checked so a what-if after a crashed vacuum is accurate),
@@ -1466,6 +1542,7 @@ def vacuum_versioned(
             "n_files_deleted": len(doomed_live),
             "bytes_deleted": sum(tfs.size(r) for r in doomed_live),
             "versions_pruned": pruned_versions,
+            "n_files_deferred": n_files_deferred,
             "dry_run": True,
         }
 
@@ -1497,6 +1574,7 @@ def vacuum_versioned(
         "n_files_deleted": n_files_deleted,
         "bytes_deleted": bytes_deleted,
         "versions_pruned": pruned_versions,
+        "n_files_deferred": n_files_deferred,
     }
 
 
