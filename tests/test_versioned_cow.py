@@ -615,3 +615,77 @@ def test_vacuum_grace_period(spark, tmp_path, monkeypatch):
     # grace_us=0 keeps the original immediate-delete contract
     rep4 = vacuum_versioned(path2, keep_last=2)
     assert rep4["n_files_deleted"] >= 1
+
+
+def test_stream_merge_upsert_multibatch_and_redelivery(spark, tmp_path):
+    """J11g (round 12): two staged files replayed one-per-batch through
+    foreachBatch MERGE — the final snapshot is last-writer-wins per key
+    across both batches, the intermediate version time-travels to the
+    post-batch-1 state, the history records merge commits with batch
+    provenance, and a re-run on the same checkpoint commits nothing
+    (ledger redelivery absorption — MERGE is not idempotent by content,
+    so this is load-bearing)."""
+    from pyspark.sql import functions as F
+
+    from time_series_spark_spark.streaming.jobs import (
+        stream_merge_to_versioned_table,
+    )
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    src = tmp_path / "src"
+    src.mkdir()
+
+    def stage(name, rows):
+        k, v, cents, seq = zip(*rows)
+        pq.write_table(
+            pa.table(
+                {
+                    "k": pa.array(k, pa.int64()),
+                    "v": pa.array(v, pa.string()),
+                    "cents": pa.array(cents, pa.int64()),
+                    "seq": pa.array(seq, pa.int64()),
+                }
+            ),
+            str(src / name),
+        )
+
+    stage("f1.parquet", [(1, "a", 10, 100), (2, "b", 20, 101), (1, "c", 30, 102)])
+    stage("f2.parquet", [(2, "d", 40, 200), (3, "e", 50, 201)])
+
+    table = str(tmp_path / "vt")
+    ck = str(tmp_path / "ck")
+
+    def run():
+        sdf = (
+            spark.readStream.schema("k long, v string, cents long, seq long")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src))
+        )
+        return stream_merge_to_versioned_table(
+            sdf, table, ["k"], ["seq"], checkpoint_dir=ck
+        )
+
+    committed = run()
+    assert len(committed) == 2  # initial snapshot + one merge
+    got = {
+        r["k"]: (r["v"], r["cents"])
+        for r in read_versioned(spark, table).collect()
+    }
+    # within-batch last-writer-wins (k=1 seq 102) + cross-batch (k=2 -> d)
+    assert got == {1: ("c", 30), 2: ("d", 40), 3: ("e", 50)}
+    # intermediate version = post-batch-1 state
+    v1 = {
+        r["k"]: r["v"]
+        for r in read_versioned(spark, table, as_of=committed[0]).collect()
+    }
+    assert v1 == {1: "c", 2: "b"}
+    hist = describe_versioned_history(spark, table).orderBy("version").collect()
+    assert [r["mode"] for r in hist] == ["append", "merge"]
+    assert all(r["batch_id"] is not None for r in hist)
+    # redelivery: same checkpoint, same files -> nothing new committed.
+    # (availableNow on an unchanged source normally plans no batch; the
+    # ledger is the guard if the engine replays one anyway)
+    assert run() == []
+    assert read_versioned(spark, table).count() == 3

@@ -1074,3 +1074,96 @@ def orders_incremental_pipeline_roundtrip(
         shutil.rmtree(dst, ignore_errors=True)
         shutil.rmtree(ck, ignore_errors=True)
     return spark.createDataFrame(rows, out.schema)
+
+
+@register(
+    "stream_merge_upsert_feed",
+    # J11g (round 12): availableNow replay of the events stream through
+    # foreachBatch MERGE — the final snapshot is last-writer-wins per
+    # user across ALL events (batch boundaries cannot change it: each
+    # batch merges its per-key latest, and later batches overwrite),
+    # so the oracle is the per-user latest event. The post-merge
+    # history modes are pinned as a structural column.
+    """
+    WITH latest AS (
+        SELECT user_id, event_type,
+               CAST(round(value * 100) AS BIGINT) AS cents,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY ts DESC, event_id DESC) AS rk
+        FROM events
+    )
+    SELECT user_id, event_type AS last_type, cents AS last_cents,
+           CAST(1 AS BIGINT) AS merge_commits
+    FROM latest WHERE rk = 1 ORDER BY user_id
+    """,
+    doc="J11g streaming UPSERT into the versioned table (Delta's CDC "
+    "apply: readStream -> foreachBatch -> MERGE INTO, from this repo's "
+    "own parts): each micro-batch dedupes to its latest row per "
+    "user_id (last-writer-wins by ts, event_id) and applies as one "
+    "A13f copy-on-write merge commit — only files containing matched "
+    "keys rewrite; (stream_id, batch_id) in the manifest ledger "
+    "absorbs at-least-once redelivery, which matters because MERGE is "
+    "not idempotent by content. The read-back snapshot must equal the "
+    "batch per-user latest event exactly. Temp table/checkpoint "
+    "removed before returning.",
+)
+def stream_merge_upsert_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from time_series_spark_spark.sources.io import read_versioned
+    from time_series_spark_spark.streaming.jobs import (
+        read_events_stream,
+        stream_merge_to_versioned_table,
+    )
+
+    from time_series_spark_spark.sources.io import write_versioned
+
+    sdf = read_events_stream(spark, sf_dir).select(
+        "user_id",
+        F.col("event_type").alias("last_type"),
+        F.round(F.col("value") * 100, 0).cast("long").alias("last_cents"),
+        "ts",
+        "event_id",
+    )
+    table = tempfile.mkdtemp(prefix="merge_upsert_")
+    ck = tempfile.mkdtemp(prefix="merge_upsert_ck_")
+    try:
+        # seed v0: one 'seed' row per user (every seed user appears in
+        # events, so the stream's merge commits must overwrite ALL of
+        # them — the oracle never sees a seed row unless MERGE broke)
+        seed = (
+            load(spark, sf_dir, "events")
+            .select("user_id")
+            .distinct()
+            .select(
+                "user_id",
+                F.lit("seed").alias("last_type"),
+                F.lit(0).cast("long").alias("last_cents"),
+            )
+            .coalesce(1)
+        )
+        write_versioned(seed, table)
+        stream_merge_to_versioned_table(
+            sdf, table, ["user_id"], ["ts", "event_id"], checkpoint_dir=ck
+        )
+        from time_series_spark_spark.sources.io import (
+            describe_versioned_history,
+        )
+
+        n_merge = (
+            describe_versioned_history(spark, table)
+            .filter(F.col("mode") == "merge")
+            .count()
+        )
+        out = (
+            read_versioned(spark, table)
+            .select("user_id", "last_type", "last_cents")
+            .withColumn("merge_commits", F.lit(n_merge).cast("long"))
+            .orderBy("user_id")
+        )
+        rows = out.collect()
+    finally:
+        shutil.rmtree(table, ignore_errors=True)
+        shutil.rmtree(ck, ignore_errors=True)
+    return spark.createDataFrame(rows, out.schema)

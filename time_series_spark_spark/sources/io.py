@@ -1048,6 +1048,8 @@ def _cow_commit(
     touched: list[str],
     files: list[str],
     schema_json: str,
+    batch_id: int | None = None,
+    stream_id: str | None = None,
 ) -> dict:
     """Publish a copy-on-write commit: stage ``rewritten`` (the touched
     files' surviving/updated rows plus any inserts) under a writer-unique
@@ -1075,6 +1077,8 @@ def _cow_commit(
     cstats = manifest_col_stats(tfs, latest)
     cstats.update(add_col_stats)
     ledger = _collect_ledger_pairs(tfs, list(range(latest + 1)))
+    if batch_id is not None:
+        ledger.append([stream_id, int(batch_id)])
     manifest = {
         "version": version,
         "mode": mode,
@@ -1089,8 +1093,8 @@ def _cow_commit(
         "n_rows_added": n_rows_written,
         "schema": schema_json,
         "n_files": len(new_files),
-        "batch_id": None,
-        "stream_id": None,
+        "batch_id": batch_id,
+        "stream_id": stream_id,
         "ledger": ledger,
     }
     try:
@@ -1135,7 +1139,12 @@ def _open_snapshot(spark: SparkSession, tfs, latest: int):
 
 
 def merge_versioned(
-    spark: SparkSession, table_path, changes: DataFrame, keys: list[str]
+    spark: SparkSession,
+    table_path,
+    changes: DataFrame,
+    keys: list[str],
+    batch_id: int | None = None,
+    stream_id: str | None = None,
 ) -> dict:
     """MERGE INTO for the manifest-versioned table (A13f — Delta's
     ``MERGE INTO`` copy-on-write path): apply a keyed changelog in the
@@ -1212,7 +1221,15 @@ def merge_versioned(
         *[f.name for f in schema.fields]
     )
     return _cow_commit(
-        tfs, latest, "merge", rewritten, touched, files, schema_json
+        tfs,
+        latest,
+        "merge",
+        rewritten,
+        touched,
+        files,
+        schema_json,
+        batch_id=batch_id,
+        stream_id=stream_id,
     )
 
 

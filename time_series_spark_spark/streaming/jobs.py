@@ -1246,6 +1246,99 @@ def stream_to_versioned_table(
     return committed
 
 
+def stream_merge_to_versioned_table(
+    stream_df: DataFrame,
+    table_path: str,
+    keys: list[str],
+    order_cols: list[str],
+    checkpoint_dir: str | None = None,
+) -> list[int]:
+    """J11g (round 12): streaming UPSERT into the A13 versioned table —
+    the Delta CDC-apply pattern (``readStream`` → ``foreachBatch`` →
+    ``MERGE INTO``), composed from this repo's own parts. Each
+    micro-batch is first deduplicated to its LATEST row per key
+    (``order_cols`` descending — multiple updates to one key within a
+    batch apply last-writer-wins, exactly Databricks' documented
+    dedupe-before-merge recipe, and MERGE requires unique source keys),
+    then applied as one A13f copy-on-write merge commit: only the data
+    files containing matched keys are rewritten, everything else is
+    carried by manifest reference.
+
+    Exactly-once composition is the same as the append sink
+    (:func:`stream_to_versioned_table`): the merge commit records the
+    (stream_id, batch_id) pair in the manifest ledger, so an
+    at-least-once redelivery of a committed batch is skipped —
+    critical here because a MERGE is NOT idempotent by content alone
+    (re-applying "cents += …"-style changelogs would double-apply; ours
+    are absolute upserts, but the ledger guarantee holds regardless).
+    The very first batch on an empty table commits directly as the
+    initial snapshot (MERGE against nothing is just the inserts).
+
+    Runs availableNow to completion; returns the versions committed by
+    THIS run (empty when every batch was a redelivery)."""
+    from time_series_spark_spark.sources.fsio import (
+        as_table_fs,
+        latest_version,
+    )
+    from time_series_spark_spark.sources.io import (
+        committed_batch_ids,
+        merge_versioned,
+        write_versioned,
+    )
+
+    stream_id, alias_ids = _resolve_stream_identity(checkpoint_dir)
+    committed: list[int] = []
+    cols = [c for c in stream_df.columns if c not in keys]
+
+    def upsert(batch_df: DataFrame, batch_id: int) -> None:
+        ledger = committed_batch_ids(table_path, stream_id)
+        for alias in alias_ids:
+            ledger |= committed_batch_ids(table_path, alias)
+        if batch_id in ledger:
+            return  # redelivered micro-batch: already committed
+        from pyspark.sql.window import Window
+
+        w = Window.partitionBy(*keys).orderBy(
+            *[F.col(c).desc() for c in order_cols]
+        )
+        latest_rows = (
+            batch_df.withColumn("__rk", F.row_number().over(w))
+            .filter(F.col("__rk") == 1)
+            .drop("__rk")
+        )
+        if latest_version(as_table_fs(table_path)) is None:
+            committed.append(
+                write_versioned(
+                    latest_rows,
+                    table_path,
+                    batch_id,
+                    stream_id=stream_id,
+                )
+            )
+            return
+        changelog = latest_rows.select(
+            *keys,
+            F.lit("update").alias("op"),
+            *[F.col(c).alias(f"new_{c}") for c in cols],
+        )
+        rep = merge_versioned(
+            batch_df.sparkSession,
+            table_path,
+            changelog,
+            keys,
+            batch_id=batch_id,
+            stream_id=stream_id,
+        )
+        committed.append(rep["version"])
+
+    writer = stream_df.writeStream.foreachBatch(upsert)
+    if checkpoint_dir is not None:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    q = writer.trigger(availableNow=True).start()
+    q.awaitTermination()
+    return committed
+
+
 # --------------------------------------------------------------------------
 # J11f (round 9): end-to-end incremental pipeline between versioned tables
 # --------------------------------------------------------------------------
