@@ -1033,10 +1033,16 @@ def _touched_rels(snap_with_file, files: list[str], marker) -> list[str]:
             F.broadcast(keys_df), on=keys, how="leftsemi"
         )
     uris = [r["__file"] for r in matched.select("__file").distinct().collect()]
-    out = []
-    for rel in files:
-        if any(u.endswith("/" + rel) for u in uris):
-            out.append(rel)
+    # URI → rel by the (staging-dir, basename) tail — unique by
+    # construction (writer-unique staging dirs), and a dict lookup keeps
+    # this O(files + matched) where a suffix scan would be
+    # O(files × matched), quadratic at 100 TB file counts
+    by_tail = {tuple(rel.rsplit("/", 2)[-2:]): rel for rel in files}
+    out = set()
+    for u in uris:
+        rel = by_tail.get(tuple(u.rsplit("/", 2)[-2:]))
+        if rel is not None:
+            out.add(rel)
     return sorted(out)
 
 
