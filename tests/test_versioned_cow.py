@@ -689,3 +689,35 @@ def test_stream_merge_upsert_multibatch_and_redelivery(spark, tmp_path):
     # ledger is the guard if the engine replays one anyway)
     assert run() == []
     assert read_versioned(spark, table).count() == 3
+
+
+def test_change_feed_across_merge_commit(spark, tmp_path):
+    """M8 ∘ A13f closure: the snapshot-diff change feed between the
+    pre-merge and post-merge versions reproduces exactly the applied
+    changelog (CDF is derived from resolved snapshots, so it is
+    commit-mode agnostic — merge commits included)."""
+    from time_series_spark_spark.operators.cdc import snapshot_diff
+
+    path = _two_file_table(spark, tmp_path)
+    ch = _changelog(
+        spark,
+        [
+            (1, "delete", None, None),
+            (2, "update", 999, "g9"),
+            (100, "insert", 1000, "gx"),
+        ],
+    )
+    rep = merge_versioned(spark, path, ch, ["k"])
+    v_pre = read_versioned(spark, path, as_of=1)
+    v_post = read_versioned(spark, path, as_of=rep["version"])
+    feed = {
+        r["k"]: (r["op"], r["new_val"], r["new_grp"])
+        for r in snapshot_diff(
+            v_pre, v_post, ["k"], ["val", "grp"]
+        ).collect()
+    }
+    assert feed == {
+        1: ("delete", None, None),
+        2: ("update", 999, "g9"),
+        100: ("insert", 1000, "gx"),
+    }
