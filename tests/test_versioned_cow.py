@@ -721,3 +721,46 @@ def test_change_feed_across_merge_commit(spark, tmp_path):
         2: ("update", 999, "g9"),
         100: ("insert", 1000, "gx"),
     }
+
+
+def test_merge_prunes_candidates_from_envelopes(spark, tmp_path, monkeypatch):
+    """A13g × A13f: a single-key merge prunes candidate files from the
+    manifest envelopes before the find-touched scan — against a
+    range-clustered layout the scan touches only the files whose key
+    envelope overlaps the changelog's key range (recorded via a probe
+    on the pruner), and the result is identical to the unpruned path."""
+    import time_series_spark_spark.sources.io as io_mod
+
+    path = str(tmp_path / "vt")
+    df = spark.createDataFrame(
+        [(i, i * 10, "g") for i in range(100)], "k long, val long, grp string"
+    )
+    # four disjoint key-range files: 0-24 / 25-49 / 50-74 / 75-99
+    write_versioned(df.filter("k < 25").coalesce(1), path)
+    for lo in (25, 50, 75):
+        write_versioned(
+            df.filter(f"k >= {lo} and k < {lo + 25}").coalesce(1),
+            path,
+            carry_forward=True,
+        )
+    calls = []
+    real = io_mod.prune_files_by_stats
+
+    def probe(*a, **kw):
+        kept, skipped = real(*a, **kw)
+        calls.append((len(kept), len(skipped)))
+        return kept, skipped
+
+    monkeypatch.setattr(io_mod, "prune_files_by_stats", probe)
+    rep = merge_versioned(
+        spark,
+        path,
+        _changelog(spark, [(60, "update", 999, "g9"), (61, "delete", None, None)]),
+        ["k"],
+    )
+    monkeypatch.undo()
+    assert calls == [(1, 3)]  # only the 50-74 file was ever a candidate
+    assert rep["n_files_rewritten"] == 1
+    assert rep["n_files_carried"] == 3
+    got = {r["k"]: r["val"] for r in read_versioned(spark, path).collect()}
+    assert got[60] == 999 and 61 not in got and len(got) == 99

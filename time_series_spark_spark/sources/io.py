@@ -1121,9 +1121,10 @@ def _cow_commit(
     }
 
 
-def _open_snapshot(spark: SparkSession, tfs, latest: int):
-    """(snapshot df with ``__file``, files, schema) at ``latest`` — the
-    shared front half of every copy-on-write operation."""
+def _table_meta(tfs, latest: int):
+    """(files, schema, schema_json) at ``latest`` — manifest reads only,
+    so CoW planning that PRUNES its candidate set never pays Spark's
+    file-listing job for files it will not scan."""
     import json
 
     from time_series_spark_spark.sources.fsio import manifest_files
@@ -1132,16 +1133,19 @@ def _open_snapshot(spark: SparkSession, tfs, latest: int):
     schema = _normalize_schema(
         T.StructType.fromJson(json.loads(manifest["schema"]))
     )
-    files = manifest_files(tfs, latest)
+    return manifest_files(tfs, latest), schema, manifest["schema"]
+
+
+def _snapshot_frame(spark: SparkSession, tfs, files: list[str], schema):
+    """A ``__file``-tagged frame over exactly ``files`` (empty frame for
+    an empty list) — the scan half of every copy-on-write operation."""
     if not files:
-        snap = spark.createDataFrame([], schema).withColumn(
+        return spark.createDataFrame([], schema).withColumn(
             "__file", F.lit(None).cast("string")
         )
-    else:
-        snap = spark.read.schema(schema).parquet(
-            *(tfs.spark_path(f) for f in files)
-        ).withColumn("__file", F.input_file_name())
-    return snap, files, schema, manifest["schema"]
+    return spark.read.schema(schema).parquet(
+        *(tfs.spark_path(f) for f in files)
+    ).withColumn("__file", F.input_file_name())
 
 
 def merge_versioned(
@@ -1168,11 +1172,14 @@ def merge_versioned(
     would be order-dependent). Updates apply to EVERY base row bearing
     the key, matching SQL MERGE's all-matched-rows contract.
 
-    Scale shape: the find-touched scan reads only the key columns
-    (column-pruned) with a broadcast semi-join against the distinct
-    changelog keys — changelogs are batch-sized by assumption; the
-    rewrite reads only the touched files; untouched files (the 100 TB
-    majority) are carried by manifest reference with zero I/O. Commit
+    Scale shape: for single-key merges the changelog's key range first
+    prunes candidate files from the MANIFEST ENVELOPES (A13g — Delta's
+    stats-based MERGE pruning; zero I/O), then the find-touched scan
+    reads only the candidates' key columns (column-pruned) with a
+    broadcast semi-join against the distinct changelog keys —
+    changelogs are batch-sized by assumption; the rewrite reads only
+    the touched files; untouched files (the 100 TB majority) are
+    carried by manifest reference with zero I/O. Commit
     is the same put-if-absent publish as every other write, staged
     under a writer-unique directory. Streaming readers started with
     ``onReplace=fail`` refuse the commit (rows logically removed are
@@ -1182,7 +1189,7 @@ def merge_versioned(
     rewritten/carried/added, rows touched/written).
     """
     tfs, latest = _require_table(table_path)
-    snap, files, schema, schema_json = _open_snapshot(spark, tfs, latest)
+    files, schema, schema_json = _table_meta(tfs, latest)
     cols = [f.name for f in schema.fields if f.name not in keys]
     need = set(keys) | {"op"} | {f"new_{c}" for c in cols}
     missing = need - set(changes.columns)
@@ -1214,8 +1221,27 @@ def merge_versioned(
         )
     from time_series_spark_spark.operators.cdc import apply_changes
 
+    # A13g × A13f (round 12 — Delta's stats-based MERGE pruning): for a
+    # single-key merge, the changelog's key RANGE prunes candidate files
+    # from the manifest envelopes BEFORE the find-touched scan ever
+    # opens a file — against a clustered layout (ZORDER / range
+    # partition) the scan cost becomes proportional to the changelog's
+    # key-range selectivity, not the table size. Envelope-less files
+    # are always candidates (pruning is never a correctness filter),
+    # and multi-key merges skip the optimization (a per-key bounding
+    # box would need per-column conjunction — future work).
+    candidates = files
+    if len(keys) == 1 and files:
+        b = changes.agg(
+            F.min(keys[0]).alias("lo"), F.max(keys[0]).alias("hi")
+        ).collect()[0]
+        if b["lo"] is not None:
+            candidates, _ = prune_files_by_stats(
+                tfs, latest, keys[0], b["lo"], b["hi"]
+            )
+    snap = _snapshot_frame(spark, tfs, candidates, schema)
     touched = _touched_rels(
-        snap, files, (changes.select(*keys).distinct(), keys)
+        snap, candidates, (changes.select(*keys).distinct(), keys)
     )
     if touched:
         base = spark.read.schema(schema).parquet(
@@ -1248,7 +1274,8 @@ def delete_versioned(spark: SparkSession, table_path, predicate: str) -> dict:
     pushed into the find-touched parquet scan, so files whose row-group
     stats exclude it are never opened. Returns the commit report dict."""
     tfs, latest = _require_table(table_path)
-    snap, files, schema, schema_json = _open_snapshot(spark, tfs, latest)
+    files, schema, schema_json = _table_meta(tfs, latest)
+    snap = _snapshot_frame(spark, tfs, files, schema)
     pred = F.expr(predicate)
     touched = _touched_rels(snap, files, pred)
     if touched:
@@ -1279,7 +1306,8 @@ def update_versioned(
     table column (e.g. ``{"price": "price * 1.1"}``). Returns the
     commit report dict."""
     tfs, latest = _require_table(table_path)
-    snap, files, schema, schema_json = _open_snapshot(spark, tfs, latest)
+    files, schema, schema_json = _table_meta(tfs, latest)
+    snap = _snapshot_frame(spark, tfs, files, schema)
     unknown = set(assignments) - {f.name for f in schema.fields}
     if unknown:
         raise ValueError(
