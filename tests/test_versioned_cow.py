@@ -764,3 +764,33 @@ def test_merge_prunes_candidates_from_envelopes(spark, tmp_path, monkeypatch):
     assert rep["n_files_carried"] == 3
     got = {r["k"]: r["val"] for r in read_versioned(spark, path).collect()}
     assert got[60] == 999 and 61 not in got and len(got) == 99
+
+
+def test_merge_composite_key_pruning_and_semantics(spark, tmp_path):
+    """Composite-key MERGE: the per-column candidate sets intersect (a
+    file must overlap the bounding box on EVERY key column), and the
+    upsert applies on the full key tuple."""
+    path = str(tmp_path / "vt")
+    df = spark.createDataFrame(
+        [(i, f"s{i % 3}", i * 10) for i in range(100)],
+        "k long, sub string, val long",
+    )
+    write_versioned(df.filter("k < 50").coalesce(1), path)
+    write_versioned(
+        df.filter("k >= 50").coalesce(1), path, carry_forward=True
+    )
+    # the table holds (k, s{k%3}) pairs: (60,s0) and (63,s0) exist
+    ch = spark.createDataFrame(
+        [(60, "s0", "update", 999), (63, "s0", "delete", None)],
+        "k long, sub string, op string, new_val long",
+    )
+    rep = merge_versioned(spark, path, ch, ["k", "sub"])
+    assert rep["n_files_rewritten"] == 1  # k-envelope excludes the k<50 file
+    got = {
+        (r["k"], r["sub"]): r["val"]
+        for r in read_versioned(spark, path).collect()
+    }
+    assert got[(60, "s0")] == 999
+    assert (63, "s0") not in got
+    assert got[(61, "s1")] == 610  # same k-ish neighborhood untouched
+    assert len(got) == 99

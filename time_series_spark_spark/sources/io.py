@@ -1172,9 +1172,10 @@ def merge_versioned(
     would be order-dependent). Updates apply to EVERY base row bearing
     the key, matching SQL MERGE's all-matched-rows contract.
 
-    Scale shape: for single-key merges the changelog's key range first
-    prunes candidate files from the MANIFEST ENVELOPES (A13g — Delta's
-    stats-based MERGE pruning; zero I/O), then the find-touched scan
+    Scale shape: the changelog's per-key-column ranges first prune
+    candidate files from the MANIFEST ENVELOPES (A13g — Delta's
+    stats-based MERGE pruning; zero I/O; composite keys intersect the
+    per-column candidate sets), then the find-touched scan
     reads only the candidates' key columns (column-pruned) with a
     broadcast semi-join against the distinct changelog keys —
     changelogs are batch-sized by assumption; the rewrite reads only
@@ -1221,24 +1222,32 @@ def merge_versioned(
         )
     from time_series_spark_spark.operators.cdc import apply_changes
 
-    # A13g × A13f (round 12 — Delta's stats-based MERGE pruning): for a
-    # single-key merge, the changelog's key RANGE prunes candidate files
-    # from the manifest envelopes BEFORE the find-touched scan ever
-    # opens a file — against a clustered layout (ZORDER / range
-    # partition) the scan cost becomes proportional to the changelog's
-    # key-range selectivity, not the table size. Envelope-less files
-    # are always candidates (pruning is never a correctness filter),
-    # and multi-key merges skip the optimization (a per-key bounding
-    # box would need per-column conjunction — future work).
+    # A13g × A13f (round 12 — Delta's stats-based MERGE pruning): the
+    # changelog's per-key-column RANGES prune candidate files from the
+    # manifest envelopes BEFORE the find-touched scan ever opens a file
+    # — against a clustered layout (ZORDER / range partition) the scan
+    # cost becomes proportional to the changelog's key-range
+    # selectivity, not the table size. Composite keys intersect the
+    # per-column candidate sets (a file must overlap the bounding box
+    # on EVERY key column to possibly hold a match); envelope-less
+    # files are always candidates (pruning is never a correctness
+    # filter). One tiny agg over the batch-sized changelog supplies all
+    # the bounds.
     candidates = files
-    if len(keys) == 1 and files:
+    if files:
         b = changes.agg(
-            F.min(keys[0]).alias("lo"), F.max(keys[0]).alias("hi")
+            *[F.min(k).alias(f"lo_{k}") for k in keys],
+            *[F.max(k).alias(f"hi_{k}") for k in keys],
         ).collect()[0]
-        if b["lo"] is not None:
-            candidates, _ = prune_files_by_stats(
-                tfs, latest, keys[0], b["lo"], b["hi"]
+        cand_set = set(files)
+        for k in keys:
+            if b[f"lo_{k}"] is None:
+                continue
+            kept, _ = prune_files_by_stats(
+                tfs, latest, k, b[f"lo_{k}"], b[f"hi_{k}"]
             )
+            cand_set &= set(kept)
+        candidates = sorted(cand_set)
     snap = _snapshot_frame(spark, tfs, candidates, schema)
     touched = _touched_rels(
         snap, candidates, (changes.select(*keys).distinct(), keys)
