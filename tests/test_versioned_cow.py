@@ -653,6 +653,14 @@ def test_stream_merge_upsert_multibatch_and_redelivery(spark, tmp_path):
 
     stage("f1.parquet", [(1, "a", 10, 100), (2, "b", 20, 101), (1, "c", 30, 102)])
     stage("f2.parquet", [(2, "d", 40, 200), (3, "e", 50, 201)])
+    # the file source orders batches by modification time — staged
+    # within the same clock tick the order is arbitrary, so pin it
+    import os
+    import time as _t
+
+    now = _t.time()
+    os.utime(src / "f1.parquet", (now - 10, now - 10))
+    os.utime(src / "f2.parquet", (now, now))
 
     table = str(tmp_path / "vt")
     ck = str(tmp_path / "ck")
