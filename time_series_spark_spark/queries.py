@@ -325,26 +325,43 @@ _EXTERNALLY_CONFIRMED = [
     "docs_l_diversity_report", "docs_dp_histogram_fixed_domain",
     "training_data_pipeline_report", "purchase_attribution_markov",
     "ml_purchase_propensity",
+    # round-12 driver greens (CORRECTNESS_r12.json: 19 oracle-backed
+    # queries rows+schema+hash matched — including both _RECHECK_FIRST
+    # re-pins under their upgraded oracles — and all 31 rows-only-by-design
+    # queries executed with spark_rows > 0; sixth consecutive zero-failure
+    # window, clearing the never-sampled backlog to ZERO — cumulative
+    # coverage is now 468/468):
+    "ewma_user_daily", "docs_dup_graph_pagerank",
+    "stream_merge_upsert_feed", "orders_versioned_merge_roundtrip",
+    "orders_versioned_skipping_scan", "events_dominant_period",
+    "events_hurst_user", "events_pacf_daily_total",
+    "events_lomb_scargle_user", "bucketed_join_layout_report",
+    "ml_als_part_recommendations", "ml_frequent_event_sequences",
+    "ml_part_association_rules", "ml_als_eval_precision",
+    "ml_aft_session_lifetime", "events_hll_daily_users",
+    "events_kll_value_quantiles", "events_hll_type_overlap",
+    "docs_token_heavy_hitters", "events_cm_user_counts",
+    "orders_lineitem_ams_join_size", "emb_frequent_directions",
+    "orders_versioned_zorder_report", "events_lttb_user",
+    "events_zorder_layout_report", "events_compaction_plan",
+    "explain_analyze_report", "events_swinging_door_user",
+    "orders_compaction_report", "events_rate_limit_audit",
+    "events_dtw_topk_user", "events_matrix_profile_type",
+    "events_kalman_user_daily", "events_bursts_per_user",
+    "events_series_shape_clusters", "events_cluster_silhouette_scan",
+    "events_pelt_changepoints", "supplier_cosupply_kcore",
+    "part_copurchase_lpa_communities",
 ]
 
 # Queries pinned to the very front of the sample window: externally-failed
 # fixes awaiting re-confirmation, plus queries whose check STRENGTH changed
 # (rows-only → oracle-backed) and should face the driver again under the
-# stronger check. Round 12: empty at round start (all three round-11
-# re-pins were driver-confirmed green — CORRECTNESS_r11.json); entries
-# are added below only when a round-12 change upgrades a confirmed
-# query's check or alters a confirmed query's own code path.
-_RECHECK_FIRST: list[str] = [
-    # round 12: rows-only → oracle upgrade (and an exact integer-cents
-    # daily-mean derivation replacing round(avg(value), 4), which flips
-    # the 4th decimal cross-engine at sf0.1) — must face the driver
-    # under the stronger check before its r3 confirmation can carry
-    "ewma_user_daily",
-    # round 12: rows-only → oracle upgrade (the engine's fixed 15-round
-    # power iteration unrolled as 15 chained join+agg CTEs) — same
-    # re-confirmation rule
-    "docs_dup_graph_pagerank",
-]
+# stronger check. Round 13: empty at round start (both round-12 re-pins
+# were driver-confirmed hash-green under their upgraded oracles —
+# CORRECTNESS_r12.json); entries are added below only when a round-13
+# change upgrades a confirmed query's check or alters a confirmed query's
+# own code path.
+_RECHECK_FIRST: list[str] = []
 
 SAMPLE_WINDOW = 50  # the external gate samples this many leading entries
 
