@@ -802,3 +802,360 @@ def test_merge_composite_key_pruning_and_semantics(spark, tmp_path):
     assert (63, "s0") not in got
     assert got[(61, "s1")] == 610  # same k-ish neighborhood untouched
     assert len(got) == 99
+
+
+# ---------------------------------------------------------------------------
+# Round 13: optimistic concurrency for row-level CoW commits (A13h × A13f —
+# Delta's transaction retry + conflict classes). A loser of the put-if-absent
+# race REBASES its already-staged rewrite onto the new latest when the
+# winners are compatible (disjoint rewritten-file sets, no read-set overlap,
+# schema unchanged); real conflicts raise ConcurrentCommitError.
+# ---------------------------------------------------------------------------
+
+
+def _stale_latest_once(monkeypatch, stale_value):
+    """Pin fsio.latest_version to ``stale_value`` for its FIRST call (the
+    planning read inside _require_table), then restore the real function —
+    the deterministic single-process equivalent of a writer that planned
+    before a rival's commit landed. The rebase path's re-resolution inside
+    _cow_commit then sees the true latest."""
+    import time_series_spark_spark.sources.fsio as fsio_mod
+
+    real = fsio_mod.latest_version
+    calls = {"n": 0}
+
+    def stale_once(t):
+        calls["n"] += 1
+        return stale_value if calls["n"] == 1 else real(t)
+
+    monkeypatch.setattr(fsio_mod, "latest_version", stale_once)
+
+
+def test_merge_rebase_disjoint_merges_both_land(spark, tmp_path, monkeypatch):
+    """Two merges over DISJOINT key ranges race: the rival lands first,
+    the loser (planned against the stale snapshot) loses put-if-absent,
+    proves the rival compatible, rebases its staged rewrite, and lands at
+    the NEXT version — both changelogs applied, history shows both merge
+    commits, no orphaned staging directory."""
+    path = _two_file_table(spark, tmp_path)  # v0 (k<5 file A), v1 (+file B)
+    # rival merge: key 7 (file B) lands v2 for real
+    merge_versioned(
+        spark, path, _changelog(spark, [(7, "update", 777, "g7")]), ["k"]
+    )
+    # loser merge: key 2 (file A) planned against stale latest=1
+    _stale_latest_once(monkeypatch, 1)
+    rep = merge_versioned(
+        spark, path, _changelog(spark, [(2, "update", 222, "g2")]), ["k"]
+    )
+    monkeypatch.undo()
+    assert rep["version"] == 3  # lost v2, rebased, landed v3
+    got = {r["k"]: r["val"] for r in read_versioned(spark, path).collect()}
+    assert got[7] == 777 and got[2] == 222 and len(got) == 10
+    hist = describe_versioned_history(spark, path).collect()
+    assert [r["mode"] for r in sorted(hist, key=lambda r: r["version"])] == [
+        "append", "append", "merge", "merge"
+    ]
+    # no orphaned staging dirs: everything on disk is manifest-referenced
+    tfs = as_table_fs(path)
+    referenced = {
+        f.split("/")[0]
+        for v in range(4)
+        for f in manifest_files(tfs, v)
+    }
+    disk = {d for d in tfs.ls() if d.startswith("v=")}
+    assert disk == referenced
+
+
+def test_merge_rebase_overlapping_files_refuses(spark, tmp_path, monkeypatch):
+    """The rival rewrote the SAME file the loser touched (overlapping key
+    neighborhoods): rebase is refused loudly — the loser's rewrite was
+    computed from a file that no longer exists in the snapshot (Delta:
+    ConcurrentDeleteReadException)."""
+    from time_series_spark_spark.sources.io import ConcurrentCommitError
+
+    path = _two_file_table(spark, tmp_path)
+    merge_versioned(
+        spark, path, _changelog(spark, [(1, "update", 111, "g1")]), ["k"]
+    )
+    _stale_latest_once(monkeypatch, 1)
+    with pytest.raises(ConcurrentCommitError, match="rewrote .* also touched"):
+        merge_versioned(
+            spark, path, _changelog(spark, [(3, "update", 333, "g3")]), ["k"]
+        )
+    monkeypatch.undo()
+    # loser's staging dir cleaned up; table state is the rival's commit
+    tfs = as_table_fs(path)
+    referenced = {
+        f.split("/")[0]
+        for v in range(3)
+        for f in manifest_files(tfs, v)
+    }
+    assert {d for d in tfs.ls() if d.startswith("v=")} == referenced
+    got = {r["k"]: r["val"] for r in read_versioned(spark, path).collect()}
+    assert got[1] == 111 and got[3] == 30  # loser's change did NOT apply
+
+
+def test_merge_rebase_readset_insert_conflict(spark, tmp_path, monkeypatch):
+    """The rival merge INSERTED a key the loser's merge also upserts: the
+    loser's find-touched never saw it (stale snapshot), so rebasing would
+    duplicate the key — the exact read-set scan over the rival's added
+    files refuses (Delta: ConcurrentAppendException)."""
+    from time_series_spark_spark.sources.io import ConcurrentCommitError
+
+    path = _two_file_table(spark, tmp_path)
+    merge_versioned(
+        spark, path, _changelog(spark, [(100, "insert", 1000, "gx")]), ["k"]
+    )
+    _stale_latest_once(monkeypatch, 1)
+    with pytest.raises(ConcurrentCommitError, match="read set"):
+        merge_versioned(
+            spark,
+            path,
+            _changelog(spark, [(100, "update", 2000, "gy")]),
+            ["k"],
+        )
+    monkeypatch.undo()
+    got = {r["k"]: r["val"] for r in read_versioned(spark, path).collect()}
+    assert got[100] == 1000 and len(got) == 11
+
+
+def test_merge_rebase_replace_and_restore_refuse(spark, tmp_path, monkeypatch):
+    """A replace (or restore) winner changes the snapshot wholesale — no
+    rebase, ever."""
+    from time_series_spark_spark.sources.io import ConcurrentCommitError
+
+    path = _two_file_table(spark, tmp_path)
+    write_versioned(
+        spark.createDataFrame([(1, 10, "g1")], "k long, val long, grp string"),
+        path,
+    )  # replace at v2
+    _stale_latest_once(monkeypatch, 1)
+    with pytest.raises(ConcurrentCommitError, match="replace"):
+        merge_versioned(
+            spark, path, _changelog(spark, [(2, "update", 222, "g2")]), ["k"]
+        )
+    monkeypatch.undo()
+
+
+def test_merge_rebase_blind_append_ok(spark, tmp_path, monkeypatch):
+    """A blind-append winner never conflicts (WriteSerializable — Delta's
+    default): the rebased merge lands and the appended rows survive, even
+    when an appended key matches the merge's read set (the result equals
+    the serial schedule merge-then-append)."""
+    path = _two_file_table(spark, tmp_path)
+    write_versioned(
+        spark.createDataFrame(
+            [(50, 500, "gz")], "k long, val long, grp string"
+        ),
+        path,
+        carry_forward=True,
+    )  # blind append at v2
+    _stale_latest_once(monkeypatch, 1)
+    rep = merge_versioned(
+        spark, path, _changelog(spark, [(2, "update", 222, "g2")]), ["k"]
+    )
+    monkeypatch.undo()
+    assert rep["version"] == 3
+    got = {r["k"]: r["val"] for r in read_versioned(spark, path).collect()}
+    assert got[2] == 222 and got[50] == 500 and len(got) == 11
+
+
+def test_delete_and_update_rebase_disjoint(spark, tmp_path, monkeypatch):
+    """DELETE and UPDATE get the same optimistic retry: racing a disjoint
+    rival merge, both rebase and land; the rival's change survives."""
+    path = _two_file_table(spark, tmp_path)
+    merge_versioned(
+        spark, path, _changelog(spark, [(7, "update", 777, "g7")]), ["k"]
+    )
+    _stale_latest_once(monkeypatch, 1)
+    rep = delete_versioned(spark, path, "k = 1")  # file A; rival touched B
+    monkeypatch.undo()
+    assert rep["version"] == 3
+    merge_versioned(
+        spark, path, _changelog(spark, [(8, "update", 888, "g8")]), ["k"]
+    )  # v4, rewrites file B's successor
+    _stale_latest_once(monkeypatch, 3)
+    rep2 = update_versioned(spark, path, "k = 2", {"val": "val + 1"})
+    monkeypatch.undo()
+    assert rep2["version"] == 5
+    got = {r["k"]: r["val"] for r in read_versioned(spark, path).collect()}
+    assert 1 not in got and got[2] == 21 and got[7] == 777 and got[8] == 888
+
+
+def test_delete_rebase_readset_conflict(spark, tmp_path, monkeypatch):
+    """A rival merge inserts a row MATCHING the loser DELETE's predicate:
+    rebasing would leave a row the delete logically covers — refused."""
+    from time_series_spark_spark.sources.io import ConcurrentCommitError
+
+    path = _two_file_table(spark, tmp_path)
+    merge_versioned(
+        spark, path, _changelog(spark, [(100, "insert", -5, "gx")]), ["k"]
+    )
+    _stale_latest_once(monkeypatch, 1)
+    with pytest.raises(ConcurrentCommitError, match="read set"):
+        delete_versioned(spark, path, "val < 0")
+    monkeypatch.undo()
+
+
+def _race_merge(path, lo, hi, barrier, results):
+    """Child-process body for test_two_process_merge_race_disjoint: build a
+    REAL local SparkSession and run the production merge_versioned on a
+    disjoint key range — the full find-touched scan, CoW rewrite, commit
+    race, and rebase all execute production code in each process."""
+    try:
+        from time_series_spark_spark.session import get_spark
+        from time_series_spark_spark.sources.io import merge_versioned
+
+        spark = get_spark(
+            f"race-{lo}",
+            master="local[2]",
+            shuffle_partitions=2,
+            extra_conf={"spark.driver.memory": "1g"},
+        )
+        ch = spark.createDataFrame(
+            [(k, "update", k * 1000, "gr") for k in range(lo, hi)],
+            "k long, op string, new_val long, new_grp string",
+        )
+        barrier.wait(timeout=180)
+        rep = merge_versioned(spark, path, ch, ["k"], max_attempts=5)
+        results.put((lo, rep["version"]))
+        spark.stop()
+    except Exception as e:  # noqa: BLE001 — surface in the assert
+        results.put((lo, f"{type(e).__name__}: {e}"))
+
+
+def test_two_process_merge_race_disjoint(spark, tmp_path):
+    """The round-13 headline: a REAL two-process race of two MERGEs over
+    DISJOINT key ranges — each child process runs its own SparkSession and
+    the production merge path. Exactly one wins the put-if-absent at v2;
+    the other detects the winner is compatible, rebases its staged
+    rewrite, and lands at v3. BOTH changelogs applied; history shows both
+    merge commits."""
+    import multiprocessing as mp
+
+    path = _two_file_table(spark, tmp_path)  # k 0..9 over two files
+
+    ctx = mp.get_context("spawn")
+    barrier = ctx.Barrier(2)
+    results: "mp.Queue" = ctx.Queue()
+    ps = [
+        ctx.Process(target=_race_merge, args=(path, lo, hi, barrier, results))
+        for lo, hi in ((0, 3), (7, 10))  # file A keys vs file B keys
+    ]
+    for p in ps:
+        p.start()
+    outcomes = dict(results.get(timeout=600) for _ in ps)
+    for p in ps:
+        p.join(timeout=600)
+    assert sorted(outcomes.values()) == [2, 3], outcomes
+    got = {r["k"]: r["val"] for r in read_versioned(spark, path).collect()}
+    for k in (0, 1, 2, 7, 8, 9):
+        assert got[k] == k * 1000
+    for k in (3, 4, 5, 6):
+        assert got[k] == k * 10  # untouched middle keys pass through
+    hist = describe_versioned_history(spark, path).collect()
+    assert [r["mode"] for r in sorted(hist, key=lambda r: r["version"])] == [
+        "append", "append", "merge", "merge"
+    ]
+
+
+# ---------------------------------------------------------------------------
+# Round 13: MERGE × additive schema evolution (A13f × A13c — Delta's
+# mergeSchema MERGE): a changelog that ADDS columns commits an evolved
+# schema; untouched files null-fill at read time; old versions time-travel
+# under the old schema.
+# ---------------------------------------------------------------------------
+
+
+def test_merge_schema_evolution_adds_column(spark, tmp_path):
+    path = _two_file_table(spark, tmp_path)  # k, val, grp over two files
+    ch = spark.createDataFrame(
+        [
+            (2, "update", 222, "g2", "eu"),
+            (100, "insert", 1000, "gx", "us"),
+        ],
+        "k long, op string, new_val long, new_grp string, new_region string",
+    )
+    # default: unknown new_<col> refused loudly, never silently dropped
+    with pytest.raises(ValueError, match="merge_schema=True"):
+        merge_versioned(spark, path, ch, ["k"])
+    rep = merge_versioned(spark, path, ch, ["k"], merge_schema=True)
+    assert rep["n_files_rewritten"] == 1  # only file A (k=2) matched
+    cur = read_versioned(spark, path)
+    assert [f.name for f in cur.schema.fields] == ["k", "val", "grp", "region"]
+    got = {r["k"]: (r["val"], r["region"]) for r in cur.collect()}
+    assert got[2] == (222, "eu") and got[100] == (1000, "us")
+    # untouched file B's rows null-fill the evolved column
+    assert got[7] == (70, None)
+    assert len(got) == 11
+    # time travel: the pre-merge version still reads the OLD schema
+    old = read_versioned(spark, path, as_of=1)
+    assert [f.name for f in old.schema.fields] == ["k", "val", "grp"]
+    assert old.count() == 10
+
+
+def test_merge_schema_evolution_roundtrips_through_second_merge(
+    spark, tmp_path
+):
+    """After an evolving merge, a PLAIN merge against the evolved schema
+    works (new_region now required), and the evolved column survives the
+    copy-on-write rewrite of previously-untouched files."""
+    path = _two_file_table(spark, tmp_path)
+    merge_versioned(
+        spark,
+        path,
+        spark.createDataFrame(
+            [(2, "update", 222, "g2", "eu")],
+            "k long, op string, new_val long, new_grp string, "
+            "new_region string",
+        ),
+        ["k"],
+        merge_schema=True,
+    )
+    # plain merge on file B now must carry the evolved column set
+    with pytest.raises(ValueError, match="missing columns"):
+        merge_versioned(
+            spark, path, _changelog(spark, [(7, "update", 777, "g7")]), ["k"]
+        )
+    merge_versioned(
+        spark,
+        path,
+        spark.createDataFrame(
+            [(7, "update", 777, "g7", None)],
+            "k long, op string, new_val long, new_grp string, "
+            "new_region string",
+        ),
+        ["k"],
+    )
+    got = {
+        r["k"]: (r["val"], r["region"])
+        for r in read_versioned(spark, path).collect()
+    }
+    assert got[2] == (222, "eu") and got[7] == (777, None) and len(got) == 10
+
+
+def test_merge_schema_evolution_never_rebases(spark, tmp_path, monkeypatch):
+    """An evolving merge that loses the commit race refuses to rebase —
+    the schema-change conflict class fires (publishing old-schema staged
+    files as the table's latest word on a different schema is never
+    safe)."""
+    from time_series_spark_spark.sources.io import ConcurrentCommitError
+
+    path = _two_file_table(spark, tmp_path)
+    merge_versioned(
+        spark, path, _changelog(spark, [(7, "update", 777, "g7")]), ["k"]
+    )
+    _stale_latest_once(monkeypatch, 1)
+    with pytest.raises(ConcurrentCommitError, match="schema"):
+        merge_versioned(
+            spark,
+            path,
+            spark.createDataFrame(
+                [(2, "update", 222, "g2", "eu")],
+                "k long, op string, new_val long, new_grp string, "
+                "new_region string",
+            ),
+            ["k"],
+            merge_schema=True,
+        )
+    monkeypatch.undo()

@@ -905,11 +905,20 @@ def croston_forecast(
     y_col: str,
     alpha: float = 0.1,
     min_len: int = 8,
+    round_digits: int | None = 6,
 ) -> DataFrame:
     """Per-key Croston demand-rate estimate on the packed grouped-map
     path. Input must be a DENSE per-period series (zeros are data, not
     gaps). Output: ``keys…, n_periods, n_demands, demand_rate, z_hat,
-    p_hat`` — one row per key."""
+    p_hat`` — one row per key.
+
+    ``round_digits=None`` returns the raw doubles — needed by callers
+    that canonicalize for cross-engine comparison themselves: with
+    integer demands and a decimal alpha, z_hat/p_hat are EXACT
+    terminating decimals, so ANY fixed decimal rounding has true
+    half-ties (…5 at the next digit) that different engines break
+    differently (round-half-even vs half-away) — the round-13 lesson
+    from this query's oracle upgrade."""
     key_schema = ", ".join(
         f"{f.name} {f.dataType.simpleString()}"
         for f in df.schema.fields
@@ -917,6 +926,11 @@ def croston_forecast(
     )
 
     def _fit_batch(pdf: pd.DataFrame) -> pd.DataFrame:
+        rnd = (
+            (lambda x: round(x, round_digits))
+            if round_digits is not None
+            else (lambda x: x)
+        )
         rows = []
         for kv, g in pdf.groupby(keys, sort=False):
             if not isinstance(kv, tuple):
@@ -927,8 +941,8 @@ def croston_forecast(
                 continue
             rate, z_hat, p_hat, n_dem = croston_series(y_arr, alpha)
             rows.append(
-                (*kv, len(y_arr), n_dem, round(rate, 6),
-                 round(z_hat, 6), round(p_hat, 6))
+                (*kv, len(y_arr), n_dem, rnd(rate),
+                 rnd(z_hat), rnd(p_hat))
             )
         return pd.DataFrame(
             rows,

@@ -139,7 +139,10 @@ _EXTERNALLY_CONFIRMED = [
     "event_type_corr_matrix", "events_slo_burn_alerts",
     "forecast_hw_weekly_revenue", "forecast_model_selection",
     "forecast_conformal_revenue", "forecast_theta_revenue",
-    "forecast_croston_purchases", "forecast_conformal_daily_revenue",
+    # "forecast_croston_purchases" moved to _RECHECK_FIRST (round 13):
+    # rows-only → oracle upgrade (closed-form SES chains; ratio + float32
+    # canonicalization for the terminating-decimal ties).
+    "forecast_conformal_daily_revenue",
     "docs_shuffle_shards", "docs_token_budget_fill",
     "docs_incremental_dedup_exact", "docs_incremental_bloom_dedup",
     "docs_pmi_bigrams", "docs_zipf_fit", "docs_heaps_curve", "emb_pq_topk",
@@ -300,9 +303,13 @@ _EXTERNALLY_CONFIRMED = [
     # clean — fifth consecutive zero-failure window, including the three
     # round-10 delta-manifest regressions re-confirmed under the new
     # format from _RECHECK_FIRST):
-    "stream_versioned_source_feed", "orders_incremental_pipeline_roundtrip",
+    # "stream_versioned_source_feed" and "orders_incremental_pipeline_
+    # roundtrip" moved to _RECHECK_FIRST (round 13): the sink's redelivery
+    # check became the monotone batch-id watermark.
     "orders_versioned_layout_health", "orders_time_travel_report",
-    "orders_versioned_restore_roundtrip", "orders_versioned_history",
+    # "orders_versioned_history" moved to _RECHECK_FIRST (round 13):
+    # manifests now carry compacted ledgers.
+    "orders_versioned_restore_roundtrip",
     "orders_version_change_feed", "orders_dpp_pruned_join",
     "orders_schema_compat_report", "orders_mv_rollup_navigation",
     "events_trend_hac_inference", "events_qq_halves",
@@ -332,7 +339,10 @@ _EXTERNALLY_CONFIRMED = [
     # window, clearing the never-sampled backlog to ZERO — cumulative
     # coverage is now 468/468):
     "ewma_user_daily", "docs_dup_graph_pagerank",
-    "stream_merge_upsert_feed", "orders_versioned_merge_roundtrip",
+    # "stream_merge_upsert_feed" and "orders_versioned_merge_roundtrip"
+    # moved to _RECHECK_FIRST (round 13): the J11g sink and
+    # merge_versioned code paths changed (watermark redelivery check,
+    # table-schema changelog projection, optimistic rebase).
     "orders_versioned_skipping_scan", "events_dominant_period",
     "events_hurst_user", "events_pacf_daily_total",
     "events_lomb_scargle_user", "bucketed_join_layout_report",
@@ -356,12 +366,29 @@ _EXTERNALLY_CONFIRMED = [
 # Queries pinned to the very front of the sample window: externally-failed
 # fixes awaiting re-confirmation, plus queries whose check STRENGTH changed
 # (rows-only → oracle-backed) and should face the driver again under the
-# stronger check. Round 13: empty at round start (both round-12 re-pins
-# were driver-confirmed hash-green under their upgraded oracles —
-# CORRECTNESS_r12.json); entries are added below only when a round-13
-# change upgrades a confirmed query's check or alters a confirmed query's
-# own code path.
-_RECHECK_FIRST: list[str] = []
+# stronger check. Round 13: both round-12 re-pins were driver-confirmed
+# hash-green under their upgraded oracles (CORRECTNESS_r12.json); the
+# entries below are confirmed queries whose OWN CODE PATH changed this
+# round and must face the driver again under the new code.
+_RECHECK_FIRST: list[str] = [
+    # round 13: the streaming sinks' redelivery check became the monotone
+    # batch-id watermark (correct on compacted ledgers) and the J11g sink
+    # now projects its changelog to the TABLE's schema — both sinks'
+    # committed output must re-face the driver
+    "stream_merge_upsert_feed",
+    "stream_versioned_source_feed",
+    "orders_incremental_pipeline_roundtrip",
+    # round 13: merge_versioned gained optimistic-concurrency rebase and
+    # the merge_schema gate (unknown new_<col> now rejected); ledger
+    # snapshots in every manifest are compacted to max per stream
+    "orders_versioned_merge_roundtrip",
+    "orders_versioned_history",
+    # round 13: rows-only → oracle upgrade (two closed-form SES chains
+    # unrolled as weighted sums; ratio-at-6 + float32 casts canonicalize
+    # the terminating-decimal half-ties) — must face the driver under
+    # the stronger check
+    "forecast_croston_purchases",
+]
 
 SAMPLE_WINDOW = 50  # the external gate samples this many leading entries
 

@@ -1069,6 +1069,116 @@ def orders_versioned_merge_roundtrip(
 
 
 @register(
+    "orders_versioned_merge_evolve",
+    # A13f × A13c (round 13 — Delta's mergeSchema MERGE): the changelog
+    # ADDS a `tier` column the table never had; the evolving merge
+    # commits the new schema, rewrites only the file containing the
+    # matched keys (%10==1 ⊂ the %10<5 parity file), and every carried
+    # row null-fills `tier` at read time. Closed-form changelog (update
+    # %10==1 → status 'U', cents+100, tier 'gold'; insert k+10M for
+    # %10==2 → tier 'new') so the post-merge snapshot has an exact
+    # relational oracle; the CoW structure is pinned as literals.
+    """
+    WITH t AS (
+        SELECT o_orderkey AS k, o_orderstatus AS status,
+               CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        FROM orders
+    ),
+    merged AS (
+        SELECT k,
+               CASE WHEN k % 10 = 1 THEN 'U' ELSE status END AS status,
+               CASE WHEN k % 10 = 1 THEN cents + 100 ELSE cents END AS cents,
+               CASE WHEN k % 10 = 1 THEN 'gold' ELSE NULL END AS tier
+        FROM t
+        UNION ALL
+        SELECT k + 10000000, 'N', CAST(1 AS BIGINT), 'new'
+        FROM t WHERE k % 10 = 2
+    )
+    SELECT tier, count(*) AS n_rows,
+           CAST(sum(cents) AS BIGINT) AS total_cents,
+           CAST(2 AS BIGINT) AS merge_version,
+           CAST(1 AS BIGINT) AS files_rewritten,
+           CAST(1 AS BIGINT) AS files_carried
+    FROM merged GROUP BY tier ORDER BY tier NULLS FIRST
+    """,
+    doc="A13f × A13c (round 13): MERGE with ADDITIVE SCHEMA EVOLUTION "
+    "on the manifest-versioned table — the changelog carries new_tier "
+    "for a column the table does not have; merge_versioned("
+    "merge_schema=True) commits the evolved schema in the same "
+    "copy-on-write commit (only the matched parity file rewritten, the "
+    "other carried by reference and null-filling `tier` under the "
+    "manifest-authoritative read schema). Pre-merge versions still "
+    "time-travel under the OLD schema (pytest-pinned). Temp table "
+    "removed before returning.",
+)
+def orders_versioned_merge_evolve(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from time_series_spark_spark.sources.io import (
+        merge_versioned,
+        read_versioned,
+        write_versioned,
+    )
+
+    t = load(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_orderstatus").alias("status"),
+        F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("cents"),
+    )
+    path = tempfile.mkdtemp(prefix="versioned_merge_evolve_")
+    try:
+        write_versioned(t.filter(F.col("k") % 10 < 5).coalesce(1), path)
+        write_versioned(
+            t.filter(F.col("k") % 10 >= 5).coalesce(1),
+            path,
+            carry_forward=True,
+        )
+        m = F.col("k") % 10
+        changes = t.filter(m == 1).select(
+            "k",
+            F.lit("update").alias("op"),
+            F.lit("U").alias("new_status"),
+            (F.col("cents") + 100).alias("new_cents"),
+            F.lit("gold").alias("new_tier"),
+        ).unionByName(
+            t.filter(m == 2).select(
+                (F.col("k") + 10_000_000).alias("k"),
+                F.lit("insert").alias("op"),
+                F.lit("N").alias("new_status"),
+                F.lit(1).cast("long").alias("new_cents"),
+                F.lit("new").alias("new_tier"),
+            )
+        )
+        rep = merge_versioned(spark, path, changes, ["k"], merge_schema=True)
+        out = (
+            read_versioned(spark, path)
+            .groupBy("tier")
+            .agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.sum("cents").cast("long").alias("total_cents"),
+            )
+            .withColumn(
+                "merge_version", F.lit(rep["version"]).cast("long")
+            )
+            .withColumn(
+                "files_rewritten",
+                F.lit(rep["n_files_rewritten"]).cast("long"),
+            )
+            .withColumn(
+                "files_carried", F.lit(rep["n_files_carried"]).cast("long")
+            )
+            .orderBy(F.asc_nulls_first("tier"))
+        )
+        rows = out.collect()
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
+    return spark.createDataFrame(rows, out.schema)
+
+
+@register(
     "orders_versioned_zorder_report",
     # rows-only: the pruning fractions depend on approxQuantile sampling
     # and file-split boundaries (stable in DIRECTION, not in exact

@@ -192,7 +192,78 @@ def forecast_theta_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "forecast_croston_purchases",
-    None,  # F7d: SES recursions → rows-only + property tests
+    # Rows-only → oracle (round 13, r12 verdict item 6): Croston's two
+    # SES recursions have the same closed form as the EWMA oracle —
+    # SES(x_1..x_m) = (1-α)^(m-1)·x_1 + Σ_{j≥2} α·(1-α)^(m-j)·x_j — so
+    # both chains (nonzero demand SIZES; inter-demand INTERVALS, first
+    # interval = first-demand day index + 1) unroll into one weighted
+    # SUM per user over the demand events. Exponents are m-j ≤ days, so
+    # the weights only DECAY — no overflow (the (1/(1-α))^j growth form
+    # is deliberately avoided). Zero-demand users keep the operator's
+    # (0, 0, n_periods) convention via the left join.
+    #
+    # Canonicalization (the tie lesson this upgrade surfaced): with
+    # integer demands and α=0.1, z_hat/p_hat are EXACT terminating
+    # decimals, so rounding them at ANY fixed digit count hits true
+    # half-ties (~10% of users whose digit count is exactly one past
+    # the granularity) that the engines break differently. The hashed
+    # output therefore carries the RATIO (non-terminating — safely
+    # rounded at 6) and the raw sums as FLOAT32 casts (IEEE binary
+    # conversion of near-identical doubles is bit-identical in both
+    # engines; no decimal-tie structure since the values are never
+    # dyadic).
+    """
+    WITH bounds AS (
+        SELECT CAST(date_trunc('day', min(ts)) AS TIMESTAMP) AS lo,
+               CAST(date_trunc('day', max(ts)) AS TIMESTAMP) AS hi
+        FROM events
+    ),
+    plen AS (
+        SELECT CAST(date_diff('day', lo, hi) AS BIGINT) + 1 AS n_periods
+        FROM bounds
+    ),
+    daily AS (
+        SELECT user_id,
+               CAST(date_trunc('day', ts) AS TIMESTAMP) AS d,
+               CAST(count(*) AS DOUBLE) AS n
+        FROM events WHERE event_type = 'purchase'
+        GROUP BY 1, 2
+    ),
+    ord AS (
+        SELECT user_id, n,
+               CAST(date_diff(
+                   'day', (SELECT lo FROM bounds), d) AS BIGINT) AS di,
+               row_number() OVER (
+                   PARTITION BY user_id ORDER BY d) AS rn,
+               count(*) OVER (PARTITION BY user_id) AS m,
+               CAST(date_diff('day', (SELECT lo FROM bounds), d)
+                    - lag(date_diff('day', (SELECT lo FROM bounds), d))
+                      OVER (PARTITION BY user_id ORDER BY d)
+                    AS DOUBLE) AS gap
+        FROM daily
+    ),
+    fit AS (
+        SELECT user_id,
+               CAST(max(m) AS BIGINT) AS n_demands,
+               sum(CASE WHEN rn = 1 THEN power(0.9, m - 1) * n
+                        ELSE 0.1 * power(0.9, m - rn) * n END) AS z_raw,
+               sum(CASE WHEN rn = 1
+                        THEN power(0.9, m - 1) * (di + 1)
+                        ELSE 0.1 * power(0.9, m - rn) * gap END) AS p_raw
+        FROM ord GROUP BY user_id
+    )
+    SELECT u.user_id,
+           (SELECT n_periods FROM plen) AS n_periods,
+           coalesce(f.n_demands, 0) AS n_demands,
+           round(coalesce(f.z_raw / f.p_raw, 0.0), 6) AS demand_rate,
+           CAST(coalesce(f.z_raw, 0.0) AS REAL) AS z_hat,
+           CAST(coalesce(f.p_raw,
+                CAST((SELECT n_periods FROM plen) AS DOUBLE)) AS REAL)
+               AS p_hat
+    FROM (SELECT DISTINCT user_id FROM events) u
+    LEFT JOIN fit f USING (user_id)
+    ORDER BY u.user_id
+    """,
     doc="F7d Croston intermittent-demand rate per user over the dense "
     "0-filled daily purchase-count series (most days zero — exactly the "
     "regime where smoothing the raw series decays to nothing between "
@@ -224,7 +295,19 @@ def forecast_croston_purchases(spark: SparkSession, sf_dir: str) -> DataFrame:
     dense = grid.join(daily, ["user_id", "d"], "left").select(
         "user_id", "d", F.coalesce("n", F.lit(0)).cast("double").alias("n")
     )
-    return croston_forecast(dense, ["user_id"], "d", "n").orderBy("user_id")
+    fit = croston_forecast(
+        dense, ["user_id"], "d", "n", round_digits=None
+    )
+    # ratio rounded at 6 (non-terminating, tie-free); raw SES sums as
+    # float32 (see the oracle comment on the terminating-decimal ties)
+    return fit.select(
+        "user_id",
+        "n_periods",
+        "n_demands",
+        F.round("demand_rate", 6).alias("demand_rate"),
+        F.col("z_hat").cast("float").alias("z_hat"),
+        F.col("p_hat").cast("float").alias("p_hat"),
+    ).orderBy("user_id")
 
 
 # ---------------------------------------------------------------------------

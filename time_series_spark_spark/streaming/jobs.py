@@ -1207,7 +1207,7 @@ def stream_to_versioned_table(
     UUID identity and never collides with prior runs' ledger entries.
     """
     from time_series_spark_spark.sources.io import (
-        committed_batch_ids,
+        latest_committed_batch_id,
         write_versioned,
     )
 
@@ -1215,7 +1215,10 @@ def stream_to_versioned_table(
     committed: list[int] = []
 
     def commit(batch_df: DataFrame, batch_id: int) -> None:
-        ledger = committed_batch_ids(table_path, stream_id)
+        # MONOTONE redelivery check (round 13 — correct on compacted
+        # ledgers, where old ids are no longer individually enumerable):
+        # batch ids are monotone per checkpoint identity and committed in
+        # order, so batch_id <= the stream's watermark ⇔ redelivery.
         # alias_ids (possibly empty) are the ADDITIONAL ledger scopes this
         # checkpoint's history may have committed under — the legacy
         # None-scope and/or a raw (un-normalized) path spelling. They are
@@ -1224,9 +1227,16 @@ def stream_to_versioned_table(
         # (fresh checkpoint, batch ids restarting at 0) must NOT absorb a
         # stranger's None-scoped ledger, or its first micro-batches would
         # be silently dropped as phantom "redeliveries".
-        for alias in alias_ids:
-            ledger |= committed_batch_ids(table_path, alias)
-        if batch_id in ledger:
+        latest = max(
+            (
+                bid
+                for scope in [stream_id, *alias_ids]
+                if (bid := latest_committed_batch_id(table_path, scope))
+                is not None
+            ),
+            default=None,
+        )
+        if latest is not None and batch_id <= latest:
             return  # redelivered micro-batch: already a committed version
         committed.append(
             write_versioned(
@@ -1281,20 +1291,40 @@ def stream_merge_to_versioned_table(
         latest_version,
     )
     from time_series_spark_spark.sources.io import (
-        committed_batch_ids,
+        latest_committed_batch_id,
         merge_versioned,
         write_versioned,
     )
 
     stream_id, alias_ids = _resolve_stream_identity(checkpoint_dir)
     committed: list[int] = []
-    cols = [c for c in stream_df.columns if c not in keys]
+
+    def _table_cols(tfs, latest_v: int) -> list[str]:
+        """Non-key columns OF THE TABLE (manifest-authoritative): the
+        changelog must carry new_<c> for exactly these. Stream columns
+        the table lacks (e.g. the order_cols used only for per-batch
+        last-writer-wins dedupe, when the target was seeded without
+        them) are deliberately NOT merged — merge_versioned rejects
+        unknown new_<c> loudly since round 13, so the projection here
+        is what keeps ordering-only columns ordering-only. A table
+        column absent from the stream fails loudly at select time."""
+        import json
+
+        schema = json.loads(tfs.read_json(f"_manifest.{latest_v}.json")["schema"])
+        return [f["name"] for f in schema["fields"] if f["name"] not in keys]
 
     def upsert(batch_df: DataFrame, batch_id: int) -> None:
-        ledger = committed_batch_ids(table_path, stream_id)
-        for alias in alias_ids:
-            ledger |= committed_batch_ids(table_path, alias)
-        if batch_id in ledger:
+        # monotone redelivery watermark — see stream_to_versioned_table
+        latest = max(
+            (
+                bid
+                for scope in [stream_id, *alias_ids]
+                if (bid := latest_committed_batch_id(table_path, scope))
+                is not None
+            ),
+            default=None,
+        )
+        if latest is not None and batch_id <= latest:
             return  # redelivered micro-batch: already committed
         from pyspark.sql.window import Window
 
@@ -1306,7 +1336,9 @@ def stream_merge_to_versioned_table(
             .filter(F.col("__rk") == 1)
             .drop("__rk")
         )
-        if latest_version(as_table_fs(table_path)) is None:
+        tfs = as_table_fs(table_path)
+        latest_v = latest_version(tfs)
+        if latest_v is None:
             committed.append(
                 write_versioned(
                     latest_rows,
@@ -1319,7 +1351,10 @@ def stream_merge_to_versioned_table(
         changelog = latest_rows.select(
             *keys,
             F.lit("update").alias("op"),
-            *[F.col(c).alias(f"new_{c}") for c in cols],
+            *[
+                F.col(c).alias(f"new_{c}")
+                for c in _table_cols(tfs, latest_v)
+            ],
         )
         rep = merge_versioned(
             batch_df.sparkSession,
