@@ -75,7 +75,10 @@ def _base_rows(spark, replicas: int):
     from pyspark.sql import functions as F
 
     li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet").select(
-        (F.col("l_orderkey") * 8 + F.col("l_linenumber")).alias("k0"),
+        (
+            F.col("l_orderkey").cast("long") * 8
+            + F.col("l_linenumber").cast("long")
+        ).alias("k0"),
         F.round(F.col("l_extendedprice") * 100, 0)
         .cast("long")
         .alias("cents"),
@@ -84,7 +87,9 @@ def _base_rows(spark, replicas: int):
     return li.withColumn(
         "r", F.explode(F.sequence(F.lit(0), F.lit(replicas - 1)))
     ).select(
-        (F.col("r") * F.lit(60_000_000) + F.col("k0")).alias("k"),
+        (F.col("r").cast("long") * F.lit(60_000_000) + F.col("k0")).alias(
+            "k"
+        ),
         "cents",
         "grp",
     )
@@ -104,10 +109,12 @@ def stress_merge(spark, out: dict) -> None:
     out["merge_n_rows"] = spark.read.parquet(f"{SF_DIR}/lineitem.parquet").count() * 100
 
     def changelog(n):
-        # narrow range: n keys from replica 3 (clustered -> few files)
+        # narrow range: n keys from replica 3 (clustered -> few files);
+        # deduped — the testdata's (orderkey, linenumber) is not unique
         return (
             _base_rows(spark, 100)
             .filter((F.col("k") >= 180_000_000) & (F.col("k") < 181_000_000))
+            .dropDuplicates(["k"])
             .limit(n)
             .select(
                 "k",

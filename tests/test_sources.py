@@ -737,3 +737,81 @@ def test_compact_ledger_multi_stream_and_none_scope():
         ["a", 3], ["b", 7], ["a", 9], [None, 2], ["b", 1], [None, 5],
     ]
     assert _compact_ledger(pairs) == [[None, 5], ["a", 9], ["b", 7]]
+
+
+def test_optimize_data_change_false_posture(spark, tmp_path):
+    """Round 13 (Delta's dataChange=false): compaction publishes
+    mode='optimize' — a pure layout rewrite of the SAME rows — and the
+    J11e source emits NOTHING for it under EITHER onReplace posture
+    (re-emitting would duplicate every row; failing would forbid
+    compacting a streamed table). Appends after the compaction stream
+    normally; history records the mode; data_change=False is refused
+    for commits that genuinely change data."""
+    import json
+
+    import pytest as _pytest
+
+    from time_series_spark_spark.sources.io import (
+        compact_versioned,
+        describe_versioned_history,
+        read_versioned,
+        write_versioned,
+    )
+    from time_series_spark_spark.sources.pydatasource import (
+        VersionedTableStreamReader,
+    )
+
+    table = tmp_path / "vt"
+    write_versioned(
+        spark.range(2000).selectExpr("id").repartition(8), str(table)
+    )
+    write_versioned(
+        spark.range(2000, 2005).selectExpr("id"),
+        str(table),
+        carry_forward=True,
+    )
+    rep = compact_versioned(spark, str(table), target_file_bytes=1 << 30)
+    assert rep["version"] == 2
+    with open(table / "_manifest.2.json") as fh:
+        assert json.load(fh)["mode"] == "optimize"
+    write_versioned(
+        spark.range(3000, 3003).selectExpr("id"),
+        str(table),
+        carry_forward=True,
+    )
+
+    span = (
+        {"version": 0, "snapshot": False},
+        {"version": 3, "snapshot": False},
+    )
+    for opts in ({}, {"onReplace": "fail"}):
+        rd = VersionedTableStreamReader({"path": str(table), **opts})
+        parts = rd.partitions(*span)
+        n = sum(sum(b.num_rows for b in rd.read(p)) for p in parts)
+        # v1 increment + v3 increment; the optimize at v2 emits nothing
+        assert n == 5 + 3, opts
+    # the table itself is intact and time-travels across the optimize
+    assert read_versioned(spark, str(table)).count() == 2008
+    assert read_versioned(spark, str(table), as_of=1).count() == 2005
+    modes = [
+        r["mode"]
+        for r in describe_versioned_history(spark, str(table))
+        .orderBy("version")
+        .collect()
+    ]
+    assert modes == ["append", "append", "optimize", "append"]
+    # data_change=False only marks replace-shaped rewrites of an
+    # existing snapshot
+    with _pytest.raises(ValueError, match="data_change"):
+        write_versioned(
+            spark.range(3).selectExpr("id"),
+            str(tmp_path / "fresh"),
+            data_change=False,
+        )
+    with _pytest.raises(ValueError, match="data_change"):
+        write_versioned(
+            spark.range(3).selectExpr("id"),
+            str(table),
+            carry_forward=True,
+            data_change=False,
+        )

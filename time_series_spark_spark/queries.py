@@ -214,7 +214,9 @@ _EXTERNALLY_CONFIRMED = [
     # window, including the round-8 versioned-table VACUUM roundtrip and
     # the synthetic-source VALUES oracle):
     "synthetic_source_series_stats", "orders_rollup_incremental_merge",
-    "orders_merkle_bucket_diff", "orders_versioned_compaction_roundtrip",
+    # "orders_versioned_compaction_roundtrip" moved to _RECHECK_FIRST
+    # (round 13): compaction publishes mode="optimize" now.
+    "orders_merkle_bucket_diff",
     "orders_versioned_vacuum_roundtrip", "events_ohlc_daily",
     "events_twa_user", "events_counter_increase_daily",
     "events_type_streaks", "events_rolling_corr_7d",
@@ -352,7 +354,9 @@ _EXTERNALLY_CONFIRMED = [
     "events_kll_value_quantiles", "events_hll_type_overlap",
     "docs_token_heavy_hitters", "events_cm_user_counts",
     "orders_lineitem_ams_join_size", "emb_frequent_directions",
-    "orders_versioned_zorder_report", "events_lttb_user",
+    # "orders_versioned_zorder_report" moved to _RECHECK_FIRST (round
+    # 13): the ZORDER rewrite publishes mode="optimize" now.
+    "events_lttb_user",
     "events_zorder_layout_report", "events_compaction_plan",
     "explain_analyze_report", "events_swinging_door_user",
     "orders_compaction_report", "events_rate_limit_audit",
@@ -388,6 +392,11 @@ _RECHECK_FIRST: list[str] = [
     # the terminating-decimal half-ties) — must face the driver under
     # the stronger check
     "forecast_croston_purchases",
+    # round 13: compaction now publishes mode="optimize"
+    # (dataChange=false) instead of "replace" — both compaction-backed
+    # queries' code paths changed
+    "orders_versioned_compaction_roundtrip",
+    "orders_versioned_zorder_report",
 ]
 
 SAMPLE_WINDOW = 50  # the external gate samples this many leading entries

@@ -418,6 +418,7 @@ def write_versioned(
     batch_id: int | None = None,
     carry_forward: bool = False,
     stream_id: str | None = None,
+    data_change: bool = True,
 ) -> int:
     """Commit ``df`` as the next version of a manifest-versioned table —
     the table-format core (what Delta/Iceberg do) in ~30 lines, format
@@ -458,6 +459,16 @@ def write_versioned(
     version remains a consistent time-travel point. Default (False) is
     replace semantics: the version is just this df.
 
+    ``data_change=False`` (round 13 — Delta's ``dataChange=false``
+    AddFile flag) marks a full-snapshot commit as a pure LAYOUT rewrite
+    of the SAME logical rows (OPTIMIZE / ZORDER): the manifest records
+    ``mode="optimize"``, and the J11e streaming source emits NOTHING
+    for it under either onReplace posture — today's `replace` mode
+    would double-emit every row under ``added`` and kill a running
+    ``fail`` pipeline, so compaction of a streamed table was previously
+    unsafe. Only valid for replace-shaped commits on an existing table
+    (a first commit or an append IS a data change — refused loudly).
+
     **Manifest scalability (round 10 — Delta's log-checkpoint idea):**
     a naive carry-forward manifest re-lists EVERY file, so manifest
     size and append cost grow O(total files) — quadratic-ish metadata
@@ -496,6 +507,12 @@ def write_versioned(
     # At streaming-append cadence this keeps the per-commit metadata
     # cost O(Δ), not O(versions) LIST calls (round-11 hygiene item).
     latest = latest_version(tfs)
+    if not data_change and (carry_forward or latest is None):
+        raise ValueError(
+            "data_change=False marks a pure layout rewrite of an "
+            "existing snapshot — a first commit or a carry-forward "
+            "append always changes the data"
+        )
     existing = list(range(latest + 1)) if latest is not None else []
     version = (existing[-1] + 1) if existing else 0
     stage, adds = _stage_data_files(df, tfs, version)
@@ -596,8 +613,14 @@ def write_versioned(
             "version": version,
             # the very first commit is an append by definition; anything
             # later on this branch REPLACES the previous snapshot — the
-            # streaming source's onReplace option keys off this field
-            "mode": "append" if version == 0 else "replace",
+            # streaming source's onReplace option keys off this field —
+            # unless data_change=False marked it a pure layout rewrite
+            # ("optimize": same logical rows, streams emit nothing)
+            "mode": (
+                "append"
+                if version == 0
+                else ("replace" if data_change else "optimize")
+            ),
             "committed_at": committed_at,
             "files": adds,
             "adds": adds,
@@ -941,7 +964,12 @@ def compact_versioned(
         )
     else:
         df = df.repartition(n_out)
-    version = write_versioned(df, tfs)
+    # dataChange=false (round 13): OPTIMIZE rewrites the layout of the
+    # SAME logical rows — the commit publishes as mode="optimize", so
+    # the J11e streaming source skips it under either onReplace posture
+    # instead of double-emitting ('added') or killing the pipeline
+    # ('fail'); Delta's OPTIMIZE marks its AddFiles the same way
+    version = write_versioned(df, tfs, data_change=False)
     after = tfs.read_json(f"_manifest.{version}.json")
     return {
         "version": version,
@@ -1152,7 +1180,14 @@ def _cow_rebase_conflict(
     for v in range(snapshot + 1, new_latest + 1):
         m = tfs.read_json(f"_manifest.{v}.json")
         mode = m.get("mode", "append")
-        if mode not in ("append", "merge", "delete", "update"):
+        # "optimize" (dataChange=false layout rewrite of the SAME rows)
+        # is rebase-compatible only for a zero-touched loser: it records
+        # no removes, but it drops every old file from the snapshot, so
+        # the touched⊆files_new check below conflicts any loser that
+        # planned a rewrite; an insert-only loser's read-set scan over
+        # the optimize adds then proves no key collision (the rows are
+        # the snapshot's own).
+        if mode not in ("append", "merge", "delete", "update", "optimize"):
             return (
                 f"version {v} is a {mode!r} commit — the snapshot this "
                 "rewrite was planned against no longer describes the table"

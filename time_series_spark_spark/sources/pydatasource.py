@@ -360,6 +360,10 @@ class VersionedTableStreamReader(DataSourceStreamReader):
       ``.option("onReplace", "fail")`` to get Delta's default posture
       instead: the plan fails loudly on any replace commit in the feed
       range (round 11; manifests record the commit ``mode``).
+      ``mode="optimize"`` commits (dataChange=false layout rewrites —
+      OPTIMIZE/ZORDER, round 13) emit NOTHING under either posture:
+      the rows are the snapshot's own, so re-emitting would duplicate
+      them and failing would forbid compacting a streamed table.
     - **Vacuum interplay**: manifests survive vacuum_versioned, so
       offset arithmetic always works, but data files below the
       retention floor may be gone — a start offset below ``floor − 1``
@@ -576,6 +580,14 @@ class VersionedTableStreamReader(DataSourceStreamReader):
             todo = []
         for v in range(v0 + 1, v1 + 1):
             mode = self._manifest(v).get("mode")
+            if mode == "optimize":
+                # dataChange=false (round 13 — Delta's OPTIMIZE posture):
+                # a pure layout rewrite of the SAME logical rows emits
+                # NOTHING under either onReplace posture — re-emitting
+                # its adds would duplicate every row downstream, and
+                # failing would make compaction of a streamed table
+                # impossible
+                continue
             if self.on_replace == "fail" and mode not in (None, "append"):
                 # replace AND restore both leave downstream state stale:
                 # replace re-emits rows as adds, restore logically
