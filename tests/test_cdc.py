@@ -309,3 +309,28 @@ def test_version_change_feed_laws(spark):
     rev = lambda df: df.agg(F.sum("price_cents")).collect()[0][0]
     delta = rev(_new_snapshot(spark, sf)) - rev(_old_snapshot(spark, sf))
     assert sum(r["net_cents_delta"] for r in rows.values()) == delta
+
+
+def test_change_feed_across_optimize_is_empty(spark, tmp_path):
+    """M8 × A13l (round 13): a dataChange=false OPTIMIZE commit changes
+    the layout, not the data — the snapshot diff between the
+    pre-compaction and post-compaction versions is EMPTY, so the change
+    feed surface is optimize-correct by construction (Delta's CDF skips
+    dataChange=false files the same way)."""
+    from time_series_spark_spark.operators.cdc import snapshot_diff
+    from time_series_spark_spark.sources.io import (
+        compact_versioned,
+        read_versioned,
+        write_versioned,
+    )
+
+    path = str(tmp_path / "vt")
+    df = spark.range(500).select(
+        F.col("id").alias("k"), (F.col("id") * 3).alias("v")
+    )
+    write_versioned(df.repartition(8), path)
+    rep = compact_versioned(spark, path, target_file_bytes=1 << 30)
+    assert rep["version"] == 1
+    v0 = read_versioned(spark, path, as_of=0)
+    v1 = read_versioned(spark, path, as_of=1)
+    assert snapshot_diff(v0, v1, ["k"], ["v"]).count() == 0

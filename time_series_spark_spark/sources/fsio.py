@@ -196,18 +196,47 @@ def latest_version(tfs: TableFS) -> int | None:
     return versions[-1] if versions else None
 
 
+def is_snapshot_manifest(m: dict) -> bool:
+    """True when a manifest restates the full file list itself — inline
+    (``files``) or via a parquet sidecar (``files_parquet``, round 13)
+    — i.e. the delta-chain walk terminates here."""
+    return "files" in m or "files_parquet" in m
+
+
+def snapshot_sidecar(tfs: TableFS, m: dict, columns: list[str]):
+    """Read the requested columns of a snapshot's parquet sidecar
+    (``path`` / ``rg_bytes`` / ``col_stats``) — the column pruning is
+    the point: a file-list resolution reads ONE string column of a
+    sidecar that also carries the stats, instead of re-parsing a
+    ~100 MB inline JSON blob at 10⁶ files (Delta's parquet
+    checkpoints, round 13)."""
+    import pyarrow.parquet as pq
+
+    return pq.read_table(
+        tfs.path(m["files_parquet"]), filesystem=tfs.fs, columns=columns
+    )
+
+
+def snapshot_files(tfs: TableFS, m: dict) -> list[str]:
+    """A snapshot manifest's own full file list (inline or sidecar)."""
+    if "files" in m:
+        return list(m["files"])
+    return snapshot_sidecar(tfs, m, ["path"]).column("path").to_pylist()
+
+
 def manifest_files(tfs: TableFS, version: int) -> list[str]:
     """Resolve the FULL file list of a version by walking the delta
     chain (``adds`` + ``base``) back to the nearest full-snapshot
-    manifest (``files``) — at most ``checkpoint_every`` reads (see
-    ``write_versioned``). Pre-round-10 manifests all carry ``files``,
-    so the walk terminates immediately on legacy tables."""
+    manifest (inline ``files`` or a parquet sidecar) — at most
+    ``checkpoint_every`` reads (see ``write_versioned``). Pre-round-10
+    manifests all carry ``files``, so the walk terminates immediately
+    on legacy tables."""
     adds_stack: list[list[str]] = []
     cur = version
     while True:
         m = tfs.read_json(f"_manifest.{cur}.json")
-        if "files" in m:
-            files = set(m["files"])
+        if is_snapshot_manifest(m):
+            files = set(snapshot_files(tfs, m))
             break
         adds_stack.append(m["adds"])
         cur = m["base"]
@@ -232,11 +261,23 @@ def manifest_file_stats(tfs: TableFS, version: int) -> dict:
     while True:
         m = tfs.read_json(f"_manifest.{cur}.json")
         chain.append(m)
-        if "files" in m:
+        if is_snapshot_manifest(m):
             break
         cur = m["base"]
     stats: dict = {}
     for m in reversed(chain):
+        if "files_parquet" in m:
+            t = snapshot_sidecar(tfs, m, ["path", "rg_bytes"])
+            stats.update(
+                {
+                    p: rb
+                    for p, rb in zip(
+                        t.column("path").to_pylist(),
+                        t.column("rg_bytes").to_pylist(),
+                    )
+                    if rb is not None
+                }
+            )
         stats.update(m.get("file_stats", {}))
         stats.update(m.get("add_stats", {}))
     return stats
@@ -251,16 +292,30 @@ def manifest_col_stats(tfs: TableFS, version: int) -> dict:
     record these at commit; files from older manifests are simply
     absent — and ABSENT MEANS NEVER PRUNED (data skipping is an
     optimization, not a correctness filter)."""
+    import json as _json
+
     chain = []
     cur = version
     while True:
         m = tfs.read_json(f"_manifest.{cur}.json")
         chain.append(m)
-        if "files" in m:
+        if is_snapshot_manifest(m):
             break
         cur = m["base"]
     stats: dict = {}
     for m in reversed(chain):
+        if "files_parquet" in m:
+            t = snapshot_sidecar(tfs, m, ["path", "col_stats"])
+            stats.update(
+                {
+                    p: _json.loads(cs)
+                    for p, cs in zip(
+                        t.column("path").to_pylist(),
+                        t.column("col_stats").to_pylist(),
+                    )
+                    if cs is not None
+                }
+            )
         stats.update(m.get("col_stats", {}))
         stats.update(m.get("add_col_stats", {}))
     return stats
@@ -274,4 +329,4 @@ def manifest_adds(tfs: TableFS, version: int) -> list[str]:
     if "adds" in m:
         return sorted(m["adds"])
     prev = set(manifest_files(tfs, version - 1)) if version > 0 else set()
-    return sorted(set(m["files"]) - prev)
+    return sorted(set(snapshot_files(tfs, m)) - prev)

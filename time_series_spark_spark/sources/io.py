@@ -228,6 +228,69 @@ def _normalize_schema(schema: T.StructType) -> T.StructType:
 # Delta Lake's log checkpoint interval (10) solves the same problem.
 _CHECKPOINT_INTERVAL = 20
 
+# Snapshots at or above this many files spill their file list + per-file
+# stats to a COLUMNAR parquet sidecar instead of inline JSON (round 13 —
+# Delta's parquet checkpoints): at 10⁶ files an inline snapshot is a
+# ~100 MB JSON blob re-parsed in full by every reader, while the sidecar
+# is column-pruned (a file-list resolution reads ONE column) and
+# dictionary/RLE-compressed. Below the threshold inline JSON stays — one
+# read, zero extra objects, human-inspectable.
+_PARQUET_SNAPSHOT_MIN_FILES = 1024
+
+
+def _publish_snapshot_fields(
+    tfs, manifest: dict, files: list, file_stats: dict, col_stats: dict
+) -> str | None:
+    """Attach a snapshot's file list + per-file stats to ``manifest`` —
+    inline JSON below :data:`_PARQUET_SNAPSHOT_MIN_FILES`, else a
+    parquet sidecar ``_snapshot.<version>-<token>.parquet`` referenced
+    as ``files_parquet`` (Delta's parquet checkpoint). The sidecar is
+    written BEFORE the manifest publish and named writer-uniquely, so
+    it is invisible until the commit lands and racing writers never
+    collide; the caller deletes it if the publish loses. Returns the
+    sidecar name (or None when inline). The commit's own ``adds``/
+    ``add_stats``/``add_col_stats`` always stay inline — they are O(Δ)
+    and the streaming source plans micro-batches from them without
+    touching the sidecar. Vacuum keeps sidecars like it keeps manifests
+    (they are the manifest's other half; pruned-version reads still
+    diagnose correctly) — retained metadata stays O(KB·versions), the
+    same property every table format's log has."""
+    if len(files) < _PARQUET_SNAPSHOT_MIN_FILES:
+        manifest["files"] = files
+        manifest["file_stats"] = {
+            f: file_stats[f] for f in files if f in file_stats
+        }
+        manifest["col_stats"] = {
+            f: col_stats[f] for f in files if f in col_stats
+        }
+        return None
+    import json as _json
+    import uuid
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    name = f"_snapshot.{manifest['version']}-{uuid.uuid4().hex[:8]}.parquet"
+    tbl = pa.table(
+        {
+            "path": pa.array(files, type=pa.string()),
+            "rg_bytes": pa.array(
+                [file_stats.get(f) for f in files],
+                type=pa.list_(pa.int64()),
+            ),
+            "col_stats": pa.array(
+                [
+                    _json.dumps(col_stats[f]) if f in col_stats else None
+                    for f in files
+                ],
+                type=pa.string(),
+            ),
+        }
+    )
+    pq.write_table(tbl, tfs.path(name), filesystem=tfs.fs)
+    manifest["files_parquet"] = name
+    return name
+
 
 def _now_us() -> int:
     """Wall clock in epoch µs — the one seam tests monkeypatch to
@@ -570,6 +633,7 @@ def write_versioned(
             "batch_id": batch_id,
             "stream_id": stream_id,
         }
+        sidecar = None
         if version % _CHECKPOINT_INTERVAL == 0:
             # checkpoint commit: materialize the full resolved file
             # list, its row-group stats, and the accumulated redelivery
@@ -579,7 +643,6 @@ def write_versioned(
             files = sorted(
                 set(manifest_files(tfs, existing[-1])) | set(adds)
             )
-            manifest["files"] = files
             manifest["n_files"] = len(files)
             stats = manifest_file_stats(tfs, existing[-1])
             stats.update(add_stats)
@@ -587,14 +650,11 @@ def write_versioned(
             # not accumulate forever across checkpoints; legacy files
             # without commit-time stats are simply absent (planner
             # footer-read fallback)
-            manifest["file_stats"] = {
-                f: stats[f] for f in files if f in stats
-            }
             cstats = manifest_col_stats(tfs, existing[-1])
             cstats.update(add_col_stats)
-            manifest["col_stats"] = {
-                f: cstats[f] for f in files if f in cstats
-            }
+            sidecar = _publish_snapshot_fields(
+                tfs, manifest, files, stats, cstats
+            )
             ledger = _collect_ledger_pairs(tfs, existing)
             if batch_id is not None:
                 ledger.append([stream_id, int(batch_id)])
@@ -622,12 +682,9 @@ def write_versioned(
                 else ("replace" if data_change else "optimize")
             ),
             "committed_at": committed_at,
-            "files": adds,
             "adds": adds,
             "add_stats": add_stats,
-            "file_stats": add_stats,
             "add_col_stats": add_col_stats,
-            "col_stats": add_col_stats,
             "n_rows_added": n_rows_added,
             "schema": df.schema.json(),
             "n_files": len(adds),
@@ -635,6 +692,9 @@ def write_versioned(
             "stream_id": stream_id,
             "ledger": ledger,
         }
+        sidecar = _publish_snapshot_fields(
+            tfs, manifest, adds, add_stats, add_col_stats
+        )
     # PUT-IF-ABSENT publish (Delta LogStore contract): a concurrent
     # writer racing to the same version number loses LOUDLY with
     # FileExistsError — never a silent clobber of a committed manifest.
@@ -647,6 +707,8 @@ def write_versioned(
         )
     except FileExistsError:
         tfs.delete_dir(stage)
+        if sidecar is not None:
+            tfs.delete_file(sidecar)
         raise
     # publish the latest-version HINT (after the manifest — readers probe
     # forward from it, so a crash here only leaves the hint stale-low).
@@ -1079,12 +1141,9 @@ def restore_versioned(table_path, to_version: int) -> int:
         "mode": "restore",
         "committed_at": _commit_stamp(tfs, latest),
         "restored_from": int(to_version),
-        "files": files,
         "adds": [],
         "add_stats": {},
         "add_col_stats": {},
-        "file_stats": {f: stats[f] for f in files if f in stats},
-        "col_stats": {f: cstats[f] for f in files if f in cstats},
         "n_rows_added": 0,
         "schema": target["schema"],
         "n_files": len(files),
@@ -1092,12 +1151,18 @@ def restore_versioned(table_path, to_version: int) -> int:
         "stream_id": None,
         "ledger": ledger,
     }
+    sidecar = _publish_snapshot_fields(tfs, manifest, files, stats, cstats)
     # PUT-IF-ABSENT publish (Delta LogStore contract): a concurrent
     # writer racing to the same version number loses LOUDLY with
     # FileExistsError — never a silent clobber of a committed manifest
-    tfs.write_json_atomic(
-        manifest, f"_manifest.{version}.json", if_absent=True
-    )
+    try:
+        tfs.write_json_atomic(
+            manifest, f"_manifest.{version}.json", if_absent=True
+        )
+    except FileExistsError:
+        if sidecar is not None:
+            tfs.delete_file(sidecar)
+        raise
     tfs.write_json_atomic({"version": version}, "_latest.json")
     return version
 
@@ -1298,12 +1363,9 @@ def _cow_commit(
             "version": version,
             "mode": mode,
             "committed_at": _commit_stamp(tfs, base),
-            "files": new_files,
             "adds": adds,
             "add_stats": add_stats,
             "add_col_stats": add_col_stats,
-            "file_stats": {f: stats[f] for f in new_files if f in stats},
-            "col_stats": {f: cstats[f] for f in new_files if f in cstats},
             "removes": touched,
             "n_rows_added": n_rows_written,
             "schema": schema_json,
@@ -1312,11 +1374,16 @@ def _cow_commit(
             "stream_id": stream_id,
             "ledger": ledger,
         }
+        sidecar = _publish_snapshot_fields(
+            tfs, manifest, new_files, stats, cstats
+        )
         try:
             tfs.write_json_atomic(
                 manifest, f"_manifest.{version}.json", if_absent=True
             )
         except FileExistsError:
+            if sidecar is not None:
+                tfs.delete_file(sidecar)
             if attempt + 1 >= max(1, max_attempts) or spark is None:
                 tfs.delete_dir(stage)
                 raise
@@ -1772,7 +1839,7 @@ def _history_row(m: dict, v: int) -> tuple:
         int(m["n_files"]),
         len(m["adds"]) if "adds" in m else None,
         int(m["n_rows_added"]) if "n_rows_added" in m else None,
-        "files" in m,
+        "files" in m or "files_parquet" in m,
         m.get("stream_id"),
         int(m["batch_id"]) if m.get("batch_id") is not None else None,
         int(m["committed_at"]) if "committed_at" in m else None,
@@ -1848,7 +1915,9 @@ def vacuum_versioned(
 
     from time_series_spark_spark.sources.fsio import (
         as_table_fs,
+        is_snapshot_manifest,
         manifest_versions,
+        snapshot_files,
     )
 
     tfs = as_table_fs(table_path)
@@ -1871,8 +1940,8 @@ def vacuum_versioned(
             int(m["committed_at"]) if m.get("committed_at") is not None
             else None
         )
-        if "files" in m:
-            files_by_v[v] = set(m["files"])
+        if is_snapshot_manifest(m):
+            files_by_v[v] = set(snapshot_files(tfs, m))
         else:
             files_by_v[v] = files_by_v[m["base"]] | set(m["adds"])
 

@@ -268,6 +268,26 @@ def _read_manifest(fs, root: str, v: int) -> dict:
         return json.loads(f.read().decode("utf-8"))
 
 
+def _snapshot_sidecar(fs, root: str, m: dict, columns: list[str]):
+    """Requested columns of a snapshot's parquet sidecar
+    (``files_parquet``, round 13 — Delta's parquet checkpoints; mirrors
+    ``fsio.snapshot_sidecar`` with standalone (fs, root) plumbing)."""
+    import pyarrow.parquet as pq
+
+    return pq.read_table(
+        f"{root}/{m['files_parquet']}", filesystem=fs, columns=columns
+    )
+
+
+def _snapshot_file_list(fs, root: str, m: dict) -> list[str]:
+    """A snapshot manifest's own full file list — inline or sidecar."""
+    if "files" in m:
+        return list(m["files"])
+    return (
+        _snapshot_sidecar(fs, root, m, ["path"]).column("path").to_pylist()
+    )
+
+
 def _latest_version(fs, root: str):
     """Latest committed version: O(1) via the ``_latest.json`` hint with
     probe-forward (a crash between manifest publish and hint publish
@@ -445,8 +465,9 @@ class VersionedTableStreamReader(DataSourceStreamReader):
         cur = v
         while True:
             m = self._manifest(cur)
-            if "files" in m:
-                files = set(m["files"])
+            if "files" in m or "files_parquet" in m:
+                fs, root = self._fs()
+                files = set(_snapshot_file_list(fs, root, m))
                 break
             adds_stack.append(m["adds"])
             cur = m["base"]
@@ -463,7 +484,8 @@ class VersionedTableStreamReader(DataSourceStreamReader):
         if "adds" in m:
             return sorted(m["adds"])
         prev = self._files_of(v - 1) if v > 0 else set()
-        return sorted(set(m["files"]) - prev)
+        fs, root = self._fs()
+        return sorted(set(_snapshot_file_list(fs, root, m)) - prev)
 
     def _stats_at(self, v: int) -> dict:
         """``rel → [row-group bytes]`` for files visible at ``v``, from
@@ -476,11 +498,24 @@ class VersionedTableStreamReader(DataSourceStreamReader):
         while True:
             m = self._manifest(cur)
             chain.append(m)
-            if "files" in m:
+            if "files" in m or "files_parquet" in m:
                 break
             cur = m["base"]
         stats: dict = {}
         for m in reversed(chain):
+            if "files_parquet" in m:
+                fs, root = self._fs()
+                t = _snapshot_sidecar(fs, root, m, ["path", "rg_bytes"])
+                stats.update(
+                    {
+                        p: rb
+                        for p, rb in zip(
+                            t.column("path").to_pylist(),
+                            t.column("rg_bytes").to_pylist(),
+                        )
+                        if rb is not None
+                    }
+                )
             stats.update(m.get("file_stats", {}))
             stats.update(m.get("add_stats", {}))
         return stats
