@@ -993,6 +993,94 @@ def stream_versioned_source_feed(
 
 
 @register(
+    "stream_optimize_skip_feed",
+    # Versions: v0 = %3==0, v1 = append %3==1, v2 = OPTIMIZE
+    # (dataChange=false — emits nothing), v3 = append %3==2. So the
+    # feed's commit_version is 0/1/3 by o_orderkey % 3 and version 2 is
+    # ABSENT — the closed-form oracle pins both the per-version
+    # attribution and the optimize skip (a re-emitting v2 would double
+    # every %3<2 row and break the counts).
+    """
+    SELECT CAST(CASE o_orderkey % 3 WHEN 0 THEN 0 WHEN 1 THEN 1
+                ELSE 3 END AS BIGINT) AS commit_version,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS total_cents
+    FROM orders GROUP BY 1 ORDER BY 1
+    """,
+    doc="A13l × J11e (round 13 — Delta's dataChange=false): an OPTIMIZE "
+    "commit in the middle of a streamed version feed emits NOTHING — "
+    "the stream is read under onReplace=fail, the posture a compaction "
+    "previously KILLED (and 'added' would have double-emitted every "
+    "compacted row). Three data commits land as versions 0/1/3 with an "
+    "OPTIMIZE at version 2; the drained feed aggregated per "
+    "_commit_version equals the plain batch split of orders — exact "
+    "counts prove the optimize was skipped, not re-emitted. Temp table "
+    "removed before returning.",
+)
+def stream_optimize_skip_feed(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from time_series_spark_spark.sources.io import (
+        compact_versioned,
+        write_versioned,
+    )
+    from time_series_spark_spark.sources.pydatasource import (
+        register_versioned_table_stream_source,
+    )
+
+    table = tempfile.mkdtemp(prefix="tss_vt_opt_")
+    try:
+        orders = load(spark, sf_dir, "orders").select(
+            "o_orderkey",
+            F.expr("CAST(round(o_totalprice * 100) AS BIGINT)").alias(
+                "price_cents"
+            ),
+        )
+        write_versioned(
+            orders.filter(F.col("o_orderkey") % 3 == 0),
+            table,
+            carry_forward=True,
+        )
+        write_versioned(
+            orders.filter(F.col("o_orderkey") % 3 == 1),
+            table,
+            carry_forward=True,
+        )
+        compact_versioned(spark, table, target_file_bytes=1 << 34)  # v2
+        write_versioned(
+            orders.filter(F.col("o_orderkey") % 3 == 2),
+            table,
+            carry_forward=True,
+        )
+        register_versioned_table_stream_source(spark)
+        sdf = (
+            spark.readStream.format("versioned_table")
+            .option("path", table)
+            .option("onReplace", "fail")
+            .load()
+        )
+        feed = run_available_now(sdf, output_mode="append")
+        out = (
+            feed.groupBy(
+                F.col("_commit_version").alias("commit_version")
+            )
+            .agg(
+                F.count(F.lit(1)).alias("n_orders"),
+                F.sum("price_cents").alias("total_cents"),
+            )
+            .orderBy("commit_version")
+        )
+        rows = out.collect()
+    finally:
+        shutil.rmtree(table, ignore_errors=True)
+    return spark.createDataFrame(rows, out.schema)
+
+
+@register(
     "orders_incremental_pipeline_roundtrip",
     # src commit version == o_orderkey % 3 (three ascending carry-forward
     # commits), so the pipeline's per-source-version output is checkable
