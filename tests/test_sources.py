@@ -815,3 +815,40 @@ def test_optimize_data_change_false_posture(spark, tmp_path):
             carry_forward=True,
             data_change=False,
         )
+
+
+def test_compact_ledger_properties():
+    """Hypothesis laws for _compact_ledger: one entry per scope, each the
+    max; idempotent; insensitive to input order; compact(a + b) ==
+    compact(compact(a) + b) (the migration path: a legacy full-pair
+    ledger followed by new pairs compacts to the same watermarks)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from time_series_spark_spark.sources.io import _compact_ledger
+
+    pair = st.tuples(
+        st.one_of(st.none(), st.text(alphabet="abc", max_size=2)),
+        st.integers(min_value=0, max_value=10_000),
+    ).map(list)
+    pairs = st.lists(pair, max_size=50)
+
+    @settings(max_examples=200, deadline=None)
+    @given(a=pairs, b=pairs)
+    def run(a, b):
+        out = _compact_ledger(a)
+        # one entry per scope, each the true max
+        assert len({sid for sid, _ in out}) == len(out)
+        expect = {}
+        for sid, bid in a:
+            expect[sid] = max(expect.get(sid, -1), bid)
+        assert {tuple(p) for p in out} == set(expect.items())
+        # idempotent and order-insensitive
+        assert _compact_ledger(out) == out
+        assert _compact_ledger(list(reversed(a))) == out
+        # incremental migration ≡ batch compaction
+        assert _compact_ledger(_compact_ledger(a) + b) == _compact_ledger(
+            a + b
+        )
+
+    run()

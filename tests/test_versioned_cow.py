@@ -1159,3 +1159,73 @@ def test_merge_schema_evolution_never_rebases(spark, tmp_path, monkeypatch):
             merge_schema=True,
         )
     monkeypatch.undo()
+
+
+def test_merge_rebase_chains_past_multiple_winners(
+    spark, tmp_path, monkeypatch
+):
+    """The rebase conflict check walks EVERY winner between the stale
+    snapshot and the new latest: two rival commits (a disjoint merge AND
+    a blind append) landed while the loser planned — one rebase clears
+    both and the loser lands at latest+1 with all three changes
+    applied."""
+    path = _two_file_table(spark, tmp_path)  # v0, v1
+    merge_versioned(
+        spark, path, _changelog(spark, [(7, "update", 777, "g7")]), ["k"]
+    )  # v2 (rival merge, file B)
+    write_versioned(
+        spark.createDataFrame(
+            [(50, 500, "gz")], "k long, val long, grp string"
+        ),
+        path,
+        carry_forward=True,
+    )  # v3 (blind append)
+    _stale_latest_once(monkeypatch, 1)  # loser planned against v1
+    rep = merge_versioned(
+        spark, path, _changelog(spark, [(2, "update", 222, "g2")]), ["k"]
+    )
+    monkeypatch.undo()
+    assert rep["version"] == 4
+    got = {r["k"]: r["val"] for r in read_versioned(spark, path).collect()}
+    assert got[7] == 777 and got[50] == 500 and got[2] == 222
+    assert len(got) == 11
+    hist = describe_versioned_history(spark, path).collect()
+    assert [r["mode"] for r in sorted(hist, key=lambda r: r["version"])] == [
+        "append", "append", "merge", "append", "merge"
+    ]
+
+
+def test_rebased_merge_manifest_carries_rival_stats(
+    spark, tmp_path, monkeypatch
+):
+    """A rebased CoW manifest rebuilds its snapshot fields against the
+    NEW latest: the rival's added files appear in the file list WITH
+    their row-group stats and column envelopes (stats resolution runs
+    against the rebased base, not the stale snapshot), so data skipping
+    and the streaming planner stay exact after a rebase."""
+    from time_series_spark_spark.sources.fsio import (
+        manifest_col_stats,
+        manifest_file_stats,
+    )
+    from time_series_spark_spark.sources.io import prune_files_by_stats
+
+    path = _two_file_table(spark, tmp_path)
+    merge_versioned(
+        spark, path, _changelog(spark, [(7, "update", 777, "g7")]), ["k"]
+    )  # rival rewrote file B at v2
+    _stale_latest_once(monkeypatch, 1)
+    rep = merge_versioned(
+        spark, path, _changelog(spark, [(2, "update", 222, "g2")]), ["k"]
+    )  # loser rebases onto v2, lands v3
+    monkeypatch.undo()
+    assert rep["version"] == 3
+    tfs = as_table_fs(path)
+    files = manifest_files(tfs, 3)
+    stats = manifest_file_stats(tfs, 3)
+    cstats = manifest_col_stats(tfs, 3)
+    assert set(stats) == set(files) and set(cstats) == set(files)
+    # skipping on the rebased version sees BOTH rewrites' envelopes:
+    # k=7 (rival's file) and k=2 (loser's file) each prune to one file
+    for key in (2, 7):
+        kept, skipped = prune_files_by_stats(path, 3, "k", key, key)
+        assert len(kept) == 1 and len(skipped) == 1, key
