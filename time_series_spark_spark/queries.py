@@ -139,9 +139,7 @@ _EXTERNALLY_CONFIRMED = [
     "event_type_corr_matrix", "events_slo_burn_alerts",
     "forecast_hw_weekly_revenue", "forecast_model_selection",
     "forecast_conformal_revenue", "forecast_theta_revenue",
-    # "forecast_croston_purchases" moved to _RECHECK_FIRST (round 13):
-    # rows-only → oracle upgrade (closed-form SES chains; ratio + float32
-    # canonicalization for the terminating-decimal ties).
+    "forecast_croston_purchases",
     "forecast_conformal_daily_revenue",
     "docs_shuffle_shards", "docs_token_budget_fill",
     "docs_incremental_dedup_exact", "docs_incremental_bloom_dedup",
@@ -214,9 +212,7 @@ _EXTERNALLY_CONFIRMED = [
     # window, including the round-8 versioned-table VACUUM roundtrip and
     # the synthetic-source VALUES oracle):
     "synthetic_source_series_stats", "orders_rollup_incremental_merge",
-    # "orders_versioned_compaction_roundtrip" moved to _RECHECK_FIRST
-    # (round 13): compaction publishes mode="optimize" now.
-    "orders_merkle_bucket_diff",
+    "orders_versioned_compaction_roundtrip", "orders_merkle_bucket_diff",
     "orders_versioned_vacuum_roundtrip", "events_ohlc_daily",
     "events_twa_user", "events_counter_increase_daily",
     "events_type_streaks", "events_rolling_corr_7d",
@@ -305,13 +301,9 @@ _EXTERNALLY_CONFIRMED = [
     # clean — fifth consecutive zero-failure window, including the three
     # round-10 delta-manifest regressions re-confirmed under the new
     # format from _RECHECK_FIRST):
-    # "stream_versioned_source_feed" and "orders_incremental_pipeline_
-    # roundtrip" moved to _RECHECK_FIRST (round 13): the sink's redelivery
-    # check became the monotone batch-id watermark.
+    "stream_versioned_source_feed", "orders_incremental_pipeline_roundtrip",
     "orders_versioned_layout_health", "orders_time_travel_report",
-    # "orders_versioned_history" moved to _RECHECK_FIRST (round 13):
-    # manifests now carry compacted ledgers.
-    "orders_versioned_restore_roundtrip",
+    "orders_versioned_history", "orders_versioned_restore_roundtrip",
     "orders_version_change_feed", "orders_dpp_pruned_join",
     "orders_schema_compat_report", "orders_mv_rollup_navigation",
     "events_trend_hac_inference", "events_qq_halves",
@@ -341,10 +333,7 @@ _EXTERNALLY_CONFIRMED = [
     # window, clearing the never-sampled backlog to ZERO — cumulative
     # coverage is now 468/468):
     "ewma_user_daily", "docs_dup_graph_pagerank",
-    # "stream_merge_upsert_feed" and "orders_versioned_merge_roundtrip"
-    # moved to _RECHECK_FIRST (round 13): the J11g sink and
-    # merge_versioned code paths changed (watermark redelivery check,
-    # table-schema changelog projection, optimistic rebase).
+    "stream_merge_upsert_feed", "orders_versioned_merge_roundtrip",
     "orders_versioned_skipping_scan", "events_dominant_period",
     "events_hurst_user", "events_pacf_daily_total",
     "events_lomb_scargle_user", "bucketed_join_layout_report",
@@ -354,9 +343,7 @@ _EXTERNALLY_CONFIRMED = [
     "events_kll_value_quantiles", "events_hll_type_overlap",
     "docs_token_heavy_hitters", "events_cm_user_counts",
     "orders_lineitem_ams_join_size", "emb_frequent_directions",
-    # "orders_versioned_zorder_report" moved to _RECHECK_FIRST (round
-    # 13): the ZORDER rewrite publishes mode="optimize" now.
-    "events_lttb_user",
+    "orders_versioned_zorder_report", "events_lttb_user",
     "events_zorder_layout_report", "events_compaction_plan",
     "explain_analyze_report", "events_swinging_door_user",
     "orders_compaction_report", "events_rate_limit_audit",
@@ -365,36 +352,29 @@ _EXTERNALLY_CONFIRMED = [
     "events_series_shape_clusters", "events_cluster_silhouette_scan",
     "events_pelt_changepoints", "supplier_cosupply_kcore",
     "part_copurchase_lpa_communities",
+    # round-13 driver greens (CORRECTNESS_r13.json: 28 oracle-backed
+    # queries rows+schema+hash matched — including all 8 round-13
+    # _RECHECK_FIRST re-pins under their changed code paths / upgraded
+    # checks — and all 22 rows-only-by-design queries executed with
+    # spark_rows > 0; seventh consecutive zero-failure window). The two
+    # round-13 registrations were hash-green on first exposure:
+    "orders_versioned_merge_evolve", "stream_optimize_skip_feed",
 ]
 
 # Queries pinned to the very front of the sample window: externally-failed
 # fixes awaiting re-confirmation, plus queries whose check STRENGTH changed
 # (rows-only → oracle-backed) and should face the driver again under the
-# stronger check. Round 13: both round-12 re-pins were driver-confirmed
-# hash-green under their upgraded oracles (CORRECTNESS_r12.json); the
-# entries below are confirmed queries whose OWN CODE PATH changed this
-# round and must face the driver again under the new code.
+# stronger check. Round 14: all 8 round-13 re-pins were driver-confirmed
+# hash-green under their changed code paths (CORRECTNESS_r13.json) and
+# moved back into _EXTERNALLY_CONFIRMED; entries added below during the
+# round are confirmed queries whose OWN CODE PATH changed and must face
+# the driver again under the new code.
 _RECHECK_FIRST: list[str] = [
-    # round 13: the streaming sinks' redelivery check became the monotone
-    # batch-id watermark (correct on compacted ledgers) and the J11g sink
-    # now projects its changelog to the TABLE's schema — both sinks'
-    # committed output must re-face the driver
-    "stream_merge_upsert_feed",
-    "stream_versioned_source_feed",
-    "orders_incremental_pipeline_roundtrip",
-    # round 13: merge_versioned gained optimistic-concurrency rebase and
-    # the merge_schema gate (unknown new_<col> now rejected); ledger
-    # snapshots in every manifest are compacted to max per stream
-    "orders_versioned_merge_roundtrip",
-    "orders_versioned_history",
-    # round 13: rows-only → oracle upgrade (two closed-form SES chains
-    # unrolled as weighted sums; ratio-at-6 + float32 casts canonicalize
-    # the terminating-decimal half-ties) — must face the driver under
-    # the stronger check
-    "forecast_croston_purchases",
-    # round 13: compaction now publishes mode="optimize"
-    # (dataChange=false) instead of "replace" — both compaction-backed
-    # queries' code paths changed
+    # round 14: compact_versioned now reads the snapshot under the
+    # manifest-authoritative schema (ADVICE fix — evolved columns
+    # previously risked being dropped by footer inference) and rebases
+    # past blind-append winners — both compaction-backed queries' code
+    # paths changed
     "orders_versioned_compaction_roundtrip",
     "orders_versioned_zorder_report",
 ]
