@@ -145,22 +145,27 @@ def _headline_passes(
 
 def _previous_round_ref(repo: Path) -> str | None:
     """The previous round's HEAD: the parent of the commit that added the
-    newest BENCH_r*.json (the driver commits each round's artifacts in
-    one commit right after the builder's last commit, so `that^` is the
-    exact tree the previous round's bench measured)."""
+    newest TRACKED BENCH_r*.json (the driver commits each round's
+    artifacts in one commit right after the builder's last commit, so
+    `that^` is the exact tree the previous round's bench measured).
+    Newest-first fallback across older bench files matters (ADVICE round
+    13): the newest artifact is often still UNTRACKED when the drift
+    check fires — `git log -- <untracked>` resolves nothing, and without
+    the fallback the differential silently skipped exactly when drift
+    was detected."""
     import subprocess
 
-    benches = sorted(repo.glob("BENCH_r*.json"))
-    if not benches:
-        return None
-    out = subprocess.run(
-        ["git", "-C", str(repo), "log", "-n1", "--format=%H", "--",
-         benches[-1].name],
-        capture_output=True,
-        text=True,
-    )
-    commit = out.stdout.strip()
-    return f"{commit}^" if out.returncode == 0 and commit else None
+    for bench in sorted(repo.glob("BENCH_r*.json"), reverse=True):
+        out = subprocess.run(
+            ["git", "-C", str(repo), "log", "-n1", "--format=%H", "--",
+             bench.name],
+            capture_output=True,
+            text=True,
+        )
+        commit = out.stdout.strip()
+        if out.returncode == 0 and commit:
+            return f"{commit}^"
+    return None
 
 
 def _bench_ref(repo: Path, ref: str) -> dict | None:
@@ -277,6 +282,15 @@ def main() -> None:
             prev_med = prev.get("headline_pass_median", prev.get("value"))
             if prev_med and med > _DRIFT_BAND * float(prev_med):
                 ref = _previous_round_ref(repo)
+                if ref is None:
+                    # drift detected but no tracked bench resolves a ref —
+                    # record that the adjudication was ATTEMPTED instead
+                    # of silently omitting the key (ADVICE round 13)
+                    record["differential"] = {
+                        "ref": None,
+                        "reason": "drift detected but no prior round ref "
+                        "resolvable from tracked BENCH_r*.json files",
+                    }
     if ref:
         spark.stop()  # free the JVM before the child builds its own
         prev_run = _bench_ref(repo, ref)

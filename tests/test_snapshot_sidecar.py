@@ -194,3 +194,65 @@ def test_sidecar_streaming_source_plans_without_footer_reads(
     assert data_footers == []  # all split stats came from the sidecar
     n = sum(sum(b.num_rows for b in rd.read(p)) for p in parts)
     assert n == 805
+
+
+def test_distributed_prune_equals_driver_prune(
+    spark, tmp_path, low_threshold
+):
+    """Round 14 (r13 verdict item 4): the Spark-job skipping plan over
+    the sidecar returns EXACTLY the driver resolver's kept set —
+    including post-checkpoint delta adds (evaluated O(Δ) driver-side),
+    stat-less files (never pruned), and open-ended ranges — and
+    read_versioned routes through it above _PRUNE_DISTRIBUTED_MIN_FILES."""
+    from time_series_spark_spark.sources.io import (
+        prune_files_kept_distributed,
+    )
+
+    path = _table(spark, tmp_path, n_files=8)  # sidecar snapshot at v0
+    # delta adds on top of the checkpoint: two appends with disjoint
+    # k-ranges (their envelopes live in add_col_stats, not the sidecar)
+    write_versioned(
+        spark.range(1000, 1100)
+        .selectExpr("id as k", "id * 2 as v")
+        .coalesce(1),
+        path,
+        carry_forward=True,
+    )
+    write_versioned(
+        spark.range(2000, 2100)
+        .selectExpr("id as k", "id * 2 as v")
+        .coalesce(1),
+        path,
+        carry_forward=True,
+    )
+    for lo, hi in ((0, 90), (None, 150), (1050, None), (5000, 6000)):
+        kept_driver, _ = prune_files_by_stats(path, 2, "k", lo, hi)
+        kept_dist = prune_files_kept_distributed(spark, path, 2, "k", lo, hi)
+        assert kept_dist == sorted(kept_driver), (lo, hi)
+    # a column with no envelopes anywhere: everything kept, both paths
+    kept_driver, _ = prune_files_by_stats(path, 2, "__nope", 0, 1)
+    assert prune_files_kept_distributed(
+        spark, path, 2, "__nope", 0, 1
+    ) == sorted(kept_driver)
+    # read_versioned takes the distributed plan above the threshold and
+    # returns the same rows
+    import time_series_spark_spark.sources.io as io_mod2
+
+    expect = sorted(
+        r["k"]
+        for r in read_versioned(spark, path, prune=("k", 0, 90))
+        .filter("k between 0 and 90")
+        .collect()
+    )
+    old = io_mod2._PRUNE_DISTRIBUTED_MIN_FILES
+    try:
+        io_mod2._PRUNE_DISTRIBUTED_MIN_FILES = 1
+        got = sorted(
+            r["k"]
+            for r in read_versioned(spark, path, prune=("k", 0, 90))
+            .filter("k between 0 and 90")
+            .collect()
+        )
+    finally:
+        io_mod2._PRUNE_DISTRIBUTED_MIN_FILES = old
+    assert got == expect == list(range(0, 91))

@@ -852,3 +852,85 @@ def test_compact_ledger_properties():
         )
 
     run()
+
+
+def test_compact_versioned_preserves_evolved_schema(spark, tmp_path):
+    """Round 14 (ADVICE fix): OPTIMIZE reads the snapshot under the
+    MANIFEST-authoritative schema. On an additively-evolved table the
+    files have heterogeneous physical schemas; a bare spark.read.parquet
+    may infer from a pre-evolution file and the rewrite would silently
+    DROP the evolved column — invisible downstream because the optimize
+    commit tells streams 'same logical rows'."""
+    import json
+
+    from time_series_spark_spark.sources.fsio import as_table_fs
+    from time_series_spark_spark.sources.io import (
+        compact_versioned,
+        read_versioned,
+        write_versioned,
+    )
+
+    path = str(tmp_path / "vt")
+    write_versioned(
+        spark.createDataFrame([(1, 10), (2, 20)], "k long, val long")
+        .coalesce(1),
+        path,
+    )
+    # additive evolution: the append carries a new `tier` column
+    write_versioned(
+        spark.createDataFrame(
+            [(3, 30, "gold")], "k long, val long, tier string"
+        ).coalesce(1),
+        path,
+        carry_forward=True,
+    )
+    rep = compact_versioned(spark, path, target_file_bytes=1 << 30)
+    got = read_versioned(spark, path)
+    assert "tier" in got.columns
+    rows = {r["k"]: r["tier"] for r in got.collect()}
+    assert rows == {1: None, 2: None, 3: "gold"}
+    # and the optimize manifest's schema still carries the column
+    m = as_table_fs(path).read_json(f"_manifest.{rep['version']}.json")
+    names = [f["name"] for f in json.loads(m["schema"])["fields"]]
+    assert names == ["k", "val", "tier"]
+
+
+def test_vacuum_deletes_orphan_sidecars(spark, tmp_path, monkeypatch):
+    """Round 14 (ADVICE fix): a writer crashing between the sidecar write
+    and the manifest publish leaves an orphan _snapshot.*.parquet no
+    manifest references — vacuum now deletes exactly those, keeping every
+    manifest-referenced sidecar."""
+    from time_series_spark_spark.sources import io as io_mod
+    from time_series_spark_spark.sources.fsio import as_table_fs
+    from time_series_spark_spark.sources.io import (
+        read_versioned,
+        vacuum_versioned,
+        write_versioned,
+    )
+
+    monkeypatch.setattr(io_mod, "_PARQUET_SNAPSHOT_MIN_FILES", 1)
+    path = str(tmp_path / "vt")
+    write_versioned(spark.range(10).selectExpr("id as k"), path)
+    write_versioned(
+        spark.range(10, 15).selectExpr("id as k"), path, carry_forward=True
+    )
+    tfs = as_table_fs(path)
+    referenced = {
+        name
+        for name in tfs.ls()
+        if name.startswith("_snapshot.") and name.endswith(".parquet")
+    }
+    assert referenced  # threshold=1 forces sidecar snapshots
+    # simulate the crashed writer: a sidecar nothing references
+    orphan = "_snapshot.7-deadbeef.parquet"
+    with tfs.fs.open_output_stream(tfs.path(orphan)) as f:
+        f.write(b"PAR1junkPAR1")
+    what_if = vacuum_versioned(path, keep_last=1, dry_run=True)
+    assert what_if["n_sidecars_deleted"] == 1
+    assert tfs.exists(orphan)  # dry run deleted nothing
+    real = vacuum_versioned(path, keep_last=1)
+    assert real["n_sidecars_deleted"] == 1
+    assert not tfs.exists(orphan)
+    for name in referenced:
+        assert tfs.exists(name)  # manifest-referenced sidecars kept
+    assert read_versioned(spark, path).count() == 15

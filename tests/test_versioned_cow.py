@@ -1229,3 +1229,58 @@ def test_rebased_merge_manifest_carries_rival_stats(
     for key in (2, 7):
         kept, skipped = prune_files_by_stats(path, 3, "k", key, key)
         assert len(kept) == 1 and len(skipped) == 1, key
+
+
+def test_merge_rebase_past_optimize_skips_table_scan(
+    spark, tmp_path, monkeypatch
+):
+    """Round 14 (ADVICE fix): an insert-only loser rebasing past an
+    'optimize' winner must NOT read-set-scan the winner's adds — they
+    are the entire compacted table, so the check would be O(table). The
+    rebase decision is provably exact without the scan (snapshot rows
+    were already key-checked by find-touched; blind-append rows never
+    conflict; non-blind rivals' adds are scanned from their own
+    manifests). A loser that DID touch files still conflicts via the
+    touched⊆files check."""
+    import time_series_spark_spark.sources.io as io_mod
+    from time_series_spark_spark.sources.io import (
+        ConcurrentCommitError,
+        compact_versioned,
+    )
+
+    path = _two_file_table(spark, tmp_path)
+    compact_versioned(spark, path, target_file_bytes=1 << 30)  # v2 optimize
+    calls: list[list[str]] = []
+    real = io_mod._snapshot_frame
+
+    def spy(spark_, tfs_, files_, schema_, **kw):
+        calls.append(list(files_))
+        return real(spark_, tfs_, files_, schema_, **kw)
+
+    monkeypatch.setattr(io_mod, "_snapshot_frame", spy)
+    _stale_latest_once(monkeypatch, 1)
+    rep = merge_versioned(
+        spark, path, _changelog(spark, [(100, "insert", 1000, "gx")]), ["k"]
+    )
+    monkeypatch.undo()
+    assert rep["version"] == 3  # lost v2 to the optimize, rebased, landed
+    # the rebase decision read ZERO data files: no recorded scan touches
+    # the optimize winner's v=2- output (the planning find-touched and
+    # the empty-touched base read both cover only pre-optimize files)
+    assert not any(
+        any(f.startswith("v=2-") for f in fl) for fl in calls
+    )
+    got = {r["k"]: r["val"] for r in read_versioned(spark, path).collect()}
+    assert got[100] == 1000 and len(got) == 11
+
+    # a loser whose rewrite touched pre-optimize files still refuses:
+    # the optimize dropped those files from the snapshot
+    compact_versioned(spark, path, target_file_bytes=1 << 30)  # v4 optimize
+    _stale_latest_once(monkeypatch, 3)
+    with pytest.raises(
+        ConcurrentCommitError, match="no longer part of the latest snapshot"
+    ):
+        merge_versioned(
+            spark, path, _changelog(spark, [(2, "update", 222, "g2")]), ["k"]
+        )
+    monkeypatch.undo()

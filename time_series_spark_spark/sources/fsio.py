@@ -321,6 +321,42 @@ def manifest_col_stats(tfs: TableFS, version: int) -> dict:
     return stats
 
 
+def manifest_dvs(tfs: TableFS, version: int) -> dict:
+    """Merge-on-read DELETION-VECTOR state visible at ``version``
+    (round 14 — Delta deletion vectors / Iceberg v2 position deletes):
+    ``rel → sorted row positions`` of rows logically deleted from each
+    data file without rewriting it. Resolution walks the same delta
+    chain as :func:`manifest_files`: carry-forward APPEND commits never
+    change tombstones, so the nearest full-snapshot manifest's recorded
+    state (inline ``dv`` below the spill threshold, else a ``dv_parquet``
+    sidecar) is authoritative — every snapshot publisher (MoR commits,
+    CoW commits, checkpoints, restore) restates it; replace/optimize
+    clear it (fresh data / materialized). Empty dict = no tombstones,
+    the plain-read fast path."""
+    cur = version
+    while True:
+        m = tfs.read_json(f"_manifest.{cur}.json")
+        if is_snapshot_manifest(m):
+            break
+        cur = m["base"]
+    if m.get("dv_parquet"):
+        import pyarrow.parquet as pq
+
+        t = pq.read_table(
+            tfs.path(m["dv_parquet"]), filesystem=tfs.fs
+        )
+        return {
+            p: [int(x) for x in ps]
+            for p, ps in zip(
+                t.column("path").to_pylist(),
+                t.column("positions").to_pylist(),
+            )
+        }
+    return {
+        rel: [int(p) for p in ps] for rel, ps in m.get("dv", {}).items()
+    }
+
+
 def manifest_adds(tfs: TableFS, version: int) -> list[str]:
     """The files ADDED by one commit — directly from the manifest's
     ``adds`` when present (every round-10+ manifest), else the

@@ -237,6 +237,55 @@ _CHECKPOINT_INTERVAL = 20
 # read, zero extra objects, human-inspectable.
 _PARQUET_SNAPSHOT_MIN_FILES = 1024
 
+# Merge-on-read tombstone totals at or below this stay INLINE in the
+# manifest JSON (one read, human-inspectable); above it they spill to a
+# columnar ``_dv.<version>-<token>.parquet`` sidecar — the same
+# inline-vs-sidecar economics as _PARQUET_SNAPSHOT_MIN_FILES (a
+# CDC-heavy table can accumulate millions of tombstones between
+# OPTIMIZE runs; re-serializing them into every manifest JSON would
+# make metadata O(tombstones) per commit).
+_DV_INLINE_MAX_POSITIONS = 4096
+
+
+def _publish_dv_fields(tfs, manifest: dict, dv: dict) -> str | None:
+    """Attach merge-on-read deletion-vector state (``rel → sorted row
+    positions``) to a full-snapshot ``manifest`` — inline ``dv`` JSON at
+    or below :data:`_DV_INLINE_MAX_POSITIONS` total positions, else a
+    parquet sidecar ``_dv.<version>-<token>.parquet`` referenced as
+    ``dv_parquet`` (Delta's deletion-vector files, reduced to one
+    columnar sidecar per snapshot). Written BEFORE the manifest publish
+    and named writer-uniquely (invisible until the commit lands; losers
+    delete theirs — vacuum's orphan-sidecar pass mops up crashes).
+    Returns the sidecar name, or None when inline/empty. Files with no
+    live tombstones carry no entry, so a fully-materialized table pays
+    nothing."""
+    dv = {
+        rel: sorted(int(p) for p in ps) for rel, ps in dv.items() if ps
+    }
+    if not dv:
+        return None
+    if sum(len(ps) for ps in dv.values()) <= _DV_INLINE_MAX_POSITIONS:
+        manifest["dv"] = dv
+        return None
+    import uuid
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    name = f"_dv.{manifest['version']}-{uuid.uuid4().hex[:8]}.parquet"
+    rels = sorted(dv)
+    tbl = pa.table(
+        {
+            "path": pa.array(rels, type=pa.string()),
+            "positions": pa.array(
+                [dv[r] for r in rels], type=pa.list_(pa.int64())
+            ),
+        }
+    )
+    pq.write_table(tbl, tfs.path(name), filesystem=tfs.fs)
+    manifest["dv_parquet"] = name
+    return name
+
 
 def _publish_snapshot_fields(
     tfs, manifest: dict, files: list, file_stats: dict, col_stats: dict
@@ -287,7 +336,13 @@ def _publish_snapshot_fields(
             ),
         }
     )
-    pq.write_table(tbl, tfs.path(name), filesystem=tfs.fs)
+    # bounded row groups so sidecar readers SPLIT: the round-14
+    # distributed skipping plan fans out one task per row group (10⁶
+    # files → 16 groups); pyarrow's default (1Mi rows) would make the
+    # whole sidecar one unsplittable unit
+    pq.write_table(
+        tbl, tfs.path(name), filesystem=tfs.fs, row_group_size=65536
+    )
     manifest["files_parquet"] = name
     return name
 
@@ -557,6 +612,7 @@ def write_versioned(
         as_table_fs,
         latest_version,
         manifest_col_stats,
+        manifest_dvs,
         manifest_file_stats,
         manifest_files,
     )
@@ -633,7 +689,7 @@ def write_versioned(
             "batch_id": batch_id,
             "stream_id": stream_id,
         }
-        sidecar = None
+        sidecar = dv_sidecar = None
         if version % _CHECKPOINT_INTERVAL == 0:
             # checkpoint commit: materialize the full resolved file
             # list, its row-group stats, and the accumulated redelivery
@@ -654,6 +710,14 @@ def write_versioned(
             cstats.update(add_col_stats)
             sidecar = _publish_snapshot_fields(
                 tfs, manifest, files, stats, cstats
+            )
+            # carry merge-on-read tombstone state (round 14): an append
+            # never changes deletion vectors, but a CHECKPOINT restates
+            # the full snapshot — dropping the dv fields here would
+            # silently resurrect every tombstoned row at the next
+            # chain-walk terminal
+            dv_sidecar = _publish_dv_fields(
+                tfs, manifest, manifest_dvs(tfs, existing[-1])
             )
             ledger = _collect_ledger_pairs(tfs, existing)
             if batch_id is not None:
@@ -692,9 +756,14 @@ def write_versioned(
             "stream_id": stream_id,
             "ledger": ledger,
         }
+        # replace commits carry NO dv fields by design: a replace is
+        # fresh data (old tombstones are void), an optimize
+        # (data_change=False) was read DV-aware by the caller, so the
+        # rewrite already materialized them
         sidecar = _publish_snapshot_fields(
             tfs, manifest, adds, add_stats, add_col_stats
         )
+        dv_sidecar = None
     # PUT-IF-ABSENT publish (Delta LogStore contract): a concurrent
     # writer racing to the same version number loses LOUDLY with
     # FileExistsError — never a silent clobber of a committed manifest.
@@ -707,8 +776,9 @@ def write_versioned(
         )
     except FileExistsError:
         tfs.delete_dir(stage)
-        if sidecar is not None:
-            tfs.delete_file(sidecar)
+        for sc in (sidecar, dv_sidecar):
+            if sc is not None:
+                tfs.delete_file(sc)
         raise
     # publish the latest-version HINT (after the manifest — readers probe
     # forward from it, so a crash here only leaves the hint stale-low).
@@ -716,6 +786,115 @@ def write_versioned(
     # over O(versions) manifests.
     tfs.write_json_atomic({"version": version}, "_latest.json")
     return version
+
+
+def _env_keeps(env, lo, hi) -> bool:
+    """Whether a [min, max] envelope can contain ``BETWEEN lo AND hi`` —
+    None (no stats) always keeps: skipping is an optimization, never a
+    correctness filter."""
+    if env is None:
+        return True
+    fmin, fmax = env
+    return not (
+        (lo is not None and fmax < lo) or (hi is not None and fmin > hi)
+    )
+
+
+# File counts at or above this fan the skipping-plan envelope evaluation
+# out as a Spark job over the snapshot sidecar (round 14, r13 verdict
+# item 4): the driver-side resolver materializes a python dict entry per
+# file (~26 µs each, measured round 13) — fine to 10⁵ files, ~26 s of
+# driver time at 10⁶ — while the distributed path returns only the KEPT
+# paths to the driver (O(kept) for a selective predicate).
+_PRUNE_DISTRIBUTED_MIN_FILES = 100_000
+
+
+def prune_files_kept_distributed(
+    spark: SparkSession, table_path, version: int, column: str, lo, hi
+) -> list[str]:
+    """The KEPT half of :func:`prune_files_by_stats`, evaluated as a
+    SPARK JOB over the snapshot's parquet sidecar (round 14 — the A13d
+    history-walk pattern applied to skipping plans): each task reads a
+    slice of the sidecar's ``path``/``col_stats`` columns, parses the
+    envelope JSON, and emits only paths the predicate can match — the
+    driver collects O(kept) strings instead of materializing an
+    O(files) stats dict. Delta-chain composition is preserved: the
+    post-checkpoint delta manifests' ``add_col_stats`` are O(Δ) and
+    evaluated driver-side; an inline-JSON terminal snapshot (below the
+    A13m spill threshold — by construction a small table) falls back to
+    the driver resolver wholesale. Same keep/skip decisions as the
+    driver path by construction (equivalence pytest-pinned)."""
+    import json as _json
+
+    from time_series_spark_spark.sources.fsio import (
+        as_table_fs,
+        is_snapshot_manifest,
+    )
+
+    tfs = as_table_fs(table_path)
+    chain: list[dict] = []
+    cur = version
+    while True:
+        m = tfs.read_json(f"_manifest.{cur}.json")
+        chain.append(m)
+        if is_snapshot_manifest(m):
+            break
+        cur = m["base"]
+    term = chain[-1]
+    if "files_parquet" not in term:
+        kept, _ = prune_files_by_stats(tfs, version, column, lo, hi)
+        return kept
+    # post-checkpoint adds: O(Δ) driver-side, exactly like the planner's
+    # other delta walks
+    kept: list[str] = []
+    for m in chain[:-1]:
+        stats = m.get("add_col_stats", {})
+        for rel in m.get("adds", ()):
+            if _env_keeps(stats.get(rel, {}).get(column), lo, hi):
+                kept.append(rel)
+    # the sidecar is `_`-prefixed, which Spark's file index treats as
+    # hidden metadata — so the fan-out is mapInPandas over its ROW
+    # GROUPS via pyarrow (the A13d history-walk shape): the driver
+    # reads one footer, each task reads its slice of the
+    # path/col_stats columns and emits only kept paths
+    import pyarrow.parquet as pq
+
+    sidecar_rel = term["files_parquet"]
+    n_rg = pq.ParquetFile(
+        tfs.path(sidecar_rel), filesystem=tfs.fs
+    ).metadata.num_row_groups
+    par = min(n_rg, max(2, spark.sparkContext.defaultParallelism))
+    rg_df = spark.range(n_rg).toDF("rg").repartition(par)
+
+    def keep_batch(batches):
+        import pandas as _pd
+        import pyarrow.parquet as _pq
+
+        pf = _pq.ParquetFile(tfs.path(sidecar_rel), filesystem=tfs.fs)
+        for pdf in batches:
+            out = []
+            for rg in pdf["rg"]:
+                t = pf.read_row_group(
+                    int(rg), columns=["path", "col_stats"]
+                )
+                for p, cs in zip(
+                    t.column("path").to_pylist(),
+                    t.column("col_stats").to_pylist(),
+                ):
+                    env = (
+                        _json.loads(cs).get(column)
+                        if cs is not None
+                        else None
+                    )
+                    if _env_keeps(env, lo, hi):
+                        out.append(p)
+            yield _pd.DataFrame({"path": out})
+
+    kept += [
+        r["path"]
+        for r in rg_df.mapInPandas(keep_batch, "path string").collect()
+    ]
+    return sorted(set(kept))
 
 
 def prune_files_by_stats(
@@ -741,15 +920,10 @@ def prune_files_by_stats(
     cstats = manifest_col_stats(tfs, version)
     kept, skipped = [], []
     for f in files:
-        env = cstats.get(f, {}).get(column)
-        if env is None:
+        if _env_keeps(cstats.get(f, {}).get(column), lo, hi):
             kept.append(f)
-            continue
-        fmin, fmax = env
-        if (lo is not None and fmax < lo) or (hi is not None and fmin > hi):
-            skipped.append(f)
         else:
-            kept.append(f)
+            skipped.append(f)
     return kept, skipped
 
 
@@ -868,13 +1042,33 @@ def read_versioned(
         )
     manifest = tfs.read_json(f"_manifest.{pick}.json")
     if prune is not None:
-        kept, _ = prune_files_by_stats(tfs, pick, *prune)
-        paths = [tfs.spark_path(f) for f in kept]
+        # at 10⁵+ files the skipping plan itself fans out (round 14):
+        # the sidecar envelopes are evaluated by executors and only the
+        # kept paths come back — driver plan time stays O(kept)
+        if int(manifest["n_files"]) >= _PRUNE_DISTRIBUTED_MIN_FILES:
+            rels = prune_files_kept_distributed(spark, tfs, pick, *prune)
+        else:
+            kept, _ = prune_files_by_stats(tfs, pick, *prune)
+            rels = kept
     else:
-        paths = [tfs.spark_path(f) for f in manifest_files(tfs, pick)]
-    schema = T.StructType.fromJson(json.loads(manifest["schema"]))
-    if not paths:
-        return spark.createDataFrame([], _normalize_schema(schema))
+        rels = manifest_files(tfs, pick)
+    schema = _normalize_schema(
+        T.StructType.fromJson(json.loads(manifest["schema"]))
+    )
+    if not rels:
+        return spark.createDataFrame([], schema)
+    # Merge-on-read tombstones (round 14): a version carrying deletion
+    # vectors anti-filters the tombstoned (file, position) pairs —
+    # logically-deleted rows never reach the caller. The plain
+    # zero-overhead read stays the fast path for DV-free versions (the
+    # steady state after every OPTIMIZE, which materializes tombstones).
+    from time_series_spark_spark.sources.fsio import manifest_dvs
+
+    dv = manifest_dvs(tfs, pick)
+    if any(dv.get(rel) for rel in rels):
+        return _snapshot_frame(spark, tfs, rels, schema, dv=dv).drop(
+            "__file"
+        )
     # Manifest-authoritative read schema (A13c): files written before an
     # additive schema change lack the added columns — reading with the
     # COMMIT's schema null-fills them (and skips footer schema inference
@@ -884,7 +1078,9 @@ def read_versioned(
     # from a spark.range-derived frame) would falsely assert non-null
     # over null-filled pre-evolution files and let the optimizer
     # mis-prune IsNull/IsNotNull filters.
-    return spark.read.schema(_normalize_schema(schema)).parquet(*paths)
+    return spark.read.schema(schema).parquet(
+        *(tfs.spark_path(f) for f in rels)
+    )
 
 
 # bits per z-order dimension: 8 → 256 rank buckets per column, up to
@@ -961,6 +1157,7 @@ def compact_versioned(
     table_path,
     target_file_bytes: int = 128 * 1024 * 1024,
     zorder_by: list[str] | None = None,
+    max_attempts: int = 3,
 ) -> dict:
     """OPTIMIZE for the manifest-versioned table (A17 ∘ A13): rewrite the
     LATEST snapshot into ``ceil(total_bytes / target)`` right-sized files
@@ -994,6 +1191,9 @@ def compact_versioned(
     from time_series_spark_spark.sources.fsio import (
         as_table_fs,
         latest_version,
+        manifest_col_stats,
+        manifest_dvs,
+        manifest_file_stats,
         manifest_files,
     )
 
@@ -1016,7 +1216,35 @@ def compact_versioned(
         }
     bytes_before = sum(tfs.size(f) for f in files)
     n_out = max(1, math.ceil(bytes_before / target_file_bytes))
-    df = spark.read.parquet(*(tfs.spark_path(f) for f in files))
+    # Manifest-authoritative read schema, like every other A13 read path
+    # (round 14, ADVICE fix): on an additively-evolved table the files
+    # have heterogeneous physical schemas, and a bare
+    # spark.read.parquet may infer the schema from a pre-evolution file
+    # — the rewrite would then silently DROP the evolved column, and
+    # because the commit publishes mode="optimize" ("same logical
+    # rows") streams would skip it, making the loss invisible
+    # downstream. Reading under the manifest schema null-fills instead.
+    import json as _json
+
+    manifest = tfs.read_json(f"_manifest.{latest}.json")
+    schema = _normalize_schema(
+        T.StructType.fromJson(_json.loads(manifest["schema"]))
+    )
+    schema_json = manifest["schema"]
+    # merge-on-read tombstones MATERIALIZE here (round 14 — Delta's
+    # "purge" semantics): the rewrite reads DV-filtered, so
+    # logically-deleted rows are physically dropped and the optimize
+    # commit publishes with the dv fields cleared — same logical rows,
+    # so dataChange=false stays truthful
+    dv = manifest_dvs(tfs, latest)
+    if any(dv.get(rel) for rel in files):
+        df = _snapshot_frame(spark, tfs, files, schema, dv=dv).drop(
+            "__file"
+        )
+    else:
+        df = spark.read.schema(schema).parquet(
+            *(tfs.spark_path(f) for f in files)
+        )
     if zorder_by:
         df = (
             _zorder_value(df, spark, zorder_by)
@@ -1030,16 +1258,101 @@ def compact_versioned(
     # SAME logical rows — the commit publishes as mode="optimize", so
     # the J11e streaming source skips it under either onReplace posture
     # instead of double-emitting ('added') or killing the pipeline
-    # ('fail'); Delta's OPTIMIZE marks its AddFiles the same way
-    version = write_versioned(df, tfs, data_change=False)
-    after = tfs.read_json(f"_manifest.{version}.json")
-    return {
-        "version": version,
-        "n_files_before": len(files),
-        "n_files_after": after["n_files"],
-        "bytes_before": bytes_before,
-        "zorder_by": list(zorder_by) if zorder_by else None,
-    }
+    # ('fail'); Delta's OPTIMIZE marks its AddFiles the same way.
+    #
+    # Round 14 (r13 verdict item 3): OPTIMIZE REBASES past blind-append
+    # winners instead of failing its put-if-absent race outright. On a
+    # continuously-streamed table (J11d/J11g at minute cadence) the
+    # race is the COMMON case, and a compaction that can never win it
+    # never lands; but an append winner's rows are disjoint from the
+    # rewrite's input by construction, so the loser re-publishes its
+    # already-staged layout PLUS the winners' add files — no re-read,
+    # no re-write. Any non-append winner (row-level commit, replace,
+    # restore, another optimize) still refuses loudly: the snapshot
+    # this rewrite describes no longer exists.
+    stage, adds = _stage_data_files(df, tfs, latest + 1)
+    add_stats, n_rows_added, add_col_stats = _read_add_stats(tfs, adds)
+    base, winner_adds = latest, []
+    for attempt in range(max(1, max_attempts)):
+        version = base + 1
+        new_files = sorted(set(adds) | set(winner_adds))
+        stats = dict(add_stats)
+        cstats = dict(add_col_stats)
+        if winner_adds:
+            base_stats = manifest_file_stats(tfs, base)
+            base_cstats = manifest_col_stats(tfs, base)
+            for rel in winner_adds:
+                if rel in base_stats:
+                    stats[rel] = base_stats[rel]
+                if rel in base_cstats:
+                    cstats[rel] = base_cstats[rel]
+        new_manifest = {
+            "version": version,
+            "mode": "optimize",
+            "committed_at": _commit_stamp(tfs, base),
+            "adds": adds,
+            "add_stats": add_stats,
+            "add_col_stats": add_col_stats,
+            "n_rows_added": n_rows_added,
+            "schema": schema_json,
+            "n_files": len(new_files),
+            "batch_id": None,
+            "stream_id": None,
+            "ledger": _compact_ledger(
+                _collect_ledger_pairs(tfs, list(range(base + 1)))
+            ),
+        }
+        sidecar = _publish_snapshot_fields(
+            tfs, new_manifest, new_files, stats, cstats
+        )
+        try:
+            tfs.write_json_atomic(
+                new_manifest, f"_manifest.{version}.json", if_absent=True
+            )
+        except FileExistsError:
+            if sidecar is not None:
+                tfs.delete_file(sidecar)
+            if attempt + 1 >= max(1, max_attempts):
+                tfs.delete_dir(stage)
+                raise
+            new_latest = latest_version(tfs)
+            if new_latest is None or new_latest <= base:
+                tfs.delete_dir(stage)
+                raise
+            for v in range(base + 1, new_latest + 1):
+                m = tfs.read_json(f"_manifest.{v}.json")
+                if (
+                    m.get("mode", "append") != "append"
+                    or m.get("removes")
+                    or m.get("dv_removes")
+                ):
+                    tfs.delete_dir(stage)
+                    raise ConcurrentCommitError(
+                        "OPTIMIZE lost the commit race to a non-append "
+                        f"winner (version {v} is "
+                        f"{m.get('mode', 'append')!r}) — the snapshot "
+                        "this rewrite was planned against no longer "
+                        "describes the table; re-run compact_versioned"
+                    ) from None
+                winner_adds.extend(m.get("adds", ()))
+            _, schema_new, _ = _table_meta(tfs, new_latest)
+            if _normalize_schema(schema_new) != schema:
+                tfs.delete_dir(stage)
+                raise ConcurrentCommitError(
+                    "a concurrent commit changed the table schema"
+                ) from None
+            base = new_latest
+            continue
+        tfs.write_json_atomic({"version": version}, "_latest.json")
+        return {
+            "version": version,
+            "n_files_before": len(files),
+            "n_files_after": len(new_files),
+            "bytes_before": bytes_before,
+            "zorder_by": list(zorder_by) if zorder_by else None,
+            "n_files_rebase_carried": len(winner_adds),
+        }
+    raise AssertionError("unreachable: the loop either returns or raises")
 
 
 def committed_batch_ids(
@@ -1109,6 +1422,7 @@ def restore_versioned(table_path, to_version: int) -> int:
         as_table_fs,
         latest_version,
         manifest_col_stats,
+        manifest_dvs,
         manifest_file_stats,
         manifest_files,
     )
@@ -1152,6 +1466,12 @@ def restore_versioned(table_path, to_version: int) -> int:
         "ledger": ledger,
     }
     sidecar = _publish_snapshot_fields(tfs, manifest, files, stats, cstats)
+    # the restored snapshot's merge-on-read tombstones come back with it
+    # (round 14): restoring to a pre-OPTIMIZE DV-bearing version must
+    # re-delete exactly the rows that version had deleted
+    dv_sidecar = _publish_dv_fields(
+        tfs, manifest, manifest_dvs(tfs, to_version)
+    )
     # PUT-IF-ABSENT publish (Delta LogStore contract): a concurrent
     # writer racing to the same version number loses LOUDLY with
     # FileExistsError — never a silent clobber of a committed manifest
@@ -1160,8 +1480,9 @@ def restore_versioned(table_path, to_version: int) -> int:
             manifest, f"_manifest.{version}.json", if_absent=True
         )
     except FileExistsError:
-        if sidecar is not None:
-            tfs.delete_file(sidecar)
+        for sc in (sidecar, dv_sidecar):
+            if sc is not None:
+                tfs.delete_file(sc)
         raise
     tfs.write_json_atomic({"version": version}, "_latest.json")
     return version
@@ -1249,9 +1570,8 @@ def _cow_rebase_conflict(
         # is rebase-compatible only for a zero-touched loser: it records
         # no removes, but it drops every old file from the snapshot, so
         # the touched⊆files_new check below conflicts any loser that
-        # planned a rewrite; an insert-only loser's read-set scan over
-        # the optimize adds then proves no key collision (the rows are
-        # the snapshot's own).
+        # planned a rewrite; an insert-only loser needs no scan of the
+        # optimize adds at all (see the skip note below).
         if mode not in ("append", "merge", "delete", "update", "optimize"):
             return (
                 f"version {v} is a {mode!r} commit — the snapshot this "
@@ -1263,8 +1583,30 @@ def _cow_rebase_conflict(
                 f"version {v} ({mode}) rewrote {len(overlap)} file(s) "
                 "this commit also touched"
             )
-        if mode != "append":
+        # merge-on-read winners (round 14) remove no files, but their
+        # dv_removes tombstoned rows IN PLACE — a loser whose rewrite
+        # was computed from a file the winner tombstoned would
+        # resurrect the winner's deletes on rebase (the same
+        # ConcurrentDeleteRead class, through the DV side door)
+        dv_overlap = set(m.get("dv_removes", ())) & touched_set
+        if dv_overlap:
+            return (
+                f"version {v} ({mode}) tombstoned rows in "
+                f"{len(dv_overlap)} file(s) this commit also touched"
+            )
+        if mode not in ("append", "optimize"):
             nonblind_adds.extend(m.get("adds", ()))
+        # "optimize" adds are deliberately NOT read-set-scanned (round 14,
+        # ADVICE fix — they are the entire compacted table, so scanning
+        # them would make the check O(table), not O(winner Δ)). Sound
+        # because every row in an optimize add is one of: (a) a row of
+        # the loser's own snapshot — for a loser WITH touched files the
+        # touched⊆files_new check below conflicts anyway, and for a
+        # zero-touched (insert-only) loser the find-touched scan already
+        # proved no read-set match in the snapshot; (b) a blind-append
+        # winner's row — appends never conflict by the WriteSerializable
+        # rule above; (c) a non-blind winner's row — that winner's own
+        # adds are in nonblind_adds and get scanned directly.
     files_new, schema_new, _ = _table_meta(tfs, new_latest)
     if _normalize_schema(schema_new) != _normalize_schema(schema):
         return "a concurrent commit changed the table schema"
@@ -1334,6 +1676,7 @@ def _cow_commit(
     from time_series_spark_spark.sources.fsio import (
         latest_version,
         manifest_col_stats,
+        manifest_dvs,
         manifest_file_stats,
         manifest_files,
     )
@@ -1377,13 +1720,29 @@ def _cow_commit(
         sidecar = _publish_snapshot_fields(
             tfs, manifest, new_files, stats, cstats
         )
+        # merge-on-read tombstone carry (round 14): dv entries of the
+        # TOUCHED files die with them — the rewrite read those files
+        # DV-filtered, so their tombstones are applied in the staged
+        # output; every untouched file's tombstones survive verbatim.
+        # (Safe across a rebase too: a winner that tombstoned a touched
+        # file is a dv_removes conflict — see _cow_rebase_conflict.)
+        dv_sidecar = _publish_dv_fields(
+            tfs,
+            manifest,
+            {
+                rel: ps
+                for rel, ps in manifest_dvs(tfs, base).items()
+                if rel not in set(touched)
+            },
+        )
         try:
             tfs.write_json_atomic(
                 manifest, f"_manifest.{version}.json", if_absent=True
             )
         except FileExistsError:
-            if sidecar is not None:
-                tfs.delete_file(sidecar)
+            for sc in (sidecar, dv_sidecar):
+                if sc is not None:
+                    tfs.delete_file(sc)
             if attempt + 1 >= max(1, max_attempts) or spark is None:
                 tfs.delete_dir(stage)
                 raise
@@ -1417,6 +1776,184 @@ def _cow_commit(
     raise AssertionError("unreachable: the loop either returns or raises")
 
 
+def _collect_positions(matched, files: list[str]) -> dict:
+    """``rel → sorted physical row positions`` of the rows in ``matched``
+    (a frame carrying ``__file`` + ``__pos`` from :func:`_snapshot_frame`)
+    — the new-tombstone planning collect of every merge-on-read
+    operation. One hash agg per file then O(matched rows) driver
+    strings/ints — the same order of driver state the manifest publish
+    itself serializes, so nothing here changes the scaling class."""
+    rows = (
+        matched.groupBy("__file")
+        .agg(F.collect_list("__pos").alias("__ps"))
+        .collect()
+    )
+    by_tail = {tuple(rel.rsplit("/", 2)[-2:]): rel for rel in files}
+    out: dict = {}
+    for r in rows:
+        rel = by_tail.get(tuple(r["__file"].rsplit("/", 2)[-2:]))
+        if rel is not None:
+            out[rel] = sorted(int(p) for p in r["__ps"])
+    return out
+
+
+def _mor_commit(
+    tfs,
+    latest: int,
+    mode: str,
+    appended: DataFrame | None,
+    new_tombs: dict,
+    files: list[str],
+    schema_json: str,
+    batch_id: int | None = None,
+    stream_id: str | None = None,
+    max_attempts: int = 1,
+) -> dict:
+    """Publish a MERGE-ON-READ commit (round 14 — Delta deletion
+    vectors / Iceberg v2 position deletes): instead of rewriting every
+    file containing a matched row (copy-on-write), tombstone the
+    matched positions via per-file deletion vectors and stage ONLY the
+    appended rows (MERGE's inserts/updated copies; a pure DELETE stages
+    nothing). Write amplification drops from O(matched files × file
+    size) to O(matched rows) — the difference a GDPR point-delete or a
+    CDC-heavy table feels daily. Every pre-existing file is carried by
+    manifest reference; the commit's manifest restates the merged DV
+    state (inline or ``_dv.*`` sidecar past the spill threshold) plus
+    ``dv_removes`` — the files gaining tombstones — which is the
+    conflict-class marker rival rewrites check against.
+
+    Readers compose: ``read_versioned`` anti-filters tombstones,
+    ``compact_versioned`` MATERIALIZES them (reads DV-aware, publishes
+    dataChange=false with the dv fields cleared), restore re-publishes
+    the target's dv state, vacuum treats ``_dv.*`` like any metadata
+    sidecar, and the J11e feed applies the same posture rules as the
+    CoW row-level commits (mode names are identical).
+
+    Concurrency: losing the put-if-absent race rebases past BLIND
+    APPEND winners only (they touch neither files nor tombstones —
+    positions are physical per-file, so the staged dv deltas re-apply
+    verbatim); any non-append winner raises
+    :class:`ConcurrentCommitError` (conservative — a rival rewrite may
+    have dropped a file these tombstones target)."""
+    import json as _json
+
+    from time_series_spark_spark.sources.fsio import (
+        latest_version,
+        manifest_col_stats,
+        manifest_dvs,
+        manifest_file_stats,
+        manifest_files,
+    )
+
+    if appended is not None:
+        stage, adds = _stage_data_files(appended, tfs, latest + 1)
+        add_stats, n_rows_written, add_col_stats = _read_add_stats(tfs, adds)
+    else:
+        stage, adds = None, []
+        add_stats, n_rows_written, add_col_stats = {}, 0, {}
+    schema = _normalize_schema(
+        T.StructType.fromJson(_json.loads(schema_json))
+    )
+
+    def _cleanup_stage():
+        if stage is not None:
+            tfs.delete_dir(stage)
+
+    base, cur_files = latest, files
+    for attempt in range(max(1, max_attempts)):
+        version = base + 1
+        new_files = sorted(set(cur_files) | set(adds))
+        dv_state = {
+            rel: set(ps) for rel, ps in manifest_dvs(tfs, base).items()
+        }
+        n_rows_tombstoned = 0
+        for rel, ps in new_tombs.items():
+            old = dv_state.setdefault(rel, set())
+            fresh = set(ps) - old
+            n_rows_tombstoned += len(fresh)
+            old |= fresh
+        stats = manifest_file_stats(tfs, base)
+        stats.update(add_stats)
+        cstats = manifest_col_stats(tfs, base)
+        cstats.update(add_col_stats)
+        ledger = _compact_ledger(
+            _collect_ledger_pairs(tfs, list(range(base + 1)))
+            + ([[stream_id, int(batch_id)]] if batch_id is not None else [])
+        )
+        manifest = {
+            "version": version,
+            "mode": mode,
+            "committed_at": _commit_stamp(tfs, base),
+            "adds": adds,
+            "add_stats": add_stats,
+            "add_col_stats": add_col_stats,
+            "removes": [],
+            "dv_removes": sorted(new_tombs),
+            "n_rows_added": n_rows_written,
+            "n_rows_tombstoned": n_rows_tombstoned,
+            "schema": schema_json,
+            "n_files": len(new_files),
+            "batch_id": batch_id,
+            "stream_id": stream_id,
+            "ledger": ledger,
+        }
+        sidecar = _publish_snapshot_fields(
+            tfs, manifest, new_files, stats, cstats
+        )
+        dv_sidecar = _publish_dv_fields(
+            tfs, manifest, {rel: sorted(ps) for rel, ps in dv_state.items()}
+        )
+        try:
+            tfs.write_json_atomic(
+                manifest, f"_manifest.{version}.json", if_absent=True
+            )
+        except FileExistsError:
+            for sc in (sidecar, dv_sidecar):
+                if sc is not None:
+                    tfs.delete_file(sc)
+            if attempt + 1 >= max(1, max_attempts):
+                _cleanup_stage()
+                raise
+            new_latest = latest_version(tfs)
+            if new_latest is None or new_latest <= base:
+                _cleanup_stage()
+                raise
+            for v in range(base + 1, new_latest + 1):
+                m = tfs.read_json(f"_manifest.{v}.json")
+                if (
+                    m.get("mode", "append") != "append"
+                    or m.get("removes")
+                    or m.get("dv_removes")
+                ):
+                    _cleanup_stage()
+                    raise ConcurrentCommitError(
+                        f"merge-on-read {mode} lost the commit race to a "
+                        f"non-blind winner (version {v} is "
+                        f"{m.get('mode', 'append')!r}) — the conservative "
+                        "MoR rebase only crosses blind appends; re-read "
+                        "the table and redo the operation"
+                    ) from None
+            files_new, schema_new, _ = _table_meta(tfs, new_latest)
+            if _normalize_schema(schema_new) != schema:
+                _cleanup_stage()
+                raise ConcurrentCommitError(
+                    "a concurrent commit changed the table schema"
+                ) from None
+            base, cur_files = new_latest, files_new
+            continue
+        tfs.write_json_atomic({"version": version}, "_latest.json")
+        return {
+            "version": version,
+            "n_files_tombstoned": len(new_tombs),
+            "n_files_added": len(adds),
+            "n_files_carried": len(cur_files),
+            "n_rows_tombstoned": n_rows_tombstoned,
+            "n_rows_written": n_rows_written,
+            "bytes_staged": sum(tfs.size(rel) for rel in adds),
+        }
+    raise AssertionError("unreachable: the loop either returns or raises")
+
+
 def _table_meta(tfs, latest: int):
     """(files, schema, schema_json) at ``latest`` — manifest reads only,
     so CoW planning that PRUNES its candidate set never pays Spark's
@@ -1432,16 +1969,71 @@ def _table_meta(tfs, latest: int):
     return manifest_files(tfs, latest), schema, manifest["schema"]
 
 
-def _snapshot_frame(spark: SparkSession, tfs, files: list[str], schema):
+def _snapshot_frame(
+    spark: SparkSession,
+    tfs,
+    files: list[str],
+    schema,
+    dv: dict | None = None,
+    with_pos: bool = False,
+):
     """A ``__file``-tagged frame over exactly ``files`` (empty frame for
-    an empty list) — the scan half of every copy-on-write operation."""
+    an empty list) — the scan half of every copy-on-write AND
+    merge-on-read operation.
+
+    ``dv`` (round 14 — Delta deletion vectors): tombstoned rows are
+    ANTI-FILTERED via the parquet reader's ``_metadata.row_index``
+    hidden column (stable under row-group pruning by design — it exists
+    for exactly this) joined left-anti against a broadcast frame of
+    (file tail, position) pairs. Tombstone sets are changelog-sized by
+    construction (they accumulate only between OPTIMIZE runs), so the
+    broadcast is the right plan at 100 TB — the scan side never
+    shuffles. ``with_pos=True`` additionally keeps a ``__pos`` column
+    (the physical row position) — the MoR planners read new tombstone
+    positions from it."""
     if not files:
-        return spark.createDataFrame([], schema).withColumn(
+        out = spark.createDataFrame([], schema).withColumn(
             "__file", F.lit(None).cast("string")
         )
-    return spark.read.schema(schema).parquet(
+        if with_pos:
+            out = out.withColumn("__pos", F.lit(None).cast("long"))
+        return out
+    fset = set(files)
+    live = {
+        rel: ps for rel, ps in (dv or {}).items() if ps and rel in fset
+    }
+    reader = spark.read.schema(schema).parquet(
         *(tfs.spark_path(f) for f in files)
-    ).withColumn("__file", F.input_file_name())
+    )
+    if not live and not with_pos:
+        return reader.withColumn("__file", F.input_file_name())
+    df = reader.select(
+        "*",
+        F.col("_metadata.file_path").alias("__file"),
+        F.col("_metadata.row_index").alias("__pos"),
+    )
+    if live:
+        # file identity joins on the (staging-dir, basename) tail — the
+        # same unique-by-construction key _touched_rels resolves with
+        tomb = spark.createDataFrame(
+            [
+                ("/".join(rel.rsplit("/", 2)[-2:]), int(p))
+                for rel, ps in sorted(live.items())
+                for p in ps
+            ],
+            "__tail string, __pos long",
+        )
+        tail = F.concat_ws(
+            "/",
+            F.element_at(F.split(F.col("__file"), "/"), -2),
+            F.element_at(F.split(F.col("__file"), "/"), -1),
+        )
+        df = (
+            df.withColumn("__tail", tail)
+            .join(F.broadcast(tomb), on=["__tail", "__pos"], how="left_anti")
+            .drop("__tail")
+        )
+    return df if with_pos else df.drop("__pos")
 
 
 def merge_versioned(
@@ -1453,6 +2045,7 @@ def merge_versioned(
     stream_id: str | None = None,
     max_attempts: int = 3,
     merge_schema: bool = False,
+    strategy: str = "cow",
 ) -> dict:
     """MERGE INTO for the manifest-versioned table (A13f — Delta's
     ``MERGE INTO`` copy-on-write path): apply a keyed changelog in the
@@ -1509,9 +2102,23 @@ def merge_versioned(
     never rebases past a rival commit (the schema-change conflict class
     fires on either side of the race, by design).
 
+    ``strategy="mor"`` (round 14 — Delta deletion vectors): apply the
+    same changelog MERGE-ON-READ instead — matched rows are tombstoned
+    in place via per-file deletion vectors and only the surviving
+    changelog output (inserts + one updated copy per matched base row)
+    is staged as new files; no pre-existing file is rewritten. Same
+    semantics as CoW by construction (the oracle query pins MoR ≡ CoW ≡
+    the closed-form relational merge); write amplification drops to
+    O(matched rows). See :func:`_mor_commit` for commit/concurrency
+    details; :func:`compact_versioned` materializes the tombstones.
+
     Returns the :func:`_cow_commit` report dict (version, files
-    rewritten/carried/added, rows touched/written).
+    rewritten/carried/added, rows touched/written) — or, under
+    ``strategy="mor"``, the :func:`_mor_commit` report (version, files
+    tombstoned/added/carried, rows tombstoned/written, bytes staged).
     """
+    if strategy not in ("cow", "mor"):
+        raise ValueError(f"strategy must be 'cow' or 'mor', got {strategy!r}")
     tfs, latest = _require_table(table_path)
     files, schema, schema_json = _table_meta(tfs, latest)
     known = {f.name for f in schema.fields}
@@ -1593,15 +2200,47 @@ def merge_versioned(
             )
             cand_set &= set(kept)
         candidates = sorted(cand_set)
-    snap = _snapshot_frame(spark, tfs, candidates, schema)
+    from time_series_spark_spark.sources.fsio import manifest_dvs
+
+    dvs = manifest_dvs(tfs, latest)
+    if strategy == "mor":
+        snap = _snapshot_frame(
+            spark, tfs, candidates, schema, dv=dvs, with_pos=True
+        )
+        matched = snap.join(
+            F.broadcast(changes.select(*keys).distinct()),
+            on=keys,
+            how="leftsemi",
+        ).persist()
+        try:
+            new_tombs = _collect_positions(matched, candidates)
+            appended = apply_changes(
+                matched.drop("__file", "__pos"), changes, keys, cols
+            ).select(*[f.name for f in schema.fields])
+            return _mor_commit(
+                tfs,
+                latest,
+                "merge",
+                appended,
+                new_tombs,
+                files,
+                schema_json,
+                batch_id=batch_id,
+                stream_id=stream_id,
+                max_attempts=max_attempts,
+            )
+        finally:
+            matched.unpersist()
+    snap = _snapshot_frame(spark, tfs, candidates, schema, dv=dvs)
     marker = (changes.select(*keys).distinct(), keys)
     touched = _touched_rels(snap, candidates, marker)
-    if touched:
-        base = spark.read.schema(schema).parquet(
-            *(tfs.spark_path(f) for f in touched)
-        )
-    else:
-        base = spark.createDataFrame([], schema)
+    # the rewrite reads the touched files DV-FILTERED too: a row
+    # tombstoned by an earlier merge-on-read commit must not be
+    # resurrected by this copy-on-write rewrite (its file's dv entry
+    # dies with the rewrite — see _cow_commit)
+    base = _snapshot_frame(spark, tfs, touched, schema, dv=dvs).drop(
+        "__file"
+    )
     rewritten = apply_changes(base, changes, keys, cols).select(
         *[f.name for f in schema.fields]
     )
@@ -1626,6 +2265,7 @@ def delete_versioned(
     table_path,
     predicate: str,
     max_attempts: int = 3,
+    strategy: str = "cow",
 ) -> dict:
     """Row-level DELETE on the manifest-versioned table (A13f — Delta's
     ``DELETE FROM ... WHERE``): one copy-on-write commit that rewrites
@@ -1635,21 +2275,47 @@ def delete_versioned(
     pushed into the find-touched parquet scan, so files whose row-group
     stats exclude it are never opened. Returns the commit report dict.
 
+    ``strategy="mor"`` (round 14 — Delta deletion vectors): publish
+    per-file tombstone positions for the matched rows instead of
+    rewriting any file — a point delete in a 1 GB file stages ZERO data
+    bytes (O(matched rows) manifest metadata), where CoW rewrites the
+    whole file. :func:`compact_versioned` later materializes.
+
     Losing the commit race to compatible winners rebases and retries up
     to ``max_attempts`` times (the read set checked against rival adds
     is this predicate); real conflicts raise
     :class:`ConcurrentCommitError` — see :func:`merge_versioned`."""
+    if strategy not in ("cow", "mor"):
+        raise ValueError(f"strategy must be 'cow' or 'mor', got {strategy!r}")
+    from time_series_spark_spark.sources.fsio import manifest_dvs
+
     tfs, latest = _require_table(table_path)
     files, schema, schema_json = _table_meta(tfs, latest)
-    snap = _snapshot_frame(spark, tfs, files, schema)
+    dvs = manifest_dvs(tfs, latest)
     pred = F.expr(predicate)
-    touched = _touched_rels(snap, files, pred)
-    if touched:
-        base = spark.read.schema(schema).parquet(
-            *(tfs.spark_path(f) for f in touched)
+    if strategy == "mor":
+        snap = _snapshot_frame(
+            spark, tfs, files, schema, dv=dvs, with_pos=True
         )
-    else:
-        base = spark.createDataFrame([], schema)
+        # only TRUE matches delete (SQL semantics — NULL predicate rows
+        # survive), mirroring the CoW survivor filter below
+        matched = snap.filter(pred.eqNullSafe(F.lit(True)))
+        new_tombs = _collect_positions(matched, files)
+        return _mor_commit(
+            tfs,
+            latest,
+            "delete",
+            None,
+            new_tombs,
+            files,
+            schema_json,
+            max_attempts=max_attempts,
+        )
+    snap = _snapshot_frame(spark, tfs, files, schema, dv=dvs)
+    touched = _touched_rels(snap, files, pred)
+    base = _snapshot_frame(spark, tfs, touched, schema, dv=dvs).drop(
+        "__file"
+    )
     # NULL-safe survival: rows where the predicate is NULL are NOT
     # deleted (SQL DELETE semantics — only TRUE deletes)
     rewritten = base.filter(~pred.eqNullSafe(F.lit(True)))
@@ -1673,6 +2339,7 @@ def update_versioned(
     predicate: str,
     assignments: dict[str, str],
     max_attempts: int = 3,
+    strategy: str = "cow",
 ) -> dict:
     """Row-level UPDATE on the manifest-versioned table (A13f — Delta's
     ``UPDATE ... SET ... WHERE``): copy-on-write rewrite of only the
@@ -1682,23 +2349,62 @@ def update_versioned(
     table column (e.g. ``{"price": "price * 1.1"}``). Returns the
     commit report dict. Commit races rebase-and-retry against
     compatible winners (see :func:`merge_versioned`); real conflicts
-    raise :class:`ConcurrentCommitError`."""
+    raise :class:`ConcurrentCommitError`.
+
+    ``strategy="mor"`` (round 14 — how Delta UPDATEs with deletion
+    vectors): the matched rows' positions are tombstoned in place and
+    exactly one UPDATED COPY of each is staged as a new file — staged
+    bytes are O(matched rows), untouched rows of the same files are
+    never rewritten."""
+    if strategy not in ("cow", "mor"):
+        raise ValueError(f"strategy must be 'cow' or 'mor', got {strategy!r}")
+    from time_series_spark_spark.sources.fsio import manifest_dvs
+
     tfs, latest = _require_table(table_path)
     files, schema, schema_json = _table_meta(tfs, latest)
-    snap = _snapshot_frame(spark, tfs, files, schema)
+    dvs = manifest_dvs(tfs, latest)
     unknown = set(assignments) - {f.name for f in schema.fields}
     if unknown:
         raise ValueError(
             f"assignments target unknown columns {sorted(unknown)}"
         )
     pred = F.expr(predicate)
-    touched = _touched_rels(snap, files, pred)
-    if touched:
-        base = spark.read.schema(schema).parquet(
-            *(tfs.spark_path(f) for f in touched)
+    if strategy == "mor":
+        snap = _snapshot_frame(
+            spark, tfs, files, schema, dv=dvs, with_pos=True
         )
-    else:
-        base = spark.createDataFrame([], schema)
+        matched = snap.filter(pred.eqNullSafe(F.lit(True))).persist()
+        try:
+            new_tombs = _collect_positions(matched, files)
+            appended = matched.drop("__file", "__pos").select(
+                *[
+                    (
+                        F.expr(assignments[f.name])
+                        .cast(f.dataType)
+                        .alias(f.name)
+                        if f.name in assignments
+                        else F.col(f.name)
+                    )
+                    for f in schema.fields
+                ]
+            )
+            return _mor_commit(
+                tfs,
+                latest,
+                "update",
+                appended,
+                new_tombs,
+                files,
+                schema_json,
+                max_attempts=max_attempts,
+            )
+        finally:
+            matched.unpersist()
+    snap = _snapshot_frame(spark, tfs, files, schema, dv=dvs)
+    touched = _touched_rels(snap, files, pred)
+    base = _snapshot_frame(spark, tfs, touched, schema, dv=dvs).drop(
+        "__file"
+    )
     rewritten = base.select(
         *[
             (
@@ -1934,16 +2640,36 @@ def vacuum_versioned(
     # total — not O(versions × chain) as per-version resolution would be.
     files_by_v: dict[int, set[str]] = {}
     stamp_by_v: dict[int, int | None] = {}
+    referenced_sidecars: set[str] = set()
     for v in versions:
         m = tfs.read_json(f"_manifest.{v}.json")
         stamp_by_v[v] = (
             int(m["committed_at"]) if m.get("committed_at") is not None
             else None
         )
+        for key in ("files_parquet", "dv_parquet"):
+            if m.get(key) is not None:
+                referenced_sidecars.add(m[key])
         if is_snapshot_manifest(m):
             files_by_v[v] = set(snapshot_files(tfs, m))
         else:
             files_by_v[v] = files_by_v[m["base"]] | set(m["adds"])
+
+    # Orphan METADATA sidecars (round 14, ADVICE fix): a writer that
+    # crashed (or lost its race without cleanup) between the sidecar
+    # write and the manifest publish leaves a _snapshot.*/_dv.* parquet
+    # referenced by NO manifest — invisible to readers, but accumulating
+    # forever on crashy/racy histories, because the data-file pass below
+    # only considers files referenced by pruned manifests. Sidecars
+    # referenced by ANY existing manifest (retained or pruned) are kept —
+    # they are the manifest's other half.
+    orphan_sidecars = sorted(
+        name
+        for name in tfs.ls()
+        if (name.startswith("_snapshot.") or name.startswith("_dv."))
+        and name.endswith(".parquet")
+        and name not in referenced_sidecars
+    )
 
     retained: set[str] = set()
     for v in versions:
@@ -1983,6 +2709,7 @@ def vacuum_versioned(
             "bytes_deleted": sum(tfs.size(r) for r in doomed_live),
             "versions_pruned": pruned_versions,
             "n_files_deferred": n_files_deferred,
+            "n_sidecars_deleted": len(orphan_sidecars),
             "dry_run": True,
         }
 
@@ -2009,12 +2736,18 @@ def vacuum_versioned(
                 f.endswith(".parquet") for f in tfs.ls(name)
             ):
                 tfs.delete_dir(name)
+    n_sidecars_deleted = 0
+    for name in orphan_sidecars:
+        if tfs.exists(name):
+            tfs.delete_file(name)
+            n_sidecars_deleted += 1
     return {
         "floor": floor,
         "n_files_deleted": n_files_deleted,
         "bytes_deleted": bytes_deleted,
         "versions_pruned": pruned_versions,
         "n_files_deferred": n_files_deferred,
+        "n_sidecars_deleted": n_sidecars_deleted,
     }
 
 

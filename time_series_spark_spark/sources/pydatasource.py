@@ -475,6 +475,19 @@ class VersionedTableStreamReader(DataSourceStreamReader):
             files |= set(adds)
         return files
 
+    def _snapshot_has_dv(self, v: int) -> bool:
+        """Whether the snapshot visible at ``v`` carries merge-on-read
+        deletion vectors (round 14) — same chain walk as ``_files_of``;
+        appends never change tombstones, so the terminal snapshot
+        manifest's dv fields are authoritative. Existence check only —
+        the sidecar itself is never read."""
+        cur = v
+        while True:
+            m = self._manifest(cur)
+            if "files" in m or "files_parquet" in m:
+                return bool(m.get("dv")) or bool(m.get("dv_parquet"))
+            cur = m["base"]
+
     def _adds_of(self, v: int) -> list:
         """The files one commit ADDED — straight from the manifest's
         ``adds`` (every round-10+ manifest records it, so planning an
@@ -600,6 +613,22 @@ class VersionedTableStreamReader(DataSourceStreamReader):
                     f"(retention floor {floor} of {self.table_path}): "
                     "restart from a fresh checkpoint to read the floor "
                     "snapshot"
+                )
+            if self._snapshot_has_dv(v0):
+                # merge-on-read tombstones (round 14): the snapshot read
+                # here is raw pyarrow row-group slices — emitting it
+                # would resurrect every logically-deleted row for the
+                # fresh consumer. Materialize first (one OPTIMIZE — a
+                # dataChange=false commit this source already skips),
+                # then start the stream. Failing loudly beats silently
+                # feeding deleted rows downstream.
+                raise ValueError(
+                    f"snapshot version {v0} of {self.table_path} carries "
+                    "merge-on-read deletion vectors; a fresh stream "
+                    "would emit logically-deleted rows — run "
+                    "compact_versioned (OPTIMIZE materializes the "
+                    "tombstones as a dataChange=false commit) and start "
+                    "the stream after it"
                 )
             todo = [(v0, rel) for rel in sorted(self._files_of(v0))]
             stats.update(self._stats_at(v0))
