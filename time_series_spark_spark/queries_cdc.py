@@ -1179,6 +1179,151 @@ def orders_versioned_merge_evolve(
 
 
 @register(
+    "orders_versioned_mor_roundtrip",
+    # A13n (round 14 — Delta deletion vectors / Iceberg v2 position
+    # deletes): the same closed-form changelog as the merge roundtrip,
+    # applied MERGE-ON-READ — a pure-tombstone DELETE of %10==0 (zero
+    # data bytes staged, zero files added — the write-amplification
+    # pin) followed by a MoR MERGE (update %10==1 → 'U'/cents+100;
+    # insert k+10M for %10==2). The final snapshot equals the exact
+    # relational oracle below; a CoW twin table gets the identical ops
+    # and the full-row symmetric difference is pinned at 0 (MoR ≡ CoW ≡
+    # closed form). Structural literals pin the MoR shape: both
+    # pre-existing files carried by reference through BOTH commits, one
+    # file tombstoned each time.
+    """
+    WITH t AS (
+        SELECT o_orderkey AS k, o_orderstatus AS status,
+               CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        FROM orders
+    ),
+    merged AS (
+        SELECT k,
+               CASE WHEN k % 10 = 1 THEN 'U' ELSE status END AS status,
+               CASE WHEN k % 10 = 1 THEN cents + 100 ELSE cents END AS cents
+        FROM t WHERE k % 10 <> 0
+        UNION ALL
+        SELECT k + 10000000, 'N', CAST(1 AS BIGINT)
+        FROM t WHERE k % 10 = 2
+    )
+    SELECT status, count(*) AS n_rows,
+           CAST(sum(cents) AS BIGINT) AS total_cents,
+           CAST(2 AS BIGINT) AS delete_version,
+           CAST(3 AS BIGINT) AS merge_version,
+           CAST(1 AS BIGINT) AS files_tombstoned_delete,
+           CAST(0 AS BIGINT) AS files_added_by_delete,
+           CAST(0 AS BIGINT) AS bytes_staged_by_delete,
+           CAST(1 AS BIGINT) AS files_tombstoned_merge,
+           CAST(2 AS BIGINT) AS files_carried_merge,
+           CAST(0 AS BIGINT) AS mor_vs_cow_diff
+    FROM merged GROUP BY status ORDER BY status
+    """,
+    doc="A13n (round 14): MERGE-ON-READ deletion vectors on the "
+    "manifest-versioned table — delete_versioned(strategy='mor') "
+    "publishes per-file tombstone positions instead of rewriting the "
+    "matched file (0 bytes staged, 0 files added — pinned), then "
+    "merge_versioned(strategy='mor') tombstones the updated keys' old "
+    "rows and stages ONLY the changelog output. read_versioned "
+    "anti-filters tombstones via the parquet _metadata.row_index "
+    "column against a broadcast DV frame. A copy-on-write twin table "
+    "gets the identical operations and the full-row symmetric "
+    "difference is pinned at 0: MoR snapshot ≡ CoW snapshot ≡ the "
+    "closed-form relational merge. compact_versioned materializes "
+    "(tests/test_mor.py). Temp tables removed before returning.",
+)
+def orders_versioned_mor_roundtrip(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from time_series_spark_spark.sources.io import (
+        delete_versioned,
+        merge_versioned,
+        read_versioned,
+        write_versioned,
+    )
+
+    t = load(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_orderstatus").alias("status"),
+        F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("cents"),
+    )
+    p_mor = tempfile.mkdtemp(prefix="versioned_mor_")
+    p_cow = tempfile.mkdtemp(prefix="versioned_mor_cow_")
+    try:
+        m = F.col("k") % 10
+        changes = t.filter(m == 1).select(
+            "k",
+            F.lit("update").alias("op"),
+            F.lit("U").alias("new_status"),
+            (F.col("cents") + 100).alias("new_cents"),
+        ).unionByName(
+            t.filter(m == 2).select(
+                (F.col("k") + 10_000_000).alias("k"),
+                F.lit("insert").alias("op"),
+                F.lit("N").alias("new_status"),
+                F.lit(1).cast("long").alias("new_cents"),
+            )
+        )
+        reps = {}
+        for path, strategy in ((p_mor, "mor"), (p_cow, "cow")):
+            write_versioned(t.filter(m < 5).coalesce(1), path)
+            write_versioned(
+                t.filter(m >= 5).coalesce(1), path, carry_forward=True
+            )
+            reps[strategy, "delete"] = delete_versioned(
+                spark, path, "k % 10 = 0", strategy=strategy
+            )
+            reps[strategy, "merge"] = merge_versioned(
+                spark, path, changes, ["k"], strategy=strategy
+            )
+        mor_snap = read_versioned(spark, p_mor)
+        cow_snap = read_versioned(spark, p_cow)
+        n_diff = (
+            mor_snap.exceptAll(cow_snap).count()
+            + cow_snap.exceptAll(mor_snap).count()
+        )
+        d, g = reps["mor", "delete"], reps["mor", "merge"]
+        out = (
+            mor_snap.groupBy("status")
+            .agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.sum("cents").cast("long").alias("total_cents"),
+            )
+            .withColumn("delete_version", F.lit(d["version"]).cast("long"))
+            .withColumn("merge_version", F.lit(g["version"]).cast("long"))
+            .withColumn(
+                "files_tombstoned_delete",
+                F.lit(d["n_files_tombstoned"]).cast("long"),
+            )
+            .withColumn(
+                "files_added_by_delete",
+                F.lit(d["n_files_added"]).cast("long"),
+            )
+            .withColumn(
+                "bytes_staged_by_delete",
+                F.lit(d["bytes_staged"]).cast("long"),
+            )
+            .withColumn(
+                "files_tombstoned_merge",
+                F.lit(g["n_files_tombstoned"]).cast("long"),
+            )
+            .withColumn(
+                "files_carried_merge",
+                F.lit(g["n_files_carried"]).cast("long"),
+            )
+            .withColumn("mor_vs_cow_diff", F.lit(n_diff).cast("long"))
+            .orderBy("status")
+        )
+        rows = out.collect()
+    finally:
+        shutil.rmtree(p_mor, ignore_errors=True)
+        shutil.rmtree(p_cow, ignore_errors=True)
+    return spark.createDataFrame(rows, out.schema)
+
+
+@register(
     "orders_versioned_zorder_report",
     # rows-only: the pruning fractions depend on approxQuantile sampling
     # and file-split boundaries (stable in DIRECTION, not in exact
