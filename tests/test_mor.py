@@ -227,9 +227,10 @@ def test_mor_dv_sidecar_spill_roundtrip(spark, tmp_path, monkeypatch):
 def test_mor_rebase_past_blind_append_and_conflicts(
     spark, tmp_path, monkeypatch
 ):
-    """A MoR commit losing its race to a blind append rebases (positions
-    are physical per-file, so the staged tombstones re-apply verbatim);
-    losing to any non-append winner refuses loudly."""
+    """A MoR commit losing its race applies the CoW conflict classes
+    with its tombstone TARGET files as the touched set: blind appends
+    and DISJOINT-FILE row-level rivals rebase; a rival that REWROTE a
+    target file refuses loudly."""
     path = _two_file_table(spark, tmp_path)
     write_versioned(
         spark.createDataFrame(
@@ -245,16 +246,29 @@ def test_mor_rebase_past_blind_append_and_conflicts(
     got = sorted(r["k"] for r in read_versioned(spark, path).collect())
     assert got == [0, 2, 3, 4, 5, 6, 7, 8, 9, 50]
 
-    # non-append winner → ConcurrentCommitError
+    # DISJOINT-FILE CoW winner (k=7 lives in file B, loser targets file
+    # A): the multi-writer CDC case — the MoR loser rebases and lands
     merge_versioned(
         spark, path, _changelog(spark, [(7, "update", 777, "g7")]), ["k"]
-    )  # v4, CoW merge
+    )  # v4, CoW merge on file B
     _stale_latest_once(monkeypatch, 3)
-    with pytest.raises(ConcurrentCommitError, match="non-blind winner"):
-        delete_versioned(spark, path, "k = 2", strategy="mor")
+    rep2 = delete_versioned(spark, path, "k = 2", strategy="mor")
+    monkeypatch.undo()
+    assert rep2["version"] == 5 and rep2["n_rebases"] == 1
+    got = {r["k"]: r["val"] for r in read_versioned(spark, path).collect()}
+    assert 2 not in got and got[7] == 777
+
+    # a winner that REWROTE the loser's target file refuses: CoW merge
+    # on k=3 rewrites what's left of file A, MoR delete of k=0 targets it
+    merge_versioned(
+        spark, path, _changelog(spark, [(3, "update", 333, "g3")]), ["k"]
+    )  # v6, CoW merge rewriting file A
+    _stale_latest_once(monkeypatch, 5)
+    with pytest.raises(ConcurrentCommitError, match="also touched"):
+        delete_versioned(spark, path, "k = 0", strategy="mor")
     monkeypatch.undo()
     # the loser's change did NOT apply
-    assert 2 in {r["k"] for r in read_versioned(spark, path).collect()}
+    assert 0 in {r["k"] for r in read_versioned(spark, path).collect()}
 
 
 def test_cow_rebase_conflicts_on_rival_dv_removes(
@@ -386,3 +400,48 @@ def test_mor_merge_schema_evolution(spark, tmp_path):
     assert rep["n_rows_tombstoned"] == 1
     # pre-merge versions still read the OLD schema
     assert "tier" not in read_versioned(spark, path, as_of=1).columns
+
+
+def test_mor_rebase_readset_and_rival_tombstone_conflicts(
+    spark, tmp_path, monkeypatch
+):
+    """The two subtle MoR-vs-MoR races: a rival MoR UPDATE of a key this
+    merge also touches conflicts via the exact read-set scan over the
+    rival's appended copy (rebasing would duplicate the key); a rival
+    tombstone IN a target file conflicts conservatively (positional
+    dv union cannot be key-checked without a scan of the old file)."""
+    path = _two_file_table(spark, tmp_path)
+    # rival MoR merge INSERTS key 100 (no tombstones, one added file);
+    # the loser upserts the same key against the stale snapshot — its
+    # find-touched saw nothing, so only the exact read-set scan over the
+    # rival's added file can catch the would-be duplicate
+    merge_versioned(
+        spark,
+        path,
+        _changelog(spark, [(100, "insert", 222, "gw")]),
+        ["k"],
+        strategy="mor",
+    )
+    _stale_latest_once(monkeypatch, 1)
+    with pytest.raises(ConcurrentCommitError, match="read set"):
+        merge_versioned(
+            spark,
+            path,
+            _changelog(spark, [(100, "update", 999, "gx")]),
+            ["k"],
+            strategy="mor",
+        )
+    monkeypatch.undo()
+    got = {r["k"]: r["val"] for r in read_versioned(spark, path).collect()}
+    assert got[100] == 222  # winner's insert survived, loser's refused
+
+    # rival MoR delete of k=1 (file A): a loser tombstoning k=3 in the
+    # SAME file refuses conservatively (positional union cannot be
+    # key-checked without scanning the old file)
+    delete_versioned(spark, path, "k = 1", strategy="mor")  # v3
+    _stale_latest_once(monkeypatch, 2)
+    with pytest.raises(ConcurrentCommitError, match="tombstoned rows"):
+        delete_versioned(spark, path, "k = 3", strategy="mor")
+    monkeypatch.undo()
+    ks = {r["k"] for r in read_versioned(spark, path).collect()}
+    assert 1 not in ks and 3 in ks

@@ -372,11 +372,28 @@ _EXTERNALLY_CONFIRMED = [
 _RECHECK_FIRST: list[str] = [
     # round 14: compact_versioned now reads the snapshot under the
     # manifest-authoritative schema (ADVICE fix — evolved columns
-    # previously risked being dropped by footer inference) and rebases
-    # past blind-append winners — both compaction-backed queries' code
-    # paths changed
+    # previously risked being dropped by footer inference), reads
+    # DV-aware, and rebases past blind-append winners — both
+    # compaction-backed queries' code paths changed
     "orders_versioned_compaction_roundtrip",
     "orders_versioned_zorder_report",
+    # round 14: the row-level commit paths gained merge-on-read support
+    # (CoW base reads now route through the DV-aware _snapshot_frame),
+    # constraint observation, and the extended conflict classes
+    "orders_versioned_merge_roundtrip",
+    "orders_versioned_merge_evolve",
+    # round 14: vacuum gained the orphan-sidecar pass (+ report key),
+    # restore carries dv/constraint state, the skipping planner was
+    # refactored (_env_keeps + distributed path), and the J11e source
+    # gained the DV snapshot-start guard
+    "orders_versioned_vacuum_roundtrip",
+    "orders_versioned_restore_roundtrip",
+    "orders_versioned_skipping_scan",
+    "stream_versioned_source_feed",
+    # round 14: the J11g sink and incremental pipeline commit through
+    # the changed merge/write paths
+    "stream_merge_upsert_feed",
+    "orders_incremental_pipeline_roundtrip",
 ]
 
 SAMPLE_WINDOW = 50  # the external gate samples this many leading entries

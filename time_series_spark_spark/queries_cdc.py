@@ -1324,6 +1324,120 @@ def orders_versioned_mor_roundtrip(
 
 
 @register(
+    "orders_versioned_constraints_report",
+    # A13q (round 14 — Delta's NOT NULL / CHECK table constraints): the
+    # catalog is declared at table definition, so it is closed-form; the
+    # structural literals pin the ENFORCEMENT result — a violating
+    # append (negative cents) was refused with the table unchanged
+    # (row count = the two compliant parity commits = all of orders).
+    """
+    WITH catalog(kind, name, expression) AS (
+        VALUES ('check',    'known_status',   'status IN (''O'', ''F'', ''P'')'),
+               ('check',    'positive_cents', 'cents > 0'),
+               ('not_null', 'k',              'k IS NOT NULL'),
+               ('not_null', 'status',         'status IS NOT NULL')
+    )
+    SELECT kind, name, expression,
+           CAST(2 AS BIGINT) AS n_commits,
+           CAST(1 AS BIGINT) AS violating_append_refused,
+           (SELECT count(*) FROM orders) AS n_rows
+    FROM catalog ORDER BY kind, name
+    """,
+    doc="A13q (round 14): table-level write invariants on the "
+    "manifest-versioned table — write_versioned(constraints=...) "
+    "declares NOT NULL + CHECK at table definition, every manifest "
+    "restates the declaration (table_constraints() is one manifest "
+    "read), and every commit enforces it on its STAGED data via one "
+    "Observation riding the staging write (zero extra scans — A8's "
+    "machinery, Delta's invariant checker shape). The query builds the "
+    "constrained table, appends the compliant second half, attempts a "
+    "VIOLATING append (negative cents) and pins that it was refused "
+    "with the table unchanged; output is the constraint catalog plus "
+    "the enforcement literals. CHECK follows SQL semantics (NULL "
+    "passes; pytest-pinned in tests/test_constraints.py). Temp table "
+    "removed before returning.",
+)
+def orders_versioned_constraints_report(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from time_series_spark_spark.sources.io import (
+        ConstraintViolationError,
+        read_versioned,
+        table_constraints,
+        write_versioned,
+    )
+
+    t = load(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_orderstatus").alias("status"),
+        F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("cents"),
+    )
+    cons = {
+        "not_null": ["k", "status"],
+        "check": {
+            "positive_cents": "cents > 0",
+            "known_status": "status in ('O', 'F', 'P')",
+        },
+    }
+    path = tempfile.mkdtemp(prefix="versioned_constraints_")
+    try:
+        write_versioned(
+            t.filter(F.col("k") % 10 < 5).coalesce(1), path, constraints=cons
+        )
+        write_versioned(
+            t.filter(F.col("k") % 10 >= 5).coalesce(1),
+            path,
+            carry_forward=True,
+        )
+        refused = 0
+        try:
+            write_versioned(
+                t.limit(10)
+                .withColumn("cents", F.lit(-1).cast("long"))
+                .coalesce(1),
+                path,
+                carry_forward=True,
+            )
+        except ConstraintViolationError:
+            refused = 1
+        got = table_constraints(path)
+        n_rows = read_versioned(spark, path).count()
+        n_commits = 2  # the refused append published nothing
+        rows = [
+            ("not_null", c, f"{c} IS NOT NULL")
+            for c in sorted(got.get("not_null", []))
+        ] + [
+            (
+                "check",
+                name,
+                {
+                    "positive_cents": "cents > 0",
+                    "known_status": "status IN ('O', 'F', 'P')",
+                }[name],
+            )
+            for name in sorted(got.get("check", {}))
+        ]
+        out = (
+            spark.createDataFrame(
+                rows, "kind string, name string, expression string"
+            )
+            .withColumn("n_commits", F.lit(n_commits).cast("long"))
+            .withColumn(
+                "violating_append_refused", F.lit(refused).cast("long")
+            )
+            .withColumn("n_rows", F.lit(n_rows).cast("long"))
+            .orderBy("kind", "name")
+        )
+        result = out.collect()
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
+    return spark.createDataFrame(result, out.schema)
+
+
+@register(
     "orders_versioned_zorder_report",
     # rows-only: the pruning fractions depend on approxQuantile sampling
     # and file-split boundaries (stable in DIRECTION, not in exact

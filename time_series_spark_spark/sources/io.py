@@ -347,6 +347,111 @@ def _publish_snapshot_fields(
     return name
 
 
+class ConstraintViolationError(ValueError):
+    """A commit's staged data violates the table's declared invariants
+    (NOT NULL / CHECK) — the commit is refused and the table is
+    unchanged. Delta's InvariantViolationException; the caller fixes
+    the data, not the table."""
+
+
+def _validate_constraints_decl(constraints: dict, schema: T.StructType):
+    """Shape/column validation for a constraints declaration:
+    ``{"not_null": [col, ...], "check": {name: sql_expr, ...}}``.
+    Establishment-time only — enforcement is per-commit."""
+    unknown_keys = set(constraints) - {"not_null", "check"}
+    if unknown_keys:
+        raise ValueError(
+            f"unknown constraint kinds {sorted(unknown_keys)} (expected "
+            "'not_null' and/or 'check')"
+        )
+    cols = {f.name for f in schema.fields}
+    missing = [c for c in constraints.get("not_null", []) if c not in cols]
+    if missing:
+        raise ValueError(
+            f"not_null constraint targets unknown columns {missing}"
+        )
+    for name, sql in constraints.get("check", {}).items():
+        if not isinstance(sql, str) or not sql.strip():
+            raise ValueError(
+                f"check constraint {name!r} must be a SQL expression string"
+            )
+
+
+def _constraint_terms(constraints: dict) -> list[tuple[str, "F.Column"]]:
+    """(label, violation-condition) per declared constraint. NOT NULL
+    violates on NULL; CHECK violates only when the expression is FALSE —
+    SQL-standard CHECK semantics (NULL/UNKNOWN passes; declare the
+    column not_null too if NULLs should fail), pinned by pytest."""
+    terms: list[tuple[str, F.Column]] = []
+    for c in constraints.get("not_null", []):
+        terms.append((f"not_null({c})", F.col(c).isNull()))
+    for name, sql in sorted(constraints.get("check", {}).items()):
+        terms.append(
+            (f"check {name} ({sql})", F.expr(sql).eqNullSafe(F.lit(False)))
+        )
+    return terms
+
+
+def _observe_constraints(df: DataFrame, constraints: dict):
+    """Attach ONE Observation carrying a violation counter per declared
+    constraint (A8's machinery — the metrics ride the staging write's
+    own scan, zero extra passes over the data; Delta enforces its
+    invariants inside the write job the same way). Returns
+    ``(df, observation, labels)``; ``observation`` is None when the
+    table has no constraints."""
+    terms = _constraint_terms(constraints or {})
+    if not terms:
+        return df, None, []
+    from pyspark.sql import Observation
+
+    obs = Observation()
+    df = df.observe(
+        obs,
+        *[
+            F.sum(F.when(cond, 1).otherwise(0)).alias(f"v{i}")
+            for i, (_, cond) in enumerate(terms)
+        ],
+    )
+    return df, obs, [label for label, _ in terms]
+
+
+def _raise_if_violated(obs, labels: list[str], tfs, stage: str | None):
+    """Post-staging constraint verdict: any nonzero violation counter
+    deletes the staged directory and refuses the commit loudly."""
+    if obs is None:
+        return
+    got = obs.get
+    bad = [
+        f"{label}: {got[f'v{i}']} row(s)"
+        for i, label in enumerate(labels)
+        if got.get(f"v{i}") or 0
+    ]
+    if bad:
+        if stage is not None:
+            tfs.delete_dir(stage)
+        raise ConstraintViolationError(
+            "commit refused — staged data violates table constraints: "
+            + "; ".join(bad)
+        )
+
+
+def table_constraints(table_path, version: int | None = None) -> dict:
+    """The constraint declaration in force at ``version`` (latest when
+    None) — every manifest restates it like the schema, so this is one
+    manifest read. Empty dict = unconstrained (including all
+    pre-round-14 tables)."""
+    from time_series_spark_spark.sources.fsio import (
+        as_table_fs,
+        latest_version,
+    )
+
+    tfs = as_table_fs(table_path)
+    v = latest_version(tfs) if version is None else int(version)
+    if v is None:
+        raise FileNotFoundError(f"no committed versions in {tfs.root}")
+    return tfs.read_json(f"_manifest.{v}.json").get("constraints", {})
+
+
 def _now_us() -> int:
     """Wall clock in epoch µs — the one seam tests monkeypatch to
     simulate clock regression without touching the global ``time``
@@ -537,6 +642,7 @@ def write_versioned(
     carry_forward: bool = False,
     stream_id: str | None = None,
     data_change: bool = True,
+    constraints: dict | None = None,
 ) -> int:
     """Commit ``df`` as the next version of a manifest-versioned table —
     the table-format core (what Delta/Iceberg do) in ~30 lines, format
@@ -600,6 +706,13 @@ def write_versioned(
     manifest also records ``adds`` — the incremental streaming source
     plans a micro-batch from it without any per-version diffing.
 
+    ``constraints`` (round 14 — Delta's NOT NULL / CHECK invariants):
+    ``{"not_null": [col, ...], "check": {name: sql_expr}}``, declared on
+    the first commit or a replace, inherited and ENFORCED on every later
+    commit's staged data via one Observation riding the staging write;
+    violations raise :class:`ConstraintViolationError` with the table
+    unchanged. See :func:`table_constraints`.
+
     ``table_path`` is a path string (local filesystem) or a
     :class:`~time_series_spark_spark.sources.fsio.TableFS` — every
     storage touch goes through the fsio seam, so the whole A13 family
@@ -634,7 +747,34 @@ def write_versioned(
         )
     existing = list(range(latest + 1)) if latest is not None else []
     version = (existing[-1] + 1) if existing else 0
+    prev = (
+        tfs.read_json(f"_manifest.{existing[-1]}.json") if existing else None
+    )
+    # Table-level write invariants (round 14 — Delta's NOT NULL / CHECK
+    # constraints): declared at table definition (first commit or a
+    # replace — adding constraints to a LIVE table would require
+    # validating all existing data, Delta's ADD CONSTRAINT scan, so a
+    # carry-forward append refuses the declaration), inherited by every
+    # later commit, and ENFORCED on each commit's staged data via one
+    # Observation riding the staging write itself — zero extra scans.
+    # Violations refuse the commit loudly; the table is unchanged.
+    if constraints is not None:
+        if carry_forward and existing:
+            raise ValueError(
+                "constraints are declared on the FIRST commit or a "
+                "REPLACE commit (table redefinition); adding them to a "
+                "live table via an append would skip validating the "
+                "existing data"
+            )
+        _validate_constraints_decl(constraints, df.schema)
+        effective_constraints = constraints
+    else:
+        effective_constraints = (
+            prev.get("constraints", {}) if prev is not None else {}
+        )
+    df, _obs, _obs_labels = _observe_constraints(df, effective_constraints)
     stage, adds = _stage_data_files(df, tfs, version)
+    _raise_if_violated(_obs, _obs_labels, tfs, stage)
     add_stats, n_rows_added, add_col_stats = _read_add_stats(tfs, adds)
     # wall-clock commit stamp (epoch µs, UTC), clamped strictly above the
     # previous commit's — powers AS OF TIMESTAMP time travel and DESCRIBE
@@ -642,7 +782,6 @@ def write_versioned(
     # output (wall clocks are not oracles)
     committed_at = _commit_stamp(tfs, existing[-1] if existing else None)
     if carry_forward and existing:
-        prev = tfs.read_json(f"_manifest.{existing[-1]}.json")
         # A13c schema evolution, additive-only (round 9): a carry-forward
         # commit whose schema differs from the previous manifest's must
         # be a pure COLUMN ADDITION — old files then read as NULL for the
@@ -764,6 +903,11 @@ def write_versioned(
             tfs, manifest, adds, add_stats, add_col_stats
         )
         dv_sidecar = None
+    if effective_constraints:
+        # restated on EVERY manifest like the schema — resolution is one
+        # manifest read, and each version time-travels with the
+        # declaration in force when it committed
+        manifest["constraints"] = effective_constraints
     # PUT-IF-ABSENT publish (Delta LogStore contract): a concurrent
     # writer racing to the same version number loses LOUDLY with
     # FileExistsError — never a silent clobber of a committed manifest.
@@ -1302,6 +1446,10 @@ def compact_versioned(
                 _collect_ledger_pairs(tfs, list(range(base + 1)))
             ),
         }
+        if manifest.get("constraints"):
+            # carried, not enforced: OPTIMIZE rewrites the SAME rows,
+            # which passed at their own commit time
+            new_manifest["constraints"] = manifest["constraints"]
         sidecar = _publish_snapshot_fields(
             tfs, new_manifest, new_files, stats, cstats
         )
@@ -1465,6 +1613,8 @@ def restore_versioned(table_path, to_version: int) -> int:
         "stream_id": None,
         "ledger": ledger,
     }
+    if target.get("constraints"):
+        manifest["constraints"] = target["constraints"]
     sidecar = _publish_snapshot_fields(tfs, manifest, files, stats, cstats)
     # the restored snapshot's merge-on-read tombstones come back with it
     # (round 14): restoring to a pre-OPTIMIZE DV-bearing version must
@@ -1681,7 +1831,16 @@ def _cow_commit(
         manifest_files,
     )
 
+    # table invariants (round 14) apply to the rewrite's output — the
+    # untouched carried files passed them at their own commit time
+    table_cons = tfs.read_json(f"_manifest.{latest}.json").get(
+        "constraints", {}
+    )
+    rewritten, _obs, _obs_labels = _observe_constraints(
+        rewritten, table_cons
+    )
     stage, adds = _stage_data_files(rewritten, tfs, latest + 1)
+    _raise_if_violated(_obs, _obs_labels, tfs, stage)
     add_stats, n_rows_written, add_col_stats = _read_add_stats(tfs, adds)
     n_rows_touched = sum(
         pq.ParquetFile(tfs.path(rel), filesystem=tfs.fs).metadata.num_rows
@@ -1717,6 +1876,8 @@ def _cow_commit(
             "stream_id": stream_id,
             "ledger": ledger,
         }
+        if table_cons:
+            manifest["constraints"] = table_cons
         sidecar = _publish_snapshot_fields(
             tfs, manifest, new_files, stats, cstats
         )
@@ -1772,6 +1933,9 @@ def _cow_commit(
             "n_files_added": len(adds),
             "n_rows_touched": n_rows_touched,
             "n_rows_written": n_rows_written,
+            # how many put-if-absent losses this commit REBASED past
+            # before landing (0 = won first try) — contention telemetry
+            "n_rebases": attempt,
         }
     raise AssertionError("unreachable: the loop either returns or raises")
 
@@ -1807,6 +1971,8 @@ def _mor_commit(
     schema_json: str,
     batch_id: int | None = None,
     stream_id: str | None = None,
+    spark: SparkSession | None = None,
+    read_marker=None,
     max_attempts: int = 1,
 ) -> dict:
     """Publish a MERGE-ON-READ commit (round 14 — Delta deletion
@@ -1829,12 +1995,21 @@ def _mor_commit(
     sidecar, and the J11e feed applies the same posture rules as the
     CoW row-level commits (mode names are identical).
 
-    Concurrency: losing the put-if-absent race rebases past BLIND
-    APPEND winners only (they touch neither files nor tombstones —
-    positions are physical per-file, so the staged dv deltas re-apply
-    verbatim); any non-append winner raises
-    :class:`ConcurrentCommitError` (conservative — a rival rewrite may
-    have dropped a file these tombstones target)."""
+    Concurrency: losing the put-if-absent race applies the SAME
+    conflict classes as the CoW commits (:func:`_cow_rebase_conflict`)
+    with the tombstone TARGET files as the touched set — blind appends
+    always rebase (positions are physical per-file, so the staged dv
+    deltas re-apply verbatim); a winner that REWROTE or rival-tombstoned
+    a target file conflicts (the rewrite dropped the file / the
+    rival-vs-loser rows cannot be distinguished positionally without a
+    key check — conservative); a non-blind winner's adds are read-set
+    scanned exactly (a rival's updated copy of a key this commit also
+    touches would otherwise duplicate); replace/restore/schema-change
+    conflict; an optimize winner conflicts any tombstoning loser via the
+    targets⊆files check (its rewrite dropped the old files) but passes
+    an insert-only one. Two writers MoR-merging DISJOINT key ranges in
+    different files both land — the multi-writer CDC case, measured in
+    scripts/stress_contention.py."""
     import json as _json
 
     from time_series_spark_spark.sources.fsio import (
@@ -1845,8 +2020,17 @@ def _mor_commit(
         manifest_files,
     )
 
+    table_cons = tfs.read_json(f"_manifest.{latest}.json").get(
+        "constraints", {}
+    )
     if appended is not None:
+        # table invariants (round 14) apply to the appended rows — the
+        # tombstones only ever REMOVE rows
+        appended, _obs, _obs_labels = _observe_constraints(
+            appended, table_cons
+        )
         stage, adds = _stage_data_files(appended, tfs, latest + 1)
+        _raise_if_violated(_obs, _obs_labels, tfs, stage)
         add_stats, n_rows_written, add_col_stats = _read_add_stats(tfs, adds)
     else:
         stage, adds = None, []
@@ -1897,6 +2081,8 @@ def _mor_commit(
             "stream_id": stream_id,
             "ledger": ledger,
         }
+        if table_cons:
+            manifest["constraints"] = table_cons
         sidecar = _publish_snapshot_fields(
             tfs, manifest, new_files, stats, cstats
         )
@@ -1915,31 +2101,27 @@ def _mor_commit(
                 _cleanup_stage()
                 raise
             new_latest = latest_version(tfs)
-            if new_latest is None or new_latest <= base:
+            if new_latest is None or new_latest <= base or spark is None:
                 _cleanup_stage()
                 raise
-            for v in range(base + 1, new_latest + 1):
-                m = tfs.read_json(f"_manifest.{v}.json")
-                if (
-                    m.get("mode", "append") != "append"
-                    or m.get("removes")
-                    or m.get("dv_removes")
-                ):
-                    _cleanup_stage()
-                    raise ConcurrentCommitError(
-                        f"merge-on-read {mode} lost the commit race to a "
-                        f"non-blind winner (version {v} is "
-                        f"{m.get('mode', 'append')!r}) — the conservative "
-                        "MoR rebase only crosses blind appends; re-read "
-                        "the table and redo the operation"
-                    ) from None
-            files_new, schema_new, _ = _table_meta(tfs, new_latest)
-            if _normalize_schema(schema_new) != schema:
+            reason = _cow_rebase_conflict(
+                spark,
+                tfs,
+                base,
+                new_latest,
+                sorted(new_tombs),
+                read_marker,
+                schema,
+            )
+            if reason is not None:
                 _cleanup_stage()
                 raise ConcurrentCommitError(
-                    "a concurrent commit changed the table schema"
+                    f"merge-on-read {mode} lost the commit race and "
+                    f"cannot rebase: {reason} — re-read the table and "
+                    "redo the operation"
                 ) from None
-            base, cur_files = new_latest, files_new
+            base = new_latest
+            cur_files = manifest_files(tfs, new_latest)
             continue
         tfs.write_json_atomic({"version": version}, "_latest.json")
         return {
@@ -1950,6 +2132,7 @@ def _mor_commit(
             "n_rows_tombstoned": n_rows_tombstoned,
             "n_rows_written": n_rows_written,
             "bytes_staged": sum(tfs.size(rel) for rel in adds),
+            "n_rebases": attempt,
         }
     raise AssertionError("unreachable: the loop either returns or raises")
 
@@ -2207,10 +2390,9 @@ def merge_versioned(
         snap = _snapshot_frame(
             spark, tfs, candidates, schema, dv=dvs, with_pos=True
         )
+        marker = (changes.select(*keys).distinct(), keys)
         matched = snap.join(
-            F.broadcast(changes.select(*keys).distinct()),
-            on=keys,
-            how="leftsemi",
+            F.broadcast(marker[0]), on=keys, how="leftsemi"
         ).persist()
         try:
             new_tombs = _collect_positions(matched, candidates)
@@ -2227,6 +2409,8 @@ def merge_versioned(
                 schema_json,
                 batch_id=batch_id,
                 stream_id=stream_id,
+                spark=spark,
+                read_marker=marker,
                 max_attempts=max_attempts,
             )
         finally:
@@ -2309,6 +2493,8 @@ def delete_versioned(
             new_tombs,
             files,
             schema_json,
+            spark=spark,
+            read_marker=pred,
             max_attempts=max_attempts,
         )
     snap = _snapshot_frame(spark, tfs, files, schema, dv=dvs)
@@ -2396,6 +2582,8 @@ def update_versioned(
                 new_tombs,
                 files,
                 schema_json,
+                spark=spark,
+                read_marker=pred,
                 max_attempts=max_attempts,
             )
         finally:
@@ -2615,7 +2803,9 @@ def vacuum_versioned(
     manifest, whose files are always retained.
 
     Returns {floor, n_files_deleted, bytes_deleted, versions_pruned,
-    n_files_deferred}.
+    n_files_deferred, n_sidecars_deleted} — the last counts ORPHAN
+    metadata sidecars (`_snapshot.*`/`_dv.*` referenced by NO manifest;
+    crashed or raced writers) removed by the round-14 cleanup pass.
     """
     from pyarrow import fs as pafs
 
