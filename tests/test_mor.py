@@ -445,3 +445,99 @@ def test_mor_rebase_readset_and_rival_tombstone_conflicts(
     monkeypatch.undo()
     ks = {r["k"] for r in read_versioned(spark, path).collect()}
     assert 1 not in ks and 3 in ks
+
+
+def _race_mor_merge(path, lo, hi, barrier, results):
+    """Child-process body for test_two_process_mor_race_disjoint: a REAL
+    local SparkSession running the production MoR merge path — the
+    DV-aware find-matched scan, tombstone collect, append staging,
+    commit race, and rebase all execute production code per process."""
+    try:
+        from time_series_spark_spark.session import get_spark
+        from time_series_spark_spark.sources.io import merge_versioned
+
+        spark = get_spark(
+            f"mor-race-{lo}",
+            master="local[2]",
+            shuffle_partitions=2,
+            extra_conf={"spark.driver.memory": "1g"},
+        )
+        ch = spark.createDataFrame(
+            [(k, "update", k * 1000, "gr") for k in range(lo, hi)],
+            "k long, op string, new_val long, new_grp string",
+        )
+        barrier.wait(timeout=180)
+        rep = merge_versioned(
+            spark, path, ch, ["k"], max_attempts=5, strategy="mor"
+        )
+        results.put((lo, rep["version"]))
+        spark.stop()
+    except Exception as e:  # noqa: BLE001 — surface in the assert
+        results.put((lo, f"{type(e).__name__}: {e}"))
+
+
+def test_two_process_mor_race_disjoint(spark, tmp_path):
+    """A REAL two-process race of two MERGE-ON-READ commits over
+    disjoint key ranges in DIFFERENT files: one wins v2, the loser
+    rebases its staged tombstones + appended file onto the winner's
+    snapshot and lands v3 — both updates applied, both dv sets live,
+    history shows two merge commits."""
+    import multiprocessing as mp
+
+    path = _two_file_table(spark, tmp_path)  # k 0..9 over two files
+
+    ctx = mp.get_context("spawn")
+    barrier = ctx.Barrier(2)
+    results: "mp.Queue" = ctx.Queue()
+    ps = [
+        ctx.Process(
+            target=_race_mor_merge, args=(path, lo, hi, barrier, results)
+        )
+        for lo, hi in ((0, 3), (7, 10))  # file A keys vs file B keys
+    ]
+    for p in ps:
+        p.start()
+    outcomes = dict(results.get(timeout=600) for _ in ps)
+    for p in ps:
+        p.join(timeout=600)
+    assert sorted(
+        v for v in outcomes.values() if isinstance(v, int)
+    ) == [2, 3], outcomes
+    got = {r["k"]: r["val"] for r in read_versioned(spark, path).collect()}
+    for k in (0, 1, 2, 7, 8, 9):
+        assert got[k] == k * 1000
+    for k in (3, 4, 5, 6):
+        assert got[k] == k * 10  # untouched middle keys pass through
+    hist = describe_versioned_history(spark, path).collect()
+    assert [r["mode"] for r in sorted(hist, key=lambda r: r["version"])] == [
+        "append", "append", "merge", "merge"
+    ]
+    # both MoR commits' tombstones are live in the final dv state (the
+    # rebase merged the loser's positions onto the winner's state)
+    dv = manifest_dvs(as_table_fs(path), 3)
+    assert sum(len(ps_) for ps_ in dv.values()) == 6  # 3 keys per writer
+
+
+def test_change_feed_across_mor_commits(spark, tmp_path):
+    """M8 × A13n: the version change feed (snapshot diff between two
+    read_versioned frames) sees MoR tombstones as DELETES and MoR
+    upserts as UPDATES/INSERTS — the reader's DV anti-filter makes the
+    diff layer entirely oblivious to the storage strategy."""
+    from time_series_spark_spark.operators.cdc import snapshot_diff
+
+    path = _two_file_table(spark, tmp_path)
+    delete_versioned(spark, path, "k = 1", strategy="mor")  # v2
+    merge_versioned(
+        spark,
+        path,
+        _changelog(
+            spark, [(2, "update", 999, "gx"), (100, "insert", 1000, "gy")]
+        ),
+        ["k"],
+        strategy="mor",
+    )  # v3
+    old = read_versioned(spark, path, as_of=1)
+    new = read_versioned(spark, path, as_of=3)
+    diff = snapshot_diff(old, new, ["k"], ["val", "grp"])
+    ops = {r["k"]: r["op"] for r in diff.collect()}
+    assert ops == {1: "delete", 2: "update", 100: "insert"}
