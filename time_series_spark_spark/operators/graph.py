@@ -34,6 +34,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from time_series_spark_spark.session import local_df
+
 
 def connected_components(
     pairs: DataFrame,
@@ -312,7 +314,7 @@ def bfs_hops(
         F.col(src).alias("u"), F.col(dst).alias("v")
     ).unionAll(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
     spark = edges.sparkSession
-    visited = spark.createDataFrame(
+    visited = local_df(spark, 
         [(int(source), 0)], "node long, hops long"
     )
     frontier = visited
@@ -505,7 +507,7 @@ def sssp_bounded(
     # seed distance in the WEIGHT column's own type — fractional weights
     # must not ride on union coercion to stay double
     w_type = sym.schema["w"].dataType.simpleString()
-    dist = spark.createDataFrame([(int(source),)], "node long").select(
+    dist = local_df(spark, [(int(source),)], "node long").select(
         "node", F.lit(0).cast(w_type).alias("d")
     )
     for _ in range(max_rounds):

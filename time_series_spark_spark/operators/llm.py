@@ -30,6 +30,8 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+
+from time_series_spark_spark.session import local_df
 from pyspark.sql.window import Window
 
 from time_series_spark_spark.functions.vectors import cosine
@@ -1585,7 +1587,7 @@ def ivf_topk(
     )
 
     # centroid table: tiny (n_clusters × dim) — built driver-side, broadcast.
-    centroids = df.sparkSession.createDataFrame(
+    centroids = local_df(df.sparkSession, 
         [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())],
         "cell int, centroid array<double>",
     )
@@ -2104,7 +2106,7 @@ def pq_topk(
             lut_rows.extend(
                 (int(r["id"]), j, c, float(v)) for c, v in enumerate(vals)
             )
-    lut = df.sparkSession.createDataFrame(
+    lut = local_df(df.sparkSession, 
         lut_rows, "query_id long, j int, c int, lv double"
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("adot"), F.asc("cand_id"))
@@ -2449,7 +2451,7 @@ def ppmi_svd_vectors(
     k = min(dim, len(s))
     vecs = u[:, :k] * np.sqrt(s[:k])[None, :]
     spark = df.sparkSession
-    return spark.createDataFrame(
+    return local_df(spark, 
         [(w, [float(x) for x in vecs[i]]) for i, w in enumerate(vocab)],
         "term string, vec array<double>",
     )
@@ -2573,7 +2575,7 @@ def save_pq_codebooks(spark, books: "np.ndarray", path: str) -> None:
         for j in range(m)
         for c in range(ksub)
     ]
-    spark.createDataFrame(
+    local_df(spark, 
         rows, "j int, c int, vec array<double>"
     ).write.mode("overwrite").parquet(path)
 
@@ -2594,7 +2596,7 @@ def load_pq_codebooks(spark, path: str) -> "np.ndarray":
 def save_bpe_merges(spark, merges: list[tuple[str, str, int]], path: str) -> None:
     """Persist a learned BPE merge table (rank order is the apply
     order — stored explicitly)."""
-    spark.createDataFrame(
+    local_df(spark, 
         [(i, l, r, c) for i, (l, r, c) in enumerate(merges)],
         "rank int, left string, right string, pair_count long",
     ).write.mode("overwrite").parquet(path)

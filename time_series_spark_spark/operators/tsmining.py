@@ -36,6 +36,8 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+from time_series_spark_spark.session import local_df
 from pyspark.sql.window import Window
 
 from time_series_spark_spark.operators.packed import packed_grouped_map
@@ -760,7 +762,7 @@ def cluster_silhouette_report(
     finally:
         feats.unpersist()
     spark = df.sparkSession
-    return spark.createDataFrame(
+    return local_df(spark, 
         rows, "k long, n_series long, silhouette double, min_cluster_size long"
     )
 

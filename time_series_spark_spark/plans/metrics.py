@@ -20,6 +20,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
+from time_series_spark_spark.session import local_df
+
 
 def _unwrap(node):
     name = node.nodeName()
@@ -79,7 +81,7 @@ def explain_analyze(df: DataFrame) -> DataFrame:
             )
         )
         seq += 1
-    return spark.createDataFrame(
+    return local_df(spark, 
         rows,
         "op_seq int, depth int, operator string, rows_out long, n_files long",
     )

@@ -13,6 +13,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from time_series_spark_spark.session import local_df
+
 from time_series_spark_spark.operators.analytics import (
     counter_increase,
     funnel,
@@ -631,7 +633,7 @@ def events_zorder_layout_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         import shutil
 
         shutil.rmtree(path, ignore_errors=True)
-    return spark.createDataFrame(
+    return local_df(spark, 
         [
             (
                 int(n_total),
@@ -1908,7 +1910,7 @@ def events_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(path, ignore_errors=True)
     target = max(4 * sum(s for _, s in sizes) // max(len(sizes), 1), 1)
     plan = plan_compaction(sizes, target_bytes=target)
-    pdf = spark.createDataFrame(
+    pdf = local_df(spark, 
         plan, "file string, group_id int, bytes long"
     )
     return (
@@ -2546,7 +2548,7 @@ def orders_dpp_pruned_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         orders.write.mode("overwrite").partitionBy("o_year").parquet(path)
         fact = spark.read.parquet(path)
         years = [r["o_year"] for r in fact.select("o_year").distinct().collect()]
-        dim = spark.createDataFrame(
+        dim = local_df(spark, 
             [(y, 1 if y in sorted(years)[:2] else 0) for y in years],
             "d_year int, is_selected int",
         )
@@ -2560,7 +2562,7 @@ def orders_dpp_pruned_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         plan = agg._jdf.queryExecution().executedPlan().toString()
         row = agg.collect()[0]
-        return spark.createDataFrame(
+        return local_df(spark, 
             [
                 (
                     len(years),
@@ -2621,7 +2623,7 @@ def orders_compaction_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         x_before, n_before = fingerprint(spark.read.parquet(src))
         x_after, n_after = fingerprint(spark.read.parquet(dst))
-        return spark.createDataFrame(
+        return local_df(spark, 
             [
                 (
                     stats["n_files_before"],
@@ -2692,7 +2694,7 @@ def orders_schema_compat_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
     )
     rows = schema_compat_report(old, new)
-    return spark.createDataFrame(
+    return local_df(spark, 
         [(r["column"], r["verdict"], r["detail"], r["compatible"]) for r in rows],
         "column string, verdict string, detail string, compatible boolean",
     ).orderBy("column")
@@ -2783,7 +2785,7 @@ def orders_mv_rollup_navigation(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("month")
         )
         rows = out.collect()  # materialize before the MV files vanish
-        return spark.createDataFrame(rows, out.schema)
+        return local_df(spark, rows, out.schema)
     finally:
         shutil.rmtree(mv_path, ignore_errors=True)
 
@@ -2891,4 +2893,4 @@ def events_parquet_layout_audit(
         rows = out.collect()
     finally:
         shutil.rmtree(d, ignore_errors=True)
-    return spark.createDataFrame(rows, out.schema)
+    return local_df(spark, rows, out.schema)

@@ -18,6 +18,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from time_series_spark_spark.session import local_df
+
 from time_series_spark_spark.operators.cdc import apply_changes, snapshot_diff
 from time_series_spark_spark.queries import register
 from time_series_spark_spark.sources.io import load
@@ -339,7 +341,7 @@ def orders_time_travel_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         latest = read_versioned(spark, path).count()
     finally:
         shutil.rmtree(path, ignore_errors=True)
-    return spark.createDataFrame(
+    return local_df(spark, 
         [(v, n, rev, int(latest)) for v, n, rev in rows],
         "version long, n_orders long, rev_cents long, n_latest long",
     )
@@ -405,7 +407,7 @@ def orders_versioned_restore_roundtrip(
         rows = out.collect()
     finally:
         shutil.rmtree(path, ignore_errors=True)
-    return spark.createDataFrame(rows, out.schema)
+    return local_df(spark, rows, out.schema)
 
 
 @register(
@@ -467,7 +469,7 @@ def orders_versioned_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         rows = out.collect()
     finally:
         shutil.rmtree(path, ignore_errors=True)
-    return spark.createDataFrame(rows, out.schema)
+    return local_df(spark, rows, out.schema)
 
 
 # ---------------------------------------------------------------------------
@@ -667,7 +669,7 @@ def orders_version_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
         rows = out.collect()
     finally:
         shutil.rmtree(path, ignore_errors=True)
-    return spark.createDataFrame(rows, out.schema)
+    return local_df(spark, rows, out.schema)
 
 
 @register(
@@ -720,7 +722,7 @@ def orders_versioned_compaction_roundtrip(
         rows = out.collect()
     finally:
         shutil.rmtree(path, ignore_errors=True)
-    return spark.createDataFrame(rows, out.schema)
+    return local_df(spark, rows, out.schema)
 
 
 @register(
@@ -796,7 +798,7 @@ def orders_versioned_vacuum_roundtrip(
         rows = out.collect()
     finally:
         shutil.rmtree(path, ignore_errors=True)
-    return spark.createDataFrame(rows, out.schema)
+    return local_df(spark, rows, out.schema)
 
 
 @register(
@@ -868,7 +870,7 @@ def orders_versioned_schema_evolution(
         rows = out.collect()
     finally:
         shutil.rmtree(path, ignore_errors=True)
-    return spark.createDataFrame(rows, out.schema)
+    return local_df(spark, rows, out.schema)
 
 
 @register(
@@ -946,7 +948,7 @@ def orders_versioned_layout_health(
         rows = out.collect()
     finally:
         shutil.rmtree(path, ignore_errors=True)
-    return spark.createDataFrame(rows, out.schema)
+    return local_df(spark, rows, out.schema)
 
 
 @register(
@@ -1065,7 +1067,7 @@ def orders_versioned_merge_roundtrip(
         rows = out.collect()
     finally:
         shutil.rmtree(path, ignore_errors=True)
-    return spark.createDataFrame(rows, out.schema)
+    return local_df(spark, rows, out.schema)
 
 
 @register(
@@ -1175,7 +1177,7 @@ def orders_versioned_merge_evolve(
         rows = out.collect()
     finally:
         shutil.rmtree(path, ignore_errors=True)
-    return spark.createDataFrame(rows, out.schema)
+    return local_df(spark, rows, out.schema)
 
 
 @register(
@@ -1320,7 +1322,7 @@ def orders_versioned_mor_roundtrip(
     finally:
         shutil.rmtree(p_mor, ignore_errors=True)
         shutil.rmtree(p_cow, ignore_errors=True)
-    return spark.createDataFrame(rows, out.schema)
+    return local_df(spark, rows, out.schema)
 
 
 @register(
@@ -1421,7 +1423,7 @@ def orders_versioned_constraints_report(
             for name in sorted(got.get("check", {}))
         ]
         out = (
-            spark.createDataFrame(
+            local_df(spark, 
                 rows, "kind string, name string, expression string"
             )
             .withColumn("n_commits", F.lit(n_commits).cast("long"))
@@ -1434,7 +1436,7 @@ def orders_versioned_constraints_report(
         result = out.collect()
     finally:
         shutil.rmtree(path, ignore_errors=True)
-    return spark.createDataFrame(result, out.schema)
+    return local_df(spark, result, out.schema)
 
 
 @register(
@@ -1528,7 +1530,7 @@ def orders_versioned_zorder_report(
         )
     finally:
         shutil.rmtree(path, ignore_errors=True)
-    return spark.createDataFrame(
+    return local_df(spark, 
         [row],
         "n_files_before long, n_files_after long, rows_preserved boolean, "
         "custkey_pruning_improved boolean, cents_pruning_improved boolean",
@@ -1611,4 +1613,4 @@ def orders_versioned_skipping_scan(
         rows = out.collect()
     finally:
         shutil.rmtree(path, ignore_errors=True)
-    return spark.createDataFrame(rows, out.schema)
+    return local_df(spark, rows, out.schema)

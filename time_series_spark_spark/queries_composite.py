@@ -17,6 +17,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+from time_series_spark_spark.session import local_df
 from pyspark.sql.window import Window
 
 from time_series_spark_spark.queries import register
@@ -537,7 +539,7 @@ def training_data_pipeline_report(
     rows = result.collect()
     deduped.unpersist()
     near.unpersist()
-    return spark.createDataFrame(rows, result.schema)
+    return local_df(spark, rows, result.schema)
 
 
 @register(
@@ -592,7 +594,7 @@ def purchase_attribution_markov(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.size("path") > 0)
     )
     pdf = markov_attribution(paths)
-    return spark.createDataFrame(
+    return local_df(spark, 
         pdf, "channel string, removal_effect double, attribution double"
     ).orderBy("channel")
 

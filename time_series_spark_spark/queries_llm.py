@@ -9,6 +9,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+from time_series_spark_spark.session import local_df
 from pyspark.sql.window import Window
 
 from time_series_spark_spark.operators.llm import (
@@ -304,7 +306,7 @@ def docs_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .collect()  # the pipeline action; materializes the observation
     )
     metrics = check_quality(obs, max_null_frac=0.0, min_rows=1)
-    return spark.createDataFrame(
+    return local_df(spark, 
         [
             (
                 int(metrics["n_rows"]),
@@ -1767,7 +1769,7 @@ def docs_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     merges = bpe_train(
         load(spark, sf_dir, "documents"), n_merges=20
     )
-    return spark.createDataFrame(
+    return local_df(spark, 
         [
             (i + 1, l, r, c, l + r)
             for i, (l, r, c) in enumerate(merges)
@@ -1881,7 +1883,7 @@ def emb_pca_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
         (i + 1, round(float(v), 6), round(float(v / total), 6))
         for i, v in enumerate(vals)
     ]
-    return spark.createDataFrame(
+    return local_df(spark, 
         rows, "component int, eigenvalue double, evr_of_top8 double"
     )
 
@@ -1920,7 +1922,7 @@ def emb_ann_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         got = df.select("query_id", "cand_id")
         hit = got.join(exact, ["query_id", "cand_id"]).count()
         rows.append((name, int(hit), int(n_exact), round(hit / n_exact, 4)))
-    return spark.createDataFrame(
+    return local_df(spark, 
         rows, "method string, n_hits long, n_exact long, recall_at_5 double"
     ).orderBy("method")
 
@@ -1997,7 +1999,7 @@ def docs_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     from time_series_spark_spark.operators.ml import text_quality_classifier_auc
 
     m = text_quality_classifier_auc(load(spark, sf_dir, "documents"))
-    return spark.createDataFrame(
+    return local_df(spark, 
         [(m["n_train"], m["n_test"], m["pos_rate_test"], m["auc"])],
         "n_train long, n_test long, pos_rate_test double, auc double",
     )
@@ -2162,7 +2164,7 @@ def docs_quality_cv_tuning(spark: SparkSession, sf_dir: str) -> DataFrame:
     from time_series_spark_spark.operators.ml import cv_tune_quality_lr
 
     rows = cv_tune_quality_lr(load(spark, sf_dir, "documents"))
-    return spark.createDataFrame(
+    return local_df(spark, 
         [(r["reg_param"], r["avg_auc"], r["is_best"]) for r in rows],
         "reg_param double, avg_auc double, is_best boolean",
     ).orderBy("reg_param")
@@ -2664,7 +2666,7 @@ def docs_neardup_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         got.unpersist()
     exact.unpersist()
-    return spark.createDataFrame(
+    return local_df(spark, 
         rows,
         "method string, n_hits long, n_exact long, recall double, "
         "n_candidates long, candidate_ratio double",
@@ -3201,7 +3203,7 @@ def emb_diverse_exemplars(spark: SparkSession, sf_dir: str) -> DataFrame:
     from time_series_spark_spark.operators.llm import farthest_point_sample
 
     sel = farthest_point_sample(load(spark, sf_dir, "embeddings"), k=8)
-    return spark.createDataFrame(
+    return local_df(spark, 
         [(i, vid, round(d, 6)) for i, (vid, d) in enumerate(sel)],
         "pick_order int, vec_id long, dist_at_pick double",
     )
@@ -3358,7 +3360,7 @@ def docs_dedup_impact_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id")
     )
     rows.append(summarize(keepers, "near_dup_cluster_keep_one", 2))
-    return spark.createDataFrame(
+    return local_df(spark, 
         rows,
         "strategy_order int, strategy string, docs_kept long,"
         " tokens_kept long, doc_retention double, token_retention double",

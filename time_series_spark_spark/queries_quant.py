@@ -19,6 +19,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from time_series_spark_spark.session import local_df
+
 from time_series_spark_spark.operators.timeseries import sessionize
 from time_series_spark_spark.queries import register
 from time_series_spark_spark.sources.io import load
@@ -1132,7 +1134,7 @@ def bucketed_join_layout_report(
         spark.sql(f"DROP TABLE IF EXISTS {t_o}")
         spark.sql(f"DROP TABLE IF EXISTS {t_l}")
         shutil.rmtree(path, ignore_errors=True)
-    return spark.createDataFrame(
+    return local_df(spark, 
         rows,
         "o_orderpriority string, n_lines long, price_cents long, "
         "join_key_exchanges long",
@@ -9074,7 +9076,7 @@ def events_haar_energy_daily(
         .alias("i"),
         F.count(F.lit(1)).over(w_all_rows).alias("n"),
     )
-    lv = daily.sparkSession.createDataFrame(
+    lv = local_df(daily.sparkSession, 
         [(1, 2, 1), (2, 4, 2), (3, 8, 4), (4, 16, 8), (5, 32, 16)],
         "k long, w long, h long",
     )

@@ -25,6 +25,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from time_series_spark_spark.session import local_df
+
 from time_series_spark_spark.queries import register
 from time_series_spark_spark.sources.io import load
 from time_series_spark_spark.streaming.jobs import (
@@ -917,7 +919,7 @@ def stream_versioned_sink_roundtrip(
     finally:
         shutil.rmtree(table_path, ignore_errors=True)
         shutil.rmtree(ck_path, ignore_errors=True)
-    return spark.createDataFrame(rows, out.schema)
+    return local_df(spark, rows, out.schema)
 
 
 @register(
@@ -989,7 +991,7 @@ def stream_versioned_source_feed(
         rows = out.collect()
     finally:
         shutil.rmtree(table, ignore_errors=True)
-    return spark.createDataFrame(rows, out.schema)
+    return local_df(spark, rows, out.schema)
 
 
 @register(
@@ -1077,7 +1079,7 @@ def stream_optimize_skip_feed(
         rows = out.collect()
     finally:
         shutil.rmtree(table, ignore_errors=True)
-    return spark.createDataFrame(rows, out.schema)
+    return local_df(spark, rows, out.schema)
 
 
 @register(
@@ -1161,7 +1163,7 @@ def orders_incremental_pipeline_roundtrip(
         shutil.rmtree(src, ignore_errors=True)
         shutil.rmtree(dst, ignore_errors=True)
         shutil.rmtree(ck, ignore_errors=True)
-    return spark.createDataFrame(rows, out.schema)
+    return local_df(spark, rows, out.schema)
 
 
 @register(
@@ -1254,4 +1256,4 @@ def stream_merge_upsert_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         shutil.rmtree(table, ignore_errors=True)
         shutil.rmtree(ck, ignore_errors=True)
-    return spark.createDataFrame(rows, out.schema)
+    return local_df(spark, rows, out.schema)

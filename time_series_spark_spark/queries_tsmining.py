@@ -18,6 +18,8 @@ import numpy as np
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from time_series_spark_spark.session import local_df
+
 from time_series_spark_spark.operators.analytics import event_order_key
 from time_series_spark_spark.operators.tsmining import (
     dtw_topk,
@@ -782,7 +784,7 @@ def events_pacf_daily_total(spark: SparkSession, sf_dir: str) -> DataFrame:
             ] + [phi_kk]
         pacf.append((k, round(phi_kk, 6)))
         phi_prev = phi
-    return spark.createDataFrame(pacf, "k int, pacf double")
+    return local_df(spark, pacf, "k int, pacf double")
 
 
 @register(

@@ -12,6 +12,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from time_series_spark_spark.session import local_df
+
 from time_series_spark_spark.functions.udfs import (
     ShinglesUDTF,
     embedding_norm_iter,
@@ -298,7 +300,7 @@ def ml_purchase_propensity(spark: SparkSession, sf_dir: str) -> DataFrame:
     m = purchase_propensity_auc(
         load(spark, sf_dir, "events"), cutoff="2024-01-22"
     )
-    return spark.createDataFrame(
+    return local_df(spark, 
         [(m["n_train"], m["n_test"], m["pos_rate_test"], m["auc"])],
         "n_train long, n_test long, pos_rate_test double, auc double",
     )
@@ -390,7 +392,7 @@ def ml_als_eval_precision(spark: SparkSession, sf_dir: str) -> DataFrame:
         load(spark, sf_dir, "lineitem"), load(spark, sf_dir, "orders")
     )
     m = als_precision_at_k(inter, cutoff_frac=0.8, k=5)
-    return spark.createDataFrame(
+    return local_df(spark, 
         [
             (
                 m["n_users"],
@@ -420,7 +422,7 @@ def ml_aft_session_lifetime(spark: SparkSession, sf_dir: str) -> DataFrame:
     from time_series_spark_spark.operators.ml import aft_session_lifetime
 
     m = aft_session_lifetime(load(spark, sf_dir, "events"))
-    return spark.createDataFrame(
+    return local_df(spark, 
         [tuple(m.values())],
         "n_sessions long, n_ended long, n_censored long, "
         "coef_events double, coef_purchase_share double, aft_scale double, "

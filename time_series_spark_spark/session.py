@@ -68,6 +68,39 @@ def ship_package(spark: SparkSession) -> None:
     _SHIPPED_CONTEXTS.add(ctx_id)
 
 
+def local_df(spark: SparkSession, rows, schema) -> "DataFrame":
+    """Arrow-backed local DataFrame for driver-computed result rows.
+
+    ``spark.createDataFrame(list, schema)`` parallelizes the list into an
+    RDD (``LogicalRDD`` scan): every collect of the result pays a full
+    32-task pickled-Python job — measured 0.39 s for a 20-row frame on
+    local[32] vs 0.05 s through Arrow (round 14, guide §6 "Arrow for
+    driver transfers"). Routing the same rows through a pandas frame
+    produces a ``LocalRelation`` (no cluster job at all on collect).
+    Values and dtypes are unchanged — the driver's dtype-strict oracle
+    sweep is the regression net. Any conversion surprise (exotic nested
+    types, resolution mismatches) falls back to the exact old path.
+    """
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    try:
+        if not isinstance(rows, (list, tuple)):
+            raise TypeError("list-of-rows input only")
+        if isinstance(schema, str):
+            struct = T._parse_datatype_string(schema)
+        else:
+            struct = schema
+        if not isinstance(struct, T.StructType):
+            raise TypeError("struct schema only")
+        names = struct.fieldNames()
+        data = [tuple(r) for r in rows]
+        pdf = pd.DataFrame(data, columns=names, dtype=object)
+        return spark.createDataFrame(pdf, struct)
+    except Exception:
+        return spark.createDataFrame(rows, schema)
+
+
 def default_parallelism() -> int:
     return int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
 
