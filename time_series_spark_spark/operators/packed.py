@@ -45,11 +45,25 @@ def packed_grouped_map(
     ``keys + order_cols``; it must handle every group in ``pdf``
     (e.g. via ``pdf.groupby(keys, sort=False)``).
     """
-    parted = (
-        df.repartition(num_partitions, *keys)
-        if num_partitions
-        else df.repartition(*keys)
-    ).sortWithinPartitions(*keys, *order_cols)
+    if num_partitions is None:
+        # Pin the exchange to the session's shuffle parallelism instead of
+        # leaving it AQE-coalescible: byte-based coalescing collapses a
+        # small-by-bytes but CPU-bound Arrow stage to ONE partition
+        # (measured at sf0.1: every packed stage ran single-threaded —
+        # events_lttb_user spent 0.84 s in one Python task on a 32-core
+        # host). shuffle.partitions is sized to the cluster (session.py:
+        # ~cores locally, 2-3x total cores on a cluster), which is the
+        # right floor for compute-bound stages at any scale; bytes moved
+        # are identical, only the post-shuffle merge is skipped.
+        try:
+            num_partitions = int(
+                df.sparkSession.conf.get("spark.sql.shuffle.partitions")
+            )
+        except Exception:
+            num_partitions = df.sparkSession.sparkContext.defaultParallelism
+    parted = df.repartition(num_partitions, *keys).sortWithinPartitions(
+        *keys, *order_cols
+    )
 
     def _trailing_group_len(pdf: pd.DataFrame) -> int:
         """Rows of the final key at the tail of a key-sorted frame."""

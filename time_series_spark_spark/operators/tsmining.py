@@ -288,57 +288,78 @@ def dtw_topk(
     band_frac: float = 0.1,
 ) -> DataFrame:
     """Exact top-k DTW nearest series to ``query_vals`` among
-    equal-length series rows ``(key, vals)``, two-stage:
+    equal-length series rows ``(key, vals)``, in ONE pass (round-14
+    optimization; guide §2.4/§4): each partition runs the UCR-suite
+    search shape — LB_Keogh every candidate, visit candidates in
+    ascending-LB order, exact banded DTW only while a candidate's LB can
+    still beat the partition's running k-th best (admissible: LB ≤ DTW;
+    ties pruned conservatively, strict > only) — and emits its local
+    top-k; a TakeOrdered over the ≤ k·partitions survivors is exact.
 
-    1. every candidate gets the O(n) LB_Keogh envelope bound (pandas UDF
-       over Arrow batches — the full scan stage);
-    2. exact banded DTW for the k best-by-LB (a TakeOrdered top-k, no
-       global sort); τ = their max distance, carried as a 1-row
-       broadcast — every true top-k member has lb ≤ dtw ≤ τ, and the
-       seeds themselves satisfy lb ≤ τ, so ONE pruned exact stage over
-       {lb ≤ τ} yields the exact answer (no seed/remainder union, no
-       driver-side key list).
-
-    The whole search is one lazy DAG — no persist, no collect, no
-    checkpoint; the only driver traffic is the τ broadcast the engine
-    performs itself. Exactness vs brute force is pinned in tests.
-    Returns (key, dtw) rows of the exact top-k ordered by (dtw, key).
+    The previous two-stage shape (full LB scan → τ from the k best-by-LB
+    as a 1-row broadcast → pruned exact stage over {lb ≤ τ}) evaluated
+    the series-vector pipeline twice and paid three Python-boundary
+    stages per run; this is one scan, one Python stage, one k-row-per-
+    partition TakeOrdered (each partition prunes with its own running τ,
+    so the DTW count is ≥ k per non-empty partition and bounded by the
+    same LB admissibility as before). Exactness vs brute force is pinned
+    in tests. Returns (key, dtw) rows of the exact top-k ordered by
+    (dtw, key).
     """
     q = _znorm(np.asarray(query_vals, dtype=np.float64))
     band = max(1, int(round(band_frac * len(q))))
     q_lo, q_hi = query_envelope(q, band)
     nq = len(q)
 
-    @F.pandas_udf("double")
-    def lb_udf(vals: pd.Series) -> pd.Series:
-        out = np.empty(len(vals))
-        for i, v in enumerate(vals):
-            c = _znorm(np.asarray(v, dtype=np.float64))
-            out[i] = (
-                lb_keogh(c, q_lo, q_hi) if len(c) == nq else np.inf
+    key_type = next(
+        f.dataType.simpleString()
+        for f in series.schema.fields
+        if f.name == key
+    )
+
+    def _local_topk(batches) -> "pd.DataFrame":
+        # Partition-local exact top-k, UCR-suite style: LB_Keogh every
+        # candidate, visit candidates in ascending-LB order, run exact
+        # DTW only while the candidate's LB can still beat the running
+        # k-th best. Conservative tie handling (prune strictly greater
+        # LB only) keeps the global (dtw, key) ordering exact.
+        top: list[tuple[float, object]] = []
+        for pdf in batches:
+            vals = pdf["vals"].to_numpy()
+            keys_arr = pdf[key].to_numpy()
+            lbs = np.empty(len(vals))
+            znormed: list = []
+            for i, v in enumerate(vals):
+                c = _znorm(np.asarray(v, dtype=np.float64))
+                if len(c) != nq:
+                    lbs[i] = np.inf
+                    znormed.append(None)
+                else:
+                    lbs[i] = lb_keogh(c, q_lo, q_hi)
+                    znormed.append(c)
+            for i in np.argsort(lbs, kind="stable"):
+                if znormed[i] is None:
+                    continue
+                if len(top) == k:
+                    worst = max(top)
+                    if lbs[i] > worst[0]:
+                        break  # LB-sorted: nothing later can qualify
+                d = dtw_distance(znormed[i], q, band)
+                cand = (d, keys_arr[i])
+                if len(top) < k:
+                    top.append(cand)
+                elif cand < worst:
+                    top.remove(worst)
+                    top.append(cand)
+        if top:
+            top.sort()
+            yield pd.DataFrame(
+                {key: [t[1] for t in top], "dtw": [t[0] for t in top]}
             )
-        return pd.Series(out)
 
-    @F.pandas_udf("double")
-    def dtw_udf(vals: pd.Series) -> pd.Series:
-        out = np.empty(len(vals))
-        for i, v in enumerate(vals):
-            c = _znorm(np.asarray(v, dtype=np.float64))
-            out[i] = dtw_distance(c, q, band)
-        return pd.Series(out)
-
-    with_lb = series.select(key, "vals", lb_udf("vals").alias("lb")).filter(
-        F.col("lb") != np.inf
-    )
-    seeds = with_lb.orderBy("lb", key).limit(k)
-    tau_row = seeds.select(dtw_udf("vals").alias("dtw")).agg(
-        F.max("dtw").alias("tau")
-    )
+    local = series.mapInPandas(_local_topk, f"{key} {key_type}, dtw double")
     return (
-        with_lb.crossJoin(F.broadcast(tau_row))
-        .filter(F.col("lb") <= F.col("tau"))
-        .select(key, dtw_udf("vals").alias("dtw"))
-        .orderBy("dtw", key)
+        local.orderBy("dtw", key)
         .limit(k)
         .select(key, F.round("dtw", 6).alias("dtw"))
     )

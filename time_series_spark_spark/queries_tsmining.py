@@ -219,19 +219,34 @@ def _user_daily_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id", F.date_trunc("day", F.col("ts")).alias("d")
     ).agg(F.round(F.sum("value"), 6).alias("v"))
     bounds = daily.agg(F.min("d").alias("lo"), F.max("d").alias("hi"))
-    grid = (
-        daily.select("user_id")
-        .distinct()
-        .crossJoin(F.broadcast(bounds))
+    # Dense per-user vectors WITHOUT the distinct-users grid + left join
+    # + per-series sort (round 14, guide §2.4): scatter each user's
+    # (day-index, v) pairs into a map in one groupBy, then read the map
+    # along the shared [0, n) index grid — missing days are TRUE zeros
+    # exactly as the left-join + coalesce produced. Two exchanges
+    # (daily agg, per-user agg) instead of four, no join, identical rows.
+    return (
+        daily.crossJoin(F.broadcast(bounds))
         .select(
             "user_id",
-            F.explode(F.expr("sequence(lo, hi, interval 1 day)")).alias("d"),
+            F.datediff("d", "lo").alias("i"),
+            "v",
+            (F.datediff("hi", "lo") + F.lit(1)).alias("n"),
+        )
+        .groupBy("user_id", "n")
+        .agg(
+            F.map_from_entries(
+                F.collect_list(F.struct("i", "v"))
+            ).alias("m")
+        )
+        .select(
+            "user_id",
+            F.expr(
+                "transform(sequence(0, n - 1),"
+                " x -> coalesce(try_element_at(m, x), CAST(0.0 AS DOUBLE)))"
+            ).alias("vals"),
         )
     )
-    dense = grid.join(daily, ["user_id", "d"], "left").select(
-        "user_id", "d", F.coalesce("v", F.lit(0.0)).alias("v")
-    )
-    return series_vectors(dense, "user_id", "d", "v")
 
 
 @register(
