@@ -31,6 +31,29 @@ import pandas as pd
 from pyspark.sql import DataFrame
 
 
+def shuffle_parallelism(df: DataFrame) -> int:
+    """The session's shuffle-partition count (scale-adaptive: session.py
+    sizes it to the machine locally, 2-3x total cores on a cluster)."""
+    try:
+        return int(
+            df.sparkSession.conf.get("spark.sql.shuffle.partitions")
+        )
+    except Exception:
+        return df.sparkSession.sparkContext.defaultParallelism
+
+
+def pin_partitions(df: DataFrame, *keys: str) -> DataFrame:
+    """Hash-partition ``df`` by ``keys`` with the partition count PINNED
+    to the session's shuffle parallelism, so AQE's byte-based coalescing
+    cannot collapse a downstream compute- or serialization-bound stage
+    to one task (measured round 14: every packed Arrow stage and the
+    sessionize window ran single-threaded at bench scale). Bytes moved
+    are identical to the un-pinned exchange; a downstream window/groupBy
+    on the same keys reuses this exchange (ClusteredDistribution is
+    satisfied by any subset hash partitioning)."""
+    return df.repartition(shuffle_parallelism(df), *keys)
+
+
 def packed_grouped_map(
     df: DataFrame,
     keys: list[str],
@@ -51,16 +74,9 @@ def packed_grouped_map(
         # small-by-bytes but CPU-bound Arrow stage to ONE partition
         # (measured at sf0.1: every packed stage ran single-threaded —
         # events_lttb_user spent 0.84 s in one Python task on a 32-core
-        # host). shuffle.partitions is sized to the cluster (session.py:
-        # ~cores locally, 2-3x total cores on a cluster), which is the
-        # right floor for compute-bound stages at any scale; bytes moved
-        # are identical, only the post-shuffle merge is skipped.
-        try:
-            num_partitions = int(
-                df.sparkSession.conf.get("spark.sql.shuffle.partitions")
-            )
-        except Exception:
-            num_partitions = df.sparkSession.sparkContext.defaultParallelism
+        # host). See pin_partitions; bytes moved are identical, only the
+        # post-shuffle merge is skipped.
+        num_partitions = shuffle_parallelism(df)
     parted = df.repartition(num_partitions, *keys).sortWithinPartitions(
         *keys, *order_cols
     )

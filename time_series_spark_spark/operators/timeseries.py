@@ -146,7 +146,17 @@ def sessionize(
     df: DataFrame, key: str, ts_col: str, gap_seconds: int
 ) -> DataFrame:
     """Split each key's event stream on silences > gap; one row per event
-    with a per-key ``session_id`` (0-based, ordered by time)."""
+    with a per-key ``session_id`` (0-based, ordered by time).
+
+    The input is pre-partitioned by ``key`` with a pinned partition
+    count (round 14): the two window passes and the downstream
+    per-session aggregation all reuse this one exchange, and AQE cannot
+    coalesce the window/serialization stage to a single task (measured:
+    events_sessionize 0.33 -> 0.12 s; bytes shuffled unchanged).
+    """
+    from time_series_spark_spark.operators.packed import pin_partitions
+
+    df = pin_partitions(df, key)
     w = Window.partitionBy(key).orderBy(ts_col)
     prev_ts = F.lag(ts_col).over(w)
     # exact integer µs arithmetic — bit-identical across engines
