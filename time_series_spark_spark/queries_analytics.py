@@ -2548,7 +2548,12 @@ def orders_dpp_pruned_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         orders.write.mode("overwrite").partitionBy("o_year").parquet(path)
         fact = spark.read.parquet(path)
         years = [r["o_year"] for r in fact.select("o_year").distinct().collect()]
-        dim = local_df(spark, 
+        # NOT local_df: a LocalRelation build side gets its selective
+        # Filter constant-folded away (ConvertToLocalRelation), and the
+        # DPP rule then sees no selective predicate and never injects
+        # DynamicPruningExpression — dpp_active would report 0. The
+        # RDD-backed frame keeps the Filter node so pruning fires.
+        dim = spark.createDataFrame(
             [(y, 1 if y in sorted(years)[:2] else 0) for y in years],
             "d_year int, is_selected int",
         )
