@@ -1131,7 +1131,13 @@ def dup_span_stats(
 
     Returns: (id_col, *carry_cols, n_grams, n_dup) — both counts long.
     """
-    toks = df.select(
+    from time_series_spark_spark.operators.packed import fan_out
+
+    # fan the slim projection out so the gram explode isn't serialized
+    # on the scan's split count (no-op on a well-split corpus, §2.5)
+    toks = fan_out(
+        df.select(F.col(id_col), *[F.col(c) for c in carry_cols], text_col)
+    ).select(
         F.col(id_col), *[F.col(c) for c in carry_cols], tokens(text_col).alias("t")
     )
     # Hash token tuples directly inside the lambda — never materialize the
@@ -1205,7 +1211,18 @@ def char_ngram_lm_scores(
             *extra, F.explode(F.expr(e)).alias(out)
         )
 
-    tr = train.select(F.lower(F.col(text_col)).alias("__txt"))
+    from time_series_spark_spark.operators.packed import fan_out
+
+    # every downstream stage is a compute-bound char-gram explode whose
+    # parallelism is otherwise capped at the scan's split count (ONE
+    # task on the local single-row-group file); fan the slim text
+    # projection out first — a no-op when the scan is already split
+    # (guide §2.5). A union-explode emitting all three widths from one
+    # pass was tried and REVERTED: the three broadcast model subtrees
+    # build as concurrent jobs, each re-running the shared explode
+    # (exchange reuse doesn't dedupe in-flight stages) — measured 2x
+    # slower than three narrow explodes.
+    tr = fan_out(train.select(F.lower(F.col(text_col)).alias("__txt")))
     tri_counts = (
         grams(tr, n, "g3").groupBy("g3").agg(F.count(F.lit(1)).alias("c3"))
     )
@@ -1216,9 +1233,11 @@ def char_ngram_lm_scores(
         F.countDistinct("ch").alias("__v")
     )
 
-    corpus = df.select(
-        F.col(id_col), *[F.col(c) for c in carry_cols],
-        F.lower(F.col(text_col)).alias("__txt"),
+    corpus = fan_out(
+        df.select(
+            F.col(id_col), *[F.col(c) for c in carry_cols],
+            F.lower(F.col(text_col)).alias("__txt"),
+        )
     )
     scored = (
         grams(corpus, n, "g3", id_col, *carry_cols)
@@ -1278,7 +1297,15 @@ def remove_dup_spans(
     ``cleaned_hash`` = md5 of the kept tokens joined by spaces, so the
     cleaned text is verifiable without moving it.
     """
-    toks = df.select(
+    from time_series_spark_spark.operators.packed import fan_out
+
+    # both consumers of toks (the gram explode and the final HOF
+    # filter/md5 pass) are compute-bound map stages capped at the scan's
+    # split count — fan the slim projection out first (no-op when the
+    # corpus is well-split; guide §2.5)
+    toks = fan_out(
+        df.select(F.col(id_col), *[F.col(c) for c in carry_cols], text_col)
+    ).select(
         F.col(id_col),
         *[F.col(c) for c in carry_cols],
         F.split(F.coalesce(F.col(text_col), F.lit("")), " ").alias("t"),
@@ -1290,16 +1317,25 @@ def remove_dup_spans(
         f"i -> struct(i AS s, xxhash64({args}) AS gh)) "
         f"ELSE array() END"
     )
-    occ = toks.select(
-        id_col, F.explode(F.expr(gram_expr)).alias("o")
-    ).select(id_col, F.col("o.s").alias("s"), F.col("o.gh").alias("gh"))
+    # One exchange serves the per-gram stats AND the stats→occurrence
+    # join (both cluster on gh) — the dup_span_stats pattern; without
+    # it the gram stream shuffles twice.
+    occ = (
+        toks.select(id_col, F.explode(F.expr(gram_expr)).alias("o"))
+        .select(id_col, F.col("o.s").alias("s"), F.col("o.gh").alias("gh"))
+        .repartition("gh")
+    )
     stats = occ.groupBy("gh").agg(
         F.countDistinct(id_col).alias("nd"),
         F.min(id_col).alias("mind"),
     )
+    # Filter to DUPLICATED grams before the join: every occ row matches
+    # some stats row (stats is built from occ), so inner-join + nd>=2
+    # after ≡ nd>=2 before + inner join — but the join's build/sort side
+    # shrinks from all grams to just the duplicated ones.
     bads = (
-        occ.join(stats, "gh")
-        .filter((F.col("nd") >= 2) & (F.col("mind") < F.col(id_col)))
+        occ.join(stats.filter(F.col("nd") >= 2), "gh")
+        .filter(F.col("mind") < F.col(id_col))
         .groupBy(id_col)
         .agg(F.collect_set("s").alias("bads"))
     )

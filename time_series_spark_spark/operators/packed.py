@@ -54,6 +54,32 @@ def pin_partitions(df: DataFrame, *keys: str) -> DataFrame:
     return df.repartition(shuffle_parallelism(df), *keys)
 
 
+def fan_out(df: DataFrame, factor: int = 1) -> DataFrame:
+    """Round-robin repartition a FEW-SPLIT scan up to the session's
+    shuffle parallelism, so a compute-bound map stage (gram/resample
+    explode, sketch build, wide projection) doesn't run on 1-2 tasks.
+
+    This is the guide-§2.5 "repartition immediately after the read" fix
+    for unsplittable/under-split input, made scale-adaptive: when the
+    scan already carries >= parallelism/2 input splits (the production
+    case — split count tracks bytes), this is a NO-OP, so no corpus
+    bytes are ever shuffled for parallelism that the file layout already
+    provides. Locally the test tables are single-row-group parquet, so
+    every scan is ONE task regardless of `maxPartitionBytes`; the
+    repartition costs one exchange of the slim projection and buys a
+    machine-wide map stage. ``factor`` multiplies the target when one
+    input row fans out into many downstream rows (bounded explodes).
+    """
+    p = shuffle_parallelism(df) * max(factor, 1)
+    try:
+        have = df.rdd.getNumPartitions()
+    except Exception:
+        return df
+    if 2 * have >= p:
+        return df
+    return df.repartition(p)
+
+
 def packed_grouped_map(
     df: DataFrame,
     keys: list[str],

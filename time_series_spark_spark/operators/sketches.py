@@ -484,9 +484,21 @@ def ams_partials(
     Fanning out raw rows instead was measured 4× slower at sf0.1 and
     would shuffle n_sketches× the corpus at scale.
     """
+    from time_series_spark_spark.operators.packed import shuffle_parallelism
+
     counts = df.groupBy(F.col(key_col).alias("k")).agg(
         F.count(F.lit(1)).alias("c")
     )
+    # Re-pin the ×n_sketches fan-out stage's parallelism: the count
+    # frame is tiny by BYTES, so AQE coalesces the groupBy's output to
+    # one partition and the n_keys×n_sketches xxhash stage runs on a
+    # single task (measured: the whole cost of the join-size query,
+    # 38M serial hashes at sf0.1). Round-robin with an explicit count —
+    # a same-key repartition is optimized away as redundant and its
+    # ENSURE exchange re-coalesced; a user-specified round robin is
+    # kept. This moves the smallest frame in the pipeline (per-key
+    # counts, post-combine; the raw pass's map-side combine is intact).
+    counts = counts.repartition(shuffle_parallelism(df))
     # explode a shared int sequence, NOT array_repeat(k, n): repeating the
     # key materializes an n_sketches-wide array per key before the explode
     fan = counts.select(

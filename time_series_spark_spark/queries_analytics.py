@@ -2004,12 +2004,17 @@ _BOOT_LADDER_SQL = " ".join(
 def events_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window
 
+    from time_series_spark_spark.operators.packed import fan_out
+
     ev = (
         load(spark, sf_dir, "events")
         .filter(F.col("event_type").isin("purchase", "view"))
         .select("event_type", "event_id", "value")
     )
-    rep = ev.withColumn(
+    # the xR replicate explode + per-cell md5 is the whole cost of this
+    # query; fan the slim scan out so it isn't serialized on the input's
+    # split count (no-op when the scan has enough splits — guide §2.5)
+    rep = fan_out(ev).withColumn(
         "j", F.explode(F.sequence(F.lit(0), F.lit(_BOOT_R - 1)))
     )
     u = (

@@ -3114,8 +3114,13 @@ def docs_source_overlap_matrix(
     # split() into every t[i+j] access inside the shingle lambda (5
     # re-splits per position — the docs_bpe_encode_stats pathology);
     # localCheckpoint pins the materialized token arrays.
+    from time_series_spark_spark.operators.packed import fan_out
+
+    # fan_out first: the shingle+md5 explode below is otherwise capped
+    # at the scan's split count (one task on the local single-row-group
+    # file; no-op on a well-split corpus — guide §2.5)
     toks = (
-        load(spark, sf_dir, "documents")
+        fan_out(load(spark, sf_dir, "documents").select("source", "text"))
         .select("source", F.split("text", " ").alias("t"))
         .localCheckpoint(eager=False)
     )

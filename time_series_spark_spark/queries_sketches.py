@@ -250,14 +250,20 @@ def orders_lineitem_ams_join_size(
     lp = ams_partials(orders, "o_orderkey", n_sketches=256)
     rp = ams_partials(lineitem, "l_orderkey", n_sketches=256)
     est = ams_join_size(lp, rp, group_size=16, n_sketches=256)
+    # exact count as a lazy 1-row aggregate, NOT an eager .count():
+    # the driver-side count re-ran the full join at every query BUILD
+    # (a collect-in-query-path anti-pattern); as a crossJoin'd scalar
+    # it is part of the plan and runs once per execution.
     exact = orders.join(
         lineitem, orders.o_orderkey == lineitem.l_orderkey
-    ).count()
-    return est.select(
+    ).agg(F.count(F.lit(1)).alias("exact_join_size"))
+    return est.crossJoin(F.broadcast(exact)).select(
         "join_size_estimate",
-        F.lit(int(exact)).alias("exact_join_size"),
+        "exact_join_size",
         F.round(
-            F.abs(F.col("join_size_estimate") - exact) / exact, 4
+            F.abs(F.col("join_size_estimate") - F.col("exact_join_size"))
+            / F.col("exact_join_size"),
+            4,
         ).alias("rel_err"),
     )
 
