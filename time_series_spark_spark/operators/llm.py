@@ -2127,29 +2127,39 @@ def pq_topk(
     _, ksub, dsub = books.shape
 
     enc = pq_encode(df, books, id_col, vec_col)
-    corpus = enc.select(
-        F.col("id").alias("cand_id"),
-        F.posexplode("codes").alias("j", "c"),
-    )
-    # per-query LUTs: built from the query vectors, small (nq·m·ksub rows)
+    # per-query LUTs: built from the query vectors, small (nq rows of
+    # m x ksub nested arrays). Shipping the whole LUT per query row and
+    # computing the ADC sum as one higher-order aggregate (codes[j]
+    # indexes lut[j]; summed j-ascending — deterministic, unlike the
+    # former shuffled groupBy re-aggregation) keeps candidate scoring a
+    # MAP-ONLY stage: the former shape posexploded codes to m rows per
+    # vector and re-aggregated (query, cand) across an exchange — m x
+    # n_queries rows of shuffle per corpus vector for a sum of m lookups.
     qrows = enc.filter(F.col("id") < n_queries).select("id", "uv").collect()
     lut_rows = []
     for r in qrows:
         qv = np.asarray(r["uv"], dtype=np.float64)
-        for j in range(m):
-            sub = qv[j * dsub : (j + 1) * dsub]
-            vals = books[j] @ sub  # (ksub,)
-            lut_rows.extend(
-                (int(r["id"]), j, c, float(v)) for c, v in enumerate(vals)
+        lut_rows.append(
+            (
+                int(r["id"]),
+                [[float(v) for v in books[j] @ qv[j * dsub : (j + 1) * dsub]]
+                 for j in range(m)],
             )
-    lut = local_df(df.sparkSession, 
-        lut_rows, "query_id long, j int, c int, lv double"
+        )
+    lut = local_df(
+        df.sparkSession, lut_rows, "query_id long, lut array<array<double>>"
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("adot"), F.asc("cand_id"))
     cands = (
-        corpus.join(F.broadcast(lut), ["j", "c"])
-        .groupBy("query_id", "cand_id")
-        .agg(F.sum("lv").alias("adot"))
+        enc.select(F.col("id").alias("cand_id"), "codes")
+        .crossJoin(F.broadcast(lut))
+        .withColumn(
+            "adot",
+            F.expr(
+                "aggregate(zip_with(codes, lut, (c, l) -> l[c]),"
+                " 0D, (a, x) -> a + x)"
+            ),
+        )
         .filter(F.col("cand_id") != F.col("query_id"))
         .withColumn("qrk", F.row_number().over(w))
         .filter(F.col("qrk") <= k * refine_factor)

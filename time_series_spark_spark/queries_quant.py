@@ -2800,17 +2800,36 @@ def orders_var_cvar_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     "per-item window.",
 )
 def part_item_item_recs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    b = (
+    # One groupBy(o) with collect_set replaces distinct + o-keyed
+    # self-join: collect_set dedups (o, p) in the same exchange the
+    # baskets need anyway, and the within-order ordered-pair expansion
+    # (baskets are <= ~17 lines in TPC-H, so pair mass is sum(basket^2),
+    # linear in orders) happens order-locally as a higher-order-function
+    # explode — no join, no second shuffle of the (o, p) stream. Counts
+    # are identical integers (the join form also contributed exactly one
+    # row per order per ordered pair of distinct parts).
+    baskets = (
         load(spark, sf_dir, "lineitem")
         .select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
-        .distinct()
+        .groupBy("o")
+        .agg(F.collect_set("p").alias("ps"))
     )
-    item = b.groupBy("p").agg(F.count(F.lit(1)).alias("ci"))
-    a = b.select(F.col("o"), F.col("p").alias("i"))
-    c = b.select(F.col("o"), F.col("p").alias("j"))
+    item = (
+        baskets.select(F.explode("ps").alias("p"))
+        .groupBy("p")
+        .agg(F.count(F.lit(1)).alias("ci"))
+    )
     pair = (
-        a.join(c, "o")
-        .filter(F.col("i") != F.col("j"))
+        baskets.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ps, x ->"
+                    " transform(filter(ps, y -> y != x),"
+                    "           y -> struct(x AS i, y AS j))))"
+                )
+            ).alias("ij")
+        )
+        .select("ij.i", "ij.j")
         .groupBy("i", "j")
         .agg(F.count(F.lit(1)).alias("cij"))
     )
@@ -6876,53 +6895,48 @@ def events_median_polish_effects(
         .agg(F.sum(F.expr(_CENTS)).alias("v"))
     )
 
-    def med_over(df, part, order_tb):
-        w = Window.partitionBy(part)
-        ranked = df.select(
-            part, "v",
-            F.row_number().over(w.orderBy("v", order_tb)).alias("rn"),
-            F.count(F.lit(1))
-            .over(
-                w.rowsBetween(
-                    Window.unboundedPreceding, Window.unboundedFollowing
-                )
+    # Each polish sweep subtracts the partition's lower median AS A WINDOW
+    # EXPRESSION over the same exchange, instead of joining the frame with
+    # a median-of-itself subframe. The join form doubled the lineage per
+    # sweep (v_i referenced v_{i-1} twice), so four sweeps re-planned the
+    # events scan+agg 16x — 154 Exchange nodes for a days x types frame.
+    # Windowed, the lineage is a chain: one exchange per sweep, alternating
+    # d/t. Arithmetic is identical (exact BIGINT; same rank pick, same
+    # (v, tiebreak) order), pinned by the unchanged oracle.
+    def polish(df, part, order_tb, keep=()):
+        w_ord = Window.partitionBy(part).orderBy("v", order_tb)
+        w_all = Window.partitionBy(part).rowsBetween(
+            Window.unboundedPreceding, Window.unboundedFollowing
+        )
+        ranked = df.withColumn("rn", F.row_number().over(w_ord)).withColumn(
+            "c", F.count(F.lit(1)).over(w_all)
+        )
+        m = F.max(
+            F.when(
+                F.expr("rn = CAST(floor((c + 1) / 2.0) AS BIGINT)"),
+                F.col("v"),
             )
-            .alias("c"),
-        )
-        return ranked.filter(
-            F.expr("rn = CAST(floor((c + 1) / 2.0) AS BIGINT)")
-        ).select(F.col(part).alias(f"_{part}"), F.col("v").alias("m"))
-
-    r1m = med_over(x, "d", "t")
-    v1 = x.join(F.broadcast(r1m), x.d == r1m._d).select(
-        "t", "d", (F.col("v") - F.col("m")).cast("long").alias("v")
-    )
-    c1m = med_over(v1, "t", "d")
-    v2 = v1.join(F.broadcast(c1m), v1.t == c1m._t).select(
-        "t", "d", (F.col("v") - F.col("m")).cast("long").alias("v")
-    )
-    r2m = med_over(v2, "d", "t")
-    v3 = v2.join(F.broadcast(r2m), v2.d == r2m._d).select(
-        "t", "d", (F.col("v") - F.col("m")).cast("long").alias("v")
-    )
-    c2m = med_over(v3, "t", "d")
-    v4 = v3.join(F.broadcast(c2m), v3.t == c2m._t).select(
-        "t", "d", (F.col("v") - F.col("m")).cast("long").alias("v")
-    )
-    eff = (
-        c1m.select(F.col("_t").alias("t"), F.col("m").alias("m1"))
-        .join(
-            c2m.select(F.col("_t").alias("t"), F.col("m").alias("m2")),
+        ).over(w_all)
+        return ranked.select(
             "t",
+            "d",
+            *keep,
+            (F.col("v") - m).cast("long").alias("v"),
+            m.alias("_m"),
         )
-    )
+
+    v1 = polish(x, "d", "t").drop("_m")
+    v2 = polish(v1, "t", "d").withColumnRenamed("_m", "m1")
+    v3 = polish(v2, "d", "t", keep=("m1",)).drop("_m")
+    v4 = polish(v3, "t", "d", keep=("m1",)).withColumnRenamed("_m", "m2")
     return (
         v4.groupBy("t")
         .agg(
             F.count(F.lit(1)).alias("n_days"),
             F.max(F.abs("v")).alias("max_abs_resid"),
+            F.max("m1").alias("m1"),  # constant within t (per-t median)
+            F.max("m2").alias("m2"),
         )
-        .join(F.broadcast(eff), "t")
         .select(
             F.col("t").alias("event_type"),
             (F.col("m1") + F.col("m2")).cast("long").alias(
