@@ -2800,36 +2800,17 @@ def orders_var_cvar_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     "per-item window.",
 )
 def part_item_item_recs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # One groupBy(o) with collect_set replaces distinct + o-keyed
-    # self-join: collect_set dedups (o, p) in the same exchange the
-    # baskets need anyway, and the within-order ordered-pair expansion
-    # (baskets are <= ~17 lines in TPC-H, so pair mass is sum(basket^2),
-    # linear in orders) happens order-locally as a higher-order-function
-    # explode — no join, no second shuffle of the (o, p) stream. Counts
-    # are identical integers (the join form also contributed exactly one
-    # row per order per ordered pair of distinct parts).
-    baskets = (
+    b = (
         load(spark, sf_dir, "lineitem")
         .select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
-        .groupBy("o")
-        .agg(F.collect_set("p").alias("ps"))
+        .distinct()
     )
-    item = (
-        baskets.select(F.explode("ps").alias("p"))
-        .groupBy("p")
-        .agg(F.count(F.lit(1)).alias("ci"))
-    )
+    item = b.groupBy("p").agg(F.count(F.lit(1)).alias("ci"))
+    a = b.select(F.col("o"), F.col("p").alias("i"))
+    c = b.select(F.col("o"), F.col("p").alias("j"))
     pair = (
-        baskets.select(
-            F.explode(
-                F.expr(
-                    "flatten(transform(ps, x ->"
-                    " transform(filter(ps, y -> y != x),"
-                    "           y -> struct(x AS i, y AS j))))"
-                )
-            ).alias("ij")
-        )
-        .select("ij.i", "ij.j")
+        a.join(c, "o")
+        .filter(F.col("i") != F.col("j"))
         .groupBy("i", "j")
         .agg(F.count(F.lit(1)).alias("cij"))
     )
