@@ -922,7 +922,6 @@ def token_bucket_flags(
         rows = []
         for kv, g in pdf.groupby([key], sort=False):
             kv = kv[0] if isinstance(kv, tuple) else kv
-            g = g.sort_values([ts_col, id_col])
             stok = cap_p
             last_us = None
             for eid, ts in zip(g[id_col], g[ts_col]):
@@ -944,7 +943,7 @@ def token_bucket_flags(
     return packed_grouped_map(
         df.select(key, id_col, ts_col),
         [key],
-        [ts_col],
+        [ts_col, id_col],
         _apply,
         f"{key} {in_fields[key]}, {id_col} {in_fields[id_col]},"
         f" {ts_col} {in_fields[ts_col]}, admitted int,"

@@ -935,7 +935,7 @@ def croston_forecast(
         for kv, g in pdf.groupby(keys, sort=False):
             if not isinstance(kv, tuple):
                 kv = (kv,)
-            g2 = g.sort_values(ds_col)
+            g2 = g
             y_arr = g2[y_col].to_numpy(dtype=float)
             if len(y_arr) < min_len:
                 continue

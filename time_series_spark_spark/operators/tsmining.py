@@ -542,7 +542,6 @@ def kalman_smooth(
         for kv, g in pdf.groupby(keys, sort=False):
             if not isinstance(kv, tuple):
                 kv = (kv,)
-            g = g.sort_values(ts)
             lv, lvv = kalman_smooth_series(
                 g[value].to_numpy(dtype=np.float64), q_var, r_var
             )
@@ -832,7 +831,6 @@ def dominant_periods(
         for kv, g in pdf.groupby(keys, sort=False):
             if not isinstance(kv, tuple):
                 kv = (kv,)
-            g = g.sort_values(ts)
             v = g[value].to_numpy(dtype=np.float64)
             if len(v) < 8:
                 continue
@@ -996,7 +994,6 @@ def lomb_scargle_periods(
                 kv = (kv,)
             if len(g) < min_points:
                 continue
-            g = g.sort_values(ts)
             t_sec = (
                 g[ts].astype("int64").to_numpy(dtype=np.float64) / 1e9
             )
@@ -1093,7 +1090,6 @@ def pelt_changepoints(
         for kv, g in pdf.groupby(keys, sort=False):
             if not isinstance(kv, tuple):
                 kv = (kv,)
-            g = g.sort_values(ts)
             x = g[value].to_numpy(dtype=np.float64)
             cps = _pelt_one(x)
             bounds = [0, *cps, len(x)]
