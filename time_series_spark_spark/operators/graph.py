@@ -507,16 +507,31 @@ def sssp_bounded(
     # seed distance in the WEIGHT column's own type — fractional weights
     # must not ride on union coercion to stay double
     w_type = sym.schema["w"].dataType.simpleString()
+    # Zero-weight self-loops fold the "keep the current distance" branch
+    # into the relaxation join itself: min(dist, min_u dist(u)+w(u,v))
+    # becomes one join + min-reduce with ``dist`` referenced ONCE per
+    # round. The previous dist ∪ (dist ⋈ sym) referenced dist twice, so
+    # the unrolled plan doubled per round — 2^rounds copies of the edge
+    # build in the plan (60 parquet scans at 4 rounds; AQE's runtime
+    # stage reuse deduplicated the execution but planning, scheduling
+    # and per-stage overhead scaled with the plan, guide §3.3 "very
+    # wide plans"). Self-loops cover every node that can hold a
+    # distance (sym is symmetrized, so any reached node has an
+    # outgoing edge). Distances are unchanged.
+    sym = sym.unionAll(
+        sym.select("u").distinct().select(
+            "u", F.col("u").alias("v"), F.lit(0).cast(w_type).alias("w")
+        )
+    )
     dist = local_df(spark, [(int(source),)], "node long").select(
         "node", F.lit(0).cast(w_type).alias("d")
     )
     for _ in range(max_rounds):
-        relaxed = (
-            dist.join(sym, dist.node == sym.u)
-            .select(F.col("v").alias("node"), (F.col("d") + F.col("w")).alias("d"))
-        )
         dist = (
-            dist.unionAll(relaxed)
+            dist.join(sym, dist.node == sym.u)
+            .select(
+                F.col("v").alias("node"), (F.col("d") + F.col("w")).alias("d")
+            )
             .groupBy("node")
             .agg(F.min("d").alias("d"))
         )
