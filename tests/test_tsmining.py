@@ -467,6 +467,57 @@ def test_hurst_separates_noise_walk_antipersistent(spark):
     assert out[2] < out[0] < out[1]
 
 
+def test_hurst_sparse_scatter_matches_dense(spark):
+    """hurst_rs_sparse (non-zero cells + scatter) must equal hurst_rs on
+    the materialized dense zero-filled frame — including zero runs at the
+    head/tail of the grid, a series below min_len (skipped by both), and
+    an all-zero-but-one series (S=0 blocks → too few scales → dropped)."""
+    import numpy as np
+    import pandas as pd
+
+    from time_series_spark_spark.operators.tsmining import (
+        hurst_rs,
+        hurst_rs_sparse,
+    )
+
+    rng = np.random.default_rng(7)
+    n = 256
+    dense_frames, sparse_frames = [], []
+    for sid, series in [
+        (0, rng.normal(size=n) * (rng.random(n) < 0.1)),  # 90% zeros
+        (1, np.cumsum(rng.normal(size=n)) * np.r_[np.zeros(50), np.ones(n - 50)]),
+        (2, np.r_[np.zeros(200), [5.0], np.zeros(n - 201)]),  # one spike
+    ]:
+        series = series.astype(float)
+        dense_frames.append(
+            pd.DataFrame({"sid": sid, "t": np.arange(n), "v": series})
+        )
+        nz = np.nonzero(series)[0]
+        sparse_frames.append(
+            pd.DataFrame(
+                {"sid": sid, "idx": nz, "n": n, "v": series[nz]}
+            )
+        )
+    # a too-short series: dense path skips it via min_len, sparse must too
+    dense_frames.append(
+        pd.DataFrame({"sid": 3, "t": np.arange(8), "v": np.ones(8)})
+    )
+    sparse_frames.append(
+        pd.DataFrame({"sid": 3, "idx": np.arange(8), "n": 8, "v": np.ones(8)})
+    )
+    dense = spark.createDataFrame(pd.concat(dense_frames, ignore_index=True))
+    sparse = spark.createDataFrame(pd.concat(sparse_frames, ignore_index=True))
+    want = (
+        hurst_rs(dense, ["sid"], "t", "v").orderBy("sid").toPandas()
+    )
+    got = (
+        hurst_rs_sparse(sparse, ["sid"], "idx", "n", "v")
+        .orderBy("sid")
+        .toPandas()
+    )
+    pd.testing.assert_frame_equal(want, got)
+
+
 def test_silhouette_report_laws_and_planted_two_clusters(spark):
     """N5b: silhouette ∈ [-1,1] everywhere; on a corpus of two planted
     shape families (ramps vs sines) the k=2 silhouette must be high and

@@ -930,6 +930,55 @@ def hurst_rs(
     )
 
 
+def hurst_rs_sparse(
+    df: DataFrame,
+    keys: list[str],
+    idx: str,
+    n_col: str,
+    value: str,
+    min_len: int = 32,
+) -> DataFrame:
+    """``hurst_rs`` over a SPARSE encoding of a dense zero-filled series:
+    each row is one non-zero grid cell (``idx`` ∈ [0, n), ``n_col`` the
+    per-key grid length), and the dense vector is scattered into a numpy
+    zeros array inside the Arrow stage. Identical output to running
+    ``hurst_rs`` on the materialized dense frame, but the grid explode,
+    the dense left join, and the dense-row shuffle/sort/Arrow transfer
+    never happen — only the non-zero cells move (11× fewer rows for the
+    events corpus, and the gap widens with series sparsity at scale)."""
+    in_fields = {f.name: f.dataType.simpleString() for f in df.schema.fields}
+    key_schema = ", ".join(f"{k} {in_fields[k]}" for k in keys)
+
+    def _apply(pdf: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for kv, g in pdf.groupby(keys, sort=False):
+            kv = kv if isinstance(kv, tuple) else (kv,)
+            n = int(g[n_col].iloc[0])
+            if n < min_len:
+                continue
+            v = np.zeros(n, dtype=np.float64)
+            v[g[idx].to_numpy(dtype=np.int64)] = g[value].to_numpy(
+                dtype=np.float64
+            )
+            h, r2, n_scales = _hurst_rs_one(v)
+            if not np.isfinite(h):
+                continue
+            rows.append((*kv, n, round(h, 4), round(r2, 4), n_scales))
+        return pd.DataFrame(
+            rows,
+            columns=[*keys, "n_points", "hurst", "fit_r2", "n_scales"],
+        )
+
+    return packed_grouped_map(
+        df.select(*keys, idx, n_col, value),
+        keys,
+        [idx],
+        _apply,
+        f"{key_schema}, n_points long, hurst double, fit_r2 double, "
+        "n_scales long",
+    )
+
+
 # ---------------------------------------------------------------------------
 # Lomb-Scargle periodogram for IRREGULARLY sampled series
 # ---------------------------------------------------------------------------

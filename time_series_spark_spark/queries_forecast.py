@@ -58,39 +58,25 @@ def forecast_user_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     # user on one shared grid the packed fit collapses to ONE multi-RHS
     # solve (1213 distinct ragged grids -> 1 at sf0.1, measured round 6)
     bounds = series.agg(F.min("ds").alias("lo"), F.max("ds").alias("hi"))
-    # Join-free densify (round 14, guide §2.4 — same move as
-    # _user_daily_vectors): scatter each user's (day-index, y) pairs
-    # into a map in one per-user groupBy, then explode the shared
-    # [0, n) grid reading the map with missing days as TRUE zeros.
-    # One exchange replaces the distinct-users + left-join pair
-    # (two exchanges + a join); rows are byte-identical.
-    series = (
-        series.crossJoin(F.broadcast(bounds))
+    # Densify via the codegen grid join. A join-free map-scatter densify
+    # (groupBy + map_from_entries + interpreted transform explode) was
+    # tried round 14 and KEPT briefly, but once pin_partitions made the
+    # fit stage parallel the balance flipped: controlled A/B, one
+    # session, alternating — join noop ~1.0 s vs scatter ~1.28 s, timed
+    # equal-or-better for the join. Interpreted per-element HOF loses to
+    # the codegen join even at 45k produced rows when it is no longer
+    # hiding a single-threaded downstream stage.
+    grid = (
+        series.select("user_id")
+        .distinct()
+        .crossJoin(F.broadcast(bounds))
         .select(
             "user_id",
-            F.datediff("ds", "lo").alias("i"),
-            "y",
-            (F.datediff("hi", "lo") + F.lit(1)).alias("n"),
-            "lo",
+            F.explode(F.expr("sequence(lo, hi, interval 1 day)")).alias("ds"),
         )
-        .groupBy("user_id", "n", "lo")
-        .agg(
-            F.map_from_entries(
-                F.collect_list(F.struct("i", "y"))
-            ).alias("m")
-        )
-        .select(
-            "user_id",
-            F.explode(
-                F.expr(
-                    "transform(sequence(0, n - 1), x -> struct("
-                    "timestampadd(DAY, x, lo) AS ds,"
-                    " coalesce(try_element_at(m, x),"
-                    " CAST(0.0 AS DOUBLE)) AS y))"
-                )
-            ).alias("s"),
-        )
-        .select("user_id", F.col("s.ds").alias("ds"), F.col("s.y").alias("y"))
+    )
+    series = grid.join(series, ["user_id", "ds"], "left").select(
+        "user_id", "ds", F.coalesce("y", F.lit(0.0)).alias("y")
     )
     fc = forecast(series, ["user_id"], "ds", "y", horizon=7)
     return fc.select(

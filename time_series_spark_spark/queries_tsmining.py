@@ -622,30 +622,45 @@ def events_dominant_period(spark: SparkSession, sf_dir: str) -> DataFrame:
     "grouped-map shape shared with matrix profile / Kalman",
 )
 def events_hurst_user(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from time_series_spark_spark.operators.tsmining import hurst_rs
+    from time_series_spark_spark.operators.tsmining import hurst_rs_sparse
 
+    # The dense zero-filled hourly grid is 1500 users × 720 hours = 1.08M
+    # rows, but only ~96k cells are non-zero: ship the SPARSE cells
+    # (hour index within the shared [lo, hi] grid) and scatter into the
+    # dense numpy vector inside the Arrow stage — the grid explode, the
+    # dense left join, and the 11×-larger shuffle/Arrow transfer never
+    # happen. UTC session + hour-aligned lo make the index arithmetic
+    # exact ((unix(ts) − unix(lo)) div 3600 == position of
+    # date_trunc('hour', ts) in sequence(lo, hi, interval 1 hour)).
     ev = _events(spark, sf_dir)
-    hourly = ev.groupBy(
-        "user_id", F.date_trunc("hour", F.col("ts")).alias("h")
-    ).agg(F.sum(F.expr("CAST(round(value * 100) AS BIGINT)")).alias("v"))
-    bounds = hourly.agg(F.min("h").alias("lo"), F.max("h").alias("hi"))
-    grid = (
-        hourly.select("user_id")
-        .distinct()
-        .crossJoin(F.broadcast(bounds))
-        .select(
+    bounds = ev.agg(
+        F.date_trunc("hour", F.min("ts")).alias("lo"),
+        F.date_trunc("hour", F.max("ts")).alias("hi"),
+    )
+    sparse = (
+        ev.crossJoin(F.broadcast(bounds))
+        .groupBy(
             "user_id",
-            F.explode(
-                F.expr("sequence(lo, hi, interval 1 hour)")
-            ).alias("h"),
+            (
+                (F.col("ts").cast("long") - F.col("lo").cast("long"))
+                / F.lit(3600)
+            )
+            .cast("long")
+            .alias("idx"),
+            (
+                (F.col("hi").cast("long") - F.col("lo").cast("long"))
+                / F.lit(3600)
+                + 1
+            )
+            .cast("long")
+            .alias("n"),
         )
+        .agg(F.sum(F.expr("CAST(round(value * 100) AS BIGINT)")).alias("v"))
+        .withColumn("v", F.col("v").cast("double"))
     )
-    dense = grid.join(hourly, ["user_id", "h"], "left").select(
-        "user_id",
-        "h",
-        F.coalesce(F.col("v"), F.lit(0)).cast("double").alias("v"),
-    )
-    return hurst_rs(dense, ["user_id"], "h", "v").orderBy("user_id")
+    return hurst_rs_sparse(
+        sparse, ["user_id"], "idx", "n", "v"
+    ).orderBy("user_id")
 
 
 @register(
