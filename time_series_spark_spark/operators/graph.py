@@ -478,6 +478,7 @@ def sssp_bounded(
     src: str = "s1",
     dst: str = "s2",
     weight: str = "w",
+    nodes: DataFrame | None = None,
 ) -> DataFrame:
     """Single-source WEIGHTED shortest paths over at most ``max_rounds``
     edges: Bellman-Ford with the relaxation UNROLLED into a fixed number
@@ -494,6 +495,21 @@ def sssp_bounded(
     compose rounds of log2(diameter) doublings or fall back to the
     loop-with-checkpoint discipline of :func:`connected_components`.
     Output: ``node, dist`` (unreachable-within-bound nodes absent).
+
+    ``nodes`` (optional): a 1-column frame whose ids are a SUPERSET of
+    the reachable vertices, used to seed the keep-distance self-loops.
+    Self-loops on extra ids are inert — dist only ever grows through the
+    relaxation join from the source side, so an id that never acquires a
+    distance contributes nothing — while every reachable vertex (an edge
+    endpoint by definition) must carry one to retain its distance. When
+    the caller has a cheaper superset than ``distinct(endpoints(sym))``
+    (e.g. the pre-join key column the edges were built from), passing it
+    keeps the unrolled plan from embedding the full edge pipeline TWICE
+    per round (once for the relaxation, once inside the self-loop
+    distinct) — the edge subtree is already replicated ``max_rounds``
+    times, so halving its per-round fan-in materially shrinks
+    planning/scheduling overhead (AQE exchange reuse already dedupes the
+    execution).
     """
     sym = edges.select(
         F.col(src).alias("u"), F.col(dst).alias("v"), F.col(weight).alias("w")
@@ -518,8 +534,13 @@ def sssp_bounded(
     # wide plans"). Self-loops cover every node that can hold a
     # distance (sym is symmetrized, so any reached node has an
     # outgoing edge). Distances are unchanged.
+    if nodes is None:
+        loop_ids = sym.select("u").distinct()
+    else:
+        ncol = nodes.columns[0]
+        loop_ids = nodes.select(F.col(ncol).alias("u")).distinct()
     sym = sym.unionAll(
-        sym.select("u").distinct().select(
+        loop_ids.select(
             "u", F.col("u").alias("v"), F.lit(0).cast(w_type).alias("w")
         )
     )

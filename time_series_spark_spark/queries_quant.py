@@ -2942,8 +2942,20 @@ def supplier_cosupply_sssp(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     source = edges.agg(F.min("s1")).first()[0]
+    # Self-loop seed: suppliers surviving the quantity filter — a cheap
+    # scan+distinct SUPERSET of the edge endpoints (endpoints come from
+    # the same filtered rows via the o-key self-join). Without it the
+    # operator derives self-loops from distinct(sym) and the edge
+    # pipeline (scan+join+agg) is embedded TWICE per unrolled round —
+    # 8 copies in the plan at 4 rounds vs 4 (AQE deduped the execution;
+    # planning/stage-bookkeeping still paid per copy).
+    loop_nodes = (
+        load(spark, sf_dir, "lineitem")
+        .filter(F.col("l_quantity") > 45)
+        .select("l_suppkey")
+    )
     return (
-        sssp_bounded(edges, source, max_rounds=4)
+        sssp_bounded(edges, source, max_rounds=4, nodes=loop_nodes)
         .select("node", "dist")
         .orderBy("node")
     )
