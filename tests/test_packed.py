@@ -87,3 +87,37 @@ def test_ewma_correct_across_batch_boundaries(tiny_batches):
     pd.testing.assert_series_equal(
         got["ewma"], expected, check_names=False, rtol=1e-12
     )
+
+
+def test_key_slices_matches_pandas_groupby():
+    """key_slices (the run-length group scanner the packed apply fns use
+    instead of pandas groupby) must yield exactly the groupby(sort=False)
+    blocks on a key-contiguous frame: same boundaries, same key order,
+    single- and multi-key, ragged sizes, object and int key dtypes."""
+    import numpy as np
+
+    from time_series_spark_spark.operators.packed import key_slices
+
+    pdf = pd.DataFrame(
+        {
+            "a": [1, 1, 1, 2, 2, 3, 4, 4, 4, 4],
+            "b": ["x", "x", "y", "y", "y", "y", "y", "y", "z", "z"],
+            "v": np.arange(10.0),
+        }
+    )
+    for keys in (["a"], ["b"], ["a", "b"]):
+        starts, ends = key_slices(pdf, keys)
+        expect = [
+            (pdf.index.get_indexer(g.index)[0], pdf.index.get_indexer(g.index)[-1] + 1)
+            for _, g in pdf.groupby(keys, sort=False)
+        ]
+        assert list(zip(starts.tolist(), ends.tolist())) == expect
+
+    # empty frame -> empty boundaries
+    starts, ends = key_slices(pdf.iloc[:0], ["a"])
+    assert len(starts) == 0 and len(ends) == 0
+
+    # single group spans the whole frame
+    one = pd.DataFrame({"k": [5] * 4, "v": range(4)})
+    starts, ends = key_slices(one, ["k"])
+    assert starts.tolist() == [0] and ends.tolist() == [4]

@@ -370,13 +370,18 @@ def forecast(
         # series) are fit as ONE multi-RHS solve (fit_forecast_multi);
         # ragged, NaN-bearing, or short series fall back to the scalar
         # path. Both produce identical numbers.
+        from time_series_spark_spark.operators.packed import key_slices
+
         outs = []
         cohorts: dict[bytes, list] = {}
-        for kv, g in pdf.groupby(keys, sort=False):
-            if not isinstance(kv, tuple):
-                kv = (kv,)
-            ds_arr = g[ds_col].to_numpy()
-            y_arr = g[y_col].to_numpy(dtype=float)
+        starts, ends = key_slices(pdf, keys)
+        karrs = [pdf[k].to_numpy() for k in keys]
+        ds_all = pdf[ds_col].to_numpy()
+        y_all = pdf[y_col].to_numpy(dtype=float)
+        for s, e in zip(starts, ends):
+            kv = tuple(a[s] for a in karrs)
+            ds_arr = ds_all[s:e]
+            y_arr = y_all[s:e]
             order = np.argsort(ds_arr)
             ds_arr, y_arr = ds_arr[order], y_arr[order]
             if len(y_arr) >= 5 and not np.isnan(y_arr).any():

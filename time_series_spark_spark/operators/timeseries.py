@@ -640,10 +640,14 @@ def change_points(
         return out
 
     def _apply(pdf: pd.DataFrame) -> pd.DataFrame:
+        from time_series_spark_spark.operators.packed import key_slices
+
+        starts, ends = key_slices(pdf, keys)
+        karrs = [pdf[k].to_numpy() for k in keys]
         rows = []
-        for kv, g in pdf.groupby(keys, sort=False):
-            kt = kv if isinstance(kv, tuple) else (kv,)
-            rows.extend(kt + alarm for alarm in _cusum_one(g))
+        for s, e in zip(starts, ends):
+            kt = tuple(a[s] for a in karrs)
+            rows.extend(kt + alarm for alarm in _cusum_one(pdf.iloc[s:e]))
         cols = keys + ["ts", "direction", "stat"]
         return pd.DataFrame(rows, columns=cols)
 

@@ -450,17 +450,21 @@ def matrix_profile(
     key_schema = ", ".join(f"{k} {in_fields[k]}" for k in keys)
 
     def _apply(pdf: pd.DataFrame) -> pd.DataFrame:
+        from time_series_spark_spark.operators.packed import key_slices
+
+        starts, ends = key_slices(pdf, keys)
+        karrs = [pdf[k].to_numpy() for k in keys]
+        v_all = pdf[value].to_numpy(dtype=np.float64)
         rows = []
-        for kv, g in pdf.groupby(keys, sort=False):
-            kv = kv if isinstance(kv, tuple) else (kv,)
-            v = g[value].to_numpy(dtype=np.float64)
+        for s, e in zip(starts, ends):
+            v = v_all[s:e]
             if len(v) < 2 * m:
                 continue
             prof, pidx = _mass_distance_profile(v, m)
             mot = int(np.argmin(prof))
             dis = int(np.argmax(prof))
             rows.append(
-                (*kv, len(v), mot, int(pidx[mot]),
+                (*(a[s] for a in karrs), len(v), mot, int(pidx[mot]),
                  round(float(prof[mot]), 6), dis, round(float(prof[dis]), 6))
             )
         return pd.DataFrame(
@@ -538,18 +542,20 @@ def kalman_smooth(
     key_schema = ", ".join(f"{k} {in_fields[k]}" for k in keys)
 
     def _apply(pdf: pd.DataFrame) -> pd.DataFrame:
-        outs = []
-        for kv, g in pdf.groupby(keys, sort=False):
-            if not isinstance(kv, tuple):
-                kv = (kv,)
-            lv, lvv = kalman_smooth_series(
-                g[value].to_numpy(dtype=np.float64), q_var, r_var
+        from time_series_spark_spark.operators.packed import key_slices
+
+        starts, ends = key_slices(pdf, keys)
+        v_all = pdf[value].to_numpy(dtype=np.float64)
+        lv = np.empty(len(pdf))
+        lvv = np.empty(len(pdf))
+        for s, e in zip(starts, ends):
+            lv[s:e], lvv[s:e] = kalman_smooth_series(
+                v_all[s:e], q_var, r_var
             )
-            out = g[[*keys, ts, value]].copy()
-            out["level"] = np.round(lv, 6)
-            out["level_var"] = np.round(lvv, 6)
-            outs.append(out)
-        return pd.concat(outs, ignore_index=True)
+        out = pdf[[*keys, ts, value]].copy()
+        out["level"] = np.round(lv, 6)
+        out["level_var"] = np.round(lvv, 6)
+        return out
 
     return packed_grouped_map(
         df.select(*keys, ts, value),
@@ -637,11 +643,15 @@ def kleinberg_bursts(
     key_schema = ", ".join(f"{k} {in_fields[k]}" for k in keys)
 
     def _apply(pdf: pd.DataFrame) -> pd.DataFrame:
+        from time_series_spark_spark.operators.packed import key_slices
+
+        starts, ends = key_slices(pdf, keys)
+        karrs = [pdf[k].to_numpy() for k in keys]
+        ts_all = pdf[ts].to_numpy().astype("datetime64[us]").astype(np.int64)
         rows = []
-        for kv, g in pdf.groupby(keys, sort=False):
-            if not isinstance(kv, tuple):
-                kv = (kv,)
-            t = np.sort(g[ts].to_numpy().astype("datetime64[us]").astype(np.int64))
+        for st, en in zip(starts, ends):
+            kv = tuple(a[st] for a in karrs)
+            t = np.sort(ts_all[st:en])
             for i, j, cnt in kleinberg_bursts_series(t, s, gamma):
                 rows.append(
                     (
@@ -827,15 +837,21 @@ def dominant_periods(
     key_schema = ", ".join(f"{k} {in_fields[k]}" for k in keys)
 
     def _apply(pdf: pd.DataFrame) -> pd.DataFrame:
+        from time_series_spark_spark.operators.packed import key_slices
+
+        starts, ends = key_slices(pdf, keys)
+        karrs = [pdf[k].to_numpy() for k in keys]
+        v_all = pdf[value].to_numpy(dtype=np.float64)
         rows = []
-        for kv, g in pdf.groupby(keys, sort=False):
-            if not isinstance(kv, tuple):
-                kv = (kv,)
-            v = g[value].to_numpy(dtype=np.float64)
+        for s, e in zip(starts, ends):
+            v = v_all[s:e]
             if len(v) < 8:
                 continue
             period, frac = estimate_period_series(v)
-            rows.append((*kv, len(v), round(period, 4), round(frac, 4)))
+            rows.append(
+                (*(a[s] for a in karrs), len(v),
+                 round(period, 4), round(frac, 4))
+            )
         return pd.DataFrame(
             rows, columns=[*keys, "n_points", "period", "power_frac"]
         )
@@ -905,16 +921,23 @@ def hurst_rs(
     key_schema = ", ".join(f"{k} {in_fields[k]}" for k in keys)
 
     def _apply(pdf: pd.DataFrame) -> pd.DataFrame:
+        from time_series_spark_spark.operators.packed import key_slices
+
+        starts, ends = key_slices(pdf, keys)
+        karrs = [pdf[k].to_numpy() for k in keys]
+        v_all = pdf[value].to_numpy(dtype=np.float64)
         rows = []
-        for kv, g in pdf.groupby(keys, sort=False):
-            kv = kv if isinstance(kv, tuple) else (kv,)
-            v = g[value].to_numpy(dtype=np.float64)
+        for s, e in zip(starts, ends):
+            v = v_all[s:e]
             if len(v) < min_len:
                 continue
             h, r2, n_scales = _hurst_rs_one(v)
             if not np.isfinite(h):
                 continue
-            rows.append((*kv, len(v), round(h, 4), round(r2, 4), n_scales))
+            rows.append(
+                (*(a[s] for a in karrs), len(v),
+                 round(h, 4), round(r2, 4), n_scales)
+            )
         return pd.DataFrame(
             rows,
             columns=[*keys, "n_points", "hurst", "fit_r2", "n_scales"],
@@ -950,20 +973,27 @@ def hurst_rs_sparse(
     key_schema = ", ".join(f"{k} {in_fields[k]}" for k in keys)
 
     def _apply(pdf: pd.DataFrame) -> pd.DataFrame:
+        from time_series_spark_spark.operators.packed import key_slices
+
+        starts, ends = key_slices(pdf, keys)
+        karrs = [pdf[k].to_numpy() for k in keys]
+        n_all = pdf[n_col].to_numpy(dtype=np.int64)
+        idx_all = pdf[idx].to_numpy(dtype=np.int64)
+        v_all = pdf[value].to_numpy(dtype=np.float64)
         rows = []
-        for kv, g in pdf.groupby(keys, sort=False):
-            kv = kv if isinstance(kv, tuple) else (kv,)
-            n = int(g[n_col].iloc[0])
+        for s, e in zip(starts, ends):
+            n = int(n_all[s])
             if n < min_len:
                 continue
             v = np.zeros(n, dtype=np.float64)
-            v[g[idx].to_numpy(dtype=np.int64)] = g[value].to_numpy(
-                dtype=np.float64
-            )
+            v[idx_all[s:e]] = v_all[s:e]
             h, r2, n_scales = _hurst_rs_one(v)
             if not np.isfinite(h):
                 continue
-            rows.append((*kv, n, round(h, 4), round(r2, 4), n_scales))
+            rows.append(
+                (*(a[s] for a in karrs), n,
+                 round(h, 4), round(r2, 4), n_scales)
+            )
         return pd.DataFrame(
             rows,
             columns=[*keys, "n_points", "hurst", "fit_r2", "n_scales"],
@@ -1037,21 +1067,23 @@ def lomb_scargle_periods(
     key_schema = ", ".join(f"{k} {in_fields[k]}" for k in keys)
 
     def _apply(pdf: pd.DataFrame) -> pd.DataFrame:
+        from time_series_spark_spark.operators.packed import key_slices
+
+        starts, ends = key_slices(pdf, keys)
+        karrs = [pdf[k].to_numpy() for k in keys]
+        t_all = pdf[ts].astype("int64").to_numpy(dtype=np.float64) / 1e9
+        y_all = pdf[value].to_numpy(dtype=np.float64)
         rows = []
-        for kv, g in pdf.groupby(keys, sort=False):
-            if not isinstance(kv, tuple):
-                kv = (kv,)
-            if len(g) < min_points:
+        for s, e in zip(starts, ends):
+            if e - s < min_points:
                 continue
-            t_sec = (
-                g[ts].astype("int64").to_numpy(dtype=np.float64) / 1e9
-            )
-            t_sec -= t_sec[0]
-            y = g[value].to_numpy(dtype=np.float64)
-            period, power = _lomb_scargle_one(t_sec, y)
+            t_sec = t_all[s:e] - t_all[s]
+            period, power = _lomb_scargle_one(t_sec, y_all[s:e])
             if period != period:  # constant series -> NaN
                 continue
-            rows.append((*kv, len(g), period, round(power, 4)))
+            rows.append(
+                (*(a[s] for a in karrs), e - s, period, round(power, 4))
+            )
         return pd.DataFrame(
             rows,
             columns=[*keys, "n_points", "best_period_hours", "ls_power"],
@@ -1135,11 +1167,16 @@ def pelt_changepoints(
     ts_type = in_fields[ts]
 
     def _apply(pdf: pd.DataFrame) -> pd.DataFrame:
+        from time_series_spark_spark.operators.packed import key_slices
+
+        starts, ends = key_slices(pdf, keys)
+        karrs = [pdf[k].to_numpy() for k in keys]
+        v_all = pdf[value].to_numpy(dtype=np.float64)
+        ts_col = pdf[ts]
         rows = []
-        for kv, g in pdf.groupby(keys, sort=False):
-            if not isinstance(kv, tuple):
-                kv = (kv,)
-            x = g[value].to_numpy(dtype=np.float64)
+        for s, e in zip(starts, ends):
+            kv = tuple(a[s] for a in karrs)
+            x = v_all[s:e]
             cps = _pelt_one(x)
             bounds = [0, *cps, len(x)]
             for i in range(len(bounds) - 1):
@@ -1148,7 +1185,7 @@ def pelt_changepoints(
                     (
                         *kv,
                         i,
-                        g[ts].iloc[a],
+                        ts_col.iloc[s + a],
                         b - a,
                         round(float(x[a:b].mean()), 4),
                     )
