@@ -88,6 +88,27 @@ def test_envelope_contains_query():
     assert (lo <= q).all() and (q <= hi).all()
 
 
+def test_dtw_batch_bit_identical_to_scalar():
+    """dtw_distance_batch runs the same recurrence with the same
+    association order as the scalar DP and min/max of floats is exact —
+    results must be BIT-identical (the vectorized _local_topk relies on
+    this to preserve byte-identical query output)."""
+    from time_series_spark_spark.operators.tsmining import (
+        dtw_distance_batch,
+    )
+
+    for n, band in ((30, 3), (25, 1), (40, 8), (7, 40)):
+        q = _znorm(RNG.normal(size=n))
+        X = np.stack(
+            [_znorm(RNG.normal(size=n).cumsum()) for _ in range(17)]
+        )
+        batch = dtw_distance_batch(X, q, band)
+        scalar = np.array(
+            [dtw_distance(X[i], q, band) for i in range(len(X))]
+        )
+        assert (batch == scalar).all()
+
+
 # ---------------------------------------------------------------------------
 # dtw_topk == brute force
 # ---------------------------------------------------------------------------
