@@ -163,6 +163,15 @@ _API = {
 
 __all__ = sorted(_API)
 
+# Inside PySpark worker processes (where every task re-runs
+# importlib.invalidate_caches and CPython re-parses every cached zip
+# archive unconditionally — 110-160 ms/task measured), install the
+# stamp-guarded zipimport invalidation. No-op in the driver and in
+# plain Python programs. See zipcache.py for the full analysis.
+from time_series_spark_spark import zipcache as _zipcache  # noqa: E402
+
+_zipcache.install_if_worker()
+
 
 def __getattr__(name: str):
     mod_path = _API.get(name)
