@@ -380,10 +380,12 @@ def forecast(
         y_all = pdf[y_col].to_numpy(dtype=float)
         for s, e in zip(starts, ends):
             kv = tuple(a[s] for a in karrs)
+            # already ds-ascending: packed_grouped_map sorts each
+            # partition by keys + [ds_col] (round 14, guide §1.2 — the
+            # per-series argsort re-sorted sorted data and forced two
+            # fancy-index copies per series)
             ds_arr = ds_all[s:e]
             y_arr = y_all[s:e]
-            order = np.argsort(ds_arr)
-            ds_arr, y_arr = ds_arr[order], y_arr[order]
             if len(y_arr) >= 5 and not np.isnan(y_arr).any():
                 cohorts.setdefault(ds_arr.tobytes(), []).append(
                     (kv, ds_arr, y_arr)

@@ -131,7 +131,17 @@ def get_spark(
         # 100x docs_lm_perplexity scan went 14 -> 32 tasks.)
         .config("spark.sql.files.openCostInBytes", str(1024 * 1024))
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        # 64k-row Arrow batches (default 10k): the engine's Python-stage
+        # rows are narrow numerics (guide §4.2 — "raise it for narrow
+        # numeric data"), and the packed mapper pays a concat + boundary
+        # scan per batch seam, so fewer/larger batches cut per-batch
+        # overhead (measured round 14: forecast_user_events 0.182->0.150,
+        # events_lttb_user 0.177->0.127 timed, byte-identical output;
+        # toPandas collection rides the same knob). Memory for WIDE rows
+        # (document text) stays bounded by Spark 4's byte-based cap,
+        # spark.sql.execution.arrow.maxBytesPerBatch (64 MB default),
+        # which applies first.
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
     )
@@ -162,5 +172,8 @@ def ensure_engine_conf(spark: SparkSession) -> SparkSession:
     # see get_spark: scan-stage parallelism for mid-size compute-heavy
     # files (runtime-settable, applies to the driver's own session too)
     spark.conf.set("spark.sql.files.openCostInBytes", str(1024 * 1024))
+    # see get_spark: 64k-row Arrow batches for the narrow numeric
+    # Python-stage rows; wide rows stay bounded by maxBytesPerBatch
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
     ship_package(spark)
     return spark
