@@ -137,6 +137,44 @@ def test_dtw_topk_matches_bruteforce(spark):
     ]
 
 
+def test_dtw_sparse_matches_dense(spark):
+    """dtw_topk_sparse (long-form rows, numpy-side densify) must return
+    exactly what dtw_topk returns on the dense vectors built with the
+    SAME zero fill — including sparse series with leading/trailing and
+    interior zero runs, and an all-zero candidate (sd = 0 degenerate)."""
+    from time_series_spark_spark.operators.tsmining import dtw_topk_sparse
+
+    n = 24
+    rows = []
+    rng = np.random.default_rng(11)
+    dense = {}
+    for s in range(30):
+        v = np.zeros(n)
+        if s != 7:  # series 7 stays all-zero (degenerate z-norm)
+            keep = rng.choice(n, size=rng.integers(3, n), replace=False)
+            v[keep] = np.round(rng.normal(size=len(keep)).cumsum(), 6)
+        dense[s] = v
+        rows += [
+            (s, int(i), float(v[i])) for i in range(n) if v[i] != 0.0
+        ]
+        if not any(r[0] == s for r in rows):  # keep every key present
+            rows.append((s, 0, 0.0))
+    long_df = spark.createDataFrame(rows, "sid long, i int, v double")
+    q = dense[0]
+    cands_long = long_df.filter(F.col("sid") != 0)
+    dense_rows = [(s, [float(x) for x in v]) for s, v in dense.items() if s != 0]
+    cands_dense = spark.createDataFrame(
+        dense_rows, "sid long, vals array<double>"
+    )
+    sparse = dtw_topk_sparse(
+        cands_long, "sid", "i", "v", n, q, k=5, band_frac=0.2
+    ).collect()
+    dense_out = dtw_topk(cands_dense, "sid", q, k=5, band_frac=0.2).collect()
+    assert [(r["sid"], r["dtw"]) for r in sparse] == [
+        (r["sid"], r["dtw"]) for r in dense_out
+    ]
+
+
 # ---------------------------------------------------------------------------
 # matrix profile: MASS == brute force
 # ---------------------------------------------------------------------------
