@@ -427,3 +427,54 @@ def test_croston_recovers_planted_intermittent_demand():
     assert n_dem == 100
     # all-zero demand -> rate 0, no crash
     assert croston_series(np.zeros(50))[0] == 0.0
+
+
+def test_forecast_on_grid_matches_join_densify(spark):
+    """forecast_on_grid (sparse rows + in-stage numpy densify) must be
+    byte-identical to forecast() over the dense grid-join form it
+    replaced — including users with leading/trailing gap days and a
+    user with a single observation (zero-dominated series)."""
+    import datetime as dt
+
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from time_series_spark_spark.operators.forecast import (
+        forecast,
+        forecast_on_grid,
+    )
+
+    rng = np.random.default_rng(5)
+    t0 = dt.datetime(2024, 3, 1)
+    rows = []
+    for u in range(12):
+        days = sorted(
+            rng.choice(40, size=int(rng.integers(1, 35)), replace=False)
+        )
+        for d in days:
+            rows.append((u, t0 + dt.timedelta(days=int(d)),
+                         float(np.round(rng.normal(), 6))))
+    sparse = spark.createDataFrame(rows, "u long, ds timestamp, y double")
+    bounds = sparse.agg(F.min("ds").alias("lo"), F.max("ds").alias("hi"))
+
+    grid = (
+        sparse.select("u").distinct()
+        .crossJoin(F.broadcast(bounds))
+        .select("u", F.explode(
+            F.expr("sequence(lo, hi, interval 1 day)")).alias("ds"))
+    )
+    dense = grid.join(sparse, ["u", "ds"], "left").select(
+        "u", "ds", F.coalesce("y", F.lit(0.0)).alias("y"))
+    want = (
+        forecast(dense, ["u"], "ds", "y", horizon=6)
+        .toPandas().sort_values(["u", "ds"]).reset_index(drop=True)
+    )
+    brow = bounds.collect()[0]
+    got = (
+        forecast_on_grid(
+            sparse, ["u"], "ds", "y", brow["lo"], brow["hi"], horizon=6,
+        )
+        .toPandas().sort_values(["u", "ds"]).reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(want, got)

@@ -339,6 +339,68 @@ def fit_forecast_multi(
     ]
 
 
+def _fit_series_cohorts(
+    series,
+    keys: list[str],
+    horizon: int,
+    freq_days: float,
+    fit_kwargs: dict,
+) -> pd.DataFrame:
+    """Fit an iterable of ``(kv, ds_arr, y_arr)`` series (the shared core
+    of :func:`forecast` and :func:`forecast_on_grid`). Series sharing an
+    identical observation grid (the overwhelmingly common case for
+    aggregated daily series) are fit as ONE multi-RHS solve
+    (:func:`fit_forecast_multi_stacked`); ragged, NaN-bearing, or short
+    series fall back to the scalar path. Both produce identical numbers.
+    """
+    outs = []
+    cohorts: dict[bytes, list] = {}
+    for kv, ds_arr, y_arr in series:
+        if len(y_arr) >= 5 and not np.isnan(y_arr).any():
+            cohorts.setdefault(ds_arr.tobytes(), []).append(
+                (kv, ds_arr, y_arr)
+            )
+        else:
+            out = fit_forecast_series(
+                ds_arr, y_arr, horizon, freq_days, **fit_kwargs
+            )
+            for k, v in zip(keys, kv):
+                out[k] = v
+            outs.append(
+                out[[*keys, "ds", "yhat", "yhat_lower", "yhat_upper"]]
+            )
+    for members in cohorts.values():
+        ds_arr = members[0][1]
+        Y = np.column_stack([y for _, _, y in members])
+        cohort = fit_forecast_multi_stacked(
+            ds_arr, Y, horizon, freq_days, **fit_kwargs
+        )
+        # the whole cohort arrives as ONE member-major frame; keys
+        # attach as np.repeat columns — per-member frame construction
+        # + per-key setitem was the measured pandas hot spot once the
+        # solve itself became shared (round 6)
+        for idx, k in enumerate(keys):
+            cohort[k] = np.repeat(
+                np.array([kv[idx] for kv, _, _ in members]), horizon
+            )
+        outs.append(
+            cohort[[*keys, "ds", "yhat", "yhat_lower", "yhat_upper"]]
+        )
+    return pd.concat(outs, ignore_index=True)
+
+
+def _forecast_schema(df: DataFrame, keys: list[str]) -> str:
+    key_schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}"
+        for f in df.schema.fields
+        if f.name in keys
+    )
+    return (
+        f"{key_schema}, ds timestamp, yhat double, "
+        "yhat_lower double, yhat_upper double"
+    )
+
+
 def forecast(
     df: DataFrame,
     keys: list[str],
@@ -353,74 +415,101 @@ def forecast(
     Output schema: ``keys…, ds timestamp, yhat double, yhat_lower double,
     yhat_upper double`` — the published Prophet output contract.
     """
-    key_schema = ", ".join(
-        f"{f.name} {f.dataType.simpleString()}"
-        for f in df.schema.fields
-        if f.name in keys
-    )
-    schema = (
-        f"{key_schema}, ds timestamp, yhat double, "
-        "yhat_lower double, yhat_upper double"
-    )
+    schema = _forecast_schema(df, keys)
 
     def _fit_batch(pdf: pd.DataFrame) -> pd.DataFrame:
         # Packed batch: many complete series per invocation (see
-        # operators/packed.py). Series sharing an identical observation
-        # grid (the overwhelmingly common case for aggregated daily
-        # series) are fit as ONE multi-RHS solve (fit_forecast_multi);
-        # ragged, NaN-bearing, or short series fall back to the scalar
-        # path. Both produce identical numbers.
+        # operators/packed.py), routed through the shared cohort core.
         from time_series_spark_spark.operators.packed import key_slices
 
-        outs = []
-        cohorts: dict[bytes, list] = {}
         starts, ends = key_slices(pdf, keys)
         karrs = [pdf[k].to_numpy() for k in keys]
         ds_all = pdf[ds_col].to_numpy()
         y_all = pdf[y_col].to_numpy(dtype=float)
-        for s, e in zip(starts, ends):
-            kv = tuple(a[s] for a in karrs)
-            # already ds-ascending: packed_grouped_map sorts each
-            # partition by keys + [ds_col] (round 14, guide §1.2 — the
-            # per-series argsort re-sorted sorted data and forced two
-            # fancy-index copies per series)
-            ds_arr = ds_all[s:e]
-            y_arr = y_all[s:e]
-            if len(y_arr) >= 5 and not np.isnan(y_arr).any():
-                cohorts.setdefault(ds_arr.tobytes(), []).append(
-                    (kv, ds_arr, y_arr)
-                )
-            else:
-                out = fit_forecast_series(
-                    ds_arr, y_arr, horizon, freq_days, **fit_kwargs
-                )
-                for k, v in zip(keys, kv):
-                    out[k] = v
-                outs.append(
-                    out[[*keys, "ds", "yhat", "yhat_lower", "yhat_upper"]]
-                )
-        for members in cohorts.values():
-            ds_arr = members[0][1]
-            Y = np.column_stack([y for _, _, y in members])
-            cohort = fit_forecast_multi_stacked(
-                ds_arr, Y, horizon, freq_days, **fit_kwargs
-            )
-            # the whole cohort arrives as ONE member-major frame; keys
-            # attach as np.repeat columns — per-member frame construction
-            # + per-key setitem was the measured pandas hot spot once the
-            # solve itself became shared (round 6)
-            for idx, k in enumerate(keys):
-                cohort[k] = np.repeat(
-                    np.array([kv[idx] for kv, _, _ in members]), horizon
-                )
-            outs.append(
-                cohort[[*keys, "ds", "yhat", "yhat_lower", "yhat_upper"]]
-            )
-        return pd.concat(outs, ignore_index=True)
+
+        def _series():
+            for s, e in zip(starts, ends):
+                # already ds-ascending: packed_grouped_map sorts each
+                # partition by keys + [ds_col] (round 14, guide §1.2 —
+                # the per-series argsort re-sorted sorted data and
+                # forced two fancy-index copies per series)
+                yield tuple(a[s] for a in karrs), ds_all[s:e], y_all[s:e]
+
+        return _fit_series_cohorts(
+            _series(), keys, horizon, freq_days, fit_kwargs
+        )
 
     # project early: the UDF is a pushdown barrier (SURVEY.md §4.3)
     slim = df.select(*keys, ds_col, y_col)
     return packed_grouped_map(slim, keys, [ds_col], _fit_batch, schema)
+
+
+def forecast_on_grid(
+    df: DataFrame,
+    keys: list[str],
+    ds_col: str,
+    y_col: str,
+    lo,
+    hi,
+    horizon: int,
+    freq_days: float = 1.0,
+    **fit_kwargs,
+) -> DataFrame:
+    """:func:`forecast` over SPARSE observations densified to the shared
+    ``[lo, hi]`` calendar INSIDE the Arrow stage (round 14, guide §4.2 —
+    the hurst/dtw scatter pattern): a day with no observation is a TRUE
+    zero, and the dense rows exist only as numpy vectors, never as Spark
+    rows. This replaces the distinct-keys × ``sequence()`` grid explode +
+    left join densify, whose explode/join/sort all re-ran single-threaded
+    on the result stage (measured 111 ms of the forecast_user_events
+    timed task — the Python fit was 27 ms) and whose join would broadcast
+    or shuffle the whole series at cluster scale. The grid
+    (``lo + k·freq``, exact midnights for daily data), the zero fill, and
+    the per-batch cohort order are identical to the joined form, so
+    outputs are byte-identical (pinned by test).
+
+    ``lo``/``hi`` are the grid bounds as Python/naive-UTC datetimes —
+    collect them at query BUILD time (one small agg job, the established
+    pattern of the DTW query's driver-side ``q``); ``freq_days`` must
+    divide the span. Keys with no observed rows produce no output —
+    identical to the join form, whose key universe is the observed keys.
+    """
+    schema = _forecast_schema(df, keys)
+    step_us = int(freq_days * 86_400_000_000)
+    lo64 = np.datetime64(lo, "us")
+    hi64 = np.datetime64(hi, "us")
+
+    def _fit_batch(pdf: pd.DataFrame) -> pd.DataFrame:
+        from time_series_spark_spark.operators.packed import key_slices
+
+        starts, ends = key_slices(pdf, keys)
+        karrs = [pdf[k].to_numpy() for k in keys]
+        ds_all = pdf[ds_col].to_numpy().astype("datetime64[us]")
+        y_all = pdf[y_col].to_numpy(dtype=float)
+        step = np.timedelta64(step_us, "us")
+        n = int((hi64 - lo64) // step) + 1
+        grid = lo64 + step * np.arange(n)
+        idx_all = ((ds_all - lo64) // step).astype(np.int64)
+
+        def _series():
+            for s, e in zip(starts, ends):
+                dense = np.zeros(n)
+                dense[idx_all[s:e]] = y_all[s:e]
+                yield tuple(a[s] for a in karrs), grid, dense
+
+        return _fit_series_cohorts(
+            _series(), keys, horizon, freq_days, fit_kwargs
+        )
+
+    slim = df.select(*keys, ds_col, y_col)
+    # num_partitions=0: the scatter+multi-RHS fit is a cheap vectorized
+    # pass over its bytes (27 ms Python for the sf0.1 corpus), so
+    # byte-based AQE sizing is the right cost model — a pinned 32-task
+    # stage paid more per-task Python round-trip than the whole fit
+    # (0.33 s vs 0.19 s timed, measured round 14)
+    return packed_grouped_map(
+        slim, keys, [ds_col], _fit_batch, schema, num_partitions=0
+    )
 
 
 def backtest(

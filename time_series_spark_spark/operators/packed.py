@@ -120,19 +120,27 @@ def packed_grouped_map(
     ``apply_fn(pdf) -> pdf`` sees ≥1 complete groups sorted by
     ``keys + order_cols``; it must handle every group in ``pdf``
     (e.g. via ``pdf.groupby(keys, sort=False)``).
+
+    ``num_partitions``: None (default) pins the exchange to the session's
+    shuffle parallelism; 0 leaves it AQE-coalescible (byte-sized). Pin
+    for apply fns whose per-row Python cost dwarfs bytes (LTTB, Kalman,
+    per-series DP loops) — byte-based coalescing collapses those to ONE
+    single-threaded task at bench scale (measured: events_lttb_user
+    spent 0.84 s in one Python task on a 32-core host). Leave 0 for
+    apply fns that are cheap vectorized passes over their bytes (the
+    multi-RHS forecast fit: 27 ms of Python for the whole sf0.1 corpus)
+    — there the per-task Python round trip dominates, fewer bigger tasks
+    win, and bytes ARE the right cost model, so AQE sizing stays correct
+    at cluster scale (measured round 14: the pinned fit 0.33 s vs 0.19 s
+    coalesced on the timed path).
     """
     if num_partitions is None:
-        # Pin the exchange to the session's shuffle parallelism instead of
-        # leaving it AQE-coalescible: byte-based coalescing collapses a
-        # small-by-bytes but CPU-bound Arrow stage to ONE partition
-        # (measured at sf0.1: every packed stage ran single-threaded —
-        # events_lttb_user spent 0.84 s in one Python task on a 32-core
-        # host). See pin_partitions; bytes moved are identical, only the
-        # post-shuffle merge is skipped.
         num_partitions = shuffle_parallelism(df)
-    parted = df.repartition(num_partitions, *keys).sortWithinPartitions(
-        *keys, *order_cols
-    )
+    if num_partitions == 0:
+        parted = df.repartition(*keys)
+    else:
+        parted = df.repartition(num_partitions, *keys)
+    parted = parted.sortWithinPartitions(*keys, *order_cols)
 
     def _trailing_group_len(pdf: pd.DataFrame) -> int:
         """Rows of the final key at the tail of a key-sorted frame."""

@@ -11,6 +11,7 @@ from time_series_spark_spark.operators.forecast import (
     backtest,
     daily_series,
     forecast,
+    forecast_on_grid,
 )
 from time_series_spark_spark.queries import register
 from time_series_spark_spark.sources.io import load
@@ -56,29 +57,20 @@ def forecast_user_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     # densify to the corpus calendar: a day with no events is a TRUE 0
     # for a daily event-value total, not missing data — and with every
     # user on one shared grid the packed fit collapses to ONE multi-RHS
-    # solve (1213 distinct ragged grids -> 1 at sf0.1, measured round 6)
-    bounds = series.agg(F.min("ds").alias("lo"), F.max("ds").alias("hi"))
-    # Densify via the codegen grid join. A join-free map-scatter densify
-    # (groupBy + map_from_entries + interpreted transform explode) was
-    # tried round 14 and KEPT briefly, but once pin_partitions made the
-    # fit stage parallel the balance flipped: controlled A/B, one
-    # session, alternating — join noop ~1.0 s vs scatter ~1.28 s, timed
-    # equal-or-better for the join. Interpreted per-element HOF loses to
-    # the codegen join even at 45k produced rows when it is no longer
-    # hiding a single-threaded downstream stage.
-    grid = (
-        series.select("user_id")
-        .distinct()
-        .crossJoin(F.broadcast(bounds))
-        .select(
-            "user_id",
-            F.explode(F.expr("sequence(lo, hi, interval 1 day)")).alias("ds"),
-        )
+    # solve (1213 distinct ragged grids -> 1 at sf0.1, measured round 6).
+    # The densify itself happens INSIDE the Arrow fit stage
+    # (forecast_on_grid, round 14): the earlier distinct-users ×
+    # sequence() grid explode + left join re-ran its explode, broadcast
+    # probe and sort single-threaded on every timed result stage (111 ms
+    # of the task vs 27 ms of Python fit); an earlier SQL-side
+    # map-scatter (interpreted transform explode) lost to the codegen
+    # join and was reverted. The numpy scatter materializes no dense
+    # rows on either side of the boundary — byte-identical output,
+    # pinned by test_forecast_on_grid_matches_join_densify.
+    brow = series.agg(F.min("ds").alias("lo"), F.max("ds").alias("hi")).collect()[0]
+    fc = forecast_on_grid(
+        series, ["user_id"], "ds", "y", brow["lo"], brow["hi"], horizon=7
     )
-    series = grid.join(series, ["user_id", "ds"], "left").select(
-        "user_id", "ds", F.coalesce("y", F.lit(0.0)).alias("y")
-    )
-    fc = forecast(series, ["user_id"], "ds", "y", horizon=7)
     return fc.select(
         "user_id",
         "ds",
