@@ -2800,10 +2800,32 @@ def orders_var_cvar_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     "per-item window.",
 )
 def part_item_item_recs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    b = (
+    from time_series_spark_spark.operators.packed import shuffle_parallelism
+
+    # One basket subtree behind one hash(o) exchange (round 15, guide
+    # §2.4): the naive form planned FOUR lineitem scans + four distinct
+    # aggs (side a, side c, item counts twice) and broadcast the 600k-row
+    # basket relation. The explicit null filter makes every branch's scan
+    # canonically identical, so AQE's runtime exchange reuse collapses
+    # them to ONE scan + one hash(o) exchange (3 ReusedExchange in the
+    # final plan); dedupe rides the o-exchange (hash(o) satisfies the
+    # (o,p) clustering), and the pair aggregation is keyed hash(i) so the
+    # per-i window reuses it instead of re-shuffling the 2.4M pair rows.
+    # No skew lever: the measured (i,j) histogram is flat (max cij=3,
+    # per-i fanout max/avg < 2), so the win is structure, not salting.
+    li = (
         load(spark, sf_dir, "lineitem")
+        .filter(
+            F.col("l_orderkey").isNotNull() & F.col("l_partkey").isNotNull()
+        )
         .select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
-        .distinct()
+    )
+    P = shuffle_parallelism(li)
+    b = (
+        li.repartition(P, "o")
+        .groupBy("o", "p")
+        .agg(F.lit(1))
+        .select("o", "p")
     )
     item = b.groupBy("p").agg(F.count(F.lit(1)).alias("ci"))
     a = b.select(F.col("o"), F.col("p").alias("i"))
@@ -2811,14 +2833,16 @@ def part_item_item_recs(spark: SparkSession, sf_dir: str) -> DataFrame:
     pair = (
         a.join(c, "o")
         .filter(F.col("i") != F.col("j"))
+        .select("i", "j")
+        .repartition(P, "i")
         .groupBy("i", "j")
         .agg(F.count(F.lit(1)).alias("cij"))
     )
     ia = item.select(F.col("p").alias("i"), F.col("ci").alias("ci"))
     ja = item.select(F.col("p").alias("j"), F.col("ci").alias("cj"))
     scored = (
-        pair.join(ia, "i")
-        .join(ja, "j")
+        pair.join(ia, "i")  # 20k-row item counts: AQE broadcasts locally,
+        .join(ja, "j")      # and may not at 100 TB (parts scale with SF)
         .filter(F.col("ci") >= 5)
         .select(
             "i", "j", "cij", "ci", "cj",
