@@ -1297,15 +1297,20 @@ def remove_dup_spans(
     ``cleaned_hash`` = md5 of the kept tokens joined by spaces, so the
     cleaned text is verifiable without moving it.
     """
-    from time_series_spark_spark.operators.packed import fan_out
+    from time_series_spark_spark.operators.packed import shuffle_parallelism
 
-    # both consumers of toks (the gram explode and the final HOF
-    # filter/md5 pass) are compute-bound map stages capped at the scan's
-    # split count — fan the slim projection out first (no-op when the
-    # corpus is well-split; guide §2.5)
-    toks = fan_out(
-        df.select(F.col(id_col), *[F.col(c) for c in carry_cols], text_col)
-    ).select(
+    # Fan the slim projection out keyed on id_col, not round-robin
+    # (round 15): same bytes through the same one exchange (guide §2.5
+    # parallelism for the gram explode and the final HOF/md5 pass), but
+    # hash(id_col) is ALSO the final join's distribution, so the
+    # bads→toks attach needs no further exchange and no broadcast. The
+    # earlier broadcast shape re-ran the whole gram pipeline inside the
+    # broadcast subtree (nested query-stage reuse does not fire across
+    # broadcast-stage boundaries — measured: Generate ×2, both the occ
+    # explode and the gh exchange executed twice per run).
+    toks = df.select(
+        F.col(id_col), *[F.col(c) for c in carry_cols], text_col
+    ).repartition(shuffle_parallelism(df), id_col).select(
         F.col(id_col),
         *[F.col(c) for c in carry_cols],
         F.split(F.coalesce(F.col(text_col), F.lit("")), " ").alias("t"),
@@ -1317,25 +1322,29 @@ def remove_dup_spans(
         f"i -> struct(i AS s, xxhash64({args}) AS gh)) "
         f"ELSE array() END"
     )
-    # One exchange serves the per-gram stats AND the stats→occurrence
-    # join (both cluster on gh) — the dup_span_stats pattern; without
-    # it the gram stream shuffles twice.
+    # Per-gram stats as WINDOW functions over ONE gh exchange instead of
+    # a stats aggregation self-joined back to the occurrences (round 15,
+    # guide §2.4): the self-join shape planned the gram explode TWICE —
+    # the stats branch's exchange sits above a ReusedExchange while the
+    # occurrence branch's sits above the original, so the two gh
+    # exchanges never canonicalize equal and stage reuse cannot collapse
+    # them (measured: Generate ×2 per run, broadcast or shuffle join
+    # alike). A gram is duplicated across documents iff
+    # min(doc) < max(doc) within its gh window — exactly countDistinct
+    # >= 2 — and the removal rule keeps min(doc) as the canonical owner,
+    # so the window form is row-for-row identical with no join at all.
     occ = (
         toks.select(id_col, F.explode(F.expr(gram_expr)).alias("o"))
         .select(id_col, F.col("o.s").alias("s"), F.col("o.gh").alias("gh"))
         .repartition("gh")
     )
-    stats = occ.groupBy("gh").agg(
-        F.countDistinct(id_col).alias("nd"),
-        F.min(id_col).alias("mind"),
-    )
-    # Filter to DUPLICATED grams before the join: every occ row matches
-    # some stats row (stats is built from occ), so inner-join + nd>=2
-    # after ≡ nd>=2 before + inner join — but the join's build/sort side
-    # shrinks from all grams to just the duplicated ones.
+    wgh = Window.partitionBy("gh")
     bads = (
-        occ.join(stats.filter(F.col("nd") >= 2), "gh")
-        .filter(F.col("mind") < F.col(id_col))
+        occ.withColumn("mind", F.min(id_col).over(wgh))
+        .withColumn("maxd", F.max(id_col).over(wgh))
+        .filter(
+            (F.col("mind") < F.col("maxd")) & (F.col("mind") < F.col(id_col))
+        )
         .groupBy(id_col)
         .agg(F.collect_set("s").alias("bads"))
     )
@@ -1345,7 +1354,11 @@ def remove_dup_spans(
         f"NOT exists(bads, s -> s BETWEEN j - {w - 1} AND j))"
     )
     return (
-        toks.join(bads, id_col, "left")
+        # both sides are already hash(id_col)-distributed (toks by the
+        # fan-out exchange, bads by its aggregation), so the shuffle-hash
+        # join attaches the bad spans with no exchange and no broadcast
+        # subtree
+        toks.join(bads.hint("SHUFFLE_HASH"), id_col, "left")
         .withColumn("bads", F.coalesce(F.col("bads"), F.expr("array()")))
         .select(
             id_col,
