@@ -525,6 +525,38 @@ def test_pareto_and_reconciliation_invariants(spark):
     assert sum(r["n_orders"] for r in rec) == n_orders  # bands partition
 
 
+def test_swinging_door_batch_bit_identical_to_loop():
+    """_sd_batch (series-axis vectorization, round 15) must pick the
+    bit-identical kept index set as the sequential _sd_one on ragged
+    batches: random walks, constant series, duplicate timestamps
+    (dt<=0 guard), and n<=2 degenerate series."""
+    from time_series_spark_spark.operators.analytics import (
+        _sd_batch,
+        _sd_one,
+    )
+
+    rng = np.random.default_rng(9)
+    series = []
+    for n in (1, 2, 3, 9, 40, 40, 77, 250):
+        t = np.sort(rng.integers(0, 10_000, size=n)).astype(np.int64)
+        if n > 5:
+            t[3] = t[2]  # duplicate timestamp exercises the dt<=0 guard
+        v = np.round(rng.normal(size=n).cumsum(), 3)
+        series.append((t, v))
+    series.append((np.arange(50, dtype=np.int64), np.zeros(50)))  # line
+    lens = np.array([len(t) for t, _ in series])
+    starts = np.concatenate(([0], np.cumsum(lens)[:-1]))
+    ends = starts + lens
+    t_all = np.concatenate([t for t, _ in series])
+    v_all = np.concatenate([v for _, v in series])
+    for tol in (0.5, 2.0):
+        got = _sd_batch(t_all, v_all, starts, ends, tol)
+        want = np.concatenate(
+            [_sd_one(t, v, tol) + s for (t, v), s in zip(series, starts)]
+        )
+        assert got.tobytes() == want.astype(got.dtype).tobytes()
+
+
 def test_swinging_door_reconstruction_bound(spark):
     """F89: linear interpolation between kept points reconstructs EVERY
     dropped point within tolerance; endpoints always kept; a straight

@@ -175,6 +175,46 @@ def test_dtw_sparse_matches_dense(spark):
     ]
 
 
+def test_dtw_sparse_self_matches_sparse(spark):
+    """dtw_topk_sparse_self (query series folded into the plan via
+    per-partition replication, round 15) must return exactly what
+    dtw_topk_sparse returns with the same query collected driver-side —
+    including when the query key's rows sit among the candidates and
+    when the per-pid query copies collide into one partition."""
+    from time_series_spark_spark.operators.tsmining import (
+        dtw_topk_sparse,
+        dtw_topk_sparse_self,
+    )
+
+    n = 24
+    rows = []
+    rng = np.random.default_rng(23)
+    dense = {}
+    for s in range(30):
+        v = np.zeros(n)
+        if s != 7:
+            keep = rng.choice(n, size=rng.integers(3, n), replace=False)
+            v[keep] = np.round(rng.normal(size=len(keep)).cumsum(), 6)
+        dense[s] = v
+        rows += [
+            (s, int(i), float(v[i]), n) for i in range(n) if v[i] != 0.0
+        ]
+        if not any(r[0] == s for r in rows):
+            rows.append((s, 0, 0.0, n))
+    long_df = spark.createDataFrame(rows, "sid long, i int, v double, n int")
+    q = dense[0]
+    sparse = dtw_topk_sparse(
+        long_df.filter(F.col("sid") != 0).select("sid", "i", "v"),
+        "sid", "i", "v", n, q, k=5, band_frac=0.2,
+    ).collect()
+    selfed = dtw_topk_sparse_self(
+        long_df, "sid", "i", "v", "n", query_key=0, k=5, band_frac=0.2
+    ).collect()
+    assert [(r["sid"], r["dtw"]) for r in selfed] == [
+        (r["sid"], r["dtw"]) for r in sparse
+    ]
+
+
 # ---------------------------------------------------------------------------
 # matrix profile: MASS == brute force
 # ---------------------------------------------------------------------------
@@ -311,6 +351,31 @@ def test_paa_constant_series_maps_to_c(spark):
 # ---------------------------------------------------------------------------
 # Kalman local-level smoother
 # ---------------------------------------------------------------------------
+def test_kalman_batch_bit_identical_to_series_loop():
+    """kalman_smooth_batch (series-axis vectorization, round 15) must be
+    BIT-identical to the sequential kalman_smooth_series on ragged
+    batches — including length-1 series and a padded batch whose T_max
+    exceeds most series' lengths."""
+    from time_series_spark_spark.operators.tsmining import (
+        kalman_smooth_batch,
+        kalman_smooth_series,
+    )
+
+    rng = np.random.default_rng(5)
+    lens = np.array([1, 2, 7, 31, 31, 13, 1, 24])
+    series = [rng.normal(size=n).cumsum() for n in lens]
+    T = int(lens.max())
+    Y = np.zeros((len(lens), T))
+    for j, s in enumerate(series):
+        Y[j, : len(s)] = s
+    for q, r in ((1.0, 10.0), (0.001, 10.0), (100.0, 0.01)):
+        lv, lvv = kalman_smooth_batch(Y, lens, q, r)
+        for j, s in enumerate(series):
+            ref_lv, ref_lvv = kalman_smooth_series(s, q, r)
+            assert lv[j, : len(s)].tobytes() == ref_lv.tobytes()
+            assert lvv[j, : len(s)].tobytes() == ref_lvv.tobytes()
+
+
 def test_kalman_smoother_equals_map_solve():
     """The RTS-smoothed mean of the local-level model is the MAP state
     sequence, i.e. the solution of the tridiagonal system

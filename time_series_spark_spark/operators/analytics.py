@@ -805,6 +805,106 @@ def markov_attribution(
     )
 
 
+def _sd_one(t: np.ndarray, v: np.ndarray, tolerance: float) -> np.ndarray:
+    """Sequential corridor swinging-door on ONE series — the reference
+    implementation the vectorized :func:`_sd_batch` is bit-pinned to."""
+    n = len(t)
+    if n <= 2:
+        return np.arange(n)
+    keep = [0]
+    a = 0                      # anchor: last kept index
+    up = -np.inf               # corridor: max lower-ray slope
+    lo = np.inf                # corridor: min upper-ray slope
+    prev = 0                   # last accepted candidate endpoint
+    for i in range(1, n):
+        dt = float(t[i] - t[a])
+        if dt <= 0:
+            dt = 1e-9
+        s_i = (v[i] - v[a]) / dt
+        if up <= s_i <= lo:
+            # segment a→i within tol of every intermediate; accept
+            # and tighten the corridor with i for future candidates
+            prev = i
+            up = max(up, (v[i] - tolerance - v[a]) / dt)
+            lo = min(lo, (v[i] + tolerance - v[a]) / dt)
+        else:
+            keep.append(prev)
+            a = prev
+            dt = float(t[i] - t[a])
+            if dt <= 0:
+                dt = 1e-9
+            up = (v[i] - tolerance - v[a]) / dt
+            lo = (v[i] + tolerance - v[a]) / dt
+            prev = i
+    keep.append(n - 1)
+    return np.unique(np.asarray(keep, dtype=np.int64))
+
+
+def _sd_batch(
+    t_all: np.ndarray,
+    v_all: np.ndarray,
+    starts: np.ndarray,
+    ends: np.ndarray,
+    tolerance: float,
+) -> np.ndarray:
+    """:func:`_sd_one` vectorized across the SERIES axis (round 15,
+    guide §4.2 — the dtw/kalman batch pattern): state (anchor, corridor,
+    pending endpoint) lives in per-series arrays; each step i applies
+    both branches elementwise and selects by the corridor mask, so the
+    interpreter does O(T_max) steps per batch instead of O(Σ n_j).
+    Identical float arithmetic in identical order per series ⇒ the kept
+    index set is bit-identical to the sequential loop (pinned by test).
+    Returns positional indices into the flat batch, ascending."""
+    lens = ends - starts
+    m = len(starts)
+    T = int(lens.max())
+    rows = np.repeat(np.arange(m), lens)
+    cols = np.arange(len(t_all)) - np.repeat(starts, lens)
+    tp = np.zeros((m, T), dtype=np.float64)
+    vp = np.zeros((m, T), dtype=np.float64)
+    tp[rows, cols] = t_all.astype(np.float64)
+    vp[rows, cols] = v_all
+    kept = np.zeros((m, T), dtype=bool)
+    kept[:, 0] = True
+    kept[np.arange(m), lens - 1] = True
+    a = np.zeros(m, dtype=np.int64)
+    up = np.full(m, -np.inf)
+    lo = np.full(m, np.inf)
+    prev = np.zeros(m, dtype=np.int64)
+    ar = np.arange(m)
+    for i in range(1, T):
+        active = (i < lens) & (lens > 2)
+        ti, vi = tp[:, i], vp[:, i]
+        dt = ti - tp[ar, a]
+        dt = np.where(dt <= 0, 1e-9, dt)
+        va = vp[ar, a]
+        s_i = (vi - va) / dt
+        inside = (up <= s_i) & (s_i <= lo)
+        rej = active & ~inside
+        # reject branch: emit the pending endpoint, re-anchor there
+        kept[ar[rej], prev[rej]] = True
+        a_new = np.where(inside, a, prev)
+        dt2 = ti - tp[ar, a_new]
+        dt2 = np.where(dt2 <= 0, 1e-9, dt2)
+        va2 = vp[ar, a_new]
+        up_new = np.where(
+            inside,
+            np.maximum(up, (vi - tolerance - va) / dt),
+            (vi - tolerance - va2) / dt2,
+        )
+        lo_new = np.where(
+            inside,
+            np.minimum(lo, (vi + tolerance - va) / dt),
+            (vi + tolerance - va2) / dt2,
+        )
+        a = np.where(active, a_new, a)
+        up = np.where(active, up_new, up)
+        lo = np.where(active, lo_new, lo)
+        prev = np.where(active, i, prev)
+    j, c = np.nonzero(kept)
+    return starts[j] + c
+
+
 def swinging_door(
     df: DataFrame,
     ts: str,
@@ -839,38 +939,6 @@ def swinging_door(
         F.col(value).cast("double").alias("__v"),
     )
 
-    def _one(t: np.ndarray, v: np.ndarray) -> np.ndarray:
-        n = len(t)
-        if n <= 2:
-            return np.arange(n)
-        keep = [0]
-        a = 0                      # anchor: last kept index
-        up = -np.inf               # corridor: max lower-ray slope
-        lo = np.inf                # corridor: min upper-ray slope
-        prev = 0                   # last accepted candidate endpoint
-        for i in range(1, n):
-            dt = float(t[i] - t[a])
-            if dt <= 0:
-                dt = 1e-9
-            s_i = (v[i] - v[a]) / dt
-            if up <= s_i <= lo:
-                # segment a→i within tol of every intermediate; accept
-                # and tighten the corridor with i for future candidates
-                prev = i
-                up = max(up, (v[i] - tolerance - v[a]) / dt)
-                lo = min(lo, (v[i] + tolerance - v[a]) / dt)
-            else:
-                keep.append(prev)
-                a = prev
-                dt = float(t[i] - t[a])
-                if dt <= 0:
-                    dt = 1e-9
-                up = (v[i] - tolerance - v[a]) / dt
-                lo = (v[i] + tolerance - v[a]) / dt
-                prev = i
-        keep.append(n - 1)
-        return np.unique(np.asarray(keep, dtype=np.int64))
-
     def _apply(pdf: pd.DataFrame) -> pd.DataFrame:
         from time_series_spark_spark.operators.packed import key_slices
 
@@ -879,11 +947,8 @@ def swinging_door(
         starts, ends = key_slices(pdf, keys)
         t_all = pdf["__t"].to_numpy()
         v_all = pdf["__v"].to_numpy()
-        take = [
-            _one(t_all[s:e], v_all[s:e]) + s
-            for s, e in zip(starts, ends)
-        ]
-        return pdf.iloc[np.concatenate(take)].reset_index(drop=True)
+        take = _sd_batch(t_all, v_all, starts, ends, tolerance)
+        return pdf.iloc[take].reset_index(drop=True)
 
     key_schema = ", ".join(
         f"{k} {dict(base.dtypes)[k]}" for k in keys

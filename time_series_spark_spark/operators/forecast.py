@@ -449,10 +449,11 @@ def forecast_on_grid(
     keys: list[str],
     ds_col: str,
     y_col: str,
-    lo,
-    hi,
-    horizon: int,
+    lo=None,
+    hi=None,
+    horizon: int = 7,
     freq_days: float = 1.0,
+    bounds: DataFrame | None = None,
     **fit_kwargs,
 ) -> DataFrame:
     """:func:`forecast` over SPARSE observations densified to the shared
@@ -468,28 +469,39 @@ def forecast_on_grid(
     the per-batch cohort order are identical to the joined form, so
     outputs are byte-identical (pinned by test).
 
-    ``lo``/``hi`` are the grid bounds as Python/naive-UTC datetimes —
-    collect them at query BUILD time (one small agg job, the established
-    pattern of the DTW query's driver-side ``q``); ``freq_days`` must
+    ``lo``/``hi`` are the grid bounds as Python/naive-UTC datetimes, OR
+    pass ``bounds`` — a 1-row DataFrame whose first two columns are
+    (lo, hi) — to fold the bounds into the plan as a broadcast
+    cross-join instead of collecting them at query BUILD time (round 15,
+    r14 verdict item 3: a build-time ``collect()`` runs an extra full
+    scan per build that escapes the timed region). The bounds columns
+    ride the packed shuffle as two timestamps per row and are read from
+    the batch inside the Arrow stage — same microsecond values, so the
+    output is byte-identical to the scalar form. ``freq_days`` must
     divide the span. Keys with no observed rows produce no output —
     identical to the join form, whose key universe is the observed keys.
     """
     schema = _forecast_schema(df, keys)
     step_us = int(freq_days * 86_400_000_000)
-    lo64 = np.datetime64(lo, "us")
-    hi64 = np.datetime64(hi, "us")
+    lo64 = None if lo is None else np.datetime64(lo, "us")
+    hi64 = None if hi is None else np.datetime64(hi, "us")
 
     def _fit_batch(pdf: pd.DataFrame) -> pd.DataFrame:
         from time_series_spark_spark.operators.packed import key_slices
 
+        if lo64 is None:
+            b_lo = pdf["__lo"].to_numpy().astype("datetime64[us]")[0]
+            b_hi = pdf["__hi"].to_numpy().astype("datetime64[us]")[0]
+        else:
+            b_lo, b_hi = lo64, hi64
         starts, ends = key_slices(pdf, keys)
         karrs = [pdf[k].to_numpy() for k in keys]
         ds_all = pdf[ds_col].to_numpy().astype("datetime64[us]")
         y_all = pdf[y_col].to_numpy(dtype=float)
         step = np.timedelta64(step_us, "us")
-        n = int((hi64 - lo64) // step) + 1
-        grid = lo64 + step * np.arange(n)
-        idx_all = ((ds_all - lo64) // step).astype(np.int64)
+        n = int((b_hi - b_lo) // step) + 1
+        grid = b_lo + step * np.arange(n)
+        idx_all = ((ds_all - b_lo) // step).astype(np.int64)
 
         def _series():
             for s, e in zip(starts, ends):
@@ -502,6 +514,12 @@ def forecast_on_grid(
         )
 
     slim = df.select(*keys, ds_col, y_col)
+    if lo64 is None:
+        bc = bounds.select(
+            F.col(bounds.columns[0]).alias("__lo"),
+            F.col(bounds.columns[1]).alias("__hi"),
+        )
+        slim = slim.crossJoin(F.broadcast(bc))
     # num_partitions=0: the scatter+multi-RHS fit is a cheap vectorized
     # pass over its bytes (27 ms Python for the sf0.1 corpus), so
     # byte-based AQE sizing is the right cost model — a pinned 32-task

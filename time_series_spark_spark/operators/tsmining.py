@@ -506,6 +506,140 @@ def dtw_topk_sparse(
     )
 
 
+def dtw_topk_sparse_self(
+    series_long: DataFrame,
+    key: str,
+    idx: str,
+    value: str,
+    n_col: str,
+    query_key,
+    k: int = 5,
+    band_frac: float = 0.1,
+) -> DataFrame:
+    """:func:`dtw_topk_sparse` with the query series designated by
+    ``query_key`` INSIDE ``series_long`` instead of collected to the
+    driver at query BUILD (round 15, r14 verdict item 3: the build-time
+    ``collect()`` ran a full aggregation pass per build that escaped the
+    timed region, and at scale runs an extra pass over the corpus).
+
+    How the query series reaches every task without a driver round-trip
+    (guide §8 "co-locate instead of join"): candidates get an explicit
+    partition-id column ``pmod(hash(key), P)``; the query key's rows are
+    cross-joined with ``range(P)`` so ONE copy lands in every pid
+    (P × n_query extra shuffled rows — hundreds of KB at any scale);
+    one repartition on pid then a within-partition sort that places the
+    query rows first. The mapper peels the query prefix (any pid-collision
+    duplicates scatter the same values), z-normalizes and builds the
+    Keogh envelope per task — the same numpy ops on the same float64
+    values the driver ran, so distances are bit-identical — and streams
+    candidate groups exactly like ``packed_grouped_map`` (complete
+    groups per call, carryover for groups straddling Arrow batches).
+    Requires ``0 <= idx < n`` and at most one row per (key, idx); n_col
+    must be constant. Returns the exact global top-k as (key, dtw)
+    ordered by (dtw, key); exactness is partition-layout-independent
+    because each candidate's DTW is computed from its own rows only.
+    """
+    from time_series_spark_spark.operators.packed import (
+        key_slices,
+        shuffle_parallelism,
+    )
+
+    P = shuffle_parallelism(series_long)
+    key_type = next(
+        f.dataType.simpleString()
+        for f in series_long.schema.fields
+        if f.name == key
+    )
+    slim = series_long.select(key, idx, value, n_col)
+    isq = F.col(key) == F.lit(query_key)
+    qrows = slim.filter(isq).crossJoin(
+        series_long.sparkSession.range(P).select(
+            F.col("id").cast("int").alias("__pid")
+        )
+    )
+    cands = slim.filter(~isq).withColumn(
+        "__pid", F.pmod(F.hash(F.col(key)), F.lit(P)).cast("int")
+    )
+    parted = (
+        qrows.unionByName(cands)
+        .repartition(P, "__pid")
+        .sortWithinPartitions(isq.desc(), key, idx)
+        .select(key, idx, value, n_col)
+    )
+
+    def _mapper(batches) -> "pd.DataFrame":
+        q = q_lo = q_hi = None
+        band = 0
+        top: list[tuple[float, object]] = []
+        q_idx: list[np.ndarray] = []
+        q_val: list[np.ndarray] = []
+        n = None
+        pending: pd.DataFrame | None = None
+
+        def crunch(pdf: pd.DataFrame) -> None:
+            nonlocal top
+            starts, ends = key_slices(pdf, [key])
+            keys_arr = pdf[key].to_numpy()
+            idx_all = pdf[idx].to_numpy()
+            v_all = pdf[value].to_numpy(dtype=np.float64)
+            m = len(starts)
+            M = np.zeros((m, n))
+            rows = np.repeat(np.arange(m), ends - starts)
+            M[rows, idx_all] = v_all
+            top = _topk_batch_update(
+                top, M, keys_arr[starts], q, q_lo, q_hi, band, k
+            )
+
+        for pdf in batches:
+            if pending is not None and len(pending):
+                pdf = pd.concat([pending, pdf], ignore_index=True)
+                pending = None
+            if not len(pdf):
+                continue
+            if q is None:
+                qmask = pdf[key].to_numpy() == query_key
+                nq = int(qmask.sum())
+                if n is None and nq:
+                    n = int(pdf[n_col].iloc[0])
+                if nq == len(pdf):
+                    # the query prefix may span batches — keep collecting
+                    q_idx.append(pdf[idx].to_numpy())
+                    q_val.append(pdf[value].to_numpy(dtype=np.float64))
+                    continue
+                q_idx.append(pdf[idx].to_numpy()[:nq])
+                q_val.append(pdf[value].to_numpy(dtype=np.float64)[:nq])
+                qv = np.zeros(n)
+                qv[np.concatenate(q_idx).astype(np.int64)] = np.concatenate(
+                    q_val
+                )
+                q = _znorm(qv)
+                band = max(1, int(round(band_frac * n)))
+                q_lo, q_hi = query_envelope(q, band)
+                pdf = pdf.iloc[nq:].reset_index(drop=True)
+                if not len(pdf):
+                    continue
+            # hold back the possibly-straddling tail group
+            tail_key = pdf[key].iloc[-1]
+            tail_len = int((pdf[key].to_numpy() == tail_key).sum())
+            split = len(pdf) - tail_len
+            pending = pdf.iloc[split:].reset_index(drop=True)
+            if split:
+                crunch(pdf.iloc[:split].reset_index(drop=True))
+        if pending is not None and len(pending) and q is not None:
+            crunch(pending)
+        top.sort()
+        yield pd.DataFrame(
+            {key: [t[1] for t in top], "dtw": [t[0] for t in top]}
+        )
+
+    local = parted.mapInPandas(_mapper, f"{key} {key_type}, dtw double")
+    return (
+        local.orderBy("dtw", key)
+        .limit(k)
+        .select(key, F.round("dtw", 6).alias("dtw"))
+    )
+
+
 def dtw_topk_bruteforce(
     series: DataFrame, key: str, query_vals: np.ndarray, k: int = 5,
     band_frac: float = 0.1,
@@ -668,6 +802,53 @@ def kalman_smooth_series(
     return level, level_var
 
 
+def kalman_smooth_batch(
+    Y: np.ndarray, lens: np.ndarray, q_var: float, r_var: float
+) -> tuple[np.ndarray, np.ndarray]:
+    """:func:`kalman_smooth_series` vectorized across the SERIES axis
+    (round 15, guide §4.2 — the dtw_distance_batch pattern): ``Y`` is
+    (m, T) left-aligned zero-padded, ``lens`` the true lengths. Each
+    filter/smoother step applies the identical scalar formulas
+    elementwise over the m series, so the interpreter does O(T_max)
+    steps per BATCH instead of O(Σ n_i) — and every series' outputs are
+    bit-identical to the sequential loop (pinned by test). Backward
+    initialization lands at each series' own last index via a per-step
+    mask; padded columns compute garbage that is never read (r_var > 0
+    keeps every denominator positive, so no warnings)."""
+    m, T = Y.shape
+    a = np.empty((m, T))
+    p = np.empty((m, T))
+    a_pred = np.empty((m, T))
+    p_pred = np.empty((m, T))
+    x = np.zeros(m)
+    v = np.full(m, 1e7 * r_var)
+    for t in range(T):
+        if t == 0:
+            ap, pp = x, v  # diffuse prior, no transition yet
+        else:
+            ap, pp = x, v + q_var
+        k = pp / (pp + r_var)
+        x = ap + k * (Y[:, t] - ap)
+        v = (1 - k) * pp
+        a_pred[:, t] = ap
+        p_pred[:, t] = pp
+        a[:, t] = x
+        p[:, t] = v
+    level = np.empty((m, T))
+    level_var = np.empty((m, T))
+    last = lens - 1
+    level[:, T - 1] = a[:, T - 1]
+    level_var[:, T - 1] = p[:, T - 1]
+    for t in range(T - 2, -1, -1):
+        c = p[:, t] / p_pred[:, t + 1]
+        lv = a[:, t] + c * (level[:, t + 1] - a_pred[:, t + 1])
+        lvv = p[:, t] + c**2 * (level_var[:, t + 1] - p_pred[:, t + 1])
+        is_last = last == t
+        level[:, t] = np.where(is_last, a[:, t], lv)
+        level_var[:, t] = np.where(is_last, p[:, t], lvv)
+    return level, level_var
+
+
 def kalman_smooth(
     df: DataFrame,
     keys: list[str],
@@ -687,15 +868,17 @@ def kalman_smooth(
 
         starts, ends = key_slices(pdf, keys)
         v_all = pdf[value].to_numpy(dtype=np.float64)
-        lv = np.empty(len(pdf))
-        lvv = np.empty(len(pdf))
-        for s, e in zip(starts, ends):
-            lv[s:e], lvv[s:e] = kalman_smooth_series(
-                v_all[s:e], q_var, r_var
-            )
+        lens = ends - starts
+        m = len(starts)
+        T = int(lens.max()) if m else 0
+        Y = np.zeros((m, T))
+        rows = np.repeat(np.arange(m), lens)
+        cols = np.arange(len(pdf)) - np.repeat(starts, lens)
+        Y[rows, cols] = v_all
+        level, level_var = kalman_smooth_batch(Y, lens, q_var, r_var)
         out = pdf[[*keys, ts, value]].copy()
-        out["level"] = np.round(lv, 6)
-        out["level_var"] = np.round(lvv, 6)
+        out["level"] = np.round(level[rows, cols], 6)
+        out["level_var"] = np.round(level_var[rows, cols], 6)
         return out
 
     return packed_grouped_map(

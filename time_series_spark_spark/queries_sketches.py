@@ -245,19 +245,58 @@ def orders_lineitem_ams_join_size(
         ams_partials,
     )
 
-    orders = load(spark, sf_dir, "orders")
-    lineitem = load(spark, sf_dir, "lineitem")
+    # Explicit key null filters so the sketch branches' scans are
+    # canonically identical to the exact branch's (whose inner join
+    # infers IsNotNull on the keys) — without them the per-key count
+    # exchanges cannot be reused across the branches (round 15; the
+    # recs lesson). Orderkeys are never null, so the sketches are
+    # unchanged on any real input.
+    orders = load(spark, sf_dir, "orders").filter(
+        F.col("o_orderkey").isNotNull()
+    )
+    lineitem = load(spark, sf_dir, "lineitem").filter(
+        F.col("l_orderkey").isNotNull()
+    )
     lp = ams_partials(orders, "o_orderkey", n_sketches=256)
     rp = ams_partials(lineitem, "l_orderkey", n_sketches=256)
     est = ams_join_size(lp, rp, group_size=16, n_sketches=256)
-    # exact count as a lazy 1-row aggregate, NOT an eager .count():
-    # the driver-side count re-ran the full join at every query BUILD
-    # (a collect-in-query-path anti-pattern); as a crossJoin'd scalar
-    # it is part of the plan and runs once per execution.
-    exact = orders.join(
-        lineitem, orders.o_orderkey == lineitem.l_orderkey
-    ).agg(F.count(F.lit(1)).alias("exact_join_size"))
-    return est.crossJoin(F.broadcast(exact)).select(
+    # Exact |orders ⋈ lineitem| as Σ_k c_orders(k)·c_lineitem(k) over the
+    # SAME per-key count frames the sketches fan out from (round 15,
+    # guide §2.4): the raw 600k-row self-join disappears and both count
+    # exchanges are reused from the sketch branches (2 ReusedExchange in
+    # the final plan). The result is the identical integer — the join
+    # row count factorizes through per-key multiplicities. Combined with
+    # the estimate via a tagged UNION + single-row aggregate, not a
+    # broadcast cross-join: a broadcast subtree re-executes its whole
+    # lineage (nested query-stage reuse does not fire across
+    # broadcast-stage boundaries), while union branches share stages.
+    co = orders.groupBy(F.col("o_orderkey").alias("k")).agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    cl = lineitem.groupBy(F.col("l_orderkey").alias("k")).agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    exact = (
+        co.join(cl.withColumnRenamed("c", "cl"), "k")
+        .agg(F.sum(F.col("c") * F.col("cl")).alias("exact_join_size"))
+    )
+    one = (
+        est.select(
+            F.col("join_size_estimate").alias("e"),
+            F.lit(None).cast("long").alias("x"),
+        )
+        .unionAll(
+            exact.select(
+                F.lit(None).cast("double").alias("e"),
+                F.col("exact_join_size").alias("x"),
+            )
+        )
+        .agg(
+            F.max("e").alias("join_size_estimate"),
+            F.max("x").alias("exact_join_size"),
+        )
+    )
+    return one.select(
         "join_size_estimate",
         "exact_join_size",
         F.round(
