@@ -413,14 +413,30 @@ def minhash_lsh_pairs(
     banded = sig.select(
         id_col, F.posexplode(F.array(*band_cols)).alias("band", "bh")
     )
+    # Bucket pair expansion WITHOUT a self-join (round 15, r14 verdict
+    # item 4): the band self-join planned the whole 64-hash signature
+    # aggregation twice (its two sides never share stages — broadcast
+    # subtrees don't reuse, and the SMJ sides' exchanges sit above
+    # asymmetric Reused/original children). Collecting each (band, bh)
+    # bucket's ids instead gives sig ONE consumer chain: one exchange,
+    # one list agg, singleton buckets dropped before any pair exists
+    # (they produce none), and the i<j pair fan-out runs as a bounded
+    # HOF over each bucket's sorted ids — bucket sizes are the banding
+    # collision counts, tiny on a near-dup corpus at any scale. Same
+    # candidate set as the join, made deterministic by the array sort.
+    buckets = (
+        banded.groupBy("band", "bh")
+        .agg(F.sort_array(F.collect_list(id_col)).alias("ids"))
+        .filter(F.size("ids") > 1)
+    )
+    pair_expr = (
+        "flatten(transform(ids, (x, i) -> "
+        "transform(slice(ids, i + 2, size(ids)), "
+        "y -> struct(x AS id_a, y AS id_b))))"
+    )
     cand = (
-        banded.select(F.col(id_col).alias("id_a"), "band", "bh")
-        .join(
-            banded.select(F.col(id_col).alias("id_b"), "band", "bh"),
-            ["band", "bh"],
-        )
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
+        buckets.select(F.explode(F.expr(pair_expr)).alias("p"))
+        .select("p.id_a", "p.id_b")
         .distinct()
     )
     verified = cand.join(

@@ -3159,23 +3159,25 @@ def docs_source_overlap_matrix(
         )
         .agg(F.count(F.lit(1)).alias("shared"))
     )
+    # MERGE, not broadcast (round 15): a broadcast build of `sizes`
+    # re-executes the shingle+md5 explode and the distinct exchange
+    # inside its subtree (twice — once per side; nested stage reuse does
+    # not cross broadcast-stage boundaries), while as shuffle joins both
+    # sizes branches reuse the main plan's (source, gram) exchange and
+    # the explode runs once. Both join inputs are ≤ sources² rows.
     return (
         p.join(
-            F.broadcast(
-                sizes.select(
-                    F.col("source").alias("source_a"),
-                    F.col("n").alias("grams_a"),
-                )
-            ),
+            sizes.select(
+                F.col("source").alias("source_a"),
+                F.col("n").alias("grams_a"),
+            ).hint("MERGE"),
             "source_a",
         )
         .join(
-            F.broadcast(
-                sizes.select(
-                    F.col("source").alias("source_b"),
-                    F.col("n").alias("grams_b"),
-                )
-            ),
+            sizes.select(
+                F.col("source").alias("source_b"),
+                F.col("n").alias("grams_b"),
+            ).hint("MERGE"),
             "source_b",
         )
         .select(
