@@ -888,6 +888,8 @@ def purchase_attribution_time_decay(
 ) -> DataFrame:
     from pyspark.sql.window import Window as W
 
+    from time_series_spark_spark.operators.packed import pin_partitions
+
     ev = load(spark, sf_dir, "events")
     p = ev.filter(F.col("event_type") == "purchase").select(
         F.col("event_id").alias("pid"),
@@ -895,41 +897,54 @@ def purchase_attribution_time_decay(
         F.col("ts").alias("p_ts"),
         F.expr("CAST(round(value * 100, 0) AS BIGINT)").alias("cents"),
     )
-    s = ev.filter(F.col("event_type") != "purchase").select(
-        F.col("user_id").alias("s_uid"),
-        F.col("event_type").alias("touch"),
-        F.col("ts").alias("s_ts"),
-        F.col("event_id").alias("sid"),
+    # The pre-join exchange keys the SLIM touch stream on user BEFORE the
+    # purchase×touch pair blowup (guide §2.3 "shuffle fewer bytes": ~2.8×
+    # fewer rows than the post-join pid exchange it replaces at sf0.1, and
+    # the gap grows with lookback density at scale). The broadcast hash
+    # join propagates hashpartitioning(s_uid) through the key equivalence
+    # p_uid = s_uid, so the per-purchase windows — re-keyed (p_uid, pid),
+    # an identical grouping since pid determines p_uid — ride this one
+    # exchange and the pair rows are never shuffled on pid at all.
+    s = pin_partitions(
+        ev.filter(F.col("event_type") != "purchase").select(
+            F.col("user_id").alias("s_uid"),
+            F.col("event_type").alias("touch"),
+            F.col("ts").alias("s_ts"),
+            F.col("event_id").alias("sid"),
+        ),
+        "s_uid",
     )
-    touches = p.join(
+    touches = F.broadcast(p).join(
         s,
         (F.col("s_uid") == F.col("p_uid"))
         & (F.col("s_ts") <= F.col("p_ts"))
         & (F.col("s_ts") > F.col("p_ts") - F.expr("INTERVAL 7 DAY")),
     ).select(
-        "pid", "cents", "touch", "sid", "s_ts",
+        "p_uid", "pid", "cents", "touch", "sid", "s_ts",
         F.expr(
             "exp(-(CAST(unix_micros(p_ts) - unix_micros(s_ts) AS DOUBLE)"
             " / 86400000000.0) / 2.0)"
         ).alias("w"),
     )
-    w_cum = W.partitionBy("pid").orderBy("s_ts", "sid").rowsBetween(
+    w_cum = W.partitionBy("p_uid", "pid").orderBy("s_ts", "sid").rowsBetween(
         W.unboundedPreceding, 0
+    )
+    # tot_w consumes cw so it stays a second Window node, but sharing
+    # w_cum's partition and order spec means no re-sort between the two
+    # (max over the whole partition is order-independent — same value).
+    w_tot = W.partitionBy("p_uid", "pid").orderBy("s_ts", "sid").rowsBetween(
+        W.unboundedPreceding, W.unboundedFollowing
     )
     normed = touches.withColumn("cw", F.sum("w").over(w_cum)).select(
         "touch", "pid", "sid", "cents", "w",
-        F.max("cw")
-        .over(
-            W.partitionBy("pid").rowsBetween(
-                W.unboundedPreceding, W.unboundedFollowing
-            )
-        )
-        .alias("tot_w"),
+        F.max("cw").over(w_tot).alias("tot_w"),
     )
     wt = W.partitionBy("touch").orderBy("pid", "sid").rowsBetween(
         W.unboundedPreceding, 0
     )
-    w_t_all = W.partitionBy("touch").rowsBetween(
+    # count over the whole partition with wt's order spec: merges into
+    # wt's Window node (one pass over the touch exchange, not two).
+    w_t_all = W.partitionBy("touch").orderBy("pid", "sid").rowsBetween(
         W.unboundedPreceding, W.unboundedFollowing
     )
     credited = normed.select(
