@@ -1209,12 +1209,14 @@ def char_ngram_lm_scores(
     shorter than ``n`` chars have no prediction positions and are
     absent from the output (both engines).
 
-    Scale shape: the model is two count tables bounded by charset^n
-    (NOT corpus size) built by one hash agg each over the train slice;
-    scoring explodes the corpus into char n-grams and broadcast-joins
-    the count tables, so the corpus shuffles only its per-doc partial
-    sums (one hash agg keyed ``id_col``). Everything is codegen; the
-    only Python is this function body.
+    Scale shape: the model is one count table bounded by charset^n
+    (NOT corpus size) holding both gram widths (distinct by string
+    length), built by ONE hash agg over one explode of the train
+    slice and broadcast once (the second scoring join reuses the same
+    broadcast); scoring explodes the corpus into char n-grams and
+    broadcast-joins the count table twice, so the corpus shuffles only
+    its per-doc partial sums (one hash agg keyed ``id_col``).
+    Everything is codegen; the only Python is this function body.
     """
     def grams(frame: DataFrame, width: int, out: str, *extra: str) -> DataFrame:
         # positions 1..len-width+1, substring in codegen
@@ -1233,18 +1235,42 @@ def char_ngram_lm_scores(
     # parallelism is otherwise capped at the scan's split count (ONE
     # task on the local single-row-group file); fan the slim text
     # projection out first — a no-op when the scan is already split
-    # (guide §2.5). A union-explode emitting all three widths from one
-    # pass was tried and REVERTED: the three broadcast model subtrees
-    # build as concurrent jobs, each re-running the shared explode
-    # (exchange reuse doesn't dedupe in-flight stages) — measured 2x
-    # slower than three narrow explodes.
+    # (guide §2.5).
     tr = fan_out(train.select(F.lower(F.col(text_col)).alias("__txt")))
-    tri_counts = (
-        grams(tr, n, "g3").groupBy("g3").agg(F.count(F.lit(1)).alias("c3"))
+    # An (n-1)-char string never equals an n-char string, so ONE
+    # g-keyed count table serves as both the n-gram and the
+    # (n-1)-gram model: one explode + one hash agg + one broadcast
+    # build, and the second scoring join resolves to a ReusedExchange
+    # of the same broadcast. (A width-MARKED union explode keyed
+    # (w, g) was tried earlier and REVERTED — joining it per width
+    # pushes the w= filter below each BroadcastExchange, so the
+    # subtrees stop canonicalizing equal and every join rebuilds the
+    # explode. Keying by g alone keeps both broadcast subtrees
+    # byte-identical, which is what makes the reuse fire.)
+    both_widths = (
+        f"concat("
+        f"CASE WHEN length(__txt) >= {n} THEN "
+        f"transform(sequence(1, length(__txt) - {n} + 1), "
+        f"i -> substring(__txt, i, {n})) ELSE array() END, "
+        f"CASE WHEN length(__txt) >= {n - 1} THEN "
+        f"transform(sequence(1, length(__txt) - {n - 1} + 1), "
+        f"i -> substring(__txt, i, {n - 1})) ELSE array() END)"
     )
-    bi_counts = (
-        grams(tr, n - 1, "g2").groupBy("g2").agg(F.count(F.lit(1)).alias("c2"))
+    counts = (
+        tr.select(F.explode(F.expr(both_widths)).alias("g"))
+        .groupBy("g")
+        .agg(F.count(F.lit(1)).alias("c"))
     )
+    tri_counts = counts.select(
+        F.col("g").alias("g3"), F.col("c").alias("c3")
+    )
+    bi_counts = counts.select(
+        F.col("g").alias("g2"), F.col("c").alias("c2")
+    )
+    # vocab stays its own tiny pass: V must reach every scored row even
+    # when both gram joins miss, and deriving it from the broadcast
+    # table via a crossJoin'd aggregate would re-execute the explode
+    # lineage (aggregates above a broadcast subtree never reuse it).
     vocab = grams(tr, 1, "ch").agg(
         F.countDistinct("ch").alias("__v")
     )
