@@ -48,11 +48,14 @@ ANNOTATED = {
     "orders_lineitem_ams_join_size": "raw rows reduce to per-key counts "
     "first (map-side combine); only distinct keys fan out x256, and the "
     "256-row partials merge by addition.",
-    "geo_radius_pairs": "the 3x3 neighbor-cell explode happens on a "
-    "pruned (key, coords, cell) projection with filters already pushed "
-    "to the scan; ONE equi-join on the cell id generates candidates "
-    "bounded per cell (72k distance evaluations vs 4.6M naive at "
-    "sf0.1); the haversine runs entirely in whole-stage codegen.",
+    "geo_radius_pairs": "the neighbor-cell replication is split by "
+    "axis (probe fans to 3 lat-neighbor cells, build to 3 "
+    "lon-neighbor cells — 3N+3N rows instead of the one-sided 3x3's "
+    "9N+N) on a pruned (key, coords, cell) projection with filters "
+    "already pushed to the scan; ONE equi-join on the cell id "
+    "generates candidates bounded per cell (72k distance evaluations "
+    "vs 4.6M naive at sf0.1); the haversine runs entirely in "
+    "whole-stage codegen.",
     "events_bootstrap_ci": "the 200-replicate explode is map-side only: "
     "partial aggregation combines to (type, replicate) cells BEFORE the "
     "exchange, so the shuffle carries ~types*200 rows, never raw*200; "

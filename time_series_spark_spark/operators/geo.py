@@ -108,10 +108,15 @@ def grid_radius_join(
 
     Contract: ``lat_cell_deg ≥ radius/111.195`` and ``lon_cell_deg ≥
     radius/(111.195·cos(max|lat|))`` over the data's latitude range, so
-    any qualifying pair differs by ≤ 1 cell per axis and the probe side's
-    3×3 neighborhood always reaches the build side's home cell. Each pair
-    is emitted exactly once: the build point's home cell is unique, the 9
-    probe cells are distinct, and ``id_a < id_b`` fixes the orientation.
+    any qualifying pair differs by ≤ 1 cell per axis. Replication is
+    SPLIT BY AXIS (guide §2.3 — shuffle fewer bytes): the probe side
+    fans to its 3 lat-neighbor cells at its home lon, the build side to
+    its 3 lon-neighbor cells at its home lat, and the join on the cell
+    key matches a qualifying pair at exactly one (di, dj) — ``di =
+    ci_b − ci_a`` and ``dj = cj_a − cj_b``, both in {−1, 0, 1} — so
+    each pair is still found exactly once (``id_a < id_b`` fixes the
+    orientation) while 3N+3N rows shuffle instead of the one-sided
+    3×3 neighborhood's 9N+N.
 
     The distance filter compares the ROUNDED distance (``round_dp``) so
     the inclusion boundary is identical across engines despite libm ulp
@@ -126,13 +131,19 @@ def grid_radius_join(
         F.col(id_col), F.col(lat_col), F.col(lon_col),
         ci.alias("ci"), cj.alias("cj"),
     )
-    neighborhood = F.array(
+    lat_neighbors = F.array(
         *[
             F.struct(
-                (F.col("ci") + di).alias("ci"),
-                (F.col("cj") + dj).alias("cj"),
+                (F.col("ci") + di).alias("ci"), F.col("cj").alias("cj")
             )
             for di in (-1, 0, 1)
+        ]
+    )
+    lon_neighbors = F.array(
+        *[
+            F.struct(
+                F.col("ci").alias("ci"), (F.col("cj") + dj).alias("cj")
+            )
             for dj in (-1, 0, 1)
         ]
     )
@@ -140,15 +151,14 @@ def grid_radius_join(
         F.col(id_col).alias("id_a"),
         F.col(lat_col).alias("lat_a"),
         F.col(lon_col).alias("lon_a"),
-        F.explode(neighborhood).alias("cell"),
+        F.explode(lat_neighbors).alias("cell"),
     ).select("id_a", "lat_a", "lon_a", "cell.ci", "cell.cj")
     build = base.select(
         F.col(id_col).alias("id_b"),
         F.col(lat_col).alias("lat_b"),
         F.col(lon_col).alias("lon_b"),
-        "ci",
-        "cj",
-    )
+        F.explode(lon_neighbors).alias("cell"),
+    ).select("id_b", "lat_b", "lon_b", "cell.ci", "cell.cj")
     dist = F.round(
         haversine_km(
             F.col("lat_a"), F.col("lon_a"), F.col("lat_b"), F.col("lon_b")
@@ -216,34 +226,45 @@ def grid_radius_join_two(
     round_dp: int = 3,
 ) -> DataFrame:
     """Two-table radius join: all (left, right) pairs within ``radius_km``.
-    Same cell contract and bucketing as :func:`grid_radius_join`; the left
-    side probes its 3×3 neighborhood, the right side sits in its home cell,
-    so each qualifying pair is found exactly once (no ordering constraint —
-    the id spaces are distinct). Both inputs need ``lat``/``lon`` columns.
-    Output: ``<left_id>, <right_id>, dist_km`` (rounded)."""
+    Same cell contract and axis-split bucketing as
+    :func:`grid_radius_join` — the left side fans to its 3 lat-neighbor
+    cells, the right side to its 3 lon-neighbor cells, and a qualifying
+    pair meets at exactly one (di, dj), so each is found exactly once
+    (no ordering constraint — the id spaces are distinct) while 3N+3M
+    rows shuffle instead of 9N+M. Both inputs need ``lat``/``lon``
+    columns. Output: ``<left_id>, <right_id>, dist_km`` (rounded)."""
     lci, lcj = grid_cells(F.col("lat"), F.col("lon"), lat_cell_deg, lon_cell_deg)
     lbase = left.select(
         F.col(left_id), F.col("lat").alias("lat_a"),
         F.col("lon").alias("lon_a"), lci.alias("ci"), lcj.alias("cj"),
     )
-    neighborhood = F.array(
+    lat_neighbors = F.array(
         *[
             F.struct(
-                (F.col("ci") + di).alias("ci"),
-                (F.col("cj") + dj).alias("cj"),
+                (F.col("ci") + di).alias("ci"), F.col("cj").alias("cj")
             )
             for di in (-1, 0, 1)
+        ]
+    )
+    lon_neighbors = F.array(
+        *[
+            F.struct(
+                F.col("ci").alias("ci"), (F.col("cj") + dj).alias("cj")
+            )
             for dj in (-1, 0, 1)
         ]
     )
     probe = lbase.select(
-        left_id, "lat_a", "lon_a", F.explode(neighborhood).alias("cell")
+        left_id, "lat_a", "lon_a", F.explode(lat_neighbors).alias("cell")
     ).select(left_id, "lat_a", "lon_a", "cell.ci", "cell.cj")
     rci, rcj = grid_cells(F.col("lat"), F.col("lon"), lat_cell_deg, lon_cell_deg)
-    build = right.select(
+    rbase = right.select(
         F.col(right_id), F.col("lat").alias("lat_b"),
         F.col("lon").alias("lon_b"), rci.alias("ci"), rcj.alias("cj"),
     )
+    build = rbase.select(
+        right_id, "lat_b", "lon_b", F.explode(lon_neighbors).alias("cell")
+    ).select(right_id, "lat_b", "lon_b", "cell.ci", "cell.cj")
     dist = F.round(
         haversine_km(
             F.col("lat_a"), F.col("lon_a"), F.col("lat_b"), F.col("lon_b")

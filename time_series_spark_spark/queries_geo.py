@@ -213,8 +213,9 @@ def geo_grid_density(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     doc="Two-table geo radius join: customers within 100 km of each "
     "supplier, counted per supplier — grid-bucketed (1.0°×1.5° cells "
-    "cover the 100 km radius at the box's worst latitude), left side "
-    "probes its 3×3 neighborhood, one equi-join on cell id; the oracle "
+    "cover the 100 km radius at the box's worst latitude), replication "
+    "split by axis (left fans to 3 lat-neighbor cells, right to 3 "
+    "lon-neighbor cells), one equi-join on cell id; the oracle "
     "is the naive cross join on a nation-restricted slice "
     "(operators/geo.py::grid_radius_join_two)",
 )

@@ -3155,12 +3155,20 @@ def events_esd_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def users_lifetime_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _events(spark, sf_dir)
-    bounds = ev.agg(
-        F.date_trunc("day", F.max("ts")).alias("horizon")
-    )
     u = ev.groupBy("user_id").agg(
         F.date_trunc("day", F.min("ts")).alias("first_d"),
         F.date_trunc("day", F.max("ts")).alias("last_d"),
+    )
+    # horizon from the per-user aggregate, not a second events scan:
+    # date_trunc is monotone, so max_user(trunc(max_user ts)) ==
+    # trunc(max ts) exactly. greatest(first_d, last_d) == last_d (min
+    # <= max) but keeps BOTH aggregates alive in this branch, so column
+    # pruning cannot specialize it and the broadcast subtree stays
+    # canonically equal to u's hash(user_id) exchange — AQE stage reuse
+    # then scans and partially aggregates events ONCE for the whole
+    # query (ReusedExchange in the final plan).
+    bounds = u.agg(
+        F.max(F.greatest("first_d", "last_d")).alias("horizon")
     )
     lif = u.crossJoin(F.broadcast(bounds)).select(
         F.expr("CAST(datediff(last_d, first_d) AS BIGINT)").alias("t"),
